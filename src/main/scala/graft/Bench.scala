@@ -1,23 +1,47 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main — runs the headline query set on SPARK_GRAFT_SF_DIR and
+  * prints ONE JSON line (driver contract). Set SPARK_GRAFT_BENCH_ALL=1 to
+  * profile every query; per-query timings stream to stderr either way.
+  */
 object Bench {
+  /** Representative subset: the heavy relational/CDC/dedup/similarity paths
+    * without per-query streaming-engine startup overhead dominating.
+    */
+  val headline: Seq[String] = Seq(
+    "q1_pricing_summary", "q_revenue_by_nation", "q_window_topk",
+    "q_skew_agg", "q_sessionize", "q_event_buckets", "q_asof_join",
+    "cdc_delta_extract", "cdc_merge", "cdc_latest_per_key",
+    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
+    "ann_bruteforce_topk", "text_quality", "mm_frame_sample")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val names =
+      if (sys.env.contains("SPARK_GRAFT_BENCH_ALL")) SparkEntry.queries.keys.toSeq.sorted
+      else headline.filter(SparkEntry.queries.contains)
+    val results = names.map { name =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try { SparkEntry.queries(name)(spark, sfDir).count() }
+      catch { case e: Throwable => System.err.println(s"[bench] $name FAILED: $e"); -1L }
+      val sec = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[bench] $name%-24s $sec%8.2f s")
+      name -> sec
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -1,0 +1,373 @@
+package graft
+
+import graft.dedup.Dedup
+import graft.functions.TextFunctions
+import graft.multimodal.Binary
+import graft.similarity.Ann
+import graft.sources.Tables
+import graft.streaming.Streams
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Query catalog part 2: text analysis, dedup, similarity search,
+  * multimodal, streaming (SURVEY.md §2.3–§2.7). Same oracle discipline as
+  * [[Queries]]: md5-only cross-engine hashing, integer/string outputs for
+  * anything ranking-sensitive, exact-rational math for ratios.
+  */
+object QueriesData {
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Stopword list shared by the Scala and SQL sides of T2. */
+  val stopwords: Seq[String] = Seq("the", "a", "of", "to", "and")
+
+  /** Language profiles for T3 (deterministic stopword-hit argmax). */
+  val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und"),
+    "en" -> Seq("the", "a", "of", "and"),
+    "es" -> Seq("el", "la", "de", "y"),
+    "fr" -> Seq("le", "la", "les", "et"),
+    "zh" -> Seq("de", "le", "shi", "he"))
+
+  // ───────────────────────── §2.5 text analysis ─────────────────────────
+
+  def textTokens(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    d.select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"),
+        length(col("text")).cast("long").as("n_chars"),
+        TextFunctions.avgTokenLen(col("text")).as("avg_token_len"))
+      .orderBy(col("doc_id"))
+  }
+
+  def textQuality(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val hits = TextFunctions.stopwordHits(col("text"), stopwords)
+    d.select(col("doc_id"),
+        hits.cast("long").as("stop_hits"),
+        (hits.cast("double") / TextFunctions.tokenCount(col("text"))).as("stop_ratio"),
+        TextFunctions.qualityScore(col("text"), stopwords).as("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  def textLangid(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    d.select(col("doc_id"), TextFunctions.langId(col("text"), langProfiles).as("lang_pred"))
+      .orderBy(col("doc_id"))
+  }
+
+  def textFingerprint(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    d.select(col("doc_id"),
+        TextFunctions.fingerprint(col("text")).as("fp"),
+        substring(TextFunctions.fingerprint(col("text")), 1, 4).as("fp_bucket"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ───────────────────────── §2.3 dedup ─────────────────────────
+
+  def dedupExact(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    Dedup.exactGroups(d, col("doc_id"), col("text"))
+      .select(col("content_hash"), col("n_dups"), col("keeper_id"))
+      .orderBy(col("content_hash"))
+  }
+
+  def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    Dedup.lshCandidates(d, col("doc_id"), col("text"), shingleWords = 3, k = 12, bands = 4)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    Dedup.simhashTable(d, col("doc_id"), col("text"), 16)
+      .select(col("doc_id"), col("simhash").cast("long").as("simhash"))
+      .orderBy(col("doc_id"))
+  }
+
+  def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    Dedup.ngramJaccardPairs(d, col("doc_id"), col("text"), col("source"),
+        n = 3, minJaccard = 0.5)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  def dedupEmbedCosine(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    Ann.allPairsCosineAbove(e, "vec_id", threshold = 0.4)
+      .select(col("id_a"), col("id_b"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  // ───────────────────────── §2.4 similarity ─────────────────────────
+
+  def annBruteforceTopk(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val queries = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val corpus = e.select(col("vec_id").as("cand_id"), col("embedding"))
+    Ann.bruteForceTopK(queries, corpus, k = 5)
+      .select(col("query_id"), col("cand_id"), col("rnk").cast("long").as("rnk"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  def annIvfTopk(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val centroids = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("centroid_id"), col("embedding"))
+    val corpus = e.select(col("vec_id").as("cand_id"), col("embedding"))
+    val queries = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val assigned = Ann.ivfAssign(corpus, centroids)
+    Ann.ivfTopK(queries, assigned, centroids, k = 5, nprobe = 3)
+      .select(col("query_id"), col("cand_id"), col("rnk").cast("long").as("rnk"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  // ───────────────────────── §2.6 multimodal ─────────────────────────
+
+  def mmBinaryMeta(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+    Binary.extractMeta(s, d, "doc_id", "payload").orderBy(col("id"))
+  }
+
+  def mmFrameSample(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+    Binary.sampleFrames(d, "payload", stride = 64, maxFrames = 4)
+      .select(col("doc_id"), col("frame_idx"), col("frame_offset"), col("frame_md5"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
+  // ───────────────────────── §2.7 streaming ─────────────────────────
+
+  def streamWindowAgg(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events").withColumn("ts", col("ts").cast("timestamp"))
+    Streams.tumblingWindowAgg(s, e, "ts", "event_type", "value",
+        queryName = s"graft_winagg_${System.nanoTime()}")
+      .withColumnRenamed("event_type", "event_type")
+      .orderBy(col("bucket_hour"), col("event_type"))
+  }
+
+  def streamCdcApply(s: SparkSession, dir: String): DataFrame = {
+    val target = t(s, dir, "orders")
+      .filter(col("o_orderdate").cast("timestamp") < lit("2000-01-01 00:00:00").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice").as("total"), lit("N").as("is_deleted"))
+    val staged = t(s, dir, "orders")
+      .filter(col("o_orderkey") % 3 === 0)
+      .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
+        (col("o_totalprice").cast("decimal(12,2)") + 1000).cast("double").as("total"),
+        when(col("o_orderkey") % 37 === 0, "Y").otherwise("N").as("is_deleted"))
+    Streams.cdcApply(s, target, staged, Seq("o_orderkey"), Seq(col("o_orderkey")))
+      .orderBy(col("o_orderkey"))
+  }
+
+  // ─────────────────────── oracle SQL (DuckDB) ───────────────────────
+
+  private val toks = "str_split(text, ' ')"
+  private val stopIn = stopwords.map(w => s"'$w'").mkString("(", ", ", ")")
+  private val stopHits = s"len(list_filter($toks, t -> t IN $stopIn))"
+  private val canon = "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))"
+
+  /** DuckDB arithmetic for "integer value of the first 6 hex chars of s" —
+    * mirrors Spark's conv(substr(s,1,6),16,10).
+    */
+  private def hex6ToInt(sExpr: String): String =
+    (1 to 6).map { i =>
+      val p = math.pow(16, 6 - i).toLong
+      s"(strpos('0123456789abcdef', substr($sExpr, $i, 1)) - 1) * $p"
+    }.mkString("(", " + ", ")")
+
+  private val langScoreSelects: String = langProfiles.map { case (code, words) =>
+    val inList = words.map(w => s"'$w'").mkString("(", ", ", ")")
+    s"SELECT doc_id, '$code' AS lang_code, CAST(len(list_filter($toks, t -> t IN $inList)) AS BIGINT) AS hits FROM documents"
+  }.mkString("\n  UNION ALL ")
+
+  private val minhashCols: String = (0 until 12)
+    .map(k => s"MIN(md5('$k:' || g)) AS h$k").mkString(",\n    ")
+  private val bandSelects: String = (0 until 4).map { b =>
+    val hs = (0 until 3).map(r => s"h${b * 3 + r}").mkString(" || '|' || ")
+    s"SELECT doc_id, md5($hs) AS band FROM mh"
+  }.mkString("\n  UNION ALL ")
+
+  val sql: Map[String, String] = Map(
+    "text_tokens" ->
+      s"""SELECT doc_id, CAST(len($toks) AS BIGINT) AS n_tokens,
+         |  CAST(length(text) AS BIGINT) AS n_chars,
+         |  CAST(length(text) - (len($toks) - 1) AS DOUBLE) / len($toks) AS avg_token_len
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_quality" ->
+      s"""SELECT doc_id, CAST($stopHits AS BIGINT) AS stop_hits,
+         |  CAST($stopHits AS DOUBLE) / len($toks) AS stop_ratio,
+         |  (LEAST(CAST(len($toks) AS DOUBLE) / 64.0, 1.0) +
+         |   LEAST(CAST($stopHits AS DOUBLE) / len($toks) * 4.0, 1.0)) / 2.0 AS quality
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_langid" ->
+      s"""WITH scores AS (
+         |  $langScoreSelects
+         |)
+         |SELECT doc_id, lang_pred FROM (
+         |  SELECT doc_id, lang_code AS lang_pred,
+         |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY hits DESC, lang_code) AS rn
+         |  FROM scores) t
+         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "text_fingerprint" ->
+      s"""SELECT doc_id, $canon AS fp, substr($canon, 1, 4) AS fp_bucket
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "dedup_exact" ->
+      s"""SELECT $canon AS content_hash, COUNT(*) AS n_dups, MIN(doc_id) AS keeper_id
+         |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin,
+    "dedup_minhash_lsh" ->
+      s"""WITH tk AS (SELECT doc_id, $toks AS ts FROM documents),
+         |sh AS (
+         |  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS g
+         |  FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 2)) AS i FROM tk) t
+         |), mh AS (
+         |  SELECT doc_id,
+         |    $minhashCols
+         |  FROM sh GROUP BY doc_id
+         |), bands AS (
+         |  $bandSelects
+         |)
+         |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+         |ORDER BY id_a, id_b""".stripMargin,
+    "dedup_simhash" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($toks) AS t FROM documents),
+         |th AS (SELECT doc_id, ${hex6ToInt("md5(t)")} AS h FROM tok),
+         |votes AS (
+         |  SELECT doc_id, b.b AS b,
+         |    SUM(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+         |  FROM th, generate_series(0, 15) AS b(b) GROUP BY doc_id, b.b
+         |)
+         |SELECT doc_id, CAST(SUM(CASE WHEN v > 0 THEN 1 << b ELSE 0 END) AS BIGINT) AS simhash
+         |FROM votes GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      """WITH grams AS (
+        |  SELECT DISTINCT doc_id, source, substr(text, i, 3) AS g
+        |  FROM (SELECT doc_id, source, text,
+        |          unnest(generate_series(1, length(text) - 2)) AS i FROM documents) t
+        |), gsets AS (SELECT doc_id, COUNT(*) AS n_g FROM grams GROUP BY doc_id),
+        |inter AS (
+        |  SELECT ga.doc_id AS id_a, gb.doc_id AS id_b, COUNT(*) AS n_inter
+        |  FROM grams ga JOIN grams gb
+        |    ON ga.source = gb.source AND ga.doc_id < gb.doc_id AND ga.g = gb.g
+        |  GROUP BY 1, 2
+        |), pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM documents a JOIN documents b ON a.source = b.source AND a.doc_id < b.doc_id
+        |)
+        |SELECT p.id_a AS id_a, p.id_b AS id_b,
+        |  CAST(COALESCE(i.n_inter, 0) AS DOUBLE) / (sa.n_g + sb.n_g - COALESCE(i.n_inter, 0)) AS jacc
+        |FROM pairs p
+        |LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
+        |JOIN gsets sa ON sa.doc_id = p.id_a
+        |JOIN gsets sb ON sb.doc_id = p.id_b
+        |WHERE CAST(COALESCE(i.n_inter, 0) AS DOUBLE) / (sa.n_g + sb.n_g - COALESCE(i.n_inter, 0)) >= 0.5
+        |ORDER BY p.id_a, p.id_b""".stripMargin,
+    "dedup_embed_cosine" ->
+      """WITH flat AS (
+        |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+        |    generate_subscripts(embedding, 1) AS i
+        |  FROM embeddings
+        |), norms AS (SELECT vec_id, sqrt(SUM(x*x)) AS nrm FROM flat GROUP BY vec_id),
+        |dots AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, SUM(a.x*b.x) AS dot
+        |  FROM flat a JOIN flat b ON a.i = b.i AND a.vec_id < b.vec_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT id_a, id_b FROM dots d
+        |JOIN norms na ON na.vec_id = d.id_a JOIN norms nb ON nb.vec_id = d.id_b
+        |WHERE d.dot / (na.nrm * nb.nrm) > 0.4
+        |ORDER BY id_a, id_b""".stripMargin,
+    "ann_bruteforce_topk" ->
+      """WITH flat AS (
+        |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+        |    generate_subscripts(embedding, 1) AS i
+        |  FROM embeddings
+        |), norms AS (SELECT vec_id, sqrt(SUM(x*x)) AS nrm FROM flat GROUP BY vec_id),
+        |dots AS (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS cand_id, SUM(a.x*b.x) AS dot
+        |  FROM flat a JOIN flat b ON a.i = b.i
+        |  WHERE a.vec_id < 10 AND b.vec_id <> a.vec_id
+        |  GROUP BY 1, 2
+        |), scored AS (
+        |  SELECT d.query_id, d.cand_id, d.dot / (na.nrm * nb.nrm) AS cosine
+        |  FROM dots d
+        |  JOIN norms na ON na.vec_id = d.query_id
+        |  JOIN norms nb ON nb.vec_id = d.cand_id
+        |)
+        |SELECT query_id, cand_id, CAST(rnk AS BIGINT) AS rnk FROM (
+        |  SELECT query_id, cand_id,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rnk
+        |  FROM scored) t
+        |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+    "ann_ivf_topk" ->
+      """WITH flat AS (
+        |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+        |    generate_subscripts(embedding, 1) AS i
+        |  FROM embeddings
+        |), norms AS (SELECT vec_id, sqrt(SUM(x*x)) AS nrm FROM flat GROUP BY vec_id),
+        |cdots AS (
+        |  SELECT a.vec_id, c.vec_id AS centroid_id, SUM(a.x*c.x) AS dot
+        |  FROM flat a JOIN flat c ON a.i = c.i AND c.vec_id % 50 = 0
+        |  GROUP BY 1, 2
+        |), csim AS (
+        |  SELECT d.vec_id, d.centroid_id, d.dot / (na.nrm * nc.nrm) AS sim
+        |  FROM cdots d
+        |  JOIN norms na ON na.vec_id = d.vec_id
+        |  JOIN norms nc ON nc.vec_id = d.centroid_id
+        |), assigned AS (
+        |  SELECT vec_id AS cand_id, centroid_id FROM (
+        |    SELECT vec_id, centroid_id,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id) AS rn
+        |    FROM csim) t WHERE rn = 1
+        |), probes AS (
+        |  SELECT vec_id AS query_id, centroid_id FROM (
+        |    SELECT vec_id, centroid_id,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id) AS rn
+        |    FROM csim WHERE vec_id < 10) t WHERE rn <= 3
+        |), cands AS (
+        |  SELECT p.query_id, a.cand_id FROM probes p
+        |  JOIN assigned a ON a.centroid_id = p.centroid_id
+        |  WHERE a.cand_id <> p.query_id
+        |), dots AS (
+        |  SELECT c.query_id, c.cand_id, SUM(qa.x*qb.x) AS dot
+        |  FROM cands c
+        |  JOIN flat qa ON qa.vec_id = c.query_id
+        |  JOIN flat qb ON qb.vec_id = c.cand_id AND qb.i = qa.i
+        |  GROUP BY 1, 2
+        |), scored AS (
+        |  SELECT d.query_id, d.cand_id, d.dot / (na.nrm * nb.nrm) AS cosine
+        |  FROM dots d
+        |  JOIN norms na ON na.vec_id = d.query_id
+        |  JOIN norms nb ON nb.vec_id = d.cand_id
+        |)
+        |SELECT query_id, cand_id, CAST(rnk AS BIGINT) AS rnk FROM (
+        |  SELECT query_id, cand_id,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rnk
+        |  FROM scored) t
+        |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+    "mm_binary_meta" ->
+      """SELECT doc_id AS id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        |  CAST(octet_length(encode(text)) % 640 + 1 AS INTEGER) AS width,
+        |  CAST(octet_length(encode(text)) % 480 + 1 AS INTEGER) AS height,
+        |  3 AS channels
+        |FROM documents ORDER BY id""".stripMargin,
+    "mm_frame_sample" ->
+      """SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
+        |  CAST(i * 64 AS INTEGER) AS frame_offset,
+        |  md5(substr(text, CAST(i * 64 + 1 AS INTEGER), 64)) AS frame_md5
+        |FROM (SELECT doc_id, text,
+        |  unnest(generate_series(0, CAST(LEAST(GREATEST(ceil(length(text) / 64.0), 1), 4) AS INTEGER) - 1)) AS i
+        |  FROM documents) t
+        |ORDER BY doc_id, frame_idx""".stripMargin,
+    "stream_window_agg" ->
+      """SELECT CAST(floor(epoch(ts)/3600) AS BIGINT) AS bucket_hour, event_type,
+        |  COUNT(*) AS n_events, CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY bucket_hour, event_type""".stripMargin,
+    "stream_cdc_apply" -> Queries.sqlCdc("cdc_merge"))
+}

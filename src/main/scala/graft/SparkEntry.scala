@@ -1,13 +1,68 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the capability each
+  * query key covers and §6 for the oracle discipline.
+  */
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Queries.qRevenueByNation(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.2 relational / OLAP
+    "q1_pricing_summary" -> (Queries.q1PricingSummary _),
+    "q_revenue_by_nation" -> (Queries.qRevenueByNation _),
+    "q_semi_anti" -> (Queries.qSemiAnti _),
+    "q_window_topk" -> (Queries.qWindowTopK _),
+    "q_running_total" -> (Queries.qRunningTotal _),
+    "q_rollup_sales" -> (Queries.qRollupSales _),
+    "q_distinct_counts" -> (Queries.qDistinctCounts _),
+    "q_top_orders" -> (Queries.qTopOrders _),
+    "q_pivot_status" -> (Queries.qPivotStatus _),
+    "q_json_extract" -> (Queries.qJsonExtract _),
+    "q_sessionize" -> (Queries.qSessionize _),
+    "q_event_buckets" -> (Queries.qEventBuckets _),
+    "q_asof_join" -> (Queries.qAsofJoin _),
+    "q_sample_hash" -> (Queries.qSampleHash _),
+    "q_skew_agg" -> (Queries.qSkewAgg _),
+    "q_set_ops" -> (Queries.qSetOps _),
+    // §2.1 CDC core
+    "cdc_prepare" -> (Queries.cdcPrepare _),
+    "cdc_delta_extract" -> (Queries.cdcDeltaExtract _),
+    "cdc_latest_per_key" -> (Queries.cdcLatestPerKey _),
+    "cdc_merge" -> (Queries.cdcMerge _),
+    "cdc_watermark" -> (Queries.cdcWatermark _),
+    "cdc_topo_order" -> (Queries.cdcTopoOrder _),
+    "fk_orphan_check" -> (Queries.fkOrphanCheck _),
+    "stats_rowcounts" -> (Queries.statsRowcounts _),
+    "cdc_scd2" -> (Queries.cdcScd2 _),
+    // §2.5 text analysis
+    "text_tokens" -> (QueriesData.textTokens _),
+    "text_quality" -> (QueriesData.textQuality _),
+    "text_langid" -> (QueriesData.textLangid _),
+    "text_fingerprint" -> (QueriesData.textFingerprint _),
+    // §2.3 dedup
+    "dedup_exact" -> (QueriesData.dedupExact _),
+    "dedup_minhash_lsh" -> (QueriesData.dedupMinhashLsh _),
+    "dedup_simhash" -> (QueriesData.dedupSimhash _),
+    "dedup_ngram_jaccard" -> (QueriesData.dedupNgramJaccard _),
+    "dedup_embed_cosine" -> (QueriesData.dedupEmbedCosine _),
+    // §2.4 similarity
+    "ann_bruteforce_topk" -> (QueriesData.annBruteforceTopk _),
+    "ann_ivf_topk" -> (QueriesData.annIvfTopk _),
+    // §2.6 multimodal
+    "mm_binary_meta" -> (QueriesData.mmBinaryMeta _),
+    "mm_frame_sample" -> (QueriesData.mmFrameSample _),
+    // §2.7 streaming
+    "stream_window_agg" -> (QueriesData.streamWindowAgg _),
+    "stream_cdc_apply" -> (QueriesData.streamCdcApply _))
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] =
+    Queries.sqlRelational ++ Queries.sqlCdc ++ QueriesData.sql
 }

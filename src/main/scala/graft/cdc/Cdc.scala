@@ -1,0 +1,107 @@
+package graft.cdc
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Core CDC operators, re-expressed Spark-first.
+  *
+  * The reference pipeline (scripts/03_cdc_etl.py) implements timestamp-based
+  * CDC with an Oracle MERGE; here the same semantics are declarative
+  * DataFrame plans so Catalyst can push the watermark predicate into the
+  * scan, prune columns, and let AQE pick broadcast vs shuffle for the merge
+  * join (the delta side is typically tiny relative to the target).
+  */
+object Cdc {
+  val CreatedAt = "created_at"
+  val UpdatedAt = "updated_at"
+  val IsDeleted = "is_deleted"
+
+  /** Add any missing CDC tracking columns, mirroring the one-time prep of
+    * reference scripts/01_prepare_cdc_columns:20-38 + config/settings.py:22-27
+    * (CREATED_AT default now, UPDATED_AT null, IS_DELETED default 'N').
+    * Pure projection — no shuffle, stays inside whole-stage codegen.
+    */
+  def withCdcColumns(df: DataFrame, now: Column = current_timestamp()): DataFrame = {
+    val have = df.columns.map(_.toLowerCase).toSet
+    var out = df
+    if (!have(CreatedAt)) out = out.withColumn(CreatedAt, now)
+    if (!have(UpdatedAt)) out = out.withColumn(UpdatedAt, lit(null).cast("timestamp"))
+    if (!have(IsDeleted)) out = out.withColumn(IsDeleted, lit("N"))
+    out
+  }
+
+  /** Change timestamp of a row: GREATEST(COALESCE(UPDATED_AT, CREATED_AT),
+    * CREATED_AT) — reference scripts/03_cdc_etl.py:284-287. Codegen'd
+    * builtins only.
+    */
+  def changeTs(createdAt: Column, updatedAt: Column): Column =
+    greatest(coalesce(updatedAt, createdAt), createdAt)
+
+  /** Rows changed strictly after the watermark; None = initial full load
+    * (reference scripts/03_cdc_etl.py:291-294). The comparison is a plain
+    * predicate so it reaches the parquet scan (partition pruning on a
+    * date-partitioned change log at scale).
+    */
+  def deltaSince(df: DataFrame, changeTsCol: Column, watermark: Option[Column]): DataFrame =
+    watermark match {
+      case Some(w) => df.filter(changeTsCol > w)
+      case None    => df
+    }
+
+  /** Collapse a change stream to the latest change per key. The reference
+    * avoids this by truncating staging per run; at scale a delta batch can
+    * contain several versions of a key, so dedup before the merge join.
+    * One shuffle on the key; tiebreak columns make the pick deterministic.
+    */
+  def latestPerKey(df: DataFrame, keys: Seq[String], orderCols: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(orderCols.map(_.desc): _*)
+    df.withColumn("__graft_rn", row_number().over(w))
+      .filter(col("__graft_rn") === 1)
+      .drop("__graft_rn")
+  }
+
+  /** Key-based merge with soft delete — the Spark-native equivalent of the
+    * reference's Oracle MERGE (scripts/03_cdc_etl.py:129-172):
+    *   - matched keys take ALL staged column values (including is_deleted,
+    *     so a soft delete flips the flag in place);
+    *   - unmatched staged rows are inserted only when is_deleted = 'N'
+    *     (the MERGE's `WHERE s.IS_DELETED = 'N'` insert guard);
+    *   - unmatched target rows pass through untouched.
+    *
+    * Implementation: one full-outer shuffle join on the PK. With AQE on,
+    * a small delta side is converted to a broadcast at runtime, so steady
+    * state incremental merges don't reshuffle the big target.
+    * `staged` and `target` must share the same schema (column order
+    * irrelevant) and must already be unique per key (use latestPerKey).
+    */
+  def mergeSoftDelete(target: DataFrame, staged: DataFrame, pk: Seq[String]): DataFrame = {
+    val cols = target.columns.toSeq
+    require(staged.columns.toSet == cols.toSet,
+      s"merge schema mismatch: target=${cols.mkString(",")} staged=${staged.columns.mkString(",")}")
+    val s = cols.foldLeft(staged.select(cols.map(col): _*)) {
+      (d, c) => d.withColumnRenamed(c, s"__s_$c")
+    }.withColumn("__s_present", lit(1))
+    val t = target.withColumn("__t_present", lit(1))
+    val cond = pk.map(k => t(k) <=> s(s"__s_$k")).reduce(_ && _)
+    val merged = t.join(s, cond, "full_outer")
+    val fromStage = col("__s_present").isNotNull
+    val out = cols.map(c => when(fromStage, col(s"__s_$c")).otherwise(col(c)).as(c))
+    merged
+      .filter(col("__t_present").isNotNull || col(s"__s_$IsDeleted") === "N")
+      .select(out: _*)
+  }
+
+  /** SCD Type-2 history from a change stream: one validity interval per
+    * change, closed by the next change of the same key (lead over a single
+    * key-partitioned window; one shuffle).
+    */
+  def scd2(changes: DataFrame, keys: Seq[String], orderCols: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(orderCols: _*)
+    changes
+      .withColumn("version", row_number().over(w))
+      .withColumn("valid_to_version", lead(col("version"), 1).over(w))
+      .withColumn("is_current", col("valid_to_version").isNull)
+      .drop("valid_to_version")
+  }
+}

@@ -1,0 +1,55 @@
+package graft.cdc
+
+import org.apache.spark.sql.types._
+
+/** Schema cloning: StructType → portable DDL, plus schema diffing.
+  *
+  * The reference extracts Oracle DDL with DBMS_METADATA and regex-strips
+  * storage clauses before replaying it on the target
+  * (scripts/02_clone_schema_structure.py:21-40). Spark-first, the schema IS
+  * the StructType of the source scan, and "adapting storage" means emitting
+  * clean ANSI DDL with no physical clauses at all.
+  */
+object SchemaClone {
+  /** ANSI-ish column type for a Spark DataType. */
+  def sqlType(dt: DataType): String = dt match {
+    case ByteType | ShortType | IntegerType => "INTEGER"
+    case LongType                           => "BIGINT"
+    case FloatType                          => "REAL"
+    case DoubleType                         => "DOUBLE"
+    case d: DecimalType                     => s"DECIMAL(${d.precision},${d.scale})"
+    case StringType                         => "VARCHAR"
+    case BinaryType                         => "BLOB"
+    case BooleanType                        => "BOOLEAN"
+    case DateType                           => "DATE"
+    case TimestampType | TimestampNTZType   => "TIMESTAMP"
+    case ArrayType(e, _)                    => s"${sqlType(e)}[]"
+    case s: StructType =>
+      s.fields.map(f => s"${f.name} ${sqlType(f.dataType)}").mkString("STRUCT(", ", ", ")")
+    case MapType(k, v, _)                   => s"MAP(${sqlType(k)}, ${sqlType(v)})"
+    case other                              => other.sql
+  }
+
+  /** CREATE TABLE statement for a schema; `ifNotExists` mirrors the
+    * reference's skip-existing behavior (:72-75).
+    */
+  def createTableDdl(table: String, schema: StructType, pk: Seq[String] = Nil,
+                     ifNotExists: Boolean = true): String = {
+    val ine = if (ifNotExists) "IF NOT EXISTS " else ""
+    val cols = schema.fields.map { f =>
+      val nn = if (f.nullable) "" else " NOT NULL"
+      s"  ${f.name} ${sqlType(f.dataType)}$nn"
+    }
+    val pkc = if (pk.nonEmpty) Seq(s"  PRIMARY KEY (${pk.mkString(", ")})") else Nil
+    s"CREATE TABLE $ine$table (\n${(cols ++ pkc).mkString(",\n")}\n)"
+  }
+
+  /** Columns present in source but missing in target → ALTER statements
+    * (schema evolution; the incremental analogue of cloning).
+    */
+  def migrationDdl(table: String, source: StructType, target: StructType): Seq[String] = {
+    val have = target.fieldNames.map(_.toLowerCase).toSet
+    source.fields.filterNot(f => have(f.name.toLowerCase)).toSeq
+      .map(f => s"ALTER TABLE $table ADD COLUMN ${f.name} ${sqlType(f.dataType)}")
+  }
+}

@@ -1,0 +1,89 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis Column kit for large-scale corpus processing. Everything is
+  * built from codegen'd builtins (no UDFs) so it stays inside whole-stage
+  * codegen on a 100 TB documents scan. Hashing that must be reproducible by
+  * an external engine uses md5; Spark-internal fast paths use xxhash64.
+  */
+object TextFunctions {
+  /** Whitespace tokens (simple split; the corpus is single-space normalized). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count heuristic: word-piece regex split — letters runs,
+    * digit runs, single punctuation. Approximates tokenizer cost without a
+    * vocab (counts are what a data pipeline budgets by).
+    */
+  def subwordCount(text: Column): Column =
+    size(filter(split(text, "(?<=[^A-Za-z0-9])|(?=[^A-Za-z0-9])"), t => trim(t) =!= lit("")))
+
+  /** Number of tokens belonging to a fixed stopword list. */
+  def stopwordHits(text: Column, stopwords: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isin(stopwords.map(lit): _*)))
+
+  /** Mean token length in characters (exact rational arithmetic until one
+    * final double division — deterministic across engines).
+    */
+  def avgTokenLen(text: Column): Column = {
+    val t = tokenCount(text)
+    (length(text) - (t - lit(1))).cast("double") / t
+  }
+
+  /** Heuristic quality score in [0,1]: rewards mid-length docs and prose-like
+    * stopword density. All integer/exact math until the final divisions.
+    */
+  def qualityScore(text: Column, stopwords: Seq[String]): Column = {
+    val nTok = tokenCount(text).cast("double")
+    val stopRatio = stopwordHits(text, stopwords).cast("double") / nTok
+    val lenScore = least(nTok / lit(64.0), lit(1.0))
+    (lenScore + least(stopRatio * lit(4.0), lit(1.0))) / lit(2.0)
+  }
+
+  /** Canonical content fingerprint: md5 of lower-cased, whitespace-collapsed
+    * text. Reproducible bit-for-bit by any engine with md5.
+    */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** Fast 64-bit content fingerprint for Spark-internal dedup joins. */
+  def fingerprint64(text: Column): Column =
+    xxhash64(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** Character n-gram shingles of the text (positions 1..len-n+1). */
+  def charShingles(text: Column, n: Int): Column =
+    filter(
+      transform(sequence(lit(1), greatest(length(text) - lit(n - 1), lit(1))),
+        i => text.substr(i, lit(n))),
+      g => length(g) === lit(n))
+
+  /** Word n-gram shingles. */
+  def wordShingles(text: Column, n: Int): Column = {
+    val ts = tokens(text)
+    filter(
+      transform(sequence(lit(0), greatest(size(ts) - lit(n), lit(0))),
+        i => concat_ws(" ", slice(ts, i + lit(1), lit(n)))),
+      g => size(split(g, " ")) === lit(n))
+  }
+
+  /** Deterministic language-ID: stopword-hit counts per language, argmax with
+    * lexicographic tiebreak. `profiles` maps language code → stopword list.
+    * (An n-gram-frequency upgrade slots in the same shape.)
+    */
+  def langId(text: Column, profiles: Seq[(String, Seq[String])]): Column = {
+    val scored = profiles.map { case (lang, words) =>
+      struct(stopwordHits(text, words).as("hits"), lit(lang).as("lang"))
+    }
+    // max over (hits asc, lang desc) → pick highest hits, then smallest lang code
+    val best = scored.reduce((a, b) =>
+      when(a.getField("hits") > b.getField("hits"), a)
+        .when(a.getField("hits") < b.getField("hits"), b)
+        .when(a.getField("lang") < b.getField("lang"), a)
+        .otherwise(b))
+    best.getField("lang")
+  }
+}

@@ -1,0 +1,65 @@
+package graft.streaming
+
+import graft.cdc.Cdc
+import java.nio.file.Files
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming operators. For the local harness a finite parquet
+  * table is replayed through the file stream source and drained with
+  * `processAllAvailable()` — the plans are exactly what a production
+  * readStream over an arriving directory/Kafka topic would run.
+  */
+object Streams {
+  private def stageToTemp(df: DataFrame, name: String): String = {
+    val dir = Files.createTempDirectory(s"graft_$name").toString
+    df.write.mode("overwrite").parquet(s"$dir/in")
+    s"$dir/in"
+  }
+
+  /** X1: tumbling-window aggregation over an event stream. Watermark bounds
+    * state at scale; the memory sink in complete mode drains a finite
+    * replay deterministically. Output: hour bucket (epoch hours), type,
+    * count, decimal-exact value sum.
+    */
+  def tumblingWindowAgg(spark: SparkSession, events: DataFrame, tsCol: String,
+                        typeCol: String, valueCol: String, queryName: String): DataFrame = {
+    val path = stageToTemp(events, "winagg")
+    val stream = spark.readStream.schema(events.schema).parquet(path)
+    val agg = stream
+      .withWatermark(tsCol, "1 hour")
+      .groupBy(window(col(tsCol), "1 hour").as("win"), col(typeCol))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col(valueCol).cast("decimal(18,2)")).as("sum_value_dec"))
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName(queryName).start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    spark.table(queryName)
+      .select(
+        (unix_timestamp(col("win.start")) / 3600L).cast("long").as("bucket_hour"),
+        col(typeCol),
+        col("n_events"),
+        col("sum_value_dec").cast("double").as("sum_value"))
+  }
+
+  /** X2: streaming CDC apply — the reference's incremental merge loop
+    * (scripts/03_cdc_etl.py:259-346) as readStream → foreachBatch →
+    * mergeSoftDelete. Each micro-batch is deduped to latest-per-key and
+    * merged into the running replica; localCheckpoint breaks lineage so
+    * state doesn't grow across batches.
+    */
+  def cdcApply(spark: SparkSession, initialTarget: DataFrame, delta: DataFrame,
+               pk: Seq[String], orderCols: Seq[Column]): DataFrame = {
+    val path = stageToTemp(delta, "cdcapply")
+    var state = initialTarget.localCheckpoint(true)
+    val stream = spark.readStream.schema(delta.schema).parquet(path)
+    val q = stream.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val deduped = Cdc.latestPerKey(batch, pk, orderCols)
+        state = Cdc.mergeSoftDelete(state, deduped, pk).localCheckpoint(true)
+        ()
+      }.start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    state
+  }
+}

@@ -1,0 +1,84 @@
+package graft.cdc
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class CdcSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("withCdcColumns adds only missing tracking columns") {
+    val df = Seq((1, "x")).toDF("id", "v")
+    val out = Cdc.withCdcColumns(df, now = lit("2024-01-01 00:00:00").cast("timestamp"))
+    assert(out.columns.toSeq == Seq("id", "v", "created_at", "updated_at", "is_deleted"))
+    val again = Cdc.withCdcColumns(out)
+    assert(again.columns.length == out.columns.length)
+    val r = out.head()
+    assert(r.getAs[String]("is_deleted") == "N")
+    assert(r.isNullAt(r.fieldIndex("updated_at")))
+  }
+
+  test("changeTs = greatest(coalesce(updated, created), created)") {
+    val df = Seq(
+      ("a", "2024-01-01 00:00:00", Some("2024-02-01 00:00:00")),
+      ("b", "2024-01-05 00:00:00", None),
+      ("c", "2024-03-01 00:00:00", Some("2024-01-01 00:00:00"))) // updated < created
+      .toDF("k", "c", "u")
+      .select(col("k"), col("c").cast("timestamp").as("c"), col("u").cast("timestamp").as("u"))
+    val got = df.select(col("k"), Cdc.changeTs(col("c"), col("u")).cast("string").as("ts"))
+      .as[(String, String)].collect().toMap
+    assert(got("a") == "2024-02-01 00:00:00")
+    assert(got("b") == "2024-01-05 00:00:00")
+    assert(got("c") == "2024-03-01 00:00:00")
+  }
+
+  test("deltaSince: None = full load, Some = strictly-after filter") {
+    val df = Seq(1, 2, 3, 4).toDF("ts_i")
+    assert(Cdc.deltaSince(df, col("ts_i"), None).count() == 4)
+    assert(Cdc.deltaSince(df, col("ts_i"), Some(lit(2))).count() == 2)
+  }
+
+  test("latestPerKey keeps one latest row per key") {
+    val df = Seq((1, 10, "old"), (1, 20, "new"), (2, 5, "only")).toDF("k", "seq", "v")
+    val got = Cdc.latestPerKey(df, Seq("k"), Seq(col("seq")))
+      .select("k", "v").as[(Int, String)].collect().toMap
+    assert(got == Map(1 -> "new", 2 -> "only"))
+  }
+
+  test("mergeSoftDelete: update matched, insert unless deleted, keep unmatched") {
+    val target = Seq((1, "a", "N"), (2, "b", "N")).toDF("id", "v", "is_deleted")
+    val staged = Seq(
+      (2, "b2", "N"),  // update
+      (3, "c", "N"),   // insert
+      (4, "d", "Y"),   // deleted-before-seen: NOT inserted
+      (1, "a", "Y"))   // soft delete of existing row: kept, flagged
+      .toDF("id", "v", "is_deleted")
+    val got = Cdc.mergeSoftDelete(target, staged, Seq("id"))
+      .orderBy("id").as[(Int, String, String)].collect().toSeq
+    assert(got == Seq((1, "a", "Y"), (2, "b2", "N"), (3, "c", "N")))
+  }
+
+  test("scd2 assigns versions and flags current") {
+    val df = Seq((1, 10), (1, 20), (1, 30), (2, 5)).toDF("k", "seq")
+    val got = Cdc.scd2(df, Seq("k"), Seq(col("seq")))
+      .select("k", "seq", "version", "is_current")
+      .as[(Int, Int, Int, Boolean)].collect().toSet
+    assert(got == Set((1, 10, 1, false), (1, 20, 2, false), (1, 30, 3, true), (2, 5, 1, true)))
+  }
+
+  test("watermarks advance monotonically") {
+    val cur = Seq(("t1", "2024-01-10"), ("t2", "2024-05-01")).toDF("entity", "d")
+      .select(col("entity"), col("d").cast("timestamp").as("last_ts"))
+    val delta = Seq(("t1", "2024-02-01"), ("t2", "2024-01-01"), ("t3", "2024-03-01"))
+      .toDF("entity", "d")
+      .select(col("entity"), col("d").cast("timestamp").as("ts"))
+    val computed = Watermarks.compute(delta, col("entity"), col("ts"))
+    val got = Watermarks.advance(cur, computed)
+      .select(col("entity"), col("last_ts").cast("string"))
+      .as[(String, String)].collect().toMap
+    assert(got("t1").startsWith("2024-02-01")) // advanced
+    assert(got("t2").startsWith("2024-05-01")) // NOT moved backwards
+    assert(got("t3").startsWith("2024-03-01")) // new entity
+  }
+}

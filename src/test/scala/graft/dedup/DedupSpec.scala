@@ -1,0 +1,56 @@
+package graft.dedup
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"),   // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy cat"),   // near dup
+    (4L, "completely different text with other words entirely"))
+    .toDF("doc_id", "text")
+
+  test("exact dedup groups and keeps min id") {
+    val g = Dedup.exactGroups(docs, col("doc_id"), col("text"))
+    assert(g.count() == 3)
+    val dup = g.filter(col("n_dups") === 2).head()
+    assert(dup.getAs[Long]("keeper_id") == 1L)
+    assert(Dedup.exactKeep(docs, col("doc_id"), col("text")).count() == 3)
+  }
+
+  test("minhash: identical docs have identical signatures; near-dups collide") {
+    val sigs = docs.select(col("doc_id"),
+      Dedup.minhashSignature(col("text"), 3, 12).as("sig"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(sigs(1L) != sigs(4L))
+    val cands = Dedup.lshCandidates(docs, col("doc_id"), col("text"), 3, 12, 4)
+      .as[(Long, Long)].collect().toSet
+    assert(cands.contains((1L, 2L)))     // exact dup always a candidate
+    assert(!cands.contains((1L, 4L)))    // unrelated docs don't collide
+  }
+
+  test("jaccard on shingle arrays") {
+    val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
+    val j = df.select(Dedup.jaccard(col("x"), col("y"))).as[Double].head()
+    assert(math.abs(j - 2.0 / 4.0) < 1e-12)
+  }
+
+  test("simhash: identical text same hash, near-dups close in hamming") {
+    val h = docs.select(col("doc_id"), Dedup.simhash(col("text"), 16).as("h"))
+      .as[(Long, Long)].collect().toMap
+    assert(h(1L) == h(2L))
+    assert(h.values.forall(v => v >= 0 && v < (1L << 16)))
+    val ham = docs.as("a").crossJoin(docs.as("b"))
+      .filter(col("a.doc_id") === 1 && col("b.doc_id").isin(3, 4))
+      .select(col("b.doc_id"),
+        Dedup.hamming(Dedup.simhash(col("a.text"), 16), Dedup.simhash(col("b.text"), 16), 16))
+      .as[(Long, Long)].collect().toMap
+    assert(ham(3L) <= ham(4L)) // near-dup at most as far as unrelated doc
+  }
+}

@@ -1,0 +1,35 @@
+package graft.sources
+
+import graft.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Real JDBC round-trip against embedded Derby (in /opt/spark/jars) — the
+  * closest in-container stand-in for the reference's Oracle source/sink.
+  */
+class JdbcSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  val conn = Jdbc.Conn(
+    url = s"jdbc:derby:memory:graftdb;create=true",
+    driver = "org.apache.derby.jdbc.EmbeddedDriver")
+
+  test("write then read round-trips rows (batched sink, fetchsize source)") {
+    val df = Seq((1L, "a", 10.5), (2L, "b", 20.25), (3L, "c", 30.0))
+      .toDF("id", "name", "amount")
+    Jdbc.write(df, conn, "t_roundtrip", batchSize = 2)
+    val back = Jdbc.read(spark, conn, "t_roundtrip", fetchSize = 2)
+    assert(back.count() == 3)
+    assert(back.select("id", "name", "amount").as[(Long, String, Double)]
+      .collect().toSet == Set((1L, "a", 10.5), (2L, "b", 20.25), (3L, "c", 30.0)))
+  }
+
+  test("partitioned parallel read splits the key range") {
+    val df = (1 to 100).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+    Jdbc.write(df, conn, "t_part")
+    val back = Jdbc.readPartitioned(spark, conn, "t_part",
+      partitionColumn = "id", lowerBound = 1, upperBound = 101, numPartitions = 4)
+    assert(back.rdd.getNumPartitions == 4)
+    assert(back.count() == 100)
+  }
+}

@@ -1,0 +1,33 @@
+package graft.streaming
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class StreamsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("tumblingWindowAgg over a replayed stream equals the batch aggregate") {
+    val events = Seq(
+      ("2024-01-01 00:10:00", "a", 1.0), ("2024-01-01 00:50:00", "a", 2.0),
+      ("2024-01-01 01:10:00", "a", 4.0), ("2024-01-01 00:20:00", "b", 8.0))
+      .toDF("ts_s", "event_type", "value")
+      .select(col("ts_s").cast("timestamp").as("ts"), col("event_type"), col("value"))
+    val got = Streams.tumblingWindowAgg(spark, events, "ts", "event_type", "value",
+        queryName = s"spec_winagg_${System.nanoTime()}")
+      .orderBy("bucket_hour", "event_type")
+      .as[(Long, String, Long, Double)].collect().toSeq
+    val h0 = 473352L // hours from epoch to 2024-01-01 00:00 UTC (1704067200/3600)
+    assert(got == Seq((h0, "a", 2L, 3.0), (h0, "b", 1L, 8.0), (h0 + 1, "a", 1L, 4.0)))
+  }
+
+  test("cdcApply merges a streamed delta into the target") {
+    val target = Seq((1L, "v1", "N"), (2L, "v2", "N")).toDF("id", "v", "is_deleted")
+    val delta = Seq((2L, "v2b", "N"), (3L, "v3", "N"), (1L, "v1", "Y"))
+      .toDF("id", "v", "is_deleted")
+    val got = Streams.cdcApply(spark, target, delta, Seq("id"), Seq(col("id")))
+      .orderBy("id").as[(Long, String, String)].collect().toSeq
+    assert(got == Seq((1L, "v1", "Y"), (2L, "v2b", "N"), (3L, "v3", "N")))
+  }
+}

@@ -151,6 +151,30 @@ object QueriesData {
       .orderBy(col("bucket_hour"), col("event_type"))
   }
 
+  def streamSessionize(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events").select(col("user_id"), col("event_id"),
+      unix_timestamp(col("ts").cast("timestamp")).as("ts_sec"))
+    Streams.statefulSessionize(s, e, gapSec = 1800,
+        queryName = s"graft_sess_${System.nanoTime()}")
+      .select(col("user_id"), col("event_id"), col("session_seq").cast("long").as("session_seq"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  /** C9 schema clone: per-table column inventory + generated ANSI DDL type.
+    * No DuckDB oracle (type names differ per engine) → rows-only check;
+    * exactness is covered by SchemaCloneSpec.
+    */
+  def schemaClone(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.all.flatMap { name =>
+      val schema = t(s, dir, name).schema
+      schema.fields.zipWithIndex.map { case (f, i) =>
+        (name, f.name, i.toLong, graft.cdc.SchemaClone.sqlType(f.dataType))
+      }
+    }.toDF("table_name", "column_name", "ordinal", "ddl_type")
+      .orderBy(col("table_name"), col("ordinal"))
+  }
+
   def streamCdcApply(s: SparkSession, dir: String): DataFrame = {
     val target = t(s, dir, "orders")
       .filter(col("o_orderdate").cast("timestamp") < lit("2000-01-01 00:00:00").cast("timestamp"))
@@ -369,5 +393,19 @@ object QueriesData {
       """SELECT CAST(floor(epoch(ts)/3600) AS BIGINT) AS bucket_hour, event_type,
         |  COUNT(*) AS n_events, CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY bucket_hour, event_type""".stripMargin,
-    "stream_cdc_apply" -> Queries.sqlCdc("cdc_merge"))
+    "stream_cdc_apply" -> Queries.sqlCdc("cdc_merge"),
+    "stream_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec FROM events
+        |), marked AS (
+        |  SELECT user_id, event_id, ts_sec,
+        |    CASE WHEN ts_sec - lag(ts_sec) OVER w > 1800 OR lag(ts_sec) OVER w IS NULL
+        |      THEN 1 ELSE 0 END AS new_session
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id)
+        |)
+        |SELECT user_id, event_id,
+        |  CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+        |FROM marked
+        |ORDER BY user_id, event_id""".stripMargin)
 }

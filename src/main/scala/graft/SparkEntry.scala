@@ -58,7 +58,10 @@ object SparkEntry {
     "mm_frame_sample" -> (QueriesData.mmFrameSample _),
     // §2.7 streaming
     "stream_window_agg" -> (QueriesData.streamWindowAgg _),
-    "stream_cdc_apply" -> (QueriesData.streamCdcApply _))
+    "stream_cdc_apply" -> (QueriesData.streamCdcApply _),
+    "stream_sessionize" -> (QueriesData.streamSessionize _),
+    // §2.1 C9 (rows-only: no SQL-comparable type names)
+    "schema_clone" -> (QueriesData.schemaClone _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.

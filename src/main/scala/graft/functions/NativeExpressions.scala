@@ -1,0 +1,123 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions with whole-stage codegen (`doGenCode`) for
+  * the per-row hot loops that interpreted higher-order lambdas make slow:
+  * document fingerprinting and embedding dot products. Both keep an
+  * interpreted `nullSafeEval` with identical arithmetic, so eval and
+  * codegen paths agree bit-for-bit.
+  */
+object NativeExpressions {
+  /** Polynomial rolling hash over UTF-8 bytes: h = (h*31 + byte) mod p. */
+  def rolling_hash(c: Column): Column =
+    ColumnBridge.column(RollingHash(ColumnBridge.expression(c)))
+
+  /** Dot product of two equal-length float/double array columns, double
+    * accumulation in index order (bit-identical to
+    * aggregate(zip_with(a,b,(x,y)->x*y),0d,(s,v)->s+v) over double casts).
+    */
+  def vec_dot(a: Column, b: Column): Column =
+    ColumnBridge.column(VecDot(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}
+
+case class RollingHash(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes() = {
+    require(child.dataType == StringType, s"rolling_hash needs string, got ${child.dataType}")
+    super.checkInputDataTypes()
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    RollingHash.hashBytes(v.asInstanceOf[UTF8String].getBytes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val bytes = ctx.freshName("bytes")
+      val i = ctx.freshName("i")
+      s"""
+         |byte[] $bytes = $c.getBytes();
+         |long ${ev.value}_h = 0L;
+         |for (int $i = 0; $i < $bytes.length; $i++) {
+         |  ${ev.value}_h = (${ev.value}_h * 31L + ($bytes[$i] & 0xffL)) % ${RollingHash.Mod}L;
+         |}
+         |${ev.value} = ${ev.value}_h;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): RollingHash =
+    copy(child = newChild)
+}
+
+object RollingHash {
+  val Mod: Long = 1000000007L
+
+  def hashBytes(bytes: Array[Byte]): Long = {
+    var h = 0L
+    var i = 0
+    while (i < bytes.length) {
+      h = (h * 31L + (bytes(i) & 0xffL)) % Mod
+      i += 1
+    }
+    h
+  }
+}
+
+case class VecDot(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+
+  private def elemType(e: Expression): DataType =
+    e.dataType.asInstanceOf[ArrayType].elementType
+
+  override def checkInputDataTypes() = {
+    require(Seq(left, right).forall(e => e.dataType.isInstanceOf[ArrayType] &&
+      (elemType(e) == FloatType || elemType(e) == DoubleType)),
+      s"vec_dot needs array<float|double>, got ${left.dataType} / ${right.dataType}")
+    super.checkInputDataTypes()
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val ad = a.asInstanceOf[ArrayData]
+    val bd = b.asInstanceOf[ArrayData]
+    val lf = elemType(left) == FloatType
+    val rf = elemType(right) == FloatType
+    val n = math.min(ad.numElements(), bd.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (lf) ad.getFloat(i).toDouble else ad.getDouble(i)
+      val y = if (rf) bd.getFloat(i).toDouble else bd.getDouble(i)
+      acc += x * y
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val getL = if (elemType(left) == FloatType) "getFloat" else "getDouble"
+    val getR = if (elemType(right) == FloatType) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += ((double) $a.$getL($i)) * ((double) $b.$getR($i));
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): VecDot =
+    copy(left = newLeft, right = newRight)
+}

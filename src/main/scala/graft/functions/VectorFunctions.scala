@@ -15,9 +15,11 @@ object VectorFunctions {
   private def dsum(arr: Column): Column =
     aggregate(arr, lit(0.0), (acc, x) => acc + x)
 
-  /** Dot product of two float vectors (double accumulation). */
-  def dot(a: Column, b: Column): Column =
-    dsum(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")))
+  /** Dot product of two float vectors (double accumulation). Backed by the
+    * codegen'd native expression; arithmetic identical to the builtin form
+    * dsum(zip_with(a, b, (x, y) => x.cast(double) * y.cast(double))).
+    */
+  def dot(a: Column, b: Column): Column = NativeExpressions.vec_dot(a, b)
 
   /** L2 norm. */
   def norm(a: Column): Column =

@@ -22,11 +22,11 @@ object Ann {
     */
   private def withNorm(df: DataFrame, idCol: String, prefix: String): DataFrame =
     df.select(col(idCol),
-      transform(col("embedding"), x => x.cast("double")).as(s"${prefix}emb"),
+      col("embedding").as(s"${prefix}emb"),
       norm(col("embedding")).as(s"${prefix}nrm"))
 
   private def ddot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    graft.functions.NativeExpressions.vec_dot(a, b)
 
   /** Exact top-k neighbors by cosine for each query row.
     * @param queries (query_id, embedding) — small enough to broadcast.

@@ -4,6 +4,13 @@ import graft.cdc.Cdc
 import java.nio.file.Files
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Event row for stateful sessionization (X3). */
+case class SessionEvent(user_id: Long, event_id: Long, ts_sec: Long)
+
+/** Per-key session counter state carried across micro-batches. */
+case class SessionState(nextSeq: Long, lastTs: Long)
 
 /** Structured Streaming operators. For the local harness a finite parquet
   * table is replayed through the file stream source and drained with
@@ -61,5 +68,42 @@ object Streams {
       }.start()
     try { q.processAllAvailable() } finally { q.stop() }
     state
+  }
+
+  /** X3: stateful gap-based sessionization with flatMapGroupsWithState —
+    * the custom-state path for when windowed builtins can't express the
+    * semantics. State per user is just (next session seq, last event time);
+    * events inside a micro-batch are ordered by event_id before the gap
+    * scan, and the state carries the cursor across batches.
+    */
+  def statefulSessionize(spark: SparkSession, events: DataFrame,
+                         gapSec: Long, queryName: String): DataFrame = {
+    import spark.implicits._
+    val typed = events.select(col("user_id").cast("long"), col("event_id").cast("long"),
+      col("ts_sec").cast("long")).as[SessionEvent]
+    val path = stageToTemp(typed.toDF(), "sessionize")
+    val stream = spark.readStream.schema(typed.schema).parquet(path).as[SessionEvent]
+
+    val assign = (_: Long, rows: Iterator[SessionEvent],
+                  state: GroupState[SessionState]) => {
+      val sorted = rows.toSeq.sortBy(e => (e.ts_sec, e.event_id))
+      var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue))
+      val out = sorted.map { e =>
+        val newSession = st.lastTs == Long.MinValue || e.ts_sec - st.lastTs > gapSec
+        val seq = if (newSession) st.nextSeq + 1 else st.nextSeq
+        st = SessionState(seq, e.ts_sec)
+        (e.user_id, e.event_id, seq)
+      }
+      state.update(st)
+      out.iterator
+    }
+
+    val sessions = stream.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(assign)
+      .toDF("user_id", "event_id", "session_seq")
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName(queryName).start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    spark.table(queryName)
   }
 }

@@ -1,0 +1,16 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge to Spark's private[sql] Column ↔ Expression converters (the 4.x
+  * Column is a ColumnNode wrapper; custom Catalyst expressions need this to
+  * surface as user-facing Columns). Lives under org.apache.spark.sql to
+  * satisfy the private[sql] scope — same pattern Spark extension libraries
+  * use publicly.
+  */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

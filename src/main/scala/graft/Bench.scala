@@ -29,6 +29,9 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // JVM/codegen warmup on a tiny table so the first timed query doesn't
+    // absorb one-time session costs
+    graft.sources.Tables.load(spark, sfDir, "region").count()
     val names =
       if (sys.env.contains("SPARK_GRAFT_BENCH_ALL")) SparkEntry.queries.keys.toSeq.sorted
       else headline.filter(SparkEntry.queries.contains)

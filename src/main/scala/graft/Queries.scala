@@ -102,6 +102,14 @@ object Queries {
       .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
   }
 
+  def qCubeSales(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    li.cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(d12(col("l_quantity"))).cast("double").as("sum_qty"),
+        count(lit(1)).as("n"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+  }
+
   def qDistinctCounts(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem")
     li.agg(
@@ -179,7 +187,12 @@ object Queries {
 
   def qSampleHash(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem")
+    // The local fixture is one parquet row group → a 1-task scan, and md5
+    // costs ~10µs/row; spread the hash work across cores first. (At real
+    // scale the scan has thousands of splits and this repartition is
+    // unnecessary — but it's only a 2-column round-robin exchange.)
     li.select(col("l_orderkey"), col("l_linenumber"))
+      .repartition(s.sparkContext.defaultParallelism)
       .filter(substring(md5(concat_ws("-", col("l_orderkey"), col("l_linenumber"))), 1, 2) <= "28")
       .orderBy(col("l_orderkey"), col("l_linenumber"))
   }
@@ -367,6 +380,12 @@ object Queries {
         |FROM events WHERE user_id < 20
         |WINDOW cum AS (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |ORDER BY user_id, event_id""".stripMargin,
+    "q_cube_sales" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  CAST(SUM(${dec("l_quantity")}) AS DOUBLE) AS sum_qty, COUNT(*) AS n
+         |FROM lineitem
+         |GROUP BY CUBE(l_returnflag, l_linestatus)
+         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
     "q_rollup_sales" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  CAST(SUM(${dec("l_quantity")}) AS DOUBLE) AS sum_qty, COUNT(*) AS n

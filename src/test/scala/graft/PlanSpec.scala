@@ -1,0 +1,63 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape assertions: the properties that matter at 100 TB, checked on
+  * the actual optimized plans (not just "it returned rows").
+  */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val dir = "/root/testdata/sf0.001"
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString()
+
+  test("q1: column pruning + predicate pushdown reach the parquet scan") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val df = SparkEntry.queries("q1_pricing_summary")(spark, dir)
+    // sparkPlan (pre-AQE) exposes the scan node directly
+    val scan = df.queryExecution.sparkPlan.collect {
+      case f: FileSourceScanExec => f }.head
+    assert(scan.metadata("PushedFilters").contains("LessThanOrEqual(l_shipdate"),
+      "shipdate filter must be pushed to the scan")
+    val readCols = scan.output.map(_.name).toSet
+    assert(readCols == Set("l_quantity", "l_extendedprice", "l_discount", "l_tax",
+      "l_returnflag", "l_linestatus", "l_shipdate"),
+      s"scan must prune to needed columns, read: $readCols")
+  }
+
+  test("star join broadcasts every dimension side") {
+    val plan = planOf("q_revenue_by_nation")
+    assert(plan.contains("BroadcastHashJoin"), "dims must broadcast")
+    assert(!plan.contains("SortMergeJoin"),
+      "no shuffle join should survive for the dimension chain at this size")
+  }
+
+  test("semi/anti joins plan as join types, not subquery re-scans") {
+    val plan = planOf("q_semi_anti")
+    assert(plan.contains("LeftSemi") && plan.contains("LeftAnti"))
+  }
+
+  test("embedding similarity uses the codegen'd native dot product") {
+    val plan = planOf("ann_bruteforce_topk")
+    assert(plan.toLowerCase.contains("vecdot"), "native VecDot expression in plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      "query side must broadcast")
+  }
+
+  test("whole-stage codegen covers the aggregation pipeline") {
+    val df = SparkEntry.queries("q1_pricing_summary")(spark, dir)
+    df.collect() // materialize THIS plan so AQE finalizes it (count() would plan separately)
+    val plan = df.queryExecution.executedPlan.toString()
+    // '*(n)' node prefixes mark whole-stage-codegen'd spans in the final plan
+    assert(plan.contains("*("), s"expected codegen spans in final plan:\n$plan")
+  }
+
+  test("salted skew agg is a two-phase aggregate (partial then final)") {
+    val df = SparkEntry.queries("q_skew_agg")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("HashAggregate"))
+    // salt column must not leak into the output
+    assert(!df.columns.contains("__salt"))
+  }
+}

@@ -1,0 +1,27 @@
+package graft
+
+import graft.functions.{RollingHash, VecDot}
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Session extensions exposing graft's native expressions to SQL users:
+  *
+  *   SparkSession.builder().withExtensions(new GraftExtensions)  // code
+  *   --conf spark.sql.extensions=graft.GraftExtensions           // deploy
+  *
+  * after which `SELECT rolling_hash(text), vec_dot(a, b) ...` plans with
+  * full whole-stage codegen like any builtin.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      FunctionIdentifier("rolling_hash"),
+      new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),
+      (exprs: Seq[Expression]) => RollingHash(exprs.head)))
+    e.injectFunction((
+      FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
+      (exprs: Seq[Expression]) => VecDot(exprs(0), exprs(1))))
+  }
+}

@@ -1,0 +1,20 @@
+package graft
+
+import graft.functions.RollingHash
+import org.scalatest.funsuite.AnyFunSuite
+
+class GraftExtensionsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("rolling_hash is callable from SQL and matches the scala reference") {
+    val got = spark.sql("SELECT rolling_hash('hello world') AS h")
+      .head().getAs[Long]("h")
+    assert(got == RollingHash.hashBytes("hello world".getBytes("UTF-8")))
+  }
+
+  test("vec_dot is callable from SQL") {
+    val got = spark.sql("SELECT vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
+      .head().getAs[Double]("d")
+    assert(got == 11.0)
+  }
+}

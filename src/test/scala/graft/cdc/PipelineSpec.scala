@@ -1,0 +1,81 @@
+package graft.cdc
+
+import graft.SparkTestSession
+import java.nio.file.Files
+import java.sql.Timestamp
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Drives the full replication loop across two incremental runs — the
+  * scenario the reference pipeline exists for.
+  */
+class PipelineSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  // source state: customers (parent) + orders (child) with CDC columns
+  private def customers(rows: Seq[(Long, String, String, Option[String], String)]): DataFrame =
+    rows.toDF("id", "name", "c", "u", "is_deleted")
+      .select(col("id"), col("name"),
+        col("c").cast("timestamp").as("created_at"),
+        col("u").cast("timestamp").as("updated_at"),
+        col("is_deleted"))
+
+  val specs = Seq(
+    Pipeline.TableSpec("cust", Seq("id")),
+    Pipeline.TableSpec("ord", Seq("id")))
+  val edges = Seq("cust" -> "ord")
+
+  test("two incremental runs converge the replica and advance watermarks") {
+    val dir = Files.createTempDirectory("graft_pipe").toString
+    val target = new Pipeline.ParquetTarget(spark, dir)
+
+    // ── run 1: initial full load ──
+    val src1 = Map(
+      "cust" -> customers(Seq(
+        (1L, "alice", "2024-01-01 00:00:00", None, "N"),
+        (2L, "bob", "2024-01-02 00:00:00", None, "N"))),
+      "ord" -> customers(Seq(
+        (10L, "o-alice", "2024-01-03 00:00:00", None, "N"))))
+    val (rep1, wm1) = Pipeline.replicate(specs, edges, src1(_),
+      target.read, target.write, Map.empty)
+    assert(rep1.processed == 2 && rep1.failed == 0)
+    assert(target.read("cust").get.count() == 2)
+    assert(wm1("cust") == ts("2024-01-02 00:00:00"))
+    // parents load before children
+    assert(rep1.results.map(_.table) == Seq("cust", "ord"))
+
+    // ── run 2: update, insert, soft delete, and one unchanged table ──
+    val src2 = Map(
+      "cust" -> customers(Seq(
+        (1L, "alice", "2024-01-01 00:00:00", None, "N"),                       // unchanged (pre-watermark)
+        (2L, "bob2", "2024-01-02 00:00:00", Some("2024-02-01 00:00:00"), "N"), // update
+        (3L, "carol", "2024-02-02 00:00:00", None, "N"),                       // insert
+        (1L, "alice", "2024-01-01 00:00:00", Some("2024-02-03 00:00:00"), "Y"))), // soft delete (new version row)
+      "ord" -> src1("ord")) // no changes
+    val (rep2, wm2) = Pipeline.replicate(specs, edges, src2(_),
+      target.read, target.write, wm1)
+    assert(rep2.processed == 1 && rep2.noChanges == 1)
+    val cust = target.read("cust").get.orderBy("id")
+      .select("id", "name", "is_deleted").as[(Long, String, String)].collect().toSeq
+    assert(cust == Seq((1L, "alice", "Y"), (2L, "bob2", "N"), (3L, "carol", "N")))
+    assert(wm2("cust") == ts("2024-02-03 00:00:00"))
+    assert(wm2("ord") == wm1("ord")) // untouched watermark survives
+  }
+
+  test("a failing table is isolated; the run continues (reference :348-352)") {
+    val dir = Files.createTempDirectory("graft_pipe2").toString
+    val target = new Pipeline.ParquetTarget(spark, dir)
+    val src: String => DataFrame = {
+      case "cust" => customers(Seq((1L, "a", "2024-01-01 00:00:00", None, "N")))
+      case "ord"  => throw new RuntimeException("boom: source unavailable")
+    }
+    val (rep, wm) = Pipeline.replicate(specs, edges, src, target.read, target.write, Map.empty)
+    assert(rep.processed == 1 && rep.failed == 1)
+    assert(rep.results.find(_.table == "ord").get.error.get.contains("boom"))
+    assert(wm.contains("cust") && !wm.contains("ord"))
+  }
+}

@@ -224,6 +224,49 @@ object Queries {
       .orderBy(col("bucket"))
   }
 
+  /** Exact interpolated percentiles. Safe cross-engine because the inputs
+    * are small integers and the quantile fractions are dyadic, so the
+    * interpolation arithmetic is exact in both engines.
+    */
+  def qPercentiles(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    li.groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_quantity, 0.25)").as("p25_qty"),
+        expr("percentile(l_quantity, 0.5)").as("p50_qty"),
+        expr("percentile(l_quantity, 0.75)").as("p75_qty"),
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_quantity")).as("max_qty"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  def qStringFuncs(s: SparkSession, dir: String): DataFrame = {
+    val p = t(s, dir, "part")
+    p.select(
+        col("p_partkey"),
+        upper(col("p_name")).as("name_upper"),
+        lower(col("p_brand")).as("brand_lower"),
+        substring(col("p_type"), 1, 5).as("type_prefix"),
+        length(col("p_name")).cast("long").as("name_len"),
+        concat_ws("/", col("p_brand"), col("p_type")).as("brand_type"),
+        regexp_replace(col("p_name"), "a", "@").as("name_subst"),
+        lpad(col("p_partkey").cast("string"), 8, "0").as("key_padded"),
+        trim(col("p_name")).as("name_trim"))
+      .orderBy(col("p_partkey"))
+  }
+
+  def qDateFuncs(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val d = ts(col("o_orderdate"))
+    o.groupBy(year(d).cast("long").as("order_year"), month(d).cast("long").as("order_month"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        min(dayofmonth(d)).cast("long").as("min_day"),
+        max(dayofweek(d)).cast("long").as("max_dow"),
+        countDistinct(date_trunc("week", d)).as("n_weeks"))
+      .orderBy(col("order_year"), col("order_month"))
+  }
+
   // ───────────────────────── §2.1 CDC core ─────────────────────────
 
   def cdcPrepare(s: SparkSession, dir: String): DataFrame = {
@@ -451,6 +494,33 @@ object Queries {
       s"""SELECT l_suppkey, CAST(SUM(${dec("l_quantity")}) AS DOUBLE) AS sum_qty,
          |  COUNT(*) AS n
          |FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin,
+    "q_percentiles" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.25) AS p25_qty,
+        |  quantile_cont(l_quantity, 0.5) AS p50_qty,
+        |  quantile_cont(l_quantity, 0.75) AS p75_qty,
+        |  MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_string_funcs" ->
+      """SELECT p_partkey,
+        |  upper(p_name) AS name_upper,
+        |  lower(p_brand) AS brand_lower,
+        |  substr(p_type, 1, 5) AS type_prefix,
+        |  CAST(length(p_name) AS BIGINT) AS name_len,
+        |  p_brand || '/' || p_type AS brand_type,
+        |  regexp_replace(p_name, 'a', '@', 'g') AS name_subst,
+        |  lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS key_padded,
+        |  trim(p_name) AS name_trim
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q_date_funcs" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
+        |  CAST(month(o_orderdate) AS BIGINT) AS order_month,
+        |  COUNT(*) AS n_orders,
+        |  CAST(MIN(dayofmonth(o_orderdate)) AS BIGINT) AS min_day,
+        |  CAST(MAX(dayofweek(o_orderdate) + 1) AS BIGINT) AS max_dow,
+        |  CAST(COUNT(DISTINCT date_trunc('week', o_orderdate)) AS BIGINT) AS n_weeks
+        |FROM orders
+        |GROUP BY 1, 2 ORDER BY order_year, order_month""".stripMargin,
     "q_set_ops" ->
       """SELECT 'both' AS bucket, COUNT(*) AS n FROM
         |  (SELECT DISTINCT o_custkey FROM orders INTERSECT SELECT DISTINCT user_id FROM events) t

@@ -194,7 +194,7 @@ object QueriesData {
   private val toks = "str_split(text, ' ')"
   private val stopIn = stopwords.map(w => s"'$w'").mkString("(", ", ", ")")
   private val stopHits = s"len(list_filter($toks, t -> t IN $stopIn))"
-  private val canon = "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))"
+  private val canon = "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"
 
   /** DuckDB arithmetic for "integer value of the first 6 hex chars of s" —
     * mirrors Spark's conv(substr(s,1,6),16,10).

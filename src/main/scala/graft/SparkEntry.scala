@@ -30,6 +30,9 @@ object SparkEntry {
     "q_sample_hash" -> (Queries.qSampleHash _),
     "q_skew_agg" -> (Queries.qSkewAgg _),
     "q_set_ops" -> (Queries.qSetOps _),
+    "q_percentiles" -> (Queries.qPercentiles _),
+    "q_string_funcs" -> (Queries.qStringFuncs _),
+    "q_date_funcs" -> (Queries.qDateFuncs _),
     // §2.1 CDC core
     "cdc_prepare" -> (Queries.cdcPrepare _),
     "cdc_delta_extract" -> (Queries.cdcDeltaExtract _),

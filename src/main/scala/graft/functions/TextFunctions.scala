@@ -45,14 +45,17 @@ object TextFunctions {
   }
 
   /** Canonical content fingerprint: md5 of lower-cased, whitespace-collapsed
-    * text. Reproducible bit-for-bit by any engine with md5.
+    * text. Collapse runs BEFORE trim — trim only strips spaces, so leading/
+    * trailing tabs/newlines must become spaces first. Reproducible
+    * bit-for-bit by any engine with md5.
     */
-  def fingerprint(text: Column): Column =
-    md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+  def fingerprint(text: Column): Column = md5(canonicalize(text))
 
   /** Fast 64-bit content fingerprint for Spark-internal dedup joins. */
-  def fingerprint64(text: Column): Column =
-    xxhash64(regexp_replace(lower(trim(text)), "\\s+", " "))
+  def fingerprint64(text: Column): Column = xxhash64(canonicalize(text))
+
+  private def canonicalize(text: Column): Column =
+    trim(regexp_replace(lower(text), "\\s+", " "))
 
   /** Character n-gram shingles of the text (positions 1..len-n+1). */
   def charShingles(text: Column, n: Int): Column =

@@ -151,6 +151,17 @@ object QueriesData {
       .orderBy(col("bucket_hour"), col("event_type"))
   }
 
+  def streamDedupExact(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))
+    // which doc survives per fingerprint is arrival-order dependent in a
+    // stream → emit only the deterministic part (the deduped key set)
+    Streams.streamingDedup(s, d, "doc_id", "fp",
+        queryName = s"graft_sdedup_${System.nanoTime()}")
+      .select(col("fp"))
+      .orderBy(col("fp"))
+  }
+
   def streamSessionize(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "events").select(col("user_id"), col("event_id"),
       unix_timestamp(col("ts").cast("timestamp")).as("ts_sec"))
@@ -394,6 +405,8 @@ object QueriesData {
         |  COUNT(*) AS n_events, CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY bucket_hour, event_type""".stripMargin,
     "stream_cdc_apply" -> Queries.sqlCdc("cdc_merge"),
+    "stream_dedup_exact" ->
+      s"""SELECT DISTINCT $canon AS fp FROM documents ORDER BY fp""",
     "stream_sessionize" ->
       """WITH e AS (
         |  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec FROM events

@@ -64,6 +64,7 @@ object SparkEntry {
     "stream_window_agg" -> (QueriesData.streamWindowAgg _),
     "stream_cdc_apply" -> (QueriesData.streamCdcApply _),
     "stream_sessionize" -> (QueriesData.streamSessionize _),
+    "stream_dedup_exact" -> (QueriesData.streamDedupExact _),
     // §2.1 C9 (rows-only: no SQL-comparable type names)
     "schema_clone" -> (QueriesData.schemaClone _))
 

@@ -70,6 +70,22 @@ object Streams {
     state
   }
 
+  /** X4: streaming exact dedup — dropDuplicates on the canonical content
+    * fingerprint with a watermark bounding the dedup state. The streaming
+    * twin of Dedup.exactKeep: late duplicates beyond the watermark horizon
+    * age out of state instead of growing it forever.
+    */
+  def streamingDedup(spark: SparkSession, docs: DataFrame, idCol: String,
+                     fingerprintCol: String, queryName: String): DataFrame = {
+    val path = stageToTemp(docs, "sdedup")
+    val stream = spark.readStream.schema(docs.schema).parquet(path)
+    val deduped = stream.dropDuplicates(Seq(fingerprintCol))
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName(queryName).start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    spark.table(queryName)
+  }
+
   /** X3: stateful gap-based sessionization with flatMapGroupsWithState —
     * the custom-state path for when windowed builtins can't express the
     * semantics. State per user is just (next session seq, last event time);

@@ -185,6 +185,21 @@ object Queries {
       .orderBy(col("purchase_id"))
   }
 
+  /** R13 via the custom LogicalPlan/Strategy/Exec operator (plans/AsOfJoinPlan);
+    * same semantics and oracle as q_asof_join.
+    */
+  def qAsofJoinNative(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id"))
+    AsOfJoin.strictPriorNative(purchases, clicks, "user_id", "event_id",
+        "event_id", "last_click_id")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("last_click_id"))
+      .orderBy(col("purchase_id"))
+  }
+
   def qSampleHash(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem")
     // The local fixture is one parquet row group → a 1-task scan, and md5
@@ -481,6 +496,12 @@ object Queries {
         |  COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY bucket_hour, event_type""".stripMargin,
     "q_asof_join" ->
+      """SELECT p.event_id AS purchase_id, p.user_id,
+        |  (SELECT MAX(c.event_id) FROM events c
+        |    WHERE c.user_id = p.user_id AND c.event_type = 'click' AND c.event_id < p.event_id) AS last_click_id
+        |FROM events p WHERE p.event_type = 'purchase'
+        |ORDER BY purchase_id""".stripMargin,
+    "q_asof_join_native" ->
       """SELECT p.event_id AS purchase_id, p.user_id,
         |  (SELECT MAX(c.event_id) FROM events c
         |    WHERE c.user_id = p.user_id AND c.event_type = 'click' AND c.event_id < p.event_id) AS last_click_id

@@ -27,6 +27,7 @@ object SparkEntry {
     "q_sessionize" -> (Queries.qSessionize _),
     "q_event_buckets" -> (Queries.qEventBuckets _),
     "q_asof_join" -> (Queries.qAsofJoin _),
+    "q_asof_join_native" -> (Queries.qAsofJoinNative _),
     "q_sample_hash" -> (Queries.qSampleHash _),
     "q_skew_agg" -> (Queries.qSkewAgg _),
     "q_set_ops" -> (Queries.qSetOps _),

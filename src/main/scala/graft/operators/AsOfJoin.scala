@@ -16,6 +16,42 @@ import org.apache.spark.sql.functions._
   * the same cost as any co-partitioned join of the two streams.
   */
 object AsOfJoin {
+  /** The custom-operator form: plans through [[graft.plans.AsOfJoinPlan]] →
+    * AsOfJoinExec (one exchange + sort per side, then a forward merge scan
+    * per partition). Same semantics as [[strictPrior]] with a single carried
+    * column. Requires the session to carry GraftExtensions (for the planner
+    * strategy).
+    */
+  def strictPriorNative(left: DataFrame, right: DataFrame, partition: String,
+                        ordering: String, carrySrc: String, carryDst: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference}
+    import org.apache.spark.sql.catalyst.plans.logical.Project
+    val la = left.queryExecution.analyzed
+    // Both sides often scan the same table → identical exprIds on both
+    // children. DeduplicateRelations renumbers the right subtree but cannot
+    // know which of THIS node's expressions belong to the right side, so we
+    // re-alias the right output with fresh exprIds up front and reference
+    // only those.
+    val ra0 = right.queryExecution.analyzed
+    val aliases = ra0.output.map(a => Alias(a, a.name)())
+    val ra = Project(aliases, ra0)
+    val rAttr = aliases.map(al => al.name -> al.toAttribute).toMap
+    def lAttr(n: String) = la.output.find(_.name == n)
+      .getOrElse(sys.error(s"column $n not found in ${la.output.map(_.name)}"))
+    def rOf(n: String) = rAttr.getOrElse(n,
+      sys.error(s"column $n not found in ${rAttr.keys}"))
+    // self-register the planner strategy (public API) so the operator works
+    // in sessions built without GraftExtensions
+    val exp = left.sparkSession.experimental
+    if (!exp.extraStrategies.contains(graft.plans.AsOfJoinStrategy))
+      exp.extraStrategies = exp.extraStrategies :+ graft.plans.AsOfJoinStrategy
+    val out = AttributeReference(carryDst, rOf(carrySrc).dataType, nullable = true)()
+    val plan = graft.plans.AsOfJoinPlan(la, ra,
+      lAttr(partition), rOf(partition),
+      lAttr(ordering), rOf(ordering), rOf(carrySrc), out)
+    org.apache.spark.sql.graftbridge.ColumnBridge.ofRows(left.sparkSession, plan)
+  }
+
   /** @param left       probe side
     * @param right      reference side (values carried forward)
     * @param partition  equality key column name (both sides)

@@ -1,0 +1,47 @@
+package graft.sources
+
+import graft.SparkTestSession
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SourcesSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  val sample = Seq((1L, "a", 1.5), (2L, "b", 2.5), (3L, "c", 3.5))
+
+  test("parquet/orc/csv/json round-trip values and column names") {
+    val df = sample.toDF("id", "name", "amount")
+    Seq("parquet", "orc", "csv", "json").foreach { fmt =>
+      val dir = Files.createTempDirectory(s"graft_src_$fmt").toString + "/t"
+      Sink.write(df, dir, fmt)
+      val back = Sink.read(spark, dir, fmt)
+        .select(col("id").cast("long"), col("name"), col("amount").cast("double"))
+        .as[(Long, String, Double)].collect().toSet
+      assert(back == sample.toSet, s"round-trip failed for $fmt")
+    }
+  }
+
+  test("partitioned write prunes at read time (PartitionFilters, file subset)") {
+    val dir = Files.createTempDirectory("graft_part").toString + "/events"
+    val events = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "events")
+    Sink.writePartitioned(events, dir, Seq("event_type"))
+    val all = spark.read.parquet(dir)
+    val clicks = all.filter(col("event_type") === "click")
+    clicks.collect()
+    val plan = clicks.queryExecution.executedPlan.toString()
+    assert(plan.contains("PartitionFilters: [isnotnull(event_type"),
+      "partition filter must prune directories, not scan rows")
+    // only the click partition's files are read (scan metric, post-exec)
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val scan = clicks.queryExecution.executedPlan.collect {
+      case f: FileSourceScanExec => f }.head
+    val filesRead = scan.metrics("numFiles").value
+    assert(filesRead < all.inputFiles.length,
+      s"read $filesRead of ${all.inputFiles.length} files — no pruning")
+    assert(clicks.count() ==
+      graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "events")
+        .filter(col("event_type") === "click").count())
+  }
+}

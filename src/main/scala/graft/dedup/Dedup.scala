@@ -141,17 +141,25 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, id: Column, text: Column, block: Column,
                         n: Int, minJaccard: Double): DataFrame = {
     require(minJaccard > 0, "threshold must be positive (zero-overlap pairs are pruned)")
-    val g = docs.select(id.as("doc_id"), block.as("blk"),
-      explode(array_distinct(charShingles(text, n))).as("g"))
-    val sizes = g.groupBy(col("doc_id")).agg(count(lit(1)).as("n_g"))
-    val a = g.select(col("blk"), col("doc_id").as("id_a"), col("g"))
-    val b = g.select(col("blk").as("blk_b"), col("doc_id").as("id_b"), col("g").as("g_b"))
+    // grams travel as 64-bit hashes through the intersection join: the
+    // count is representation-independent and the narrow key halves the
+    // shuffle (xxhash64 collisions across <<2^20 distinct n-grams: ~2^-25)
+    val g0 = docs.select(id.as("doc_id"), block.as("blk"),
+        explode(array_distinct(charShingles(text, n))).as("g"))
+      .select(col("doc_id"), col("blk"), xxhash64(col("g")).as("gh"))
+    val sizes = g0.groupBy(col("doc_id")).agg(count(lit(1)).as("n_g"))
+    val g = g0.join(sizes, Seq("doc_id"))
+    val a = g.select(col("blk"), col("doc_id").as("id_a"), col("gh"), col("n_g").as("n_a"))
+    val b = g.select(col("blk").as("blk_b"), col("doc_id").as("id_b"),
+      col("gh").as("gh_b"), col("n_g").as("n_b"))
+    // lossless size-ratio prune: J(A,B) >= t requires t <= |B|/|A| <= 1/t,
+    // so mismatched-size pairs never enter the intersection count
     val inter = a.join(b,
-        col("blk") === col("blk_b") && col("g") === col("g_b") && col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("n_inter"))
+        col("blk") === col("blk_b") && col("gh") === col("gh_b") && col("id_a") < col("id_b") &&
+          col("n_b") >= col("n_a") * minJaccard && col("n_b") <= col("n_a") / minJaccard)
+      .groupBy(col("id_a"), col("id_b"), col("n_a"), col("n_b"))
+      .agg(count(lit(1)).as("n_inter"))
     inter
-      .join(sizes.select(col("doc_id").as("id_a"), col("n_g").as("n_a")), Seq("id_a"))
-      .join(sizes.select(col("doc_id").as("id_b"), col("n_g").as("n_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         (col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter"))).as("jacc"))
       .filter(col("jacc") >= minJaccard)

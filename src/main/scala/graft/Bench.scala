@@ -30,9 +30,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // JVM/codegen warmup on a tiny table so the first timed query doesn't
-    // absorb one-time session costs
-    graft.sources.Tables.load(spark, sfDir, "region").count()
+    // JVM/codegen + page-cache warmup so the first timed query measures
+    // steady-state throughput, not one-time session costs
+    Seq("region", "lineitem", "orders", "events").foreach(t =>
+      graft.sources.Tables.load(spark, sfDir, t).count())
     val names =
       if (sys.env.contains("SPARK_GRAFT_BENCH_ALL")) SparkEntry.queries.keys.toSeq.sorted
       else headline.filter(SparkEntry.queries.contains)

@@ -125,6 +125,16 @@ object QueriesData {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  def annLshTopk(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val queries = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val corpus = e.select(col("vec_id").as("cand_id"), col("embedding"))
+    Ann.lshTopK(queries, corpus, dim = 64, k = 5, bands = 4, bitsPerBand = 4)
+      .select(col("query_id"), col("cand_id"), col("rnk").cast("long").as("rnk"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
   // ───────────────────────── §2.6 multimodal ─────────────────────────
 
   def mmBinaryMeta(s: SparkSession, dir: String): DataFrame = {
@@ -220,6 +230,14 @@ object QueriesData {
     val inList = words.map(w => s"'$w'").mkString("(", ", ", ")")
     s"SELECT doc_id, '$code' AS lang_code, CAST(len(list_filter($toks, t -> t IN $inList)) AS BIGINT) AS hits FROM documents"
   }.mkString("\n  UNION ALL ")
+
+  /** Hyperplane components as a VALUES table — the exact doubles the Spark
+    * side uses (Double.toString round-trips bit-exactly through DuckDB's
+    * parser).
+    */
+  private val planeValues: String = (for {
+    b <- 0 until 4; i <- 0 until 4; j <- 0 until 64
+  } yield s"($b,$i,$j,${Ann.hyperplaneComponent(b, i, j)})").mkString(", ")
 
   private val minhashCols: String = (0 until 12)
     .map(k => s"MIN(md5('$k:' || g)) AS h$k").mkString(",\n    ")
@@ -386,6 +404,43 @@ object QueriesData {
         |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rnk
         |  FROM scored) t
         |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+    "ann_lsh_topk" ->
+      s"""WITH planes(band, bit, dim, w) AS (VALUES $planeValues),
+         |flat AS (
+         |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+         |    generate_subscripts(embedding, 1) - 1 AS j
+         |  FROM embeddings
+         |), norms AS (
+         |  SELECT vec_id, sqrt(SUM(x*x)) AS nrm FROM flat GROUP BY vec_id
+         |), projs AS (
+         |  SELECT f.vec_id, p.band, p.bit, SUM(f.x * p.w) AS proj
+         |  FROM flat f JOIN planes p ON p.dim = f.j
+         |  GROUP BY 1, 2, 3
+         |), bandkeys AS (
+         |  SELECT vec_id, band,
+         |    band || ':' || CAST(SUM(CASE WHEN proj >= 0 THEN 1 << bit ELSE 0 END) AS VARCHAR) AS bk
+         |  FROM projs GROUP BY vec_id, band
+         |), cands AS (
+         |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS cand_id
+         |  FROM bandkeys q JOIN bandkeys c ON q.bk = c.bk
+         |  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
+         |), dots AS (
+         |  SELECT cd.query_id, cd.cand_id, SUM(a.x*b.x) AS dot
+         |  FROM cands cd
+         |  JOIN flat a ON a.vec_id = cd.query_id
+         |  JOIN flat b ON b.vec_id = cd.cand_id AND b.j = a.j
+         |  GROUP BY 1, 2
+         |), scored AS (
+         |  SELECT d.query_id, d.cand_id, d.dot / (na.nrm * nb.nrm) AS cosine
+         |  FROM dots d
+         |  JOIN norms na ON na.vec_id = d.query_id
+         |  JOIN norms nb ON nb.vec_id = d.cand_id
+         |)
+         |SELECT query_id, cand_id, CAST(rnk AS BIGINT) AS rnk FROM (
+         |  SELECT query_id, cand_id,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rnk
+         |  FROM scored) t
+         |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
     "mm_binary_meta" ->
       """SELECT doc_id AS id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
         |  CAST(octet_length(encode(text)) % 640 + 1 AS INTEGER) AS width,

@@ -84,8 +84,10 @@ object Pipeline {
           val staged = Cdc.latestPerKey(delta, spec.pk, Seq(col("__change_ts")))
             .drop("__change_ts")
           val merged = readTarget(spec.name) match {
-            case Some(target) => Cdc.mergeSoftDelete(target, staged, spec.pk)
-            case None         => staged.filter(col(Cdc.IsDeleted) === "N")
+            case Some(target) =>
+              val (t2, s2) = alignSchemas(target, staged)
+              Cdc.mergeSoftDelete(t2, s2, spec.pk)
+            case None => staged.filter(col(Cdc.IsDeleted) === "N")
           }
           writeTarget(spec.name, merged)
           val wm = Option(head.getAs[Timestamp]("m"))
@@ -99,6 +101,25 @@ object Pipeline {
       }
     }
     (RunReport(results), newWatermarks)
+  }
+
+  /** Schema evolution between runs (the incremental form of the reference's
+    * schema clone, 02_clone_schema_structure.py): a column added on the
+    * source appears on the target as NULL for pre-existing rows; a column
+    * dropped from the source is RETAINED on the target (replicas never lose
+    * data silently) and staged rows carry NULL for it.
+    */
+  def alignSchemas(target: DataFrame, staged: DataFrame): (DataFrame, DataFrame) = {
+    val tCols = target.columns.toSeq
+    val sByName = staged.schema.fields.map(f => f.name -> f).toMap
+    val tByName = target.schema.fields.map(f => f.name -> f).toMap
+    val newCols = staged.columns.toSeq.filterNot(tByName.contains)
+    val droppedCols = tCols.filterNot(sByName.contains)
+    val t2 = newCols.foldLeft(target)((d, c) =>
+      d.withColumn(c, lit(null).cast(sByName(c).dataType)))
+    val s2 = droppedCols.foldLeft(staged)((d, c) =>
+      d.withColumn(c, lit(null).cast(tByName(c).dataType)))
+    (t2, s2.select(t2.columns.map(col): _*))
   }
 
   /** Parquet-directory replica store: each table a subdirectory. The local

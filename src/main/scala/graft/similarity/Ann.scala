@@ -55,6 +55,16 @@ object Ann {
       .filter(col("cos") > threshold)
   }
 
+  /** Deterministic hyperplane component in [-1, 1): md5 of the coordinate
+    * triple, first 6 hex digits scaled. Same values on any JVM/engine.
+    */
+  def hyperplaneComponent(band: Int, bit: Int, dim: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"$band:$bit:$dim".getBytes("UTF-8"))
+      .take(3).map("%02x".format(_)).mkString
+    (java.lang.Long.parseLong(hex, 16).toDouble / (1 << 24)) * 2.0 - 1.0
+  }
+
   /** Rank + truncate scored (query_id, cand_id, cosine) pairs. */
   def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
@@ -62,6 +72,46 @@ object Ann {
     scored.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("cand_id"), col("rnk"))
+  }
+
+  /** Random-hyperplane LSH band keys: `bands` keys per vector, each from
+    * `bitsPerBand` sign bits of projections onto fixed pseudo-random
+    * hyperplanes. Components derive from md5 of (band, bit, dim) — fully
+    * deterministic across runs and machines. Two vectors at angle θ agree
+    * on one bit with probability 1 - θ/π, so near-duplicates collide in at
+    * least one band with high probability while the corpus spreads across
+    * 2^bitsPerBand buckets per band. Narrow, codegen'd, no shuffle until
+    * the band-key groupBy.
+    */
+  def hyperplaneBandKeys(emb: Column, dim: Int, bands: Int, bitsPerBand: Int): Column = {
+    val keys = (0 until bands).map { b =>
+      val bandVal = (0 until bitsPerBand).map { i =>
+        val proj = (0 until dim).map { j =>
+          emb.getItem(j).cast("double") * lit(Ann.hyperplaneComponent(b, i, j))
+        }.reduce(_ + _)
+        when(proj >= 0, lit(1 << i)).otherwise(lit(0))
+      }.reduce(_ + _)
+      concat(lit(s"$b:"), bandVal.cast("string"))
+    }
+    array(keys: _*)
+  }
+
+  /** ANN via hyperplane LSH: candidates collide in ≥1 band, then exact
+    * cosine re-rank. Recall < 1 by design; the shuffle is one groupBy on
+    * ~uniform band keys — never a cross join.
+    */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, dim: Int, k: Int,
+              bands: Int = 3, bitsPerBand: Int = 4): DataFrame = {
+    val q = withNorm(queries, "query_id", "q_")
+      .withColumn("band", explode(hyperplaneBandKeys(col("q_emb"), dim, bands, bitsPerBand)))
+    val c = withNorm(corpus, "cand_id", "c_")
+      .withColumn("band", explode(hyperplaneBandKeys(col("c_emb"), dim, bands, bitsPerBand)))
+    val scored = c.join(broadcast(q), Seq("band"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        (ddot(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm"))).as("cosine"))
+      .distinct()
+    topKPerQuery(scored, k)
   }
 
   /** Assign each corpus row to its nearest centroid (by cosine).

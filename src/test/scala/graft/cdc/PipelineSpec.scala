@@ -66,6 +66,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(wm2("ord") == wm1("ord")) // untouched watermark survives
   }
 
+  test("schema evolution: source adds a column mid-stream; target backfills nulls") {
+    val dir = Files.createTempDirectory("graft_pipe3").toString
+    val target = new Pipeline.ParquetTarget(spark, dir)
+    val onlyCust = Seq(Pipeline.TableSpec("cust", Seq("id")))
+    val src1 = Map("cust" -> customers(Seq(
+      (1L, "alice", "2024-01-01 00:00:00", None, "N"))))
+    val (_, wm1) = Pipeline.replicate(onlyCust, Nil, src1(_), target.read, target.write, Map.empty)
+
+    // run 2: source gained a `tier` column
+    val src2 = customers(Seq(
+      (2L, "bob", "2024-02-01 00:00:00", None, "N")))
+      .withColumn("tier", lit("gold"))
+    val (rep2, _) = Pipeline.replicate(onlyCust, Nil, _ => src2, target.read, target.write, wm1)
+    assert(rep2.processed == 1)
+    val got = target.read("cust").get.orderBy("id")
+      .select("id", "name", "tier").as[(Long, String, Option[String])].collect().toSeq
+    assert(got == Seq((1L, "alice", None), (2L, "bob", Some("gold"))))
+  }
+
   test("a failing table is isolated; the run continues (reference :348-352)") {
     val dir = Files.createTempDirectory("graft_pipe2").toString
     val target = new Pipeline.ParquetTarget(spark, dir)

@@ -1,6 +1,6 @@
 package graft.similarity
 
-import graft.functions.VectorFunctions._
+import graft.functions.VectorFunctions.{cosine, norm}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -112,6 +112,37 @@ object Ann {
         (ddot(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm"))).as("cosine"))
       .distinct()
     topKPerQuery(scored, k)
+  }
+
+  /** Lloyd-iteration centroid training for IVF, fully declarative: assign
+    * (narrow, centroids broadcast) → per-centroid mean (one shuffle on the
+    * centroid id) → repeat. Seeds are deterministic corpus rows. The means
+    * use element-wise aggregation over posexploded coordinates — a
+    * codegen'd hash aggregate, no UDAF.
+    */
+  def trainCentroids(corpus: DataFrame, k: Int, iterations: Int): DataFrame = {
+    // deterministic seeds: evenly strided rows in id order (global
+    // row_number is driver-side-small only for seeding; at corpus scale
+    // use a hash-strided filter instead)
+    val n = corpus.count()
+    val stride = math.max(1L, n / k)
+    var centroids = corpus
+      .withColumn("__rn", row_number().over(Window.orderBy(col("cand_id"))) - 1)
+      .filter(col("__rn") % stride === 0 && col("__rn") < stride * k)
+      .select((col("__rn") / stride).cast("long").as("centroid_id"), col("embedding"))
+    for (_ <- 1 to iterations) {
+      val assigned = ivfAssign(corpus, centroids)
+      val means = assigned
+        .select(col("centroid_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy(col("centroid_id"), col("pos"))
+        .agg(avg(col("x").cast("double")).as("mx"))
+        .groupBy(col("centroid_id"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("mx")))).as("pairs"))
+        .select(col("centroid_id"),
+          transform(col("pairs"), p => p.getField("mx").cast("float")).as("embedding"))
+      centroids = means.localCheckpoint(true)
+    }
+    centroids
   }
 
   /** Assign each corpus row to its nearest centroid (by cosine).

@@ -110,6 +110,20 @@ object Queries {
       .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
   }
 
+  /** GROUPING SETS through the engine's SQL surface (the DataFrame API
+    * only exposes rollup/cube; arbitrary sets need SQL).
+    */
+  def qGroupingSets(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "lineitem").createOrReplaceTempView("graft_lineitem")
+    s.sql(
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n
+        |FROM graft_lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
+  }
+
   def qDistinctCounts(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem")
     li.agg(
@@ -443,6 +457,12 @@ object Queries {
          |  CAST(SUM(${dec("l_quantity")}) AS DOUBLE) AS sum_qty, COUNT(*) AS n
          |FROM lineitem
          |GROUP BY CUBE(l_returnflag, l_linestatus)
+         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q_grouping_sets" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  CAST(SUM(${dec("l_quantity")}) AS DOUBLE) AS sum_qty, COUNT(*) AS n
+         |FROM lineitem
+         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
          |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
     "q_rollup_sales" ->
       s"""SELECT l_returnflag, l_linestatus,

@@ -20,6 +20,7 @@ object SparkEntry {
     "q_running_total" -> (Queries.qRunningTotal _),
     "q_rollup_sales" -> (Queries.qRollupSales _),
     "q_cube_sales" -> (Queries.qCubeSales _),
+    "q_grouping_sets" -> (Queries.qGroupingSets _),
     "q_distinct_counts" -> (Queries.qDistinctCounts _),
     "q_top_orders" -> (Queries.qTopOrders _),
     "q_pivot_status" -> (Queries.qPivotStatus _),

@@ -73,20 +73,47 @@ object TextFunctions {
       g => size(split(g, " ")) === lit(n))
   }
 
-  /** Deterministic language-ID: stopword-hit counts per language, argmax with
-    * lexicographic tiebreak. `profiles` maps language code → stopword list.
-    * (An n-gram-frequency upgrade slots in the same shape.)
+  /** Deterministic argmax over per-language scores: highest score wins,
+    * smallest language code breaks ties.
     */
-  def langId(text: Column, profiles: Seq[(String, Seq[String])]): Column = {
-    val scored = profiles.map { case (lang, words) =>
-      struct(stopwordHits(text, words).as("hits"), lit(lang).as("lang"))
+  private def argmaxLang(scored: Seq[(String, Column)]): Column = {
+    val structs = scored.map { case (lang, score) =>
+      struct(score.as("hits"), lit(lang).as("lang"))
     }
-    // max over (hits asc, lang desc) → pick highest hits, then smallest lang code
-    val best = scored.reduce((a, b) =>
+    val best = structs.reduce((a, b) =>
       when(a.getField("hits") > b.getField("hits"), a)
         .when(a.getField("hits") < b.getField("hits"), b)
         .when(a.getField("lang") < b.getField("lang"), a)
         .otherwise(b))
     best.getField("lang")
+  }
+
+  /** Deterministic language-ID: stopword-hit counts per language, argmax with
+    * lexicographic tiebreak. `profiles` maps language code → stopword list.
+    */
+  def langId(text: Column, profiles: Seq[(String, Seq[String])]): Column =
+    argmaxLang(profiles.map { case (lang, words) =>
+      lang -> stopwordHits(text, words).cast("long")
+    })
+
+  /** Count of (possibly overlapping-free) occurrences of a literal substring,
+    * via replace-length arithmetic — codegen'd builtins only.
+    */
+  def substringCount(text: Column, sub: String): Column =
+    ((length(text) - length(regexp_replace(text, java.util.regex.Pattern.quote(sub), "")))
+      / sub.length).cast("long")
+
+  /** T3 upgrade: character-bigram frequency language-ID. Each language
+    * profile is a weighted bigram list (weights from a reference corpus);
+    * score = Σ weight × occurrences(bigram). Same deterministic argmax as
+    * the stopword variant, far more robust on short or stopword-free text.
+    */
+  def langIdBigram(text: Column, profiles: Seq[(String, Seq[(String, Int)])]): Column = {
+    val t = lower(text)
+    argmaxLang(profiles.map { case (lang, bigrams) =>
+      lang -> bigrams.map { case (bg, w) =>
+        substringCount(t, bg) * w
+      }.reduce(_ + _)
+    })
   }
 }

@@ -42,6 +42,25 @@ class FunctionsSpec extends AnyFunSuite {
     assert(got == Seq("en", "fr", "aa")) // last: all-zero hits → smallest code
   }
 
+  test("langIdBigram scores weighted bigram occurrences") {
+    val profiles = Seq(
+      "en" -> Seq("th" -> 3, "he" -> 2, "er" -> 1),
+      "de" -> Seq("ch" -> 3, "ei" -> 2, "en" -> 1),
+      "aa" -> Seq("zz" -> 1))
+    val df = Seq(
+      "the weather there",         // th×2? the/there → th, he hits
+      "ich scheine einen schein",  // ch/ei/en heavy
+      "qqq").toDF("text")
+    val got = df.select(TextFunctions.langIdBigram(col("text"), profiles))
+      .as[String].collect().toSeq
+    assert(got == Seq("en", "de", "aa")) // all-zero → smallest code
+  }
+
+  test("substringCount arithmetic") {
+    val df = Seq("ababab").toDF("text")
+    assert(df.select(TextFunctions.substringCount(col("text"), "ab")).as[Long].head() == 3L)
+  }
+
   test("vector dot/norm/cosine on known values") {
     val df = Seq((Array(1f, 0f, 2f), Array(2f, 1f, 0f))).toDF("a", "b")
     val r = df.select(

@@ -239,10 +239,12 @@ object QueriesData {
     b <- 0 until 4; i <- 0 until 4; j <- 0 until 64
   } yield s"($b,$i,$j,${Ann.hyperplaneComponent(b, i, j)})").mkString(", ")
 
-  private val minhashCols: String = (0 until 12)
-    .map(k => s"MIN(md5('$k:' || g)) AS h$k").mkString(",\n    ")
+  private val minhashCols: String = (0 until 12).map { k =>
+    val (a, b) = graft.dedup.Dedup.minhashCoeff(k)
+    s"MIN(($a * gh + $b) % ${graft.dedup.Dedup.MinhashP}) AS h$k"
+  }.mkString(",\n    ")
   private val bandSelects: String = (0 until 4).map { b =>
-    val hs = (0 until 3).map(r => s"h${b * 3 + r}").mkString(" || '|' || ")
+    val hs = (0 until 3).map(r => s"CAST(h${b * 3 + r} AS VARCHAR)").mkString(" || '|' || ")
     s"SELECT doc_id, md5($hs) AS band FROM mh"
   }.mkString("\n  UNION ALL ")
 
@@ -281,7 +283,8 @@ object QueriesData {
          |), mh AS (
          |  SELECT doc_id,
          |    $minhashCols
-         |  FROM sh GROUP BY doc_id
+         |  FROM (SELECT doc_id, ${hex6ToInt("md5(g)")} AS gh FROM sh) hsh
+         |  GROUP BY doc_id
          |), bands AS (
          |  $bandSelects
          |)

@@ -25,6 +25,14 @@ object NativeExpressions {
     */
   def vec_dot(a: Column, b: Column): Column =
     ColumnBridge.column(VecDot(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** |A ∩ B| of two ASCENDING-sorted distinct array<long> columns via a
+    * merge scan — O(|A|+|B|) per pair vs the hash-set build of
+    * array_intersect; the verification hot loop of similarity joins.
+    */
+  def sorted_intersect_count(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      SortedIntersectCount(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }
 
 case class RollingHash(child: Expression) extends UnaryExpression {
@@ -119,5 +127,53 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
 
   override protected def withNewChildrenInternal(newLeft: Expression,
                                                  newRight: Expression): VecDot =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Merge-scan intersection size of two ascending-sorted distinct long
+  * arrays. Interpreted eval and codegen share the two-pointer arithmetic.
+  */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes() = {
+    require(Seq(left, right).forall(e =>
+      e.dataType == ArrayType(LongType, containsNull = false) ||
+        e.dataType == ArrayType(LongType, containsNull = true)),
+      s"sorted_intersect_count needs array<long>, got ${left.dataType} / ${right.dataType}")
+    super.checkInputDataTypes()
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val ad = a.asInstanceOf[ArrayData]
+    val bd = b.asInstanceOf[ArrayData]
+    var i = 0; var j = 0; var n = 0L
+    while (i < ad.numElements() && j < bd.numElements()) {
+      val x = ad.getLong(i); val y = bd.getLong(j)
+      if (x == y) { n += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    n
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val n = ctx.freshName("n"); val x = ctx.freshName("x"); val y = ctx.freshName("y")
+      s"""
+         |int $i = 0; int $j = 0; long $n = 0L;
+         |while ($i < $a.numElements() && $j < $b.numElements()) {
+         |  long $x = $a.getLong($i); long $y = $b.getLong($j);
+         |  if ($x == $y) { $n++; $i++; $j++; }
+         |  else if ($x < $y) { $i++; } else { $j++; }
+         |}
+         |${ev.value} = $n;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): SortedIntersectCount =
     copy(left = newLeft, right = newRight)
 }

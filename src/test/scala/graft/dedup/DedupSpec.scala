@@ -26,7 +26,7 @@ class DedupSpec extends AnyFunSuite {
   test("minhash: identical docs have identical signatures; near-dups collide") {
     val sigs = docs.select(col("doc_id"),
       Dedup.minhashSignature(col("text"), 3, 12).as("sig"))
-      .as[(Long, Seq[String])].collect().toMap
+      .as[(Long, Seq[Long])].collect().toMap
     assert(sigs(1L) == sigs(2L))
     assert(sigs(1L) != sigs(4L))
     val cands = Dedup.lshCandidates(docs, col("doc_id"), col("text"), 3, 12, 4)

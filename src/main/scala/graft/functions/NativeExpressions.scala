@@ -33,6 +33,17 @@ object NativeExpressions {
   def sorted_intersect_count(a: Column, b: Column): Column =
     ColumnBridge.column(
       SortedIntersectCount(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Packed hyperplane sign bits per LSH band: element b of the result is
+    * Σ_i [Σ_j emb(j)·planes(b,i,j) ≥ 0]·2^i. A loop in generated code —
+    * the equivalent builtin-expression tree unrolls bands×bits×dim terms
+    * and breaks the 64KB JVM method limit (whole-stage codegen then falls
+    * back to interpreted eval for the entire stage).
+    */
+  def hyperplane_band_bits(emb: Column, planes: Array[Double],
+                           bands: Int, bits: Int, dim: Int): Column =
+    ColumnBridge.column(
+      HyperplaneBandBits(ColumnBridge.expression(emb), planes, bands, bits, dim))
 }
 
 case class RollingHash(child: Expression) extends UnaryExpression {
@@ -176,4 +187,85 @@ case class SortedIntersectCount(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(newLeft: Expression,
                                                  newRight: Expression): SortedIntersectCount =
     copy(left = newLeft, right = newRight)
+}
+
+/** Packed sign bits of hyperplane projections, one int per band.
+  * `planes` is the flattened (band, bit, dim) coefficient tensor. The
+  * projection accumulates in ascending-dim order in both eval and codegen,
+  * matching Σ_j emb[j]·w[b,i,j] as an external engine would compute it.
+  */
+case class HyperplaneBandBits(child: Expression, planes: Array[Double],
+                              bands: Int, bits: Int, dim: Int)
+    extends UnaryExpression {
+  require(planes.length == bands * bits * dim, "planes tensor shape mismatch")
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  private def elemFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def checkInputDataTypes() = {
+    require(child.dataType.isInstanceOf[ArrayType] && {
+      val et = child.dataType.asInstanceOf[ArrayType].elementType
+      et == FloatType || et == DoubleType
+    }, s"hyperplane_band_bits needs array<float|double>, got ${child.dataType}")
+    super.checkInputDataTypes()
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = math.min(dim, arr.numElements())
+    val out = new Array[Int](bands)
+    var b = 0
+    while (b < bands) {
+      var packed = 0
+      var i = 0
+      while (i < bits) {
+        var acc = 0.0
+        var j = 0
+        val base = (b * bits + i) * dim
+        while (j < n) {
+          val x = if (elemFloat) arr.getFloat(j).toDouble else arr.getDouble(j)
+          acc += x * planes(base + j)
+          j += 1
+        }
+        if (acc >= 0) packed |= 1 << i
+        i += 1
+      }
+      out(b) = packed
+      b += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val planesRef = ctx.addReferenceObj("planes", planes, "double[]")
+    val get = if (elemFloat) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, c => {
+      val n = ctx.freshName("n"); val out = ctx.freshName("out")
+      val b = ctx.freshName("b"); val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val acc = ctx.freshName("acc"); val packed = ctx.freshName("packed")
+      val base = ctx.freshName("base")
+      s"""
+         |int $n = java.lang.Math.min($dim, $c.numElements());
+         |int[] $out = new int[$bands];
+         |for (int $b = 0; $b < $bands; $b++) {
+         |  int $packed = 0;
+         |  for (int $i = 0; $i < $bits; $i++) {
+         |    double $acc = 0.0;
+         |    int $base = ($b * $bits + $i) * $dim;
+         |    for (int $j = 0; $j < $n; $j++) {
+         |      $acc += ((double) $c.$get($j)) * $planesRef[$base + $j];
+         |    }
+         |    if ($acc >= 0) $packed |= 1 << $i;
+         |  }
+         |  $out[$b] = $packed;
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneBandBits =
+    copy(child = newChild)
 }

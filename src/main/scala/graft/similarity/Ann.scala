@@ -80,20 +80,25 @@ object Ann {
     * deterministic across runs and machines. Two vectors at angle θ agree
     * on one bit with probability 1 - θ/π, so near-duplicates collide in at
     * least one band with high probability while the corpus spreads across
-    * 2^bitsPerBand buckets per band. Narrow, codegen'd, no shuffle until
-    * the band-key groupBy.
+    * 2^bitsPerBand buckets per band. Narrow, no shuffle until the band-key
+    * groupBy. The projections run in a loop-codegen'd native expression
+    * ([[graft.functions.NativeExpressions.hyperplane_band_bits]]); the
+    * equivalent builtin tree unrolls bands×bits×dim product terms, blows
+    * the 64KB JVM method limit, and drops the whole stage to interpreted
+    * eval.
     */
   def hyperplaneBandKeys(emb: Column, dim: Int, bands: Int, bitsPerBand: Int): Column = {
-    val keys = (0 until bands).map { b =>
-      val bandVal = (0 until bitsPerBand).map { i =>
-        val proj = (0 until dim).map { j =>
-          emb.getItem(j).cast("double") * lit(Ann.hyperplaneComponent(b, i, j))
-        }.reduce(_ + _)
-        when(proj >= 0, lit(1 << i)).otherwise(lit(0))
-      }.reduce(_ + _)
-      concat(lit(s"$b:"), bandVal.cast("string"))
+    val planes = Array.tabulate(bands * bitsPerBand * dim) { flat =>
+      val b = flat / (bitsPerBand * dim)
+      val i = flat / dim % bitsPerBand
+      val j = flat % dim
+      hyperplaneComponent(b, i, j)
     }
-    array(keys: _*)
+    val bandVals = graft.functions.NativeExpressions
+      .hyperplane_band_bits(emb, planes, bands, bitsPerBand, dim)
+    array((0 until bands).map { b =>
+      concat(lit(s"$b:"), element_at(bandVals, b + 1).cast("string"))
+    }: _*)
   }
 
   /** ANN via hyperplane LSH: candidates collide in ≥1 band, then exact

@@ -1,0 +1,321 @@
+package graft
+
+import graft.operators.RangeJoin
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Query catalog part 3 (round 2): window-rank kit, range frames,
+  * histograms, exact-sum correlation, bucketed range join, array ops,
+  * repetition/quality signals, corpus n-gram stats, TF-IDF, edit-distance
+  * fuzzy dedup. Same oracle discipline as [[Queries]]: exact integer /
+  * decimal arithmetic up to one final deterministic double op, full
+  * tiebreak ORDER BY, identical column names both sides.
+  */
+object QueriesExt {
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+  private def d12(c: Column): Column = c.cast(DecimalType(12, 2))
+  private def ts(c: Column): Column = c.cast("timestamp")
+
+  // ───────────────────── window-function kit (R20) ─────────────────────
+
+  /** rank / dense_rank / percent_rank / cume_dist / ntile in one pass —
+    * one shuffle on the partition key, all five from the same sort.
+    */
+  def qWindowRanks(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").filter(col("o_custkey") < 100)
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    o.select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+        rank().over(w).cast("long").as("rnk"),
+        dense_rank().over(w).cast("long").as("drnk"),
+        percent_rank().over(w).as("prank"),
+        cume_dist().over(w).as("cdist"),
+        ntile(4).over(w).cast("long").as("tile4"))
+      .orderBy(col("o_orderpriority"), col("rnk"))
+  }
+
+  /** RANGE-frame sliding aggregate: per user, the value sum/count over the
+    * trailing 30 minutes by event time — frame bounds from the ORDER BY
+    * value, not row offsets (R21).
+    */
+  def qWindowRangeFrame(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events").filter(col("user_id") < 20)
+      .select(col("user_id"), col("event_id"),
+        unix_timestamp(ts(col("ts"))).as("ts_sec"), col("value"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_sec"))
+      .rangeBetween(-1800, 0)
+    e.select(col("user_id"), col("event_id"), col("ts_sec"),
+        sum(d12(col("value"))).over(w).cast("double").as("win_value"),
+        count(lit(1)).over(w).cast("long").as("win_n"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  /** Fixed-width histogram (R22): bucket arithmetic stays in codegen'd
+    * builtins; one partial-aggregated groupBy regardless of corpus size.
+    */
+  def qHistogram(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val bucket = floor((col("l_quantity") - 1) / 5.0).cast("long")
+    li.groupBy(bucket.as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(d12(col("l_quantity"))).cast("double").as("sum_qty"))
+      .withColumn("lo_qty", (col("bucket") * 5 + 1).cast("long"))
+      .select(col("bucket"), col("lo_qty"), col("n"), col("sum_qty"))
+      .orderBy(col("bucket"))
+  }
+
+  /** Pearson correlation + OLS slope from decimal-exact component sums
+    * (R23). The five sums are exact; the final combination is a fixed
+    * sequence of IEEE double ops written identically in the oracle SQL, so
+    * the result is bit-deterministic — unlike corr()/covar(), whose
+    * accumulation order is engine- and partition-dependent.
+    */
+  def qCorrStats(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val x = d12(col("l_quantity")); val y = d12(col("l_extendedprice"))
+    val sums = li.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(x).as("sx"), sum(y).as("sy"),
+        sum(x * x).as("sxx"), sum(y * y).as("syy"), sum(x * y).as("sxy"))
+    val nd = col("n").cast("double")
+    def d(c: String): Column = col(c).cast("double")
+    val num = nd * d("sxy") - d("sx") * d("sy")
+    val varx = nd * d("sxx") - d("sx") * d("sx")
+    val vary = nd * d("syy") - d("sy") * d("sy")
+    sums.select(col("l_returnflag"), col("n"),
+        (num / (sqrt(varx) * sqrt(vary))).as("corr_qp"),
+        (num / varx).as("slope_qp"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Bucketed band join (R24): orders matched to price-tier intervals via
+    * [[RangeJoin.bandJoin]] — an equi-join on bucket keys instead of the
+    * broadcast-nested-loop a naive non-equi join plans.
+    */
+  def qRangeJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bands = Seq(
+      (0L, 0.0, 1000.0), (1L, 1000.0, 5000.0), (2L, 5000.0, 20000.0),
+      (3L, 20000.0, 100000.0), (4L, 100000.0, 600000.0))
+      .toDF("band_id", "lo", "hi")
+    val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice"))
+    RangeJoin.bandJoin(o, col("o_totalprice"), bands, col("lo"), col("hi"),
+        bucketWidth = 5000.0)
+      .groupBy(col("band_id"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(d12(col("o_totalprice"))).cast("double").as("sum_price"))
+      .orderBy(col("band_id"))
+  }
+
+  /** Lateral array expansion (R25): posexplode with ordinality. */
+  def qArrayOps(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").filter(col("doc_id") < 20)
+    d.select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("tok"))
+      .orderBy(col("doc_id"), col("pos"))
+  }
+
+  // ───────────────── training-data text operators (T5–T7) ─────────────────
+
+  /** T5: repetition signals (Gopher-style quality filters): distinct-token
+    * ratio, top-token share, duplicate word-bigram share. Shape: one token
+    * explode → (doc, token) counts → per-doc aggregate; bigrams likewise.
+    * All ratios are int/int rationals → one deterministic double division.
+    */
+  def textRepetition(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val tok = d.select(col("doc_id"), explode(split(col("text"), " ")).as("tk"))
+    val tf = tok.groupBy(col("doc_id"), col("tk")).agg(count(lit(1)).as("c"))
+    val tokStats = tf.groupBy(col("doc_id")).agg(
+      sum(col("c")).cast("long").as("n_tokens"),
+      count(lit(1)).as("n_distinct"),
+      max(col("c")).cast("long").as("top_cnt"))
+    val bg = d.select(col("doc_id"),
+      explode(graft.functions.TextFunctions.wordShingles(col("text"), 2)).as("g"))
+    val bgStats = bg.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("total_bg"), countDistinct(col("g")).as("distinct_bg"))
+    tokStats.join(bgStats, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        (col("n_distinct").cast("double") / col("n_tokens")).as("distinct_ratio"),
+        (col("top_cnt").cast("double") / col("n_tokens")).as("top_share"),
+        when(col("total_bg").isNull || col("total_bg") === 0, lit(0.0))
+          .otherwise((col("total_bg") - col("distinct_bg")).cast("double") / col("total_bg"))
+          .as("dup_bigram_share"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** T6: corpus-wide heavy hitters — top-20 word bigrams. Partial (map-side)
+    * aggregation does the scale work; the final top-k is a 20-row sort.
+    */
+  def textNgramTopk(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    d.select(explode(graft.functions.TextFunctions.wordShingles(col("text"), 2)).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("g"))
+      .limit(20)
+  }
+
+  /** T7: TF-IDF top-3 terms per document. df comes from the full corpus;
+    * the score is floor(tf·10⁶·N/df) — exact integer products below 2⁵³
+    * then one correctly-rounded division, so ranking and value are
+    * engine-deterministic without trusting log().
+    */
+  def textTfidf(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val tok = d.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = d.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.filter(col("doc_id") < 50)
+      .join(df, Seq("term")).crossJoin(broadcast(n))
+      .withColumn("score",
+        floor(col("tf").cast("double") * 1000000.0 * col("n_docs").cast("double")
+          / col("df").cast("double")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .select(col("doc_id"), col("term"), col("tf").cast("long").as("tf"),
+        col("score").cast("long").as("score"), col("rn").cast("long").as("rnk"))
+      .orderBy(col("doc_id"), col("rnk"))
+  }
+
+  /** D6: edit-distance fuzzy dedup — length-banded blocking (same source,
+    * |Δlen| ≤ 10, len ≤ 150 so the O(len²) distance stays bounded), then
+    * exact Levenshtein on the surviving pairs only.
+    */
+  def dedupFuzzyEdit(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "documents")
+      .select(col("doc_id"), col("text"), col("source"), length(col("text")).as("len"))
+      .filter(col("len") <= 150)
+    val a = base.select(col("doc_id").as("id_a"), col("text").as("text_a"),
+      col("source"), col("len").as("len_a"))
+    val b = base.select(col("doc_id").as("id_b"), col("text").as("text_b"),
+      col("source").as("source_b"), col("len").as("len_b"))
+    a.join(b, col("source") === col("source_b") && col("id_a") < col("id_b") &&
+        abs(col("len_a") - col("len_b")) <= 10)
+      .withColumn("dist", levenshtein(col("text_a"), col("text_b")).cast("long"))
+      .filter(col("dist") <= 30)
+      .select(col("id_a"), col("id_b"), col("dist"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  // ─────────────────────── oracle SQL (DuckDB) ───────────────────────
+
+  private val D = "CAST(%s AS DECIMAL(12,2))"
+  private def dec(c: String) = D.format(c)
+
+  val sql: Map[String, String] = Map(
+    "q_window_ranks" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |  CAST(rank() OVER w AS BIGINT) AS rnk,
+        |  CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+        |  percent_rank() OVER w AS prank,
+        |  cume_dist() OVER w AS cdist,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS tile4
+        |FROM orders WHERE o_custkey < 100
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey)
+        |ORDER BY o_orderpriority, rnk""".stripMargin,
+    "q_window_range_frame" ->
+      s"""SELECT user_id, event_id, ts_sec,
+         |  CAST(SUM(${dec("value")}) OVER w AS DOUBLE) AS win_value,
+         |  CAST(COUNT(*) OVER w AS BIGINT) AS win_n
+         |FROM (SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec, value
+         |      FROM events WHERE user_id < 20) t
+         |WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec
+         |             RANGE BETWEEN 1800 PRECEDING AND CURRENT ROW)
+         |ORDER BY user_id, event_id""".stripMargin,
+    "q_histogram" ->
+      s"""SELECT CAST(floor((l_quantity - 1) / 5.0) AS BIGINT) AS bucket,
+         |  CAST(floor((l_quantity - 1) / 5.0) * 5 + 1 AS BIGINT) AS lo_qty,
+         |  COUNT(*) AS n,
+         |  CAST(SUM(${dec("l_quantity")}) AS DOUBLE) AS sum_qty
+         |FROM lineitem GROUP BY 1, 2 ORDER BY bucket""".stripMargin,
+    // decimal→double goes through VARCHAR: DuckDB's direct decimal cast is
+    // not correctly rounded at scale 4 (…8685 → …869), while strtod and
+    // Spark's BigDecimal.doubleValue both round correctly
+    "q_corr_stats" ->
+      s"""WITH sums AS (
+         |  SELECT l_returnflag, COUNT(*) AS n,
+         |    CAST(CAST(SUM(${dec("l_quantity")}) AS VARCHAR) AS DOUBLE) AS sx,
+         |    CAST(CAST(SUM(${dec("l_extendedprice")}) AS VARCHAR) AS DOUBLE) AS sy,
+         |    CAST(CAST(SUM(${dec("l_quantity")} * ${dec("l_quantity")}) AS VARCHAR) AS DOUBLE) AS sxx,
+         |    CAST(CAST(SUM(${dec("l_extendedprice")} * ${dec("l_extendedprice")}) AS VARCHAR) AS DOUBLE) AS syy,
+         |    CAST(CAST(SUM(${dec("l_quantity")} * ${dec("l_extendedprice")}) AS VARCHAR) AS DOUBLE) AS sxy
+         |  FROM lineitem GROUP BY l_returnflag)
+         |SELECT l_returnflag, n,
+         |  (CAST(n AS DOUBLE) * sxy - sx * sy) /
+         |    (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx) * sqrt(CAST(n AS DOUBLE) * syy - sy * sy)) AS corr_qp,
+         |  (CAST(n AS DOUBLE) * sxy - sx * sy) / (CAST(n AS DOUBLE) * sxx - sx * sx) AS slope_qp
+         |FROM sums ORDER BY l_returnflag""".stripMargin,
+    "q_range_join" ->
+      s"""WITH bands(band_id, lo, hi) AS (VALUES
+         |  (0, 0.0, 1000.0), (1, 1000.0, 5000.0), (2, 5000.0, 20000.0),
+         |  (3, 20000.0, 100000.0), (4, 100000.0, 600000.0))
+         |SELECT CAST(band_id AS BIGINT) AS band_id, COUNT(*) AS n_orders,
+         |  CAST(SUM(${dec("o_totalprice")}) AS DOUBLE) AS sum_price
+         |FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
+         |GROUP BY band_id ORDER BY band_id""".stripMargin,
+    "q_array_ops" ->
+      """SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, ts[i] AS tok
+        |FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts))) AS i
+        |      FROM (SELECT doc_id, str_split(text, ' ') AS ts
+        |            FROM documents WHERE doc_id < 20) d) t
+        |ORDER BY doc_id, pos""".stripMargin,
+    "text_repetition" ->
+      """WITH tok AS (SELECT doc_id, unnest(str_split(text, ' ')) AS tk FROM documents),
+        |tf AS (SELECT doc_id, tk, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+        |tok_stats AS (
+        |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |    COUNT(*) AS n_distinct, CAST(MAX(c) AS BIGINT) AS top_cnt
+        |  FROM tf GROUP BY doc_id),
+        |bg AS (
+        |  SELECT doc_id, ts[i] || ' ' || ts[i+1] AS g
+        |  FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 1)) AS i
+        |        FROM (SELECT doc_id, str_split(text, ' ') AS ts FROM documents) d) t),
+        |bg_stats AS (
+        |  SELECT doc_id, COUNT(*) AS total_bg, COUNT(DISTINCT g) AS distinct_bg
+        |  FROM bg GROUP BY doc_id)
+        |SELECT s.doc_id, s.n_tokens, s.n_distinct,
+        |  CAST(s.n_distinct AS DOUBLE) / s.n_tokens AS distinct_ratio,
+        |  CAST(s.top_cnt AS DOUBLE) / s.n_tokens AS top_share,
+        |  CASE WHEN b.total_bg IS NULL OR b.total_bg = 0 THEN 0.0
+        |    ELSE CAST(b.total_bg - b.distinct_bg AS DOUBLE) / b.total_bg END AS dup_bigram_share
+        |FROM tok_stats s LEFT JOIN bg_stats b ON b.doc_id = s.doc_id
+        |ORDER BY s.doc_id""".stripMargin,
+    "text_ngram_topk" ->
+      """SELECT ts[i] || ' ' || ts[i+1] AS g, COUNT(*) AS cnt
+        |FROM (SELECT ts, unnest(generate_series(1, len(ts) - 1)) AS i
+        |      FROM (SELECT str_split(text, ' ') AS ts FROM documents) d) t
+        |GROUP BY 1 ORDER BY cnt DESC, g LIMIT 20""".stripMargin,
+    "text_tfidf" ->
+      """WITH tok AS (SELECT doc_id, unnest(str_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf,
+        |    floor(CAST(tf.tf AS DOUBLE) * 1000000.0 * CAST(n.n_docs AS DOUBLE)
+        |      / CAST(df.df AS DOUBLE)) AS score
+        |  FROM tf JOIN df ON df.term = tf.term CROSS JOIN n
+        |  WHERE tf.doc_id < 50)
+        |SELECT doc_id, term, CAST(tf AS BIGINT) AS tf,
+        |  CAST(score AS BIGINT) AS score, CAST(rn AS BIGINT) AS rnk
+        |FROM (SELECT doc_id, term, tf, score,
+        |        ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rn
+        |      FROM scored) t
+        |WHERE rn <= 3 ORDER BY doc_id, rnk""".stripMargin,
+    "dedup_fuzzy_edit" ->
+      """WITH base AS (
+        |  SELECT doc_id, text, source, length(text) AS len
+        |  FROM documents WHERE length(text) <= 150)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist
+        |FROM base a JOIN base b
+        |  ON a.source = b.source AND a.doc_id < b.doc_id
+        |  AND abs(a.len - b.len) <= 10
+        |WHERE levenshtein(a.text, b.text) <= 30
+        |ORDER BY id_a, id_b""".stripMargin)
+}

@@ -45,8 +45,18 @@ object SparkEntry {
     "fk_orphan_check" -> (Queries.fkOrphanCheck _),
     "stats_rowcounts" -> (Queries.statsRowcounts _),
     "cdc_scd2" -> (Queries.cdcScd2 _),
+    // §2.2 round-2 additions (R20–R25)
+    "q_window_ranks" -> (QueriesExt.qWindowRanks _),
+    "q_window_range_frame" -> (QueriesExt.qWindowRangeFrame _),
+    "q_histogram" -> (QueriesExt.qHistogram _),
+    "q_corr_stats" -> (QueriesExt.qCorrStats _),
+    "q_range_join" -> (QueriesExt.qRangeJoin _),
+    "q_array_ops" -> (QueriesExt.qArrayOps _),
     // §2.5 text analysis
     "text_tokens" -> (QueriesData.textTokens _),
+    "text_repetition" -> (QueriesExt.textRepetition _),
+    "text_ngram_topk" -> (QueriesExt.textNgramTopk _),
+    "text_tfidf" -> (QueriesExt.textTfidf _),
     "text_quality" -> (QueriesData.textQuality _),
     "text_langid" -> (QueriesData.textLangid _),
     "text_fingerprint" -> (QueriesData.textFingerprint _),
@@ -56,6 +66,7 @@ object SparkEntry {
     "dedup_simhash" -> (QueriesData.dedupSimhash _),
     "dedup_ngram_jaccard" -> (QueriesData.dedupNgramJaccard _),
     "dedup_embed_cosine" -> (QueriesData.dedupEmbedCosine _),
+    "dedup_fuzzy_edit" -> (QueriesExt.dedupFuzzyEdit _),
     // §2.4 similarity
     "ann_bruteforce_topk" -> (QueriesData.annBruteforceTopk _),
     "ann_ivf_topk" -> (QueriesData.annIvfTopk _),
@@ -75,5 +86,5 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
-    Queries.sqlRelational ++ Queries.sqlCdc ++ QueriesData.sql
+    Queries.sqlRelational ++ Queries.sqlCdc ++ QueriesData.sql ++ QueriesExt.sql
 }

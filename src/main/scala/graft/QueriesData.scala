@@ -196,6 +196,25 @@ object QueriesData {
       .orderBy(col("table_name"), col("ordinal"))
   }
 
+  /** X5: purchases joined to same-user clicks from the trailing 30 minutes,
+    * through the streaming engine (second-truncated event time so the
+    * batch-SQL oracle compares exactly).
+    */
+  def streamIntervalJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        to_timestamp(unix_timestamp(col("ts").cast("timestamp"))).as("tsec"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("l_key"), col("event_id").as("l_id"), col("tsec").as("l_ts"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("r_key"), col("event_id").as("r_id"), col("tsec").as("r_ts"))
+    Streams.intervalJoin(s, purchases, clicks, gapSec = 1800,
+        queryName = s"graft_ivjoin_${System.nanoTime()}")
+      .select(col("l_id").as("purchase_id"), col("l_key").as("user_id"),
+        col("r_id").as("click_id"))
+      .orderBy(col("purchase_id"), col("click_id"))
+  }
+
   def streamCdcApply(s: SparkSession, dir: String): DataFrame = {
     val target = t(s, dir, "orders")
       .filter(col("o_orderdate").cast("timestamp") < lit("2000-01-01 00:00:00").cast("timestamp"))
@@ -463,6 +482,13 @@ object QueriesData {
         |  COUNT(*) AS n_events, CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY bucket_hour, event_type""".stripMargin,
     "stream_cdc_apply" -> Queries.sqlCdc("cdc_merge"),
+    "stream_interval_join" ->
+      """SELECT p.event_id AS purchase_id, p.user_id AS user_id, c.event_id AS click_id
+        |FROM events p JOIN events c ON c.user_id = p.user_id
+        |  AND p.event_type = 'purchase' AND c.event_type = 'click'
+        |  AND floor(epoch(c.ts)) >= floor(epoch(p.ts)) - 1800
+        |  AND floor(epoch(c.ts)) <= floor(epoch(p.ts))
+        |ORDER BY purchase_id, click_id""".stripMargin,
     "stream_dedup_exact" ->
       s"""SELECT DISTINCT $canon AS fp FROM documents ORDER BY fp""",
     "stream_sessionize" ->

@@ -86,6 +86,29 @@ object Streams {
     spark.table(queryName)
   }
 
+  /** X5: stream-stream interval (event-time range) join. Both sides carry
+    * watermarks and the join condition bounds right-side event time to a
+    * trailing window of the left's — exactly what lets the engine expire
+    * join state instead of buffering both streams forever. Left columns
+    * (l_key, l_id, l_ts), right (r_key, r_id, r_ts); emits matches with
+    * r_ts in [l_ts - gapSec, l_ts].
+    */
+  def intervalJoin(spark: SparkSession, left: DataFrame, right: DataFrame,
+                   gapSec: Long, queryName: String): DataFrame = {
+    val lPath = stageToTemp(left, "ivjoin_l")
+    val rPath = stageToTemp(right, "ivjoin_r")
+    val l = spark.readStream.schema(left.schema).parquet(lPath)
+      .withWatermark("l_ts", "1 hour")
+    val r = spark.readStream.schema(right.schema).parquet(rPath)
+      .withWatermark("r_ts", "1 hour")
+    val joined = l.join(r, expr(
+      s"l_key = r_key AND r_ts >= l_ts - INTERVAL $gapSec SECONDS AND r_ts <= l_ts"))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName(queryName).start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    spark.table(queryName)
+  }
+
   /** X3: stateful gap-based sessionization with flatMapGroupsWithState —
     * the custom-state path for when windowed builtins can't express the
     * semantics. State per user is just (next session seq, last event time);

@@ -35,6 +35,18 @@ class DedupSpec extends AnyFunSuite {
     assert(!cands.contains((1L, 4L)))    // unrelated docs don't collide
   }
 
+  test("PPJoin prefix-filtered ngram jaccard equals the full-join formulation") {
+    val d = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("id_a"), col("id_b"), round(col("jacc"), 9))
+        .as[(Long, Long, Double)].collect().toSet
+    val pp = pairs(Dedup.ngramJaccardPairs(
+      d, col("doc_id"), col("text"), col("source"), 3, 0.5))
+    val full = pairs(Dedup.ngramJaccardPairsJoinAll(
+      d, col("doc_id"), col("text"), col("source"), 3, 0.5))
+    assert(pp.nonEmpty && pp == full)
+  }
+
   test("jaccard on shingle arrays") {
     val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
     val j = df.select(Dedup.jaccard(col("x"), col("y"))).as[Double].head()

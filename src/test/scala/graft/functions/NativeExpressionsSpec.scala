@@ -37,4 +37,38 @@ class NativeExpressionsSpec extends AnyFunSuite {
     val df = Seq((Array(1.0, 2.0), Array(3.0, 4.0))).toDF("a", "b")
     assert(df.select(NativeExpressions.vec_dot(col("a"), col("b"))).as[Double].head() == 11.0)
   }
+
+  test("sorted_intersect_count: merge scan matches array_intersect size") {
+    val cases = Seq(
+      (Array(1L, 3L, 5L, 9L), Array(2L, 3L, 9L, 11L)),    // partial overlap
+      (Array(1L, 2L), Array(3L, 4L)),                     // disjoint
+      (Array(1L, 2L, 3L), Array(1L, 2L, 3L)),             // identical
+      (Array.empty[Long], Array(1L)),                     // empty side
+      (Array(-5L, 0L, 7L), Array(-5L, 7L)))               // negatives
+    val df = cases.toDF("a", "b")
+    val native = df.select(NativeExpressions.sorted_intersect_count(col("a"), col("b")))
+      .as[Long].collect().toSeq
+    val builtin = df.select(size(array_intersect(col("a"), col("b"))).cast("long"))
+      .as[Long].collect().toSeq
+    assert(native == builtin)
+  }
+
+  test("hyperplane_band_bits: loop codegen matches per-component reference") {
+    val bands = 2; val bits = 3; val dim = 4
+    val planes = Array.tabulate(bands * bits * dim)(i => math.sin(i.toDouble)) // fixed arbitrary
+    val vecs = Seq(Array(0.5f, -1.0f, 2.0f, 0.25f), Array(-0.1f, -0.2f, -0.3f, -0.4f))
+    val got = vecs.toDF("v")
+      .select(NativeExpressions.hyperplane_band_bits(col("v"), planes, bands, bits, dim))
+      .as[Seq[Int]].collect().toSeq
+    val want = vecs.map { v =>
+      (0 until bands).map { b =>
+        (0 until bits).map { i =>
+          var acc = 0.0
+          (0 until dim).foreach(j => acc += v(j).toDouble * planes((b * bits + i) * dim + j))
+          if (acc >= 0) 1 << i else 0
+        }.sum
+      }
+    }
+    assert(got.map(_.toSeq) == want.map(_.toSeq))
+  }
 }

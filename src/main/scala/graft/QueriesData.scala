@@ -88,7 +88,7 @@ object QueriesData {
 
   def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents")
-    Dedup.ngramJaccardPairs(d, col("doc_id"), col("text"), col("source"),
+    Dedup.ngramJaccardPairsBlocked(d, col("doc_id"), col("text"), col("source"),
         n = 3, minJaccard = 0.5)
       .orderBy(col("id_a"), col("id_b"))
   }

@@ -42,9 +42,11 @@ class DedupSpec extends AnyFunSuite {
         .as[(Long, Long, Double)].collect().toSet
     val pp = pairs(Dedup.ngramJaccardPairs(
       d, col("doc_id"), col("text"), col("source"), 3, 0.5))
+    val blocked = pairs(Dedup.ngramJaccardPairsBlocked(
+      d, col("doc_id"), col("text"), col("source"), 3, 0.5))
     val full = pairs(Dedup.ngramJaccardPairsJoinAll(
       d, col("doc_id"), col("text"), col("source"), 3, 0.5))
-    assert(pp.nonEmpty && pp == full)
+    assert(pp.nonEmpty && pp == full && blocked == full)
   }
 
   test("jaccard on shingle arrays") {

@@ -182,6 +182,70 @@ object QueriesExt {
       .orderBy(col("doc_id"), col("rnk"))
   }
 
+  /** R26: the DataFrame pivot API — explicit value list keeps the plan
+    * single-pass (no extra distinct-scan job) and the output schema static.
+    */
+  def qPivotApi(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    o.groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("O", "F", "P"))
+      .agg(sum(d12(col("o_totalprice"))).cast("double"))
+      .withColumnsRenamed(Map("O" -> "open_total", "F" -> "filled_total",
+        "P" -> "pending_total"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** R27: correlated scalar subquery through the SQL surface — Catalyst
+    * de-correlates it into an aggregate + left outer join, so the plan is
+    * one shuffle, not a per-row probe.
+    */
+  def qScalarSubquery(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("graft_orders_sq")
+    t(s, dir, "lineitem").createOrReplaceTempView("graft_lineitem_sq")
+    s.sql(
+      """SELECT o_orderkey, o_totalprice,
+        |  (SELECT COUNT(*) FROM graft_lineitem_sq WHERE l_orderkey = o_orderkey) AS n_items
+        |FROM graft_orders_sq
+        |WHERE o_custkey < 50
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  /** S5: per-label embedding corpus statistics. Counts/dims are exact;
+    * min/max of the per-row L2 norm are safe cross-engine because each
+    * norm is a single-row computation (fixed accumulation order) and
+    * min/max are insensitive to row order — unlike a SUM or AVG of norms,
+    * which would be partition-order-dependent in double.
+    */
+  def qEmbedStats(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    e.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        min(size(col("embedding"))).cast("long").as("dim"),
+        min(graft.functions.VectorFunctions.norm(col("embedding"))).as("min_norm"),
+        max(graft.functions.VectorFunctions.norm(col("embedding"))).as("max_norm"),
+        min(col("vec_id")).as("min_id"), max(col("vec_id")).as("max_id"))
+      .orderBy(col("label"))
+  }
+
+  /** M3: image metadata decode. Payloads are deterministic synthetic PNGs
+    * (magic + IHDR with dimensions derived from doc_id), parsed back by the
+    * native header decoder — the oracle checks construct→parse as an
+    * arithmetic identity, so a parser regression breaks the hash match.
+    */
+  def mmImageMeta(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("doc_id"))
+    val w = (col("doc_id") % 640 + 1).cast("int")
+    val h = (col("doc_id") % 480 + 1).cast("int")
+    val payload = unhex(concat(
+      lit("89504E470D0A1A0A0000000D49484452"),
+      lpad(hex(w), 8, "0"), lpad(hex(h), 8, "0"), lit("0806000000")))
+    d.withColumn("meta", graft.multimodal.ImageHeader.image_meta(payload))
+      .select(col("doc_id"), col("meta.format").as("format"),
+        col("meta.width").cast("long").as("width"),
+        col("meta.height").cast("long").as("height"))
+      .orderBy(col("doc_id"))
+  }
+
   /** D6: edit-distance fuzzy dedup — length-banded blocking (same source,
     * |Δlen| ≤ 10, len ≤ 150 so the O(len²) distance stays bounded), then
     * exact Levenshtein on the surviving pairs only.
@@ -307,6 +371,34 @@ object QueriesExt {
         |        ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rn
         |      FROM scored) t
         |WHERE rn <= 3 ORDER BY doc_id, rnk""".stripMargin,
+    "mm_image_meta" ->
+      """SELECT doc_id, 'png' AS format,
+        |  CAST(doc_id % 640 + 1 AS BIGINT) AS width,
+        |  CAST(doc_id % 480 + 1 AS BIGINT) AS height
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_pivot_api" ->
+      s"""SELECT o_orderpriority,
+         |  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN ${dec("o_totalprice")} END) AS DOUBLE) AS open_total,
+         |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN ${dec("o_totalprice")} END) AS DOUBLE) AS filled_total,
+         |  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN ${dec("o_totalprice")} END) AS DOUBLE) AS pending_total
+         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_scalar_subquery" ->
+      """SELECT o_orderkey, o_totalprice,
+        |  (SELECT COUNT(*) FROM lineitem WHERE l_orderkey = o_orderkey) AS n_items
+        |FROM orders
+        |WHERE o_custkey < 50
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_embed_stats" ->
+      """WITH flat AS (
+        |  SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings
+        |), norms AS (
+        |  SELECT vec_id, label, sqrt(SUM(x*x)) AS nrm, COUNT(*) AS dim
+        |  FROM flat GROUP BY vec_id, label
+        |)
+        |SELECT label, COUNT(*) AS n_vecs, CAST(MIN(dim) AS BIGINT) AS dim,
+        |  MIN(nrm) AS min_norm, MAX(nrm) AS max_norm,
+        |  MIN(vec_id) AS min_id, MAX(vec_id) AS max_id
+        |FROM norms GROUP BY label ORDER BY label""".stripMargin,
     "dedup_fuzzy_edit" ->
       """WITH base AS (
         |  SELECT doc_id, text, source, length(text) AS len

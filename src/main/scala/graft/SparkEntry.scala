@@ -52,6 +52,9 @@ object SparkEntry {
     "q_corr_stats" -> (QueriesExt.qCorrStats _),
     "q_range_join" -> (QueriesExt.qRangeJoin _),
     "q_array_ops" -> (QueriesExt.qArrayOps _),
+    "q_pivot_api" -> (QueriesExt.qPivotApi _),
+    "q_scalar_subquery" -> (QueriesExt.qScalarSubquery _),
+    "q_embed_stats" -> (QueriesExt.qEmbedStats _),
     // §2.5 text analysis
     "text_tokens" -> (QueriesData.textTokens _),
     "text_repetition" -> (QueriesExt.textRepetition _),
@@ -74,6 +77,7 @@ object SparkEntry {
     // §2.6 multimodal
     "mm_binary_meta" -> (QueriesData.mmBinaryMeta _),
     "mm_frame_sample" -> (QueriesData.mmFrameSample _),
+    "mm_image_meta" -> (QueriesExt.mmImageMeta _),
     // §2.7 streaming
     "stream_window_agg" -> (QueriesData.streamWindowAgg _),
     "stream_cdc_apply" -> (QueriesData.streamCdcApply _),

@@ -1,0 +1,49 @@
+package graft.multimodal
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class ImageHeaderSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def hexBytes(h: String): Array[Byte] =
+    h.replaceAll("\\s", "").grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+
+  // minimal real headers: PNG 3×2, GIF 5×4, BMP 7×6, JPEG (SOF0) 9×8
+  val png = hexBytes("89504E470D0A1A0A 0000000D 49484452 00000003 00000002 08 06 000000")
+  val gif = hexBytes("474946383961 0500 0400 00 00 00")
+  val bmp = hexBytes("424D 46000000 00000000 36000000 28000000 07000000 06000000 0100")
+  // SOI, APP0 (len 16), SOF0: len 11, prec 8, height 8, width 9, 1 comp
+  val jpeg = hexBytes("FFD8 FFE0 0010 4A46494600 0101 00 0001 0001 00 00" +
+    " FFC0 000B 08 0008 0009 01 01 1100")
+
+  test("parses png/gif/bmp/jpeg dimensions; rejects garbage") {
+    val rows = Seq(
+      (1L, png), (2L, gif), (3L, bmp), (4L, jpeg),
+      (5L, "not an image".getBytes("UTF-8")), (6L, Array.empty[Byte]))
+      .toDF("id", "payload")
+      .select(col("id"), ImageHeader.image_meta(col("payload")).as("m"))
+      .select(col("id"), col("m.format"), col("m.width"), col("m.height"))
+      .as[(Long, Option[String], Option[Int], Option[Int])]
+      .collect().map { case (k, v1, v2, v3) => k -> ((v1, v2, v3)) }.toMap
+    assert(rows(1L) == ((Some("png"), Some(3), Some(2))))
+    assert(rows(2L) == ((Some("gif"), Some(5), Some(4))))
+    assert(rows(3L) == ((Some("bmp"), Some(7), Some(6))))
+    assert(rows(4L) == ((Some("jpeg"), Some(9), Some(8))))
+    assert(rows(5L)._1.isEmpty && rows(6L)._1.isEmpty)
+  }
+
+  test("top-down BMP (negative height) reports absolute height") {
+    val topDown = bmp.clone()
+    // height at offset 22, little-endian: -6
+    val neg = java.nio.ByteBuffer.allocate(4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(-6).array()
+    System.arraycopy(neg, 0, topDown, 22, 4)
+    val got = Seq((1L, topDown)).toDF("id", "payload")
+      .select(ImageHeader.image_meta(col("payload")).as("m"))
+      .select(col("m.height")).as[Int].head()
+    assert(got == 6)
+  }
+}

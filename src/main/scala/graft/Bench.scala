@@ -25,9 +25,13 @@ object Bench {
     // the heavy dedup/similarity plans (ngram verification: 4×)
     val spark = GraftSession.get(cpus.toInt)
     // JVM/codegen + page-cache warmup so the first timed query measures
-    // steady-state throughput, not one-time session costs
+    // steady-state throughput, not one-time session costs. The sf0.001 pass
+    // of two representative queries JITs the join/agg/codegen machinery the
+    // profile's first alphabetical entries (ann_*) would otherwise pay for.
     Seq("region", "lineitem", "orders", "events").foreach(t =>
       graft.sources.Tables.load(spark, sfDir, t).count())
+    Seq("ann_bruteforce_topk", "q1_pricing_summary").foreach(q =>
+      SparkEntry.queries(q)(spark, "/root/testdata/sf0.001").count())
     val names =
       if (sys.env.contains("SPARK_GRAFT_BENCH_ALL")) SparkEntry.queries.keys.toSeq.sorted
       else headline.filter(SparkEntry.queries.contains)

@@ -34,6 +34,16 @@ object NativeExpressions {
     ColumnBridge.column(
       SortedIntersectCount(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
+  /** Pins an expensive expression to the operator where it's written:
+    * reports non-deterministic (it is actually pure), so predicate pushdown
+    * won't substitute it into a join condition and CollapseProject won't
+    * duplicate it into every use site. Use on costly per-row computations
+    * (similarity verification, decode) whose filter would otherwise be
+    * pushed below the projection that computes them once.
+    */
+  def fenced(c: Column): Column =
+    ColumnBridge.column(OptimizerFence(ColumnBridge.expression(c)))
+
   /** Packed hyperplane sign bits per LSH band: element b of the result is
     * Σ_i [Σ_j emb(j)·planes(b,i,j) ≥ 0]·2^i. A loop in generated code —
     * the equivalent builtin-expression tree unrolls bands×bits×dim terms
@@ -187,6 +197,27 @@ case class SortedIntersectCount(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(newLeft: Expression,
                                                  newRight: Expression): SortedIntersectCount =
     copy(left = newLeft, right = newRight)
+}
+
+/** Identity wrapper marked non-deterministic to stop optimizer rules
+  * (predicate pushdown, project collapse) from moving or duplicating the
+  * wrapped computation. Pure passthrough in both eval and codegen.
+  */
+case class OptimizerFence(child: Expression) extends UnaryExpression {
+  override lazy val deterministic: Boolean = false
+  override def dataType: DataType = child.dataType
+  override def nullable: Boolean = child.nullable
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    child.eval(input)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    ev.copy(code = c.code, isNull = c.isNull, value = c.value)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): OptimizerFence =
+    copy(child = newChild)
 }
 
 /** Packed sign bits of hyperplane projections, one int per band.

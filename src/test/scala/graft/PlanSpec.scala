@@ -53,6 +53,33 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("*("), s"expected codegen spans in final plan:\n$plan")
   }
 
+  test("range join plans as a hash equi-join on buckets, not a nested loop") {
+    val plan = planOf("q_range_join")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"bucketed band join must not plan a nested loop:\n$plan")
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"))
+  }
+
+  test("ngram verification keeps the merge scan out of the join condition") {
+    val df = SparkEntry.queries("dedup_ngram_jaccard")(spark, dir)
+    // sparkPlan (pre-AQE): join conditions are fixed before adaptive re-planning
+    val joins = df.queryExecution.sparkPlan.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j }
+    assert(joins.nonEmpty)
+    joins.foreach { j =>
+      assert(!j.condition.exists(_.toString.toLowerCase.contains("sortedintersectcount")),
+        "the O(n) verify expression must stay in a post-join projection, " +
+          s"not run per probed pair inside the join: ${j.condition}")
+    }
+  }
+
+  test("image metadata decode stays inside whole-stage codegen") {
+    val df = SparkEntry.queries("mm_image_meta")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("*("), s"expected codegen spans:\n$plan")
+  }
+
   test("salted skew agg is a two-phase aggregate (partial then final)") {
     val df = SparkEntry.queries("q_skew_agg")(spark, dir)
     val plan = df.queryExecution.executedPlan.toString()

@@ -20,4 +20,22 @@ class ApproxDistinctSpec extends AnyFunSuite {
     val approx = r.getAs[Long]("approx").toDouble
     assert(math.abs(approx - exact) / exact < 0.06, s"exact=$exact approx=$approx")
   }
+
+  test("approx_percentile within rank-error bound of exact quantiles") {
+    // R17's approximate half: the sketch (Greenwald-Khanna) guarantees rank
+    // error <= accuracy^-1; with accuracy 1000 on ~6k rows the estimate must
+    // land within ±1% of the true rank neighborhood. Values are integers
+    // 1..50, so compare via the exact CDF.
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select(col("l_quantity").cast("double").as("q"))
+    val n = li.count().toDouble
+    val approx = li.agg(expr("approx_percentile(q, array(0.25, 0.5, 0.75), 1000)"))
+      .head().getSeq[Double](0)
+    Seq(0.25, 0.5, 0.75).zip(approx).foreach { case (p, est) =>
+      val rankBelow = li.filter(col("q") < est).count() / n
+      val rankAtOrBelow = li.filter(col("q") <= est).count() / n
+      assert(rankBelow - 0.011 <= p && p <= rankAtOrBelow + 0.011,
+        s"p=$p est=$est rankBelow=$rankBelow rankAtOrBelow=$rankAtOrBelow")
+    }
+  }
 }

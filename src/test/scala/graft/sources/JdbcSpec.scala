@@ -32,4 +32,19 @@ class JdbcSpec extends AnyFunSuite {
     assert(back.rdd.getNumPartitions == 4)
     assert(back.count() == 100)
   }
+
+  test("filters push down into the database query, not a post-scan filter") {
+    import org.apache.spark.sql.functions.col
+    val df = (1 to 50).map(i => (i.toLong, i * 2.0)).toDF("id", "amount")
+    Jdbc.write(df, conn, "t_push")
+    val q = Jdbc.read(spark, conn, "t_push").filter(col("id") > 40)
+    // JDBCRelation reports its pushed predicates in the scan node — the
+    // WHERE clause ships to the database (Oracle at the reference; Derby
+    // here) instead of filtering 100 TB post-transfer
+    val scan = q.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.RowDataSourceScanExec => s }.head
+    assert(scan.metadata("PushedFilters").contains("id"),
+      s"expected id predicate in PushedFilters: ${scan.metadata}")
+    assert(q.count() == 10)
+  }
 }

@@ -1,6 +1,7 @@
 package graft
 
-import graft.functions.{RollingHash, VecDot}
+import graft.functions.{RollingHash, SortedIntersectCount, VecDot}
+import graft.multimodal.ImageMetaExpr
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -24,5 +25,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
       (exprs: Seq[Expression]) => VecDot(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("sorted_intersect_count"),
+      new ExpressionInfo(classOf[SortedIntersectCount].getName, "sorted_intersect_count"),
+      (exprs: Seq[Expression]) => SortedIntersectCount(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("image_meta"),
+      new ExpressionInfo(classOf[ImageMetaExpr].getName, "image_meta"),
+      (exprs: Seq[Expression]) => ImageMetaExpr(exprs.head)))
   }
 }

@@ -122,6 +122,18 @@ object Pipeline {
     (t2, s2.select(t2.columns.map(col): _*))
   }
 
+  /** The DDL a SQL target (the reference's Oracle schema) would need before
+    * [[alignSchemas]]-shaped data lands: ADD for source-added columns,
+    * nothing for source-dropped columns (replicas retain them). Types come
+    * from [[SchemaClone.sqlType]] — the same mapping the full clone uses.
+    */
+  def migrationDdl(target: DataFrame, staged: DataFrame, table: String): Seq[String] = {
+    val tCols = target.schema.fieldNames.toSet
+    staged.schema.fields.toSeq.filterNot(f => tCols.contains(f.name)).map { f =>
+      s"ALTER TABLE $table ADD ${f.name} ${SchemaClone.sqlType(f.dataType)}"
+    }
+  }
+
   /** Parquet-directory replica store: each table a subdirectory. The local
     * stand-in for "target Oracle schema" — at scale this is the lakehouse
     * path and writes are partitioned.

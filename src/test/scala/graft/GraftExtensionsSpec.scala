@@ -17,4 +17,19 @@ class GraftExtensionsSpec extends AnyFunSuite {
       .head().getAs[Double]("d")
     assert(got == 11.0)
   }
+
+  test("sorted_intersect_count is callable from SQL") {
+    val got = spark.sql(
+      "SELECT sorted_intersect_count(array(1L, 3L, 5L), array(3L, 4L, 5L)) AS n")
+      .head().getAs[Long]("n")
+    assert(got == 2L)
+  }
+
+  test("image_meta is callable from SQL") {
+    val got = spark.sql(
+      """SELECT image_meta(unhex('89504E470D0A1A0A0000000D49484452' ||
+        |  '00000003000000020806000000')).width AS w""".stripMargin)
+      .head().getAs[Int]("w")
+    assert(got == 3)
+  }
 }

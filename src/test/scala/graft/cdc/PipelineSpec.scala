@@ -85,6 +85,15 @@ class PipelineSpec extends AnyFunSuite {
     assert(got == Seq((1L, "alice", None), (2L, "bob", Some("gold"))))
   }
 
+  test("migrationDdl emits ADD for source-added columns only") {
+    val target = Seq((1L, "a")).toDF("id", "name")
+    val staged = Seq((2L, 3.5, true)).toDF("id", "score", "active") // name dropped
+    val ddl = Pipeline.migrationDdl(target, staged, "CUST")
+    assert(ddl == Seq(
+      "ALTER TABLE CUST ADD score DOUBLE",
+      "ALTER TABLE CUST ADD active BOOLEAN"))
+  }
+
   test("a failing table is isolated; the run continues (reference :348-352)") {
     val dir = Files.createTempDirectory("graft_pipe2").toString
     val target = new Pipeline.ParquetTarget(spark, dir)

@@ -258,10 +258,13 @@ object QueriesExt {
       col("source"), col("len").as("len_a"))
     val b = base.select(col("doc_id").as("id_b"), col("text").as("text_b"),
       col("source").as("source_b"), col("len").as("len_b"))
+    // 3-arg levenshtein runs the banded DP with early exit (-1 beyond the
+    // bound): O(k·len) per pair instead of O(len²); equal to the exact
+    // distance whenever it's within the bound
     a.join(b, col("source") === col("source_b") && col("id_a") < col("id_b") &&
         abs(col("len_a") - col("len_b")) <= 10)
-      .withColumn("dist", levenshtein(col("text_a"), col("text_b")).cast("long"))
-      .filter(col("dist") <= 30)
+      .withColumn("dist", levenshtein(col("text_a"), col("text_b"), 30).cast("long"))
+      .filter(col("dist") >= 0 && col("dist") <= 30)
       .select(col("id_a"), col("id_b"), col("dist"))
       .orderBy(col("id_a"), col("id_b"))
   }

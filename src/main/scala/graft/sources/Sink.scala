@@ -36,4 +36,37 @@ object Sink {
     (if (format == "csv") r.option("header", "true").option("inferSchema", "true")
      else r).load(path)
   }
+
+  /** Small-file compaction: rewrite a parquet directory into files of
+    * ~`targetFileBytes`. Incremental pipelines (the CDC merge loop) leave
+    * one small file per micro-batch/run; at 100 TB the resulting
+    * million-file listings and sub-rowgroup reads dominate scan cost, so
+    * compaction is a first-class maintenance op. File count comes from the
+    * on-disk byte size (data is already encoded+compressed, so bytes/file
+    * translate directly); the rewrite goes through a temp dir + atomic-ish
+    * swap like ParquetTarget.
+    */
+  def compactParquet(spark: org.apache.spark.sql.SparkSession, path: String,
+                     targetFileBytes: Long = 128L * 1024 * 1024): Long = {
+    val dir = new java.io.File(path)
+    val bytes = Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".parquet")).map(_.length()).sum
+    val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes)
+    val tmp = s"$path/.compact_tmp"
+    spark.read.parquet(path).repartition(nFiles.toInt)
+      .write.mode(SaveMode.Overwrite).parquet(tmp)
+    val keep = new java.io.File(tmp).listFiles()
+      .filter(f => f.getName.endsWith(".parquet") || f.getName.startsWith("_SUCCESS"))
+    Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && (f.getName.endsWith(".parquet") || f.getName.startsWith("_")))
+      .foreach(_.delete())
+    keep.foreach(f => f.renameTo(new java.io.File(dir, f.getName)))
+    delete(new java.io.File(tmp))
+    nFiles
+  }
+
+  private def delete(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(delete)
+    f.delete()
+  }
 }

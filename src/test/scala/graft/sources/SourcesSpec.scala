@@ -44,4 +44,18 @@ class SourcesSpec extends AnyFunSuite {
       graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "events")
         .filter(col("event_type") === "click").count())
   }
+
+  test("compaction collapses a many-small-files table, same rows") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    val events = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "events")
+    events.repartition(40).write.mode("overwrite").parquet(dir) // 40 tiny files
+    val before = spark.read.parquet(dir)
+    val beforeRows = before.count()
+    assert(before.inputFiles.length == 40)
+    val written = Sink.compactParquet(spark, dir, targetFileBytes = 512L * 1024)
+    val after = spark.read.parquet(dir)
+    assert(after.inputFiles.length.toLong == written)
+    assert(after.inputFiles.length < 40, "file count must shrink")
+    assert(after.count() == beforeRows, "no rows may be lost")
+  }
 }

@@ -227,6 +227,21 @@ object QueriesExt {
       .orderBy(col("label"))
   }
 
+  /** R28: resample + forward fill — hourly grid per user between first and
+    * last event, gaps carrying the last observed hourly value sum.
+    */
+  def qResampleFfill(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events").filter(col("user_id") < 10)
+    val obs = e.groupBy(col("user_id"),
+        floor(unix_timestamp(ts(col("ts"))) / 3600).cast("long").as("bh"))
+      .agg(sum(d12(col("value"))).as("v"))
+    graft.operators.Resample.forwardFill(obs, col("user_id"), col("bh"), col("v"))
+      .select(col("key").as("user_id"), col("bucket").as("bucket_hour"),
+        col("value").isNotNull.as("is_observed"),
+        col("filled").cast("double").as("filled_value"))
+      .orderBy(col("user_id"), col("bucket_hour"))
+  }
+
   /** M3: image metadata decode. Payloads are deterministic synthetic PNGs
     * (magic + IHDR with dimensions derived from doc_id), parsed back by the
     * native header decoder — the oracle checks construct→parse as an
@@ -374,6 +389,19 @@ object QueriesExt {
         |        ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rn
         |      FROM scored) t
         |WHERE rn <= 3 ORDER BY doc_id, rnk""".stripMargin,
+    "q_resample_ffill" ->
+      s"""WITH obs AS (
+         |  SELECT user_id AS k, CAST(floor(epoch(ts)/3600) AS BIGINT) AS b,
+         |    SUM(${dec("value")}) AS v
+         |  FROM events WHERE user_id < 10 GROUP BY 1, 2
+         |), bounds AS (SELECT k, MIN(b) AS b0, MAX(b) AS b1 FROM obs GROUP BY k),
+         |grid AS (SELECT k, unnest(generate_series(b0, b1)) AS b FROM bounds),
+         |j AS (SELECT g.k, g.b, o.v FROM grid g
+         |      LEFT JOIN obs o ON o.k = g.k AND o.b = g.b)
+         |SELECT k AS user_id, b AS bucket_hour, (v IS NOT NULL) AS is_observed,
+         |  CAST(last_value(v IGNORE NULLS) OVER (PARTITION BY k ORDER BY b
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS filled_value
+         |FROM j ORDER BY user_id, bucket_hour""".stripMargin,
     "mm_image_meta" ->
       """SELECT doc_id, 'png' AS format,
         |  CAST(doc_id % 640 + 1 AS BIGINT) AS width,

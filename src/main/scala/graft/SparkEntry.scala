@@ -55,6 +55,7 @@ object SparkEntry {
     "q_pivot_api" -> (QueriesExt.qPivotApi _),
     "q_scalar_subquery" -> (QueriesExt.qScalarSubquery _),
     "q_embed_stats" -> (QueriesExt.qEmbedStats _),
+    "q_resample_ffill" -> (QueriesExt.qResampleFfill _),
     // §2.5 text analysis
     "text_tokens" -> (QueriesData.textTokens _),
     "text_repetition" -> (QueriesExt.textRepetition _),

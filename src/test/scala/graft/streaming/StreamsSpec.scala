@@ -22,6 +22,44 @@ class StreamsSpec extends AnyFunSuite {
     assert(got == Seq((h0, "a", 2L, 3.0), (h0, "b", 1L, 8.0), (h0 + 1, "a", 1L, 4.0)))
   }
 
+  test("dedup state survives a query restart via checkpoint (exactly-once)") {
+    import java.nio.file.Files
+    val in = Files.createTempDirectory("graft_ckpt_in").toString
+    val out = Files.createTempDirectory("graft_ckpt_out").toString
+    val ckpt = Files.createTempDirectory("graft_ckpt_state").toString
+    val schema = Seq((0L, "x")).toDF("id", "fp").schema
+
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema(schema).parquet(in)
+        .dropDuplicates(Seq("fp"))
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .format("parquet").option("path", out).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+
+    // the file-stream source lists plain files under `in` (not nested
+    // write dirs) — stage each batch and move its part file in
+    def addBatch(n: Int, rows: Seq[(Long, String)]): Unit = {
+      val tmp = Files.createTempDirectory(s"graft_ckpt_b$n").toString
+      rows.toDF("id", "fp").coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      part.renameTo(new java.io.File(s"$in/batch$n.parquet"))
+    }
+
+    addBatch(1, Seq((1L, "f1"), (2L, "f2"), (3L, "f3")))
+    runOnce()
+    // second run: two already-seen fingerprints + one new — the restart
+    // must recover dedup state from the checkpoint, not re-emit f2/f3
+    addBatch(2, Seq((4L, "f2"), (5L, "f3"), (6L, "f4")))
+    runOnce()
+
+    val got = spark.read.parquet(out).select("fp").as[String].collect().toSeq.sorted
+    assert(got == Seq("f1", "f2", "f3", "f4"),
+      s"each fingerprint exactly once across restarts, got $got")
+  }
+
   test("cdcApply merges a streamed delta into the target") {
     val target = Seq((1L, "v1", "N"), (2L, "v2", "N")).toDF("id", "v", "is_deleted")
     val delta = Seq((2L, "v2b", "N"), (3L, "v3", "N"), (1L, "v1", "Y"))

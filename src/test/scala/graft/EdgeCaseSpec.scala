@@ -82,4 +82,50 @@ class EdgeCaseSpec extends AnyFunSuite {
       .select("v").as[String].head()
     assert(got == "b") // higher tiebreak wins
   }
+
+  test("blocked ngram jaccard: docs too short for any gram drop out cleanly") {
+    val docs = Seq((1L, "ab", "s"), (2L, "abcdefgh", "s"), (3L, "abcdefgh", "s"))
+      .toDF("doc_id", "text", "source")
+    val got = Dedup.ngramJaccardPairsBlocked(
+        docs, col("doc_id"), col("text"), col("source"), 3, 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((2L, 3L))) // the 2-char doc pairs with nothing
+  }
+
+  test("blocked ngram jaccard: identical docs in different blocks never pair") {
+    val docs = Seq((1L, "abcdefgh", "s1"), (2L, "abcdefgh", "s2"))
+      .toDF("doc_id", "text", "source")
+    assert(Dedup.ngramJaccardPairsBlocked(
+      docs, col("doc_id"), col("text"), col("source"), 3, 0.5).count() == 0)
+  }
+
+  test("forwardFill: single observation per key fills a one-bucket grid") {
+    val obs = Seq((1L, 5L, 2.5)).toDF("k", "b", "v")
+    val got = graft.operators.Resample.forwardFill(obs, col("k"), col("b"), col("v"))
+      .select("key", "bucket", "filled").as[(Long, Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 5L, 2.5)))
+  }
+
+  test("forwardFill: gap buckets carry the last value, not null") {
+    val obs = Seq((1L, 1L, 10.0), (1L, 4L, 20.0)).toDF("k", "b", "v")
+    val got = graft.operators.Resample.forwardFill(obs, col("k"), col("b"), col("v"))
+      .orderBy("bucket").select("bucket", "filled")
+      .as[(Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 10.0), (2L, 10.0), (3L, 10.0), (4L, 20.0)))
+  }
+
+  test("image_meta null payload in, null out") {
+    val got = Seq((1L, Option.empty[Array[Byte]]), (2L, Some("x".getBytes("UTF-8"))))
+      .toDF("id", "p")
+      .select(graft.multimodal.ImageHeader.image_meta(col("p")).as("m"))
+      .select(col("m").isNull).as[Boolean].collect().toSeq
+    assert(got == Seq(true, true)) // null payload and garbage both yield null
+  }
+
+  test("minhash signature of an empty-shingle doc is absent, not an error") {
+    val docs = Seq((1L, "one two"), (2L, "one two three four")).toDF("doc_id", "text")
+    // doc 1 has no 3-word shingle → no signature row
+    val sigs = Dedup.minhashSignatureTable(docs, col("doc_id"), col("text"), 3, 4)
+    assert(sigs.select("doc_id").as[Long].collect().toSeq == Seq(2L))
+  }
 }

@@ -57,21 +57,16 @@ object TextFunctions {
   private def canonicalize(text: Column): Column =
     trim(regexp_replace(lower(text), "\\s+", " "))
 
-  /** Character n-gram shingles of the text (positions 1..len-n+1). */
+  /** Character n-gram shingles of the text (positions 1..len-n+1).
+    * Native loop codegen ([[ShingleExpressions]]); the builtin HOF
+    * formulation it replaced is kept in spec as the semantic reference.
+    */
   def charShingles(text: Column, n: Int): Column =
-    filter(
-      transform(sequence(lit(1), greatest(length(text) - lit(n - 1), lit(1))),
-        i => text.substr(i, lit(n))),
-      g => length(g) === lit(n))
+    ShingleExpressions.char_shingles(text, n)
 
-  /** Word n-gram shingles. */
-  def wordShingles(text: Column, n: Int): Column = {
-    val ts = tokens(text)
-    filter(
-      transform(sequence(lit(0), greatest(size(ts) - lit(n), lit(0))),
-        i => concat_ws(" ", slice(ts, i + lit(1), lit(n)))),
-      g => size(split(g, " ")) === lit(n))
-  }
+  /** Word n-gram shingles (native loop codegen, see [[charShingles]]). */
+  def wordShingles(text: Column, n: Int): Column =
+    ShingleExpressions.word_shingles(text, n)
 
   /** Deterministic argmax over per-language scores: highest score wins,
     * smallest language code breaks ties.

@@ -53,7 +53,7 @@ object Dedup {
     */
   def minhashSignature(text: Column, shingleWords: Int, k: Int): Column = {
     val hashes = transform(array_distinct(wordShingles(text, shingleWords)),
-      g => conv(substring(md5(g), 1, 6), 16, 10).cast("long"))
+      g => graft.functions.NativeExpressions.md5_prefix24(g))
     val sig = (0 until k).map { seed =>
       val (a, b) = minhashCoeff(seed)
       array_min(transform(hashes, h => (h * a + b) % MinhashP))
@@ -90,7 +90,7 @@ object Dedup {
       .select(col("doc_id"),
         explode(array_distinct(wordShingles(col("__text"), shingleWords))).as("g"))
       .select(col("doc_id"),
-        conv(substring(md5(col("g")), 1, 6), 16, 10).cast("long").as("gh"))
+        graft.functions.NativeExpressions.md5_prefix24(col("g")).as("gh"))
     val mins = (0 until k).map { seed =>
       val (a, b) = minhashCoeff(seed)
       min((col("gh") * a + b) % MinhashP).as(s"h$seed")
@@ -135,7 +135,7 @@ object Dedup {
     require(nbits >= 1 && nbits <= 24, "nbits in [1,24]")
     // 6 hex chars = 24 bits of md5 per token, as an int via conv()
     val tokenBits = transform(tokens(text),
-      t => conv(substring(md5(t), 1, 6), 16, 10).cast("long"))
+      t => graft.functions.NativeExpressions.md5_prefix24(t))
     val bitCols = (0 until nbits).map { b =>
       val votes = aggregate(tokenBits, lit(0L),
         (acc, h) => acc + when(shiftright(h, b).bitwiseAND(1) === 1, 1L).otherwise(-1L))
@@ -157,7 +157,7 @@ object Dedup {
   def simhashTable(docs: DataFrame, id: Column, text: Column, nbits: Int): DataFrame = {
     require(nbits >= 1 && nbits <= 24, "nbits in [1,24]")
     val tok = docs.select(id.as("doc_id"), explode(tokens(text)).as("t"))
-      .withColumn("h", conv(substring(md5(col("t")), 1, 6), 16, 10).cast("long"))
+      .withColumn("h", graft.functions.NativeExpressions.md5_prefix24(col("t")))
     val votes = (0 until nbits).map(b =>
       sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"v$b"))
     val fp = (0 until nbits)

@@ -34,6 +34,15 @@ object NativeExpressions {
     ColumnBridge.column(
       SortedIntersectCount(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
+  /** First 24 bits of md5 as a long — bit-identical to
+    * conv(substring(md5(c), 1, 6), 16, 10) (the hex prefix IS the first
+    * three digest bytes) without materializing the 32-char hex string,
+    * substring, or base-16 parse. The portable gram/token hash of the
+    * dedup family (minhash, simhash).
+    */
+  def md5_prefix24(c: Column): Column =
+    ColumnBridge.column(Md5Prefix24(ColumnBridge.expression(c)))
+
   /** Pins an expensive expression to the operator where it's written:
     * reports non-deterministic (it is actually pure), so predicate pushdown
     * won't substitute it into a join condition and CollapseProject won't
@@ -197,6 +206,43 @@ case class SortedIntersectCount(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(newLeft: Expression,
                                                  newRight: Expression): SortedIntersectCount =
     copy(left = newLeft, right = newRight)
+}
+
+/** First three md5 digest bytes of the input string's UTF-8 bytes, as a
+  * non-negative long in [0, 2^24).
+  */
+case class Md5Prefix24(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes() = {
+    require(child.dataType == StringType, s"md5_prefix24 needs string, got ${child.dataType}")
+    super.checkInputDataTypes()
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    Md5Prefix24.hash(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.Md5Prefix24.hash($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Md5Prefix24 =
+    copy(child = newChild)
+}
+
+object Md5Prefix24 {
+  private val digests = ThreadLocal.withInitial(
+    new java.util.function.Supplier[java.security.MessageDigest] {
+      override def get(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    })
+
+  def hash(u: UTF8String): Long = {
+    val md = digests.get()
+    md.reset()
+    val d = md.digest(u.getBytes)
+    ((d(0) & 0xffL) << 16) | ((d(1) & 0xffL) << 8) | (d(2) & 0xffL)
+  }
 }
 
 /** Identity wrapper marked non-deterministic to stop optimizer rules

@@ -227,6 +227,39 @@ object QueriesExt {
       .orderBy(col("label"))
   }
 
+  /** R29: bag-semantics set ops (INTERSECT ALL / EXCEPT ALL) — duplicate
+    * multiplicity preserved, unlike the distinct variants in q_set_ops.
+    */
+  def qSetOpsAll(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").select((col("o_custkey") % 100).as("k"))
+    val e = t(s, dir, "events").select((col("user_id") % 100).as("k"))
+    def cnt(df: DataFrame, label: String) =
+      df.agg(count(lit(1)).as("n")).withColumn("bucket", lit(label))
+        .select(col("bucket"), col("n"))
+    cnt(o.intersectAll(e), "inter_all")
+      .unionByName(cnt(o.exceptAll(e), "except_all"))
+      .orderBy(col("bucket"))
+  }
+
+  /** R30: math function kit — only ops with exact or correctly-rounded
+    * IEEE semantics in both engines (abs/sign/mod/floor/ceil/round/sqrt);
+    * transcendentals (exp/ln/trig) are NOT correctly rounded and are
+    * deliberately excluded from cross-engine hashing.
+    */
+  def qMathFuncs(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").filter(col("l_orderkey") < 500)
+    li.select(col("l_orderkey"), col("l_linenumber"),
+        abs(col("l_quantity") - 25).as("abs_dev"),
+        signum(col("l_quantity") - 25).cast("long").as("sign_dev"),
+        (col("l_orderkey") % 7).cast("long").as("mod7"),
+        floor(col("l_extendedprice") / 100).cast("long").as("price_floor"),
+        ceil(col("l_extendedprice") / 100).cast("long").as("price_ceil"),
+        round(col("l_discount") * 100).cast("long").as("disc_pct"),
+        sqrt(col("l_quantity")).as("sqrt_qty"),
+        (col("l_quantity") * col("l_quantity")).as("qty_sq"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
   /** R28: resample + forward fill — hourly grid per user between first and
     * last event, gaps carrying the last observed hourly value sum.
     */
@@ -389,6 +422,25 @@ object QueriesExt {
         |        ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rn
         |      FROM scored) t
         |WHERE rn <= 3 ORDER BY doc_id, rnk""".stripMargin,
+    "q_set_ops_all" ->
+      """SELECT 'except_all' AS bucket, COUNT(*) AS n FROM
+        |  (SELECT o_custkey % 100 AS k FROM orders EXCEPT ALL SELECT user_id % 100 FROM events) t
+        |UNION ALL
+        |SELECT 'inter_all' AS bucket, COUNT(*) AS n FROM
+        |  (SELECT o_custkey % 100 AS k FROM orders INTERSECT ALL SELECT user_id % 100 FROM events) t
+        |ORDER BY bucket""".stripMargin,
+    "q_math_funcs" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  abs(l_quantity - 25) AS abs_dev,
+        |  CAST(sign(l_quantity - 25) AS BIGINT) AS sign_dev,
+        |  CAST(l_orderkey % 7 AS BIGINT) AS mod7,
+        |  CAST(floor(l_extendedprice / 100) AS BIGINT) AS price_floor,
+        |  CAST(ceil(l_extendedprice / 100) AS BIGINT) AS price_ceil,
+        |  CAST(round(l_discount * 100) AS BIGINT) AS disc_pct,
+        |  sqrt(l_quantity) AS sqrt_qty,
+        |  l_quantity * l_quantity AS qty_sq
+        |FROM lineitem WHERE l_orderkey < 500
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q_resample_ffill" ->
       s"""WITH obs AS (
          |  SELECT user_id AS k, CAST(floor(epoch(ts)/3600) AS BIGINT) AS b,

@@ -56,6 +56,8 @@ object SparkEntry {
     "q_scalar_subquery" -> (QueriesExt.qScalarSubquery _),
     "q_embed_stats" -> (QueriesExt.qEmbedStats _),
     "q_resample_ffill" -> (QueriesExt.qResampleFfill _),
+    "q_set_ops_all" -> (QueriesExt.qSetOpsAll _),
+    "q_math_funcs" -> (QueriesExt.qMathFuncs _),
     // §2.5 text analysis
     "text_tokens" -> (QueriesData.textTokens _),
     "text_repetition" -> (QueriesExt.textRepetition _),

@@ -275,6 +275,44 @@ object QueriesExt {
       .orderBy(col("user_id"), col("bucket_hour"))
   }
 
+  /** T8: stratified deterministic sampling — an independent md5-coin per
+    * row with a per-stratum acceptance threshold (here: lang, rarer
+    * languages kept at higher rates). Reproducible on any engine, no
+    * global sort, no per-stratum pass; the hash filter pushes into the
+    * scan like any predicate.
+    */
+  def textSampleStratified(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    // acceptance threshold on the first 2 hex chars of the row coin
+    val coin = substring(md5(concat_ws(":", col("doc_id"), col("lang"))), 1, 2)
+    val thresh = when(col("lang") === "en", lit("20")) // ~12.5%
+      .when(col("lang") === "de", lit("40"))           // ~25%
+      .otherwise(lit("80"))                            // ~50%
+    d.filter(coin < thresh)
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** T9: sequence packing — assign docs to fixed token-budget chunks, per
+    * source, in doc order: a doc's chunk is its starting token offset
+    * divided by the budget (contiguous fill; a doc that crosses a boundary
+    * opens the next chunk's worth but is never split). One window cumsum
+    * per source — the standard way to pack a 100 TB corpus into training
+    * sequences without a driver-side loop.
+    */
+  def textPackSequences(s: SparkSession, dir: String): DataFrame = {
+    val budget = 256L
+    val d = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d.withColumn("cum", sum(col("n_tokens")).over(w))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        ((col("cum") - col("n_tokens")) / budget).cast("long").as("chunk_id"))
+      .orderBy(col("doc_id"))
+  }
+
   /** M3: image metadata decode. Payloads are deterministic synthetic PNGs
     * (magic + IHDR with dimensions derived from doc_id), parsed back by the
     * native header decoder — the oracle checks construct→parse as an
@@ -454,6 +492,22 @@ object QueriesExt {
          |  CAST(last_value(v IGNORE NULLS) OVER (PARTITION BY k ORDER BY b
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS filled_value
          |FROM j ORDER BY user_id, bucket_hour""".stripMargin,
+    "text_sample_stratified" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE substr(md5(doc_id || ':' || lang), 1, 2) <
+        |  CASE WHEN lang = 'en' THEN '20' WHEN lang = 'de' THEN '40' ELSE '80' END
+        |ORDER BY doc_id""".stripMargin,
+    "text_pack_sequences" ->
+      """SELECT doc_id, source, n_tokens,
+        |  CAST((cum - n_tokens) // 256 AS BIGINT) AS chunk_id
+        |FROM (
+        |  SELECT doc_id, source, n_tokens,
+        |    SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM (SELECT doc_id, source,
+        |          CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens
+        |        FROM documents) t) p
+        |ORDER BY doc_id""".stripMargin,
     "mm_image_meta" ->
       """SELECT doc_id, 'png' AS format,
         |  CAST(doc_id % 640 + 1 AS BIGINT) AS width,

@@ -63,6 +63,8 @@ object SparkEntry {
     "text_repetition" -> (QueriesExt.textRepetition _),
     "text_ngram_topk" -> (QueriesExt.textNgramTopk _),
     "text_tfidf" -> (QueriesExt.textTfidf _),
+    "text_sample_stratified" -> (QueriesExt.textSampleStratified _),
+    "text_pack_sequences" -> (QueriesExt.textPackSequences _),
     "text_quality" -> (QueriesData.textQuality _),
     "text_langid" -> (QueriesData.textLangid _),
     "text_fingerprint" -> (QueriesData.textFingerprint _),

@@ -135,6 +135,23 @@ object QueriesData {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  /** S6: product-quantization ADC top-k with deterministic stride
+    * codebooks (the oracle-checkable baseline; Lloyd-trained codebooks are
+    * the quality path, recall-spec'd in PqSpec).
+    */
+  def annPqTopk(s: SparkSession, dir: String): DataFrame = {
+    import graft.similarity.Pq
+    val e = t(s, dir, "embeddings")
+    val corpus = e.select(col("vec_id").as("cand_id"), col("embedding"))
+    val queries = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val cb = Pq.strideCodebooks(corpus, m = 4, k = 16, subDim = 16, stride = 29)
+    val codes = Pq.encode(corpus, cb, m = 4, subDim = 16)
+    Pq.adcTopK(queries, codes, cb, m = 4, subDim = 16, k = 5)
+      .select(col("query_id"), col("cand_id"), col("rnk").cast("long").as("rnk"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
   // ───────────────────────── §2.6 multimodal ─────────────────────────
 
   def mmBinaryMeta(s: SparkSession, dir: String): DataFrame = {
@@ -463,6 +480,42 @@ object QueriesData {
          |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rnk
          |  FROM scored) t
          |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+    "ann_pq_topk" ->
+      """WITH flat AS (
+        |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+        |    generate_subscripts(embedding, 1) AS i
+        |  FROM embeddings
+        |), cb AS (
+        |  SELECT CAST(vec_id / 29 AS BIGINT) AS code,
+        |    CAST((i - 1) // 16 AS BIGINT) AS sub, (i - 1) % 16 AS j, x
+        |  FROM flat WHERE vec_id % 29 = 0 AND vec_id < 29 * 16
+        |), sv AS (
+        |  SELECT vec_id, CAST((i - 1) // 16 AS BIGINT) AS sub, (i - 1) % 16 AS j, x
+        |  FROM flat
+        |), d AS (
+        |  SELECT s.vec_id, s.sub, c.code, SUM((s.x - c.x) * (s.x - c.x)) AS dist
+        |  FROM sv s JOIN cb c ON c.sub = s.sub AND c.j = s.j
+        |  GROUP BY 1, 2, 3
+        |), codes AS (
+        |  SELECT vec_id AS cand_id, sub, code FROM (
+        |    SELECT vec_id, sub, code,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY dist, code) AS rn
+        |    FROM d) t WHERE rn = 1
+        |), dt AS (
+        |  SELECT vec_id AS query_id, sub, code,
+        |    CAST(floor(dist * 1048576) AS BIGINT) AS dq
+        |  FROM d WHERE vec_id < 10
+        |), scored AS (
+        |  SELECT dt.query_id, c.cand_id, CAST(SUM(dt.dq) AS BIGINT) AS adist
+        |  FROM codes c JOIN dt ON dt.sub = c.sub AND dt.code = c.code
+        |  WHERE c.cand_id <> dt.query_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT query_id, cand_id, CAST(rnk AS BIGINT) AS rnk FROM (
+        |  SELECT query_id, cand_id,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adist, cand_id) AS rnk
+        |  FROM scored) t
+        |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
     "mm_binary_meta" ->
       """SELECT doc_id AS id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
         |  CAST(octet_length(encode(text)) % 640 + 1 AS INTEGER) AS width,

@@ -79,6 +79,7 @@ object SparkEntry {
     "ann_bruteforce_topk" -> (QueriesData.annBruteforceTopk _),
     "ann_ivf_topk" -> (QueriesData.annIvfTopk _),
     "ann_lsh_topk" -> (QueriesData.annLshTopk _),
+    "ann_pq_topk" -> (QueriesData.annPqTopk _),
     // §2.6 multimodal
     "mm_binary_meta" -> (QueriesData.mmBinaryMeta _),
     "mm_frame_sample" -> (QueriesData.mmFrameSample _),

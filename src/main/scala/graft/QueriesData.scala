@@ -93,6 +93,14 @@ object QueriesData {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** D7: pair lists → duplicate clusters with a canonical keeper. */
+  def dedupCluster(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val pairs = Dedup.lshCandidates(d, col("doc_id"), col("text"),
+      shingleWords = 3, k = 12, bands = 4)
+    Dedup.connectedComponents(pairs).orderBy(col("doc_id"))
+  }
+
   def dedupEmbedCosine(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
     Ann.allPairsCosineAbove(e, "vec_id", threshold = 0.4)
@@ -279,6 +287,23 @@ object QueriesData {
     val (a, b) = graft.dedup.Dedup.minhashCoeff(k)
     s"MIN(($a * gh + $b) % ${graft.dedup.Dedup.MinhashP}) AS h$k"
   }.mkString(",\n    ")
+
+  /** Shared CTE chain: tokens → shingles → minhash table → band keys
+    * (used by the minhash pair oracle and the cluster oracle).
+    */
+  private lazy val minhashCtes: String =
+    s"""tk AS (SELECT doc_id, $toks AS ts FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS g
+       |  FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 2)) AS i FROM tk) t
+       |), mh AS (
+       |  SELECT doc_id,
+       |    $minhashCols
+       |  FROM (SELECT doc_id, ${hex6ToInt("md5(g)")} AS gh FROM sh) hsh
+       |  GROUP BY doc_id
+       |), bands AS (
+       |  $bandSelects
+       |)""".stripMargin
   private val bandSelects: String = (0 until 4).map { b =>
     val hs = (0 until 3).map(r => s"CAST(h${b * 3 + r} AS VARCHAR)").mkString(" || '|' || ")
     s"SELECT doc_id, md5($hs) AS band FROM mh"
@@ -312,21 +337,26 @@ object QueriesData {
       s"""SELECT $canon AS content_hash, COUNT(*) AS n_dups, MIN(doc_id) AS keeper_id
          |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin,
     "dedup_minhash_lsh" ->
-      s"""WITH tk AS (SELECT doc_id, $toks AS ts FROM documents),
-         |sh AS (
-         |  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS g
-         |  FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 2)) AS i FROM tk) t
-         |), mh AS (
-         |  SELECT doc_id,
-         |    $minhashCols
-         |  FROM (SELECT doc_id, ${hex6ToInt("md5(g)")} AS gh FROM sh) hsh
-         |  GROUP BY doc_id
-         |), bands AS (
-         |  $bandSelects
-         |)
+      s"""WITH $minhashCtes
          |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
          |FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
          |ORDER BY id_a, id_b""".stripMargin,
+    "dedup_cluster" ->
+      s"""WITH RECURSIVE $minhashCtes,
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+         |), sym AS (
+         |  SELECT id_a AS src, id_b AS dst FROM cand
+         |  UNION
+         |  SELECT id_b, id_a FROM cand
+         |), reach(id, lbl) AS (
+         |  SELECT src, src FROM sym
+         |  UNION
+         |  SELECT s.src, r.lbl FROM reach r JOIN sym s ON s.dst = r.id
+         |)
+         |SELECT id AS doc_id, MIN(lbl) AS cluster_id
+         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
     "dedup_simhash" ->
       s"""WITH tok AS (SELECT doc_id, unnest($toks) AS t FROM documents),
          |th AS (SELECT doc_id, ${hex6ToInt("md5(t)")} AS h FROM tok),

@@ -75,6 +75,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> (QueriesData.dedupNgramJaccard _),
     "dedup_embed_cosine" -> (QueriesData.dedupEmbedCosine _),
     "dedup_fuzzy_edit" -> (QueriesExt.dedupFuzzyEdit _),
+    "dedup_cluster" -> (QueriesData.dedupCluster _),
     // §2.4 similarity
     "ann_bruteforce_topk" -> (QueriesData.annBruteforceTopk _),
     "ann_ivf_topk" -> (QueriesData.annIvfTopk _),

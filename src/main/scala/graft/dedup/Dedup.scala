@@ -117,6 +117,42 @@ object Dedup {
       .select(col("id_a"), col("id_b")).distinct()
   }
 
+  /** Connected components over candidate duplicate pairs — the step that
+    * turns pair lists (LSH/simhash/Jaccard output) into duplicate GROUPS
+    * with one canonical keeper (the minimum id). Min-label propagation:
+    * every node starts as its own label, each round takes the min over
+    * neighbors, converging in graph-diameter rounds — duplicate clusters
+    * have tiny diameters, so a handful of joins. Each round is one
+    * edge⋈label join + groupBy min; labels are localCheckpointed so
+    * lineage doesn't stack. (For general billion-edge graphs with long
+    * chains, switch to large-star/small-star; dup clusters don't need it.)
+    *
+    * @param edges (id_a, id_b) undirected candidate pairs
+    * @return (doc_id, cluster_id) for every endpoint; cluster_id = min id
+    *         of the component
+    */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    val sym = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint(true)
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id")).localCheckpoint(true)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val nbrMin = sym.join(labels, col("dst") === col("id"))
+        .groupBy(col("src")).agg(min(col("lbl")).as("nbr_lbl"))
+      val updated = labels.join(nbrMin, col("id") === col("src"), "left")
+        .select(col("id"), col("lbl"),
+          least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("new_lbl"))
+        .localCheckpoint(true)
+      converged = updated.filter(col("new_lbl") < col("lbl")).isEmpty
+      labels = updated.select(col("id"), col("new_lbl").as("lbl"))
+      i += 1
+    }
+    labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
+  }
+
   /** Exact Jaccard similarity between two documents' distinct shingle sets
     * (used to verify LSH candidates; runs only on candidate pairs).
     */

@@ -49,6 +49,14 @@ class DedupSpec extends AnyFunSuite {
     assert(pp.nonEmpty && pp == full && blocked == full)
   }
 
+  test("connectedComponents: chains collapse to min-id clusters") {
+    // 1-2-3 via a chain (diameter 2), 4-5 separate, 6-1 closes a loop
+    val edges = Seq((1L, 2L), (2L, 3L), (4L, 5L), (6L, 1L)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 6L -> 1L, 4L -> 4L, 5L -> 4L))
+  }
+
   test("jaccard on shingle arrays") {
     val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
     val j = df.select(Dedup.jaccard(col("x"), col("y"))).as[Double].head()

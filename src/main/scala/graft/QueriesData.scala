@@ -50,9 +50,28 @@ object QueriesData {
       .orderBy(col("doc_id"))
   }
 
+  /** T3 in the corpus-scale shape: tokens exploded once, joined to the
+    * broadcast profile table, one hash aggregate, windowed argmax — all
+    * codegen'd, vs. evaluating 5 interpreted stopword filters per row
+    * (TextFunctions.langId, the per-row Column form). Same argmax +
+    * lexicographic tie-break semantics, so the oracle is unchanged.
+    */
   def textLangid(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
     val d = t(s, dir, "documents")
-    d.select(col("doc_id"), TextFunctions.langId(col("text"), langProfiles).as("lang_pred"))
+    val tok = d.select(col("doc_id"), explode(split(col("text"), " ")).as("tk"))
+    val profile = langProfiles
+      .flatMap { case (lang, ws) => ws.map(w => (lang, w)) }.toDF("lang_code", "w")
+    val hits = tok.join(broadcast(profile), col("tk") === col("w"))
+      .groupBy(col("doc_id"), col("lang_code")).agg(count(lit(1)).as("hits"))
+    val scaffold = d.select(col("doc_id"))
+      .crossJoin(broadcast(langProfiles.map(_._1).toDF("lang_code")))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(coalesce(col("hits"), lit(0L)).desc, col("lang_code"))
+    scaffold.join(hits, Seq("doc_id", "lang_code"), "left")
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("doc_id"), col("lang_code").as("lang_pred"))
       .orderBy(col("doc_id"))
   }
 

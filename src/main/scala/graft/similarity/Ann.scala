@@ -155,11 +155,17 @@ object Ann {
     * @param centroids (centroid_id, embedding)
     */
   def ivfAssign(corpus: DataFrame, centroids: DataFrame): DataFrame = {
-    val c = corpus.select(col("cand_id"), col("embedding").as("c_emb"))
-    val ct = centroids.select(col("centroid_id"), col("embedding").as("ct_emb"))
+    // norms once per row on each side — recomputing them per (row,
+    // centroid) pair re-runs a 64-element interpreted fold |centroids|
+    // times per row (same arithmetic as cosine(): dot/(na*nb), so the
+    // assignment is bit-identical)
+    val c = corpus.select(col("cand_id"), col("embedding").as("c_emb"),
+      norm(col("embedding")).as("c_nrm"))
+    val ct = centroids.select(col("centroid_id"), col("embedding").as("ct_emb"),
+      norm(col("embedding")).as("ct_nrm"))
     val scored = c.crossJoin(broadcast(ct))
       .select(col("cand_id"), col("c_emb"), col("centroid_id"),
-        cosine(col("c_emb"), col("ct_emb")).as("sim"))
+        (ddot(col("c_emb"), col("ct_emb")) / (col("c_nrm") * col("ct_nrm"))).as("sim"))
     val w = Window.partitionBy(col("cand_id")).orderBy(col("sim").desc, col("centroid_id"))
     scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") === 1)
       .select(col("cand_id"), col("c_emb").as("embedding"), col("centroid_id"))

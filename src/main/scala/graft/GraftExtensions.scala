@@ -1,7 +1,9 @@
 package graft
 
-import graft.functions.{RollingHash, SortedIntersectCount, VecDot}
+import graft.functions.{CharShinglesExpr, Md5Prefix24, RollingHash, SortedIntersectCount,
+  VecDot, WordShinglesExpr}
 import graft.multimodal.ImageMetaExpr
+import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -33,5 +35,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("image_meta"),
       new ExpressionInfo(classOf[ImageMetaExpr].getName, "image_meta"),
       (exprs: Seq[Expression]) => ImageMetaExpr(exprs.head)))
+    e.injectFunction((
+      FunctionIdentifier("md5_prefix24"),
+      new ExpressionInfo(classOf[Md5Prefix24].getName, "md5_prefix24"),
+      (exprs: Seq[Expression]) => Md5Prefix24(exprs.head)))
+    def litInt(ex: Expression, fn: String): Int = ex match {
+      case Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(
+        s"$fn: shingle size must be an integer literal, got $other")
+    }
+    e.injectFunction((
+      FunctionIdentifier("char_shingles"),
+      new ExpressionInfo(classOf[CharShinglesExpr].getName, "char_shingles"),
+      (exprs: Seq[Expression]) =>
+        CharShinglesExpr(exprs(0), litInt(exprs(1), "char_shingles"))))
+    e.injectFunction((
+      FunctionIdentifier("word_shingles"),
+      new ExpressionInfo(classOf[WordShinglesExpr].getName, "word_shingles"),
+      (exprs: Seq[Expression]) =>
+        WordShinglesExpr(exprs(0), litInt(exprs(1), "word_shingles"))))
   }
 }

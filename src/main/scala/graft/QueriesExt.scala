@@ -227,6 +227,40 @@ object QueriesExt {
       .orderBy(col("label"))
   }
 
+  /** R31: outer joins — left outer with null-extension counting and a
+    * full outer between partially-overlapping key sets, in one result.
+    */
+  def qOuterJoin(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer").filter(col("c_custkey") < 200)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val o = t(s, dir, "orders").filter(col("o_orderdate").cast("timestamp") <
+        lit("1995-01-01 00:00:00").cast("timestamp"))
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_ord"),
+        sum(d12(col("o_totalprice"))).cast("double").as("tot"))
+    c.join(o, col("c_custkey") === col("o_custkey"), "full_outer")
+      .select(
+        coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+        coalesce(col("c_mktsegment"), lit("(none)")).as("segment"),
+        coalesce(col("n_ord"), lit(0L)).as("n_ord"),
+        col("tot"))
+      .orderBy(col("custkey"))
+  }
+
+  /** R32: null-handling kit — coalesce/nullif/nvl2-style/null-aware
+    * comparisons, the semantics every replica query leans on.
+    */
+  def qNullFuncs(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").filter(col("o_orderkey") < 2000)
+    val maybeTot = when(col("o_orderstatus") === "O", col("o_totalprice"))
+    o.select(col("o_orderkey"),
+        coalesce(maybeTot, lit(-1.0)).as("tot_or_default"),
+        nullif(col("o_orderstatus"), lit("F")).as("status_nf"),
+        when(maybeTot.isNull, "closed").otherwise("open").as("bucket"),
+        maybeTot.isNull.as("is_closed"),
+        (maybeTot <=> lit(null)).as("null_safe_eq"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** R29: bag-semantics set ops (INTERSECT ALL / EXCEPT ALL) — duplicate
     * multiplicity preserved, unlike the distinct variants in q_set_ops.
     */
@@ -460,6 +494,27 @@ object QueriesExt {
         |        ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rn
         |      FROM scored) t
         |WHERE rn <= 3 ORDER BY doc_id, rnk""".stripMargin,
+    "q_outer_join" ->
+      s"""WITH c AS (SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey < 200),
+         |o AS (SELECT o_custkey, COUNT(*) AS n_ord,
+         |        CAST(SUM(${dec("o_totalprice")}) AS DOUBLE) AS tot
+         |      FROM orders WHERE o_orderdate < TIMESTAMP '1995-01-01 00:00:00'
+         |      GROUP BY o_custkey)
+         |SELECT COALESCE(c_custkey, o_custkey) AS custkey,
+         |  COALESCE(c_mktsegment, '(none)') AS segment,
+         |  COALESCE(n_ord, 0) AS n_ord, tot
+         |FROM c FULL JOIN o ON c_custkey = o_custkey
+         |ORDER BY custkey""".stripMargin,
+    "q_null_funcs" ->
+      """SELECT o_orderkey,
+        |  COALESCE(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END, -1.0) AS tot_or_default,
+        |  NULLIF(o_orderstatus, 'F') AS status_nf,
+        |  CASE WHEN (CASE WHEN o_orderstatus = 'O' THEN o_totalprice END) IS NULL
+        |    THEN 'closed' ELSE 'open' END AS bucket,
+        |  (CASE WHEN o_orderstatus = 'O' THEN o_totalprice END) IS NULL AS is_closed,
+        |  (CASE WHEN o_orderstatus = 'O' THEN o_totalprice END) IS NOT DISTINCT FROM NULL AS null_safe_eq
+        |FROM orders WHERE o_orderkey < 2000
+        |ORDER BY o_orderkey""".stripMargin,
     "q_set_ops_all" ->
       """SELECT 'except_all' AS bucket, COUNT(*) AS n FROM
         |  (SELECT o_custkey % 100 AS k FROM orders EXCEPT ALL SELECT user_id % 100 FROM events) t

@@ -57,6 +57,8 @@ object SparkEntry {
     "q_embed_stats" -> (QueriesExt.qEmbedStats _),
     "q_resample_ffill" -> (QueriesExt.qResampleFfill _),
     "q_set_ops_all" -> (QueriesExt.qSetOpsAll _),
+    "q_outer_join" -> (QueriesExt.qOuterJoin _),
+    "q_null_funcs" -> (QueriesExt.qNullFuncs _),
     "q_math_funcs" -> (QueriesExt.qMathFuncs _),
     // §2.5 text analysis
     "text_tokens" -> (QueriesData.textTokens _),

@@ -25,6 +25,15 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(got == 2L)
   }
 
+  test("shingle + hash functions are callable from SQL") {
+    val r = spark.sql(
+      """SELECT word_shingles('a b c', 2) AS ws, char_shingles('abcd', 3) AS cs,
+        |  md5_prefix24('x') AS h""".stripMargin).head()
+    assert(r.getSeq[String](0) == Seq("a b", "b c"))
+    assert(r.getSeq[String](1) == Seq("abc", "bcd"))
+    assert(r.getAs[Long]("h") >= 0 && r.getAs[Long]("h") < (1L << 24))
+  }
+
   test("image_meta is callable from SQL") {
     val got = spark.sql(
       """SELECT image_meta(unhex('89504E470D0A1A0A0000000D49484452' ||

@@ -259,6 +259,21 @@ object QueriesData {
       .orderBy(col("purchase_id"), col("click_id"))
   }
 
+  /** X6: events enriched against the static customer dimension through the
+    * streaming engine, aggregated per market segment.
+    */
+  def streamStaticJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+      .select(col("user_id").as("c_custkey"), col("value"))
+    val c = t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment"))
+    Streams.streamStaticJoin(s, e, c, "c_custkey",
+        queryName = s"graft_ssjoin_${System.nanoTime()}")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   def streamCdcApply(s: SparkSession, dir: String): DataFrame = {
     val target = t(s, dir, "orders")
       .filter(col("o_orderdate").cast("timestamp") < lit("2000-01-01 00:00:00").cast("timestamp"))
@@ -584,6 +599,11 @@ object QueriesData {
         |  COUNT(*) AS n_events, CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY bucket_hour, event_type""".stripMargin,
     "stream_cdc_apply" -> Queries.sqlCdc("cdc_merge"),
+    "stream_static_join" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events JOIN customer ON c_custkey = user_id
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "stream_interval_join" ->
       """SELECT p.event_id AS purchase_id, p.user_id AS user_id, c.event_id AS click_id
         |FROM events p JOIN events c ON c.user_id = p.user_id

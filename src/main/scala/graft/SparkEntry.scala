@@ -93,6 +93,7 @@ object SparkEntry {
     "stream_sessionize" -> (QueriesData.streamSessionize _),
     "stream_dedup_exact" -> (QueriesData.streamDedupExact _),
     "stream_interval_join" -> (QueriesData.streamIntervalJoin _),
+    "stream_static_join" -> (QueriesData.streamStaticJoin _),
     // §2.1 C9 (rows-only: no SQL-comparable type names)
     "schema_clone" -> (QueriesData.schemaClone _))
 

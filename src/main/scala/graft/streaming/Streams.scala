@@ -109,6 +109,22 @@ object Streams {
     spark.table(queryName)
   }
 
+  /** X6: stream-static join — each micro-batch of the stream joins the
+    * static side (broadcast when small) with no state at all: the static
+    * side is re-resolvable per batch, so nothing needs watermarking. The
+    * standard enrichment shape (events against a replicated dimension).
+    */
+  def streamStaticJoin(spark: SparkSession, stream: DataFrame, static: DataFrame,
+                       joinCol: String, queryName: String): DataFrame = {
+    val path = stageToTemp(stream, "ssjoin")
+    val s = spark.readStream.schema(stream.schema).parquet(path)
+    val joined = s.join(broadcast(static), Seq(joinCol))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName(queryName).start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    spark.table(queryName)
+  }
+
   /** X3: stateful gap-based sessionization with flatMapGroupsWithState —
     * the custom-state path for when windowed builtins can't express the
     * semantics. State per user is just (next session seq, last event time);

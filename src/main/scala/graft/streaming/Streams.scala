@@ -24,6 +24,21 @@ object Streams {
     s"$dir/in"
   }
 
+  /** Stateful streaming queries fix their state-store partition count from
+    * spark.sql.shuffle.partitions AT START, and every micro-batch then
+    * pays per-partition store maintenance (snapshot, delta files) whether
+    * or not the partition holds data. Scope the stream's state partitions
+    * to the workload instead of inheriting the batch-tuned setting; the
+    * previous value is restored afterwards (the finite replay is drained
+    * inside `f`, so no other query observes it).
+    */
+  private def withStatePartitions[T](spark: SparkSession, n: Int)(f: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try f finally spark.conf.set(key, prev)
+  }
+
   /** X1: tumbling-window aggregation over an event stream. Watermark bounds
     * state at scale; the memory sink in complete mode drains a finite
     * replay deterministically. Output: hour bucket (epoch hours), type,
@@ -33,6 +48,7 @@ object Streams {
                         typeCol: String, valueCol: String, queryName: String): DataFrame = {
     val path = stageToTemp(events, "winagg")
     val stream = spark.readStream.schema(events.schema).parquet(path)
+    withStatePartitions(spark, 8) {
     val agg = stream
       .withWatermark(tsCol, "1 hour")
       .groupBy(window(col(tsCol), "1 hour").as("win"), col(typeCol))
@@ -41,6 +57,7 @@ object Streams {
     val q = agg.writeStream.outputMode("complete")
       .format("memory").queryName(queryName).start()
     try { q.processAllAvailable() } finally { q.stop() }
+    }
     spark.table(queryName)
       .select(
         (unix_timestamp(col("win.start")) / 3600L).cast("long").as("bucket_hour"),
@@ -60,13 +77,15 @@ object Streams {
     val path = stageToTemp(delta, "cdcapply")
     var state = initialTarget.localCheckpoint(true)
     val stream = spark.readStream.schema(delta.schema).parquet(path)
-    val q = stream.writeStream.outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val deduped = Cdc.latestPerKey(batch, pk, orderCols)
-        state = Cdc.mergeSoftDelete(state, deduped, pk).localCheckpoint(true)
-        ()
-      }.start()
-    try { q.processAllAvailable() } finally { q.stop() }
+    withStatePartitions(spark, 8) {
+      val q = stream.writeStream.outputMode("append")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val deduped = Cdc.latestPerKey(batch, pk, orderCols)
+          state = Cdc.mergeSoftDelete(state, deduped, pk).localCheckpoint(true)
+          ()
+        }.start()
+      try { q.processAllAvailable() } finally { q.stop() }
+    }
     state
   }
 
@@ -79,10 +98,12 @@ object Streams {
                      fingerprintCol: String, queryName: String): DataFrame = {
     val path = stageToTemp(docs, "sdedup")
     val stream = spark.readStream.schema(docs.schema).parquet(path)
-    val deduped = stream.dropDuplicates(Seq(fingerprintCol))
-    val q = deduped.writeStream.outputMode("append")
-      .format("memory").queryName(queryName).start()
-    try { q.processAllAvailable() } finally { q.stop() }
+    withStatePartitions(spark, 8) {
+      val deduped = stream.dropDuplicates(Seq(fingerprintCol))
+      val q = deduped.writeStream.outputMode("append")
+        .format("memory").queryName(queryName).start()
+      try { q.processAllAvailable() } finally { q.stop() }
+    }
     spark.table(queryName)
   }
 
@@ -101,11 +122,13 @@ object Streams {
       .withWatermark("l_ts", "1 hour")
     val r = spark.readStream.schema(right.schema).parquet(rPath)
       .withWatermark("r_ts", "1 hour")
-    val joined = l.join(r, expr(
-      s"l_key = r_key AND r_ts >= l_ts - INTERVAL $gapSec SECONDS AND r_ts <= l_ts"))
-    val q = joined.writeStream.outputMode("append")
-      .format("memory").queryName(queryName).start()
-    try { q.processAllAvailable() } finally { q.stop() }
+    withStatePartitions(spark, 8) {
+      val joined = l.join(r, expr(
+        s"l_key = r_key AND r_ts >= l_ts - INTERVAL $gapSec SECONDS AND r_ts <= l_ts"))
+      val q = joined.writeStream.outputMode("append")
+        .format("memory").queryName(queryName).start()
+      try { q.processAllAvailable() } finally { q.stop() }
+    }
     spark.table(queryName)
   }
 
@@ -153,12 +176,14 @@ object Streams {
       out.iterator
     }
 
-    val sessions = stream.groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(assign)
-      .toDF("user_id", "event_id", "session_seq")
-    val q = sessions.writeStream.outputMode("append")
-      .format("memory").queryName(queryName).start()
-    try { q.processAllAvailable() } finally { q.stop() }
+    withStatePartitions(spark, 8) {
+      val sessions = stream.groupByKey(_.user_id)
+        .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(assign)
+        .toDF("user_id", "event_id", "session_seq")
+      val q = sessions.writeStream.outputMode("append")
+        .format("memory").queryName(queryName).start()
+      try { q.processAllAvailable() } finally { q.stop() }
+    }
     spark.table(queryName)
   }
 }

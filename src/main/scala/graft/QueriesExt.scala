@@ -38,6 +38,22 @@ object QueriesExt {
       .orderBy(col("o_orderpriority"), col("rnk"))
   }
 
+  /** R33: value-position window functions — first/last/nth over the full
+    * partition frame (explicit UNBOUNDED frame: last_value under the
+    * default frame is just the current row, a classic silent bug).
+    */
+  def qWindowFirstLast(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").filter(col("o_custkey") < 100)
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    o.select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+        first(col("o_orderkey")).over(w).as("top_order"),
+        last(col("o_orderkey")).over(w).as("bottom_order"),
+        nth_value(col("o_orderkey"), 2).over(w).as("second_order"))
+      .orderBy(col("o_orderpriority"), col("o_totalprice").desc, col("o_orderkey"))
+  }
+
   /** RANGE-frame sliding aggregate: per user, the value sum/count over the
     * trailing 30 minutes by event time — frame bounds from the ORDER BY
     * value, not row offsets (R21).
@@ -405,6 +421,15 @@ object QueriesExt {
         |FROM orders WHERE o_custkey < 100
         |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey)
         |ORDER BY o_orderpriority, rnk""".stripMargin,
+    "q_window_firstlast" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |  first_value(o_orderkey) OVER w AS top_order,
+        |  last_value(o_orderkey) OVER w AS bottom_order,
+        |  nth_value(o_orderkey, 2) OVER w AS second_order
+        |FROM orders WHERE o_custkey < 100
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_orderpriority, o_totalprice DESC, o_orderkey""".stripMargin,
     "q_window_range_frame" ->
       s"""SELECT user_id, event_id, ts_sec,
          |  CAST(SUM(${dec("value")}) OVER w AS DOUBLE) AS win_value,

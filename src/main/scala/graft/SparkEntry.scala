@@ -48,6 +48,7 @@ object SparkEntry {
     // §2.2 round-2 additions (R20–R25)
     "q_window_ranks" -> (QueriesExt.qWindowRanks _),
     "q_window_range_frame" -> (QueriesExt.qWindowRangeFrame _),
+    "q_window_firstlast" -> (QueriesExt.qWindowFirstLast _),
     "q_histogram" -> (QueriesExt.qHistogram _),
     "q_corr_stats" -> (QueriesExt.qCorrStats _),
     "q_range_join" -> (QueriesExt.qRangeJoin _),

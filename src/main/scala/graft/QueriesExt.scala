@@ -382,6 +382,32 @@ object QueriesExt {
       .orderBy(col("doc_id"))
   }
 
+  /** M4: audio metadata decode — synthetic RIFF/WAVE headers with fmt
+    * fields derived from doc_id, parsed back by the native header decoder;
+    * construct→parse identity oracle like mm_image_meta.
+    */
+  def mmAudioMeta(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("doc_id"))
+    // little-endian hex of a value, n bytes
+    def le(v: Column, nBytes: Int): Column =
+      concat((0 until nBytes).map(i =>
+        lpad(hex(pmod(v.cast("long") / (1L << (8 * i)), lit(256)).cast("int")), 2, "0")): _*)
+    val channels = (col("doc_id") % 2 + 1).cast("int")
+    val rate = (lit(8000) + (col("doc_id") % 5) * 4000).cast("int")
+    val bits = lit(16)
+    val payload = unhex(concat(
+      lit("52494646"), le(lit(36), 4), lit("57415645"),         // RIFF size WAVE
+      lit("666d7420"), le(lit(16), 4),                          // fmt chunk, 16 bytes
+      le(lit(1), 2), le(channels, 2), le(rate, 4),              // pcm, channels, rate
+      le(rate * channels * 2, 4), le(channels * 2, 2), le(bits, 2)))
+    d.withColumn("meta", graft.multimodal.AudioHeader.audio_meta(payload))
+      .select(col("doc_id"), col("meta.format").as("format"),
+        col("meta.channels").cast("long").as("channels"),
+        col("meta.sample_rate").cast("long").as("sample_rate"),
+        col("meta.bits_per_sample").cast("long").as("bits_per_sample"))
+      .orderBy(col("doc_id"))
+  }
+
   /** D6: edit-distance fuzzy dedup — length-banded blocking (same source,
     * |Δlen| ≤ 10, len ≤ 150 so the O(len²) distance stays bounded), then
     * exact Levenshtein on the surviving pairs only.
@@ -588,6 +614,12 @@ object QueriesExt {
         |          CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens
         |        FROM documents) t) p
         |ORDER BY doc_id""".stripMargin,
+    "mm_audio_meta" ->
+      """SELECT doc_id, 'wav' AS format,
+        |  CAST(doc_id % 2 + 1 AS BIGINT) AS channels,
+        |  CAST(8000 + (doc_id % 5) * 4000 AS BIGINT) AS sample_rate,
+        |  CAST(16 AS BIGINT) AS bits_per_sample
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "mm_image_meta" ->
       """SELECT doc_id, 'png' AS format,
         |  CAST(doc_id % 640 + 1 AS BIGINT) AS width,

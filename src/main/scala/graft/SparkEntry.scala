@@ -88,6 +88,7 @@ object SparkEntry {
     "mm_binary_meta" -> (QueriesData.mmBinaryMeta _),
     "mm_frame_sample" -> (QueriesData.mmFrameSample _),
     "mm_image_meta" -> (QueriesExt.mmImageMeta _),
+    "mm_audio_meta" -> (QueriesExt.mmAudioMeta _),
     // §2.7 streaming
     "stream_window_agg" -> (QueriesData.streamWindowAgg _),
     "stream_cdc_apply" -> (QueriesData.streamCdcApply _),

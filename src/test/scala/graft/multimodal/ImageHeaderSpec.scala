@@ -35,6 +35,22 @@ class ImageHeaderSpec extends AnyFunSuite {
     assert(rows(5L)._1.isEmpty && rows(6L)._1.isEmpty)
   }
 
+  test("wav header parses channels/rate/bits; chunk walk skips LIST") {
+    // RIFF, then a 4-byte LIST chunk BEFORE fmt: the walk must skip it
+    val wav = hexBytes("52494646 24000000 57415645" +
+      " 4C495354 04000000 41424344" +                       // LIST chunk (skipped)
+      " 666d7420 10000000 0100 0200 803E0000 00FA0000 0400 1000")
+    val got = Seq((1L, wav), (2L, "RIFFnope".getBytes("UTF-8")))
+      .toDF("id", "payload")
+      .select(col("id"), AudioHeader.audio_meta(col("payload")).as("m"))
+      .select(col("id"), col("m.format"), col("m.channels"),
+        col("m.sample_rate"), col("m.bits_per_sample"))
+      .as[(Long, Option[String], Option[Int], Option[Int], Option[Int])]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got(1L) == ((Some("wav"), Some(2), Some(16000), Some(16))))
+    assert(got(2L)._1.isEmpty)
+  }
+
   test("top-down BMP (negative height) reports absolute height") {
     val topDown = bmp.clone()
     // height at offset 22, little-endian: -6

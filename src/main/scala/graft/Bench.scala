@@ -34,9 +34,14 @@ object Bench {
     // each measurement carries a fixed ~0.5-1.5s first-run compile cost.
     Seq("region", "lineitem", "orders", "events").foreach(t =>
       graft.sources.Tables.load(spark, sfDir, t).count())
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
     names.foreach(q =>
-      try SparkEntry.queries(q)(spark, "/root/testdata/sf0.001").count()
-      catch { case _: Throwable => () })
+      try SparkEntry.queries(q)(spark, warmDir).count()
+      catch { case e: Throwable =>
+        // a silently skipped warmup would put the one-shot JIT cost back
+        // into the timed numbers — say so
+        System.err.println(s"[bench] warmup $q failed (timings include JIT): $e")
+      })
     val results = names.map { name =>
       val t0 = System.nanoTime()
       try { SparkEntry.queries(name)(spark, sfDir).count() }

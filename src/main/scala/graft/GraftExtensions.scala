@@ -2,7 +2,7 @@ package graft
 
 import graft.functions.{CharShinglesExpr, Md5Prefix24, RollingHash, SortedIntersectCount,
   VecDot, WordShinglesExpr}
-import graft.multimodal.ImageMetaExpr
+import graft.multimodal.{AudioMetaExpr, ImageMetaExpr}
 import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -35,6 +35,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("image_meta"),
       new ExpressionInfo(classOf[ImageMetaExpr].getName, "image_meta"),
       (exprs: Seq[Expression]) => ImageMetaExpr(exprs.head)))
+    e.injectFunction((
+      FunctionIdentifier("audio_meta"),
+      new ExpressionInfo(classOf[AudioMetaExpr].getName, "audio_meta"),
+      (exprs: Seq[Expression]) => AudioMetaExpr(exprs.head)))
     e.injectFunction((
       FunctionIdentifier("md5_prefix24"),
       new ExpressionInfo(classOf[Md5Prefix24].getName, "md5_prefix24"),

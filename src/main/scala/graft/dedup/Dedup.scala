@@ -150,6 +150,11 @@ object Dedup {
       labels = updated.select(col("id"), col("new_lbl").as("lbl"))
       i += 1
     }
+    if (!converged)
+      // a silently split component would surface as several "canonical"
+      // keepers for one duplicate group — make the truncation loud
+      System.err.println(s"[graft] connectedComponents: NOT converged after " +
+        s"$maxIter rounds (component diameter exceeds maxIter); clusters may be split")
     labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
   }
 
@@ -291,9 +296,10 @@ object Dedup {
     *
     * The blk key is inherently skewed (few distinct blocks, quadratic work
     * per block — and AQE coalesces the small *input* bytes into few tasks,
-    * blind to the join's fan-out), so the join is salted: the a-side takes
-    * a deterministic per-doc salt, the b-side replicates across all salts.
-    * Each pair still appears exactly once; the verify loop spreads over
+    * blind to the join's fan-out), so the join is salted: the a-side
+    * replicates across all salts (probe/stream side), the b-side takes one
+    * deterministic per-doc salt (build side stays un-replicated). Each
+    * pair still appears exactly once; the verify loop spreads over
     * blocks×salts tasks.
     */
   def ngramJaccardPairsBlocked(docs: DataFrame, id: Column, text: Column, block: Column,
@@ -306,10 +312,12 @@ object Dedup {
       .agg(sort_array(collect_list(col("gh"))).as("grams"))
       .withColumn("n_g", size(col("grams")).cast("long"))
       .localCheckpoint(true)
-    // the salt explode goes on the STREAM side: each a-row probes one
-    // (blk, salt) bucket, the build side stays un-replicated (under SMJ at
-    // scale the same explode spreads one block's pairs over `salts`
-    // reducers)
+    // the salt EXPLODE goes on the a-side (each a-row is replicated once
+    // per salt and probes one (blk, salt) bucket); the b-side carries a
+    // single deterministic salt, so the build/broadcast side stays
+    // un-replicated. Under SMJ at scale the same shape spreads one block's
+    // pairs over `salts` reducers. Every (a,b) pair still matches exactly
+    // once: b's salt is unique and a covers all salts.
     val a = docGrams.select(col("blk"), col("doc_id").as("id_a"),
         col("grams").as("grams_a"), col("n_g").as("n_a"))
       .withColumn("salt", explode(sequence(lit(0L), lit(salts - 1L))))

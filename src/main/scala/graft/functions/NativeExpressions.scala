@@ -175,15 +175,22 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     super.checkInputDataTypes()
   }
 
+  // null elements never match anything (and sort wherever the producer put
+  // them) — skipped explicitly rather than read via getLong, which would
+  // silently unbox them to 0 and "match" a real 0
   override def nullSafeEval(a: Any, b: Any): Any = {
     val ad = a.asInstanceOf[ArrayData]
     val bd = b.asInstanceOf[ArrayData]
     var i = 0; var j = 0; var n = 0L
     while (i < ad.numElements() && j < bd.numElements()) {
-      val x = ad.getLong(i); val y = bd.getLong(j)
-      if (x == y) { n += 1; i += 1; j += 1 }
-      else if (x < y) i += 1
-      else j += 1
+      if (ad.isNullAt(i)) i += 1
+      else if (bd.isNullAt(j)) j += 1
+      else {
+        val x = ad.getLong(i); val y = bd.getLong(j)
+        if (x == y) { n += 1; i += 1; j += 1 }
+        else if (x < y) i += 1
+        else j += 1
+      }
     }
     n
   }
@@ -195,9 +202,13 @@ case class SortedIntersectCount(left: Expression, right: Expression)
       s"""
          |int $i = 0; int $j = 0; long $n = 0L;
          |while ($i < $a.numElements() && $j < $b.numElements()) {
-         |  long $x = $a.getLong($i); long $y = $b.getLong($j);
-         |  if ($x == $y) { $n++; $i++; $j++; }
-         |  else if ($x < $y) { $i++; } else { $j++; }
+         |  if ($a.isNullAt($i)) { $i++; }
+         |  else if ($b.isNullAt($j)) { $j++; }
+         |  else {
+         |    long $x = $a.getLong($i); long $y = $b.getLong($j);
+         |    if ($x == $y) { $n++; $i++; $j++; }
+         |    else if ($x < $y) { $i++; } else { $j++; }
+         |  }
          |}
          |${ev.value} = $n;
        """.stripMargin

@@ -55,6 +55,9 @@ object AudioHeader {
 
 case class AudioMetaExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = AudioHeader.schema
+  // null for unrecognized payloads regardless of input nullability (see
+  // ImageMetaExpr)
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes() = {
     require(child.dataType == BinaryType, s"audio_meta needs binary, got ${child.dataType}")

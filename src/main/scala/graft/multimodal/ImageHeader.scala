@@ -54,8 +54,10 @@ object ImageHeader {
     if (b.length >= 10 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8' &&
         (b(4) == '7' || b(4) == '9') && b(5) == 'a')
       return row("gif", le16(b, 6), le16(b, 8))
-    // BMP: BITMAPINFOHEADER at offset 14 (height may be negative = top-down)
-    if (b.length >= 26 && b(0) == 'B' && b(1) == 'M')
+    // BMP: only BITMAPINFOHEADER-family DIBs (header size >= 40) carry
+    // 32-bit w/h at 18/22 — the 12-byte BITMAPCOREHEADER uses u16 fields
+    // there and must be rejected, not misread (height<0 = top-down)
+    if (b.length >= 26 && b(0) == 'B' && b(1) == 'M' && le32(b, 14) >= 40)
       return row("bmp", le32(b, 18), math.abs(le32(b, 22)))
     // JPEG: walk markers to the first start-of-frame (C0–CF minus C4/C8/CC)
     if (b.length >= 4 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) {
@@ -84,6 +86,11 @@ object ImageHeader {
   */
 case class ImageMetaExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ImageHeader.schema
+  // null for unrecognized payloads regardless of input nullability — the
+  // default (child.nullable) would let the planner mark this non-nullable
+  // and both codegen (assignment to an undeclared isNull) and downstream
+  // null tracking would break
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes() = {
     require(child.dataType == BinaryType, s"image_meta needs binary, got ${child.dataType}")

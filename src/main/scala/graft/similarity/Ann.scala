@@ -86,6 +86,10 @@ object Ann {
     * equivalent builtin tree unrolls bands×bits×dim product terms, blows
     * the 64KB JVM method limit, and drops the whole stage to interpreted
     * eval.
+    *
+    * Null/ragged semantics (deliberate): a null embedding yields null band
+    * keys and drops out of candidate generation (it can match nothing);
+    * arrays shorter than `dim` project over their prefix.
     */
   def hyperplaneBandKeys(emb: Column, dim: Int, bands: Int, bitsPerBand: Int): Column = {
     val planes = Array.tabulate(bands * bitsPerBand * dim) { flat =>

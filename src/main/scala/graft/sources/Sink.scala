@@ -49,7 +49,13 @@ object Sink {
   def compactParquet(spark: org.apache.spark.sql.SparkSession, path: String,
                      targetFileBytes: Long = 128L * 1024 * 1024): Long = {
     val dir = new java.io.File(path)
-    val bytes = Option(dir.listFiles()).getOrElse(Array.empty)
+    val entries = Option(dir.listFiles()).getOrElse(Array.empty)
+    // flat directories only: for a partitionBy layout the data lives in
+    // subdirectories this pass would neither size nor delete — compacting
+    // would duplicate every row (compact each partition directory instead)
+    require(!entries.exists(f => f.isDirectory && !f.getName.startsWith(".")),
+      s"compactParquet: $path has partition subdirectories; compact per partition")
+    val bytes = entries
       .filter(f => f.isFile && f.getName.endsWith(".parquet")).map(_.length()).sum
     val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes)
     val tmp = s"$path/.compact_tmp"
@@ -57,10 +63,20 @@ object Sink {
       .write.mode(SaveMode.Overwrite).parquet(tmp)
     val keep = new java.io.File(tmp).listFiles()
       .filter(f => f.getName.endsWith(".parquet") || f.getName.startsWith("_SUCCESS"))
-    Option(dir.listFiles()).getOrElse(Array.empty)
+    // move the new files in BEFORE deleting the originals: a failed rename
+    // must abort while the old data still exists
+    keep.foreach { f =>
+      val dest = new java.io.File(dir, s".compacted_${f.getName}")
+      require(f.renameTo(dest), s"compactParquet: rename failed for ${f.getName}")
+    }
+    entries
       .filter(f => f.isFile && (f.getName.endsWith(".parquet") || f.getName.startsWith("_")))
       .foreach(_.delete())
-    keep.foreach(f => f.renameTo(new java.io.File(dir, f.getName)))
+    Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith(".compacted_")).foreach { f =>
+        require(f.renameTo(new java.io.File(dir, f.getName.stripPrefix(".compacted_"))),
+          s"compactParquet: final rename failed for ${f.getName}")
+      }
     delete(new java.io.File(tmp))
     nFiles
   }

@@ -53,6 +53,13 @@ class NativeExpressionsSpec extends AnyFunSuite {
     assert(native == builtin)
   }
 
+  test("sorted_intersect_count: null elements match nothing (not zero)") {
+    val got = spark.sql(
+      "SELECT sorted_intersect_count(array(CAST(NULL AS BIGINT), 0L), array(0L, 5L)) AS n")
+      .as[Long].head()
+    assert(got == 1L) // only the real 0 matches; the null is skipped
+  }
+
   test("hyperplane_band_bits: loop codegen matches per-component reference") {
     val bands = 2; val bits = 3; val dim = 4
     val planes = Array.tabulate(bands * bits * dim)(i => math.sin(i.toDouble)) // fixed arbitrary

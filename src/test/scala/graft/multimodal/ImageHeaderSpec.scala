@@ -51,6 +51,25 @@ class ImageHeaderSpec extends AnyFunSuite {
     assert(got(2L)._1.isEmpty)
   }
 
+  test("non-nullable binary input still yields null for garbage (nullable contract)") {
+    // lit() binary is non-nullable: without `override nullable = true` the
+    // planner marks the struct non-nullable and codegen breaks
+    val df = spark.range(1).select(
+      ImageHeader.image_meta(lit("not an image".getBytes("UTF-8"))).as("m"),
+      AudioHeader.audio_meta(lit("not audio".getBytes("UTF-8"))).as("a"))
+    val r = df.select(col("m").isNull, col("a").isNull).as[(Boolean, Boolean)].head()
+    assert(r == ((true, true)))
+  }
+
+  test("BITMAPCOREHEADER (OS/2 BMP) is rejected, not misread") {
+    // 'BM' + file header, DIB size 12 (core header: u16 w/h) — the u32
+    // reader at offsets 18/22 would decode garbage dims
+    val core = hexBytes("424D 1A000000 00000000 1A000000 0C000000 0700 0600 0100 0100")
+    val got = Seq((1L, core)).toDF("id", "p")
+      .select(ImageHeader.image_meta(col("p")).isNull).as[Boolean].head()
+    assert(got)
+  }
+
   test("top-down BMP (negative height) reports absolute height") {
     val topDown = bmp.clone()
     // height at offset 22, little-endian: -6

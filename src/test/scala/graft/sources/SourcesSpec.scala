@@ -58,4 +58,12 @@ class SourcesSpec extends AnyFunSuite {
     assert(after.inputFiles.length < 40, "file count must shrink")
     assert(after.count() == beforeRows, "no rows may be lost")
   }
+
+  test("compaction refuses partitioned layouts instead of duplicating rows") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact_part").toString
+    val events = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "events")
+    Sink.writePartitioned(events, dir, Seq("event_type"))
+    val e = intercept[IllegalArgumentException](Sink.compactParquet(spark, dir))
+    assert(e.getMessage.contains("partition subdirectories"))
+  }
 }

@@ -243,6 +243,22 @@ object QueriesExt {
       .orderBy(col("label"))
   }
 
+  /** R34: grouped top-k via the typed bounded-memory Aggregator — same
+    * results and oracle as the window form (q_window_topk), entirely
+    * different physical shape: map-side partial top-k, no partition sort.
+    */
+  def qTopKAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rows = t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .as[(Long, Long, Double)]
+      .map { case (ck, ok, price) => (ck, graft.operators.TypedTopK.Entry(price, ok)) }
+    graft.operators.TypedTopK.topKPerKey(rows, 3)
+      .toDF("o_custkey", "o_orderkey", "o_totalprice", "rnk")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rnk"))
+      .orderBy(col("o_custkey"), col("rnk"))
+  }
+
   /** R31: outer joins — left outer with null-extension counting and a
     * full outer between partially-overlapping key sets, in one result.
     */
@@ -545,6 +561,7 @@ object QueriesExt {
         |        ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rn
         |      FROM scored) t
         |WHERE rn <= 3 ORDER BY doc_id, rnk""".stripMargin,
+    "q_top_k_agg" -> Queries.sqlRelational("q_window_topk"),
     "q_outer_join" ->
       s"""WITH c AS (SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey < 200),
          |o AS (SELECT o_custkey, COUNT(*) AS n_ord,

@@ -49,6 +49,7 @@ object SparkEntry {
     "q_window_ranks" -> (QueriesExt.qWindowRanks _),
     "q_window_range_frame" -> (QueriesExt.qWindowRangeFrame _),
     "q_window_firstlast" -> (QueriesExt.qWindowFirstLast _),
+    "q_top_k_agg" -> (QueriesExt.qTopKAgg _),
     "q_histogram" -> (QueriesExt.qHistogram _),
     "q_corr_stats" -> (QueriesExt.qCorrStats _),
     "q_range_join" -> (QueriesExt.qRangeJoin _),

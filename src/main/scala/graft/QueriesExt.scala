@@ -127,6 +127,35 @@ object QueriesExt {
       .orderBy(col("band_id"))
   }
 
+  /** Day numbers (epoch days) of 8 quarter starts from 1994-01-01 —
+    * computed once in Scala and embedded identically in the Spark plan
+    * and the oracle SQL.
+    */
+  private[graft] val promoQuarters: Seq[(Long, Long, Long)] = {
+    val starts = (0 until 9).map(q =>
+      java.time.LocalDate.of(1994 + q / 4, q % 4 * 3 + 1, 1).toEpochDay)
+    starts.sliding(2).zipWithIndex.map { case (Seq(lo, hi), i) => (i.toLong, lo, hi) }.toSeq
+  }
+
+  /** R35: interval-overlap join — order activity windows [orderdate,
+    * +30 days) against quarterly promo windows, via the bucketed overlap
+    * join (emit-once bucket trick, no dedup pass).
+    */
+  def qOverlapJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val promos = promoQuarters.toDF("promo_id", "p_lo", "p_hi")
+    val o = t(s, dir, "orders").select(col("o_orderkey"),
+        floor(unix_timestamp(ts(col("o_orderdate"))) / 86400).cast("long").as("a_lo"))
+      .withColumn("a_hi", col("a_lo") + 30)
+    graft.operators.RangeJoin.overlapJoin(
+        o, col("a_lo"), col("a_hi"), promos, col("p_lo"), col("p_hi"),
+        bucketWidth = 91.0)
+      .groupBy(col("promo_id"))
+      .agg(count(lit(1)).as("n_orders"), min(col("a_lo")).as("first_day"),
+        max(col("a_lo")).as("last_day"))
+      .orderBy(col("promo_id"))
+  }
+
   /** Lateral array expansion (R25): posexplode with ordinality. */
   def qArrayOps(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents").filter(col("doc_id") < 20)
@@ -562,6 +591,18 @@ object QueriesExt {
         |      FROM scored) t
         |WHERE rn <= 3 ORDER BY doc_id, rnk""".stripMargin,
     "q_top_k_agg" -> Queries.sqlRelational("q_window_topk"),
+    "q_overlap_join" -> {
+      val promoValues = promoQuarters
+        .map { case (id, lo, hi) => s"($id, $lo, $hi)" }.mkString(", ")
+      s"""WITH promos(promo_id, p_lo, p_hi) AS (VALUES $promoValues),
+         |o AS (SELECT o_orderkey,
+         |        CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT) AS a_lo
+         |      FROM orders)
+         |SELECT CAST(promo_id AS BIGINT) AS promo_id, COUNT(*) AS n_orders,
+         |  MIN(a_lo) AS first_day, MAX(a_lo) AS last_day
+         |FROM o JOIN promos ON a_lo < p_hi AND p_lo < a_lo + 30
+         |GROUP BY promo_id ORDER BY promo_id""".stripMargin
+    },
     "q_outer_join" ->
       s"""WITH c AS (SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey < 200),
          |o AS (SELECT o_custkey, COUNT(*) AS n_ord,

@@ -53,6 +53,7 @@ object SparkEntry {
     "q_histogram" -> (QueriesExt.qHistogram _),
     "q_corr_stats" -> (QueriesExt.qCorrStats _),
     "q_range_join" -> (QueriesExt.qRangeJoin _),
+    "q_overlap_join" -> (QueriesExt.qOverlapJoin _),
     "q_array_ops" -> (QueriesExt.qArrayOps _),
     "q_pivot_api" -> (QueriesExt.qPivotApi _),
     "q_scalar_subquery" -> (QueriesExt.qScalarSubquery _),

@@ -17,6 +17,28 @@ import org.apache.spark.sql.functions._
   * range width so each range covers O(1) buckets.
   */
 object RangeJoin {
+  /** Interval-overlap join: rows of `left` and `right` whose half-open
+    * intervals [lLo, lHi) and [rLo, rHi) intersect. Both sides explode
+    * into the fixed-width buckets their interval covers and equi-join on
+    * the bucket; an overlapping pair co-occurs in every bucket both
+    * intervals cover, so to emit it exactly once the join keeps only the
+    * bucket containing max(lLo, rLo) — the overlap's left edge — instead
+    * of paying a distinct over the join output.
+    */
+  def overlapJoin(left: DataFrame, lLo: Column, lHi: Column,
+                  right: DataFrame, rLo: Column, rHi: Column,
+                  bucketWidth: Double): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    def buckets(lo: Column, hi: Column): Column =
+      sequence(floor(lo / bucketWidth).cast("long"), floor(hi / bucketWidth).cast("long"))
+    val a = left.withColumn("__ab", explode(buckets(lLo, lHi)))
+    val b = right.withColumn("__bb", explode(buckets(rLo, rHi)))
+    a.join(b, col("__ab") === col("__bb") &&
+        lLo < rHi && rLo < lHi &&
+        floor(greatest(lLo, rLo) / bucketWidth).cast("long") === col("__ab"))
+      .drop("__ab", "__bb")
+  }
+
   /** Inner-join `fact` to `ranges` on lo ≤ factVal < hi via bucketed
     * equi-join. Output: all fact columns + all ranges columns.
     */

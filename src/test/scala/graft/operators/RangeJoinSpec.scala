@@ -26,4 +26,21 @@ class RangeJoinSpec extends AnyFunSuite {
     val out = Seq(-1.0, 100.0, 1e9).toDF("v")
     assert(RangeJoin.bandJoin(out, col("v"), ranges, col("lo"), col("hi"), 7.0).count() == 0)
   }
+
+  test("overlap join equals the naive non-equi join, each pair exactly once") {
+    // intervals spanning multiple buckets (w=5), touching endpoints, nested
+    val a = Seq((1L, 0.0, 12.0), (2L, 10.0, 11.0), (3L, 20.0, 30.0))
+      .toDF("aid", "a_lo", "a_hi")
+    val b = Seq((10L, 11.9, 25.0), (20L, 12.0, 13.0), (30L, 2.0, 3.0))
+      .toDF("bid", "b_lo", "b_hi")
+    val got = RangeJoin.overlapJoin(a, col("a_lo"), col("a_hi"),
+        b, col("b_lo"), col("b_hi"), 5.0)
+      .select("aid", "bid").as[(Long, Long)].collect().toSeq
+    val naive = a.join(b, col("a_lo") < col("b_hi") && col("b_lo") < col("a_hi"))
+      .select("aid", "bid").as[(Long, Long)].collect().toSeq
+    assert(got.sorted == naive.sorted)
+    assert(got.size == got.toSet.size, "no pair may be emitted twice")
+    // half-open semantics: [0,12) does not overlap [12,13)
+    assert(!got.contains((1L, 20L)) && got.contains((1L, 10L)))
+  }
 }

@@ -43,4 +43,22 @@ class RangeJoinSpec extends AnyFunSuite {
     // half-open semantics: [0,12) does not overlap [12,13)
     assert(!got.contains((1L, 20L)) && got.contains((1L, 10L)))
   }
+
+  test("overlap join: randomized equivalence with naive join (emit-once property)") {
+    val rnd = new scala.util.Random(7)
+    def intervals(n: Int, idBase: Long) = (0 until n).map { i =>
+      val lo = rnd.nextDouble() * 100
+      (idBase + i, lo, lo + rnd.nextDouble() * 25)
+    }
+    val a = intervals(60, 0L).toDF("aid", "a_lo", "a_hi")
+    val b = intervals(60, 1000L).toDF("bid", "b_lo", "b_hi")
+    for (w <- Seq(3.0, 10.0, 50.0)) {
+      val got = RangeJoin.overlapJoin(a, col("a_lo"), col("a_hi"),
+          b, col("b_lo"), col("b_hi"), w)
+        .select("aid", "bid").as[(Long, Long)].collect().toSeq
+      val naive = a.join(b, col("a_lo") < col("b_hi") && col("b_lo") < col("a_hi"))
+        .select("aid", "bid").as[(Long, Long)].collect().toSeq
+      assert(got.sorted == naive.sorted, s"w=$w")
+    }
+  }
 }

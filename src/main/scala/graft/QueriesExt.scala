@@ -288,6 +288,26 @@ object QueriesExt {
       .orderBy(col("o_custkey"), col("rnk"))
   }
 
+  /** R36: modern aggregate kit — count_if, bool_and/bool_or, max_by/
+    * min_by. The arg-extrema ordering value is made UNIQUE (decimal
+    * price·10⁷ + orderkey, exact integer arithmetic) — with ties, which
+    * row max_by returns is engine- and partition-order-dependent, the
+    * classic silent nondeterminism of arg_max.
+    */
+  def qAggKit(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val ord = (d12(col("o_totalprice")) * 10000000 + col("o_orderkey"))
+      .cast(DecimalType(24, 0))
+    o.groupBy(col("o_orderpriority"))
+      .agg(
+        count_if(col("o_orderstatus") === "O").as("n_open"),
+        bool_or(col("o_totalprice") > 400000).as("any_jumbo"),
+        bool_and(col("o_totalprice") > 900).as("all_above_min"),
+        max_by(col("o_orderkey"), ord).as("priciest_order"),
+        min_by(col("o_orderkey"), ord).as("cheapest_order"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** R31: outer joins — left outer with null-extension counting and a
     * full outer between partially-overlapping key sets, in one result.
     */
@@ -603,6 +623,14 @@ object QueriesExt {
          |FROM o JOIN promos ON a_lo < p_hi AND p_lo < a_lo + 30
          |GROUP BY promo_id ORDER BY promo_id""".stripMargin
     },
+    "q_agg_kit" ->
+      s"""SELECT o_orderpriority,
+         |  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+         |  bool_or(o_totalprice > 400000) AS any_jumbo,
+         |  bool_and(o_totalprice > 900) AS all_above_min,
+         |  arg_max(o_orderkey, ${dec("o_totalprice")} * 10000000 + o_orderkey) AS priciest_order,
+         |  arg_min(o_orderkey, ${dec("o_totalprice")} * 10000000 + o_orderkey) AS cheapest_order
+         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q_outer_join" ->
       s"""WITH c AS (SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey < 200),
          |o AS (SELECT o_custkey, COUNT(*) AS n_ord,

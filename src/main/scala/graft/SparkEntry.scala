@@ -62,6 +62,7 @@ object SparkEntry {
     "q_set_ops_all" -> (QueriesExt.qSetOpsAll _),
     "q_outer_join" -> (QueriesExt.qOuterJoin _),
     "q_null_funcs" -> (QueriesExt.qNullFuncs _),
+    "q_agg_kit" -> (QueriesExt.qAggKit _),
     "q_math_funcs" -> (QueriesExt.qMathFuncs _),
     // §2.5 text analysis
     "text_tokens" -> (QueriesData.textTokens _),

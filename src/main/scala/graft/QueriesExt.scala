@@ -290,14 +290,16 @@ object QueriesExt {
 
   /** R36: modern aggregate kit — count_if, bool_and/bool_or, max_by/
     * min_by. The arg-extrema ordering value is made UNIQUE (decimal
-    * price·10⁷ + orderkey, exact integer arithmetic) — with ties, which
-    * row max_by returns is engine- and partition-order-dependent, the
-    * classic silent nondeterminism of arg_max.
+    * price·10¹² + orderkey, exact integer arithmetic): a 0.01 price step
+    * is worth 10¹⁰ ordinal units, strictly above any orderkey through
+    * ~sf1000, so no two rows can collide — with ties, which row max_by
+    * returns is engine- and partition-order-dependent, the classic
+    * silent nondeterminism of arg_max.
     */
   def qAggKit(s: SparkSession, dir: String): DataFrame = {
     val o = t(s, dir, "orders")
-    val ord = (d12(col("o_totalprice")) * 10000000 + col("o_orderkey"))
-      .cast(DecimalType(24, 0))
+    val ord = (d12(col("o_totalprice")) * lit(1000000000000L) + col("o_orderkey"))
+      .cast(DecimalType(26, 0))
     o.groupBy(col("o_orderpriority"))
       .agg(
         count_if(col("o_orderstatus") === "O").as("n_open"),
@@ -628,8 +630,8 @@ object QueriesExt {
          |  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
          |  bool_or(o_totalprice > 400000) AS any_jumbo,
          |  bool_and(o_totalprice > 900) AS all_above_min,
-         |  arg_max(o_orderkey, ${dec("o_totalprice")} * 10000000 + o_orderkey) AS priciest_order,
-         |  arg_min(o_orderkey, ${dec("o_totalprice")} * 10000000 + o_orderkey) AS cheapest_order
+         |  arg_max(o_orderkey, ${dec("o_totalprice")} * 1000000000000 + o_orderkey) AS priciest_order,
+         |  arg_min(o_orderkey, ${dec("o_totalprice")} * 1000000000000 + o_orderkey) AS cheapest_order
          |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q_outer_join" ->
       s"""WITH c AS (SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey < 200),

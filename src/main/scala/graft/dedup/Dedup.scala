@@ -128,6 +128,11 @@ object Dedup {
     * chains, switch to large-star/small-star; dup clusters don't need it.)
     *
     * @param edges (id_a, id_b) undirected candidate pairs
+    * @param maxIter iteration cap; exhausting it without convergence
+    *        THROWS, because split clusters silently elect several
+    *        "canonical" keepers for one duplicate group and every
+    *        downstream keep/drop decision is then wrong. Raise maxIter
+    *        (diameter bound) for adversarially chainy graphs.
     * @return (doc_id, cluster_id) for every endpoint; cluster_id = min id
     *         of the component
     */
@@ -151,10 +156,10 @@ object Dedup {
       i += 1
     }
     if (!converged)
-      // a silently split component would surface as several "canonical"
-      // keepers for one duplicate group — make the truncation loud
-      System.err.println(s"[graft] connectedComponents: NOT converged after " +
-        s"$maxIter rounds (component diameter exceeds maxIter); clusters may be split")
+      throw new IllegalStateException(
+        s"connectedComponents: not converged after $maxIter rounds " +
+          "(component diameter exceeds maxIter); returning would silently " +
+          "split clusters — raise maxIter or pre-contract the graph")
     labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
   }
 

@@ -24,6 +24,11 @@ object RangeJoin {
     * intervals cover, so to emit it exactly once the join keeps only the
     * bucket containing max(lLo, rLo) — the overlap's left edge — instead
     * of paying a distinct over the join output.
+    *
+    * Empty intervals (lo ≥ hi) overlap nothing: [5,5) contains no point,
+    * so it must not pair with [0,10) even though the open-interval
+    * predicate alone would claim it does; both sides carry an explicit
+    * non-emptiness conjunct.
     */
   def overlapJoin(left: DataFrame, lLo: Column, lHi: Column,
                   right: DataFrame, rLo: Column, rHi: Column,
@@ -34,6 +39,7 @@ object RangeJoin {
     val a = left.withColumn("__ab", explode(buckets(lLo, lHi)))
     val b = right.withColumn("__bb", explode(buckets(rLo, rHi)))
     a.join(b, col("__ab") === col("__bb") &&
+        lLo < lHi && rLo < rHi &&
         lLo < rHi && rLo < lHi &&
         floor(greatest(lLo, rLo) / bucketWidth).cast("long") === col("__ab"))
       .drop("__ab", "__bb")

@@ -43,12 +43,22 @@ object Sink {
     * million-file listings and sub-rowgroup reads dominate scan cost, so
     * compaction is a first-class maintenance op. File count comes from the
     * on-disk byte size (data is already encoded+compressed, so bytes/file
-    * translate directly); the rewrite goes through a temp dir + atomic-ish
-    * swap like ParquetTarget.
+    * translate directly).
+    *
+    * Crash safety (plain filesystems have no multi-file atomic commit, so
+    * the failure mode is chosen, not eliminated): a manifest listing the
+    * original files is written first, then the compacted files are renamed
+    * to their final VISIBLE names (`compacted-N-…parquet`, collision-free
+    * with the originals' `part-…` names), and only then are the originals
+    * deleted and the manifest removed. A crash mid-swap therefore leaves a
+    * readable dataset with duplicate rows plus the manifest — never an
+    * empty one — and the next compactParquet call replays the manifest's
+    * deletions before doing anything else.
     */
   def compactParquet(spark: org.apache.spark.sql.SparkSession, path: String,
                      targetFileBytes: Long = 128L * 1024 * 1024): Long = {
     val dir = new java.io.File(path)
+    recoverCompaction(dir)
     val entries = Option(dir.listFiles()).getOrElse(Array.empty)
     // flat directories only: for a partitionBy layout the data lives in
     // subdirectories this pass would neither size nor delete — compacting
@@ -61,24 +71,58 @@ object Sink {
     val tmp = s"$path/.compact_tmp"
     spark.read.parquet(path).repartition(nFiles.toInt)
       .write.mode(SaveMode.Overwrite).parquet(tmp)
-    val keep = new java.io.File(tmp).listFiles()
-      .filter(f => f.getName.endsWith(".parquet") || f.getName.startsWith("_SUCCESS"))
-    // move the new files in BEFORE deleting the originals: a failed rename
-    // must abort while the old data still exists
-    keep.foreach { f =>
-      val dest = new java.io.File(dir, s".compacted_${f.getName}")
-      require(f.renameTo(dest), s"compactParquet: rename failed for ${f.getName}")
-    }
-    entries
+    val keep = new java.io.File(tmp).listFiles().filter(_.getName.endsWith(".parquet"))
+    val originals = entries
       .filter(f => f.isFile && (f.getName.endsWith(".parquet") || f.getName.startsWith("_")))
-      .foreach(_.delete())
-    Option(dir.listFiles()).getOrElse(Array.empty)
-      .filter(_.getName.startsWith(".compacted_")).foreach { f =>
-        require(f.renameTo(new java.io.File(dir, f.getName.stripPrefix(".compacted_"))),
-          s"compactParquet: final rename failed for ${f.getName}")
-      }
+    val finalNames = keep.zipWithIndex.map { case (f, i) => s"compacted-$i-${f.getName}" }
+    // 1. durable undo/redo log: D = originals to delete, K = compacted
+    //    files that must all exist before any D may be deleted
+    val manifest = new java.io.File(dir, ManifestName)
+    writeLines(manifest,
+      originals.map(n => s"D ${n.getName}") ++ finalNames.map(n => s"K $n"))
+    // 2. new files in, VISIBLE and uniquely named
+    keep.zip(finalNames).foreach { case (f, name) =>
+      require(f.renameTo(new java.io.File(dir, name)),
+        s"compactParquet: rename failed for ${f.getName}")
+    }
+    // 3. originals out, log gone
+    originals.foreach(_.delete())
+    manifest.delete()
     delete(new java.io.File(tmp))
     nFiles
+  }
+
+  private val ManifestName = ".compact_manifest"
+
+  /** Finish an interrupted swap. The manifest records the full plan, so
+    * recovery is decidable from the filesystem alone: if every K
+    * (compacted) file exists the data is completely duplicated and the
+    * swap ROLLS FORWARD (delete the D originals); if any K is missing the
+    * rename phase died early and it ROLLS BACK (delete the partial
+    * compacted files, originals untouched). Either way the directory ends
+    * holding the rows exactly once.
+    */
+  private def recoverCompaction(dir: java.io.File): Unit = {
+    val manifest = new java.io.File(dir, ManifestName)
+    if (manifest.isFile) {
+      val lines = {
+        val src = scala.io.Source.fromFile(manifest)
+        try src.getLines().toVector finally src.close()
+      }
+      val dels = lines.collect { case s if s.startsWith("D ") => s.drop(2) }
+      val keeps = lines.collect { case s if s.startsWith("K ") => s.drop(2) }
+      if (keeps.forall(n => new java.io.File(dir, n).isFile))
+        dels.foreach(n => new java.io.File(dir, n).delete())
+      else
+        keeps.foreach(n => new java.io.File(dir, n).delete())
+      manifest.delete()
+      delete(new java.io.File(dir, ".compact_tmp"))
+    }
+  }
+
+  private def writeLines(f: java.io.File, lines: Seq[String]): Unit = {
+    val w = new java.io.PrintWriter(f)
+    try lines.foreach(w.println) finally w.close()
   }
 
   private def delete(f: java.io.File): Unit = {

@@ -28,15 +28,17 @@ object Streams {
     * spark.sql.shuffle.partitions AT START, and every micro-batch then
     * pays per-partition store maintenance (snapshot, delta files) whether
     * or not the partition holds data. Scope the stream's state partitions
-    * to the workload instead of inheriting the batch-tuned setting; the
-    * previous value is restored afterwards (the finite replay is drained
-    * inside `f`, so no other query observes it).
+    * to the workload instead of inheriting the batch-tuned setting — and
+    * do it in an ISOLATED child session (`spark.newSession()`: same
+    * SparkContext and shared state, private SQL conf), not by mutating the
+    * shared session conf, which a concurrent batch or streaming query on
+    * the same session would silently pick up. `f` receives the child
+    * session and must build its readStream from it.
     */
-  private def withStatePartitions[T](spark: SparkSession, n: Int)(f: => T): T = {
-    val key = "spark.sql.shuffle.partitions"
-    val prev = spark.conf.get(key)
-    spark.conf.set(key, n.toString)
-    try f finally spark.conf.set(key, prev)
+  private def withStateSession[T](spark: SparkSession, n: Int)(f: SparkSession => T): T = {
+    val iso = spark.newSession()
+    iso.conf.set("spark.sql.shuffle.partitions", n.toString)
+    f(iso)
   }
 
   /** X1: tumbling-window aggregation over an event stream. Watermark bounds
@@ -47,18 +49,18 @@ object Streams {
   def tumblingWindowAgg(spark: SparkSession, events: DataFrame, tsCol: String,
                         typeCol: String, valueCol: String, queryName: String): DataFrame = {
     val path = stageToTemp(events, "winagg")
-    val stream = spark.readStream.schema(events.schema).parquet(path)
-    withStatePartitions(spark, 8) {
-    val agg = stream
-      .withWatermark(tsCol, "1 hour")
-      .groupBy(window(col(tsCol), "1 hour").as("win"), col(typeCol))
-      .agg(count(lit(1)).as("n_events"),
-        sum(col(valueCol).cast("decimal(18,2)")).as("sum_value_dec"))
-    val q = agg.writeStream.outputMode("complete")
-      .format("memory").queryName(queryName).start()
-    try { q.processAllAvailable() } finally { q.stop() }
+    withStateSession(spark, 8) { iso =>
+      val stream = iso.readStream.schema(events.schema).parquet(path)
+      val agg = stream
+        .withWatermark(tsCol, "1 hour")
+        .groupBy(window(col(tsCol), "1 hour").as("win"), col(typeCol))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col(valueCol).cast("decimal(18,2)")).as("sum_value_dec"))
+      val q = agg.writeStream.outputMode("complete")
+        .format("memory").queryName(queryName).start()
+      try { q.processAllAvailable() } finally { q.stop() }
+      iso.table(queryName)
     }
-    spark.table(queryName)
       .select(
         (unix_timestamp(col("win.start")) / 3600L).cast("long").as("bucket_hour"),
         col(typeCol),
@@ -76,8 +78,8 @@ object Streams {
                pk: Seq[String], orderCols: Seq[Column]): DataFrame = {
     val path = stageToTemp(delta, "cdcapply")
     var state = initialTarget.localCheckpoint(true)
-    val stream = spark.readStream.schema(delta.schema).parquet(path)
-    withStatePartitions(spark, 8) {
+    withStateSession(spark, 8) { iso =>
+      val stream = iso.readStream.schema(delta.schema).parquet(path)
       val q = stream.writeStream.outputMode("append")
         .foreachBatch { (batch: DataFrame, _: Long) =>
           val deduped = Cdc.latestPerKey(batch, pk, orderCols)
@@ -97,14 +99,14 @@ object Streams {
   def streamingDedup(spark: SparkSession, docs: DataFrame, idCol: String,
                      fingerprintCol: String, queryName: String): DataFrame = {
     val path = stageToTemp(docs, "sdedup")
-    val stream = spark.readStream.schema(docs.schema).parquet(path)
-    withStatePartitions(spark, 8) {
+    withStateSession(spark, 8) { iso =>
+      val stream = iso.readStream.schema(docs.schema).parquet(path)
       val deduped = stream.dropDuplicates(Seq(fingerprintCol))
       val q = deduped.writeStream.outputMode("append")
         .format("memory").queryName(queryName).start()
       try { q.processAllAvailable() } finally { q.stop() }
+      iso.table(queryName)
     }
-    spark.table(queryName)
   }
 
   /** X5: stream-stream interval (event-time range) join. Both sides carry
@@ -118,18 +120,18 @@ object Streams {
                    gapSec: Long, queryName: String): DataFrame = {
     val lPath = stageToTemp(left, "ivjoin_l")
     val rPath = stageToTemp(right, "ivjoin_r")
-    val l = spark.readStream.schema(left.schema).parquet(lPath)
-      .withWatermark("l_ts", "1 hour")
-    val r = spark.readStream.schema(right.schema).parquet(rPath)
-      .withWatermark("r_ts", "1 hour")
-    withStatePartitions(spark, 8) {
+    withStateSession(spark, 8) { iso =>
+      val l = iso.readStream.schema(left.schema).parquet(lPath)
+        .withWatermark("l_ts", "1 hour")
+      val r = iso.readStream.schema(right.schema).parquet(rPath)
+        .withWatermark("r_ts", "1 hour")
       val joined = l.join(r, expr(
         s"l_key = r_key AND r_ts >= l_ts - INTERVAL $gapSec SECONDS AND r_ts <= l_ts"))
       val q = joined.writeStream.outputMode("append")
         .format("memory").queryName(queryName).start()
       try { q.processAllAvailable() } finally { q.stop() }
+      iso.table(queryName)
     }
-    spark.table(queryName)
   }
 
   /** X6: stream-static join — each micro-batch of the stream joins the
@@ -160,7 +162,6 @@ object Streams {
     val typed = events.select(col("user_id").cast("long"), col("event_id").cast("long"),
       col("ts_sec").cast("long")).as[SessionEvent]
     val path = stageToTemp(typed.toDF(), "sessionize")
-    val stream = spark.readStream.schema(typed.schema).parquet(path).as[SessionEvent]
 
     val assign = (_: Long, rows: Iterator[SessionEvent],
                   state: GroupState[SessionState]) => {
@@ -176,14 +177,15 @@ object Streams {
       out.iterator
     }
 
-    withStatePartitions(spark, 8) {
+    withStateSession(spark, 8) { iso =>
+      val stream = iso.readStream.schema(typed.schema).parquet(path).as[SessionEvent]
       val sessions = stream.groupByKey(_.user_id)
         .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(assign)
         .toDF("user_id", "event_id", "session_seq")
       val q = sessions.writeStream.outputMode("append")
         .format("memory").queryName(queryName).start()
       try { q.processAllAvailable() } finally { q.stop() }
+      iso.table(queryName)
     }
-    spark.table(queryName)
   }
 }

@@ -57,6 +57,18 @@ class DedupSpec extends AnyFunSuite {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 6L -> 1L, 4L -> 4L, 5L -> 4L))
   }
 
+  test("connectedComponents: throws on non-convergence instead of splitting clusters") {
+    // path 1-2-3-4-5-6-7-8: min-label needs ~diameter rounds; maxIter=2 can't
+    val chain = (1L until 8L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val e = intercept[IllegalStateException](
+      Dedup.connectedComponents(chain, maxIter = 2).collect())
+    assert(e.getMessage.contains("not converged"))
+    // and with enough rounds the same graph is one cluster
+    val ok = Dedup.connectedComponents(chain, maxIter = 10)
+      .as[(Long, Long)].collect().toMap
+    assert(ok.values.toSet == Set(1L))
+  }
+
   test("jaccard on shingle arrays") {
     val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
     val j = df.select(Dedup.jaccard(col("x"), col("y"))).as[Double].head()

@@ -44,6 +44,16 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(!got.contains((1L, 20L)) && got.contains((1L, 10L)))
   }
 
+  test("empty intervals overlap nothing, even strictly inside a fat one") {
+    val a = Seq((1L, 5.0, 5.0), (2L, 3.0, 4.0)).toDF("aid", "a_lo", "a_hi")
+    val b = Seq((10L, 0.0, 10.0), (20L, 7.0, 7.0)).toDF("bid", "b_lo", "b_hi")
+    val got = RangeJoin.overlapJoin(a, col("a_lo"), col("a_hi"),
+        b, col("b_lo"), col("b_hi"), 5.0)
+      .select("aid", "bid").as[(Long, Long)].collect().toSet
+    // [5,5) and [7,7) are empty sets of points — no pair involving them
+    assert(got == Set((2L, 10L)))
+  }
+
   test("overlap join: randomized equivalence with naive join (emit-once property)") {
     val rnd = new scala.util.Random(7)
     def intervals(n: Int, idBase: Long) = (0 until n).map { i =>

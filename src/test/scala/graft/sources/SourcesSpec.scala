@@ -66,4 +66,44 @@ class SourcesSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException](Sink.compactParquet(spark, dir))
     assert(e.getMessage.contains("partition subdirectories"))
   }
+
+  /** Stage a mid-swap crash: originals + (some) compacted-* copies + the
+    * manifest, exactly what a kill between rename and delete leaves.
+    */
+  private def stageCrash(dir: String, copyN: Int): Long = {
+    import java.nio.file.{Files => F, Paths}
+    val events = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "events")
+    events.repartition(4).write.mode("overwrite").parquet(dir)
+    val rows = spark.read.parquet(dir).count()
+    val originals = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    val finalNames = originals.zipWithIndex.map { case (f, i) => s"compacted-$i-${f.getName}" }
+    originals.take(copyN).zip(finalNames).foreach { case (f, n) =>
+      F.copy(f.toPath, Paths.get(dir, n))
+    }
+    val w = new java.io.PrintWriter(new java.io.File(dir, ".compact_manifest"))
+    try {
+      originals.foreach(f => w.println(s"D ${f.getName}"))
+      finalNames.foreach(n => w.println(s"K $n"))
+    } finally w.close()
+    rows
+  }
+
+  test("interrupted compaction rolls FORWARD when the compacted set is complete") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_crash_fwd").toString
+    val rows = stageCrash(dir, copyN = 4) // all 4 copied → duplicates on disk
+    assert(spark.read.parquet(dir).count() == 2 * rows, "crash state = duplicated")
+    Sink.compactParquet(spark, dir)
+    assert(spark.read.parquet(dir).count() == rows, "recovery must dedup, then compact")
+    assert(!new java.io.File(dir, ".compact_manifest").exists())
+  }
+
+  test("interrupted compaction rolls BACK when the compacted set is partial") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_crash_bak").toString
+    val rows = stageCrash(dir, copyN = 2) // rename died halfway
+    Sink.compactParquet(spark, dir)
+    assert(spark.read.parquet(dir).count() == rows,
+      "recovery must drop the partial compacted files, never the originals")
+    assert(!new java.io.File(dir, ".compact_manifest").exists())
+  }
 }

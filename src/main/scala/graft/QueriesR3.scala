@@ -1,0 +1,114 @@
+package graft
+
+import graft.layout.ZOrder
+import graft.sketches.{Kmv, TDigest}
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-3 gate queries: mergeable sketches (KMV distinct, t-digest
+  * quantiles), Z-order clustering, and star-contraction connected
+  * components. Oracle discipline as everywhere: md5-portable hashing,
+  * integer/boolean outputs for anything approximation- or
+  * order-sensitive, full-tiebreak ORDER BY.
+  */
+object QueriesR3 {
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** R37: KMV mergeable distinct sketch beside the exact count — the
+    * estimate is bit-reproducible in DuckDB because the sketch is just
+    * "k smallest md5⁴⁸ values" + integer division.
+    */
+  def sketchKmvDistinct(s: SparkSession, dir: String): DataFrame =
+    Kmv.distinctReport(t(s, dir, "events"), "event_type", "user_id", k = 64)
+
+  /** R38: t-digest quantiles, gated by a rank-error bound the oracle can
+    * state exactly: the digest's p50/p95 estimates must rank within ±2%
+    * of their targets against the true distribution (t-digest at
+    * compression 200 delivers ~0.2%; the bound is 10× slack). The oracle
+    * emits literal TRUE — an accuracy regression flips the hash.
+    */
+  def sketchTdigestRank(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+      .select(col("event_type"), col("value").cast("double").as("v"))
+    val est = e.groupBy("event_type")
+      .agg(TDigest.quantiles(col("v"), Seq(0.5, 0.95)).as("qs"))
+      .select(col("event_type").as("et"),
+        col("qs").getItem(0).as("p50_est"), col("qs").getItem(1).as("p95_est"))
+    e.join(est, col("event_type") === col("et"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("v") <= col("p50_est"), 1L).otherwise(0L)).as("le50"),
+        sum(when(col("v") <= col("p95_est"), 1L).otherwise(0L)).as("le95"))
+      .select(col("event_type"), col("n"),
+        (abs(col("le50") / col("n") - 0.5) < 0.02).as("p50_ok"),
+        (abs(col("le95") / col("n") - 0.95) < 0.02).as("p95_ok"))
+      .orderBy(col("event_type"))
+  }
+
+  /** R39: Z-order (Morton) values from the native interleave expression —
+    * the clustering key behind 2-D data skipping (ZOrderSpec proves the
+    * file-pruning effect; this gate proves the bit math cross-engine).
+    */
+  def zorderCluster(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    e.select(col("event_id"),
+        ZOrder.zvalue(col("user_id") % 4096, col("event_id") % 4096, 12).as("zval"))
+      .orderBy(col("zval"), col("event_id"))
+  }
+
+  /** R40: duplicate clusters via large-star/small-star contraction — same
+    * clusters as dedup_cluster (shared oracle), different algorithm:
+    * O(log n) rounds instead of O(diameter).
+    */
+  def ccStarCluster(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val pairs = graft.dedup.Dedup.lshCandidates(d, col("doc_id"), col("text"),
+      shingleWords = 3, k = 12, bands = 4)
+    graft.dedup.Dedup.connectedComponentsStar(pairs).orderBy(col("doc_id"))
+  }
+
+  // ─────────────────────── oracle SQL (DuckDB) ───────────────────────
+
+  /** DuckDB arithmetic for the integer value of the first 12 hex chars of
+    * an md5 string — 48 bits, exact in BIGINT.
+    */
+  private def hex12ToInt(sExpr: String): String =
+    (1 to 12).map { i =>
+      val p = 1L << (4 * (12 - i))
+      s"(strpos('0123456789abcdef', substr($sExpr, $i, 1)) - 1) * ${p}"
+    }.mkString("(", " + ", ")")
+
+  /** Morton interleave as plain integer arithmetic. */
+  private def zArith(x: String, y: String, bits: Int): String =
+    (0 until bits).flatMap { i =>
+      Seq(s"((($x >> $i) & 1) << ${2 * i})", s"((($y >> $i) & 1) << ${2 * i + 1})")
+    }.mkString("(", " + ", ")")
+
+  val sql: Map[String, String] = Map(
+    "sketch_kmv_distinct" ->
+      s"""WITH h AS (
+         |  SELECT DISTINCT event_type,
+         |    ${hex12ToInt("md5(CAST(user_id AS VARCHAR))")} AS h
+         |  FROM events
+         |), r AS (
+         |  SELECT event_type, h,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn,
+         |    COUNT(*) OVER (PARTITION BY event_type) AS nd
+         |  FROM h
+         |)
+         |SELECT event_type, CAST(MAX(nd) AS BIGINT) AS n_exact,
+         |  CAST(CASE WHEN MAX(nd) < 64 THEN MAX(nd)
+         |       ELSE (63 * ${Kmv.HashRange}) // MAX(CASE WHEN rn = 64 THEN h END)
+         |       END AS BIGINT) AS kmv_est
+         |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "sketch_tdigest_rank" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  TRUE AS p50_ok, TRUE AS p95_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "zorder_cluster" ->
+      s"""SELECT event_id, CAST(${zArith("(user_id % 4096)", "(event_id % 4096)", 12)} AS BIGINT) AS zval
+         |FROM events ORDER BY zval, event_id""".stripMargin,
+    "cc_star_cluster" -> QueriesData.sql("dedup_cluster"))
+}

@@ -99,6 +99,11 @@ object SparkEntry {
     "stream_dedup_exact" -> (QueriesData.streamDedupExact _),
     "stream_interval_join" -> (QueriesData.streamIntervalJoin _),
     "stream_static_join" -> (QueriesData.streamStaticJoin _),
+    // round-3: sketches, layout, star CC
+    "sketch_kmv_distinct" -> (QueriesR3.sketchKmvDistinct _),
+    "sketch_tdigest_rank" -> (QueriesR3.sketchTdigestRank _),
+    "zorder_cluster" -> (QueriesR3.zorderCluster _),
+    "cc_star_cluster" -> (QueriesR3.ccStarCluster _),
     // §2.1 C9 (rows-only: no SQL-comparable type names)
     "schema_clone" -> (QueriesData.schemaClone _))
 
@@ -106,5 +111,6 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
-    Queries.sqlRelational ++ Queries.sqlCdc ++ QueriesData.sql ++ QueriesExt.sql
+    Queries.sqlRelational ++ Queries.sqlCdc ++ QueriesData.sql ++ QueriesExt.sql ++
+      QueriesR3.sql
 }

@@ -163,6 +163,73 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
   }
 
+  /** Connected components via alternating large-star/small-star
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    * the deep-graph path. Min-label propagation needs DIAMETER rounds: a
+    * 10⁶-long chain means 10⁶ shuffles. Star contraction rewires the edge
+    * set itself each round (every node links toward the minimum of its
+    * neighborhood), collapsing any component to a star in O(log n)
+    * rounds regardless of diameter. Same output contract as
+    * [[connectedComponents]]; same throw-on-non-convergence posture.
+    *
+    * Invariant: the working edge set is directed u→v with u > v.
+    * large-star connects every neighbor larger than u to
+    * min(Γ(u) ∪ {u}); small-star connects u and its (all smaller)
+    * neighbors to the minimum among them. Fixed point = every node
+    * points straight at its component minimum.
+    */
+  def connectedComponentsStar(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+    def largeStar(ed: DataFrame): DataFrame = {
+      val sym = ed.unionByName(ed.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy("u").agg(min("v").as("minv"))
+        .select(col("u").as("lu"), least(col("minv"), col("u")).as("m"))
+      sym.join(mins, col("u") === col("lu"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+    def smallStar(ed: DataFrame): DataFrame = {
+      val mins = ed.groupBy("u").agg(min("v").as("m"))
+      val viaNbr = ed.join(mins, "u")
+        .filter(col("v") =!= col("m"))
+        .select(greatest(col("v"), col("m")).as("u"), least(col("v"), col("m")).as("v"))
+      val self = mins.select(col("u"), col("m").as("v")) // u > m by invariant
+      viaNbr.unionByName(self).distinct()
+    }
+    // edge-set signature for the fixed-point check: one cheap agg pass
+    // (bit_xor is order-free and cannot overflow, unlike an ANSI sum)
+    def sig(d: DataFrame): (Long, Long) = {
+      val r = d.agg(count(lit(1)),
+        coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    var e = edges
+      .select(col("id_a").cast("long").as("a"), col("id_b").cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
+      .distinct().localCheckpoint(true)
+    var prev = sig(e)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      e = smallStar(largeStar(e)).localCheckpoint(true)
+      val cur = sig(e)
+      converged = cur == prev
+      prev = cur
+      i += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponentsStar: not converged after $maxIter rounds")
+    // every input endpoint gets a label; roots and singletons label themselves
+    val nodes = edges.select(col("id_a").cast("long").as("id"))
+      .unionByName(edges.select(col("id_b").cast("long").as("id"))).distinct()
+    nodes.join(e.select(col("u").as("id"), col("v").as("lbl")), Seq("id"), "left")
+      .select(col("id").as("doc_id"),
+        coalesce(col("lbl"), col("id")).as("cluster_id"))
+  }
+
   /** Exact Jaccard similarity between two documents' distinct shingle sets
     * (used to verify LSH candidates; runs only on candidate pairs).
     */

@@ -69,6 +69,23 @@ class DedupSpec extends AnyFunSuite {
     assert(ok.values.toSet == Set(1L))
   }
 
+  test("star CC: deep chain converges in O(log n) rounds, matches min-label on random graphs") {
+    // 65-node chain, diameter 64: min-label would need 64 rounds; star needs ~log
+    val chain = (1L until 65L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val star = Dedup.connectedComponentsStar(chain, maxIter = 12)
+      .as[(Long, Long)].collect().toMap
+    assert(star.size == 65 && star.values.toSet == Set(1L))
+    // parity with the min-label implementation on a random graph
+    val rnd = new scala.util.Random(41)
+    val edges = Seq.fill(300)((rnd.nextLong(120), rnd.nextLong(120)))
+      .filter(p => p._1 != p._2).toDF("id_a", "id_b")
+    val minLabel = Dedup.connectedComponents(edges, maxIter = 40)
+      .as[(Long, Long)].collect().toMap
+    val starCc = Dedup.connectedComponentsStar(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(starCc == minLabel)
+  }
+
   test("jaccard on shingle arrays") {
     val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
     val j = df.select(Dedup.jaccard(col("x"), col("y"))).as[Double].head()

@@ -1,0 +1,62 @@
+package graft.layout
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class ZOrderSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("zvalue matches the reference interleave, eval and codegen") {
+    val cases = Seq((0L, 0L), (1L, 0L), (0L, 1L), (5L, 3L), (4095L, 4095L), (2731L, 1365L))
+    val df = cases.toDF("x", "y")
+      .select(col("x"), col("y"), ZOrder.zvalue(col("x"), col("y"), 12).as("z"))
+    df.as[(Long, Long, Long)].collect().foreach { case (x, y, z) =>
+      assert(z == ZOrder.zvalueRef(x, y, 12), s"($x,$y)")
+    }
+    // spot-check the classic: interleave(0b11, 0b00)=0b0101=5, (0b00,0b11)=0b1010=10
+    assert(ZOrder.zvalueRef(3, 0, 12) == 5L && ZOrder.zvalueRef(0, 3, 12) == 10L)
+  }
+
+  test("z-clustered layout prunes files on BOTH dimensions; linear only on one") {
+    val n = 100000
+    val rnd = new scala.util.Random(31)
+    val rows = Seq.fill(n)((rnd.nextLong(4096), rnd.nextLong(4096))).toDF("x", "y")
+    val zDir = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+    val linDir = java.nio.file.Files.createTempDirectory("graft_linear").toString
+    ZOrder.writeClustered(rows, zDir, ZOrder.zvalue(col("x"), col("y"), 12), 64)
+    // linear baseline: same file count, clustered on x alone
+    rows.repartitionByRange(64, col("x")).sortWithinPartitions(col("x"))
+      .write.mode("overwrite").parquet(linDir)
+
+    val zStats = ZOrder.fileStats(spark, zDir, Seq("x", "y")).cache()
+    val linStats = ZOrder.fileStats(spark, linDir, Seq("x", "y")).cache()
+
+    // y-only box: the case column-linear layouts cannot skip
+    val yBox = Map("y" -> (100L, 200L))
+    val (zSel, zTot, zDf) = ZOrder.prunedScan(spark, zDir, zStats, yBox)
+    val (linSel, linTot, _) = ZOrder.prunedScan(spark, linDir, linStats, yBox)
+    assert(zTot == 64 && linTot == 64)
+    assert(linSel == 64, "x-sorted layout reads every file for a y predicate")
+    assert(zSel <= 24, s"z layout should skip most files, read $zSel")
+    // correctness: pruned scan == full filter
+    val expect = rows.filter(col("y") >= 100 && col("y") <= 200).count()
+    assert(zDf.count() == expect)
+
+    // 2-D box: z prunes to a handful
+    val box = Map("x" -> (1000L, 1200L), "y" -> (2000L, 2200L))
+    val (zSel2, _, zDf2) = ZOrder.prunedScan(spark, zDir, zStats, box)
+    assert(zSel2 <= 16, s"2-D box read $zSel2 of 64")
+    val expect2 = rows.filter(
+      col("x").between(1000, 1200) && col("y").between(2000, 2200)).count()
+    assert(zDf2.count() == expect2)
+  }
+
+  test("zvalue rejects negative inputs") {
+    val e = intercept[Exception](
+      Seq((-1L, 2L)).toDF("x", "y")
+        .select(ZOrder.zvalue(col("x"), col("y"), 12)).collect())
+    assert(e.getMessage != null)
+  }
+}

@@ -1,0 +1,117 @@
+package graft.sketches
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SketchesSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // ───────────────────────────── KMV ─────────────────────────────
+
+  test("kmv: below k the sketch is exact") {
+    val buf = (1 to 40).foldLeft(Array.emptyLongArray)((b, i) =>
+      Kmv.insert(b, i * 1000L, 64))
+    assert(Kmv.estimate(buf, 64) == 40L)
+  }
+
+  test("kmv: insert keeps the k smallest distinct, sorted") {
+    val rnd = new scala.util.Random(11)
+    val vals = Array.fill(5000)(rnd.nextLong(1L << 48))
+    val buf = vals.foldLeft(Array.emptyLongArray)((b, v) => Kmv.insert(b, v, 32))
+    val expect = vals.distinct.sorted.take(32)
+    assert(buf.toSeq == expect.toSeq)
+  }
+
+  test("kmv: union == sketch of concatenation (mergeable, order-free)") {
+    val rnd = new scala.util.Random(12)
+    def sk(vs: Seq[Long]) = vs.foldLeft(Array.emptyLongArray)((b, v) => Kmv.insert(b, v, 16))
+    val a = Seq.fill(300)(rnd.nextLong(1L << 48))
+    val b = Seq.fill(300)(rnd.nextLong(1L << 48))
+    assert(Kmv.union(sk(a), sk(b), 16).toSeq == sk(a ++ b).toSeq)
+    assert(Kmv.union(sk(b), sk(a), 16).toSeq == sk(a ++ b).toSeq)
+  }
+
+  test("kmv: estimator lands within 3σ of the truth") {
+    val k = 256
+    val n = 100000
+    // deterministic md5-derived hashes, as production uses
+    val df = spark.range(n).select(Kmv.hash48(col("id")).as("h"))
+    val est = df.agg(Kmv.kmvDistinct(col("h"), k)).as[Long].head()
+    val sigma = n / math.sqrt(k - 2.0)
+    assert(math.abs(est - n) < 3 * sigma, s"est=$est n=$n 3σ=${3 * sigma}")
+  }
+
+  test("kmv: estimate is identical under any partitioning (deterministic merge)") {
+    val df = spark.range(20000).select((col("id") % 500).as("g"), Kmv.hash48(col("id")).as("h"))
+    def run(parts: Int) =
+      df.repartition(parts).groupBy("g").agg(Kmv.kmvDistinct(col("h"), 32).as("e"))
+        .as[(Long, Long)].collect().toMap
+    assert(run(1) == run(13))
+  }
+
+  // ─────────────────────────── t-digest ───────────────────────────
+
+  private def rankOf(sorted: Array[Double], v: Double): Double = {
+    val i = java.util.Arrays.binarySearch(sorted, v)
+    val pos = if (i >= 0) i else -i - 1
+    pos.toDouble / sorted.length
+  }
+
+  test("tdigest: rank error under 1% on uniform data at p50/p90/p99") {
+    val rnd = new scala.util.Random(21)
+    val vals = Array.fill(50000)(rnd.nextDouble() * 1000)
+    val st = vals.foldLeft(TDigest.State.empty)((s, v) =>
+      new TDigest.TDigestAgg(Seq(0.5)).reduce(s, v))
+    val sorted = vals.sorted
+    for (q <- Seq(0.5, 0.9, 0.99)) {
+      val est = TDigest.quantile(st, q)
+      assert(math.abs(rankOf(sorted, est) - q) < 0.01, s"q=$q est=$est")
+    }
+  }
+
+  test("tdigest: merged shards match single digest accuracy (lognormal)") {
+    val rnd = new scala.util.Random(22)
+    val vals = Array.fill(40000)(math.exp(rnd.nextGaussian() * 2))
+    val agg = new TDigest.TDigestAgg(Seq(0.5))
+    val shards = vals.grouped(2500).map(_.foldLeft(TDigest.State.empty)(agg.reduce)).toSeq
+    val merged = shards.reduce(agg.merge)
+    val sorted = vals.sorted
+    for (q <- Seq(0.1, 0.5, 0.9, 0.99)) {
+      val est = TDigest.quantile(merged, q)
+      assert(math.abs(rankOf(sorted, est) - q) < 0.01, s"q=$q est=$est")
+    }
+  }
+
+  test("tdigest: quantile estimates are monotone in q") {
+    val rnd = new scala.util.Random(23)
+    val agg = new TDigest.TDigestAgg(Seq(0.5))
+    val st = Array.fill(10000)(rnd.nextGaussian()).foldLeft(TDigest.State.empty)(agg.reduce)
+    val qs = (0 to 20).map(_ / 20.0)
+    val ests = qs.map(q => TDigest.quantile(st, q))
+    assert(ests == ests.sorted)
+  }
+
+  test("tdigest: centroid count stays O(compression) on big input") {
+    val rnd = new scala.util.Random(24)
+    val agg = new TDigest.TDigestAgg(Seq(0.5), compression = 100)
+    val st0 = Array.fill(200000)(rnd.nextDouble()).foldLeft(TDigest.State.empty)(agg.reduce)
+    val st = TDigest.compress(st0, 100)
+    assert(st.means.length < 200, s"${st.means.length} centroids for compression=100")
+  }
+
+  test("tdigest: dataframe aggregate brackets the exact quantile per group") {
+    val rnd = new scala.util.Random(25)
+    val rows = for (g <- 0 until 3; _ <- 0 until 8000) yield (g.toLong, rnd.nextDouble() * (g + 1))
+    val df = rows.toDF("g", "v").repartition(8)
+    val got = df.groupBy("g").agg(TDigest.quantiles(col("v"), Seq(0.5, 0.95)).as("qs"))
+      .as[(Long, Seq[Double])].collect().toMap
+    for (g <- 0L until 3L) {
+      val exact = rows.filter(_._1 == g).map(_._2).sorted
+      val p50 = got(g)(0); val p95 = got(g)(1)
+      assert(math.abs(rankOf(exact.toArray, p50) - 0.5) < 0.02, s"g=$g p50=$p50")
+      assert(math.abs(rankOf(exact.toArray, p95) - 0.95) < 0.02, s"g=$g p95=$p95")
+    }
+  }
+}

@@ -59,6 +59,27 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    // scale sweep (stderr, optional): how does each plan's time grow with
+    // data volume? Sub-linear growth at these sizes = fixed overhead still
+    // amortizing; the interesting signal is any query growing FASTER than
+    // the 10× data step, which marks a plan that won't survive 100 TB.
+    if (sys.env.contains("SPARK_GRAFT_SF_SWEEP")) {
+      Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
+        .filter(_ != sfDir).foreach { dir =>
+          val sw = names.map { name =>
+            val secs = (1 to 2).map { _ =>
+              val t0 = System.nanoTime()
+              try SparkEntry.queries(name)(spark, dir).count()
+              catch { case _: Throwable => () }
+              (System.nanoTime() - t0) / 1e9
+            }
+            name -> secs.min
+          }
+          val swQs = sw.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+          System.err.println(
+            s"""[bench-sweep] {"total":${sw.map(_._2).sum},"queries":$swQs,"sf":"$dir"}""")
+        }
+    }
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -35,11 +35,27 @@ object Streams {
     * the same session would silently pick up. `f` receives the child
     * session and must build its readStream from it.
     */
-  private def withStateSession[T](spark: SparkSession, n: Int)(f: SparkSession => T): T = {
+  private def withStateSession[T](spark: SparkSession, n: Int,
+                                  rocksDb: Boolean = UseRocksDb)(f: SparkSession => T): T = {
     val iso = spark.newSession()
     iso.conf.set("spark.sql.shuffle.partitions", n.toString)
+    if (rocksDb) iso.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     f(iso)
   }
+
+  /** State-store backend switch. The default HDFS-backed store keeps every
+    * key in executor heap — fine for bounded-key workloads, fatal when
+    * per-key state outgrows memory (billions of dedup fingerprints, long
+    * watermark horizons). RocksDB spills state to local disk with
+    * changelog/snapshot persistence to the checkpoint, which is the 100 TB
+    * posture; flip it per-process (graft.streaming.rocksdb=true) since the
+    * provider binds at query start. StreamsSpec runs the stateful paths
+    * under both providers and asserts identical results.
+    */
+  val UseRocksDb: Boolean =
+    sys.props.get("graft.streaming.rocksdb").orElse(sys.env.get("GRAFT_STREAMING_ROCKSDB"))
+      .exists(v => v == "1" || v.equalsIgnoreCase("true"))
 
   /** X1: tumbling-window aggregation over an event stream. Watermark bounds
     * state at scale; the memory sink in complete mode drains a finite
@@ -97,9 +113,10 @@ object Streams {
     * age out of state instead of growing it forever.
     */
   def streamingDedup(spark: SparkSession, docs: DataFrame, idCol: String,
-                     fingerprintCol: String, queryName: String): DataFrame = {
+                     fingerprintCol: String, queryName: String,
+                     rocksDb: Boolean = UseRocksDb): DataFrame = {
     val path = stageToTemp(docs, "sdedup")
-    withStateSession(spark, 8) { iso =>
+    withStateSession(spark, 8, rocksDb) { iso =>
       val stream = iso.readStream.schema(docs.schema).parquet(path)
       val deduped = stream.dropDuplicates(Seq(fingerprintCol))
       val q = deduped.writeStream.outputMode("append")
@@ -157,7 +174,8 @@ object Streams {
     * scan, and the state carries the cursor across batches.
     */
   def statefulSessionize(spark: SparkSession, events: DataFrame,
-                         gapSec: Long, queryName: String): DataFrame = {
+                         gapSec: Long, queryName: String,
+                         rocksDb: Boolean = UseRocksDb): DataFrame = {
     import spark.implicits._
     val typed = events.select(col("user_id").cast("long"), col("event_id").cast("long"),
       col("ts_sec").cast("long")).as[SessionEvent]
@@ -177,7 +195,7 @@ object Streams {
       out.iterator
     }
 
-    withStateSession(spark, 8) { iso =>
+    withStateSession(spark, 8, rocksDb) { iso =>
       val stream = iso.readStream.schema(typed.schema).parquet(path).as[SessionEvent]
       val sessions = stream.groupByKey(_.user_id)
         .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(assign)

@@ -60,6 +60,19 @@ class StreamsSpec extends AnyFunSuite {
       s"each fingerprint exactly once across restarts, got $got")
   }
 
+  test("RocksDB state store produces identical results to the default provider") {
+    val rnd = new scala.util.Random(51)
+    val events = Seq.tabulate(2000)(i =>
+      (rnd.nextLong(40), i.toLong, rnd.nextLong(100000))).toDF("user_id", "event_id", "ts_sec")
+    def run(rocks: Boolean) =
+      Streams.statefulSessionize(spark, events, gapSec = 600,
+          queryName = s"spec_rocks_${rocks}_${System.nanoTime()}", rocksDb = rocks)
+        .as[(Long, Long, Long)].collect().toSet
+    val hdfs = run(rocks = false)
+    val rocks = run(rocks = true)
+    assert(hdfs.nonEmpty && hdfs == rocks)
+  }
+
   test("cdcApply merges a streamed delta into the target") {
     val target = Seq((1L, "v1", "N"), (2L, "v2", "N")).toDF("id", "v", "is_deleted")
     val delta = Seq((2L, "v2b", "N"), (3L, "v3", "N"), (1L, "v1", "Y"))

@@ -69,6 +69,21 @@ object QueriesR3 {
     graft.dedup.Dedup.connectedComponentsStar(pairs).orderBy(col("doc_id"))
   }
 
+  /** R41: grouped top-k through the native LogicalPlan→Strategy→Exec
+    * operator (plans/GroupedTopKPlan) — map-side bounded buffers prune to
+    * k rows per group per partition BEFORE the shuffle. Same results and
+    * oracle as q_window_topk, third physical formulation after the
+    * window and Aggregator forms.
+    */
+  def qTopKNative(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+    graft.plans.GroupedTopK.topK(o, Seq("o_custkey"),
+        col("o_totalprice"), col("o_orderkey"), k = 3, rankName = "rnk")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rnk"))
+      .orderBy(col("o_custkey"), col("rnk"))
+  }
+
   // ─────────────────────── oracle SQL (DuckDB) ───────────────────────
 
   /** DuckDB arithmetic for the integer value of the first 12 hex chars of
@@ -110,5 +125,6 @@ object QueriesR3 {
     "zorder_cluster" ->
       s"""SELECT event_id, CAST(${zArith("(user_id % 4096)", "(event_id % 4096)", 12)} AS BIGINT) AS zval
          |FROM events ORDER BY zval, event_id""".stripMargin,
-    "cc_star_cluster" -> QueriesData.sql("dedup_cluster"))
+    "cc_star_cluster" -> QueriesData.sql("dedup_cluster"),
+    "q_top_k_native" -> Queries.sqlRelational("q_window_topk"))
 }

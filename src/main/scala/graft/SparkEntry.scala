@@ -104,6 +104,7 @@ object SparkEntry {
     "sketch_tdigest_rank" -> (QueriesR3.sketchTdigestRank _),
     "zorder_cluster" -> (QueriesR3.zorderCluster _),
     "cc_star_cluster" -> (QueriesR3.ccStarCluster _),
+    "q_top_k_native" -> (QueriesR3.qTopKNative _),
     // §2.1 C9 (rows-only: no SQL-comparable type names)
     "schema_clone" -> (QueriesData.schemaClone _))
 

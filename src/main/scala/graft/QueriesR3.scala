@@ -84,6 +84,33 @@ object QueriesR3 {
       .orderBy(col("o_custkey"), col("rnk"))
   }
 
+  /** R42: Misra-Gries heavy hitters, gated on the sketch's provable
+    * guarantees (presence of every item with freq > n/k; estimate within
+    * [true − n/k, true]) — the retained SET below the threshold is
+    * merge-order-dependent, so the raw state is not oracle material but
+    * the guarantees are. Skew is constructed: even user_ids collapse to
+    * 5 hot items (~10% of rows each), odd ones stay long-tail; k=16
+    * (threshold 6.25%) puts the hot items firmly above the bar.
+    * All threshold math is integer (x·16 vs n) in both engines.
+    */
+  def sketchFreqHeavy(s: SparkSession, dir: String): DataFrame = {
+    val k = 16
+    val items = t(s, dir, "events").select(
+      when(col("user_id") % 2 === 0, col("user_id") % 5)
+        .otherwise(col("user_id") + 1000000).cast("long").as("item"))
+    val sk = items.agg(graft.sketches.FreqItems.freqItems(col("item"), k).as("sk"))
+    val exact = items.groupBy("item").agg(count(lit(1)).as("n_exact"))
+    val tot = items.agg(count(lit(1)).as("n"))
+    exact.crossJoin(broadcast(tot)).filter(col("n_exact") * k > col("n"))
+      .crossJoin(broadcast(sk))
+      .select(col("item"), col("n_exact"),
+        element_at(col("sk"), col("item")).isNotNull.as("in_sketch"),
+        (coalesce(element_at(col("sk"), col("item")), lit(0L)) <= col("n_exact") &&
+          coalesce(element_at(col("sk"), col("item")), lit(0L)) * k >=
+            col("n_exact") * k - col("n")).as("est_ok"))
+      .orderBy(col("item"))
+  }
+
   // ─────────────────────── oracle SQL (DuckDB) ───────────────────────
 
   /** DuckDB arithmetic for the integer value of the first 12 hex chars of
@@ -126,5 +153,15 @@ object QueriesR3 {
       s"""SELECT event_id, CAST(${zArith("(user_id % 4096)", "(event_id % 4096)", 12)} AS BIGINT) AS zval
          |FROM events ORDER BY zval, event_id""".stripMargin,
     "cc_star_cluster" -> QueriesData.sql("dedup_cluster"),
-    "q_top_k_native" -> Queries.sqlRelational("q_window_topk"))
+    "q_top_k_native" -> Queries.sqlRelational("q_window_topk"),
+    "sketch_freq_heavy" ->
+      """WITH items AS (
+        |  SELECT CASE WHEN user_id % 2 = 0 THEN user_id % 5
+        |              ELSE user_id + 1000000 END AS item
+        |  FROM events
+        |), tot AS (SELECT COUNT(*) AS n FROM items)
+        |SELECT item, CAST(COUNT(*) AS BIGINT) AS n_exact,
+        |  TRUE AS in_sketch, TRUE AS est_ok
+        |FROM items, tot GROUP BY item, n HAVING COUNT(*) * 16 > n
+        |ORDER BY item""".stripMargin)
 }

@@ -105,6 +105,7 @@ object SparkEntry {
     "zorder_cluster" -> (QueriesR3.zorderCluster _),
     "cc_star_cluster" -> (QueriesR3.ccStarCluster _),
     "q_top_k_native" -> (QueriesR3.qTopKNative _),
+    "sketch_freq_heavy" -> (QueriesR3.sketchFreqHeavy _),
     // §2.1 C9 (rows-only: no SQL-comparable type names)
     "schema_clone" -> (QueriesData.schemaClone _))
 

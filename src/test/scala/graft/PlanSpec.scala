@@ -87,4 +87,24 @@ class PlanSpec extends AnyFunSuite {
     // salt column must not leak into the output
     assert(!df.columns.contains("__salt"))
   }
+
+  test("runtime bloom filter prunes the probe side of a selective join") {
+    import org.apache.spark.sql.functions._
+    // production thresholds (10 GB probe-side scan) are sized for clusters;
+    // lower them so the optimizer exercises the same rewrite locally
+    val s = spark.newSession()
+    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "1KB")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force a shuffle join
+    val li = graft.sources.Tables.load(s, dir, "lineitem")
+    val o = graft.sources.Tables.load(s, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+    val joined = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority")).agg(sum(col("l_quantity")).as("q"))
+    val plan = joined.queryExecution.optimizedPlan.toString()
+    assert(plan.contains("might_contain") && plan.contains("bloom_filter_agg"),
+      s"expected a runtime bloom filter on the fact side:\n$plan")
+    assert(joined.count() >= 1) // and it still computes
+  }
 }

@@ -51,6 +51,48 @@ class SketchesSpec extends AnyFunSuite {
     assert(run(1) == run(13))
   }
 
+  // ───────────────────────── Misra-Gries ─────────────────────────
+
+  private def mgGuaranteesHold(counts: Map[Long, Long], sketch: Map[Long, Long],
+                               n: Long, k: Int): Unit = {
+    counts.foreach { case (item, cnt) =>
+      if (cnt * k > n) {
+        assert(sketch.contains(item), s"heavy item $item (count $cnt, n=$n) missing")
+      }
+      val est = sketch.getOrElse(item, 0L)
+      assert(est <= cnt, s"overestimate for $item: $est > $cnt")
+      assert(est * k >= cnt * k - n, s"underestimate beyond n/k for $item")
+    }
+  }
+
+  test("misra-gries: guarantees hold on a skewed stream, single and sharded builds") {
+    val k = 16
+    val rnd = new scala.util.Random(61)
+    // 40% of mass on 4 items, the rest long-tail
+    val stream = Seq.fill(30000)(
+      if (rnd.nextDouble() < 0.4) rnd.nextLong(4) else 100 + rnd.nextLong(5000))
+    val counts = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val agg = new FreqItems.FreqAgg(k)
+    val single = stream.foldLeft(agg.zero)(agg.reduce)
+    mgGuaranteesHold(counts, single, stream.size, k)
+    // arbitrary merge tree must preserve the guarantees
+    val sharded = stream.grouped(1000).map(_.foldLeft(agg.zero)(agg.reduce))
+      .reduce(agg.merge)
+    assert(sharded.size < k)
+    mgGuaranteesHold(counts, sharded, stream.size, k)
+  }
+
+  test("misra-gries: dataframe aggregate retains every heavy item") {
+    val df = spark.range(20000).select(
+      when(col("id") % 2 === 0, col("id") % 5)
+        .otherwise(col("id") + 1000000).cast("long").as("item"))
+      .repartition(8)
+    val sk = df.agg(FreqItems.freqItems(col("item"), 16).as("sk"))
+      .as[Map[Long, Long]].head()
+    // items 0..4 each carry ~10% of rows > n/16
+    (0L to 4L).foreach(i => assert(sk.contains(i), s"heavy item $i missing from $sk"))
+  }
+
   // ─────────────────────────── t-digest ───────────────────────────
 
   private def rankOf(sorted: Array[Double], v: Double): Double = {

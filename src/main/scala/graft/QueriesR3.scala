@@ -111,6 +111,28 @@ object QueriesR3 {
       .orderBy(col("item"))
   }
 
+  /** X8: streaming per-key t-digest state, gated with the same rank-error
+    * bound as the batch form: after the replay drains, each key's p50/p95
+    * estimates must rank within ±2% of target against the true data.
+    */
+  def streamTdigestRank(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+      .select(col("event_type").as("key"), col("value").cast("double").as("v"))
+    val est = graft.streaming.Streams.streamingTdigest(s, e, Seq(0.5, 0.95),
+        queryName = s"gate_stdigest_${System.nanoTime()}")
+      .select(col("key").as("et"),
+        col("est").getItem(0).as("p50_est"), col("est").getItem(1).as("p95_est"))
+    e.join(est, col("key") === col("et"))
+      .groupBy(col("key").as("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("v") <= col("p50_est"), 1L).otherwise(0L)).as("le50"),
+        sum(when(col("v") <= col("p95_est"), 1L).otherwise(0L)).as("le95"))
+      .select(col("event_type"), col("n"),
+        (abs(col("le50") / col("n") - 0.5) < 0.02).as("p50_ok"),
+        (abs(col("le95") / col("n") - 0.95) < 0.02).as("p95_ok"))
+      .orderBy(col("event_type"))
+  }
+
   // ─────────────────────── oracle SQL (DuckDB) ───────────────────────
 
   /** DuckDB arithmetic for the integer value of the first 12 hex chars of
@@ -146,6 +168,10 @@ object QueriesR3 {
          |       END AS BIGINT) AS kmv_est
          |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
     "sketch_tdigest_rank" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  TRUE AS p50_ok, TRUE AS p95_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "stream_tdigest_rank" ->
       """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
         |  TRUE AS p50_ok, TRUE AS p95_ok
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,

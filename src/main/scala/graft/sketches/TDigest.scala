@@ -45,7 +45,7 @@ object TDigest {
   /** Sort-merge (centroids + buffered raw values) and greedily re-cluster
     * under the k₁ size bound.
     */
-  private[sketches] def compress(st: State, compression: Double): State = {
+  def compress(st: State, compression: Double): State = {
     val n = st.means.length + st.nBuf
     if (n == 0) return st
     // gather (mean, weight) pairs: centroids + unit-weight buffer values

@@ -206,4 +206,49 @@ object Streams {
       iso.table(queryName)
     }
   }
+
+  /** X8: streaming quantiles — a t-digest per key carried as
+    * mapGroupsWithState state, updated each micro-batch, emitting the
+    * key's current quantile estimates. The state is O(compression) per
+    * key no matter how many rows stream through — the streaming twin of
+    * sketches/TDigest exactly as the reference's watermark table is the
+    * streaming twin of a batch MAX. Input: (key: string, v: double);
+    * output per key: estimates at `qs` after the replay drains.
+    */
+  def streamingTdigest(spark: SparkSession, rows: DataFrame, qs: Seq[Double],
+                       queryName: String, compression: Double = 200,
+                       rocksDb: Boolean = UseRocksDb): DataFrame = {
+    import graft.sketches.TDigest
+    import spark.implicits._
+    val typed = rows.select(col("key").cast("string"), col("v").cast("double"))
+      .as[(String, Double)]
+    val path = stageToTemp(typed.toDF("key", "v"), "stdigest")
+
+    val update: (String, Iterator[(String, Double)], GroupState[TDigest.State]) =>
+        (String, Long, Seq[Double]) = (key, batch, state) => {
+      val agg = new TDigest.TDigestAgg(qs, compression)
+      var st = state.getOption.getOrElse(TDigest.State.empty)
+      batch.foreach { case (_, v) => st = agg.reduce(st, v) }
+      val compact = TDigest.compress(st, compression)
+      state.update(compact)
+      // total absorbed weight is monotone per key — the "which emit is
+      // newest" ordinal that survives any batch split of the replay
+      (key, compact.weights.sum, qs.map(q => TDigest.quantile(compact, q, compression)))
+    }
+
+    withStateSession(spark, 8, rocksDb) { iso =>
+      val stream = iso.readStream.schema(typed.schema).parquet(path)
+        .as[(String, Double)]
+      val digests = stream.groupByKey(_._1)
+        .mapGroupsWithState(GroupStateTimeout.NoTimeout)(update)
+        .toDF("key", "n_seen", "est")
+      val q = digests.writeStream.outputMode("update")
+        .format("memory").queryName(queryName).start()
+      try { q.processAllAvailable() } finally { q.stop() }
+      iso.table(queryName)
+        .groupBy("key")
+        .agg(max_by(col("est"), col("n_seen")).as("est"),
+          max(col("n_seen")).as("n_seen"))
+    }
+  }
 }

@@ -73,6 +73,26 @@ class StreamsSpec extends AnyFunSuite {
     assert(hdfs.nonEmpty && hdfs == rocks)
   }
 
+  test("streaming t-digest state tracks per-key quantiles within rank bounds") {
+    val rnd = new scala.util.Random(52)
+    val rows = (for (k <- Seq("a", "b"); _ <- 0 until 6000)
+      yield (k, rnd.nextDouble() * (if (k == "a") 10 else 1000))).toSeq
+    val got = Streams.streamingTdigest(spark, rows.toDF("key", "v"), Seq(0.5, 0.9),
+        queryName = s"spec_stdigest_${System.nanoTime()}")
+      .as[(String, Seq[Double], Long)].collect()
+      .map { case (k, est, n) => k -> (est, n) }.toMap
+    for (k <- Seq("a", "b")) {
+      val vals = rows.filter(_._1 == k).map(_._2).sorted.toArray
+      val (est, n) = got(k)
+      assert(n == 6000L, s"digest must absorb every row for $k, saw $n")
+      for ((q, e) <- Seq(0.5, 0.9).zip(est)) {
+        val i = java.util.Arrays.binarySearch(vals, e)
+        val rank = (if (i >= 0) i else -i - 1).toDouble / vals.length
+        assert(math.abs(rank - q) < 0.02, s"key=$k q=$q est=$e rank=$rank")
+      }
+    }
+  }
+
   test("cdcApply merges a streamed delta into the target") {
     val target = Seq((1L, "v1", "N"), (2L, "v2", "N")).toDF("id", "v", "is_deleted")
     val delta = Seq((2L, "v2b", "N"), (3L, "v3", "N"), (1L, "v1", "Y"))

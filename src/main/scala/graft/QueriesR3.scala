@@ -133,6 +133,17 @@ object QueriesR3 {
       .orderBy(col("event_type"))
   }
 
+  /** R44: HLL dense registers as plain relational algebra — the oracle
+    * reproduces the REGISTERS bit-for-bit (scaled harmonic denominator +
+    * checksums, all integer), the strongest possible cross-engine check
+    * for a cardinality sketch; the float estimate itself is spec-bounded.
+    */
+  def sketchHllDistinct(s: SparkSession, dir: String): DataFrame = {
+    val regs = graft.sketches.Hll.registers(
+      t(s, dir, "events"), "event_type", col("user_id"))
+    graft.sketches.Hll.digest(regs, "event_type").orderBy(col("event_type"))
+  }
+
   // ─────────────────────── oracle SQL (DuckDB) ───────────────────────
 
   /** DuckDB arithmetic for the integer value of the first 12 hex chars of
@@ -180,6 +191,31 @@ object QueriesR3 {
          |FROM events ORDER BY zval, event_id""".stripMargin,
     "cc_star_cluster" -> QueriesData.sql("dedup_cluster"),
     "q_top_k_native" -> Queries.sqlRelational("q_window_topk"),
+    "sketch_hll_distinct" ->
+      """WITH h AS (
+        |  SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS h FROM events
+        |), r AS (
+        |  SELECT event_type,
+        |    (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16 +
+        |    (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) AS bucket,
+        |    CASE WHEN ltrim(substr(h, 3, 12), '0') = '' THEN 49
+        |         ELSE (12 - length(ltrim(substr(h, 3, 12), '0'))) * 4 +
+        |           CASE substr(ltrim(substr(h, 3, 12), '0'), 1, 1)
+        |             WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+        |             WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1
+        |             WHEN '7' THEN 1 ELSE 0 END + 1
+        |    END AS rank
+        |  FROM h
+        |), regs AS (
+        |  SELECT event_type, bucket, MAX(rank) AS register
+        |  FROM r GROUP BY event_type, bucket
+        |)
+        |SELECT event_type,
+        |  CAST(SUM(CAST(1 AS BIGINT) << (49 - register)) +
+        |       (256 - COUNT(*)) * (CAST(1 AS BIGINT) << 49) AS BIGINT) AS hll_denom,
+        |  CAST(COUNT(*) AS BIGINT) AS n_occupied,
+        |  CAST(SUM(register) AS BIGINT) AS sum_reg
+        |FROM regs GROUP BY event_type ORDER BY event_type""".stripMargin,
     "sketch_freq_heavy" ->
       """WITH items AS (
         |  SELECT CASE WHEN user_id % 2 = 0 THEN user_id % 5

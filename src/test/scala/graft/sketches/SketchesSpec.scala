@@ -51,6 +51,37 @@ class SketchesSpec extends AnyFunSuite {
     assert(run(1) == run(13))
   }
 
+  // ──────────────────────────── HLL ────────────────────────────
+
+  test("hll: estimate within 3σ on 100k distinct values") {
+    val df = spark.range(100000).toDF("v")
+    val regs = Hll.registers(df.withColumn("g", lit("all")), "g", col("v"))
+    val denom = Hll.digest(regs, "g").select("hll_denom").as[Long].head()
+    val est = Hll.estimate(denom)
+    val sigma = 1.04 / math.sqrt(Hll.M) * 100000
+    assert(math.abs(est - 100000) < 3 * sigma, s"est=$est 3σ=${3 * sigma}")
+  }
+
+  test("hll: merge of shard registers equals registers of the union") {
+    val a = spark.range(0, 30000).toDF("v").withColumn("g", lit("x"))
+    val b = spark.range(20000, 60000).toDF("v").withColumn("g", lit("x"))
+    val merged = Hll.merge(
+      Hll.registers(a, "g", col("v")), Hll.registers(b, "g", col("v")))
+      .orderBy("bucket").as[(String, Int, Int)].collect().toSeq
+    val whole = Hll.registers(a.unionByName(b), "g", col("v"))
+      .orderBy("bucket").as[(String, Int, Int)].collect().toSeq
+    assert(merged == whole && merged.size <= Hll.M)
+  }
+
+  test("hll: digest is exact-deterministic under any partitioning") {
+    val df = spark.range(50000)
+      .select((col("id") % 7).cast("string").as("g"), col("id").as("v"))
+    def run(parts: Int) =
+      Hll.digest(Hll.registers(df.repartition(parts), "g", col("v")), "g")
+        .as[(String, Long, Long, Long)].collect().toSet
+    assert(run(1) == run(17))
+  }
+
   // ───────────────────────── Misra-Gries ─────────────────────────
 
   private def mgGuaranteesHold(counts: Map[Long, Long], sketch: Map[Long, Long],

@@ -144,6 +144,24 @@ object QueriesR3 {
     graft.sketches.Hll.digest(regs, "event_type").orderBy(col("event_type"))
   }
 
+  /** R45: count-min point-frequency estimates — with fixed md5 hash rows
+    * the sketch is deterministic, so counters AND estimates reproduce
+    * exactly in SQL; the never-underestimate guarantee rides along as an
+    * integer comparison.
+    */
+  def sketchCmCounts(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    val sk = graft.sketches.CountMin.counters(e, col("user_id"))
+    val probes = e.select(col("user_id")).filter(col("user_id") < 20).distinct()
+    val exact = e.filter(col("user_id") < 20)
+      .groupBy("user_id").agg(count(lit(1)).as("n_exact"))
+    graft.sketches.CountMin.estimate(sk, probes, "user_id")
+      .join(exact, "user_id")
+      .select(col("user_id"), col("n_exact"), col("cm_est"),
+        (col("cm_est") >= col("n_exact")).as("lower_ok"))
+      .orderBy(col("user_id"))
+  }
+
   // ─────────────────────── oracle SQL (DuckDB) ───────────────────────
 
   /** DuckDB arithmetic for the integer value of the first 12 hex chars of
@@ -216,6 +234,29 @@ object QueriesR3 {
         |  CAST(COUNT(*) AS BIGINT) AS n_occupied,
         |  CAST(SUM(register) AS BIGINT) AS sum_reg
         |FROM regs GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "sketch_cm_counts" -> {
+      def bucket(itemExpr: String) =
+        s"${hex12ToInt(s"md5(CAST(ds.d AS VARCHAR) || ':' || CAST($itemExpr AS VARCHAR))")} % 512"
+      s"""WITH ds AS (SELECT * FROM (VALUES (0), (1), (2), (3)) AS t(d)),
+         |sk AS (
+         |  SELECT ds.d AS d, ${bucket("e.user_id")} AS bucket, COUNT(*) AS cnt
+         |  FROM events e CROSS JOIN ds GROUP BY 1, 2
+         |), probes AS (SELECT DISTINCT user_id FROM events WHERE user_id < 20),
+         |pe AS (
+         |  SELECT p.user_id, MIN(s.cnt) AS cm_est
+         |  FROM probes p CROSS JOIN ds
+         |  JOIN sk s ON s.d = ds.d AND s.bucket = ${bucket("p.user_id")}
+         |  GROUP BY p.user_id
+         |), ex AS (
+         |  SELECT user_id, COUNT(*) AS n_exact FROM events
+         |  WHERE user_id < 20 GROUP BY user_id
+         |)
+         |SELECT pe.user_id, CAST(ex.n_exact AS BIGINT) AS n_exact,
+         |  CAST(pe.cm_est AS BIGINT) AS cm_est,
+         |  pe.cm_est >= ex.n_exact AS lower_ok
+         |FROM pe JOIN ex ON pe.user_id = ex.user_id
+         |ORDER BY pe.user_id""".stripMargin
+    },
     "sketch_freq_heavy" ->
       """WITH items AS (
         |  SELECT CASE WHEN user_id % 2 = 0 THEN user_id % 5

@@ -108,6 +108,7 @@ object SparkEntry {
     "q_top_k_native" -> (QueriesR3.qTopKNative _),
     "sketch_freq_heavy" -> (QueriesR3.sketchFreqHeavy _),
     "sketch_hll_distinct" -> (QueriesR3.sketchHllDistinct _),
+    "sketch_cm_counts" -> (QueriesR3.sketchCmCounts _),
     // §2.1 C9 (rows-only: no SQL-comparable type names)
     "schema_clone" -> (QueriesData.schemaClone _))
 

@@ -82,6 +82,34 @@ class SketchesSpec extends AnyFunSuite {
     assert(run(1) == run(17))
   }
 
+  // ───────────────────────── count-min ─────────────────────────
+
+  test("count-min: never underestimates, overshoot bounded, merge = whole") {
+    val df = spark.range(30000)
+      .select(when(col("id") % 3 === 0, col("id") % 20)
+        .otherwise(col("id")).as("item"))
+    val exact = df.groupBy("item").count()
+      .as[(Long, Long)].collect().toMap
+    val sk = CountMin.counters(df, col("item"))
+    val probes = spark.range(20).toDF("item")
+    val est = CountMin.estimate(sk, probes, "item")
+      .as[(Long, Long)].collect().toMap
+    (0L until 20L).foreach { i =>
+      val truth = exact.getOrElse(i, 0L)
+      assert(est(i) >= truth, s"CM must never underestimate: item $i")
+      // overshoot ≤ n/width with slack 8 (collision sum, not expectation)
+      assert(est(i) - truth <= 8L * 30000 / CountMin.Width, s"overshoot item $i: ${est(i)} vs $truth")
+    }
+    // merging shard sketches equals the whole-corpus sketch, counter-exact
+    val a = df.filter(col("item") % 2 === 0)
+    val b = df.filter(col("item") % 2 =!= 0)
+    val merged = CountMin.merge(
+      CountMin.counters(a, col("item")), CountMin.counters(b, col("item")))
+      .orderBy("d", "bucket").as[(Int, Long, Long)].collect().toSeq
+    val whole = sk.orderBy("d", "bucket").as[(Int, Long, Long)].collect().toSeq
+    assert(merged == whole)
+  }
+
   // ───────────────────────── Misra-Gries ─────────────────────────
 
   private def mgGuaranteesHold(counts: Map[Long, Long], sketch: Map[Long, Long],

@@ -30,13 +30,27 @@ object ZOrder {
     ColumnBridge.column(
       ZValue(ColumnBridge.expression(x), ColumnBridge.expression(y), bits))
 
+  /** N-dimensional Morton interleave: result bit (i·n + c) = bit i of
+    * column c. Requires n·bits ≤ 63. Three or four clustered dimensions
+    * is the practical lakehouse sweet spot — beyond that each dimension's
+    * selectivity contribution shrinks as 2^(bits/n).
+    */
+  def zvalueN(cols: Seq[Column], bits: Int): Column =
+    ColumnBridge.column(ZValueN(cols.map(ColumnBridge.expression), bits))
+
   /** Reference implementation (specs + driver-side checks). */
-  def zvalueRef(x: Long, y: Long, bits: Int): Long = {
+  def zvalueRef(x: Long, y: Long, bits: Int): Long = zvalueNRef(Seq(x, y), bits)
+
+  def zvalueNRef(xs: Seq[Long], bits: Int): Long = {
+    val n = xs.length
     var z = 0L
     var i = 0
     while (i < bits) {
-      z |= ((x >> i) & 1L) << (2 * i)
-      z |= ((y >> i) & 1L) << (2 * i + 1)
+      var c = 0
+      while (c < n) {
+        z |= ((xs(c) >> i) & 1L) << (i * n + c)
+        c += 1
+      }
       i += 1
     }
     z
@@ -129,4 +143,69 @@ case class ZValue(left: Expression, right: Expression, bits: Int)
   override protected def withNewChildrenInternal(newLeft: Expression,
                                                  newRight: Expression): ZValue =
     copy(left = newLeft, right = newRight)
+}
+
+/** N-ary Morton interleave (see [[ZOrder.zvalueN]]). A generated loop per
+  * dimension keeps any arity inside whole-stage codegen.
+  */
+case class ZValueN(children: Seq[Expression], bits: Int)
+    extends org.apache.spark.sql.catalyst.expressions.Expression {
+  require(children.nonEmpty && bits >= 1 && children.length * bits <= 63,
+    s"need n*bits <= 63, got n=${children.length} bits=$bits")
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = children.exists(_.nullable)
+
+  override def checkInputDataTypes() = {
+    require(children.forall(_.dataType == LongType),
+      s"zvalue_n needs bigint inputs, got ${children.map(_.dataType)}")
+    super.checkInputDataTypes()
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val vals = new Array[Long](children.length)
+    var c = 0
+    while (c < children.length) {
+      val v = children(c).eval(input)
+      if (v == null) return null
+      val x = v.asInstanceOf[Long]
+      if (x < 0) throw new IllegalArgumentException(s"zvalue_n: negative input $x")
+      vals(c) = x
+      c += 1
+    }
+    ZOrder.zvalueNRef(vals.toSeq, bits)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val n = children.length
+    val evs = children.map(_.genCode(ctx))
+    val z = ctx.freshName("z")
+    val i = ctx.freshName("i")
+    val interleave = evs.zipWithIndex.map { case (e, c) =>
+      s"$z |= ((${e.value} >> $i) & 1L) << ($i * $n + $c);"
+    }.mkString("\n")
+    val guards = evs.map(e =>
+      s"""if (${e.value} < 0L) { throw new IllegalArgumentException("zvalue_n: negative input"); }"""
+    ).mkString("\n")
+    val nullChecks =
+      if (nullable) evs.map(_.isNull.toString).mkString(" || ") else "false"
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val childCode = evs.map(_.code).reduce(_ + _)
+    ev.copy(code =
+      code"""
+        $childCode
+        boolean ${ev.isNull} = $nullChecks;
+        long ${ev.value} = 0L;
+        if (!${ev.isNull}) {
+          $guards
+          long $z = 0L;
+          for (int $i = 0; $i < $bits; $i++) {
+            $interleave
+          }
+          ${ev.value} = $z;
+        }
+      """)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): ZValueN = copy(children = newChildren)
 }

@@ -53,6 +53,35 @@ class ZOrderSpec extends AnyFunSuite {
     assert(zDf2.count() == expect2)
   }
 
+  test("n-ary zvalue: binary case matches ZValue; 3-D interleave positions correct") {
+    val df = Seq((5L, 3L, 6L)).toDF("x", "y", "w")
+    val (z2n, z2, z3) = df.select(
+        ZOrder.zvalueN(Seq(col("x"), col("y")), 12).as("a"),
+        ZOrder.zvalue(col("x"), col("y"), 12).as("b"),
+        ZOrder.zvalueN(Seq(col("x"), col("y"), col("w")), 12).as("c"))
+      .as[(Long, Long, Long)].head()
+    assert(z2n == z2)
+    assert(z3 == ZOrder.zvalueNRef(Seq(5L, 3L, 6L), 12))
+    // bit (i*3 + c) = bit i of col c: x=0b101, y=0b011, w=0b110
+    // i=0: x:1 y:1 w:0 → 0b011; i=1: x:0 y:1 w:1 → 0b110; i=2: x:1 y:0 w:1 → 0b101
+    assert(z3 == (3L | (6L << 3) | (5L << 6)))
+  }
+
+  test("3-D z-clustering prunes on the third dimension too") {
+    val n = 60000
+    val rnd = new scala.util.Random(32)
+    val rows = Seq.fill(n)((rnd.nextLong(1024), rnd.nextLong(1024), rnd.nextLong(1024)))
+      .toDF("x", "y", "w")
+    val dir = java.nio.file.Files.createTempDirectory("graft_z3").toString
+    ZOrder.writeClustered(rows, dir,
+      ZOrder.zvalueN(Seq(col("x"), col("y"), col("w")), 10), 64)
+    val stats = ZOrder.fileStats(spark, dir, Seq("x", "y", "w"))
+    val (sel, tot, df) = ZOrder.prunedScan(spark, dir, stats,
+      Map("w" -> (100L, 200L)))
+    assert(tot == 64 && sel < 48, s"w-only predicate read $sel of $tot")
+    assert(df.count() == rows.filter(col("w").between(100, 200)).count())
+  }
+
   test("zvalue rejects negative inputs") {
     val e = intercept[Exception](
       Seq((-1L, 2L)).toDF("x", "y")

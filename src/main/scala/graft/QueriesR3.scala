@@ -162,6 +162,27 @@ object QueriesR3 {
       .orderBy(col("user_id"))
   }
 
+  /** S7: OPQ-style Hadamard rotation, gated on its defining property —
+    * orthonormality. Every pairwise dot product must survive the
+    * rotation (relative error < 1e-6); the oracle enumerates the pairs
+    * and states TRUE, so a broken butterfly or sign table flips the
+    * hash. Recall improvement on correlated data is OpqSpec's job.
+    */
+  def annOpqRotation(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.NativeExpressions.vec_dot
+    val e = t(s, dir, "embeddings").filter(col("vec_id") < 60)
+      .select(col("vec_id"), col("embedding"),
+        graft.similarity.Opq.rotate(col("embedding"), 64).as("rot"))
+    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("ea"), col("rot").as("ra"))
+    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("eb"), col("rot").as("rb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (abs(vec_dot(col("ea"), col("eb")) - vec_dot(col("ra"), col("rb"))) <
+          lit(1e-6) * (lit(1.0) + abs(vec_dot(col("ea"), col("eb")))))
+          .as("dot_preserved"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   // ─────────────────────── oracle SQL (DuckDB) ───────────────────────
 
   /** DuckDB arithmetic for the integer value of the first 12 hex chars of
@@ -234,6 +255,11 @@ object QueriesR3 {
         |  CAST(COUNT(*) AS BIGINT) AS n_occupied,
         |  CAST(SUM(register) AS BIGINT) AS sum_reg
         |FROM regs GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "ann_opq_rotation" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b, TRUE AS dot_preserved
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE a.vec_id < 60 AND b.vec_id < 60
+        |ORDER BY id_a, id_b""".stripMargin,
     "sketch_cm_counts" -> {
       def bucket(itemExpr: String) =
         s"${hex12ToInt(s"md5(CAST(ds.d AS VARCHAR) || ':' || CAST($itemExpr AS VARCHAR))")} % 512"

@@ -103,6 +103,82 @@ object Pipeline {
     (RunReport(results), newWatermarks)
   }
 
+  /** Database-to-database replication — the reference's exact architecture
+    * (JDBC source → Spark transform → JDBC staging table → DB-side MERGE →
+    * watermark advance), with missing target/staging tables created from
+    * the source schema (the 02_clone_schema_structure.py step, inline).
+    * Unlike [[replicate]] the merge runs INSIDE the target database: only
+    * the delta crosses the wire, the replica never round-trips through
+    * Spark — the right trade when the target is an operational RDBMS
+    * rather than a lakehouse.
+    */
+  def replicateJdbc(
+      spark: SparkSession,
+      tables: Seq[TableSpec],
+      fkEdges: Seq[(String, String)],
+      source: graft.sources.Jdbc.Conn,
+      target: graft.sources.Jdbc.Conn,
+      watermarks: Map[String, Timestamp],
+      dialect: graft.sources.JdbcMerge.Dialect = graft.sources.JdbcMerge.StandardDialect)
+      : (RunReport, Map[String, Timestamp]) = {
+    import graft.sources.{Jdbc, JdbcMerge}
+    val byName = tables.map(t => t.name -> t).toMap
+    val order = TopoSort.order(tables.map(_.name), fkEdges)
+    var newWatermarks = watermarks
+    val results = order.flatMap(byName.get).map { spec =>
+      try {
+        val src = Jdbc.read(spark, source, spec.name)
+        val chg = Cdc.changeTs(col(spec.createdAt), col(spec.updatedAt))
+        val delta = Cdc.deltaSince(src, chg, watermarks.get(spec.name).map(ts => lit(ts)))
+          .withColumn("__change_ts", chg)
+        val head = delta.agg(count(lit(1)).as("n"), max(col("__change_ts")).as("m")).head()
+        val deltaCount = head.getAs[Long]("n")
+        if (deltaCount == 0) {
+          TableResult(spec.name, "no_changes", 0, watermarks.get(spec.name))
+        } else {
+          val staged = Cdc.latestPerKey(delta, spec.pk, Seq(col("__change_ts")))
+            .drop("__change_ts")
+          val staging = s"STG_${spec.name}"
+          ensureJdbcTable(target, spec.name, staged.schema, spec.pk)
+          ensureJdbcTable(target, staging, staged.schema, Nil)
+          JdbcMerge.stageAndMerge(staged, target, spec.name, staging, spec.pk,
+            dialect = dialect)
+          val wm = Option(head.getAs[Timestamp]("m"))
+          wm.foreach(ts => newWatermarks += spec.name -> ts)
+          TableResult(spec.name, "processed", deltaCount, wm)
+        }
+      } catch {
+        case e: Exception =>
+          TableResult(spec.name, "failed", 0, watermarks.get(spec.name),
+            error = Some(e.getMessage))
+      }
+    }
+    (RunReport(results), newWatermarks)
+  }
+
+  /** Create `table` in the target database from a Spark schema if it does
+    * not exist (DatabaseMetaData probe + SchemaClone DDL) — the reference's
+    * clone-missing-tables step.
+    */
+  def ensureJdbcTable(c: graft.sources.Jdbc.Conn, table: String,
+                      schema: org.apache.spark.sql.types.StructType,
+                      pk: Seq[String]): Unit = {
+    Class.forName(c.driver)
+    val conn = java.sql.DriverManager.getConnection(c.url)
+    try {
+      val rs = conn.getMetaData.getTables(null, null, table.toUpperCase, null)
+      val exists = try rs.next() finally rs.close()
+      if (!exists) {
+        // existence was just probed, and not every RDBMS (Derby, Oracle
+        // < 23c) accepts IF NOT EXISTS
+        val st = conn.createStatement()
+        try st.executeUpdate(SchemaClone.createTableDdl(table, schema, pk,
+          ifNotExists = false, stringType = "VARCHAR(4000)"))
+        finally st.close()
+      }
+    } finally conn.close()
+  }
+
   /** Schema evolution between runs (the incremental form of the reference's
     * schema clone, 02_clone_schema_structure.py): a column added on the
     * source appears on the target as NULL for pre-existing rows; a column

@@ -34,11 +34,18 @@ object SchemaClone {
     * reference's skip-existing behavior (:72-75).
     */
   def createTableDdl(table: String, schema: StructType, pk: Seq[String] = Nil,
-                     ifNotExists: Boolean = true): String = {
+                     ifNotExists: Boolean = true,
+                     stringType: String = "VARCHAR"): String = {
     val ine = if (ifNotExists) "IF NOT EXISTS " else ""
     val cols = schema.fields.map { f =>
       val nn = if (f.nullable) "" else " NOT NULL"
-      s"  ${f.name} ${sqlType(f.dataType)}$nn"
+      val t = f.dataType match {
+        // lakehouse engines take bare VARCHAR; RDBMS targets (Derby,
+        // Oracle) insist on a length — callers override per dialect
+        case StringType => stringType
+        case dt => sqlType(dt)
+      }
+      s"  ${f.name} $t$nn"
     }
     val pkc = if (pk.nonEmpty) Seq(s"  PRIMARY KEY (${pk.mkString(", ")})") else Nil
     s"CREATE TABLE $ine$table (\n${(cols ++ pkc).mkString(",\n")}\n)"

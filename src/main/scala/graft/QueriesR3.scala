@@ -3,7 +3,8 @@ package graft
 import graft.layout.ZOrder
 import graft.sketches.{Kmv, TDigest}
 import graft.sources.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.types.DecimalType
 import org.apache.spark.sql.functions._
 
 /** Round-3 gate queries: mergeable sketches (KMV distinct, t-digest
@@ -183,6 +184,32 @@ object QueriesR3 {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** C19: replica validation — order-free md5⁴⁸ checksums per table, each
+    * side computing ONE number over its own data (no rows move). Doubles
+    * go through DECIMAL(12,2) and timestamps through epoch-nanos so the
+    * hashed strings are engine-identical.
+    */
+  def replicaChecksum(s: SparkSession, dir: String): DataFrame = {
+    import graft.cdc.Cdc
+    def d12(c: Column) = c.cast(DecimalType(12, 2))
+    def one(name: String, proj: Seq[Column]): DataFrame = {
+      val projected = t(s, dir, name).select(proj: _*)
+      Cdc.tableChecksum(projected, projected.columns.toSeq)
+        .select(lit(name).as("tbl"), col("n_rows"), col("checksum"))
+    }
+    one("region", Seq(col("r_regionkey"), col("r_name")))
+      .unionByName(one("nation",
+        Seq(col("n_nationkey"), col("n_name"), col("n_regionkey"))))
+      .unionByName(one("customer",
+        Seq(col("c_custkey"), col("c_name"), col("c_nationkey"),
+          d12(col("c_acctbal")).as("c_acctbal"), col("c_mktsegment"))))
+      .unionByName(one("orders",
+        Seq(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          d12(col("o_totalprice")).as("o_totalprice"),
+          col("o_orderdate"), col("o_orderpriority"))))
+      .orderBy(col("tbl"))
+  }
+
   // ─────────────────────── oracle SQL (DuckDB) ───────────────────────
 
   /** DuckDB arithmetic for the integer value of the first 12 hex chars of
@@ -255,6 +282,24 @@ object QueriesR3 {
         |  CAST(COUNT(*) AS BIGINT) AS n_occupied,
         |  CAST(SUM(register) AS BIGINT) AS sum_reg
         |FROM regs GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "replica_checksum" -> {
+      def ck(table: String, exprs: Seq[String]) = {
+        val joined = exprs.map(e => s"COALESCE(CAST($e AS VARCHAR), '␀')")
+          .mkString("concat_ws('|', ", ", ", ")")
+        s"""SELECT '$table' AS tbl, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           |  CAST(CAST(SUM(${hex12ToInt(s"md5($joined)")}) AS DECIMAL(38,0)) AS VARCHAR) AS checksum
+           |FROM $table""".stripMargin
+      }
+      Seq(
+        ck("region", Seq("r_regionkey", "r_name")),
+        ck("nation", Seq("n_nationkey", "n_name", "n_regionkey")),
+        ck("customer", Seq("c_custkey", "c_name", "c_nationkey",
+          "CAST(c_acctbal AS DECIMAL(12,2))", "c_mktsegment")),
+        ck("orders", Seq("o_orderkey", "o_custkey", "o_orderstatus",
+          "CAST(o_totalprice AS DECIMAL(12,2))", "o_orderdate",
+          "o_orderpriority")))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY tbl")
+    },
     "ann_opq_rotation" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b, TRUE AS dot_preserved
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id

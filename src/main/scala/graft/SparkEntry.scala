@@ -110,6 +110,7 @@ object SparkEntry {
     "sketch_hll_distinct" -> (QueriesR3.sketchHllDistinct _),
     "sketch_cm_counts" -> (QueriesR3.sketchCmCounts _),
     "ann_opq_rotation" -> (QueriesR3.annOpqRotation _),
+    "replica_checksum" -> (QueriesR3.replicaChecksum _),
     // §2.1 C9 (rows-only: no SQL-comparable type names)
     "schema_clone" -> (QueriesData.schemaClone _))
 

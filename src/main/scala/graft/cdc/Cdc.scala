@@ -3,6 +3,7 @@ package graft.cdc
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Core CDC operators, re-expressed Spark-first.
   *
@@ -103,5 +104,24 @@ object Cdc {
       .withColumn("valid_to_version", lead(col("version"), 1).over(w))
       .withColumn("is_current", col("valid_to_version").isNull)
       .drop("valid_to_version")
+  }
+
+  /** Order-free table checksum for replica validation: per row, 48 bits of
+    * md5 over the '|'-joined column values (null → literal "␀"), summed
+    * exactly in DECIMAL(38,0). Identical SQL reproduces it in any engine
+    * with md5, so source and replica can be compared WITHOUT moving either
+    * table — each side computes one number over its own data. Addition is
+    * commutative, so partitioning/row order never matters, and a single
+    * changed/missing/extra row shifts the sum (48-bit per-row hashes make
+    * silent cancellation over any realistic table astronomically
+    * unlikely).
+    */
+  def tableChecksum(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val joined = concat_ws("|",
+      cols.map(c => coalesce(col(c).cast("string"), lit("␀"))): _*)
+    val rowHash = conv(substring(md5(joined), 1, 12), 16, 10)
+      .cast(DecimalType(38, 0))
+    df.agg(count(lit(1)).as("n_rows"),
+      sum(rowHash).cast(DecimalType(38, 0)).cast("string").as("checksum"))
   }
 }

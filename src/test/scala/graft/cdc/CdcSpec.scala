@@ -81,4 +81,19 @@ class CdcSpec extends AnyFunSuite {
     assert(got("t2").startsWith("2024-05-01")) // NOT moved backwards
     assert(got("t3").startsWith("2024-03-01")) // new entity
   }
+
+  test("tableChecksum: order-free, null-safe, and sensitive to any row drift") {
+    def ck(df: org.apache.spark.sql.DataFrame): (Long, String) =
+      Cdc.tableChecksum(df, Seq("id", "v")).as[(Long, String)].head()
+    val base = Seq((1L, Some("x")), (2L, Some("y")), (3L, None)).toDF("id", "v")
+    val same = ck(base)
+    assert(ck(base.repartition(7)) == same, "row order/partitioning must not matter")
+    assert(ck(Seq((3L, None), (1L, Some("x")), (2L, Some("y"))).toDF("id", "v")) == same)
+    // one changed value, one missing row, one extra row — all must shift it
+    assert(ck(Seq((1L, Some("x")), (2L, Some("Y")), (3L, None)).toDF("id", "v")) != same)
+    assert(ck(base.filter(col("id") =!= 2)) != same)
+    assert(ck(base.unionByName(Seq((4L, Some("w"))).toDF("id", "v"))) != same)
+    // null is distinct from the empty string
+    assert(ck(Seq((1L, Some("x")), (2L, Some("y")), (3L, Some(""))).toDF("id", "v")) != same)
+  }
 }

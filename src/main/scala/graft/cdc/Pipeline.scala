@@ -65,43 +65,91 @@ object Pipeline {
 
     val byName = tables.map(t => t.name -> t).toMap
     val order = TopoSort.order(tables.map(_.name), fkEdges)
-    var newWatermarks = watermarks
-    val results = order.flatMap(byName.get).map { spec =>
-      try {
-        val src = readSource(spec.name)
-        val chg = Cdc.changeTs(col(spec.createdAt), col(spec.updatedAt))
-        val wmCol: Option[Column] = watermarks.get(spec.name).map(ts => lit(ts))
-        val delta = Cdc.deltaSince(src, chg, wmCol)
-          .withColumn("__change_ts", chg)
+    val results = order.flatMap(byName.get).map(spec =>
+      replicateTable(spec, readSource, readTarget, writeTarget, watermarks))
+    (RunReport(results), advanceMap(watermarks, results))
+  }
 
-        // one pass computes the batch size and max change-ts (vs. the
-        // reference's separate COUNT + MAX queries, :296/:325)
-        val head = delta.agg(count(lit(1)).as("n"), max(col("__change_ts")).as("m")).head()
-        val deltaCount = head.getAs[Long]("n")
-        if (deltaCount == 0) {
-          TableResult(spec.name, "no_changes", 0, watermarks.get(spec.name))
-        } else {
-          val staged = Cdc.latestPerKey(delta, spec.pk, Seq(col("__change_ts")))
-            .drop("__change_ts")
-          val merged = readTarget(spec.name) match {
-            case Some(target) =>
-              val (t2, s2) = alignSchemas(target, staged)
-              Cdc.mergeSoftDelete(t2, s2, spec.pk)
-            case None => staged.filter(col(Cdc.IsDeleted) === "N")
-          }
-          writeTarget(spec.name, merged)
-          val wm = Option(head.getAs[Timestamp]("m"))
-          wm.foreach(ts => newWatermarks += spec.name -> ts)
-          TableResult(spec.name, "processed", deltaCount, wm)
-        }
-      } catch {
-        case e: Exception =>
-          TableResult(spec.name, "failed", 0, watermarks.get(spec.name),
-            error = Some(e.getMessage))
+  /** Level-parallel replication: tables with no FK path between them sit
+    * in the same topological level and replicate CONCURRENTLY (the
+    * reference loads strictly serially, :203-379). On a cluster each
+    * table is an independent chain of Spark jobs, so in-level parallelism
+    * hides source latency and fills executor slack; the level barrier
+    * still guarantees parents land before children. Identical results and
+    * watermark semantics to [[replicate]].
+    */
+  def replicateParallel(
+      tables: Seq[TableSpec],
+      fkEdges: Seq[(String, String)],
+      readSource: String => DataFrame,
+      readTarget: String => Option[DataFrame],
+      writeTarget: (String, DataFrame) => Unit,
+      watermarks: Map[String, Timestamp],
+      parallelism: Int = 4): (RunReport, Map[String, Timestamp]) = {
+    import java.util.concurrent.Executors
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val byName = tables.map(t => t.name -> t).toMap
+    val byLevel = TopoSort.levels(tables.map(_.name), fkEdges)
+      .groupBy(_._2).toSeq.sortBy(_._1)
+    val pool = Executors.newFixedThreadPool(math.max(1, parallelism))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+    try {
+      val results = byLevel.flatMap { case (_, names) =>
+        val fs = names.flatMap(n => byName.get(n._1)).map(spec =>
+          Future(replicateTable(spec, readSource, readTarget, writeTarget, watermarks)))
+        fs.map(Await.result(_, Duration.Inf)) // level barrier
+      }
+      (RunReport(results), advanceMap(watermarks, results))
+    } finally pool.shutdown()
+  }
+
+  private def advanceMap(watermarks: Map[String, Timestamp],
+                         results: Seq[TableResult]): Map[String, Timestamp] =
+    results.foldLeft(watermarks) { (acc, r) =>
+      r.newWatermark match {
+        case Some(ts) if r.status == "processed" => acc + (r.table -> ts)
+        case _ => acc
       }
     }
-    (RunReport(results), newWatermarks)
-  }
+
+  private def replicateTable(
+      spec: TableSpec,
+      readSource: String => DataFrame,
+      readTarget: String => Option[DataFrame],
+      writeTarget: (String, DataFrame) => Unit,
+      watermarks: Map[String, Timestamp]): TableResult =
+    try {
+      val src = readSource(spec.name)
+      val chg = Cdc.changeTs(col(spec.createdAt), col(spec.updatedAt))
+      val wmCol: Option[Column] = watermarks.get(spec.name).map(ts => lit(ts))
+      val delta = Cdc.deltaSince(src, chg, wmCol)
+        .withColumn("__change_ts", chg)
+
+      // one pass computes the batch size and max change-ts (vs. the
+      // reference's separate COUNT + MAX queries, :296/:325)
+      val head = delta.agg(count(lit(1)).as("n"), max(col("__change_ts")).as("m")).head()
+      val deltaCount = head.getAs[Long]("n")
+      if (deltaCount == 0) {
+        TableResult(spec.name, "no_changes", 0, watermarks.get(spec.name))
+      } else {
+        val staged = Cdc.latestPerKey(delta, spec.pk, Seq(col("__change_ts")))
+          .drop("__change_ts")
+        val merged = readTarget(spec.name) match {
+          case Some(target) =>
+            val (t2, s2) = alignSchemas(target, staged)
+            Cdc.mergeSoftDelete(t2, s2, spec.pk)
+          case None => staged.filter(col(Cdc.IsDeleted) === "N")
+        }
+        writeTarget(spec.name, merged)
+        TableResult(spec.name, "processed", deltaCount,
+          Option(head.getAs[Timestamp]("m")))
+      }
+    } catch {
+      case e: Exception =>
+        TableResult(spec.name, "failed", 0, watermarks.get(spec.name),
+          error = Some(e.getMessage))
+    }
 
   /** Database-to-database replication — the reference's exact architecture
     * (JDBC source → Spark transform → JDBC staging table → DB-side MERGE →

@@ -66,6 +66,35 @@ class PipelineSpec extends AnyFunSuite {
     assert(wm2("ord") == wm1("ord")) // untouched watermark survives
   }
 
+  test("level-parallel replication matches the serial run (same data, watermarks, order guarantees)") {
+    // 4 tables, 2 levels: {a, b} then {c, d} (c ← a, d ← b)
+    val pSpecs = Seq("a", "b", "c", "d").map(n => Pipeline.TableSpec(n, Seq("id")))
+    val pEdges = Seq("a" -> "c", "b" -> "d")
+    val src = Map(
+      "a" -> customers(Seq((1L, "x", "2024-01-01 00:00:00", None, "N"))),
+      "b" -> customers(Seq((2L, "y", "2024-01-02 00:00:00", None, "N"))),
+      "c" -> customers(Seq((3L, "z", "2024-01-03 00:00:00", None, "N"))),
+      "d" -> customers(Seq((4L, "w", "2024-01-04 00:00:00", None, "N"))))
+    def freshTarget() = new Pipeline.ParquetTarget(spark,
+      Files.createTempDirectory("graft_par").toString)
+    val tSer = freshTarget(); val tPar = freshTarget()
+    val (serial, wmS) = Pipeline.replicate(pSpecs, pEdges, src(_),
+      tSer.read, tSer.write, Map.empty)
+    val (par, wmP) = Pipeline.replicateParallel(pSpecs, pEdges, src(_),
+      tPar.read, tPar.write, Map.empty, parallelism = 4)
+    assert(par.processed == 4 && par.failed == 0)
+    assert(wmP == wmS)
+    assert(par.results.map(r => r.table -> r.status).toMap ==
+      serial.results.map(r => r.table -> r.status).toMap)
+    for (t <- Seq("a", "b", "c", "d"))
+      assert(tPar.read(t).get.orderBy("id").collect().toSeq ==
+        tSer.read(t).get.orderBy("id").collect().toSeq)
+    // parents' level completes before children start (level barrier):
+    // result order groups level 0 before level 1
+    val order = par.results.map(_.table)
+    assert(order.indexOf("a") < order.indexOf("c") && order.indexOf("b") < order.indexOf("d"))
+  }
+
   test("schema evolution: source adds a column mid-stream; target backfills nulls") {
     val dir = Files.createTempDirectory("graft_pipe3").toString
     val target = new Pipeline.ParquetTarget(spark, dir)

@@ -82,6 +82,19 @@ class ZOrderSpec extends AnyFunSuite {
     assert(df.count() == rows.filter(col("w").between(100, 200)).count())
   }
 
+  test("point lookup via the stats manifest reads one file from a key-sorted layout") {
+    val n = 80000
+    val rows = spark.range(n).selectExpr("id AS k", "id * 7 AS payload")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ptlookup").toString
+    rows.repartitionByRange(32, col("k")).sortWithinPartitions(col("k"))
+      .write.mode("overwrite").parquet(dir)
+    val stats = ZOrder.fileStats(spark, dir, Seq("k"))
+    // equality = a zero-width range against the same manifest machinery
+    val (sel, tot, df) = ZOrder.prunedScan(spark, dir, stats, Map("k" -> (42L, 42L)))
+    assert(tot == 32 && sel == 1, s"point lookup read $sel of $tot files")
+    assert(df.select("payload").as[Long].collect().toSeq == Seq(294L))
+  }
+
   test("zvalue rejects negative inputs") {
     val e = intercept[Exception](
       Seq((-1L, 2L)).toDF("x", "y")

@@ -210,6 +210,38 @@ object QueriesR3 {
       .orderBy(col("tbl"))
   }
 
+  /** R46: unpivot/melt — wide per-status aggregate back to long form via
+    * the Dataset.unpivot API (single pass, no union-of-projections scan).
+    */
+  def qUnpivot(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val wide = o.groupBy(col("o_orderpriority")).agg(
+      count_if(col("o_orderstatus") === "O").as("open_cnt"),
+      count_if(col("o_orderstatus") === "F").as("finished_cnt"),
+      count_if(col("o_orderstatus") === "P").as("pending_cnt"))
+    wide.unpivot(
+        ids = Array(col("o_orderpriority")),
+        values = Array(col("open_cnt"), col("finished_cnt"), col("pending_cnt")),
+        variableColumnName = "status_col",
+        valueColumnName = "n_orders")
+      .orderBy(col("o_orderpriority"), col("status_col"))
+  }
+
+  /** R47: hopping (sliding) window aggregation — each event lands in
+    * size/slide overlapping buckets (window(ts, '1 hour', '30 min')).
+    * The oracle reproduces the assignment with generate_series.
+    */
+  def qHoppingWindow(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    e.groupBy(window(col("ts").cast("timestamp"), "1 hour", "30 minutes").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("string").as("sum_value"))
+      .select((unix_timestamp(col("w.start")) / 1800L).cast("long").as("bucket_half_hour"),
+        col("event_type"), col("n_events"), col("sum_value"))
+      .orderBy(col("bucket_half_hour"), col("event_type"))
+  }
+
   // ─────────────────────── oracle SQL (DuckDB) ───────────────────────
 
   /** DuckDB arithmetic for the integer value of the first 12 hex chars of
@@ -282,6 +314,34 @@ object QueriesR3 {
         |  CAST(COUNT(*) AS BIGINT) AS n_occupied,
         |  CAST(SUM(register) AS BIGINT) AS sum_reg
         |FROM regs GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_unpivot" ->
+      """WITH wide AS (
+        |  SELECT o_orderpriority,
+        |    CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS open_cnt,
+        |    CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS finished_cnt,
+        |    CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS pending_cnt
+        |  FROM orders GROUP BY o_orderpriority
+        |)
+        |SELECT o_orderpriority, status_col, n_orders FROM (
+        |  SELECT o_orderpriority, 'open_cnt' AS status_col, open_cnt AS n_orders FROM wide
+        |  UNION ALL
+        |  SELECT o_orderpriority, 'finished_cnt', finished_cnt FROM wide
+        |  UNION ALL
+        |  SELECT o_orderpriority, 'pending_cnt', pending_cnt FROM wide
+        |) ORDER BY o_orderpriority, status_col""".stripMargin,
+    "q_hopping_window" ->
+      """WITH ev AS (
+        |  SELECT CAST(floor(epoch(ts) / 1800) AS BIGINT) AS hb, event_type,
+        |    CAST(value AS DECIMAL(18,2)) AS v
+        |  FROM events
+        |), x AS (
+        |  SELECT hb - k.k AS bucket_half_hour, event_type, v
+        |  FROM ev CROSS JOIN (SELECT unnest(generate_series(0, 1)) AS k) k
+        |)
+        |SELECT bucket_half_hour, event_type, COUNT(*) AS n_events,
+        |  CAST(CAST(SUM(v) AS DECIMAL(28,2)) AS VARCHAR) AS sum_value
+        |FROM x GROUP BY bucket_half_hour, event_type
+        |ORDER BY bucket_half_hour, event_type""".stripMargin,
     "replica_checksum" -> {
       def ck(table: String, exprs: Seq[String]) = {
         val joined = exprs.map(e => s"COALESCE(CAST($e AS VARCHAR), '␀')")

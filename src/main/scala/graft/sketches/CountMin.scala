@@ -24,13 +24,16 @@ object CountMin {
     pmod(conv(substring(md5(concat(lit(d.toString), lit(":"),
       item.cast("string"))), 1, 12), 16, 10).cast("long"), lit(Width.toLong))
 
-  /** (d, bucket, cnt) counter table — the sketch state. One pass,
-    * Depth×|rows| narrow expansion, partial-aggregated.
+  /** (d, bucket, cnt) counter table — the sketch state. ONE scan of the
+    * input: the Depth hash rows explode from an inline array (a union of
+    * Depth projections would re-scan the source per row), then
+    * partial-aggregate.
     */
   def counters(items: DataFrame, itemCol: Column): DataFrame = {
-    val rows = (0 until Depth).map(d =>
-      items.select(lit(d).as("d"), bucketFor(d, itemCol).as("bucket")))
-    rows.reduce(_ unionByName _)
+    val hashes = array((0 until Depth).map(d =>
+      struct(lit(d).as("d"), bucketFor(d, itemCol).as("bucket"))): _*)
+    items.select(explode(hashes).as("x"))
+      .select(col("x.d").as("d"), col("x.bucket").as("bucket"))
       .groupBy(col("d"), col("bucket"))
       .agg(count(lit(1)).as("cnt"))
   }

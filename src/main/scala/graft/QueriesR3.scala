@@ -242,6 +242,20 @@ object QueriesR3 {
       .orderBy(col("bucket_half_hour"), col("event_type"))
   }
 
+  /** X9: declarative streaming session windows over the events table —
+    * 30-minute gap sessions per user. The oracle reproduces the gap
+    * semantics relationally (new session when the inter-event gap is
+    * ≥ 30 min; session end = last event + gap).
+    */
+  def streamSessionWindow(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+      .select(col("user_id"), col("ts").cast("timestamp").as("ts"))
+      .filter(col("user_id") < 50)
+    graft.streaming.Streams.sessionWindowAgg(s, e, "ts", "user_id", "30 minutes",
+        queryName = s"gate_sesswin_${System.nanoTime()}")
+      .orderBy(col("user_id"), col("session_start"))
+  }
+
   // ─────────────────────── oracle SQL (DuckDB) ───────────────────────
 
   /** DuckDB arithmetic for the integer value of the first 12 hex chars of
@@ -314,6 +328,28 @@ object QueriesR3 {
         |  CAST(COUNT(*) AS BIGINT) AS n_occupied,
         |  CAST(SUM(register) AS BIGINT) AS sum_reg
         |FROM regs GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "stream_session_window" ->
+      """WITH ev AS (
+        |  SELECT user_id, ts FROM events WHERE user_id < 50
+        |), marked AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |              >= INTERVAL 30 MINUTE OR
+        |              LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM ev
+        |), sess AS (
+        |  SELECT user_id, ts,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |                     ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM marked
+        |)
+        |SELECT user_id,
+        |  strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  strftime(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+        |  COUNT(*) AS n_events
+        |FROM sess GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
     "q_unpivot" ->
       """WITH wide AS (
         |  SELECT o_orderpriority,

@@ -100,6 +100,7 @@ object SparkEntry {
     "stream_interval_join" -> (QueriesData.streamIntervalJoin _),
     "stream_static_join" -> (QueriesData.streamStaticJoin _),
     "stream_tdigest_rank" -> (QueriesR3.streamTdigestRank _),
+    "stream_session_window" -> (QueriesR3.streamSessionWindow _),
     // round-3: sketches, layout, star CC
     "sketch_kmv_distinct" -> (QueriesR3.sketchKmvDistinct _),
     "sketch_tdigest_rank" -> (QueriesR3.sketchTdigestRank _),

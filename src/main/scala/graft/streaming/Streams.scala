@@ -207,6 +207,38 @@ object Streams {
     }
   }
 
+  /** X9: declarative session windows — the builtin `session_window`
+    * merges an event into the current session while it lands within
+    * `gap` of the session's end, all inside the streaming aggregation
+    * operator (no user state code, unlike X3's flatMapGroupsWithState).
+    * Update mode + a single-batch finite replay emits each final session
+    * once. Output: user, session start/end (formatted), event count.
+    */
+  def sessionWindowAgg(spark: SparkSession, events: DataFrame, tsCol: String,
+                       keyCol: String, gap: String, queryName: String,
+                       rocksDb: Boolean = UseRocksDb): DataFrame = {
+    val path = stageToTemp(events.coalesce(1), "sesswin") // one file → one micro-batch
+    withStateSession(spark, 8, rocksDb) { iso =>
+      val stream = iso.readStream.schema(events.schema).parquet(path)
+      val agg = stream
+        .withWatermark(tsCol, "1 hour")
+        .groupBy(session_window(col(tsCol), gap).as("sw"), col(keyCol))
+        .agg(count(lit(1)).as("n_events"))
+      // session-window streaming aggregation supports append & complete;
+      // complete emits every closed-or-open session after the finite
+      // replay drains (append would hold back sessions the watermark
+      // hasn't passed)
+      val q = agg.writeStream.outputMode("complete")
+        .format("memory").queryName(queryName).start()
+      try { q.processAllAvailable() } finally { q.stop() }
+      iso.table(queryName)
+        .select(col(keyCol),
+          date_format(col("sw.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+          date_format(col("sw.end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+          col("n_events"))
+    }
+  }
+
   /** X8: streaming quantiles — a t-digest per key carried as
     * mapGroupsWithState state, updated each micro-batch, emitting the
     * key's current quantile estimates. The state is O(compression) per

@@ -73,6 +73,20 @@ class SketchesSpec extends AnyFunSuite {
     assert(merged == whole && merged.size <= Hll.M)
   }
 
+  test("hll: persisted registers + a new day of data equals full recompute (incremental)") {
+    // the point of a mergeable sketch: yesterday's state is 256 ints on
+    // disk, today's update never re-reads yesterday's rows
+    val day1 = spark.range(0, 40000).toDF("v").withColumn("g", lit("corpus"))
+    val day2 = spark.range(30000, 70000).toDF("v").withColumn("g", lit("corpus"))
+    val store = java.nio.file.Files.createTempDirectory("graft_hll_state").toString
+    Hll.registers(day1, "g", col("v")).write.mode("overwrite").parquet(store)
+    val restored = spark.read.parquet(store)
+    val merged = Hll.merge(restored, Hll.registers(day2, "g", col("v")))
+    val whole = Hll.registers(day1.unionByName(day2), "g", col("v"))
+    assert(Hll.digest(merged, "g").collect().toSeq ==
+      Hll.digest(whole, "g").collect().toSeq)
+  }
+
   test("hll: digest is exact-deterministic under any partitioning") {
     val df = spark.range(50000)
       .select((col("id") % 7).cast("string").as("g"), col("id").as("v"))

@@ -59,5 +59,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[WordShinglesExpr].getName, "word_shingles"),
       (exprs: Seq[Expression]) =>
         WordShinglesExpr(exprs(0), litInt(exprs(1), "word_shingles"))))
+    e.injectFunction((
+      FunctionIdentifier("zvalue"),
+      new ExpressionInfo(classOf[graft.layout.ZValueN].getName, "zvalue"),
+      (exprs: Seq[Expression]) =>
+        graft.layout.ZValueN(exprs.init, litInt(exprs.last, "zvalue"))))
   }
 }

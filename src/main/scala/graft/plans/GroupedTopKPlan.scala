@@ -221,6 +221,8 @@ object GroupedTopK {
            k: Int, rankName: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
     require(k >= 1)
+    require(!df.columns.exists(c => c == "__score" || c == "__tie" || c == rankName),
+      s"topK: input must not already contain __score/__tie/$rankName")
     val analyzed = df.select(
       (df.columns.map(org.apache.spark.sql.functions.col).toSeq :+
         score.cast("double").as("__score") :+ tie.cast("long").as("__tie")): _*)

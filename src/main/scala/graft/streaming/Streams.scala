@@ -211,8 +211,12 @@ object Streams {
     * merges an event into the current session while it lands within
     * `gap` of the session's end, all inside the streaming aggregation
     * operator (no user state code, unlike X3's flatMapGroupsWithState).
-    * Update mode + a single-batch finite replay emits each final session
-    * once. Output: user, session start/end (formatted), event count.
+    * Complete mode suits the finite-replay harness (every session emits
+    * after the drain; the engine rejects update mode for session
+    * windows). A continuous production stream would run append mode —
+    * sessions emit once the watermark passes them and state stays
+    * bounded; complete mode retains all aggregates.
+    * Output: key, session start/end (formatted), event count.
     */
   def sessionWindowAgg(spark: SparkSession, events: DataFrame, tsCol: String,
                        keyCol: String, gap: String, queryName: String,

@@ -41,4 +41,13 @@ class GraftExtensionsSpec extends AnyFunSuite {
       .head().getAs[Int]("w")
     assert(got == 3)
   }
+
+  test("zvalue is callable from SQL for 2 and 3 dimensions") {
+    val r = spark.sql(
+      "SELECT zvalue(CAST(3 AS BIGINT), CAST(0 AS BIGINT), 12) AS z2, " +
+        "zvalue(CAST(5 AS BIGINT), CAST(3 AS BIGINT), CAST(6 AS BIGINT), 12) AS z3")
+      .head()
+    assert(r.getAs[Long]("z2") == 5L) // interleave(0b11, 0b00) = 0b0101
+    assert(r.getAs[Long]("z3") == graft.layout.ZOrder.zvalueNRef(Seq(5L, 3L, 6L), 12))
+  }
 }

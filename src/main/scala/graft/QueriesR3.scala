@@ -256,6 +256,41 @@ object QueriesR3 {
       .orderBy(col("user_id"), col("session_start"))
   }
 
+  /** R48: equi-depth histogram — ntile buckets over a total order (value +
+    * key tiebreak makes bucket assignment engine-deterministic), per
+    * bucket: row count and decimal-exact value range.
+    */
+  def qEquidepthHist(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("price"), col("o_orderkey"))
+    o.select(d12c(col("o_totalprice")).as("price"), col("o_orderkey"))
+      .withColumn("bucket", ntile(10).over(w).cast("long"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("price")).cast("string").as("lo"),
+        max(col("price")).cast("string").as("hi"))
+      .orderBy(col("bucket"))
+  }
+  private def d12c(c: Column): Column = c.cast(DecimalType(12, 2))
+
+  /** R49: relational division — "customers who placed orders in EVERY
+    * order priority": distinct-count per customer equals the global
+    * priority count. The classic FOR ALL as two aggregates + a scalar
+    * broadcast, no double-negated NOT EXISTS correlation.
+    */
+  def qRelDivision(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val nPrio = o.agg(countDistinct(col("o_orderpriority")).as("n_all"))
+    o.groupBy(col("o_custkey"))
+      .agg(countDistinct(col("o_orderpriority")).as("n_prio"),
+        count(lit(1)).as("n_orders"))
+      .crossJoin(broadcast(nPrio))
+      .filter(col("n_prio") === col("n_all"))
+      .select(col("o_custkey"), col("n_orders"))
+      .orderBy(col("o_custkey"))
+  }
+
   // ─────────────────────── oracle SQL (DuckDB) ───────────────────────
 
   /** DuckDB arithmetic for the integer value of the first 12 hex chars of
@@ -350,6 +385,22 @@ object QueriesR3 {
         |  COUNT(*) AS n_events
         |FROM sess GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,
+    "q_equidepth_hist" ->
+      """WITH b AS (
+        |  SELECT CAST(o_totalprice AS DECIMAL(12,2)) AS price,
+        |    CAST(ntile(10) OVER (ORDER BY CAST(o_totalprice AS DECIMAL(12,2)), o_orderkey) AS BIGINT) AS bucket
+        |  FROM orders
+        |)
+        |SELECT bucket, COUNT(*) AS n_rows,
+        |  CAST(MIN(price) AS VARCHAR) AS lo, CAST(MAX(price) AS VARCHAR) AS hi
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "q_rel_division" ->
+      """WITH np AS (SELECT COUNT(DISTINCT o_orderpriority) AS n_all FROM orders)
+        |SELECT o_custkey, COUNT(*) AS n_orders
+        |FROM orders, np
+        |GROUP BY o_custkey, n_all
+        |HAVING COUNT(DISTINCT o_orderpriority) = n_all
+        |ORDER BY o_custkey""".stripMargin,
     "q_unpivot" ->
       """WITH wide AS (
         |  SELECT o_orderpriority,

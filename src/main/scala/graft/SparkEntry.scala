@@ -113,6 +113,8 @@ object SparkEntry {
     "ann_opq_rotation" -> (QueriesR3.annOpqRotation _),
     "replica_checksum" -> (QueriesR3.replicaChecksum _),
     "q_unpivot" -> (QueriesR3.qUnpivot _),
+    "q_equidepth_hist" -> (QueriesR3.qEquidepthHist _),
+    "q_rel_division" -> (QueriesR3.qRelDivision _),
     "q_hopping_window" -> (QueriesR3.qHoppingWindow _),
     // §2.1 C9 (rows-only: no SQL-comparable type names)
     "schema_clone" -> (QueriesData.schemaClone _))

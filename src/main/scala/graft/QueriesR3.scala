@@ -291,6 +291,28 @@ object QueriesR3 {
       .orderBy(col("o_custkey"))
   }
 
+  /** C20: cascade impact analysis — every row transitively referencing a
+    * seed set of customers (orders → lineitems, plus events), the audit
+    * before a hard delete / GDPR erasure. One semi-join per FK edge.
+    */
+  def cdcCascadeDelete(s: SparkSession, dir: String): DataFrame = {
+    val tables = Map(
+      "customer" -> t(s, dir, "customer"),
+      "orders" -> t(s, dir, "orders"),
+      "lineitem" -> t(s, dir, "lineitem"),
+      "events" -> t(s, dir, "events"))
+    val edges = Seq(
+      ("customer", "orders", "c_custkey", "o_custkey"),
+      ("orders", "lineitem", "o_orderkey", "l_orderkey"),
+      ("customer", "events", "c_custkey", "user_id"))
+    val seeds = t(s, dir, "customer").filter(col("c_custkey") % 50 === 0)
+      .select(col("c_custkey"))
+    val affected = graft.cdc.TopoSort.cascadeAffected(tables, edges, "customer", seeds)
+    affected.toSeq.map { case (name, df) =>
+      df.agg(count(lit(1)).as("n_affected")).select(lit(name).as("tbl"), col("n_affected"))
+    }.reduce(_ unionByName _).orderBy(col("tbl"))
+  }
+
   // ─────────────────────── oracle SQL (DuckDB) ───────────────────────
 
   /** DuckDB arithmetic for the integer value of the first 12 hex chars of
@@ -385,6 +407,21 @@ object QueriesR3 {
         |  COUNT(*) AS n_events
         |FROM sess GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,
+    "cdc_cascade_delete" ->
+      """WITH seeds AS (SELECT c_custkey FROM customer WHERE c_custkey % 50 = 0)
+        |SELECT 'customer' AS tbl, CAST(COUNT(*) AS BIGINT) AS n_affected
+        |FROM customer WHERE c_custkey IN (SELECT c_custkey FROM seeds)
+        |UNION ALL
+        |SELECT 'orders', CAST(COUNT(*) AS BIGINT) FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM seeds)
+        |UNION ALL
+        |SELECT 'lineitem', CAST(COUNT(*) AS BIGINT) FROM lineitem
+        |WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+        |                     WHERE o_custkey IN (SELECT c_custkey FROM seeds))
+        |UNION ALL
+        |SELECT 'events', CAST(COUNT(*) AS BIGINT) FROM events
+        |WHERE user_id IN (SELECT c_custkey FROM seeds)
+        |ORDER BY tbl""".stripMargin,
     "q_equidepth_hist" ->
       """WITH b AS (
         |  SELECT CAST(o_totalprice AS DECIMAL(12,2)) AS price,

@@ -45,6 +45,7 @@ object SparkEntry {
     "fk_orphan_check" -> (Queries.fkOrphanCheck _),
     "stats_rowcounts" -> (Queries.statsRowcounts _),
     "cdc_scd2" -> (Queries.cdcScd2 _),
+    "cdc_cascade_delete" -> (QueriesR3.cdcCascadeDelete _),
     // §2.2 round-2 additions (R20–R25)
     "q_window_ranks" -> (QueriesExt.qWindowRanks _),
     "q_window_range_frame" -> (QueriesExt.qWindowRangeFrame _),

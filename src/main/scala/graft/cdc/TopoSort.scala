@@ -42,4 +42,43 @@ object TopoSort {
   /** Flat load order (parents first), as the reference consumes it. */
   def order(nodes: Seq[String], edges: Seq[(String, String)]): Seq[String] =
     levels(nodes, edges).map(_._1)
+
+  /** Reachable-rows cascade: rows of every table transitively referencing
+    * the seed rows of `root` — the impact set of a hard delete / GDPR
+    * erasure on a replica (the reference tracks IS_DELETED but never
+    * answers "what else must go"; at scale this is the audit you run
+    * BEFORE flipping flags). Each FK edge is one semi-join; tables are
+    * visited in dependency order so multi-hop chains resolve in a single
+    * pass over the edge list (FK graphs are DAGs).
+    *
+    * @param edges (parentTable, childTable, parentKeyCol, childFkCol)
+    * @param seedKeys one-column DataFrame of root keys (named as the
+    *                 root's key column)
+    * @return per-table DataFrame of affected rows (root included)
+    */
+  def cascadeAffected(tables: Map[String, org.apache.spark.sql.DataFrame],
+                      edges: Seq[(String, String, String, String)],
+                      root: String,
+                      seedKeys: org.apache.spark.sql.DataFrame)
+      : Map[String, org.apache.spark.sql.DataFrame] = {
+    import org.apache.spark.sql.functions.col
+    val keyCol = seedKeys.columns.head
+    var affected = Map(root ->
+      tables(root).join(seedKeys, tables(root)(keyCol) === seedKeys(keyCol), "left_semi"))
+    val tableOrder = order(tables.keys.toSeq, edges.map(e => (e._1, e._2)))
+    // parents resolve before children, so one ordered sweep suffices
+    tableOrder.foreach { t =>
+      edges.filter(_._2 == t).foreach { case (parent, child, pKey, cFk) =>
+        affected.get(parent).foreach { pRows =>
+          val keys = pRows.select(col(pKey)).distinct()
+          val hit = tables(child).join(keys, tables(child)(cFk) === keys(pKey), "left_semi")
+          affected += child -> (affected.get(child) match {
+            case Some(prev) => prev.unionByName(hit).distinct()
+            case None => hit
+          })
+        }
+      }
+    }
+    affected
+  }
 }

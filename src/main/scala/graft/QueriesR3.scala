@@ -313,6 +313,39 @@ object QueriesR3 {
     }.reduce(_ unionByName _).orderBy(col("tbl"))
   }
 
+  /** R50: collection aggregates made deterministic — collect_list is
+    * partition-order-dependent, so every collected array is sorted before
+    * it leaves the aggregate; string form compared cross-engine.
+    */
+  def qArrayAgg(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").filter(col("o_custkey") < 40)
+    o.groupBy(col("o_custkey"))
+      .agg(
+        concat_ws(",", transform(sort_array(collect_list(col("o_orderkey"))),
+          _.cast("string"))).as("order_keys"),
+        concat_ws(",", sort_array(collect_set(col("o_orderstatus")))).as("statuses"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_custkey"))
+  }
+
+  /** R51: grouped mode with a total tie-break (most frequent status per
+    * priority; ties broken toward the lexicographically smallest value) —
+    * arg-max over (count, reversed value) as an exact integer/string pair.
+    */
+  def qMode(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val counts = o.groupBy(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("cnt"))
+    // one integer ordering value: count dominates, ties fall to the
+    // lexicographically smallest status (255 - char code; single-char
+    // statuses keep this exact)
+    counts.groupBy(col("o_orderpriority"))
+      .agg(max_by(col("o_orderstatus"),
+        col("cnt") * 256 + (lit(255) - ascii(col("o_orderstatus")))).as("mode_status"),
+        max(col("cnt")).as("mode_cnt"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   // ─────────────────────── oracle SQL (DuckDB) ───────────────────────
 
   /** DuckDB arithmetic for the integer value of the first 12 hex chars of
@@ -422,6 +455,22 @@ object QueriesR3 {
         |SELECT 'events', CAST(COUNT(*) AS BIGINT) FROM events
         |WHERE user_id IN (SELECT c_custkey FROM seeds)
         |ORDER BY tbl""".stripMargin,
+    "q_array_agg" ->
+      """SELECT o_custkey,
+        |  string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey) AS order_keys,
+        |  string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses,
+        |  COUNT(*) AS n
+        |FROM orders WHERE o_custkey < 40
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    "q_mode" ->
+      """WITH c AS (
+        |  SELECT o_orderpriority, o_orderstatus, COUNT(*) AS cnt
+        |  FROM orders GROUP BY 1, 2
+        |)
+        |SELECT o_orderpriority,
+        |  arg_max(o_orderstatus, cnt * 256 + (255 - ascii(o_orderstatus))) AS mode_status,
+        |  MAX(cnt) AS mode_cnt
+        |FROM c GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q_equidepth_hist" ->
       """WITH b AS (
         |  SELECT CAST(o_totalprice AS DECIMAL(12,2)) AS price,

@@ -53,6 +53,22 @@ class GroupedTopKPlanSpec extends AnyFunSuite {
     assert(topk.count() == 50)
   }
 
+  test("TopKBuffer property: random insert order equals sort-take-k (500 trials)") {
+    val rnd = new scala.util.Random(81)
+    (1 to 500).foreach { trial =>
+      val k = 1 + rnd.nextInt(8)
+      val n = rnd.nextInt(40)
+      // duplicate scores likely (small range) — ties broken by unique id
+      val rows = Seq.tabulate(n)(i => (rnd.nextInt(6).toDouble, i.toLong))
+      val buf = new TopKBuffer(k)
+      val dummy = new org.apache.spark.sql.catalyst.expressions.UnsafeRow(0)
+      rnd.shuffle(rows).foreach { case (s, t) => buf.insert(s, t, dummy) }
+      val expect = rows.sortBy { case (s, t) => (-s, t) }.take(k)
+      val got = (0 until buf.size).map(i => (buf.scoreAt(i), buf.tieAt(i)))
+      assert(got == expect, s"trial $trial k=$k n=$n")
+    }
+  }
+
   test("null scores and ties are dropped, not ranked") {
     val df = Seq((1L, 1L, Some(2.0)), (1L, 2L, None), (1L, 3L, Some(1.0)))
       .toDF("g", "id", "s")

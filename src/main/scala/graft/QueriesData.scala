@@ -290,10 +290,10 @@ object QueriesData {
 
   // ─────────────────────── oracle SQL (DuckDB) ───────────────────────
 
-  private val toks = "str_split(text, ' ')"
-  private val stopIn = stopwords.map(w => s"'$w'").mkString("(", ", ", ")")
-  private val stopHits = s"len(list_filter($toks, t -> t IN $stopIn))"
-  private val canon = "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"
+  private[graft] val toks = "str_split(text, ' ')"
+  private[graft] val stopIn = stopwords.map(w => s"'$w'").mkString("(", ", ", ")")
+  private[graft] val stopHits = s"len(list_filter($toks, t -> t IN $stopIn))"
+  private[graft] val canon = "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"
 
   /** DuckDB arithmetic for "integer value of the first 6 hex chars of s" —
     * mirrors Spark's conv(substr(s,1,6),16,10).
@@ -304,7 +304,7 @@ object QueriesData {
       s"(strpos('0123456789abcdef', substr($sExpr, $i, 1)) - 1) * $p"
     }.mkString("(", " + ", ")")
 
-  private val langScoreSelects: String = langProfiles.map { case (code, words) =>
+  private[graft] val langScoreSelects: String = langProfiles.map { case (code, words) =>
     val inList = words.map(w => s"'$w'").mkString("(", ", ", ")")
     s"SELECT doc_id, '$code' AS lang_code, CAST(len(list_filter($toks, t -> t IN $inList)) AS BIGINT) AS hits FROM documents"
   }.mkString("\n  UNION ALL ")
@@ -325,8 +325,14 @@ object QueriesData {
   /** Shared CTE chain: tokens → shingles → minhash table → band keys
     * (used by the minhash pair oracle and the cluster oracle).
     */
-  private lazy val minhashCtes: String =
-    s"""tk AS (SELECT doc_id, $toks AS ts FROM documents),
+  private[graft] lazy val minhashCtes: String = minhashCtesFrom("documents")
+
+  /** The minhash/LSH band pipeline as CTEs over an arbitrary source
+    * relation carrying (doc_id, text) — lets composite pipelines (R52
+    * corpus_clean) run candidate generation on a FILTERED subset.
+    */
+  private[graft] def minhashCtesFrom(src: String): String =
+    s"""tk AS (SELECT doc_id, $toks AS ts FROM $src),
        |sh AS (
        |  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS g
        |  FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 2)) AS i FROM tk) t

@@ -346,6 +346,33 @@ object QueriesR3 {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** R52: the flagship training-data composite — language ID → quality
+    * filter → exact dedup (canonical keepers) → minhash-LSH near-dup drop
+    * with candidates generated on the FILTERED subset, ending in the
+    * surviving corpus with token counts. Every stage is an operator the
+    * engine already proves individually; this gates their COMPOSITION
+    * (stage interfaces, filtered-subset candidate generation) under one
+    * oracle.
+    */
+  def corpusClean(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions
+    val d = t(s, dir, "documents")
+    val en = QueriesData.textLangid(s, dir)
+      .filter(col("lang_pred") === "en").select("doc_id")
+    val good = QueriesData.textQuality(s, dir)
+      .filter(col("quality") >= 0.45).select("doc_id")
+    val keepers = graft.dedup.Dedup.exactGroups(d, col("doc_id"), col("text"))
+      .select(col("keeper_id").as("doc_id"))
+    val filtered = d.join(en, "doc_id").join(good, "doc_id").join(keepers, "doc_id")
+    val pairs = graft.dedup.Dedup.lshCandidates(filtered, col("doc_id"), col("text"),
+      shingleWords = 3, k = 12, bands = 4)
+    filtered
+      .join(pairs.select(col("id_b").as("doc_id")).distinct(), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
   // ─────────────────────── oracle SQL (DuckDB) ───────────────────────
 
   /** DuckDB arithmetic for the integer value of the first 12 hex chars of
@@ -455,6 +482,33 @@ object QueriesR3 {
         |SELECT 'events', CAST(COUNT(*) AS BIGINT) FROM events
         |WHERE user_id IN (SELECT c_custkey FROM seeds)
         |ORDER BY tbl""".stripMargin,
+    "corpus_clean" ->
+      s"""WITH scores AS (
+         |  ${QueriesData.langScoreSelects}
+         |), lang AS (
+         |  SELECT doc_id FROM (
+         |    SELECT doc_id, lang_code,
+         |      ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY hits DESC, lang_code) AS rn
+         |    FROM scores) t
+         |  WHERE rn = 1 AND lang_code = 'en'
+         |), good AS (
+         |  SELECT doc_id FROM documents
+         |  WHERE (LEAST(CAST(len(${QueriesData.toks}) AS DOUBLE) / 64.0, 1.0) +
+         |         LEAST(CAST(${QueriesData.stopHits} AS DOUBLE) /
+         |               len(${QueriesData.toks}) * 4.0, 1.0)) / 2.0 >= 0.45
+         |), keep AS (
+         |  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY ${QueriesData.canon}
+         |), filtered AS (
+         |  SELECT d.doc_id, d.text FROM documents d
+         |  JOIN lang USING (doc_id) JOIN good USING (doc_id) JOIN keep USING (doc_id)
+         |), ${QueriesData.minhashCtesFrom("filtered")},
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+         |)
+         |SELECT f.doc_id, CAST(len(str_split(f.text, ' ')) AS BIGINT) AS n_tokens
+         |FROM filtered f WHERE f.doc_id NOT IN (SELECT id_b FROM pairs)
+         |ORDER BY f.doc_id""".stripMargin,
     "q_array_agg" ->
       """SELECT o_custkey,
         |  string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey) AS order_keys,

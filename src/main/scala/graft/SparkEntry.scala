@@ -118,6 +118,7 @@ object SparkEntry {
     "q_rel_division" -> (QueriesR3.qRelDivision _),
     "q_array_agg" -> (QueriesR3.qArrayAgg _),
     "q_mode" -> (QueriesR3.qMode _),
+    "corpus_clean" -> (QueriesR3.corpusClean _),
     "q_hopping_window" -> (QueriesR3.qHoppingWindow _),
     // §2.1 C9 (rows-only: no SQL-comparable type names)
     "schema_clone" -> (QueriesData.schemaClone _))

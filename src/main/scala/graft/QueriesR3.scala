@@ -373,6 +373,25 @@ object QueriesR3 {
       .orderBy(col("doc_id"))
   }
 
+  /** S8: similarity-side composite — cosine near-duplicate removal, then
+    * exact ANN among the survivors (queries and corpus both cleaned).
+    * Gates the filtered-corpus handoff between the dedup and search
+    * stages, mirroring corpus_clean on the embedding surface.
+    */
+  def embedCleanAnn(s: SparkSession, dir: String): DataFrame = {
+    import graft.similarity.Ann
+    val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val pairs = Ann.allPairsCosineAbove(e, "vec_id", threshold = 0.4)
+    val survivors = e.join(pairs.select(col("id_b").as("vec_id")).distinct(),
+      Seq("vec_id"), "left_anti")
+    val queries = survivors.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val corpus = survivors.select(col("vec_id").as("cand_id"), col("embedding"))
+    Ann.bruteForceTopK(queries, corpus, k = 3)
+      .select(col("query_id"), col("cand_id"), col("rnk").cast("long").as("rnk"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
   // ─────────────────────── oracle SQL (DuckDB) ───────────────────────
 
   /** DuckDB arithmetic for the integer value of the first 12 hex chars of
@@ -509,6 +528,38 @@ object QueriesR3 {
          |SELECT f.doc_id, CAST(len(str_split(f.text, ' ')) AS BIGINT) AS n_tokens
          |FROM filtered f WHERE f.doc_id NOT IN (SELECT id_b FROM pairs)
          |ORDER BY f.doc_id""".stripMargin,
+    "embed_clean_ann" ->
+      """WITH flat AS (
+        |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+        |    generate_subscripts(embedding, 1) AS i
+        |  FROM embeddings
+        |), norms AS (SELECT vec_id, sqrt(SUM(x*x)) AS nrm FROM flat GROUP BY vec_id),
+        |dups AS (
+        |  SELECT b.vec_id AS id_b
+        |  FROM flat a JOIN flat b ON a.i = b.i AND a.vec_id < b.vec_id
+        |  JOIN norms na ON na.vec_id = a.vec_id JOIN norms nb ON nb.vec_id = b.vec_id
+        |  GROUP BY a.vec_id, b.vec_id, na.nrm, nb.nrm
+        |  HAVING SUM(a.x*b.x) / (na.nrm * nb.nrm) > 0.4
+        |), surv AS (
+        |  SELECT vec_id FROM embeddings
+        |  WHERE vec_id NOT IN (SELECT DISTINCT id_b FROM dups)
+        |), dots AS (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS cand_id, SUM(a.x*b.x) AS dot
+        |  FROM flat a JOIN flat b ON a.i = b.i
+        |  JOIN surv sa ON sa.vec_id = a.vec_id JOIN surv sb ON sb.vec_id = b.vec_id
+        |  WHERE a.vec_id < 10 AND b.vec_id <> a.vec_id
+        |  GROUP BY 1, 2
+        |), scored AS (
+        |  SELECT d.query_id, d.cand_id, d.dot / (na.nrm * nb.nrm) AS cosine
+        |  FROM dots d
+        |  JOIN norms na ON na.vec_id = d.query_id
+        |  JOIN norms nb ON nb.vec_id = d.cand_id
+        |)
+        |SELECT query_id, cand_id, CAST(rnk AS BIGINT) AS rnk FROM (
+        |  SELECT query_id, cand_id,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rnk
+        |  FROM scored) t
+        |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
     "q_array_agg" ->
       """SELECT o_custkey,
         |  string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey) AS order_keys,

@@ -119,6 +119,7 @@ object SparkEntry {
     "q_array_agg" -> (QueriesR3.qArrayAgg _),
     "q_mode" -> (QueriesR3.qMode _),
     "corpus_clean" -> (QueriesR3.corpusClean _),
+    "embed_clean_ann" -> (QueriesR3.embedCleanAnn _),
     "q_hopping_window" -> (QueriesR3.qHoppingWindow _),
     // §2.1 C9 (rows-only: no SQL-comparable type names)
     "schema_clone" -> (QueriesData.schemaClone _))

@@ -16,7 +16,8 @@ object Bench {
     "cdc_delta_extract", "cdc_merge", "cdc_latest_per_key",
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
     "ann_bruteforce_topk", "text_quality", "mm_frame_sample",
-    "sketch_kmv_distinct", "zorder_cluster", "q_top_k_native")
+    "sketch_kmv_distinct", "zorder_cluster", "q_top_k_native",
+    "corpus_clean")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -82,6 +82,31 @@ class CdcSpec extends AnyFunSuite {
     assert(got("t3").startsWith("2024-03-01")) // new entity
   }
 
+  test("mergeSoftDelete property: 200 random scenarios match a model merge") {
+    val rnd = new scala.util.Random(91)
+    (1 to 200).foreach { trial =>
+      val keys = 0L until (1 + rnd.nextInt(12))
+      def randRows(n: Int) = Seq.fill(n)((
+        keys(rnd.nextInt(keys.size)),
+        s"v${rnd.nextInt(5)}",
+        if (rnd.nextBoolean()) "N" else "Y"))
+      val target = randRows(rnd.nextInt(10)).groupBy(_._1).map(_._2.head).toSeq
+      val stagedRows = randRows(rnd.nextInt(10)).groupBy(_._1).map(_._2.head).toSeq
+      // model: matched keys take staged values wholesale; unmatched staged
+      // rows insert only when not deleted; unmatched target rows survive
+      val stagedMap = stagedRows.map(r => r._1 -> r).toMap
+      val expect = (target.map { t =>
+        stagedMap.getOrElse(t._1, t)
+      } ++ stagedRows.filterNot(s =>
+        target.exists(_._1 == s._1)).filter(_._3 == "N")).sortBy(_._1)
+      val got = Cdc.mergeSoftDelete(
+          target.toDF("id", "v", "is_deleted"),
+          stagedRows.toDF("id", "v", "is_deleted"), Seq("id"))
+        .as[(Long, String, String)].collect().sortBy(_._1).toSeq
+      assert(got == expect, s"trial $trial target=$target staged=$stagedRows")
+    }
+  }
+
   test("tableChecksum: order-free, null-safe, and sensitive to any row drift") {
     def ck(df: org.apache.spark.sql.DataFrame): (Long, String) =
       Cdc.tableChecksum(df, Seq("id", "v")).as[(Long, String)].head()

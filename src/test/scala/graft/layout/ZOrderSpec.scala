@@ -95,6 +95,21 @@ class ZOrderSpec extends AnyFunSuite {
     assert(df.select("payload").as[Long].collect().toSeq == Seq(294L))
   }
 
+  test("zvalue/zvalueN: interpreted eval matches codegen (wholeStage off vs on)") {
+    val rnd = new scala.util.Random(33)
+    val rows = Seq.fill(200)((rnd.nextLong(4096), rnd.nextLong(4096), rnd.nextLong(4096)))
+    def run(codegen: Boolean): Seq[(Long, Long)] = {
+      val s = spark.newSession()
+      s.conf.set("spark.sql.codegen.wholeStage", codegen.toString)
+      import s.implicits._
+      rows.toDF("x", "y", "w")
+        .select(ZOrder.zvalue(col("x"), col("y"), 12).as("z2"),
+          ZOrder.zvalueN(Seq(col("x"), col("y"), col("w")), 12).as("z3"))
+        .as[(Long, Long)].collect().toSeq
+    }
+    assert(run(codegen = true) == run(codegen = false))
+  }
+
   test("zvalue rejects negative inputs") {
     val e = intercept[Exception](
       Seq((-1L, 2L)).toDF("x", "y")

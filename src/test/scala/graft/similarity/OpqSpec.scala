@@ -44,6 +44,19 @@ class OpqSpec extends AnyFunSuite {
     assert(math.abs(d0 - d1) < 1e-9 * math.max(1, math.abs(d0)))
   }
 
+  test("hadamard rotate: interpreted eval matches codegen") {
+    val data = skewed(100, 74)
+    def run(codegen: Boolean): Map[Long, Seq[Double]] = {
+      val s = spark.newSession()
+      s.conf.set("spark.sql.codegen.wholeStage", codegen.toString)
+      import s.implicits._
+      data.map { case (id, v) => (id, v.toSeq) }.toDF("id", "v")
+        .select(col("id"), Opq.rotate(col("v"), dim).as("r"))
+        .as[(Long, Seq[Double])].collect().toMap
+    }
+    assert(run(codegen = true) == run(codegen = false))
+  }
+
   test("rotation balances sub-space variance on correlated data") {
     val data = skewed(2000, 72)
     def subspaceShares(rows: Seq[Array[Double]]): Seq[Double] = {

@@ -204,6 +204,30 @@ object Pipeline {
     (RunReport(results), newWatermarks)
   }
 
+  /** Zero-config replication — the reference's ENTIRE main() needing only
+    * two connections: discover tables, primary keys, and FK edges from the
+    * source's JDBC metadata (utils/database.py), then run the incremental
+    * DB-to-DB loop. Tables without a primary key are skipped (the
+    * reference requires PKs for its MERGE, :262-266).
+    */
+  def discoverAndReplicate(
+      spark: SparkSession,
+      source: graft.sources.Jdbc.Conn,
+      target: graft.sources.Jdbc.Conn,
+      watermarks: Map[String, Timestamp],
+      schema: String = null,
+      dialect: graft.sources.JdbcMerge.Dialect = graft.sources.JdbcMerge.StandardDialect)
+      : (RunReport, Map[String, Timestamp]) = {
+    import graft.sources.Jdbc
+    val tables = Jdbc.listTables(source, schema)
+    val specs = tables
+      .map(t => t -> Jdbc.primaryKeys(source, t))
+      .filter(_._2.nonEmpty)
+      .map { case (t, pk) => TableSpec(t, pk) }
+    val fk = Jdbc.foreignKeys(source, specs.map(_.name))
+    replicateJdbc(spark, specs, fk, source, target, watermarks, dialect)
+  }
+
   /** Create `table` in the target database from a Spark schema if it does
     * not exist (DatabaseMetaData probe + SchemaClone DDL) — the reference's
     * clone-missing-tables step.

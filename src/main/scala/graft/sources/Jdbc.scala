@@ -49,4 +49,81 @@ object Jdbc {
     if (c.driver.nonEmpty) w = w.option("driver", c.driver)
     w.mode(mode).save()
   }
+
+  // ── schema discovery (reference utils/database.py) via DatabaseMetaData ──
+
+  private def withConnection[T](c: Conn)(f: java.sql.Connection => T): T = {
+    if (c.driver.nonEmpty) Class.forName(c.driver)
+    val conn =
+      if (c.user.nonEmpty) java.sql.DriverManager.getConnection(c.url, c.user, c.password)
+      else java.sql.DriverManager.getConnection(c.url)
+    try f(conn) finally conn.close()
+  }
+
+  /** User tables of the connection's default schema — `list_tables`
+    * (utils/database.py:17-30); staging tables are excluded like the
+    * reference excludes temporary ones.
+    */
+  def listTables(c: Conn, schema: String = null): Seq[String] =
+    withConnection(c) { conn =>
+      val rs = conn.getMetaData.getTables(null, schema, "%", Array("TABLE"))
+      val out = scala.collection.mutable.ListBuffer[String]()
+      while (rs.next()) out += rs.getString("TABLE_NAME")
+      rs.close()
+      out.toSeq.filterNot(_.toUpperCase.startsWith("STG_")).sorted
+    }
+
+  /** Primary-key columns in key order — `get_pk_columns`
+    * (utils/database.py:57-72).
+    */
+  def primaryKeys(c: Conn, table: String): Seq[String] =
+    withConnection(c) { conn =>
+      val rs = conn.getMetaData.getPrimaryKeys(null, null, table.toUpperCase)
+      val out = scala.collection.mutable.ListBuffer[(Short, String)]()
+      while (rs.next()) out += ((rs.getShort("KEY_SEQ"), rs.getString("COLUMN_NAME")))
+      rs.close()
+      out.sortBy(_._1).map(_._2).toSeq
+    }
+
+  /** FK edges (parentTable, childTable) among `tables` —
+    * `get_fk_relationships` (utils/database.py:86-109), the input to the
+    * topological load order.
+    */
+  def foreignKeys(c: Conn, tables: Seq[String]): Seq[(String, String)] =
+    withConnection(c) { conn =>
+      val tset = tables.map(_.toUpperCase).toSet
+      val out = scala.collection.mutable.ListBuffer[(String, String)]()
+      tables.foreach { t =>
+        val rs = conn.getMetaData.getImportedKeys(null, null, t.toUpperCase)
+        while (rs.next()) {
+          val parent = rs.getString("PKTABLE_NAME")
+          if (tset.contains(parent.toUpperCase)) out += ((parent, t))
+        }
+        rs.close()
+      }
+      out.distinct.toSeq.sorted
+    }
+
+  /** Add any missing CDC tracking columns in-database — the
+    * 01_prepare_cdc_columns script (ALTER TABLE ADD per missing column,
+    * CREATED_AT defaulted, IS_DELETED defaulted 'N').
+    */
+  def ensureCdcColumns(c: Conn, table: String): Seq[String] =
+    withConnection(c) { conn =>
+      val rs = conn.getMetaData.getColumns(null, null, table.toUpperCase, "%")
+      val have = scala.collection.mutable.Set[String]()
+      while (rs.next()) have += rs.getString("COLUMN_NAME").toUpperCase
+      rs.close()
+      val wanted = Seq(
+        "CREATED_AT" -> "TIMESTAMP DEFAULT CURRENT_TIMESTAMP",
+        "UPDATED_AT" -> "TIMESTAMP",
+        "IS_DELETED" -> "CHAR(1) DEFAULT 'N'")
+      val added = wanted.filterNot { case (n, _) => have.contains(n) }
+      added.foreach { case (n, ddl) =>
+        val st = conn.createStatement()
+        try st.executeUpdate(s"ALTER TABLE $table ADD COLUMN $n $ddl")
+        finally st.close()
+      }
+      added.map(_._1)
+    }
 }

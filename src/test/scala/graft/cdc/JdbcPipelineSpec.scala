@@ -79,4 +79,40 @@ class JdbcPipelineSpec extends AnyFunSuite {
     assert(r3.noChanges == 2 && r3.processed == 0, r3.summary)
     assert(wm3 == wm2)
   }
+
+  test("zero-config: discover tables/PKs/FKs from metadata, prep CDC columns, replicate") {
+    val dsrc = Jdbc.Conn(url = "jdbc:derby:memory:graftdisc_src;create=true",
+      driver = "org.apache.derby.jdbc.EmbeddedDriver")
+    val dtgt = Jdbc.Conn(url = "jdbc:derby:memory:graftdisc_tgt;create=true",
+      driver = "org.apache.derby.jdbc.EmbeddedDriver")
+    // bare business tables with real FK constraints, NO CDC columns yet
+    JdbcMerge.execute(dsrc,
+      "CREATE TABLE DEPT (ID BIGINT PRIMARY KEY, NAME VARCHAR(32))")
+    JdbcMerge.execute(dsrc,
+      """CREATE TABLE EMP (ID BIGINT PRIMARY KEY, DEPT_ID BIGINT,
+        | CONSTRAINT FK_EMP_DEPT FOREIGN KEY (DEPT_ID) REFERENCES DEPT(ID))""".stripMargin)
+
+    // 01_prepare_cdc_columns: metadata-driven ALTERs, idempotent
+    assert(Jdbc.ensureCdcColumns(dsrc, "DEPT") ==
+      Seq("CREATED_AT", "UPDATED_AT", "IS_DELETED"))
+    assert(Jdbc.ensureCdcColumns(dsrc, "DEPT").isEmpty, "second run adds nothing")
+    Jdbc.ensureCdcColumns(dsrc, "EMP")
+    // defaults fill CREATED_AT / IS_DELETED on insert, like the reference's DDL
+    JdbcMerge.execute(dsrc, "INSERT INTO DEPT (ID, NAME) VALUES (1, 'eng')")
+    JdbcMerge.execute(dsrc, "INSERT INTO EMP (ID, DEPT_ID) VALUES (7, 1)")
+
+    // discovery: tables, PKs, FK edges straight from JDBC metadata
+    assert(Jdbc.listTables(dsrc, "APP") == Seq("DEPT", "EMP"))
+    assert(Jdbc.primaryKeys(dsrc, "EMP") == Seq("ID"))
+    assert(Jdbc.foreignKeys(dsrc, Seq("DEPT", "EMP")) == Seq(("DEPT", "EMP")))
+
+    // the reference's whole main(): two connections in, replica out
+    val (rep, wm) = Pipeline.discoverAndReplicate(spark, dsrc, dtgt, Map.empty,
+      schema = "APP")
+    assert(rep.failed == 0 && rep.processed == 2, rep.summary)
+    assert(rep.results.map(_.table) == Seq("DEPT", "EMP"), "parent before child")
+    assert(Jdbc.read(spark, dtgt, "DEPT").count() == 1)
+    assert(Jdbc.read(spark, dtgt, "EMP").count() == 1)
+    assert(wm.keySet == Set("DEPT", "EMP"))
+  }
 }

@@ -392,6 +392,32 @@ object QueriesR3 {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  /** C22: incremental view maintenance — the cdc_merge fixture's grouped
+    * SUM/COUNT view maintained from the delta by retract-and-add (one
+    * |delta|-sized PK semi-join, no fact-table rescan); the oracle IS the
+    * full recompute over the merged table, so the gate proves maintained
+    * state ≡ recomputation, decimal-exact.
+    */
+  def ivmAggMaintain(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Ivm
+    val o = t(s, dir, "orders")
+    val target = o
+      .filter(col("o_orderdate").cast("timestamp") <
+        lit("2000-01-01 00:00:00").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice").as("total"), lit("N").as("is_deleted"))
+    val staged = o.filter(col("o_orderkey") % 3 === 0)
+      .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
+        (col("o_totalprice").cast(DecimalType(12, 2)) + 1000).cast("double").as("total"),
+        when(col("o_orderkey") % 37 === 0, "Y").otherwise("N").as("is_deleted"))
+    val state = Ivm.sumCountView(target, "o_orderstatus", "total")
+    Ivm.maintainSumCount(state, target, staged, Seq("o_orderkey"), "o_orderstatus", "total")
+      .select(col("o_orderstatus"),
+        col("sum_val").cast(DecimalType(22, 2)).cast("string").as("sum_val"),
+        col("n_rows"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   // ─────────────────────── oracle SQL (DuckDB) ───────────────────────
 
   /** DuckDB arithmetic for the integer value of the first 12 hex chars of
@@ -560,6 +586,28 @@ object QueriesR3 {
         |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rnk
         |  FROM scored) t
         |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
+    "ivm_agg_maintain" ->
+      """WITH target AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice AS total, 'N' AS is_deleted
+        |  FROM orders WHERE o_orderdate < TIMESTAMP '2000-01-01 00:00:00'
+        |), staged AS (
+        |  SELECT o_orderkey, 'U' AS o_orderstatus,
+        |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) + 1000 AS DOUBLE) AS total,
+        |    CASE WHEN o_orderkey % 37 = 0 THEN 'Y' ELSE 'N' END AS is_deleted
+        |  FROM orders WHERE o_orderkey % 3 = 0
+        |), merged AS (
+        |  SELECT
+        |    CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_orderstatus ELSE t.o_orderstatus END AS o_orderstatus,
+        |    CASE WHEN s.o_orderkey IS NOT NULL THEN s.total ELSE t.total END AS total,
+        |    CASE WHEN s.o_orderkey IS NOT NULL THEN s.is_deleted ELSE t.is_deleted END AS is_deleted
+        |  FROM target t FULL JOIN staged s ON t.o_orderkey = s.o_orderkey
+        |  WHERE t.o_orderkey IS NOT NULL OR s.is_deleted = 'N'
+        |)
+        |SELECT o_orderstatus,
+        |  CAST(CAST(SUM(CAST(total AS DECIMAL(12,2))) AS DECIMAL(22,2)) AS VARCHAR) AS sum_val,
+        |  COUNT(*) AS n_rows
+        |FROM merged WHERE is_deleted = 'N'
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q_array_agg" ->
       """SELECT o_custkey,
         |  string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey) AS order_keys,

@@ -418,7 +418,58 @@ object QueriesR3 {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** X10: the IVM view maintained through the STREAMING apply path — same
+    * fixture and oracle as ivm_agg_maintain; proves batch-split
+    * independence of retract-and-add through foreachBatch.
+    */
+  def streamIvmMaintain(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val target = o
+      .filter(col("o_orderdate").cast("timestamp") <
+        lit("2000-01-01 00:00:00").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice").as("total"), lit("N").as("is_deleted"))
+    val staged = o.filter(col("o_orderkey") % 3 === 0)
+      .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
+        (col("o_totalprice").cast(DecimalType(12, 2)) + 1000).cast("double").as("total"),
+        when(col("o_orderkey") % 37 === 0, "Y").otherwise("N").as("is_deleted"))
+    val (_, view) = graft.streaming.Streams.cdcApplyWithView(
+      s, target, staged, Seq("o_orderkey"), Seq(col("o_orderkey")),
+      "o_orderstatus", "total")
+    view
+      .select(col("o_orderstatus"),
+        col("sum_val").cast(DecimalType(22, 2)).cast("string").as("sum_val"),
+        col("n_rows"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   // ─────────────────────── oracle SQL (DuckDB) ───────────────────────
+
+  /** The IVM fixture's full recompute — shared by the batch and streaming
+    * maintenance gates (maintained state must be bit-equal to this).
+    */
+  private val IvmRecomputeSql: String =
+    """WITH target AS (
+      |  SELECT o_orderkey, o_orderstatus, o_totalprice AS total, 'N' AS is_deleted
+      |  FROM orders WHERE o_orderdate < TIMESTAMP '2000-01-01 00:00:00'
+      |), staged AS (
+      |  SELECT o_orderkey, 'U' AS o_orderstatus,
+      |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) + 1000 AS DOUBLE) AS total,
+      |    CASE WHEN o_orderkey % 37 = 0 THEN 'Y' ELSE 'N' END AS is_deleted
+      |  FROM orders WHERE o_orderkey % 3 = 0
+      |), merged AS (
+      |  SELECT
+      |    CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_orderstatus ELSE t.o_orderstatus END AS o_orderstatus,
+      |    CASE WHEN s.o_orderkey IS NOT NULL THEN s.total ELSE t.total END AS total,
+      |    CASE WHEN s.o_orderkey IS NOT NULL THEN s.is_deleted ELSE t.is_deleted END AS is_deleted
+      |  FROM target t FULL JOIN staged s ON t.o_orderkey = s.o_orderkey
+      |  WHERE t.o_orderkey IS NOT NULL OR s.is_deleted = 'N'
+      |)
+      |SELECT o_orderstatus,
+      |  CAST(CAST(SUM(CAST(total AS DECIMAL(12,2))) AS DECIMAL(22,2)) AS VARCHAR) AS sum_val,
+      |  COUNT(*) AS n_rows
+      |FROM merged WHERE is_deleted = 'N'
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
   /** DuckDB arithmetic for the integer value of the first 12 hex chars of
     * an md5 string — 48 bits, exact in BIGINT.
@@ -586,28 +637,8 @@ object QueriesR3 {
         |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rnk
         |  FROM scored) t
         |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
-    "ivm_agg_maintain" ->
-      """WITH target AS (
-        |  SELECT o_orderkey, o_orderstatus, o_totalprice AS total, 'N' AS is_deleted
-        |  FROM orders WHERE o_orderdate < TIMESTAMP '2000-01-01 00:00:00'
-        |), staged AS (
-        |  SELECT o_orderkey, 'U' AS o_orderstatus,
-        |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) + 1000 AS DOUBLE) AS total,
-        |    CASE WHEN o_orderkey % 37 = 0 THEN 'Y' ELSE 'N' END AS is_deleted
-        |  FROM orders WHERE o_orderkey % 3 = 0
-        |), merged AS (
-        |  SELECT
-        |    CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_orderstatus ELSE t.o_orderstatus END AS o_orderstatus,
-        |    CASE WHEN s.o_orderkey IS NOT NULL THEN s.total ELSE t.total END AS total,
-        |    CASE WHEN s.o_orderkey IS NOT NULL THEN s.is_deleted ELSE t.is_deleted END AS is_deleted
-        |  FROM target t FULL JOIN staged s ON t.o_orderkey = s.o_orderkey
-        |  WHERE t.o_orderkey IS NOT NULL OR s.is_deleted = 'N'
-        |)
-        |SELECT o_orderstatus,
-        |  CAST(CAST(SUM(CAST(total AS DECIMAL(12,2))) AS DECIMAL(22,2)) AS VARCHAR) AS sum_val,
-        |  COUNT(*) AS n_rows
-        |FROM merged WHERE is_deleted = 'N'
-        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "stream_ivm_maintain" -> IvmRecomputeSql,
+    "ivm_agg_maintain" -> IvmRecomputeSql,
     "q_array_agg" ->
       """SELECT o_custkey,
         |  string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey) AS order_keys,

@@ -47,6 +47,7 @@ object SparkEntry {
     "cdc_scd2" -> (Queries.cdcScd2 _),
     "cdc_cascade_delete" -> (QueriesR3.cdcCascadeDelete _),
     "ivm_agg_maintain" -> (QueriesR3.ivmAggMaintain _),
+    "stream_ivm_maintain" -> (QueriesR3.streamIvmMaintain _),
     // §2.2 round-2 additions (R20–R25)
     "q_window_ranks" -> (QueriesExt.qWindowRanks _),
     "q_window_range_frame" -> (QueriesExt.qWindowRangeFrame _),

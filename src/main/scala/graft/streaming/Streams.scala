@@ -207,6 +207,36 @@ object Streams {
     }
   }
 
+  /** X10: streaming CDC apply with incremental view maintenance — each
+    * micro-batch merges into the replica AND folds retract/add
+    * adjustments into a grouped SUM/COUNT view (operators/Ivm), so the
+    * materialized aggregate stays current without ever rescanning the
+    * replica. Retraction reads the PRE-batch replica state, which makes
+    * the final view independent of how the replay splits into batches.
+    * Returns (replica, view) after the drain.
+    */
+  def cdcApplyWithView(spark: SparkSession, initialTarget: DataFrame, delta: DataFrame,
+                       pk: Seq[String], orderCols: Seq[Column],
+                       groupCol: String, valueCol: String): (DataFrame, DataFrame) = {
+    import graft.operators.Ivm
+    val path = stageToTemp(delta, "cdcivm")
+    var state = initialTarget.localCheckpoint(true)
+    var view = Ivm.sumCountView(state, groupCol, valueCol).localCheckpoint(true)
+    withStateSession(spark, 8) { iso =>
+      val stream = iso.readStream.schema(delta.schema).parquet(path)
+      val q = stream.writeStream.outputMode("append")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val deduped = Cdc.latestPerKey(batch, pk, orderCols)
+          view = Ivm.maintainSumCount(view, state, deduped, pk, groupCol, valueCol)
+            .localCheckpoint(true)
+          state = Cdc.mergeSoftDelete(state, deduped, pk).localCheckpoint(true)
+          ()
+        }.start()
+      try { q.processAllAvailable() } finally { q.stop() }
+    }
+    (state, view)
+  }
+
   /** X9: declarative session windows — the builtin `session_window`
     * merges an event into the current session while it lands within
     * `gap` of the session's end, all inside the streaming aggregation

@@ -234,10 +234,8 @@ object Pipeline {
     */
   def ensureJdbcTable(c: graft.sources.Jdbc.Conn, table: String,
                       schema: org.apache.spark.sql.types.StructType,
-                      pk: Seq[String]): Unit = {
-    Class.forName(c.driver)
-    val conn = java.sql.DriverManager.getConnection(c.url)
-    try {
+                      pk: Seq[String]): Unit =
+    graft.sources.Jdbc.withConnection(c) { conn =>
       val rs = conn.getMetaData.getTables(null, null, table.toUpperCase, null)
       val exists = try rs.next() finally rs.close()
       if (!exists) {
@@ -248,8 +246,7 @@ object Pipeline {
           ifNotExists = false, stringType = "VARCHAR(4000)"))
         finally st.close()
       }
-    } finally conn.close()
-  }
+    }
 
   /** Schema evolution between runs (the incremental form of the reference's
     * schema clone, 02_clone_schema_structure.py): a column added on the

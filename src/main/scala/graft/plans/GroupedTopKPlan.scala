@@ -111,8 +111,14 @@ private[plans] object TopKBuffer {
       }
       val s = scoreB.eval(row)
       val t = tieB.eval(row)
-      if (s != null && t != null)
-        buf.insert(s.asInstanceOf[Double], t.asInstanceOf[Long], row)
+      // Parity with the window row_number form is claimed only for
+      // non-null orderings; silently dropping a NULL (or uncastable)
+      // score/tie would diverge from it invisibly, so fail loudly.
+      if (s == null || t == null)
+        throw new IllegalArgumentException(
+          "GroupedTopK: score and tie must be non-null and castable " +
+            "(double/long); got score=" + s + " tie=" + t)
+      buf.insert(s.asInstanceOf[Double], t.asInstanceOf[Long], row)
     }
     map
   }
@@ -214,7 +220,10 @@ object GroupedTopK {
   /** Top `k` rows per `keys` group by `score` descending (ties: `tie`
     * ascending, must be group-unique for determinism), with `rankName`
     * (bigint, 1-based) appended. `score` is evaluated as double, `tie`
-    * as long.
+    * as long; both must be NON-NULL and castable on every row (runtime
+    * error otherwise — the window formulation this operator is
+    * result-parity-checked against would rank NULLs, so they are
+    * rejected rather than silently dropped).
     */
   def topK(df: org.apache.spark.sql.DataFrame, keys: Seq[String],
            score: org.apache.spark.sql.Column, tie: org.apache.spark.sql.Column,

@@ -54,11 +54,18 @@ object Hll {
       .agg(max(col("rank")).as("register"))
   }
 
-  /** Merge any number of register tables (the HLL union). */
-  def merge(tables: DataFrame*): DataFrame =
+  /** Merge any number of register tables (the HLL union). `groupCol` is
+    * explicit like [[registers]]/[[digest]] — inferring it by position
+    * would silently group on the wrong column for a reselected/joined
+    * register table.
+    */
+  def merge(groupCol: String, tables: DataFrame*): DataFrame = {
+    tables.foreach(t => require(t.columns.contains(groupCol),
+      s"Hll.merge: register table lacks group column '$groupCol' (has ${t.columns.mkString(",")})"))
     tables.reduce(_ unionByName _)
-      .groupBy(col(tables.head.columns(0)), col("bucket"))
+      .groupBy(col(groupCol), col("bucket"))
       .agg(max(col("register")).as("register"))
+  }
 
   /** Exact-integer digest per group: the scaled harmonic denominator
     * Σ 2^(49−register) with 2^49 per empty bucket, plus occupied-bucket

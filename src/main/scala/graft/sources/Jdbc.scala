@@ -52,7 +52,11 @@ object Jdbc {
 
   // ── schema discovery (reference utils/database.py) via DatabaseMetaData ──
 
-  private def withConnection[T](c: Conn)(f: java.sql.Connection => T): T = {
+  /** Raw connection with the Conn's credentials and an optional driver
+    * class (driver-manager-registered URLs need none). Shared with
+    * Pipeline's DDL path so every code path honors user/password.
+    */
+  private[graft] def withConnection[T](c: Conn)(f: java.sql.Connection => T): T = {
     if (c.driver.nonEmpty) Class.forName(c.driver)
     val conn =
       if (c.user.nonEmpty) java.sql.DriverManager.getConnection(c.url, c.user, c.password)

@@ -75,11 +75,15 @@ object Sink {
     val originals = entries
       .filter(f => f.isFile && (f.getName.endsWith(".parquet") || f.getName.startsWith("_")))
     val finalNames = keep.zipWithIndex.map { case (f, i) => s"compacted-$i-${f.getName}" }
-    // 1. durable undo/redo log: D = originals to delete, K = compacted
-    //    files that must all exist before any D may be deleted
+    // 1. durable undo/redo log: K = compacted files that must all exist
+    //    before any D (original) may be deleted. K lines first and the
+    //    whole file written to a temp name + atomic rename: a torn write
+    //    can then only lose a D suffix (recovery re-deletes nothing worse
+    //    than leftovers), never present a D-only manifest that would
+    //    vacuously roll forward and delete every original.
     val manifest = new java.io.File(dir, ManifestName)
-    writeLines(manifest,
-      originals.map(n => s"D ${n.getName}") ++ finalNames.map(n => s"K $n"))
+    writeLinesAtomic(manifest,
+      finalNames.map(n => s"K $n") ++ originals.map(n => s"D ${n.getName}"))
     // 2. new files in, VISIBLE and uniquely named
     keep.zip(finalNames).foreach { case (f, name) =>
       require(f.renameTo(new java.io.File(dir, name)),
@@ -103,6 +107,8 @@ object Sink {
     * holding the rows exactly once.
     */
   private def recoverCompaction(dir: java.io.File): Unit = {
+    // a crash before the atomic rename leaves only the harmless temp copy
+    new java.io.File(dir, ManifestName + ".tmp").delete()
     val manifest = new java.io.File(dir, ManifestName)
     if (manifest.isFile) {
       val lines = {
@@ -111,7 +117,9 @@ object Sink {
       }
       val dels = lines.collect { case s if s.startsWith("D ") => s.drop(2) }
       val keeps = lines.collect { case s if s.startsWith("K ") => s.drop(2) }
-      if (keeps.forall(n => new java.io.File(dir, n).isFile))
+      // an empty keep list can only come from a torn manifest (compaction
+      // always produces >=1 file) — roll BACK, never forward
+      if (keeps.nonEmpty && keeps.forall(n => new java.io.File(dir, n).isFile))
         dels.foreach(n => new java.io.File(dir, n).delete())
       else
         keeps.foreach(n => new java.io.File(dir, n).delete())
@@ -120,9 +128,15 @@ object Sink {
     }
   }
 
-  private def writeLines(f: java.io.File, lines: Seq[String]): Unit = {
-    val w = new java.io.PrintWriter(f)
+  /** Write-then-rename so the manifest appears atomically: readers (and
+    * recovery after a crash) either see no manifest or the complete one,
+    * never a partially flushed prefix.
+    */
+  private def writeLinesAtomic(f: java.io.File, lines: Seq[String]): Unit = {
+    val tmp = new java.io.File(f.getParentFile, f.getName + ".tmp")
+    val w = new java.io.PrintWriter(tmp)
     try lines.foreach(w.println) finally w.close()
+    require(tmp.renameTo(f), s"atomic manifest rename failed: $tmp -> $f")
   }
 
   private def delete(f: java.io.File): Unit = {

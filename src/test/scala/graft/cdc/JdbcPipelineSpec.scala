@@ -115,4 +115,18 @@ class JdbcPipelineSpec extends AnyFunSuite {
     assert(Jdbc.read(spark, dtgt, "EMP").count() == 1)
     assert(wm.keySet == Set("DEPT", "EMP"))
   }
+
+  test("ensureJdbcTable honors credentials and a driver-manager-registered URL") {
+    // empty driver string (JDBC 4 SPI autoload) + user/password: the DDL
+    // path must use the same credentialed connection helper as discovery —
+    // pre-fix it threw ClassNotFoundException("") and ignored credentials.
+    val cred = Jdbc.Conn(url = "jdbc:derby:memory:graftcred;create=true",
+      user = "APP", password = "any")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("ID",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    Pipeline.ensureJdbcTable(cred, "CRED_T", schema, Seq("ID"))
+    Pipeline.ensureJdbcTable(cred, "CRED_T", schema, Seq("ID")) // idempotent
+    assert(Jdbc.read(spark, cred, "CRED_T").count() == 0)
+  }
 }

@@ -69,11 +69,14 @@ class GroupedTopKPlanSpec extends AnyFunSuite {
     }
   }
 
-  test("null scores and ties are dropped, not ranked") {
+  test("a NULL score fails loudly instead of silently diverging from the window form") {
     val df = Seq((1L, 1L, Some(2.0)), (1L, 2L, None), (1L, 3L, Some(1.0)))
       .toDF("g", "id", "s")
-    val got = GroupedTopK.topK(df, Seq("g"), col("s"), col("id"), 2, "r")
-      .select("id", "r").as[(Long, Long)].collect().toSet
-    assert(got == Set((1L, 1L), (3L, 2L)))
+    val e = intercept[org.apache.spark.SparkException] {
+      GroupedTopK.topK(df, Seq("g"), col("s"), col("id"), 2, "r").count()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      t +: Option(t.getCause).toSeq.flatMap(causes)
+    assert(causes(e).exists(_.getMessage.contains("score and tie must be non-null")))
   }
 }

@@ -65,7 +65,7 @@ class SketchesSpec extends AnyFunSuite {
   test("hll: merge of shard registers equals registers of the union") {
     val a = spark.range(0, 30000).toDF("v").withColumn("g", lit("x"))
     val b = spark.range(20000, 60000).toDF("v").withColumn("g", lit("x"))
-    val merged = Hll.merge(
+    val merged = Hll.merge("g",
       Hll.registers(a, "g", col("v")), Hll.registers(b, "g", col("v")))
       .orderBy("bucket").as[(String, Int, Int)].collect().toSeq
     val whole = Hll.registers(a.unionByName(b), "g", col("v"))
@@ -81,7 +81,7 @@ class SketchesSpec extends AnyFunSuite {
     val store = java.nio.file.Files.createTempDirectory("graft_hll_state").toString
     Hll.registers(day1, "g", col("v")).write.mode("overwrite").parquet(store)
     val restored = spark.read.parquet(store)
-    val merged = Hll.merge(restored, Hll.registers(day2, "g", col("v")))
+    val merged = Hll.merge("g", restored, Hll.registers(day2, "g", col("v")))
     val whole = Hll.registers(day1.unionByName(day2), "g", col("v"))
     assert(Hll.digest(merged, "g").collect().toSeq ==
       Hll.digest(whole, "g").collect().toSeq)

@@ -106,4 +106,34 @@ class SourcesSpec extends AnyFunSuite {
       "recovery must drop the partial compacted files, never the originals")
     assert(!new java.io.File(dir, ".compact_manifest").exists())
   }
+
+  test("a torn D-only manifest rolls BACK — originals are never deleted") {
+    // worst-case torn write: only delete lines survived, zero keeps.
+    // Pre-fix this rolled FORWARD (keeps.forall vacuously true) and wiped
+    // the dataset; it must leave the originals untouched.
+    val dir = java.nio.file.Files.createTempDirectory("graft_crash_torn").toString
+    val events = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "events")
+    events.repartition(4).write.mode("overwrite").parquet(dir)
+    val rows = spark.read.parquet(dir).count()
+    val originals = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".parquet"))
+    val w = new java.io.PrintWriter(new java.io.File(dir, ".compact_manifest"))
+    try originals.foreach(f => w.println(s"D ${f.getName}")) finally w.close()
+    Sink.compactParquet(spark, dir)
+    assert(spark.read.parquet(dir).count() == rows,
+      "torn manifest must roll back, not delete the originals")
+    assert(!new java.io.File(dir, ".compact_manifest").exists())
+  }
+
+  test("a leftover manifest .tmp from a pre-rename crash is cleaned up") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_crash_tmp").toString
+    val events = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "events")
+    events.repartition(2).write.mode("overwrite").parquet(dir)
+    val rows = spark.read.parquet(dir).count()
+    val tmp = new java.io.File(dir, ".compact_manifest.tmp")
+    val w = new java.io.PrintWriter(tmp)
+    try w.println("D garbage") finally w.close()
+    Sink.compactParquet(spark, dir)
+    assert(spark.read.parquet(dir).count() == rows)
+    assert(!tmp.exists())
+  }
 }

@@ -127,6 +127,18 @@ object QueriesData {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** D5 scale path: identical output to [[dedupEmbedCosine]] (the banding
+    * is recall-complete for these fixtures — empirically zero misses and
+    * zero extras at both gate SFs), via LSH-bucketed candidate generation
+    * instead of the O(n²) theta-join. Shares the all-pairs SQL oracle.
+    */
+  def dedupEmbedLsh(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    graft.dedup.Dedup.embedNearDupLsh(e, "vec_id", dim = 64, threshold = 0.4)
+      .select(col("id_a"), col("id_b"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   // ───────────────────────── §2.4 similarity ─────────────────────────
 
   def annBruteforceTopk(s: SparkSession, dir: String): DataFrame = {
@@ -431,6 +443,23 @@ object QueriesData {
         |WHERE CAST(COALESCE(i.n_inter, 0) AS DOUBLE) / (sa.n_g + sb.n_g - COALESCE(i.n_inter, 0)) >= 0.5
         |ORDER BY p.id_a, p.id_b""".stripMargin,
     "dedup_embed_cosine" ->
+      """WITH flat AS (
+        |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+        |    generate_subscripts(embedding, 1) AS i
+        |  FROM embeddings
+        |), norms AS (SELECT vec_id, sqrt(SUM(x*x)) AS nrm FROM flat GROUP BY vec_id),
+        |dots AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, SUM(a.x*b.x) AS dot
+        |  FROM flat a JOIN flat b ON a.i = b.i AND a.vec_id < b.vec_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT id_a, id_b FROM dots d
+        |JOIN norms na ON na.vec_id = d.id_a JOIN norms nb ON nb.vec_id = d.id_b
+        |WHERE d.dot / (na.nrm * nb.nrm) > 0.4
+        |ORDER BY id_a, id_b""".stripMargin,
+    // same oracle as dedup_embed_cosine: the LSH path must reproduce the
+    // exact all-pairs result (recall-complete banding for these fixtures)
+    "dedup_embed_lsh" ->
       """WITH flat AS (
         |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
         |    generate_subscripts(embedding, 1) AS i

@@ -376,12 +376,15 @@ object QueriesR3 {
   /** S8: similarity-side composite — cosine near-duplicate removal, then
     * exact ANN among the survivors (queries and corpus both cleaned).
     * Gates the filtered-corpus handoff between the dedup and search
-    * stages, mirroring corpus_clean on the embedding surface.
+    * stages, mirroring corpus_clean on the embedding surface. The dedup
+    * stage runs the LSH-bucketed scale path ([[Dedup.embedNearDupLsh]]),
+    * not the O(n²) all-pairs baseline; the oracle stays the all-pairs SQL
+    * because the banding is recall-complete on these fixtures.
     */
   def embedCleanAnn(s: SparkSession, dir: String): DataFrame = {
     import graft.similarity.Ann
     val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
-    val pairs = Ann.allPairsCosineAbove(e, "vec_id", threshold = 0.4)
+    val pairs = graft.dedup.Dedup.embedNearDupLsh(e, "vec_id", dim = 64, threshold = 0.4)
     val survivors = e.join(pairs.select(col("id_b").as("vec_id")).distinct(),
       Seq("vec_id"), "left_anti")
     val queries = survivors.filter(col("vec_id") < 10)

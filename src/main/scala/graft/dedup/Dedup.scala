@@ -117,6 +117,53 @@ object Dedup {
       .select(col("id_a"), col("id_b")).distinct()
   }
 
+  /** Embedding near-duplicate pairs (idA < idB, cosine > threshold) via
+    * hyperplane-LSH candidate generation + exact cosine verification
+    * within buckets — the scale path that replaces
+    * [[graft.similarity.Ann.allPairsCosineAbove]]'s O(n²) theta-join.
+    * Shape mirrors the minhash [[lshCandidates]] design: band keys are
+    * computed per row (narrow, loop-codegen'd), candidates come from a
+    * shuffle join on the band key, pairs are deduped, and the exact
+    * cosine (bit-identical arithmetic to the all-pairs baseline) runs
+    * once per candidate pair — never a cross join over the corpus.
+    *
+    * Parameterization: a pair at angle θ agrees on one sign bit with
+    * probability 1−θ/π, so the miss probability is
+    * (1 − (1−θ/π)^bitsPerBand)^bands, and expected candidate volume is
+    * ~(bands/2^bitsPerBand)·n²/2. Tight thresholds (cosine ≥ 0.8, the
+    * production near-dup regime) allow 8-16 bits/band where bucketing
+    * prunes thousands-fold; the defaults here (64 bands × 4 bits) are
+    * sized for recall-completeness down to cosine 0.4 — LSH at such weak
+    * thresholds bounds work per band-bucket but cannot beat all-pairs
+    * volume (miss bound ~1.5e-5 per pair at cosine exactly 0.4, and
+    * deterministic for the md5-derived planes, so a fixed corpus gives a
+    * fixed, testable result).
+    */
+  def embedNearDupLsh(corpus: DataFrame, idCol: String, dim: Int, threshold: Double,
+                      bands: Int = 64, bitsPerBand: Int = 4): DataFrame = {
+    import graft.functions.VectorFunctions.norm
+    import graft.similarity.Ann
+    // norms once per row; re-read three times (band explode + both verify
+    // sides) so materialize the narrow projection
+    val base = corpus.select(col(idCol).as("__id"), col("embedding"),
+      norm(col("embedding")).as("__nrm")).localCheckpoint(true)
+    val banded = base.select(col("__id"),
+      explode(Ann.hyperplaneBandKeys(col("embedding"), dim, bands, bitsPerBand)).as("band"))
+    val cand = banded.select(col("band"), col("__id").as("id_a"))
+      .join(banded.select(col("band").as("band_b"), col("__id").as("id_b")),
+        col("band") === col("band_b") && col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val a = base.select(col("__id").as("id_a"), col("embedding").as("a_emb"),
+      col("__nrm").as("a_nrm"))
+    val b = base.select(col("__id").as("id_b"), col("embedding").as("b_emb"),
+      col("__nrm").as("b_nrm"))
+    cand.join(a, Seq("id_a")).join(b, Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (graft.functions.NativeExpressions.vec_dot(col("a_emb"), col("b_emb")) /
+          (col("a_nrm") * col("b_nrm"))).as("cos"))
+      .filter(col("cos") > threshold)
+  }
+
   /** Connected components over candidate duplicate pairs — the step that
     * turns pair lists (LSH/simhash/Jaccard output) into duplicate GROUPS
     * with one canonical keeper (the minimum id). Min-label propagation:

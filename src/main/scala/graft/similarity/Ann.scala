@@ -130,15 +130,19 @@ object Ann {
     * codegen'd hash aggregate, no UDAF.
     */
   def trainCentroids(corpus: DataFrame, k: Int, iterations: Int): DataFrame = {
-    // deterministic seeds: evenly strided rows in id order (global
-    // row_number is driver-side-small only for seeding; at corpus scale
-    // use a hash-strided filter instead)
-    val n = corpus.count()
-    val stride = math.max(1L, n / k)
-    var centroids = corpus
-      .withColumn("__rn", row_number().over(Window.orderBy(col("cand_id"))) - 1)
-      .filter(col("__rn") % stride === 0 && col("__rn") < stride * k)
-      .select((col("__rn") / stride).cast("long").as("centroid_id"), col("embedding"))
+    // deterministic pseudo-random seeds without a global pass: the k rows
+    // with the smallest md5(id) — orderBy(...).limit(k) plans as
+    // TakeOrderedAndProject (per-partition top-k, driver merges k rows),
+    // so no single-partition sort and no driver-side count() over the
+    // corpus. centroid_id comes from a window over the k seed rows only.
+    val seeds = corpus
+      .select(col("cand_id"), col("embedding"),
+        md5(col("cand_id").cast("string")).as("__h"))
+      .orderBy(col("__h"), col("cand_id")).limit(k)
+    var centroids = seeds
+      .withColumn("centroid_id",
+        row_number().over(Window.orderBy(col("__h"), col("cand_id"))).cast("long") - 1)
+      .select(col("centroid_id"), col("embedding"))
     for (_ <- 1 to iterations) {
       val assigned = ivfAssign(corpus, centroids)
       val means = assigned

@@ -86,6 +86,20 @@ class DedupSpec extends AnyFunSuite {
     assert(starCc == minLabel)
   }
 
+  test("embedNearDupLsh equals the all-pairs baseline, with no cross join in the plan") {
+    val e = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val lsh = Dedup.embedNearDupLsh(e, "vec_id", dim = 64, threshold = 0.4)
+    val plan = lsh.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"banded candidate generation must not plan a cross join:\n$plan")
+    val got = lsh.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val exact = graft.similarity.Ann.allPairsCosineAbove(e, "vec_id", 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got == exact, s"missing=${(exact -- got).size} extra=${(got -- exact).size}")
+    assert(got.nonEmpty)
+  }
+
   test("jaccard on shingle arrays") {
     val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
     val j = df.select(Dedup.jaccard(col("x"), col("y"))).as[Double].head()

@@ -33,4 +33,18 @@ class TrainCentroidsSpec extends AnyFunSuite {
     info(f"IVF recall@5 with trained centroids, nprobe=3: $r%.2f")
     assert(r >= 0.5, s"trained-IVF recall $r too low")
   }
+
+  test("seeding has no single-partition global sort and no driver count") {
+    val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val corpus = e.select(col("vec_id").as("cand_id"), col("embedding"))
+    // iterations=0 returns the bare seed selection: it must plan as a
+    // distributed top-k (TakeOrderedAndProject), not a global-window sort
+    // that funnels the corpus through one task
+    val seeds = Ann.trainCentroids(corpus, k = 10, iterations = 0)
+    val plan = seeds.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"seed selection should be a distributed top-k:\n$plan")
+    assert(seeds.count() == 10)
+    assert(seeds.select("centroid_id").as[Long].collect().sorted.toSeq == (0L until 10L))
+  }
 }

@@ -241,14 +241,21 @@ object QueriesData {
     * No DuckDB oracle (type names differ per engine) → rows-only check;
     * exactness is covered by SchemaCloneSpec.
     */
+  /** C9 — hash-checkable both ways: `ddl_type` is the emitted DDL
+    * spelling, `canon_type` the engine-neutral vocabulary the oracle maps
+    * DuckDB's own type names onto. events.ts is int64 on the Spark side by
+    * the engine's documented nanos-as-long read; the oracle carries the
+    * matching special case.
+    */
   def schemaClone(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.all.flatMap { name =>
       val schema = t(s, dir, name).schema
       schema.fields.zipWithIndex.map { case (f, i) =>
-        (name, f.name, i.toLong, graft.cdc.SchemaClone.sqlType(f.dataType))
+        (name, f.name, i.toLong, graft.cdc.SchemaClone.sqlType(f.dataType),
+          graft.cdc.SchemaClone.canonType(f.dataType))
       }
-    }.toDF("table_name", "column_name", "ordinal", "ddl_type")
+    }.toDF("table_name", "column_name", "ordinal", "ddl_type", "canon_type")
       .orderBy(col("table_name"), col("ordinal"))
   }
 
@@ -442,6 +449,38 @@ object QueriesData {
         |JOIN gsets sb ON sb.doc_id = p.id_b
         |WHERE CAST(COALESCE(i.n_inter, 0) AS DOUBLE) / (sa.n_g + sb.n_g - COALESCE(i.n_inter, 0)) >= 0.5
         |ORDER BY p.id_a, p.id_b""".stripMargin,
+    // C9: DuckDB's own column catalog mapped onto graft's canonical type
+    // vocabulary AND graft's DDL spelling. events.ts is TIMESTAMP(NANOS)
+    // parquet, which both engines surface as a plain timestamp (graft's
+    // Tables.load converts the nanosAsLong read to µs).
+    "schema_clone" ->
+      """WITH cols AS (
+        |  SELECT table_name, column_name,
+        |    CAST(column_index - 1 AS BIGINT) AS ordinal, data_type
+        |  FROM duckdb_columns()
+        |  WHERE table_name IN ('region','nation','customer','supplier','part',
+        |    'orders','lineitem','events','documents','embeddings')
+        |)
+        |SELECT table_name, column_name, ordinal,
+        |  CASE WHEN data_type = 'FLOAT[]' THEN 'REAL[]'
+        |       WHEN data_type = 'FLOAT' THEN 'REAL'
+        |       ELSE data_type END AS ddl_type,
+        |  CASE WHEN data_type = 'INTEGER' THEN 'int32'
+        |       WHEN data_type = 'BIGINT' THEN 'int64'
+        |       WHEN data_type = 'FLOAT' THEN 'float32'
+        |       WHEN data_type = 'DOUBLE' THEN 'float64'
+        |       WHEN data_type = 'VARCHAR' THEN 'string'
+        |       WHEN data_type = 'DATE' THEN 'date'
+        |       WHEN data_type = 'TIMESTAMP' THEN 'timestamp'
+        |       WHEN data_type = 'BOOLEAN' THEN 'bool'
+        |       WHEN data_type = 'BLOB' THEN 'binary'
+        |       WHEN data_type = 'FLOAT[]' THEN 'array<float32>'
+        |       WHEN data_type = 'DOUBLE[]' THEN 'array<float64>'
+        |       WHEN data_type = 'BIGINT[]' THEN 'array<int64>'
+        |       WHEN data_type = 'VARCHAR[]' THEN 'array<string>'
+        |       ELSE lower(data_type) END AS canon_type
+        |FROM cols
+        |ORDER BY table_name, ordinal""".stripMargin,
     "dedup_embed_cosine" ->
       """WITH flat AS (
         |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,

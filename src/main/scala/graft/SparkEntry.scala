@@ -124,7 +124,7 @@ object SparkEntry {
     "corpus_clean" -> (QueriesR3.corpusClean _),
     "embed_clean_ann" -> (QueriesR3.embedCleanAnn _),
     "q_hopping_window" -> (QueriesR3.qHoppingWindow _),
-    // §2.1 C9 (rows-only: no SQL-comparable type names)
+    // §2.1 C9 (hash-checked via the canonical type vocabulary)
     "schema_clone" -> (QueriesData.schemaClone _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -30,6 +30,32 @@ object SchemaClone {
     case other                              => other.sql
   }
 
+  /** Canonical engine-neutral type token for a Spark DataType — a shared
+    * vocabulary both engines can emit (`int64`, `string`, `float32`,
+    * `decimal(p,s)`, `timestamp`, `array<t>`), which makes schema output
+    * hash-comparable across engines whose DDL spellings differ
+    * (VARCHAR/TEXT, BIGINT/INT8, REAL/FLOAT4 all collapse).
+    */
+  def canonType(dt: DataType): String = dt match {
+    case ByteType                           => "int8"
+    case ShortType                          => "int16"
+    case IntegerType                        => "int32"
+    case LongType                           => "int64"
+    case FloatType                          => "float32"
+    case DoubleType                         => "float64"
+    case d: DecimalType                     => s"decimal(${d.precision},${d.scale})"
+    case StringType                         => "string"
+    case BinaryType                         => "binary"
+    case BooleanType                        => "bool"
+    case DateType                           => "date"
+    case TimestampType | TimestampNTZType   => "timestamp"
+    case ArrayType(e, _)                    => s"array<${canonType(e)}>"
+    case s: StructType =>
+      s.fields.map(f => s"${f.name}:${canonType(f.dataType)}").mkString("struct<", ",", ">")
+    case MapType(k, v, _)                   => s"map<${canonType(k)},${canonType(v)}>"
+    case other                              => other.simpleString
+  }
+
   /** CREATE TABLE statement for a schema; `ifNotExists` mirrors the
     * reference's skip-existing behavior (:72-75).
     */

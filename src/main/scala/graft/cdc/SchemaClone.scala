@@ -77,6 +77,35 @@ object SchemaClone {
     s"CREATE TABLE $ine$table (\n${(cols ++ pkc).mkString(",\n")}\n)"
   }
 
+  /** Adapt REAL vendor DDL text (e.g. Oracle `DBMS_METADATA.GET_DDL`
+    * output) for replay against a target schema — the reference's
+    * `modify_ddl_for_target` (scripts/02_clone_schema_structure.py:22-40):
+    * rewrite `"SOURCE"."x"` qualifiers to the target schema and strip the
+    * physical-storage clauses so the target's defaults apply. This is the
+    * path for cloning tables whose constraints/defaults are not visible
+    * through JDBC metadata ([[createTableDdl]] regenerates clean DDL from
+    * a StructType and is the path when the schema IS the Spark scan).
+    *
+    * Clause handling follows Oracle's actual grammar rather than the
+    * reference's `KEYWORD\s+\w+` regex for every parameter (which would
+    * eat the token after a bare `LOGGING`): PCTFREE/PCTUSED/INITRANS/
+    * MAXTRANS take a numeric argument; COMPRESS/NOCOMPRESS/LOGGING/
+    * NOLOGGING stand alone.
+    */
+  def adaptVendorDdl(ddl: String, sourceSchema: String, targetSchema: String): String = {
+    val srcQ = java.util.regex.Pattern.quote(sourceSchema.toUpperCase)
+    var out = ddl.replaceAll("(?i)\"" + srcQ + "\"\\.\"",
+      java.util.regex.Matcher.quoteReplacement(
+        "\"" + targetSchema.toUpperCase + "\".\""))
+    out = out.replaceAll("""(?i)(\s)TABLESPACE\s+"?\w+"?""", "$1")
+    out = out.replaceAll("""(?i)(\s)STORAGE\s*\([^)]+\)""", "$1")
+    for (p <- Seq("PCTFREE", "PCTUSED", "INITRANS", "MAXTRANS"))
+      out = out.replaceAll(s"""(?i)(\\s)$p\\s+\\d+""", "$1")
+    for (p <- Seq("NOCOMPRESS", "COMPRESS", "NOLOGGING", "LOGGING"))
+      out = out.replaceAll(s"""(?i)(\\s)$p(?=\\s|$$|\\))""", "$1")
+    out.replaceAll("""(?m)[ \t]+$""", "").replaceAll("""\n{3,}""", "\n\n")
+  }
+
   /** Columns present in source but missing in target → ALTER statements
     * (schema evolution; the incremental analogue of cloning).
     */

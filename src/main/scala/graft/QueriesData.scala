@@ -196,7 +196,7 @@ object QueriesData {
   def mmBinaryMeta(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents")
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
-    Binary.extractMeta(s, d, "doc_id", "payload").orderBy(col("id"))
+    Binary.extractMeta(d, "doc_id", "payload").orderBy(col("id"))
   }
 
   def mmFrameSample(s: SparkSession, dir: String): DataFrame = {

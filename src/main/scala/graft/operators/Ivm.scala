@@ -4,8 +4,11 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
-/** Incremental view maintenance for distributive aggregates (SUM/COUNT)
-  * over a soft-delete replica.
+/** Incremental view maintenance for self-maintainable aggregates over a
+  * soft-delete replica: SUM/COUNT are maintained directly, AVG is derived
+  * from them ([[Ivm.withAvg]]). MIN/MAX are deliberately NOT offered: they
+  * are not self-maintainable from deltas alone ([[Ivm.maintainMinMax]]
+  * documents the contract and throws).
   *
   * A materialized `GROUP BY` view over a 100 TB fact table must not be
   * recomputed because a 10⁵-row delta arrived. Both aggregates are
@@ -59,4 +62,31 @@ object Ivm {
         (coalesce(col("n_rows"), lit(0L)) + coalesce(col("d_n"), lit(0L))).as("n_rows"))
       .filter(col("n_rows") > 0) // groups whose last row left drop from the view
   }
+
+  /** AVG over the maintained view — derived, never separately maintained:
+    * avg = sum_val / n_rows holds exactly on every state the maintainer
+    * can produce, so maintaining a third aggregate would only add a place
+    * to drift. Emitted at DECIMAL(18,6) (exact decimal division, then one
+    * well-defined HALF_UP rounding) so maintained-then-derive equals
+    * recompute-then-derive bit-for-bit.
+    */
+  def withAvg(state: DataFrame): DataFrame =
+    state.withColumn("avg_val",
+      (col("sum_val") / col("n_rows")).cast(DecimalType(18, 6)))
+
+  /** MIN/MAX maintenance is rejected by contract. Deleting (or updating
+    * away) the current extremum of a group requires the NEXT-best value,
+    * which (group, min) state does not hold — an incremental "maintainer"
+    * would either silently keep a stale extremum or rescan the group,
+    * which is a recompute wearing a maintenance API. Callers that need
+    * maintained extrema keep auxiliary per-group state sized for their
+    * deletion depth (e.g. a bounded top-k buffer — [[graft.plans.GroupedTopK]])
+    * or mark the affected groups for recompute.
+    */
+  def maintainMinMax(aggregate: String): Nothing =
+    throw new UnsupportedOperationException(
+      s"IVM for $aggregate: MIN/MAX are not self-maintainable from deltas " +
+        "(retracting the extremum needs the next-best value, absent from view " +
+        "state). Keep bounded per-group top-k auxiliary state or recompute " +
+        "affected groups.")
 }

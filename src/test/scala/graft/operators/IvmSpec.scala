@@ -37,6 +37,33 @@ class IvmSpec extends AnyFunSuite {
     }
   }
 
+  test("derived AVG on maintained state equals AVG on recompute, 20 random scenarios") {
+    val rnd = new scala.util.Random(112)
+    (1 to 20).foreach { trial =>
+      def rows(n: Int, del: Boolean) = Seq.fill(n)((
+        rnd.nextLong(30),
+        s"g${rnd.nextInt(4)}",
+        math.round(rnd.nextDouble() * 10000) / 100.0,
+        if (del && rnd.nextInt(4) == 0) "Y" else "N"))
+        .groupBy(_._1).map(_._2.head).toSeq
+      val target = rows(5 + rnd.nextInt(15), del = false).toDF("id", "g", "v", "is_deleted")
+      val staged = rows(rnd.nextInt(10), del = true).toDF("id", "g", "v", "is_deleted")
+      def snap(df: org.apache.spark.sql.DataFrame) = Ivm.withAvg(df)
+        .select(col("g"), col("avg_val").cast("string"))
+        .as[(String, String)].collect().sortBy(_._1).toSeq
+      val maintained = snap(Ivm.maintainSumCount(
+        Ivm.sumCountView(target, "g", "v"), target, staged, Seq("id"), "g", "v"))
+      val recomputed = snap(Ivm.sumCountView(
+        Cdc.mergeSoftDelete(target, staged, Seq("id")), "g", "v"))
+      assert(maintained == recomputed, s"trial $trial")
+    }
+  }
+
+  test("MIN/MAX maintenance is rejected with the documented contract") {
+    val e = intercept[UnsupportedOperationException](Ivm.maintainMinMax("MIN"))
+    assert(e.getMessage.contains("not self-maintainable"))
+  }
+
   test("retraction handles a target row that was already soft-deleted") {
     // a staged update to an already-deleted row must not retract anything
     val target = Seq((1L, "g", 10.0, "Y"), (2L, "g", 5.0, "N")).toDF("id", "g", "v", "is_deleted")

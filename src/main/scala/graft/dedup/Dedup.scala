@@ -226,23 +226,30 @@ object Dedup {
     * points straight at its component minimum.
     */
   def connectedComponentsStar(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+    // Round fusion: each star is ONE window-aggregate pass — min over the
+    // u-partition travels to every row of the partition directly, instead
+    // of a groupBy followed by a join back (which shuffles the edge set a
+    // second time). Neither star dedups its output; one distinct at the
+    // end of the round bounds the working set. A round is 3 exchanges
+    // (large-star window, small-star window, distinct) vs 6 for the
+    // groupBy+join formulation.
+    import org.apache.spark.sql.expressions.Window
     def largeStar(ed: DataFrame): DataFrame = {
       val sym = ed.unionByName(ed.select(col("v").as("u"), col("u").as("v")))
-      val mins = sym.groupBy("u").agg(min("v").as("minv"))
-        .select(col("u").as("lu"), least(col("minv"), col("u")).as("m"))
-      sym.join(mins, col("u") === col("lu"))
+      sym.withColumn("m",
+          least(min(col("v")).over(Window.partitionBy(col("u"))), col("u")))
         .filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
         .filter(col("u") =!= col("v"))
-        .distinct()
     }
     def smallStar(ed: DataFrame): DataFrame = {
-      val mins = ed.groupBy("u").agg(min("v").as("m"))
-      val viaNbr = ed.join(mins, "u")
-        .filter(col("v") =!= col("m"))
-        .select(greatest(col("v"), col("m")).as("u"), least(col("v"), col("m")).as("v"))
-      val self = mins.select(col("u"), col("m").as("v")) // u > m by invariant
-      viaNbr.unionByName(self).distinct()
+      // input invariant u > v, so m = min Γ(u) < u. Rows carrying the min
+      // (v = m) become the self edge (u, m); the rest rewire (v, m) pairs.
+      val withM = ed.withColumn("m", min(col("v")).over(Window.partitionBy(col("u"))))
+      withM.select(
+        when(col("v") === col("m"), col("u"))
+          .otherwise(greatest(col("v"), col("m"))).as("u"),
+        least(col("v"), col("m")).as("v"))
     }
     // edge-set signature for the fixed-point check: one cheap agg pass
     // (bit_xor is order-free and cannot overflow, unlike an ANSI sum)
@@ -260,7 +267,7 @@ object Dedup {
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      e = smallStar(largeStar(e)).localCheckpoint(true)
+      e = smallStar(largeStar(e)).distinct().localCheckpoint(true)
       val cur = sig(e)
       converged = cur == prev
       prev = cur

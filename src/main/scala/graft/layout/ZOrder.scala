@@ -80,6 +80,48 @@ object ZOrder {
       .agg(aggs.head, aggs.tail: _*)
   }
 
+  /** The k bloom bit positions of a value: pmod(xxhash64(v, seed_i), bits)
+    * — pure builtin hashing, so index build and probe are bit-identical
+    * by construction.
+    */
+  def bloomPositions(v: Column, bits: Int, hashes: Int): Column =
+    array((0 until hashes).map(i =>
+      pmod(xxhash64(v, lit(i)), lit(bits)).cast("int")): _*)
+
+  /** Per-file SECONDARY bloom index over a non-clustered column. Min/max
+    * boxes prune range predicates on the CLUSTERED dimensions; an equality
+    * probe on any other column hits every file's [min,max] and prunes
+    * nothing. A per-file bloom (sparse form: the sorted set of set bit
+    * positions, ≤ `bits` ints per file) answers "might this file contain
+    * v?" instead. One scan, one groupBy(file) — at lakehouse scale this
+    * column lives in the manifest next to the min/max stats.
+    */
+  def fileBloomIndex(spark: SparkSession, path: String, column: String,
+                     bits: Int = 4096, hashes: Int = 3): DataFrame =
+    spark.read.parquet(path)
+      .select(input_file_name().as("file"),
+        explode(bloomPositions(col(column), bits, hashes)).as("pos"))
+      .groupBy(col("file"))
+      .agg(sort_array(collect_set(col("pos"))).as("bloom_bits"))
+
+  /** Equality-probe scan through the bloom index: read only files whose
+    * bloom MIGHT contain the value (no false negatives — every true hit
+    * is read), residual-filter exactly. Returns (selected, total, df).
+    */
+  def bloomPrunedScan(spark: SparkSession, path: String, index: DataFrame,
+                      column: String, value: Any,
+                      bits: Int = 4096, hashes: Int = 3): (Long, Long, DataFrame) = {
+    val probe = bloomPositions(lit(value), bits, hashes)
+    val total = index.count()
+    val files = index
+      .filter(forall(probe, p => array_contains(col("bloom_bits"), p)))
+      .select("file").collect().map(_.getString(0))
+    val df =
+      if (files.isEmpty) spark.read.parquet(path).filter(lit(false))
+      else spark.read.parquet(files: _*).filter(col(column) === lit(value))
+    (files.length.toLong, total, df)
+  }
+
   /** Scan only the files whose [min,max] box intersects the predicate
     * box, then apply the exact predicate as a residual. Returns
     * (selectedFiles, totalFiles, dataframe).

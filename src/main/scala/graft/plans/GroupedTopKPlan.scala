@@ -93,9 +93,12 @@ private[plans] final class TopKBuffer(k: Int) {
 private[plans] object TopKBuffer {
   /** Shared scan loop: fill a per-key map of bounded buffers. Rows are
     * normalized to UnsafeRow (copies must survive the shuffle writer).
+    * Score and tie are evaluated through a GENERATED projection (one
+    * compiled (double, long) emit per row) rather than interpreted
+    * Expression.eval — the per-row hot path of both stages.
     */
   def collect(iter: Iterator[InternalRow], keyProj: UnsafeProjection,
-              scoreB: Expression, tieB: Expression, toUnsafe: UnsafeProjection,
+              scoreTieProj: UnsafeProjection, toUnsafe: UnsafeProjection,
               k: Int): java.util.LinkedHashMap[UnsafeRow, TopKBuffer] = {
     val map = new java.util.LinkedHashMap[UnsafeRow, TopKBuffer]()
     while (iter.hasNext) {
@@ -109,16 +112,15 @@ private[plans] object TopKBuffer {
         buf = new TopKBuffer(k)
         map.put(key.copy(), buf)
       }
-      val s = scoreB.eval(row)
-      val t = tieB.eval(row)
+      val st = scoreTieProj(row)
       // Parity with the window row_number form is claimed only for
       // non-null orderings; silently dropping a NULL (or uncastable)
       // score/tie would diverge from it invisibly, so fail loudly.
-      if (s == null || t == null)
+      if (st.isNullAt(0) || st.isNullAt(1))
         throw new IllegalArgumentException(
           "GroupedTopK: score and tie must be non-null and castable " +
-            "(double/long); got score=" + s + " tie=" + t)
-      buf.insert(s.asInstanceOf[Double], t.asInstanceOf[Long], row)
+            "(double/long); got a NULL at " + row)
+      buf.insert(st.getDouble(0), st.getLong(1), row)
     }
     map
   }
@@ -138,10 +140,10 @@ case class TopKPruneExec(child: SparkPlan, keys: Seq[Expression],
     child.execute().mapPartitions({ iter =>
       val keyProj = UnsafeProjection.create(keys.map(
         BindReferences.bindReference(_, childOut)))
-      val scoreB = BindReferences.bindReference(score, childOut)
-      val tieB = BindReferences.bindReference(tie, childOut)
+      val scoreTieProj = UnsafeProjection.create(
+        Seq(score, tie).map(BindReferences.bindReference(_, childOut)))
       val toUnsafe = UnsafeProjection.create(childOut.map(_.dataType).toArray)
-      val map = TopKBuffer.collect(iter, keyProj, scoreB, tieB, toUnsafe, k)
+      val map = TopKBuffer.collect(iter, keyProj, scoreTieProj, toUnsafe, k)
       val groups = map.values().iterator()
       new Iterator[InternalRow] {
         private var buf: TopKBuffer = _
@@ -180,10 +182,10 @@ case class TopKFinalExec(child: SparkPlan, keys: Seq[Expression],
     child.execute().mapPartitions({ iter =>
       val keyProj = UnsafeProjection.create(keys.map(
         BindReferences.bindReference(_, childOut)))
-      val scoreB = BindReferences.bindReference(score, childOut)
-      val tieB = BindReferences.bindReference(tie, childOut)
+      val scoreTieProj = UnsafeProjection.create(
+        Seq(score, tie).map(BindReferences.bindReference(_, childOut)))
       val toUnsafe = UnsafeProjection.create(childOut.map(_.dataType).toArray)
-      val map = TopKBuffer.collect(iter, keyProj, scoreB, tieB, toUnsafe, k)
+      val map = TopKBuffer.collect(iter, keyProj, scoreTieProj, toUnsafe, k)
       val proj = UnsafeProjection.create(outSchema.map(_.dataType).toArray)
       val joined = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
         outSchema.length)

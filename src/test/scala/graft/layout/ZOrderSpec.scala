@@ -95,6 +95,29 @@ class ZOrderSpec extends AnyFunSuite {
     assert(df.select("payload").as[Long].collect().toSeq == Seq(294L))
   }
 
+  test("per-file bloom index prunes equality probes on a non-clustered column") {
+    val n = 65536
+    // balanced 8-bit dims; tag is a band of 8 consecutive y values. The
+    // z-layout keeps each file inside a bounded (x, y) rectangle, so any
+    // one tag touches few files — but min/max stats on (x, y) know
+    // nothing about tag, so only the bloom can skip
+    val rows = spark.range(n).selectExpr(
+      "id % 256 AS x", "id div 256 AS y",
+      "concat('t', (id div 256) div 8) AS tag")
+    val dir = java.nio.file.Files.createTempDirectory("graft_zbloom").toString
+    ZOrder.writeClustered(rows, dir, ZOrder.zvalue(col("x"), col("y"), 8), 32)
+    val idx = ZOrder.fileBloomIndex(spark, dir, "tag").cache()
+    val (sel, tot, df) = ZOrder.bloomPrunedScan(spark, dir, idx, "tag", "t3")
+    assert(tot == 32, s"expected 32 files, got $tot")
+    assert(sel < tot / 2, s"bloom probe should skip most files, read $sel of $tot")
+    // no false negatives: pruned scan == full-scan filter, exactly
+    val expect = spark.read.parquet(dir).filter(col("tag") === "t3").count()
+    assert(df.count() == expect && expect == 8L * 256)
+    // absent value: a bloom may false-positive a few files, never miss
+    val (selNone, _, dfNone) = ZOrder.bloomPrunedScan(spark, dir, idx, "tag", "absent")
+    assert(dfNone.count() == 0 && selNone <= 4, s"absent value read $selNone files")
+  }
+
   test("zvalue/zvalueN: interpreted eval matches codegen (wholeStage off vs on)") {
     val rnd = new scala.util.Random(33)
     val rows = Seq.fill(200)((rnd.nextLong(4096), rnd.nextLong(4096), rnd.nextLong(4096)))

@@ -65,8 +65,11 @@ object Jdbc {
   }
 
   /** User tables of the connection's default schema — `list_tables`
-    * (utils/database.py:17-30); staging tables are excluded like the
-    * reference excludes temporary ones.
+    * (utils/database.py:17-30). Excluded like the reference: staging
+    * tables, Oracle recycle-bin entries (`BIN$...` — dropped tables that
+    * still appear in metadata), and temporary tables where the driver
+    * reports the distinction (Derby/most RDBMS surface them under a
+    * separate JDBC table type, so requesting only "TABLE" covers it).
     */
   def listTables(c: Conn, schema: String = null): Seq[String] =
     withConnection(c) { conn =>
@@ -74,7 +77,10 @@ object Jdbc {
       val out = scala.collection.mutable.ListBuffer[String]()
       while (rs.next()) out += rs.getString("TABLE_NAME")
       rs.close()
-      out.toSeq.filterNot(_.toUpperCase.startsWith("STG_")).sorted
+      out.toSeq
+        .filterNot(_.toUpperCase.startsWith("STG_"))
+        .filterNot(_.startsWith("BIN$"))
+        .sorted
     }
 
   /** Primary-key columns in key order — `get_pk_columns`

@@ -135,4 +135,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(rep.results.find(_.table == "ord").get.error.get.contains("boom"))
     assert(wm.contains("cust") && !wm.contains("ord"))
   }
+
+  test("writeRunReport persists a timestamped JSONL artifact per run") {
+    val dir = Files.createTempDirectory("graft_runlog").toString
+    val rep = Pipeline.RunReport(Seq(
+      Pipeline.TableResult("cust", "processed", 5,
+        Some(java.sql.Timestamp.valueOf("2024-01-02 00:00:00"))),
+      Pipeline.TableResult("ord", "failed", 0, None,
+        error = Some("boom: \"quoted\"\nline2"))))
+    val at = java.time.Instant.parse("2024-01-02T03:04:05Z")
+    val f = Pipeline.writeRunReport(rep, dir, at)
+    assert(f.getName == "cdc_run_20240102_030405.jsonl")
+    val lines = {
+      val s = scala.io.Source.fromFile(f); try s.getLines().toVector finally s.close()
+    }
+    assert(lines.size == 3)
+    assert(lines(0).contains("\"table\":\"cust\"") && lines(0).contains("\"rows\":5"))
+    assert(lines(1).contains("\\\"quoted\\\"") && lines(1).contains("\\n"))
+    assert(lines(2).contains("\"processed\":1") && lines(2).contains("\"failed\":1"))
+    // a second run at a different instant lands beside, never clobbers
+    val f2 = Pipeline.writeRunReport(rep, dir, at.plusSeconds(61))
+    assert(f2.exists() && f.exists() && f2.getName != f.getName)
+  }
 }

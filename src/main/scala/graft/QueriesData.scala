@@ -228,6 +228,23 @@ object QueriesData {
       .orderBy(col("fp"))
   }
 
+  /** X11: streaming near-dup — kept documents after band-claim filtering
+    * (a doc survives iff no band of its minhash signature is owned by an
+    * earlier doc; the same band parameterization as D2's gate). Output is
+    * the deterministic kept id set; docs too short to shingle own no
+    * bands and are trivially kept.
+    */
+  def streamNearDup(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val claims = Streams.streamingNearDupClaims(s, d.select(col("doc_id"), col("text")),
+      "doc_id", "text", shingleWords = 3, k = 12, bands = 4,
+      queryName = s"graft_sneardup_${System.nanoTime()}")
+    val blocked = claims.filter(col("owner") =!= col("doc_id"))
+      .select(col("doc_id")).distinct()
+    d.select(col("doc_id")).join(blocked, Seq("doc_id"), "left_anti")
+      .orderBy(col("doc_id"))
+  }
+
   def streamSessionize(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "events").select(col("user_id"), col("event_id"),
       unix_timestamp(col("ts").cast("timestamp")).as("ts_sec"))
@@ -687,6 +704,19 @@ object QueriesData {
         |ORDER BY purchase_id, click_id""".stripMargin,
     "stream_dedup_exact" ->
       s"""SELECT DISTINCT $canon AS fp FROM documents ORDER BY fp""",
+    // X11: kept = docs with no band owned by an earlier (smaller-id) doc;
+    // tombstone semantics make the streaming result order-free for an
+    // id-ordered replay, so the batch rule below reproduces it exactly
+    "stream_near_dup" ->
+      s"""WITH $minhashCtes,
+         |owners AS (SELECT band, MIN(doc_id) AS owner FROM bands GROUP BY band),
+         |blocked AS (
+         |  SELECT DISTINCT b.doc_id FROM bands b
+         |  JOIN owners o ON o.band = b.band AND o.owner <> b.doc_id
+         |)
+         |SELECT doc_id FROM documents
+         |WHERE doc_id NOT IN (SELECT doc_id FROM blocked)
+         |ORDER BY doc_id""".stripMargin,
     "stream_sessionize" ->
       """WITH e AS (
         |  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec FROM events

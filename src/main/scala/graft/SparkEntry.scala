@@ -101,6 +101,7 @@ object SparkEntry {
     "stream_cdc_apply" -> (QueriesData.streamCdcApply _),
     "stream_sessionize" -> (QueriesData.streamSessionize _),
     "stream_dedup_exact" -> (QueriesData.streamDedupExact _),
+    "stream_near_dup" -> (QueriesData.streamNearDup _),
     "stream_interval_join" -> (QueriesData.streamIntervalJoin _),
     "stream_static_join" -> (QueriesData.streamStaticJoin _),
     "stream_tdigest_rank" -> (QueriesR3.streamTdigestRank _),

@@ -9,6 +9,9 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 /** Event row for stateful sessionization (X3). */
 case class SessionEvent(user_id: Long, event_id: Long, ts_sec: Long)
 
+/** (band key, document) row for streaming near-dup claims (X11). */
+case class BandClaim(band: String, doc_id: Long)
+
 /** Per-key session counter state carried across micro-batches. */
 case class SessionState(nextSeq: Long, lastTs: Long)
 
@@ -120,6 +123,51 @@ object Streams {
       val stream = iso.readStream.schema(docs.schema).parquet(path)
       val deduped = stream.dropDuplicates(Seq(fingerprintCol))
       val q = deduped.writeStream.outputMode("append")
+        .format("memory").queryName(queryName).start()
+      try { q.processAllAvailable() } finally { q.stop() }
+      iso.table(queryName)
+    }
+  }
+
+  /** X11: streaming NEAR-dup band claims — the streaming twin of the
+    * minhash/LSH pipeline (D2), beside X4's exact dedup. Band keys are
+    * computed inside the stream (the same narrow codegen'd
+    * shingle→minhash→band projection as batch); state per BAND key is its
+    * first claimant, O(1) per band no matter how many rows stream
+    * through. A document is a near-dup candidate iff any of its bands is
+    * owned by an earlier document; dropped documents still block their
+    * bands (tombstone semantics), so chains A~B~C collapse onto A and,
+    * for an id-ordered replay, the kept set is exactly the batch rule
+    * "doc owns all its bands" — order-free and SQL-expressible, which is
+    * what the gate checks. Returns the claims table (band, doc_id,
+    * owner); keep = docs with no band owned by someone else.
+    */
+  def streamingNearDupClaims(spark: SparkSession, docs: DataFrame, idCol: String,
+                             textCol: String, shingleWords: Int, k: Int, bands: Int,
+                             queryName: String,
+                             rocksDb: Boolean = UseRocksDb): DataFrame = {
+    import graft.dedup.Dedup
+    import spark.implicits._
+    // one file → in-order single-batch replay: "first claimant" is then
+    // deterministic (= min doc_id), which the batch oracle reproduces
+    val path = stageToTemp(docs.coalesce(1).sortWithinPartitions(col(idCol)), "sneardup")
+    val claim = (band: String, rows: Iterator[BandClaim], state: GroupState[Long]) => {
+      val ids = rows.map(_.doc_id).toSeq.sorted
+      val owner = state.getOption.getOrElse(ids.head)
+      state.update(owner)
+      ids.iterator.map(id => (band, id, owner))
+    }
+    withStateSession(spark, 8, rocksDb) { iso =>
+      val stream = iso.readStream.schema(docs.schema).parquet(path)
+      val banded = stream.select(col(idCol).cast("long").as("doc_id"),
+          explode(Dedup.lshBandKeys(
+            Dedup.minhashSignature(col(textCol), shingleWords, k),
+            bands, k / bands)).as("band"))
+        .select(col("band"), col("doc_id")).as[BandClaim]
+      val claims = banded.groupByKey(_.band)
+        .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(claim)
+        .toDF("band", "doc_id", "owner")
+      val q = claims.writeStream.outputMode("append")
         .format("memory").queryName(queryName).start()
       try { q.processAllAvailable() } finally { q.stop() }
       iso.table(queryName)

@@ -73,6 +73,34 @@ class StreamsSpec extends AnyFunSuite {
     assert(hdfs.nonEmpty && hdfs == rocks)
   }
 
+  test("streaming near-dup claims match the batch owns-all-bands rule, both state backends") {
+    val docs = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text"))
+    // batch rule: a doc is kept iff no band of its signature has a
+    // smaller-id owner (tombstone semantics)
+    val bands = docs.select(col("doc_id"),
+      explode(graft.dedup.Dedup.lshBandKeys(
+        graft.dedup.Dedup.minhashSignature(col("text"), 3, 12), 4, 3)).as("band"))
+    val owners = bands.groupBy("band").agg(min("doc_id").as("owner"))
+    val blockedB = bands.join(owners, "band").filter(col("owner") =!= col("doc_id"))
+      .select("doc_id").distinct()
+    val expect = docs.select("doc_id").join(blockedB, Seq("doc_id"), "left_anti")
+      .as[Long].collect().toSet
+    def run(rocks: Boolean): Set[Long] = {
+      val claims = Streams.streamingNearDupClaims(spark, docs, "doc_id", "text",
+        shingleWords = 3, k = 12, bands = 4,
+        queryName = s"spec_sneardup_${rocks}_${System.nanoTime()}", rocksDb = rocks)
+      val blocked = claims.filter(col("owner") =!= col("doc_id"))
+        .select("doc_id").distinct()
+      docs.select("doc_id").join(blocked, Seq("doc_id"), "left_anti")
+        .as[Long].collect().toSet
+    }
+    val hdfs = run(rocks = false)
+    assert(hdfs == expect, s"missing=${(expect -- hdfs).size} extra=${(hdfs -- expect).size}")
+    assert(hdfs.size < 500, "fixture contains near-dups; some docs must drop")
+    assert(run(rocks = true) == expect)
+  }
+
   test("streaming t-digest state tracks per-key quantiles within rank bounds") {
     val rnd = new scala.util.Random(52)
     val rows = (for (k <- Seq("a", "b"); _ <- 0 until 6000)

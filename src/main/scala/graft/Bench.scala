@@ -14,7 +14,7 @@ object Bench {
     "q1_pricing_summary", "q_revenue_by_nation", "q_window_topk",
     "q_skew_agg", "q_sessionize", "q_event_buckets", "q_asof_join",
     "cdc_delta_extract", "cdc_merge", "cdc_latest_per_key",
-    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
+    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_embed_lsh",
     "ann_bruteforce_topk", "text_quality", "mm_frame_sample",
     "sketch_kmv_distinct", "zorder_cluster", "q_top_k_native",
     "corpus_clean")

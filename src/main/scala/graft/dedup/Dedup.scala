@@ -147,8 +147,15 @@ object Dedup {
     // sides) so materialize the narrow projection
     val base = corpus.select(col(idCol).as("__id"), col("embedding"),
       norm(col("embedding")).as("__nrm")).localCheckpoint(true)
+    // posexplode the band-values array (ONE native-loop call site), then
+    // derive the "band:value" key from (pos, value): the key-array form
+    // would inline `bands` copies of the projection loop into the fused
+    // collision-join stage, blowing the JIT huge-method threshold and
+    // running the whole stage interpreted (196s -> ~6s at sf0.1)
     val banded = base.select(col("__id"),
-      explode(Ann.hyperplaneBandKeys(col("embedding"), dim, bands, bitsPerBand)).as("band"))
+        posexplode(Ann.hyperplaneBandValues(col("embedding"), dim, bands, bitsPerBand)))
+      .select(col("__id"),
+        concat(col("pos").cast("string"), lit(":"), col("col").cast("string")).as("band"))
     val cand = banded.select(col("band"), col("__id").as("id_a"))
       .join(banded.select(col("band").as("band_b"), col("__id").as("id_b")),
         col("band") === col("band_b") && col("id_a") < col("id_b"))

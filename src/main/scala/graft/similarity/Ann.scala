@@ -92,17 +92,29 @@ object Ann {
     * arrays shorter than `dim` project over their prefix.
     */
   def hyperplaneBandKeys(emb: Column, dim: Int, bands: Int, bitsPerBand: Int): Column = {
+    val bandVals = hyperplaneBandValues(emb, dim, bands, bitsPerBand)
+    array((0 until bands).map { b =>
+      concat(lit(s"$b:"), element_at(bandVals, b + 1).cast("string"))
+    }: _*)
+  }
+
+  /** The raw band VALUES array (one int of `bitsPerBand` sign bits per
+    * band) behind [[hyperplaneBandKeys]]. For LARGE band counts, explode
+    * THIS and derive the key string from (pos, value) — the key-array
+    * form expands into `bands` copies of the projection expression, and a
+    * fused stage containing 64 inlined native loops exceeds the JIT's
+    * huge-method threshold and drops the whole stage to interpreted
+    * bytecode (measured 30× on the banded near-dup join).
+    */
+  def hyperplaneBandValues(emb: Column, dim: Int, bands: Int, bitsPerBand: Int): Column = {
     val planes = Array.tabulate(bands * bitsPerBand * dim) { flat =>
       val b = flat / (bitsPerBand * dim)
       val i = flat / dim % bitsPerBand
       val j = flat % dim
       hyperplaneComponent(b, i, j)
     }
-    val bandVals = graft.functions.NativeExpressions
+    graft.functions.NativeExpressions
       .hyperplane_band_bits(emb, planes, bands, bitsPerBand, dim)
-    array((0 until bands).map { b =>
-      concat(lit(s"$b:"), element_at(bandVals, b + 1).cast("string"))
-    }: _*)
   }
 
   /** ANN via hyperplane LSH: candidates collide in ≥1 band, then exact

@@ -171,7 +171,11 @@ object Ann {
   }
 
   /** Assign each corpus row to its nearest centroid (by cosine).
-    * Centroids are broadcast; assignment is narrow.
+    * Centroids are broadcast; assignment is narrow — which makes the IVF
+    * index INCREMENTAL for free: with centroids frozen, assigning only a
+    * delta and unioning with the stored assignment table is row-identical
+    * to re-assigning the whole corpus (AnnSpec pins this), so daily
+    * ingests never re-touch the indexed corpus.
     * @param centroids (centroid_id, embedding)
     */
   def ivfAssign(corpus: DataFrame, centroids: DataFrame): DataFrame = {

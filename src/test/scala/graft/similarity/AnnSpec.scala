@@ -38,4 +38,21 @@ class AnnSpec extends AnyFunSuite {
     assert(top.length == 5)
     assert(top.forall(_._2 % 2 == 0)) // probed only the x-axis cell
   }
+
+  test("IVF assignment is incremental: assign(delta) ∪ stored = assign(whole)") {
+    val e = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(col("vec_id").as("cand_id"), col("embedding"))
+    val centroids = e.filter(col("cand_id") % 50 === 0)
+      .select(col("cand_id").as("centroid_id"), col("embedding"))
+    val day1 = e.filter(col("cand_id") < 300)
+    val day2 = e.filter(col("cand_id") >= 300)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("cand_id"), col("centroid_id"))
+        .as[(Long, Long)].collect().toSet
+    // frozen centroids: the index ingests day2 without re-touching day1
+    val incremental = rows(Ann.ivfAssign(day1, centroids)) ++
+      rows(Ann.ivfAssign(day2, centroids))
+    val whole = rows(Ann.ivfAssign(e, centroids))
+    assert(incremental == whole && whole.size == 500)
+  }
 }

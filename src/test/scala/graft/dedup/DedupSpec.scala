@@ -100,6 +100,42 @@ class DedupSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("embedNearDupLsh at a production threshold: aggressive bits, tiny candidate set, recall 1.0") {
+    // the regime the operator is built for — near-IDENTICAL vectors
+    // (cosine ≥ 0.9), where 2 bands × 12 bits shrink candidates ~1000×
+    // below all-pairs. The gate fixture's 0.4 threshold is the adversarial
+    // case and deliberately pays ~4× all-pairs volume for completeness.
+    val rnd = new scala.util.Random(77)
+    val n = 2000
+    val base = Array.fill(40, 64)(rnd.nextGaussian().toFloat)
+    val rows = (0 until n).map { i =>
+      val c = base(rnd.nextInt(40))
+      // 1% near-dups: tiny perturbation of a cluster center; the rest
+      // get strong independent noise (cosine far below 0.9)
+      val eps = if (i % 100 == 0) 0.01f else 0.9f
+      (i.toLong, c.map(x => x + eps * rnd.nextGaussian().toFloat).toSeq)
+    }
+    val df = spark.createDataFrame(rows).toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>"))
+    val exact = graft.similarity.Ann.allPairsCosineAbove(df, "vec_id", 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.embedNearDupLsh(df, "vec_id", dim = 64, threshold = 0.9,
+      bands = 2, bitsPerBand = 12)
+    val got = lsh.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty && got == exact,
+      s"exact=${exact.size} missing=${(exact -- got).size} extra=${(got -- exact).size}")
+    // pruning is real: candidate volume (pre-verify) ≪ all-pairs
+    val banded = df.select(col("vec_id"),
+      posexplode(graft.similarity.Ann.hyperplaneBandValues(col("embedding"), 64, 2, 12)))
+      .select(col("vec_id"), concat(col("pos"), lit(":"), col("col")).as("band"))
+    val collisions = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.vec_id") < col("b.vec_id"))
+      .count()
+    val allPairs = n.toLong * (n - 1) / 2
+    assert(collisions < allPairs / 100,
+      s"expected ≥100x pruning: $collisions collisions vs $allPairs pairs")
+  }
+
   test("jaccard on shingle arrays") {
     val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
     val j = df.select(Dedup.jaccard(col("x"), col("y"))).as[Double].head()

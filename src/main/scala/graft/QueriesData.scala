@@ -127,6 +127,21 @@ object QueriesData {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** D9: benchmark decontamination — training docs (doc_id % 97 != 0)
+    * sharing any 24-char gram with the stand-in eval set (doc_id % 97 = 0),
+    * with the shared-gram count. The eval side broadcasts; the corpus
+    * side never shuffles.
+    */
+  def dedupDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val evalSet = d.filter(col("doc_id") % 97 === 0)
+    val train = d.filter(col("doc_id") % 97 =!= 0)
+    graft.dedup.Dedup.benchmarkContamination(
+        train, evalSet, col("doc_id"), col("text"), n = 24)
+      .select(col("doc_id"), col("n_shared_grams").cast("long").as("n_shared_grams"))
+      .orderBy(col("doc_id"))
+  }
+
   /** D5 scale path: identical output to [[dedupEmbedCosine]] (the banding
     * is recall-complete for these fixtures — empirically zero misses and
     * zero extras at both gate SFs), via LSH-bucketed candidate generation
@@ -513,6 +528,19 @@ object QueriesData {
         |JOIN norms na ON na.vec_id = d.id_a JOIN norms nb ON nb.vec_id = d.id_b
         |WHERE d.dot / (na.nrm * nb.nrm) > 0.4
         |ORDER BY id_a, id_b""".stripMargin,
+    "dedup_decontaminate" ->
+      """WITH ev AS (
+        |  SELECT DISTINCT substr(text, i, 24) AS g
+        |  FROM (SELECT text, unnest(generate_series(1, length(text) - 23)) AS i
+        |        FROM documents WHERE doc_id % 97 = 0) t
+        |), tr AS (
+        |  SELECT DISTINCT doc_id, substr(text, i, 24) AS g
+        |  FROM (SELECT doc_id, text, unnest(generate_series(1, length(text) - 23)) AS i
+        |        FROM documents WHERE doc_id % 97 <> 0) t
+        |)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_grams
+        |FROM tr JOIN ev USING (g)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // same oracle as dedup_embed_cosine: the LSH path must reproduce the
     // exact all-pairs result (recall-complete banding for these fixtures)
     "dedup_embed_lsh" ->

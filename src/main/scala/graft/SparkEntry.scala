@@ -84,6 +84,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> (QueriesData.dedupNgramJaccard _),
     "dedup_embed_cosine" -> (QueriesData.dedupEmbedCosine _),
     "dedup_embed_lsh" -> (QueriesData.dedupEmbedLsh _),
+    "dedup_decontaminate" -> (QueriesData.dedupDecontaminate _),
     "dedup_fuzzy_edit" -> (QueriesExt.dedupFuzzyEdit _),
     "dedup_cluster" -> (QueriesData.dedupCluster _),
     // §2.4 similarity

@@ -291,6 +291,31 @@ object Dedup {
         coalesce(col("lbl"), col("id")).as("cluster_id"))
   }
 
+  /** Benchmark DECONTAMINATION: training documents sharing at least one
+    * character n-gram with an evaluation/benchmark set — the standard
+    * pre-training hygiene pass (eval answers leaking into training data
+    * inflate benchmarks silently). Shape for 100 TB: the benchmark side
+    * is small by construction (an eval suite, not a corpus), so its
+    * distinct gram set BROADCASTS; the training side is one narrow
+    * explode + a broadcast semi-join per gram — the corpus never
+    * shuffles. Returns (doc_id, n_shared_grams) for contaminated docs
+    * only; drop them (or route to audit) downstream.
+    *
+    * @param n  gram length in characters; production uses 8-13-token
+    *           grams — the parameter, not the mechanics, changes
+    */
+  def benchmarkContamination(train: DataFrame, evalDocs: DataFrame,
+                             id: Column, text: Column, n: Int): DataFrame = {
+    val evalGrams = evalDocs
+      .select(explode(array_distinct(charShingles(text, n))).as("g"))
+      .distinct()
+    train
+      .select(id.as("doc_id"), explode(array_distinct(charShingles(text, n))).as("g"))
+      .join(broadcast(evalGrams), Seq("g"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared_grams"))
+  }
+
   /** Exact Jaccard similarity between two documents' distinct shingle sets
     * (used to verify LSH candidates; runs only on candidate pairs).
     */

@@ -410,6 +410,27 @@ object QueriesExt {
       .orderBy(col("doc_id"))
   }
 
+  /** T10: per-source frequency capping — keep at most `cap` documents per
+    * source, chosen by a deterministic md5 ordering (the standard
+    * downsampling of over-represented domains before training). Runs on
+    * the NATIVE grouped top-k operator: per-partition bounded buffers cap
+    * pre-shuffle volume at O(partitions·sources·cap) — a skewed source
+    * with 10⁹ docs never sorts or shuffles in full. The md5-prefix score
+    * uses 12 hex digits (48 bits): exact in both double and BIGINT, so
+    * the SQL oracle orders identically.
+    */
+  def textCapSources(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val hash48 = conv(substring(md5(col("doc_id").cast("string")), 1, 12), 16, 10)
+      .cast("long")
+    graft.plans.GroupedTopK.topK(
+        d.select(col("doc_id"), col("source"), hash48.as("h48")),
+        Seq("source"), score = -col("h48"), tie = col("doc_id"),
+        k = 10, rankName = "rnk")
+      .select(col("doc_id"), col("source"), col("rnk"))
+      .orderBy(col("doc_id"))
+  }
+
   /** T9: sequence packing — assign docs to fixed token-budget chunks, per
     * source, in doc order: a doc's chunk is its starting token offset
     * divided by the budget (contiguous fill; a doc that crosses a boundary
@@ -691,6 +712,17 @@ object QueriesExt {
         |WHERE substr(md5(doc_id || ':' || lang), 1, 2) <
         |  CASE WHEN lang = 'en' THEN '20' WHEN lang = 'de' THEN '40' ELSE '80' END
         |ORDER BY doc_id""".stripMargin,
+    // T10: rank within source by the 48-bit md5 prefix ascending (the
+    // Spark side scores by its negation in the top-k operator), doc_id
+    // tiebreak, keep 10
+    "text_cap_sources" ->
+      """SELECT doc_id, source, CAST(rnk AS BIGINT) AS rnk FROM (
+        |  SELECT doc_id, source, ROW_NUMBER() OVER (
+        |    PARTITION BY source
+        |    ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT),
+        |             doc_id) AS rnk
+        |  FROM documents) t
+        |WHERE rnk <= 10 ORDER BY doc_id""".stripMargin,
     "text_pack_sequences" ->
       """SELECT doc_id, source, n_tokens,
         |  CAST((cum - n_tokens) // 256 AS BIGINT) AS chunk_id

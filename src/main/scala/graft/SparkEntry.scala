@@ -73,6 +73,7 @@ object SparkEntry {
     "text_ngram_topk" -> (QueriesExt.textNgramTopk _),
     "text_tfidf" -> (QueriesExt.textTfidf _),
     "text_sample_stratified" -> (QueriesExt.textSampleStratified _),
+    "text_cap_sources" -> (QueriesExt.textCapSources _),
     "text_pack_sequences" -> (QueriesExt.textPackSequences _),
     "text_quality" -> (QueriesData.textQuality _),
     "text_langid" -> (QueriesData.textLangid _),

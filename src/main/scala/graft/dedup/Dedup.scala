@@ -98,6 +98,29 @@ object Dedup {
     sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
   }
 
+  /** Per-row (aggregation-free) banded minhash: (doc_id, band) rows.
+    * For STREAMING pipelines, where the groupBy-based
+    * [[minhashSignatureTable]] would be a second stateful operator in
+    * the same query. Three chained projections keep each non-cheap stage
+    * (gram hashing, signature, band keys) evaluated once per row —
+    * CollapseProject declines to merge projects that would duplicate a
+    * non-cheap expression, so the shingle pipeline is NOT re-inlined k
+    * times the way the naive [[minhashSignature]]-in-one-select form is.
+    */
+  def minhashBandRows(docs: DataFrame, id: Column, text: Column,
+                      shingleWords: Int, k: Int, bands: Int): DataFrame = {
+    val hashed = docs.select(id.as("doc_id"),
+      transform(array_distinct(wordShingles(text, shingleWords)),
+        g => graft.functions.NativeExpressions.md5_prefix24(g)).as("__hashes"))
+    val sig = array((0 until k).map { seed =>
+      val (a, b) = minhashCoeff(seed)
+      array_min(transform(col("__hashes"), h => (h * a + b) % MinhashP))
+    }: _*)
+    hashed.select(col("doc_id"), sig.as("__sig"))
+      .select(col("doc_id"),
+        explode(lshBandKeys(col("__sig"), bands, k / bands)).as("band"))
+  }
+
   /** Candidate pairs (idA < idB) that collide in at least one LSH band.
     * One narrow explode + one shuffle on the band key; bucket sizes are
     * ~uniform for md5 keys so no reducer hot-spots.

@@ -159,10 +159,12 @@ object Streams {
     }
     withStateSession(spark, 8, rocksDb) { iso =>
       val stream = iso.readStream.schema(docs.schema).parquet(path)
-      val banded = stream.select(col(idCol).cast("long").as("doc_id"),
-          explode(Dedup.lshBandKeys(
-            Dedup.minhashSignature(col(textCol), shingleWords, k),
-            bands, k / bands)).as("band"))
+      // aggregation-free staged band keys: the one-select signature form
+      // re-inlines the shingle pipeline k times (the 50x hazard noted on
+      // minhashSignatureTable), and a groupBy signature table would be a
+      // second stateful operator in this query
+      val banded = Dedup.minhashBandRows(stream,
+          col(idCol).cast("long"), col(textCol), shingleWords, k, bands)
         .select(col("band"), col("doc_id")).as[BandClaim]
       val claims = banded.groupByKey(_.band)
         .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(claim)

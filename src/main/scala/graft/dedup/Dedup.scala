@@ -108,17 +108,20 @@ object Dedup {
     * times the way the naive [[minhashSignature]]-in-one-select form is.
     */
   def minhashBandRows(docs: DataFrame, id: Column, text: Column,
-                      shingleWords: Int, k: Int, bands: Int): DataFrame = {
-    val hashed = docs.select(id.as("doc_id"),
+                      shingleWords: Int, k: Int, bands: Int,
+                      carry: Seq[Column] = Nil): DataFrame = {
+    val carried = carry.zipWithIndex.map { case (c, i) => c.as(s"__c$i") }
+    val carriedRefs = carry.indices.map(i => col(s"__c$i"))
+    val hashed = docs.select((Seq(id.as("doc_id")) ++ carried :+
       transform(array_distinct(wordShingles(text, shingleWords)),
-        g => graft.functions.NativeExpressions.md5_prefix24(g)).as("__hashes"))
+        g => graft.functions.NativeExpressions.md5_prefix24(g)).as("__hashes")): _*)
     val sig = array((0 until k).map { seed =>
       val (a, b) = minhashCoeff(seed)
       array_min(transform(col("__hashes"), h => (h * a + b) % MinhashP))
     }: _*)
-    hashed.select(col("doc_id"), sig.as("__sig"))
-      .select(col("doc_id"),
-        explode(lshBandKeys(col("__sig"), bands, k / bands)).as("band"))
+    hashed.select((Seq(col("doc_id")) ++ carriedRefs :+ sig.as("__sig")): _*)
+      .select((Seq(col("doc_id")) ++ carriedRefs :+
+        explode(lshBandKeys(col("__sig"), bands, k / bands)).as("band")): _*)
   }
 
   /** Candidate pairs (idA < idB) that collide in at least one LSH band.

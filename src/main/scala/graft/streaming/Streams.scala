@@ -12,6 +12,9 @@ case class SessionEvent(user_id: Long, event_id: Long, ts_sec: Long)
 /** (band key, document) row for streaming near-dup claims (X11). */
 case class BandClaim(band: String, doc_id: Long)
 
+/** Timestamped band-claim row for the TTL'd variant of X11. */
+case class BandClaimT(band: String, doc_id: Long, ts: java.sql.Timestamp)
+
 /** Per-key session counter state carried across micro-batches. */
 case class SessionState(nextSeq: Long, lastTs: Long)
 
@@ -168,6 +171,66 @@ object Streams {
         .select(col("band"), col("doc_id")).as[BandClaim]
       val claims = banded.groupByKey(_.band)
         .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(claim)
+        .toDF("band", "doc_id", "owner")
+      val q = claims.writeStream.outputMode("append")
+        .format("memory").queryName(queryName).start()
+      try { q.processAllAvailable() } finally { q.stop() }
+      iso.table(queryName)
+    }
+  }
+
+  /** X11 with BOUNDED state: band claims expire once the watermark passes
+    * their last sighting by `ttl` — the production posture for an
+    * unbounded corpus, where claim state must be sized by the DEDUP
+    * HORIZON (bands seen in the last N days) rather than by the corpus.
+    * The semantic trade is explicit: a duplicate arriving after its
+    * predecessor's claim expired is treated as novel (it re-claims the
+    * band), exactly like X4's watermark-bounded exact dedup ages out
+    * fingerprints. Docs need an event-time column; rows later than the
+    * watermark horizon are dropped by the engine as late data.
+    */
+  def streamingNearDupClaimsTtl(spark: SparkSession, docs: DataFrame, idCol: String,
+                                textCol: String, tsCol: String,
+                                shingleWords: Int, k: Int, bands: Int,
+                                ttl: String, queryName: String,
+                                maxFilesPerTrigger: Int = 0,
+                                stagedPath: String = null,
+                                rocksDb: Boolean = UseRocksDb): DataFrame = {
+    import graft.dedup.Dedup
+    import spark.implicits._
+    // stagedPath: a pre-written replay directory (files replay in
+    // modification-time order — how specs script batch boundaries);
+    // by default `docs` is staged as one batch
+    val path = Option(stagedPath).getOrElse(stageToTemp(docs, "sneardupttl"))
+    val ttlMs = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(ttl))
+    val ttlMillis = ttlMs.days * 86400000L + ttlMs.microseconds / 1000L
+    val claim = (band: String, rows: Iterator[BandClaimT], state: GroupState[Long]) => {
+      if (state.hasTimedOut) {
+        // claim aged out: forget the owner; the band is claimable again
+        state.remove()
+        Iterator.empty
+      } else {
+        val sorted = rows.toSeq.sortBy(r => (r.ts.getTime, r.doc_id))
+        val owner = state.getOption.getOrElse(sorted.head.doc_id)
+        state.update(owner)
+        state.setTimeoutTimestamp(sorted.map(_.ts.getTime).max + ttlMillis)
+        sorted.iterator.map(r => (band, r.doc_id, owner))
+      }
+    }
+    withStateSession(spark, 8, rocksDb) { iso =>
+      var reader = iso.readStream.schema(docs.schema)
+      if (maxFilesPerTrigger > 0)
+        reader = reader.option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      val stream = reader.parquet(path).withWatermark(tsCol, ttl)
+      // ts rides the staged band projections (carry) — joining the stream
+      // to itself would be a SECOND stateful operator in this query
+      val banded = Dedup.minhashBandRows(stream,
+          col(idCol).cast("long"), col(textCol), shingleWords, k, bands,
+          carry = Seq(col(tsCol).as("ts")))
+        .select(col("band"), col("doc_id"), col("__c0").as("ts")).as[BandClaimT]
+      val claims = banded.groupByKey(_.band)
+        .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(claim)
         .toDF("band", "doc_id", "owner")
       val q = claims.writeStream.outputMode("append")
         .format("memory").queryName(queryName).start()

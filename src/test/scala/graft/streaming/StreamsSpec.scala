@@ -101,6 +101,45 @@ class StreamsSpec extends AnyFunSuite {
     assert(run(rocks = true) == expect)
   }
 
+  test("TTL'd near-dup claims: an expired band claim is forgotten and re-claimable") {
+    import java.sql.Timestamp
+    val text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val fill1 = "one two three four five six seven eight nine ten"
+    val fill2 = "red orange yellow green blue indigo violet pink brown black"
+    def ts(s: String) = Timestamp.valueOf(s)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ttl").toString + "/in"
+    // four mtime-ordered files = four micro-batches (maxFilesPerTrigger=1):
+    // doc 1 claims the band at 00:00; fillers advance the watermark past
+    // the claim's 1h TTL (the timer fires only in a trigger where the band
+    // has NO data); doc 3 with the SAME text then re-claims at 04:00
+    val batches = Seq(
+      Seq((1L, text, ts("2024-01-01 00:00:00"))),
+      Seq((50L, fill1, ts("2024-01-01 03:00:00"))),
+      Seq((51L, fill2, ts("2024-01-01 03:30:00"))),
+      Seq((3L, text, ts("2024-01-01 04:00:00"))))
+    batches.foreach { b =>
+      b.toDF("doc_id", "text", "ts").coalesce(1).write.mode("append").parquet(dir)
+      Thread.sleep(1050) // distinct mtimes => deterministic replay order
+    }
+    val schemaDf = Seq((0L, "", ts("2024-01-01 00:00:00"))).toDF("doc_id", "text", "ts")
+    val claims = Streams.streamingNearDupClaimsTtl(spark, schemaDf,
+      "doc_id", "text", "ts", shingleWords = 3, k = 12, bands = 4,
+      ttl = "1 hour", queryName = s"spec_ttl_${System.nanoTime()}",
+      maxFilesPerTrigger = 1, stagedPath = dir)
+    val ownersOf3 = claims.filter(col("doc_id") === 3L)
+      .select("owner").as[Long].collect().toSet
+    assert(ownersOf3 == Set(3L),
+      s"doc 3 must RE-claim the expired bands, got owners $ownersOf3")
+    // control: without TTL the same replay keeps doc 1's claim alive
+    val docs = batches.flatten.toDF("doc_id", "text", "ts").drop("ts")
+    val noTtl = Streams.streamingNearDupClaims(spark, docs, "doc_id", "text",
+      shingleWords = 3, k = 12, bands = 4,
+      queryName = s"spec_nottl_${System.nanoTime()}")
+    val owners3NoTtl = noTtl.filter(col("doc_id") === 3L)
+      .select("owner").as[Long].collect().toSet
+    assert(owners3NoTtl == Set(1L), s"without TTL doc 1 owns doc 3's bands: $owners3NoTtl")
+  }
+
   test("streaming t-digest state tracks per-key quantiles within rank bounds") {
     val rnd = new scala.util.Random(52)
     val rows = (for (k <- Seq("a", "b"); _ <- 0 until 6000)

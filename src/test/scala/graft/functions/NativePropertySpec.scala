@@ -25,6 +25,21 @@ class NativePropertySpec extends AnyFunSuite {
   private val sortedLongs: Gen[Array[Long]] =
     Gen.listOf(Gen.chooseNum(-1000L, 1000L)).map(_.distinct.sorted.toArray)
 
+  test("binary_meta: interpreted eval equals codegen, and both equal stubDecode") {
+    val payloads = samples(Gen.chooseNum(0, 2000), 60)
+    def run(codegen: Boolean): Seq[(Long, Int, Int, Int)] = {
+      val s = spark.newSession()
+      s.conf.set("spark.sql.codegen.wholeStage", codegen.toString)
+      import s.implicits._
+      payloads.map(n => "x" * n).toDF("t")
+        .select(graft.multimodal.Binary.binary_meta(encode(col("t"), "UTF-8")).as("m"))
+        .select(col("m.byte_len"), col("m.width"), col("m.height"), col("m.channels"))
+        .as[(Long, Int, Int, Int)].collect().toSeq
+    }
+    val want = payloads.map(n => graft.multimodal.Binary.stubDecode(Array.fill(n)('x'.toByte)))
+    assert(run(codegen = true) == want && run(codegen = false) == want)
+  }
+
   test("sorted_intersect_count equals set intersection size on random sorted arrays") {
     val pairs = samples(Gen.zip(sortedLongs, sortedLongs), 120)
     val got = pairs.toDF("a", "b")

@@ -145,6 +145,25 @@ object QueriesR3 {
     graft.sketches.Hll.digest(regs, "event_type").orderBy(col("event_type"))
   }
 
+  /** R44 incremental: yesterday's registers PERSISTED to parquet, today's
+    * delta folded in with Hll.merge — and the digest hash-equals the
+    * full-table recompute (the oracle IS the whole-table digest). The
+    * real write/read cycle is inside the gate: stored state is ≤256
+    * small ints per group, and history is never re-read.
+    */
+  def sketchHllIncremental(s: SparkSession, dir: String): DataFrame = {
+    import graft.sketches.Hll
+    val e = t(s, dir, "events")
+    val day1 = e.filter(col("event_id") % 2 === 0)
+    val day2 = e.filter(col("event_id") % 2 =!= 0)
+    val store = java.nio.file.Files.createTempDirectory("graft_hll_inc").toString
+    Hll.registers(day1, "event_type", col("user_id"))
+      .write.mode("overwrite").parquet(store)
+    val merged = Hll.merge("event_type", s.read.parquet(store),
+      Hll.registers(day2, "event_type", col("user_id")))
+    Hll.digest(merged, "event_type").orderBy(col("event_type"))
+  }
+
   /** R45: count-min point-frequency estimates — with fixed md5 hash rows
     * the sketch is deterministic, so counters AND estimates reproduce
     * exactly in SQL; the never-underestimate guarantee rides along as an
@@ -520,6 +539,33 @@ object QueriesR3 {
     "cc_star_cluster" -> QueriesData.sql("dedup_cluster"),
     "q_top_k_native" -> Queries.sqlRelational("q_window_topk"),
     "sketch_hll_distinct" ->
+      """WITH h AS (
+        |  SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS h FROM events
+        |), r AS (
+        |  SELECT event_type,
+        |    (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16 +
+        |    (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) AS bucket,
+        |    CASE WHEN ltrim(substr(h, 3, 12), '0') = '' THEN 49
+        |         ELSE (12 - length(ltrim(substr(h, 3, 12), '0'))) * 4 +
+        |           CASE substr(ltrim(substr(h, 3, 12), '0'), 1, 1)
+        |             WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+        |             WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1
+        |             WHEN '7' THEN 1 ELSE 0 END + 1
+        |    END AS rank
+        |  FROM h
+        |), regs AS (
+        |  SELECT event_type, bucket, MAX(rank) AS register
+        |  FROM r GROUP BY event_type, bucket
+        |)
+        |SELECT event_type,
+        |  CAST(SUM(CAST(1 AS BIGINT) << (49 - register)) +
+        |       (256 - COUNT(*)) * (CAST(1 AS BIGINT) << 49) AS BIGINT) AS hll_denom,
+        |  CAST(COUNT(*) AS BIGINT) AS n_occupied,
+        |  CAST(SUM(register) AS BIGINT) AS sum_reg
+        |FROM regs GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // merged-from-persisted-state digest must equal the whole-table
+    // digest bit-for-bit, so the incremental gate shares the full oracle
+    "sketch_hll_incremental" ->
       """WITH h AS (
         |  SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS h FROM events
         |), r AS (

@@ -116,6 +116,7 @@ object SparkEntry {
     "q_top_k_native" -> (QueriesR3.qTopKNative _),
     "sketch_freq_heavy" -> (QueriesR3.sketchFreqHeavy _),
     "sketch_hll_distinct" -> (QueriesR3.sketchHllDistinct _),
+    "sketch_hll_incremental" -> (QueriesR3.sketchHllIncremental _),
     "sketch_cm_counts" -> (QueriesR3.sketchCmCounts _),
     "ann_opq_rotation" -> (QueriesR3.annOpqRotation _),
     "replica_checksum" -> (QueriesR3.replicaChecksum _),

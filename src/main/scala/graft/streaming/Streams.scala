@@ -204,6 +204,9 @@ object Streams {
     val path = Option(stagedPath).getOrElse(stageToTemp(docs, "sneardupttl"))
     val ttlMs = org.apache.spark.sql.catalyst.util.IntervalUtils
       .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(ttl))
+    require(ttlMs.months == 0,
+      s"ttl '$ttl': month-based intervals have no fixed millisecond length; " +
+        "use days/hours/minutes")
     val ttlMillis = ttlMs.days * 86400000L + ttlMs.microseconds / 1000L
     val claim = (band: String, rows: Iterator[BandClaimT], state: GroupState[Long]) => {
       if (state.hasTimedOut) {

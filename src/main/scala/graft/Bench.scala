@@ -65,7 +65,12 @@ object Bench {
       if (secs.size == 2 && secs.max / secs.min > SpreadLimit)
         secs = secs ++ timed(name, sfDir)
       val failed = secs.size < 2
-      val noisy = !failed && secs.max / secs.min > SpreadLimit
+      // noisy = even the two CLOSEST runs disagree by >3x. The full-set
+      // spread would stay above the threshold forever once the retry
+      // triggered (the set only grows); the tie-break run exists exactly
+      // to let two agreeing runs out-vote one transient.
+      val twoBest = secs.sorted.take(2)
+      val noisy = !failed && twoBest(1) / twoBest(0) > SpreadLimit
       val sec = if (failed) -1.0 else secs.min
       System.err.println(f"[bench] $name%-24s $sec%8.2f s  (runs: ${secs.map(s => f"$s%.2f").mkString(", ")}${if (noisy) "  NOISY" else ""})")
       (name, sec, noisy)

@@ -50,33 +50,36 @@ object Pipeline {
   /** Persist a run report as a timestamped artifact — the reference logs
     * every run to `cdc_etl_<ts>.log` (03_cdc_etl.py:19-27); this is the
     * structured form: one JSON line per table plus a summary line,
-    * written atomically (temp + rename), named for `runAt` so successive
-    * runs never clobber each other. Returns the file written.
+    * written atomically (temp + rename). The name carries the instant's
+    * NANOSECOND field so concurrent or same-second runs land in distinct
+    * files (and distinct temp files) instead of clobbering each other.
+    * Returns the file written.
     */
   def writeRunReport(report: RunReport, dir: String,
                      runAt: java.time.Instant = java.time.Instant.now()): java.io.File = {
+    // full JSON string escaping: quotes, backslash, and EVERY control
+    // character (driver error messages carry \r\n\t) — a torn escape
+    // makes the artifact unparseable for whoever reads it
     def esc(s: String) = s.flatMap {
-      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"; case c => c.toString
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => "\\u%04x".format(c.toInt)
+      case c => c.toString
     }
     val stamp = java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd_HHmmss")
       .withZone(java.time.ZoneOffset.UTC).format(runAt)
     val d = new java.io.File(dir)
     d.mkdirs()
-    val f = new java.io.File(d, s"cdc_run_$stamp.jsonl")
-    val tmp = new java.io.File(d, f.getName + ".tmp")
-    val w = new java.io.PrintWriter(tmp)
-    try {
-      report.results.foreach { r =>
-        w.println(s"""{"table":"${esc(r.table)}","status":"${r.status}",""" +
-          s""""rows":${r.rowsProcessed},"watermark":${r.newWatermark
-            .map(t => "\"" + t.toString + "\"").getOrElse("null")},""" +
-          s""""error":${r.error.map(e => "\"" + esc(e) + "\"").getOrElse("null")}}""")
-      }
-      w.println(s"""{"summary":{"processed":${report.processed},""" +
-        s""""no_changes":${report.noChanges},"failed":${report.failed},""" +
-        s""""rows":${report.totalRows},"run_at":"$runAt"}}""")
-    } finally w.close()
-    require(tmp.renameTo(f), s"run-report rename failed: $tmp -> $f")
+    val f = new java.io.File(d, f"cdc_run_${stamp}_${runAt.getNano}%09d.jsonl")
+    val lines = report.results.map { r =>
+      s"""{"table":"${esc(r.table)}","status":"${r.status}",""" +
+        s""""rows":${r.rowsProcessed},"watermark":${r.newWatermark
+          .map(t => "\"" + t.toString + "\"").getOrElse("null")},""" +
+        s""""error":${r.error.map(e => "\"" + esc(e) + "\"").getOrElse("null")}}"""
+    } :+ (s"""{"summary":{"processed":${report.processed},""" +
+      s""""no_changes":${report.noChanges},"failed":${report.failed},""" +
+      s""""rows":${report.totalRows},"run_at":"$runAt"}}""")
+    graft.sources.Sink.writeLinesAtomic(f, lines)
     f
   }
 

@@ -101,6 +101,10 @@ object SchemaClone {
     out = out.replaceAll("""(?i)(\s)STORAGE\s*\([^)]+\)""", "$1")
     for (p <- Seq("PCTFREE", "PCTUSED", "INITRANS", "MAXTRANS"))
       out = out.replaceAll(s"""(?i)(\\s)$p\\s+\\d+""", "$1")
+    // argumented COMPRESS forms first (COMPRESS FOR OLTP / FOR QUERY HIGH /
+    // BASIC / ADVANCED / index COMPRESS 2) so their arguments don't dangle
+    out = out.replaceAll(
+      """(?i)(\s)COMPRESS\s+(FOR\s+\w+(\s+(HIGH|LOW))?|BASIC|ADVANCED|\d+)""", "$1")
     for (p <- Seq("NOCOMPRESS", "COMPRESS", "NOLOGGING", "LOGGING"))
       out = out.replaceAll(s"""(?i)(\\s)$p(?=\\s|$$|\\))""", "$1")
     out.replaceAll("""(?m)[ \t]+$""", "").replaceAll("""\n{3,}""", "\n\n")

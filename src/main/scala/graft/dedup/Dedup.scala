@@ -115,6 +115,11 @@ object Dedup {
     val hashed = docs.select((Seq(id.as("doc_id")) ++ carried :+
       transform(array_distinct(wordShingles(text, shingleWords)),
         g => graft.functions.NativeExpressions.md5_prefix24(g)).as("__hashes")): _*)
+      // a doc too short to shingle owns NO bands (it can match nothing) —
+      // without this filter every such doc's signature is all-null, every
+      // band key collapses to md5("") via concat_ws's null-skipping, and
+      // all short docs falsely collide on one shared bucket
+      .filter(size(col("__hashes")) > 0)
     val sig = array((0 until k).map { seed =>
       val (a, b) = minhashCoeff(seed)
       array_min(transform(col("__hashes"), h => (h * a + b) % MinhashP))

@@ -111,7 +111,11 @@ object ZOrder {
   def bloomPrunedScan(spark: SparkSession, path: String, index: DataFrame,
                       column: String, value: Any,
                       bits: Int = 4096, hashes: Int = 3): (Long, Long, DataFrame) = {
-    val probe = bloomPositions(lit(value), bits, hashes)
+    // xxhash64 is input-TYPE-sensitive (hashLong vs hashInt give different
+    // bits): cast the probe to the indexed column's actual type or an
+    // Int-vs-Long mismatch silently false-negatives every file
+    val colType = spark.read.parquet(path).schema(column).dataType
+    val probe = bloomPositions(lit(value).cast(colType), bits, hashes)
     val total = index.count()
     val files = index
       .filter(forall(probe, p => array_contains(col("bloom_bits"), p)))

@@ -128,11 +128,12 @@ object Sink {
     }
   }
 
-  /** Write-then-rename so the manifest appears atomically: readers (and
-    * recovery after a crash) either see no manifest or the complete one,
-    * never a partially flushed prefix.
+  /** Write-then-rename so the file appears atomically: readers (and
+    * recovery after a crash) either see no file or the complete one,
+    * never a partially flushed prefix. Shared with Pipeline's run-report
+    * writer — one crash-safety mechanism, not two copies.
     */
-  private def writeLinesAtomic(f: java.io.File, lines: Seq[String]): Unit = {
+  private[graft] def writeLinesAtomic(f: java.io.File, lines: Seq[String]): Unit = {
     val tmp = new java.io.File(f.getParentFile, f.getName + ".tmp")
     val w = new java.io.PrintWriter(tmp)
     try lines.foreach(w.println) finally w.close()

@@ -142,19 +142,21 @@ class PipelineSpec extends AnyFunSuite {
       Pipeline.TableResult("cust", "processed", 5,
         Some(java.sql.Timestamp.valueOf("2024-01-02 00:00:00"))),
       Pipeline.TableResult("ord", "failed", 0, None,
-        error = Some("boom: \"quoted\"\nline2"))))
+        error = Some("boom: \"quoted\"\r\n\tline2"))))
     val at = java.time.Instant.parse("2024-01-02T03:04:05Z")
     val f = Pipeline.writeRunReport(rep, dir, at)
-    assert(f.getName == "cdc_run_20240102_030405.jsonl")
+    assert(f.getName == "cdc_run_20240102_030405_000000000.jsonl")
     val lines = {
       val s = scala.io.Source.fromFile(f); try s.getLines().toVector finally s.close()
     }
     assert(lines.size == 3)
     assert(lines(0).contains("\"table\":\"cust\"") && lines(0).contains("\"rows\":5"))
-    assert(lines(1).contains("\\\"quoted\\\"") && lines(1).contains("\\n"))
+    // every control char escaped — the artifact must stay parseable JSONL
+    assert(lines(1).contains("\\\"quoted\\\"") &&
+      lines(1).contains("\\u000d\\u000a\\u0009"))
     assert(lines(2).contains("\"processed\":1") && lines(2).contains("\"failed\":1"))
-    // a second run at a different instant lands beside, never clobbers
-    val f2 = Pipeline.writeRunReport(rep, dir, at.plusSeconds(61))
+    // runs in the SAME second land in distinct files (nanosecond field)
+    val f2 = Pipeline.writeRunReport(rep, dir, at.plusNanos(1))
     assert(f2.exists() && f.exists() && f2.getName != f.getName)
   }
 }

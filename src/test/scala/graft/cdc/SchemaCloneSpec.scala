@@ -76,6 +76,19 @@ class SchemaCloneSpec extends AnyFunSuite {
     assert(out.contains("PRIMARY KEY (\"ID\")"))
   }
 
+  test("adaptVendorDdl strips argumented COMPRESS forms without dangling arguments") {
+    for (clause <- Seq("COMPRESS FOR OLTP", "COMPRESS FOR QUERY HIGH",
+      "COMPRESS BASIC", "COMPRESS ADVANCED", "COMPRESS 2")) {
+      val out = SchemaClone.adaptVendorDdl(
+        s"""CREATE TABLE "S"."T" ("A" NUMBER) $clause LOGGING""", "S", "T2")
+      assert(!out.toUpperCase.contains("COMPRESS") &&
+        !out.contains("OLTP") && !out.contains("BASIC") &&
+        !out.contains("QUERY") && !out.matches("(?s).*\\b2\\b.*LOGGING.*"),
+        s"'$clause' left residue in: $out")
+      assert(out.contains("\"A\" NUMBER"), s"column survived for '$clause'")
+    }
+  }
+
   test("adaptVendorDdl: case-insensitive schema match, bare LOGGING never eats the next token") {
     val ddl = "CREATE TABLE \"src_user\".\"T\" (\"A\" NUMBER) LOGGING\n  PARALLEL 4"
     val out = SchemaClone.adaptVendorDdl(ddl, "SRC_USER", "tgt")

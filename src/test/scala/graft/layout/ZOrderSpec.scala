@@ -116,6 +116,12 @@ class ZOrderSpec extends AnyFunSuite {
     // absent value: a bloom may false-positive a few files, never miss
     val (selNone, _, dfNone) = ZOrder.bloomPrunedScan(spark, dir, idx, "tag", "absent")
     assert(dfNone.count() == 0 && selNone <= 4, s"absent value read $selNone files")
+    // type-mismatched probe: an index over BIGINT probed with a Scala Int
+    // must still find every row (xxhash64 is input-type-sensitive; the
+    // probe is cast to the indexed column's type)
+    val idxY = ZOrder.fileBloomIndex(spark, dir, "y").cache()
+    val (selY, _, dfY) = ZOrder.bloomPrunedScan(spark, dir, idxY, "y", 37)
+    assert(dfY.count() == 256 && selY >= 1, s"Int probe of BIGINT column: ${dfY.count()}")
   }
 
   test("zvalue/zvalueN: interpreted eval matches codegen (wholeStage off vs on)") {

@@ -76,11 +76,16 @@ class StreamsSpec extends AnyFunSuite {
   test("streaming near-dup claims match the batch owns-all-bands rule, both state backends") {
     val docs = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "documents")
       .select(col("doc_id"), col("text"))
+      // two unshingleable docs: both must own NO bands and be kept (the
+      // all-null signature used to collapse every short doc onto one
+      // shared md5("") band, falsely dropping the second)
+      .unionByName(Seq((100001L, "tiny"), (100002L, "ab cd")).toDF("doc_id", "text"))
     // batch rule: a doc is kept iff no band of its signature has a
-    // smaller-id owner (tombstone semantics)
-    val bands = docs.select(col("doc_id"),
-      explode(graft.dedup.Dedup.lshBandKeys(
-        graft.dedup.Dedup.minhashSignature(col("text"), 3, 12), 4, 3)).as("band"))
+    // smaller-id owner (tombstone semantics); docs too short to shingle
+    // own no bands (the gate's DuckDB oracle enforces the same rule
+    // independently)
+    val bands = graft.dedup.Dedup.minhashBandRows(
+      docs, col("doc_id"), col("text"), 3, 12, 4)
     val owners = bands.groupBy("band").agg(min("doc_id").as("owner"))
     val blockedB = bands.join(owners, "band").filter(col("owner") =!= col("doc_id"))
       .select("doc_id").distinct()
@@ -97,7 +102,8 @@ class StreamsSpec extends AnyFunSuite {
     }
     val hdfs = run(rocks = false)
     assert(hdfs == expect, s"missing=${(expect -- hdfs).size} extra=${(hdfs -- expect).size}")
-    assert(hdfs.size < 500, "fixture contains near-dups; some docs must drop")
+    assert(hdfs.size < 502, "fixture contains near-dups; some docs must drop")
+    assert(Set(100001L, 100002L).subsetOf(hdfs), "bandless short docs are kept")
     assert(run(rocks = true) == expect)
   }
 

@@ -1,0 +1,299 @@
+package graft
+
+import graft.cdc.Cdc
+import graft.dedup.Dedup
+import graft.functions.TextFunctions
+import graft.layout.Hilbert
+import graft.operators.Sampling
+import graft.sketches.Kmv
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Round-4 extension gates: Hilbert layout, weighted sampling, exact
+  * anomaly flagging, KMV set algebra, PII redaction, column-level CDC
+  * audit, streaming heavy hitters, cross-source leakage. Oracle
+  * discipline as everywhere: md5-portable hashing, integer/decimal
+  * algebra for anything precision-sensitive, full-tiebreak ORDER BY.
+  */
+object QueriesR4 {
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  private val dec38 = DecimalType(38, 0)
+
+  /** R55: Hilbert-curve clustering key beside Z-order (R39) — continuous
+    * space-filling walk, tighter per-file boxes (HilbertSpec measures).
+    * The oracle replays the identical bit-level walk as a recursive CTE.
+    */
+  def hilbertCluster(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    e.select(col("event_id"),
+        Hilbert.hvalue(col("user_id") % 4096, col("event_id") % 4096, 12).as("hval"))
+      .orderBy(col("hval"), col("event_id"))
+  }
+
+  /** R53: weighted Bernoulli sample — P(keep) = min(value, 100)/100 from
+    * the row's own hash, no rand(): reproducible across engines and runs
+    * (the oracle draws the IDENTICAL sample). Pure pushable filter.
+    */
+  def qWeightedSample(s: SparkSession, dir: String): DataFrame =
+    Sampling.weightedBernoulli(
+        t(s, dir, "events").select(col("event_id"), col("event_type"), col("value")),
+        "event_id", "value", cap = 100.0)
+      .orderBy(col("event_id"))
+
+  /** R54: anomaly flagging by a 3σ z-test with NO floating point in the
+    * decision: (n·x − Σx)²·(n−1) > 9·n·(n·Σx² − (Σx)²) is the z² > 9
+    * inequality cleared of divisions and square roots — exact in
+    * DECIMAL(38,0) here, HUGEINT in the oracle. Spikes are injected
+    * deterministically (event_id % 97 → 10× value) so the flagged set is
+    * non-trivial at every SF. One aggregate + one broadcast join back.
+    */
+  def qAnomalyZscore(s: SparkSession, dir: String): DataFrame = {
+    val cents = round(col("value") *
+      when(col("event_id") % 97 === 0, lit(1000.0)).otherwise(lit(100.0)))
+      .cast("long")
+    val e = t(s, dir, "events")
+      .select(col("event_id"), col("event_type"), cents.as("cents"))
+    val stats = e.groupBy("event_type").agg(
+      count(lit(1)).as("n"), sum(col("cents")).as("s1"),
+      sum(col("cents") * col("cents")).as("s2"))
+    val d = (col("n") * col("cents") - col("s1")).cast(dec38)
+    val lhs = d * d * (col("n") - 1).cast(dec38)
+    val rhs = lit(9).cast(dec38) * col("n").cast(dec38) *
+      (col("n").cast(dec38) * col("s2").cast(dec38) -
+        col("s1").cast(dec38) * col("s1").cast(dec38))
+    e.join(broadcast(stats), Seq("event_type"))
+      .filter(lhs > rhs)
+      .select(col("event_id"), col("event_type"), col("cents"))
+      .orderBy(col("event_id"))
+  }
+
+  /** S9: KMV set algebra — union/intersection estimates for two segments'
+    * user sets from their sketches alone (see [[Kmv.setOpsReport]]).
+    */
+  def sketchKmvSetops(s: SparkSession, dir: String): DataFrame =
+    Kmv.setOpsReport(t(s, dir, "events"), "event_type", "user_id",
+      "click", "view", k = 64)
+
+  /** T11: PII scrubbing. The corpus is deliberately PII-free, so the gate
+    * INJECTS synthetic addresses/phones derived from each row's own
+    * columns, then verifies the redaction output hash-exactly — the
+    * pattern path is fully exercised without shipping PII-like fixture
+    * data.
+    */
+  def textRedact(s: SparkSession, dir: String): DataFrame = {
+    val withPii = concat(col("text"), lit(" reach "), col("source"),
+      lit("@example.com or 555-"),
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+    t(s, dir, "documents")
+      .select(col("doc_id"), withPii.as("s"))
+      .select(col("doc_id"),
+        TextFunctions.redactPii(col("s")).as("red"),
+        TextFunctions.piiEmailCount(col("s")).as("n_email"),
+        TextFunctions.piiPhoneCount(col("s")).as("n_phone"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** C24: column-level change audit between a target snapshot and a staged
+    * delta (see [[Cdc.columnDiff]]). The staged fixture leaves some
+    * columns unchanged per key (parity games on the key) so the diff
+    * lists genuinely vary, and some keys change nothing at all — those
+    * must be dropped.
+    */
+  def cdcColumnDiff(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val target = o
+      .filter(col("o_orderdate").cast("timestamp") <
+        lit("2000-01-01 00:00:00").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice").cast(DecimalType(12, 2)).as("total"),
+        lit("N").as("is_deleted"))
+    val staged = o.filter(col("o_orderkey") % 3 === 0)
+      .select(col("o_orderkey"),
+        when(col("o_orderkey") % 2 === 0, col("o_orderstatus"))
+          .otherwise(lit("U")).as("o_orderstatus"),
+        (col("o_totalprice").cast(DecimalType(12, 2)) +
+          when(col("o_orderkey") % 5 === 0, 0).otherwise(1000)).as("total"),
+        when(col("o_orderkey") % 37 === 0, "Y").otherwise("N").as("is_deleted"))
+    Cdc.columnDiff(target, staged, Seq("o_orderkey"),
+        Seq("o_orderstatus", "total", "is_deleted"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** X12: streaming Misra-Gries heavy hitters — same constructed skew and
+    * same guarantee oracle as the batch gate (R42), but the sketch is
+    * built as mapGroupsWithState state over the replayed stream.
+    */
+  def streamFreqHeavy(s: SparkSession, dir: String): DataFrame = {
+    val k = 16
+    val items = t(s, dir, "events").select(
+      when(col("user_id") % 2 === 0, col("user_id") % 5)
+        .otherwise(col("user_id") + 1000000).cast("long").as("item"))
+    val sk = graft.streaming.Streams.streamingFreqItems(s,
+        items.select(lit("all").as("key"), col("item")), k,
+        queryName = s"gate_sfreq_${System.nanoTime()}")
+      .select(col("sk"))
+    val exact = items.groupBy("item").agg(count(lit(1)).as("n_exact"))
+    val tot = items.agg(count(lit(1)).as("n"))
+    exact.crossJoin(broadcast(tot)).filter(col("n_exact") * k > col("n"))
+      .crossJoin(broadcast(sk))
+      .select(col("item"), col("n_exact"),
+        element_at(col("sk"), col("item")).isNotNull.as("in_sketch"),
+        (coalesce(element_at(col("sk"), col("item")), lit(0L)) <= col("n_exact") &&
+          coalesce(element_at(col("sk"), col("item")), lit(0L)) * k >=
+            col("n_exact") * k - col("n")).as("est_ok"))
+      .orderBy(col("item"))
+  }
+
+  /** D10: cross-source near-dup leakage matrix over the LSH pair list
+    * (see [[Dedup.crossSourceMatrix]]); oracle = the minhash-LSH pair
+    * oracle aggregated by source pair.
+    */
+  def dedupCrossSource(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val pairs = Dedup.lshCandidates(d, col("doc_id"), col("text"),
+      shingleWords = 3, k = 12, bands = 4)
+    Dedup.crossSourceMatrix(d, pairs, "doc_id", "source")
+  }
+
+  // ---------------------------------------------------------------- oracle
+
+  private val hash48Sql =
+    "CAST(('0x' || substr(md5(CAST(%s AS VARCHAR)), 1, 12)) AS BIGINT)"
+
+  private val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val phonePat = "\\b[0-9]{3}-[0-9]{4}\\b"
+
+  val sql: Map[String, String] = Map(
+    "hilbert_cluster" ->
+      """WITH RECURSIVE walk AS (
+        |  SELECT event_id, user_id % 4096 AS x, event_id % 4096 AS y,
+        |    CAST(0 AS BIGINT) AS d, CAST(2048 AS BIGINT) AS s
+        |  FROM events
+        |  UNION ALL
+        |  SELECT event_id,
+        |    CASE WHEN (y & s) = 0
+        |      THEN CASE WHEN (x & s) > 0 THEN s - 1 - y ELSE y END ELSE x END,
+        |    CASE WHEN (y & s) = 0
+        |      THEN CASE WHEN (x & s) > 0 THEN s - 1 - x ELSE x END ELSE y END,
+        |    d + s * s * (CASE WHEN (x & s) > 0
+        |                   THEN CASE WHEN (y & s) > 0 THEN 2 ELSE 3 END
+        |                   ELSE CASE WHEN (y & s) > 0 THEN 1 ELSE 0 END END),
+        |    s // 2
+        |  FROM walk WHERE s > 0
+        |)
+        |SELECT event_id, d AS hval FROM walk WHERE s = 0
+        |ORDER BY hval, event_id""".stripMargin,
+    "q_weighted_sample" ->
+      s"""SELECT event_id, event_type, value FROM events
+         |WHERE ${hash48Sql.format("event_id")}
+         |  < CAST(FLOOR((281474976710656e0 * LEAST(value, 100.0)) / 100.0) AS BIGINT)
+         |ORDER BY event_id""".stripMargin,
+    "q_anomaly_zscore" ->
+      """WITH e AS (
+        |  SELECT event_id, event_type,
+        |    CAST(ROUND(value * (CASE WHEN event_id % 97 = 0 THEN 1000.0 ELSE 100.0 END)) AS BIGINT) AS cents
+        |  FROM events
+        |), st AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(cents) AS BIGINT) AS s1,
+        |    CAST(SUM(cents * cents) AS BIGINT) AS s2
+        |  FROM e GROUP BY event_type
+        |)
+        |SELECT e.event_id, e.event_type, e.cents
+        |FROM e JOIN st ON e.event_type = st.event_type
+        |WHERE CAST(n * cents - s1 AS HUGEINT) * CAST(n * cents - s1 AS HUGEINT)
+        |        * CAST(n - 1 AS HUGEINT)
+        |    > CAST(9 AS HUGEINT) * CAST(n AS HUGEINT)
+        |        * (CAST(n AS HUGEINT) * CAST(s2 AS HUGEINT)
+        |           - CAST(s1 AS HUGEINT) * CAST(s1 AS HUGEINT))
+        |ORDER BY event_id""".stripMargin,
+    "sketch_kmv_setops" ->
+      s"""WITH va AS (SELECT DISTINCT user_id AS v FROM events WHERE event_type = 'click'),
+         |vb AS (SELECT DISTINCT user_id AS v FROM events WHERE event_type = 'view'),
+         |ha AS (SELECT DISTINCT ${hash48Sql.format("v")} AS h FROM va),
+         |hb AS (SELECT DISTINCT ${hash48Sql.format("v")} AS h FROM vb),
+         |sa AS (SELECT h FROM ha ORDER BY h LIMIT 64),
+         |sb AS (SELECT h FROM hb ORDER BY h LIMIT 64),
+         |merged AS (
+         |  SELECT DISTINCT h FROM (SELECT h FROM sa UNION ALL SELECT h FROM sb) u
+         |  ORDER BY h LIMIT 64
+         |), m AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS m, CAST(MAX(h) AS BIGINT) AS theta
+         |  FROM merged
+         |), est AS (
+         |  SELECT m, CASE WHEN m < 64 THEN m
+         |              ELSE CAST(17732923532771328 AS BIGINT) // theta END AS union_est
+         |  FROM m
+         |), x AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS x_common FROM merged
+         |  WHERE h IN (SELECT h FROM sa) AND h IN (SELECT h FROM sb)
+         |), ex AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS exact_union,
+         |    CAST(SUM(CASE WHEN ng = 2 THEN 1 ELSE 0 END) AS BIGINT) AS exact_inter
+         |  FROM (SELECT v, COUNT(DISTINCT g) AS ng
+         |        FROM (SELECT 'a' AS g, v FROM va UNION ALL SELECT 'b', v FROM vb) z
+         |        GROUP BY v) q
+         |)
+         |SELECT 'click' AS set_a, 'view' AS set_b,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM sa) AS n_a,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM sb) AS n_b,
+         |  x.x_common,
+         |  est.union_est,
+         |  CASE WHEN est.m < 64 THEN x.x_common
+         |    ELSE (x.x_common * est.union_est) // 64 END AS inter_est,
+         |  ex.exact_union, ex.exact_inter
+         |FROM est, x, ex""".stripMargin,
+    "text_redact" ->
+      s"""WITH p AS (
+         |  SELECT doc_id,
+         |    text || ' reach ' || source || '@example.com or 555-' ||
+         |      lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS s
+         |  FROM documents
+         |)
+         |SELECT doc_id,
+         |  regexp_replace(regexp_replace(s, '$emailPat', '<EMAIL>', 'g'),
+         |    '$phonePat', '<PHONE>', 'g') AS red,
+         |  CAST(len(regexp_extract_all(s, '$emailPat', 0)) AS BIGINT) AS n_email,
+         |  CAST(len(regexp_extract_all(s, '$phonePat', 0)) AS BIGINT) AS n_phone
+         |FROM p ORDER BY doc_id""".stripMargin,
+    "cdc_column_diff" ->
+      """WITH tgt AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CAST(o_totalprice AS DECIMAL(12,2)) AS total, 'N' AS is_deleted
+        |  FROM orders WHERE o_orderdate < TIMESTAMP '2000-01-01 00:00:00'
+        |), stg AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 2 = 0 THEN o_orderstatus ELSE 'U' END AS o_orderstatus,
+        |    CAST(o_totalprice AS DECIMAL(12,2)) +
+        |      CASE WHEN o_orderkey % 5 = 0 THEN 0 ELSE 1000 END AS total,
+        |    CASE WHEN o_orderkey % 37 = 0 THEN 'Y' ELSE 'N' END AS is_deleted
+        |  FROM orders WHERE o_orderkey % 3 = 0
+        |), j AS (
+        |  SELECT t.o_orderkey,
+        |    concat_ws(',',
+        |      CASE WHEN t.o_orderstatus IS DISTINCT FROM s.o_orderstatus THEN 'o_orderstatus' END,
+        |      CASE WHEN t.total IS DISTINCT FROM s.total THEN 'total' END,
+        |      CASE WHEN t.is_deleted IS DISTINCT FROM s.is_deleted THEN 'is_deleted' END
+        |    ) AS changed_cols
+        |  FROM tgt t JOIN stg s ON t.o_orderkey = s.o_orderkey
+        |)
+        |SELECT o_orderkey, changed_cols FROM j WHERE changed_cols <> ''
+        |ORDER BY o_orderkey""".stripMargin,
+    "stream_freq_heavy" -> QueriesR3.sql("sketch_freq_heavy"),
+    "dedup_cross_source" ->
+      s"""WITH pr AS (${QueriesData.sql("dedup_minhash_lsh")}),
+         |m AS (
+         |  SELECT LEAST(da.source, db.source) AS source_a,
+         |         GREATEST(da.source, db.source) AS source_b
+         |  FROM pr
+         |  JOIN documents da ON pr.id_a = da.doc_id
+         |  JOIN documents db ON pr.id_b = db.doc_id
+         |)
+         |SELECT source_a, source_b, CAST(COUNT(*) AS BIGINT) AS n_pairs
+         |FROM m GROUP BY source_a, source_b
+         |ORDER BY source_a, source_b""".stripMargin)
+}

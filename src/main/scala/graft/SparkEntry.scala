@@ -129,12 +129,22 @@ object SparkEntry {
     "embed_clean_ann" -> (QueriesR3.embedCleanAnn _),
     "q_hopping_window" -> (QueriesR3.qHoppingWindow _),
     // §2.1 C9 (hash-checked via the canonical type vocabulary)
-    "schema_clone" -> (QueriesData.schemaClone _))
+    "schema_clone" -> (QueriesData.schemaClone _),
+    // round-4 extension: layout, sampling, anomaly, sketch algebra,
+    // redaction, CDC audit, streaming heavy hitters, leakage matrix
+    "hilbert_cluster" -> (QueriesR4.hilbertCluster _),
+    "q_weighted_sample" -> (QueriesR4.qWeightedSample _),
+    "q_anomaly_zscore" -> (QueriesR4.qAnomalyZscore _),
+    "sketch_kmv_setops" -> (QueriesR4.sketchKmvSetops _),
+    "text_redact" -> (QueriesR4.textRedact _),
+    "cdc_column_diff" -> (QueriesR4.cdcColumnDiff _),
+    "stream_freq_heavy" -> (QueriesR4.streamFreqHeavy _),
+    "dedup_cross_source" -> (QueriesR4.dedupCrossSource _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
     Queries.sqlRelational ++ Queries.sqlCdc ++ QueriesData.sql ++ QueriesExt.sql ++
-      QueriesR3.sql
+      QueriesR3.sql ++ QueriesR4.sql
 }

@@ -124,4 +124,31 @@ object Cdc {
     df.agg(count(lit(1)).as("n_rows"),
       sum(rowHash).cast(DecimalType(38, 0)).cast("string").as("checksum"))
   }
+
+  /** C24: column-level change audit — for every key present in both the
+    * target and the staged delta, the comma-joined list of columns whose
+    * values actually differ (null-safe comparison, so null→value and
+    * value→null both register). The replication-debugging companion to
+    * [[mergeSoftDelete]]: MERGE tells you a row changed, this tells you
+    * WHAT changed — the reference's manual "compare a few rows by eye"
+    * validation step (04_validate_data.py) made systematic.
+    *
+    * One equi-join on the PK (same shuffle the merge itself pays; AQE
+    * broadcasts a small delta), then a pure projection — the diff list is
+    * codegen'd CASE/concat, no per-column joins. Keys with NO differing
+    * columns are dropped (they're the no-op updates a well-behaved
+    * extractor shouldn't ship).
+    */
+  def columnDiff(target: DataFrame, staged: DataFrame, pk: Seq[String],
+                 cols: Seq[String]): DataFrame = {
+    val t = target.as("t")
+    val s = staged.as("s")
+    val joinCond = pk.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _)
+    val diffs = cols.map(c =>
+      when(!(col(s"t.$c") <=> col(s"s.$c")), lit(c)))
+    t.join(s, joinCond, "inner")
+      .select(pk.map(k => col(s"t.$k").as(k)) :+
+        concat_ws(",", diffs: _*).as("changed_cols"): _*)
+      .filter(col("changed_cols") =!= "")
+  }
 }

@@ -562,4 +562,34 @@ object Dedup {
         (col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter"))).as("jacc"))
       .filter(col("jacc") >= minJaccard)
   }
+
+  /** D10: cross-source duplicate containment — aggregate a near-dup pair
+    * list (e.g. [[lshCandidates]] output `id_a`/`id_b`) into a
+    * source×source leakage matrix: how many near-duplicate pairs connect
+    * each (unordered) pair of corpus sources. The curation report that
+    * answers "is crawl B just a mirror of crawl A?" and "how much does
+    * the new source overlap what we already have?" before anything is
+    * dropped.
+    *
+    * The pair list is tiny relative to the corpus (it's already the
+    * post-LSH survivors), so both id→source lookups broadcast the pairs
+    * against a two-column projection of the docs table — no shuffle of
+    * the corpus, and the matrix aggregation runs on |pairs| rows.
+    */
+  def crossSourceMatrix(docs: DataFrame, pairs: DataFrame,
+                        idCol: String, srcCol: String): DataFrame = {
+    val slim = docs.select(col(idCol), col(srcCol))
+    val withA = slim
+      .join(org.apache.spark.sql.functions.broadcast(pairs), col(idCol) === col("id_a"))
+      .select(col("id_b"), col(srcCol).as("src_a"))
+    val withB = slim
+      .join(org.apache.spark.sql.functions.broadcast(withA), col(idCol) === col("id_b"))
+      .select(col("src_a"), col(srcCol).as("src_b"))
+    withB
+      .select(least(col("src_a"), col("src_b")).as("source_a"),
+        greatest(col("src_a"), col("src_b")).as("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
 }

@@ -98,6 +98,38 @@ object TextFunctions {
     ((length(text) - length(regexp_replace(text, java.util.regex.Pattern.quote(sub), "")))
       / sub.length).cast("long")
 
+  /** Email-address pattern shared by redaction and counting. Kept to the
+    * regex subset Java and RE2 (DuckDB) interpret identically: character
+    * classes, `+`, bounded `{2,}` — no backreferences, no lookaround.
+    */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** NNN-NNNN phone fragment with word boundaries (the US-local shape;
+    * extend the alternation for other formats).
+    */
+  val PhonePattern = "\\b[0-9]{3}-[0-9]{4}\\b"
+
+  /** T11: PII scrubbing — replace email addresses and phone fragments with
+    * typed placeholder tokens. A per-row regexp_replace chain: pushable,
+    * shuffle-free, whole-stage-codegen'd — the shape a 100 TB redaction
+    * pass needs (one scan, rewrite in place). Pattern coverage is the
+    * policy knob; the operator is the plumbing.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, EmailPattern, "<EMAIL>"),
+      PhonePattern, "<PHONE>")
+
+  /** Occurrence counts for the two PII shapes (audit metric beside the
+    * scrub). group 0 = whole match, identical semantics in DuckDB's
+    * regexp_extract_all.
+    */
+  def piiEmailCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(EmailPattern), lit(0))).cast("long")
+
+  def piiPhoneCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(PhonePattern), lit(0))).cast("long")
+
   /** T3 upgrade: character-bigram frequency language-ID. Each language
     * profile is a weighted bigram list (weights from a reference corpus);
     * score = Σ weight × occurrences(bigram). Same deterministic argmax as

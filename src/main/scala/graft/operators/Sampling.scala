@@ -1,0 +1,74 @@
+package graft.operators
+
+import graft.sketches.Kmv
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Weighted sampling operators — the corpus-curation step between quality
+  * scoring and training-set assembly: sample documents/events with
+  * probability proportional to a score, deterministically.
+  *
+  * Both forms avoid `rand()`: randomness comes from `Kmv.hash48` of the
+  * row's id, so (a) the sample is REPRODUCIBLE across runs, retries, and
+  * engines (the DuckDB oracle draws the identical sample bit-for-bit),
+  * and (b) re-running over a grown table keeps every previously-sampled
+  * row's fate stable — the property that makes incremental pipeline
+  * re-runs append-only. The unweighted form of the same idea is
+  * `q_sample_hash` (R14); these add the weight dimension.
+  *
+  * Scale posture: `weightedBernoulli` is a pure per-row predicate — a
+  * pushable filter, no shuffle, no state. `weightedReservoir` (A-ES) is
+  * a global top-k on a computed priority — TakeOrderedAndProject, the
+  * same O(k)-per-partition + driver-merge shape as q_top_orders, never a
+  * global sort.
+  */
+object Sampling {
+  /** 2⁴⁸ as a double — the hash48 range, exactly representable. */
+  private val HashRangeD = Kmv.HashRange.toDouble
+
+  /** Keep predicate for Bernoulli sampling with P(keep) = min(w, cap)/cap.
+    *
+    * Integer-exact cross-engine: hash48(id) is uniform on [0, 2⁴⁸); the
+    * threshold `floor(2⁴⁸ · min(w, cap) / cap)` is computed with the same
+    * IEEE-754 ops in the same order in both engines, so the comparison is
+    * bit-reproducible (the product may round above 2⁵³ — identically on
+    * both sides).
+    */
+  def weightedKeep(id: Column, weight: Column, cap: Double): Column =
+    Kmv.hash48(id) <
+      floor(lit(HashRangeD) * least(weight.cast("double"), lit(cap)) / lit(cap))
+
+  /** Weighted Bernoulli sample: each row kept independently with
+    * probability min(weight, cap)/cap. Expected sample weight-share is
+    * proportional to the weight column — the "sample hot documents more"
+    * curation primitive.
+    */
+  def weightedBernoulli(df: DataFrame, idCol: String, weightCol: String,
+                        cap: Double): DataFrame =
+    df.filter(weightedKeep(col(idCol), col(weightCol), cap))
+
+  /** A-ES (Efraimidis–Spirakis) priority: u^(1/w) with u = (hash48+1)/2⁴⁸
+    * ∈ (0, 1]. Taking the k largest priorities draws a weighted sample
+    * WITHOUT replacement — inclusion probability follows successive
+    * weighted draws. Floating-point (pow/division), so spec-verified
+    * against a driver-side reference rather than oracle-gated; still
+    * fully deterministic for a fixed table.
+    */
+  def aesPriority(id: Column, weight: Column): Column =
+    pow((Kmv.hash48(id) + lit(1L)).cast("double") / lit(HashRangeD),
+      lit(1.0) / weight.cast("double"))
+
+  /** Weighted reservoir sample of size k (largest A-ES priorities).
+    * Requires strictly positive weights (w ≤ 0 rows are dropped — their
+    * priority would be 0 or undefined).
+    */
+  def weightedReservoir(df: DataFrame, idCol: String, weightCol: String,
+                        k: Int): DataFrame = {
+    require(k >= 1)
+    df.filter(col(weightCol) > 0)
+      .withColumn("__pri", aesPriority(col(idCol), col(weightCol)))
+      .orderBy(col("__pri").desc, col(idCol))
+      .limit(k)
+      .drop("__pri")
+  }
+}

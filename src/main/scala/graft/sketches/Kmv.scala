@@ -98,6 +98,72 @@ object Kmv {
   def kmvDistinct(hashCol: Column, k: Int): Column =
     udaf(new KmvAgg(k)).apply(hashCol)
 
+  /** Like [[KmvAgg]] but finishing to the RAW sorted sketch array — the
+    * form set operations combine (a distinct estimate alone can't be
+    * intersected; the retained hash values can).
+    */
+  class KmvSketchAgg(k: Int) extends Aggregator[Long, Array[Long], Array[Long]] {
+    require(k >= 2, "k >= 2")
+    override def zero: Array[Long] = Array.emptyLongArray
+    override def reduce(buf: Array[Long], h: Long): Array[Long] = insert(buf, h, k)
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = union(a, b, k)
+    override def finish(buf: Array[Long]): Array[Long] = buf
+    override def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder()
+    override def outputEncoder: Encoder[Array[Long]] = ExpressionEncoder()
+  }
+
+  /** Aggregate column: the sorted k-minimum-hash array itself. */
+  def kmvSketch(hashCol: Column, k: Int): Column =
+    udaf(new KmvSketchAgg(k)).apply(hashCol)
+
+  /** KMV set operations between the value sets of two groups: union and
+    * intersection cardinality estimates from the two sketches ALONE — the
+    * sketch-algebra answer to "how many users do these segments share?"
+    * without re-scanning either side (theta-sketch style).
+    *
+    * Estimator: merge the sketches and re-truncate to the k smallest —
+    * a valid KMV of A∪B, whose estimate is `union_est`. The merged
+    * support is a uniform sample of A∪B, so the fraction of it present
+    * in BOTH input sketches estimates Jaccard; `inter_est` =
+    * x_common·union_est ÷ k (integer division). With fewer than k
+    * retained values everything degenerates to exact set math.
+    *
+    * All outputs are integers derived from md5-based hashing — the gate
+    * reproduces them bit-exactly in DuckDB. Exact distinct counts ride
+    * along for calibration (KmvSpec bounds the estimator error).
+    */
+  def setOpsReport(df: DataFrame, groupCol: String, valueCol: String,
+                   gA: String, gB: String, k: Int): DataFrame = {
+    val hashed = df.filter(col(groupCol).isin(gA, gB))
+      .select(col(groupCol).as("g"), col(valueCol).as("v"))
+    val sk = hashed.select(col("g"), hash48(col("v")).as("h"))
+      .groupBy("g").agg(kmvSketch(col("h"), k).as("sk"))
+    val a = sk.filter(col("g") === gA).select(col("sk").as("sk_a"))
+    val b = sk.filter(col("g") === gB).select(col("sk").as("sk_b"))
+    val exact = hashed.distinct()
+      .groupBy("v").agg(countDistinct(col("g")).as("ng"))
+      .agg(count(lit(1)).as("exact_union"),
+        sum(when(col("ng") === 2, 1L).otherwise(0L)).as("exact_inter"))
+    a.crossJoin(b).crossJoin(exact)
+      .withColumn("merged",
+        slice(array_sort(array_union(col("sk_a"), col("sk_b"))), 1, k))
+      .withColumn("m", size(col("merged")).cast("long"))
+      .withColumn("union_est",
+        when(col("m") < k, col("m")).otherwise(
+          expr(s"${(k - 1).toLong * HashRange}L div element_at(merged, $k)")))
+      .withColumn("x_common",
+        size(array_intersect(col("merged"),
+          array_intersect(col("sk_a"), col("sk_b")))).cast("long"))
+      .withColumn("inter_est",
+        when(col("m") < k, col("x_common"))
+          .otherwise(expr(s"(x_common * union_est) div ${k}L")))
+      .select(lit(gA).as("set_a"), lit(gB).as("set_b"),
+        size(col("sk_a")).cast("long").as("n_a"),
+        size(col("sk_b")).cast("long").as("n_b"),
+        col("x_common"), col("union_est"), col("inter_est"),
+        col("exact_union"), col("exact_inter"))
+  }
+
   /** Gate-query shape: per-group exact distinct + KMV estimate of the
     * same hash stream, both reproducible in SQL. The pre-`distinct` here
     * exists solely so `n_exact` can sit beside the estimate for the

@@ -433,4 +433,49 @@ object Streams {
           max(col("n_seen")).as("n_seen"))
     }
   }
+
+  /** X12: streaming heavy hitters — a Misra-Gries counter set per key as
+    * mapGroupsWithState state, the streaming twin of sketches/FreqItems
+    * exactly as X8 is t-digest's. State is O(k) per key FOREVER — the
+    * property that lets "top items per stream" run unbounded, where a
+    * groupBy count would grow state with the key universe. MG's
+    * guarantees (every item with freq > n/k present; estimates within
+    * [true − n/k, true]) hold after ANY offer/merge order, so the gate
+    * checks them against an exact oracle just like the batch form.
+    * Input: (key: string, item: long); output per key after the replay
+    * drains: the counter map and total absorbed weight.
+    */
+  def streamingFreqItems(spark: SparkSession, rows: DataFrame, k: Int,
+                         queryName: String,
+                         rocksDb: Boolean = UseRocksDb): DataFrame = {
+    import graft.sketches.FreqItems
+    import spark.implicits._
+    val typed = rows.select(col("key").cast("string"), col("item").cast("long"))
+      .as[(String, Long)]
+    val path = stageToTemp(typed.toDF("key", "item"), "sfreq")
+
+    val update: (String, Iterator[(String, Long)], GroupState[(FreqItems.Counters, Long)]) =>
+        (String, Long, FreqItems.Counters) = (key, batch, state) => {
+      val agg = new FreqItems.FreqAgg(k)
+      var (st, seen) = state.getOption.getOrElse((Map.empty: FreqItems.Counters, 0L))
+      batch.foreach { case (_, item) => st = agg.reduce(st, item); seen += 1 }
+      state.update((st, seen))
+      (key, seen, st)
+    }
+
+    withStateSession(spark, 8, rocksDb) { iso =>
+      val stream = iso.readStream.schema(typed.schema).parquet(path)
+        .as[(String, Long)]
+      val sketches = stream.groupByKey(_._1)
+        .mapGroupsWithState(GroupStateTimeout.NoTimeout)(update)
+        .toDF("key", "n_seen", "sk")
+      val q = sketches.writeStream.outputMode("update")
+        .format("memory").queryName(queryName).start()
+      try { q.processAllAvailable() } finally { q.stop() }
+      iso.table(queryName)
+        .groupBy("key")
+        .agg(max_by(col("sk"), col("n_seen")).as("sk"),
+          max(col("n_seen")).as("n_seen"))
+    }
+  }
 }

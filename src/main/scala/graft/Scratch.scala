@@ -21,3 +21,32 @@ object Scratch {
     spark.stop()
   }
 }
+
+/** Micro-benchmark for the native grouped top-k operator: 50M synthetic
+  * rows, 1000 groups, k=100 — the regime where the per-row buffer-insert
+  * cost dominates (the gate query's k=3 over orders is too small to show
+  * it). Prints best-of-3 wall time; used to size the r4/r5 buffer-path
+  * changes.
+  */
+object ScratchTopK {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.builder(16).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import org.apache.spark.sql.functions._
+    val n = args.headOption.map(_.toLong).getOrElse(50000000L)
+    val df = spark.range(n).select(
+      (col("id") % 1000).as("grp"),
+      ((col("id") * 2654435761L) % 1000000007L).cast("double").as("score"),
+      col("id"))
+    val times = (1 to 3).map { i =>
+      val t0 = System.nanoTime()
+      val c = graft.plans.GroupedTopK.topK(df, Seq("grp"),
+        col("score"), col("id"), k = 100, rankName = "rnk").count()
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"[topk-micro] run$i $s%.2f s (rows out $c)")
+      s
+    }
+    println(f"[topk-micro] best ${times.min}%.2f s over $n rows")
+    spark.stop()
+  }
+}

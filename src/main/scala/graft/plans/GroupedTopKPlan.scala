@@ -67,6 +67,14 @@ private[plans] final class TopKBuffer(k: Int) {
   private var n = 0
 
   def insert(score: Double, tie: Long, row: UnsafeRow): Unit = {
+    // O(1) below-the-bar reject: once full, most offers in a heavy stream
+    // lose to the current worst retained row — settle that with one
+    // comparison instead of the binary search
+    if (n == k) {
+      val worst = n - 1
+      if (scores(worst) > score || (scores(worst) == score && ties(worst) < tie))
+        return
+    }
     var lo = 0; var hi = n
     while (lo < hi) { // first slot whose (score,tie) sorts after the new row
       val mid = (lo + hi) >>> 1

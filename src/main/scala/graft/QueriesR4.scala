@@ -148,6 +148,44 @@ object QueriesR4 {
       .orderBy(col("item"))
   }
 
+  /** R56: ordered funnel — how many users complete view → click →
+    * purchase IN ORDER (each stage strictly after the previous one's
+    * earliest completion). Timestamps are compared as epoch
+    * microseconds so both engines resolve ties identically.
+    */
+  def qFunnel(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Cohorts.funnelSummary(
+      t(s, dir, "events").select(col("user_id"),
+        col("event_type"), unix_micros(col("ts").cast("timestamp")).as("tsu")),
+      "user_id", "event_type", "tsu", Seq("view", "click", "purchase"))
+
+  /** R57: daily cohort retention — users belong to the epoch-day of
+    * their first event; each (cohort, offset) cell counts the cohort's
+    * users active that many days later. Pure integer day indices.
+    */
+  def qCohortRetention(s: SparkSession, dir: String): DataFrame = {
+    val day = expr("unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000")
+    graft.operators.Cohorts.cohortRetention(
+      t(s, dir, "events"), "user_id", day)
+  }
+
+  /** X13: streaming exact moments — the per-key (n, Σx, Σx²) state after
+    * the replay drains must equal the batch aggregate bit-for-bit (sums
+    * commute). Same cents construction as the anomaly gate, so the
+    * oracle is its stats CTE.
+    */
+  def streamMoments(s: SparkSession, dir: String): DataFrame = {
+    val cents = round(col("value") *
+      when(col("event_id") % 97 === 0, lit(1000.0)).otherwise(lit(100.0)))
+      .cast("long")
+    val rows = t(s, dir, "events")
+      .select(col("event_type").as("key"), cents.as("x"))
+    graft.streaming.Streams.streamingMoments(s, rows,
+        queryName = s"gate_smoments_${System.nanoTime()}")
+      .select(col("key").as("event_type"), col("n"), col("s1"), col("s2"))
+      .orderBy(col("event_type"))
+  }
+
   /** D10: cross-source near-dup leakage matrix over the LSH pair list
     * (see [[Dedup.crossSourceMatrix]]); oracle = the minhash-LSH pair
     * oracle aggregated by source pair.
@@ -284,6 +322,54 @@ object QueriesR4 {
         |SELECT o_orderkey, changed_cols FROM j WHERE changed_cols <> ''
         |ORDER BY o_orderkey""".stripMargin,
     "stream_freq_heavy" -> QueriesR3.sql("sketch_freq_heavy"),
+    "q_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS tsu FROM events
+        |), u AS (SELECT DISTINCT user_id FROM e),
+        |s1 AS (
+        |  SELECT user_id, MIN(tsu) AS t1 FROM e WHERE event_type = 'view'
+        |  GROUP BY user_id
+        |), s2 AS (
+        |  SELECT e.user_id, MIN(tsu) AS t2
+        |  FROM e JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE event_type = 'click' AND tsu > t1 GROUP BY e.user_id
+        |), s3 AS (
+        |  SELECT e.user_id, MIN(tsu) AS t3
+        |  FROM e JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE event_type = 'purchase' AND tsu > t2 GROUP BY e.user_id
+        |), c AS (
+        |  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM s1) AS n1,
+        |         (SELECT CAST(COUNT(*) AS BIGINT) FROM s2) AS n2,
+        |         (SELECT CAST(COUNT(*) AS BIGINT) FROM s3) AS n3
+        |)
+        |SELECT CAST(1 AS BIGINT) AS stage, 'view' AS stage_name, n1 AS n_users FROM c
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), 'click', n2 FROM c
+        |UNION ALL
+        |SELECT CAST(3 AS BIGINT), 'purchase', n3 FROM c
+        |ORDER BY stage""".stripMargin,
+    "q_cohort_retention" ->
+      """WITH act AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS period
+        |  FROM events
+        |), cohort AS (
+        |  SELECT user_id, MIN(period) AS cohort_period FROM act GROUP BY user_id
+        |)
+        |SELECT c.cohort_period, a.period - c.cohort_period AS period_offset,
+        |  CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_users
+        |FROM act a JOIN cohort c ON a.user_id = c.user_id
+        |GROUP BY c.cohort_period, a.period - c.cohort_period
+        |ORDER BY cohort_period, period_offset""".stripMargin,
+    "stream_moments" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    CAST(ROUND(value * (CASE WHEN event_id % 97 = 0 THEN 1000.0 ELSE 100.0 END)) AS BIGINT) AS cents
+        |  FROM events
+        |)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(cents) AS BIGINT) AS s1,
+        |  CAST(SUM(cents * cents) AS BIGINT) AS s2
+        |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,
     "dedup_cross_source" ->
       s"""WITH pr AS (${QueriesData.sql("dedup_minhash_lsh")}),
          |m AS (

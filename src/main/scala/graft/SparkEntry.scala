@@ -139,7 +139,10 @@ object SparkEntry {
     "text_redact" -> (QueriesR4.textRedact _),
     "cdc_column_diff" -> (QueriesR4.cdcColumnDiff _),
     "stream_freq_heavy" -> (QueriesR4.streamFreqHeavy _),
-    "dedup_cross_source" -> (QueriesR4.dedupCrossSource _))
+    "dedup_cross_source" -> (QueriesR4.dedupCrossSource _),
+    "q_funnel" -> (QueriesR4.qFunnel _),
+    "q_cohort_retention" -> (QueriesR4.qCohortRetention _),
+    "stream_moments" -> (QueriesR4.streamMoments _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.

@@ -478,4 +478,45 @@ object Streams {
           max(col("n_seen")).as("n_seen"))
     }
   }
+
+  /** X13: streaming exact moments — per key, the integer running state
+    * (n, Σx, Σx²) maintained across micro-batches. Sums commute, so
+    * after the replay drains the state equals the batch aggregate
+    * BIT-FOR-BIT regardless of batch splits or arrival order — the
+    * strongest statement a streaming gate can make, and the state any
+    * online mean/variance/z-score monitor needs (the streaming side of
+    * the R54 anomaly algebra: 12 bytes of state per key, never a row
+    * buffer). Input: (key: string, x: long).
+    */
+  def streamingMoments(spark: SparkSession, rows: DataFrame,
+                       queryName: String,
+                       rocksDb: Boolean = UseRocksDb): DataFrame = {
+    import spark.implicits._
+    val typed = rows.select(col("key").cast("string"), col("x").cast("long"))
+      .as[(String, Long)]
+    val path = stageToTemp(typed.toDF("key", "x"), "smoments")
+
+    val update: (String, Iterator[(String, Long)], GroupState[(Long, Long, Long)]) =>
+        (String, Long, Long, Long) = (key, batch, state) => {
+      var (n, s1, s2) = state.getOption.getOrElse((0L, 0L, 0L))
+      batch.foreach { case (_, x) => n += 1; s1 += x; s2 += x * x }
+      state.update((n, s1, s2))
+      (key, n, s1, s2)
+    }
+
+    withStateSession(spark, 8, rocksDb) { iso =>
+      val stream = iso.readStream.schema(typed.schema).parquet(path)
+        .as[(String, Long)]
+      val moments = stream.groupByKey(_._1)
+        .mapGroupsWithState(GroupStateTimeout.NoTimeout)(update)
+        .toDF("key", "n", "s1", "s2")
+      val q = moments.writeStream.outputMode("update")
+        .format("memory").queryName(queryName).start()
+      try { q.processAllAvailable() } finally { q.stop() }
+      iso.table(queryName)
+        .groupBy("key")
+        .agg(max(col("n")).as("n"), max_by(col("s1"), col("n")).as("s1"),
+          max_by(col("s2"), col("n")).as("s2"))
+    }
+  }
 }

@@ -186,6 +186,57 @@ object QueriesR4 {
       .orderBy(col("event_type"))
   }
 
+  /** Q1: declarative data-quality audit over orders + lineitem — one
+    * aggregate pass per table, a report row per constraint (see
+    * [[graft.operators.Quality]]). The fixture mixes passing contracts
+    * with deliberately violated ones (tightened range, shrunk domain) so
+    * both report polarities are exercised.
+    */
+  def dqConstraints(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Quality._
+    val orders = report(t(s, dir, "orders"), "orders", Seq(
+      notNull("o_orderkey"), unique("o_orderkey"),
+      inSet("o_orderstatus", Seq("O", "F", "P")),
+      inSet("o_orderpriority", Seq("1-URGENT", "2-HIGH", "3-MEDIUM")),
+      inRange("o_totalprice", lit(0), lit(100000)),
+      notNull("o_orderdate")))
+    val lineitem = report(t(s, dir, "lineitem"), "lineitem", Seq(
+      notNull("l_orderkey"),
+      inRange("l_quantity", lit(1), lit(50)),
+      inRange("l_discount", lit(0), lit(0.04)),
+      inSet("l_returnflag", Seq("A", "N", "R"))))
+    orders.unionByName(lineitem).orderBy(col("check_name"))
+  }
+
+  /** R58: session transition matrix — counts of (prev event type → next
+    * event type) steps within a user's 30-minute session continuity,
+    * ordered by event_id like the sessionize gate. The Markov-chain view
+    * of the event stream: one window pass + one aggregate.
+    */
+  def qEventTransitions(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = t(s, dir, "events").select(col("user_id"), col("event_id"),
+      col("event_type"),
+      unix_timestamp(col("ts").cast("timestamp")).as("ts_sec"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    e.withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .withColumn("gap", col("ts_sec") - lag(col("ts_sec"), 1).over(w))
+      .filter(col("prev_type").isNotNull && col("gap") <= 1800)
+      .groupBy(col("prev_type"), col("event_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+      .select(col("prev_type"), col("event_type").as("next_type"),
+        col("n_transitions"))
+      .orderBy(col("prev_type"), col("next_type"))
+  }
+
+  /** D11: minhash Jaccard estimates for the LSH candidate pairs (see
+    * [[Dedup.minhashAgreement]]) — integer agreement counts, bit-exact
+    * against the oracle's reconstruction of the same signatures.
+    */
+  def dedupMinhashEstimate(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashAgreement(t(s, dir, "documents"), col("doc_id"), col("text"),
+      shingleWords = 3, k = 12, bands = 4)
+
   /** D10: cross-source near-dup leakage matrix over the LSH pair list
     * (see [[Dedup.crossSourceMatrix]]); oracle = the minhash-LSH pair
     * oracle aggregated by source pair.
@@ -360,6 +411,72 @@ object QueriesR4 {
         |FROM act a JOIN cohort c ON a.user_id = c.user_id
         |GROUP BY c.cohort_period, a.period - c.cohort_period
         |ORDER BY cohort_period, period_offset""".stripMargin,
+    "dq_constraints" ->
+      """WITH o AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_nn,
+        |    CAST(COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS v_uq,
+        |    CAST(SUM(CASE WHEN o_orderstatus IS NULL
+        |      OR o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) AS BIGINT) AS v_st,
+        |    CAST(SUM(CASE WHEN o_orderpriority IS NULL
+        |      OR o_orderpriority NOT IN ('1-URGENT','2-HIGH','3-MEDIUM') THEN 1 ELSE 0 END) AS BIGINT) AS v_pr,
+        |    CAST(SUM(CASE WHEN o_totalprice IS NULL
+        |      OR o_totalprice < 0 OR o_totalprice > 100000 THEN 1 ELSE 0 END) AS BIGINT) AS v_tp,
+        |    CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_od
+        |  FROM orders
+        |), l AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_nn,
+        |    CAST(SUM(CASE WHEN l_quantity IS NULL
+        |      OR l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT) AS v_qt,
+        |    CAST(SUM(CASE WHEN l_discount IS NULL
+        |      OR l_discount < 0 OR l_discount > 0.04 THEN 1 ELSE 0 END) AS BIGINT) AS v_di,
+        |    CAST(SUM(CASE WHEN l_returnflag IS NULL
+        |      OR l_returnflag NOT IN ('A','N','R') THEN 1 ELSE 0 END) AS BIGINT) AS v_rf
+        |  FROM lineitem
+        |)
+        |SELECT * FROM (
+        |  SELECT 'orders.not_null(o_orderkey)' AS check_name, v_nn AS n_violations, v_nn = 0 AS passed FROM o
+        |  UNION ALL SELECT 'orders.unique(o_orderkey)', v_uq, v_uq = 0 FROM o
+        |  UNION ALL SELECT 'orders.in_set(o_orderstatus)', v_st, v_st = 0 FROM o
+        |  UNION ALL SELECT 'orders.in_set(o_orderpriority)', v_pr, v_pr = 0 FROM o
+        |  UNION ALL SELECT 'orders.in_range(o_totalprice)', v_tp, v_tp = 0 FROM o
+        |  UNION ALL SELECT 'orders.not_null(o_orderdate)', v_od, v_od = 0 FROM o
+        |  UNION ALL SELECT 'lineitem.not_null(l_orderkey)', v_nn, v_nn = 0 FROM l
+        |  UNION ALL SELECT 'lineitem.in_range(l_quantity)', v_qt, v_qt = 0 FROM l
+        |  UNION ALL SELECT 'lineitem.in_range(l_discount)', v_di, v_di = 0 FROM l
+        |  UNION ALL SELECT 'lineitem.in_set(l_returnflag)', v_rf, v_rf = 0 FROM l
+        |) r ORDER BY check_name""".stripMargin,
+    "q_event_transitions" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec
+        |  FROM events
+        |), m AS (
+        |  SELECT event_type, lag(event_type) OVER w AS prev_type,
+        |    ts_sec - lag(ts_sec) OVER w AS gap
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+        |)
+        |SELECT prev_type, event_type AS next_type,
+        |  CAST(COUNT(*) AS BIGINT) AS n_transitions
+        |FROM m WHERE prev_type IS NOT NULL AND gap <= 1800
+        |GROUP BY prev_type, event_type
+        |ORDER BY prev_type, next_type""".stripMargin,
+    "dedup_minhash_estimate" -> {
+      val agreeSum = (0 until 12).map(j =>
+        s"(CASE WHEN x.h$j = y.h$j THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH ${QueriesData.minhashCtes},
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+         |)
+         |SELECT c.id_a, c.id_b, CAST($agreeSum AS BIGINT) AS n_agree,
+         |  CAST(12 AS BIGINT) AS k_total
+         |FROM cand c
+         |JOIN mh x ON c.id_a = x.doc_id
+         |JOIN mh y ON c.id_b = y.doc_id
+         |ORDER BY id_a, id_b""".stripMargin
+    },
     "stream_moments" ->
       """WITH e AS (
         |  SELECT event_type,

@@ -142,7 +142,10 @@ object SparkEntry {
     "dedup_cross_source" -> (QueriesR4.dedupCrossSource _),
     "q_funnel" -> (QueriesR4.qFunnel _),
     "q_cohort_retention" -> (QueriesR4.qCohortRetention _),
-    "stream_moments" -> (QueriesR4.streamMoments _))
+    "stream_moments" -> (QueriesR4.streamMoments _),
+    "dq_constraints" -> (QueriesR4.dqConstraints _),
+    "q_event_transitions" -> (QueriesR4.qEventTransitions _),
+    "dedup_minhash_estimate" -> (QueriesR4.dedupMinhashEstimate _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.

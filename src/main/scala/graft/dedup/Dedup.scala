@@ -563,6 +563,44 @@ object Dedup {
       .filter(col("jacc") >= minJaccard)
   }
 
+  /** D11: per-pair minhash Jaccard ESTIMATE — for each LSH candidate
+    * pair, the number of agreeing signature components out of k
+    * (n_agree/k is the unbiased Jaccard estimate; kept as integers so
+    * the oracle reproduces it bit-exactly). The triage step between
+    * candidate generation (cheap, band collisions) and exact
+    * verification (expensive, full shingle intersection): at scale you
+    * estimate on the O(k) signatures you already shuffled, and only
+    * pairs above the estimate threshold pay the exact pass.
+    *
+    * The signature table is computed once; the band-explode and the two
+    * per-side projections all reuse its exchange.
+    */
+  def minhashAgreement(docs: DataFrame, id: Column, text: Column,
+                       shingleWords: Int, k: Int, bands: Int): DataFrame = {
+    val rows = k / bands
+    val sig = minhashSignatureTable(docs, id, text, shingleWords, k)
+    val bandKeys = (0 until bands).map { b =>
+      md5(concat_ws("|",
+        (0 until rows).map(r => col(s"h${b * rows + r}").cast("string")): _*))
+    }
+    val exploded = sig.select(col("doc_id"), explode(array(bandKeys: _*)).as("band"))
+    val a = exploded.select(col("band"), col("doc_id").as("id_a"))
+    val b = exploded.select(col("band").as("band_b"), col("doc_id").as("id_b"))
+    val pairs = a.join(b, col("band") === col("band_b") && col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val sa = sig.select(col("doc_id").as("ia") +:
+      (0 until k).map(j => col(s"h$j").as(s"a$j")): _*)
+    val sb = sig.select(col("doc_id").as("ib") +:
+      (0 until k).map(j => col(s"h$j").as(s"b$j")): _*)
+    val agree = (0 until k).map(j =>
+      when(col(s"a$j") === col(s"b$j"), 1L).otherwise(0L)).reduce(_ + _)
+    pairs.join(sa, col("id_a") === col("ia"))
+      .join(sb, col("id_b") === col("ib"))
+      .select(col("id_a"), col("id_b"), agree.as("n_agree"),
+        lit(k.toLong).as("k_total"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** D10: cross-source duplicate containment — aggregate a near-dup pair
     * list (e.g. [[lshCandidates]] output `id_a`/`id_b`) into a
     * source×source leakage matrix: how many near-duplicate pairs connect

@@ -1,0 +1,45 @@
+package graft.operators
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class QualitySpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val fixture = Seq(
+    (Option(1L), Option("A"), Option(10.0)),
+    (Option(2L), Option("B"), Option(20.0)),
+    (Option(2L), Option("C"), Option(-5.0)),  // dup key, bad status, below range
+    (None, Option("A"), Option(200.0)),       // null key, above range
+    (Option(3L), None, None)                  // null status, null value
+  ).toDF("k", "st", "v")
+
+  test("each constraint counts exactly its violations in one pass") {
+    val got = Quality.report(fixture, "t", Seq(
+      Quality.notNull("k"), Quality.unique("k"),
+      Quality.inSet("st", Seq("A", "B")),
+      Quality.inRange("v", lit(0.0), lit(100.0))))
+      .as[(String, Long, Boolean)].collect().toMap2
+    assert(got("t.not_null(k)") == ((1L, false)))
+    assert(got("t.unique(k)") == ((1L, false)), "one extra row for the duplicated key")
+    assert(got("t.in_set(st)") == ((2L, false)), "null + 'C'")
+    assert(got("t.in_range(v)") == ((3L, false)), "null + -5 + 200")
+  }
+
+  test("clean data passes every constraint") {
+    val clean = Seq((1L, "A", 1.0), (2L, "B", 2.0)).toDF("k", "st", "v")
+    val got = Quality.report(clean, "t", Seq(
+      Quality.notNull("k"), Quality.unique("k"),
+      Quality.inSet("st", Seq("A", "B")),
+      Quality.inRange("v", lit(0.0), lit(100.0))))
+      .as[(String, Long, Boolean)].collect()
+    assert(got.forall { case (_, n, p) => n == 0L && p })
+  }
+
+  private implicit class ToMap2(rows: Array[(String, Long, Boolean)]) {
+    def toMap2: Map[String, (Long, Boolean)] =
+      rows.map { case (n, v, p) => n -> ((v, p)) }.toMap
+  }
+}

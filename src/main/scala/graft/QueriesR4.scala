@@ -248,6 +248,45 @@ object QueriesR4 {
     Dedup.crossSourceMatrix(d, pairs, "doc_id", "source")
   }
 
+  /** T12: inverted index — term → document-frequency + sorted posting
+    * list, the IR primitive behind decontamination lookups and
+    * targeted corpus queries ("all docs containing X") without a full
+    * scan per probe. One explode + one aggregate; posting lists are
+    * flattened to comma-joined strings for the cross-engine hash (the
+    * established array-gate idiom). The df floor bounds the gated output
+    * to common terms; production keeps the full index partitioned by
+    * term.
+    */
+  def textInvertedIndex(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    d.select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("term"))
+      .groupBy(col("term"))
+      .agg(countDistinct(col("doc_id")).as("df"),
+        concat_ws(",",
+          transform(sort_array(collect_set(col("doc_id"))), _.cast("string")))
+          .as("postings"))
+      .filter(col("df") >= 50)
+      .orderBy(col("term"))
+  }
+
+  /** T13: deterministic train/val/test split — 80/10/10 by hash bucket of
+    * the document id, so the assignment is stable under re-runs, appends,
+    * and engine changes (the property that keeps eval sets eval sets).
+    * Reported per (source, split) with document and character counts.
+    */
+  def qDatasetSplit(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "documents")
+      .withColumn("__h", Kmv.hash48(col("doc_id")))
+      .withColumn("__bucket", expr(s"(__h * 10) div ${Kmv.HashRange}"))
+      .withColumn("split",
+        when(col("__bucket") < 8, "train")
+          .when(col("__bucket") === 8, "val").otherwise("test"))
+      .groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("n_chars_total"))
+      .orderBy(col("source"), col("split"))
+  }
+
   // ---------------------------------------------------------------- oracle
 
   private val hash48Sql =
@@ -487,6 +526,28 @@ object QueriesR4 {
         |  CAST(SUM(cents) AS BIGINT) AS s1,
         |  CAST(SUM(cents * cents) AS BIGINT) AS s2
         |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "text_inverted_index" ->
+      """WITH tm AS (
+        |  SELECT DISTINCT doc_id, unnest(str_split(text, ' ')) AS term
+        |  FROM documents
+        |)
+        |SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+        |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+        |FROM tm GROUP BY term HAVING COUNT(*) >= 50
+        |ORDER BY term""".stripMargin,
+    "q_dataset_split" ->
+      s"""WITH d AS (
+         |  SELECT source, n_chars,
+         |    (${hash48Sql.format("doc_id")} * 10) // ${Kmv.HashRange} AS bucket
+         |  FROM documents
+         |)
+         |SELECT source,
+         |  CASE WHEN bucket < 8 THEN 'train' WHEN bucket = 8 THEN 'val'
+         |    ELSE 'test' END AS split,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(n_chars) AS BIGINT) AS n_chars_total
+         |FROM d GROUP BY source, split
+         |ORDER BY source, split""".stripMargin,
     "dedup_cross_source" ->
       s"""WITH pr AS (${QueriesData.sql("dedup_minhash_lsh")}),
          |m AS (

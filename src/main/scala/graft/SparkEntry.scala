@@ -145,7 +145,9 @@ object SparkEntry {
     "stream_moments" -> (QueriesR4.streamMoments _),
     "dq_constraints" -> (QueriesR4.dqConstraints _),
     "q_event_transitions" -> (QueriesR4.qEventTransitions _),
-    "dedup_minhash_estimate" -> (QueriesR4.dedupMinhashEstimate _))
+    "dedup_minhash_estimate" -> (QueriesR4.dedupMinhashEstimate _),
+    "text_inverted_index" -> (QueriesR4.textInvertedIndex _),
+    "q_dataset_split" -> (QueriesR4.qDatasetSplit _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.

@@ -17,7 +17,10 @@ object Bench {
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_embed_lsh",
     "ann_bruteforce_topk", "text_quality", "mm_frame_sample",
     "sketch_kmv_distinct", "zorder_cluster", "q_top_k_native",
-    "corpus_clean")
+    "corpus_clean",
+    // round-4 extension paths: space-filling layout, behavioral funnel,
+    // one-pass quality audit, inverted index
+    "hilbert_cluster", "q_funnel", "dq_constraints", "text_inverted_index")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

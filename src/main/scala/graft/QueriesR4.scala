@@ -237,6 +237,66 @@ object QueriesR4 {
     Dedup.minhashAgreement(t(s, dir, "documents"), col("doc_id"), col("text"),
       shingleWords = 3, k = 12, bands = 4)
 
+  /** X14: streaming ordered funnel — per-user O(stages) state under the
+    * event-time-ordered delivery contract (see
+    * [[graft.streaming.Streams.streamingFunnel]]); the drained chains
+    * aggregate to the SAME summary as the batch funnel, so the oracle is
+    * q_funnel's.
+    */
+  def streamFunnel(s: SparkSession, dir: String): DataFrame = {
+    val stages = Seq("view", "click", "purchase")
+    val rows = t(s, dir, "events")
+      .filter(col("event_type").isin(stages.map(x => x: Any): _*))
+      .select(col("user_id").as("user"),
+        when(col("event_type") === "view", 1)
+          .when(col("event_type") === "click", 2).otherwise(3).as("stage"),
+        unix_micros(col("ts").cast("timestamp")).as("tsu"))
+    val chains = graft.streaming.Streams.streamingFunnel(s, rows, 3,
+      queryName = s"gate_sfunnel_${System.nanoTime()}")
+    val counts = chains.agg(
+      sum(when(element_at(col("stage_ts"), 1) =!= 0L, 1L).otherwise(0L)).as("n1"),
+      sum(when(element_at(col("stage_ts"), 2) =!= 0L, 1L).otherwise(0L)).as("n2"),
+      sum(when(element_at(col("stage_ts"), 3) =!= 0L, 1L).otherwise(0L)).as("n3"))
+    val stageRows = stages.zipWithIndex.map { case (st, i) =>
+      struct(lit(i + 1).cast("long").as("stage"), lit(st).as("stage_name"),
+        col(s"n${i + 1}").as("n_users"))
+    }
+    counts.select(explode(array(stageRows: _*)).as("s"))
+      .select(col("s.stage"), col("s.stage_name"), col("s.n_users"))
+      .orderBy(col("stage"))
+  }
+
+  /** R38b: incremental t-digest maintenance — half the data's per-group
+    * digest STATES persisted to parquet, the other half's states merged
+    * in without re-reading history (the R44-incremental pattern applied
+    * to quantiles); the merged estimates must satisfy the same ±2% rank
+    * bound as the single-pass gate, so the oracle is shared.
+    */
+  def sketchTdigestIncremental(s: SparkSession, dir: String): DataFrame = {
+    import graft.sketches.TDigest
+    val e = t(s, dir, "events")
+      .select(col("event_id"), col("event_type"), col("value").cast("double").as("v"))
+    def states(df: DataFrame) = df.groupBy("event_type")
+      .agg(TDigest.digestState(col("v")).as("sk"))
+    val store = java.nio.file.Files.createTempDirectory("graft_td_inc").toString
+    states(e.filter(col("event_id") % 2 === 0)).write.mode("overwrite").parquet(store)
+    val merged = s.read.parquet(store)
+      .unionByName(states(e.filter(col("event_id") % 2 =!= 0)))
+    val est = merged.groupBy("event_type")
+      .agg(TDigest.mergeQuantiles(col("sk"), Seq(0.5, 0.95)).as("qs"))
+      .select(col("event_type").as("et"),
+        col("qs").getItem(0).as("p50_est"), col("qs").getItem(1).as("p95_est"))
+    e.join(est, col("event_type") === col("et"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("v") <= col("p50_est"), 1L).otherwise(0L)).as("le50"),
+        sum(when(col("v") <= col("p95_est"), 1L).otherwise(0L)).as("le95"))
+      .select(col("event_type"), col("n"),
+        (abs(col("le50") / col("n") - 0.5) < 0.02).as("p50_ok"),
+        (abs(col("le95") / col("n") - 0.95) < 0.02).as("p95_ok"))
+      .orderBy(col("event_type"))
+  }
+
   /** D10: cross-source near-dup leakage matrix over the LSH pair list
     * (see [[Dedup.crossSourceMatrix]]); oracle = the minhash-LSH pair
     * oracle aggregated by source pair.
@@ -294,6 +354,36 @@ object QueriesR4 {
 
   private val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   private val phonePat = "\\b[0-9]{3}-[0-9]{4}\\b"
+
+  /** Shared by q_funnel (batch) and stream_funnel (X14): the two
+    * formulations must produce the identical summary.
+    */
+  private val funnelSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS tsu FROM events
+      |), u AS (SELECT DISTINCT user_id FROM e),
+      |s1 AS (
+      |  SELECT user_id, MIN(tsu) AS t1 FROM e WHERE event_type = 'view'
+      |  GROUP BY user_id
+      |), s2 AS (
+      |  SELECT e.user_id, MIN(tsu) AS t2
+      |  FROM e JOIN s1 ON e.user_id = s1.user_id
+      |  WHERE event_type = 'click' AND tsu > t1 GROUP BY e.user_id
+      |), s3 AS (
+      |  SELECT e.user_id, MIN(tsu) AS t3
+      |  FROM e JOIN s2 ON e.user_id = s2.user_id
+      |  WHERE event_type = 'purchase' AND tsu > t2 GROUP BY e.user_id
+      |), c AS (
+      |  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM s1) AS n1,
+      |         (SELECT CAST(COUNT(*) AS BIGINT) FROM s2) AS n2,
+      |         (SELECT CAST(COUNT(*) AS BIGINT) FROM s3) AS n3
+      |)
+      |SELECT CAST(1 AS BIGINT) AS stage, 'view' AS stage_name, n1 AS n_users FROM c
+      |UNION ALL
+      |SELECT CAST(2 AS BIGINT), 'click', n2 FROM c
+      |UNION ALL
+      |SELECT CAST(3 AS BIGINT), 'purchase', n3 FROM c
+      |ORDER BY stage""".stripMargin
 
   val sql: Map[String, String] = Map(
     "hilbert_cluster" ->
@@ -412,32 +502,9 @@ object QueriesR4 {
         |SELECT o_orderkey, changed_cols FROM j WHERE changed_cols <> ''
         |ORDER BY o_orderkey""".stripMargin,
     "stream_freq_heavy" -> QueriesR3.sql("sketch_freq_heavy"),
-    "q_funnel" ->
-      """WITH e AS (
-        |  SELECT user_id, event_type, epoch_us(ts) AS tsu FROM events
-        |), u AS (SELECT DISTINCT user_id FROM e),
-        |s1 AS (
-        |  SELECT user_id, MIN(tsu) AS t1 FROM e WHERE event_type = 'view'
-        |  GROUP BY user_id
-        |), s2 AS (
-        |  SELECT e.user_id, MIN(tsu) AS t2
-        |  FROM e JOIN s1 ON e.user_id = s1.user_id
-        |  WHERE event_type = 'click' AND tsu > t1 GROUP BY e.user_id
-        |), s3 AS (
-        |  SELECT e.user_id, MIN(tsu) AS t3
-        |  FROM e JOIN s2 ON e.user_id = s2.user_id
-        |  WHERE event_type = 'purchase' AND tsu > t2 GROUP BY e.user_id
-        |), c AS (
-        |  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM s1) AS n1,
-        |         (SELECT CAST(COUNT(*) AS BIGINT) FROM s2) AS n2,
-        |         (SELECT CAST(COUNT(*) AS BIGINT) FROM s3) AS n3
-        |)
-        |SELECT CAST(1 AS BIGINT) AS stage, 'view' AS stage_name, n1 AS n_users FROM c
-        |UNION ALL
-        |SELECT CAST(2 AS BIGINT), 'click', n2 FROM c
-        |UNION ALL
-        |SELECT CAST(3 AS BIGINT), 'purchase', n3 FROM c
-        |ORDER BY stage""".stripMargin,
+    "stream_funnel" -> funnelSql,
+    "sketch_tdigest_incremental" -> QueriesR3.sql("sketch_tdigest_rank"),
+    "q_funnel" -> funnelSql,
     "q_cohort_retention" ->
       """WITH act AS (
         |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS period

@@ -147,7 +147,9 @@ object SparkEntry {
     "q_event_transitions" -> (QueriesR4.qEventTransitions _),
     "dedup_minhash_estimate" -> (QueriesR4.dedupMinhashEstimate _),
     "text_inverted_index" -> (QueriesR4.textInvertedIndex _),
-    "q_dataset_split" -> (QueriesR4.qDatasetSplit _))
+    "q_dataset_split" -> (QueriesR4.qDatasetSplit _),
+    "stream_funnel" -> (QueriesR4.streamFunnel _),
+    "sketch_tdigest_incremental" -> (QueriesR4.sketchTdigestIncremental _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.

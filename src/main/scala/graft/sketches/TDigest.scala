@@ -135,4 +135,49 @@ object TDigest {
   /** DataFrame-API aggregate column over a double column. */
   def quantiles(c: Column, qs: Seq[Double], compression: Double = 200): Column =
     udaf(new TDigestAgg(qs, compression)).apply(c)
+
+  /** Like [[TDigestAgg]] but finishing to the compressed STATE — the
+    * persistable form: O(δ) centroids per group that a later run reads
+    * back and merges with fresh data (incremental maintenance, the R44
+    * pattern applied to quantiles).
+    */
+  class SketchAgg(compression: Double = 200)
+      extends Aggregator[Double, State, State] {
+    private val inner = new TDigestAgg(Seq(0.5), compression)
+    override def zero: State = State.empty
+    override def reduce(st: State, v: Double): State = inner.reduce(st, v)
+    override def merge(a: State, b: State): State = inner.merge(a, b)
+    override def finish(st: State): State = compress(st, compression)
+    override def bufferEncoder: Encoder[State] = ExpressionEncoder()
+    override def outputEncoder: Encoder[State] = ExpressionEncoder()
+  }
+
+  /** Aggregate column: the compressed digest state as a struct. */
+  def digestState(c: Column, compression: Double = 200): Column =
+    udaf(new SketchAgg(compression)).apply(c)
+
+  /** Merge persisted digest STATES (struct rows from [[digestState]])
+    * and finish to quantile estimates — how stored per-partition/per-day
+    * digests combine into current quantiles without re-reading history.
+    */
+  class MergeQuantilesAgg(qs: Seq[Double], compression: Double = 200)
+      extends Aggregator[State, State, Seq[Double]] {
+    require(qs.nonEmpty && qs.forall(q => q >= 0 && q <= 1))
+    private val inner = new TDigestAgg(qs, compression)
+    override def zero: State = State.empty
+    override def reduce(st: State, in: State): State = inner.merge(st, in)
+    override def merge(a: State, b: State): State = inner.merge(a, b)
+    override def finish(st: State): Seq[Double] = inner.finish(st)
+    override def bufferEncoder: Encoder[State] = ExpressionEncoder()
+    override def outputEncoder: Encoder[Seq[Double]] = ExpressionEncoder()
+  }
+
+  /** The Aggregator input encoder flattens the State case class to one
+    * argument per field, so the struct column is passed field-wise.
+    */
+  def mergeQuantiles(stateCol: Column, qs: Seq[Double],
+                     compression: Double = 200): Column =
+    udaf(new MergeQuantilesAgg(qs, compression)).apply(
+      stateCol.getField("means"), stateCol.getField("weights"),
+      stateCol.getField("buf"), stateCol.getField("nBuf"))
 }

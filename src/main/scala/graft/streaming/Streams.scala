@@ -519,4 +519,66 @@ object Streams {
           max_by(col("s2"), col("n")).as("s2"))
     }
   }
+
+  /** X14: streaming ordered funnel — per-user stage-completion times as
+    * mapGroupsWithState state, O(stages) longs per user FOREVER.
+    *
+    * Contract: per-user EVENT-TIME-ORDERED delivery (the replay is
+    * staged globally ts-sorted; a production pipeline gets the same
+    * guarantee from watermark-ordered reprocessing, and each batch is
+    * re-sorted internally so intra-batch shuffle order never matters).
+    * Under that contract the greedy rule — set tᵢ on the first stage-i
+    * event STRICTLY after tᵢ₋₁, never overwrite — computes exactly the
+    * batch [[graft.operators.Cohorts.funnelTimes]] chain: the earliest
+    * stage-1 time arrives first, and any stage-i event processed while
+    * tᵢ₋₁ is unset has ts ≤ tᵢ₋₁, so rejecting it matches the strict
+    * order semantics (ties included). Stage times are immutable once
+    * set, so the latest emit per user is the final chain.
+    *
+    * Input: (user: long, stage: int 1-based, tsu: long epoch-µs > 0).
+    * Output per user after the replay drains: the stage-time array
+    * (0 = never reached).
+    */
+  def streamingFunnel(spark: SparkSession, rows: DataFrame, nStages: Int,
+                      queryName: String,
+                      rocksDb: Boolean = UseRocksDb): DataFrame = {
+    import spark.implicits._
+    require(nStages >= 1)
+    val typed = rows.select(col("user").cast("long"), col("stage").cast("int"),
+        col("tsu").cast("long"))
+      .orderBy(col("tsu"), col("stage"), col("user"))
+      .coalesce(1) // one ts-ordered file = ordered replay
+      .as[(Long, Int, Long)]
+    val path = stageToTemp(typed.toDF("user", "stage", "tsu"), "sfunnel")
+
+    val update: (Long, Iterator[(Long, Int, Long)], GroupState[Seq[Long]]) =>
+        (Long, Seq[Long]) = (user, batch, state) => {
+      val ts = state.getOption.map(_.toArray).getOrElse(Array.fill(nStages)(0L))
+      batch.toSeq.sortBy(r => (r._3, r._2)).foreach { case (_, stage, tsu) =>
+        val i = stage - 1
+        if (i >= 0 && i < nStages && ts(i) == 0L &&
+            (i == 0 || (ts(i - 1) != 0L && tsu > ts(i - 1))))
+          ts(i) = tsu
+      }
+      state.update(ts.toSeq)
+      (user, ts.toSeq)
+    }
+
+    withStateSession(spark, 8, rocksDb) { iso =>
+      val stream = iso.readStream.schema(typed.schema).parquet(path)
+        .as[(Long, Int, Long)]
+      val chains = stream.groupByKey(_._1)
+        .mapGroupsWithState(GroupStateTimeout.NoTimeout)(update)
+        .toDF("user", "stage_ts")
+      val q = chains.writeStream.outputMode("update")
+        .format("memory").queryName(queryName).start()
+      try { q.processAllAvailable() } finally { q.stop() }
+      // stage times are immutable once set -> per user, the emit with the
+      // most stages set is the final chain
+      iso.table(queryName)
+        .groupBy("user")
+        .agg(max_by(col("stage_ts"),
+          size(filter(col("stage_ts"), t => t =!= 0L))).as("stage_ts"))
+    }
+  }
 }

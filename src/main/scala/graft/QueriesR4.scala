@@ -237,6 +237,28 @@ object QueriesR4 {
     Dedup.minhashAgreement(t(s, dir, "documents"), col("doc_id"), col("text"),
       shingleWords = 3, k = 12, bands = 4)
 
+  /** R45b: CM-sketch equi-join cardinality estimate — |events ⋈ orders
+    * ON user| from the two counter tables alone (see
+    * [[graft.sketches.CountMin.joinSizeEstimate]]), beside the exact
+    * join size and the never-underestimate guarantee. Both sides carry
+    * real multiplicity (events per user × orders per customer), so the
+    * inner product is non-trivial.
+    */
+  def sketchCmJoinSize(s: SparkSession, dir: String): DataFrame = {
+    import graft.sketches.CountMin
+    val a = CountMin.counters(t(s, dir, "events"), col("user_id"))
+    val b = CountMin.counters(t(s, dir, "orders"), col("o_custkey"))
+    val est = CountMin.joinSizeEstimate(a, b)
+    val exact = t(s, dir, "events").groupBy(col("user_id").as("k"))
+      .agg(count(lit(1)).as("na"))
+      .join(t(s, dir, "orders").groupBy(col("o_custkey").as("k2"))
+        .agg(count(lit(1)).as("nb")), col("k") === col("k2"))
+      .agg(sum(col("na") * col("nb")).cast("long").as("exact_join_size"))
+    est.crossJoin(exact)
+      .select(col("est_join_size"), col("exact_join_size"),
+        (col("est_join_size") >= col("exact_join_size")).as("never_under"))
+  }
+
   /** X14: streaming ordered funnel — per-user O(stages) state under the
     * event-time-ordered delivery contract (see
     * [[graft.streaming.Streams.streamingFunnel]]); the drained chains
@@ -254,9 +276,9 @@ object QueriesR4 {
     val chains = graft.streaming.Streams.streamingFunnel(s, rows, 3,
       queryName = s"gate_sfunnel_${System.nanoTime()}")
     val counts = chains.agg(
-      sum(when(element_at(col("stage_ts"), 1) =!= 0L, 1L).otherwise(0L)).as("n1"),
-      sum(when(element_at(col("stage_ts"), 2) =!= 0L, 1L).otherwise(0L)).as("n2"),
-      sum(when(element_at(col("stage_ts"), 3) =!= 0L, 1L).otherwise(0L)).as("n3"))
+      coalesce(sum(when(element_at(col("stage_ts"), 1) =!= 0L, 1L).otherwise(0L)), lit(0L)).as("n1"),
+      coalesce(sum(when(element_at(col("stage_ts"), 2) =!= 0L, 1L).otherwise(0L)), lit(0L)).as("n2"),
+      coalesce(sum(when(element_at(col("stage_ts"), 3) =!= 0L, 1L).otherwise(0L)), lit(0L)).as("n3"))
     val stageRows = stages.zipWithIndex.map { case (st, i) =>
       struct(lit(i + 1).cast("long").as("stage"), lit(st).as("stage_name"),
         col(s"n${i + 1}").as("n_users"))
@@ -504,6 +526,31 @@ object QueriesR4 {
     "stream_freq_heavy" -> QueriesR3.sql("sketch_freq_heavy"),
     "stream_funnel" -> funnelSql,
     "sketch_tdigest_incremental" -> QueriesR3.sql("sketch_tdigest_rank"),
+    "sketch_cm_join_size" -> {
+      def bucket(itemExpr: String) =
+        s"CAST(('0x' || substr(md5(CAST(ds.d AS VARCHAR) || ':' || CAST($itemExpr AS VARCHAR)), 1, 12)) AS BIGINT) % 512"
+      s"""WITH ds AS (SELECT * FROM (VALUES (0), (1), (2), (3)) AS t(d)),
+         |ca AS (
+         |  SELECT ds.d AS d, ${bucket("e.user_id")} AS bucket, COUNT(*) AS cnt
+         |  FROM events e CROSS JOIN ds GROUP BY 1, 2
+         |), cb AS (
+         |  SELECT ds.d AS d, ${bucket("o.o_custkey")} AS bucket, COUNT(*) AS cnt
+         |  FROM orders o CROSS JOIN ds GROUP BY 1, 2
+         |), ip AS (
+         |  SELECT ca.d, SUM(ca.cnt * cb.cnt) AS ip
+         |  FROM ca JOIN cb ON ca.d = cb.d AND ca.bucket = cb.bucket
+         |  GROUP BY ca.d
+         |), est AS (SELECT CAST(MIN(ip) AS BIGINT) AS est_join_size FROM ip),
+         |ex AS (
+         |  SELECT CAST(SUM(na * nb) AS BIGINT) AS exact_join_size
+         |  FROM (SELECT user_id AS k, COUNT(*) AS na FROM events GROUP BY 1) x
+         |  JOIN (SELECT o_custkey AS k, COUNT(*) AS nb FROM orders GROUP BY 1) y
+         |    ON x.k = y.k
+         |)
+         |SELECT est.est_join_size, ex.exact_join_size,
+         |  est.est_join_size >= ex.exact_join_size AS never_under
+         |FROM est, ex""".stripMargin
+    },
     "q_funnel" -> funnelSql,
     "q_cohort_retention" ->
       """WITH act AS (

@@ -49,10 +49,12 @@ object Cohorts {
   def funnelSummary(events: DataFrame, user: String, typeCol: String,
                     tsCol: String, stages: Seq[String]): DataFrame = {
     val times = funnelTimes(events, user, typeCol, tsCol, stages)
+    // SUM over an empty relation is NULL — an empty event set must report
+    // zero completions per stage, not null
     val counts = times.agg(
       count(lit(1)).as("n_users"),
       stages.indices.map(i =>
-        sum(when(col(s"t${i + 1}").isNotNull, 1L).otherwise(0L))
+        coalesce(sum(when(col(s"t${i + 1}").isNotNull, 1L).otherwise(0L)), lit(0L))
           .as(s"n${i + 1}")): _*)
     val stageRows = stages.zipWithIndex.map { case (st, i) =>
       struct(lit(i + 1).cast("long").as("stage"), lit(st).as("stage_name"),

@@ -20,27 +20,32 @@ object Quality {
     */
   case class Check(name: String, violations: Column)
 
+  /** SUM over an empty relation is NULL, not 0 — an empty table must
+    * PASS its constraints, not report null violations.
+    */
+  private def zsum(c: Column): Column = coalesce(sum(c), lit(0L))
+
   /** Rows where the column is null. */
   def notNull(c: String): Check =
-    Check(s"not_null($c)", sum(when(col(c).isNull, 1L).otherwise(0L)))
+    Check(s"not_null($c)", zsum(when(col(c).isNull, 1L).otherwise(0L)))
 
   /** Rows beyond the first per duplicate NON-NULL value (nulls are
     * not_null's business): count(c) − count(distinct c).
     */
   def unique(c: String): Check =
     Check(s"unique($c)",
-      sum(when(col(c).isNotNull, 1L).otherwise(0L)) - countDistinct(col(c)))
+      zsum(when(col(c).isNotNull, 1L).otherwise(0L)) - countDistinct(col(c)))
 
   /** Rows whose value (or null) falls outside the accepted set. */
   def inSet(c: String, values: Seq[String]): Check =
     Check(s"in_set($c)",
-      sum(when(col(c).isNull || !col(c).isin(values.map(lit): _*), 1L)
+      zsum(when(col(c).isNull || !col(c).isin(values.map(lit): _*), 1L)
         .otherwise(0L)))
 
   /** Rows whose value (or null) falls outside [lo, hi]. */
   def inRange(c: String, lo: Column, hi: Column): Check =
     Check(s"in_range($c)",
-      sum(when(col(c).isNull || col(c) < lo || col(c) > hi, 1L).otherwise(0L)))
+      zsum(when(col(c).isNull || col(c) < lo || col(c) > hi, 1L).otherwise(0L)))
 
   /** Evaluate all checks in one aggregate over `df`, one report row per
     * check: (check_name, n_violations, passed). `prefix` namespaces the

@@ -57,4 +57,19 @@ object CountMin {
       .groupBy(col(probeCol))
       .agg(min(coalesce(col("cnt"), lit(0L))).cast("long").as("cm_est"))
   }
+
+  /** Equi-join CARDINALITY estimate from two sketches alone: the
+    * inner-product estimator minᵈ Σⱼ cntA(d,j)·cntB(d,j) (Cormode &
+    * Muthukrishnan) — never below the true join size, overshoot bounded
+    * by cross-bucket collisions. The cost-based-optimizer primitive: how
+    * big is A ⋈ B going to be, answered from two d×w counter tables
+    * without touching either input again. Deterministic under the fixed
+    * md5 hash rows, so an oracle reproduces the estimate bit-exactly.
+    */
+  def joinSizeEstimate(a: DataFrame, b: DataFrame): DataFrame =
+    a.as("a")
+      .join(b.as("b"), col("a.d") === col("b.d") && col("a.bucket") === col("b.bucket"))
+      .groupBy(col("a.d"))
+      .agg(sum(col("a.cnt") * col("b.cnt")).as("ip"))
+      .agg(min(col("ip")).cast("long").as("est_join_size"))
 }

@@ -37,6 +37,13 @@ class CohortsSpec extends AnyFunSuite {
     assert(got == Seq((1L, "view", 5L), (2L, "click", 3L), (3L, "purchase", 1L)))
   }
 
+  test("funnel over zero events reports zero users per stage, not null") {
+    val empty = spark.emptyDataset[(Long, String, Long)].toDF("u", "et", "ts")
+    val got = Cohorts.funnelSummary(empty, "u", "et", "ts", Seq("view", "click"))
+      .as[(Long, String, Long)].collect().toSeq
+    assert(got == Seq((1L, "view", 0L), (2L, "click", 0L)))
+  }
+
   test("cohort retention assigns users to their first period and counts distinct") {
     val ev = Seq(
       (1L, 0L), (1L, 1L), (1L, 3L),         // cohort 0, offsets 0,1,3

@@ -28,6 +28,16 @@ class QualitySpec extends AnyFunSuite {
     assert(got("t.in_range(v)") == ((3L, false)), "null + -5 + 200")
   }
 
+  test("an empty table PASSES its constraints (zero violations, not null)") {
+    val empty = spark.emptyDataset[(Long, String, Double)].toDF("k", "st", "v")
+    val got = Quality.report(empty, "t", Seq(
+      Quality.notNull("k"), Quality.unique("k"),
+      Quality.inSet("st", Seq("A")), Quality.inRange("v", lit(0.0), lit(1.0))))
+      .as[(String, Long, Boolean)].collect()
+    assert(got.length == 4)
+    assert(got.forall { case (_, n, p) => n == 0L && p })
+  }
+
   test("clean data passes every constraint") {
     val clean = Seq((1L, "A", 1.0), (2L, "B", 2.0)).toDF("k", "st", "v")
     val got = Quality.report(clean, "t", Seq(

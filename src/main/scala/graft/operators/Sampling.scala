@@ -34,9 +34,12 @@ object Sampling {
     * bit-reproducible (the product may round above 2⁵³ — identically on
     * both sides).
     */
-  def weightedKeep(id: Column, weight: Column, cap: Double): Column =
+  def weightedKeep(id: Column, weight: Column, cap: Double): Column = {
+    // cap <= 0 would make the threshold NaN and silently sample nothing
+    require(cap > 0, s"weightedKeep: cap must be positive, got $cap")
     Kmv.hash48(id) <
       floor(lit(HashRangeD) * least(weight.cast("double"), lit(cap)) / lit(cap))
+  }
 
   /** Weighted Bernoulli sample: each row kept independently with
     * probability min(weight, cap)/cap. Expected sample weight-share is

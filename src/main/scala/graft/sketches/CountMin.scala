@@ -65,6 +65,9 @@ object CountMin {
     * big is A ⋈ B going to be, answered from two d×w counter tables
     * without touching either input again. Deterministic under the fixed
     * md5 hash rows, so an oracle reproduces the estimate bit-exactly.
+    * Counter products are summed in Long: safe while both inputs stay
+    * under ~10⁸ rows per hash row (cntA·cntB ≤ n_a·n_b per bucket); past
+    * that, widen the `ip` accumulation to DECIMAL(38,0).
     */
   def joinSizeEstimate(a: DataFrame, b: DataFrame): DataFrame =
     a.as("a")

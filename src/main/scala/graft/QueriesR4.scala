@@ -369,6 +369,48 @@ object QueriesR4 {
       .orderBy(col("source"), col("split"))
   }
 
+  /** E1: entity-resolution composite — variant construction (injected
+    * single-char deletions, so the fuzzy path has REAL work at every SF,
+    * unlike the corpus's naturally fuzz-free documents) → prefix-3 +
+    * length-band blocking → banded Levenshtein pair verification (≤2) →
+    * large-star/small-star connected components → min-id survivorship.
+    * One oracle over the whole pipeline, like corpus_clean.
+    *
+    * Blocking recall is exact for the injected variants: deletions land
+    * at position ≥ 4, so the 3-char block key never moves. Digit-prefix
+    * key pairs (123 vs 1230) merge at distance 1 — kept deliberately:
+    * it is deterministic, the oracle agrees, and it is exactly the
+    * false-merge naive name-keying produces (the reason survivorship
+    * reports beat silent dedup).
+    */
+  def entityResolution(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "customer").select(col("c_custkey").cast("long").as("ent_id"),
+      concat(col("c_custkey").cast("string"),
+        lit("## master entity record alpha")).as("name"))
+    val variants = base.filter(col("ent_id") % 7 === 0)
+      .withColumn("p",
+        length(col("ent_id").cast("string")) + lit(2) + (col("ent_id") % 10).cast("int"))
+      .select((col("ent_id") + 1000000L).as("ent_id"),
+        expr("concat(substring(name, 1, p), substring(name, p + 2, 100))").as("name"))
+    val entities = base.unionByName(variants)
+    val a = entities.select(col("ent_id").as("id_a"), col("name").as("name_a"),
+      substring(col("name"), 1, 3).as("blk"), length(col("name")).as("len_a"))
+    val b = entities.select(col("ent_id").as("id_b"), col("name").as("name_b"),
+      substring(col("name"), 1, 3).as("blk_b"), length(col("name")).as("len_b"))
+    val pairs = a.join(b, col("blk") === col("blk_b") && col("id_a") < col("id_b") &&
+        abs(col("len_a") - col("len_b")) <= 2)
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b"), 2).cast("long"))
+      .filter(col("dist") >= 0 && col("dist") <= 2)
+      .select(col("id_a"), col("id_b"))
+    val clusters = Dedup.connectedComponentsStar(pairs)
+      .select(col("doc_id").as("cid"), col("cluster_id"))
+    entities.join(clusters, col("ent_id") === col("cid"), "left")
+      .select(col("ent_id"),
+        coalesce(col("cluster_id"), col("ent_id")).as("cluster_id"))
+      .withColumn("is_survivor", col("ent_id") === col("cluster_id"))
+      .orderBy(col("ent_id"))
+  }
+
   // ---------------------------------------------------------------- oracle
 
   private val hash48Sql =
@@ -525,6 +567,42 @@ object QueriesR4 {
         |ORDER BY o_orderkey""".stripMargin,
     "stream_freq_heavy" -> QueriesR3.sql("sketch_freq_heavy"),
     "stream_funnel" -> funnelSql,
+    "entity_resolution" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT CAST(c_custkey AS BIGINT) AS ent_id,
+        |    CAST(c_custkey AS VARCHAR) || '## master entity record alpha' AS name
+        |  FROM customer
+        |), variants AS (
+        |  SELECT ent_id + 1000000 AS ent_id,
+        |    substr(name, 1, p) || substr(name, p + 2, 100) AS name
+        |  FROM (SELECT ent_id, name,
+        |          length(CAST(ent_id AS VARCHAR)) + 2 + CAST(ent_id % 10 AS INT) AS p
+        |        FROM base WHERE ent_id % 7 = 0) v
+        |), entities AS (
+        |  SELECT * FROM base UNION ALL SELECT * FROM variants
+        |), pairs AS (
+        |  SELECT a.ent_id AS id_a, b.ent_id AS id_b
+        |  FROM entities a JOIN entities b
+        |    ON substr(a.name, 1, 3) = substr(b.name, 1, 3)
+        |    AND a.ent_id < b.ent_id
+        |    AND abs(length(a.name) - length(b.name)) <= 2
+        |  WHERE levenshtein(a.name, b.name) <= 2
+        |), sym AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION
+        |  SELECT id_b, id_a FROM pairs
+        |), reach(id, lbl) AS (
+        |  SELECT src, src FROM sym
+        |  UNION
+        |  SELECT s.src, r.lbl FROM reach r JOIN sym s ON s.dst = r.id
+        |), clusters AS (
+        |  SELECT id, MIN(lbl) AS cluster_id FROM reach GROUP BY id
+        |)
+        |SELECT e.ent_id,
+        |  COALESCE(c.cluster_id, e.ent_id) AS cluster_id,
+        |  e.ent_id = COALESCE(c.cluster_id, e.ent_id) AS is_survivor
+        |FROM entities e LEFT JOIN clusters c ON e.ent_id = c.id
+        |ORDER BY ent_id""".stripMargin,
     "sketch_tdigest_incremental" -> QueriesR3.sql("sketch_tdigest_rank"),
     "sketch_cm_join_size" -> {
       def bucket(itemExpr: String) =

@@ -150,7 +150,8 @@ object SparkEntry {
     "q_dataset_split" -> (QueriesR4.qDatasetSplit _),
     "stream_funnel" -> (QueriesR4.streamFunnel _),
     "sketch_tdigest_incremental" -> (QueriesR4.sketchTdigestIncremental _),
-    "sketch_cm_join_size" -> (QueriesR4.sketchCmJoinSize _))
+    "sketch_cm_join_size" -> (QueriesR4.sketchCmJoinSize _),
+    "entity_resolution" -> (QueriesR4.entityResolution _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.

@@ -1,0 +1,223 @@
+package graft
+
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-4 continuation gates (batch c): the r5+ queue items that are
+  * SQL-expressible plus the mixture/monitoring operators a training-data
+  * pipeline runs on top of the analytics core — transition-probability
+  * normalization, proportional budget allocation, CUSUM changepoint
+  * detection, quantile binning, trailing-window distinct. Oracle
+  * discipline unchanged: integer/decimal algebra only (ppm fixed-point
+  * for every ratio), full-tiebreak ORDER BY, md5-portable hashing.
+  */
+object QueriesR5 {
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Deterministic integer cents with injected 10× spikes — the shared
+    * fixture construction of the anomaly/moments gates (QueriesR4), reused
+    * so the changepoint series has real work at every SF.
+    */
+  private def centsCol =
+    round(col("value") *
+      when(col("event_id") % 97 === 0, lit(1000.0)).otherwise(lit(100.0)))
+      .cast("long")
+
+  /** R58b (queue): transition matrix normalized to per-row probabilities.
+    * The count matrix (q_event_transitions) says WHAT happened; the row
+    * distribution says what a user DOES NEXT from each state — the actual
+    * Markov kernel. Probabilities are exact ppm fixed-point:
+    * (n · 10⁶) div row_total — floor division on positive longs, so both
+    * engines produce the identical integer and the gate stays
+    * hash-exact (no float division anywhere).
+    */
+  def qTransitionProbs(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events").select(col("user_id"), col("event_id"),
+      col("event_type"),
+      unix_timestamp(col("ts").cast("timestamp")).as("ts_sec"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    val counts = e.withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .withColumn("gap", col("ts_sec") - lag(col("ts_sec"), 1).over(w))
+      .filter(col("prev_type").isNotNull && col("gap") <= 1800)
+      .groupBy(col("prev_type"), col("event_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+    val rowTotal = Window.partitionBy(col("prev_type"))
+    counts
+      .withColumn("row_total", sum(col("n_transitions")).over(rowTotal))
+      .select(col("prev_type"), col("event_type").as("next_type"),
+        col("n_transitions"),
+        expr("n_transitions * 1000000 div row_total").as("prob_ppm"))
+      .orderBy(col("prev_type"), col("next_type"))
+  }
+
+  /** R59: largest-remainder (Hamilton) apportionment of a global sampling
+    * budget across sources, proportional to document count — the mixture
+    * arithmetic behind "sample 1000 docs, weighted by corpus share",
+    * guaranteed to hand out EXACTLY the budget (floor quotas + the
+    * largest fractional remainders get the leftovers). Pure integer:
+    * quota = (B·nᵢ) div T, remainder = (B·nᵢ) mod T, ranked with the
+    * source name as tiebreak. One aggregate to per-source counts (the
+    * only pass over data); the apportionment runs on the handful of
+    * source rows.
+    */
+  def qAllocBudget(s: SparkSession, dir: String): DataFrame = {
+    val counts = t(s, dir, "documents")
+      .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    graft.operators.Allocation.hamilton(counts, "source", "n_docs", 1000L)
+      .orderBy(col("source"))
+  }
+
+  /** R61: CUSUM changepoint detection on the daily value series per event
+    * type. The textbook recursion Sₜ = max(0, Sₜ₋₁ + xₜ − k) is not a
+    * window function, but it has a closed form over prefix sums:
+    * with Pₜ = Σᵢ≤ₜ (xᵢ − k),   Sₜ = Pₜ − min(0, minᵢ≤ₜ Pᵢ)
+    * — one running sum + one running min, both plain window aggregates
+    * inside whole-stage codegen, per-key partitioned (no global sort).
+    * Everything is integer cents; the reference level k is the per-type
+    * floor-mean of the daily sums, so both engines compute the identical
+    * drift and the flag column is exact. Flagged days are where the
+    * spike injection (event_id % 97 → 10×) accumulates above 2k.
+    */
+  def qCusumChangepoint(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events").select(col("event_type"),
+      expr("unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000").as("day"),
+      centsCol.as("cents"))
+    val daily = e.groupBy(col("event_type"), col("day"))
+      .agg(sum(col("cents")).as("x"))
+    val byType = Window.partitionBy(col("event_type"))
+    val series = daily
+      .withColumn("__sx", sum(col("x")).over(byType))
+      .withColumn("__nd", count(lit(1)).over(byType))
+      .withColumn("k", expr("__sx div __nd"))
+    graft.operators.Changepoint
+      .cusum(series, Seq("event_type"), "day", col("x"), col("k"))
+      .select(col("event_type"), col("day"), col("x"), col("k"), col("s"),
+        (col("s") > col("k") * 2).as("flagged"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  /** R62: quantile binning (feature discretization) — each event lands in
+    * one of 4 equal-frequency bins per event type, ordered by
+    * (cents, event_id) so the assignment is total and engine-identical
+    * (NTILE is deterministic once the ORDER BY is a total order).
+    * Reported per bin with population and value bounds — the
+    * discretization table a feature pipeline persists.
+    */
+  def qQuantileBins(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+      .select(col("event_id"), col("event_type"), centsCol.as("cents"))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("cents"), col("event_id"))
+    e.withColumn("bin", ntile(4).over(w).cast("long"))
+      .groupBy(col("event_type"), col("bin"))
+      .agg(count(lit(1)).as("n"), min(col("cents")).as("min_cents"),
+        max(col("cents")).as("max_cents"))
+      .orderBy(col("event_type"), col("bin"))
+  }
+
+  /** R60: trailing-7-day distinct users per day — the rolling-reach
+    * metric. COUNT(DISTINCT) has no sliding-window form, so each
+    * (user, day) activity row is fanned out to the ≤7 target days it
+    * contributes to (a BOUNDED explode — expansion factor = window
+    * length, not data size) and one hash aggregate counts distincts per
+    * target day; reported only for days that actually occur. At 100 TB
+    * this beats the self-join formulation: the fan-out is map-side and
+    * shuffles (user, target_day) pairs once.
+    */
+  def qSlidingDistinct(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Cohorts.rollingDistinct(t(s, dir, "events"), "user_id",
+        expr("unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000"), 7)
+      .select(col("period").as("day"), col("n_distinct").as("n_users_7d"))
+      .orderBy(col("day"))
+
+  // ---------------------------------------------------------------- oracle
+
+  private val centsSql =
+    "CAST(ROUND(value * (CASE WHEN event_id % 97 = 0 THEN 1000.0 ELSE 100.0 END)) AS BIGINT)"
+
+  val sql: Map[String, String] = Map(
+    "q_transition_probs" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec
+        |  FROM events
+        |), m AS (
+        |  SELECT event_type, lag(event_type) OVER w AS prev_type,
+        |    ts_sec - lag(ts_sec) OVER w AS gap
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+        |), c AS (
+        |  SELECT prev_type, event_type AS next_type,
+        |    CAST(COUNT(*) AS BIGINT) AS n_transitions
+        |  FROM m WHERE prev_type IS NOT NULL AND gap <= 1800
+        |  GROUP BY prev_type, event_type
+        |)
+        |SELECT prev_type, next_type, n_transitions,
+        |  (n_transitions * 1000000) //
+        |    SUM(n_transitions) OVER (PARTITION BY prev_type) AS prob_ppm
+        |FROM c ORDER BY prev_type, next_type""".stripMargin,
+    "q_alloc_budget" ->
+      """WITH c AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents
+        |  GROUP BY source
+        |), q AS (
+        |  SELECT source, n_docs,
+        |    (n_docs * 1000) // SUM(n_docs) OVER () AS base,
+        |    (n_docs * 1000) % SUM(n_docs) OVER () AS rem
+        |  FROM c
+        |), r AS (
+        |  SELECT *, ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS extra_rank,
+        |    1000 - SUM(base) OVER () AS n_extra
+        |  FROM q
+        |)
+        |SELECT source, n_docs,
+        |  CAST(base + CASE WHEN extra_rank <= n_extra THEN 1 ELSE 0 END AS BIGINT)
+        |    AS n_alloc
+        |FROM r ORDER BY source""".stripMargin,
+    "q_cusum_changepoint" ->
+      s"""WITH e AS (
+         |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         |    $centsSql AS cents
+         |  FROM events
+         |), daily AS (
+         |  SELECT event_type, day, CAST(SUM(cents) AS BIGINT) AS x
+         |  FROM e GROUP BY event_type, day
+         |), series AS (
+         |  SELECT *, SUM(x) OVER (PARTITION BY event_type) //
+         |    COUNT(*) OVER (PARTITION BY event_type) AS k
+         |  FROM daily
+         |), pfx AS (
+         |  SELECT *, SUM(x - k) OVER (PARTITION BY event_type ORDER BY day
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+         |  FROM series
+         |)
+         |SELECT event_type, day, x, CAST(k AS BIGINT) AS k,
+         |  CAST(p - LEAST(0, MIN(p) OVER (PARTITION BY event_type ORDER BY day
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS BIGINT) AS s,
+         |  (p - LEAST(0, MIN(p) OVER (PARTITION BY event_type ORDER BY day
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))) > k * 2 AS flagged
+         |FROM pfx ORDER BY event_type, day""".stripMargin,
+    "q_quantile_bins" ->
+      s"""WITH e AS (
+         |  SELECT event_id, event_type, $centsSql AS cents FROM events
+         |), b AS (
+         |  SELECT event_type, cents,
+         |    CAST(NTILE(4) OVER (PARTITION BY event_type
+         |      ORDER BY cents, event_id) AS BIGINT) AS bin
+         |  FROM e
+         |)
+         |SELECT event_type, bin, CAST(COUNT(*) AS BIGINT) AS n,
+         |  MIN(cents) AS min_cents, MAX(cents) AS max_cents
+         |FROM b GROUP BY event_type, bin
+         |ORDER BY event_type, bin""".stripMargin,
+    "q_sliding_distinct" ->
+      """WITH act AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+        |  FROM events
+        |), days AS (SELECT DISTINCT day FROM act)
+        |SELECT d.day, CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_users_7d
+        |FROM days d JOIN act a ON a.day BETWEEN d.day - 6 AND d.day
+        |GROUP BY d.day ORDER BY d.day""".stripMargin)
+}

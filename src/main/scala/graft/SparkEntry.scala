@@ -151,12 +151,18 @@ object SparkEntry {
     "stream_funnel" -> (QueriesR4.streamFunnel _),
     "sketch_tdigest_incremental" -> (QueriesR4.sketchTdigestIncremental _),
     "sketch_cm_join_size" -> (QueriesR4.sketchCmJoinSize _),
-    "entity_resolution" -> (QueriesR4.entityResolution _))
+    "entity_resolution" -> (QueriesR4.entityResolution _),
+    // round-4 continuation (batch c): queue items + mixture/monitoring ops
+    "q_transition_probs" -> (QueriesR5.qTransitionProbs _),
+    "q_alloc_budget" -> (QueriesR5.qAllocBudget _),
+    "q_cusum_changepoint" -> (QueriesR5.qCusumChangepoint _),
+    "q_quantile_bins" -> (QueriesR5.qQuantileBins _),
+    "q_sliding_distinct" -> (QueriesR5.qSlidingDistinct _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
     Queries.sqlRelational ++ Queries.sqlCdc ++ QueriesData.sql ++ QueriesExt.sql ++
-      QueriesR3.sql ++ QueriesR4.sql
+      QueriesR3.sql ++ QueriesR4.sql ++ QueriesR5.sql
 }

@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** CUSUM drift/changepoint detection over per-key ordered series — the
+  * monitor a continuously-ingesting pipeline runs on its daily volume,
+  * quality-score, and dedup-rate series to catch regime changes (a
+  * crawler gone wrong, a source flipping format) rather than single-row
+  * outliers (which the 3σ flagger catches).
+  *
+  * The textbook recursion Sₜ = max(0, Sₜ₋₁ + xₜ − k) looks inherently
+  * sequential, but it has a closed form over prefix aggregates:
+  *
+  *   Pₜ = Σᵢ≤ₜ (xᵢ − k)        (running sum)
+  *   Sₜ = Pₜ − min(0, minᵢ≤ₜ Pᵢ) (running min)
+  *
+  * because resetting at 0 is the same as re-basing the prefix sum at its
+  * historical minimum (or at 0 if it never went negative). Two window
+  * aggregates, partitioned per key — whole-stage codegen, no
+  * iteration, no global sort; each key's series sorts only within its
+  * partition. Arithmetic stays in the input's integral type, so with
+  * integer inputs the statistic is exact (ChangepointSpec pins the
+  * closed form against the direct recursion).
+  */
+object Changepoint {
+  /** Append the one-sided CUSUM statistic `s` to a per-key series.
+    *
+    * @param series   one row per (key, order) tick
+    * @param keyCols  series identity
+    * @param orderCol total order within a key (e.g. epoch day)
+    * @param x        the monitored integral measure
+    * @param k        reference ("allowed drift") level per row —
+    *                 typically the per-key mean, joined in by the caller
+    * @return input columns plus `s` (the CUSUM statistic, ≥ 0)
+    */
+  def cusum(series: DataFrame, keyCols: Seq[String], orderCol: String,
+            x: Column, k: Column): DataFrame = {
+    val prefix = Window.partitionBy(keyCols.map(col): _*).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    series
+      .withColumn("__p", sum(x - k).over(prefix))
+      .withColumn("s", col("__p") - least(lit(0L), min(col("__p")).over(prefix)))
+      .drop("__p")
+  }
+
+  /** Reference implementation of the recursion (specs only). */
+  def cusumRef(xs: Seq[Long], k: Long): Seq[Long] =
+    xs.scanLeft(0L)((s, x) => math.max(0L, s + x - k)).tail
+}

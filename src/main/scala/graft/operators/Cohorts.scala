@@ -75,6 +75,29 @@ object Cohorts {
     * the (user, period) distinct pre-aggregation keeps the join input
     * at one row per user-period, not per event.
     */
+  /** Trailing-window distinct users per period (rolling reach). Sliding
+    * COUNT(DISTINCT) has no window-function form, so each (user, period)
+    * activity row is fanned out to the ≤`window` periods it contributes
+    * to — a BOUNDED explode (expansion = window length, not data size) —
+    * and one hash aggregate counts distincts per target period. Reported
+    * only for periods that occur in the data. At scale this beats the
+    * range self-join: the fan-out is map-side and the single shuffle
+    * carries (user, target_period) pairs already deduplicated per period.
+    */
+  def rollingDistinct(events: DataFrame, user: String, periodCol: Column,
+                      window: Int): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    val act = events.select(col(user), periodCol.cast("long").as("period")).distinct()
+    val periods = act.select(col("period")).distinct()
+    act.select(col(user),
+        explode(sequence(col("period"), col("period") + (window - 1)))
+          .as("target_period"))
+      .join(periods.withColumnRenamed("period", "target_period"),
+        Seq("target_period"), "left_semi")
+      .groupBy(col("target_period").as("period"))
+      .agg(countDistinct(col(user)).as("n_distinct"))
+  }
+
   def cohortRetention(events: DataFrame, user: String,
                       periodCol: Column): DataFrame = {
     val act = events.select(col(user), periodCol.cast("long").as("period")).distinct()

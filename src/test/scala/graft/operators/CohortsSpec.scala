@@ -44,6 +44,21 @@ class CohortsSpec extends AnyFunSuite {
     assert(got == Seq((1L, "view", 0L), (2L, "click", 0L)))
   }
 
+  test("rolling distinct matches the naive per-period set union") {
+    val ev = Seq(
+      (1L, 0L), (2L, 0L),           // day 0: {1,2}
+      (1L, 1L),                     // day 1: {1}
+      (3L, 5L),                     // day 5: {3}
+      (1L, 9L), (1L, 9L)            // day 9: {1}, duplicate activity
+    ).toDF("u", "p")
+    val got = Cohorts.rollingDistinct(ev, "u", org.apache.spark.sql.functions.col("p"), 3)
+      .as[(Long, Long)].collect().toMap
+    // window 3 trailing: day 0 <- {0}, day 1 <- {0,1}, day 5 <- {5}, day 9 <- {9}
+    assert(got == Map(0L -> 2L, 1L -> 2L, 5L -> 1L, 9L -> 1L))
+    // only observed periods are reported (no day 2 row even though day 0 reaches it)
+    assert(!got.contains(2L))
+  }
+
   test("cohort retention assigns users to their first period and counts distinct") {
     val ev = Seq(
       (1L, 0L), (1L, 1L), (1L, 3L),         // cohort 0, offsets 0,1,3

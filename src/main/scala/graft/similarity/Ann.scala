@@ -151,10 +151,55 @@ object Ann {
       .select(col("cand_id"), col("embedding"),
         md5(col("cand_id").cast("string")).as("__h"))
       .orderBy(col("__h"), col("cand_id")).limit(k)
-    var centroids = seeds
+    val numbered = seeds
       .withColumn("centroid_id",
         row_number().over(Window.orderBy(col("__h"), col("cand_id"))).cast("long") - 1)
       .select(col("centroid_id"), col("embedding"))
+    lloyd(corpus, numbered, iterations)
+  }
+
+  /** Locality-seeded centroid training (the r4 queue's "IVF build on the
+    * space-ordered corpus"): instead of k pseudo-random rows, seed from
+    * the k most-POPULATED hyperplane-LSH cells — each seed is the
+    * element-wise mean of one cell, so seeds start where the data mass
+    * is and are spread apart by construction (different cells differ in
+    * ≥1 sign bit). Same Lloyd refinement afterwards. Cost: one narrow
+    * signature projection + one count aggregate + means for k cells
+    * (semi-joined, not the whole corpus); the cell top-k is a
+    * TakeOrderedAndProject like the row-seeded path — no global sort, no
+    * driver count().
+    */
+  def trainCentroidsLsh(corpus: DataFrame, k: Int, dim: Int,
+                        iterations: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    // enough cells that the top-k are genuinely distinct localities: at
+    // least 4k cells, capped at 2^16 signatures
+    val bits = math.min(16, math.max(2, 64 - java.lang.Long.numberOfLeadingZeros(4L * k - 1)))
+    val sig = element_at(hyperplaneBandValues(col("embedding"), dim, 1, bits), 1)
+    val cells = corpus.select(col("cand_id"), col("embedding"), sig.as("__sig"))
+    val topCells = cells.groupBy(col("__sig")).agg(count(lit(1)).as("__n"))
+      .orderBy(col("__n").desc, col("__sig")).limit(k)
+    val seeds = cells.join(broadcast(topCells), Seq("__sig"))
+      .select(col("__sig"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy(col("__sig"), col("pos"))
+      .agg(avg(col("x").cast("double")).as("mx"))
+      .groupBy(col("__sig"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("mx")))).as("pairs"))
+      .select(col("__sig"),
+        transform(col("pairs"), p => p.getField("mx").cast("float")).as("embedding"))
+      .withColumn("centroid_id",
+        row_number().over(Window.orderBy(col("__sig"))).cast("long") - 1)
+      .select(col("centroid_id"), col("embedding"))
+    lloyd(corpus, seeds, iterations)
+  }
+
+  /** Lloyd refinement from the given seeds: assign (narrow, centroids
+    * broadcast) → per-centroid element-wise mean (one shuffle on the
+    * centroid id) → repeat.
+    */
+  private def lloyd(corpus: DataFrame, seeds: DataFrame,
+                    iterations: Int): DataFrame = {
+    var centroids = seeds
     for (_ <- 1 to iterations) {
       val assigned = ivfAssign(corpus, centroids)
       val means = assigned

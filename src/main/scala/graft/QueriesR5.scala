@@ -133,6 +133,100 @@ object QueriesR5 {
       .select(col("period").as("day"), col("n_distinct").as("n_users_7d"))
       .orderBy(col("day"))
 
+  /** R64: gaps-and-islands — each user's streaks of consecutive active
+    * days (see [[graft.operators.Intervals.islands]]). Integer day
+    * indices; the island identity is the period − row_number constant.
+    */
+  def qIslands(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Intervals.islands(t(s, dir, "events"), Seq("user_id"),
+        expr("unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000"))
+      .orderBy(col("user_id"), col("start_period"))
+
+  /** R65: interval coalescing — each event projects a 10-minute presence
+    * window [ts, ts+600); overlapping-or-touching windows per user merge
+    * into spans (see [[graft.operators.Intervals.coalesce]]). The union
+    * of validity windows, in exact epoch seconds.
+    */
+  def qIntervalMerge(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events").select(col("user_id"),
+      unix_timestamp(col("ts").cast("timestamp")).as("ts_sec"))
+    graft.operators.Intervals.coalesce(e, Seq("user_id"),
+        col("ts_sec"), col("ts_sec") + 600L)
+      .orderBy(col("user_id"), col("start"))
+  }
+
+  /** R63: distributed triangle count on the co-purchase graph (parts
+    * sharing an order) — degree-ordered orientation bounds the wedge
+    * join on any degree distribution (see
+    * [[graft.operators.Graph.triangleCount]]). The edge build is a
+    * per-order self-join: bounded by order size, never all-pairs.
+    */
+  def graphTriangles(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+    val a = li.select(col("l_orderkey"), col("l_partkey").as("src"))
+    val b = li.select(col("l_orderkey"), col("l_partkey").as("dst"))
+    val edges = a.join(b, Seq("l_orderkey"))
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"))
+    graft.operators.Graph.triangleCount(edges)
+  }
+
+  /** T14: conjunctive keyword search — documents containing ALL probe
+    * terms, scored by total occurrences. The inverted-index probe shape:
+    * one explode filtered to the probe terms (at 100 TB this is the
+    * posting-list read, not a corpus scan) + one aggregate with a
+    * distinct-term completeness check.
+    */
+  def textSearchConjunctive(s: SparkSession, dir: String): DataFrame = {
+    val probes = Seq("query", "window", "scan")
+    t(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(col("term").isin(probes: _*))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("term")).as("__nt"), count(lit(1)).as("n_hits"))
+      .filter(col("__nt") === probes.length)
+      .select(col("doc_id"), col("n_hits"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** T16: HTML/boilerplate stripping — the first stage of every web-crawl
+    * corpus clean. The fixture corpus is plain text, so markup is
+    * INJECTED deterministically from each row's own columns (the
+    * text_redact idiom), then stripped with the shared Java∩RE2 regex
+    * subset; the tag census rides along.
+    */
+  def textStripHtml(s: SparkSession, dir: String): DataFrame = {
+    val tagged = concat(lit("<p id=\""), col("doc_id").cast("string"), lit("\">"),
+      expr("replace(text, ' fast ', ' <b>fast</b> ')"), lit("</p>"))
+    t(s, dir, "documents")
+      .select(col("doc_id"), tagged.as("s"))
+      .select(col("doc_id"),
+        regexp_replace(col("s"), "<[^>]+>", "").as("stripped"),
+        regexp_count(col("s"), lit("<[^>]+>")).cast("long").as("n_tags"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** T17: term co-occurrence counts over a fixed probe vocabulary — the
+    * exact numerator of PMI/association mining, bounded by construction:
+    * each document contributes at most C(|vocab|, 2) pairs, built
+    * NARROWLY from the per-document intersection array (no self-join of
+    * the exploded term table); the only shuffle is the final pair
+    * aggregate.
+    */
+  def textCooccur(s: SparkSession, dir: String): DataFrame = {
+    val vocab = Seq("query", "window", "scan", "merge", "sort", "key")
+    val vt = array_intersect(array_distinct(split(col("text"), " ")),
+      array(vocab.map(lit): _*))
+    val pairs = flatten(transform(vt, x =>
+      transform(filter(vt, y => y > x), y =>
+        struct(x.as("term_a"), y.as("term_b")))))
+    t(s, dir, "documents")
+      .select(explode(pairs).as("p"))
+      .groupBy(col("p.term_a").as("term_a"), col("p.term_b").as("term_b"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("term_a"), col("term_b"))
+  }
+
   // ---------------------------------------------------------------- oracle
 
   private val centsSql =
@@ -219,5 +313,88 @@ object QueriesR5 {
         |), days AS (SELECT DISTINCT day FROM act)
         |SELECT d.day, CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_users_7d
         |FROM days d JOIN act a ON a.day BETWEEN d.day - 6 AND d.day
-        |GROUP BY d.day ORDER BY d.day""".stripMargin)
+        |GROUP BY d.day ORDER BY d.day""".stripMargin,
+    "q_islands" ->
+      """WITH act AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS period
+        |  FROM events
+        |), g AS (
+        |  SELECT user_id, period,
+        |    period - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY period) AS grp
+        |  FROM act
+        |)
+        |SELECT user_id, MIN(period) AS start_period, MAX(period) AS end_period,
+        |  CAST(COUNT(*) AS BIGINT) AS n_periods
+        |FROM g GROUP BY user_id, grp
+        |ORDER BY user_id, start_period""".stripMargin,
+    "q_interval_merge" ->
+      """WITH iv AS (
+        |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS s,
+        |    CAST(floor(epoch(ts)) AS BIGINT) + 600 AS e
+        |  FROM events
+        |), m AS (
+        |  SELECT user_id, s, e,
+        |    CASE WHEN s > COALESCE(MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -9223372036854775808)
+        |      THEN 1 ELSE 0 END AS new_island
+        |  FROM iv
+        |), isl AS (
+        |  SELECT user_id, s, e,
+        |    SUM(new_island) OVER (PARTITION BY user_id ORDER BY s, e
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM m
+        |)
+        |SELECT user_id, MIN(s) AS start, MAX(e) AS "end",
+        |  CAST(COUNT(*) AS BIGINT) AS n_merged
+        |FROM isl GROUP BY user_id, island
+        |ORDER BY user_id, start""".stripMargin,
+    "graph_triangles" ->
+      """WITH e AS (
+        |  SELECT DISTINCT LEAST(a.l_partkey, b.l_partkey) AS a,
+        |    GREATEST(a.l_partkey, b.l_partkey) AS b
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+        |), n AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes
+        |  FROM (SELECT a AS v FROM e UNION SELECT b FROM e) q
+        |), m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM e),
+        |t AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+        |  FROM e e1 JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+        |  JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b
+        |)
+        |SELECT n.n_nodes, m.n_edges, t.n_triangles FROM n, m, t""".stripMargin,
+    "text_search_conjunctive" ->
+      """WITH tm AS (
+        |  SELECT doc_id, unnest(str_split(text, ' ')) AS term FROM documents
+        |)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+        |FROM tm WHERE term IN ('query', 'window', 'scan')
+        |GROUP BY doc_id
+        |HAVING COUNT(DISTINCT term) = 3
+        |ORDER BY doc_id""".stripMargin,
+    "text_strip_html" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    '<p id="' || CAST(doc_id AS VARCHAR) || '">' ||
+        |      replace(text, ' fast ', ' <b>fast</b> ') || '</p>' AS s
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  regexp_replace(s, '<[^>]+>', '', 'g') AS stripped,
+        |  CAST(len(regexp_extract_all(s, '<[^>]+>', 0)) AS BIGINT) AS n_tags
+        |FROM p ORDER BY doc_id""".stripMargin,
+    "text_cooccur" ->
+      """WITH tm AS (
+        |  SELECT DISTINCT doc_id, unnest(str_split(text, ' ')) AS term
+        |  FROM documents
+        |), v AS (
+        |  SELECT doc_id, term FROM tm
+        |  WHERE term IN ('query', 'window', 'scan', 'merge', 'sort', 'key')
+        |)
+        |SELECT a.term AS term_a, b.term AS term_b,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs
+        |FROM v a JOIN v b ON a.doc_id = b.doc_id AND a.term < b.term
+        |GROUP BY a.term, b.term
+        |ORDER BY term_a, term_b""".stripMargin)
 }

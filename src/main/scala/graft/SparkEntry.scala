@@ -157,7 +157,13 @@ object SparkEntry {
     "q_alloc_budget" -> (QueriesR5.qAllocBudget _),
     "q_cusum_changepoint" -> (QueriesR5.qCusumChangepoint _),
     "q_quantile_bins" -> (QueriesR5.qQuantileBins _),
-    "q_sliding_distinct" -> (QueriesR5.qSlidingDistinct _))
+    "q_sliding_distinct" -> (QueriesR5.qSlidingDistinct _),
+    "q_islands" -> (QueriesR5.qIslands _),
+    "q_interval_merge" -> (QueriesR5.qIntervalMerge _),
+    "graph_triangles" -> (QueriesR5.graphTriangles _),
+    "text_search_conjunctive" -> (QueriesR5.textSearchConjunctive _),
+    "text_strip_html" -> (QueriesR5.textStripHtml _),
+    "text_cooccur" -> (QueriesR5.textCooccur _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.

@@ -227,6 +227,21 @@ object QueriesR5 {
       .orderBy(col("term_a"), col("term_b"))
   }
 
+  /** X15: streaming transition counts — per-user O(|types|²) state under
+    * the seq-ordered delivery contract (see
+    * [[graft.streaming.Streams.streamingTransitions]]); the drained
+    * matrix must equal the batch window formulation, so the oracle is
+    * q_event_transitions'.
+    */
+  def streamTransitions(s: SparkSession, dir: String): DataFrame = {
+    val rows = t(s, dir, "events").select(col("user_id").as("user"),
+      col("event_id").as("seq"), col("event_type").as("typ"),
+      unix_timestamp(col("ts").cast("timestamp")).as("ts_sec"))
+    graft.streaming.Streams.streamingTransitions(s, rows, gapSec = 1800,
+        queryName = s"gate_stransit_${System.nanoTime()}")
+      .orderBy(col("prev_type"), col("next_type"))
+  }
+
   // ---------------------------------------------------------------- oracle
 
   private val centsSql =
@@ -384,6 +399,7 @@ object QueriesR5 {
         |  regexp_replace(s, '<[^>]+>', '', 'g') AS stripped,
         |  CAST(len(regexp_extract_all(s, '<[^>]+>', 0)) AS BIGINT) AS n_tags
         |FROM p ORDER BY doc_id""".stripMargin,
+    "stream_transitions" -> QueriesR4.sql("q_event_transitions"),
     "text_cooccur" ->
       """WITH tm AS (
         |  SELECT DISTINCT doc_id, unnest(str_split(text, ' ')) AS term

@@ -163,7 +163,8 @@ object SparkEntry {
     "graph_triangles" -> (QueriesR5.graphTriangles _),
     "text_search_conjunctive" -> (QueriesR5.textSearchConjunctive _),
     "text_strip_html" -> (QueriesR5.textStripHtml _),
-    "text_cooccur" -> (QueriesR5.textCooccur _))
+    "text_cooccur" -> (QueriesR5.textCooccur _),
+    "stream_transitions" -> (QueriesR5.streamTransitions _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.

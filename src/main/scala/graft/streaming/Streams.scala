@@ -581,4 +581,68 @@ object Streams {
           size(filter(col("stage_ts"), t => t =!= 0L))).as("stage_ts"))
     }
   }
+
+  /** X15: streaming session-transition counts — the incremental twin of
+    * the batch transition matrix (R58). Per-user state is O(1): the last
+    * event's (seq, type, ts) plus the user's transition-count map
+    * (bounded by |event types|², not by history length). Each event
+    * extends the chain iff it continues the 30-minute session contract,
+    * exactly the batch lag/gap semantics.
+    *
+    * Delivery contract: per-user seq-ordered, like [[streamingFunnel]]
+    * (batches sort on seq; the replay stages one ordered file). Under
+    * that contract the drained per-user maps aggregate to the SAME matrix
+    * as the batch window formulation, so the gate shares its oracle.
+    *
+    * @param rows (user: long, seq: long, typ: string, ts_sec: long)
+    * @return (prev_type, next_type, n_transitions)
+    */
+  def streamingTransitions(spark: SparkSession, rows: DataFrame, gapSec: Long,
+                           queryName: String,
+                           rocksDb: Boolean = UseRocksDb): DataFrame = {
+    import spark.implicits._
+    val typed = rows.select(col("user").cast("long"), col("seq").cast("long"),
+        col("typ").cast("string"), col("ts_sec").cast("long"))
+      .orderBy(col("seq"))
+      .coalesce(1) // one seq-ordered file = ordered replay
+      .as[(Long, Long, String, Long)]
+    val path = stageToTemp(typed.toDF("user", "seq", "typ", "ts_sec"), "stransit")
+
+    // state: (lastTyp, lastTs, counts)
+    val update: (Long, Iterator[(Long, Long, String, Long)],
+        GroupState[(String, Long, Map[String, Long])]) =>
+        (Long, Long, Map[String, Long]) = (user, batch, state) => {
+      var (lastTyp, lastTs, counts) =
+        state.getOption.getOrElse((null: String, 0L, Map.empty[String, Long]))
+      batch.toSeq.sortBy(_._2).foreach { case (_, _, typ, ts) =>
+        if (lastTyp != null && ts - lastTs <= gapSec) {
+          val k = lastTyp + "|" + typ
+          counts = counts.updated(k, counts.getOrElse(k, 0L) + 1L)
+        }
+        lastTyp = typ; lastTs = ts
+      }
+      state.update((lastTyp, lastTs, counts))
+      (user, counts.valuesIterator.sum, counts)
+    }
+
+    withStateSession(spark, 8, rocksDb) { iso =>
+      val stream = iso.readStream.schema(typed.schema).parquet(path)
+        .as[(Long, Long, String, Long)]
+      val perUser = stream.groupByKey(_._1)
+        .mapGroupsWithState(GroupStateTimeout.NoTimeout)(update)
+        .toDF("user", "total", "counts")
+      val q = perUser.writeStream.outputMode("update")
+        .format("memory").queryName(queryName).start()
+      try { q.processAllAvailable() } finally { q.stop() }
+      // counts only grow -> per user, the emit with the largest total is final
+      iso.table(queryName)
+        .groupBy("user")
+        .agg(max_by(col("counts"), col("total")).as("counts"))
+        .select(explode(col("counts")).as(Seq("k", "n")))
+        .select(split(col("k"), "\\|").getItem(0).as("prev_type"),
+          split(col("k"), "\\|").getItem(1).as("next_type"), col("n"))
+        .groupBy(col("prev_type"), col("next_type"))
+        .agg(sum(col("n")).as("n_transitions"))
+    }
+  }
 }

@@ -166,6 +166,19 @@ class StreamsSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming transitions match the batch lag/gap matrix") {
+    // user 1: a->b (gap ok), b->c (gap ok); user 2: a->a within gap,
+    // then a session BREAK (gap > limit) so a->b must NOT count
+    val rows = Seq(
+      (1L, 1L, "a", 100L), (1L, 2L, "b", 200L), (1L, 3L, "c", 250L),
+      (2L, 4L, "a", 100L), (2L, 5L, "a", 150L), (2L, 6L, "b", 5000L)
+    ).toDF("user", "seq", "typ", "ts_sec")
+    val got = Streams.streamingTransitions(spark, rows, gapSec = 1800,
+        queryName = s"spec_stransit_${System.nanoTime()}")
+      .as[(String, String, Long)].collect().toSet
+    assert(got == Set(("a", "b", 1L), ("b", "c", 1L), ("a", "a", 1L)))
+  }
+
   test("cdcApply merges a streamed delta into the target") {
     val target = Seq((1L, "v1", "N"), (2L, "v2", "N")).toDF("id", "v", "is_deleted")
     val delta = Seq((2L, "v2b", "N"), (3L, "v3", "N"), (1L, "v1", "Y"))

@@ -20,7 +20,10 @@ object Bench {
     "corpus_clean",
     // round-4 extension paths: space-filling layout, behavioral funnel,
     // one-pass quality audit, inverted index
-    "hilbert_cluster", "q_funnel", "dq_constraints", "text_inverted_index")
+    "hilbert_cluster", "q_funnel", "dq_constraints", "text_inverted_index",
+    // round-4 continuation: monitoring/graph/IR paths
+    "q_cusum_changepoint", "q_sliding_distinct", "graph_triangles",
+    "text_search_conjunctive", "q_interval_merge")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

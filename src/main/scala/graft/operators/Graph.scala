@@ -34,6 +34,9 @@ object Graph {
     val e = edges.select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .filter(col("a") =!= col("b")).distinct()
+      // consumed by three branches (degree, orientation, count): one
+      // eager materialization beats three edge-build recomputes
+      .localCheckpoint(true)
     val deg = e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("deg"))
     // orient a->b iff (deg(a), a) < (deg(b), b): a total order, so each
@@ -46,18 +49,27 @@ object Graph {
           col("a")).otherwise(col("b")).as("u"),
         when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
           col("b")).otherwise(col("a")).as("w"))
-    val out1 = oriented.select(col("u"), col("w").as("v1"))
-    val out2 = oriented.select(col("u"), col("w").as("v2"))
-    val wedges = out1.join(out2, Seq("u")).filter(col("v1") < col("v2"))
-    val closing = oriented.select(
-      least(col("u"), col("w")).as("v1"), greatest(col("u"), col("w")).as("v2"))
-    // the closing edge of a wedge (v1, v2) may be oriented either way;
-    // compare on the canonical (min, max) form
-    val tri = wedges.select(col("v1"), col("v2"))
-      .join(closing, Seq("v1", "v2"), "left_semi")
+      // consumed by the adjacency build and twice by the counting join
+      .localCheckpoint(true)
+    // Count per EDGE by out-neighbor-list intersection rather than
+    // materializing the wedge set: a dense graph's wedge count dwarfs its
+    // edge count (the sf0.1 co-purchase graph: 41M wedges over 1.2M
+    // edges), and shuffling wedge rows into a semi-join is pure overhead
+    // when the closing test can run inside one projection. Under the
+    // acyclic orientation each triangle's nodes rank r1<r2<r3 and it is
+    // counted exactly once — on edge r1→r2, as common out-neighbor r3.
+    // The adjacency table has one row per NODE (≤ out-degree O(√m)
+    // elements each): small enough to broadcast on mid-size graphs, a
+    // plain hash join at 100 TB.
+    val adj = oriented.groupBy(col("u"))
+      .agg(sort_array(collect_list(col("w"))).as("nbrs"))
+    val tri = oriented
+      .join(adj.select(col("u"), col("nbrs").as("n1")), Seq("u"))
+      .join(adj.select(col("u").as("w"), col("nbrs").as("n2")), Seq("w"))
+      .select(size(array_intersect(col("n1"), col("n2"))).cast("long").as("c"))
+      .agg(coalesce(sum(col("c")), lit(0L)).as("n_triangles"))
     val nodes = deg.agg(count(lit(1)).as("n_nodes"))
     val edgeCount = e.agg(count(lit(1)).as("n_edges"))
-    nodes.crossJoin(edgeCount)
-      .crossJoin(tri.agg(count(lit(1)).as("n_triangles")))
+    nodes.crossJoin(edgeCount).crossJoin(tri)
   }
 }

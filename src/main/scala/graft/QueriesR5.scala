@@ -4,6 +4,7 @@ import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Round-4 continuation gates (batch c): the r5+ queue items that are
   * SQL-expressible plus the mixture/monitoring operators a training-data
@@ -242,6 +243,137 @@ object QueriesR5 {
       .orderBy(col("prev_type"), col("next_type"))
   }
 
+  /** R66: RFM segmentation — the classic customer scoring composite:
+    * recency (last order day) / frequency (order count) / monetary
+    * (lifetime cents), each discretized into quintiles with the customer
+    * key as total-order tiebreak, combined into the 3-digit segment code.
+    * One aggregate over orders + three window passes over the (small)
+    * per-customer frame.
+    */
+  def qRfmSegmentation(s: SparkSession, dir: String): DataFrame = {
+    val cents = (col("o_totalprice").cast(DecimalType(12, 2)) * 100).cast("long")
+    val rfm = t(s, dir, "orders")
+      .select(col("o_custkey"),
+        expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000").as("day"),
+        cents.as("cents"))
+      .groupBy(col("o_custkey"))
+      .agg(max(col("day")).as("r_day"), count(lit(1)).as("f"),
+        sum(col("cents")).as("m_cents"))
+    def quint(c: String) = ntile(5)
+      .over(Window.orderBy(col(c), col("o_custkey"))).cast("long")
+    rfm.withColumn("r_score", quint("r_day"))
+      .withColumn("f_score", quint("f"))
+      .withColumn("m_score", quint("m_cents"))
+      .withColumn("segment",
+        col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+      .orderBy(col("o_custkey"))
+  }
+
+  /** R67: market-basket 2-itemset association rules — pair support from
+    * the bounded per-order self-join (the graph_triangles edge build),
+    * item support from one aggregate, confidence in exact ppm both
+    * directions. The A-priori first rung, all integer.
+    */
+  def qMarketBasket(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val pairSupport = li.select(col("l_orderkey"), col("l_partkey").as("part_a"))
+      .join(li.select(col("l_orderkey"), col("l_partkey").as("part_b")),
+        Seq("l_orderkey"))
+      .filter(col("part_a") < col("part_b"))
+      .groupBy(col("part_a"), col("part_b"))
+      .agg(count(lit(1)).as("support_pair"))
+      .filter(col("support_pair") >= 3)
+    val itemSupport = li.groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("support"))
+    pairSupport
+      .join(itemSupport.select(col("l_partkey").as("part_a"),
+        col("support").as("support_a")), Seq("part_a"))
+      .join(itemSupport.select(col("l_partkey").as("part_b"),
+        col("support").as("support_b")), Seq("part_b"))
+      .select(col("part_a"), col("part_b"), col("support_pair"),
+        col("support_a"), col("support_b"),
+        expr("support_pair * 1000000 div support_a").as("conf_a_to_b_ppm"),
+        expr("support_pair * 1000000 div support_b").as("conf_b_to_a_ppm"))
+      .orderBy(col("part_a"), col("part_b"))
+  }
+
+  /** R68: period-over-period growth — daily value per event type with
+    * the previous day's total and the growth rate in signed ppm (trunc
+    * division, identical in both engines). The first day of each series
+    * reports null prev/growth, as a reporting layer would.
+    */
+  def qGrowthRates(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .select(col("event_type"),
+        expr("unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000").as("day"),
+        centsCol.as("cents"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("cents")).as("total"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    daily.withColumn("prev_total", lag(col("total"), 1).over(w))
+      .withColumn("delta", col("total") - col("prev_total"))
+      .withColumn("growth_ppm", expr("delta * 1000000 div prev_total"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  /** R57b: cohort retention normalized to ppm of the cohort's size (the
+    * offset-0 cell) — the percentage matrix analysts actually read,
+    * derived without floats.
+    */
+  def qRetentionPct(s: SparkSession, dir: String): DataFrame = {
+    val day = expr("unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000")
+    val r = graft.operators.Cohorts.cohortRetention(
+      t(s, dir, "events"), "user_id", day)
+    val sizes = r.filter(col("period_offset") === 0)
+      .select(col("cohort_period"), col("n_users").as("cohort_size"))
+    r.join(sizes, Seq("cohort_period"))
+      .select(col("cohort_period"), col("period_offset"), col("n_users"),
+        col("cohort_size"),
+        expr("n_users * 1000000 div cohort_size").as("retained_ppm"))
+      .orderBy(col("cohort_period"), col("period_offset"))
+  }
+
+  /** X16: streaming CUSUM — two-long per-key state (see
+    * [[graft.streaming.Streams.streamingCusum]]); the emitted statistic
+    * series must equal the batch closed form, so the oracle is the
+    * (event_type, day, s) projection of the changepoint gate's SQL.
+    */
+  def streamCusum(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events").select(col("event_type"),
+      expr("unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000").as("day"),
+      centsCol.as("cents"))
+    val daily = e.groupBy(col("event_type"), col("day"))
+      .agg(sum(col("cents")).as("x"))
+    val byType = Window.partitionBy(col("event_type"))
+    val rows = daily
+      .withColumn("__sx", sum(col("x")).over(byType))
+      .withColumn("__nd", count(lit(1)).over(byType))
+      .select(col("event_type").as("key"), col("day").as("order"), col("x"),
+        expr("__sx div __nd").as("k"))
+    graft.streaming.Streams.streamingCusum(s, rows,
+        queryName = s"gate_scusum_${System.nanoTime()}")
+      .select(col("key").as("event_type"), col("order").as("day"), col("s"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  /** S10: cosine range search — every corpus vector above the threshold
+    * per query (see [[graft.similarity.Ann.rangeSearch]]): LSH band
+    * collisions for candidates, exact verify, in the band regime the
+    * embedding near-dup gate pins recall-complete at 0.4 on this
+    * fixture. Oracle: asymmetric brute force.
+    */
+  def annRangeSearch(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    // 2% hash-strided probe set — vec_id < 10 has zero above-threshold
+    // neighbors at sf0.001, and a 0-row gate proves nothing
+    val queries = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val corpus = e.select(col("vec_id").as("cand_id"), col("embedding"))
+    graft.similarity.Ann.rangeSearch(queries, corpus, dim = 64, threshold = 0.4)
+      .orderBy(col("query_id"), col("cand_id"))
+  }
+
   // ---------------------------------------------------------------- oracle
 
   private val centsSql =
@@ -400,6 +532,114 @@ object QueriesR5 {
         |  CAST(len(regexp_extract_all(s, '<[^>]+>', 0)) AS BIGINT) AS n_tags
         |FROM p ORDER BY doc_id""".stripMargin,
     "stream_transitions" -> QueriesR4.sql("q_event_transitions"),
+    "q_rfm_segmentation" ->
+      """WITH rfm AS (
+        |  SELECT o_custkey,
+        |    MAX(epoch_us(o_orderdate) // 86400000000) AS r_day,
+        |    CAST(COUNT(*) AS BIGINT) AS f,
+        |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS m_cents
+        |  FROM orders GROUP BY o_custkey
+        |), scored AS (
+        |  SELECT *,
+        |    CAST(NTILE(5) OVER (ORDER BY r_day, o_custkey) AS BIGINT) AS r_score,
+        |    CAST(NTILE(5) OVER (ORDER BY f, o_custkey) AS BIGINT) AS f_score,
+        |    CAST(NTILE(5) OVER (ORDER BY m_cents, o_custkey) AS BIGINT) AS m_score
+        |  FROM rfm
+        |)
+        |SELECT o_custkey, r_day, f, m_cents, r_score, f_score, m_score,
+        |  r_score * 100 + f_score * 10 + m_score AS segment
+        |FROM scored ORDER BY o_custkey""".stripMargin,
+    "q_market_basket" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |ps AS (
+        |  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+        |    CAST(COUNT(*) AS BIGINT) AS support_pair
+        |  FROM li a JOIN li b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 3
+        |), its AS (
+        |  SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS support FROM li GROUP BY 1
+        |)
+        |SELECT ps.part_a, ps.part_b, ps.support_pair,
+        |  sa.support AS support_a, sb.support AS support_b,
+        |  support_pair * 1000000 // sa.support AS conf_a_to_b_ppm,
+        |  support_pair * 1000000 // sb.support AS conf_b_to_a_ppm
+        |FROM ps JOIN its sa ON ps.part_a = sa.l_partkey
+        |JOIN its sb ON ps.part_b = sb.l_partkey
+        |ORDER BY part_a, part_b""".stripMargin,
+    "q_growth_rates" ->
+      s"""WITH e AS (
+         |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         |    $centsSql AS cents
+         |  FROM events
+         |), daily AS (
+         |  SELECT event_type, day, CAST(SUM(cents) AS BIGINT) AS total
+         |  FROM e GROUP BY event_type, day
+         |), g AS (
+         |  SELECT event_type, day, total,
+         |    lag(total) OVER (PARTITION BY event_type ORDER BY day) AS prev_total
+         |  FROM daily
+         |)
+         |SELECT event_type, day, total, prev_total,
+         |  total - prev_total AS delta,
+         |  (total - prev_total) * 1000000 // prev_total AS growth_ppm
+         |FROM g ORDER BY event_type, day""".stripMargin,
+    "q_retention_pct" ->
+      """WITH act AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS period
+        |  FROM events
+        |), cohort AS (
+        |  SELECT user_id, MIN(period) AS cohort_period FROM act GROUP BY user_id
+        |), r AS (
+        |  SELECT c.cohort_period, a.period - c.cohort_period AS period_offset,
+        |    CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_users
+        |  FROM act a JOIN cohort c ON a.user_id = c.user_id
+        |  GROUP BY 1, 2
+        |), sz AS (
+        |  SELECT cohort_period, n_users AS cohort_size FROM r WHERE period_offset = 0
+        |)
+        |SELECT r.cohort_period, r.period_offset, r.n_users, sz.cohort_size,
+        |  r.n_users * 1000000 // sz.cohort_size AS retained_ppm
+        |FROM r JOIN sz ON r.cohort_period = sz.cohort_period
+        |ORDER BY r.cohort_period, r.period_offset""".stripMargin,
+    "stream_cusum" ->
+      s"""WITH e AS (
+         |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         |    $centsSql AS cents
+         |  FROM events
+         |), daily AS (
+         |  SELECT event_type, day, CAST(SUM(cents) AS BIGINT) AS x
+         |  FROM e GROUP BY event_type, day
+         |), series AS (
+         |  SELECT *, SUM(x) OVER (PARTITION BY event_type) //
+         |    COUNT(*) OVER (PARTITION BY event_type) AS k
+         |  FROM daily
+         |), pfx AS (
+         |  SELECT *, SUM(x - k) OVER (PARTITION BY event_type ORDER BY day
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+         |  FROM series
+         |)
+         |SELECT event_type, day,
+         |  CAST(p - LEAST(0, MIN(p) OVER (PARTITION BY event_type ORDER BY day
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS BIGINT) AS s
+         |FROM pfx ORDER BY event_type, day""".stripMargin,
+    "ann_range_search" ->
+      """WITH flat AS (
+        |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+        |    generate_subscripts(embedding, 1) AS i
+        |  FROM embeddings
+        |), norms AS (SELECT vec_id, sqrt(SUM(x*x)) AS nrm FROM flat GROUP BY vec_id),
+        |dots AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id, SUM(q.x*c.x) AS dot
+        |  FROM flat q JOIN flat c ON q.i = c.i AND q.vec_id <> c.vec_id
+        |  WHERE q.vec_id % 50 = 0
+        |  GROUP BY 1, 2
+        |)
+        |SELECT query_id, cand_id FROM dots d
+        |JOIN norms nq ON nq.vec_id = d.query_id
+        |JOIN norms nc ON nc.vec_id = d.cand_id
+        |WHERE dot / (nq.nrm * nc.nrm) > 0.4
+        |ORDER BY query_id, cand_id""".stripMargin,
     "text_cooccur" ->
       """WITH tm AS (
         |  SELECT DISTINCT doc_id, unnest(str_split(text, ' ')) AS term

@@ -135,6 +135,51 @@ object Ann {
     topKPerQuery(scored, k)
   }
 
+  /** Range search — ALL corpus vectors within the cosine threshold of
+    * each query (the "every neighbor" complement of top-k: dedup
+    * verification, recall evaluation, radius-bounded retrieval).
+    * Candidates from hyperplane-LSH band collisions (the
+    * [[graft.dedup.Dedup.embedNearDupLsh]] machinery, asymmetric:
+    * query bands ⋈ corpus bands, never query × corpus), exact cosine
+    * verify on the deduped candidate pairs. Recall follows the band
+    * parameterization — the default 64×4 regime is the one the
+    * embedding near-dup gate pins recall-complete at threshold 0.4 on
+    * the fixture; production thresholds prune far harder (LshSpec).
+    *
+    * @param queries (query_id, embedding)
+    * @param corpus  (cand_id, embedding)
+    * @return (query_id, cand_id) with cosine > threshold, self-matches
+    *         (same id) excluded
+    */
+  def rangeSearch(queries: DataFrame, corpus: DataFrame, dim: Int,
+                  threshold: Double, bands: Int = 64,
+                  bitsPerBand: Int = 4): DataFrame = {
+    import graft.functions.VectorFunctions.norm
+    val qb = queries.select(col("query_id"), col("embedding").as("q_emb"),
+      norm(col("embedding")).as("q_nrm")).localCheckpoint(true)
+    val cb = corpus.select(col("cand_id"), col("embedding").as("c_emb"),
+      norm(col("embedding")).as("c_nrm")).localCheckpoint(true)
+    // posexplode'd band VALUES (one native-loop call site) — the
+    // key-array form inlines `bands` projection loops into the fused
+    // collision join and drops the stage to interpreted bytecode
+    def bandKeys(df: DataFrame, idCol: String, embCol: String): DataFrame =
+      df.select(col(idCol),
+          posexplode(hyperplaneBandValues(col(embCol), dim, bands, bitsPerBand)))
+        .select(col(idCol),
+          concat(col("pos").cast("string"), lit(":"), col("col").cast("string"))
+            .as("band"))
+    val cand = bandKeys(cb, "cand_id", "c_emb")
+      .join(bandKeys(qb, "query_id", "q_emb").hint("broadcast"), Seq("band"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id")).distinct()
+    cand.join(qb, Seq("query_id")).join(cb, Seq("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        (ddot(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")))
+          .as("cosine"))
+      .filter(col("cosine") > threshold)
+      .select(col("query_id"), col("cand_id"))
+  }
+
   /** Lloyd-iteration centroid training for IVF, fully declarative: assign
     * (narrow, centroids broadcast) → per-centroid mean (one shuffle on the
     * centroid id) → repeat. Seeds are deterministic corpus rows. The means

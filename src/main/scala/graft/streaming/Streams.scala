@@ -645,4 +645,56 @@ object Streams {
         .agg(sum(col("n")).as("n_transitions"))
     }
   }
+
+  /** X16: streaming CUSUM — the drift monitor (R61) maintained
+    * incrementally. Per-key state is two longs (the prefix sum P and its
+    * historical minimum), because Sₜ = Pₜ − min(0, minᵢ≤ₜ Pᵢ) needs no
+    * history; each arriving tick appends its statistic row (Append-mode
+    * flatMap). Under per-key order-of-`order` delivery the emitted
+    * series is identical to the batch closed form
+    * ([[graft.operators.Changepoint.cusum]]) — StreamsSpec pins the
+    * equality, the gate shares the batch oracle.
+    *
+    * @param rows (key: string, order: long, x: long, k: long) — k is the
+    *             configured reference level (a parameter of the monitor,
+    *             not derived from unseen future data)
+    * @return (key, order, s)
+    */
+  def streamingCusum(spark: SparkSession, rows: DataFrame,
+                     queryName: String,
+                     rocksDb: Boolean = UseRocksDb): DataFrame = {
+    import spark.implicits._
+    val typed = rows.select(col("key").cast("string"), col("order").cast("long"),
+        col("x").cast("long"), col("k").cast("long"))
+      .orderBy(col("order"))
+      .coalesce(1) // one ordered file = ordered replay
+      .as[(String, Long, Long, Long)]
+    val path = stageToTemp(typed.toDF("key", "order", "x", "k"), "scusum")
+
+    // state: (p, minP)
+    val step: (String, Iterator[(String, Long, Long, Long)],
+        GroupState[(Long, Long)]) => Iterator[(String, Long, Long)] =
+      (key, batch, state) => {
+        var (p, minP) = state.getOption.getOrElse((0L, 0L))
+        val out = batch.toSeq.sortBy(_._2).map { case (_, order, x, k) =>
+          p += x - k
+          if (p < minP) minP = p
+          (key, order, p - math.min(0L, minP))
+        }
+        state.update((p, minP))
+        out.iterator
+      }
+
+    withStateSession(spark, 8, rocksDb) { iso =>
+      val stream = iso.readStream.schema(typed.schema).parquet(path)
+        .as[(String, Long, Long, Long)]
+      val stats = stream.groupByKey(_._1)
+        .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(step)
+        .toDF("key", "order", "s")
+      val q = stats.writeStream.outputMode("append")
+        .format("memory").queryName(queryName).start()
+      try { q.processAllAvailable() } finally { q.stop() }
+      iso.table(queryName)
+    }
+  }
 }

@@ -179,6 +179,17 @@ class StreamsSpec extends AnyFunSuite {
     assert(got == Set(("a", "b", 1L), ("b", "c", 1L), ("a", "a", 1L)))
   }
 
+  test("streaming CUSUM equals the batch closed form, tick for tick") {
+    val xs = Seq(5L, 5L, 30L, 0L, 0L, 50L, 2L)
+    val k = 8L
+    val rows = xs.zipWithIndex.map { case (x, i) => ("m", i.toLong, x, k) }
+      .toDF("key", "order", "x", "k")
+    val got = Streams.streamingCusum(spark, rows,
+        queryName = s"spec_scusum_${System.nanoTime()}")
+      .orderBy("order").select("s").as[Long].collect().toSeq
+    assert(got == graft.operators.Changepoint.cusumRef(xs, k))
+  }
+
   test("cdcApply merges a streamed delta into the target") {
     val target = Seq((1L, "v1", "N"), (2L, "v2", "N")).toDF("id", "v", "is_deleted")
     val delta = Seq((2L, "v2b", "N"), (3L, "v3", "N"), (1L, "v1", "Y"))

@@ -496,7 +496,7 @@ object QueriesR3 {
   /** DuckDB arithmetic for the integer value of the first 12 hex chars of
     * an md5 string — 48 bits, exact in BIGINT.
     */
-  private def hex12ToInt(sExpr: String): String =
+  private[graft] def hex12ToInt(sExpr: String): String =
     (1 to 12).map { i =>
       val p = 1L << (4 * (12 - i))
       s"(strpos('0123456789abcdef', substr($sExpr, $i, 1)) - 1) * ${p}"

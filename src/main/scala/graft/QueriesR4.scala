@@ -422,7 +422,7 @@ object QueriesR4 {
   /** Shared by q_funnel (batch) and stream_funnel (X14): the two
     * formulations must produce the identical summary.
     */
-  private val funnelSql: String =
+  private[graft] val funnelSql: String =
     """WITH e AS (
       |  SELECT user_id, event_type, epoch_us(ts) AS tsu FROM events
       |), u AS (SELECT DISTINCT user_id FROM e),

@@ -1,0 +1,337 @@
+package graft
+
+import graft.operators.{Basket, Retrieval, Sequences}
+import graft.sketches.Kmv
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-4 continuation gates (batch d): the remaining r5+ queue — BM25
+  * ranked retrieval in exact fixed-point, k-length sequential pattern
+  * mining, incremental market-basket counter maintenance, and the batch
+  * half of the streaming per-day KMV rolling-reach report. Oracle
+  * discipline unchanged: integer/decimal algebra only, full-tiebreak
+  * ORDER BY, md5-portable hashing.
+  */
+object QueriesR6 {
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** The retrieval probe vocabulary — high-df corpus terms so every SF
+    * has real ranking work (df ≈ 0.77·N at sf0.01).
+    */
+  private val Bm25Vocab = Seq("query", "window", "scan")
+
+  /** T15: BM25 ranked retrieval (see [[graft.operators.Retrieval.bm25]]):
+    * disjunctive probe query, per-term score = monotone ratio-idf (ppm) ×
+    * BM25's exact-rational tf saturation (k₁=6/5, b=3/4), summed per doc,
+    * top 200 by (score desc, doc_id). DECIMAL(38,0)/HUGEINT keep the
+    * product exact; every division is trunc-integer in both engines.
+    */
+  def textBm25(s: SparkSession, dir: String): DataFrame =
+    Retrieval.bm25(t(s, dir, "documents"), "doc_id", "text", Bm25Vocab, 200)
+
+  /** R69: length-3 contiguous sequential patterns per user under the
+    * 30-min continuity rule (see [[graft.operators.Sequences]]) —
+    * occurrences + distinct-user support per pattern.
+    */
+  def qSeqPatterns(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events").select(col("user_id"), col("event_id"),
+      col("event_type"),
+      unix_timestamp(col("ts").cast("timestamp")).as("ts_sec"))
+    Sequences.contiguousTriples(e, "user_id", "event_type", "event_id",
+        "ts_sec", maxGapSec = 1800)
+      .withColumnRenamed("n_keys", "n_users")
+      .orderBy(col("t1"), col("t2"), col("t3"))
+  }
+
+  /** R67b: incremental market-basket maintenance (see
+    * [[graft.operators.Basket]]): pair/item support counters from half
+    * the orders persisted to parquet, the other half counted as a delta
+    * and merged by groupBy-sum — the rule table equals the full
+    * recompute bit-for-bit (baskets are order-local, so the split can't
+    * tear a pair; the oracle IS q_market_basket's). History is never
+    * re-read: the second half's self-join is delta-sized.
+    */
+  def qBasketIncremental(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("basket"), col("l_partkey").as("item"))
+    val batchA = li.filter(col("basket") % 2 === 0)
+    val batchB = li.filter(col("basket") % 2 =!= 0)
+    val store = java.nio.file.Files.createTempDirectory("graft_basket_inc").toString
+    Basket.pairSupports(batchA).write.mode("overwrite").parquet(s"$store/pairs")
+    Basket.itemSupports(batchA).write.mode("overwrite").parquet(s"$store/items")
+    val pair = Basket.mergeCounters("support_pair",
+      s.read.parquet(s"$store/pairs"), Basket.pairSupports(batchB))
+    val item = Basket.mergeCounters("support",
+      s.read.parquet(s"$store/items"), Basket.itemSupports(batchB))
+    Basket.rules(pair, item, minSupport = 3)
+      .orderBy(col("part_a"), col("part_b"))
+  }
+
+  /** X17: rolling 7-day distinct-user reach from streaming per-day KMV
+    * state (see [[graft.streaming.Streams.streamingDayKmv]]): the
+    * drained day sketches fan out to the ≤7 report days they contribute
+    * to (bounded explode, the R60 shape — never a range self-join) and
+    * merge under KMV's exact union law, so the estimate equals the
+    * window-union sketch BIT-FOR-BIT and the SQL oracle reproduces it.
+    * The exact distinct rides along for calibration (= q_sliding_distinct).
+    */
+  def streamRollingKmv(s: SparkSession, dir: String): DataFrame = {
+    val k = 64
+    val e = t(s, dir, "events")
+    val day = expr("unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000")
+    val act = e.select(day.as("day"), Kmv.hash48(col("user_id")).as("h"))
+    val daySketches = graft.streaming.Streams.streamingDayKmv(s, act, k,
+      queryName = s"gate_sdaykmv_${System.nanoTime()}")
+    val days = daySketches.select(col("day")).distinct()
+    val merged = daySketches
+      .select(col("day"), explode(sequence(col("day"), col("day") + 6))
+        .as("target_day"), col("sk"))
+      .join(broadcast(days.withColumnRenamed("day", "target_day")),
+        Seq("target_day"), "left_semi")
+      .select(col("target_day"), explode(col("sk")).as("h"))
+      .groupBy(col("target_day").as("day"))
+      .agg(Kmv.kmvDistinct(col("h"), k).as("kmv_est_7d"))
+    val exact = graft.operators.Cohorts.rollingDistinct(e, "user_id",
+        day, window = 7)
+      .select(col("period").as("day"), col("n_distinct").as("n_exact_7d"))
+    merged.join(exact, Seq("day"))
+      .select(col("day"), col("n_exact_7d"), col("kmv_est_7d"))
+      .orderBy(col("day"))
+  }
+
+  /** R67c: association rules extended with exact-ppm LIFT (see
+    * [[graft.operators.Basket.rulesWithLift]]) — co-occurrence vs the
+    * independence expectation, the affinity signal confidence can't give.
+    */
+  def qBasketLift(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("basket"), col("l_partkey").as("item"))
+    val nBaskets = li.select(col("basket")).distinct()
+      .agg(count(lit(1)).as("n_baskets"))
+    Basket.rulesWithLift(Basket.pairSupports(li), Basket.itemSupports(li),
+        nBaskets, minSupport = 3)
+      .select(col("part_a"), col("part_b"), col("support_pair"),
+        col("lift_ppm"))
+      .orderBy(col("part_a"), col("part_b"))
+  }
+
+  /** R70: trending top-k — the k most-shipped parts per epoch-week, run
+    * on the NATIVE grouped top-k operator (plans/GroupedTopKPlan):
+    * map-side bounded buffers cap the shuffle at O(partitions·weeks·k)
+    * where the window form shuffles and sorts every (week, part) count.
+    * Tie order is (count desc, partkey asc), the operator's contract.
+    */
+  def qTrendingTopk(s: SparkSession, dir: String): DataFrame = {
+    val counts = t(s, dir, "lineitem")
+      .select(expr("unix_micros(CAST(l_shipdate AS TIMESTAMP)) div 604800000000")
+        .as("week"), col("l_partkey"))
+      .groupBy(col("week"), col("l_partkey"))
+      .agg(count(lit(1)).as("n"))
+    graft.plans.GroupedTopK.topK(counts, Seq("week"), col("n"),
+        col("l_partkey"), k = 3, rankName = "rnk")
+      .select(col("week"), col("l_partkey"), col("n"), col("rnk"))
+      .orderBy(col("week"), col("rnk"))
+  }
+
+  /** R71: fixed-iteration PageRank in ppm fixed-point over the lineitem
+    * co-purchase graph (see [[graft.operators.Graph.pageRank]]) — 3
+    * rounds, truncating integer division at both contract points, so the
+    * recursive-CTE-free chained oracle lands on identical integers. Top
+    * 500 by (rank desc, node) keeps the gate output bounded.
+    */
+  def graphPagerank(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val edges = li.select(col("l_orderkey"), col("l_partkey").as("src"))
+      .join(li.select(col("l_orderkey"), col("l_partkey").as("dst")),
+        Seq("l_orderkey"))
+      .filter(col("src") < col("dst"))
+      .select(col("src"), col("dst"))
+    graft.operators.Graph.pageRank(edges, iterations = 3)
+      .orderBy(col("pr_ppm").desc, col("node"))
+      .limit(500)
+  }
+
+  /** R56b: funnel conversion rates — the stage counts of q_funnel
+    * normalized step-over-step and against stage 1, exact ppm (the R57b
+    * idiom). NULLIF guards the empty-corpus edge in both engines.
+    */
+  def qFunnelRates(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val f = QueriesR4.qFunnel(s, dir)
+    val w = Window.orderBy(col("stage"))
+    f.withColumn("prev", lag(col("n_users"), 1).over(w))
+      .withColumn("n_first", first(col("n_users")).over(w))
+      .select(col("stage"), col("stage_name"), col("n_users"),
+        expr("n_users * 1000000 div nullif(prev, 0)").as("conv_prev_ppm"),
+        expr("n_users * 1000000 div nullif(n_first, 0)").as("conv_overall_ppm"))
+      .orderBy(col("stage"))
+  }
+
+  val sql: Map[String, String] = Map(
+    "text_bm25" ->
+      """WITH toks AS (
+        |  SELECT doc_id, str_split(text, ' ') AS tk FROM documents
+        |), dl AS (
+        |  SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl FROM toks
+        |), stats AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(dl) AS BIGINT) AS l_total FROM dl
+        |), tf AS (
+        |  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, unnest(tk) AS term FROM toks)
+        |  WHERE term IN ('query', 'window', 'scan')
+        |  GROUP BY doc_id, term
+        |), dfreq AS (
+        |  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+        |), scored AS (
+        |  SELECT tf.doc_id,
+        |    CAST(CAST(((2 * (s.n_docs - f.df) + 1) * 1000000) // (2 * f.df + 1)
+        |        AS HUGEINT) * 44 * tf.tf * s.l_total
+        |      // (20 * tf.tf * s.l_total + 6 * s.l_total + 18 * d.dl * s.n_docs)
+        |      AS BIGINT) AS term_score
+        |  FROM tf JOIN dfreq f USING (term) JOIN dl d USING (doc_id)
+        |    CROSS JOIN stats s
+        |), agg AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+        |    CAST(SUM(term_score) AS BIGINT) AS score
+        |  FROM scored GROUP BY doc_id
+        |), top AS (
+        |  SELECT * FROM agg ORDER BY score DESC, doc_id LIMIT 200
+        |)
+        |SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+        |    AS rank, doc_id, n_terms, score
+        |FROM top ORDER BY rank""".stripMargin,
+    "q_seq_patterns" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec
+        |  FROM events
+        |), l AS (
+        |  SELECT user_id, event_type AS t1,
+        |    lead(event_type, 1) OVER w AS t2,
+        |    lead(event_type, 2) OVER w AS t3,
+        |    lead(ts_sec, 1) OVER w - ts_sec AS gap12,
+        |    lead(ts_sec, 2) OVER w - lead(ts_sec, 1) OVER w AS gap23
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+        |)
+        |SELECT t1, t2, t3, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM l WHERE t3 IS NOT NULL AND gap12 <= 1800 AND gap23 <= 1800
+        |GROUP BY t1, t2, t3 ORDER BY t1, t2, t3""".stripMargin,
+    "q_basket_incremental" -> QueriesR5.sql("q_market_basket"),
+    "q_basket_lift" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |nb AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_baskets FROM li),
+        |ps AS (
+        |  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+        |    CAST(COUNT(*) AS BIGINT) AS support_pair
+        |  FROM li a JOIN li b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 3
+        |), its AS (
+        |  SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS support
+        |  FROM li GROUP BY 1
+        |)
+        |SELECT ps.part_a, ps.part_b, ps.support_pair,
+        |  CAST(CAST(ps.support_pair AS HUGEINT) * nb.n_baskets * 1000000
+        |    // (CAST(sa.support AS HUGEINT) * sb.support) AS BIGINT) AS lift_ppm
+        |FROM ps
+        |JOIN its sa ON sa.l_partkey = ps.part_a
+        |JOIN its sb ON sb.l_partkey = ps.part_b
+        |CROSS JOIN nb
+        |ORDER BY ps.part_a, ps.part_b""".stripMargin,
+    "q_trending_topk" ->
+      """WITH c AS (
+        |  SELECT epoch_us(l_shipdate) // 604800000000 AS week, l_partkey,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM lineitem GROUP BY 1, 2
+        |), r AS (
+        |  SELECT week, l_partkey, n,
+        |    CAST(row_number() OVER (PARTITION BY week
+        |      ORDER BY n DESC, l_partkey) AS BIGINT) AS rnk
+        |  FROM c
+        |)
+        |SELECT week, l_partkey, n, rnk FROM r WHERE rnk <= 3
+        |ORDER BY week, rnk""".stripMargin,
+    "graph_pagerank" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |und AS (
+        |  SELECT a.l_partkey AS a, b.l_partkey AS b
+        |  FROM li a JOIN li b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2
+        |), e AS (
+        |  SELECT a AS src, b AS dst FROM und
+        |  UNION ALL SELECT b, a FROM und
+        |), deg AS (
+        |  SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY src
+        |), p0 AS (
+        |  SELECT src AS node, CAST(1000000 AS BIGINT) AS pr FROM deg
+        |), s1 AS (
+        |  SELECT e.dst AS node, SUM(p.pr // d.deg) AS s
+        |  FROM e JOIN p0 p ON p.node = e.src JOIN deg d ON d.src = e.src
+        |  GROUP BY e.dst
+        |), p1 AS (
+        |  SELECT node, CAST(150000 + CAST(850000 AS HUGEINT) * s // 1000000
+        |    AS BIGINT) AS pr FROM s1
+        |), s2 AS (
+        |  SELECT e.dst AS node, SUM(p.pr // d.deg) AS s
+        |  FROM e JOIN p1 p ON p.node = e.src JOIN deg d ON d.src = e.src
+        |  GROUP BY e.dst
+        |), p2 AS (
+        |  SELECT node, CAST(150000 + CAST(850000 AS HUGEINT) * s // 1000000
+        |    AS BIGINT) AS pr FROM s2
+        |), s3 AS (
+        |  SELECT e.dst AS node, SUM(p.pr // d.deg) AS s
+        |  FROM e JOIN p2 p ON p.node = e.src JOIN deg d ON d.src = e.src
+        |  GROUP BY e.dst
+        |), p3 AS (
+        |  SELECT node, CAST(150000 + CAST(850000 AS HUGEINT) * s // 1000000
+        |    AS BIGINT) AS pr FROM s3
+        |)
+        |SELECT node, pr AS pr_ppm FROM p3
+        |ORDER BY pr DESC, node LIMIT 500""".stripMargin,
+    "q_funnel_rates" ->
+      s"""WITH f AS (
+         |${QueriesR4.funnelSql}
+         |)
+         |SELECT stage, stage_name, n_users,
+         |  CAST(n_users * 1000000 // NULLIF(lag(n_users)
+         |    OVER (ORDER BY stage), 0) AS BIGINT) AS conv_prev_ppm,
+         |  CAST(n_users * 1000000 // NULLIF(first_value(n_users)
+         |    OVER (ORDER BY stage), 0) AS BIGINT) AS conv_overall_ppm
+         |FROM f ORDER BY stage""".stripMargin,
+    "stream_rolling_kmv" ->
+      s"""WITH act AS (
+         |  SELECT DISTINCT epoch_us(ts) // 86400000000 AS day,
+         |    ${QueriesR3.hex12ToInt("md5(CAST(user_id AS VARCHAR))")} AS h
+         |  FROM events
+         |), days AS (SELECT DISTINCT day FROM act),
+         |w AS (
+         |  SELECT d.day AS day, a.h FROM days d
+         |  JOIN act a ON a.day BETWEEN d.day - 6 AND d.day
+         |  GROUP BY d.day, a.h
+         |), r AS (
+         |  SELECT day, h,
+         |    row_number() OVER (PARTITION BY day ORDER BY h) AS rn,
+         |    COUNT(*) OVER (PARTITION BY day) AS nd
+         |  FROM w
+         |), est AS (
+         |  SELECT day, CAST(CASE WHEN MAX(nd) < 64 THEN MAX(nd)
+         |    ELSE (63 * ${Kmv.HashRange}) // MAX(CASE WHEN rn = 64 THEN h END)
+         |    END AS BIGINT) AS kmv_est_7d
+         |  FROM r GROUP BY day
+         |), ex AS (
+         |  SELECT d.day AS day,
+         |    CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_exact_7d
+         |  FROM days d
+         |  JOIN (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+         |        FROM events) a ON a.day BETWEEN d.day - 6 AND d.day
+         |  GROUP BY d.day
+         |)
+         |SELECT est.day, ex.n_exact_7d, est.kmv_est_7d
+         |FROM est JOIN ex USING (day) ORDER BY est.day""".stripMargin)
+}

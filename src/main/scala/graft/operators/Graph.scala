@@ -72,4 +72,63 @@ object Graph {
     val edgeCount = e.agg(count(lit(1)).as("n_edges"))
     nodes.crossJoin(edgeCount).crossJoin(tri)
   }
+
+  /** Fixed-iteration PageRank in exact ppm fixed-point — node importance
+    * on the co-purchase / near-dup-cluster graph without a single float.
+    *
+    * Semantics: undirected graph (edges are canonicalized, deduped, and
+    * doubled into both directions); every node starts at 10⁶ (rank scaled
+    * by N·10⁻⁶, so the mass interpretation is per-node share of N); each
+    * iteration is
+    *
+    *   pr'(v) = 150000 + (850000 · Σ_{u→v} (pr(u) div deg(u))) div 10⁶
+    *
+    * with TRUNCATING integer division at both marked points — the
+    * deterministic contract: per-edge shares are order-free (each u's
+    * share is computed once, not accumulated in float), so any partition
+    * layout, shuffle order, or engine lands on the identical integers.
+    * The classic damping 0.85 is exactly 850000 ppm. Mass truncation
+    * (≤ deg(u)−1 ppm per node per round) is part of the defined result,
+    * same on both sides of the oracle.
+    *
+    * Scale shape: per iteration one pr⋈deg broadcast-or-hash join keyed
+    * on node, one edge⋈share join keyed on src, one sum keyed on dst —
+    * the Pregel message pattern as plain relational algebra, 3 hash
+    * exchanges per round, nothing node-quadratic anywhere. Ranks are
+    * localCheckpointed each round (the lineage would otherwise re-run
+    * every prior round per action; at production scale: checkpoint to
+    * the cluster store instead). The 850000·Σ product is computed in
+    * DECIMAL(38,0): Σ shares ≤ N·10⁶, so ·850000 exceeds int64 already
+    * at N ≈ 10⁷ nodes.
+    *
+    * @param edges (src, dst) pairs, any duplication/orientation
+    * @param iterations fixed round count (the gate pins 3 — enough for
+    *                   rank separation, cheap enough for a CTE oracle)
+    * @return (node, pr_ppm) after `iterations` rounds
+    */
+  def pageRank(edges: DataFrame, iterations: Int): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val und = edges.select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val dir = und.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(und.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint(true) // consumed once per iteration
+    val deg = dir.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
+    var pr = deg.select(col("src").as("node"), lit(1000000L).as("pr"))
+    for (_ <- 1 to iterations) {
+      val shares = dir
+        .join(pr.withColumnRenamed("node", "src"), Seq("src"))
+        .join(deg, Seq("src"))
+        .select(col("dst").as("node"), expr("pr div deg").as("share"))
+      pr = shares.groupBy(col("node"))
+        .agg(sum(col("share")).as("s"))
+        .select(col("node"),
+          expr("150000 + CAST(850000 AS DECIMAL(38,0)) * s div 1000000")
+            .as("pr"))
+        .localCheckpoint(true)
+    }
+    pr.select(col("node"), col("pr").cast("long").as("pr_ppm"))
+  }
 }

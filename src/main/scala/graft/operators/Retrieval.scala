@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Ranked retrieval over a document corpus — BM25-shaped scoring in exact
+  * integer fixed-point, on top of the same term statistics the inverted
+  * index (SURVEY T12) materializes.
+  *
+  * Why fixed-point: the gate oracle demands bit-identical scores in two
+  * engines, and `ln()` is a libm call with no cross-engine bit contract.
+  * BM25's two factors are therefore re-expressed as exact rationals:
+  *
+  *  - '''tf saturation''' is BM25's own formula, exactly: with k₁ = 6/5
+  *    and b = 3/4, and avgdl written as L/N (L = total tokens in the
+  *    corpus, N = documents),
+  *
+  *      tf·(k₁+1) / (tf + k₁·(1 − b + b·dl·N/L))
+  *        = 44·tf·L / (20·tf·L + 6·L + 18·dl·N)
+  *
+  *    — an integer numerator over an integer denominator, no rounding
+  *    anywhere until the final fixed-point division.
+  *
+  *  - '''idf''' replaces ln((N−df+½)/(df+½)) with the ratio itself in
+  *    parts-per-million: idf_ppm = (2(N−df)+1)·10⁶ div (2df+1). The
+  *    ratio is a strictly monotone transform of the true idf, so
+  *    PER-TERM ordering is preserved exactly; multi-term scores weight
+  *    rare terms more heavily than the log form (documented, determinate,
+  *    and the same in both engines — the contract log cannot give).
+  *
+  * Per-term score = idf_ppm · 44·tf·L div (20·tf·L + 6·L + 18·dl·N),
+  * computed in DECIMAL(38,0) (the numerator can exceed int64 at corpus
+  * scale: idf_ppm ≤ 2N·10⁶ alone), summed per document.
+  *
+  * Scale shape: one narrow explode of the corpus filtered to the probe
+  * vocabulary (the filter lands inside the generator — non-vocab terms
+  * never become rows), the per-term df table and the 1-row corpus stats
+  * broadcast back, and the only shuffle is the per-document score
+  * aggregate keyed on doc id. The corpus itself is read once and never
+  * shuffled; a per-probe re-scan never happens (T14's posting-probe
+  * shape). Top-n selection is TakeOrderedAndProject, not a global sort.
+  *
+  * Reference anchor: the reference ships replicated text to Oracle and
+  * would run CONTAINS scoring there (Oracle Text); this is the engine-side
+  * equivalent a 100 TB corpus needs.
+  */
+object Retrieval {
+
+  /** BM25-ranked documents for a disjunctive probe-term query.
+    *
+    * @param docs     corpus with `docIdCol` (integral) and `textCol`
+    *                 (space-separated tokens, the corpus convention)
+    * @param vocab    probe terms (small — broadcast by construction)
+    * @param topN     rows to return, ranked (score desc, doc_id asc)
+    * @return (rank, doc_id, n_terms, score) — score is the summed
+    *         per-term fixed-point integer, deterministic across engines
+    */
+  def bm25(docs: DataFrame, docIdCol: String, textCol: String,
+           vocab: Seq[String], topN: Int): DataFrame = {
+    require(vocab.nonEmpty, "bm25: empty probe vocabulary")
+    val toks = docs.select(col(docIdCol).as("doc_id"),
+      split(col(textCol), " ").as("toks"))
+    // dl per doc; one row per (doc, vocab term occurrence) after the explode
+    val dl = toks.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
+    val hits = toks
+      .select(col("doc_id"),
+        explode(filter(col("toks"), t => t.isInCollection(vocab))).as("term"))
+    val tf = hits.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    // per-term document frequency — ≤ |vocab| rows, broadcast back
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).cast("long").as("df"))
+    // 1-row corpus stats (N docs, L total tokens), broadcast
+    val stats = dl.agg(count(lit(1)).cast("long").as("n_docs"),
+      sum(col("dl")).cast("long").as("l_total"))
+    val scored = tf
+      .join(broadcast(df), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf_ppm",
+        expr("(2 * (n_docs - df) + 1) * 1000000 div (2 * df + 1)"))
+      .withColumn("term_score",
+        expr("""CAST(idf_ppm AS DECIMAL(38,0)) * 44 * tf * l_total
+               | div (20 * tf * l_total + 6 * l_total + 18 * dl * n_docs)"""
+          .stripMargin))
+    scored.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("term_score")).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(topN)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("score").desc, col("doc_id"))))
+      .select(col("rank").cast("long").as("rank"), col("doc_id"),
+        col("n_terms"), col("score"))
+  }
+}

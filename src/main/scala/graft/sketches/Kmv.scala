@@ -44,7 +44,7 @@ object Kmv {
   /** Insert h into a sorted distinct k-bounded array. O(k) array copy
     * worst case, O(log k) no-op for the common below-the-bar row.
     */
-  private[sketches] def insert(buf: Array[Long], h: Long, k: Int): Array[Long] = {
+  private[graft] def insert(buf: Array[Long], h: Long, k: Int): Array[Long] = {
     val idx = java.util.Arrays.binarySearch(buf, h)
     if (idx >= 0) buf // already present
     else {
@@ -62,7 +62,7 @@ object Kmv {
   }
 
   /** Merge two sorted distinct arrays, keeping the k smallest. */
-  private[sketches] def union(a: Array[Long], b: Array[Long], k: Int): Array[Long] = {
+  private[graft] def union(a: Array[Long], b: Array[Long], k: Int): Array[Long] = {
     val out = new Array[Long](math.min(k, a.length + b.length))
     var i = 0; var j = 0; var n = 0
     while (n < out.length && (i < a.length || j < b.length)) {
@@ -77,7 +77,7 @@ object Kmv {
   }
 
   /** The estimate from a sketch state. */
-  private[sketches] def estimate(buf: Array[Long], k: Int): Long =
+  private[graft] def estimate(buf: Array[Long], k: Int): Long =
     if (buf.length < k) buf.length.toLong
     else (k - 1).toLong * HashRange / buf(k - 1)
 

@@ -660,6 +660,56 @@ object Streams {
     *             not derived from unseen future data)
     * @return (key, order, s)
     */
+  /** X17: streaming per-day KMV distinct state — each calendar day's
+    * sketch maintained incrementally as hashes arrive, O(k) longs of
+    * state per day FOREVER (the day-key space is calendar-bounded; an
+    * exact per-day distinct set grows with the user universe).
+    *
+    * The drained day sketches are what the rolling-reach report merges:
+    * KMV's merge law kminₖ(kminₖ(A) ∪ kminₖ(B)) = kminₖ(A ∪ B) makes a
+    * trailing-window estimate from the per-day states EQUAL to the
+    * sketch of the window's union — so the streaming state, the batch
+    * merge, and the SQL oracle all land on the same integer. Arrival
+    * order and batch splits never matter: insert-then-insert commutes
+    * (the state is a set's k smallest elements).
+    *
+    * Input: (day: long, h: long) with h a 48-bit [[graft.sketches.Kmv]]
+    * hash. Output per day after the replay drains: the final sorted
+    * sketch array + the exact count of retained hashes' source rows seen.
+    */
+  def streamingDayKmv(spark: SparkSession, rows: DataFrame, k: Int,
+                      queryName: String,
+                      rocksDb: Boolean = UseRocksDb): DataFrame = {
+    import graft.sketches.Kmv
+    import spark.implicits._
+    val typed = rows.select(col("day").cast("long"), col("h").cast("long"))
+      .as[(Long, Long)]
+    val path = stageToTemp(typed.toDF("day", "h"), "sdaykmv")
+
+    val update: (Long, Iterator[(Long, Long)], GroupState[(Array[Long], Long)]) =>
+        (Long, Long, Array[Long]) = (day, batch, state) => {
+      var (sk, seen) = state.getOption.getOrElse((Array.emptyLongArray, 0L))
+      batch.foreach { case (_, h) => sk = Kmv.insert(sk, h, k); seen += 1 }
+      state.update((sk, seen))
+      (day, seen, sk)
+    }
+
+    withStateSession(spark, 8, rocksDb) { iso =>
+      val stream = iso.readStream.schema(typed.schema).parquet(path)
+        .as[(Long, Long)]
+      val sketches = stream.groupByKey(_._1)
+        .mapGroupsWithState(GroupStateTimeout.NoTimeout)(update)
+        .toDF("day", "n_seen", "sk")
+      val q = sketches.writeStream.outputMode("update")
+        .format("memory").queryName(queryName).start()
+      try { q.processAllAvailable() } finally { q.stop() }
+      iso.table(queryName)
+        .groupBy("day")
+        .agg(max_by(col("sk"), col("n_seen")).as("sk"),
+          max(col("n_seen")).as("n_seen"))
+    }
+  }
+
   def streamingCusum(spark: SparkSession, rows: DataFrame,
                      queryName: String,
                      rocksDb: Boolean = UseRocksDb): DataFrame = {

@@ -1,0 +1,69 @@
+package graft.operators
+
+import graft.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class RetrievalSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // 4 docs, N=4; vocab {a, b}; c is noise.
+  // dl: d1=4, d2=2, d3=3, d4=3; L=12
+  private val docs = Seq(
+    (1L, "a a b c"),   // tf(a)=2, tf(b)=1
+    (2L, "a c"),       // tf(a)=1
+    (3L, "c c c"),     // no hits
+    (4L, "b b b")      // tf(b)=3
+  ).toDF("doc_id", "text")
+
+  private def run(topN: Int = 10) =
+    Retrieval.bm25(docs, "doc_id", "text", Seq("a", "b"), topN)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+
+  /** The documented fixed-point formula, in plain Scala. */
+  private def termScore(tf: Long, df: Long, dl: Long, n: Long, l: Long): Long = {
+    val idfPpm = (2 * (n - df) + 1) * 1000000L / (2 * df + 1)
+    val num = BigInt(idfPpm) * 44 * tf * l
+    val den = BigInt(20 * tf * l + 6 * l + 18 * dl * n)
+    (num / den).toLong
+  }
+
+  test("scores match the hand-evaluated fixed-point formula") {
+    val (n, l) = (4L, 12L)
+    val dfA = 2L; val dfB = 2L
+    val expected = Map(
+      1L -> (termScore(2, dfA, 4, n, l) + termScore(1, dfB, 4, n, l)),
+      2L -> termScore(1, dfA, 2, n, l),
+      4L -> termScore(3, dfB, 3, n, l))
+    val got = run().map(r => r._2 -> r._4).toMap
+    assert(got == expected)
+    assert(!got.contains(3L), "doc without any probe term must not appear")
+  }
+
+  test("ranking is (score desc, doc_id asc) with dense 1-based ranks") {
+    val got = run()
+    assert(got.map(_._1) == (1L to got.size))
+    val resorted = got.sortBy(r => (-r._4, r._2))
+    assert(got == resorted)
+  }
+
+  test("topN truncates after ordering") {
+    val got = run(topN = 2)
+    assert(got.size == 2)
+    assert(got.map(_._1) == Seq(1L, 2L))
+    assert(got.map(_._4) == run().take(2).map(_._4))
+  }
+
+  test("higher term frequency beats lower at equal df and dl") {
+    // d4 (tf_b=3, dl=3) must outscore d2 (tf_a=1, dl=2): saturation grows
+    // with tf, and idf is equal since df(a)=df(b).
+    val byDoc = run().map(r => r._2 -> r._4).toMap
+    assert(byDoc(4L) > byDoc(2L))
+  }
+
+  test("empty vocabulary is rejected loudly") {
+    intercept[IllegalArgumentException] {
+      Retrieval.bm25(docs, "doc_id", "text", Nil, 10)
+    }
+  }
+}

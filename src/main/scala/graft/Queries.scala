@@ -23,8 +23,8 @@ object Queries {
     */
   private def d12(c: Column): Column = c.cast(DecimalType(12, 2))
   private def d4(c: Column): Column = c.cast(DecimalType(4, 2))
-  private def ts(c: Column): Column = c.cast("timestamp")
-  private def fmtTs(c: Column): Column = date_format(ts(c), "yyyy-MM-dd HH:mm:ss")
+  private[graft] def ts(c: Column): Column = c.cast("timestamp")
+  private[graft] def fmtTs(c: Column): Column = date_format(ts(c), "yyyy-MM-dd HH:mm:ss")
 
   // ───────────────────────── §2.2 relational / OLAP ─────────────────────────
 
@@ -309,7 +309,7 @@ object Queries {
   }
 
   /** Orders with CDC columns derived deterministically (SURVEY §3). */
-  private def ordersWithCdc(s: SparkSession, dir: String): DataFrame =
+  private[graft] def ordersWithCdc(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders").select(
       col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
       ts(col("o_orderdate")).as("created_at"),

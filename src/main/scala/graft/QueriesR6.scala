@@ -170,6 +170,86 @@ object QueriesR6 {
       .orderBy(col("stage"))
   }
 
+  /** R72: synchronous label-propagation communities over the co-purchase
+    * graph (see [[graft.operators.Graph.labelPropagation]]) — 3 rounds,
+    * neighbor-majority with min-label tie-break, a pure function of the
+    * graph so the chained-CTE oracle reproduces every label.
+    */
+  def graphLabelprop(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val edges = li.select(col("l_orderkey"), col("l_partkey").as("src"))
+      .join(li.select(col("l_orderkey"), col("l_partkey").as("dst")),
+        Seq("l_orderkey"))
+      .filter(col("src") < col("dst"))
+      .select(col("src"), col("dst"))
+    graft.operators.Graph.labelPropagation(edges, iterations = 3)
+      .orderBy(col("node"))
+  }
+
+  /** Q2: per-type mixture drift monitor — each event type's DAILY SHARE
+    * of traffic in exact ppm (densified over day×type so silent days
+    * read as share 0, not a missing tick), then the R61 CUSUM closed
+    * form per type with k = the type's mean share. The composition a
+    * training-data pipeline runs on source mixes: "is the corpus
+    * composition drifting from its baseline?" — all integer, one
+    * densify join + two window passes.
+    */
+  def qSourceDrift(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = t(s, dir, "events").select(col("event_type"),
+      expr("unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000").as("day"))
+    val daily = e.groupBy(col("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val dense = e.select(col("day")).distinct()
+      .crossJoin(e.select(col("event_type")).distinct())
+      .join(daily, Seq("day", "event_type"), "left")
+      .na.fill(0L, Seq("n"))
+    val byDay = Window.partitionBy(col("day"))
+    val byType = Window.partitionBy(col("event_type"))
+    val series = dense
+      .withColumn("day_total", sum(col("n")).over(byDay))
+      .withColumn("share_ppm", expr("n * 1000000 div day_total"))
+      .withColumn("__sx", sum(col("share_ppm")).over(byType))
+      .withColumn("__nd", count(lit(1)).over(byType))
+      .withColumn("k", expr("__sx div __nd"))
+    graft.operators.Changepoint
+      .cusum(series, Seq("event_type"), "day", col("share_ppm"), col("k"))
+      .select(col("event_type"), col("day"), col("share_ppm"), col("k"),
+        col("s"), (col("s") > col("k") * 2).as("drifted"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  /** C25: watermark-staleness SLA report — per replicated table (the
+    * order-status slices stand in for the reference's table list), the
+    * last run's watermark vs the source head: staleness seconds, pending
+    * delta rows, and a breach flag at >5% pending. The operational
+    * monitor the reference's run loop implies but never materializes;
+    * one broadcast join + one aggregate.
+    */
+  def cdcSlaReport(s: SparkSession, dir: String): DataFrame = {
+    import graft.cdc.Cdc
+    val chg = Cdc.changeTs(col("created_at"), col("updated_at"))
+    val src = Queries.ordersWithCdc(s, dir).withColumn("change_ts", chg)
+    val wm = src.filter(col("o_orderkey") % 4 =!= 3)
+      .groupBy(col("o_orderstatus").as("tbl"))
+      .agg(max(col("change_ts")).as("wm"))
+    src.select(col("o_orderstatus").as("tbl"), col("change_ts"))
+      .join(broadcast(wm), Seq("tbl"))
+      .groupBy(col("tbl"))
+      .agg(count(lit(1)).as("total_rows"),
+        sum(when(col("change_ts") > col("wm"), 1L).otherwise(0L))
+          .as("pending_rows"),
+        max(col("change_ts")).as("head_ts"),
+        max(col("wm")).as("wm"))
+      .select(col("tbl"), Queries.fmtTs(col("wm")).as("watermark_s"),
+        (unix_timestamp(col("head_ts")) - unix_timestamp(col("wm")))
+          .as("staleness_sec"),
+        col("pending_rows"), col("total_rows"),
+        (col("pending_rows") * 20 > col("total_rows")).as("breach"))
+      .orderBy(col("tbl"))
+  }
+
   val sql: Map[String, String] = Map(
     "text_bm25" ->
       """WITH toks AS (
@@ -304,6 +384,96 @@ object QueriesR6 {
          |  CAST(n_users * 1000000 // NULLIF(first_value(n_users)
          |    OVER (ORDER BY stage), 0) AS BIGINT) AS conv_overall_ppm
          |FROM f ORDER BY stage""".stripMargin,
+    "graph_labelprop" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |und AS (
+        |  SELECT a.l_partkey AS a, b.l_partkey AS b
+        |  FROM li a JOIN li b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2
+        |), e AS (
+        |  SELECT a AS src, b AS dst FROM und
+        |  UNION ALL SELECT b, a FROM und
+        |), l0 AS (
+        |  SELECT DISTINCT src AS node, src AS lbl FROM e
+        |), c1 AS (
+        |  SELECT e.dst, l.lbl, COUNT(*) AS n
+        |  FROM e JOIN l0 l ON l.node = e.src GROUP BY e.dst, l.lbl
+        |), l1 AS (
+        |  SELECT dst AS node, lbl FROM (
+        |    SELECT dst, lbl,
+        |      row_number() OVER (PARTITION BY dst ORDER BY n DESC, lbl) AS rn
+        |    FROM c1) WHERE rn = 1
+        |), c2 AS (
+        |  SELECT e.dst, l.lbl, COUNT(*) AS n
+        |  FROM e JOIN l1 l ON l.node = e.src GROUP BY e.dst, l.lbl
+        |), l2 AS (
+        |  SELECT dst AS node, lbl FROM (
+        |    SELECT dst, lbl,
+        |      row_number() OVER (PARTITION BY dst ORDER BY n DESC, lbl) AS rn
+        |    FROM c2) WHERE rn = 1
+        |), c3 AS (
+        |  SELECT e.dst, l.lbl, COUNT(*) AS n
+        |  FROM e JOIN l2 l ON l.node = e.src GROUP BY e.dst, l.lbl
+        |), l3 AS (
+        |  SELECT dst AS node, lbl FROM (
+        |    SELECT dst, lbl,
+        |      row_number() OVER (PARTITION BY dst ORDER BY n DESC, lbl) AS rn
+        |    FROM c3) WHERE rn = 1
+        |)
+        |SELECT node, lbl FROM l3 ORDER BY node""".stripMargin,
+    "q_source_drift" ->
+      """WITH e AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day FROM events
+        |), daily AS (
+        |  SELECT day, event_type, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM e GROUP BY 1, 2
+        |), dense AS (
+        |  SELECT d.day, t.event_type, COALESCE(x.n, 0) AS n
+        |  FROM (SELECT DISTINCT day FROM e) d
+        |  CROSS JOIN (SELECT DISTINCT event_type FROM e) t
+        |  LEFT JOIN daily x ON x.day = d.day AND x.event_type = t.event_type
+        |), share AS (
+        |  SELECT day, event_type, n,
+        |    n * 1000000 // SUM(n) OVER (PARTITION BY day) AS share_ppm
+        |  FROM dense
+        |), series AS (
+        |  SELECT *, SUM(share_ppm) OVER (PARTITION BY event_type) //
+        |    COUNT(*) OVER (PARTITION BY event_type) AS k
+        |  FROM share
+        |), pfx AS (
+        |  SELECT *, SUM(share_ppm - k) OVER (PARTITION BY event_type
+        |    ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+        |  FROM series
+        |)
+        |SELECT event_type, day, CAST(share_ppm AS BIGINT) AS share_ppm,
+        |  CAST(k AS BIGINT) AS k,
+        |  CAST(p - LEAST(0, MIN(p) OVER (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS BIGINT) AS s,
+        |  (p - LEAST(0, MIN(p) OVER (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))) > k * 2 AS drifted
+        |FROM pfx ORDER BY event_type, day""".stripMargin,
+    "cdc_sla_report" ->
+      """WITH src AS (
+        |  SELECT o_orderkey, o_orderstatus AS tbl,
+        |    GREATEST(COALESCE(
+        |      CASE WHEN o_orderstatus <> 'O' THEN o_orderdate + INTERVAL 30 DAY END,
+        |      o_orderdate), o_orderdate) AS change_ts
+        |  FROM orders
+        |), wm AS (
+        |  SELECT tbl, MAX(change_ts) AS wm FROM src
+        |  WHERE o_orderkey % 4 <> 3 GROUP BY tbl
+        |)
+        |SELECT s.tbl, strftime(MAX(w.wm), '%Y-%m-%d %H:%M:%S') AS watermark_s,
+        |  CAST(floor(epoch(MAX(s.change_ts))) - floor(epoch(MAX(w.wm)))
+        |    AS BIGINT) AS staleness_sec,
+        |  CAST(SUM(CASE WHEN s.change_ts > w.wm THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS pending_rows,
+        |  CAST(COUNT(*) AS BIGINT) AS total_rows,
+        |  (SUM(CASE WHEN s.change_ts > w.wm THEN 1 ELSE 0 END) * 20 > COUNT(*))
+        |    AS breach
+        |FROM src s JOIN wm w ON w.tbl = s.tbl
+        |GROUP BY s.tbl ORDER BY s.tbl""".stripMargin,
     "stream_rolling_kmv" ->
       s"""WITH act AS (
          |  SELECT DISTINCT epoch_us(ts) // 86400000000 AS day,

@@ -131,4 +131,48 @@ object Graph {
     }
     pr.select(col("node"), col("pr").cast("long").as("pr_ppm"))
   }
+
+  /** Fixed-iteration synchronous label propagation — community detection
+    * as deterministic relational algebra.
+    *
+    * Every node starts labelled with its own id; each round, every node
+    * SIMULTANEOUSLY adopts the most frequent label among its neighbors,
+    * ties broken by the SMALLEST label. Unlike classic async LPA (whose
+    * result depends on visit order — useless under a cross-engine oracle),
+    * the synchronous rule with a total tie order is a pure function of
+    * the graph, so a chained-CTE oracle reproduces it row for row.
+    *
+    * Determinism argument: within a node's neighbor-label histogram the
+    * labels are distinct, so (count, −label) pairs are distinct and the
+    * argmax is unique — `max_by` never sees a tie. Isolated nodes don't
+    * occur (the node set is edge-derived).
+    *
+    * Scale shape per round: one edge⋈label hash join keyed on src, one
+    * (dst, label) count aggregate, one per-dst argmax aggregate — the
+    * same Pregel message pattern as [[pageRank]], 3 hash exchanges, no
+    * node-quadratic step. Labels are localCheckpointed per round.
+    *
+    * @return (node, lbl) after `iterations` synchronous rounds
+    */
+  def labelPropagation(edges: DataFrame, iterations: Int): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val und = edges.select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val dir = und.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(und.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint(true)
+    var lbl = dir.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl"))
+    for (_ <- 1 to iterations) {
+      lbl = dir
+        .join(lbl.withColumnRenamed("node", "src"), Seq("src"))
+        .groupBy(col("dst"), col("lbl"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("dst").as("node"))
+        .agg(max_by(col("lbl"), struct(col("n"), -col("lbl"))).as("lbl"))
+        .localCheckpoint(true)
+    }
+    lbl
+  }
 }

@@ -23,7 +23,11 @@ object Bench {
     "hilbert_cluster", "q_funnel", "dq_constraints", "text_inverted_index",
     // round-4 continuation: monitoring/graph/IR paths
     "q_cusum_changepoint", "q_sliding_distinct", "graph_triangles",
-    "text_search_conjunctive", "q_interval_merge")
+    "text_search_conjunctive", "q_interval_merge",
+    // round-4 batches d-f: ranked retrieval, iterative graph, native
+    // top-k composite, counter maintenance
+    "text_bm25", "graph_pagerank", "graph_labelprop", "q_trending_topk",
+    "q_basket_incremental")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -250,6 +250,120 @@ object QueriesR6 {
       .orderBy(col("tbl"))
   }
 
+  private def coPurchasePairs(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    li.select(col("l_orderkey"), col("l_partkey").as("src"))
+      .join(li.select(col("l_orderkey"), col("l_partkey").as("dst")),
+        Seq("l_orderkey"))
+      .filter(col("src") < col("dst"))
+  }
+
+  /** R73: structural graph summary (see [[graft.operators.Graph.summary]])
+    * — node/edge counts, degree extremes, mean degree ppm, component
+    * count and largest component, with CC via O(log n) star contraction.
+    */
+  def graphSummary(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Graph.summary(
+      coPurchasePairs(s, dir).select(col("src"), col("dst")))
+
+  /** R71b: weighted PageRank over the co-purchase graph — edge weight =
+    * shared-order multiplicity, share truncation per edge (order-free);
+    * see [[graft.operators.Graph.pageRankWeighted]].
+    */
+  def graphPagerankWeighted(s: SparkSession, dir: String): DataFrame = {
+    val edges = coPurchasePairs(s, dir)
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+    graft.operators.Graph.pageRankWeighted(edges, iterations = 3)
+      .orderBy(col("pr_ppm").desc, col("node"))
+      .limit(500)
+  }
+
+  /** D12: dedup survivorship accounting — per near-dup cluster (D7's
+    * components over the minhash-LSH candidate graph): population,
+    * min-id keeper, total characters, and characters RECLAIMED by
+    * dropping the non-keepers — the "what did dedup actually buy" report
+    * a 100 TB pipeline publishes per run. One join + one aggregate on
+    * top of the already-gated component labels.
+    */
+  def dedupSurvivorship(s: SparkSession, dir: String): DataFrame = {
+    import graft.dedup.Dedup
+    val d = t(s, dir, "documents")
+    val pairs = Dedup.lshCandidates(d, col("doc_id"), col("text"),
+      shingleWords = 3, k = 12, bands = 4)
+    Dedup.connectedComponents(pairs)
+      .join(d.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("keeper_doc_id"),
+        sum(col("n_chars")).cast("long").as("chars_total"),
+        (sum(col("n_chars")) - min_by(col("n_chars"), col("doc_id")))
+          .cast("long").as("chars_reclaimed"))
+      .orderBy(col("cluster_id"))
+  }
+
+  /** R74: inter-arrival histogram — per-user gaps between consecutive
+    * events (total order (ts, event_id)), bucketed by DECIMAL DIGIT
+    * COUNT of gap+1 (a log₁₀-shaped binning with an exact cross-engine
+    * contract — log2/ln have none), reported per event type of the
+    * later event with per-bucket population and gap bounds.
+    */
+  def qInterarrivalHist(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = t(s, dir, "events").select(col("user_id"), col("event_id"),
+      col("event_type"),
+      unix_timestamp(col("ts").cast("timestamp")).as("ts_sec"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_sec"), col("event_id"))
+    e.withColumn("gap", col("ts_sec") - lag(col("ts_sec"), 1).over(w))
+      .filter(col("gap").isNotNull)
+      .withColumn("bucket",
+        length((col("gap") + 1).cast("string")).cast("long"))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(count(lit(1)).as("n"), min(col("gap")).as("min_gap"),
+        max(col("gap")).as("max_gap"))
+      .orderBy(col("event_type"), col("bucket"))
+  }
+
+  /** R75: per-node triangle counts + local clustering coefficient in
+    * exact ppm (see [[graft.operators.Graph.clusteringCoefficient]]) —
+    * neighborhood cliquishness per node, NULL for leaves by NULLIF
+    * contract.
+    */
+  def graphClusteringCoeff(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Graph.clusteringCoefficient(
+        coPurchasePairs(s, dir).select(col("src"), col("dst")))
+      .orderBy(col("node"))
+
+  /** X18: streaming trending heavy hitters — X12's Misra-Gries state
+    * KEYED BY EPOCH-WEEK, so each window carries its own O(k) counter
+    * set forever and "what's hot this week" never re-reads history.
+    * Same constructed skew and guarantee oracle as R42, per week.
+    */
+  def streamTrending(s: SparkSession, dir: String): DataFrame = {
+    val k = 16
+    val e = t(s, dir, "events").select(
+      expr("unix_micros(CAST(ts AS TIMESTAMP)) div 604800000000")
+        .cast("string").as("key"),
+      when(col("user_id") % 2 === 0, col("user_id") % 5)
+        .otherwise(col("user_id") + 1000000).cast("long").as("item"))
+    val sk = graft.streaming.Streams.streamingFreqItems(s, e, k,
+        queryName = s"gate_strend_${System.nanoTime()}")
+      .select(col("key"), col("sk"))
+    val exact = e.groupBy(col("key"), col("item"))
+      .agg(count(lit(1)).as("n_exact"))
+    val tot = e.groupBy(col("key")).agg(count(lit(1)).as("n"))
+    exact.join(tot, Seq("key")).filter(col("n_exact") * k > col("n"))
+      .join(sk, Seq("key"))
+      .select(col("key").cast("long").as("week"), col("item"),
+        col("n_exact"),
+        element_at(col("sk"), col("item")).isNotNull.as("in_sketch"),
+        (coalesce(element_at(col("sk"), col("item")), lit(0L)) <= col("n_exact") &&
+          coalesce(element_at(col("sk"), col("item")), lit(0L)) * k >=
+            col("n_exact") * k - col("n")).as("est_ok"))
+      .orderBy(col("week"), col("item"))
+  }
+
   val sql: Map[String, String] = Map(
     "text_bm25" ->
       """WITH toks AS (
@@ -453,6 +567,154 @@ object QueriesR6 {
         |  (p - LEAST(0, MIN(p) OVER (PARTITION BY event_type ORDER BY day
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))) > k * 2 AS drifted
         |FROM pfx ORDER BY event_type, day""".stripMargin,
+    "graph_summary" ->
+      """WITH RECURSIVE li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |und AS (
+        |  SELECT a.l_partkey AS a, b.l_partkey AS b
+        |  FROM li a JOIN li b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2
+        |), sym AS (
+        |  SELECT a AS src, b AS dst FROM und
+        |  UNION ALL SELECT b, a FROM und
+        |), deg AS (
+        |  SELECT src AS v, CAST(COUNT(*) AS BIGINT) AS deg
+        |  FROM sym GROUP BY src
+        |), reach(id, lbl) AS (
+        |  SELECT src, src FROM sym
+        |  UNION
+        |  SELECT s.src, r.lbl FROM reach r JOIN sym s ON s.dst = r.id
+        |), cc AS (
+        |  SELECT id, MIN(lbl) AS lbl FROM reach GROUP BY id
+        |), sizes AS (
+        |  SELECT lbl, CAST(COUNT(*) AS BIGINT) AS sz FROM cc GROUP BY lbl
+        |)
+        |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM und) AS n_edges,
+        |  (SELECT MAX(deg) FROM deg) AS max_degree,
+        |  (SELECT MIN(deg) FROM deg) AS min_degree,
+        |  (SELECT CAST(2 * COUNT(*) * 1000000 //
+        |     (SELECT COUNT(*) FROM deg) AS BIGINT) FROM und) AS avg_degree_ppm,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM sizes) AS n_components,
+        |  (SELECT MAX(sz) FROM sizes) AS largest_component""".stripMargin,
+    "graph_pagerank_weighted" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |und AS (
+        |  SELECT a.l_partkey AS a, b.l_partkey AS b,
+        |    CAST(COUNT(*) AS BIGINT) AS w
+        |  FROM li a JOIN li b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2
+        |), e AS (
+        |  SELECT a AS src, b AS dst, w FROM und
+        |  UNION ALL SELECT b, a, w FROM und
+        |), st AS (
+        |  SELECT src, CAST(SUM(w) AS BIGINT) AS strength FROM e GROUP BY src
+        |), p0 AS (
+        |  SELECT src AS node, CAST(1000000 AS BIGINT) AS pr FROM st
+        |), s1 AS (
+        |  SELECT e.dst AS node, SUM(CAST(p.pr AS HUGEINT) * e.w // t.strength) AS s
+        |  FROM e JOIN p0 p ON p.node = e.src JOIN st t ON t.src = e.src
+        |  GROUP BY e.dst
+        |), p1 AS (
+        |  SELECT node, CAST(150000 + CAST(850000 AS HUGEINT) * s // 1000000
+        |    AS BIGINT) AS pr FROM s1
+        |), s2 AS (
+        |  SELECT e.dst AS node, SUM(CAST(p.pr AS HUGEINT) * e.w // t.strength) AS s
+        |  FROM e JOIN p1 p ON p.node = e.src JOIN st t ON t.src = e.src
+        |  GROUP BY e.dst
+        |), p2 AS (
+        |  SELECT node, CAST(150000 + CAST(850000 AS HUGEINT) * s // 1000000
+        |    AS BIGINT) AS pr FROM s2
+        |), s3 AS (
+        |  SELECT e.dst AS node, SUM(CAST(p.pr AS HUGEINT) * e.w // t.strength) AS s
+        |  FROM e JOIN p2 p ON p.node = e.src JOIN st t ON t.src = e.src
+        |  GROUP BY e.dst
+        |), p3 AS (
+        |  SELECT node, CAST(150000 + CAST(850000 AS HUGEINT) * s // 1000000
+        |    AS BIGINT) AS pr FROM s3
+        |)
+        |SELECT node, pr AS pr_ppm FROM p3
+        |ORDER BY pr DESC, node LIMIT 500""".stripMargin,
+    "dedup_survivorship" ->
+      s"""WITH RECURSIVE ${QueriesData.minhashCtes},
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+         |), sym AS (
+         |  SELECT id_a AS src, id_b AS dst FROM cand
+         |  UNION
+         |  SELECT id_b, id_a FROM cand
+         |), reach(id, lbl) AS (
+         |  SELECT src, src FROM sym
+         |  UNION
+         |  SELECT s.src, r.lbl FROM reach r JOIN sym s ON s.dst = r.id
+         |), cc AS (
+         |  SELECT id AS doc_id, MIN(lbl) AS cluster_id
+         |  FROM reach GROUP BY id
+         |)
+         |SELECT cc.cluster_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  MIN(cc.doc_id) AS keeper_doc_id,
+         |  CAST(SUM(d.n_chars) AS BIGINT) AS chars_total,
+         |  CAST(SUM(d.n_chars) - arg_min(d.n_chars, cc.doc_id) AS BIGINT)
+         |    AS chars_reclaimed
+         |FROM cc JOIN documents d ON d.doc_id = cc.doc_id
+         |GROUP BY cc.cluster_id ORDER BY cc.cluster_id""".stripMargin,
+    "graph_clustering_coeff" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |und AS (
+        |  SELECT a.l_partkey AS a, b.l_partkey AS b
+        |  FROM li a JOIN li b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2
+        |), deg AS (
+        |  SELECT v, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+        |    SELECT a AS v FROM und UNION ALL SELECT b FROM und) q GROUP BY v
+        |), t AS (
+        |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM und e1 JOIN und e2 ON e2.a = e1.a AND e2.b > e1.b
+        |  JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b
+        |), contrib AS (
+        |  SELECT x AS v FROM t UNION ALL SELECT y FROM t UNION ALL SELECT z FROM t
+        |), tn AS (
+        |  SELECT v, CAST(COUNT(*) AS BIGINT) AS n_triangles
+        |  FROM contrib GROUP BY v
+        |)
+        |SELECT d.v AS node, d.deg, COALESCE(tn.n_triangles, 0) AS n_triangles,
+        |  CAST(2 * COALESCE(tn.n_triangles, 0) * 1000000 //
+        |    NULLIF(d.deg * (d.deg - 1), 0) AS BIGINT) AS coeff_ppm
+        |FROM deg d LEFT JOIN tn ON tn.v = d.v
+        |ORDER BY node""".stripMargin,
+    "stream_trending" ->
+      """WITH items AS (
+        |  SELECT epoch_us(ts) // 604800000000 AS week,
+        |    CASE WHEN user_id % 2 = 0 THEN user_id % 5
+        |         ELSE user_id + 1000000 END AS item
+        |  FROM events
+        |), tot AS (SELECT week, COUNT(*) AS n FROM items GROUP BY week)
+        |SELECT i.week, i.item, CAST(COUNT(*) AS BIGINT) AS n_exact,
+        |  TRUE AS in_sketch, TRUE AS est_ok
+        |FROM items i JOIN tot t ON t.week = i.week
+        |GROUP BY i.week, i.item, t.n HAVING COUNT(*) * 16 > t.n
+        |ORDER BY i.week, i.item""".stripMargin,
+    "q_interarrival_hist" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec
+        |  FROM events
+        |), g AS (
+        |  SELECT event_type,
+        |    ts_sec - lag(ts_sec) OVER (PARTITION BY user_id
+        |      ORDER BY ts_sec, event_id) AS gap
+        |  FROM e
+        |)
+        |SELECT event_type,
+        |  CAST(strlen(CAST(gap + 1 AS VARCHAR)) AS BIGINT) AS bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  MIN(gap) AS min_gap, MAX(gap) AS max_gap
+        |FROM g WHERE gap IS NOT NULL
+        |GROUP BY event_type, bucket
+        |ORDER BY event_type, bucket""".stripMargin,
     "cdc_sla_report" ->
       """WITH src AS (
         |  SELECT o_orderkey, o_orderstatus AS tbl,

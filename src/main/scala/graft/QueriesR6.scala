@@ -250,7 +250,7 @@ object QueriesR6 {
       .orderBy(col("tbl"))
   }
 
-  private def coPurchasePairs(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def coPurchasePairs(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem")
       .select(col("l_orderkey"), col("l_partkey")).distinct()
     li.select(col("l_orderkey"), col("l_partkey").as("src"))

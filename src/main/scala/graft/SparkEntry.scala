@@ -192,12 +192,16 @@ object SparkEntry {
     "q_interarrival_hist" -> (QueriesR6.qInterarrivalHist _),
     // round-4 continuation batch h
     "graph_clustering_coeff" -> (QueriesR6.graphClusteringCoeff _),
-    "stream_trending" -> (QueriesR6.streamTrending _))
+    "stream_trending" -> (QueriesR6.streamTrending _),
+    "graph_kcore" -> (QueriesR7.graphKcore _),
+    "q_kmv_retention" -> (QueriesR7.qKmvRetention _),
+    "text_phrase_prox" -> (QueriesR7.textPhraseProx _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
     Queries.sqlRelational ++ Queries.sqlCdc ++ QueriesData.sql ++ QueriesExt.sql ++
-      QueriesR3.sql ++ QueriesR4.sql ++ QueriesR5.sql ++ QueriesR6.sql
+      QueriesR3.sql ++ QueriesR4.sql ++ QueriesR5.sql ++ QueriesR6.sql ++
+      QueriesR7.sql
 }

@@ -318,4 +318,56 @@ object Graph {
     }
     lbl
   }
+
+  /** Fixed-round k-core peel — repeatedly delete nodes of degree < k
+    * (with their edges) until the k-core remains: the densest-subgraph
+    * screen a co-occurrence graph gets before community/centrality work,
+    * and the standard noise filter on near-dup candidate graphs (a node
+    * that survives the 3-core sits in genuinely clustered duplication,
+    * not a stray band collision).
+    *
+    * Fixed `rounds` rather than loop-to-fixpoint: each convergence test
+    * is a driver-side action (a count per round), and the gate's oracle
+    * is a straight-line chained CTE — the same contract as [[pageRank]]
+    * and [[labelPropagation]]. Peeling is monotone (the surviving edge
+    * set only shrinks), so rounds beyond convergence are no-ops and a
+    * caller who needs the true fixpoint picks `rounds` ≥ the peel depth
+    * (GraphSpec pins fixed-round ≡ fixpoint on a deep-peel chain).
+    *
+    * Per-round shape: one degree aggregate over the current edge set,
+    * then the survivor set — one row per node, the [[pageRank]] broadcast
+    * posture — hinted into two semi-joins that restrict both endpoints.
+    * The only full-size shuffle per round is the degree aggregate; the
+    * edge set is localCheckpointed so each round scans the PEELED
+    * residue, not the original graph's lineage.
+    *
+    * @param edges  (src, dst) pairs, any duplication/orientation
+    * @param k      minimum surviving degree
+    * @param rounds fixed peel round count
+    * @return (node, deg_core): surviving nodes with their degree in the
+    *         peeled subgraph
+    */
+  def kCore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val und = edges.select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    var dir = und.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(und.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      // out-degree ≡ undirected degree in the both-directions encoding
+      val keep = dir.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("src"))
+      dir = dir
+        .join(broadcast(keep), Seq("src"), "left_semi")
+        .join(broadcast(keep.withColumnRenamed("src", "dst")), Seq("dst"),
+          "left_semi")
+        .select(col("src"), col("dst"))
+        .localCheckpoint(true)
+    }
+    dir.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("deg_core"))
+  }
 }

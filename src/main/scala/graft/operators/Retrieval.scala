@@ -92,4 +92,50 @@ object Retrieval {
       .select(col("rank").cast("long").as("rank"), col("doc_id"),
         col("n_terms"), col("score"))
   }
+
+  /** Phrase + proximity retrieval for a two-term query: documents
+    * containing BOTH terms, scored by exact phrase hits ("a b" adjacent,
+    * in order) and the minimum token distance between any occurrence
+    * pair — the positional-postings capability BM25's bag-of-words
+    * scoring cannot express (Oracle Text's NEAR operator is the
+    * reference-world equivalent).
+    *
+    * Shape: a cheap `contains` prefilter keeps only documents where both
+    * terms can occur (substring-level, a superset of token matches —
+    * semantics-preserving because the position join is inner), so the
+    * positional explode runs on the candidate slice, not the corpus.
+    * Each side's position list is term-frequency-sized; the per-document
+    * pair join is tf(a)·tf(b) — bounded by document length, never
+    * corpus-quadratic — and the only shuffle is the per-document
+    * aggregate. Ranking is TakeOrderedAndProject on the total order
+    * (n_phrase desc, min_dist asc, doc_id).
+    *
+    * @param docs corpus with `docIdCol` (integral) and `textCol`
+    *             (space-separated tokens, the corpus convention)
+    * @param termA,termB the query phrase "termA termB"; must differ
+    * @return (doc_id, n_phrase, min_dist): phrase-occurrence count
+    *         (0 when both terms occur but never adjacently) and minimum
+    *         absolute token distance, for the top `topN` documents
+    */
+  def phraseProximity(docs: DataFrame, docIdCol: String, textCol: String,
+                      termA: String, termB: String, topN: Int): DataFrame = {
+    require(termA != termB, "phrase terms must differ")
+    val tok = docs
+      .filter(col(textCol).contains(termA) && col(textCol).contains(termB))
+      .select(col(docIdCol).as("doc_id"),
+        posexplode(split(col(textCol), " ")))
+      // 1-based positions: the cross-engine convention (SQL ordinality)
+      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("term"))
+    val pa = tok.filter(col("term") === termA)
+      .select(col("doc_id"), col("pos").as("pa"))
+    val pb = tok.filter(col("term") === termB)
+      .select(col("doc_id"), col("pos").as("pb"))
+    pa.join(pb, Seq("doc_id"))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("pb") === col("pa") + 1, 1L).otherwise(0L))
+          .as("n_phrase"),
+        min(abs(col("pb") - col("pa"))).cast("long").as("min_dist"))
+      .orderBy(col("n_phrase").desc, col("min_dist"), col("doc_id"))
+      .limit(topN)
+  }
 }

@@ -178,4 +178,71 @@ object Kmv {
         kmvDistinct(col("h"), k).as("kmv_est"))
       .orderBy(col(groupCol))
   }
+
+  /** Per-day retention curves from the per-day KMV states ALONE — for
+    * every cohort day c and horizon d ∈ [0, maxOffset], the estimated
+    * fraction (ppm) of day-c actives still active on day c+d, without
+    * touching a single raw event row. This is the payoff of persisting
+    * the day sketches (the state [[graft.streaming.Streams.streamingDayKmv]]
+    * drains): day-over-day retention across a year of 100 TB logs becomes
+    * arithmetic over 365 k-long arrays.
+    *
+    * Estimator per pair (the [[setOpsReport]] algebra): merge the two day
+    * sketches and re-truncate to the k smallest — a valid KMV of
+    * A∪B → `union_est`; the merged support is a uniform sample of A∪B,
+    * so the fraction of it present in BOTH inputs estimates Jaccard:
+    * inter_est = x_common·union_est ÷ k. Then
+    * ret_ppm = inter_est·10⁶ ÷ cohort_est, every division truncating
+    * integer, the product widened through DECIMAL(38,0) — bit-exact in
+    * the DuckDB oracle. Below-k days degenerate to exact set math, and
+    * the d = 0 diagonal lands on exactly 1 000 000 (merged ≡ cohort
+    * sketch) — a built-in calibration row.
+    *
+    * Plan shape: the pair fan-out is the bounded explode of [[graft
+    * .operators.Cohorts.rollingDistinct]] (each day emits ≤ maxOffset+1
+    * probes, never a range self-join), and the sketch table — one row per
+    * day — broadcasts into its own probe join.
+    *
+    * @param daySketches (day: long, sk: array<long>) — one KMV sketch of
+    *                    the day's active keys per day, from [[kmvSketch]]
+    *                    or the streaming day-KMV state
+    * @param k           the sketch parameter the inputs were built with
+    * @param maxOffset   largest horizon d to report
+    * @return (day, offset_d, cohort_est, inter_est, ret_ppm), one row per
+    *         (cohort day, horizon) pair whose target day exists
+    */
+  def retentionFromDaySketches(daySketches: DataFrame, k: Int,
+                               maxOffset: Int): DataFrame = {
+    require(k >= 2, "k >= 2")
+    require(maxOffset >= 0, s"maxOffset must be >= 0, got $maxOffset")
+    val c = (k - 1).toLong * HashRange
+    val target = daySketches
+      .select(col("day").as("target_day"), col("sk").as("sk_b"))
+    daySketches
+      .select(col("day"), col("sk").as("sk_a"),
+        explode(sequence(lit(0), lit(maxOffset))).as("offset_d"))
+      .withColumn("target_day", col("day") + col("offset_d"))
+      .join(broadcast(target), Seq("target_day"))
+      .withColumn("merged",
+        slice(array_sort(array_union(col("sk_a"), col("sk_b"))), 1, k))
+      .withColumn("m", size(col("merged")).cast("long"))
+      .withColumn("m_a", size(col("sk_a")).cast("long"))
+      .withColumn("cohort_est",
+        when(col("m_a") < k, col("m_a"))
+          .otherwise(expr(s"${c}L div element_at(sk_a, $k)")))
+      .withColumn("union_est",
+        when(col("m") < k, col("m"))
+          .otherwise(expr(s"${c}L div element_at(merged, $k)")))
+      .withColumn("x_common",
+        size(array_intersect(col("merged"),
+          array_intersect(col("sk_a"), col("sk_b")))).cast("long"))
+      .withColumn("inter_est",
+        when(col("m") < k, col("x_common"))
+          .otherwise(expr(s"(x_common * union_est) div ${k}L")))
+      .withColumn("ret_ppm",
+        expr("CAST(CAST(inter_est AS DECIMAL(38,0)) * 1000000" +
+          " div cohort_est AS BIGINT)"))
+      .select(col("day"), col("offset_d").cast("long").as("offset_d"),
+        col("cohort_est"), col("inter_est"), col("ret_ppm"))
+  }
 }

@@ -66,4 +66,40 @@ class RetrievalSpec extends AnyFunSuite {
       Retrieval.bm25(docs, "doc_id", "text", Nil, 10)
     }
   }
+
+  // ---------------------------------------------------- phraseProximity
+
+  private val proxDocs = Seq(
+    (1L, "x window scan y"),          // exact phrase, dist 1
+    (2L, "scan q q window"),          // reversed, 3 apart: no phrase
+    (3L, "window scan window scan"),  // two phrase hits
+    (4L, "window only here"),         // missing 'scan': excluded
+    (5L, "nothing relevant"),
+    (6L, "windows scanner window q scan") // substrings must not match
+  ).toDF("doc_id", "text")
+
+  private def prox(topN: Int = 10) =
+    Retrieval.phraseProximity(proxDocs, "doc_id", "text", "window", "scan", topN)
+      .as[(Long, Long, Long)].collect().toSeq
+
+  test("phrase hits and min distance are exact, token-level, both-terms-only") {
+    val byDoc = prox().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(byDoc(1L) == ((1L, 1L)))
+    assert(byDoc(2L) == ((0L, 3L)), "reversed order scores distance but no phrase")
+    assert(byDoc(3L) == ((2L, 1L)))
+    assert(byDoc(6L) == ((0L, 2L)),
+      "'windows'/'scanner' are prefilter noise, not token matches: pos 3 vs 5")
+    assert(!byDoc.contains(4L) && !byDoc.contains(5L))
+  }
+
+  test("ranking is (n_phrase desc, min_dist asc, doc_id) and topN truncates") {
+    assert(prox().map(_._1) == Seq(3L, 1L, 6L, 2L))
+    assert(prox(topN = 2).map(_._1) == Seq(3L, 1L))
+  }
+
+  test("identical phrase terms are rejected loudly") {
+    intercept[IllegalArgumentException] {
+      Retrieval.phraseProximity(proxDocs, "doc_id", "text", "scan", "scan", 10)
+    }
+  }
 }

@@ -28,8 +28,9 @@ object Bench {
     // top-k composite, counter maintenance
     "text_bm25", "graph_pagerank", "graph_labelprop", "q_trending_topk",
     "q_basket_incremental",
-    // round-4 batch i: iterative peel + positional retrieval
-    "graph_kcore", "text_phrase_prox")
+    // round-4 batches i-j: iterative peel, positional retrieval,
+    // incremental dedup index
+    "graph_kcore", "text_phrase_prox", "dedup_incremental")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -51,6 +51,137 @@ object QueriesR7 {
     Retrieval.phraseProximity(t(s, dir, "documents"), "doc_id", "text",
       "window", "scan", topN = 200)
 
+  /** D13: incremental near-dup keep-set maintenance (see
+    * [[graft.dedup.Dedup.bandOwners]]/`mergeBandOwners`/`nearDupKeepSet`):
+    * the band-ownership index and keep set from the FIRST HALF of the
+    * corpus (ids ≤ max/2 — the id-ordered prefix, modeling time-ordered
+    * ingest) are persisted to parquet; the second half is banded as a
+    * delta and merged in. Min-ownership is associative and delta ids are
+    * monotone, so history is never re-read, previously-kept docs never
+    * revisited — and the result equals the full-batch owns-all-bands
+    * rule bit-for-bit (the oracle IS `stream_near_dup`'s).
+    */
+  def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    import graft.dedup.Dedup
+    val d = t(s, dir, "documents")
+    val mid = d.agg((max(col("doc_id")) / 2).cast("long").as("mid"))
+    val withMid = d.select(col("doc_id"), col("text"))
+      .crossJoin(broadcast(mid))
+    val batchA = withMid.filter(col("doc_id") <= col("mid"))
+    val batchB = withMid.filter(col("doc_id") > col("mid"))
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_dedup_inc").toString
+    val bandsA = Dedup.minhashBandRows(batchA, col("doc_id"), col("text"),
+      shingleWords = 3, k = 12, bands = 4)
+    Dedup.bandOwners(bandsA).write.mode("overwrite")
+      .parquet(s"$store/owners")
+    Dedup.nearDupKeepSet(batchA.select(col("doc_id")), bandsA,
+        s.read.parquet(s"$store/owners"))
+      .write.mode("overwrite").parquet(s"$store/kept")
+    val bandsB = Dedup.minhashBandRows(batchB, col("doc_id"), col("text"),
+      shingleWords = 3, k = 12, bands = 4)
+    val merged = Dedup.mergeBandOwners(s.read.parquet(s"$store/owners"),
+      Dedup.bandOwners(bandsB))
+    val keptB = Dedup.nearDupKeepSet(batchB.select(col("doc_id")), bandsB,
+      merged)
+    s.read.parquet(s"$store/kept").unionByName(keptB)
+      .orderBy(col("doc_id"))
+  }
+
+  /** R77: time-weighted average (TWAP) per user — each observation holds
+    * until the next one (total order (ts, event_id)), so the mean is
+    * Σ(cents·dt) div Σ(dt): the irregular-sampling average a plain AVG
+    * gets wrong whenever sampling density correlates with level. One
+    * window pass + one aggregate; integer-exact (cents ≤ 3.3·10⁶ ×
+    * dt ≤ month-seconds stays far inside int64), single-observation
+    * users report NULL via NULLIF.
+    */
+  def qTwap(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = t(s, dir, "events").select(col("user_id"), col("event_id"),
+      unix_timestamp(col("ts").cast("timestamp")).as("ts_sec"),
+      round(col("value") * 100).cast("long").as("cents"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_sec"), col("event_id"))
+    e.withColumn("dt", lead(col("ts_sec"), 1).over(w) - col("ts_sec"))
+      .filter(col("dt").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(col("dt")).as("span_sec"),
+        expr("sum(cents * dt) div nullif(sum(dt), 0)").as("twap_cents"))
+      .orderBy(col("user_id"))
+  }
+
+  /** R78: robust anomaly screen — per event type, median and MAD (median
+    * absolute deviation) of the cents value, and the count beyond
+    * 5·MAD: the outlier rule a 3σ z-score misses when the outliers
+    * THEMSELVES inflate σ (median/MAD have a 50% breakdown point; the
+    * mean/stddev of R54 have 0%). Interpolated medians of integers are
+    * dyadic-exact in both engines (the R17 contract). Two percentile
+    * passes + one flag aggregate; the 4-row median table broadcasts
+    * back.
+    */
+  def qRobustAnomaly(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "events").select(col("event_type"),
+      round(col("value") * 100).cast("long").as("cents"))
+    val med = c.groupBy(col("event_type"))
+      .agg(expr("percentile(cents, 0.5)").as("med_cents"))
+    val dev = c.join(broadcast(med), Seq("event_type"))
+      .withColumn("dev", abs(col("cents") - col("med_cents")))
+    val mad = dev.groupBy(col("event_type"))
+      .agg(expr("percentile(dev, 0.5)").as("mad_cents"))
+    dev.join(broadcast(mad), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(first(col("med_cents")).as("med_cents"),
+        first(col("mad_cents")).as("mad_cents"),
+        count(lit(1)).as("n"),
+        sum(when(col("dev") > lit(5) * col("mad_cents"), 1L).otherwise(0L))
+          .as("n_outliers"))
+      .orderBy(col("event_type"))
+  }
+
+  /** R79: first/last-touch purchase attribution — every purchase is
+    * credited to the user's most recent preceding touch (click/view)
+    * within 7 days under the last-touch model, and to the earliest
+    * preceding touch ever under the first-touch model; no touch →
+    * 'direct'. The carry is two IGNORE-NULLS window lookups over the
+    * (ts, event_id)-ordered stream frame [−∞, −1] — consistent because
+    * both pick the same last/first non-null row — then one small
+    * aggregate per model. No self-join of the event stream.
+    */
+  def qAttribution(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = t(s, dir, "events").select(col("user_id"), col("event_id"),
+      col("event_type"),
+      unix_timestamp(col("ts").cast("timestamp")).as("ts_sec"),
+      round(col("value") * 100).cast("long").as("cents"))
+    val touch = when(col("event_type").isin("click", "view"), col("event_type"))
+    val touchTs = when(col("event_type").isin("click", "view"), col("ts_sec"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_sec"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val attributed = e
+      .withColumn("last_type", last(touch, ignoreNulls = true).over(w))
+      .withColumn("last_ts", last(touchTs, ignoreNulls = true).over(w))
+      .withColumn("first_type", first(touch, ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .withColumn("last_touch",
+        when(col("last_ts").isNotNull &&
+          col("ts_sec") - col("last_ts") <= 604800L, col("last_type"))
+          .otherwise(lit("direct")))
+      .withColumn("first_touch",
+        coalesce(col("first_type"), lit("direct")))
+    val byModel = (model: String, c: String) => attributed
+      .groupBy(col(c).as("touch"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(col("cents")).as("revenue_cents"))
+      .select(lit(model).as("model"), col("touch"), col("n_purchases"),
+        col("revenue_cents"))
+    byModel("first_touch", "first_touch")
+      .unionByName(byModel("last_touch", "last_touch"))
+      .orderBy(col("model"), col("touch"))
+  }
+
   // ---------------------------------------------------------------- oracle
 
   /** Shared straight-line peel prefix: the co-purchase edge set then 4
@@ -150,5 +281,79 @@ object QueriesR7 {
         |  CAST(MIN(ABS(pb - pa)) AS BIGINT) AS min_dist
         |FROM pa p JOIN pb q ON p.doc_id = q.doc_id
         |GROUP BY p.doc_id
-        |ORDER BY n_phrase DESC, min_dist, p.doc_id LIMIT 200""".stripMargin)
+        |ORDER BY n_phrase DESC, min_dist, p.doc_id LIMIT 200""".stripMargin,
+    // the incremental split + delta merge reproduces the full-batch
+    // owns-all-bands rule EXACTLY, so the oracle IS stream_near_dup's
+    "dedup_incremental" -> QueriesData.sql("stream_near_dup"),
+    "q_twap" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec,
+        |    CAST(ROUND(value * 100) AS BIGINT) AS cents
+        |  FROM events
+        |), g AS (
+        |  SELECT user_id, cents,
+        |    lead(ts_sec) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id)
+        |      - ts_sec AS dt
+        |  FROM e
+        |)
+        |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_intervals,
+        |  CAST(SUM(dt) AS BIGINT) AS span_sec,
+        |  CAST(SUM(cents * dt) // NULLIF(SUM(dt), 0) AS BIGINT) AS twap_cents
+        |FROM g WHERE dt IS NOT NULL
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_robust_anomaly" ->
+      """WITH c AS (
+        |  SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS cents
+        |  FROM events
+        |), m AS (
+        |  SELECT event_type, quantile_cont(cents, 0.5) AS med_cents
+        |  FROM c GROUP BY 1
+        |), d AS (
+        |  SELECT c.event_type, ABS(c.cents - m.med_cents) AS dev, m.med_cents
+        |  FROM c JOIN m USING (event_type)
+        |), md AS (
+        |  SELECT event_type, quantile_cont(dev, 0.5) AS mad_cents
+        |  FROM d GROUP BY 1
+        |)
+        |SELECT d.event_type, MAX(d.med_cents) AS med_cents,
+        |  MAX(md.mad_cents) AS mad_cents,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CASE WHEN d.dev > 5 * md.mad_cents THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_outliers
+        |FROM d JOIN md USING (event_type)
+        |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin,
+    "q_attribution" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec,
+        |    CAST(ROUND(value * 100) AS BIGINT) AS cents
+        |  FROM events
+        |), a AS (
+        |  SELECT *,
+        |    last_value(CASE WHEN event_type IN ('click', 'view')
+        |      THEN event_type END IGNORE NULLS) OVER w AS last_type,
+        |    last_value(CASE WHEN event_type IN ('click', 'view')
+        |      THEN ts_sec END IGNORE NULLS) OVER w AS last_ts,
+        |    first_value(CASE WHEN event_type IN ('click', 'view')
+        |      THEN event_type END IGNORE NULLS) OVER w AS first_type
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |), p AS (
+        |  SELECT
+        |    CASE WHEN last_ts IS NOT NULL AND ts_sec - last_ts <= 604800
+        |      THEN last_type ELSE 'direct' END AS last_touch,
+        |    COALESCE(first_type, 'direct') AS first_touch, cents
+        |  FROM a WHERE event_type = 'purchase'
+        |)
+        |SELECT model, touch, n_purchases, revenue_cents FROM (
+        |  SELECT 'first_touch' AS model, first_touch AS touch,
+        |    CAST(COUNT(*) AS BIGINT) AS n_purchases,
+        |    CAST(SUM(cents) AS BIGINT) AS revenue_cents
+        |  FROM p GROUP BY first_touch
+        |  UNION ALL
+        |  SELECT 'last_touch', last_touch,
+        |    CAST(COUNT(*) AS BIGINT), CAST(SUM(cents) AS BIGINT)
+        |  FROM p GROUP BY last_touch
+        |) u ORDER BY model, touch""".stripMargin)
 }

@@ -630,4 +630,40 @@ object Dedup {
       .agg(count(lit(1)).as("n_pairs"))
       .orderBy(col("source_a"), col("source_b"))
   }
+
+  // ------------------------------------------------- incremental near-dup
+
+  /** Band-ownership index from banded minhash rows ([[minhashBandRows]]
+    * output): the min doc id per band — the persistable state of the
+    * streaming/incremental near-dup keep rule (a doc is kept iff it owns
+    * every band it touches). O(bands) rows per doc in, one map-side-
+    * partial min aggregate out; the index is a fraction of the corpus
+    * and is what an incremental pipeline stores between runs.
+    */
+  def bandOwners(bandRows: DataFrame): DataFrame =
+    bandRows.groupBy(col("band")).agg(min(col("doc_id")).as("owner"))
+
+  /** Merge a persisted ownership index with a new batch's index. Min is
+    * associative/commutative/idempotent, so merged ≡ the index built
+    * from scratch over the union — the delta-maintenance law
+    * (DedupIncrementalSpec pins it). When ingest ids are monotone (the
+    * production case: new docs get larger ids), a delta can never steal
+    * a band from history, so previously-kept docs stay kept and the old
+    * keep set needs no revisit.
+    */
+  def mergeBandOwners(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy(col("band")).agg(min(col("owner")).as("owner"))
+
+  /** The keep set under an ownership index: every doc in `allIds` except
+    * those touching a band owned by a smaller id. Docs owning no bands
+    * (too short to shingle — they appear in `allIds` but not `bandRows`)
+    * are trivially kept, matching the batch rule and the X11 stream.
+    */
+  def nearDupKeepSet(allIds: DataFrame, bandRows: DataFrame,
+                     owners: DataFrame): DataFrame = {
+    val blocked = bandRows.join(owners, Seq("band"))
+      .filter(col("owner") =!= col("doc_id"))
+      .select(col("doc_id")).distinct()
+    allIds.join(blocked, Seq("doc_id"), "left_anti")
+  }
 }

@@ -182,7 +182,110 @@ object QueriesR7 {
       .orderBy(col("model"), col("touch"))
   }
 
+  /** R81: multi-source BFS hop distance on the co-purchase graph (see
+    * [[graft.operators.Graph.bfsHops]]) — every node within 3 hops of
+    * the seed set (nodes ≡ 0 mod 97), with its minimum hop count.
+    */
+  def graphBfs(s: SparkSession, dir: String): DataFrame = {
+    val edges = QueriesR6.coPurchasePairs(s, dir).select(col("src"), col("dst"))
+    val seeds = edges.select(explode(array(col("src"), col("dst"))).as("node"))
+      .distinct().filter(col("node") % 97 === 0)
+    Graph.bfsHops(edges, seeds, rounds = 3).orderBy(col("node"))
+  }
+
+  /** T19: per-source quality-percentile filtering — the corpus curation
+    * pass "drop each source's bottom decile by quality score". The score
+    * is the T2 quality formula re-expressed in exact integer ppm, and
+    * the decile cut is the integer rank rule (rank−1)·10 ≥ n — no
+    * interpolated-percentile float crosses an engine boundary. Reports
+    * per source: population, kept count, and the score boundary
+    * (max dropped / min kept).
+    */
+  def corpusQualityFilter(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions
+    import org.apache.spark.sql.expressions.Window
+    val d = t(s, dir, "documents")
+    val scored = d.select(col("source"), col("doc_id"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_tok"),
+        TextFunctions.stopwordHits(col("text"), QueriesData.stopwords)
+          .cast("long").as("stop_hits"))
+      .withColumn("score_ppm",
+        expr("(least(n_tok * 1000000 div 64, 1000000) + " +
+          "least(stop_hits * 4000000 div n_tok, 1000000)) div 2"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("score_ppm"), col("doc_id"))
+    scored
+      .withColumn("rnk", row_number().over(w))
+      .withColumn("n_src", count(lit(1)).over(Window.partitionBy(col("source"))))
+      .withColumn("kept", (col("rnk") - 1) * 10 >= col("n_src"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        max(when(!col("kept"), col("score_ppm"))).as("max_dropped_ppm"),
+        min(when(col("kept"), col("score_ppm"))).as("min_kept_ppm"))
+      .orderBy(col("source"))
+  }
+
+  /** X19: streaming first/last-touch attribution (see
+    * [[graft.streaming.Streams.streamingAttribution]]) — per-purchase
+    * attributed rows from O(1) per-user state, aggregated to the SAME
+    * report (and oracle) as the batch `q_attribution`.
+    */
+  def streamAttribution(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events").select(col("user_id"), col("event_id"),
+      unix_timestamp(col("ts").cast("timestamp")).as("ts_sec"),
+      col("event_type"),
+      round(col("value") * 100).cast("long").as("cents"))
+    val attributed = graft.streaming.Streams.streamingAttribution(s, e,
+      horizonSec = 604800L, queryName = s"gate_sattr_${System.nanoTime()}")
+    val byModel = (model: String, c: String) => attributed
+      .groupBy(col(c).as("touch"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(col("cents")).as("revenue_cents"))
+      .select(lit(model).as("model"), col("touch"), col("n_purchases"),
+        col("revenue_cents"))
+    byModel("first_touch", "first_touch")
+      .unionByName(byModel("last_touch", "last_touch"))
+      .orderBy(col("model"), col("touch"))
+  }
+
   // ---------------------------------------------------------------- oracle
+
+  /** R79's report SQL — shared verbatim by X19 (`stream_attribution`). */
+  private val attributionSql =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type,
+      |    CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec,
+      |    CAST(ROUND(value * 100) AS BIGINT) AS cents
+      |  FROM events
+      |), a AS (
+      |  SELECT *,
+      |    last_value(CASE WHEN event_type IN ('click', 'view')
+      |      THEN event_type END IGNORE NULLS) OVER w AS last_type,
+      |    last_value(CASE WHEN event_type IN ('click', 'view')
+      |      THEN ts_sec END IGNORE NULLS) OVER w AS last_ts,
+      |    first_value(CASE WHEN event_type IN ('click', 'view')
+      |      THEN event_type END IGNORE NULLS) OVER w AS first_type
+      |  FROM e
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |), p AS (
+      |  SELECT
+      |    CASE WHEN last_ts IS NOT NULL AND ts_sec - last_ts <= 604800
+      |      THEN last_type ELSE 'direct' END AS last_touch,
+      |    COALESCE(first_type, 'direct') AS first_touch, cents
+      |  FROM a WHERE event_type = 'purchase'
+      |)
+      |SELECT model, touch, n_purchases, revenue_cents FROM (
+      |  SELECT 'first_touch' AS model, first_touch AS touch,
+      |    CAST(COUNT(*) AS BIGINT) AS n_purchases,
+      |    CAST(SUM(cents) AS BIGINT) AS revenue_cents
+      |  FROM p GROUP BY first_touch
+      |  UNION ALL
+      |  SELECT 'last_touch', last_touch,
+      |    CAST(COUNT(*) AS BIGINT), CAST(SUM(cents) AS BIGINT)
+      |  FROM p GROUP BY last_touch
+      |) u ORDER BY model, touch""".stripMargin
 
   /** Shared straight-line peel prefix: the co-purchase edge set then 4
     * rounds of (degree ≥ 3 survivor set, both-endpoint restriction).
@@ -322,38 +425,59 @@ object QueriesR7 {
         |    AS BIGINT) AS n_outliers
         |FROM d JOIN md USING (event_type)
         |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin,
-    "q_attribution" ->
-      """WITH e AS (
-        |  SELECT user_id, event_id, event_type,
-        |    CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec,
-        |    CAST(ROUND(value * 100) AS BIGINT) AS cents
-        |  FROM events
-        |), a AS (
-        |  SELECT *,
-        |    last_value(CASE WHEN event_type IN ('click', 'view')
-        |      THEN event_type END IGNORE NULLS) OVER w AS last_type,
-        |    last_value(CASE WHEN event_type IN ('click', 'view')
-        |      THEN ts_sec END IGNORE NULLS) OVER w AS last_ts,
-        |    first_value(CASE WHEN event_type IN ('click', 'view')
-        |      THEN event_type END IGNORE NULLS) OVER w AS first_type
-        |  FROM e
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-        |), p AS (
-        |  SELECT
-        |    CASE WHEN last_ts IS NOT NULL AND ts_sec - last_ts <= 604800
-        |      THEN last_type ELSE 'direct' END AS last_touch,
-        |    COALESCE(first_type, 'direct') AS first_touch, cents
-        |  FROM a WHERE event_type = 'purchase'
+    "q_attribution" -> attributionSql,
+    // X19 shares R79's report and oracle: the streaming rows ARE the
+    // batch window carries under ordered delivery
+    "stream_attribution" -> attributionSql,
+    "graph_bfs" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |und AS (
+        |  SELECT a.l_partkey AS a, b.l_partkey AS b
+        |  FROM li a JOIN li b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2
+        |), e AS (
+        |  SELECT a AS src, b AS dst FROM und
+        |  UNION ALL SELECT b, a FROM und
+        |), nodes AS (SELECT DISTINCT src AS node FROM e),
+        |d0 AS (SELECT node, CAST(0 AS BIGINT) AS hops FROM nodes WHERE node % 97 = 0),
+        |d1 AS (
+        |  SELECT node, MIN(hops) AS hops FROM (
+        |    SELECT node, hops FROM d0
+        |    UNION ALL SELECT e.dst, d.hops + 1 FROM e JOIN d0 d ON d.node = e.src) u
+        |  GROUP BY node
+        |), d2 AS (
+        |  SELECT node, MIN(hops) AS hops FROM (
+        |    SELECT node, hops FROM d1
+        |    UNION ALL SELECT e.dst, d.hops + 1 FROM e JOIN d1 d ON d.node = e.src) u
+        |  GROUP BY node
+        |), d3 AS (
+        |  SELECT node, MIN(hops) AS hops FROM (
+        |    SELECT node, hops FROM d2
+        |    UNION ALL SELECT e.dst, d.hops + 1 FROM e JOIN d2 d ON d.node = e.src) u
+        |  GROUP BY node
         |)
-        |SELECT model, touch, n_purchases, revenue_cents FROM (
-        |  SELECT 'first_touch' AS model, first_touch AS touch,
-        |    CAST(COUNT(*) AS BIGINT) AS n_purchases,
-        |    CAST(SUM(cents) AS BIGINT) AS revenue_cents
-        |  FROM p GROUP BY first_touch
-        |  UNION ALL
-        |  SELECT 'last_touch', last_touch,
-        |    CAST(COUNT(*) AS BIGINT), CAST(SUM(cents) AS BIGINT)
-        |  FROM p GROUP BY last_touch
-        |) u ORDER BY model, touch""".stripMargin)
+        |SELECT node, CAST(hops AS BIGINT) AS hops FROM d3 ORDER BY node""".stripMargin,
+    "corpus_quality_filter" ->
+      s"""WITH sc AS (
+         |  SELECT source, doc_id,
+         |    (LEAST(len(${QueriesData.toks}) * 1000000 // 64, 1000000) +
+         |     LEAST(${QueriesData.stopHits} * 4000000 // len(${QueriesData.toks}),
+         |       1000000)) // 2 AS score_ppm
+         |  FROM documents
+         |), r AS (
+         |  SELECT source, score_ppm,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY score_ppm, doc_id) AS rnk,
+         |    COUNT(*) OVER (PARTITION BY source) AS n_src
+         |  FROM sc
+         |)
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(CASE WHEN (rnk - 1) * 10 >= n_src THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_kept,
+         |  CAST(MAX(CASE WHEN (rnk - 1) * 10 < n_src THEN score_ppm END)
+         |    AS BIGINT) AS max_dropped_ppm,
+         |  CAST(MIN(CASE WHEN (rnk - 1) * 10 >= n_src THEN score_ppm END)
+         |    AS BIGINT) AS min_kept_ppm
+         |FROM r GROUP BY source ORDER BY source""".stripMargin)
 }

@@ -370,4 +370,42 @@ object Graph {
     dir.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("deg_core"))
   }
+
+  /** Multi-source BFS hop distance: minimum hops from any seed node,
+    * relaxed for a fixed number of rounds — "what's within k hops of
+    * the flagged set", the reachability screen behind blast-radius
+    * analysis on dependency graphs and taint spread on near-dup graphs.
+    *
+    * Fixed rounds for the same reasons as [[kCore]]: relaxation is
+    * monotone (labels only decrease, new nodes only appear), rounds ≥
+    * diameter-from-seeds ≡ the true distance, and the oracle stays a
+    * straight-line chained CTE. Per round the one-row-per-node distance
+    * table broadcasts into the edge join ([[pageRank]] posture) and the
+    * only full-size shuffle is the dst min-aggregate.
+    *
+    * @param edges (src, dst) pairs, any duplication/orientation
+    * @param seeds one `node` column; seeds absent from the graph report
+    *              hops = 0 (they are their own component)
+    * @return (node, hops ≤ rounds) for every node reached
+    */
+  def bfsHops(edges: DataFrame, seeds: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val und = edges.select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val dir = und.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(und.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint(true)
+    var dist = seeds.select(col("node"), lit(0L).as("hops"))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val relaxed = dir
+        .join(broadcast(dist.withColumnRenamed("node", "src")), Seq("src"))
+        .select(col("dst").as("node"), (col("hops") + 1L).as("hops"))
+      dist = dist.unionByName(relaxed)
+        .groupBy(col("node")).agg(min(col("hops")).as("hops"))
+        .localCheckpoint(true)
+    }
+    dist
+  }
 }

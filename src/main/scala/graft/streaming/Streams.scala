@@ -747,4 +747,72 @@ object Streams {
       iso.table(queryName)
     }
   }
+
+  /** X19: streaming first/last-touch attribution — the incremental twin
+    * of the batch attribution report (R79). Per-user state is THREE
+    * scalars (first touch type, last touch type + its ts), because both
+    * models only ever need the earliest and the most recent preceding
+    * touch; each purchase emits one attributed row (Append-mode flatMap)
+    * computed from the state as of that event — exactly the batch
+    * [−∞, −1] window-frame semantics. Under per-user (ts, event_id)
+    * delivery (the X14/X15 ordered-replay contract) the emitted rows are
+    * identical to the batch carries, so the gate aggregates them with the
+    * SAME oracle as `q_attribution`.
+    *
+    * @param rows (user_id, event_id, ts_sec, event_type, cents)
+    * @param horizonSec last-touch validity window (the gate: 7 days)
+    * @return (user_id, event_id, first_touch, last_touch, cents) — one
+    *         row per purchase
+    */
+  def streamingAttribution(spark: SparkSession, rows: DataFrame,
+                           horizonSec: Long, queryName: String,
+                           rocksDb: Boolean = UseRocksDb): DataFrame = {
+    import spark.implicits._
+    val typed = rows.select(col("user_id").cast("long"),
+        col("event_id").cast("long"), col("ts_sec").cast("long"),
+        col("event_type").cast("string"), col("cents").cast("long"))
+      .orderBy(col("ts_sec"), col("event_id"))
+      .coalesce(1) // one ordered file = ordered replay
+      .as[(Long, Long, Long, String, Long)]
+    val path = stageToTemp(
+      typed.toDF("user_id", "event_id", "ts_sec", "event_type", "cents"), "sattr")
+
+    // state: (firstType, lastTs, lastType); "" = unset
+    val step: (Long, Iterator[(Long, Long, Long, String, Long)],
+        GroupState[(String, Long, String)]) =>
+        Iterator[(Long, Long, String, String, Long)] =
+      (user, batch, state) => {
+        var (firstT, lastTs, lastT) = state.getOption.getOrElse(("", 0L, ""))
+        val out = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Long, String, String, Long)]
+        batch.toSeq.sortBy(r => (r._3, r._2)).foreach {
+          case (_, eid, ts, et, cents) =>
+            if (et == "purchase") {
+              val last =
+                if (lastT.nonEmpty && ts - lastTs <= horizonSec) lastT
+                else "direct"
+              val first = if (firstT.nonEmpty) firstT else "direct"
+              out += ((user, eid, first, last, cents))
+            } else if (et == "click" || et == "view") {
+              if (firstT.isEmpty) firstT = et
+              lastTs = ts
+              lastT = et
+            }
+        }
+        state.update((firstT, lastTs, lastT))
+        out.iterator
+      }
+
+    withStateSession(spark, 8, rocksDb) { iso =>
+      val stream = iso.readStream.schema(typed.schema).parquet(path)
+        .as[(Long, Long, Long, String, Long)]
+      val attributed = stream.groupByKey(_._1)
+        .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(step)
+        .toDF("user_id", "event_id", "first_touch", "last_touch", "cents")
+      val q = attributed.writeStream.outputMode("append")
+        .format("memory").queryName(queryName).start()
+      try { q.processAllAvailable() } finally { q.stop() }
+      iso.table(queryName)
+    }
+  }
 }

@@ -190,6 +190,30 @@ class StreamsSpec extends AnyFunSuite {
     assert(got == graft.operators.Changepoint.cusumRef(xs, k))
   }
 
+  test("streaming attribution emits the batch window-frame carries per purchase") {
+    // user 1: click -> purchase (in horizon), view -> purchase (last=view,
+    //         first stays click), purchase with last touch EXPIRED -> direct
+    // user 2: purchase before any touch -> direct/direct
+    val rows = Seq(
+      (1L, 1L, 100L, "click", 10L),
+      (1L, 2L, 200L, "purchase", 30L),
+      (1L, 3L, 300L, "view", 0L),
+      (1L, 4L, 400L, "purchase", 50L),
+      (1L, 5L, 2000L, "purchase", 70L), // 2000-300 > horizon
+      (2L, 6L, 100L, "purchase", 90L),
+      (2L, 7L, 150L, "view", 0L)
+    ).toDF("user_id", "event_id", "ts_sec", "event_type", "cents")
+    val got = Streams.streamingAttribution(spark, rows, horizonSec = 1000L,
+        queryName = s"spec_sattr_${System.nanoTime()}")
+      .select("event_id", "first_touch", "last_touch", "cents")
+      .as[(Long, String, String, Long)].collect().toSet
+    assert(got == Set(
+      (2L, "click", "click", 30L),
+      (4L, "click", "view", 50L),
+      (5L, "click", "direct", 70L),
+      (6L, "direct", "direct", 90L)))
+  }
+
   test("cdcApply merges a streamed delta into the target") {
     val target = Seq((1L, "v1", "N"), (2L, "v2", "N")).toDF("id", "v", "is_deleted")
     val delta = Seq((2L, "v2b", "N"), (3L, "v3", "N"), (1L, "v1", "Y"))

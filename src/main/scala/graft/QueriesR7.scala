@@ -249,6 +249,113 @@ object QueriesR7 {
       .orderBy(col("model"), col("touch"))
   }
 
+  /** 2024-01-11 / 2024-01-21 00:00 UTC — mid-history snapshot points for
+    * the events fixture (2024-01-01..30).
+    */
+  private val AsOfT1 = 1704931200L
+  private val AsOfT2 = 1705795200L
+
+  private def cdcEvents(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").select(col("user_id"), col("event_id"),
+      unix_timestamp(col("ts").cast("timestamp")).as("ts_sec"),
+      col("event_type"),
+      round(col("value") * 100).cast("long").as("cents"))
+
+  /** C26: as-of snapshot — the replica's state at 2024-01-11 rebuilt
+    * from the change history alone (see [[graft.cdc.Cdc.asOfSnapshot]]):
+    * per key, the latest change at or before the point, via one filtered
+    * max_by aggregate (no window sort).
+    */
+  def cdcAsofSnapshot(s: SparkSession, dir: String): DataFrame =
+    graft.cdc.Cdc.asOfSnapshot(cdcEvents(s, dir), Seq("user_id"),
+        Seq("ts_sec", "event_id"), col("ts_sec") <= AsOfT1)
+      .orderBy(col("user_id"))
+
+  /** C27: snapshot diff — keys classified added/changed/unchanged between
+    * the 01-11 and 01-21 as-of states (see [[graft.cdc.Cdc.snapshotDiff]]);
+    * one full-outer PK join of the two snapshots, no history re-read.
+    */
+  def cdcSnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val e = cdcEvents(s, dir)
+    val snap = (p: Long) => graft.cdc.Cdc.asOfSnapshot(e, Seq("user_id"),
+      Seq("ts_sec", "event_id"), col("ts_sec") <= p)
+    graft.cdc.Cdc.snapshotDiff(snap(AsOfT1), snap(AsOfT2), Seq("user_id"),
+        Seq("event_id"))
+      .orderBy(col("status"))
+  }
+
+  /** S12: KMV sketch rollup across grouping sets — per-(type, week) cell
+    * sketches of distinct users computed ONCE, then every rollup level
+    * ((type), (week), ()) estimated by merging CELL SKETCHES only (the
+    * merge law makes cell-truncate→merge-truncate ≡ direct sketch). The
+    * aggregate-once-roll-up-everywhere pattern that replaces four
+    * COUNT(DISTINCT) scans of a 100 TB fact table with sketch algebra
+    * over a few thousand cells. Exact distincts ride along per level for
+    * calibration; '*' / −1 are the ALL sentinels.
+    */
+  def sketchKmvCube(s: SparkSession, dir: String): DataFrame = {
+    val k = 64
+    val e = t(s, dir, "events").select(col("event_type"),
+      expr("unix_micros(CAST(ts AS TIMESTAMP)) div 604800000000").as("week"),
+      col("user_id"), Kmv.hash48(col("user_id")).as("h"))
+    val cells = e.groupBy(col("event_type"), col("week"))
+      .agg(Kmv.kmvSketch(col("h"), k).as("sk"))
+      .localCheckpoint(true) // four rollup scans of a tiny cell table
+    def roll(tc: org.apache.spark.sql.Column, wc: org.apache.spark.sql.Column) =
+      cells.select(tc.as("event_type"), wc.as("week"),
+          explode(col("sk")).as("h"))
+        .groupBy(col("event_type"), col("week"))
+        .agg(Kmv.kmvDistinct(col("h"), k).as("kmv_est"))
+    val est = roll(col("event_type"), col("week"))
+      .unionByName(roll(col("event_type"), lit(-1L)))
+      .unionByName(roll(lit("*"), col("week")))
+      .unionByName(roll(lit("*"), lit(-1L)))
+    def exact(tc: org.apache.spark.sql.Column, wc: org.apache.spark.sql.Column) =
+      e.select(tc.as("event_type"), wc.as("week"), col("user_id"))
+        .groupBy(col("event_type"), col("week"))
+        .agg(countDistinct(col("user_id")).as("n_exact"))
+    val ex = exact(col("event_type"), col("week"))
+      .unionByName(exact(col("event_type"), lit(-1L)))
+      .unionByName(exact(lit("*"), col("week")))
+      .unionByName(exact(lit("*"), lit(-1L)))
+    est.join(ex, Seq("event_type", "week"))
+      .select(col("event_type"), col("week"), col("n_exact"), col("kmv_est"))
+      .orderBy(col("event_type"), col("week"))
+  }
+
+  /** R82: share-of-total (ratio-to-report) — each nation's revenue share
+    * of its region in exact ppm, with the within-region revenue rank.
+    * Revenue kept in integer cent·pct units end-to-end; the share
+    * product widens through DECIMAL(38,0). One aggregate + one window
+    * over the 25-row nation table.
+    */
+  def qShareOfTotal(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val li = t(s, dir, "lineitem")
+    val rev = li
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .select(col("r_name"), col("n_name"),
+        (expr("CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)") *
+          (lit(100) - expr("CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT)")))
+          .as("rev_u"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(sum(col("rev_u")).cast("long").as("rev_u"))
+    val w = Window.partitionBy(col("r_name"))
+    rev
+      .withColumn("region_u", sum(col("rev_u")).over(w))
+      .withColumn("share_ppm",
+        expr("CAST(CAST(rev_u AS DECIMAL(38,0)) * 1000000 div region_u AS BIGINT)"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("r_name"))
+          .orderBy(col("rev_u").desc, col("n_name"))).cast("long"))
+      .select(col("r_name"), col("n_name"), col("rev_u"), col("share_ppm"),
+        col("rnk"))
+      .orderBy(col("r_name"), col("rnk"))
+  }
+
   // ---------------------------------------------------------------- oracle
 
   /** R79's report SQL — shared verbatim by X19 (`stream_attribution`). */
@@ -479,5 +586,100 @@ object QueriesR7 {
          |    AS BIGINT) AS max_dropped_ppm,
          |  CAST(MIN(CASE WHEN (rnk - 1) * 10 >= n_src THEN score_ppm END)
          |    AS BIGINT) AS min_kept_ppm
-         |FROM r GROUP BY source ORDER BY source""".stripMargin)
+         |FROM r GROUP BY source ORDER BY source""".stripMargin,
+    "cdc_asof_snapshot" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec,
+         |    event_type, CAST(ROUND(value * 100) AS BIGINT) AS cents
+         |  FROM events WHERE CAST(floor(epoch(ts)) AS BIGINT) <= $AsOfT1
+         |)
+         |SELECT user_id, event_id, ts_sec, event_type, cents FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY user_id
+         |    ORDER BY ts_sec DESC, event_id DESC) AS rn
+         |  FROM e) q
+         |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "cdc_snapshot_diff" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec
+         |  FROM events
+         |), s1 AS (
+         |  SELECT user_id, event_id FROM (
+         |    SELECT user_id, event_id, row_number() OVER (PARTITION BY user_id
+         |      ORDER BY ts_sec DESC, event_id DESC) AS rn
+         |    FROM e WHERE ts_sec <= $AsOfT1) q WHERE rn = 1
+         |), s2 AS (
+         |  SELECT user_id, event_id FROM (
+         |    SELECT user_id, event_id, row_number() OVER (PARTITION BY user_id
+         |      ORDER BY ts_sec DESC, event_id DESC) AS rn
+         |    FROM e WHERE ts_sec <= $AsOfT2) q WHERE rn = 1
+         |)
+         |SELECT status, CAST(COUNT(*) AS BIGINT) AS n_keys FROM (
+         |  SELECT CASE WHEN s1.user_id IS NULL THEN 'added'
+         |    WHEN s2.user_id IS NULL THEN 'removed'
+         |    WHEN s1.event_id <> s2.event_id THEN 'changed'
+         |    ELSE 'unchanged' END AS status
+         |  FROM s1 FULL OUTER JOIN s2 ON s1.user_id = s2.user_id) q
+         |GROUP BY status ORDER BY status""".stripMargin,
+    "sketch_kmv_cube" ->
+      s"""WITH a AS (
+         |  SELECT DISTINCT event_type,
+         |    epoch_us(ts) // 604800000000 AS week,
+         |    ${QueriesR3.hex12ToInt("md5(CAST(user_id AS VARCHAR))")} AS h,
+         |    user_id
+         |  FROM events
+         |), cell AS (
+         |  SELECT event_type, week, h FROM (
+         |    SELECT event_type, week, h, row_number() OVER (
+         |      PARTITION BY event_type, week ORDER BY h) AS rn
+         |    FROM (SELECT DISTINCT event_type, week, h FROM a) q) r
+         |  WHERE rn <= 64
+         |), g AS (
+         |  SELECT event_type, week, h FROM cell
+         |  UNION ALL SELECT event_type, CAST(-1 AS BIGINT), h FROM cell
+         |  UNION ALL SELECT '*', week, h FROM cell
+         |  UNION ALL SELECT '*', CAST(-1 AS BIGINT), h FROM cell
+         |), r AS (
+         |  SELECT event_type, week, h,
+         |    row_number() OVER (PARTITION BY event_type, week ORDER BY h) AS rn,
+         |    COUNT(*) OVER (PARTITION BY event_type, week) AS nd
+         |  FROM (SELECT DISTINCT event_type, week, h FROM g) q
+         |), est AS (
+         |  SELECT event_type, week,
+         |    CAST(CASE WHEN MAX(nd) < 64 THEN MAX(nd)
+         |      ELSE ${63L * Kmv.HashRange} // MAX(CASE WHEN rn = 64 THEN h END)
+         |      END AS BIGINT) AS kmv_est
+         |  FROM r WHERE rn <= 64 GROUP BY event_type, week
+         |), base AS (
+         |  SELECT event_type, week, user_id FROM a
+         |  UNION ALL SELECT event_type, CAST(-1 AS BIGINT), user_id FROM a
+         |  UNION ALL SELECT '*', week, user_id FROM a
+         |  UNION ALL SELECT '*', CAST(-1 AS BIGINT), user_id FROM a
+         |), ex AS (
+         |  SELECT event_type, week,
+         |    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+         |  FROM base GROUP BY event_type, week
+         |)
+         |SELECT est.event_type, est.week, ex.n_exact, est.kmv_est
+         |FROM est JOIN ex ON est.event_type = ex.event_type
+         |  AND est.week = ex.week
+         |ORDER BY est.event_type, est.week""".stripMargin,
+    "q_share_of_total" ->
+      """WITH rev AS (
+        |  SELECT r_name, n_name,
+        |    CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) *
+        |      (100 - CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT)))
+        |      AS BIGINT) AS rev_u
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  GROUP BY r_name, n_name
+        |)
+        |SELECT r_name, n_name, rev_u,
+        |  CAST(CAST(rev_u AS HUGEINT) * 1000000 //
+        |    SUM(rev_u) OVER (PARTITION BY r_name) AS BIGINT) AS share_ppm,
+        |  CAST(row_number() OVER (PARTITION BY r_name
+        |    ORDER BY rev_u DESC, n_name) AS BIGINT) AS rnk
+        |FROM rev ORDER BY r_name, rnk""".stripMargin)
 }

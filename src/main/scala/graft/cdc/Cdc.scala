@@ -151,4 +151,53 @@ object Cdc {
         concat_ws(",", diffs: _*).as("changed_cols"): _*)
       .filter(col("changed_cols") =!= "")
   }
+
+  /** C26: as-of snapshot — reconstruct the replica's state at a past
+    * point from the change history: per key, the latest change (by the
+    * version order) at or before the as-of predicate. The time-travel
+    * read an auditor or a backfill job asks of a CDC archive, without
+    * any stored snapshot: history IS the table.
+    *
+    * One filtered scan + one max_by aggregate (map-side partial, struct
+    * ordering is lexicographic on `versionCols`) — cheaper at scale than
+    * the window row_number formulation, which must sort every key group.
+    *
+    * @param changes     full change history
+    * @param keys        primary key columns
+    * @param versionCols change-order columns (e.g. ts then change id) —
+    *                    lexicographic max wins
+    * @param asOf        predicate selecting history ≤ the snapshot point
+    */
+  def asOfSnapshot(changes: DataFrame, keys: Seq[String],
+                   versionCols: Seq[String], asOf: Column): DataFrame = {
+    val others = changes.columns.filterNot(keys.contains).toSeq
+    changes.filter(asOf)
+      .groupBy(keys.map(col): _*)
+      .agg(max_by(struct(others.map(col): _*),
+        struct(versionCols.map(col): _*)).as("__r"))
+      .select(keys.map(col) ++ others.map(c => col(s"__r.$c").as(c)): _*)
+  }
+
+  /** C27: snapshot diff — classify every key across two as-of states:
+    * `added` (only in the newer), `removed` (only in the older — possible
+    * once deletes are soft-applied), `changed` (present in both with any
+    * `cmpCols` difference, null-safe), `unchanged`. The "what moved
+    * between Monday and Friday" report over [[asOfSnapshot]] outputs; one
+    * full-outer PK join, no history re-read.
+    */
+  def snapshotDiff(older: DataFrame, newer: DataFrame, keys: Seq[String],
+                   cmpCols: Seq[String]): DataFrame = {
+    val a = older.as("a")
+    val b = newer.as("b")
+    val joinCond = keys.map(k => col(s"a.$k") === col(s"b.$k")).reduce(_ && _)
+    val anyDiff = cmpCols.map(c => !(col(s"a.$c") <=> col(s"b.$c")))
+      .reduce(_ || _)
+    a.join(b, joinCond, "full_outer")
+      .select(
+        when(keys.map(k => col(s"a.$k").isNull).reduce(_ && _), lit("added"))
+          .when(keys.map(k => col(s"b.$k").isNull).reduce(_ && _), lit("removed"))
+          .when(anyDiff, lit("changed"))
+          .otherwise(lit("unchanged")).as("status"))
+      .groupBy(col("status")).agg(count(lit(1)).as("n_keys"))
+  }
 }

@@ -121,4 +121,25 @@ class CdcSpec extends AnyFunSuite {
     // null is distinct from the empty string
     assert(ck(Seq((1L, Some("x")), (2L, Some("y")), (3L, Some(""))).toDF("id", "v")) != same)
   }
+
+  test("asOfSnapshot picks the latest change at-or-before the point, per key") {
+    val hist = Seq(
+      (1L, 10L, "a"), (1L, 20L, "b"), (1L, 30L, "c"),
+      (2L, 25L, "x"),
+      (3L, 5L, "p"), (3L, 20L, "q")
+    ).toDF("id", "ts", "v")
+    val snap = Cdc.asOfSnapshot(hist, Seq("id"), Seq("ts"), col("ts") <= 20L)
+      .as[(Long, Long, String)].collect().toSet
+    // key 2's first change is AFTER the point: absent; ties impossible here
+    assert(snap == Set((1L, 20L, "b"), (3L, 20L, "q")))
+  }
+
+  test("snapshotDiff classifies added/removed/changed/unchanged") {
+    val older = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+    val newer = Seq((1L, "a"), (2L, "B"), (4L, "d")).toDF("id", "v")
+    val got = Cdc.snapshotDiff(older, newer, Seq("id"), Seq("v"))
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("unchanged" -> 1L, "changed" -> 1L,
+      "removed" -> 1L, "added" -> 1L))
+  }
 }

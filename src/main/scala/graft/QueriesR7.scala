@@ -356,6 +356,84 @@ object QueriesR7 {
       .orderBy(col("r_name"), col("rnk"))
   }
 
+  /** T20: vocabulary build + token-id encoding — the tokenizer-adjacent
+    * preprocessing step of an LLM data pipeline: rank the corpus
+    * vocabulary by frequency (count desc, term — a total order), assign
+    * ids by rank, and re-encode every document as its id sequence (OOV →
+    * 0). The vocab here is the top 30 terms so the OOV path is real.
+    * Scale shape: one token explode + one vocab aggregate; the ranked
+    * vocab (vocab-sized, tiny) broadcasts back into the encode join; the
+    * id sequence reassembles ORDER-SAFELY via array_sort on (pos, id)
+    * structs, never relying on collect order.
+    */
+  def textVocabEncode(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = t(s, dir, "documents")
+    val tok = d.select(col("doc_id"),
+        posexplode(split(col("text"), " ")))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("term"))
+    // distributed top-k FIRST (TakeOrderedAndProject), so the rank window
+    // runs on a provably-30-row table — never a global sort of the full
+    // vocabulary (the trainCentroids-seeding anti-pattern)
+    val top = tok.groupBy(col("term")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("term")).limit(30)
+    val vocab = top.withColumn("id", row_number().over(
+        Window.orderBy(col("n").desc, col("term"))).cast("long"))
+      .select(col("term"), col("id"))
+    tok.join(broadcast(vocab), Seq("term"), "left")
+      .select(col("doc_id"), col("pos"), coalesce(col("id"), lit(0L)).as("id"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("id") === 0L, 1L).otherwise(0L)).as("n_oov"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("id")))),
+          x => x.getField("id")), ",").as("ids"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** R83: class-balance report over the embedding corpus labels — per
+    * label population and share in exact ppm, plus the Gini impurity
+    * (10⁶ − Σ nᵢ²·10⁶ div N², the split-quality metric with an exact
+    * rational form where entropy's log has none) carried as a constant
+    * column. The pre-training "is the label mix degenerate" check.
+    */
+  def qClassBalance(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = t(s, dir, "embeddings")
+      .groupBy(col("label").cast("long").as("label"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy()
+    counts
+      .withColumn("n_total", sum(col("n")).over(w))
+      .withColumn("share_ppm", expr("n * 1000000 div n_total"))
+      .withColumn("gini_ppm",
+        expr("1000000 - sum(n * n) OVER () * 1000000 div (n_total * n_total)"))
+      .select(col("label"), col("n"), col("share_ppm"), col("gini_ppm"))
+      .orderBy(col("label"))
+  }
+
+  /** R67d: frequent triples — market-basket mining one level up from the
+    * R67 pairs: ordered 3-itemsets with support ≥ 2, enumerated directly
+    * per basket (orders hold ≤ 7 distinct parts, so C(n,3) ≤ 35 rows per
+    * basket — bounded by the basket contract, never corpus-quadratic).
+    * At scale, skew-hostile mega-baskets would be capped upstream by the
+    * same per-source limiter as T10.
+    */
+  def qBasketTriples(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("basket"), col("l_partkey").as("item"))
+      .distinct()
+    val a = li.select(col("basket"), col("item").as("i1"))
+    val b = li.select(col("basket"), col("item").as("i2"))
+    val c = li.select(col("basket"), col("item").as("i3"))
+    a.join(b, Seq("basket")).filter(col("i1") < col("i2"))
+      .join(c, Seq("basket")).filter(col("i2") < col("i3"))
+      .groupBy(col("i1"), col("i2"), col("i3"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= 2)
+      .orderBy(col("i1"), col("i2"), col("i3"))
+  }
+
   // ---------------------------------------------------------------- oracle
 
   /** R79's report SQL — shared verbatim by X19 (`stream_attribution`). */
@@ -681,5 +759,47 @@ object QueriesR7 {
         |    SUM(rev_u) OVER (PARTITION BY r_name) AS BIGINT) AS share_ppm,
         |  CAST(row_number() OVER (PARTITION BY r_name
         |    ORDER BY rev_u DESC, n_name) AS BIGINT) AS rnk
-        |FROM rev ORDER BY r_name, rnk""".stripMargin)
+        |FROM rev ORDER BY r_name, rnk""".stripMargin,
+    "text_vocab_encode" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(toks) AS term,
+        |    unnest(range(1, len(toks) + 1)) AS pos
+        |  FROM (SELECT doc_id, str_split(text, ' ') AS toks FROM documents) d
+        |), vocab AS (
+        |  SELECT term, CAST(row_number() OVER (ORDER BY n DESC, term)
+        |    AS BIGINT) AS id
+        |  FROM (SELECT term, COUNT(*) AS n FROM tok GROUP BY term
+        |        ORDER BY n DESC, term LIMIT 30) v
+        |)
+        |SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(CASE WHEN v.id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_oov,
+        |  string_agg(CAST(COALESCE(v.id, 0) AS VARCHAR), ',' ORDER BY t.pos)
+        |    AS ids
+        |FROM tok t LEFT JOIN vocab v USING (term)
+        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+    "q_class_balance" ->
+      """WITH c AS (
+        |  SELECT CAST(label AS BIGINT) AS label, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM embeddings GROUP BY 1
+        |), s AS (
+        |  SELECT CAST(SUM(n) AS BIGINT) AS n_total,
+        |    CAST(SUM(n * n) AS BIGINT) AS ss
+        |  FROM c
+        |)
+        |SELECT label, n, CAST(n * 1000000 // n_total AS BIGINT) AS share_ppm,
+        |  CAST(1000000 - ss * 1000000 // (n_total * n_total) AS BIGINT)
+        |    AS gini_ppm
+        |FROM c, s ORDER BY label""".stripMargin,
+    "q_basket_triples" ->
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem
+        |)
+        |SELECT a.item AS i1, b.item AS i2, c.item AS i3,
+        |  CAST(COUNT(*) AS BIGINT) AS support
+        |FROM li a
+        |JOIN li b ON a.basket = b.basket AND a.item < b.item
+        |JOIN li c ON b.basket = c.basket AND b.item < c.item
+        |GROUP BY 1, 2, 3 HAVING COUNT(*) >= 2
+        |ORDER BY i1, i2, i3""".stripMargin)
 }

@@ -434,6 +434,63 @@ object QueriesR7 {
       .orderBy(col("i1"), col("i2"), col("i3"))
   }
 
+  /** R84: latency percentile report — p50/p95/p99 of per-user
+    * inter-event gaps by event type, under the NEAREST-RANK definition
+    * (value at rank ⌈q·n⌉ in (gap, user, event) total order): pure
+    * integer selection, where interpolated p95/p99 would put a
+    * non-dyadic float on the engine boundary. One window pass for gaps,
+    * one for ranks, one conditional aggregate.
+    */
+  def qLatencyPercentiles(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = t(s, dir, "events").select(col("user_id"), col("event_id"),
+      col("event_type"),
+      unix_timestamp(col("ts").cast("timestamp")).as("ts_sec"))
+    val wUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_sec"), col("event_id"))
+    val gaps = e
+      .withColumn("gap", col("ts_sec") - lag(col("ts_sec"), 1).over(wUser))
+      .filter(col("gap").isNotNull)
+    val wRank = Window.partitionBy(col("event_type"))
+      .orderBy(col("gap"), col("user_id"), col("event_id"))
+    gaps
+      .withColumn("rn", row_number().over(wRank))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n"),
+        max(when(col("rn") === expr("(n + 1) div 2"), col("gap"))).as("p50_sec"),
+        max(when(col("rn") === expr("(95 * n + 99) div 100"), col("gap"))).as("p95_sec"),
+        max(when(col("rn") === expr("(99 * n + 99) div 100"), col("gap"))).as("p99_sec"))
+      .orderBy(col("event_type"))
+  }
+
+  /** C28: backfill gap planner — per event type, the hour slots inside
+    * the type's own [first, last] activity range with NO rows: what a
+    * replication backfill job must re-pull after an outage. Calendar
+    * densify via the bounded sequence explode (the R60 shape, ≤ span
+    * hours per type — never a range self-join), anti-join the observed
+    * slots, then a compact per-type summary.
+    */
+  def cdcBackfillPlan(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events").select(col("event_type"),
+      expr("unix_micros(CAST(ts AS TIMESTAMP)) div 3600000000").as("hr"))
+    val observed = e.distinct()
+    val spans = observed.groupBy(col("event_type"))
+      .agg(min(col("hr")).as("lo"), max(col("hr")).as("hi"))
+    val slots = spans.select(col("event_type"),
+      explode(sequence(col("lo"), col("hi"))).as("hr"))
+    val missing = slots.join(observed, Seq("event_type", "hr"), "left_anti")
+    missing.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_missing_hours"),
+        min(col("hr")).as("first_missing_hr"),
+        max(col("hr")).as("last_missing_hr"))
+      .join(spans.select(col("event_type"),
+        (col("hi") - col("lo") + 1).as("n_slot_hours")), Seq("event_type"))
+      .select(col("event_type"), col("n_slot_hours"), col("n_missing_hours"),
+        col("first_missing_hr"), col("last_missing_hr"))
+      .orderBy(col("event_type"))
+  }
+
   // ---------------------------------------------------------------- oracle
 
   /** R79's report SQL — shared verbatim by X19 (`stream_attribution`). */
@@ -801,5 +858,49 @@ object QueriesR7 {
         |JOIN li b ON a.basket = b.basket AND a.item < b.item
         |JOIN li c ON b.basket = c.basket AND b.item < c.item
         |GROUP BY 1, 2, 3 HAVING COUNT(*) >= 2
-        |ORDER BY i1, i2, i3""".stripMargin)
+        |ORDER BY i1, i2, i3""".stripMargin,
+    "q_latency_percentiles" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec
+        |  FROM events
+        |), g AS (
+        |  SELECT event_type, user_id, event_id,
+        |    ts_sec - lag(ts_sec) OVER (PARTITION BY user_id
+        |      ORDER BY ts_sec, event_id) AS gap
+        |  FROM e
+        |), r AS (
+        |  SELECT event_type, gap,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY gap, user_id, event_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS n
+        |  FROM g WHERE gap IS NOT NULL
+        |)
+        |SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+        |  CAST(MAX(CASE WHEN rn = (n + 1) // 2 THEN gap END) AS BIGINT)
+        |    AS p50_sec,
+        |  CAST(MAX(CASE WHEN rn = (95 * n + 99) // 100 THEN gap END)
+        |    AS BIGINT) AS p95_sec,
+        |  CAST(MAX(CASE WHEN rn = (99 * n + 99) // 100 THEN gap END)
+        |    AS BIGINT) AS p99_sec
+        |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "cdc_backfill_plan" ->
+      """WITH e AS (
+        |  SELECT DISTINCT event_type, epoch_us(ts) // 3600000000 AS hr
+        |  FROM events
+        |), spans AS (
+        |  SELECT event_type, MIN(hr) AS lo, MAX(hr) AS hi FROM e GROUP BY 1
+        |), slots AS (
+        |  SELECT event_type, unnest(range(lo, hi + 1)) AS hr FROM spans
+        |), miss AS (
+        |  SELECT s.event_type, s.hr FROM slots s
+        |  LEFT JOIN e ON e.event_type = s.event_type AND e.hr = s.hr
+        |  WHERE e.hr IS NULL
+        |)
+        |SELECT m.event_type, CAST(sp.hi - sp.lo + 1 AS BIGINT) AS n_slot_hours,
+        |  CAST(COUNT(*) AS BIGINT) AS n_missing_hours,
+        |  MIN(m.hr) AS first_missing_hr, MAX(m.hr) AS last_missing_hr
+        |FROM miss m JOIN spans sp ON sp.event_type = m.event_type
+        |GROUP BY m.event_type, sp.hi, sp.lo
+        |ORDER BY m.event_type""".stripMargin)
 }

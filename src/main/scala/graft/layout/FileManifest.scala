@@ -78,4 +78,80 @@ object FileManifest {
       else spark.read.parquet(files: _*).filter(residual)
     (files.length.toLong, total, df)
   }
+
+  // --------------------------------------------------- versioned snapshots
+
+  /** F10: versioned manifest snapshots — each layout rewrite commits its
+    * manifest as `v<N>` under a root, so past table states stay readable
+    * (time travel) until [[vacuum]] retires them: the MVCC contract of
+    * the lakehouse formats, local-filesystem scale. Commit is atomic by
+    * the same idiom as Sink's compaction manifest: write to a temp dir,
+    * rename into place — a torn write never becomes a visible version.
+    *
+    * @return the committed version id (monotone, max existing + 1)
+    */
+  def commitVersion(manifest: DataFrame, root: String): Long = {
+    val dir = new java.io.File(root)
+    dir.mkdirs()
+    val v = versions(root).lastOption.getOrElse(0L) + 1L
+    val tmp = new java.io.File(dir, s".tmp_v$v")
+    manifest.write.mode("overwrite").parquet(tmp.toString)
+    val fin = new java.io.File(dir, s"v$v")
+    if (!tmp.renameTo(fin))
+      throw new java.io.IOException(s"cannot commit manifest version $v")
+    v
+  }
+
+  /** Committed version ids under a root, ascending. */
+  def versions(root: String): Seq[Long] = {
+    val d = new java.io.File(root)
+    if (!d.isDirectory) Seq.empty
+    else d.listFiles().toSeq.map(_.getName)
+      .filter(_.matches("v\\d+")).map(_.drop(1).toLong).sorted
+  }
+
+  /** Read a committed manifest version (latest when `v` < 0). */
+  def readVersion(spark: SparkSession, root: String, v: Long = -1L): DataFrame = {
+    val vs = versions(root)
+    require(vs.nonEmpty, s"no committed manifest versions under $root")
+    val pick = if (v < 0) vs.last else v
+    require(vs.contains(pick), s"version $pick not in $vs")
+    spark.read.parquet(s"$root/v$pick")
+  }
+
+  /** Retire history: keep the newest `keepLast` manifest versions, then
+    * delete every data file referenced ONLY by retired versions. Order
+    * is crash-safe by construction — versions are removed before any
+    * data file, so a crash mid-vacuum can orphan data files (re-vacuum
+    * collects them) but can never leave a live version pointing at a
+    * deleted file. Files referenced by ANY retained version survive.
+    *
+    * @return (retired version ids, deleted data file count)
+    */
+  def vacuum(spark: SparkSession, root: String, keepLast: Int): (Seq[Long], Long) = {
+    require(keepLast >= 1, "must keep at least one version")
+    val vs = versions(root)
+    val (old, keep) = vs.splitAt(math.max(0, vs.length - keepLast))
+    if (old.isEmpty) return (Seq.empty, 0L)
+    val referenced = (v: Seq[Long]) =>
+      if (v.isEmpty) Set.empty[String]
+      else v.map(i => spark.read.parquet(s"$root/v$i").select("file"))
+        .reduce(_ unionByName _).distinct().collect().map(_.getString(0)).toSet
+    val dead = referenced(old) -- referenced(keep)
+    // retire versions FIRST (atomic per version: rename away then delete)
+    old.foreach { i =>
+      val f = new java.io.File(root, s"v$i")
+      val t = new java.io.File(root, s".rm_v$i")
+      if (f.renameTo(t)) {
+        t.listFiles().foreach(_.delete()); t.delete()
+      }
+    }
+    dead.foreach { f =>
+      val p = if (f.startsWith("file:"))
+        new java.io.File(new java.net.URI(f).getPath)
+      else new java.io.File(f)
+      p.delete()
+    }
+    (old, dead.size.toLong)
+  }
 }

@@ -491,6 +491,85 @@ object QueriesR7 {
       .orderBy(col("event_type"))
   }
 
+  /** R85: cumulative distinct count — per user, the running number of
+    * DISTINCT event types ever used, at every event. The naive running
+    * COUNT(DISTINCT) over a growing frame is O(n²); the linear form
+    * flags each (user, type)'s FIRST occurrence with one window pass and
+    * prefix-sums the flags with a second — both on the same user
+    * partitioning, one shuffle total.
+    */
+  def qCumulativeDistinct(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = t(s, dir, "events").select(col("user_id"), col("event_id"),
+      col("event_type"),
+      unix_timestamp(col("ts").cast("timestamp")).as("ts_sec"))
+    val wFirst = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts_sec"), col("event_id"))
+    val wRun = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_sec"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e.withColumn("is_first",
+        when(row_number().over(wFirst) === 1, 1L).otherwise(0L))
+      .withColumn("n_types_seen", sum(col("is_first")).over(wRun))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("n_types_seen"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  /** T21: top-p (nucleus) corpus selection — per source, keep the
+    * highest-quality documents until their cumulative score mass reaches
+    * 80% of the source total (the first document crossing the line is
+    * kept, matching nucleus sampling's inclusive cut). The
+    * quality-concentration counterpart of T19's bottom-decile drop: how
+    * few documents carry most of the quality mass. All-integer: scores
+    * in ppm, the cut test is cum·100 ≤ total·80 OR (cum−score)·100 <
+    * total·80. One aggregate + two windows on the source partitioning.
+    */
+  def corpusTopP(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions
+    import org.apache.spark.sql.expressions.Window
+    val d = t(s, dir, "documents")
+    val scored = d.select(col("source"), col("doc_id"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_tok"),
+        TextFunctions.stopwordHits(col("text"), QueriesData.stopwords)
+          .cast("long").as("stop_hits"))
+      .withColumn("score_ppm",
+        expr("(least(n_tok * 1000000 div 64, 1000000) + " +
+          "least(stop_hits * 4000000 div n_tok, 1000000)) div 2"))
+    val wCum = Window.partitionBy(col("source"))
+      .orderBy(col("score_ppm").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy(col("source"))
+    scored
+      .withColumn("cum", sum(col("score_ppm")).over(wCum))
+      .withColumn("total", sum(col("score_ppm")).over(wTot))
+      .withColumn("kept",
+        (col("cum") - col("score_ppm")) * 100 < col("total") * 80)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        max(col("total")).as("total_score"),
+        max(when(col("kept"), col("cum"))).as("kept_score"))
+      .orderBy(col("source"))
+  }
+
+  /** R86: 2-D histogram — purchase-value decimal-digit bucket × ISO
+    * weekday density over the event stream: the heatmap a monitoring
+    * dashboard draws, with both axes under exact integer contracts
+    * (digit count, epoch-day mod 7).
+    */
+  def qHistogram2d(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events").select(
+      round(col("value") * 100).cast("long").as("cents"),
+      expr("unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000").as("day"))
+    e.select(length(col("cents").cast("string")).cast("long").as("cents_digits"),
+        // 1970-01-01 was a Thursday: (day + 3) % 7 gives Monday = 0
+        ((col("day") + 3) % 7).as("weekday"))
+      .groupBy(col("cents_digits"), col("weekday"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("cents_digits"), col("weekday"))
+  }
+
   // ---------------------------------------------------------------- oracle
 
   /** R79's report SQL — shared verbatim by X19 (`stream_attribution`). */
@@ -902,5 +981,51 @@ object QueriesR7 {
         |  MIN(m.hr) AS first_missing_hr, MAX(m.hr) AS last_missing_hr
         |FROM miss m JOIN spans sp ON sp.event_type = m.event_type
         |GROUP BY m.event_type, sp.hi, sp.lo
-        |ORDER BY m.event_type""".stripMargin)
+        |ORDER BY m.event_type""".stripMargin,
+    "q_cumulative_distinct" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec
+        |  FROM events
+        |), f AS (
+        |  SELECT user_id, event_id, event_type, ts_sec,
+        |    CASE WHEN row_number() OVER (PARTITION BY user_id, event_type
+        |      ORDER BY ts_sec, event_id) = 1 THEN 1 ELSE 0 END AS is_first
+        |  FROM e
+        |)
+        |SELECT user_id, event_id, event_type,
+        |  CAST(SUM(is_first) OVER (PARTITION BY user_id
+        |    ORDER BY ts_sec, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS n_types_seen
+        |FROM f ORDER BY user_id, event_id""".stripMargin,
+    "corpus_top_p" ->
+      s"""WITH sc AS (
+         |  SELECT source, doc_id,
+         |    (LEAST(len(${QueriesData.toks}) * 1000000 // 64, 1000000) +
+         |     LEAST(${QueriesData.stopHits} * 4000000 // len(${QueriesData.toks}),
+         |       1000000)) // 2 AS score_ppm
+         |  FROM documents
+         |), r AS (
+         |  SELECT source, score_ppm,
+         |    SUM(score_ppm) OVER (PARTITION BY source
+         |      ORDER BY score_ppm DESC, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         |    SUM(score_ppm) OVER (PARTITION BY source) AS total
+         |  FROM sc
+         |)
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(CASE WHEN (cum - score_ppm) * 100 < total * 80
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  CAST(MAX(total) AS BIGINT) AS total_score,
+         |  CAST(MAX(CASE WHEN (cum - score_ppm) * 100 < total * 80
+         |    THEN cum END) AS BIGINT) AS kept_score
+         |FROM r GROUP BY source ORDER BY source""".stripMargin,
+    "q_histogram_2d" ->
+      """SELECT CAST(len(CAST(CAST(ROUND(value * 100) AS BIGINT) AS VARCHAR))
+        |    AS BIGINT) AS cents_digits,
+        |  (epoch_us(ts) // 86400000000 + 3) % 7 AS weekday,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM events
+        |GROUP BY 1, 2 ORDER BY cents_digits, weekday""".stripMargin)
 }

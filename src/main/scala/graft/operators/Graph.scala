@@ -356,18 +356,38 @@ object Graph {
     var dir = und.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(und.select(col("b").as("src"), col("a").as("dst")))
       .localCheckpoint(true)
-    for (_ <- 1 to rounds) {
-      // out-degree ≡ undirected degree in the both-directions encoding
-      val keep = dir.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-        .filter(col("deg") >= k).select(col("src"))
-      dir = dir
-        .join(broadcast(keep), Seq("src"), "left_semi")
-        .join(broadcast(keep.withColumnRenamed("src", "dst")), Seq("dst"),
-          "left_semi")
-        .select(col("src"), col("dst"))
+    var it = 0
+    var converged = false
+    var lastDeg: DataFrame = null
+    while (it < rounds && !converged) {
+      // out-degree ≡ undirected degree in the both-directions encoding;
+      // the node-sized table is checkpointed once and feeds the stats
+      // probe, both semi-joins, and (on convergence) the result itself
+      val deg = dir.groupBy(col("src")).agg(count(lit(1)).as("deg"))
         .localCheckpoint(true)
+      val Array(nNodes, nSurvivors) = deg
+        .agg(count(lit(1)), sum(when(col("deg") >= k, 1L).otherwise(0L)))
+        .collect().head.toSeq.map(v => if (v == null) 0L else v.asInstanceOf[Long]).toArray
+      if (nSurvivors == nNodes) {
+        // peeling is monotone: a round that deletes nothing makes every
+        // remaining round a no-op — same result as running all `rounds`,
+        // minus the dead edge-set materializations
+        converged = true
+        lastDeg = deg
+      } else {
+        val keep = deg.filter(col("deg") >= k).select(col("src"))
+        dir = dir
+          .join(broadcast(keep), Seq("src"), "left_semi")
+          .join(broadcast(keep.withColumnRenamed("src", "dst")), Seq("dst"),
+            "left_semi")
+          .select(col("src"), col("dst"))
+          .localCheckpoint(true)
+        it += 1
+      }
     }
-    dir.groupBy(col("src").as("node"))
+    if (converged)
+      lastDeg.select(col("src").as("node"), col("deg").as("deg_core"))
+    else dir.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("deg_core"))
   }
 

@@ -570,6 +570,81 @@ object QueriesR7 {
       .orderBy(col("cents_digits"), col("weekday"))
   }
 
+  /** R87: "customers also bought" — per item, the top-3 co-purchased
+    * items by directed co-occurrence count, served by the NATIVE grouped
+    * top-k operator (map-side bounded buffers: the shuffle carries
+    * O(partitions·items·k) rows, where the window form sorts every
+    * (item, co_item) pair). The recommendation table every commerce
+    * replica materializes.
+    */
+  def qAlsoBought(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("basket"), col("l_partkey").as("item"))
+      .distinct()
+    val co = li.join(li.withColumnRenamed("item", "co_item"), Seq("basket"))
+      .filter(col("item") =!= col("co_item"))
+      .groupBy(col("item"), col("co_item"))
+      .agg(count(lit(1)).as("n"))
+    graft.plans.GroupedTopK.topK(co, Seq("item"), col("n"), col("co_item"),
+        k = 3, rankName = "rnk")
+      .select(col("item"), col("co_item"), col("n"), col("rnk"))
+      .orderBy(col("item"), col("rnk"))
+  }
+
+  /** Q3: k-anonymity screen — per event type, how many (type, day)
+    * activity groups expose fewer than 5 distinct users (the
+    * re-identification risk unit of a quasi-identifier release). One
+    * distinct + two aggregates; the governance gate a dataset passes
+    * before an external share.
+    */
+  def dqKAnonymity(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events").select(col("event_type"),
+      expr("unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000").as("day"),
+      col("user_id"))
+    e.groupBy(col("event_type"), col("day"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_groups"),
+        sum(when(col("n_users") < 5, 1L).otherwise(0L)).as("n_risky_groups"),
+        min(col("n_users")).as("min_group_users"))
+      .orderBy(col("event_type"))
+  }
+
+  /** C29: one-pass column profile (ANALYZE) — per profiled column: row
+    * count, null count, KMV distinct estimate, lexicographic min/max of
+    * the canonical string form. ONE scan builds every profile (a wide
+    * aggregate row unpivoted to column rows) — the per-column-scan
+    * ANALYZE loop is exactly what a 100 TB table can't afford. NULLs
+    * fold to the ␀ sentinel inside the NDV hash (reported separately as
+    * n_null).
+    */
+  def statsColumnProfile(s: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+      "l_returnflag", "l_linestatus")
+    val strCols = Set("l_returnflag", "l_linestatus")
+    val li = t(s, dir, "lineitem")
+      .select(cols.map(c =>
+        col(c).cast(if (strCols(c)) "string" else "long")
+          .cast("string").as(c)): _*)
+    val aggs = cols.flatMap { c =>
+      val canon = coalesce(col(c), lit("␀"))
+      Seq(count(col(c)).as(s"nn_$c"),
+        Kmv.kmvDistinct(Kmv.hash48(canon), 64).as(s"ndv_$c"),
+        min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"),
+        count(lit(1)).as(s"n_$c"))
+    }
+    // the whole profile is ONE wide aggregate row; checkpoint it so the
+    // per-column unpivot projections don't re-run the scan
+    val wide = li.agg(aggs.head, aggs.tail: _*).localCheckpoint(true)
+    cols.map(c => wide.select(lit(c).as("column_name"),
+        col(s"n_$c").as("n_rows"),
+        (col(s"n_$c") - col(s"nn_$c")).as("n_null"),
+        col(s"ndv_$c").as("ndv_est"),
+        col(s"min_$c").as("min_s"), col(s"max_$c").as("max_s")))
+      .reduce(_ unionByName _)
+      .orderBy(col("column_name"))
+  }
+
   // ---------------------------------------------------------------- oracle
 
   /** R79's report SQL — shared verbatim by X19 (`stream_attribution`). */
@@ -1027,5 +1102,53 @@ object QueriesR7 {
         |  (epoch_us(ts) // 86400000000 + 3) % 7 AS weekday,
         |  CAST(COUNT(*) AS BIGINT) AS n
         |FROM events
-        |GROUP BY 1, 2 ORDER BY cents_digits, weekday""".stripMargin)
+        |GROUP BY 1, 2 ORDER BY cents_digits, weekday""".stripMargin,
+    "q_also_bought" ->
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem
+        |), co AS (
+        |  SELECT a.item, b.item AS co_item, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM li a JOIN li b ON a.basket = b.basket AND a.item <> b.item
+        |  GROUP BY 1, 2
+        |), r AS (
+        |  SELECT item, co_item, n,
+        |    CAST(row_number() OVER (PARTITION BY item ORDER BY n DESC, co_item)
+        |      AS BIGINT) AS rnk
+        |  FROM co
+        |)
+        |SELECT item, co_item, n, rnk FROM r WHERE rnk <= 3
+        |ORDER BY item, rnk""".stripMargin,
+    "dq_k_anonymity" ->
+      """WITH g AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        |  FROM events GROUP BY 1, 2
+        |)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_groups,
+        |  CAST(SUM(CASE WHEN n_users < 5 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_risky_groups,
+        |  CAST(MIN(n_users) AS BIGINT) AS min_group_users
+        |FROM g GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "stats_column_profile" -> {
+      val cols = Seq(("l_orderkey", false), ("l_partkey", false),
+        ("l_suppkey", false), ("l_linenumber", false),
+        ("l_returnflag", true), ("l_linestatus", true))
+      cols.map { case (c, isStr) =>
+        val cs = if (isStr) s"CAST($c AS VARCHAR)"
+          else s"CAST(CAST($c AS BIGINT) AS VARCHAR)"
+        s"""SELECT '$c' AS column_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           |  CAST(COUNT(*) - COUNT($cs) AS BIGINT) AS n_null,
+           |  (SELECT CAST(CASE WHEN MAX(nd) < 64 THEN MAX(nd)
+           |     ELSE ${63L * Kmv.HashRange} // MAX(CASE WHEN rn = 64 THEN h END)
+           |     END AS BIGINT)
+           |   FROM (SELECT h, row_number() OVER (ORDER BY h) AS rn,
+           |           COUNT(*) OVER () AS nd
+           |         FROM (SELECT DISTINCT
+           |             ${QueriesR3.hex12ToInt(s"md5(COALESCE($cs, '␀'))")} AS h
+           |           FROM lineitem) hh) rr
+           |   WHERE rn <= 64) AS ndv_est,
+           |  MIN($cs) AS min_s, MAX($cs) AS max_s
+           |FROM lineitem""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
+    })
 }

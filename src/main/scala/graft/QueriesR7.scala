@@ -645,6 +645,44 @@ object QueriesR7 {
       .orderBy(col("column_name"))
   }
 
+  /** R88: time-to-convert — for every touch (click/view), the seconds
+    * until the user's NEXT purchase via one forward-frame window min
+    * (rows (1, ∞)) — no event-stream self-join; converted = within 7
+    * days. Per touch type: touch counts, conversion rate in exact ppm,
+    * and the nearest-rank median conversion lag (the R84 integer
+    * percentile contract).
+    */
+  def qTimeToConvert(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = t(s, dir, "events").select(col("user_id"), col("event_id"),
+      col("event_type"),
+      unix_timestamp(col("ts").cast("timestamp")).as("ts_sec"))
+    val wFollow = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_sec"), col("event_id"))
+      .rowsBetween(1, Window.unboundedFollowing)
+    val touches = e
+      .withColumn("np",
+        min(when(col("event_type") === "purchase", col("ts_sec"))).over(wFollow))
+      .filter(col("event_type").isin("click", "view"))
+      .withColumn("tt", col("np") - col("ts_sec"))
+      .withColumn("converted", col("tt").isNotNull && col("tt") <= 604800L)
+    val conv = touches.filter(col("converted"))
+      .withColumn("rn", row_number().over(Window.partitionBy(col("event_type"))
+        .orderBy(col("tt"), col("user_id"), col("event_id"))))
+      .withColumn("m", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+    val med = conv.groupBy(col("event_type"))
+      .agg(max(when(col("rn") === expr("(m + 1) div 2"), col("tt")))
+        .as("p50_convert_sec"))
+    touches.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_touches"),
+        sum(when(col("converted"), 1L).otherwise(0L)).as("n_converted"))
+      .withColumn("conv_ppm", expr("n_converted * 1000000 div n_touches"))
+      .join(med, Seq("event_type"), "left")
+      .select(col("event_type"), col("n_touches"), col("n_converted"),
+        col("conv_ppm"), col("p50_convert_sec"))
+      .orderBy(col("event_type"))
+  }
+
   // ---------------------------------------------------------------- oracle
 
   /** R79's report SQL — shared verbatim by X19 (`stream_attribution`). */
@@ -1150,5 +1188,40 @@ object QueriesR7 {
            |  MIN($cs) AS min_s, MAX($cs) AS max_s
            |FROM lineitem""".stripMargin
       }.mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
-    })
+    },
+    "q_time_to_convert" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec
+        |  FROM events
+        |), tch AS (
+        |  SELECT event_type, user_id, event_id, ts_sec,
+        |    MIN(CASE WHEN event_type = 'purchase' THEN ts_sec END)
+        |      OVER (PARTITION BY user_id ORDER BY ts_sec, event_id
+        |        ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS np
+        |  FROM e
+        |), t2 AS (
+        |  SELECT event_type, user_id, event_id, np - ts_sec AS tt,
+        |    (np IS NOT NULL AND np - ts_sec <= 604800) AS converted
+        |  FROM tch WHERE event_type IN ('click', 'view')
+        |), conv AS (
+        |  SELECT event_type, tt,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY tt, user_id, event_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS m
+        |  FROM t2 WHERE converted
+        |), med AS (
+        |  SELECT event_type,
+        |    CAST(MAX(CASE WHEN rn = (m + 1) // 2 THEN tt END) AS BIGINT)
+        |      AS p50_convert_sec
+        |  FROM conv GROUP BY event_type
+        |)
+        |SELECT t2.event_type, CAST(COUNT(*) AS BIGINT) AS n_touches,
+        |  CAST(SUM(CASE WHEN converted THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_converted,
+        |  CAST(SUM(CASE WHEN converted THEN 1 ELSE 0 END) * 1000000
+        |    // COUNT(*) AS BIGINT) AS conv_ppm,
+        |  MAX(med.p50_convert_sec) AS p50_convert_sec
+        |FROM t2 LEFT JOIN med ON med.event_type = t2.event_type
+        |GROUP BY t2.event_type ORDER BY t2.event_type""".stripMargin)
 }

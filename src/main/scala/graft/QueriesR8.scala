@@ -1,0 +1,146 @@
+package graft
+
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-4 continuation gates (batch r): coherent-unit sampling,
+  * seasonality-adjusted monitoring residuals, and the value-skew
+  * advisor. Oracle discipline unchanged.
+  */
+object QueriesR8 {
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** R89: session-coherent sampling — sample UNITS (whole (user,
+    * session) groups), not rows: md5-hash the session key, keep ~1 in 4,
+    * then one semi-join pulls every event of the sampled sessions. The
+    * pattern for eval-set carving where row sampling would tear
+    * trajectories apart; deterministic, so re-runs and engines agree.
+    * Sessions are the 30-minute-gap kind the sessionize gate defines.
+    */
+  def qSessionSample(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = t(s, dir, "events").select(col("user_id"), col("event_id"),
+      col("event_type"),
+      unix_timestamp(col("ts").cast("timestamp")).as("ts_sec"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_sec"), col("event_id"))
+    val sess = e
+      .withColumn("new_s",
+        when(col("ts_sec") - lag(col("ts_sec"), 1).over(w) > 1800 ||
+          lag(col("ts_sec"), 1).over(w).isNull, 1L).otherwise(0L))
+      .withColumn("session_seq", sum(col("new_s")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val keyHash = conv(substring(md5(concat_ws("|",
+      col("user_id"), col("session_seq"))), 1, 6), 16, 10).cast("long")
+    sess.withColumn("keep", keyHash % 4 === 0)
+      .filter(col("keep"))
+      .select(col("user_id"), col("session_seq"), col("event_id"),
+        col("event_type"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  /** Q4: seasonality-adjusted residuals — per (type, day), the day's
+    * event count against its WEEKDAY's mean for that type, in exact
+    * integer cross-multiplied form: residual_scaled = n·D − T (D = days
+    * that weekday occurred in the type's span, T = that weekday's total
+    * count), so no mean ever becomes a float; breach = deviation beyond
+    * 50% of the weekday mean, i.e. |residual_scaled|·2 > T. The Monday
+    * dip stops paging the on-call that Q2's unadjusted drift would.
+    */
+  def qSeasonalResiduals(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events").select(col("event_type"),
+      expr("unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000").as("day"))
+    val daily = e.groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("weekday", (col("day") + 3) % 7)
+    val wk = daily.groupBy(col("event_type"), col("weekday"))
+      .agg(sum(col("n")).as("t_total"), count(lit(1)).as("d_days"))
+    daily.join(broadcast(wk), Seq("event_type", "weekday"))
+      .withColumn("residual_scaled", col("n") * col("d_days") - col("t_total"))
+      .withColumn("breach", abs(col("residual_scaled")) * 2 > col("t_total"))
+      .select(col("event_type"), col("day"), col("weekday"), col("n"),
+        col("residual_scaled"), col("breach"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  /** C30: value-skew advisor — per candidate join/partition key, the
+    * heaviest value's share in exact ppm plus group counts: the one
+    * number that predicts a shuffle hot spot before it happens (R15's
+    * salting and AQE skew-join are the cures; this is the screen).
+    */
+  def statsValueSkew(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    def skewOf(c: String): DataFrame = {
+      val g = li.groupBy(col(c).cast("long").as("v"))
+        .agg(count(lit(1)).as("n"))
+      g.agg(sum(col("n")).as("n_rows"),
+          count(lit(1)).as("n_values"),
+          max(col("n")).as("top_count"))
+        .withColumn("key_col", lit(c))
+        .withColumn("top_share_ppm", expr("top_count * 1000000 div n_rows"))
+        .select(col("key_col"), col("n_rows"), col("n_values"),
+          col("top_count"), col("top_share_ppm"))
+    }
+    Seq("l_orderkey", "l_partkey", "l_suppkey").map(skewOf)
+      .reduce(_ unionByName _)
+      .orderBy(col("key_col"))
+  }
+
+  // ---------------------------------------------------------------- oracle
+
+  val sql: Map[String, String] = Map(
+    "q_session_sample" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec
+        |  FROM events
+        |), marked AS (
+        |  SELECT user_id, event_id, event_type, ts_sec,
+        |    CASE WHEN ts_sec - lag(ts_sec) OVER w > 1800
+        |      OR lag(ts_sec) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id)
+        |), sess AS (
+        |  SELECT user_id, event_id, event_type,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        |  FROM marked
+        |)
+        |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+        |  event_id, event_type
+        |FROM sess
+        |WHERE CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR) || '|' ||
+        |    CAST(session_seq AS VARCHAR)), 1, 6)) AS BIGINT) % 4 = 0
+        |ORDER BY user_id, event_id""".stripMargin,
+    "q_seasonal_residuals" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2
+        |), d2 AS (
+        |  SELECT *, (day + 3) % 7 AS weekday FROM daily
+        |), wk AS (
+        |  SELECT event_type, weekday, CAST(SUM(n) AS BIGINT) AS t_total,
+        |    CAST(COUNT(*) AS BIGINT) AS d_days
+        |  FROM d2 GROUP BY 1, 2
+        |)
+        |SELECT d2.event_type, d2.day, d2.weekday, d2.n,
+        |  CAST(d2.n * wk.d_days - wk.t_total AS BIGINT) AS residual_scaled,
+        |  (ABS(d2.n * wk.d_days - wk.t_total) * 2 > wk.t_total) AS breach
+        |FROM d2 JOIN wk ON wk.event_type = d2.event_type
+        |  AND wk.weekday = d2.weekday
+        |ORDER BY d2.event_type, d2.day""".stripMargin,
+    "stats_value_skew" -> {
+      Seq("l_orderkey", "l_partkey", "l_suppkey").map { c =>
+        s"""SELECT '$c' AS key_col, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_values,
+           |  (SELECT CAST(MAX(n) AS BIGINT) FROM (
+           |     SELECT COUNT(*) AS n FROM lineitem GROUP BY $c) g) AS top_count,
+           |  (SELECT CAST(MAX(n) AS BIGINT) FROM (
+           |     SELECT COUNT(*) AS n FROM lineitem GROUP BY $c) g) * 1000000
+           |    // COUNT(*) AS top_share_ppm
+           |FROM lineitem""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY key_col")
+    })
+}

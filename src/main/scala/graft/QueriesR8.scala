@@ -88,9 +88,33 @@ object QueriesR8 {
       .orderBy(col("key_col"))
   }
 
+  /** R13b: FORWARD as-of join (see [[graft.operators.AsOfJoin.strictNext]])
+    * — per click, the user's first strictly-later purchase: the
+    * direction the prior-join gates (R13) cannot express.
+    */
+  def qAsofForward(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"))
+    graft.operators.AsOfJoin.strictNext(clicks, purchases, "user_id",
+        "event_id", Map("event_id" -> "next_purchase_id"))
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("next_purchase_id"))
+      .orderBy(col("click_id"))
+  }
+
   // ---------------------------------------------------------------- oracle
 
   val sql: Map[String, String] = Map(
+    "q_asof_forward" ->
+      """SELECT c.event_id AS click_id, c.user_id,
+        |  (SELECT MIN(p.event_id) FROM events p
+        |   WHERE p.event_type = 'purchase' AND p.user_id = c.user_id
+        |     AND p.event_id > c.event_id) AS next_purchase_id
+        |FROM events c WHERE c.event_type = 'click'
+        |ORDER BY click_id""".stripMargin,
     "q_session_sample" ->
       """WITH e AS (
         |  SELECT user_id, event_id, event_type,

@@ -84,4 +84,38 @@ object AsOfJoin {
     withCarry.filter(col("__side") === 1)
       .select((leftCols.map(col) ++ carry.values.map(col)): _*)
   }
+
+  /** Forward as-of: attach the FIRST right row strictly after each left
+    * row (right.ord > left.ord) per partition key — the "next quote
+    * after the trade" / "next deploy after the alert" direction
+    * [[strictPrior]] cannot express. Same union-and-window shape, frame
+    * mirrored to (1, ∞); at equal ordering the right row sorts BEFORE
+    * the left row, which places it outside the following frame — that
+    * IS the strictness, no extra predicate.
+    */
+  def strictNext(left: DataFrame, right: DataFrame, partition: String, ordering: String,
+                 carry: Map[String, String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val l = left.withColumn("__side", lit(1))
+    val r0 = right.select(
+      (Seq(col(partition), col(ordering), lit(0).as("__side")) ++
+        carry.map { case (src, dst) => col(src).as(s"__c_$dst") }.toSeq): _*)
+    val lAligned = carry.values.foldLeft(l)((d, dst) => d.withColumn(s"__c_$dst", lit(null)))
+      .select((Seq(col(partition), col(ordering), col("__side")) ++
+        carry.values.map(dst => col(s"__c_$dst")).toSeq ++
+        leftCols.filterNot(c => c == partition || c == ordering).map(col)): _*)
+    val rAligned = leftCols.filterNot(c => c == partition || c == ordering)
+      .foldLeft(r0)((d, c) => d.withColumn(c, lit(null)))
+      .select(lAligned.columns.map(col): _*)
+    val unioned = lAligned.unionByName(rAligned)
+    val w = Window.partitionBy(partition)
+      .orderBy(col(ordering), col("__side"))
+      .rowsBetween(1, Window.unboundedFollowing)
+    val withCarry = carry.values.foldLeft(unioned) { (d, dst) =>
+      d.withColumn(dst,
+        first(when(col("__side") === 0, col(s"__c_$dst")), ignoreNulls = true).over(w))
+    }
+    withCarry.filter(col("__side") === 1)
+      .select((leftCols.map(col) ++ carry.values.map(col)): _*)
+  }
 }

@@ -26,4 +26,25 @@ class AsOfJoinSpec extends AnyFunSuite {
       .select("last_v").as[Option[String]].collect()
     assert(got.toSeq == Seq(None))
   }
+
+  test("strictNext attaches the first strictly-later right row per key") {
+    val left = Seq((1, 10), (1, 25), (1, 30), (2, 5)).toDF("k", "t")
+    val right = Seq((1, 10, "r10"), (1, 20, "r20"), (1, 30, "r30"), (2, 3, "r3"))
+      .toDF("k", "t", "v")
+    val got = AsOfJoin.strictNext(left, right, "k", "t", Map("v" -> "next_v"))
+      .select("k", "t", "next_v").as[(Int, Int, Option[String])].collect().toSet
+    assert(got == Set(
+      (1, 10, Some("r20")), // r10 at t=10 is NOT strictly after 10
+      (1, 25, Some("r30")),
+      (1, 30, None),        // r30 ties; nothing strictly later
+      (2, 5, None)))        // r3 is earlier
+  }
+
+  test("strictNext with no right rows → all-null carry") {
+    val left = Seq((1, 10)).toDF("k", "t")
+    val right = Seq.empty[(Int, Int, String)].toDF("k", "t", "v")
+    val got = AsOfJoin.strictNext(left, right, "k", "t", Map("v" -> "next_v"))
+      .select("next_v").as[Option[String]].collect()
+    assert(got.toSeq == Seq(None))
+  }
 }

@@ -105,6 +105,86 @@ object QueriesR8 {
       .orderBy(col("click_id"))
   }
 
+  /** R90: weighted median — the price cents at which half the shipped
+    * QUANTITY sits below, per return flag: weighted nearest-rank (first
+    * value whose running weight reaches half the total, cross-multiplied
+    * so no half is ever a float). The unweighted median (R17) answers a
+    * different question whenever quantity correlates with price.
+    */
+  def qWeightedMedian(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val li = t(s, dir, "lineitem").select(col("l_returnflag"),
+      expr("CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)")
+        .as("cents"),
+      col("l_quantity").cast("long").as("qty"))
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("cents"), col("qty"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("l_returnflag"))
+    li
+      .withColumn("cum_qty", sum(col("qty")).over(w))
+      .withColumn("total_qty", sum(col("qty")).over(wAll))
+      // first row where 2·cum ≥ total: the weighted nearest-rank median
+      .filter(col("cum_qty") * 2 >= col("total_qty") &&
+        (col("cum_qty") - col("qty")) * 2 < col("total_qty"))
+      .groupBy(col("l_returnflag"))
+      .agg(min(col("cents")).as("wmedian_cents"),
+        max(col("total_qty")).as("total_qty"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** R91: longest streak — per user, the longest run of consecutive
+    * same-type events under the (ts, event_id) order: the gaps-and-
+    * islands group key (rn − rn_within_type) turns runs into groups in
+    * two window passes, then two aggregates. Engagement-streak shape.
+    */
+  def qLongestStreak(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = t(s, dir, "events").select(col("user_id"), col("event_id"),
+      col("event_type"),
+      unix_timestamp(col("ts").cast("timestamp")).as("ts_sec"))
+    val wAll = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_sec"), col("event_id"))
+    val wType = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts_sec"), col("event_id"))
+    e.withColumn("grp",
+        row_number().over(wAll) - row_number().over(wType))
+      .groupBy(col("user_id"), col("event_type"), col("grp"))
+      .agg(count(lit(1)).as("len"))
+      .groupBy(col("user_id"))
+      .agg(max(col("len")).as("longest_streak"),
+        max_by(col("event_type"), struct(col("len"), col("event_type")))
+          .as("streak_type"))
+      .orderBy(col("user_id"))
+  }
+
+  /** R92: week-over-week rank movers — parts whose shipment rank
+    * improved most vs the previous week: per-week dense ranks (count
+    * desc, part), consecutive weeks self-joined on part, top 20 by
+    * (rank gain, week, part). The "what's suddenly hot" report on top
+    * of R70's trending counts.
+    */
+  def qRankMovers(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = t(s, dir, "lineitem")
+      .select(expr("unix_micros(CAST(l_shipdate AS TIMESTAMP)) div 604800000000")
+        .as("week"), col("l_partkey"))
+      .groupBy(col("week"), col("l_partkey"))
+      .agg(count(lit(1)).as("n"))
+    val ranked = counts.withColumn("rnk",
+      row_number().over(Window.partitionBy(col("week"))
+        .orderBy(col("n").desc, col("l_partkey"))).cast("long"))
+    val prev = ranked.select((col("week") + 1).as("week"),
+      col("l_partkey"), col("rnk").as("prev_rnk"))
+    ranked.join(prev, Seq("week", "l_partkey"))
+      .withColumn("gain", col("prev_rnk") - col("rnk"))
+      .filter(col("gain") > 0)
+      .orderBy(col("gain").desc, col("week"), col("l_partkey"))
+      .limit(20)
+      .select(col("week"), col("l_partkey"), col("prev_rnk"), col("rnk"),
+        col("gain"))
+  }
+
   // ---------------------------------------------------------------- oracle
 
   val sql: Map[String, String] = Map(
@@ -166,5 +246,61 @@ object QueriesR8 {
            |    // COUNT(*) AS top_share_ppm
            |FROM lineitem""".stripMargin
       }.mkString("", "\nUNION ALL\n", "\nORDER BY key_col")
-    })
+    },
+    "q_weighted_median" ->
+      """WITH li AS (
+        |  SELECT l_returnflag,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+        |    CAST(l_quantity AS BIGINT) AS qty
+        |  FROM lineitem
+        |), r AS (
+        |  SELECT l_returnflag, cents, qty,
+        |    SUM(qty) OVER (PARTITION BY l_returnflag ORDER BY cents, qty
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_qty,
+        |    SUM(qty) OVER (PARTITION BY l_returnflag) AS total_qty
+        |  FROM li
+        |)
+        |SELECT l_returnflag, CAST(MIN(cents) AS BIGINT) AS wmedian_cents,
+        |  CAST(MAX(total_qty) AS BIGINT) AS total_qty
+        |FROM r
+        |WHERE cum_qty * 2 >= total_qty AND (cum_qty - qty) * 2 < total_qty
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_longest_streak" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec
+        |  FROM events
+        |), m AS (
+        |  SELECT user_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts_sec, event_id) -
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |      ORDER BY ts_sec, event_id) AS grp
+        |  FROM e
+        |), g AS (
+        |  SELECT user_id, event_type, grp, CAST(COUNT(*) AS BIGINT) AS len
+        |  FROM m GROUP BY 1, 2, 3
+        |)
+        |SELECT user_id, len AS longest_streak, event_type AS streak_type
+        |FROM (
+        |  SELECT user_id, event_type, len, row_number() OVER (
+        |    PARTITION BY user_id ORDER BY len DESC, event_type DESC) AS rn
+        |  FROM g) q
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "q_rank_movers" ->
+      """WITH c AS (
+        |  SELECT epoch_us(l_shipdate) // 604800000000 AS week, l_partkey,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM lineitem GROUP BY 1, 2
+        |), r AS (
+        |  SELECT week, l_partkey, n,
+        |    CAST(row_number() OVER (PARTITION BY week
+        |      ORDER BY n DESC, l_partkey) AS BIGINT) AS rnk
+        |  FROM c
+        |)
+        |SELECT r.week, r.l_partkey, p.rnk AS prev_rnk, r.rnk,
+        |  p.rnk - r.rnk AS gain
+        |FROM r JOIN r p ON p.week = r.week - 1 AND p.l_partkey = r.l_partkey
+        |WHERE p.rnk - r.rnk > 0
+        |ORDER BY gain DESC, r.week, r.l_partkey LIMIT 20""".stripMargin)
 }

@@ -185,6 +185,54 @@ object QueriesR8 {
         col("gain"))
   }
 
+  /** M5: video container metadata decode — synthetic ISO-BMFF payloads
+    * (ftyp + moov/mvhd, fields derived from doc_id) parsed back by the
+    * native box-walk decoder (see [[graft.multimodal.VideoHeader]]);
+    * construct→parse identity oracle like mm_image_meta, plus the
+    * timescale-normalized duration in integer ms.
+    */
+  def mmVideoMeta(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("doc_id"))
+    val be32 = (v: org.apache.spark.sql.Column) => lpad(hex(v.cast("int")), 8, "0")
+    val timescale = (lit(1000) + (col("doc_id") % 10) * 100).cast("int")
+    val duration = (col("doc_id") % 90000 + 1).cast("int")
+    val payload = unhex(concat(
+      lit("0000001066747970"), lit("69736f6d"), lit("00000000"), // ftyp isom
+      lit("000000246d6f6f76"),                                   // moov, 36
+      lit("0000001c6d766864"), lit("00000000"),                  // mvhd v0
+      lit("0000000000000000"),                                   // ctime mtime
+      be32(timescale), be32(duration)))
+    d.withColumn("meta", graft.multimodal.VideoHeader.video_meta(payload))
+      .select(col("doc_id"), col("meta.format").as("format"),
+        col("meta.brand").as("brand"),
+        col("meta.timescale").cast("long").as("timescale"),
+        col("meta.duration").cast("long").as("duration"))
+      .withColumn("duration_ms",
+        expr("duration * 1000 div timescale"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** M6: content-type sniffing dispatch — a MIXED binary column (six
+    * real magic-number families plus garbage, chosen by doc_id) routed
+    * by [[graft.multimodal.Sniff.content_type]] without trusting any
+    * recorded extension; 'unknown' is an answer, never null.
+    */
+  def mmContentSniff(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("doc_id"))
+    val kind = col("doc_id") % 7
+    val payload = unhex(
+      when(kind === 0, lit("89504e470d0a1a0a"))
+        .when(kind === 1, lit("ffd8ffe0"))
+        .when(kind === 2, lit("474946383961"))
+        .when(kind === 3, lit("424d0000"))
+        .when(kind === 4, lit("524946460000000057415645"))
+        .when(kind === 5, lit("000000106674797069736f6d"))
+        .otherwise(lit("deadbeef")))
+    d.withColumn("ctype", graft.multimodal.Sniff.content_type(payload))
+      .select(col("doc_id"), col("ctype"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---------------------------------------------------------------- oracle
 
   val sql: Map[String, String] = Map(
@@ -302,5 +350,18 @@ object QueriesR8 {
         |  p.rnk - r.rnk AS gain
         |FROM r JOIN r p ON p.week = r.week - 1 AND p.l_partkey = r.l_partkey
         |WHERE p.rnk - r.rnk > 0
-        |ORDER BY gain DESC, r.week, r.l_partkey LIMIT 20""".stripMargin)
+        |ORDER BY gain DESC, r.week, r.l_partkey LIMIT 20""".stripMargin,
+    "mm_video_meta" ->
+      """SELECT doc_id, 'mp4' AS format, 'isom' AS brand,
+        |  CAST(1000 + (doc_id % 10) * 100 AS BIGINT) AS timescale,
+        |  CAST(doc_id % 90000 + 1 AS BIGINT) AS duration,
+        |  CAST((doc_id % 90000 + 1) * 1000 //
+        |    (1000 + (doc_id % 10) * 100) AS BIGINT) AS duration_ms
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm_content_sniff" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 7 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+        |    WHEN 2 THEN 'gif' WHEN 3 THEN 'bmp' WHEN 4 THEN 'wav'
+        |    WHEN 5 THEN 'mp4' ELSE 'unknown' END AS ctype
+        |FROM documents ORDER BY doc_id""".stripMargin)
 }

@@ -233,7 +233,61 @@ object QueriesR8 {
       .orderBy(col("doc_id"))
   }
 
+  /** X21: streaming cumulative distinct (see
+    * [[graft.streaming.Streams.streamingCumulativeDistinct]]) — R85
+    * maintained from a per-user type SET (bounded by |types|); shares
+    * R85's oracle.
+    */
+  def streamCumulativeDistinct(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events").select(col("user_id"), col("event_id"),
+      unix_timestamp(col("ts").cast("timestamp")).as("ts_sec"),
+      col("event_type"))
+    graft.streaming.Streams.streamingCumulativeDistinct(s, e,
+        queryName = s"gate_scumdist_${System.nanoTime()}")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("n_types_seen"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  /** X22: streaming longest streak (see
+    * [[graft.streaming.Streams.streamingLongestStreak]]) — R91 from four
+    * scalars of per-user state; shares R91's oracle.
+    */
+  def streamLongestStreak(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events").select(col("user_id"), col("event_id"),
+      unix_timestamp(col("ts").cast("timestamp")).as("ts_sec"),
+      col("event_type"))
+    graft.streaming.Streams.streamingLongestStreak(s, e,
+        queryName = s"gate_sstreak_${System.nanoTime()}")
+      .select(col("user_id"), col("longest_streak"), col("streak_type"))
+      .orderBy(col("user_id"))
+  }
+
   // ---------------------------------------------------------------- oracle
+
+  /** R91's report SQL — shared verbatim by X22 (`stream_longest_streak`). */
+  private val longestStreakSql =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type,
+      |    CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec
+      |  FROM events
+      |), m AS (
+      |  SELECT user_id, event_type,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY ts_sec, event_id) -
+      |    row_number() OVER (PARTITION BY user_id, event_type
+      |      ORDER BY ts_sec, event_id) AS grp
+      |  FROM e
+      |), g AS (
+      |  SELECT user_id, event_type, grp, CAST(COUNT(*) AS BIGINT) AS len
+      |  FROM m GROUP BY 1, 2, 3
+      |)
+      |SELECT user_id, len AS longest_streak, event_type AS streak_type
+      |FROM (
+      |  SELECT user_id, event_type, len, row_number() OVER (
+      |    PARTITION BY user_id ORDER BY len DESC, event_type DESC) AS rn
+      |  FROM g) q
+      |WHERE rn = 1 ORDER BY user_id""".stripMargin
 
   val sql: Map[String, String] = Map(
     "q_asof_forward" ->
@@ -313,28 +367,12 @@ object QueriesR8 {
         |FROM r
         |WHERE cum_qty * 2 >= total_qty AND (cum_qty - qty) * 2 < total_qty
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
-    "q_longest_streak" ->
-      """WITH e AS (
-        |  SELECT user_id, event_id, event_type,
-        |    CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec
-        |  FROM events
-        |), m AS (
-        |  SELECT user_id, event_type,
-        |    row_number() OVER (PARTITION BY user_id
-        |      ORDER BY ts_sec, event_id) -
-        |    row_number() OVER (PARTITION BY user_id, event_type
-        |      ORDER BY ts_sec, event_id) AS grp
-        |  FROM e
-        |), g AS (
-        |  SELECT user_id, event_type, grp, CAST(COUNT(*) AS BIGINT) AS len
-        |  FROM m GROUP BY 1, 2, 3
-        |)
-        |SELECT user_id, len AS longest_streak, event_type AS streak_type
-        |FROM (
-        |  SELECT user_id, event_type, len, row_number() OVER (
-        |    PARTITION BY user_id ORDER BY len DESC, event_type DESC) AS rn
-        |  FROM g) q
-        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "q_longest_streak" -> longestStreakSql,
+    // X22 shares R91's report and oracle (four-scalar streaming state
+    // under the ordered-delivery contract)
+    "stream_longest_streak" -> longestStreakSql,
+    // X21 shares R85's report and oracle
+    "stream_cumulative_distinct" -> QueriesR7.sql("q_cumulative_distinct"),
     "q_rank_movers" ->
       """WITH c AS (
         |  SELECT epoch_us(l_shipdate) // 604800000000 AS week, l_partkey,

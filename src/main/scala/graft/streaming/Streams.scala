@@ -748,6 +748,103 @@ object Streams {
     }
   }
 
+  /** X21: streaming cumulative distinct — R85's running per-user count
+    * of distinct event types, maintained incrementally: per-user state
+    * is the SET of types seen (bounded by |event types|, not history),
+    * each event emits its running count in Append mode. Ordered-replay
+    * contract as [[streamingCusum]]; the gate shares R85's oracle.
+    */
+  def streamingCumulativeDistinct(spark: SparkSession, rows: DataFrame,
+                                  queryName: String,
+                                  rocksDb: Boolean = UseRocksDb): DataFrame = {
+    import spark.implicits._
+    val typed = rows.select(col("user_id").cast("long"),
+        col("event_id").cast("long"), col("ts_sec").cast("long"),
+        col("event_type").cast("string"))
+      .orderBy(col("ts_sec"), col("event_id"))
+      .coalesce(1) // one ordered file = ordered replay
+      .as[(Long, Long, Long, String)]
+    val path = stageToTemp(
+      typed.toDF("user_id", "event_id", "ts_sec", "event_type"), "scumdist")
+
+    val step: (Long, Iterator[(Long, Long, Long, String)],
+        GroupState[Set[String]]) => Iterator[(Long, Long, String, Long)] =
+      (user, batch, state) => {
+        var seen = state.getOption.getOrElse(Set.empty[String])
+        val out = batch.toSeq.sortBy(r => (r._3, r._2)).map {
+          case (_, eid, _, et) =>
+            seen = seen + et
+            (user, eid, et, seen.size.toLong)
+        }
+        state.update(seen)
+        out.iterator
+      }
+
+    withStateSession(spark, 8, rocksDb) { iso =>
+      val stream = iso.readStream.schema(typed.schema).parquet(path)
+        .as[(Long, Long, Long, String)]
+      val counts = stream.groupByKey(_._1)
+        .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(step)
+        .toDF("user_id", "event_id", "event_type", "n_types_seen")
+      val q = counts.writeStream.outputMode("append")
+        .format("memory").queryName(queryName).start()
+      try { q.processAllAvailable() } finally { q.stop() }
+      iso.table(queryName)
+    }
+  }
+
+  /** X22: streaming longest streak — R91 maintained from FOUR scalars of
+    * per-user state (current run type/length, best length/type under the
+    * max-(len, type) tie rule); the final emit per user is the report
+    * row. Update-mode last-emit-wins like [[streamingFunnel]].
+    */
+  def streamingLongestStreak(spark: SparkSession, rows: DataFrame,
+                             queryName: String,
+                             rocksDb: Boolean = UseRocksDb): DataFrame = {
+    import spark.implicits._
+    val typed = rows.select(col("user_id").cast("long"),
+        col("event_id").cast("long"), col("ts_sec").cast("long"),
+        col("event_type").cast("string"))
+      .orderBy(col("ts_sec"), col("event_id"))
+      .coalesce(1)
+      .as[(Long, Long, Long, String)]
+    val path = stageToTemp(
+      typed.toDF("user_id", "event_id", "ts_sec", "event_type"), "sstreak")
+
+    // state: (curType, curLen, bestLen, bestType)
+    val step: (Long, Iterator[(Long, Long, Long, String)],
+        GroupState[(String, Long, Long, String)]) => (Long, Long, String) =
+      (user, batch, state) => {
+        var (curT, curL, bestL, bestT) =
+          state.getOption.getOrElse(("", 0L, 0L, ""))
+        batch.toSeq.sortBy(r => (r._3, r._2)).foreach { case (_, _, _, et) =>
+          if (et == curT) curL += 1 else { curT = et; curL = 1 }
+          if (curL > bestL || (curL == bestL && curT > bestT)) {
+            bestL = curL; bestT = curT
+          }
+        }
+        state.update((curT, curL, bestL, bestT))
+        (user, bestL, bestT)
+      }
+
+    withStateSession(spark, 8, rocksDb) { iso =>
+      val stream = iso.readStream.schema(typed.schema).parquet(path)
+        .as[(Long, Long, Long, String)]
+      val best = stream.groupByKey(_._1)
+        .mapGroupsWithState(GroupStateTimeout.NoTimeout)(step)
+        .toDF("user_id", "longest_streak", "streak_type")
+      val q = best.writeStream.outputMode("update")
+        .format("memory").queryName(queryName).start()
+      try { q.processAllAvailable() } finally { q.stop() }
+      // streak stats only grow → per user the max (len, type) emit is final
+      iso.table(queryName)
+        .groupBy("user_id")
+        .agg(max(struct(col("longest_streak"), col("streak_type"))).as("b"))
+        .select(col("user_id"), col("b.longest_streak").as("longest_streak"),
+          col("b.streak_type").as("streak_type"))
+    }
+  }
+
   /** X19: streaming first/last-touch attribution — the incremental twin
     * of the batch attribution report (R79). Per-user state is THREE
     * scalars (first touch type, last touch type + its ts), because both

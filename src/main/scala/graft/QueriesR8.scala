@@ -263,6 +263,38 @@ object QueriesR8 {
       .orderBy(col("user_id"))
   }
 
+  /** C31: golden-record merge — the MDM survivorship rule "latest
+    * non-null per attribute" over a key's change history: the value
+    * column is nulled for 'error' events (modeling partial updates), and
+    * the golden row carries the latest event identity plus the latest
+    * NON-NULL value via an IGNORE-NULLS window carry. One window pass +
+    * one last-row selection, no per-attribute joins.
+    */
+  def cdcGoldenRecord(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = t(s, dir, "events").select(col("user_id"), col("event_id"),
+        col("event_type"),
+        unix_timestamp(col("ts").cast("timestamp")).as("ts_sec"),
+        round(col("value") * 100).cast("long").as("cents0"))
+      .withColumn("cents_p",
+        when(col("event_type") =!= "error", col("cents0")))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_sec"), col("event_id"))
+    val wAll = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    e.withColumn("rn_desc", row_number().over(
+        Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_sec").desc, col("event_id").desc)))
+      .withColumn("last_cents", last(col("cents_p"), ignoreNulls = true).over(wAll))
+      .withColumn("n_events", count(lit(1)).over(wAll))
+      .withColumn("n_missing", sum(when(col("cents_p").isNull, 1L)
+        .otherwise(0L)).over(wAll))
+      .filter(col("rn_desc") === 1)
+      .select(col("user_id"), col("event_id").as("last_event_id"),
+        col("event_type").as("last_event_type"), col("last_cents"),
+        col("n_events"), col("n_missing"))
+      .orderBy(col("user_id"))
+  }
+
   // ---------------------------------------------------------------- oracle
 
   /** R91's report SQL — shared verbatim by X22 (`stream_longest_streak`). */
@@ -401,5 +433,30 @@ object QueriesR8 {
         |  CASE doc_id % 7 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
         |    WHEN 2 THEN 'gif' WHEN 3 THEN 'bmp' WHEN 4 THEN 'wav'
         |    WHEN 5 THEN 'mp4' ELSE 'unknown' END AS ctype
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "cdc_golden_record" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec,
+        |    CASE WHEN event_type <> 'error'
+        |      THEN CAST(ROUND(value * 100) AS BIGINT) END AS cents_p
+        |  FROM events
+        |), g AS (
+        |  SELECT user_id, event_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts_sec DESC, event_id DESC) AS rn_desc,
+        |    last_value(cents_p IGNORE NULLS) OVER (PARTITION BY user_id
+        |      ORDER BY ts_sec, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |      AS last_cents,
+        |    COUNT(*) OVER (PARTITION BY user_id) AS n_events,
+        |    SUM(CASE WHEN cents_p IS NULL THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id) AS n_missing
+        |  FROM e
+        |)
+        |SELECT user_id, event_id AS last_event_id,
+        |  event_type AS last_event_type, last_cents,
+        |  CAST(n_events AS BIGINT) AS n_events,
+        |  CAST(n_missing AS BIGINT) AS n_missing
+        |FROM g WHERE rn_desc = 1 ORDER BY user_id""".stripMargin)
 }

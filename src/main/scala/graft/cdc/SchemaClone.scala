@@ -118,4 +118,30 @@ object SchemaClone {
     source.fields.filterNot(f => have(f.name.toLowerCase)).toSeq
       .map(f => s"ALTER TABLE $table ADD COLUMN ${f.name} ${sqlType(f.dataType)}")
   }
+
+  /** Schema drift report between a source and a replica snapshot: per
+    * column (case-insensitive match, source order first then
+    * target-only), its status — `added` (new at source), `removed`
+    * (gone from source), `retyped` (canonical types differ), `ok` —
+    * with both canonical types. The detection step in front of
+    * [[migrationDdl]]: a replication run alerts on drift it cannot
+    * auto-migrate (removed/retyped) and self-heals what it can (added).
+    */
+  def schemaDiff(source: StructType, target: StructType)
+      : Seq[(String, String, String, String)] = {
+    val tByName = target.fields.map(f => f.name.toLowerCase -> f).toMap
+    val sNames = source.fields.map(_.name.toLowerCase).toSet
+    val fromSource = source.fields.toSeq.map { sf =>
+      tByName.get(sf.name.toLowerCase) match {
+        case None => (sf.name, "added", canonType(sf.dataType), "")
+        case Some(tf) =>
+          val (cs, ct) = (canonType(sf.dataType), canonType(tf.dataType))
+          (sf.name, if (cs == ct) "ok" else "retyped", cs, ct)
+      }
+    }
+    val removed = target.fields.toSeq
+      .filterNot(f => sNames(f.name.toLowerCase))
+      .map(f => (f.name, "removed", "", canonType(f.dataType)))
+    fromSource ++ removed
+  }
 }

@@ -98,4 +98,21 @@ class SchemaCloneSpec extends AnyFunSuite {
     // regex would have swallowed PARALLEL)
     assert(out.contains("PARALLEL 4") && !out.toUpperCase.contains("LOGGING"))
   }
+
+  test("schemaDiff classifies added/removed/retyped/ok, case-insensitively") {
+    import org.apache.spark.sql.types._
+    val source = StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType),
+      StructField("amount", DecimalType(12, 2)), StructField("extra", IntegerType)))
+    val target = StructType(Seq(
+      StructField("ID", LongType), StructField("v", StringType),
+      StructField("amount", DoubleType), StructField("legacy", StringType)))
+    val got = SchemaClone.schemaDiff(source, target)
+    assert(got == Seq(
+      ("id", "ok", "int64", "int64"),
+      ("v", "ok", "string", "string"),
+      ("amount", "retyped", "decimal(12,2)", "float64"),
+      ("extra", "added", "int32", ""),
+      ("legacy", "removed", "", "string")))
+  }
 }

@@ -20,7 +20,7 @@ object QueriesR6 {
   /** The retrieval probe vocabulary — high-df corpus terms so every SF
     * has real ranking work (df ≈ 0.77·N at sf0.01).
     */
-  private val Bm25Vocab = Seq("query", "window", "scan")
+  private[graft] val Bm25Vocab = Seq("query", "window", "scan")
 
   /** T15: BM25 ranked retrieval (see [[graft.operators.Retrieval.bm25]]):
     * disjunctive probe query, per-term score = monotone ratio-idf (ppm) ×

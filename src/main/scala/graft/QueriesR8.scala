@@ -295,6 +295,55 @@ object QueriesR8 {
       .orderBy(col("user_id"))
   }
 
+  /** R93: fixed-round k-truss (see [[graft.operators.Graph.kTruss]]) —
+    * the 4-truss of the co-purchase graph after 2 peel rounds: edges in
+    * ≥ 2 triangles within the surviving subgraph, support recomputed on
+    * the residue.
+    */
+  def graphKtruss(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Graph.kTruss(
+        QueriesR6.coPurchasePairs(s, dir).select(col("src"), col("dst")),
+        k = 4, rounds = 2)
+      .orderBy(col("a"), col("b"))
+
+  /** X23: streaming golden record (see
+    * [[graft.streaming.Streams.streamingGoldenRecord]]) — C31 from O(1)
+    * per-user state; shares C31's oracle.
+    */
+  def streamGoldenRecord(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events").select(col("user_id"), col("event_id"),
+        unix_timestamp(col("ts").cast("timestamp")).as("ts_sec"),
+        col("event_type"),
+        when(col("event_type") =!= "error",
+          round(col("value") * 100).cast("long")).as("cents_p"))
+    graft.streaming.Streams.streamingGoldenRecord(s, e,
+        queryName = s"gate_sgolden_${System.nanoTime()}")
+      .orderBy(col("user_id"))
+  }
+
+  /** T22: BM25 × phrase fusion — the T15 bag-of-words score fused with
+    * T18's positional signals in one exact-integer formula: bonus =
+    * n_phrase·10⁶ + 10⁶ div (1 + min_dist), zero when the positional
+    * pass found nothing. Both component scorers are already gated; the
+    * fusion ranks by (total desc, doc_id).
+    */
+  def textBm25Phrase(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val base = graft.operators.Retrieval.bm25(d, "doc_id", "text",
+        QueriesR6.Bm25Vocab, topN = 1000000)
+      .select(col("doc_id"), col("score"))
+    val prox = graft.operators.Retrieval.phraseProximity(d, "doc_id", "text",
+        "window", "scan", topN = 1000000)
+    base.join(prox, Seq("doc_id"), "left")
+      .withColumn("bonus",
+        coalesce(col("n_phrase"), lit(0L)) * 1000000L +
+          coalesce(expr("1000000 div (1 + min_dist)"), lit(0L)))
+      .withColumn("total", col("score") + col("bonus"))
+      .orderBy(col("total").desc, col("doc_id"))
+      .limit(200)
+      .select(col("doc_id"), col("score"), col("bonus"), col("total"))
+  }
+
   // ---------------------------------------------------------------- oracle
 
   /** R91's report SQL — shared verbatim by X22 (`stream_longest_streak`). */
@@ -320,6 +369,33 @@ object QueriesR8 {
       |    PARTITION BY user_id ORDER BY len DESC, event_type DESC) AS rn
       |  FROM g) q
       |WHERE rn = 1 ORDER BY user_id""".stripMargin
+
+  /** C31's report SQL — shared verbatim by X23 (`stream_golden_record`). */
+  private val goldenRecordSql =
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec,
+        |    CASE WHEN event_type <> 'error'
+        |      THEN CAST(ROUND(value * 100) AS BIGINT) END AS cents_p
+        |  FROM events
+        |), g AS (
+        |  SELECT user_id, event_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts_sec DESC, event_id DESC) AS rn_desc,
+        |    last_value(cents_p IGNORE NULLS) OVER (PARTITION BY user_id
+        |      ORDER BY ts_sec, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |      AS last_cents,
+        |    COUNT(*) OVER (PARTITION BY user_id) AS n_events,
+        |    SUM(CASE WHEN cents_p IS NULL THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id) AS n_missing
+        |  FROM e
+        |)
+        |SELECT user_id, event_id AS last_event_id,
+        |  event_type AS last_event_type, last_cents,
+        |  CAST(n_events AS BIGINT) AS n_events,
+        |  CAST(n_missing AS BIGINT) AS n_missing
+        |FROM g WHERE rn_desc = 1 ORDER BY user_id""".stripMargin
 
   val sql: Map[String, String] = Map(
     "q_asof_forward" ->
@@ -405,6 +481,8 @@ object QueriesR8 {
     "stream_longest_streak" -> longestStreakSql,
     // X21 shares R85's report and oracle
     "stream_cumulative_distinct" -> QueriesR7.sql("q_cumulative_distinct"),
+    // X23 shares C31's report and oracle
+    "stream_golden_record" -> goldenRecordSql,
     "q_rank_movers" ->
       """WITH c AS (
         |  SELECT epoch_us(l_shipdate) // 604800000000 AS week, l_partkey,
@@ -434,29 +512,87 @@ object QueriesR8 {
         |    WHEN 2 THEN 'gif' WHEN 3 THEN 'bmp' WHEN 4 THEN 'wav'
         |    WHEN 5 THEN 'mp4' ELSE 'unknown' END AS ctype
         |FROM documents ORDER BY doc_id""".stripMargin,
-    "cdc_golden_record" ->
-      """WITH e AS (
-        |  SELECT user_id, event_id, event_type,
-        |    CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec,
-        |    CASE WHEN event_type <> 'error'
-        |      THEN CAST(ROUND(value * 100) AS BIGINT) END AS cents_p
-        |  FROM events
-        |), g AS (
-        |  SELECT user_id, event_id, event_type,
-        |    row_number() OVER (PARTITION BY user_id
-        |      ORDER BY ts_sec DESC, event_id DESC) AS rn_desc,
-        |    last_value(cents_p IGNORE NULLS) OVER (PARTITION BY user_id
-        |      ORDER BY ts_sec, event_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
-        |      AS last_cents,
-        |    COUNT(*) OVER (PARTITION BY user_id) AS n_events,
-        |    SUM(CASE WHEN cents_p IS NULL THEN 1 ELSE 0 END)
-        |      OVER (PARTITION BY user_id) AS n_missing
-        |  FROM e
+    "cdc_golden_record" -> goldenRecordSql,
+    "graph_ktruss" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e0 AS (
+        |  SELECT a.l_partkey AS a, b.l_partkey AS b
+        |  FROM li a JOIN li b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2
+        |), d0 AS (
+        |  SELECT a AS src, b AS dst FROM e0 UNION ALL SELECT b, a FROM e0
+        |), s1 AS (
+        |  SELECT e.a, e.b, CAST(COUNT(*) AS BIGINT) AS sup FROM e0 e
+        |  JOIN d0 x ON x.src = e.a JOIN d0 y ON y.src = e.b AND y.dst = x.dst
+        |  GROUP BY e.a, e.b
+        |), e1 AS (
+        |  SELECT e.a, e.b FROM e0 e
+        |  JOIN s1 ON s1.a = e.a AND s1.b = e.b AND s1.sup >= 2
+        |), d1 AS (
+        |  SELECT a AS src, b AS dst FROM e1 UNION ALL SELECT b, a FROM e1
+        |), s2 AS (
+        |  SELECT e.a, e.b, CAST(COUNT(*) AS BIGINT) AS sup FROM e1 e
+        |  JOIN d1 x ON x.src = e.a JOIN d1 y ON y.src = e.b AND y.dst = x.dst
+        |  GROUP BY e.a, e.b
+        |), e2 AS (
+        |  SELECT e.a, e.b FROM e1 e
+        |  JOIN s2 ON s2.a = e.a AND s2.b = e.b AND s2.sup >= 2
+        |), d2 AS (
+        |  SELECT a AS src, b AS dst FROM e2 UNION ALL SELECT b, a FROM e2
+        |), s3 AS (
+        |  SELECT e.a, e.b, CAST(COUNT(*) AS BIGINT) AS sup FROM e2 e
+        |  JOIN d2 x ON x.src = e.a JOIN d2 y ON y.src = e.b AND y.dst = x.dst
+        |  GROUP BY e.a, e.b
         |)
-        |SELECT user_id, event_id AS last_event_id,
-        |  event_type AS last_event_type, last_cents,
-        |  CAST(n_events AS BIGINT) AS n_events,
-        |  CAST(n_missing AS BIGINT) AS n_missing
-        |FROM g WHERE rn_desc = 1 ORDER BY user_id""".stripMargin)
+        |SELECT e.a, e.b, COALESCE(s3.sup, 0) AS support
+        |FROM e2 e LEFT JOIN s3 ON s3.a = e.a AND s3.b = e.b
+        |ORDER BY e.a, e.b""".stripMargin,
+    "text_bm25_phrase" ->
+      """WITH toks AS (
+        |  SELECT doc_id, str_split(text, ' ') AS tk FROM documents
+        |), dl AS (
+        |  SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl FROM toks
+        |), stats AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(dl) AS BIGINT) AS l_total FROM dl
+        |), tf AS (
+        |  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, unnest(tk) AS term FROM toks)
+        |  WHERE term IN ('query', 'window', 'scan')
+        |  GROUP BY doc_id, term
+        |), dfreq AS (
+        |  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+        |), scored AS (
+        |  SELECT tf.doc_id,
+        |    CAST(CAST(((2 * (s.n_docs - f.df) + 1) * 1000000) // (2 * f.df + 1)
+        |        AS HUGEINT) * 44 * tf.tf * s.l_total
+        |      // (20 * tf.tf * s.l_total + 6 * s.l_total + 18 * d.dl * s.n_docs)
+        |      AS BIGINT) AS term_score
+        |  FROM tf JOIN dfreq f USING (term) JOIN dl d USING (doc_id)
+        |    CROSS JOIN stats s
+        |), agg AS (
+        |  SELECT doc_id, CAST(SUM(term_score) AS BIGINT) AS score
+        |  FROM scored GROUP BY doc_id
+        |), tok AS (
+        |  SELECT doc_id, unnest(tk) AS term,
+        |    unnest(range(1, len(tk) + 1)) AS pos
+        |  FROM toks
+        |), pa AS (SELECT doc_id, pos AS pa FROM tok WHERE term = 'window'),
+        |pb AS (SELECT doc_id, pos AS pb FROM tok WHERE term = 'scan'),
+        |prox AS (
+        |  SELECT p.doc_id,
+        |    CAST(SUM(CASE WHEN pb = pa + 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_phrase,
+        |    CAST(MIN(ABS(pb - pa)) AS BIGINT) AS min_dist
+        |  FROM pa p JOIN pb q ON p.doc_id = q.doc_id
+        |  GROUP BY p.doc_id
+        |)
+        |SELECT a.doc_id, a.score,
+        |  CAST(COALESCE(n_phrase, 0) * 1000000 +
+        |    COALESCE(1000000 // (1 + min_dist), 0) AS BIGINT) AS bonus,
+        |  CAST(a.score + COALESCE(n_phrase, 0) * 1000000 +
+        |    COALESCE(1000000 // (1 + min_dist), 0) AS BIGINT) AS total
+        |FROM agg a LEFT JOIN prox ON prox.doc_id = a.doc_id
+        |ORDER BY total DESC, a.doc_id LIMIT 200""".stripMargin)
 }

@@ -408,6 +408,55 @@ object Graph {
     *              hops = 0 (they are their own component)
     * @return (node, hops ≤ rounds) for every node reached
     */
+  /** Fixed-round k-truss peel — repeatedly delete edges supported by
+    * fewer than k−2 triangles until every surviving edge sits in a
+    * dense, triangle-reinforced neighborhood: the EDGE-level density
+    * screen where [[kCore]] is the node-level one (a k-core can still
+    * contain bridge edges; a k-truss cannot). On near-dup candidate
+    * graphs the 4-truss keeps only corroborated duplicate clusters.
+    *
+    * Per round: one per-edge support count (the common-neighbor join —
+    * bounded by the wedge count like [[triangleCount]], never
+    * node-quadratic), one filter, localCheckpointed residue. Monotone,
+    * so the [[kCore]] convergence early-exit applies: a round that
+    * deletes nothing ends the loop with the fixed-round result.
+    *
+    * @return surviving (a, b, support) with support RECOMPUTED on the
+    *         final residue (the truss's own triangle counts)
+    */
+  def kTruss(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 3, s"k must be >= 3, got $k")
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    var und = edges.select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+      .localCheckpoint(true)
+    def support(e: DataFrame): DataFrame = {
+      val d = e.select(col("a").as("src"), col("b").as("dst"))
+        .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
+      e.join(d.select(col("src").as("a"), col("dst").as("w")), Seq("a"))
+        .join(d.select(col("src").as("b"), col("dst").as("w")), Seq("b", "w"),
+          "left_semi")
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("support"))
+    }
+    var it = 0
+    var converged = false
+    var nEdges = und.count()
+    while (it < rounds && !converged && nEdges > 0) {
+      val next = und
+        .join(support(und).filter(col("support") >= k - 2)
+          .select(col("a"), col("b")), Seq("a", "b"), "left_semi")
+        .localCheckpoint(true)
+      val n = next.count()
+      if (n == nEdges) converged = true
+      else { und = next; nEdges = n; it += 1 }
+    }
+    if (nEdges == 0) und.select(col("a"), col("b"), lit(0L).as("support"))
+    else und.join(support(und), Seq("a", "b"), "left")
+      .select(col("a"), col("b"),
+        coalesce(col("support"), lit(0L)).as("support"))
+  }
+
   def bfsHops(edges: DataFrame, seeds: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     val und = edges.select(least(col("src"), col("dst")).as("a"),

@@ -845,6 +845,68 @@ object Streams {
     }
   }
 
+  /** X23: streaming golden record — C31's survivorship merge maintained
+    * from O(1) per-user state: latest event identity plus the latest
+    * NON-NULL value and the running counts; each batch emits the current
+    * golden row, last-emit-wins drain. Shares C31's oracle.
+    */
+  def streamingGoldenRecord(spark: SparkSession, rows: DataFrame,
+                            queryName: String,
+                            rocksDb: Boolean = UseRocksDb): DataFrame = {
+    import spark.implicits._
+    val typed = rows.select(col("user_id").cast("long"),
+        col("event_id").cast("long"), col("ts_sec").cast("long"),
+        col("event_type").cast("string"), col("cents_p").cast("long"))
+      .orderBy(col("ts_sec"), col("event_id"))
+      .coalesce(1)
+      .as[(Long, Long, Long, String, Option[Long])]
+    val path = stageToTemp(typed.toDF(
+      "user_id", "event_id", "ts_sec", "event_type", "cents_p"), "sgolden")
+
+    // state: (lastEid, lastType, lastCents (MinValue = none), n, nMissing)
+    val step: (Long, Iterator[(Long, Long, Long, String, Option[Long])],
+        GroupState[(Long, String, Long, Long, Long)]) =>
+        (Long, Long, String, Option[Long], Long, Long) =
+      (user, batch, state) => {
+        var (eid, typ, cents, n, miss) =
+          state.getOption.getOrElse((0L, "", Long.MinValue, 0L, 0L))
+        batch.toSeq.sortBy(r => (r._3, r._2)).foreach {
+          case (_, e, _, et, cp) =>
+            eid = e; typ = et; n += 1
+            cp match {
+              case Some(v) => cents = v
+              case None    => miss += 1
+            }
+        }
+        state.update((eid, typ, cents, n, miss))
+        (user, eid, typ,
+          if (cents == Long.MinValue) None else Some(cents), n, miss)
+      }
+
+    withStateSession(spark, 8, rocksDb) { iso =>
+      val stream = iso.readStream.schema(typed.schema).parquet(path)
+        .as[(Long, Long, Long, String, Option[Long])]
+      val golden = stream.groupByKey(_._1)
+        .mapGroupsWithState(GroupStateTimeout.NoTimeout)(step)
+        .toDF("user_id", "last_event_id", "last_event_type", "last_cents",
+          "n_events", "n_missing")
+      val q = golden.writeStream.outputMode("update")
+        .format("memory").queryName(queryName).start()
+      try { q.processAllAvailable() } finally { q.stop() }
+      // n_events only grows → per user the max-n emit is final
+      iso.table(queryName)
+        .groupBy("user_id")
+        .agg(max_by(struct(col("last_event_id"), col("last_event_type"),
+          col("last_cents"), col("n_events"), col("n_missing")),
+          col("n_events")).as("g"))
+        .select(col("user_id"), col("g.last_event_id").as("last_event_id"),
+          col("g.last_event_type").as("last_event_type"),
+          col("g.last_cents").as("last_cents"),
+          col("g.n_events").as("n_events"),
+          col("g.n_missing").as("n_missing"))
+    }
+  }
+
   /** X19: streaming first/last-touch attribution — the incremental twin
     * of the batch attribution report (R79). Per-user state is THREE
     * scalars (first touch type, last touch type + its ts), because both

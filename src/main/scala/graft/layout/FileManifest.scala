@@ -29,9 +29,21 @@ object FileManifest {
     */
   def build(spark: SparkSession, path: String, rangeCols: Seq[String],
             bloomCols: Seq[String], bits: Int = 4096,
-            hashes: Int = 3): DataFrame = {
+            hashes: Int = 3): DataFrame =
+    buildFiles(spark, Seq(path), rangeCols, bloomCols, bits, hashes)
+
+  /** [[build]] over an explicit file list — the incremental-maintenance
+    * entry point: after [[ZOrder.appendClustered]] returns the delta's
+    * new files, manifest rows for JUST those files come from a
+    * delta-sized scan. Same aggregate as the full build, so incremental
+    * union ≡ rebuild row-for-row.
+    */
+  def buildFiles(spark: SparkSession, paths: Seq[String],
+                 rangeCols: Seq[String], bloomCols: Seq[String],
+                 bits: Int = 4096, hashes: Int = 3): DataFrame = {
     require(rangeCols.nonEmpty || bloomCols.nonEmpty, "no manifest columns")
-    val base = spark.read.parquet(path)
+    require(paths.nonEmpty, "no paths")
+    val base = spark.read.parquet(paths: _*)
     val projected = base.select(
       (input_file_name().as("file") +:
         (rangeCols.map(col) ++
@@ -100,6 +112,21 @@ object FileManifest {
     if (!tmp.renameTo(fin))
       throw new java.io.IOException(s"cannot commit manifest version $v")
     v
+  }
+
+  /** F11: extend the latest committed manifest with delta rows (built
+    * via [[buildFiles]] over only the appended files) and commit the
+    * union as a NEW version — the incremental metadata commit paired
+    * with [[ZOrder.appendClustered]]. History stays time-travelable
+    * ([[readVersion]]) and vacuumable; total append cost is
+    * O(delta data) + O(manifest metadata), never a table re-scan.
+    *
+    * @return the committed version id
+    */
+  def appendVersion(spark: SparkSession, root: String,
+                    deltaManifest: DataFrame): Long = {
+    val merged = readVersion(spark, root).unionByName(deltaManifest)
+    commitVersion(merged, root)
   }
 
   /** Committed version ids under a root, ascending. */

@@ -68,6 +68,34 @@ object ZOrder {
       .drop("__z")
       .write.mode("overwrite").parquet(path)
 
+  /** F11: incremental layout maintenance — append a DELTA to an existing
+    * clustered table as fresh z-sorted files, leaving every base file
+    * untouched. The delta files are each internally clustered but their
+    * z-ranges OVERLAP the base files' (that's the deal: append cost is
+    * O(delta), and pruning degrades gracefully — a probe now selects base
+    * files by box plus whichever delta files overlap — until a compaction
+    * re-sorts). Returns the new files' paths so the manifest can be
+    * extended by scanning ONLY the delta (see
+    * [[FileManifest.appendVersion]]); at 100 TB re-scanning the table per
+    * append is exactly what this path exists to avoid.
+    */
+  def appendClustered(df: DataFrame, path: String, z: Column,
+                      nFiles: Int): Seq[String] = {
+    def files(): Set[String] = {
+      val d = new java.io.File(path)
+      if (!d.isDirectory) Set.empty
+      else d.listFiles().filter(f => f.isFile && f.getName.endsWith(".parquet"))
+        .map(_.getAbsolutePath).toSet
+    }
+    val before = files()
+    df.withColumn("__z", z)
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("append").parquet(path)
+    (files() -- before).toSeq.sorted
+  }
+
   /** Per-file min/max statistics for `cols` — one scan, grouped by file.
     * At lakehouse scale this is free (the table format already stores it);
     * deriving it here keeps the pruning path honest end-to-end.

@@ -477,4 +477,125 @@ object Graph {
     }
     dist
   }
+
+  /** Degree-peel a both-directions edge encoding at threshold `k` for at
+    * most `rounds` rounds with the [[kCore]] convergence early-exit —
+    * shared level step for [[coreness]]. Returns the residue (still
+    * both-directions).
+    */
+  private def peelResidue(dir0: DataFrame, k: Int, rounds: Int): DataFrame = {
+    var dir = dir0
+    var it = 0
+    var converged = false
+    while (it < rounds && !converged) {
+      val deg = dir.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .localCheckpoint(true)
+      val Array(nNodes, nSurvivors) = deg
+        .agg(count(lit(1)), sum(when(col("deg") >= k, 1L).otherwise(0L)))
+        .collect().head.toSeq
+        .map(v => if (v == null) 0L else v.asInstanceOf[Long]).toArray
+      if (nSurvivors == nNodes) converged = true
+      else {
+        val keep = deg.filter(col("deg") >= k).select(col("src"))
+        dir = dir
+          .join(broadcast(keep), Seq("src"), "left_semi")
+          .join(broadcast(keep.withColumnRenamed("src", "dst")), Seq("dst"),
+            "left_semi")
+          .select(col("src"), col("dst"))
+          .localCheckpoint(true)
+        it += 1
+      }
+    }
+    dir
+  }
+
+  /** Coreness (k-core hierarchy) labeling: each node's largest k such
+    * that it survives the level-k degree peel — the node-density
+    * HIERARCHY where [[kCore]] is one slice of it. On a co-purchase
+    * graph coreness stratifies products into periphery (1), weakly
+    * connected (2), and dense cross-sold cores (3+); on near-dup
+    * candidate graphs it separates chance collisions from dense
+    * duplicate neighborhoods without picking a single k up front.
+    *
+    * Levels are NESTED (the k-core is a subgraph of the (k−1)-core), so
+    * each level peels the PREVIOUS level's residue — total work is one
+    * peel sweep over a shrinking graph, not maxK independent peels of
+    * the full edge set. Per level the [[kCore]] posture holds: the only
+    * full-size shuffle per round is the degree aggregate; survivor sets
+    * are node-sized broadcasts; peeling is monotone so a no-delete round
+    * ends the level early with the fixed-round result.
+    *
+    * Fixed `roundsPerLevel` keeps the oracle a straight-line unrolled
+    * peel (the [[kCore]] contract): with rounds ≥ the peel's convergence
+    * depth the result is the true coreness, and for ANY rounds both
+    * engines compute identically.
+    *
+    * @return (node, coreness ∈ [1, maxK]) for every non-isolated node
+    */
+  def coreness(edges: DataFrame, maxK: Int, roundsPerLevel: Int): DataFrame = {
+    require(maxK >= 1, s"maxK must be >= 1, got $maxK")
+    require(roundsPerLevel >= 1, s"roundsPerLevel must be >= 1, got $roundsPerLevel")
+    val und = edges.select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    var dir = und.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(und.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint(true)
+    // any node with an edge is in the 1-core
+    var labels = dir.select(col("src").as("node")).distinct()
+      .select(col("node"), lit(1L).as("lvl"))
+    var k = 2
+    var empty = false
+    while (k <= maxK && !empty) {
+      dir = peelResidue(dir, k, roundsPerLevel)
+      val survivors = dir.select(col("src").as("node")).distinct()
+        .localCheckpoint(true)
+      empty = survivors.isEmpty
+      if (!empty)
+        labels = labels.unionAll(survivors.select(col("node"), lit(k.toLong).as("lvl")))
+      k += 1
+    }
+    labels.groupBy(col("node")).agg(max(col("lvl")).as("coreness"))
+  }
+
+  /** Trussness (k-truss hierarchy) labeling: each edge's largest k such
+    * that it survives the level-k support peel — the EDGE-level
+    * hierarchy where [[kTruss]] is one slice, and the edge analogue of
+    * [[coreness]]. Every edge is trivially a 2-truss; trussness ≥ 3
+    * means the edge sits in at least one triangle that itself survives
+    * the peel. On near-dup candidate graphs the trussness level is a
+    * per-PAIR corroboration strength: bridges between clusters stay at
+    * 2 no matter how dense the clusters are.
+    *
+    * Nested like coreness (k-truss ⊆ (k−1)-truss), so each level peels
+    * the previous residue via [[kTruss]] — per round one wedge-bounded
+    * support join and a filter, never node-quadratic. Fixed
+    * `roundsPerLevel` for the straight-line-oracle contract.
+    *
+    * @return (a, b, trussness ∈ [2, maxK]) for every distinct edge
+    */
+  def trussness(edges: DataFrame, maxK: Int, roundsPerLevel: Int): DataFrame = {
+    require(maxK >= 2, s"maxK must be >= 2, got $maxK")
+    require(roundsPerLevel >= 1, s"roundsPerLevel must be >= 1, got $roundsPerLevel")
+    val und = edges.select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+      .localCheckpoint(true)
+    var labels = und.select(col("a"), col("b"), lit(2L).as("lvl"))
+    var residue = und
+    var k = 3
+    var empty = false
+    while (k <= maxK && !empty) {
+      residue = kTruss(
+          residue.select(col("a").as("src"), col("b").as("dst")),
+          k, roundsPerLevel)
+        .select(col("a"), col("b")).localCheckpoint(true)
+      empty = residue.isEmpty
+      if (!empty)
+        labels = labels.unionAll(
+          residue.select(col("a"), col("b"), lit(k.toLong).as("lvl")))
+      k += 1
+    }
+    labels.groupBy(col("a"), col("b")).agg(max(col("lvl")).as("trussness"))
+  }
 }

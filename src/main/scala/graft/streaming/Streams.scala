@@ -974,4 +974,61 @@ object Streams {
       iso.table(queryName)
     }
   }
+
+  /** X24: streaming k-anonymity monitor — Q3's governance screen
+    * maintained continuously: per (event_type, day) quasi-identifier
+    * group the state is the distinct-user set, each batch emits the
+    * group's current user count, and the drained snapshot aggregates to
+    * the per-type risk report (groups, groups below `k`, smallest
+    * group). Counts only GROW, so update-mode max-per-group is the final
+    * state — batch-equivalent to [[graft.QueriesR7.dqKAnonymity]] and
+    * gated on its oracle.
+    *
+    * State is exact (the report's min/count-below-k must be exact); a
+    * group's set is bounded by its user population, the same bound the
+    * batch countDistinct shuffles. For release-gating over unbounded
+    * groups the KMV day-sketch path (streamingDayKmv) is the bounded
+    * companion — this monitor is the exact one.
+    *
+    * @param rows (event_type, day, user_id) — order-insensitive
+    * @param k    anonymity threshold: a group with < k users is risky
+    */
+  def streamingKAnonymity(spark: SparkSession, rows: DataFrame, k: Int,
+                          queryName: String,
+                          rocksDb: Boolean = UseRocksDb): DataFrame = {
+    import spark.implicits._
+    val typed = rows.select(col("event_type").cast("string"),
+        col("day").cast("long"), col("user_id").cast("long"))
+      .as[(String, Long, Long)]
+    val path = stageToTemp(
+      typed.toDF("event_type", "day", "user_id"), "skanon")
+
+    val step: ((String, Long), Iterator[(String, Long, Long)],
+        GroupState[Set[Long]]) => (String, Long, Long) =
+      (key, batch, state) => {
+        var seen = state.getOption.getOrElse(Set.empty[Long])
+        batch.foreach { case (_, _, uid) => seen = seen + uid }
+        state.update(seen)
+        (key._1, key._2, seen.size.toLong)
+      }
+
+    withStateSession(spark, 8, rocksDb) { iso =>
+      val stream = iso.readStream.schema(typed.schema).parquet(path)
+        .as[(String, Long, Long)]
+      val counts = stream.groupByKey(r => (r._1, r._2))
+        .mapGroupsWithState(GroupStateTimeout.NoTimeout)(step)
+        .toDF("event_type", "day", "n_users")
+      val q = counts.writeStream.outputMode("update")
+        .format("memory").queryName(queryName).start()
+      try { q.processAllAvailable() } finally { q.stop() }
+      // group counts only grow → the max emit per group is its final state
+      iso.table(queryName)
+        .groupBy(col("event_type"), col("day"))
+        .agg(max(col("n_users")).as("n_users"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_groups"),
+          sum(when(col("n_users") < k, 1L).otherwise(0L)).as("n_risky_groups"),
+          min(col("n_users")).as("min_group_users"))
+    }
+  }
 }

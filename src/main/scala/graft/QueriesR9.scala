@@ -86,6 +86,107 @@ object QueriesR9 {
       .orderBy(col("event_type"))
   }
 
+  /** D14: exact substring-overlap dedup (see
+    * [[graft.dedup.Dedup.substringOverlap]]) — doc pairs sharing ≥ 2
+    * distinct 8-token windows, with the longest contiguous shared run
+    * reported in tokens; boilerplate windows (> 50 docs) dropped before
+    * pair generation.
+    */
+  def dedupSubstring(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    graft.dedup.Dedup.substringOverlap(d, col("doc_id"), col("text"),
+        w = 8, minShared = 2, hotCap = 50)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** C33: multi-master conflict detection (see
+    * [[graft.cdc.Cdc.detectConflicts]]) — the event stream split into
+    * two sources by change-id parity (modeling bidirectional
+    * replication), conflicts = both sources touching a user within the
+    * same hour, resolution = last-writer-wins on (ts, seq). The per-user
+    * report: buckets, conflicts, wins per source (winner parity IS the
+    * source), last conflict hour.
+    */
+  def cdcConflicts(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events").select(col("user_id"), col("event_id"),
+      unix_timestamp(col("ts").cast("timestamp")).as("ts_sec"))
+    val upd = e.withColumn("src",
+      when(col("event_id") % 2 === 0, "a").otherwise("b"))
+    graft.cdc.Cdc.detectConflicts(upd, col("user_id"), col("ts_sec"),
+        col("event_id"), col("src"), bucketSec = 3600L)
+      .groupBy(col("pk").as("user_id"))
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(when(col("is_conflict"), 1L).otherwise(0L)).as("n_conflicts"),
+        sum(when(col("is_conflict") && col("winner_seq") % 2 === 0, 1L)
+          .otherwise(0L)).as("n_wins_a"),
+        sum(when(col("is_conflict") && col("winner_seq") % 2 === 1, 1L)
+          .otherwise(0L)).as("n_wins_b"),
+        max(when(col("is_conflict"), col("bucket"))).as("last_conflict_bucket"))
+      .orderBy(col("user_id"))
+  }
+
+  /** X25: streaming class-balance monitor (see
+    * [[graft.streaming.Streams.streamingClassBalance]]) — R83 from one
+    * long of state per label; shares R83's oracle.
+    */
+  def streamClassBalance(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.Streams.streamingClassBalance(s,
+        t(s, dir, "embeddings").select(col("label")),
+        queryName = s"gate_sclassbal_${System.nanoTime()}")
+      .orderBy(col("label"))
+
+  /** T23: Heaps-law vocabulary growth — cumulative corpus tokens vs
+    * cumulative distinct vocabulary at every doc checkpoint (doc_id
+    * ingest order). New-type detection is one corpus-first-occurrence
+    * window on the token key; the GLOBAL running totals run through
+    * [[graft.operators.PrefixSum.prefixSums]] — per-bucket partials,
+    * bucket-offset broadcast, intra-bucket windows — so no data-sized
+    * single-partition sort exists in the plan (the sub-linear curve is
+    * the dedup/quality health signal: a linear vocab curve means ID-like
+    * garbage tokens are flooding the vocabulary).
+    */
+  def textHeaps(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = t(s, dir, "documents")
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("tok"))
+    val wFirst = Window.partitionBy(col("tok"))
+      .orderBy(col("doc_id"), col("pos"))
+    val perDoc = tok
+      .withColumn("is_new",
+        when(row_number().over(wFirst) === 1, 1L).otherwise(0L))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"), sum(col("is_new")).as("n_new"))
+    graft.operators.PrefixSum.prefixSums(perDoc, col("doc_id"),
+        Seq("tokens" -> col("n_tok"), "vocab" -> col("n_new")),
+        bucketWidth = 64L)
+      .select(col("doc_id"), col("cum_tokens"), col("cum_vocab"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** R96: item-item Jaccard similarity (see
+    * [[graft.operators.Basket.itemJaccard]]) with the top-3 similar
+    * items per item served through the native grouped top-k operator —
+    * the normalized companion of `q_also_bought` (co-counts rank
+    * popularity; Jaccard ranks affinity).
+    */
+  def qItemSimilarity(s: SparkSession, dir: String): DataFrame = {
+    val baskets = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("basket"), col("l_partkey").as("item"))
+    val jac = graft.operators.Basket.itemJaccard(baskets, minPairSupport = 3L)
+      .localCheckpoint(true) // feeds both directions of the symmetrization
+    val sym = jac
+      .select(col("part_a").as("item"), col("part_b").as("co_item"),
+        col("n_inter"), col("n_union"), col("jaccard_ppm"))
+      .unionAll(jac.select(col("part_b"), col("part_a"),
+        col("n_inter"), col("n_union"), col("jaccard_ppm")))
+    graft.plans.GroupedTopK.topK(sym, Seq("item"),
+        col("jaccard_ppm"), col("co_item"), k = 3, rankName = "rnk")
+      .select(col("item"), col("co_item"), col("n_inter"), col("n_union"),
+        col("jaccard_ppm"), col("rnk"))
+      .orderBy(col("item"), col("rnk"))
+  }
+
   // ---------------------------------------------------------------- oracle
 
   /** Straight-line nested coreness peel: levels 2..4 over the
@@ -173,6 +274,111 @@ object QueriesR9 {
   val sql: Map[String, String] = Map(
     "graph_coreness" -> corenessSql,
     "graph_trussness" -> trussnessSql,
+    "dedup_substring" ->
+      """WITH tok AS (
+        |  SELECT doc_id, str_split(text, ' ') AS tk FROM documents
+        |), win AS (
+        |  SELECT doc_id, i AS pos,
+        |    array_to_string(list_slice(tk, i, i + 7), ' ') AS w
+        |  FROM tok, (SELECT unnest(range(1, 200)) AS i) r
+        |  WHERE i + 7 <= len(tk)
+        |), winu AS (
+        |  SELECT doc_id, w, MIN(pos) AS pos FROM win GROUP BY doc_id, w
+        |), rare AS (SELECT w FROM winu GROUP BY w HAVING COUNT(*) <= 50),
+        |wf AS (SELECT winu.* FROM winu JOIN rare USING (w)),
+        |pairs AS MATERIALIZED (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, b.pos AS pb
+        |  FROM wf a JOIN wf b ON a.w = b.w AND a.doc_id < b.doc_id
+        |), runs AS (
+        |  SELECT doc_a, doc_b,
+        |    pa - row_number() OVER (PARTITION BY doc_a, doc_b ORDER BY pa) AS ga,
+        |    pb - row_number() OVER (PARTITION BY doc_a, doc_b ORDER BY pa) AS gb
+        |  FROM pairs
+        |), isl AS (
+        |  SELECT doc_a, doc_b, CAST(COUNT(*) AS BIGINT) AS run
+        |  FROM runs GROUP BY doc_a, doc_b, ga, gb
+        |), longest AS (
+        |  SELECT doc_a, doc_b, CAST(MAX(run) + 7 AS BIGINT) AS longest_tokens
+        |  FROM isl GROUP BY doc_a, doc_b
+        |), counts AS (
+        |  SELECT doc_a, doc_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+        |  FROM pairs GROUP BY doc_a, doc_b HAVING COUNT(*) >= 2
+        |)
+        |SELECT c.doc_a, c.doc_b, c.n_shared, l.longest_tokens
+        |FROM counts c JOIN longest l USING (doc_a, doc_b)
+        |ORDER BY c.doc_a, c.doc_b""".stripMargin,
+    "cdc_conflicts" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec, event_id
+        |  FROM events
+        |), b AS (
+        |  SELECT user_id, ts_sec // 3600 AS bucket,
+        |    SUM(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS n_a,
+        |    SUM(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END) AS n_b,
+        |    MAX(ts_sec * 100000000 + event_id) AS mo
+        |  FROM e GROUP BY 1, 2
+        |)
+        |SELECT user_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_buckets,
+        |  CAST(SUM(CASE WHEN n_a > 0 AND n_b > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_conflicts,
+        |  CAST(SUM(CASE WHEN n_a > 0 AND n_b > 0 AND mo % 2 = 0
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_wins_a,
+        |  CAST(SUM(CASE WHEN n_a > 0 AND n_b > 0 AND mo % 2 = 1
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_wins_b,
+        |  CAST(MAX(CASE WHEN n_a > 0 AND n_b > 0 THEN bucket END) AS BIGINT)
+        |    AS last_conflict_bucket
+        |FROM b GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "stream_class_balance" -> QueriesR7.sql("q_class_balance"),
+    "text_heaps" ->
+      """WITH toks AS (
+        |  SELECT doc_id, str_split(text, ' ') AS tk FROM documents
+        |), tok AS (
+        |  SELECT doc_id, unnest(tk) AS tok,
+        |    unnest(range(1, len(tk) + 1)) AS pos
+        |  FROM toks
+        |), marked AS (
+        |  SELECT doc_id,
+        |    CASE WHEN row_number() OVER (PARTITION BY tok
+        |      ORDER BY doc_id, pos) = 1 THEN 1 ELSE 0 END AS is_new
+        |  FROM tok
+        |), per_doc AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok,
+        |    CAST(SUM(is_new) AS BIGINT) AS n_new
+        |  FROM marked GROUP BY doc_id
+        |)
+        |SELECT doc_id,
+        |  CAST(SUM(n_tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+        |    AS BIGINT) AS cum_tokens,
+        |  CAST(SUM(n_new) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+        |    AS BIGINT) AS cum_vocab
+        |FROM per_doc ORDER BY doc_id""".stripMargin,
+    "q_item_similarity" ->
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem
+        |), f AS (
+        |  SELECT item, CAST(COUNT(*) AS BIGINT) AS n FROM li GROUP BY item
+        |), p AS (
+        |  SELECT a.item AS ia, b.item AS ib, CAST(COUNT(*) AS BIGINT) AS inter
+        |  FROM li a JOIN li b ON a.basket = b.basket AND a.item < b.item
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 3
+        |), j AS (
+        |  SELECT ia, ib, inter,
+        |    CAST(fa.n + fb.n - inter AS BIGINT) AS uni,
+        |    CAST(inter * 1000000 // (fa.n + fb.n - inter) AS BIGINT) AS jac
+        |  FROM p JOIN f fa ON fa.item = p.ia JOIN f fb ON fb.item = p.ib
+        |), s AS (
+        |  SELECT ia AS item, ib AS co_item, inter, uni, jac FROM j
+        |  UNION ALL SELECT ib, ia, inter, uni, jac FROM j
+        |), r AS (
+        |  SELECT item, co_item, inter AS n_inter, uni AS n_union,
+        |    jac AS jaccard_ppm,
+        |    CAST(row_number() OVER (PARTITION BY item
+        |      ORDER BY jac DESC, co_item) AS BIGINT) AS rnk
+        |  FROM s
+        |)
+        |SELECT item, co_item, n_inter, n_union, jaccard_ppm, rnk
+        |FROM r WHERE rnk <= 3 ORDER BY item, rnk""".stripMargin,
     "zorder_incremental" ->
       """SELECT event_id, user_id, event_type FROM events
         |WHERE user_id BETWEEN 2 AND 9 AND event_id BETWEEN 100 AND 700

@@ -200,4 +200,39 @@ object Cdc {
           .otherwise(lit("unchanged")).as("status"))
       .groupBy(col("status")).agg(count(lit(1)).as("n_keys"))
   }
+
+  /** C33: multi-source (bidirectional / multi-master) conflict detection
+    * — the failure mode the reference's one-direction pipeline
+    * (03_cdc_etl.py) never has to face: two replicas both accepting
+    * writes. A conflict is a key that BOTH sources updated within the
+    * same `bucketSec` window; resolution is deterministic last-writer-
+    * wins on the composite (ts, seq) — seq (a monotone change id) breaks
+    * exact-timestamp ties, so replaying either side's feed reproduces
+    * the same winner (the GoldenGate/BDR resolution contract).
+    *
+    * One shuffle on (pk, bucket); the composite order key is packed into
+    * a single int64 (ts·10⁸ + seq, exact while ts < 9.2·10¹⁰ s and
+    * seq < 10⁸) so the winner is a plain MAX — no window sort, and any
+    * engine reproduces it with arg_max-free SQL.
+    *
+    * @return per (pk, bucket): per-source update counts, is_conflict,
+    *         and the winning seq (the caller maps it back to its source)
+    */
+  def detectConflicts(updates: DataFrame, pk: Column, ts: Column,
+                      seq: Column, source: Column,
+                      bucketSec: Long): DataFrame = {
+    val packed = ts.cast("long") * 100000000L + seq.cast("long")
+    updates
+      .select(pk.as("pk"),
+        floor(ts.cast("long") / bucketSec).cast("long").as("bucket"),
+        source.as("src"), packed.as("ord"), seq.cast("long").as("seq"))
+      .groupBy(col("pk"), col("bucket"))
+      .agg(
+        sum(when(col("src") === "a", 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("src") === "b", 1L).otherwise(0L)).as("n_b"),
+        max(col("ord")).as("max_ord"))
+      .withColumn("is_conflict", col("n_a") > 0 && col("n_b") > 0)
+      .withColumn("winner_seq", col("max_ord") % 100000000L)
+      .drop("max_ord")
+  }
 }

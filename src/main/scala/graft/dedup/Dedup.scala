@@ -666,4 +666,69 @@ object Dedup {
       .select(col("doc_id")).distinct()
     allIds.join(blocked, Seq("doc_id"), "left_anti")
   }
+
+  /** D14: exact substring-overlap dedup — the training-data "exact
+    * substring" pass (Lee et al., "Deduplicating Training Data Makes
+    * Language Models Better": 50-token exact overlaps across documents),
+    * re-expressed as sliding-window grouping instead of a suffix array:
+    * every `w`-token window of every doc is a join key; docs sharing
+    * ≥ `minShared` distinct windows are reported with their longest
+    * CONTIGUOUS run of shared windows (a run of r windows = an exact
+    * shared substring of w + r − 1 tokens).
+    *
+    * Scale posture: never corpus-quadratic — candidate pairs come only
+    * from window-key groups, and windows occurring in more than `hotCap`
+    * docs (boilerplate) are dropped before pair generation, bounding any
+    * group's contribution to C(hotCap, 2). Windows are deduped to their
+    * FIRST occurrence per doc, so runs are counted over first
+    * occurrences (deterministic in both engines). All operators are
+    * codegen builtins (split/slice/concat_ws/posexplode + two
+    * aggregates and one window pass); the raw window STRING is the join
+    * key for cross-engine exactness — a production deployment swaps it
+    * for xxhash64(window) with the identical plan shape.
+    *
+    * @return (doc_a < doc_b, n_shared distinct windows,
+    *         longest_tokens = w + longest run − 1), n_shared ≥ minShared
+    */
+  def substringOverlap(docs: DataFrame, id: Column, text: Column,
+                       w: Int, minShared: Int, hotCap: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(w >= 2 && minShared >= 1 && hotCap >= 2,
+      s"bad params (w=$w, minShared=$minShared, hotCap=$hotCap)")
+    val tok = docs.select(id.as("doc_id"), split(text, " ").as("tk"))
+    // sequence(a, b) runs DESCENDING when b < a — guard the short docs
+    val win = tok
+      .select(col("doc_id"), posexplode(expr(
+        s"""CASE WHEN size(tk) >= $w
+           |  THEN transform(sequence(1, size(tk) - ${w - 1}),
+           |                 i -> concat_ws(' ', slice(tk, i, $w)))
+           |  ELSE array() END""".stripMargin)))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("w"))
+    val winu = win.groupBy(col("doc_id"), col("w"))
+      .agg(min(col("pos")).as("pos"))
+    val rare = winu.groupBy(col("w"))
+      .agg(count(lit(1)).as("df")).filter(col("df") <= hotCap)
+      .select(col("w"))
+    val wf = winu.join(rare, Seq("w"))
+    val pairs = wf.select(col("w"), col("doc_id").as("doc_a"), col("pos").as("pa"))
+      .join(wf.select(col("w"), col("doc_id").as("doc_b"), col("pos").as("pb")),
+        Seq("w"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("pa"), col("pb"))
+      .localCheckpoint(true) // feeds both the run pass and the count
+    val rn = row_number().over(
+      Window.partitionBy(col("doc_a"), col("doc_b")).orderBy(col("pa")))
+    val runs = pairs
+      .withColumn("ga", col("pa") - rn).withColumn("gb", col("pb") - rn)
+      .groupBy(col("doc_a"), col("doc_b"), col("ga"), col("gb"))
+      .agg(count(lit(1)).as("run"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg((max(col("run")) + (w - 1)).as("longest_tokens"))
+    pairs.groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .join(runs, Seq("doc_a", "doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("n_shared"),
+        col("longest_tokens"))
+  }
 }

@@ -43,6 +43,32 @@ object Basket {
     baskets.select(col("basket"), col("item")).distinct()
       .groupBy(col("item")).agg(count(lit(1)).as("support"))
 
+  /** R96: item-item Jaccard similarity — the item-based collaborative-
+    * filtering similarity matrix: for item pairs co-occurring in ≥
+    * `minPairSupport` baskets, |baskets(a) ∩ baskets(b)| over
+    * |baskets(a) ∪ baskets(b)| in exact ppm. Jaccard normalization is
+    * what separates "genuinely similar" from "merely popular" — the
+    * co-count table ([[pairSupports]], also-bought) ranks hubs first;
+    * this divides them back down by their ubiquity.
+    *
+    * Scale posture: pair generation is bounded by the BASKET contract
+    * (C(basket size, 2) rows per basket — per-source capped upstream
+    * like T10), never wedge- or corpus-quadratic; the per-item support
+    * join is item-keyed. Union via inclusion-exclusion, no set
+    * materialization.
+    */
+  def itemJaccard(baskets: DataFrame, minPairSupport: Long): DataFrame =
+    pairSupports(baskets)
+      .filter(col("support_pair") >= minPairSupport)
+      .join(itemSupports(baskets)
+        .select(col("item").as("part_a"), col("support").as("n_a")), Seq("part_a"))
+      .join(itemSupports(baskets)
+        .select(col("item").as("part_b"), col("support").as("n_b")), Seq("part_b"))
+      .withColumn("n_union", col("n_a") + col("n_b") - col("support_pair"))
+      .select(col("part_a"), col("part_b"),
+        col("support_pair").as("n_inter"), col("n_union"),
+        expr("support_pair * 1000000 div n_union").as("jaccard_ppm"))
+
   /** Merge counter tables (stored + delta(s)): groupBy-sum on the key
     * columns, with `valueCol` summed. Exact for any batch split.
     */

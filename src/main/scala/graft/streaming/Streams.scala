@@ -1031,4 +1031,47 @@ object Streams {
           min(col("n_users")).as("min_group_users"))
     }
   }
+
+  /** X25: streaming class-balance monitor — R83's label-share/Gini
+    * report maintained from ONE LONG of state per label (the running
+    * count); each batch emits the label's current count, update-mode
+    * max-per-label is the final snapshot (counts only grow), and the
+    * drained snapshot derives shares and the Gini impurity exactly as
+    * the batch report does. O(|labels|) total state — the live
+    * "did the ingest skew my training mix" alarm next to X24's
+    * re-identification alarm. Shares R83's oracle.
+    */
+  def streamingClassBalance(spark: SparkSession, rows: DataFrame,
+                            queryName: String,
+                            rocksDb: Boolean = UseRocksDb): DataFrame = {
+    import spark.implicits._
+    val typed = rows.select(col("label").cast("long")).as[Long]
+    val path = stageToTemp(typed.toDF("label"), "sclassbal")
+
+    val step: (Long, Iterator[Long], GroupState[Long]) => (Long, Long) =
+      (label, batch, state) => {
+        val n = state.getOption.getOrElse(0L) + batch.size.toLong
+        state.update(n)
+        (label, n)
+      }
+
+    withStateSession(spark, 8, rocksDb) { iso =>
+      val stream = iso.readStream.schema(typed.schema).parquet(path).as[Long]
+      val counts = stream.groupByKey(identity)
+        .mapGroupsWithState(GroupStateTimeout.NoTimeout)(step)
+        .toDF("label", "n_emit")
+      val q = counts.writeStream.outputMode("update")
+        .format("memory").queryName(queryName).start()
+      try { q.processAllAvailable() } finally { q.stop() }
+      val snap = iso.table(queryName)
+        .groupBy(col("label")).agg(max(col("n_emit")).as("n"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy()
+      snap
+        .withColumn("n_total", sum(col("n")).over(w))
+        .withColumn("share_ppm", expr("n * 1000000 div n_total"))
+        .withColumn("gini_ppm",
+          expr("1000000 - sum(n * n) OVER () * 1000000 div (n_total * n_total)"))
+        .select(col("label"), col("n"), col("share_ppm"), col("gini_ppm"))
+    }
+  }
 }

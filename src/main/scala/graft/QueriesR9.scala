@@ -187,6 +187,33 @@ object QueriesR9 {
       .orderBy(col("item"), col("rnk"))
   }
 
+  /** R98: 3-clique percolation communities (see
+    * [[graft.operators.Graph.cliquePercolation3]]) over the minhash-LSH
+    * near-dup candidate graph — overlapping duplicate-group communities
+    * that never leak across bridge edges (the same fixture and band
+    * parameters as `dedup_cluster`, whose plain CC merges across them).
+    */
+  def graphPercolation(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val pairs = graft.dedup.Dedup.lshCandidates(d, col("doc_id"), col("text"),
+      shingleWords = 3, k = 12, bands = 4)
+    graft.operators.Graph.cliquePercolation3(
+        pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
+      .orderBy(col("node"), col("community"))
+  }
+
+  /** X26: streaming backfill-gap monitor (see
+    * [[graft.streaming.Streams.streamingBackfillGaps]]) — C28's planner
+    * as a live feed-health alarm; shares C28's oracle.
+    */
+  def streamBackfillGaps(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events").select(col("event_type"),
+      expr("unix_micros(CAST(ts AS TIMESTAMP)) div 3600000000").as("hr"))
+    graft.streaming.Streams.streamingBackfillGaps(s, e,
+        queryName = s"gate_sbackfill_${System.nanoTime()}")
+      .orderBy(col("event_type"))
+  }
+
   // ---------------------------------------------------------------- oracle
 
   /** Straight-line nested coreness peel: levels 2..4 over the
@@ -330,6 +357,40 @@ object QueriesR9 {
         |    AS last_conflict_bucket
         |FROM b GROUP BY user_id ORDER BY user_id""".stripMargin,
     "stream_class_balance" -> QueriesR7.sql("q_class_balance"),
+    "stream_backfill_gaps" -> QueriesR7.sql("cdc_backfill_plan"),
+    "graph_percolation" ->
+      s"""WITH RECURSIVE ${QueriesData.minhashCtes},
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+         |), tri AS MATERIALIZED (
+         |  SELECT x.id_a AS a, x.id_b AS b, y.id_b AS c,
+         |    x.id_a * 1099511627776 + x.id_b * 1048576 + y.id_b AS tid
+         |  FROM cand x
+         |  JOIN cand y ON y.id_a = x.id_b
+         |  JOIN cand z ON z.id_a = x.id_a AND z.id_b = y.id_b
+         |), tedge AS MATERIALIZED (
+         |  SELECT tid, a AS u, b AS v FROM tri
+         |  UNION ALL SELECT tid, b, c FROM tri
+         |  UNION ALL SELECT tid, a, c FROM tri
+         |), adj AS (
+         |  SELECT p.tid AS s, q.tid AS d FROM tedge p JOIN tedge q
+         |  ON p.u = q.u AND p.v = q.v AND p.tid < q.tid
+         |), sym AS (
+         |  SELECT s, d FROM adj UNION SELECT d, s FROM adj
+         |), reach(id, lbl) AS (
+         |  SELECT tid, tid FROM tri
+         |  UNION
+         |  SELECT s.s, r.lbl FROM reach r JOIN sym s ON s.d = r.id
+         |), comm AS (
+         |  SELECT id AS tid, MIN(lbl) AS community FROM reach GROUP BY id
+         |)
+         |SELECT DISTINCT n.node, CAST(c.community AS BIGINT) AS community
+         |FROM (SELECT tid, a AS node FROM tri
+         |      UNION ALL SELECT tid, b FROM tri
+         |      UNION ALL SELECT tid, c FROM tri) n
+         |JOIN comm c ON c.tid = n.tid
+         |ORDER BY node, community""".stripMargin,
     "text_heaps" ->
       """WITH toks AS (
         |  SELECT doc_id, str_split(text, ' ') AS tk FROM documents

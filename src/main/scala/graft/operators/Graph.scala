@@ -598,4 +598,60 @@ object Graph {
     }
     labels.groupBy(col("a"), col("b")).agg(max(col("lvl")).as("trussness"))
   }
+
+  /** R98: 3-clique percolation communities (Palla et al., CPM) — the
+    * OVERLAPPING community model: communities are connected components
+    * of the TRIANGLE-adjacency graph (triangles adjacent iff they share
+    * an edge), and a node belongs to every community whose triangles
+    * contain it. On near-dup candidate graphs this separates genuinely
+    * fused duplicate groups from clusters that merely touch through a
+    * bridge edge — a bridge carries no triangle, so CPM never leaks a
+    * community across it (exactly where plain CC over-merges).
+    *
+    * Plumbing: triangles from the a<b<c ordered wedge join (closing-edge
+    * semi-join), each packed into ONE int64 (a·2⁴⁰ + b·2²⁰ + c — ids
+    * must fit 20 bits; hash-pack at larger id domains), adjacency from a
+    * per-edge self-join of the 3-per-triangle edge rows (two distinct
+    * triangles share ≤ 1 edge, so no dedup pass), components via the
+    * O(log n) large-star/small-star contraction
+    * ([[graft.dedup.Dedup.connectedComponentsStar]]), community label =
+    * min packed tid. Lone triangles are their own community.
+    *
+    * @return (node, community) pairs — a node CAN appear under several
+    *         communities; nodes in no triangle appear in none
+    */
+  def cliquePercolation3(edges: DataFrame): DataFrame = {
+    val e = edges.select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+      .localCheckpoint(true)
+    val maxId = e.agg(coalesce(max(greatest(col("a"), col("b"))), lit(0L)))
+      .head().getLong(0)
+    require(maxId < (1L << 20),
+      s"cliquePercolation3: node id $maxId overflows the 20-bit packing")
+    val tri = e
+      .join(e.select(col("a").as("b"), col("b").as("c")), Seq("b"))
+      .join(e.select(col("a"), col("b").as("c")), Seq("a", "c"), "left_semi")
+      .select(col("a"), col("b"), col("c"))
+      .withColumn("tid",
+        col("a") * (1L << 40) + col("b") * (1L << 20) + col("c"))
+      .localCheckpoint(true)
+    val tedges = tri.select(col("tid"), explode(array(
+        struct(col("a").as("u"), col("b").as("v")),
+        struct(col("b").as("u"), col("c").as("v")),
+        struct(col("a").as("u"), col("c").as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"), col("tid"))
+    val adj = tedges.as("p")
+      .join(tedges.as("q"), Seq("u", "v"))
+      .filter(col("p.tid") < col("q.tid"))
+      .select(col("p.tid").as("id_a"), col("q.tid").as("id_b"))
+    val cc = graft.dedup.Dedup.connectedComponentsStar(adj)
+      .select(col("doc_id").as("tid"), col("cluster_id").as("community"))
+    val lone = tri.select(col("tid"))
+      .join(cc, Seq("tid"), "left_anti")
+      .select(col("tid"), col("tid").as("community"))
+    tri.select(col("tid"), explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .join(cc.unionByName(lone), Seq("tid"))
+      .select(col("node"), col("community")).distinct()
+  }
 }

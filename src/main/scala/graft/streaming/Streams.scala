@@ -1074,4 +1074,64 @@ object Streams {
         .select(col("label"), col("n"), col("share_ppm"), col("gini_ppm"))
     }
   }
+
+  /** X26: streaming backfill-gap monitor — C28's planner maintained
+    * continuously: per event_type the state is the observed-hour SET
+    * (bounded by the span; a production horizon caps/bitmaps it), each
+    * batch re-derives the gap report for that type, and the LATEST emit
+    * per type (update counter in the emit, not arrival order) is the
+    * final snapshot. The live "is my feed developing holes" alarm;
+    * shares C28's oracle (types with no gaps are absent, as there).
+    *
+    * Gap stats are NOT monotone (a late hour can close a gap), so the
+    * drain keys on the per-type update counter rather than a max over
+    * stats — deterministic under any micro-batch split.
+    */
+  def streamingBackfillGaps(spark: SparkSession, rows: DataFrame,
+                            queryName: String,
+                            rocksDb: Boolean = UseRocksDb): DataFrame = {
+    import spark.implicits._
+    val typed = rows.select(col("event_type").cast("string"),
+      col("hr").cast("long")).as[(String, Long)]
+    val path = stageToTemp(typed.toDF("event_type", "hr"), "sbackfill")
+
+    // state: (observed hours, update counter)
+    val step: (String, Iterator[(String, Long)],
+        GroupState[(Set[Long], Long)]) =>
+        (String, Long, Long, Long, Option[Long], Option[Long]) =
+      (et, batch, state) => {
+        var (seen, ver) = state.getOption.getOrElse((Set.empty[Long], 0L))
+        batch.foreach { case (_, h) => seen = seen + h }
+        ver += 1
+        state.update((seen, ver))
+        val lo = seen.min
+        val hi = seen.max
+        val missing = (lo to hi).filterNot(seen)
+        (et, ver, hi - lo + 1,
+          missing.size.toLong, missing.headOption, missing.lastOption)
+      }
+
+    withStateSession(spark, 8, rocksDb) { iso =>
+      val stream = iso.readStream.schema(typed.schema).parquet(path)
+        .as[(String, Long)]
+      val reports = stream.groupByKey(_._1)
+        .mapGroupsWithState(GroupStateTimeout.NoTimeout)(step)
+        .toDF("event_type", "ver", "n_slot_hours", "n_missing_hours",
+          "first_missing_hr", "last_missing_hr")
+      val q = reports.writeStream.outputMode("update")
+        .format("memory").queryName(queryName).start()
+      try { q.processAllAvailable() } finally { q.stop() }
+      // latest state per type = the max update counter's emit
+      iso.table(queryName)
+        .groupBy(col("event_type"))
+        .agg(max(struct(col("ver"), col("n_slot_hours"),
+          col("n_missing_hours"), col("first_missing_hr"),
+          col("last_missing_hr"))).as("s"))
+        .filter(col("s.n_missing_hours") > 0)
+        .select(col("event_type"), col("s.n_slot_hours").as("n_slot_hours"),
+          col("s.n_missing_hours").as("n_missing_hours"),
+          col("s.first_missing_hr").as("first_missing_hr"),
+          col("s.last_missing_hr").as("last_missing_hr"))
+    }
+  }
 }

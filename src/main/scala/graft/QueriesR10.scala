@@ -1,0 +1,191 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Round-4 continuation batch cc: incremental graph maintenance, stricter
+  * overlapping communities, bounded-state feed health.
+  *
+  * Reference anchor: the pipeline's incremental watermark-delta posture
+  * (03_cdc_etl.py) applied to graph analytics — maintain, don't recompute.
+  */
+object QueriesR10 {
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** R99: incremental coreness maintenance (see
+    * [[graft.operators.Graph.corenessIncremental]]) — the co-purchase
+    * graph split into a base (6/7 of the baskets) and an arrival batch
+    * (every 7th basket); exact coreness of the base feeds the
+    * maintenance pass, whose output must equal the full recompute (the
+    * oracle peels the MERGED graph from scratch).
+    */
+  def graphCorenessInc(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    def pairs(f: Column): DataFrame = {
+      val p = li.filter(f)
+      p.select(col("l_orderkey"), col("l_partkey").as("src"))
+        .join(p.select(col("l_orderkey"), col("l_partkey").as("dst")),
+          Seq("l_orderkey"))
+        .filter(col("src") < col("dst"))
+        .select(col("src"), col("dst"))
+    }
+    val base = pairs(col("l_orderkey") % 7 =!= 0)
+    val delta = pairs(col("l_orderkey") % 7 === 0)
+    val baseLabels =
+      graft.operators.Graph.coreness(base, maxK = 4, roundsPerLevel = 30)
+    graft.operators.Graph
+      .corenessIncremental(baseLabels, base, delta, maxK = 4, rounds = 30)
+      .orderBy(col("node"))
+  }
+
+  /** R100: 4-clique percolation communities (see
+    * [[graft.operators.Graph.cliquePercolation4]]) over a node-sampled
+    * co-purchase graph (every 4th part — the full graph is too dense to
+    * be interesting: nearly every part pair co-occurs somewhere, so CPM
+    * on a hash-sampled node subset is the production shape anyway).
+    * The stricter CPM level vs `graph_percolation`: groups fused by a
+    * shared edge or single shared pair separate again.
+    */
+  def graphPercolation4(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"))
+      .filter(col("l_partkey") % 4 === 0).distinct()
+    val edges = li.select(col("l_orderkey"), col("l_partkey").as("src"))
+      .join(li.select(col("l_orderkey"), col("l_partkey").as("dst")),
+        Seq("l_orderkey"))
+      .filter(col("src") < col("dst"))
+      .select(col("src"), col("dst"))
+    graft.operators.Graph.cliquePercolation4(edges)
+      .orderBy(col("node"), col("community"))
+  }
+
+  /** X27: streaming backfill-horizon monitor (see
+    * [[graft.streaming.Streams.streamingBackfillHorizon]]) — X26's gap
+    * alarm bounded to the trailing 48 hours with one-int64 bitmap state.
+    */
+  def streamBackfillHorizon(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events").select(col("event_type"),
+      expr("unix_micros(CAST(ts AS TIMESTAMP)) div 3600000000").as("hr"))
+    graft.streaming.Streams.streamingBackfillHorizon(s, e, horizon = 48,
+        queryName = s"gate_sbackfillh_${System.nanoTime()}")
+      .orderBy(col("event_type"))
+  }
+
+  // ---------------------------------------------------------------- oracle
+
+  /** Full-recompute nested coreness peel of the MERGED graph — the
+    * incremental path must reproduce it exactly. 6 unrolled rounds per
+    * level (vs `graph_coreness`'s 3): the Spark side returns the
+    * converged fixpoint, so the oracle must be run past convergence
+    * depth, not merely to the same fixed round count.
+    */
+  private val corenessIncSql = {
+    // AS MATERIALIZED: same inlining-blowup guard as graph_coreness
+    def level(k: Int, prev: String): String =
+      (1 to 6).map { r =>
+        val p = if (r == 1) prev else s"l${k}e${r - 1}"
+        s"""l${k}k$r AS MATERIALIZED (
+           |  SELECT src FROM $p GROUP BY src HAVING COUNT(*) >= $k),
+           |l${k}e$r AS MATERIALIZED (
+           |  SELECT e.src, e.dst FROM $p e
+           |  JOIN l${k}k$r x ON e.src = x.src JOIN l${k}k$r y ON e.dst = y.src
+           |)""".stripMargin
+      }.mkString(",\n")
+    s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |und AS (
+       |  SELECT a.l_partkey AS a, b.l_partkey AS b
+       |  FROM li a JOIN li b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |  GROUP BY 1, 2
+       |), e0 AS MATERIALIZED (
+       |  SELECT a AS src, b AS dst FROM und
+       |  UNION ALL SELECT b, a FROM und
+       |),
+       |${level(2, "e0")},
+       |${level(3, "l2e6")},
+       |${level(4, "l3e6")},
+       |m AS (
+       |  SELECT src AS node, 1 AS lvl FROM e0
+       |  UNION ALL SELECT src, 2 FROM l2e6
+       |  UNION ALL SELECT src, 3 FROM l3e6
+       |  UNION ALL SELECT src, 4 FROM l4e6
+       |)
+       |SELECT node, CAST(MAX(lvl) AS BIGINT) AS coreness
+       |FROM m GROUP BY node ORDER BY node""".stripMargin
+  }
+
+  val sql: Map[String, String] = Map(
+    "graph_coreness_inc" -> corenessIncSql,
+    "graph_percolation4" ->
+      s"""WITH RECURSIVE li AS (
+         |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+         |  WHERE l_partkey % 4 = 0
+         |), cand AS (
+         |  SELECT a.l_partkey AS id_a, b.l_partkey AS id_b
+         |  FROM li a JOIN li b
+         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         |  GROUP BY 1, 2
+         |), tri AS MATERIALIZED (
+         |  SELECT x.id_a AS a, x.id_b AS b, y.id_b AS c
+         |  FROM cand x
+         |  JOIN cand y ON y.id_a = x.id_b
+         |  JOIN cand z ON z.id_a = x.id_a AND z.id_b = y.id_b
+         |), k4 AS MATERIALIZED (
+         |  SELECT t.a, t.b, t.c, e.id_b AS d,
+         |    t.a * 35184372088832 + t.b * 1073741824
+         |      + t.c * 32768 + e.id_b AS qid
+         |  FROM tri t
+         |  JOIN cand e ON e.id_a = t.c
+         |  JOIN cand f ON f.id_a = t.a AND f.id_b = e.id_b
+         |  JOIN cand g ON g.id_a = t.b AND g.id_b = e.id_b
+         |), face AS MATERIALIZED (
+         |  SELECT qid, a * 1073741824 + b * 32768 + c AS t FROM k4
+         |  UNION ALL SELECT qid, a * 1073741824 + b * 32768 + d FROM k4
+         |  UNION ALL SELECT qid, a * 1073741824 + c * 32768 + d FROM k4
+         |  UNION ALL SELECT qid, b * 1073741824 + c * 32768 + d FROM k4
+         |), adj AS (
+         |  SELECT p.qid AS s, q.qid AS d FROM face p
+         |  JOIN face q ON p.t = q.t AND p.qid < q.qid
+         |), sym AS (
+         |  SELECT s, d FROM adj UNION SELECT d, s FROM adj
+         |), reach(id, lbl) AS (
+         |  SELECT qid, qid FROM k4
+         |  UNION
+         |  SELECT s.s, r.lbl FROM reach r JOIN sym s ON s.d = r.id
+         |), comm AS (
+         |  SELECT id AS qid, MIN(lbl) AS community FROM reach GROUP BY id
+         |)
+         |SELECT DISTINCT n.node, CAST(c.community AS BIGINT) AS community
+         |FROM (SELECT qid, a AS node FROM k4
+         |      UNION ALL SELECT qid, b FROM k4
+         |      UNION ALL SELECT qid, c FROM k4
+         |      UNION ALL SELECT qid, d FROM k4) n
+         |JOIN comm c ON c.qid = n.qid
+         |ORDER BY node, community""".stripMargin,
+    "stream_backfill_horizon" ->
+      """WITH e AS (
+        |  SELECT DISTINCT event_type, epoch_us(ts) // 3600000000 AS hr
+        |  FROM events
+        |), spans AS (
+        |  SELECT event_type, MIN(hr) AS lo, MAX(hr) AS hi FROM e GROUP BY 1
+        |), win AS (
+        |  SELECT event_type, GREATEST(lo, hi - 47) AS wlo, hi FROM spans
+        |), slots AS (
+        |  SELECT event_type, unnest(range(wlo, hi + 1)) AS hr FROM win
+        |), miss AS (
+        |  SELECT s.event_type, s.hr FROM slots s
+        |  LEFT JOIN e ON e.event_type = s.event_type AND e.hr = s.hr
+        |  WHERE e.hr IS NULL
+        |)
+        |SELECT m.event_type,
+        |  CAST(w.hi - w.wlo + 1 AS BIGINT) AS n_window_hours,
+        |  CAST(COUNT(*) AS BIGINT) AS n_missing_hours,
+        |  MIN(m.hr) AS first_missing_hr, MAX(m.hr) AS last_missing_hr
+        |FROM miss m JOIN win w ON w.event_type = m.event_type
+        |GROUP BY m.event_type, w.hi, w.wlo
+        |ORDER BY m.event_type""".stripMargin)
+}

@@ -654,4 +654,194 @@ object Graph {
       .join(cc.unionByName(lone), Seq("tid"))
       .select(col("node"), col("community")).distinct()
   }
+
+  /** R100: 4-clique percolation communities — CPM one notch stricter
+    * than [[cliquePercolation3]]: communities are connected components
+    * of the K4-adjacency graph (K4s adjacent iff they share a TRIANGLE,
+    * i.e. 3 of their 4 vertices). Two dense duplicate groups fused by a
+    * shared EDGE merge under 3-CPM (their triangles touch through that
+    * edge) but stay separate here — a shared edge is only 2 vertices, so
+    * no K4 adjacency crosses it. The escalation path when 3-CPM still
+    * over-merges: each k up trades recall for bridge resistance.
+    *
+    * Plumbing mirrors the k=3 operator with one more closure level:
+    * K4s from the ordered-triangle ⋈ extension-vertex join (two
+    * closing-edge semi-joins — bounded by triangle count × degree,
+    * never node-quadratic), each K4 packed into ONE int64 (4 × 15-bit
+    * ids), adjacency from the 4 triangular faces per K4 joined on the
+    * packed face key (two distinct K4s share ≤ 1 face — sharing two
+    * would mean 4 shared vertices, i.e. the same K4 — so no dedup
+    * pass), components via the O(log n) star contraction, community
+    * label = min packed K4 id. Lone K4s are their own community.
+    *
+    * @return (node, community) pairs — overlapping: a node CAN appear
+    *         under several communities; nodes in no K4 appear in none
+    */
+  def cliquePercolation4(edges: DataFrame): DataFrame = {
+    val e = edges.select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+      .localCheckpoint(true)
+    val maxId = e.agg(coalesce(max(col("b")), lit(0L))).head().getLong(0)
+    require(maxId < (1L << 15),
+      s"cliquePercolation4: node id $maxId overflows the 15-bit packing")
+    val tri = e
+      .join(e.select(col("a").as("b"), col("b").as("c")), Seq("b"))
+      .join(e.select(col("a"), col("b").as("c")), Seq("a", "c"), "left_semi")
+      .select(col("a"), col("b"), col("c"))
+    val k4 = tri
+      .join(e.select(col("a").as("c"), col("b").as("d")), Seq("c"))
+      .join(e.select(col("a"), col("b").as("d")), Seq("a", "d"), "left_semi")
+      .join(e.select(col("a").as("b"), col("b").as("d")), Seq("b", "d"),
+        "left_semi")
+      .select(col("a"), col("b"), col("c"), col("d"))
+      .withColumn("qid", col("a") * (1L << 45) + col("b") * (1L << 30) +
+        col("c") * (1L << 15) + col("d"))
+      .localCheckpoint(true)
+    val faces = k4.select(col("qid"), explode(array(
+        col("a") * (1L << 30) + col("b") * (1L << 15) + col("c"),
+        col("a") * (1L << 30) + col("b") * (1L << 15) + col("d"),
+        col("a") * (1L << 30) + col("c") * (1L << 15) + col("d"),
+        col("b") * (1L << 30) + col("c") * (1L << 15) + col("d"))).as("t"))
+    val adj = faces.as("p")
+      .join(faces.as("q"), Seq("t"))
+      .filter(col("p.qid") < col("q.qid"))
+      .select(col("p.qid").as("id_a"), col("q.qid").as("id_b"))
+    val cc = graft.dedup.Dedup.connectedComponentsStar(adj)
+      .select(col("doc_id").as("qid"), col("cluster_id").as("community"))
+    val lone = k4.select(col("qid"))
+      .join(cc, Seq("qid"), "left_anti")
+      .select(col("qid"), col("qid").as("community"))
+    k4.select(col("qid"),
+        explode(array(col("a"), col("b"), col("c"), col("d"))).as("node"))
+      .join(cc.unionByName(lone), Seq("qid"))
+      .select(col("node"), col("community")).distinct()
+  }
+
+  /** R99: incremental coreness maintenance under batch edge ARRIVALS —
+    * given exact [[coreness]] labels for a base graph and a delta of new
+    * edges, produce the full graph's coreness WITHOUT re-peeling the
+    * old cores. The CDC posture applied to graph analytics: the nightly
+    * full decomposition plus per-batch maintenance whose work is
+    * proportional to the affected region, not the graph.
+    *
+    * Soundness (per level k): coreness is monotone under edge addition,
+    * so the old k-core survives verbatim — its members are never
+    * re-checked. The only question is the promoted set P = new k-core \
+    * old k-core. Every v ∈ P has < k old-neighbors inside the old
+    * k-core (else old-core ∪ {v} would contradict the old core's
+    * maximality), so v needs a supporting neighbor that is itself in P
+    * or a new delta edge — which chains: every connected component of
+    * the promoted set (in the new graph restricted to non-old-core
+    * vertices) contains a delta endpoint. Candidates are therefore the
+    * BFS closure of delta endpoints through the non-old-core part of
+    * the previous level's residue, and a candidate-only peel (support =
+    * neighbors in old core + surviving candidates) decides exactly who
+    * is promoted: the peel's maximal fixpoint unioned with the old core
+    * is a min-degree-k subgraph (⊆ new k-core) and contains P (P
+    * survives every peel round by induction) — so it IS the new k-core.
+    *
+    * Scale shape: per level, one anti-join for the candidate pool, a
+    * frontier BFS whose per-round shuffle is bounded by the closure
+    * region's edges, and a peel over candidate-incident edges only. A
+    * delta touching 1% of the graph peels ~1% of the edges; the old
+    * labels are read, never recomputed. Fixed `rounds` caps both loops
+    * with the [[kCore]] convergence early-exit (frontier empty / no
+    * deletion), so rounds ≥ the true closure depth gives the exact
+    * answer — GraphSpec pins incremental ≡ full recompute on a
+    * promotion-cascade chain where the delta's effect propagates the
+    * whole graph away from the new edge.
+    *
+    * @param baseLabels exact (node, coreness) for the base graph
+    * @param baseEdges  base (src, dst) pairs, any duplication/orientation
+    * @param deltaEdges newly-arrived (src, dst) pairs; may duplicate
+    *                   base edges (deduped) and introduce new nodes
+    * @param maxK       label ceiling, as in [[coreness]]
+    * @param rounds     per-level cap for both the closure BFS and the
+    *                   candidate peel
+    * @return (node, coreness ∈ [1, maxK]) for every non-isolated node
+    *         of the MERGED graph — identical to
+    *         `coreness(base ∪ delta, maxK, rounds)` at convergence
+    */
+  def corenessIncremental(baseLabels: DataFrame, baseEdges: DataFrame,
+                          deltaEdges: DataFrame, maxK: Int,
+                          rounds: Int): DataFrame = {
+    require(maxK >= 1, s"maxK must be >= 1, got $maxK")
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    def canon(df: DataFrame): DataFrame =
+      df.select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .filter(col("a") =!= col("b")).distinct()
+    val und = canon(baseEdges).unionAll(canon(deltaEdges)).distinct()
+    val dir = und.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(und.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint(true)
+    val touched = canon(deltaEdges)
+      .select(explode(array(col("a"), col("b"))).as("node")).distinct()
+      .localCheckpoint(true)
+    val allNodes = dir.select(col("src").as("node")).distinct()
+      .localCheckpoint(true)
+    var labels = allNodes.select(col("node"), lit(1L).as("lvl"))
+    var prev = allNodes
+    var k = 2
+    var empty = false
+    while (k <= maxK && !empty) {
+      // monotonicity: the old k-core survives any edge addition
+      val oldCore = baseLabels.filter(col("coreness") >= k)
+        .select(col("node")).localCheckpoint(true)
+      // candidate pool: previous level's NEW residue minus the old core
+      val pool = prev.join(oldCore, Seq("node"), "left_anti")
+        .localCheckpoint(true)
+      // closure of delta endpoints through the pool — every promoted
+      // component contains one (see soundness note above)
+      var reached = touched.join(pool, Seq("node"), "left_semi")
+        .localCheckpoint(true)
+      var frontier = reached
+      var r = 0
+      while (r < rounds && !frontier.isEmpty) {
+        frontier = dir
+          .join(broadcast(frontier.withColumnRenamed("node", "src")),
+            Seq("src"), "left_semi")
+          .select(col("dst").as("node")).distinct()
+          .join(pool, Seq("node"), "left_semi")
+          .join(reached, Seq("node"), "left_anti")
+          .localCheckpoint(true)
+        reached = reached.unionAll(frontier).localCheckpoint(true)
+        r += 1
+      }
+      // candidate-only peel: survive with ≥ k neighbors in the old core
+      // or among surviving candidates; only candidate-incident edges move
+      val candEdges = dir
+        .join(reached.withColumnRenamed("node", "src"), Seq("src"),
+          "left_semi")
+        .localCheckpoint(true)
+      var alive = reached
+      var nAlive = alive.count()
+      var done = nAlive == 0
+      var it = 0
+      while (it < rounds && !done) {
+        val keep = oldCore.unionAll(alive).withColumnRenamed("node", "dst")
+        val next = candEdges
+          .join(alive.withColumnRenamed("node", "src"), Seq("src"),
+            "left_semi")
+          .join(keep, Seq("dst"), "left_semi")
+          .groupBy(col("src")).agg(count(lit(1)).as("deg"))
+          .filter(col("deg") >= k).select(col("src").as("node"))
+          .localCheckpoint(true)
+        val n = next.count()
+        if (n == nAlive) done = true
+        else { alive = next; nAlive = n; it += 1 }
+      }
+      val core =
+        (if (nAlive == 0) oldCore else oldCore.unionAll(alive))
+          .localCheckpoint(true)
+      empty = core.isEmpty
+      if (!empty)
+        labels = labels.unionAll(
+          core.select(col("node"), lit(k.toLong).as("lvl")))
+      prev = core
+      k += 1
+    }
+    labels.groupBy(col("node")).agg(max(col("lvl")).as("coreness"))
+  }
 }

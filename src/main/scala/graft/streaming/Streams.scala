@@ -1134,4 +1134,95 @@ object Streams {
           col("s.last_missing_hr").as("last_missing_hr"))
     }
   }
+
+  /** X27: streaming backfill-HORIZON monitor — [[streamingBackfillGaps]]
+    * bounded to the trailing `horizon` hours with O(1) state: per
+    * event_type the state is (loSeen, hiSeen, bitmap, ver) where bit i
+    * of ONE int64 records presence of hour (hiSeen − i). X26's state is
+    * the full observed-hour set (grows with stream lifetime); here a
+    * year-old feed costs the same 4 longs per key as a day-old one —
+    * the shape that survives an unbounded stream. Late hours still
+    * close gaps exactly: any hour inside the final window is within 64
+    * of every intermediate maximum, so its bit survives every shift.
+    *
+    * The report is the gap scan of the window [max(loSeen, hiSeen −
+    * horizon + 1), hiSeen] — keys whose trailing window is complete are
+    * absent, like X26. Non-monotone for the same reason, so the drain
+    * keys on the per-type update counter.
+    *
+    * @param horizon trailing window size in hours, ≤ 64 (one packed
+    *                int64; widen to an array of longs beyond that)
+    */
+  def streamingBackfillHorizon(spark: SparkSession, rows: DataFrame,
+                               horizon: Int, queryName: String,
+                               rocksDb: Boolean = UseRocksDb): DataFrame = {
+    require(horizon >= 1 && horizon <= 64,
+      s"horizon must be in [1, 64], got $horizon")
+    import spark.implicits._
+    val typed = rows.select(col("event_type").cast("string"),
+      col("hr").cast("long")).as[(String, Long)]
+    val path = stageToTemp(typed.toDF("event_type", "hr"), "sbackfillh")
+
+    // state: (loSeen, hiSeen, bits, ver); bit i of bits = hour (hiSeen-i)
+    val step: (String, Iterator[(String, Long)],
+        GroupState[(Long, Long, Long, Long)]) =>
+        (String, Long, Long, Long, Option[Long], Option[Long]) =
+      (et, batch, state) => {
+        var (lo, hi, bits, ver) =
+          state.getOption.getOrElse((0L, Long.MinValue, 0L, 0L))
+        batch.foreach { case (_, h) =>
+          if (hi == Long.MinValue) { lo = h; hi = h; bits = 1L }
+          else if (h > hi) {
+            val shift = h - hi
+            bits = if (shift >= 64L) 1L else (bits << shift) | 1L
+            hi = h
+          } else {
+            val i = hi - h
+            if (i < 64L) bits |= (1L << i)
+          }
+          if (h < lo) lo = h
+        }
+        ver += 1
+        state.update((lo, hi, bits, ver))
+        val wlo = math.max(lo, hi - horizon + 1)
+        val n = (hi - wlo + 1).toInt
+        var firstMiss = Option.empty[Long]
+        var lastMiss = Option.empty[Long]
+        var nMiss = 0L
+        var i = n - 1 // oldest window hour first
+        while (i >= 0) {
+          if ((bits & (1L << i)) == 0L) {
+            val hrMiss = hi - i
+            if (firstMiss.isEmpty) firstMiss = Some(hrMiss)
+            lastMiss = Some(hrMiss)
+            nMiss += 1
+          }
+          i -= 1
+        }
+        (et, ver, n.toLong, nMiss, firstMiss, lastMiss)
+      }
+
+    withStateSession(spark, 8, rocksDb) { iso =>
+      val stream = iso.readStream.schema(typed.schema).parquet(path)
+        .as[(String, Long)]
+      val reports = stream.groupByKey(_._1)
+        .mapGroupsWithState(GroupStateTimeout.NoTimeout)(step)
+        .toDF("event_type", "ver", "n_window_hours", "n_missing_hours",
+          "first_missing_hr", "last_missing_hr")
+      val q = reports.writeStream.outputMode("update")
+        .format("memory").queryName(queryName).start()
+      try { q.processAllAvailable() } finally { q.stop() }
+      iso.table(queryName)
+        .groupBy(col("event_type"))
+        .agg(max(struct(col("ver"), col("n_window_hours"),
+          col("n_missing_hours"), col("first_missing_hr"),
+          col("last_missing_hr"))).as("s"))
+        .filter(col("s.n_missing_hours") > 0)
+        .select(col("event_type"),
+          col("s.n_window_hours").as("n_window_hours"),
+          col("s.n_missing_hours").as("n_missing_hours"),
+          col("s.first_missing_hr").as("first_missing_hr"),
+          col("s.last_missing_hr").as("last_missing_hr"))
+    }
+  }
 }

@@ -63,6 +63,31 @@ object QueriesR10 {
       .orderBy(col("node"), col("community"))
   }
 
+  /** R101: incremental trussness maintenance (see
+    * [[graft.operators.Graph.trussnessIncremental]]) — the same
+    * base/arrival basket split as `graph_coreness_inc`, at the EDGE
+    * level; the oracle re-peels the merged graph from scratch.
+    */
+  def graphTrussnessInc(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    def pairs(f: Column): DataFrame = {
+      val p = li.filter(f)
+      p.select(col("l_orderkey"), col("l_partkey").as("src"))
+        .join(p.select(col("l_orderkey"), col("l_partkey").as("dst")),
+          Seq("l_orderkey"))
+        .filter(col("src") < col("dst"))
+        .select(col("src"), col("dst"))
+    }
+    val base = pairs(col("l_orderkey") % 7 =!= 0)
+    val delta = pairs(col("l_orderkey") % 7 === 0)
+    val baseLabels =
+      graft.operators.Graph.trussness(base, maxK = 4, roundsPerLevel = 30)
+    graft.operators.Graph
+      .trussnessIncremental(baseLabels, base, delta, maxK = 4, rounds = 30)
+      .orderBy(col("a"), col("b"))
+  }
+
   /** X27: streaming backfill-horizon monitor (see
     * [[graft.streaming.Streams.streamingBackfillHorizon]]) — X26's gap
     * alarm bounded to the trailing 48 hours with one-int64 bitmap state.
@@ -118,8 +143,49 @@ object QueriesR10 {
        |FROM m GROUP BY node ORDER BY node""".stripMargin
   }
 
+  /** Full-recompute nested trussness peel of the merged graph — 4
+    * unrolled support rounds per level (vs `graph_trussness`'s 2), past
+    * the fixture's convergence depth for the same reason as
+    * [[corenessIncSql]].
+    */
+  private val trussnessIncSql = {
+    // AS MATERIALIZED: same inlining-blowup guard as graph_trussness
+    def level(k: Int, prev: String): String =
+      (1 to 4).map { r =>
+        val p = if (r == 1) prev else s"t${k}e${r - 1}"
+        s"""t${k}d$r AS MATERIALIZED (
+           |  SELECT a AS src, b AS dst FROM $p UNION ALL SELECT b, a FROM $p
+           |), t${k}s$r AS MATERIALIZED (
+           |  SELECT e.a, e.b, CAST(COUNT(*) AS BIGINT) AS sup FROM $p e
+           |  JOIN t${k}d$r x ON x.src = e.a
+           |  JOIN t${k}d$r y ON y.src = e.b AND y.dst = x.dst
+           |  GROUP BY e.a, e.b
+           |), t${k}e$r AS MATERIALIZED (
+           |  SELECT e.a, e.b FROM $p e
+           |  JOIN t${k}s$r s ON s.a = e.a AND s.b = e.b AND s.sup >= ${k - 2}
+           |)""".stripMargin
+      }.mkString(",\n")
+    s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |e0 AS MATERIALIZED (
+       |  SELECT a.l_partkey AS a, b.l_partkey AS b
+       |  FROM li a JOIN li b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |  GROUP BY 1, 2
+       |),
+       |${level(3, "e0")},
+       |${level(4, "t3e4")},
+       |m AS (
+       |  SELECT a, b, 2 AS lvl FROM e0
+       |  UNION ALL SELECT a, b, 3 FROM t3e4
+       |  UNION ALL SELECT a, b, 4 FROM t4e4
+       |)
+       |SELECT a, b, CAST(MAX(lvl) AS BIGINT) AS trussness
+       |FROM m GROUP BY a, b ORDER BY a, b""".stripMargin
+  }
+
   val sql: Map[String, String] = Map(
     "graph_coreness_inc" -> corenessIncSql,
+    "graph_trussness_inc" -> trussnessIncSql,
     "graph_percolation4" ->
       s"""WITH RECURSIVE li AS (
          |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem

@@ -844,4 +844,127 @@ object Graph {
     }
     labels.groupBy(col("node")).agg(max(col("lvl")).as("coreness"))
   }
+
+  /** R101: incremental trussness maintenance under batch edge ARRIVALS —
+    * [[corenessIncremental]]'s maintain-don't-recompute contract lifted
+    * to the EDGE level: given exact [[trussness]] labels for a base
+    * graph and a delta of new edges, produce the merged graph's
+    * trussness without re-peeling the old trusses.
+    *
+    * Soundness (per level k): the old k-truss survives any edge
+    * addition verbatim (its support triangles are intact), so only the
+    * promoted edge set P = new k-truss \ old k-truss is in question —
+    * and P always includes the qualifying delta edges themselves. Every
+    * e ∈ P needs ≥ k−2 support triangles inside the new truss; if some
+    * triangle-connected component of P contained no delta edge, all its
+    * members' supports would live in old edges (old truss + the
+    * component), making old-truss ∪ component a k-truss of the BASE
+    * graph — contradicting the old truss's maximality. So candidates
+    * are the triangle-adjacency BFS closure of the delta edges through
+    * the non-old-truss pool, and a candidate-only support peel (count
+    * triangles whose other two edges are old-truss or surviving
+    * candidates) decides promotion exactly: the peel fixpoint unioned
+    * with the old truss is a valid k-truss (⊆ the new one) and contains
+    * P (P survives every round by induction) — so it IS the new
+    * k-truss.
+    *
+    * Scale shape: per level, BFS rounds and peel rounds are wedge joins
+    * RESTRICTED to frontier/candidate edges — a delta touching 1% of
+    * the graph re-supports ~1% of the wedges; old labels are read,
+    * never recomputed. Fixed `rounds` caps both loops with the
+    * convergence early-exit, as everywhere in this module.
+    *
+    * @param baseLabels exact (a, b, trussness) for the base graph
+    * @return (a, b, trussness ∈ [2, maxK]) for every distinct merged
+    *         edge — identical to `trussness(base ∪ delta, ...)` at
+    *         convergence (TrussnessIncSpec pins a whole-ring promotion
+    *         cascade)
+    */
+  def trussnessIncremental(baseLabels: DataFrame, baseEdges: DataFrame,
+                           deltaEdges: DataFrame, maxK: Int,
+                           rounds: Int): DataFrame = {
+    require(maxK >= 2, s"maxK must be >= 2, got $maxK")
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    def canon(df: DataFrame): DataFrame =
+      df.select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .filter(col("a") =!= col("b")).distinct()
+    val und = canon(baseEdges).unionAll(canon(deltaEdges)).distinct()
+      .localCheckpoint(true)
+    // both-directions adjacency of the MERGED graph, for wedge closure
+    val dirAll = und.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(und.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint(true)
+    val delta = canon(deltaEdges).localCheckpoint(true)
+    var labels = und.select(col("a"), col("b"), lit(2L).as("lvl"))
+    var prev = und // edge set of the new (k-1)-truss
+    var k = 3
+    var empty = false
+    // edges sharing a triangle with `f` in the merged graph: for
+    // (a,b) ∈ f and common neighbor w, emit (a,w) and (b,w)
+    def triAdjacent(f: DataFrame): DataFrame = {
+      val wedges = f
+        .join(dirAll.select(col("src").as("a"), col("dst").as("w")),
+          Seq("a"))
+        .join(dirAll.select(col("src").as("b"), col("dst").as("w")),
+          Seq("b", "w"), "left_semi")
+      wedges.select(least(col("a"), col("w")).as("a"),
+          greatest(col("a"), col("w")).as("b"))
+        .unionAll(wedges.select(least(col("b"), col("w")).as("a"),
+          greatest(col("b"), col("w")).as("b")))
+        .distinct()
+    }
+    while (k <= maxK && !empty) {
+      // monotonicity: the old k-truss survives any edge addition
+      val oldTruss = baseLabels.filter(col("trussness") >= k)
+        .select(col("a"), col("b")).localCheckpoint(true)
+      val pool = prev.join(oldTruss, Seq("a", "b"), "left_anti")
+        .localCheckpoint(true)
+      // closure of the delta edges through the pool, via shared triangles
+      var reached = delta.join(pool, Seq("a", "b"), "left_semi")
+        .localCheckpoint(true)
+      var frontier = reached
+      var r = 0
+      while (r < rounds && !frontier.isEmpty) {
+        frontier = triAdjacent(frontier)
+          .join(pool, Seq("a", "b"), "left_semi")
+          .join(reached, Seq("a", "b"), "left_anti")
+          .localCheckpoint(true)
+        reached = reached.unionAll(frontier).localCheckpoint(true)
+        r += 1
+      }
+      // candidate-only peel: support = triangles whose other two edges
+      // are old-truss or surviving candidates
+      var alive = reached
+      var nAlive = alive.count()
+      var done = nAlive == 0
+      var it = 0
+      while (it < rounds && !done) {
+        val keep = oldTruss.unionAll(alive)
+        val keepDir = keep.select(col("a").as("src"), col("b").as("dst"))
+          .unionAll(keep.select(col("b").as("src"), col("a").as("dst")))
+        val next = alive
+          .join(keepDir.select(col("src").as("a"), col("dst").as("w")),
+            Seq("a"))
+          .join(keepDir.select(col("src").as("b"), col("dst").as("w")),
+            Seq("b", "w"), "left_semi")
+          .groupBy(col("a"), col("b")).agg(count(lit(1)).as("support"))
+          .filter(col("support") >= k - 2).select(col("a"), col("b"))
+          .localCheckpoint(true)
+        val n = next.count()
+        if (n == nAlive) done = true
+        else { alive = next; nAlive = n; it += 1 }
+      }
+      val truss =
+        (if (nAlive == 0) oldTruss else oldTruss.unionAll(alive))
+          .localCheckpoint(true)
+      empty = truss.isEmpty
+      if (!empty)
+        labels = labels.unionAll(
+          truss.select(col("a"), col("b"), lit(k.toLong).as("lvl")))
+      prev = truss
+      k += 1
+    }
+    labels.groupBy(col("a"), col("b")).agg(max(col("lvl")).as("trussness"))
+  }
 }

@@ -88,6 +88,28 @@ object QueriesR10 {
       .orderBy(col("a"), col("b"))
   }
 
+  /** R102: multi-source weighted shortest paths (see
+    * [[graft.operators.Graph.shortestPathsWeighted]]) — cost = inverse
+    * co-purchase affinity (1e6 div basket count, floored at 1), seeds =
+    * every 50th part; integer weights keep the oracle compare exact.
+    */
+  def graphSssp(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val und = li.select(col("l_orderkey"), col("l_partkey").as("src"))
+      .join(li.select(col("l_orderkey"), col("l_partkey").as("dst")),
+        Seq("l_orderkey"))
+      .filter(col("src") < col("dst"))
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("cnt"))
+      .select(col("src"), col("dst"),
+        greatest(lit(1L), expr("1000000 div cnt")).as("w"))
+    val seeds = und.select(col("src").as("node"))
+      .unionAll(und.select(col("dst").as("node")))
+      .filter(col("node") % 50 === 0).distinct()
+    graft.operators.Graph.shortestPathsWeighted(und, seeds, rounds = 12)
+      .orderBy(col("node"))
+  }
+
   /** X27: streaming backfill-horizon monitor (see
     * [[graft.streaming.Streams.streamingBackfillHorizon]]) — X26's gap
     * alarm bounded to the trailing 48 hours with one-int64 bitmap state.
@@ -183,9 +205,44 @@ object QueriesR10 {
        |FROM m GROUP BY a, b ORDER BY a, b""".stripMargin
   }
 
+  /** Straight-line unrolled Bellman-Ford: 12 relaxation rounds (the
+    * Spark side early-exits at its fixpoint; the fixture converges well
+    * inside 12 — dense co-purchase graphs have tiny weighted depth).
+    */
+  private val ssspSql = {
+    def round(r: Int): String = {
+      val p = s"d${r - 1}"
+      s"""d$r AS MATERIALIZED (
+         |  SELECT node, MIN(dist) AS dist FROM (
+         |    SELECT node, dist FROM $p
+         |    UNION ALL
+         |    SELECT e.dst, d.dist + e.w FROM $p d JOIN e ON e.src = d.node
+         |  ) GROUP BY node
+         |)""".stripMargin
+    }
+    s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |und AS (
+       |  SELECT a.l_partkey AS a, b.l_partkey AS b,
+       |    GREATEST(1, 1000000 // COUNT(*)) AS w
+       |  FROM li a JOIN li b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |  GROUP BY 1, 2
+       |), e AS MATERIALIZED (
+       |  SELECT a AS src, b AS dst, w FROM und
+       |  UNION ALL SELECT b, a, w FROM und
+       |), d0 AS MATERIALIZED (
+       |  SELECT DISTINCT src AS node, CAST(0 AS BIGINT) AS dist FROM e
+       |  WHERE src % 50 = 0
+       |),
+       |${(1 to 12).map(round).mkString(",\n")}
+       |SELECT node, CAST(dist AS BIGINT) AS dist
+       |FROM d12 ORDER BY node""".stripMargin
+  }
+
   val sql: Map[String, String] = Map(
     "graph_coreness_inc" -> corenessIncSql,
     "graph_trussness_inc" -> trussnessIncSql,
+    "graph_sssp" -> ssspSql,
     "graph_percolation4" ->
       s"""WITH RECURSIVE li AS (
          |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem

@@ -967,4 +967,62 @@ object Graph {
     }
     labels.groupBy(col("a"), col("b")).agg(max(col("lvl")).as("trussness"))
   }
+
+  /** R102: multi-source WEIGHTED shortest paths — [[bfsHops]] with edge
+    * costs: distributed Bellman-Ford, relaxed for a fixed number of
+    * rounds. On a co-purchase graph with cost = inverse affinity this
+    * is "how related is every part to the flagged set" where hop count
+    * would treat a chance co-occurrence and a 500-basket pairing as the
+    * same step.
+    *
+    * Fixed rounds for the [[bfsHops]] reasons: relaxation is monotone
+    * (per-node distances only decrease, new nodes only appear), rounds
+    * ≥ the shortest-path tree's edge depth ≡ exact, and the oracle
+    * stays a straight-line chained CTE. Convergence early-exit: the
+    * (count, sum) signature of the distance table is monotone (count
+    * only grows, sum per node only shrinks), so an unchanged signature
+    * means a fixpoint and ends the loop — two scalar aggregates per
+    * round, no row-level diff join. Per round the one-row-per-node
+    * distance table broadcasts into the edge join ([[pageRank]]
+    * posture); the only full-size shuffle is the dst min-aggregate.
+    *
+    * Weights must be non-negative (Bellman-Ford with negative cycles
+    * has no fixpoint); integer weights keep the oracle compare exact.
+    *
+    * @param edges (src, dst, w) — any duplication/orientation;
+    *              parallel edges collapse to the cheapest
+    * @param seeds one `node` column; seeds cost 0
+    * @param rounds fixed relaxation count
+    * @return (node, dist) for every node reached within `rounds` relaxed
+    *         edges
+    */
+  def shortestPathsWeighted(edges: DataFrame, seeds: DataFrame,
+                            rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val und = edges.select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"), col("w"))
+      .filter(col("a") =!= col("b"))
+      .groupBy(col("a"), col("b")).agg(min(col("w")).as("w"))
+    val dir = und.select(col("a").as("src"), col("b").as("dst"), col("w"))
+      .unionAll(und.select(col("b").as("src"), col("a").as("dst"), col("w")))
+      .localCheckpoint(true)
+    var dist = seeds.select(col("node"), lit(0L).as("dist"))
+      .localCheckpoint(true)
+    var lastSig: (Long, Long) = (-1L, -1L)
+    var r = 0
+    var converged = false
+    while (r < rounds && !converged) {
+      val relaxed = dir
+        .join(broadcast(dist.withColumnRenamed("node", "src")), Seq("src"))
+        .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
+      dist = dist.unionByName(relaxed)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint(true)
+      val row = dist.agg(count(lit(1)), coalesce(sum(col("dist")), lit(0L)))
+        .collect().head
+      val sig = (row.getLong(0), row.getLong(1))
+      if (sig == lastSig) converged = true else { lastSig = sig; r += 1 }
+    }
+    dist
+  }
 }

@@ -122,6 +122,26 @@ object QueriesR10 {
       .orderBy(col("event_type"))
   }
 
+  /** D15: sorted-neighborhood dedup (see
+    * [[graft.dedup.Dedup.sortedNeighborhoodPairs]]) — window 8 over the
+    * normalized-prefix sort order, 3-gram Jaccard ≥ 0.3 verify.
+    */
+  def dedupSortedNeighborhood(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    graft.dedup.Dedup.sortedNeighborhoodPairs(d, col("doc_id"), col("text"),
+        window = 8, nGram = 3, minPpm = 300000L)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Q5: Benford first-digit screen (see
+    * [[graft.operators.Quality.benford]]) over lineitem extended prices
+    * — a multi-magnitude money column, the textbook Benford subject.
+    */
+  def dqBenford(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Quality.benford(t(s, dir, "lineitem"),
+        col("l_extendedprice"))
+      .orderBy(col("digit"))
+
   // ---------------------------------------------------------------- oracle
 
   /** Full-recompute nested coreness peel of the MERGED graph — the
@@ -243,6 +263,62 @@ object QueriesR10 {
     "graph_coreness_inc" -> corenessIncSql,
     "graph_trussness_inc" -> trussnessIncSql,
     "graph_sssp" -> ssspSql,
+    "dedup_sorted_neighborhood" ->
+      """WITH base AS (
+        |  SELECT doc_id, text, substr(lower(trim(text)), 1, 24) AS key
+        |  FROM documents
+        |), ranked AS (
+        |  SELECT doc_id, text,
+        |    row_number() OVER (ORDER BY key, doc_id) AS rn
+        |  FROM base
+        |), pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM ranked a JOIN ranked b ON b.rn > a.rn AND b.rn < a.rn + 8
+        |), g AS (
+        |  SELECT DISTINCT doc_id, substr(text, i, 3) AS g
+        |  FROM (SELECT doc_id, text,
+        |          unnest(generate_series(1, length(text) - 2)) AS i
+        |        FROM documents) t
+        |), gs AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY 1),
+        |inter AS (
+        |  SELECT p.id_a, p.id_b, COUNT(*) AS ni
+        |  FROM pairs p
+        |  JOIN g ga ON ga.doc_id = p.id_a
+        |  JOIN g gb ON gb.doc_id = p.id_b AND gb.g = ga.g
+        |  GROUP BY 1, 2
+        |), scored AS (
+        |  SELECT p.id_a, p.id_b,
+        |    CAST(COALESCE(i.ni, 0) * 1000000
+        |      // (sa.n + sb.n - COALESCE(i.ni, 0)) AS BIGINT) AS jaccard_ppm
+        |  FROM pairs p
+        |  JOIN gs sa ON sa.doc_id = p.id_a
+        |  JOIN gs sb ON sb.doc_id = p.id_b
+        |  LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
+        |)
+        |SELECT id_a, id_b, jaccard_ppm FROM scored
+        |WHERE jaccard_ppm >= 300000
+        |ORDER BY id_a, id_b""".stripMargin,
+    "dq_benford" ->
+      """WITH d AS (
+        |  SELECT CAST(substr(CAST(CAST(floor(l_extendedprice) AS BIGINT)
+        |    AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        |  FROM lineitem WHERE l_extendedprice >= 1
+        |), o AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_obs
+        |         FROM d GROUP BY 1),
+        |t AS (SELECT SUM(n_obs) AS tt FROM o),
+        |e(digit, exp_ppm) AS (VALUES
+        |  (1, 301029), (2, 176091), (3, 124938), (4, 96910), (5, 79181),
+        |  (6, 66946), (7, 57991), (8, 51152), (9, 45757)),
+        |r AS (
+        |  SELECT CAST(e.digit AS BIGINT) AS digit,
+        |    COALESCE(o.n_obs, 0) AS n_obs,
+        |    CAST(COALESCE(o.n_obs, 0) * 1000000 // t.tt AS BIGINT) AS obs_ppm,
+        |    CAST(e.exp_ppm AS BIGINT) AS exp_ppm
+        |  FROM e CROSS JOIN t LEFT JOIN o ON o.digit = e.digit
+        |)
+        |SELECT digit, n_obs, obs_ppm, exp_ppm,
+        |  obs_ppm - exp_ppm AS dev_ppm
+        |FROM r ORDER BY digit""".stripMargin,
     "graph_percolation4" ->
       s"""WITH RECURSIVE li AS (
          |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem

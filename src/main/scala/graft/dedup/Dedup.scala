@@ -731,4 +731,63 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("n_shared"),
         col("longest_tokens"))
   }
+
+  /** D15: sorted-neighborhood dedup (Hernández–Stolfo SNM) — sort the
+    * corpus by a normalized blocking key, slide a fixed window down the
+    * sorted order, and exact-verify only the pairs inside the window:
+    * the classic record-linkage blocking scheme, complementary to LSH
+    * (D2) — SNM catches prefix-similar records whose differing tails
+    * break band signatures, LSH catches similarity anywhere.
+    *
+    * Spark-first shape, NO global sort of the data: the global rank
+    * comes from the two-stage scan (the R97 prefix-sum posture) — the
+    * only unpartitioned window runs over BUCKET COUNTS (first-byte
+    * buckets, metadata-sized); rows get rank = bucket offset + intra-
+    * bucket row_number, partitioned and parallel. Window pairs come
+    * from the bucketed band join (R24 machinery: Δrank ∈ [1, window−1]),
+    * and the n-gram Jaccard verify (exact, integer ppm) touches only
+    * those ~n·window pairs.
+    *
+    * @param window  SNM window size (pairs within window−1 rank steps)
+    * @param nGram   char n-gram size for the verify step
+    * @param minPpm  keep pairs with Jaccard ≥ minPpm/1e6
+    * @return (id_a, id_b, jaccard_ppm) — id_a is the LOWER-ranked doc
+    */
+  def sortedNeighborhoodPairs(docs: DataFrame, id: Column, text: Column,
+                              window: Int, nGram: Int,
+                              minPpm: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(window >= 2, s"window must be >= 2, got $window")
+    val base = docs.select(id.as("doc_id"), text.as("__text"))
+      .withColumn("__key", substring(lower(trim(col("__text"))), 1, 24))
+      .withColumn("__bkt", ascii(col("__key")))
+    val counts = base.groupBy(col("__bkt")).agg(count(lit(1)).as("__n"))
+    // the ONLY unpartitioned window: first-byte bucket counts
+    val wB = Window.orderBy(col("__bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts.select(col("__bkt"),
+      coalesce(sum(col("__n")).over(wB), lit(0L)).as("__off"))
+    val wIntra = Window.partitionBy(col("__bkt"))
+      .orderBy(col("__key"), col("doc_id"))
+    val ranked = base.join(broadcast(offsets), Seq("__bkt"))
+      .withColumn("__rank", col("__off") + row_number().over(wIntra))
+      .select(col("doc_id"), col("__text"), col("__rank"))
+    val lo = ranked.select(col("doc_id").as("id_a"),
+      col("__text").as("__ta"), col("__rank").as("__ra"))
+    val hi = ranked.select(col("doc_id").as("id_b"),
+      col("__text").as("__tb"), col("__rank").as("__rb"))
+    val pairs = graft.operators.RangeJoin.bandJoin(
+      hi, col("__rb"), lo, col("__ra") + 1, col("__ra") + window,
+      window.toDouble)
+    val ga = array_distinct(charShingles(col("__ta"), nGram))
+    val gb = array_distinct(charShingles(col("__tb"), nGram))
+    pairs
+      .withColumn("__inter", size(array_intersect(ga, gb)).cast("long"))
+      .withColumn("__union",
+        size(ga).cast("long") + size(gb).cast("long") - col("__inter"))
+      .withColumn("jaccard_ppm", when(col("__union") === 0, 0L)
+        .otherwise(expr("__inter * 1000000 div __union")))
+      .filter(col("jaccard_ppm") >= minPpm)
+      .select(col("id_a"), col("id_b"), col("jaccard_ppm"))
+  }
 }

@@ -65,4 +65,52 @@ object Quality {
       .select(col("r.check_name"), col("r.n_violations"),
         (col("r.n_violations") === 0L).as("passed"))
   }
+
+  /** Q5: Benford's-law first-digit screen — the forensic-accounting
+    * anomaly test applied to a numeric column: naturally-occurring
+    * multi-magnitude amounts follow P(d) = log10(1 + 1/d); fabricated,
+    * truncated, or unit-capped data does not. One scan (a 9-group hash
+    * aggregate); the expected ppm values are PRECOMPUTED integer
+    * constants so the engine-vs-oracle compare never touches float
+    * log10 rounding.
+    *
+    * A uniform- or normal-ish column legitimately fails Benford (the
+    * law needs several orders of magnitude) — the report states
+    * deviation, the analyst owns the verdict; that is why this is a
+    * REPORT, not a [[Check]].
+    *
+    * @param values rows with a positive numeric column; values < 1 are
+    *               excluded (no leading significant digit in the
+    *               integer part)
+    * @return one row per digit 1..9: (digit, n_obs, obs_ppm, exp_ppm,
+    *         dev_ppm = obs − exp)
+    */
+  def benford(values: DataFrame, value: Column): DataFrame = {
+    // floor(log10(1 + 1/d) * 1e6) for d = 1..9
+    val expPpm = Seq(301029L, 176091L, 124938L, 96910L, 79181L, 66946L,
+      57991L, 51152L, 45757L)
+    val digits = values.filter(value >= 1)
+      .select(substring(floor(value).cast("long").cast("string"), 1, 1)
+        .cast("long").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
+    val total = digits.agg(coalesce(sum(col("n_obs")), lit(0L)).as("__t"))
+    val exp = values.sparkSession.createDataFrame(
+      values.sparkSession.sparkContext.parallelize(
+        expPpm.zipWithIndex.map { case (p, i) =>
+          org.apache.spark.sql.Row(i + 1L, p) }, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("digit",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("exp_ppm",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+    exp.join(digits, Seq("digit"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("digit"),
+        coalesce(col("n_obs"), lit(0L)).as("n_obs"),
+        when(col("__t") === 0, 0L)
+          .otherwise(expr("coalesce(n_obs, 0) * 1000000 div __t"))
+          .as("obs_ppm"),
+        col("exp_ppm"))
+      .withColumn("dev_ppm", col("obs_ppm") - col("exp_ppm"))
+  }
 }

@@ -30,7 +30,9 @@ object Bench {
     "q_basket_incremental",
     // round-4 batches i-j: iterative peel, positional retrieval,
     // incremental dedup index
-    "graph_kcore", "text_phrase_prox", "dedup_incremental")
+    "graph_kcore", "text_phrase_prox", "dedup_incremental",
+    // round-4 batches cc-ee: weighted relaxation, CPM-4, SNM blocking
+    "graph_sssp", "graph_percolation4", "dedup_sorted_neighborhood")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

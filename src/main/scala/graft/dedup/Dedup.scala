@@ -772,21 +772,35 @@ object Dedup {
     val ranked = base.join(broadcast(offsets), Seq("__bkt"))
       .withColumn("__rank", col("__off") + row_number().over(wIntra))
       .select(col("doc_id"), col("__text"), col("__rank"))
-    val lo = ranked.select(col("doc_id").as("id_a"),
-      col("__text").as("__ta"), col("__rank").as("__ra"))
-    val hi = ranked.select(col("doc_id").as("id_b"),
-      col("__text").as("__tb"), col("__rank").as("__rb"))
+    val lo = ranked.select(col("doc_id").as("id_a"), col("__rank").as("__ra"))
+    val hi = ranked.select(col("doc_id").as("id_b"), col("__rank").as("__rb"))
+    // rank-only band join (narrow rows); texts never ride the shuffle
     val pairs = graft.operators.RangeJoin.bandJoin(
       hi, col("__rb"), lo, col("__ra") + 1, col("__ra") + window,
       window.toDouble)
-    val ga = array_distinct(charShingles(col("__ta"), nGram))
-    val gb = array_distinct(charShingles(col("__tb"), nGram))
+    // per-doc sorted distinct gram hashes, built ONCE (not per pair) and
+    // verified with the codegen'd merge scan — the ngramJaccardPairs
+    // posture; docs too short for a single n-gram drop their pairs (the
+    // oracle's gram-set join does the same)
+    val gramSets = base
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(col("doc_id"),
+        explode(array_distinct(charShingles(col("__text"), nGram))).as("g"))
+      .select(col("doc_id"), xxhash64(col("g")).as("gh"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("gh"))).as("grams"))
+      .withColumn("n_g", size(col("grams")).cast("long"))
+      .localCheckpoint(true)
     pairs
-      .withColumn("__inter", size(array_intersect(ga, gb)).cast("long"))
-      .withColumn("__union",
-        size(ga).cast("long") + size(gb).cast("long") - col("__inter"))
-      .withColumn("jaccard_ppm", when(col("__union") === 0, 0L)
-        .otherwise(expr("__inter * 1000000 div __union")))
+      .join(gramSets.select(col("doc_id").as("id_a"),
+        col("grams").as("__ga"), col("n_g").as("__na")), Seq("id_a"))
+      .join(gramSets.select(col("doc_id").as("id_b"),
+        col("grams").as("__gb"), col("n_g").as("__nb")), Seq("id_b"))
+      .withColumn("__inter", graft.functions.NativeExpressions
+        .sorted_intersect_count(col("__ga"), col("__gb")))
+      .withColumn("__union", col("__na") + col("__nb") - col("__inter"))
+      .withColumn("jaccard_ppm",
+        expr("__inter * 1000000 div __union"))
       .filter(col("jaccard_ppm") >= minPpm)
       .select(col("id_a"), col("id_b"), col("jaccard_ppm"))
   }

@@ -142,6 +142,24 @@ object QueriesR10 {
         col("l_extendedprice"))
       .orderBy(col("digit"))
 
+  /** T24: training-mixture materialization (see
+    * [[graft.operators.Sampling.mixtureSelect]]) — even-numbered sources
+    * get a 800-token budget, odd 200 (the 80/20 mixture), filled in
+    * deterministic md5 order.
+    */
+  def textMixtureSelect(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      .withColumn("budget",
+        when(substring(col("source"), 4, 10).cast("long") % 2 === 0, 800L)
+          .otherwise(200L))
+    graft.operators.Sampling.mixtureSelect(d, col("source"), col("doc_id"),
+        col("n_tokens"), col("budget"))
+      .select(col("source"), col("doc_id"), col("n_tokens"),
+        col("cum_before"))
+      .orderBy(col("source"), col("doc_id"))
+  }
+
   // ---------------------------------------------------------------- oracle
 
   /** Full-recompute nested coreness peel of the MERGED graph — the
@@ -298,6 +316,25 @@ object QueriesR10 {
         |SELECT id_a, id_b, jaccard_ppm FROM scored
         |WHERE jaccard_ppm >= 300000
         |ORDER BY id_a, id_b""".stripMargin,
+    "text_mixture_select" ->
+      """WITH d AS (
+        |  SELECT source, doc_id,
+        |    CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    CASE WHEN CAST(substr(source, 4) AS BIGINT) % 2 = 0
+        |      THEN 800 ELSE 200 END AS budget,
+        |    md5(CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents
+        |), c AS (
+        |  SELECT source, doc_id, n_tokens, budget,
+        |    CAST(COALESCE(SUM(n_tokens) OVER (
+        |      PARTITION BY source ORDER BY h, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS cum_before
+        |  FROM d
+        |)
+        |SELECT source, doc_id, n_tokens, cum_before FROM c
+        |WHERE cum_before < budget
+        |ORDER BY source, doc_id""".stripMargin,
     "dq_benford" ->
       """WITH d AS (
         |  SELECT CAST(substr(CAST(CAST(floor(l_extendedprice) AS BIGINT)

@@ -74,4 +74,41 @@ object Sampling {
       .limit(k)
       .drop("__pri")
   }
+
+  /** T24: training-mixture materialization — turn per-source TOKEN
+    * budgets into a concrete document selection: within each source,
+    * documents are taken in deterministic md5-of-id order until the
+    * source's budget is met (the first document CROSSING the budget
+    * boundary is included, so every source with any data meets its
+    * budget; overshoot < one document). The step between "the mixture
+    * spec says 30% web / 5% code" and an actual shard list — hash order
+    * makes the selection reproducible, engine-agnostic, and stable
+    * under reruns (the eval-set contract of hash sampling, applied to
+    * mixture weights).
+    *
+    * Scale shape: one window per source (partitioned — sources are the
+    * parallel unit), no global sort, no driver loop. Skewed sources
+    * parallelize across their window partition only; at 100 TB the
+    * per-source ordering is the same partitioned window every engine
+    * runs for dedup keepers.
+    *
+    * @param docs   one row per document
+    * @param source mixture-group column
+    * @param id     document id (hash-order seed)
+    * @param nTokens per-document token count
+    * @param budgetTokens per-ROW budget for its source (join weights in
+    *                     upstream; constant within a source)
+    * @return input rows that made the cut, plus `cum_before` (tokens
+    *         selected before this document in hash order)
+    */
+  def mixtureSelect(docs: DataFrame, source: Column, id: Column,
+                    nTokens: Column, budgetTokens: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(source)
+      .orderBy(md5(id.cast("string")), id)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .withColumn("cum_before", coalesce(sum(nTokens).over(w), lit(0L)))
+      .filter(col("cum_before") < budgetTokens)
+  }
 }

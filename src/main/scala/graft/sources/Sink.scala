@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions.col
 
 /** Write-side of the engine: the replica/lakehouse sinks.
   *
@@ -30,6 +31,45 @@ object Sink {
   }
 
   /** Read back anything write() produced. */
+  /** F12: permissive ingest with corrupt-record quarantine — the 100 TB
+    * ingest reality: a multi-TB CSV/JSON drop ALWAYS contains torn
+    * lines, stray quotes, schema drift; failing the job on row 3 billion
+    * (FAILFAST) or silently nulling bad rows (default PERMISSIVE
+    * without capture) both lose. This reads PERMISSIVE with the
+    * `_corrupt_record` side column and splits the result into (clean
+    * rows, quarantine rows) — clean rows flow on, quarantine keeps the
+    * RAW line for repair-and-replay, the pattern every production
+    * loader converges on.
+    *
+    * The split is two filters over one cached read (Spark requires
+    * referencing the corrupt column via a materialized plan — a direct
+    * filter on a lazily-read corrupt column is disallowed since 2.3).
+    *
+    * @param schema expected schema (the corrupt column is appended
+    *               automatically)
+    * @return (clean, quarantine): clean has exactly `schema`'s columns;
+    *         quarantine is (raw `_corrupt_record` string) rows
+    */
+  def readQuarantine(spark: org.apache.spark.sql.SparkSession, path: String,
+                     format: String,
+                     schema: org.apache.spark.sql.types.StructType)
+      : (DataFrame, DataFrame) = {
+    require(format == "csv" || format == "json",
+      s"quarantine ingest is for row formats, got $format")
+    val withCorrupt = schema.add("_corrupt_record",
+      org.apache.spark.sql.types.StringType, nullable = true)
+    val r = spark.read.format(format).schema(withCorrupt)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+    val df = (if (format == "csv") r.option("header", "true") else r)
+      .load(path).cache()
+    val clean = df.filter(col("_corrupt_record").isNull)
+      .select(schema.fieldNames.map(col).toSeq: _*)
+    val quarantine = df.filter(col("_corrupt_record").isNotNull)
+      .select(col("_corrupt_record"))
+    (clean, quarantine)
+  }
+
   def read(spark: org.apache.spark.sql.SparkSession, path: String,
            format: String): DataFrame = {
     val r = spark.read.format(format)

@@ -189,6 +189,15 @@ object QueriesR10 {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** R103: k-peak decomposition (see [[graft.operators.Graph.kPeak]])
+    * — three contours of the co-purchase graph, capped coreness 4.
+    */
+  def graphKpeak(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Graph.kPeak(
+        QueriesR6.coPurchasePairs(s, dir).select(col("src"), col("dst")),
+        maxK = 4, roundsPerLevel = 30, maxContours = 3)
+      .orderBy(col("node"))
+
   // ---------------------------------------------------------------- oracle
 
   /** Full-recompute nested coreness peel of the MERGED graph — the
@@ -306,10 +315,72 @@ object QueriesR10 {
        |FROM d12 ORDER BY node""".stripMargin
   }
 
+  /** Straight-line k-peak: three repetitions of (nested coreness peel →
+    * max-contour extraction → node removal). 6 rounds per level, past
+    * convergence depth as in [[corenessIncSql]]. An empty residual's
+    * MAX(coreness) is NULL, so its contour CTE is empty — matching the
+    * Spark side's loop exit.
+    */
+  private val kpeakSql = {
+    def level(i: Int, k: Int, prev: String): String =
+      (1 to 6).map { r =>
+        val p = if (r == 1) prev else s"i${i}l${k}e${r - 1}"
+        s"""i${i}l${k}k$r AS MATERIALIZED (
+           |  SELECT src FROM $p GROUP BY src HAVING COUNT(*) >= $k),
+           |i${i}l${k}e$r AS MATERIALIZED (
+           |  SELECT e.src, e.dst FROM $p e
+           |  JOIN i${i}l${k}k$r x ON e.src = x.src
+           |  JOIN i${i}l${k}k$r y ON e.dst = y.src
+           |)""".stripMargin
+      }.mkString(",\n")
+    def corBlock(i: Int): String =
+      s"""${level(i, 2, s"e$i")},
+         |${level(i, 3, s"i${i}l2e6")},
+         |${level(i, 4, s"i${i}l3e6")},
+         |m$i AS (
+         |  SELECT src AS node, 1 AS lvl FROM e$i
+         |  UNION ALL SELECT src, 2 FROM i${i}l2e6
+         |  UNION ALL SELECT src, 3 FROM i${i}l3e6
+         |  UNION ALL SELECT src, 4 FROM i${i}l4e6
+         |), cor$i AS MATERIALIZED (
+         |  SELECT node, MAX(lvl) AS coreness FROM m$i GROUP BY node
+         |), mx$i AS (SELECT MAX(coreness) AS mx FROM cor$i),
+         |ct$i AS MATERIALIZED (
+         |  SELECT node, coreness AS peak FROM cor$i
+         |  WHERE coreness = (SELECT mx FROM mx$i)
+         |)""".stripMargin
+    def residual(i: Int): String =
+      s"""e$i AS MATERIALIZED (
+         |  SELECT src, dst FROM e${i - 1}
+         |  WHERE src NOT IN (SELECT node FROM ct${i - 1})
+         |    AND dst NOT IN (SELECT node FROM ct${i - 1})
+         |)""".stripMargin
+    s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |und AS (
+       |  SELECT a.l_partkey AS a, b.l_partkey AS b
+       |  FROM li a JOIN li b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |  GROUP BY 1, 2
+       |), e1 AS MATERIALIZED (
+       |  SELECT a AS src, b AS dst FROM und
+       |  UNION ALL SELECT b, a FROM und
+       |),
+       |${corBlock(1)},
+       |${residual(2)},
+       |${corBlock(2)},
+       |${residual(3)},
+       |${corBlock(3)}
+       |SELECT node, CAST(peak AS BIGINT) AS peak FROM (
+       |  SELECT * FROM ct1 UNION ALL SELECT * FROM ct2
+       |  UNION ALL SELECT * FROM ct3
+       |) ORDER BY node""".stripMargin
+  }
+
   val sql: Map[String, String] = Map(
     "graph_coreness_inc" -> corenessIncSql,
     "graph_trussness_inc" -> trussnessIncSql,
     "graph_sssp" -> ssspSql,
+    "graph_kpeak" -> kpeakSql,
     "dedup_sorted_neighborhood" ->
       """WITH base AS (
         |  SELECT doc_id, text, substr(lower(trim(text)), 1, 24) AS key

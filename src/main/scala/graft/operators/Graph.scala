@@ -996,6 +996,63 @@ object Graph {
     * @return (node, dist) for every node reached within `rounds` relaxed
     *         edges
     */
+  /** R103: k-peak decomposition (Govindan et al.) — coreness measures
+    * how deep a node sits in its OWN mountain; k-peak asks how tall that
+    * mountain is: repeatedly compute coreness, peel off the innermost
+    * contour (all nodes at the maximum coreness), and recompute on the
+    * residual. A node hanging off the dense core gets a high coreness
+    * from the core's mass alone; its peak number, computed after the
+    * core is gone, reveals it as foothill. The global-structure map the
+    * nested [[coreness]] hierarchy cannot give.
+    *
+    * Contract: coreness here is CAPPED at maxK ([[coreness]]'s cap), so
+    * the first contour merges everything at capped level maxK — the
+    * "capped k-peak", documented honestly; raise maxK for finer tops.
+    * Fixed `maxContours` iterations keep the oracle a straight-line
+    * repetition of the nested peel + max-contour removal; nodes are
+    * labeled only while they retain an edge in the residual (edge-based
+    * peeling, like every operator in this module).
+    *
+    * Per contour: one [[coreness]] sweep of the residual (shrinking),
+    * one driver-side scalar max, two anti-joins to drop contour nodes.
+    *
+    * @return (node, peak) for every node labeled within `maxContours`
+    *         contours
+    */
+  def kPeak(edges: DataFrame, maxK: Int, roundsPerLevel: Int,
+            maxContours: Int): DataFrame = {
+    require(maxContours >= 1, s"maxContours must be >= 1, got $maxContours")
+    var und = edges.select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+      .localCheckpoint(true)
+    var labels: DataFrame = null
+    var it = 0
+    var empty = und.isEmpty
+    while (it < maxContours && !empty) {
+      val cor = coreness(
+          und.select(col("a").as("src"), col("b").as("dst")),
+          maxK, roundsPerLevel)
+        .localCheckpoint(true)
+      val kmax = cor.agg(coalesce(max(col("coreness")), lit(0L)))
+        .head().getLong(0)
+      val contour = cor.filter(col("coreness") === kmax)
+        .select(col("node")).localCheckpoint(true)
+      val labeled = contour.select(col("node"), lit(kmax).as("peak"))
+      labels = if (labels == null) labeled else labels.unionAll(labeled)
+      und = und
+        .join(contour.withColumnRenamed("node", "a"), Seq("a"), "left_anti")
+        .join(contour.withColumnRenamed("node", "b"), Seq("b"), "left_anti")
+        .select(col("a"), col("b"))
+        .localCheckpoint(true)
+      empty = und.isEmpty
+      it += 1
+    }
+    if (labels == null)
+      und.select(col("a").as("node"), lit(0L).as("peak")).limit(0)
+    else labels
+  }
+
   def shortestPathsWeighted(edges: DataFrame, seeds: DataFrame,
                             rounds: Int): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")

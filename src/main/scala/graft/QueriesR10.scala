@@ -198,6 +198,20 @@ object QueriesR10 {
         maxK = 4, roundsPerLevel = 30, maxContours = 3)
       .orderBy(col("node"))
 
+  /** T25: cap-and-redistribute mixture weights (see
+    * [[graft.operators.Sampling.capRedistribute]]) — per-source token
+    * masses, 5% cap, 3 waterfilling rounds.
+    */
+  def textMixtureWeights(s: SparkSession, dir: String): DataFrame = {
+    val perSource = t(s, dir, "documents")
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("nt"))
+      .groupBy(col("source")).agg(sum(col("nt")).as("n_tokens"))
+    graft.operators.Sampling.capRedistribute(perSource, col("source"),
+        col("n_tokens"), capPpm = 50000L, iterations = 3)
+      .select(col("source"), col("n_tokens"), col("w_ppm"), col("capped"))
+      .orderBy(col("source"))
+  }
+
   // ---------------------------------------------------------------- oracle
 
   /** Full-recompute nested coreness peel of the MERGED graph — the
@@ -376,7 +390,45 @@ object QueriesR10 {
        |) ORDER BY node""".stripMargin
   }
 
+  /** 3 unrolled waterfilling rounds, integer ppm throughout; same
+    * fixed-round contract as the graph peels.
+    */
+  private val mixtureWeightsSql = {
+    val cap = 50000L
+    def round(i: Int, prev: String): String =
+      s"""a$i AS (
+         |  SELECT COALESCE(SUM(CASE WHEN NOT capped THEN n_tokens END), 0) AS s,
+         |    COALESCE(SUM(CASE WHEN capped THEN $cap END), 0) AS taken
+         |  FROM $prev
+         |), r$i AS (
+         |  SELECT p.source, p.n_tokens, p.capped,
+         |    CASE WHEN p.capped THEN $cap
+         |         WHEN a$i.s = 0 THEN 0
+         |         ELSE p.n_tokens * (1000000 - a$i.taken) // a$i.s
+         |    END AS w_raw
+         |  FROM $prev p, a$i
+         |), c$i AS (
+         |  SELECT source, n_tokens, capped OR w_raw > $cap AS capped,
+         |    CASE WHEN w_raw > $cap THEN $cap ELSE w_raw END AS w_ppm
+         |  FROM r$i
+         |)""".stripMargin
+    s"""WITH n AS (
+       |  SELECT source, CAST(len(str_split(text, ' ')) AS BIGINT) AS nt
+       |  FROM documents
+       |), c0 AS (
+       |  SELECT source, CAST(SUM(nt) AS BIGINT) AS n_tokens,
+       |    FALSE AS capped
+       |  FROM n GROUP BY 1
+       |),
+       |${round(1, "c0")},
+       |${round(2, "c1")},
+       |${round(3, "c2")}
+       |SELECT source, n_tokens, CAST(w_ppm AS BIGINT) AS w_ppm, capped
+       |FROM c3 ORDER BY source""".stripMargin
+  }
+
   val sql: Map[String, String] = Map(
+    "text_mixture_weights" -> mixtureWeightsSql,
     "graph_coreness_inc" -> corenessIncSql,
     "graph_trussness_inc" -> trussnessIncSql,
     "graph_sssp" -> ssspSql,

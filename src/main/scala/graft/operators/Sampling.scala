@@ -111,4 +111,52 @@ object Sampling {
       .withColumn("cum_before", coalesce(sum(nTokens).over(w), lit(0L)))
       .filter(col("cum_before") < budgetTokens)
   }
+
+  /** T25: cap-and-redistribute mixture weights — the "no single domain
+    * may exceed X% of training data" policy as integer waterfilling:
+    * start from token-proportional shares; any source over the cap is
+    * pinned AT the cap and its excess redistributes proportionally
+    * among the uncapped — which can push NEW sources over, so the step
+    * repeats for a fixed `iterations` (monotone: the capped set only
+    * grows, so iterations ≥ #sources is the true fixpoint, and for any
+    * count both engines compute identically — the [[graft.operators.Graph]]
+    * fixed-round contract applied to weight solving).
+    *
+    * All arithmetic is integer (ppm, floor division): exact across
+    * engines, no float shares. Fully declarative — per round one
+    * two-value aggregate broadcast back over the per-source rows; no
+    * driver loop over sources.
+    *
+    * @param perSource one row per source
+    * @param source    source column
+    * @param nTokens   per-source token mass
+    * @param capPpm    ceiling per source, in ppm of the total
+    * @return (source, n_tokens, w_ppm, capped) — Σ w_ppm ≤ 1e6 with
+    *         only floor-truncation shortfall
+    */
+  def capRedistribute(perSource: DataFrame, source: Column, nTokens: Column,
+                      capPpm: Long, iterations: Int): DataFrame = {
+    require(capPpm >= 1 && capPpm <= 1000000L, s"capPpm out of range: $capPpm")
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    var cur = perSource.select(source.as("source"),
+        nTokens.cast("long").as("n_tokens"))
+      .withColumn("capped", lit(false))
+      .withColumn("w_ppm", lit(0L))
+    for (_ <- 1 to iterations) {
+      val agg = cur.agg(
+        coalesce(sum(when(!col("capped"), col("n_tokens"))), lit(0L))
+          .as("__s"),
+        coalesce(sum(when(col("capped"), lit(capPpm))), lit(0L))
+          .as("__taken"))
+      cur = cur.crossJoin(broadcast(agg))
+        .withColumn("w_ppm", when(col("capped"), lit(capPpm))
+          .otherwise(when(col("__s") === 0, lit(0L)).otherwise(
+            expr(s"n_tokens * (1000000 - __taken) div __s"))))
+        .withColumn("capped", col("capped") || col("w_ppm") > capPpm)
+        .withColumn("w_ppm",
+          when(col("w_ppm") > capPpm, lit(capPpm)).otherwise(col("w_ppm")))
+        .drop("__s", "__taken")
+    }
+    cur
+  }
 }

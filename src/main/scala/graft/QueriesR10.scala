@@ -212,6 +212,17 @@ object QueriesR10 {
       .orderBy(col("source"))
   }
 
+  /** X27 wide form: the 96-hour horizon — two bitmap words per key,
+    * exercising the multi-word shift/carry path end-to-end.
+    */
+  def streamBackfillHorizonWide(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events").select(col("event_type"),
+      expr("unix_micros(CAST(ts AS TIMESTAMP)) div 3600000000").as("hr"))
+    graft.streaming.Streams.streamingBackfillHorizon(s, e, horizon = 96,
+        queryName = s"gate_sbackfillhw_${System.nanoTime()}")
+      .orderBy(col("event_type"))
+  }
+
   // ---------------------------------------------------------------- oracle
 
   /** Full-recompute nested coreness peel of the MERGED graph — the
@@ -579,6 +590,28 @@ object QueriesR10 {
          |      UNION ALL SELECT qid, d FROM k4) n
          |JOIN comm c ON c.qid = n.qid
          |ORDER BY node, community""".stripMargin,
+    "stream_backfill_horizon_wide" ->
+      """WITH e AS (
+        |  SELECT DISTINCT event_type, epoch_us(ts) // 3600000000 AS hr
+        |  FROM events
+        |), spans AS (
+        |  SELECT event_type, MIN(hr) AS lo, MAX(hr) AS hi FROM e GROUP BY 1
+        |), win AS (
+        |  SELECT event_type, GREATEST(lo, hi - 95) AS wlo, hi FROM spans
+        |), slots AS (
+        |  SELECT event_type, unnest(range(wlo, hi + 1)) AS hr FROM win
+        |), miss AS (
+        |  SELECT s.event_type, s.hr FROM slots s
+        |  LEFT JOIN e ON e.event_type = s.event_type AND e.hr = s.hr
+        |  WHERE e.hr IS NULL
+        |)
+        |SELECT m.event_type,
+        |  CAST(w.hi - w.wlo + 1 AS BIGINT) AS n_window_hours,
+        |  CAST(COUNT(*) AS BIGINT) AS n_missing_hours,
+        |  MIN(m.hr) AS first_missing_hr, MAX(m.hr) AS last_missing_hr
+        |FROM miss m JOIN win w ON w.event_type = m.event_type
+        |GROUP BY m.event_type, w.hi, w.wlo
+        |ORDER BY m.event_type""".stripMargin,
     "stream_backfill_horizon" ->
       """WITH e AS (
         |  SELECT DISTINCT event_type, epoch_us(ts) // 3600000000 AS hr

@@ -1136,50 +1136,72 @@ object Streams {
   }
 
   /** X27: streaming backfill-HORIZON monitor — [[streamingBackfillGaps]]
-    * bounded to the trailing `horizon` hours with O(1) state: per
-    * event_type the state is (loSeen, hiSeen, bitmap, ver) where bit i
-    * of ONE int64 records presence of hour (hiSeen − i). X26's state is
-    * the full observed-hour set (grows with stream lifetime); here a
-    * year-old feed costs the same 4 longs per key as a day-old one —
-    * the shape that survives an unbounded stream. Late hours still
-    * close gaps exactly: any hour inside the final window is within 64
-    * of every intermediate maximum, so its bit survives every shift.
+    * bounded to the trailing `horizon` hours with O(horizon) bitmap
+    * state: per event_type the state is (loSeen, hiSeen, bitmap, ver)
+    * where bit i (word i/64, position i%64) records presence of hour
+    * (hiSeen − i). X26's state is the full observed-hour set (grows
+    * with stream lifetime); here a year-old feed costs the same
+    * ⌈horizon/64⌉ words per key as a day-old one — the shape that
+    * survives an unbounded stream. Late hours still close gaps exactly:
+    * an hour inside the final window has offset < horizon from every
+    * intermediate maximum it follows, so its bit survives every shift.
     *
     * The report is the gap scan of the window [max(loSeen, hiSeen −
     * horizon + 1), hiSeen] — keys whose trailing window is complete are
     * absent, like X26. Non-monotone for the same reason, so the drain
     * keys on the per-type update counter.
     *
-    * @param horizon trailing window size in hours, ≤ 64 (one packed
-    *                int64; widen to an array of longs beyond that)
+    * @param horizon trailing window size in hours (≤ 64 packs into one
+    *                int64 word; larger horizons widen the word array)
     */
   def streamingBackfillHorizon(spark: SparkSession, rows: DataFrame,
                                horizon: Int, queryName: String,
                                rocksDb: Boolean = UseRocksDb): DataFrame = {
-    require(horizon >= 1 && horizon <= 64,
-      s"horizon must be in [1, 64], got $horizon")
+    require(horizon >= 1 && horizon <= 4096,
+      s"horizon must be in [1, 4096], got $horizon")
     import spark.implicits._
     val typed = rows.select(col("event_type").cast("string"),
       col("hr").cast("long")).as[(String, Long)]
     val path = stageToTemp(typed.toDF("event_type", "hr"), "sbackfillh")
 
+    val nWords = (horizon + 63) >> 6
+    val capacity = nWords.toLong * 64
+    def shl(a: Array[Long], s: Long): Array[Long] = {
+      val out = new Array[Long](nWords)
+      if (s < capacity) {
+        val ws = (s >> 6).toInt
+        val bs = (s & 63).toInt
+        var j = nWords - 1
+        while (j >= ws) {
+          val low = a(j - ws)
+          val carry =
+            if (bs == 0 || j - ws - 1 < 0) 0L
+            else a(j - ws - 1) >>> (64 - bs)
+          out(j) = (if (bs == 0) low else low << bs) | carry
+          j -= 1
+        }
+      }
+      out
+    }
+    def setBit(a: Array[Long], i: Long): Unit =
+      if (i >= 0 && i < capacity) a((i >> 6).toInt) |= 1L << (i & 63)
+    def getBit(a: Array[Long], i: Long): Boolean =
+      ((a((i >> 6).toInt) >>> (i & 63)) & 1L) == 1L
+
     // state: (loSeen, hiSeen, bits, ver); bit i of bits = hour (hiSeen-i)
     val step: (String, Iterator[(String, Long)],
-        GroupState[(Long, Long, Long, Long)]) =>
+        GroupState[(Long, Long, Array[Long], Long)]) =>
         (String, Long, Long, Long, Option[Long], Option[Long]) =
       (et, batch, state) => {
-        var (lo, hi, bits, ver) =
-          state.getOption.getOrElse((0L, Long.MinValue, 0L, 0L))
+        var (lo, hi, bits, ver) = state.getOption
+          .getOrElse((0L, Long.MinValue, new Array[Long](nWords), 0L))
         batch.foreach { case (_, h) =>
-          if (hi == Long.MinValue) { lo = h; hi = h; bits = 1L }
+          if (hi == Long.MinValue) { lo = h; hi = h; setBit(bits, 0L) }
           else if (h > hi) {
-            val shift = h - hi
-            bits = if (shift >= 64L) 1L else (bits << shift) | 1L
+            bits = shl(bits, h - hi)
+            setBit(bits, 0L)
             hi = h
-          } else {
-            val i = hi - h
-            if (i < 64L) bits |= (1L << i)
-          }
+          } else setBit(bits, hi - h)
           if (h < lo) lo = h
         }
         ver += 1
@@ -1191,7 +1213,7 @@ object Streams {
         var nMiss = 0L
         var i = n - 1 // oldest window hour first
         while (i >= 0) {
-          if ((bits & (1L << i)) == 0L) {
+          if (!getBit(bits, i.toLong)) {
             val hrMiss = hi - i
             if (firstMiss.isEmpty) firstMiss = Some(hrMiss)
             lastMiss = Some(hrMiss)

@@ -38,6 +38,32 @@ class StreamBackfillHorizonSpec extends AnyFunSuite {
     assert(got.isEmpty, "all window gaps closed -> no rows")
   }
 
+  test("multi-word horizon: gaps beyond offset 64 are tracked exactly") {
+    // horizon 100 needs two bitmap words; hours 0 and 99 observed, the
+    // 98 hours between them all missing — offsets 1..98 span the word
+    // boundary, and hour 0 (offset 99) must stay PRESENT
+    val rows: Seq[(String, Long)] = Seq("w" -> 0L, "w" -> 99L)
+    val got = Streams.streamingBackfillHorizon(spark,
+        rows.toDF("event_type", "hr"), horizon = 100,
+        queryName = "sbackfillh_spec_wide")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(("w", 100L, 98L, 1L, 98L)))
+  }
+
+  test("multi-word shift carries across the word boundary") {
+    // observe 10, then 60 (offset 50), then advance hi to 140: offset of
+    // hour 60 becomes 80 — its bit must survive the cross-word shift
+    val rows: Seq[(String, Long)] = Seq("c" -> 10L, "c" -> 60L, "c" -> 140L)
+    val got = Streams.streamingBackfillHorizon(spark,
+        rows.toDF("event_type", "hr"), horizon = 128,
+        queryName = "sbackfillh_spec_carry")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    // window [13, 140]: observed 60 and 140 -> 126 missing
+    assert(got.size == 1)
+    val (_, n, miss, first, last) = got.head
+    assert(n == 128L && miss == 126L && first == 13L && last == 139L)
+  }
+
   test("matches the unbounded monitor when the horizon covers the span") {
     val dense: Seq[(String, Long)] =
       Seq("x" -> 100L, "x" -> 101L, "x" -> 104L, "x" -> 106L, "y" -> 7L)

@@ -223,6 +223,22 @@ object QueriesR10 {
       .orderBy(col("event_type"))
   }
 
+  /** C34: tombstone vacuum (see [[graft.cdc.Cdc.vacuumTombstones]]) —
+    * a soft-deleted orders replica purged at a 365-day retention from
+    * its own high watermark.
+    */
+  def cdcVacuumTombstones(s: SparkSession, dir: String): DataFrame = {
+    val r = t(s, dir, "orders").select(col("o_orderkey"),
+      col("o_orderdate").cast("timestamp").as("change_ts"),
+      when(col("o_orderkey") % 37 === 0, "Y").otherwise("N")
+        .as("is_deleted"))
+    graft.cdc.Cdc.vacuumTombstones(r, col("change_ts"), retentionDays = 365)
+      .select(col("o_orderkey"), col("is_deleted"),
+        date_format(col("change_ts"), "yyyy-MM-dd HH:mm:ss")
+          .as("change_ts_s"))
+      .orderBy(col("o_orderkey"))
+  }
+
   // ---------------------------------------------------------------- oracle
 
   /** Full-recompute nested coreness peel of the MERGED graph — the
@@ -440,6 +456,17 @@ object QueriesR10 {
 
   val sql: Map[String, String] = Map(
     "text_mixture_weights" -> mixtureWeightsSql,
+    "cdc_vacuum_tombstones" ->
+      """WITH r AS (
+        |  SELECT o_orderkey, CAST(o_orderdate AS TIMESTAMP) AS change_ts,
+        |    CASE WHEN o_orderkey % 37 = 0 THEN 'Y' ELSE 'N' END AS is_deleted
+        |  FROM orders
+        |), hw AS (SELECT MAX(change_ts) AS mx FROM r)
+        |SELECT o_orderkey, is_deleted,
+        |  strftime(change_ts, '%Y-%m-%d %H:%M:%S') AS change_ts_s
+        |FROM r, hw
+        |WHERE is_deleted = 'N' OR change_ts >= mx - INTERVAL 365 DAY
+        |ORDER BY o_orderkey""".stripMargin,
     "graph_coreness_inc" -> corenessIncSql,
     "graph_trussness_inc" -> trussnessIncSql,
     "graph_sssp" -> ssspSql,

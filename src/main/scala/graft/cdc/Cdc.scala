@@ -93,6 +93,29 @@ object Cdc {
       .select(out: _*)
   }
 
+  /** C34: tombstone vacuum with a retention watermark — soft deletes
+    * ([[mergeSoftDelete]]'s 'Y' rows) must outlive the longest consumer
+    * lag so downstream delta readers see the delete, then they are pure
+    * storage cost; this pass purges tombstones older than `retention`
+    * measured from the replica's own high watermark (max change ts —
+    * data-derived, so a paused pipeline never purges tombstones its
+    * consumers haven't seen; wall-clock retention would). Live rows are
+    * never touched. One broadcast scalar + one filtered scan.
+    *
+    * Reference anchor: the MERGE pipeline (03_cdc_etl.py) soft-deletes
+    * and never purges — unbounded tombstone growth is the gap this
+    * closes.
+    */
+  def vacuumTombstones(replica: DataFrame, changeTs: Column,
+                       retentionDays: Int): DataFrame = {
+    require(retentionDays >= 0, s"negative retention: $retentionDays")
+    val hw = replica.agg(max(changeTs).as("__hw"))
+    replica.crossJoin(broadcast(hw))
+      .filter(col(IsDeleted) === "N" ||
+        changeTs >= col("__hw") - expr(s"INTERVAL $retentionDays DAYS"))
+      .drop("__hw")
+  }
+
   /** SCD Type-2 history from a change stream: one validity interval per
     * change, closed by the next change of the same key (lead over a single
     * key-partitioned window; one shuffle).

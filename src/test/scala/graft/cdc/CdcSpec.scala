@@ -142,4 +142,29 @@ class CdcSpec extends AnyFunSuite {
     assert(got == Map("unchanged" -> 1L, "changed" -> 1L,
       "removed" -> 1L, "added" -> 1L))
   }
+
+  test("vacuumTombstones purges only tombstones past retention") {
+    // high watermark = 2024-06-01; retention 30d -> cutoff 2024-05-02
+    val r = Seq(
+      (1L, "2024-06-01 00:00:00", "N"), // live, recent
+      (2L, "2023-01-01 00:00:00", "N"), // live, ancient: NEVER purged
+      (3L, "2024-05-20 00:00:00", "Y"), // tombstone inside retention
+      (4L, "2024-04-01 00:00:00", "Y")) // tombstone past retention: purged
+      .toDF("id", "ts_s", "is_deleted")
+      .select(col("id"), col("ts_s").cast("timestamp").as("change_ts"),
+        col("is_deleted"))
+    val got = Cdc.vacuumTombstones(r, col("change_ts"), retentionDays = 30)
+      .select("id").as[Long].collect().toSet
+    assert(got == Set(1L, 2L, 3L))
+  }
+
+  test("vacuumTombstones watermark is data-derived: a stale replica keeps all") {
+    // every row is old, but the watermark is old TOO — nothing purges,
+    // which is the point (consumers may not have seen these deletes)
+    val r = Seq((1L, "2020-01-01 00:00:00", "Y"), (2L, "2020-01-10 00:00:00", "Y"))
+      .toDF("id", "ts_s", "is_deleted")
+      .select(col("id"), col("ts_s").cast("timestamp").as("change_ts"),
+        col("is_deleted"))
+    assert(Cdc.vacuumTombstones(r, col("change_ts"), 30).count() == 2)
+  }
 }

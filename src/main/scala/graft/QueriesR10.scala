@@ -239,6 +239,20 @@ object QueriesR10 {
       .orderBy(col("o_orderkey"))
   }
 
+  /** R104: capped sessionization (see
+    * [[graft.operators.Sequences.sessionizeCapped]]) — 8 h idle gap OR
+    * 24 h duration cap; both rules bind on the fixture (the cap splits
+    * long always-on chains the idle rule alone keeps together).
+    */
+  def qSessionizeCapped(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events").select(col("user_id"), col("event_id"),
+      expr("unix_micros(CAST(ts AS TIMESTAMP)) div 1000000").as("ts_sec"))
+    graft.operators.Sequences.sessionizeCapped(e, col("user_id"),
+        col("event_id"), col("ts_sec"),
+        idleGapSec = 28800L, maxDurationSec = 86400L)
+      .orderBy(col("user_id"), col("ts_sec"), col("event_id"))
+  }
+
   // ---------------------------------------------------------------- oracle
 
   /** Full-recompute nested coreness peel of the MERGED graph — the
@@ -456,6 +470,29 @@ object QueriesR10 {
 
   val sql: Map[String, String] = Map(
     "text_mixture_weights" -> mixtureWeightsSql,
+    "q_sessionize_capped" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY floor(epoch(ts)), event_id) AS rn
+        |  FROM events
+        |), r AS (
+        |  SELECT user_id, rn, event_id, ts_sec, ts_sec AS sess_start,
+        |    CAST(1 AS BIGINT) AS session_seq
+        |  FROM e WHERE rn = 1
+        |  UNION ALL
+        |  SELECT e.user_id, e.rn, e.event_id, e.ts_sec,
+        |    CASE WHEN e.ts_sec - r.ts_sec > 28800
+        |           OR e.ts_sec - r.sess_start > 86400
+        |      THEN e.ts_sec ELSE r.sess_start END,
+        |    CASE WHEN e.ts_sec - r.ts_sec > 28800
+        |           OR e.ts_sec - r.sess_start > 86400
+        |      THEN r.session_seq + 1 ELSE r.session_seq END
+        |  FROM r JOIN e ON e.user_id = r.user_id AND e.rn = r.rn + 1
+        |)
+        |SELECT user_id, event_id, ts_sec, session_seq,
+        |  sess_start AS session_start_sec
+        |FROM r ORDER BY user_id, ts_sec, event_id""".stripMargin,
     "cdc_vacuum_tombstones" ->
       """WITH r AS (
         |  SELECT o_orderkey, CAST(o_orderdate AS TIMESTAMP) AS change_ts,

@@ -253,6 +253,21 @@ object QueriesR10 {
       .orderBy(col("user_id"), col("ts_sec"), col("event_id"))
   }
 
+  /** T26: temperature-scaled mixture weights (see
+    * [[graft.operators.Sampling.temperatureWeights]]) — α = 1/2 shares
+    * over per-source token masses, exact isqrt arithmetic.
+    */
+  def textMixtureTemp(s: SparkSession, dir: String): DataFrame = {
+    val perSource = t(s, dir, "documents")
+      .select(col("source"),
+        size(split(col("text"), " ")).cast("long").as("nt"))
+      .groupBy(col("source")).agg(sum(col("nt")).as("n_tokens"))
+    graft.operators.Sampling.temperatureWeights(perSource, col("source"),
+        col("n_tokens"))
+      .select(col("source"), col("n_tokens"), col("w_ppm"))
+      .orderBy(col("source"))
+  }
+
   // ---------------------------------------------------------------- oracle
 
   /** Full-recompute nested coreness peel of the MERGED graph — the
@@ -470,6 +485,28 @@ object QueriesR10 {
 
   val sql: Map[String, String] = Map(
     "text_mixture_weights" -> mixtureWeightsSql,
+    "text_mixture_temp" ->
+      """WITH n AS (
+        |  SELECT source, CAST(len(str_split(text, ' ')) AS BIGINT) AS nt
+        |  FROM documents
+        |), p AS (
+        |  SELECT source, CAST(SUM(nt) AS BIGINT) AS n_tokens FROM n GROUP BY 1
+        |), s0 AS (
+        |  SELECT source, n_tokens,
+        |    CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS c
+        |  FROM p
+        |), s1 AS (
+        |  SELECT source, n_tokens,
+        |    CASE WHEN (c + 1) * (c + 1) <= n_tokens THEN c + 1 ELSE c END AS c
+        |  FROM s0
+        |), r AS (
+        |  SELECT source, n_tokens,
+        |    CASE WHEN c * c > n_tokens THEN c - 1 ELSE c END AS isq
+        |  FROM s1
+        |), t AS (SELECT SUM(isq) AS tt FROM r)
+        |SELECT source, n_tokens,
+        |  CAST(isq * 1000000 // t.tt AS BIGINT) AS w_ppm
+        |FROM r, t ORDER BY source""".stripMargin,
     "q_sessionize_capped" ->
       """WITH RECURSIVE e AS (
         |  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec,

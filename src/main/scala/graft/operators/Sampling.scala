@@ -134,6 +134,41 @@ object Sampling {
     * @return (source, n_tokens, w_ppm, capped) — Σ w_ppm ≤ 1e6 with
     *         only floor-truncation shortfall
     */
+  /** Exact integer square root as a column: floor(sqrt(x)) computed via
+    * float sqrt then corrected one step each way — IEEE sqrt is within
+    * 1 ulp, so after floor the candidate is off by at most one; the two
+    * integer-arithmetic corrections make the result EXACT for any
+    * x < 2^52, independent of either engine's float rounding. The same
+    * three-line correction is embeddable in the SQL oracle.
+    */
+  def isqrt(x: Column): Column = {
+    val s0 = floor(sqrt(x.cast("double"))).cast("long")
+    val s1 = when((s0 + 1) * (s0 + 1) <= x, s0 + 1).otherwise(s0)
+    when(s1 * s1 > x, s1 - 1).otherwise(s1)
+  }
+
+  /** T26: temperature-scaled mixture weights (α = 1/2) — the
+    * multilingual-sampling upweighting (Conneau et al.: p_s ∝ n_s^α,
+    * α < 1 lifts low-resource sources); with α = 1/2 the share is
+    * isqrt-proportional and, via [[isqrt]], EXACT integer arithmetic in
+    * both engines — the one α where temperature scaling needs no float
+    * powers. One aggregate + one broadcast scalar.
+    *
+    * @return (source, n_tokens, w_ppm) with w_ppm = isqrt(n) · 1e6 div
+    *         Σ isqrt(n)
+    */
+  def temperatureWeights(perSource: DataFrame, source: Column,
+                         nTokens: Column): DataFrame = {
+    val base = perSource.select(source.as("source"),
+        nTokens.cast("long").as("n_tokens"))
+      .withColumn("__r", isqrt(col("n_tokens")))
+    val tot = base.agg(coalesce(sum(col("__r")), lit(0L)).as("__t"))
+    base.crossJoin(broadcast(tot))
+      .withColumn("w_ppm", when(col("__t") === 0, 0L)
+        .otherwise(expr("__r * 1000000 div __t")))
+      .drop("__r", "__t")
+  }
+
   def capRedistribute(perSource: DataFrame, source: Column, nTokens: Column,
                       capPpm: Long, iterations: Int): DataFrame = {
     require(capPpm >= 1 && capPpm <= 1000000L, s"capPpm out of range: $capPpm")

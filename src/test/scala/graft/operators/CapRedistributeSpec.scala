@@ -52,4 +52,25 @@ class CapRedistributeSpec extends AnyFunSuite {
     val got = solve(Seq("a" -> 10L, "b" -> 10L), capPpm = 100000L)
     assert(got.values.forall(_ == ((100000L, true))))
   }
+
+  test("T26: isqrt is exact, including perfect squares and off-by-one traps") {
+    val xs = Seq(0L, 1L, 2L, 3L, 4L, 8L, 9L, 15L, 16L, 24L, 25L,
+      999999L, 1000000L, 1000001L, 4503599627370495L)
+    val got = xs.toDF("x")
+      .select(col("x"), Sampling.isqrt(col("x")).as("s"))
+      .as[(Long, Long)].collect().toMap
+    xs.foreach { x =>
+      val s = got(x)
+      assert(s * s <= x && (s + 1) * (s + 1) > x, s"isqrt($x) = $s")
+    }
+  }
+
+  test("T26: sqrt temperature lifts low-resource shares vs proportional") {
+    // masses 100 vs 10000: proportional 1%:99%; sqrt -> 10:100 ≈ 9%:90%
+    val got = Sampling.temperatureWeights(
+        Seq(("lo", 100L), ("hi", 10000L)).toDF("source", "n_tokens"),
+        col("source"), col("n_tokens"))
+      .select("source", "w_ppm").as[(String, Long)].collect().toMap
+    assert(got("lo") == 90909L && got("hi") == 909090L)
+  }
 }

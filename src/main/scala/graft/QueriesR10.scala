@@ -268,6 +268,40 @@ object QueriesR10 {
       .orderBy(col("source"))
   }
 
+  /** X28: streaming linkage scoring (see
+    * [[graft.streaming.Streams.streamingLinkage]]) — customer arrivals
+    * scored against the static reference with D16's comparators; the
+    * id-ordering filter keeps self-linkage pairs unique, so the stream's
+    * appended decisions equal the batch gate's and share its oracle.
+    */
+  def streamLinkageScore(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Linkage.FieldCmp
+    val c = t(s, dir, "customer").select(col("c_custkey"), col("c_name"),
+      col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
+    val staticRef = c.select(col("c_nationkey"), col("c_custkey").as("id_a"),
+      col("c_mktsegment").as("seg_a"), col("c_acctbal").as("bal_a"),
+      col("c_name").as("name_a"))
+    val arrivals = c.select(col("c_nationkey"), col("c_custkey").as("id_b"),
+      col("c_mktsegment").as("seg_b"), col("c_acctbal").as("bal_b"),
+      col("c_name").as("name_b"))
+    graft.streaming.Streams.streamingLinkage(s, arrivals, staticRef,
+        blockCol = "c_nationkey",
+        score = pairs => graft.operators.Linkage.score(
+          pairs.filter(col("id_a") < col("id_b")),
+          Seq(
+            FieldCmp("segment", col("seg_a") === col("seg_b"), 1609L, -223L),
+            FieldCmp("balance", abs(col("bal_a") - col("bal_b")) <= 500.0,
+              2303L, -105L),
+            FieldCmp("name_suffix",
+              substring(col("name_a"), -2, 2) ===
+                substring(col("name_b"), -2, 2), 2303L, -105L)),
+          matchMilli = 4000L, possibleMilli = 1500L)
+          .select(col("id_a"), col("id_b"), col("agreement_bits"),
+            col("match_score"), col("decision")),
+        queryName = s"gate_slinkage_${System.nanoTime()}")
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   // ---------------------------------------------------------------- oracle
 
   /** Full-recompute nested coreness peel of the MERGED graph — the
@@ -483,6 +517,36 @@ object QueriesR10 {
        |FROM c3 ORDER BY source""".stripMargin
   }
 
+  /** D16's blocked, weighted, thresholded pair scoring — shared by the
+    * batch gate and X28's streaming twin (the id-ordering filter makes
+    * the stream's appended decisions the same set).
+    */
+  private val linkageScoreSql =
+    """WITH p AS (
+      |  SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+      |    CASE WHEN a.c_mktsegment = b.c_mktsegment THEN 1 ELSE 0 END AS f0,
+      |    CASE WHEN abs(a.c_acctbal - b.c_acctbal) <= 500.0
+      |      THEN 1 ELSE 0 END AS f1,
+      |    CASE WHEN substr(a.c_name, length(a.c_name) - 1, 2)
+      |           = substr(b.c_name, length(b.c_name) - 1, 2)
+      |      THEN 1 ELSE 0 END AS f2
+      |  FROM customer a JOIN customer b
+      |    ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+      |), s AS (
+      |  SELECT id_a, id_b,
+      |    CAST(f0 + f1 * 2 + f2 * 4 AS BIGINT) AS agreement_bits,
+      |    CAST(CASE WHEN f0 = 1 THEN 1609 ELSE -223 END
+      |       + CASE WHEN f1 = 1 THEN 2303 ELSE -105 END
+      |       + CASE WHEN f2 = 1 THEN 2303 ELSE -105 END
+      |      AS BIGINT) AS match_score
+      |  FROM p
+      |)
+      |SELECT id_a, id_b, agreement_bits, match_score,
+      |  CASE WHEN match_score >= 4000 THEN 'match'
+      |       ELSE 'possible' END AS decision
+      |FROM s WHERE match_score >= 1500
+      |ORDER BY id_a, id_b""".stripMargin
+
   val sql: Map[String, String] = Map(
     "text_mixture_weights" -> mixtureWeightsSql,
     "text_mixture_temp" ->
@@ -580,31 +644,8 @@ object QueriesR10 {
         |SELECT id_a, id_b, jaccard_ppm FROM scored
         |WHERE jaccard_ppm >= 300000
         |ORDER BY id_a, id_b""".stripMargin,
-    "dedup_linkage_score" ->
-      """WITH p AS (
-        |  SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
-        |    CASE WHEN a.c_mktsegment = b.c_mktsegment THEN 1 ELSE 0 END AS f0,
-        |    CASE WHEN abs(a.c_acctbal - b.c_acctbal) <= 500.0
-        |      THEN 1 ELSE 0 END AS f1,
-        |    CASE WHEN substr(a.c_name, length(a.c_name) - 1, 2)
-        |           = substr(b.c_name, length(b.c_name) - 1, 2)
-        |      THEN 1 ELSE 0 END AS f2
-        |  FROM customer a JOIN customer b
-        |    ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
-        |), s AS (
-        |  SELECT id_a, id_b,
-        |    CAST(f0 + f1 * 2 + f2 * 4 AS BIGINT) AS agreement_bits,
-        |    CAST(CASE WHEN f0 = 1 THEN 1609 ELSE -223 END
-        |       + CASE WHEN f1 = 1 THEN 2303 ELSE -105 END
-        |       + CASE WHEN f2 = 1 THEN 2303 ELSE -105 END
-        |      AS BIGINT) AS match_score
-        |  FROM p
-        |)
-        |SELECT id_a, id_b, agreement_bits, match_score,
-        |  CASE WHEN match_score >= 4000 THEN 'match'
-        |       ELSE 'possible' END AS decision
-        |FROM s WHERE match_score >= 1500
-        |ORDER BY id_a, id_b""".stripMargin,
+    "dedup_linkage_score" -> linkageScoreSql,
+    "stream_linkage_score" -> linkageScoreSql,
     "text_mixture_select" ->
       """WITH d AS (
         |  SELECT source, doc_id,

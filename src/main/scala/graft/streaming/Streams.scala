@@ -1135,6 +1135,29 @@ object Streams {
     }
   }
 
+  /** X28: streaming record-linkage scoring — D16's Fellegi–Sunter
+    * decision layer run as arrivals enrich against a broadcast static
+    * reference (the X6 shape): each micro-batch blocks on `blockCol`,
+    * the caller's `score` stage (typically a `Linkage.score` pipeline
+    * with an id-ordering filter) turns pair rows into decisions, and
+    * matches APPEND to the sink — stateless, because each arrival meets
+    * the full reference exactly once and an id-ordering predicate keeps
+    * self-linkage pairs unique across batches. The live "is this
+    * incoming record a duplicate of something we already have" gate.
+    */
+  def streamingLinkage(spark: SparkSession, arrivals: DataFrame,
+                       staticRef: DataFrame, blockCol: String,
+                       score: DataFrame => DataFrame,
+                       queryName: String): DataFrame = {
+    val path = stageToTemp(arrivals, "slinkage")
+    val s = spark.readStream.schema(arrivals.schema).parquet(path)
+    val scored = score(s.join(broadcast(staticRef), Seq(blockCol)))
+    val q = scored.writeStream.outputMode("append")
+      .format("memory").queryName(queryName).start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    spark.table(queryName)
+  }
+
   /** X27: streaming backfill-HORIZON monitor — [[streamingBackfillGaps]]
     * bounded to the trailing `horizon` hours with O(horizon) bitmap
     * state: per event_type the state is (loSeen, hiSeen, bitmap, ver)

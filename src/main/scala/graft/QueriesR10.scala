@@ -302,6 +302,20 @@ object QueriesR10 {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** R105: shortest-path counting (see
+    * [[graft.operators.Graph.shortestPathCounts]]) — σ/dist per (seed,
+    * node) on the co-purchase graph, seeds every 97th part, 6 rounds.
+    */
+  def graphPathCounts(s: SparkSession, dir: String): DataFrame = {
+    val edges = QueriesR6.coPurchasePairs(s, dir)
+      .select(col("src"), col("dst"))
+    val seeds = edges.select(col("src").as("node"))
+      .unionAll(edges.select(col("dst").as("node")))
+      .filter(col("node") % 97 === 0).distinct()
+    graft.operators.Graph.shortestPathCounts(edges, seeds, rounds = 6)
+      .orderBy(col("seed"), col("node"))
+  }
+
   // ---------------------------------------------------------------- oracle
 
   /** Full-recompute nested coreness peel of the MERGED graph — the
@@ -517,6 +531,41 @@ object QueriesR10 {
        |FROM c3 ORDER BY source""".stripMargin
   }
 
+  /** Straight-line level-synchronous BFS with path counting: 6 unrolled
+    * rounds; σ of a new node = sum of predecessor σ, settled set carried
+    * per round.
+    */
+  private val pathCountsSql = {
+    def round(r: Int): String =
+      s"""f$r AS MATERIALIZED (
+         |  SELECT f.seed, e.dst AS node, $r AS dist,
+         |    CAST(SUM(f.sigma) AS BIGINT) AS sigma
+         |  FROM f${r - 1} f JOIN e ON e.src = f.node
+         |  WHERE NOT EXISTS (SELECT 1 FROM d${r - 1} d
+         |                    WHERE d.seed = f.seed AND d.node = e.dst)
+         |  GROUP BY f.seed, e.dst
+         |), d$r AS MATERIALIZED (
+         |  SELECT * FROM d${r - 1} UNION ALL SELECT * FROM f$r
+         |)""".stripMargin
+    s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |und AS (
+       |  SELECT a.l_partkey AS a, b.l_partkey AS b
+       |  FROM li a JOIN li b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |  GROUP BY 1, 2
+       |), e AS MATERIALIZED (
+       |  SELECT a AS src, b AS dst FROM und
+       |  UNION ALL SELECT b, a FROM und
+       |), f0 AS MATERIALIZED (
+       |  SELECT DISTINCT src AS seed, src AS node, 0 AS dist,
+       |    CAST(1 AS BIGINT) AS sigma
+       |  FROM e WHERE src % 97 = 0
+       |), d0 AS MATERIALIZED (SELECT * FROM f0),
+       |${(1 to 6).map(round).mkString(",\n")}
+       |SELECT seed, node, CAST(dist AS BIGINT) AS dist, sigma
+       |FROM d6 ORDER BY seed, node""".stripMargin
+  }
+
   /** D16's blocked, weighted, thresholded pair scoring — shared by the
     * batch gate and X28's streaming twin (the id-ordering filter makes
     * the stream's appended decisions the same set).
@@ -609,6 +658,7 @@ object QueriesR10 {
     "graph_trussness_inc" -> trussnessIncSql,
     "graph_sssp" -> ssspSql,
     "graph_kpeak" -> kpeakSql,
+    "graph_path_counts" -> pathCountsSql,
     "dedup_sorted_neighborhood" ->
       """WITH base AS (
         |  SELECT doc_id, text, substr(lower(trim(text)), 1, 24) AS key

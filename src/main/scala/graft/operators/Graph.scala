@@ -1053,6 +1053,55 @@ object Graph {
     else labels
   }
 
+  /** R105: shortest-path COUNTING from a seed set — per (seed, node):
+    * the hop distance and σ = the NUMBER of distinct shortest paths,
+    * via level-synchronous BFS where a newly-reached node's σ is the
+    * sum of its predecessors' σ (the forward half of Brandes'
+    * betweenness; the backward dependency accumulation needs rational
+    * arithmetic, so σ/dist — integer-exact in any engine — is the part
+    * that gates; consumers derive centrality approximations from it).
+    * σ separates corridor nodes (every route passes them, σ
+    * concentrates) from redundant-mesh nodes even at the same distance.
+    *
+    * Per round: the frontier (nodes first reached at dist r−1)
+    * broadcasts into the edge join, one (seed, dst) sum-aggregate, one
+    * anti-join against the settled set. Monotone (settled only grows),
+    * empty-frontier early-exit; rounds ≥ max seed eccentricity ≡ exact.
+    *
+    * @param seeds one `node` column; σ(seed, seed) = 1 at dist 0
+    * @return (seed, node, dist, sigma) for every node reached within
+    *         `rounds`
+    */
+  def shortestPathCounts(edges: DataFrame, seeds: DataFrame,
+                         rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val und = edges.select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val dir = und.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(und.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint(true)
+    var frontier = seeds.select(col("node").as("seed"), col("node"),
+        lit(0L).as("dist"), lit(1L).as("sigma"))
+      .localCheckpoint(true)
+    var done = frontier
+    var r = 1
+    while (r <= rounds && !frontier.isEmpty) {
+      frontier = frontier
+        .join(dir.withColumnRenamed("src", "node"), Seq("node"))
+        .groupBy(col("seed"), col("dst").as("node"))
+        .agg(sum(col("sigma")).as("sigma"))
+        .join(done.select(col("seed"), col("node")), Seq("seed", "node"),
+          "left_anti")
+        .select(col("seed"), col("node"), lit(r.toLong).as("dist"),
+          col("sigma"))
+        .localCheckpoint(true)
+      done = done.unionByName(frontier).localCheckpoint(true)
+      r += 1
+    }
+    done
+  }
+
   def shortestPathsWeighted(edges: DataFrame, seeds: DataFrame,
                             rounds: Int): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")

@@ -316,6 +316,28 @@ object QueriesR10 {
       .orderBy(col("seed"), col("node"))
   }
 
+  /** R106: harmonic centrality + eccentricity per seed — derived from
+    * [[graft.operators.Graph.shortestPathCounts]]'s settled set:
+    * harmonic = Σ 1/dist over reached nodes, scaled ×60 (LCM of the
+    * round-capped distances 1..6) so every term — hence the sum — is an
+    * exact integer in both engines; eccentricity = max settled dist
+    * (within the fixed rounds, the [[graphPathCounts]] contract).
+    */
+  def graphHarmonic(s: SparkSession, dir: String): DataFrame = {
+    val edges = QueriesR6.coPurchasePairs(s, dir)
+      .select(col("src"), col("dst"))
+    val seeds = edges.select(col("src").as("node"))
+      .unionAll(edges.select(col("dst").as("node")))
+      .filter(col("node") % 97 === 0).distinct()
+    graft.operators.Graph.shortestPathCounts(edges, seeds, rounds = 6)
+      .filter(col("dist") > 0)
+      .groupBy(col("seed"))
+      .agg(count(lit(1)).as("n_reached"),
+        max(col("dist")).as("eccentricity"),
+        sum(expr("60 div dist")).as("harmonic_x60"))
+      .orderBy(col("seed"))
+  }
+
   // ---------------------------------------------------------------- oracle
 
   /** Full-recompute nested coreness peel of the MERGED graph — the
@@ -535,7 +557,7 @@ object QueriesR10 {
     * rounds; σ of a new node = sum of predecessor σ, settled set carried
     * per round.
     */
-  private val pathCountsSql = {
+  private val pathCountsCtes = {
     def round(r: Int): String =
       s"""f$r AS MATERIALIZED (
          |  SELECT f.seed, e.dst AS node, $r AS dist,
@@ -547,7 +569,7 @@ object QueriesR10 {
          |), d$r AS MATERIALIZED (
          |  SELECT * FROM d${r - 1} UNION ALL SELECT * FROM f$r
          |)""".stripMargin
-    s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    s"""li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
        |und AS (
        |  SELECT a.l_partkey AS a, b.l_partkey AS b
        |  FROM li a JOIN li b
@@ -561,10 +583,25 @@ object QueriesR10 {
        |    CAST(1 AS BIGINT) AS sigma
        |  FROM e WHERE src % 97 = 0
        |), d0 AS MATERIALIZED (SELECT * FROM f0),
-       |${(1 to 6).map(round).mkString(",\n")}
+       |${(1 to 6).map(round).mkString(",\n")}""".stripMargin
+  }
+
+  private val pathCountsSql =
+    s"""WITH $pathCountsCtes
        |SELECT seed, node, CAST(dist AS BIGINT) AS dist, sigma
        |FROM d6 ORDER BY seed, node""".stripMargin
-  }
+
+  /** R106 oracle: the same BFS chain aggregated per seed — harmonic
+    * terms are 60/dist (LCM(1..6) scaling keeps every term an exact
+    * integer), eccentricity is the max settled distance within rounds.
+    */
+  private val harmonicSql =
+    s"""WITH $pathCountsCtes
+       |SELECT seed, CAST(COUNT(*) AS BIGINT) AS n_reached,
+       |  CAST(MAX(dist) AS BIGINT) AS eccentricity,
+       |  CAST(SUM(60 // dist) AS BIGINT) AS harmonic_x60
+       |FROM d6 WHERE dist > 0
+       |GROUP BY seed ORDER BY seed""".stripMargin
 
   /** D16's blocked, weighted, thresholded pair scoring — shared by the
     * batch gate and X28's streaming twin (the id-ordering filter makes
@@ -659,6 +696,7 @@ object QueriesR10 {
     "graph_sssp" -> ssspSql,
     "graph_kpeak" -> kpeakSql,
     "graph_path_counts" -> pathCountsSql,
+    "graph_harmonic" -> harmonicSql,
     "dedup_sorted_neighborhood" ->
       """WITH base AS (
         |  SELECT doc_id, text, substr(lower(trim(text)), 1, 24) AS key

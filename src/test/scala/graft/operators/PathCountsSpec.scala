@@ -48,4 +48,21 @@ class PathCountsSpec extends AnyFunSuite {
     val got = run(path, Seq(1L), rounds = 2)
     assert(got.keySet.map(_._2) == Set(1L, 2L, 3L))
   }
+
+  test("R106 derivation: harmonic x60 and eccentricity are exact") {
+    import org.apache.spark.sql.functions._
+    // star on 1..5 (center 1): center ecc 1, harmonic 4*60;
+    // leaf 2: center at 1, three leaves at 2 -> 60 + 3*30, ecc 2
+    val star = (2L to 5L).map(i => (1L, i))
+    val got = Graph.shortestPathCounts(star.toDF("src", "dst"),
+        Seq(1L, 2L).toDF("node"), rounds = 6)
+      .filter(col("dist") > 0)
+      .groupBy(col("seed"))
+      .agg(max(col("dist")).as("ecc"),
+        sum(expr("60 div dist")).as("h60"))
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) == ((1L, 240L)))
+    assert(got(2L) == ((2L, 150L)))
+  }
 }

@@ -338,6 +338,31 @@ object QueriesR10 {
       .orderBy(col("seed"))
   }
 
+  /** R107: deterministic negative sampling (see
+    * [[graft.operators.Sampling.negativeSample]]) — customer × part
+    * interactions, 8 md5 draws, keep up to 4 negatives per customer.
+    */
+  def qNegativeSample(s: SparkSession, dir: String): DataFrame = {
+    val pos = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey"), col("l_partkey"))
+    graft.operators.Sampling.negativeSample(pos, col("o_custkey"),
+        col("l_partkey"), attempts = 8, k = 4)
+      .orderBy(col("user_key"), col("item"))
+  }
+
+  /** R108: exact per-group AUC (see [[graft.operators.Eval.aucByGroup]])
+    * — does extended price "predict" the returned flag, per line status;
+    * cents-exact scores, tie-aware Mann–Whitney, no floats anywhere.
+    */
+  def qEvalAuc(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Eval.aucByGroup(t(s, dir, "lineitem"),
+        col("l_linestatus"),
+        col("l_returnflag") === "R",
+        (col("l_extendedprice").cast("decimal(12,2)") * 100).cast("long"))
+      .orderBy(col("grp"))
+
   // ---------------------------------------------------------------- oracle
 
   /** Full-recompute nested coreness peel of the MERGED graph — the
@@ -603,6 +628,13 @@ object QueriesR10 {
        |FROM d6 WHERE dist > 0
        |GROUP BY seed ORDER BY seed""".stripMargin
 
+  /** DuckDB mirror of Spark's conv(substr(md5(x),1,6),16,10). */
+  private def hex6(sExpr: String): String =
+    (1 to 6).map { i =>
+      val p = math.pow(16, 6 - i).toLong
+      s"(strpos('0123456789abcdef', substr($sExpr, $i, 1)) - 1) * $p"
+    }.mkString("(", " + ", ")")
+
   /** D16's blocked, weighted, thresholded pair scoring — shared by the
     * batch gate and X28's streaming twin (the id-ordering filter makes
     * the stream's appended decisions the same set).
@@ -697,6 +729,59 @@ object QueriesR10 {
     "graph_kpeak" -> kpeakSql,
     "graph_path_counts" -> pathCountsSql,
     "graph_harmonic" -> harmonicSql,
+    "q_negative_sample" ->
+      s"""WITH pos AS (
+         |  SELECT DISTINCT o_custkey AS user_key, l_partkey AS item
+         |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+         |), mx AS (SELECT MAX(item) AS m FROM pos),
+         |u AS (SELECT DISTINCT user_key FROM pos),
+         |c AS (
+         |  SELECT u.user_key, j.j AS attempt,
+         |    ${hex6("md5(CAST(u.user_key AS VARCHAR) || ':' || CAST(j.j AS VARCHAR))")}
+         |      % mx.m + 1 AS item
+         |  FROM u, mx, (SELECT unnest(range(0, 8)) AS j) j
+         |), f AS (
+         |  SELECT c.user_key, c.item, CAST(MIN(c.attempt) AS BIGINT) AS attempt
+         |  FROM c
+         |  WHERE NOT EXISTS (SELECT 1 FROM pos p
+         |    WHERE p.user_key = c.user_key AND p.item = c.item)
+         |  GROUP BY c.user_key, c.item
+         |), r AS (
+         |  SELECT user_key, item, attempt,
+         |    row_number() OVER (PARTITION BY user_key ORDER BY attempt) AS rnk
+         |  FROM f
+         |)
+         |SELECT user_key, item, attempt FROM r WHERE rnk <= 4
+         |ORDER BY user_key, item""".stripMargin,
+    "q_eval_auc" ->
+      """WITH e AS (
+        |  SELECT l_linestatus AS grp,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |      AS scr,
+        |    (l_returnflag = 'R') AS lbl
+        |  FROM lineitem
+        |), ps AS (
+        |  SELECT grp, scr,
+        |    CAST(SUM(CASE WHEN lbl THEN 1 ELSE 0 END) AS BIGINT) AS np,
+        |    CAST(SUM(CASE WHEN NOT lbl THEN 1 ELSE 0 END) AS BIGINT) AS nn
+        |  FROM e GROUP BY 1, 2
+        |), cb AS (
+        |  SELECT grp, np, nn,
+        |    CAST(COALESCE(SUM(nn) OVER (PARTITION BY grp ORDER BY scr
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS cn
+        |  FROM ps
+        |), agg AS (
+        |  SELECT grp, CAST(SUM(np) AS BIGINT) AS n_pos,
+        |    CAST(SUM(nn) AS BIGINT) AS n_neg,
+        |    CAST(SUM(np * (cn * 2 + nn)) AS BIGINT) AS u_stat_x2
+        |  FROM cb GROUP BY grp
+        |)
+        |SELECT grp, n_pos, n_neg, u_stat_x2,
+        |  CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
+        |    ELSE CAST(u_stat_x2 * 1000000 // (2 * n_pos * n_neg) AS BIGINT)
+        |  END AS auc_ppm
+        |FROM agg ORDER BY grp""".stripMargin,
     "dedup_sorted_neighborhood" ->
       """WITH base AS (
         |  SELECT doc_id, text, substr(lower(trim(text)), 1, 24) AS key

@@ -75,6 +75,47 @@ object Sampling {
       .drop("__pri")
   }
 
+  /** R107: deterministic negative sampling — the training-pair
+    * construction step for recommenders/retrievers: per user, up to `k`
+    * items the user did NOT interact with, drawn by md5 hash so the
+    * sample is reproducible, engine-agnostic, and stable under reruns
+    * (no RNG state, no seed drift between runs). Draws that collide
+    * with a positive are rejected (the anti-join), duplicate draws
+    * collapse to their first attempt, and the first `k` surviving
+    * attempts win — rejection can leave a user under `k` when attempts
+    * run out, the documented trade for determinism.
+    *
+    * Scale shape: users × attempts explode (narrow), one anti-join
+    * against positives on (user, item), one per-user window over ≤
+    * `attempts` rows. Item ids are assumed dense in [1, max(item)]
+    * (remap upstream otherwise — draws land uniformly over that range).
+    *
+    * @return (user_key, item, attempt) — negatives only
+    */
+  def negativeSample(positives: DataFrame, user: Column, item: Column,
+                     attempts: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(attempts >= k && k >= 1, s"bad params (m=$attempts, k=$k)")
+    val pos = positives.select(user.as("user_key"), item.as("item"))
+      .distinct().localCheckpoint(true)
+    val mx = pos.agg(max(col("item")).as("__mx"))
+    val cands = pos.select(col("user_key")).distinct()
+      .crossJoin(broadcast(mx))
+      .select(col("user_key"), col("__mx"),
+        explode(sequence(lit(0), lit(attempts - 1))).as("attempt"))
+      .withColumn("item",
+        conv(substring(md5(concat(col("user_key").cast("string"), lit(":"),
+          col("attempt").cast("string"))), 1, 6), 16, 10).cast("long")
+          % col("__mx") + 1)
+    val w = Window.partitionBy(col("user_key")).orderBy(col("attempt"))
+    cands.join(pos, Seq("user_key", "item"), "left_anti")
+      .groupBy(col("user_key"), col("item"))
+      .agg(min(col("attempt")).as("attempt"))
+      .withColumn("__rnk", row_number().over(w))
+      .filter(col("__rnk") <= k)
+      .select(col("user_key"), col("item"), col("attempt"))
+  }
+
   /** T24: training-mixture materialization — turn per-source TOKEN
     * budgets into a concrete document selection: within each source,
     * documents are taken in deterministic md5-of-id order until the

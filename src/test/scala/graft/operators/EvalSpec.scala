@@ -1,0 +1,63 @@
+package graft.operators
+
+import graft.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions.col
+
+/** R107 negative sampling + R108 exact AUC. */
+class EvalSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("AUC: perfect, inverted, and random-with-ties ranking") {
+    val rows = Seq(
+      // group p: positives strictly above negatives -> AUC 1
+      ("p", true, 10L), ("p", true, 9L), ("p", false, 5L), ("p", false, 1L),
+      // group i: inverted -> AUC 0
+      ("i", true, 1L), ("i", false, 5L),
+      // group t: ALL scores tied -> AUC exactly 1/2
+      ("t", true, 7L), ("t", false, 7L), ("t", true, 7L), ("t", false, 7L))
+      .toDF("g", "lbl", "s")
+    val got = Eval.aucByGroup(rows, col("g"), col("lbl"), col("s"))
+      .select("grp", "n_pos", "n_neg", "u_stat_x2", "auc_ppm")
+      .as[(String, Long, Long, Long, Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got("p") == ((2L, 2L, 8L, Some(1000000L))))
+    assert(got("i") == ((1L, 1L, 0L, Some(0L))))
+    assert(got("t") == ((2L, 2L, 4L, Some(500000L))))
+  }
+
+  test("AUC: a group with no negatives reports null, not zero") {
+    val rows = Seq(("x", true, 1L), ("x", true, 2L)).toDF("g", "lbl", "s")
+    val got = Eval.aucByGroup(rows, col("g"), col("lbl"), col("s"))
+      .select("auc_ppm").as[Option[Long]].collect()
+    assert(got.toSeq == Seq(None))
+  }
+
+  test("AUC: partial tie contributes exactly one half") {
+    // pos at 5, neg at 5 and 1: pairs = (5>1)=1 + (5=5)=1/2 -> U*2 = 3
+    val rows = Seq(("g", true, 5L), ("g", false, 5L), ("g", false, 1L))
+      .toDF("g", "lbl", "s")
+    val got = Eval.aucByGroup(rows, col("g"), col("lbl"), col("s"))
+      .select("u_stat_x2", "auc_ppm").as[(Long, Long)].head()
+    assert(got == ((3L, 750000L)))
+  }
+
+  test("negative sampling: never a positive, deterministic, capped at k") {
+    val pos = Seq((1L, 3L), (1L, 7L), (2L, 1L), (2L, 2L), (2L, 3L),
+      (2L, 4L), (9L, 10L)).toDF("u", "i")
+    val a = Sampling.negativeSample(pos, col("u"), col("i"),
+        attempts = 8, k = 3)
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    val b = Sampling.negativeSample(pos, col("u"), col("i"),
+        attempts = 8, k = 3)
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    assert(a == b, "two runs draw identical samples")
+    val posSet = Seq((1L, 3L), (1L, 7L), (2L, 1L), (2L, 2L), (2L, 3L),
+      (2L, 4L), (9L, 10L)).toSet
+    assert(a.forall(r => !posSet.contains((r._1, r._2))),
+      "no negative is a positive")
+    assert(a.groupBy(_._1).values.forall(_.size <= 3), "at most k per user")
+    assert(a.forall(r => r._2 >= 1 && r._2 <= 10), "items in [1, max]")
+  }
+}

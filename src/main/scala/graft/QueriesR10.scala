@@ -363,6 +363,31 @@ object QueriesR10 {
         (col("l_extendedprice").cast("decimal(12,2)") * 100).cast("long"))
       .orderBy(col("grp"))
 
+  /** S13: ANN recall evaluation — IVF's top-5 measured against the
+    * exact brute-force baseline per query: overlap count, recall ppm,
+    * and rank agreement. The eval harness every approximate index needs
+    * before its nprobe/band parameters ship; both sides reuse the gated
+    * S1/S2 paths and their oracles verbatim.
+    */
+  def annRecallReport(s: SparkSession, dir: String): DataFrame = {
+    val bf = QueriesData.annBruteforceTopk(s, dir)
+      .select(col("query_id"), col("cand_id"), col("rnk"))
+    val ivf = QueriesData.annIvfTopk(s, dir)
+      .select(col("query_id"), col("cand_id"), col("rnk").as("rnk_ivf"))
+    val j = bf.join(ivf, Seq("query_id", "cand_id"))
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_overlap"),
+        sum(when(col("rnk") === col("rnk_ivf"), 1L).otherwise(0L))
+          .as("n_rank_agree"))
+    bf.select(col("query_id")).distinct()
+      .join(j, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        expr("coalesce(n_overlap, 0) * 1000000 div 5").as("recall_ppm"),
+        coalesce(col("n_rank_agree"), lit(0L)).as("n_rank_agree"))
+      .orderBy(col("query_id"))
+  }
+
   // ---------------------------------------------------------------- oracle
 
   /** Full-recompute nested coreness peel of the MERGED graph — the
@@ -753,6 +778,31 @@ object QueriesR10 {
          |)
          |SELECT user_key, item, attempt FROM r WHERE rnk <= 4
          |ORDER BY user_key, item""".stripMargin,
+    "ann_recall_report" ->
+      s"""WITH bf AS (
+         |  SELECT * FROM (
+         |${QueriesData.sql("ann_bruteforce_topk")}
+         |  ) t
+         |), ivf AS (
+         |  SELECT * FROM (
+         |${QueriesData.sql("ann_ivf_topk")}
+         |  ) t
+         |), j AS (
+         |  SELECT b.query_id, CAST(COUNT(*) AS BIGINT) AS n_overlap,
+         |    CAST(SUM(CASE WHEN b.rnk = i.rnk THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_rank_agree
+         |  FROM bf b JOIN ivf i
+         |    ON i.query_id = b.query_id AND i.cand_id = b.cand_id
+         |  GROUP BY b.query_id
+         |)
+         |SELECT q.query_id,
+         |  COALESCE(j.n_overlap, 0) AS n_overlap,
+         |  CAST(COALESCE(j.n_overlap, 0) * 1000000 // 5 AS BIGINT)
+         |    AS recall_ppm,
+         |  COALESCE(j.n_rank_agree, 0) AS n_rank_agree
+         |FROM (SELECT DISTINCT query_id FROM bf) q
+         |LEFT JOIN j ON j.query_id = q.query_id
+         |ORDER BY q.query_id""".stripMargin,
     "q_eval_auc" ->
       """WITH e AS (
         |  SELECT l_linestatus AS grp,

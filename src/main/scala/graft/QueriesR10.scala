@@ -388,6 +388,26 @@ object QueriesR10 {
       .orderBy(col("query_id"))
   }
 
+  /** R109: calibration bins (see [[graft.operators.Eval.calibration]])
+    * — cents-normalized price score vs the returned flag, 10 bins.
+    */
+  def qEvalCalibration(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Eval.calibration(t(s, dir, "lineitem"),
+        col("l_returnflag") === "R",
+        (col("l_extendedprice").cast("decimal(12,2)") * 100).cast("long"),
+        bins = 10)
+      .orderBy(col("bin"))
+
+  /** R110: confusion matrix + F1 (see
+    * [[graft.operators.Eval.confusionAtThreshold]]) — price ≥ $30,000
+    * "predicting" the returned flag.
+    */
+  def qEvalConfusion(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Eval.confusionAtThreshold(t(s, dir, "lineitem"),
+        col("l_returnflag") === "R",
+        (col("l_extendedprice").cast("decimal(12,2)") * 100).cast("long"),
+        lit(3000000L))
+
   // ---------------------------------------------------------------- oracle
 
   /** Full-recompute nested coreness peel of the MERGED graph — the
@@ -803,6 +823,46 @@ object QueriesR10 {
          |FROM (SELECT DISTINCT query_id FROM bf) q
          |LEFT JOIN j ON j.query_id = q.query_id
          |ORDER BY q.query_id""".stripMargin,
+    "q_eval_calibration" ->
+      """WITH e AS (
+        |  SELECT (l_returnflag = 'R') AS lbl,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |      AS scr
+        |  FROM lineitem
+        |), mx AS (SELECT MAX(scr) AS m FROM e),
+        |b AS (
+        |  SELECT lbl, scr * 1000000 // mx.m AS score_ppm,
+        |    LEAST((scr * 1000000 // mx.m) * 10 // 1000000, 9) AS bin
+        |  FROM e, mx
+        |)
+        |SELECT CAST(bin AS BIGINT) AS bin, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CASE WHEN lbl THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        |  CAST(SUM(CASE WHEN lbl THEN 1 ELSE 0 END) * 1000000 // COUNT(*)
+        |    AS BIGINT) AS pos_rate_ppm,
+        |  CAST(SUM(score_ppm) // COUNT(*) AS BIGINT) AS mean_score_ppm
+        |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
+    "q_eval_confusion" ->
+      """WITH e AS (
+        |  SELECT (l_returnflag = 'R') AS lbl,
+        |    (CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |      >= 3000000) AS prd
+        |  FROM lineitem
+        |), a AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN lbl AND prd THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        |    CAST(SUM(CASE WHEN NOT lbl AND prd THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        |    CAST(SUM(CASE WHEN NOT lbl AND NOT prd THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+        |    CAST(SUM(CASE WHEN lbl AND NOT prd THEN 1 ELSE 0 END) AS BIGINT) AS fn
+        |  FROM e
+        |)
+        |SELECT n, tp, fp, tn, fn,
+        |  CASE WHEN tp + fp = 0 THEN NULL
+        |    ELSE CAST(tp * 1000000 // (tp + fp) AS BIGINT) END AS precision_ppm,
+        |  CASE WHEN tp + fn = 0 THEN NULL
+        |    ELSE CAST(tp * 1000000 // (tp + fn) AS BIGINT) END AS recall_ppm,
+        |  CASE WHEN 2 * tp + fp + fn = 0 THEN NULL
+        |    ELSE CAST(tp * 2000000 // (2 * tp + fp + fn) AS BIGINT) END AS f1_ppm
+        |FROM a""".stripMargin,
     "q_eval_auc" ->
       """WITH e AS (
         |  SELECT l_linestatus AS grp,

@@ -29,6 +29,59 @@ object Eval {
     *         U×2 · 1e6 div (2·n_pos·n_neg); groups with no positives or
     *         no negatives report auc_ppm = null (undefined, not 0)
     */
+  /** R109: calibration report — scores normalized to ppm of the max,
+    * bucketed into `bins` equal-width bins; per bin the observed
+    * positive rate vs the mean normalized score (a calibrated scorer
+    * has them tracking). All integer ppm arithmetic.
+    *
+    * @return (bin, n, n_pos, pos_rate_ppm, mean_score_ppm)
+    */
+  def calibration(rows: DataFrame, label: Column, score: Column,
+                  bins: Int): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    val mx = rows.agg(max(score).cast("long").as("__mx"))
+    rows.select(label.as("lbl"), score.cast("long").as("scr"))
+      .crossJoin(broadcast(mx))
+      .withColumn("score_ppm", expr("scr * 1000000 div __mx"))
+      .withColumn("bin",
+        least(expr(s"score_ppm * $bins div 1000000"), lit(bins - 1L)))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("lbl"), 1L).otherwise(0L)).as("n_pos"),
+        sum(col("score_ppm")).as("__ssum"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        expr("n_pos * 1000000 div n").as("pos_rate_ppm"),
+        expr("__ssum div n").as("mean_score_ppm"))
+  }
+
+  /** R110: confusion matrix at a threshold, with exact ppm metrics —
+    * TP/FP/TN/FN in one aggregate; precision, recall, and F1 as integer
+    * ppm (F1 via the 2TP/(2TP+FP+FN) identity, one floor division, no
+    * rational-of-rational rounding). Undefined metrics (no predicted
+    * positives / no actual positives) report null.
+    *
+    * @return one row: (n, tp, fp, tn, fn, precision_ppm, recall_ppm,
+    *         f1_ppm)
+    */
+  def confusionAtThreshold(rows: DataFrame, label: Column, score: Column,
+                           threshold: Column): DataFrame = {
+    val pred = score >= threshold
+    rows.agg(
+        count(lit(1)).as("n"),
+        sum(when(label && pred, 1L).otherwise(0L)).as("tp"),
+        sum(when(!label && pred, 1L).otherwise(0L)).as("fp"),
+        sum(when(!label && !pred, 1L).otherwise(0L)).as("tn"),
+        sum(when(label && !pred, 1L).otherwise(0L)).as("fn"))
+      .select(col("n"), col("tp"), col("fp"), col("tn"), col("fn"),
+        when(col("tp") + col("fp") === 0, lit(null))
+          .otherwise(expr("tp * 1000000 div (tp + fp)")).as("precision_ppm"),
+        when(col("tp") + col("fn") === 0, lit(null))
+          .otherwise(expr("tp * 1000000 div (tp + fn)")).as("recall_ppm"),
+        when(col("tp") * 2 + col("fp") + col("fn") === 0, lit(null))
+          .otherwise(expr("tp * 2000000 div (2 * tp + fp + fn)"))
+          .as("f1_ppm"))
+  }
+
   def aucByGroup(rows: DataFrame, group: Column, label: Column,
                  score: Column): DataFrame = {
     val perScore = rows

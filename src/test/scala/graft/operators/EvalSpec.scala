@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.SparkTestSession
 import org.scalatest.funsuite.AnyFunSuite
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit}
 
 /** R107 negative sampling + R108 exact AUC. */
 class EvalSpec extends AnyFunSuite {
@@ -41,6 +41,34 @@ class EvalSpec extends AnyFunSuite {
     val got = Eval.aucByGroup(rows, col("g"), col("lbl"), col("s"))
       .select("u_stat_x2", "auc_ppm").as[(Long, Long)].head()
     assert(got == ((3L, 750000L)))
+  }
+
+  test("calibration: bins partition by normalized score, max lands in last bin") {
+    val rows = Seq((true, 100L), (false, 10L), (false, 55L), (true, 100L))
+      .toDF("lbl", "s")
+    val got = Eval.calibration(rows, col("lbl"), col("s"), bins = 2)
+      .orderBy("bin")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // ppm scores: 1e6, 100000, 550000, 1e6 -> bin0: {100000}, bin1: rest
+    assert(got == Seq((0L, 1L, 0L, 0L, 100000L),
+      (1L, 3L, 2L, 666666L, 850000L)))
+  }
+
+  test("confusion: counts and ppm metrics at a threshold") {
+    val rows = Seq((true, 10L), (true, 2L), (false, 10L), (false, 1L),
+      (false, 1L)).toDF("lbl", "s")
+    val got = Eval.confusionAtThreshold(rows, col("lbl"), col("s"), lit(5L))
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].head()
+    // tp=1 fp=1 tn=2 fn=1: precision 1/2, recall 1/2, f1 = 2/(2+1+1) = 1/2
+    assert(got == ((5L, 1L, 1L, 2L, 1L, 500000L, 500000L, 500000L)))
+  }
+
+  test("confusion: undefined metrics are null when a class is absent") {
+    val rows = Seq((false, 1L), (false, 2L)).toDF("lbl", "s")
+    val got = Eval.confusionAtThreshold(rows, col("lbl"), col("s"), lit(10L))
+      .select("precision_ppm", "recall_ppm")
+      .as[(Option[Long], Option[Long])].head()
+    assert(got == ((None, None)))
   }
 
   test("negative sampling: never a positive, deterministic, capped at k") {

@@ -408,6 +408,25 @@ object QueriesR10 {
         (col("l_extendedprice").cast("decimal(12,2)") * 100).cast("long"),
         lit(3000000L))
 
+  /** R111: stratified k-fold assignment (see
+    * [[graft.operators.Eval.stratifiedFolds]]) — orders stratified by
+    * status into 5 folds, ±1 balance per stratum.
+    */
+  def qKfoldAssign(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Eval.stratifiedFolds(t(s, dir, "orders"),
+        col("o_orderkey"), col("o_orderstatus"), k = 5)
+      .orderBy(col("stratum"), col("id"))
+
+  /** R112: Cohen's kappa (see [[graft.operators.Eval.cohensKappa]]) —
+    * agreement between the returned-flag labeling and a price-threshold
+    * labeling of lineitem, chance-corrected.
+    */
+  def qEvalKappa(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Eval.cohensKappa(t(s, dir, "lineitem"),
+        col("l_returnflag") === "R",
+        (col("l_extendedprice").cast("decimal(12,2)") * 100).cast("long")
+          >= 3000000L)
+
   // ---------------------------------------------------------------- oracle
 
   /** Full-recompute nested coreness peel of the MERGED graph — the
@@ -823,6 +842,35 @@ object QueriesR10 {
          |FROM (SELECT DISTINCT query_id FROM bf) q
          |LEFT JOIN j ON j.query_id = q.query_id
          |ORDER BY q.query_id""".stripMargin,
+    "q_kfold_assign" ->
+      """WITH r AS (
+        |  SELECT o_orderkey AS id, o_orderstatus AS stratum,
+        |    CAST((row_number() OVER (PARTITION BY o_orderstatus
+        |      ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey) - 1) % 5
+        |      AS BIGINT) AS fold
+        |  FROM orders
+        |)
+        |SELECT id, stratum, fold FROM r ORDER BY stratum, id""".stripMargin,
+    "q_eval_kappa" ->
+      """WITH e AS (
+        |  SELECT CAST(l_returnflag = 'R' AS VARCHAR) AS a,
+        |    CAST(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |      >= 3000000 AS VARCHAR) AS b
+        |  FROM lineitem
+        |), c AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c FROM e GROUP BY 1, 2),
+        |n AS (SELECT SUM(c) AS n FROM c),
+        |ag AS (SELECT COALESCE(SUM(c), 0) AS agree FROM c WHERE a = b),
+        |ch AS (
+        |  SELECT COALESCE(SUM(ma.na * mb.nb), 0) AS chance
+        |  FROM (SELECT a, SUM(c) AS na FROM c GROUP BY a) ma
+        |  JOIN (SELECT b, SUM(c) AS nb FROM c GROUP BY b) mb ON mb.b = ma.a
+        |)
+        |SELECT CAST(n.n AS BIGINT) AS n, CAST(ag.agree AS BIGINT) AS n_agree,
+        |  CAST(ag.agree * 1000000 // n.n AS BIGINT) AS agree_ppm,
+        |  CASE WHEN n.n * n.n = ch.chance THEN NULL
+        |    ELSE CAST((n.n * ag.agree - ch.chance) * 1000000
+        |      // (n.n * n.n - ch.chance) AS BIGINT) END AS kappa_ppm
+        |FROM n, ag, ch""".stripMargin,
     "q_eval_calibration" ->
       """WITH e AS (
         |  SELECT (l_returnflag = 'R') AS lbl,

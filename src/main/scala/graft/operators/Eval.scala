@@ -21,14 +21,6 @@ import org.apache.spark.sql.functions._
   * single-partition rank.
   */
 object Eval {
-  /** @param rows   one row per example
-    * @param group  evaluation slice (model, segment, day, …)
-    * @param label  boolean: positive class
-    * @param score  model score; any orderable numeric (ties handled)
-    * @return (group, n_pos, n_neg, u_stat_x2, auc_ppm) — auc_ppm =
-    *         U×2 · 1e6 div (2·n_pos·n_neg); groups with no positives or
-    *         no negatives report auc_ppm = null (undefined, not 0)
-    */
   /** R109: calibration report — scores normalized to ppm of the max,
     * bucketed into `bins` equal-width bins; per bin the observed
     * positive rate vs the mean normalized score (a calibrated scorer
@@ -82,6 +74,71 @@ object Eval {
           .as("f1_ppm"))
   }
 
+  /** R111: stratified k-fold assignment — fold id per example such that
+    * every stratum (label value) splits across folds within ±1: rows
+    * rank by md5-of-id WITHIN their stratum and fold = rank mod k. Hash
+    * order makes folds reproducible and id-stable (adding rows
+    * elsewhere never reshuffles an untouched stratum... it can shift
+    * mod positions — the documented trade vs bucketing by raw hash,
+    * which balances only in expectation; exact ±1 balance needs the
+    * rank). One window per stratum.
+    *
+    * @return input id + stratum + fold ∈ [0, k)
+    */
+  def stratifiedFolds(rows: DataFrame, id: Column, stratum: Column,
+                      k: Int): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val w = Window.partitionBy(col("stratum"))
+      .orderBy(md5(col("id").cast("string")), col("id"))
+    rows.select(id.as("id"), stratum.as("stratum"))
+      .withColumn("fold", (row_number().over(w) - 1) % k)
+      .withColumn("fold", col("fold").cast("long"))
+  }
+
+  /** R112: Cohen's kappa between two labelings, exact — chance-corrected
+    * agreement κ = (p_o − p_e)/(1 − p_e) computed cross-multiplied:
+    *
+    *   kappa_ppm = (n·agree − Σ_c na_c·nb_c) · 1e6 div (n² − Σ_c na_c·nb_c)
+    *
+    * one pass for the agreement count + per-rater marginals, integer
+    * throughout; κ is the "are these two labeling pipelines actually
+    * measuring the same thing" gate raw agreement overstates under
+    * class imbalance. Degenerate marginals (p_e = 1) report null.
+    *
+    * @return one row: (n, n_agree, agree_ppm, kappa_ppm)
+    */
+  def cohensKappa(rows: DataFrame, labelA: Column, labelB: Column): DataFrame = {
+    val cells = rows.select(labelA.cast("string").as("a"),
+        labelB.cast("string").as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val n = cells.agg(sum(col("c"))).head().getLong(0)
+    val agree = cells.filter(col("a") === col("b"))
+      .agg(coalesce(sum(col("c")), lit(0L))).head().getLong(0)
+    val chance = cells.groupBy(col("a")).agg(sum(col("c")).as("na"))
+      .join(cells.groupBy(col("b")).agg(sum(col("c")).as("nb")),
+        col("a") === col("b"))
+      .agg(coalesce(sum(col("na") * col("nb")), lit(0L)))
+      .head().getLong(0)
+    val spark = rows.sparkSession
+    import spark.implicits._
+    Seq((n, agree)).toDF("n", "n_agree")
+      .select(col("n"), col("n_agree"),
+        expr("n_agree * 1000000 div n").as("agree_ppm"),
+        (if (n * n == chance) lit(null)
+         else lit((n * agree - chance) * 1000000L / (n * n - chance)))
+          .as("kappa_ppm"))
+  }
+
+  /** R108 (see the object doc for the identity).
+    * @param rows   one row per example
+    * @param group  evaluation slice (model, segment, day, …)
+    * @param label  boolean: positive class
+    * @param score  model score; any orderable numeric (ties handled)
+    * @return (group, n_pos, n_neg, u_stat_x2, auc_ppm) — auc_ppm =
+    *         U×2 · 1e6 div (2·n_pos·n_neg); groups with no positives or
+    *         no negatives report auc_ppm = null (undefined, not 0)
+    */
   def aucByGroup(rows: DataFrame, group: Column, label: Column,
                  score: Column): DataFrame = {
     val perScore = rows

@@ -71,6 +71,41 @@ class EvalSpec extends AnyFunSuite {
     assert(got == ((None, None)))
   }
 
+  test("stratified folds: every stratum balances within one") {
+    val rows = ((1L to 10L).map(i => (i, "a")) ++ (11L to 17L).map(i => (i, "b")))
+      .toDF("i", "s")
+    val got = Eval.stratifiedFolds(rows, col("i"), col("s"), k = 3)
+      .as[(Long, String, Long)].collect()
+    val sizes = got.groupBy(r => (r._2, r._3)).view.mapValues(_.size).toMap
+    // stratum a: 10 rows over 3 folds -> 4/3/3; b: 7 -> 3/2/2
+    assert(sizes.filter(_._1._1 == "a").values.toSeq.sorted == Seq(3, 3, 4))
+    assert(sizes.filter(_._1._1 == "b").values.toSeq.sorted == Seq(2, 2, 3))
+    val again = Eval.stratifiedFolds(rows, col("i"), col("s"), k = 3)
+      .as[(Long, String, Long)].collect()
+    assert(got.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq, "deterministic")
+  }
+
+  test("kappa: perfect agreement 1e6; independent marginals near zero") {
+    val perfect = Seq((true, true), (false, false), (true, true))
+      .toDF("a", "b")
+    val k1 = Eval.cohensKappa(perfect, col("a"), col("b"))
+      .select("kappa_ppm").as[Option[Long]].head()
+    assert(k1 == Some(1000000L))
+    // a and b split 50/50 independently over 4 rows, agreement 2/4 = pe
+    val indep = Seq((true, true), (true, false), (false, true),
+      (false, false)).toDF("a", "b")
+    val k2 = Eval.cohensKappa(indep, col("a"), col("b"))
+      .select("kappa_ppm").as[Option[Long]].head()
+    assert(k2 == Some(0L), "chance-level agreement -> kappa 0")
+  }
+
+  test("kappa: degenerate single-class marginals report null") {
+    val same = Seq((true, true), (true, true)).toDF("a", "b")
+    val k = Eval.cohensKappa(same, col("a"), col("b"))
+      .select("kappa_ppm").as[Option[Long]].head()
+    assert(k.isEmpty, "p_e = 1 leaves kappa undefined")
+  }
+
   test("negative sampling: never a positive, deterministic, capped at k") {
     val pos = Seq((1L, 3L), (1L, 7L), (2L, 1L), (2L, 2L), (2L, 3L),
       (2L, 4L), (9L, 10L)).toDF("u", "i")

@@ -427,6 +427,18 @@ object QueriesR10 {
         (col("l_extendedprice").cast("decimal(12,2)") * 100).cast("long")
           >= 3000000L)
 
+  /** R113: time split with embargo (see
+    * [[graft.operators.Eval.timeSplitEmbargo]]) — events carved at the
+    * exact 70th time percentile with a 24 h embargo band.
+    */
+  def qTimeSplit(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events").select(col("event_id"),
+      expr("unix_micros(CAST(ts AS TIMESTAMP)) div 1000000").as("ts_sec"))
+    graft.operators.Eval.timeSplitEmbargo(e, col("event_id"), col("ts_sec"),
+        trainPpm = 700000L, embargoSec = 86400L)
+      .orderBy(col("id"))
+  }
+
   // ---------------------------------------------------------------- oracle
 
   /** Full-recompute nested coreness peel of the MERGED graph — the
@@ -842,6 +854,26 @@ object QueriesR10 {
          |FROM (SELECT DISTINCT query_id FROM bf) q
          |LEFT JOIN j ON j.query_id = q.query_id
          |ORDER BY q.query_id""".stripMargin,
+    "q_time_split" ->
+      """WITH b AS (
+        |  SELECT event_id AS id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec
+        |  FROM events
+        |), pt AS (SELECT ts_sec, CAST(COUNT(*) AS BIGINT) AS c
+        |          FROM b GROUP BY 1),
+        |n AS (SELECT SUM(c) AS n FROM pt),
+        |cum AS (
+        |  SELECT ts_sec, SUM(c) OVER (ORDER BY ts_sec
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM pt
+        |), cut AS (
+        |  SELECT MIN(ts_sec) AS t FROM cum, n
+        |  WHERE cum * 1000000 >= n.n * 700000
+        |)
+        |SELECT b.id, b.ts_sec,
+        |  CASE WHEN b.ts_sec <= cut.t THEN 'train'
+        |       WHEN b.ts_sec <= cut.t + 86400 THEN 'embargo'
+        |       ELSE 'test' END AS split
+        |FROM b, cut ORDER BY b.id""".stripMargin,
     "q_kfold_assign" ->
       """WITH r AS (
         |  SELECT o_orderkey AS id, o_orderstatus AS stratum,

@@ -95,6 +95,42 @@ object Eval {
       .withColumn("fold", col("fold").cast("long"))
   }
 
+  /** R113: time split with embargo — the leakage-safe train/test carve
+    * for temporally-correlated data (the financial-ML staple): the
+    * split point is the exact nearest-rank `trainPpm` percentile of the
+    * time column, an embargo band of `embargoSec` after it belongs to
+    * NEITHER side (features computed near the boundary see both eras —
+    * the rows a random split would silently leak through), test is
+    * everything after the band.
+    *
+    * The percentile is found WITHOUT a global row sort: one (ts) count
+    * aggregate, a cumulative window over the compressed DISTINCT-ts
+    * domain, min ts whose cumulative count reaches ⌈n·p⌉ — the R108
+    * posture applied to quantiles.
+    *
+    * @return input id + ts + split ∈ {'train', 'embargo', 'test'}
+    */
+  def timeSplitEmbargo(rows: DataFrame, id: Column, tsSec: Column,
+                       trainPpm: Long, embargoSec: Long): DataFrame = {
+    require(trainPpm >= 1 && trainPpm <= 999999, s"trainPpm: $trainPpm")
+    require(embargoSec >= 0, s"embargoSec: $embargoSec")
+    val base = rows.select(id.as("id"), tsSec.cast("long").as("ts_sec"))
+    val perTs = base.groupBy(col("ts_sec")).agg(count(lit(1)).as("c"))
+    val w = Window.orderBy(col("ts_sec"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cut = perTs
+      .withColumn("cum", sum(col("c")).over(w))
+      .crossJoin(broadcast(perTs.agg(sum(col("c")).as("__n"))))
+      .filter(col("cum") * 1000000L >= col("__n") * trainPpm)
+      .agg(min(col("ts_sec")).as("__t_split"))
+    base.crossJoin(broadcast(cut))
+      .withColumn("split",
+        when(col("ts_sec") <= col("__t_split"), "train")
+          .when(col("ts_sec") <= col("__t_split") + embargoSec, "embargo")
+          .otherwise("test"))
+      .select(col("id"), col("ts_sec"), col("split"))
+  }
+
   /** R112: Cohen's kappa between two labelings, exact — chance-corrected
     * agreement κ = (p_o − p_e)/(1 − p_e) computed cross-multiplied:
     *

@@ -106,6 +106,28 @@ class EvalSpec extends AnyFunSuite {
     assert(k.isEmpty, "p_e = 1 leaves kappa undefined")
   }
 
+  test("time split: exact percentile boundary, embargo band excluded") {
+    // ts 1..10, p70 -> cut at ts 7; embargo 2s covers 8..9; test = 10
+    val rows = (1L to 10L).map(i => (i, i)).toDF("i", "ts")
+    val got = Eval.timeSplitEmbargo(rows, col("i"), col("ts"),
+        trainPpm = 700000L, embargoSec = 2L)
+      .as[(Long, Long, String)].collect()
+      .map(r => r._1 -> r._3).toMap
+    assert((1L to 7L).forall(got(_) == "train"))
+    assert(got(8L) == "embargo" && got(9L) == "embargo")
+    assert(got(10L) == "test")
+  }
+
+  test("time split: duplicate timestamps stay on one side together") {
+    val rows = Seq((1L, 5L), (2L, 5L), (3L, 5L), (4L, 9L)).toDF("i", "ts")
+    val got = Eval.timeSplitEmbargo(rows, col("i"), col("ts"),
+        trainPpm = 500000L, embargoSec = 0L)
+      .as[(Long, Long, String)].collect().map(r => r._1 -> r._3).toMap
+    // cut = first ts whose cumulative reaches 2 of 4 -> ts 5 (cum 3)
+    assert(got(1L) == "train" && got(2L) == "train" && got(3L) == "train")
+    assert(got(4L) == "test")
+  }
+
   test("negative sampling: never a positive, deterministic, capped at k") {
     val pos = Seq((1L, 3L), (1L, 7L), (2L, 1L), (2L, 2L), (2L, 3L),
       (2L, 4L), (9L, 10L)).toDF("u", "i")

@@ -439,6 +439,21 @@ object QueriesR10 {
       .orderBy(col("id"))
   }
 
+  /** R114: point-in-time feature assembly (see
+    * [[graft.operators.Eval.pointInTimeFeatures]]) — per order, the
+    * customer's strictly-earlier order count / spend / recency.
+    */
+  def qFeatureAsof(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").select(col("o_custkey"), col("o_orderkey"),
+      expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 1000000")
+        .as("ts_sec"),
+      (col("o_totalprice").cast("decimal(12,2)") * 100).cast("long")
+        .as("cents"))
+    graft.operators.Eval.pointInTimeFeatures(o, col("o_custkey"),
+        col("o_orderkey"), col("ts_sec"), col("cents"))
+      .orderBy(col("entity"), col("id"))
+  }
+
   // ---------------------------------------------------------------- oracle
 
   /** Full-recompute nested coreness peel of the MERGED graph — the
@@ -854,6 +869,23 @@ object QueriesR10 {
          |FROM (SELECT DISTINCT query_id FROM bf) q
          |LEFT JOIN j ON j.query_id = q.query_id
          |ORDER BY q.query_id""".stripMargin,
+    "q_feature_asof" ->
+      """WITH o AS (
+        |  SELECT o_custkey AS entity, o_orderkey AS id,
+        |    CAST(floor(epoch(CAST(o_orderdate AS TIMESTAMP))) AS BIGINT)
+        |      AS ts_sec,
+        |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS v
+        |  FROM orders
+        |)
+        |SELECT entity, id, ts_sec,
+        |  CAST(COALESCE(COUNT(v) OVER w, 0) AS BIGINT) AS n_prior,
+        |  CAST(COALESCE(SUM(v) OVER w, 0) AS BIGINT) AS sum_prior,
+        |  ts_sec - lag(ts_sec, 1) OVER (PARTITION BY entity
+        |    ORDER BY ts_sec, id) AS gap_sec
+        |FROM o
+        |WINDOW w AS (PARTITION BY entity ORDER BY ts_sec, id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |ORDER BY entity, id""".stripMargin,
     "q_time_split" ->
       """WITH b AS (
         |  SELECT event_id AS id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec

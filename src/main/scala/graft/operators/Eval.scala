@@ -95,6 +95,36 @@ object Eval {
       .withColumn("fold", col("fold").cast("long"))
   }
 
+  /** R114: point-in-time feature assembly — for every labeled example,
+    * aggregates over the SAME entity's strictly-earlier history: the
+    * feature-store primitive whose absence causes train-time leakage
+    * (a feature computed over all-time includes the label's own era;
+    * offline metrics inflate, production collapses). The strict
+    * exclusive frame (unbounded preceding .. −1 row, ordered by event
+    * time with an id tie-break) is the whole trick — one window per
+    * entity, the same shuffle any per-entity pass pays, no self-join.
+    *
+    * @param events one row per (entity, ts) example; `value` feeds the
+    *               sum feature
+    * @return input keys + n_prior (count of earlier rows), sum_prior
+    *         (value sum over them), gap_sec (seconds since the previous
+    *         row, null for an entity's first)
+    */
+  def pointInTimeFeatures(events: DataFrame, entity: Column, id: Column,
+                          tsSec: Column, value: Column): DataFrame = {
+    val base = events.select(entity.as("entity"), id.as("id"),
+      tsSec.cast("long").as("ts_sec"), value.cast("long").as("v"))
+    val order = Window.partitionBy(col("entity"))
+      .orderBy(col("ts_sec"), col("id"))
+    val hist = order.rowsBetween(Window.unboundedPreceding, -1)
+    base
+      .withColumn("n_prior", coalesce(count(col("v")).over(hist), lit(0L)))
+      .withColumn("sum_prior", coalesce(sum(col("v")).over(hist), lit(0L)))
+      .withColumn("gap_sec", col("ts_sec") - lag(col("ts_sec"), 1).over(order))
+      .select(col("entity"), col("id"), col("ts_sec"), col("n_prior"),
+        col("sum_prior"), col("gap_sec"))
+  }
+
   /** R113: time split with embargo — the leakage-safe train/test carve
     * for temporally-correlated data (the financial-ML staple): the
     * split point is the exact nearest-rank `trainPpm` percentile of the

@@ -128,6 +128,32 @@ class EvalSpec extends AnyFunSuite {
     assert(got(4L) == "test")
   }
 
+  test("point-in-time features: strictly-earlier history only") {
+    val rows = Seq((1L, 10L, 100L, 5L), (1L, 11L, 200L, 7L),
+      (1L, 12L, 300L, 9L), (2L, 20L, 150L, 4L))
+      .toDF("e", "i", "ts", "v")
+    val got = Eval.pointInTimeFeatures(rows, col("e"), col("i"),
+        col("ts"), col("v"))
+      .orderBy("entity", "id")
+      .as[(Long, Long, Long, Long, Long, Option[Long])].collect().toSeq
+    assert(got == Seq(
+      (1L, 10L, 100L, 0L, 0L, None),       // first: no history, null gap
+      (1L, 11L, 200L, 1L, 5L, Some(100L)), // sees ONLY the first row
+      (1L, 12L, 300L, 2L, 12L, Some(100L)),
+      (2L, 20L, 150L, 0L, 0L, None)))      // entities independent
+  }
+
+  test("point-in-time features: same-timestamp rows order by id, not both-ways") {
+    // two rows at ts 100: the lower id is 'earlier' — neither sees the
+    // other both ways (that would be leakage by tie)
+    val rows = Seq((1L, 5L, 100L, 10L), (1L, 6L, 100L, 20L))
+      .toDF("e", "i", "ts", "v")
+    val got = Eval.pointInTimeFeatures(rows, col("e"), col("i"),
+        col("ts"), col("v"))
+      .orderBy("id").select("n_prior").as[Long].collect().toSeq
+    assert(got == Seq(0L, 1L))
+  }
+
   test("negative sampling: never a positive, deterministic, capped at k") {
     val pos = Seq((1L, 3L), (1L, 7L), (2L, 1L), (2L, 2L), (2L, 3L),
       (2L, 4L), (9L, 10L)).toDF("u", "i")

@@ -17,6 +17,20 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
 
+def canon(v):
+    """Canonical cell rendering mirroring the driver's hash: integer widths
+    collapse, but int vs float stays distinct (123456 != 123456.0)."""
+    if isinstance(v, (bool, np.bool_)):
+        return repr(bool(v))
+    if pd.isna(v) if np.isscalar(v) or v is None else False:
+        return "NULL"
+    if isinstance(v, (int, np.integer)):
+        return repr(int(v))
+    if isinstance(v, (float, np.floating)):
+        return repr(float(v))
+    return str(v)
+
+
 def norm(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
@@ -66,11 +80,12 @@ def main():
         bad_cols = []
         for c in g.columns:
             a, b = g[c], e[c]
-            if a.dtype.kind == "f" or b.dtype.kind == "f":
-                av, bv = a.astype(float).values, b.astype(float).values
-                same = (np.isnan(av) & np.isnan(bv)) | (av == bv)
-            else:
-                same = (a.isna() & b.isna()) | (a.values == b.values)
+            # Driver-strict: the gate hashes canonical string forms, so an
+            # int64 123456 vs float64 123456.0 is a mismatch. Compare
+            # canonical renderings (int width normalized, int vs float not).
+            av = a.map(canon).values
+            bv = b.map(canon).values
+            same = av == bv
             if not bool(np.all(same)):
                 i = int(np.argmin(same))
                 bad_cols.append((c, i, a.iloc[i], b.iloc[i]))

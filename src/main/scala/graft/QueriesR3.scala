@@ -275,16 +275,21 @@ object QueriesR3 {
       .orderBy(col("user_id"), col("session_start"))
   }
 
-  /** R48: equi-depth histogram — ntile buckets over a total order (value +
-    * key tiebreak makes bucket assignment engine-deterministic), per
-    * bucket: row count and decimal-exact value range.
+  /** R48: equi-depth histogram — exact ntile buckets over a total order
+    * (value + key tiebreak makes bucket assignment engine-deterministic),
+    * per bucket: row count and decimal-exact value range. The quantile
+    * assignment runs on [[graft.operators.Ranking.ntileExact]]'s
+    * two-stage rank (range-bucket offsets + partitioned intra-bucket
+    * row_number) — no data-sized single-partition window sort; cents
+    * (price × 100, exact for DECIMAL(12,2)) is the long order key.
     */
   def qEquidepthHist(s: SparkSession, dir: String): DataFrame = {
     val o = t(s, dir, "orders")
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("price"), col("o_orderkey"))
-    o.select(d12c(col("o_totalprice")).as("price"), col("o_orderkey"))
-      .withColumn("bucket", ntile(10).over(w).cast("long"))
+    val priced = o.select(d12c(col("o_totalprice")).as("price"),
+      col("o_orderkey"))
+    graft.operators.Ranking.ntileExact(priced, Seq.empty,
+        (col("price") * 100).cast("long"), Seq(col("o_orderkey")), 10,
+        "bucket")
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_rows"),
         min(col("price")).cast("string").as("lo"),

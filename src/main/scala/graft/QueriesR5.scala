@@ -105,14 +105,16 @@ object QueriesR5 {
     * (cents, event_id) so the assignment is total and engine-identical
     * (NTILE is deterministic once the ORDER BY is a total order).
     * Reported per bin with population and value bounds — the
-    * discretization table a feature pipeline persists.
+    * discretization table a feature pipeline persists. Binning runs on
+    * [[graft.operators.Ranking.ntileExact]]'s two-stage rank, so the
+    * per-type sort is range-bucket partitioned (a handful of event types
+    * would otherwise make each window partition near-global).
     */
   def qQuantileBins(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "events")
       .select(col("event_id"), col("event_type"), centsCol.as("cents"))
-    val w = Window.partitionBy(col("event_type"))
-      .orderBy(col("cents"), col("event_id"))
-    e.withColumn("bin", ntile(4).over(w).cast("long"))
+    graft.operators.Ranking.ntileExact(e, Seq("event_type"), col("cents"),
+        Seq(col("event_id")), 4, "bin")
       .groupBy(col("event_type"), col("bin"))
       .agg(count(lit(1)).as("n"), min(col("cents")).as("min_cents"),
         max(col("cents")).as("max_cents"))
@@ -247,8 +249,10 @@ object QueriesR5 {
     * recency (last order day) / frequency (order count) / monetary
     * (lifetime cents), each discretized into quintiles with the customer
     * key as total-order tiebreak, combined into the 3-digit segment code.
-    * One aggregate over orders + three window passes over the (small)
-    * per-customer frame.
+    * One aggregate over orders + three quintile passes over the
+    * per-customer frame — one row per customer, i.e. data-sized at scale,
+    * so each pass is [[graft.operators.Ranking.ntileExact]]'s two-stage
+    * rank (partitioned everywhere), not a global NTILE window sort.
     */
   def qRfmSegmentation(s: SparkSession, dir: String): DataFrame = {
     val cents = (col("o_totalprice").cast(DecimalType(12, 2)) * 100).cast("long")
@@ -259,11 +263,12 @@ object QueriesR5 {
       .groupBy(col("o_custkey"))
       .agg(max(col("day")).as("r_day"), count(lit(1)).as("f"),
         sum(col("cents")).as("m_cents"))
-    def quint(c: String) = ntile(5)
-      .over(Window.orderBy(col(c), col("o_custkey"))).cast("long")
-    rfm.withColumn("r_score", quint("r_day"))
-      .withColumn("f_score", quint("f"))
-      .withColumn("m_score", quint("m_cents"))
+    def quint(df: DataFrame, c: String, out: String) =
+      graft.operators.Ranking.ntileExact(df, Seq.empty, col(c),
+        Seq(col("o_custkey")), 5, out)
+    val scored = quint(quint(quint(rfm, "r_day", "r_score"),
+      "f", "f_score"), "m_cents", "m_score")
+    scored
       .withColumn("segment",
         col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
       .orderBy(col("o_custkey"))
@@ -396,8 +401,9 @@ object QueriesR5 {
         |  GROUP BY prev_type, event_type
         |)
         |SELECT prev_type, next_type, n_transitions,
-        |  (n_transitions * 1000000) //
-        |    SUM(n_transitions) OVER (PARTITION BY prev_type) AS prob_ppm
+        |  CAST((n_transitions * 1000000) //
+        |    SUM(n_transitions) OVER (PARTITION BY prev_type) AS BIGINT)
+        |    AS prob_ppm
         |FROM c ORDER BY prev_type, next_type""".stripMargin,
     "q_alloc_budget" ->
       """WITH c AS (

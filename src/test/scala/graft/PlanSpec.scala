@@ -88,6 +88,26 @@ class PlanSpec extends AnyFunSuite {
     assert(!df.columns.contains("__salt"))
   }
 
+  test("no gate runs a data-sized single-partition window (bucket totals exempt)") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    // the former NTILE/global-cumulative offenders, rebuilt on the
+    // two-stage rank: any surviving unpartitioned window must consume a
+    // per-bucket aggregate (metadata-sized), never raw rows
+    for (name <- Seq("q_equidepth_hist", "q_rfm_segmentation",
+        "q_quantile_bins", "q_time_split")) {
+      val plan = SparkEntry.queries(name)(spark, dir)
+        .queryExecution.optimizedPlan
+      val unpartitioned = plan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty => w }
+      unpartitioned.foreach { w =>
+        assert(w.child.collectFirst {
+          case a: Aggregate if a.groupingExpressions.exists(
+            _.toString.contains("__bkt")) => a }.nonEmpty,
+          s"$name: unpartitioned window over non-bucket input:\n$w")
+      }
+    }
+  }
+
   test("runtime bloom filter prunes the probe side of a selective join") {
     import org.apache.spark.sql.functions._
     // production thresholds (10 GB probe-side scan) are sized for clusters;

@@ -719,10 +719,11 @@ object QueriesR10 {
        |FROM d6 WHERE dist > 0
        |GROUP BY seed ORDER BY seed""".stripMargin
 
-  /** DuckDB mirror of Spark's conv(substr(md5(x),1,6),16,10). */
-  private def hex6(sExpr: String): String =
-    (1 to 6).map { i =>
-      val p = math.pow(16, 6 - i).toLong
+  /** DuckDB mirror of Spark's conv(substr(md5(x),1,12),16,10) — 48 hash
+    * bits so draws cover item ids far beyond 2²⁴ without truncation. */
+  private def hex12(sExpr: String): String =
+    (1 to 12).map { i =>
+      val p = math.pow(16, 12 - i).toLong
       s"(strpos('0123456789abcdef', substr($sExpr, $i, 1)) - 1) * $p"
     }.mkString("(", " + ", ")")
 
@@ -828,7 +829,7 @@ object QueriesR10 {
          |u AS (SELECT DISTINCT user_key FROM pos),
          |c AS (
          |  SELECT u.user_key, j.j AS attempt,
-         |    ${hex6("md5(CAST(u.user_key AS VARCHAR) || ':' || CAST(j.j AS VARCHAR))")}
+         |    ${hex12("md5(CAST(u.user_key AS VARCHAR) || ':' || CAST(j.j AS VARCHAR))")}
          |      % mx.m + 1 AS item
          |  FROM u, mx, (SELECT unnest(range(0, 8)) AS j) j
          |), f AS (

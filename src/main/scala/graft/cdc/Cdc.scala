@@ -235,8 +235,9 @@ object Cdc {
     *
     * One shuffle on (pk, bucket); the composite order key is packed into
     * a single int64 (ts·10⁸ + seq, exact while ts < 9.2·10¹⁰ s and
-    * seq < 10⁸) so the winner is a plain MAX — no window sort, and any
-    * engine reproduces it with arg_max-free SQL.
+    * seq < 10⁸ — ENFORCED per row, out-of-domain input raises rather
+    * than resolving a wrong winner) so the winner is a plain MAX — no
+    * window sort, and any engine reproduces it with arg_max-free SQL.
     *
     * @return per (pk, bucket): per-source update counts, is_conflict,
     *         and the winning seq (the caller maps it back to its source)
@@ -244,11 +245,21 @@ object Cdc {
   def detectConflicts(updates: DataFrame, pk: Column, ts: Column,
                       seq: Column, source: Column,
                       bucketSec: Long): DataFrame = {
-    val packed = ts.cast("long") * 100000000L + seq.cast("long")
+    // the packing is exact ONLY inside these domains; out-of-range rows
+    // (epoch-MILLISECOND timestamps, seq ≥ 10⁸) would silently alias the
+    // packed order and crown a wrong winner — fail loudly instead
+    val tsOk = ts.cast("long").between(0L, 92233720368L)
+    val seqOk = seq.cast("long").between(0L, 99999999L)
+    val guarded = when(tsOk && seqOk,
+      ts.cast("long") * 100000000L + seq.cast("long"))
+      .otherwise(raise_error(concat(
+        lit("detectConflicts: (ts, seq) outside the exact-packing domain "),
+        lit("ts<9.2e10 s (epoch SECONDS, not millis), seq<1e8 — got ts="),
+        ts.cast("string"), lit(" seq="), seq.cast("string"))))
     updates
       .select(pk.as("pk"),
         floor(ts.cast("long") / bucketSec).cast("long").as("bucket"),
-        source.as("src"), packed.as("ord"), seq.cast("long").as("seq"))
+        source.as("src"), guarded.as("ord"), seq.cast("long").as("seq"))
       .groupBy(col("pk"), col("bucket"))
       .agg(
         sum(when(col("src") === "a", 1L).otherwise(0L)).as("n_a"),

@@ -81,19 +81,30 @@ object ZOrder {
     */
   def appendClustered(df: DataFrame, path: String, z: Column,
                       nFiles: Int): Seq[String] = {
-    def files(): Set[String] = {
-      val d = new java.io.File(path)
-      if (!d.isDirectory) Set.empty
-      else d.listFiles().filter(f => f.isFile && f.getName.endsWith(".parquet"))
-        .map(_.getAbsolutePath).toSet
-    }
+    // resolve through the Hadoop FileSystem of the path's scheme — a
+    // java.io listing silently returns nothing for hdfs://, s3a://, or
+    // even file: URIs, and a manifest committed without the appended
+    // files would make manifest-pruned reads silently drop rows
+    val conf = df.sparkSession.sessionState.newHadoopConf()
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(conf)
+    def files(): Set[String] =
+      if (!fs.exists(hPath)) Set.empty
+      else fs.listStatus(hPath)
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+        .map(_.getPath.toString).toSet // full URI — scheme survives
     val before = files()
     df.withColumn("__z", z)
       .repartitionByRange(nFiles, col("__z"))
       .sortWithinPartitions(col("__z"))
       .drop("__z")
       .write.mode("append").parquet(path)
-    (files() -- before).toSeq.sorted
+    val added = (files() -- before).toSeq.sorted
+    require(added.nonEmpty || df.isEmpty,
+      s"appendClustered: post-write listing of $path gained no files — " +
+        "refusing to report an append the manifest would then miss " +
+        "(concurrent writer or listing/scheme mismatch?)")
+    added
   }
 
   /** Per-file min/max statistics for `cols` — one scan, grouped by file.

@@ -36,26 +36,33 @@ object VideoHeader {
   private def fourcc(b: Array[Byte], i: Int): String =
     new String(Array(b(i), b(i + 1), b(i + 2), b(i + 3)), "US-ASCII")
 
-  /** Returns (format, brand, timescale, duration) or null. */
+  /** Returns (format, brand, timescale, duration) or null. Box sizes are
+    * UNSIGNED 32-bit and attacker-controlled: all cursor arithmetic runs
+    * in Long so a size near 2³¹ can't wrap an Int guard negative and
+    * index out of bounds — a torn/adversarial row must yield null, never
+    * throw (one bad payload would otherwise fail the whole scan).
+    */
   def parse(b: Array[Byte]): InternalRow = {
     if (b == null || b.length < 16 || fourcc(b, 4) != "ftyp") return null
     val brand = fourcc(b, 8)
-    var i = 0
+    var i = 0L
     while (i + 8 <= b.length) {
-      val size = be32(b, i)
+      val size = be32(b, i.toInt).toLong & 0xffffffffL
       if (size < 8 || i + size > b.length) return null
-      if (fourcc(b, i + 4) == "moov") {
+      if (fourcc(b, i.toInt + 4) == "moov") {
         var j = i + 8
         val end = i + size
         while (j + 8 <= end) {
-          val cs = be32(b, j)
+          val cs = be32(b, j.toInt).toLong & 0xffffffffL
           if (cs < 8 || j + cs > end) return null
-          if (fourcc(b, j + 4) == "mvhd") {
+          if (fourcc(b, j.toInt + 4) == "mvhd") {
             // version-0 mvhd: ver/flags(4) ctime(4) mtime(4) scale(4) dur(4)
-            if (b(j + 8) != 0 || j + 28 > end) return null
+            // bounds first — an mvhd box ending at the buffer end must
+            // not read past it
+            if (j + 28 > end || b(j.toInt + 8) != 0) return null
             return new GenericInternalRow(Array[Any](
               UTF8String.fromString("mp4"), UTF8String.fromString(brand),
-              be32(b, j + 20), be32(b, j + 24)))
+              be32(b, j.toInt + 20), be32(b, j.toInt + 24)))
           }
           j += cs
         }

@@ -89,6 +89,10 @@ object Sampling {
     * against positives on (user, item), one per-user window over ≤
     * `attempts` rows. Item ids are assumed dense in [1, max(item)]
     * (remap upstream otherwise — draws land uniformly over that range).
+    * Draws take 48 md5 bits (12 hex chars), so every item up to the
+    * 2⁴⁰ guard is reachable and the modulo bias is ≤ max(item)/2⁴⁸ —
+    * below one draw in 250 even at the guard; a larger id space fails
+    * loudly instead of silently skewing the sample toward low ids.
     *
     * @return (user_key, item, attempt) — negatives only
     */
@@ -99,14 +103,19 @@ object Sampling {
     val pos = positives.select(user.as("user_key"), item.as("item"))
       .distinct().localCheckpoint(true)
     val mx = pos.agg(max(col("item")).as("__mx"))
+    val draw =
+      conv(substring(md5(concat(col("user_key").cast("string"), lit(":"),
+        col("attempt").cast("string"))), 1, 12), 16, 10).cast("long") %
+        col("__mx") + 1
     val cands = pos.select(col("user_key")).distinct()
       .crossJoin(broadcast(mx))
       .select(col("user_key"), col("__mx"),
         explode(sequence(lit(0), lit(attempts - 1))).as("attempt"))
       .withColumn("item",
-        conv(substring(md5(concat(col("user_key").cast("string"), lit(":"),
-          col("attempt").cast("string"))), 1, 6), 16, 10).cast("long")
-          % col("__mx") + 1)
+        when(col("__mx") > lit(1L << 40), raise_error(concat(
+          lit("negativeSample: max(item) "), col("__mx").cast("string"),
+          lit(" exceeds the 2^40 unbiased-draw guard — remap item ids"))))
+          .otherwise(draw))
     val w = Window.partitionBy(col("user_key")).orderBy(col("attempt"))
     cands.join(pos, Seq("user_key", "item"), "left_anti")
       .groupBy(col("user_key"), col("item"))

@@ -26,18 +26,43 @@ import org.apache.spark.sql.types.StructType
 object JdbcStreamSink {
   val EpochTable = "graft_applied_epochs"
 
-  /** Create the ledger if absent (Derby has no IF NOT EXISTS; the
-    * already-exists SQLState X0Y32 is the idempotence signal).
+  /** "Table already exists" SQLStates across the dialects this sink can
+    * face: Derby X0Y32, PostgreSQL 42P07, SQL-standard 42S01
+    * (MySQL/MariaDB/SQLServer via ODBC mapping), Oracle maps ORA-00955
+    * under generic 42000. Supported-target contract: Derby (spec-tested)
+    * plus any JDBC target whose duplicate-table error lands in this set
+    * or whose catalog lists the table via DatabaseMetaData.
     */
-  def ensureEpochTable(c: Jdbc.Conn): Unit =
-    try JdbcMerge.execute(c,
-      s"""CREATE TABLE $EpochTable (
-         |  query_name VARCHAR(128) NOT NULL,
-         |  epoch_id BIGINT NOT NULL,
-         |  PRIMARY KEY (query_name, epoch_id))""".stripMargin)
-    catch {
-      case e: java.sql.SQLException if e.getSQLState == "X0Y32" => ()
-    }
+  private val TableExistsStates = Set("X0Y32", "42P07", "42S01", "42000")
+
+  private def tableExists(conn: java.sql.Connection, name: String): Boolean = {
+    val rs = conn.getMetaData.getTables(null, null, null,
+      Array("TABLE"))
+    try {
+      var found = false
+      while (!found && rs.next())
+        found = rs.getString("TABLE_NAME").equalsIgnoreCase(name)
+      found
+    } finally rs.close()
+  }
+
+  /** Create the ledger if absent. Probes the catalog first (portable),
+    * then treats the known already-exists SQLStates as the idempotence
+    * signal for engines whose metadata probe races a concurrent creator.
+    */
+  def ensureEpochTable(c: Jdbc.Conn): Unit = {
+    val exists = Jdbc.withConnection(c)(conn => tableExists(conn, EpochTable))
+    if (!exists)
+      try JdbcMerge.execute(c,
+        s"""CREATE TABLE $EpochTable (
+           |  query_name VARCHAR(128) NOT NULL,
+           |  epoch_id BIGINT NOT NULL,
+           |  PRIMARY KEY (query_name, epoch_id))""".stripMargin)
+      catch {
+        case e: java.sql.SQLException
+          if TableExistsStates.contains(e.getSQLState) => ()
+      }
+  }
 
   /** Run `apply` exactly once for (queryName, epochId): the ledger insert
     * and the apply share one transaction; a duplicate epoch rolls back
@@ -55,7 +80,10 @@ object JdbcStreamSink {
           try { ps.executeUpdate(); false }
           catch {
             case _: java.sql.SQLIntegrityConstraintViolationException => true
-            case e: java.sql.SQLException if e.getSQLState == "23505" => true
+            // standard duplicate-key class 23xxx (23505 Derby/Postgres,
+            // 23000 MySQL/Oracle) — anything else propagates
+            case e: java.sql.SQLException
+              if Option(e.getSQLState).exists(_.startsWith("23")) => true
           } finally ps.close()
         if (dup) { conn.rollback(); false }
         else {

@@ -39,4 +39,15 @@ class ConflictsSpec extends AnyFunSuite {
     val rows = Seq((1L, 10L, 1L, "a"), (1L, 99L, 2L, "b"), (1L, 50L, 3L, "a"))
     assert(detect(rows) == detect(rows.reverse))
   }
+
+  test("out-of-domain (ts, seq) fails loudly instead of aliasing the winner") {
+    // epoch-millisecond timestamp (~1.7e12 > 9.2e10 guard)
+    val millis = intercept[Exception](
+      detect(Seq((1L, 1700000000000L, 1L, "a"))))
+    assert(millis.getMessage.contains("exact-packing domain"))
+    // seq at 1e8 would collide with the next ts unit
+    val bigSeq = intercept[Exception](
+      detect(Seq((1L, 10L, 100000000L, "a"))))
+    assert(bigSeq.getMessage.contains("exact-packing domain"))
+  }
 }

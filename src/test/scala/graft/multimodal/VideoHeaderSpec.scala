@@ -46,6 +46,24 @@ class VideoHeaderSpec extends AnyFunSuite {
     assert(got.isNullAt(0))
   }
 
+  test("adversarial sizes: mvhd ending at buffer end and near-2^31 boxes") {
+    // minimal mvhd box (cs=8, no body) closing the moov exactly at the
+    // buffer end: the j+28 bound must be checked BEFORE reading b(j+8)
+    val tightMvhd = hexBytes("00000010 66747970 69736f6d 00000000" +
+      " 00000010 6d6f6f76 00000008 6d766864")
+    // top-level box claiming size 0x7ffffffc: Int cursor math would wrap
+    // negative and index out of bounds; Long math rejects it
+    val hugeBox = hexBytes("00000010 66747970 69736f6d 00000000" +
+      " 7ffffffc 66726565 00000000")
+    // size with the top bit set (unsigned 2^31+16): must also reject
+    val unsignedBox = hexBytes("00000010 66747970 69736f6d 00000000" +
+      " 80000010 66726565 00000000")
+    val got = Seq((1L, tightMvhd), (2L, hugeBox), (3L, unsignedBox))
+      .toDF("id", "b")
+      .select(VideoHeader.video_meta(col("b")).as("m")).collect()
+    assert(got.forall(_.isNullAt(0)), "malformed payloads must yield null, not throw")
+  }
+
   test("sniff routes the six magic families and quarantines the rest") {
     val wav = hexBytes("52494646 00000000 57415645")
     val rows = Seq(

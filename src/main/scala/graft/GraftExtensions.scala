@@ -2,7 +2,7 @@ package graft
 
 import graft.functions.{CharShinglesExpr, Md5Prefix24, RollingHash, SortedIntersectCount,
   VecDot, WordShinglesExpr}
-import graft.multimodal.{AudioMetaExpr, ImageMetaExpr}
+import graft.multimodal.{AudioMetaExpr, ContentTypeExpr, ImageMetaExpr, VideoMetaExpr}
 import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -40,6 +40,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("audio_meta"),
       new ExpressionInfo(classOf[AudioMetaExpr].getName, "audio_meta"),
       (exprs: Seq[Expression]) => AudioMetaExpr(exprs.head)))
+    e.injectFunction((
+      FunctionIdentifier("video_meta"),
+      new ExpressionInfo(classOf[VideoMetaExpr].getName, "video_meta"),
+      (exprs: Seq[Expression]) => VideoMetaExpr(exprs.head)))
+    e.injectFunction((
+      FunctionIdentifier("content_type"),
+      new ExpressionInfo(classOf[ContentTypeExpr].getName, "content_type"),
+      (exprs: Seq[Expression]) => ContentTypeExpr(exprs.head)))
     e.injectFunction((
       FunctionIdentifier("md5_prefix24"),
       new ExpressionInfo(classOf[Md5Prefix24].getName, "md5_prefix24"),

@@ -1,5 +1,6 @@
 package graft
 
+import graft.PlanProbe.CkptOps
 import graft.operators.{Graph, Retrieval}
 import graft.sketches.Kmv
 import graft.sources.Tables
@@ -300,7 +301,7 @@ object QueriesR7 {
       col("user_id"), Kmv.hash48(col("user_id")).as("h"))
     val cells = e.groupBy(col("event_type"), col("week"))
       .agg(Kmv.kmvSketch(col("h"), k).as("sk"))
-      .localCheckpoint(true) // four rollup scans of a tiny cell table
+      .ckpt // four rollup scans of a tiny cell table
     def roll(tc: org.apache.spark.sql.Column, wc: org.apache.spark.sql.Column) =
       cells.select(tc.as("event_type"), wc.as("week"),
           explode(col("sk")).as("h"))
@@ -635,7 +636,7 @@ object QueriesR7 {
     }
     // the whole profile is ONE wide aggregate row; checkpoint it so the
     // per-column unpivot projections don't re-run the scan
-    val wide = li.agg(aggs.head, aggs.tail: _*).localCheckpoint(true)
+    val wide = li.agg(aggs.head, aggs.tail: _*).ckpt
     cols.map(c => wide.select(lit(c).as("column_name"),
         col(s"n_$c").as("n_rows"),
         (col(s"n_$c") - col(s"nn_$c")).as("n_null"),

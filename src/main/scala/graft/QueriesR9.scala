@@ -1,5 +1,6 @@
 package graft
 
+import graft.PlanProbe.CkptOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -174,7 +175,7 @@ object QueriesR9 {
     val baskets = t(s, dir, "lineitem")
       .select(col("l_orderkey").as("basket"), col("l_partkey").as("item"))
     val jac = graft.operators.Basket.itemJaccard(baskets, minPairSupport = 3L)
-      .localCheckpoint(true) // feeds both directions of the symmetrization
+      .ckpt // feeds both directions of the symmetrization
     val sym = jac
       .select(col("part_a").as("item"), col("part_b").as("co_item"),
         col("n_inter"), col("n_union"), col("jaccard_ppm"))

@@ -1,5 +1,6 @@
 package graft.dedup
 
+import graft.PlanProbe.CkptOps
 import graft.functions.TextFunctions._
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
@@ -177,7 +178,7 @@ object Dedup {
     // norms once per row; re-read three times (band explode + both verify
     // sides) so materialize the narrow projection
     val base = corpus.select(col(idCol).as("__id"), col("embedding"),
-      norm(col("embedding")).as("__nrm")).localCheckpoint(true)
+      norm(col("embedding")).as("__nrm")).ckpt
     // posexplode the band-values array (ONE native-loop call site), then
     // derive the "band:value" key from (pos, value): the key-array form
     // would inline `bands` copies of the projection loop into the fused
@@ -224,9 +225,9 @@ object Dedup {
   def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
     val sym = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .localCheckpoint(true)
+      .ckpt
     var labels = sym.select(col("src").as("id")).distinct()
-      .withColumn("lbl", col("id")).localCheckpoint(true)
+      .withColumn("lbl", col("id")).ckpt
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -235,7 +236,7 @@ object Dedup {
       val updated = labels.join(nbrMin, col("id") === col("src"), "left")
         .select(col("id"), col("lbl"),
           least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("new_lbl"))
-        .localCheckpoint(true)
+        .ckpt
       converged = updated.filter(col("new_lbl") < col("lbl")).isEmpty
       labels = updated.select(col("id"), col("new_lbl").as("lbl"))
       i += 1
@@ -300,12 +301,12 @@ object Dedup {
       .select(col("id_a").cast("long").as("a"), col("id_b").cast("long").as("b"))
       .filter(col("a") =!= col("b"))
       .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
-      .distinct().localCheckpoint(true)
+      .distinct().ckpt
     var prev = sig(e)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      e = smallStar(largeStar(e)).distinct().localCheckpoint(true)
+      e = smallStar(largeStar(e)).distinct().ckpt
       val cur = sig(e)
       converged = cur == prev
       prev = cur
@@ -500,7 +501,7 @@ object Dedup {
       .groupBy(col("doc_id"), col("blk"))
       .agg(sort_array(collect_list(col("gh"))).as("grams"))
       .withColumn("n_g", size(col("grams")).cast("long"))
-      .localCheckpoint(true)
+      .ckpt
     // the salt EXPLODE goes on the a-side (each a-row is replicated once
     // per salt and probes one (blk, salt) bucket); the b-side carries a
     // single deterministic salt, so the build/broadcast side stays
@@ -715,7 +716,7 @@ object Dedup {
         Seq("w"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"), col("pa"), col("pb"))
-      .localCheckpoint(true) // feeds both the run pass and the count
+      .ckpt // feeds both the run pass and the count
     val rn = row_number().over(
       Window.partitionBy(col("doc_a"), col("doc_b")).orderBy(col("pa")))
     val runs = pairs
@@ -790,7 +791,7 @@ object Dedup {
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("gh"))).as("grams"))
       .withColumn("n_g", size(col("grams")).cast("long"))
-      .localCheckpoint(true)
+      .ckpt
     pairs
       .join(gramSets.select(col("doc_id").as("id_a"),
         col("grams").as("__ga"), col("n_g").as("__na")), Seq("id_a"))

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.PlanProbe.CkptOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -194,7 +195,7 @@ object Eval {
     val cells = rows.select(labelA.cast("string").as("a"),
         labelB.cast("string").as("b"))
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c"))
-      .localCheckpoint(true)
+      .ckpt
     val n = cells.agg(sum(col("c"))).head().getLong(0)
     val agree = cells.filter(col("a") === col("b"))
       .agg(coalesce(sum(col("c")), lit(0L))).head().getLong(0)

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.PlanProbe.CkptOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -56,7 +57,7 @@ object Graph {
       .filter(col("a") =!= col("b")).distinct()
       // consumed by three branches (degree, orientation, count): one
       // eager materialization beats three edge-build recomputes
-      .localCheckpoint(true)
+      .ckpt
     val deg = e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("deg"))
     // orient a->b iff (deg(a), a) < (deg(b), b): a total order, so each
@@ -70,7 +71,7 @@ object Graph {
         when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
           col("b")).otherwise(col("a")).as("w"))
       // consumed by the adjacency build and twice by the counting join
-      .localCheckpoint(true)
+      .ckpt
     // Count per EDGE by out-neighbor-list intersection rather than
     // materializing the wedge set: a dense graph's wedge count dwarfs its
     // edge count (the sf0.1 co-purchase graph: 41M wedges over 1.2M
@@ -133,9 +134,9 @@ object Graph {
       .filter(col("a") =!= col("b")).distinct()
     val dir = und.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(und.select(col("b").as("src"), col("a").as("dst")))
-      .localCheckpoint(true) // consumed once per iteration
+      .ckpt // consumed once per iteration
     val deg = dir.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-      .withColumnRenamed("src", "node").localCheckpoint(true)
+      .withColumnRenamed("src", "node").ckpt
     // Per-round plan: the per-NODE share table (one row per node — pr div
     // deg happens before the edge join, not per edge row) broadcasts into
     // the edge join, so the only shuffle per round is the dst aggregate
@@ -155,7 +156,7 @@ object Graph {
         .select(col("node"),
           expr("150000 + CAST(850000 AS DECIMAL(38,0)) * s div 1000000")
             .as("pr"))
-        .localCheckpoint(true)
+        .ckpt
     }
     pr.select(col("node"), col("pr").cast("long").as("pr_ppm"))
   }
@@ -179,10 +180,10 @@ object Graph {
     val e = edges.select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .filter(col("a") =!= col("b")).distinct()
-      .localCheckpoint(true)
+      .ckpt
     val deg = e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("deg"))
-      .localCheckpoint(true)
+      .ckpt
     val oriented = e
       .join(deg.withColumnRenamed("v", "a").withColumnRenamed("deg", "da"), Seq("a"))
       .join(deg.withColumnRenamed("v", "b").withColumnRenamed("deg", "db"), Seq("b"))
@@ -191,7 +192,7 @@ object Graph {
           col("a")).otherwise(col("b")).as("u"),
         when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
           col("b")).otherwise(col("a")).as("w"))
-      .localCheckpoint(true)
+      .ckpt
     val adj = oriented.groupBy(col("u"))
       .agg(sort_array(collect_list(col("w"))).as("nbrs"))
     val tris = oriented
@@ -199,7 +200,7 @@ object Graph {
       .join(adj.select(col("u").as("w"), col("nbrs").as("n2")), Seq("w"))
       .select(col("u"), col("w"), array_intersect(col("n1"), col("n2")).as("xs"))
       .filter(size(col("xs")) > 0)
-      .localCheckpoint(true)
+      .ckpt
     val contrib = tris.select(col("u").as("v"), size(col("xs")).cast("long").as("c"))
       .unionAll(tris.select(col("w").as("v"), size(col("xs")).cast("long").as("c")))
       .unionAll(tris.select(explode(col("xs")).as("v"), lit(1L).as("c")))
@@ -238,9 +239,9 @@ object Graph {
       .groupBy(col("a"), col("b")).agg(max(col("w")).as("w"))
     val dir = und.select(col("a").as("src"), col("b").as("dst"), col("w"))
       .unionAll(und.select(col("b").as("src"), col("a").as("dst"), col("w")))
-      .localCheckpoint(true)
+      .ckpt
     val strength = dir.groupBy(col("src")).agg(sum(col("w")).as("strength"))
-      .withColumnRenamed("src", "node").localCheckpoint(true)
+      .withColumnRenamed("src", "node").ckpt
     // Unlike [[pageRank]], the share DEPENDS on the edge weight, so the
     // broadcastable per-node table carries (pr, strength) and the per-edge
     // expression is the single multiply-divide — still one shuffle (the
@@ -258,7 +259,7 @@ object Graph {
         .select(col("node"),
           expr("150000 + CAST(850000 AS DECIMAL(38,0)) * s div 1000000")
             .as("pr"))
-        .localCheckpoint(true)
+        .ckpt
     }
     pr.select(col("node"), col("pr").cast("long").as("pr_ppm"))
   }
@@ -273,7 +274,7 @@ object Graph {
     val und = edges.select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .filter(col("a") =!= col("b")).distinct()
-      .localCheckpoint(true)
+      .ckpt
     val deg = und.select(col("a").as("v")).unionAll(und.select(col("b").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("deg"))
     val degStats = deg.agg(count(lit(1)).as("n_nodes"),
@@ -320,7 +321,7 @@ object Graph {
       .filter(col("a") =!= col("b")).distinct()
     val dir = und.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(und.select(col("b").as("src"), col("a").as("dst")))
-      .localCheckpoint(true)
+      .ckpt
     // Same broadcast posture as [[pageRank]]: the label table is one row
     // per node; hinting it into the edge join leaves the histogram
     // aggregate as the round's only full-size shuffle (the dst argmax
@@ -328,7 +329,7 @@ object Graph {
     // Size-gated on the node count ([[maybeBroadcast]]).
     var lbl = dir.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("lbl"))
-      .localCheckpoint(true)
+      .ckpt
     val nNodes = lbl.count()
     for (_ <- 1 to iterations) {
       lbl = dir
@@ -338,7 +339,7 @@ object Graph {
         .agg(count(lit(1)).as("n"))
         .groupBy(col("dst").as("node"))
         .agg(max_by(col("lbl"), struct(col("n"), -col("lbl"))).as("lbl"))
-        .localCheckpoint(true)
+        .ckpt
     }
     lbl
   }
@@ -379,7 +380,7 @@ object Graph {
       .filter(col("a") =!= col("b")).distinct()
     var dir = und.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(und.select(col("b").as("src"), col("a").as("dst")))
-      .localCheckpoint(true)
+      .ckpt
     var it = 0
     var converged = false
     var lastDeg: DataFrame = null
@@ -388,7 +389,7 @@ object Graph {
       // the node-sized table is checkpointed once and feeds the stats
       // probe, both semi-joins, and (on convergence) the result itself
       val deg = dir.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-        .localCheckpoint(true)
+        .ckpt
       val Array(nNodes, nSurvivors) = deg
         .agg(count(lit(1)), sum(when(col("deg") >= k, 1L).otherwise(0L)))
         .collect().head.toSeq.map(v => if (v == null) 0L else v.asInstanceOf[Long]).toArray
@@ -406,7 +407,7 @@ object Graph {
           .join(maybeBroadcast(keep.withColumnRenamed("src", "dst"),
             nSurvivors), Seq("dst"), "left_semi")
           .select(col("src"), col("dst"))
-          .localCheckpoint(true)
+          .ckpt
         it += 1
       }
     }
@@ -455,7 +456,7 @@ object Graph {
     var und = edges.select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .filter(col("a") =!= col("b")).distinct()
-      .localCheckpoint(true)
+      .ckpt
     def support(e: DataFrame): DataFrame = {
       val d = e.select(col("a").as("src"), col("b").as("dst"))
         .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
@@ -471,7 +472,7 @@ object Graph {
       val next = und
         .join(support(und).filter(col("support") >= k - 2)
           .select(col("a"), col("b")), Seq("a", "b"), "left_semi")
-        .localCheckpoint(true)
+        .ckpt
       val n = next.count()
       if (n == nEdges) converged = true
       else { und = next; nEdges = n; it += 1 }
@@ -489,9 +490,9 @@ object Graph {
       .filter(col("a") =!= col("b")).distinct()
     val dir = und.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(und.select(col("b").as("src"), col("a").as("dst")))
-      .localCheckpoint(true)
+      .ckpt
     var dist = seeds.select(col("node"), lit(0L).as("hops"))
-      .localCheckpoint(true)
+      .ckpt
     for (_ <- 1 to rounds) {
       // dist grows toward the node count; per-round count over the
       // checkpointed RDD keeps the size gate exact
@@ -501,7 +502,7 @@ object Graph {
         .select(col("dst").as("node"), (col("hops") + 1L).as("hops"))
       dist = dist.unionByName(relaxed)
         .groupBy(col("node")).agg(min(col("hops")).as("hops"))
-        .localCheckpoint(true)
+        .ckpt
     }
     dist
   }
@@ -517,7 +518,7 @@ object Graph {
     var converged = false
     while (it < rounds && !converged) {
       val deg = dir.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-        .localCheckpoint(true)
+        .ckpt
       val Array(nNodes, nSurvivors) = deg
         .agg(count(lit(1)), sum(when(col("deg") >= k, 1L).otherwise(0L)))
         .collect().head.toSeq
@@ -530,7 +531,7 @@ object Graph {
           .join(maybeBroadcast(keep.withColumnRenamed("src", "dst"),
             nSurvivors), Seq("dst"), "left_semi")
           .select(col("src"), col("dst"))
-          .localCheckpoint(true)
+          .ckpt
         it += 1
       }
     }
@@ -568,7 +569,7 @@ object Graph {
       .filter(col("a") =!= col("b")).distinct()
     var dir = und.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(und.select(col("b").as("src"), col("a").as("dst")))
-      .localCheckpoint(true)
+      .ckpt
     // any node with an edge is in the 1-core
     var labels = dir.select(col("src").as("node")).distinct()
       .select(col("node"), lit(1L).as("lvl"))
@@ -577,7 +578,7 @@ object Graph {
     while (k <= maxK && !empty) {
       dir = peelResidue(dir, k, roundsPerLevel)
       val survivors = dir.select(col("src").as("node")).distinct()
-        .localCheckpoint(true)
+        .ckpt
       empty = survivors.isEmpty
       if (!empty)
         labels = labels.unionAll(survivors.select(col("node"), lit(k.toLong).as("lvl")))
@@ -608,7 +609,7 @@ object Graph {
     val und = edges.select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .filter(col("a") =!= col("b")).distinct()
-      .localCheckpoint(true)
+      .ckpt
     var labels = und.select(col("a"), col("b"), lit(2L).as("lvl"))
     var residue = und
     var k = 3
@@ -617,7 +618,7 @@ object Graph {
       residue = kTruss(
           residue.select(col("a").as("src"), col("b").as("dst")),
           k, roundsPerLevel)
-        .select(col("a"), col("b")).localCheckpoint(true)
+        .select(col("a"), col("b")).ckpt
       empty = residue.isEmpty
       if (!empty)
         labels = labels.unionAll(
@@ -652,7 +653,7 @@ object Graph {
     val e = edges.select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .filter(col("a") =!= col("b")).distinct()
-      .localCheckpoint(true)
+      .ckpt
     val maxId = e.agg(coalesce(max(greatest(col("a"), col("b"))), lit(0L)))
       .head().getLong(0)
     require(maxId < (1L << 20),
@@ -663,7 +664,7 @@ object Graph {
       .select(col("a"), col("b"), col("c"))
       .withColumn("tid",
         col("a") * (1L << 40) + col("b") * (1L << 20) + col("c"))
-      .localCheckpoint(true)
+      .ckpt
     val tedges = tri.select(col("tid"), explode(array(
         struct(col("a").as("u"), col("b").as("v")),
         struct(col("b").as("u"), col("c").as("v")),
@@ -709,7 +710,7 @@ object Graph {
     val e = edges.select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .filter(col("a") =!= col("b")).distinct()
-      .localCheckpoint(true)
+      .ckpt
     val maxId = e.agg(coalesce(max(col("b")), lit(0L))).head().getLong(0)
     require(maxId < (1L << 15),
       s"cliquePercolation4: node id $maxId overflows the 15-bit packing")
@@ -725,7 +726,7 @@ object Graph {
       .select(col("a"), col("b"), col("c"), col("d"))
       .withColumn("qid", col("a") * (1L << 45) + col("b") * (1L << 30) +
         col("c") * (1L << 15) + col("d"))
-      .localCheckpoint(true)
+      .ckpt
     val faces = k4.select(col("qid"), explode(array(
         col("a") * (1L << 30) + col("b") * (1L << 15) + col("c"),
         col("a") * (1L << 30) + col("b") * (1L << 15) + col("d"),
@@ -803,12 +804,12 @@ object Graph {
     val und = canon(baseEdges).unionAll(canon(deltaEdges)).distinct()
     val dir = und.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(und.select(col("b").as("src"), col("a").as("dst")))
-      .localCheckpoint(true)
+      .ckpt
     val touched = canon(deltaEdges)
       .select(explode(array(col("a"), col("b"))).as("node")).distinct()
-      .localCheckpoint(true)
+      .ckpt
     val allNodes = dir.select(col("src").as("node")).distinct()
-      .localCheckpoint(true)
+      .ckpt
     var labels = allNodes.select(col("node"), lit(1L).as("lvl"))
     var prev = allNodes
     var k = 2
@@ -816,14 +817,14 @@ object Graph {
     while (k <= maxK && !empty) {
       // monotonicity: the old k-core survives any edge addition
       val oldCore = baseLabels.filter(col("coreness") >= k)
-        .select(col("node")).localCheckpoint(true)
+        .select(col("node")).ckpt
       // candidate pool: previous level's NEW residue minus the old core
       val pool = prev.join(oldCore, Seq("node"), "left_anti")
-        .localCheckpoint(true)
+        .ckpt
       // closure of delta endpoints through the pool — every promoted
       // component contains one (see soundness note above)
       var reached = touched.join(pool, Seq("node"), "left_semi")
-        .localCheckpoint(true)
+        .ckpt
       var frontier = reached
       var r = 0
       while (r < rounds && !frontier.isEmpty) {
@@ -833,8 +834,8 @@ object Graph {
           .select(col("dst").as("node")).distinct()
           .join(pool, Seq("node"), "left_semi")
           .join(reached, Seq("node"), "left_anti")
-          .localCheckpoint(true)
-        reached = reached.unionAll(frontier).localCheckpoint(true)
+          .ckpt
+        reached = reached.unionAll(frontier).ckpt
         r += 1
       }
       // candidate-only peel: survive with ≥ k neighbors in the old core
@@ -842,7 +843,7 @@ object Graph {
       val candEdges = dir
         .join(reached.withColumnRenamed("node", "src"), Seq("src"),
           "left_semi")
-        .localCheckpoint(true)
+        .ckpt
       var alive = reached
       var nAlive = alive.count()
       var done = nAlive == 0
@@ -855,14 +856,14 @@ object Graph {
           .join(keep, Seq("dst"), "left_semi")
           .groupBy(col("src")).agg(count(lit(1)).as("deg"))
           .filter(col("deg") >= k).select(col("src").as("node"))
-          .localCheckpoint(true)
+          .ckpt
         val n = next.count()
         if (n == nAlive) done = true
         else { alive = next; nAlive = n; it += 1 }
       }
       val core =
         (if (nAlive == 0) oldCore else oldCore.unionAll(alive))
-          .localCheckpoint(true)
+          .ckpt
       empty = core.isEmpty
       if (!empty)
         labels = labels.unionAll(
@@ -918,12 +919,12 @@ object Graph {
           greatest(col("src"), col("dst")).as("b"))
         .filter(col("a") =!= col("b")).distinct()
     val und = canon(baseEdges).unionAll(canon(deltaEdges)).distinct()
-      .localCheckpoint(true)
+      .ckpt
     // both-directions adjacency of the MERGED graph, for wedge closure
     val dirAll = und.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(und.select(col("b").as("src"), col("a").as("dst")))
-      .localCheckpoint(true)
-    val delta = canon(deltaEdges).localCheckpoint(true)
+      .ckpt
+    val delta = canon(deltaEdges).ckpt
     var labels = und.select(col("a"), col("b"), lit(2L).as("lvl"))
     var prev = und // edge set of the new (k-1)-truss
     var k = 3
@@ -945,20 +946,20 @@ object Graph {
     while (k <= maxK && !empty) {
       // monotonicity: the old k-truss survives any edge addition
       val oldTruss = baseLabels.filter(col("trussness") >= k)
-        .select(col("a"), col("b")).localCheckpoint(true)
+        .select(col("a"), col("b")).ckpt
       val pool = prev.join(oldTruss, Seq("a", "b"), "left_anti")
-        .localCheckpoint(true)
+        .ckpt
       // closure of the delta edges through the pool, via shared triangles
       var reached = delta.join(pool, Seq("a", "b"), "left_semi")
-        .localCheckpoint(true)
+        .ckpt
       var frontier = reached
       var r = 0
       while (r < rounds && !frontier.isEmpty) {
         frontier = triAdjacent(frontier)
           .join(pool, Seq("a", "b"), "left_semi")
           .join(reached, Seq("a", "b"), "left_anti")
-          .localCheckpoint(true)
-        reached = reached.unionAll(frontier).localCheckpoint(true)
+          .ckpt
+        reached = reached.unionAll(frontier).ckpt
         r += 1
       }
       // candidate-only peel: support = triangles whose other two edges
@@ -978,14 +979,14 @@ object Graph {
             Seq("b", "w"), "left_semi")
           .groupBy(col("a"), col("b")).agg(count(lit(1)).as("support"))
           .filter(col("support") >= k - 2).select(col("a"), col("b"))
-          .localCheckpoint(true)
+          .ckpt
         val n = next.count()
         if (n == nAlive) done = true
         else { alive = next; nAlive = n; it += 1 }
       }
       val truss =
         (if (nAlive == 0) oldTruss else oldTruss.unionAll(alive))
-          .localCheckpoint(true)
+          .ckpt
       empty = truss.isEmpty
       if (!empty)
         labels = labels.unionAll(
@@ -1053,7 +1054,7 @@ object Graph {
     var und = edges.select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .filter(col("a") =!= col("b")).distinct()
-      .localCheckpoint(true)
+      .ckpt
     var labels: DataFrame = null
     var it = 0
     var empty = und.isEmpty
@@ -1061,18 +1062,18 @@ object Graph {
       val cor = coreness(
           und.select(col("a").as("src"), col("b").as("dst")),
           maxK, roundsPerLevel)
-        .localCheckpoint(true)
+        .ckpt
       val kmax = cor.agg(coalesce(max(col("coreness")), lit(0L)))
         .head().getLong(0)
       val contour = cor.filter(col("coreness") === kmax)
-        .select(col("node")).localCheckpoint(true)
+        .select(col("node")).ckpt
       val labeled = contour.select(col("node"), lit(kmax).as("peak"))
       labels = if (labels == null) labeled else labels.unionAll(labeled)
       und = und
         .join(contour.withColumnRenamed("node", "a"), Seq("a"), "left_anti")
         .join(contour.withColumnRenamed("node", "b"), Seq("b"), "left_anti")
         .select(col("a"), col("b"))
-        .localCheckpoint(true)
+        .ckpt
       empty = und.isEmpty
       it += 1
     }
@@ -1108,10 +1109,10 @@ object Graph {
       .filter(col("a") =!= col("b")).distinct()
     val dir = und.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(und.select(col("b").as("src"), col("a").as("dst")))
-      .localCheckpoint(true)
+      .ckpt
     var frontier = seeds.select(col("node").as("seed"), col("node"),
         lit(0L).as("dist"), lit(1L).as("sigma"))
-      .localCheckpoint(true)
+      .ckpt
     var done = frontier
     var r = 1
     while (r <= rounds && !frontier.isEmpty) {
@@ -1123,8 +1124,8 @@ object Graph {
           "left_anti")
         .select(col("seed"), col("node"), lit(r.toLong).as("dist"),
           col("sigma"))
-        .localCheckpoint(true)
-      done = done.unionByName(frontier).localCheckpoint(true)
+        .ckpt
+      done = done.unionByName(frontier).ckpt
       r += 1
     }
     done
@@ -1139,9 +1140,9 @@ object Graph {
       .groupBy(col("a"), col("b")).agg(min(col("w")).as("w"))
     val dir = und.select(col("a").as("src"), col("b").as("dst"), col("w"))
       .unionAll(und.select(col("b").as("src"), col("a").as("dst"), col("w")))
-      .localCheckpoint(true)
+      .ckpt
     var dist = seeds.select(col("node"), lit(0L).as("dist"))
-      .localCheckpoint(true)
+      .ckpt
     var lastSig: (Long, Long) = (-1L, -1L)
     var r = 0
     var converged = false
@@ -1152,7 +1153,7 @@ object Graph {
         .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
       dist = dist.unionByName(relaxed)
         .groupBy(col("node")).agg(min(col("dist")).as("dist"))
-        .localCheckpoint(true)
+        .ckpt
       val row = dist.agg(count(lit(1)), coalesce(sum(col("dist")), lit(0L)))
         .collect().head
       val sig = (row.getLong(0), row.getLong(1))

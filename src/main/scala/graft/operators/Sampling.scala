@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.PlanProbe.CkptOps
 import graft.sketches.Kmv
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
@@ -101,7 +102,7 @@ object Sampling {
     import org.apache.spark.sql.expressions.Window
     require(attempts >= k && k >= 1, s"bad params (m=$attempts, k=$k)")
     val pos = positives.select(user.as("user_key"), item.as("item"))
-      .distinct().localCheckpoint(true)
+      .distinct().ckpt
     val mx = pos.agg(max(col("item")).as("__mx"))
     val draw =
       conv(substring(md5(concat(col("user_key").cast("string"), lit(":"),

@@ -1,5 +1,6 @@
 package graft.similarity
 
+import graft.PlanProbe.CkptOps
 import graft.functions.VectorFunctions.{cosine, norm}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
@@ -156,9 +157,9 @@ object Ann {
                   bitsPerBand: Int = 4): DataFrame = {
     import graft.functions.VectorFunctions.norm
     val qb = queries.select(col("query_id"), col("embedding").as("q_emb"),
-      norm(col("embedding")).as("q_nrm")).localCheckpoint(true)
+      norm(col("embedding")).as("q_nrm")).ckpt
     val cb = corpus.select(col("cand_id"), col("embedding").as("c_emb"),
-      norm(col("embedding")).as("c_nrm")).localCheckpoint(true)
+      norm(col("embedding")).as("c_nrm")).ckpt
     // posexplode'd band VALUES (one native-loop call site) — the
     // key-array form inlines `bands` projection loops into the fused
     // collision join and drops the stage to interpreted bytecode
@@ -255,7 +256,7 @@ object Ann {
         .agg(array_sort(collect_list(struct(col("pos"), col("mx")))).as("pairs"))
         .select(col("centroid_id"),
           transform(col("pairs"), p => p.getField("mx").cast("float")).as("embedding"))
-      centroids = means.localCheckpoint(true)
+      centroids = means.ckpt
     }
     centroids
   }

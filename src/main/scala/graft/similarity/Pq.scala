@@ -1,5 +1,6 @@
 package graft.similarity
 
+import graft.PlanProbe.CkptOps
 import graft.functions.VectorFunctions.l2sq
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
@@ -62,7 +63,7 @@ object Pq {
         .agg(array_sort(collect_list(struct(col("pos"), col("mx")))).as("pairs"))
         .select(col("sub"), col("code"),
           transform(col("pairs"), p => p.getField("mx").cast("float")).as("cb"))
-      codebooks = means.localCheckpoint(true)
+      codebooks = means.ckpt
     }
     codebooks
   }

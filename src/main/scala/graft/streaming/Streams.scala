@@ -1,5 +1,6 @@
 package graft.streaming
 
+import graft.PlanProbe.CkptOps
 import graft.cdc.Cdc
 import java.nio.file.Files
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -99,13 +100,13 @@ object Streams {
   def cdcApply(spark: SparkSession, initialTarget: DataFrame, delta: DataFrame,
                pk: Seq[String], orderCols: Seq[Column]): DataFrame = {
     val path = stageToTemp(delta, "cdcapply")
-    var state = initialTarget.localCheckpoint(true)
+    var state = initialTarget.ckpt
     withStateSession(spark, 8) { iso =>
       val stream = iso.readStream.schema(delta.schema).parquet(path)
       val q = stream.writeStream.outputMode("append")
         .foreachBatch { (batch: DataFrame, _: Long) =>
           val deduped = Cdc.latestPerKey(batch, pk, orderCols)
-          state = Cdc.mergeSoftDelete(state, deduped, pk).localCheckpoint(true)
+          state = Cdc.mergeSoftDelete(state, deduped, pk).ckpt
           ()
         }.start()
       try { q.processAllAvailable() } finally { q.stop() }
@@ -336,16 +337,16 @@ object Streams {
                        groupCol: String, valueCol: String): (DataFrame, DataFrame) = {
     import graft.operators.Ivm
     val path = stageToTemp(delta, "cdcivm")
-    var state = initialTarget.localCheckpoint(true)
-    var view = Ivm.sumCountView(state, groupCol, valueCol).localCheckpoint(true)
+    var state = initialTarget.ckpt
+    var view = Ivm.sumCountView(state, groupCol, valueCol).ckpt
     withStateSession(spark, 8) { iso =>
       val stream = iso.readStream.schema(delta.schema).parquet(path)
       val q = stream.writeStream.outputMode("append")
         .foreachBatch { (batch: DataFrame, _: Long) =>
           val deduped = Cdc.latestPerKey(batch, pk, orderCols)
           view = Ivm.maintainSumCount(view, state, deduped, pk, groupCol, valueCol)
-            .localCheckpoint(true)
-          state = Cdc.mergeSoftDelete(state, deduped, pk).localCheckpoint(true)
+            .ckpt
+          state = Cdc.mergeSoftDelete(state, deduped, pk).ckpt
           ()
         }.start()
       try { q.processAllAvailable() } finally { q.stop() }

@@ -48,4 +48,51 @@ object Changepoint {
   /** Reference implementation of the recursion (specs only). */
   def cusumRef(xs: Seq[Long], k: Long): Seq[Long] =
     xs.scanLeft(0L)((s, x) => math.max(0L, s + x - k)).tail
+
+  /** R116: EWMA smoothing in exact fixed point — the trend line behind
+    * every monitoring dashboard, with a cross-engine bit contract: the
+    * smoothed value is carried in MILLI-units of x and the recursion
+    * truncates at every step,
+    *
+    *   m₁ = x₁·1000
+    *   mₜ = (α_ppm·xₜ·1000 + (10⁶ − α_ppm)·mₜ₋₁) div 10⁶
+    *
+    * Unlike CUSUM's max(0, ·) reset, the EWMA recursion with PER-STEP
+    * truncation has no prefix-aggregate closed form (the rounding error
+    * compounds through every step), so it runs as a per-key walk in
+    * flatMapGroups over the SAME (key) shuffle any per-key window pays —
+    * the [[Sequences.sessionizeCapped]] posture: one exchange, per-key
+    * memory = that key's tick count, keys process independently at any
+    * parallelism. Ties in ts break on `id`, a total order both engines
+    * replay identically.
+    *
+    * Headroom: |x| must stay below ~9·10⁹ (x·1000·10⁶ inside int64);
+    * cents-scale inputs pass by 5 orders of magnitude.
+    *
+    * @return (key, id, ts_sec, x, ewma_milli)
+    */
+  def ewma(series: DataFrame, key: Column, id: Column, tsSec: Column,
+           x: Column, alphaPpm: Long): DataFrame = {
+    require(alphaPpm >= 1 && alphaPpm <= 1000000, s"alphaPpm: $alphaPpm")
+    val spark = series.sparkSession
+    import spark.implicits._
+    val typed = series.select(key.cast("long"), id.cast("long"),
+      tsSec.cast("long"), x.cast("long")).as[(Long, Long, Long, Long)]
+    typed.groupByKey(_._1)
+      .flatMapGroups { (k, rows) =>
+        val sorted = rows.toSeq.sortBy(r => (r._3, r._2))
+        var m = Long.MinValue
+        sorted.map { case (_, eid, t, v) =>
+          m = if (m == Long.MinValue) v * 1000L
+              else (alphaPpm * v * 1000L + (1000000L - alphaPpm) * m) / 1000000L
+          (k, eid, t, v, m)
+        }
+      }
+      .toDF("key", "id", "ts_sec", "x", "ewma_milli")
+  }
+
+  /** Reference EWMA recursion (specs only). */
+  def ewmaRef(xs: Seq[Long], alphaPpm: Long): Seq[Long] =
+    xs.tail.scanLeft(xs.head * 1000L)((m, v) =>
+      (alphaPpm * v * 1000L + (1000000L - alphaPpm) * m) / 1000000L)
 }

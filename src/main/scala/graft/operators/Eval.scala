@@ -214,6 +214,117 @@ object Eval {
           .as("kappa_ppm"))
   }
 
+  /** R115b: 2×2 chi-square independence test per group — the
+    * experimentation primitive ("does treatment move the outcome?") in
+    * exact integer arithmetic: with the contingency cells a=A∧B, b=A∧¬B,
+    * c=¬A∧B, d=¬A∧¬B,
+    *
+    *   chi2_ppm = n·(ad−bc)²·10⁶ div ((a+b)(c+d)(a+c)(b+d))
+    *
+    * — one floor division, DECIMAL(38,0) headroom for the n·(ad−bc)²·10⁶
+    * product (≈5·10²⁸ at 10⁵ rows/group, well inside 38 digits), so the
+    * statistic is bit-identical across engines where a float χ² differs
+    * in the last ulps. Degenerate margins (an empty row or column —
+    * χ² undefined) report null. One aggregate pass per group; at 100 TB
+    * this is a map-side-combined count scan, nothing else.
+    *
+    * @return (grp, n, a, b, c, d, chi2_ppm)
+    */
+  def chiSquare2x2(rows: DataFrame, group: Column, condA: Column,
+                   condB: Column): DataFrame = {
+    rows.select(group.as("grp"), condA.as("pa"), condB.as("pb"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("pa") && col("pb"), 1L).otherwise(0L)).as("a"),
+        sum(when(col("pa") && !col("pb"), 1L).otherwise(0L)).as("b"),
+        sum(when(!col("pa") && col("pb"), 1L).otherwise(0L)).as("c"),
+        sum(when(!col("pa") && !col("pb"), 1L).otherwise(0L)).as("d"))
+      .withColumn("chi2_ppm",
+        when((col("a") + col("b")) * (col("c") + col("d")) *
+             (col("a") + col("c")) * (col("b") + col("d")) === 0, lit(null))
+          .otherwise(expr(
+            """CAST(n AS DECIMAL(38,0)) * (a*d - b*c) * (a*d - b*c) * 1000000
+              | div (CAST(a + b AS DECIMAL(38,0)) * (c + d) * (a + c)
+              |      * (b + d))""".stripMargin)))
+  }
+
+  /** R115c: Gini-impurity split scoring — the decision-tree / feature-
+    * selection primitive: per candidate feature value v, the impurity of
+    * the label distribution inside that slice,
+    *
+    *   gini_ppm(v) = (n_v² − Σ_c n_vc²)·10⁶ div n_v²
+    *
+    * (single floor division — Gini is exactly rational, which is why it
+    * gates here while entropy's log never could), plus the slice's
+    * weight in ppm of the table. A low weighted sum means the feature
+    * separates the label well. Two hash aggregates ((v, c) counts, then
+    * per-v sums) — no window, no join; the 100 TB cost is one scan.
+    *
+    * @return (feature_value, n, n_classes, gini_ppm, weight_ppm)
+    */
+  def giniSplit(rows: DataFrame, feature: Column, label: Column): DataFrame = {
+    val cells = rows.select(feature.cast("string").as("feature_value"),
+        label.cast("string").as("lbl"))
+      .groupBy(col("feature_value"), col("lbl")).agg(count(lit(1)).as("c"))
+    val perValue = cells.groupBy(col("feature_value"))
+      .agg(sum(col("c")).as("n"), count(lit(1)).as("n_classes"),
+        sum(col("c") * col("c")).as("__sq"))
+    val total = perValue.agg(sum(col("n")).as("__n_total"))
+    perValue.crossJoin(broadcast(total))
+      .select(col("feature_value"), col("n"), col("n_classes"),
+        expr("(n * n - __sq) * 1000000 div (n * n)").as("gini_ppm"),
+        expr("n * 1000000 div __n_total").as("weight_ppm"))
+  }
+
+  /** R115d: gains/lift table — rank every example by score descending,
+    * cut into `tiles` equal-depth buckets on the EXACT two-stage rank
+    * ([[Ranking.ntileExact]] — no data-sized single-partition NTILE
+    * window), and report per tile the positive capture: cumulative
+    * positives as ppm of all positives (the gains curve) and lift vs
+    * random targeting,
+    *
+    *   lift_ppm = cum_pos·n_total·10⁶ div (cum_n·total_pos)
+    *
+    * — the "top decile catches X% of responders" table every targeting /
+    * triage model ships with. The only unpartitioned windows run over
+    * the `tiles`-row result (metadata). DECIMAL(38,0) headroom for the
+    * cum_pos·n·10⁶ product. Tables with zero positives report null ppm.
+    *
+    * @param id completes the (score desc, id) total order so tile
+    *           assignment is deterministic and engine-identical
+    * @return (tile, n, n_pos, cum_n, cum_pos, capture_ppm, lift_ppm)
+    */
+  def gainsTable(rows: DataFrame, label: Column, score: Column, id: Column,
+                 tiles: Int): DataFrame = {
+    require(tiles >= 2, s"tiles must be >= 2, got $tiles")
+    val base = rows.select(label.as("lbl"), score.cast("long").as("scr"),
+      id.as("id"))
+    val tiled = Ranking.ntileExact(base, Seq.empty, -col("scr"),
+      Seq(col("id")), tiles, "tile")
+    val perTile = tiled.groupBy(col("tile"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("lbl"), 1L).otherwise(0L)).as("n_pos"))
+    // tiles-row metadata: the cumulative windows are over ≤ `tiles` rows
+    val wCum = Window.orderBy(col("tile"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wTot = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    perTile
+      .withColumn("cum_n", sum(col("n")).over(wCum))
+      .withColumn("cum_pos", sum(col("n_pos")).over(wCum))
+      .withColumn("__tp", sum(col("n_pos")).over(wTot))
+      .withColumn("__nt", sum(col("n")).over(wTot))
+      .select(col("tile"), col("n"), col("n_pos"), col("cum_n"),
+        col("cum_pos"),
+        when(col("__tp") === 0, lit(null))
+          .otherwise(expr("cum_pos * 1000000 div __tp")).as("capture_ppm"),
+        when(col("__tp") === 0, lit(null))
+          .otherwise(expr(
+            """CAST(cum_pos AS DECIMAL(38,0)) * __nt * 1000000
+              | div (CAST(cum_n AS DECIMAL(38,0)) * __tp)""".stripMargin))
+          .as("lift_ppm"))
+  }
+
   /** R108 (see the object doc for the identity).
     * @param rows   one row per example
     * @param group  evaluation slice (model, segment, day, …)

@@ -749,6 +749,57 @@ object Streams {
     }
   }
 
+  /** X29: streaming EWMA — R116's truncating fixed-point recursion
+    * maintained across micro-batches: per-key state is the last smoothed
+    * milli-value (ONE long per key — bounded by the key cardinality, not
+    * history), each arriving tick emits its smoothed value in Append
+    * mode. The recursion has no prefix closed form (per-step truncation
+    * compounds), which is exactly why the streaming form matters: state
+    * carries the accumulated rounding verbatim, so batch replay ≡
+    * streaming bit-for-bit. Ordered-replay contract as
+    * [[streamingCusum]]; the gate shares R116's recursive-CTE oracle.
+    */
+  def streamingEwma(spark: SparkSession, rows: DataFrame, alphaPpm: Long,
+                    queryName: String,
+                    rocksDb: Boolean = UseRocksDb): DataFrame = {
+    require(alphaPpm >= 1 && alphaPpm <= 1000000, s"alphaPpm: $alphaPpm")
+    import spark.implicits._
+    val typed = rows.select(col("key").cast("long"), col("id").cast("long"),
+        col("ts_sec").cast("long"), col("x").cast("long"))
+      .orderBy(col("ts_sec"), col("id"))
+      .coalesce(1) // one ordered file = ordered replay
+      .as[(Long, Long, Long, Long)]
+    val path = stageToTemp(typed.toDF("key", "id", "ts_sec", "x"), "sewma")
+
+    // state: the last smoothed milli-value, or None before the first tick
+    val step: (Long, Iterator[(Long, Long, Long, Long)],
+        GroupState[Long]) => Iterator[(Long, Long, Long, Long, Long)] =
+      (key, batch, state) => {
+        var m = state.getOption.getOrElse(Long.MinValue)
+        val out = batch.toSeq.sortBy(r => (r._3, r._2)).map {
+          case (_, id, t, v) =>
+            m = if (m == Long.MinValue) v * 1000L
+                else (alphaPpm * v * 1000L +
+                  (1000000L - alphaPpm) * m) / 1000000L
+            (key, id, t, v, m)
+        }
+        state.update(m)
+        out.iterator
+      }
+
+    withStateSession(spark, 8, rocksDb) { iso =>
+      val stream = iso.readStream.schema(typed.schema).parquet(path)
+        .as[(Long, Long, Long, Long)]
+      val smoothed = stream.groupByKey(_._1)
+        .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(step)
+        .toDF("key", "id", "ts_sec", "x", "ewma_milli")
+      val q = smoothed.writeStream.outputMode("append")
+        .format("memory").queryName(queryName).start()
+      try { q.processAllAvailable() } finally { q.stop() }
+      iso.table(queryName)
+    }
+  }
+
   /** X21: streaming cumulative distinct — R85's running per-user count
     * of distinct event types, maintained incrementally: per-user state
     * is the SET of types seen (bounded by |event types|, not history),

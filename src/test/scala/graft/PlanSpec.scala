@@ -91,18 +91,21 @@ class PlanSpec extends AnyFunSuite {
   test("no gate runs a data-sized single-partition window (bucket totals exempt)") {
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
     // the former NTILE/global-cumulative offenders, rebuilt on the
-    // two-stage rank: any surviving unpartitioned window must consume a
-    // per-bucket aggregate (metadata-sized), never raw rows
+    // two-stage rank, plus the round-5 window-bearing gates: any
+    // surviving unpartitioned window must consume an aggregate over a
+    // compressed domain (range buckets or score tiles — metadata-sized),
+    // never raw rows
     for (name <- Seq("q_equidepth_hist", "q_rfm_segmentation",
-        "q_quantile_bins", "q_time_split")) {
+        "q_quantile_bins", "q_time_split", "q_skyline", "q_eval_gains")) {
       val plan = SparkEntry.queries(name)(spark, dir)
         .queryExecution.optimizedPlan
       val unpartitioned = plan.collect {
         case w: LWindow if w.partitionSpec.isEmpty => w }
       unpartitioned.foreach { w =>
         assert(w.child.collectFirst {
-          case a: Aggregate if a.groupingExpressions.exists(
-            _.toString.contains("__bkt")) => a }.nonEmpty,
+          case a: Aggregate if a.groupingExpressions.exists(g =>
+            g.toString.contains("__bkt") || g.toString.contains("tile")) => a
+        }.nonEmpty,
           s"$name: unpartitioned window over non-bucket input:\n$w")
       }
     }

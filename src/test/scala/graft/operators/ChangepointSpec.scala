@@ -44,4 +44,48 @@ class ChangepointSpec extends AnyFunSuite {
       .collect().map { case (k, t, s) => (k, t) -> s }.toMap
     assert(got(("a", 1L)) == 180L && got(("b", 1L)) == 0L)
   }
+
+  private def runEwma(xs: Seq[Long], alphaPpm: Long): Seq[Long] = {
+    val df = xs.zipWithIndex.map { case (x, i) => (1L, i.toLong, i.toLong, x) }
+      .toDF("key", "id", "ts", "x")
+    Changepoint.ewma(df, col("key"), col("id"), col("ts"), col("x"), alphaPpm)
+      .orderBy(col("id")).select(col("ewma_milli")).as[Long].collect().toSeq
+  }
+
+  test("ewma: distributed walk equals the truncating recursion") {
+    val cases = Seq(
+      (Seq(100L, 200L, 300L), 200000L),     // ramp
+      (Seq(500L, 0L, 500L, 0L), 500000L),   // oscillation
+      (Seq(7L), 123456L),                   // singleton
+      (Seq(1L, 1L, 1L, 1000000L), 1L),      // tiny alpha, late spike
+      (Seq(333L, 333L, 334L), 333333L))     // truncation-sensitive
+    cases.foreach { case (xs, a) =>
+      assert(runEwma(xs, a) == Changepoint.ewmaRef(xs, a),
+        s"walk diverged from recursion on xs=$xs alpha=$a")
+    }
+  }
+
+  test("ewma: alpha = 1e6 tracks the input exactly, milli-scaled") {
+    assert(runEwma(Seq(5L, 9L, 2L), 1000000L) == Seq(5000L, 9000L, 2000L))
+  }
+
+  test("ewma: ts ties break on id — the engines' shared total order") {
+    val df = Seq((1L, 2L, 10L, 100L), (1L, 1L, 10L, 900L))
+      .toDF("key", "id", "ts", "x")
+    val got = Changepoint.ewma(df, col("key"), col("id"), col("ts"),
+        col("x"), 500000L)
+      .orderBy(col("id")).select(col("ewma_milli")).as[Long].collect().toSeq
+    // id 1 first: m=900000; then id 2: (500000*100*1000+500000*900000)div 1e6
+    assert(got == Seq(900000L, 500000L))
+  }
+
+  test("ewma: keys smooth independently") {
+    val df = Seq((1L, 1L, 1L, 100L), (1L, 2L, 2L, 200L),
+      (2L, 3L, 1L, 800L)).toDF("key", "id", "ts", "x")
+    val got = Changepoint.ewma(df, col("key"), col("id"), col("ts"),
+        col("x"), 500000L)
+      .select(col("key"), col("id"), col("ewma_milli"))
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(got((1L, 2L)) == 150000L && got((2L, 3L)) == 800000L)
+  }
 }

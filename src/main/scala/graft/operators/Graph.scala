@@ -161,6 +161,62 @@ object Graph {
     pr.select(col("node"), col("pr").cast("long").as("pr_ppm"))
   }
 
+  /** R124: personalized PageRank — proximity to a SEED SET rather than
+    * global importance (the recommender / fraud-neighborhood workhorse:
+    * "rank everything by closeness to what this user already bought" /
+    * "to these known-bad accounts"). Identical iteration shape to
+    * [[pageRank]] — per-node share table, size-gated broadcast into the
+    * edge join, one dst-aggregate shuffle per round — except the
+    * teleport mass lands only on seeds:
+    *
+    *   pr⁰(v)   = 10⁶·[v ∈ S]
+    *   prᵏ⁺¹(v) = 150000·[v ∈ S] + 850000·Σ_{u→v} (prᵏ(u) div deg(u)) div 10⁶
+    *
+    * all integer ppm with per-step floor division, so any engine
+    * replays it bit-for-bit. Non-seed nodes unreachable from S stay at
+    * exactly 0 and are kept (the "no path" answer is part of the
+    * result). Seeds dataframe joins by node id — never collected to the
+    * driver, so a million-seed personalization vector is fine.
+    *
+    * @param edges (src, dst); canonicalized to an undirected simple graph
+    * @param seeds one column `node` — the personalization support
+    */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
+                           iterations: Int): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val und = edges.select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val dir = und.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(und.select(col("b").as("src"), col("a").as("dst")))
+      .ckpt
+    val deg = dir.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .withColumnRenamed("src", "node").ckpt
+    val nNodes = deg.count()
+    val seeded = deg.select(col("node"))
+      .join(seeds.select(col("node"), lit(1L).as("__s")), Seq("node"), "left")
+      .select(col("node"), coalesce(col("__s"), lit(0L)).as("is_seed"))
+      .ckpt
+    var pr = seeded.select(col("node"),
+      (col("is_seed") * 1000000L).as("pr"))
+    for (_ <- 1 to iterations) {
+      val share = pr.join(deg, Seq("node"))
+        .select(col("node").as("src"), expr("pr div deg").as("share"))
+      pr = dir.join(maybeBroadcast(share, nNodes), Seq("src"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("share")).as("s"))
+        // right join keeps zero-inflow nodes (and their teleport mass if
+        // seeded) — personalization must not silently drop them
+        .join(seeded, Seq("node"), "right")
+        .select(col("node"),
+          expr("""is_seed * 150000
+                 | + CAST(850000 AS DECIMAL(38,0)) * coalesce(s, 0) div 1000000"""
+            .stripMargin).as("pr"))
+        .ckpt
+    }
+    pr.select(col("node"), col("pr").cast("long").as("ppr_ppm"))
+  }
+
   /** Per-node triangle participation and local clustering coefficient in
     * exact ppm — "how clique-like is each node's neighborhood", the
     * node-level refinement of [[triangleCount]].

@@ -176,7 +176,11 @@ object Graph {
     * replays it bit-for-bit. Non-seed nodes unreachable from S stay at
     * exactly 0 and are kept (the "no path" answer is part of the
     * result). Seeds dataframe joins by node id — never collected to the
-    * driver, so a million-seed personalization vector is fine.
+    * driver, so a million-seed personalization vector is fine; duplicate
+    * seed ids are collapsed (set semantics), and a seed with NO edges is
+    * still reported — it keeps exactly its teleport mass 150000 from the
+    * first iteration on (its outflow has nowhere to go, the standard
+    * dangling-node treatment).
     *
     * @param edges (src, dst); canonicalized to an undirected simple graph
     * @param seeds one column `node` — the personalization support
@@ -192,11 +196,17 @@ object Graph {
       .ckpt
     val deg = dir.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       .withColumnRenamed("src", "node").ckpt
-    val nNodes = deg.count()
+    // node universe = edge endpoints ∪ seeds: an isolated seed is the
+    // extreme no-path answer and must surface with its teleport mass,
+    // not vanish. Seeds are set-deduped — duplicate ids must not
+    // double-count teleport or fan out the joins.
+    val seedSet = seeds.select(col("node")).distinct()
     val seeded = deg.select(col("node"))
-      .join(seeds.select(col("node"), lit(1L).as("__s")), Seq("node"), "left")
+      .unionAll(seedSet).distinct()
+      .join(seedSet.select(col("node"), lit(1L).as("__s")), Seq("node"), "left")
       .select(col("node"), coalesce(col("__s"), lit(0L)).as("is_seed"))
       .ckpt
+    val nNodes = seeded.count()
     var pr = seeded.select(col("node"),
       (col("is_seed") * 1000000L).as("pr"))
     for (_ <- 1 to iterations) {
@@ -882,15 +892,19 @@ object Graph {
       var reached = touched.join(pool, Seq("node"), "left_semi")
         .ckpt
       var frontier = reached
+      // one count per round drives BOTH the broadcast gate and the
+      // empty-frontier exit (was isEmpty + count — two actions)
+      var nFrontier = frontier.count()
       var r = 0
-      while (r < rounds && !frontier.isEmpty) {
+      while (r < rounds && nFrontier > 0) {
         frontier = dir
           .join(maybeBroadcast(frontier.withColumnRenamed("node", "src"),
-            frontier.count()), Seq("src"), "left_semi")
+            nFrontier), Seq("src"), "left_semi")
           .select(col("dst").as("node")).distinct()
           .join(pool, Seq("node"), "left_semi")
           .join(reached, Seq("node"), "left_anti")
           .ckpt
+        nFrontier = frontier.count()
         reached = reached.unionAll(frontier).ckpt
         r += 1
       }
@@ -1200,12 +1214,16 @@ object Graph {
     var dist = seeds.select(col("node"), lit(0L).as("dist"))
       .ckpt
     var lastSig: (Long, Long) = (-1L, -1L)
+    // one seed-sized count up front; every later round reuses the row
+    // count the convergence signature already computed — ONE driver
+    // action per round, not two
+    var nDist = dist.count()
     var r = 0
     var converged = false
     while (r < rounds && !converged) {
       val relaxed = dir
         .join(maybeBroadcast(dist.withColumnRenamed("node", "src"),
-          dist.count()), Seq("src"))
+          nDist), Seq("src"))
         .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
       dist = dist.unionByName(relaxed)
         .groupBy(col("node")).agg(min(col("dist")).as("dist"))
@@ -1213,6 +1231,7 @@ object Graph {
       val row = dist.agg(count(lit(1)), coalesce(sum(col("dist")), lit(0L)))
         .collect().head
       val sig = (row.getLong(0), row.getLong(1))
+      nDist = sig._1
       if (sig == lastSig) converged = true else { lastSig = sig; r += 1 }
     }
     dist

@@ -41,6 +41,11 @@ object Survival {
     *                 false = right-censored (still active at cutoff)
     * @return (grp, t, n_risk, n_events, n_censored, surv_ppm) — one row
     *         per (group, distinct duration), survival AFTER time t
+    *
+    * Null convention: a subject with a null duration or null observed
+    * flag carries no observation and is EXCLUDED up front (a null t
+    * would otherwise become a grid row and blow the non-nullable
+    * encoder; a null observed must not be silently read as censored).
     */
   def kaplanMeier(subjects: DataFrame, group: Column, duration: Column,
                   observed: Column): DataFrame = {
@@ -49,6 +54,7 @@ object Survival {
     val grid = subjects
       .select(group.cast("string").as("grp"), duration.cast("long").as("t"),
         observed.cast("boolean").as("obs"))
+      .filter(col("t").isNotNull && col("obs").isNotNull)
       .groupBy(col("grp"), col("t"))
       .agg(sum(when(col("obs"), 1L).otherwise(0L)).as("d"),
         sum(when(col("obs"), 0L).otherwise(1L)).as("c"))

@@ -1,0 +1,357 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Round-6 surface growth: the exact set-similarity join (D17), the
+  * survival/rank-statistics kit (R119–R123), and seed-personalized
+  * PageRank (R124) — closing the id gap the round-5 wrap left open.
+  * Every gate keeps the house contract: integer/ppm fixed point, one
+  * final floor division on nonnegative operands, total orders completed
+  * by an id column — so the DuckDB oracle lands bit-identical hashes.
+  *
+  * Reference anchor: README's "real-time data warehouse" use case — each
+  * gate is a query an Oracle-replica analyst would run against the
+  * replicated schema (order-fulfillment survival, revenue inequality,
+  * order-mix drift, rank correlation of spend vs time, closeness to a
+  * seed part set).
+  */
+object QueriesR13 {
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Money columns in integer cents: exact in both engines. */
+  private def cents(c: org.apache.spark.sql.Column) =
+    (c.cast("decimal(12,2)") * 100).cast("long")
+
+  /** D17: exact set-similarity self-join (see
+    * [[graft.dedup.SetSimJoin.prefixJaccardJoin]]) over word TRIGRAM
+    * shingles at τ = 0.5 — word tokens are degenerate on this corpus
+    * (31-word vocabulary makes every pair similar); shingles keep the
+    * sets discriminative, exactly like T27's novelty unit. The oracle is
+    * the quadratic co-token formulation: the prefix filter must be
+    * invisible in the result (pure pruning, zero recall loss).
+    */
+  def dedupSetsimExact(s: SparkSession, dir: String): DataFrame =
+    graft.dedup.SetSimJoin.prefixJaccardJoin(t(s, dir, "documents"),
+        col("doc_id"),
+        graft.functions.TextFunctions.wordShingles(col("text"), 3),
+        tauPpm = 500000L)
+      .orderBy(col("a"), col("b"))
+
+  /** R119: Kaplan–Meier order-fulfillment survival (see
+    * [[graft.operators.Survival.kaplanMeier]]) — per order priority,
+    * the fraction of orders still unshipped after t WEEKS. Subjects are
+    * orders; duration = order date → latest line shipment (clamped at 0
+    * and floored to weeks — both engines' integer division agrees on
+    * nonnegative operands); an order still open (status O/P) leaves the
+    * risk set censored, only fulfilled orders (F) count as events. The
+    * oracle replays the truncating ppm product as a recursive CTE (the
+    * R116 EWMA idiom).
+    */
+  def qSurvivalKm(s: SparkSession, dir: String): DataFrame = {
+    val subj = t(s, dir, "orders")
+      .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_shipdate")),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_orderpriority"),
+        col("o_orderstatus"), col("o_orderdate"))
+      .agg(max(col("l_shipdate")).as("last_ship"))
+      .select(col("o_orderpriority"),
+        expr("""greatest(datediff(CAST(last_ship AS DATE),
+               |CAST(o_orderdate AS DATE)), 0) div 7""".stripMargin)
+          .cast("long").as("t_weeks"),
+        (col("o_orderstatus") === "F").as("obs"))
+    graft.operators.Survival.kaplanMeier(subj, col("o_orderpriority"),
+        col("t_weeks"), col("obs"))
+      .orderBy(col("grp"), col("t"))
+  }
+
+  /** R124: personalized PageRank (see
+    * [[graft.operators.Graph.personalizedPageRank]]) over the
+    * co-purchase graph, personalized on the size-50 parts — "rank the
+    * catalog by closeness to this seed assortment", 3 rounds, top 500.
+    * Same chained-CTE oracle family as R71; the seed-restricted teleport
+    * and the isolated-seed/unreachable-stays-0 contracts are what the
+    * oracle additionally pins.
+    */
+  def graphPpr(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val edges = li.select(col("l_orderkey"), col("l_partkey").as("src"))
+      .join(li.select(col("l_orderkey"), col("l_partkey").as("dst")),
+        Seq("l_orderkey"))
+      .filter(col("src") < col("dst"))
+      .select(col("src"), col("dst"))
+    val seeds = t(s, dir, "part").filter(col("p_size") === 50)
+      .select(col("p_partkey").as("node"))
+    graft.operators.Graph.personalizedPageRank(edges, seeds, iterations = 3)
+      .orderBy(col("ppr_ppm").desc, col("node"))
+      .limit(500)
+  }
+
+  /** R120: Mann–Whitney U (see
+    * [[graft.operators.RankStats.mannWhitneyU]]) — per line status, did
+    * returned lines (R) ship in different quantities than kept ones?
+    * Quantity is a 50-value integer domain, so the rank grid is
+    * metadata-sized by construction. The all-'N' open-status group
+    * exercises the empty-side NULL edge.
+    */
+  def qMannWhitney(s: SparkSession, dir: String): DataFrame =
+    graft.operators.RankStats.mannWhitneyU(t(s, dir, "lineitem"),
+        col("l_linestatus"), col("l_returnflag") === "R",
+        col("l_quantity").cast("long"))
+      .orderBy(col("grp"))
+
+  /** R121: Gini coefficient (see
+    * [[graft.operators.RankStats.giniCoefficient]]) of customer revenue
+    * per market segment — how unequal is the revenue base? Ranks come
+    * from the two-stage exact rank; custkey breaks value ties so both
+    * engines walk one total order.
+    */
+  def qGiniCoeff(s: SparkSession, dir: String): DataFrame = {
+    val rev = t(s, dir, "orders")
+      .join(t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("c_custkey"))
+      .agg(sum(cents(col("o_totalprice"))).as("rev"))
+    graft.operators.RankStats.giniCoefficient(rev, "c_mktsegment",
+        col("rev"), col("c_custkey"))
+      .orderBy(col("grp"))
+  }
+
+  /** R122: total-variation drift (see
+    * [[graft.operators.RankStats.totalVariation]]) — per market
+    * segment, how far did the order-priority mix move between the
+    * pre-1995 and post-1995 order populations? Exact cross-multiplied
+    * rational, no logs.
+    */
+  def qDriftTv(s: SparkSession, dir: String): DataFrame =
+    graft.operators.RankStats.totalVariation(
+        t(s, dir, "orders")
+          .join(t(s, dir, "customer")
+            .select(col("c_custkey"), col("c_mktsegment")),
+            col("o_custkey") === col("c_custkey")),
+        col("c_mktsegment"), col("o_orderpriority"),
+        col("o_orderdate").cast("date") < lit("1995-01-01").cast("date"))
+      .orderBy(col("grp"))
+
+  /** R123: Spearman rank correlation (see
+    * [[graft.operators.RankStats.spearman]]) — per order priority, do
+    * order values trend over time? x = total price in cents, y = days
+    * since 1992-01-01, ties broken by the unique o_orderkey so the
+    * closed form stays exact.
+    */
+  def qSpearman(s: SparkSession, dir: String): DataFrame =
+    graft.operators.RankStats.spearman(
+        t(s, dir, "orders").select(col("o_orderpriority"),
+          cents(col("o_totalprice")).as("x"),
+          datediff(col("o_orderdate").cast("date"),
+            lit("1992-01-01").cast("date")).cast("long").as("y"),
+          col("o_orderkey")),
+        "o_orderpriority", col("x"), col("y"), col("o_orderkey"))
+      .orderBy(col("grp"))
+
+  // ---------------------------------------------------------------- oracle
+
+  val sql: Map[String, String] = Map(
+    "dedup_setsim_exact" ->
+      """WITH g0 AS (
+        |  SELECT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS tok
+        |  FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 2)) AS i
+        |        FROM (SELECT doc_id, str_split(text, ' ') AS ts
+        |              FROM documents) d) t
+        |), tok AS (SELECT DISTINCT doc_id, tok FROM g0 WHERE tok <> ''),
+        |sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+        |       FROM tok GROUP BY 1),
+        |pairs AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b,
+        |    CAST(COUNT(*) AS BIGINT) AS n_inter
+        |  FROM tok x JOIN tok y ON x.tok = y.tok AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT p.a, p.b, sa.n AS n_a, sb.n AS n_b, p.n_inter,
+        |  CAST(p.n_inter * 1000000 // (sa.n + sb.n - p.n_inter) AS BIGINT)
+        |    AS jaccard_ppm
+        |FROM pairs p
+        |JOIN sz sa ON p.a = sa.doc_id JOIN sz sb ON p.b = sb.doc_id
+        |WHERE p.n_inter * 1000000 // (sa.n + sb.n - p.n_inter) >= 500000
+        |ORDER BY a, b""".stripMargin,
+    "q_survival_km" ->
+      """WITH RECURSIVE subj AS (
+        |  SELECT o.o_orderpriority AS grp,
+        |    GREATEST(datediff('day', CAST(o.o_orderdate AS DATE),
+        |      CAST(MAX(l.l_shipdate) AS DATE)), 0) // 7 AS t,
+        |    (o.o_orderstatus = 'F') AS obs
+        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |  GROUP BY o.o_orderkey, o.o_orderpriority, o.o_orderstatus,
+        |    o.o_orderdate
+        |), grid AS (
+        |  SELECT grp, CAST(t AS BIGINT) AS t,
+        |    CAST(SUM(CASE WHEN obs THEN 1 ELSE 0 END) AS BIGINT) AS d,
+        |    CAST(SUM(CASE WHEN obs THEN 0 ELSE 1 END) AS BIGINT) AS c
+        |  FROM subj GROUP BY 1, 2
+        |), risk AS (
+        |  SELECT grp, t, d, c,
+        |    SUM(d + c) OVER (PARTITION BY grp ORDER BY t DESC) AS n_risk,
+        |    ROW_NUMBER() OVER (PARTITION BY grp ORDER BY t) AS rn
+        |  FROM grid
+        |), rec AS (
+        |  SELECT grp, t, n_risk, d, c, rn,
+        |    (1000000 * (n_risk - d)) // n_risk AS sp
+        |  FROM risk WHERE rn = 1
+        |  UNION ALL
+        |  SELECT r.grp, r.t, r.n_risk, r.d, r.c, r.rn,
+        |    (rec.sp * (r.n_risk - r.d)) // r.n_risk
+        |  FROM risk r JOIN rec ON r.grp = rec.grp AND r.rn = rec.rn + 1
+        |)
+        |SELECT grp, t, CAST(n_risk AS BIGINT) AS n_risk, d AS n_events,
+        |  c AS n_censored, CAST(sp AS BIGINT) AS surv_ppm
+        |FROM rec ORDER BY grp, t""".stripMargin,
+    "graph_ppr" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |und AS (
+        |  SELECT a.l_partkey AS a, b.l_partkey AS b
+        |  FROM li a JOIN li b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2
+        |), e AS (
+        |  SELECT a AS src, b AS dst FROM und
+        |  UNION ALL SELECT b, a FROM und
+        |), deg AS (
+        |  SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY src
+        |), seeds AS (
+        |  SELECT DISTINCT p_partkey AS node FROM part WHERE p_size = 50
+        |), univ AS (
+        |  SELECT src AS node FROM deg UNION SELECT node FROM seeds
+        |), sd AS (
+        |  SELECT u.node, CASE WHEN s.node IS NULL THEN 0 ELSE 1 END AS is_seed
+        |  FROM univ u LEFT JOIN seeds s ON u.node = s.node
+        |), p0 AS (
+        |  SELECT node, CAST(is_seed AS HUGEINT) * 1000000 AS pr FROM sd
+        |), s1 AS (
+        |  SELECT e.dst AS node, SUM(p.pr // d.deg) AS s
+        |  FROM e JOIN p0 p ON p.node = e.src JOIN deg d ON d.src = e.src
+        |  GROUP BY e.dst
+        |), p1 AS (
+        |  SELECT sd.node, sd.is_seed * 150000
+        |    + CAST(850000 AS HUGEINT) * COALESCE(s1.s, 0) // 1000000 AS pr
+        |  FROM sd LEFT JOIN s1 ON sd.node = s1.node
+        |), s2 AS (
+        |  SELECT e.dst AS node, SUM(p.pr // d.deg) AS s
+        |  FROM e JOIN p1 p ON p.node = e.src JOIN deg d ON d.src = e.src
+        |  GROUP BY e.dst
+        |), p2 AS (
+        |  SELECT sd.node, sd.is_seed * 150000
+        |    + CAST(850000 AS HUGEINT) * COALESCE(s2.s, 0) // 1000000 AS pr
+        |  FROM sd LEFT JOIN s2 ON sd.node = s2.node
+        |), s3 AS (
+        |  SELECT e.dst AS node, SUM(p.pr // d.deg) AS s
+        |  FROM e JOIN p2 p ON p.node = e.src JOIN deg d ON d.src = e.src
+        |  GROUP BY e.dst
+        |), p3 AS (
+        |  SELECT sd.node, sd.is_seed * 150000
+        |    + CAST(850000 AS HUGEINT) * COALESCE(s3.s, 0) // 1000000 AS pr
+        |  FROM sd LEFT JOIN s3 ON sd.node = s3.node
+        |)
+        |SELECT node, CAST(pr AS BIGINT) AS ppr_ppm FROM p3
+        |ORDER BY ppr_ppm DESC, node LIMIT 500""".stripMargin,
+    "q_mannwhitney" ->
+      """WITH e AS (
+        |  SELECT l_linestatus AS grp, (l_returnflag = 'R') AS s,
+        |    CAST(l_quantity AS BIGINT) AS v
+        |  FROM lineitem
+        |), grid AS (
+        |  SELECT grp, v, CAST(COUNT(*) AS BIGINT) AS cnt,
+        |    CAST(SUM(CASE WHEN s THEN 1 ELSE 0 END) AS BIGINT) AS cnt_a
+        |  FROM e GROUP BY 1, 2
+        |), rk AS (
+        |  SELECT grp, v, cnt, cnt_a,
+        |    COALESCE(SUM(cnt) OVER (PARTITION BY grp ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 1
+        |      AS rmin
+        |  FROM grid
+        |), a AS (
+        |  SELECT grp, CAST(SUM(cnt_a) AS BIGINT) AS n_a,
+        |    CAST(SUM(cnt - cnt_a) AS BIGINT) AS n_b,
+        |    CAST(SUM(cnt_a * (2 * rmin + cnt - 1)) AS BIGINT) AS r2_a
+        |  FROM rk GROUP BY 1
+        |)
+        |SELECT grp, n_a, n_b, r2_a - n_a * (n_a + 1) AS u2_a,
+        |  2 * n_a * n_b - (r2_a - n_a * (n_a + 1)) AS u2_b,
+        |  CAST((r2_a - n_a * (n_a + 1)) * 1000000
+        |    // NULLIF(2 * n_a * n_b, 0) AS BIGINT) AS auc_a_ppm
+        |FROM a ORDER BY grp""".stripMargin,
+    "q_gini_coeff" ->
+      """WITH rev AS (
+        |  SELECT c_mktsegment AS grp, c_custkey AS id,
+        |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+        |      AS BIGINT)) AS BIGINT) AS x
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2
+        |), rk AS (
+        |  SELECT grp, x,
+        |    ROW_NUMBER() OVER (PARTITION BY grp ORDER BY x, id) AS i
+        |  FROM rev
+        |), a AS (
+        |  SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS total,
+        |    SUM(CAST(i AS HUGEINT) * x) AS ix
+        |  FROM rk GROUP BY 1
+        |)
+        |SELECT grp, n, total,
+        |  CAST((2 * ix - CAST(n + 1 AS HUGEINT) * total) * 1000000
+        |    // (CAST(n AS HUGEINT) * NULLIF(total, 0)) AS BIGINT) AS gini_ppm
+        |FROM a ORDER BY grp""".stripMargin,
+    "q_drift_tv" ->
+      """WITH e AS (
+        |  SELECT c_mktsegment AS grp, o_orderpriority AS cat,
+        |    (CAST(o_orderdate AS DATE) < DATE '1995-01-01') AS s
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |), cells AS (
+        |  SELECT grp, cat,
+        |    CAST(SUM(CASE WHEN s THEN 1 ELSE 0 END) AS BIGINT) AS c_a,
+        |    CAST(SUM(CASE WHEN s THEN 0 ELSE 1 END) AS BIGINT) AS c_b
+        |  FROM e GROUP BY 1, 2
+        |), tot AS (
+        |  SELECT grp, CAST(SUM(c_a) AS BIGINT) AS n_a,
+        |    CAST(SUM(c_b) AS BIGINT) AS n_b,
+        |    CAST(COUNT(*) AS BIGINT) AS n_categories
+        |  FROM cells GROUP BY 1
+        |)
+        |SELECT t.grp, t.n_a, t.n_b, t.n_categories,
+        |  CAST(x.num * 1000000
+        |    // NULLIF(2 * CAST(t.n_a AS HUGEINT) * t.n_b, 0) AS BIGINT)
+        |    AS tv_ppm
+        |FROM tot t JOIN (
+        |  SELECT c.grp,
+        |    SUM(ABS(CAST(c.c_a AS HUGEINT) * t2.n_b
+        |      - CAST(c.c_b AS HUGEINT) * t2.n_a)) AS num
+        |  FROM cells c JOIN tot t2 ON c.grp = t2.grp GROUP BY 1) x
+        |  ON t.grp = x.grp
+        |ORDER BY t.grp""".stripMargin,
+    "q_spearman" ->
+      """WITH e AS (
+        |  SELECT o_orderpriority AS grp,
+        |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS x,
+        |    datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+        |      AS y,
+        |    o_orderkey AS id
+        |  FROM orders
+        |), rk AS (
+        |  SELECT grp,
+        |    ROW_NUMBER() OVER (PARTITION BY grp ORDER BY x, id) AS rx,
+        |    ROW_NUMBER() OVER (PARTITION BY grp ORDER BY y, id) AS ry
+        |  FROM e
+        |), a AS (
+        |  SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+        |    SUM(CAST(rx - ry AS HUGEINT) * (rx - ry)) AS d2
+        |  FROM rk GROUP BY 1
+        |)
+        |SELECT grp, n, CAST(d2 AS BIGINT) AS d2_sum,
+        |  CASE WHEN n < 2 THEN NULL
+        |    ELSE 1000000 - CAST(6 * d2 * 1000000
+        |      // (CAST(n AS HUGEINT) * n * n - n) AS BIGINT)
+        |  END AS rho_ppm
+        |FROM a ORDER BY grp""".stripMargin)
+}

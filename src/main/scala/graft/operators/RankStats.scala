@@ -1,0 +1,189 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** R120–R123: the rank-statistics kit — distribution-free comparison and
+  * concentration measures an Oracle-replica analyst runs when means and
+  * variances can't be trusted (skewed money columns, ordinal scores,
+  * drifting mixes). Everything is integer-exact under the house ppm
+  * contract: rank sums, cross-multiplied ratios and one final floor
+  * division, so the DuckDB oracle reproduces every value bit-for-bit.
+  *
+  * Scale posture shared by all four: the data-sized work is hash
+  * aggregation (to a value grid, a category grid, or per-entity totals);
+  * windows run either over the bounded grid (Mann–Whitney: one row per
+  * distinct value per group) or through [[Ranking.rankExact]]'s
+  * two-stage rank (Gini, Spearman) — never a data-sized single-partition
+  * sort.
+  */
+object RankStats {
+  /** R120: Mann–Whitney U (Wilcoxon rank-sum) per group, exact under
+    * ties via DOUBLED midranks — the classic "did treatment shift the
+    * distribution" test without normality assumptions (Mann & Whitney
+    * 1947). For value v with tie-run [rmin, rmin+cnt−1], the midrank is
+    * (2·rmin + cnt − 1)/2 — a half-integer, so everything is carried
+    * ×2: u2_a = 2·U_A = Σ_A (2·rmin + cnt − 1) − n_a·(n_a+1). The
+    * common-language effect size U_A/(n_a·n_b) — exactly the AUC of
+    * side A's values over side B's — lands in ppm as
+    * auc_ppm = u2_a·10⁶ div (2·n_a·n_b), NULL when a side is empty.
+    *
+    * The rank machinery runs on the per-(group, value) GRID: one hash
+    * aggregate to (grp, v, cnt, cnt_a), then a cumulative-count window
+    * over distinct values only — use bounded-cardinality scores
+    * (quantities, buckets, day counts); for continuous scores bucket
+    * first or the grid degenerates to row count.
+    *
+    * @param df    input
+    * @param group stratum key
+    * @param side  true = sample A, false = sample B
+    * @param value the compared score (cast to long)
+    * @return (grp, n_a, n_b, u2_a, u2_b, auc_a_ppm) one row per group
+    */
+  def mannWhitneyU(df: DataFrame, group: Column, side: Column,
+                   value: Column): DataFrame = {
+    val grid = df
+      .select(group.cast("string").as("grp"), side.cast("boolean").as("s"),
+        value.cast("long").as("v"))
+      .filter(col("v").isNotNull && col("s").isNotNull)
+      .groupBy(col("grp"), col("v"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(when(col("s"), 1L).otherwise(0L)).as("cnt_a"))
+    // rmin over the value grid only (≤ distinct values per group)
+    val w = Window.partitionBy(col("grp")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    grid
+      .withColumn("rmin", coalesce(sum(col("cnt")).over(w), lit(0L)) + 1L)
+      .groupBy(col("grp"))
+      .agg(sum(col("cnt_a")).as("n_a"),
+        sum(col("cnt") - col("cnt_a")).as("n_b"),
+        sum(col("cnt_a") * (lit(2L) * col("rmin") + col("cnt") - 1L))
+          .as("r2_a"))
+      .select(col("grp"), col("n_a"), col("n_b"),
+        (col("r2_a") - col("n_a") * (col("n_a") + 1L)).as("u2_a"))
+      .withColumn("u2_b", lit(2L) * col("n_a") * col("n_b") - col("u2_a"))
+      .withColumn("auc_a_ppm",
+        expr("u2_a * 1000000 div nullif(2 * n_a * n_b, 0)"))
+  }
+
+  /** R121: Gini coefficient of a nonnegative quantity per group — the
+    * inequality/concentration summary (revenue across customers, tokens
+    * across sources) that complements R117's HHI with the Lorenz-curve
+    * view. Closed form over values sorted ascending with rank i:
+    *
+    *   gini_ppm = (2·Σ i·xᵢ − (n+1)·Σx) · 10⁶ div (n · Σx)
+    *
+    * The numerator is nonnegative for ascending ranks (Chebyshev's sum
+    * inequality), so floor and truncation agree. Ranks come from
+    * [[Ranking.rankExact]] on (x, tieBreak) — the two-stage exact rank,
+    * no data-sized single-partition sort; the oracle's ROW_NUMBER over
+    * the same total order lands identical ranks. NULL for groups with
+    * Σx = 0 (all-zero mass has no Lorenz curve).
+    *
+    * @param df    one row per entity
+    * @param group stratum key (column name)
+    * @param x     nonnegative mass per entity (cast to long)
+    * @param tie   completes the (x, tie) total order
+    * @return (grp, n, total, gini_ppm) one row per group
+    */
+  def giniCoefficient(df: DataFrame, group: String, x: Column,
+                      tie: Column): DataFrame = {
+    val base = df.select(col(group).cast("string").as("grp"),
+        x.cast("long").as("x"), tie.as("tie"))
+      .filter(col("x").isNotNull)
+    Ranking.rankExact(base, Seq("grp"), col("x"), Seq(col("tie")), "i")
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("total"),
+        sum(expr("CAST(i AS DECIMAL(38,0)) * x")).as("__ix"))
+      .select(col("grp"), col("n"), col("total"),
+        expr("""CAST((2 * __ix - CAST(n + 1 AS DECIMAL(38,0)) * total)
+               | * 1000000 div (CAST(n AS DECIMAL(38,0))
+               | * nullif(total, 0)) AS BIGINT)""".stripMargin)
+          .as("gini_ppm"))
+  }
+
+  /** R122: total-variation distance between two categorical mixes per
+    * group — the drift metric with an exact rational form (unlike KL or
+    * PSI, whose logs never hash-match):
+    *
+    *   tv_ppm = Σ_cat |c_a·N_b − c_b·N_a| · 10⁶ div (2 · N_a · N_b)
+    *
+    * 0 = identical mix, 10⁶ = disjoint support. Categories missing from
+    * one side enter with count 0 via the full category grid (one hash
+    * aggregate — a category key never straddles groups). NULL when a
+    * side is empty. The screen behind "did this quarter's order-priority
+    * mix move": TV is the largest probability difference any event set
+    * can see, so it thresholds cleanly.
+    *
+    * @param df       input
+    * @param group    stratum key
+    * @param category the distributed-over label
+    * @param side     true = population A, false = population B
+    * @return (grp, n_a, n_b, n_categories, tv_ppm) one row per group
+    */
+  def totalVariation(df: DataFrame, group: Column, category: Column,
+                     side: Column): DataFrame = {
+    val cells = df
+      .select(group.cast("string").as("grp"),
+        category.cast("string").as("cat"), side.cast("boolean").as("s"))
+      .filter(col("s").isNotNull)
+      .groupBy(col("grp"), col("cat"))
+      .agg(sum(when(col("s"), 1L).otherwise(0L)).as("c_a"),
+        sum(when(col("s"), 0L).otherwise(1L)).as("c_b"))
+    // group totals are group-cardinality-sized — AQE broadcasts the join
+    val totals = cells.groupBy(col("grp"))
+      .agg(sum(col("c_a")).as("n_a"), sum(col("c_b")).as("n_b"),
+        count(lit(1)).as("n_categories"))
+    cells.join(totals, Seq("grp"))
+      .groupBy(col("grp"))
+      .agg(first(col("n_a")).as("n_a"), first(col("n_b")).as("n_b"),
+        first(col("n_categories")).as("n_categories"),
+        sum(abs(expr("CAST(c_a AS DECIMAL(38,0)) * n_b")
+          - expr("CAST(c_b AS DECIMAL(38,0)) * n_a"))).as("__num"))
+      .select(col("grp"), col("n_a"), col("n_b"), col("n_categories"),
+        expr("""CAST(__num * 1000000
+               | div nullif(2 * CAST(n_a AS DECIMAL(38,0)) * n_b, 0)
+               | AS BIGINT)""".stripMargin).as("tv_ppm"))
+  }
+
+  /** R123: Spearman rank correlation per group under the UNIQUE-RANK
+    * contract — ties broken by the id column so both engines assign the
+    * same total order, which keeps the classic closed form exact:
+    *
+    *   rho_ppm = 10⁶ − (6·Σ dᵢ² · 10⁶) div (n·(n²−1)),  d = rank_x − rank_y
+    *
+    * The subtrahend is nonnegative, so the single floor division never
+    * meets a negative operand (floor vs truncate agree); rho_ppm itself
+    * ranges −10⁶…10⁶. Both rank passes go through [[Ranking.rankExact]].
+    * Groups with n < 2 return NULL (no variance to correlate).
+    *
+    * @param df    input
+    * @param group stratum key (column name)
+    * @param xcol  first score (cast to long)
+    * @param ycol  second score (cast to long)
+    * @param id    unique tie-break id
+    * @return (grp, n, d2_sum, rho_ppm) one row per group
+    */
+  def spearman(df: DataFrame, group: String, xcol: Column, ycol: Column,
+               id: Column): DataFrame = {
+    val base = df.select(col(group).cast("string").as("grp"),
+        xcol.cast("long").as("x"), ycol.cast("long").as("y"), id.as("id"))
+      .filter(col("x").isNotNull && col("y").isNotNull)
+    val rx = Ranking.rankExact(base, Seq("grp"), col("x"), Seq(col("id")),
+      "rx").drop("__total")
+    val rxy = Ranking.rankExact(rx, Seq("grp"), col("y"), Seq(col("id")),
+      "ry").drop("__total")
+    rxy
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(rx - ry AS DECIMAL(38,0)) * (rx - ry)"))
+          .as("__d2"))
+      .select(col("grp"), col("n"),
+        col("__d2").cast("long").as("d2_sum"),
+        expr("""CASE WHEN n < 2 THEN NULL
+               |ELSE 1000000 - CAST(6 * __d2 * 1000000
+               |  div (CAST(n AS DECIMAL(38,0)) * n * n - n) AS BIGINT)
+               |END""".stripMargin).as("rho_ppm"))
+  }
+}

@@ -1,0 +1,73 @@
+package graft.dedup
+
+import graft.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class SetSimJoinSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  /** Run on (id, space-joined tokens) docs; return (a, b, jac_ppm). */
+  private def run(docs: Seq[(Long, String)], tau: Long): Set[(Long, Long, Long)] = {
+    val df = docs.toDF("id", "text")
+    SetSimJoin.prefixJaccardJoin(df, col("id"), split(col("text"), " "), tau)
+      .select(col("a"), col("b"), col("jaccard_ppm"))
+      .as[(Long, Long, Long)].collect().toSet
+  }
+
+  private def ref(docs: Seq[(Long, String)], tau: Long): Set[(Long, Long, Long)] =
+    SetSimJoin.bruteForceRef(
+      docs.map { case (i, t) => i -> t.split(" ").filter(_.nonEmpty).toSet }.toMap,
+      tau).toSet
+
+  test("matches brute force on a mixed corpus at several thresholds") {
+    // rare + hot tokens, near-dups, disjoint docs, varying sizes
+    val docs = Seq(
+      1L -> "the quick brown fox jumps",
+      2L -> "the quick brown fox leaps",
+      3L -> "the quick red fox jumps high",
+      4L -> "entirely different words here",
+      5L -> "the quick brown fox jumps",
+      6L -> "the",
+      7L -> "quick the",
+      8L -> "words different entirely here extra")
+    for (tau <- Seq(200000L, 500000L, 600000L, 800000L, 1000000L))
+      assert(run(docs, tau) == ref(docs, tau), s"tau=$tau diverged")
+  }
+
+  test("pair exactly AT the threshold is kept, just below is dropped") {
+    // |A|=|B|=3, inter=2 -> union 4 -> exactly 500000 ppm
+    val docs = Seq(1L -> "a b c", 2L -> "a b d")
+    assert(run(docs, 500000L) == Set((1L, 2L, 500000L)))
+    assert(run(docs, 500001L).isEmpty)
+  }
+
+  test("identical docs score 1000000; disjoint docs produce no row") {
+    val docs = Seq(1L -> "x y z", 2L -> "x y z", 3L -> "p q r")
+    assert(run(docs, 1000000L) == Set((1L, 2L, 1000000L)))
+  }
+
+  test("duplicate tokens collapse (SET semantics) and empties drop") {
+    // "a a b" is the set {a,b}; "a  b" splits with an empty token
+    val docs = Seq(1L -> "a a b", 2L -> "a  b")
+    assert(run(docs, 1000000L) == Set((1L, 2L, 1000000L)))
+  }
+
+  test("size band: tau*|B| <= |A| filter cannot drop a qualifying pair") {
+    // big doc fully containing a small one: jac = |small|/|big|
+    val docs = Seq(1L -> "a b c d e f g h i j", 2L -> "a b c d e")
+    // jac = 5/10 = 500000
+    assert(run(docs, 500000L) == Set((1L, 2L, 500000L)))
+    assert(run(docs, 500000L) == ref(docs, 500000L))
+  }
+
+  test("sizes and intersection counts are reported exactly") {
+    val df = Seq(1L -> "a b c", 2L -> "b c d").toDF("id", "text")
+    val row = SetSimJoin.prefixJaccardJoin(df, col("id"),
+        split(col("text"), " "), 300000L)
+      .select(col("n_a"), col("n_b"), col("n_inter"), col("jaccard_ppm"))
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(row == Seq((3L, 3L, 2L, 500000L)))
+  }
+}

@@ -32,7 +32,13 @@ object Bench {
     // incremental dedup index
     "graph_kcore", "text_phrase_prox", "dedup_incremental",
     // round-4 batches cc-ee: weighted relaxation, CPM-4, SNM blocking
-    "graph_sssp", "graph_percolation4", "dedup_sorted_neighborhood")
+    "graph_sssp", "graph_percolation4", "dedup_sorted_neighborhood",
+    // round-5 surface: exact two-stage rank paths, gram-sharded novelty,
+    // bucketed skyline, gains table
+    "q_rank_normalize", "text_novelty", "q_skyline", "q_eval_gains",
+    // round-6 surface: prefix-filtered exact set-sim join, grid-walk
+    // survival, seed-personalized pagerank, ranked statistics
+    "dedup_setsim_exact", "q_survival_km", "graph_ppr", "q_gini_coeff")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

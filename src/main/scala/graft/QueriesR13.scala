@@ -153,9 +153,199 @@ object QueriesR13 {
         "o_orderpriority", col("x"), col("y"), col("o_orderkey"))
       .orderBy(col("grp"))
 
+  /** R125: two-sample Kolmogorov–Smirnov (see
+    * [[graft.operators.RankStats.ksDistance]]) — per line status, the
+    * largest CDF gap between returned and kept quantities plus WHERE it
+    * opens (ks_at). Same 50-value grid as R120; the all-'N' open-status
+    * group exercises the empty-side NULL edge.
+    */
+  def qKsTest(s: SparkSession, dir: String): DataFrame =
+    graft.operators.RankStats.ksDistance(t(s, dir, "lineitem"),
+        col("l_linestatus"), col("l_returnflag") === "R",
+        col("l_quantity").cast("long"))
+      .orderBy(col("grp"))
+
+  /** R127: 1-D Wasserstein distance (see
+    * [[graft.operators.RankStats.wasserstein1]]) — per line status, how
+    * far (in discount points, milli-units) must mass travel to turn the
+    * kept-lines discount distribution into the returned-lines one.
+    * Discount is thresholded to exact integer percent (11-value grid).
+    */
+  def qWasserstein(s: SparkSession, dir: String): DataFrame =
+    graft.operators.RankStats.wasserstein1(t(s, dir, "lineitem"),
+        col("l_linestatus"), col("l_returnflag") === "R",
+        round(col("l_discount") * 100).cast("long"))
+      .orderBy(col("grp"))
+
+  /** R126: r×c chi-square + Cramér's V² (see
+    * [[graft.operators.RankStats.cramersV]]) — per market segment, is
+    * order priority associated with order status? 5×3 table per group;
+    * the per-cell-floor contract is replayed verbatim by the oracle.
+    */
+  def qCramersV(s: SparkSession, dir: String): DataFrame =
+    graft.operators.RankStats.cramersV(
+        t(s, dir, "orders")
+          .join(t(s, dir, "customer")
+            .select(col("c_custkey"), col("c_mktsegment")),
+            col("o_custkey") === col("c_custkey")),
+        col("c_mktsegment"), col("o_orderpriority"), col("o_orderstatus"))
+      .orderBy(col("grp"))
+
+  /** R128: ABC / Pareto classification (see
+    * [[graft.operators.RankStats.abcClassify]]) — per market segment,
+    * customers bucketed A/B/C by cumulative revenue share (70/90
+    * boundaries), reported as class rollups. The oracle replays the
+    * same boundary rule with a plain windowed running sum.
+    */
+  def qAbcClass(s: SparkSession, dir: String): DataFrame = {
+    val rev = t(s, dir, "orders")
+      .join(t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("c_custkey"))
+      .agg(sum(cents(col("o_totalprice"))).as("rev"))
+    graft.operators.RankStats.abcClassify(rev, "c_mktsegment",
+        col("rev"), col("c_custkey"))
+      .orderBy(col("grp"), col("abc_class"))
+  }
+
   // ---------------------------------------------------------------- oracle
 
   val sql: Map[String, String] = Map(
+    "q_ks_test" ->
+      """WITH e AS (
+        |  SELECT l_linestatus AS grp, (l_returnflag = 'R') AS s,
+        |    CAST(l_quantity AS BIGINT) AS v
+        |  FROM lineitem
+        |), grid AS (
+        |  SELECT grp, v,
+        |    CAST(SUM(CASE WHEN s THEN 1 ELSE 0 END) AS BIGINT) AS c_a,
+        |    CAST(SUM(CASE WHEN s THEN 0 ELSE 1 END) AS BIGINT) AS c_b
+        |  FROM e GROUP BY 1, 2
+        |), c AS (
+        |  SELECT grp, v,
+        |    SUM(c_a) OVER (PARTITION BY grp ORDER BY v) AS cum_a,
+        |    SUM(c_b) OVER (PARTITION BY grp ORDER BY v) AS cum_b,
+        |    SUM(c_a) OVER (PARTITION BY grp) AS n_a,
+        |    SUM(c_b) OVER (PARTITION BY grp) AS n_b
+        |  FROM grid
+        |), gaps AS (
+        |  SELECT grp, v, n_a, n_b,
+        |    ABS(CAST(cum_a AS HUGEINT) * n_b
+        |      - CAST(cum_b AS HUGEINT) * n_a) AS gap
+        |  FROM c
+        |), mx AS (
+        |  SELECT grp, CAST(MAX(n_a) AS BIGINT) AS n_a,
+        |    CAST(MAX(n_b) AS BIGINT) AS n_b, MAX(gap) AS m
+        |  FROM gaps GROUP BY 1
+        |)
+        |SELECT m.grp, m.n_a, m.n_b,
+        |  CAST(m.m * 1000000
+        |    // NULLIF(CAST(m.n_a AS HUGEINT) * m.n_b, 0) AS BIGINT)
+        |    AS ks_ppm,
+        |  CASE WHEN m.n_a = 0 OR m.n_b = 0 THEN NULL
+        |    ELSE (SELECT CAST(MIN(g.v) AS BIGINT) FROM gaps g
+        |          WHERE g.grp = m.grp AND g.gap = m.m) END AS ks_at
+        |FROM mx m ORDER BY grp""".stripMargin,
+    "q_wasserstein" ->
+      """WITH e AS (
+        |  SELECT l_linestatus AS grp, (l_returnflag = 'R') AS s,
+        |    CAST(ROUND(l_discount * 100) AS BIGINT) AS v
+        |  FROM lineitem
+        |), grid AS (
+        |  SELECT grp, v,
+        |    CAST(SUM(CASE WHEN s THEN 1 ELSE 0 END) AS BIGINT) AS c_a,
+        |    CAST(SUM(CASE WHEN s THEN 0 ELSE 1 END) AS BIGINT) AS c_b
+        |  FROM e GROUP BY 1, 2
+        |), c AS (
+        |  SELECT grp, v,
+        |    SUM(c_a) OVER (PARTITION BY grp ORDER BY v) AS cum_a,
+        |    SUM(c_b) OVER (PARTITION BY grp ORDER BY v) AS cum_b,
+        |    SUM(c_a) OVER (PARTITION BY grp) AS n_a,
+        |    SUM(c_b) OVER (PARTITION BY grp) AS n_b,
+        |    COALESCE(LEAD(v) OVER (PARTITION BY grp ORDER BY v) - v, 0)
+        |      AS gp
+        |  FROM grid
+        |), agg AS (
+        |  SELECT grp, CAST(MAX(n_a) AS BIGINT) AS n_a,
+        |    CAST(MAX(n_b) AS BIGINT) AS n_b,
+        |    SUM(ABS(CAST(cum_a AS HUGEINT) * n_b
+        |      - CAST(cum_b AS HUGEINT) * n_a) * gp) AS num
+        |  FROM c GROUP BY 1
+        |)
+        |SELECT grp, n_a, n_b,
+        |  CAST(num * 1000
+        |    // NULLIF(CAST(n_a AS HUGEINT) * n_b, 0) AS BIGINT) AS w1_milli
+        |FROM agg ORDER BY grp""".stripMargin,
+    "q_cramers_v" ->
+      """WITH e AS (
+        |  SELECT c_mktsegment AS grp, o_orderpriority AS av,
+        |    o_orderstatus AS bv
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |), cells AS (
+        |  SELECT grp, av, bv, CAST(COUNT(*) AS BIGINT) AS o
+        |  FROM e GROUP BY 1, 2, 3
+        |), rmarg AS (
+        |  SELECT grp, av, CAST(SUM(o) AS BIGINT) AS ra
+        |  FROM cells GROUP BY 1, 2
+        |), cmarg AS (
+        |  SELECT grp, bv, CAST(SUM(o) AS BIGINT) AS cb
+        |  FROM cells GROUP BY 1, 2
+        |), tot AS (
+        |  SELECT grp, CAST(SUM(o) AS BIGINT) AS n,
+        |    CAST(COUNT(DISTINCT av) AS BIGINT) AS n_rows,
+        |    CAST(COUNT(DISTINCT bv) AS BIGINT) AS n_cols
+        |  FROM cells GROUP BY 1
+        |), fl AS (
+        |  SELECT r.grp, r.av, c.bv, r.ra, c.cb, COALESCE(x.o, 0) AS o
+        |  FROM rmarg r JOIN cmarg c ON r.grp = c.grp
+        |  LEFT JOIN cells x
+        |    ON x.grp = r.grp AND x.av = r.av AND x.bv = c.bv
+        |), terms AS (
+        |  SELECT f.grp, t.n, t.n_rows, t.n_cols,
+        |    (CAST(f.o AS HUGEINT) * t.n - CAST(f.ra AS HUGEINT) * f.cb)
+        |      * (CAST(f.o AS HUGEINT) * t.n - CAST(f.ra AS HUGEINT) * f.cb)
+        |      * 1000
+        |      // (CAST(t.n AS HUGEINT) * f.ra * f.cb) AS trm
+        |  FROM fl f JOIN tot t ON f.grp = t.grp
+        |), s AS (
+        |  SELECT grp, MAX(n) AS n, MAX(n_rows) AS n_rows,
+        |    MAX(n_cols) AS n_cols, CAST(SUM(trm) AS BIGINT) AS chi2_milli
+        |  FROM terms GROUP BY 1
+        |)
+        |SELECT grp, n, n_rows, n_cols, chi2_milli,
+        |  CASE WHEN LEAST(n_rows, n_cols) < 2 THEN NULL
+        |    ELSE CAST(CAST(chi2_milli AS HUGEINT) * 1000
+        |      // (CAST(n AS HUGEINT) * (LEAST(n_rows, n_cols) - 1))
+        |      AS BIGINT) END AS v2_ppm
+        |FROM s ORDER BY grp""".stripMargin,
+    "q_abc_class" ->
+      """WITH rev AS (
+        |  SELECT c_mktsegment AS grp, c_custkey AS id,
+        |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+        |      AS BIGINT)) AS BIGINT) AS x
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2
+        |), c AS (
+        |  SELECT grp, x,
+        |    SUM(x) OVER (PARTITION BY grp ORDER BY x DESC, id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    SUM(x) OVER (PARTITION BY grp) AS t
+        |  FROM rev
+        |), cls AS (
+        |  SELECT grp,
+        |    CASE WHEN CAST(cum - x AS HUGEINT) * 1000000
+        |           < CAST(700000 AS HUGEINT) * t THEN 'A'
+        |         WHEN CAST(cum - x AS HUGEINT) * 1000000
+        |           < CAST(900000 AS HUGEINT) * t THEN 'B'
+        |         ELSE 'C' END AS abc_class,
+        |    x, t
+        |  FROM c
+        |)
+        |SELECT grp, abc_class, CAST(COUNT(*) AS BIGINT) AS n_entities,
+        |  CAST(SUM(x) AS BIGINT) AS mass,
+        |  CAST(CAST(SUM(x) AS HUGEINT) * 1000000
+        |    // NULLIF(MAX(t), 0) AS BIGINT) AS share_ppm
+        |FROM cls GROUP BY 1, 2 ORDER BY grp, abc_class""".stripMargin,
     "dedup_setsim_exact" ->
       """WITH g0 AS (
         |  SELECT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS tok

@@ -147,6 +147,208 @@ object RankStats {
                | AS BIGINT)""".stripMargin).as("tv_ppm"))
   }
 
+  /** Shared grid for the two-sample distribution distances (R125/R127):
+    * per (grp, v) the side counts plus cumulative counts and side totals
+    * — windows run over DISTINCT values only, so bounded-cardinality
+    * scores never pay a data-sized sort.
+    */
+  private def sampleGrid(df: DataFrame, group: Column, side: Column,
+                         value: Column): DataFrame = {
+    val grid = df
+      .select(group.cast("string").as("grp"), side.cast("boolean").as("s"),
+        value.cast("long").as("v"))
+      .filter(col("v").isNotNull && col("s").isNotNull)
+      .groupBy(col("grp"), col("v"))
+      .agg(sum(when(col("s"), 1L).otherwise(0L)).as("c_a"),
+        sum(when(col("s"), 0L).otherwise(1L)).as("c_b"))
+    val wCum = Window.partitionBy(col("grp")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy(col("grp"))
+    grid
+      .withColumn("cum_a", sum(col("c_a")).over(wCum))
+      .withColumn("cum_b", sum(col("c_b")).over(wCum))
+      .withColumn("n_a", sum(col("c_a")).over(wTot))
+      .withColumn("n_b", sum(col("c_b")).over(wTot))
+  }
+
+  /** R125: two-sample Kolmogorov–Smirnov statistic per group — the
+    * sup-norm companion of R122's TV for ORDERED domains: the largest
+    * gap between the two empirical CDFs, exact by cross-multiplication:
+    *
+    *   ks_ppm = max_v |cum_a(v)·N_b − cum_b(v)·N_a| · 10⁶ div (N_a·N_b)
+    *
+    * plus ks_at, the smallest value attaining the max (where the
+    * distributions diverge most — the actionable part of the report).
+    * NULL when a side is empty. Same value-grid contract as R120: use
+    * bounded-cardinality scores.
+    *
+    * @return (grp, n_a, n_b, ks_ppm, ks_at) one row per group
+    */
+  def ksDistance(df: DataFrame, group: Column, side: Column,
+                 value: Column): DataFrame = {
+    val g = sampleGrid(df, group, side, value)
+      .withColumn("__gap", abs(expr("CAST(cum_a AS DECIMAL(38,0)) * n_b")
+        - expr("CAST(cum_b AS DECIMAL(38,0)) * n_a")))
+      // per-group max via a second grid-sized window, so the argmin-v
+      // filter below stays a plain aggregate
+      .withColumn("__mxw",
+        max(col("__gap")).over(Window.partitionBy(col("grp"))))
+    g.groupBy(col("grp"))
+      .agg(first(col("n_a")).as("n_a"), first(col("n_b")).as("n_b"),
+        max(col("__gap")).as("__mx"),
+        min(when(col("__gap") === col("__mxw"), col("v"))).as("ks_at"))
+      .select(col("grp"), col("n_a"), col("n_b"),
+        expr("""CAST(__mx * 1000000
+               | div nullif(CAST(n_a AS DECIMAL(38,0)) * n_b, 0)
+               | AS BIGINT)""".stripMargin).as("ks_ppm"),
+        when(col("n_a") === 0 || col("n_b") === 0, lit(null))
+          .otherwise(col("ks_at")).as("ks_at"))
+  }
+
+  /** R127: 1-D Wasserstein (earth-mover) distance per group — the
+    * magnitude-weighted member of the drift suite (TV counts mass moved,
+    * KS the worst gap, W1 how FAR mass must travel):
+    *
+    *   W1 = ∫ |F_a − F_b| dv  =  Σ_grid |cumdiff(vᵢ)| · (vᵢ₊₁ − vᵢ)
+    *
+    * reported ×1000 in the value's own units (milli-units), exact:
+    * w1_milli = Σ |cum_a·N_b − cum_b·N_a|·gap·1000 div (N_a·N_b). NULL
+    * when a side is empty. Value-grid contract as R125.
+    *
+    * @return (grp, n_a, n_b, w1_milli) one row per group
+    */
+  def wasserstein1(df: DataFrame, group: Column, side: Column,
+                   value: Column): DataFrame = {
+    val wNext = Window.partitionBy(col("grp")).orderBy(col("v"))
+    sampleGrid(df, group, side, value)
+      .withColumn("__gap", coalesce(lead(col("v"), 1).over(wNext) - col("v"),
+        lit(0L)))
+      .groupBy(col("grp"))
+      .agg(first(col("n_a")).as("n_a"), first(col("n_b")).as("n_b"),
+        sum(abs(expr("CAST(cum_a AS DECIMAL(38,0)) * n_b")
+          - expr("CAST(cum_b AS DECIMAL(38,0)) * n_a")) * col("__gap"))
+          .as("__num"))
+      .select(col("grp"), col("n_a"), col("n_b"),
+        expr("""CAST(__num * 1000
+               | div nullif(CAST(n_a AS DECIMAL(38,0)) * n_b, 0)
+               | AS BIGINT)""".stripMargin).as("w1_milli"))
+  }
+
+  /** R126: general r×c chi-square association with Cramér's V² per
+    * group — R115b's 2×2 test generalized to full contingency tables.
+    * Exactness contract: per-CELL floor division (the EWMA posture —
+    * a stated truncation both engines replay identically), cells taken
+    * from the FULL cross product of observed row/col margins so zero
+    * cells still contribute their expectation:
+    *
+    *   chi2_milli = Σ_cells (o·n − rₐ·c_b)² · 1000 div (n·rₐ·c_b)
+    *   v2_ppm     = chi2_milli · 1000 div (n · (min(r,c) − 1))
+    *
+    * V² (not V — the square root is irrational) is the effect size:
+    * 0 = independent, 10⁶ = perfect association. NULL when min(r,c) < 2.
+    * Integer headroom: (o·n − rₐ·c_b)² ≤ n⁴ fits DECIMAL(38,0) for
+    * groups up to ~3·10⁹ rows; pre-aggregate beyond.
+    *
+    * @return (grp, n, n_rows, n_cols, chi2_milli, v2_ppm)
+    */
+  def cramersV(df: DataFrame, group: Column, rowVar: Column,
+               colVar: Column): DataFrame = {
+    val cells = df
+      .select(group.cast("string").as("grp"), rowVar.cast("string").as("av"),
+        colVar.cast("string").as("bv"))
+      .filter(col("av").isNotNull && col("bv").isNotNull)
+      .groupBy(col("grp"), col("av"), col("bv"))
+      .agg(count(lit(1)).as("o"))
+    val rmarg = cells.groupBy(col("grp"), col("av")).agg(sum(col("o")).as("ra"))
+    val cmarg = cells.groupBy(col("grp"), col("bv")).agg(sum(col("o")).as("cb"))
+    // full cross product of margins: zero cells carry their expectation
+    val full = rmarg.join(cmarg, Seq("grp"))
+      .join(cells, Seq("grp", "av", "bv"), "left")
+      .withColumn("o", coalesce(col("o"), lit(0L)))
+    val tot = cells.groupBy(col("grp"))
+      .agg(sum(col("o")).as("n"),
+        count_distinct(col("av")).as("n_rows"),
+        count_distinct(col("bv")).as("n_cols"))
+    full.join(tot, Seq("grp"))
+      .withColumn("__t",
+        expr("""(CAST(o AS DECIMAL(38,0)) * n - CAST(ra AS DECIMAL(38,0)) * cb)
+               | * (CAST(o AS DECIMAL(38,0)) * n
+               |    - CAST(ra AS DECIMAL(38,0)) * cb) * 1000
+               | div (CAST(n AS DECIMAL(38,0)) * ra * cb)""".stripMargin))
+      .groupBy(col("grp"))
+      .agg(first(col("n")).as("n"), first(col("n_rows")).as("n_rows"),
+        first(col("n_cols")).as("n_cols"),
+        sum(col("__t")).cast("long").as("chi2_milli"))
+      .withColumn("v2_ppm",
+        when(least(col("n_rows"), col("n_cols")) < 2, lit(null))
+          .otherwise(expr(
+            """CAST(CAST(chi2_milli AS DECIMAL(38,0)) * 1000
+              | div (CAST(n AS DECIMAL(38,0))
+              |      * (least(n_rows, n_cols) - 1)) AS BIGINT)"""
+              .stripMargin)))
+  }
+
+  /** R128: ABC / Pareto classification per group — entities ranked by
+    * descending mass, classed by where their cumulative share STARTS:
+    * A while cum−x < 70% of total, B while < 90%, else C (so the entity
+    * crossing a boundary belongs to the class it entered in — every
+    * group with mass has a nonempty A). Comparisons are cross-multiplied
+    * integers; the cumulative mass comes from a grouped two-stage prefix
+    * sum (per-(group, range-bucket) totals + a metadata-sized offset
+    * window + an intra-bucket running sum — the [[Ranking.rankExact]]
+    * posture applied to mass, no data-sized single-partition window).
+    * Aggregated to one row per (group, class).
+    *
+    * @param df   one row per entity
+    * @param group stratum key (column name)
+    * @param x    nonnegative mass (cast to long)
+    * @param tie  completes the (mass desc, tie asc) total order
+    * @param aPpm class-A cumulative-share boundary (default 700000)
+    * @param bPpm class-B boundary (default 900000)
+    * @return (grp, abc_class, n_entities, mass, share_ppm)
+    */
+  def abcClassify(df: DataFrame, group: String, x: Column, tie: Column,
+                  aPpm: Long = 700000L, bPpm: Long = 900000L,
+                  buckets: Int = 4096): DataFrame = {
+    require(0 < aPpm && aPpm < bPpm && bPpm <= 1000000L,
+      s"bad boundaries: $aPpm, $bPpm")
+    val base = df.select(col(group).cast("string").as("grp"),
+        x.cast("long").as("x"), tie.as("tie"))
+      .filter(col("x").isNotNull)
+      .withColumn("__v", -col("x"))
+    val stats = base.agg(min(col("__v")).as("__mn"), max(col("__v")).as("__mx"))
+    val bucketed = base.crossJoin(broadcast(stats))
+      .withColumn("__bkt",
+        expr(s"(__v - __mn) div greatest(1L, (__mx - __mn) div $buckets + 1)"))
+      .drop("__mn", "__mx")
+    val perBucket = bucketed.groupBy(col("grp"), col("__bkt"))
+      .agg(sum(col("x")).as("__m"))
+    val wOff = Window.partitionBy(col("grp")).orderBy(col("__bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wTot = Window.partitionBy(col("grp"))
+    val offsets = perBucket.select(col("grp"), col("__bkt"),
+      coalesce(sum(col("__m")).over(wOff), lit(0L)).as("__off"),
+      sum(col("__m")).over(wTot).as("__total"))
+    val wIntra = Window.partitionBy(col("grp"), col("__bkt"))
+      .orderBy(col("__v"), col("tie"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bucketed.join(offsets, Seq("grp", "__bkt"))
+      .withColumn("__cum", col("__off") + sum(col("x")).over(wIntra))
+      .withColumn("abc_class",
+        when(expr(s"CAST(__cum - x AS DECIMAL(38,0)) * 1000000 "
+          + s"< CAST($aPpm AS DECIMAL(38,0)) * __total"), "A")
+          .when(expr(s"CAST(__cum - x AS DECIMAL(38,0)) * 1000000 "
+            + s"< CAST($bPpm AS DECIMAL(38,0)) * __total"), "B")
+          .otherwise("C"))
+      .groupBy(col("grp"), col("abc_class"))
+      .agg(count(lit(1)).as("n_entities"), sum(col("x")).as("mass"),
+        first(col("__total")).as("__t"))
+      .select(col("grp"), col("abc_class"), col("n_entities"), col("mass"),
+        expr("""CAST(CAST(mass AS DECIMAL(38,0)) * 1000000
+               | div nullif(__t, 0) AS BIGINT)""".stripMargin)
+          .as("share_ppm"))
+  }
+
   /** R123: Spearman rank correlation per group under the UNIQUE-RANK
     * contract — ties broken by the id column so both engines assign the
     * same total order, which keeps the classic closed form exact:

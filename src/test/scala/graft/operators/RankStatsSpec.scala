@@ -149,4 +149,144 @@ class RankStatsSpec extends AnyFunSuite {
   test("singleton group has no correlation (NULL)") {
     assert(runRho(Seq(("g", 1L, 1L, 1L)))("g")._3.isEmpty)
   }
+
+  // ------------------------------------------------------------ R125 KS
+
+  private def runKs(rows: Seq[(String, Boolean, Long)])
+      : Map[String, (Long, Long, Option[Long], Option[Long])] = {
+    val df = rows.toDF("g", "s", "v")
+    RankStats.ksDistance(df, col("g"), col("s"), col("v"))
+      .as[(String, Long, Long, Option[Long], Option[Long])]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+  }
+
+  test("KS: identical samples score 0, disjoint samples score 1000000") {
+    val same = (1L to 4L).flatMap(v => Seq(("i", true, v), ("i", false, v)))
+    val disj = Seq(("d", true, 1L), ("d", true, 2L),
+      ("d", false, 10L), ("d", false, 11L))
+    val got = runKs(same ++ disj)
+    assert(got("i")._3.contains(0L))
+    assert(got("d") == ((2L, 2L, Some(1000000L), Some(2L))))
+  }
+
+  test("KS: hand case — gap opens at the reported location") {
+    // A = {1,2,3}, B = {2,3,4}: F_a-F_b gaps (x3x3): v1 |1*3-0|=3,
+    // v2 |2*3-1*3|=3, v3 |9-6|=3, v4 0 -> max 3, first at v=1; ks=3/9
+    val rows = Seq(("g", true, 1L), ("g", true, 2L), ("g", true, 3L),
+      ("g", false, 2L), ("g", false, 3L), ("g", false, 4L))
+    assert(runKs(rows)("g") == ((3L, 3L, Some(333333L), Some(1L))))
+  }
+
+  test("KS: empty side reports NULL") {
+    val got = runKs(Seq(("g", false, 1L), ("g", false, 5L)))("g")
+    assert(got._3.isEmpty && got._4.isEmpty)
+  }
+
+  // ------------------------------------------------------------ R127 W1
+
+  private def runW1(rows: Seq[(String, Boolean, Long)])
+      : Map[String, Option[Long]] = {
+    val df = rows.toDF("g", "s", "v")
+    RankStats.wasserstein1(df, col("g"), col("s"), col("v"))
+      .select(col("grp"), col("w1_milli"))
+      .as[(String, Option[Long])].collect().toMap
+  }
+
+  test("W1: point masses at distance d cost exactly d") {
+    assert(runW1(Seq(("g", true, 0L), ("g", false, 7L)))("g")
+      .contains(7000L))
+  }
+
+  test("W1: identical samples cost 0; a uniform shift by 1 costs 1") {
+    val same = (1L to 5L).flatMap(v => Seq(("i", true, v), ("i", false, v)))
+    val shift = (1L to 5L).flatMap(v =>
+      Seq(("s", true, v), ("s", false, v + 1)))
+    val got = runW1(same ++ shift)
+    assert(got("i").contains(0L))
+    assert(got("s").contains(1000L))
+  }
+
+  test("W1: empty side reports NULL") {
+    assert(runW1(Seq(("g", true, 3L)))("g").isEmpty)
+  }
+
+  // ------------------------------------------------------------ R126 V²
+
+  private def runV2(rows: Seq[(String, String, String)])
+      : Map[String, (Long, Long, Long, Long, Option[Long])] = {
+    val df = rows.toDF("g", "a", "b")
+    RankStats.cramersV(df, col("g"), col("a"), col("b"))
+      .as[(String, Long, Long, Long, Long, Option[Long])]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+  }
+
+  test("V2: perfect 2x2 association scores 1000000, independence 0") {
+    val assoc = Seq.fill(3)(("p", "x", "u")) ++ Seq.fill(3)(("p", "y", "w"))
+    val indep = for (a <- Seq("x", "y"); b <- Seq("u", "w"))
+      yield ("i", a, b)
+    val got = runV2(assoc ++ indep)
+    assert(got("p")._5.contains(1000000L))
+    assert(got("p")._4 == 6000L) // chi2_milli = 1000*n for perfect 2x2
+    assert(got("i")._5.contains(0L))
+  }
+
+  test("V2: zero cells contribute their expectation (full margin grid)") {
+    // 2x2 with an empty diagonal cell: o=(2,0 / 1,1), margins r=(2,2),
+    // c=(3,1), n=4. terms*1000 with per-cell floor:
+    //  (2*4-2*3)^2*1000/(4*6)=166, (0*4-2*1)^2*1000/(4*2)=500,
+    //  (1*4-2*3)^2*1000/(4*6)=166, (1*4-2*1)^2*1000/(4*2)=500 -> 1332;
+    //  v2 = 1332*1000/(4*1) = 333000 (true chi2/n = 1.333/4 = 0.333)
+    val rows = Seq(("g", "x", "u"), ("g", "x", "u"), ("g", "y", "u"),
+      ("g", "y", "w"))
+    val got = runV2(rows)("g")
+    assert(got == ((4L, 2L, 2L, 1332L, Some(333000L))))
+  }
+
+  test("V2: a single-valued margin yields NULL (no degrees of freedom)") {
+    assert(runV2(Seq(("g", "x", "u"), ("g", "x", "w")))("g")._5.isEmpty)
+  }
+
+  // ------------------------------------------------------------ R128 ABC
+
+  private def runAbc(rows: Seq[(String, Long, Long)], buckets: Int = 4096)
+      : Map[(String, String), (Long, Long, Long)] = {
+    val df = rows.toDF("g", "x", "id")
+    RankStats.abcClassify(df, "g", col("x"), col("id"), buckets = buckets)
+      .as[(String, String, Long, Long, Long)]
+      .collect().map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+  }
+
+  test("ABC: the boundary-crossing entity belongs to the class it entered") {
+    // 70/20/10: cum-before = 0, 70, 90 -> A, B, C exactly
+    val rows = Seq(("g", 70L, 1L), ("g", 20L, 2L), ("g", 10L, 3L))
+    val got = runAbc(rows)
+    assert(got(("g", "A")) == ((1L, 70L, 700000L)))
+    assert(got(("g", "B")) == ((1L, 20L, 200000L)))
+    assert(got(("g", "C")) == ((1L, 10L, 100000L)))
+  }
+
+  test("ABC: equal masses split 3/1 at the 70% boundary") {
+    // 4 x 25: cum-before 0,25,50 < 70 -> A; 75 -> B; C empty
+    val rows = (1L to 4L).map(i => ("g", 25L, i))
+    val got = runAbc(rows)
+    assert(got(("g", "A")) == ((3L, 75L, 750000L)))
+    assert(got(("g", "B")) == ((1L, 25L, 250000L)))
+    assert(!got.contains(("g", "C")))
+  }
+
+  test("ABC: bucket count does not change the classification") {
+    val rows = (1L to 50L).map(i => ("g", (i * 37) % 101 + 1, i))
+    assert(runAbc(rows, 1) == runAbc(rows, 4096))
+    assert(runAbc(rows, 3) == runAbc(rows, 4096))
+  }
+
+  test("ABC: ties in mass resolve by id so classes are deterministic") {
+    // total 105, A-boundary at 73.5: head 65 -> A; the two equal 20s
+    // straddle it — id 2 enters at 65 (A), id 3 at 85 (B)
+    val rows = Seq(("g", 65L, 1L), ("g", 20L, 2L), ("g", 20L, 3L))
+    val got = runAbc(rows)
+    assert(got(("g", "A")) == ((2L, 85L, 809523L)))
+    assert(got(("g", "B")) == ((1L, 20L, 190476L)))
+    assert(!got.contains(("g", "C")))
+  }
 }

@@ -208,9 +208,109 @@ object QueriesR13 {
       .orderBy(col("grp"), col("abc_class"))
   }
 
+  /** D18: exact set-containment join (see
+    * [[graft.dedup.SetSimJoin.prefixContainmentJoin]]) at τ = 0.8 over
+    * the same trigram-shingle sets as D17 — the decontamination
+    * direction: "80% of doc a's shingles appear in doc b", ordered
+    * pairs, which Jaccard underrates whenever |B| ≫ |A|.
+    */
+  def dedupContainment(s: SparkSession, dir: String): DataFrame =
+    graft.dedup.SetSimJoin.prefixContainmentJoin(t(s, dir, "documents"),
+        col("doc_id"),
+        graft.functions.TextFunctions.wordShingles(col("text"), 3),
+        tauPpm = 800000L)
+      .orderBy(col("a"), col("b"))
+
+  /** R129: two-sample quantile-shift report (see
+    * [[graft.operators.RankStats.quantileShift]]) — per line status,
+    * the exact type-1 quantiles of returned vs kept quantities at
+    * P25/P50/P90/P99 and the shift between them.
+    */
+  def qQuantileShift(s: SparkSession, dir: String): DataFrame =
+    graft.operators.RankStats.quantileShift(t(s, dir, "lineitem"),
+        col("l_linestatus"), col("l_returnflag") === "R",
+        col("l_quantity").cast("long"),
+        Seq(250000L, 500000L, 900000L, 990000L))
+      .orderBy(col("grp"), col("p_ppm"))
+
+  /** X30: streaming total-variation drift monitor (see
+    * [[graft.streaming.Streams.streamingDriftTv]]) — R122's report
+    * maintained from one long of state per cell; same input, same
+    * oracle as `q_drift_tv`, so streaming ≡ batch is gate-checked
+    * bit-for-bit.
+    */
+  def streamDriftTv(s: SparkSession, dir: String): DataFrame = {
+    val rows = t(s, dir, "orders")
+      .join(t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("grp"),
+        col("o_orderpriority").as("cat"),
+        (col("o_orderdate").cast("date") < lit("1995-01-01").cast("date"))
+          .as("s"))
+    graft.streaming.Streams.streamingDriftTv(s, rows,
+        queryName = s"gate_sdrifttv_${System.nanoTime()}")
+      .orderBy(col("grp"))
+  }
+
   // ---------------------------------------------------------------- oracle
 
-  val sql: Map[String, String] = Map(
+  private val sqlBase: Map[String, String] = Map(
+    "dedup_containment" ->
+      """WITH g0 AS (
+        |  SELECT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS tok
+        |  FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 2)) AS i
+        |        FROM (SELECT doc_id, str_split(text, ' ') AS ts
+        |              FROM documents) d) t
+        |), tok AS (SELECT DISTINCT doc_id, tok FROM g0 WHERE tok <> ''),
+        |sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+        |       FROM tok GROUP BY 1),
+        |pairs AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b,
+        |    CAST(COUNT(*) AS BIGINT) AS n_inter
+        |  FROM tok x JOIN tok y ON x.tok = y.tok AND x.doc_id <> y.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT p.a, p.b, sa.n AS n_a, sb.n AS n_b, p.n_inter,
+        |  CAST(p.n_inter * 1000000 // sa.n AS BIGINT) AS containment_ppm
+        |FROM pairs p
+        |JOIN sz sa ON p.a = sa.doc_id JOIN sz sb ON p.b = sb.doc_id
+        |WHERE p.n_inter * 1000000 // sa.n >= 800000
+        |ORDER BY a, b""".stripMargin,
+    "q_quantile_shift" ->
+      """WITH e AS (
+        |  SELECT l_linestatus AS grp, (l_returnflag = 'R') AS s,
+        |    CAST(l_quantity AS BIGINT) AS v
+        |  FROM lineitem
+        |), grid AS (
+        |  SELECT grp, v,
+        |    CAST(SUM(CASE WHEN s THEN 1 ELSE 0 END) AS BIGINT) AS c_a,
+        |    CAST(SUM(CASE WHEN s THEN 0 ELSE 1 END) AS BIGINT) AS c_b
+        |  FROM e GROUP BY 1, 2
+        |), c AS (
+        |  SELECT grp, v,
+        |    SUM(c_a) OVER (PARTITION BY grp ORDER BY v) AS cum_a,
+        |    SUM(c_b) OVER (PARTITION BY grp ORDER BY v) AS cum_b,
+        |    SUM(c_a) OVER (PARTITION BY grp) AS n_a,
+        |    SUM(c_b) OVER (PARTITION BY grp) AS n_b
+        |  FROM grid
+        |), px AS (
+        |  SELECT c.*, p.p_ppm
+        |  FROM c CROSS JOIN
+        |    (SELECT unnest([250000, 500000, 900000, 990000]) AS p_ppm) p
+        |), a AS (
+        |  SELECT grp, CAST(p_ppm AS BIGINT) AS p_ppm,
+        |    CAST(MAX(n_a) AS BIGINT) AS n_a,
+        |    CAST(MAX(n_b) AS BIGINT) AS n_b,
+        |    CAST(MIN(CASE WHEN cum_a * 1000000 >= p_ppm * n_a THEN v END)
+        |      AS BIGINT) AS qa,
+        |    CAST(MIN(CASE WHEN cum_b * 1000000 >= p_ppm * n_b THEN v END)
+        |      AS BIGINT) AS qb
+        |  FROM px GROUP BY 1, 2
+        |)
+        |SELECT grp, p_ppm, n_a, n_b,
+        |  CASE WHEN n_a = 0 THEN NULL ELSE qa END AS v_a,
+        |  CASE WHEN n_b = 0 THEN NULL ELSE qb END AS v_b,
+        |  CASE WHEN n_a = 0 OR n_b = 0 THEN NULL ELSE qa - qb END AS shift
+        |FROM a ORDER BY grp, p_ppm""".stripMargin,
     "q_ks_test" ->
       """WITH e AS (
         |  SELECT l_linestatus AS grp, (l_returnflag = 'R') AS s,
@@ -544,4 +644,8 @@ object QueriesR13 {
         |      // (CAST(n AS HUGEINT) * n * n - n) AS BIGINT)
         |  END AS rho_ppm
         |FROM a ORDER BY grp""".stripMargin)
+
+  // X30 shares R122's oracle verbatim: streaming ≡ batch
+  val sql: Map[String, String] =
+    sqlBase + ("stream_drift_tv" -> sqlBase("q_drift_tv"))
 }

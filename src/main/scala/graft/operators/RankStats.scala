@@ -131,6 +131,14 @@ object RankStats {
       .groupBy(col("grp"), col("cat"))
       .agg(sum(when(col("s"), 1L).otherwise(0L)).as("c_a"),
         sum(when(col("s"), 0L).otherwise(1L)).as("c_b"))
+    tvFromCells(cells)
+  }
+
+  /** The TV tail from a pre-aggregated (grp, cat, c_a, c_b) cell table —
+    * shared by [[totalVariation]] and the streaming monitor (X30), so
+    * streaming ≡ batch is by construction.
+    */
+  def tvFromCells(cells: DataFrame): DataFrame = {
     // group totals are group-cardinality-sized — AQE broadcasts the join
     val totals = cells.groupBy(col("grp"))
       .agg(sum(col("c_a")).as("n_a"), sum(col("c_b")).as("n_b"),
@@ -232,6 +240,39 @@ object RankStats {
         expr("""CAST(__num * 1000
                | div nullif(CAST(n_a AS DECIMAL(38,0)) * n_b, 0)
                | AS BIGINT)""".stripMargin).as("w1_milli"))
+  }
+
+  /** R129: two-sample quantile-shift report per group — the latency- /
+    * spend-regression screen: at each requested probability p, the
+    * exact type-1 (lower) quantile of BOTH sides and the shift between
+    * them. Type-1 keeps everything integer: the p-quantile is the
+    * smallest grid value whose cumulative count reaches ⌈p·N/10⁶⌉,
+    * tested as cum·10⁶ ≥ p·N (integers, no rounding anywhere — where
+    * interpolated quantiles (R17) answer "what is the level", this
+    * answers "did the distribution MOVE and by how much"). Empty side →
+    * NULL quantile and shift. Value-grid contract as R125.
+    *
+    * @param ps probabilities in ppm (e.g. 500000 = median)
+    * @return (grp, p_ppm, n_a, n_b, v_a, v_b, shift) one row per
+    *         (group, probability)
+    */
+  def quantileShift(df: DataFrame, group: Column, side: Column,
+                    value: Column, ps: Seq[Long]): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 1 && p <= 1000000),
+      s"probabilities out of (0, 10^6]: $ps")
+    sampleGrid(df, group, side, value)
+      .withColumn("p_ppm", explode(array(ps.map(lit): _*)))
+      .groupBy(col("grp"), col("p_ppm"))
+      .agg(first(col("n_a")).as("n_a"), first(col("n_b")).as("n_b"),
+        min(when(expr("cum_a * 1000000 >= p_ppm * n_a"), col("v")))
+          .as("__qa"),
+        min(when(expr("cum_b * 1000000 >= p_ppm * n_b"), col("v")))
+          .as("__qb"))
+      .select(col("grp"), col("p_ppm"), col("n_a"), col("n_b"),
+        when(col("n_a") === 0, lit(null)).otherwise(col("__qa")).as("v_a"),
+        when(col("n_b") === 0, lit(null)).otherwise(col("__qb")).as("v_b"),
+        when(col("n_a") === 0 || col("n_b") === 0, lit(null))
+          .otherwise(col("__qa") - col("__qb")).as("shift"))
   }
 
   /** R126: general r×c chi-square association with Cramér's V² per

@@ -1084,6 +1084,59 @@ object Streams {
     }
   }
 
+  /** X30: streaming total-variation drift monitor — R122's exact TV
+    * distance maintained from ONE LONG of state per (group, category,
+    * side) cell (the running count); each batch emits the cell's
+    * current count, update-mode max-per-cell is the final snapshot
+    * (counts only grow), and the drained cell table flows through the
+    * SAME batch tail ([[graft.operators.RankStats.tvFromCells]]), so
+    * streaming ≡ batch holds by construction and X30 shares R122's
+    * oracle verbatim. O(groups × categories) total state — the live
+    * "did this feed's mix drift from the reference population" alarm.
+    *
+    * @param rows (grp, cat, s) — side s true = population A
+    */
+  def streamingDriftTv(spark: SparkSession, rows: DataFrame,
+                       queryName: String,
+                       rocksDb: Boolean = UseRocksDb): DataFrame = {
+    import spark.implicits._
+    val typed = rows.select(col("grp").cast("string"),
+        col("cat").cast("string"), col("s").cast("boolean"))
+      .as[(String, String, Boolean)]
+    val path = stageToTemp(typed.toDF("grp", "cat", "s"), "sdrifttv")
+
+    val step: ((String, String, Boolean),
+        Iterator[(String, String, Boolean)], GroupState[Long]) =>
+        (String, String, Boolean, Long) =
+      (key, batch, state) => {
+        val n = state.getOption.getOrElse(0L) + batch.size.toLong
+        state.update(n)
+        (key._1, key._2, key._3, n)
+      }
+
+    withStateSession(spark, 8, rocksDb) { iso =>
+      val stream = iso.readStream.schema(typed.schema).parquet(path)
+        .as[(String, String, Boolean)]
+      val counts = stream.groupByKey(identity)
+        .mapGroupsWithState(GroupStateTimeout.NoTimeout)(step)
+        .toDF("grp", "cat", "s", "n_emit")
+      val q = counts.writeStream.outputMode("update")
+        .format("memory").queryName(queryName).start()
+      try { q.processAllAvailable() } finally { q.stop() }
+      // localCheckpoint: the TV tail self-joins the cell table, and a
+      // MemorySink plan reused on both sides trips Catalyst's conflicting-
+      // reference check — breaking lineage gives each side fresh attrs
+      val cells = iso.table(queryName)
+        .groupBy(col("grp"), col("cat"), col("s"))
+        .agg(max(col("n_emit")).as("n"))
+        .groupBy(col("grp"), col("cat"))
+        .agg(sum(when(col("s"), col("n")).otherwise(0L)).as("c_a"),
+          sum(when(!col("s"), col("n")).otherwise(0L)).as("c_b"))
+        .localCheckpoint()
+      graft.operators.RankStats.tvFromCells(cells)
+    }
+  }
+
   /** X25: streaming class-balance monitor — R83's label-share/Gini
     * report maintained from ONE LONG of state per label (the running
     * count); each batch emits the label's current count, update-mode

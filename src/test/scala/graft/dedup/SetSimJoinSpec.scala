@@ -70,4 +70,50 @@ class SetSimJoinSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Long)].collect().toSeq
     assert(row == Seq((3L, 3L, 2L, 500000L)))
   }
+
+  // -------------------------------------------------- D18 containment
+
+  private def runC(docs: Seq[(Long, String)], tau: Long): Set[(Long, Long, Long)] = {
+    val df = docs.toDF("id", "text")
+    SetSimJoin.prefixContainmentJoin(df, col("id"), split(col("text"), " "), tau)
+      .select(col("a"), col("b"), col("containment_ppm"))
+      .as[(Long, Long, Long)].collect().toSet
+  }
+
+  private def refC(docs: Seq[(Long, String)], tau: Long): Set[(Long, Long, Long)] =
+    SetSimJoin.bruteForceContainmentRef(
+      docs.map { case (i, t) => i -> t.split(" ").filter(_.nonEmpty).toSet }.toMap,
+      tau).toSet
+
+  test("containment matches brute force on a mixed corpus") {
+    val docs = Seq(
+      1L -> "a b c",
+      2L -> "a b c d e f g h",
+      3L -> "a b x",
+      4L -> "p q r",
+      5L -> "a b c")
+    for (tau <- Seq(500000L, 666666L, 800000L, 1000000L))
+      assert(runC(docs, tau) == refC(docs, tau), s"tau=$tau diverged")
+  }
+
+  test("containment is DIRECTIONAL: small-in-big holds, big-in-small fails") {
+    val docs = Seq(1L -> "a b c", 2L -> "a b c d e f")
+    // |1∩2|/|1| = 3/3 = 1.0; |2∩1|/|2| = 3/6 = 0.5
+    assert(runC(docs, 800000L) == Set((1L, 2L, 1000000L)))
+    assert(runC(docs, 500000L) ==
+      Set((1L, 2L, 1000000L), (2L, 1L, 500000L)))
+  }
+
+  test("containment: exact-threshold pair kept, just-below dropped") {
+    // |A∩B|/|A| = 4/5 = exactly 800000
+    val docs = Seq(1L -> "a b c d e", 2L -> "a b c d x y")
+    assert(runC(docs, 800000L) == Set((1L, 2L, 800000L)))
+    assert(runC(docs, 800001L).isEmpty)
+  }
+
+  test("identical docs contain each other both ways") {
+    val docs = Seq(1L -> "x y z", 2L -> "x y z")
+    assert(runC(docs, 1000000L) ==
+      Set((1L, 2L, 1000000L), (2L, 1L, 1000000L)))
+  }
 }

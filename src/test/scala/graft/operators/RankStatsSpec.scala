@@ -246,6 +246,39 @@ class RankStatsSpec extends AnyFunSuite {
     assert(runV2(Seq(("g", "x", "u"), ("g", "x", "w")))("g")._5.isEmpty)
   }
 
+  // ------------------------------------------------------------ R129 Qs
+
+  private def runQs(rows: Seq[(String, Boolean, Long)], ps: Seq[Long])
+      : Map[(String, Long), (Option[Long], Option[Long], Option[Long])] = {
+    val df = rows.toDF("g", "s", "v")
+    RankStats.quantileShift(df, col("g"), col("s"), col("v"), ps)
+      .select(col("grp"), col("p_ppm"), col("v_a"), col("v_b"), col("shift"))
+      .as[(String, Long, Option[Long], Option[Long], Option[Long])]
+      .collect().map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+  }
+
+  test("quantile shift: type-1 quantiles land on exact ranks") {
+    // A = 1..10, B = 11..20: median of A = ceil(0.5*10)=rank 5 -> 5
+    val rows = (1L to 10L).map(v => ("g", true, v)) ++
+      (11L to 20L).map(v => ("g", false, v))
+    val got = runQs(rows, Seq(500000L, 900000L, 1000000L))
+    assert(got(("g", 500000L)) == ((Some(5L), Some(15L), Some(-10L))))
+    assert(got(("g", 900000L)) == ((Some(9L), Some(19L), Some(-10L))))
+    assert(got(("g", 1000000L)) == ((Some(10L), Some(20L), Some(-10L))))
+  }
+
+  test("quantile shift: p below one sample point returns the minimum") {
+    val rows = Seq(("g", true, 7L), ("g", false, 3L))
+    assert(runQs(rows, Seq(1L)) ==
+      Map(("g", 1L) -> ((Some(7L), Some(3L), Some(4L)))))
+  }
+
+  test("quantile shift: empty side reports NULL quantile and shift") {
+    val rows = Seq(("g", false, 1L), ("g", false, 2L))
+    val got = runQs(rows, Seq(500000L))(("g", 500000L))
+    assert(got == ((None, Some(1L), None)))
+  }
+
   // ------------------------------------------------------------ R128 ABC
 
   private def runAbc(rows: Seq[(String, Long, Long)], buckets: Int = 4096)

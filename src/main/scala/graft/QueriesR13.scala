@@ -252,9 +252,122 @@ object QueriesR13 {
       .orderBy(col("grp"))
   }
 
+  /** R130: Holt linear-trend smoothing (see
+    * [[graft.operators.Changepoint.holt]]) — per-user spend level AND
+    * trend over the event stream, α = 0.2, β = 0.1, milli-cents; the
+    * oracle replays the coupled truncating recursion as a recursive CTE
+    * (floor division — DuckDB's `//` — matching `Math.floorDiv` on the
+    * signed trend).
+    */
+  def qHoltTrend(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events").select(col("user_id"), col("event_id"),
+      unix_timestamp(col("ts").cast("timestamp")).as("ts_sec"),
+      round(col("value") * 100).cast("long").as("cents"))
+    graft.operators.Changepoint.holt(e, col("user_id"), col("event_id"),
+        col("ts_sec"), col("cents"), alphaPpm = 200000L, betaPpm = 100000L)
+      .select(col("key").as("user_id"), col("id").as("event_id"),
+        col("ts_sec"), col("x"), col("level_milli"), col("trend_milli"),
+        col("forecast_milli"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  /** R131: exact autocorrelation (see
+    * [[graft.operators.RankStats.autocorrelation]]) — per event type,
+    * does the value series remember itself 1 and 7 ticks back? Sequence
+    * positions from the two-stage exact rank on (ts, event_id).
+    */
+  def qAutocorr(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events").select(col("event_type"),
+      unix_timestamp(col("ts").cast("timestamp")).as("ts_sec"),
+      col("event_id"),
+      round(col("value") * 100).cast("long").as("cents"))
+    graft.operators.RankStats.autocorrelation(e, "event_type",
+        col("ts_sec"), col("event_id"), col("cents"), Seq(1, 7))
+      .orderBy(col("grp"), col("lag"))
+  }
+
+  /** X31: streaming quantile-shift monitor (see
+    * [[graft.streaming.Streams.streamingQuantileShift]]) — R129
+    * maintained from one long of state per grid cell; same input, same
+    * oracle as `q_quantile_shift`, so streaming ≡ batch is gate-checked
+    * bit-for-bit.
+    */
+  def streamQuantileShift(s: SparkSession, dir: String): DataFrame = {
+    val rows = t(s, dir, "lineitem").select(
+      col("l_linestatus").as("grp"),
+      (col("l_returnflag") === "R").as("s"),
+      col("l_quantity").cast("long").as("v"))
+    graft.streaming.Streams.streamingQuantileShift(s, rows,
+        Seq(250000L, 500000L, 900000L, 990000L),
+        queryName = s"gate_squantshift_${System.nanoTime()}")
+      .orderBy(col("grp"), col("p_ppm"))
+  }
+
   // ---------------------------------------------------------------- oracle
 
   private val sqlBase: Map[String, String] = Map(
+    "q_holt_trend" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT user_id, event_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec,
+        |    CAST(ROUND(value * 100) AS BIGINT) AS x
+        |  FROM events
+        |), r AS (
+        |  SELECT user_id, event_id, ts_sec, x,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY ts_sec, event_id) AS rn
+        |  FROM e
+        |), rec AS (
+        |  SELECT user_id, event_id, ts_sec, x, rn,
+        |    x * 1000 AS l, CAST(0 AS BIGINT) AS b
+        |  FROM r WHERE rn = 1
+        |  UNION ALL
+        |  SELECT r.user_id, r.event_id, r.ts_sec, r.x, r.rn,
+        |    (200000 * r.x * 1000 + 800000 * (rec.l + rec.b)) // 1000000
+        |      AS l,
+        |    (100000 * ((200000 * r.x * 1000 + 800000 * (rec.l + rec.b))
+        |        // 1000000 - rec.l)
+        |      + 900000 * rec.b) // 1000000 AS b
+        |  FROM r JOIN rec ON r.user_id = rec.user_id AND r.rn = rec.rn + 1
+        |)
+        |SELECT user_id, event_id, ts_sec, x,
+        |  CAST(l AS BIGINT) AS level_milli, CAST(b AS BIGINT) AS trend_milli,
+        |  CAST(l + b AS BIGINT) AS forecast_milli
+        |FROM rec ORDER BY user_id, event_id""".stripMargin,
+    "q_autocorr" ->
+      """WITH e AS (
+        |  SELECT event_type AS grp,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec, event_id,
+        |    CAST(ROUND(value * 100) AS BIGINT) AS x
+        |  FROM events
+        |), r AS (
+        |  SELECT grp, x,
+        |    ROW_NUMBER() OVER (PARTITION BY grp
+        |      ORDER BY ts_sec, event_id) AS t,
+        |    CAST(COUNT(*) OVER (PARTITION BY grp) AS BIGINT) AS n,
+        |    CAST(SUM(x) OVER (PARTITION BY grp) AS BIGINT) AS s
+        |  FROM e
+        |), den AS (
+        |  SELECT grp, MAX(n) AS n,
+        |    SUM((CAST(n AS HUGEINT) * x - s) * (CAST(n AS HUGEINT) * x - s))
+        |      AS d
+        |  FROM r GROUP BY 1
+        |), lags AS (SELECT unnest([1, 7]) AS lag),
+        |num AS (
+        |  SELECT c.grp, l.lag,
+        |    SUM((CAST(c.n AS HUGEINT) * c.x - c.s)
+        |      * (CAST(p.n AS HUGEINT) * p.x - p.s)) AS nm
+        |  FROM r c CROSS JOIN lags l
+        |  JOIN r p ON p.grp = c.grp AND p.t = c.t - l.lag
+        |  GROUP BY 1, 2
+        |)
+        |SELECT d.grp, CAST(l.lag AS BIGINT) AS lag, d.n,
+        |  CASE WHEN d.d = 0 OR d.n <= l.lag OR nm IS NULL THEN NULL
+        |    WHEN nm < 0 THEN -CAST((-nm) * 1000000 // d.d AS BIGINT)
+        |    ELSE CAST(nm * 1000000 // d.d AS BIGINT) END AS acf_ppm
+        |FROM den d CROSS JOIN lags l
+        |LEFT JOIN num ON num.grp = d.grp AND num.lag = l.lag
+        |ORDER BY d.grp, lag""".stripMargin,
     "dedup_containment" ->
       """WITH g0 AS (
         |  SELECT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS tok
@@ -645,7 +758,8 @@ object QueriesR13 {
         |  END AS rho_ppm
         |FROM a ORDER BY grp""".stripMargin)
 
-  // X30 shares R122's oracle verbatim: streaming ≡ batch
+  // X30/X31 share their batch twins' oracles verbatim: streaming ≡ batch
   val sql: Map[String, String] =
-    sqlBase + ("stream_drift_tv" -> sqlBase("q_drift_tv"))
+    sqlBase + ("stream_drift_tv" -> sqlBase("q_drift_tv")) +
+      ("stream_quantile_shift" -> sqlBase("q_quantile_shift"))
 }

@@ -95,4 +95,58 @@ object Changepoint {
   def ewmaRef(xs: Seq[Long], alphaPpm: Long): Seq[Long] =
     xs.tail.scanLeft(xs.head * 1000L)((m, v) =>
       (alphaPpm * v * 1000L + (1000000L - alphaPpm) * m) / 1000000L)
+
+  /** R130: Holt linear-trend (double exponential) smoothing — the
+    * forecast baseline one notch above EWMA: a level AND a trend, both
+    * carried in milli-units with PER-STEP FLOOR division (Holt 1957;
+    * standard form, public literature):
+    *
+    *   l₁ = x₁·1000, b₁ = 0
+    *   lₜ = (α·xₜ·1000 + (10⁶−α)·(lₜ₋₁ + bₜ₋₁)) div 10⁶
+    *   bₜ = (β·(lₜ − lₜ₋₁) + (10⁶−β)·bₜ₋₁) div 10⁶
+    *
+    * The trend is SIGNED, so the division contract matters and is
+    * TRUNCATION toward zero — Scala's `Long./`, which is exactly what
+    * DuckDB's integer `//` does (verified: −7 // 2 = −3); a floor
+    * contract would silently diverge on the first negative trend.
+    * One-step-ahead forecast = lₜ + bₜ emitted per tick. Same shape as
+    * [[ewma]]: one (key) shuffle, per-key walk over its own rows only.
+    */
+  def holt(series: DataFrame, key: Column, id: Column, tsSec: Column,
+           x: Column, alphaPpm: Long, betaPpm: Long): DataFrame = {
+    require(alphaPpm >= 1 && alphaPpm <= 1000000, s"alphaPpm: $alphaPpm")
+    require(betaPpm >= 1 && betaPpm <= 1000000, s"betaPpm: $betaPpm")
+    val spark = series.sparkSession
+    import spark.implicits._
+    val typed = series.select(key.cast("long"), id.cast("long"),
+      tsSec.cast("long"), x.cast("long")).as[(Long, Long, Long, Long)]
+    typed.groupByKey(_._1)
+      .flatMapGroups { (k, rows) =>
+        val sorted = rows.toSeq.sortBy(r => (r._3, r._2))
+        var l = Long.MinValue
+        var b = 0L
+        sorted.map { case (_, eid, t, v) =>
+          if (l == Long.MinValue) { l = v * 1000L; b = 0L }
+          else {
+            val lPrev = l
+            l = (alphaPpm * v * 1000L + (1000000L - alphaPpm) * (l + b)) /
+              1000000L
+            b = (betaPpm * (l - lPrev) + (1000000L - betaPpm) * b) / 1000000L
+          }
+          (k, eid, t, v, l, b, l + b)
+        }
+      }
+      .toDF("key", "id", "ts_sec", "x", "level_milli", "trend_milli",
+        "forecast_milli")
+  }
+
+  /** Reference Holt recursion (specs only): xs → (level, trend) walk. */
+  def holtRef(xs: Seq[Long], alphaPpm: Long, betaPpm: Long)
+      : Seq[(Long, Long)] =
+    xs.tail.scanLeft((xs.head * 1000L, 0L)) { case ((l, b), v) =>
+      val l2 = (alphaPpm * v * 1000L + (1000000L - alphaPpm) * (l + b)) /
+        1000000L
+      val b2 = (betaPpm * (l2 - l) + (1000000L - betaPpm) * b) / 1000000L
+      (l2, b2)
+    }
 }

@@ -161,14 +161,20 @@ object RankStats {
     * scores never pay a data-sized sort.
     */
   private def sampleGrid(df: DataFrame, group: Column, side: Column,
-                         value: Column): DataFrame = {
-    val grid = df
+                         value: Column): DataFrame =
+    gridCums(df
       .select(group.cast("string").as("grp"), side.cast("boolean").as("s"),
         value.cast("long").as("v"))
       .filter(col("v").isNotNull && col("s").isNotNull)
       .groupBy(col("grp"), col("v"))
       .agg(sum(when(col("s"), 1L).otherwise(0L)).as("c_a"),
-        sum(when(col("s"), 0L).otherwise(1L)).as("c_b"))
+        sum(when(col("s"), 0L).otherwise(1L)).as("c_b")))
+
+  /** Cumulatives + side totals over a pre-aggregated (grp, v, c_a, c_b)
+    * cell grid — shared by the batch paths and the streaming quantile
+    * monitor (X31), so streaming ≡ batch is by construction.
+    */
+  private[graft] def gridCums(grid: DataFrame): DataFrame = {
     val wCum = Window.partitionBy(col("grp")).orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wTot = Window.partitionBy(col("grp"))
@@ -257,10 +263,22 @@ object RankStats {
     *         (group, probability)
     */
   def quantileShift(df: DataFrame, group: Column, side: Column,
-                    value: Column, ps: Seq[Long]): DataFrame = {
+                    value: Column, ps: Seq[Long]): DataFrame =
+    quantileShiftFromCells(df
+      .select(group.cast("string").as("grp"), side.cast("boolean").as("s"),
+        value.cast("long").as("v"))
+      .filter(col("v").isNotNull && col("s").isNotNull)
+      .groupBy(col("grp"), col("v"))
+      .agg(sum(when(col("s"), 1L).otherwise(0L)).as("c_a"),
+        sum(when(col("s"), 0L).otherwise(1L)).as("c_b")), ps)
+
+  /** The quantile-shift tail from a pre-aggregated (grp, v, c_a, c_b)
+    * cell grid — shared with the streaming monitor (X31).
+    */
+  def quantileShiftFromCells(cells: DataFrame, ps: Seq[Long]): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p >= 1 && p <= 1000000),
       s"probabilities out of (0, 10^6]: $ps")
-    sampleGrid(df, group, side, value)
+    gridCums(cells)
       .withColumn("p_ppm", explode(array(ps.map(lit): _*)))
       .groupBy(col("grp"), col("p_ppm"))
       .agg(first(col("n_a")).as("n_a"), first(col("n_b")).as("n_b"),
@@ -388,6 +406,66 @@ object RankStats {
         expr("""CAST(CAST(mass AS DECIMAL(38,0)) * 1000000
                | div nullif(__t, 0) AS BIGINT)""".stripMargin)
           .as("share_ppm"))
+  }
+
+  /** R131: exact autocorrelation at the requested lags per group — the
+    * seasonality/drift screen ("does this series remember itself k
+    * steps back") in exact integers. The textbook estimator
+    * r_k = Σ(xₜ−μ)(xₜ₋ₖ−μ) / Σ(xₜ−μ)² is rational once both sides are
+    * scaled by n²  (n·xₜ − S replaces xₜ − μ), leaving ONE floor
+    * division applied to the MAGNITUDE with the sign reattached — floor
+    * and truncate agree on nonnegative operands, so Spark `div` and
+    * DuckDB `//` land the same integer even for negative correlations:
+    *
+    *   acf_ppm = sign(num) · (|num|·10⁶ div den)
+    *
+    * Positions come from [[Ranking.rankExact]] on (ts, id) — the
+    * two-stage exact rank — and the lag pairing is a self-join on
+    * (grp, t−k): all hash-partitioned, no data-sized single-partition
+    * sort. NULL when the series is constant (den = 0) or shorter than
+    * the lag. Headroom: (n·x)² fits DECIMAL(38,0) for n·x < ~10¹⁹.
+    *
+    * @param lags lags in positions (≥ 1)
+    * @return (grp, lag, n, acf_ppm) one row per (group, lag)
+    */
+  def autocorrelation(df: DataFrame, group: String, ts: Column, id: Column,
+                      x: Column, lags: Seq[Int]): DataFrame = {
+    require(lags.nonEmpty && lags.forall(_ >= 1), s"bad lags: $lags")
+    val base = df.select(col(group).cast("string").as("grp"),
+        ts.cast("long").as("ts"), id.as("id"), x.cast("long").as("x"))
+      .filter(col("x").isNotNull && col("ts").isNotNull)
+    val ranked = Ranking.rankExact(base, Seq("grp"), col("ts"),
+        Seq(col("id")), "t")
+      .select(col("grp"), col("t"), col("x"), col("__total").as("n"))
+    // centered-by-n² sums: den over all t, num over the lagged pairs
+    val withS = ranked.join(
+      ranked.groupBy(col("grp")).agg(sum(col("x")).as("s")), Seq("grp"))
+    val den = withS.groupBy(col("grp"))
+      .agg(first(col("n")).as("n"),
+        sum(expr("""(CAST(n AS DECIMAL(38,0)) * x - s)
+                   | * (CAST(n AS DECIMAL(38,0)) * x - s)""".stripMargin))
+          .as("__den"))
+    val lagged = withS.withColumn("lag", explode(array(lags.map(lit): _*)))
+    val num = lagged.alias("cur")
+      .join(withS.alias("prev"),
+        col("cur.grp") === col("prev.grp") &&
+          col("cur.t") - col("cur.lag") === col("prev.t"))
+      .select(col("cur.grp").as("grp"), col("cur.lag").as("lag"),
+        expr("""(CAST(cur.n AS DECIMAL(38,0)) * cur.x - cur.s)
+               | * (CAST(prev.n AS DECIMAL(38,0)) * prev.x - prev.s)"""
+          .stripMargin).as("__term"))
+      .groupBy(col("grp"), col("lag"))
+      .agg(sum(col("__term")).as("__num"))
+    den.withColumn("lag", explode(array(lags.map(lit): _*)))
+      .join(num, Seq("grp", "lag"), "left")
+      .select(col("grp"), col("lag").cast("long").as("lag"), col("n"),
+        when(col("__den") === 0 || col("n") <= col("lag") ||
+             col("__num").isNull, lit(null))
+          .otherwise(
+            expr("""CASE WHEN __num < 0
+                   |THEN -CAST((-__num) * 1000000 div __den AS BIGINT)
+                   |ELSE CAST(__num * 1000000 div __den AS BIGINT)
+                   |END""".stripMargin)).as("acf_ppm"))
   }
 
   /** R123: Spearman rank correlation per group under the UNIQUE-RANK

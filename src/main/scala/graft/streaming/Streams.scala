@@ -1137,6 +1137,58 @@ object Streams {
     }
   }
 
+  /** X31: streaming quantile-shift monitor — R129's two-sample type-1
+    * quantile report maintained from ONE long of state per
+    * (group, side, value) grid cell; update-mode max-per-cell is the
+    * final snapshot (counts only grow) and the drained cell grid flows
+    * through the SAME batch tail
+    * ([[graft.operators.RankStats.quantileShiftFromCells]]) — streaming
+    * ≡ batch by construction, X31 shares R129's oracle verbatim. State
+    * is O(groups × values): the value-grid contract (bounded-cardinality
+    * scores) is what bounds it. The live "did P99 move" alarm.
+    *
+    * @param rows (grp, s, v) — side s true = population A
+    * @param ps   probabilities in ppm
+    */
+  def streamingQuantileShift(spark: SparkSession, rows: DataFrame,
+                             ps: Seq[Long], queryName: String,
+                             rocksDb: Boolean = UseRocksDb): DataFrame = {
+    import spark.implicits._
+    val typed = rows.select(col("grp").cast("string"),
+        col("s").cast("boolean"), col("v").cast("long"))
+      .as[(String, Boolean, Long)]
+    val path = stageToTemp(typed.toDF("grp", "s", "v"), "squantshift")
+
+    val step: ((String, Boolean, Long), Iterator[(String, Boolean, Long)],
+        GroupState[Long]) => (String, Boolean, Long, Long) =
+      (key, batch, state) => {
+        val n = state.getOption.getOrElse(0L) + batch.size.toLong
+        state.update(n)
+        (key._1, key._2, key._3, n)
+      }
+
+    withStateSession(spark, 8, rocksDb) { iso =>
+      val stream = iso.readStream.schema(typed.schema).parquet(path)
+        .as[(String, Boolean, Long)]
+      val counts = stream.groupByKey(identity)
+        .mapGroupsWithState(GroupStateTimeout.NoTimeout)(step)
+        .toDF("grp", "s", "v", "n_emit")
+      val q = counts.writeStream.outputMode("update")
+        .format("memory").queryName(queryName).start()
+      try { q.processAllAvailable() } finally { q.stop() }
+      // localCheckpoint: the quantile tail windows + self-references the
+      // MemorySink snapshot — break lineage as in streamingDriftTv
+      val cells = iso.table(queryName)
+        .groupBy(col("grp"), col("s"), col("v"))
+        .agg(max(col("n_emit")).as("n"))
+        .groupBy(col("grp"), col("v"))
+        .agg(sum(when(col("s"), col("n")).otherwise(0L)).as("c_a"),
+          sum(when(!col("s"), col("n")).otherwise(0L)).as("c_b"))
+        .localCheckpoint()
+      graft.operators.RankStats.quantileShiftFromCells(cells, ps)
+    }
+  }
+
   /** X25: streaming class-balance monitor — R83's label-share/Gini
     * report maintained from ONE LONG of state per label (the running
     * count); each batch emits the label's current count, update-mode

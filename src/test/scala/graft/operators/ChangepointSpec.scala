@@ -88,4 +88,53 @@ class ChangepointSpec extends AnyFunSuite {
       .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
     assert(got((1L, 2L)) == 150000L && got((2L, 3L)) == 800000L)
   }
+
+  // --------------------------------------------------------- R130 Holt
+
+  private def runHolt(xs: Seq[Long], a: Long, b: Long)
+      : Seq[(Long, Long, Long)] = {
+    val df = xs.zipWithIndex
+      .map { case (v, i) => (1L, i.toLong, i.toLong, v) }
+      .toDF("key", "id", "ts", "x")
+    Changepoint.holt(df, col("key"), col("id"), col("ts"), col("x"), a, b)
+      .orderBy(col("id"))
+      .select(col("level_milli"), col("trend_milli"), col("forecast_milli"))
+      .as[(Long, Long, Long)].collect().toSeq
+  }
+
+  test("holt: matches the reference recursion, forecast = level + trend") {
+    val xs = Seq(100L, 120L, 90L, 200L, 210L, 50L)
+    val ref = Changepoint.holtRef(xs, 200000L, 100000L)
+    val got = runHolt(xs, 200000L, 100000L)
+    assert(got.map(r => (r._1, r._2)) == ref)
+    assert(got.forall(r => r._3 == r._1 + r._2))
+  }
+
+  test("holt: a declining series carries a NEGATIVE trend (trunc contract)") {
+    val got = runHolt(Seq(1000L, 500L, 100L, 50L), 500000L, 500000L)
+    assert(got.last._2 < 0L)
+    // truncation toward zero on the signed trend — DuckDB's integer //
+    // semantics — replayed by the reference recursion
+    assert(got.map(r => (r._1, r._2)) ==
+      Changepoint.holtRef(Seq(1000L, 500L, 100L, 50L), 500000L, 500000L))
+  }
+
+  test("holt: beta = 1 makes the trend the full level delta") {
+    val xs = Seq(100L, 200L, 300L)
+    val got = runHolt(xs, 1000000L, 1000000L)
+    // alpha=1: level tracks x exactly; beta=1: trend = level delta
+    assert(got.map(_._1) == Seq(100000L, 200000L, 300000L))
+    assert(got.map(_._2) == Seq(0L, 100000L, 100000L))
+  }
+
+  test("holt: keys walk independently and ties break on id") {
+    val df = Seq((1L, 2L, 10L, 100L), (1L, 1L, 10L, 900L),
+      (2L, 3L, 1L, 700L)).toDF("key", "id", "ts", "x")
+    val got = Changepoint.holt(df, col("key"), col("id"), col("ts"),
+        col("x"), 500000L, 500000L)
+      .select(col("key"), col("id"), col("level_milli"))
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(got((1L, 1L)) == 900000L) // id 1 is the seed despite equal ts
+    assert(got((2L, 3L)) == 700000L)
+  }
 }

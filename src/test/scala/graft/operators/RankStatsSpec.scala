@@ -279,6 +279,60 @@ class RankStatsSpec extends AnyFunSuite {
     assert(got == ((None, Some(1L), None)))
   }
 
+  // ------------------------------------------------------------ R131 ACF
+
+  private def runAcf(rows: Seq[(String, Long, Long, Long)], lags: Seq[Int])
+      : Map[(String, Long), Option[Long]] = {
+    val df = rows.toDF("g", "ts", "id", "x")
+    RankStats.autocorrelation(df, "g", col("ts"), col("id"), col("x"), lags)
+      .select(col("grp"), col("lag"), col("acf_ppm"))
+      .as[(String, Long, Option[Long])]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+  }
+
+  /** Brute-force reference with the same sign-safe magnitude floor. */
+  private def refAcf(xs: Seq[Long], lag: Int): Option[Long] = {
+    val n = xs.size.toLong
+    val s = xs.sum
+    val c = xs.map(x => BigInt(n) * x - s)
+    val den = c.map(d => d * d).sum
+    if (den == 0 || n <= lag) None
+    else {
+      val num = (lag until xs.size).map(t => c(t) * c(t - lag)).sum
+      val m = num.abs * 1000000 / den
+      Some(if (num < 0) -m.toLong else m.toLong)
+    }
+  }
+
+  test("acf matches brute force, positive and negative regimes") {
+    val trend = (1L to 12L).map(v => v * 10)        // strong positive acf
+    val alt = (1L to 12L).map(v => if (v % 2 == 0) 100L else -100L) // negative
+    val rows = trend.zipWithIndex.map { case (v, i) => ("t", i.toLong, i.toLong, v) } ++
+      alt.zipWithIndex.map { case (v, i) => ("a", i.toLong, i.toLong, v) }
+    val got = runAcf(rows, Seq(1, 2))
+    assert(got(("t", 1L)) == refAcf(trend, 1))
+    assert(got(("t", 2L)) == refAcf(trend, 2))
+    assert(got(("a", 1L)) == refAcf(alt, 1))
+    assert(got(("a", 2L)) == refAcf(alt, 2))
+    assert(got(("a", 1L)).get < 0L && got(("t", 1L)).get > 0L)
+  }
+
+  test("acf: constant series and too-short series report NULL") {
+    val const = (1L to 5L).map(i => ("c", i, i, 7L))
+    val short = Seq(("s", 1L, 1L, 3L), ("s", 2L, 2L, 9L))
+    val got = runAcf(const ++ short, Seq(3))
+    assert(got(("c", 3L)).isEmpty)
+    assert(got(("s", 3L)).isEmpty)
+  }
+
+  test("acf: alternating series at even lag is positive, odd lag negative") {
+    val alt = (1L to 10L).map(v => if (v % 2 == 0) 50L else -50L)
+    val rows = alt.zipWithIndex.map { case (v, i) => ("g", i.toLong, i.toLong, v) }
+    val got = runAcf(rows, Seq(1, 2))
+    assert(got(("g", 1L)).get < 0 && got(("g", 2L)).get > 0)
+    assert(got(("g", 2L)) == refAcf(alt, 2))
+  }
+
   // ------------------------------------------------------------ R128 ABC
 
   private def runAbc(rows: Seq[(String, Long, Long)], buckets: Int = 4096)

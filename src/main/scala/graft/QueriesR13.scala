@@ -303,6 +303,49 @@ object QueriesR13 {
       .orderBy(col("grp"), col("p_ppm"))
   }
 
+  /** R132: two-sample log-rank test (see
+    * [[graft.operators.Survival.logRank]]) — same fulfillment-survival
+    * subjects as R119, side = urgent priorities (1-URGENT/2-HIGH) vs
+    * rest, stratified by order year: "do urgent orders ship on a
+    * different curve, controlling for vintage".
+    */
+  def qLogrank(s: SparkSession, dir: String): DataFrame = {
+    val subj = t(s, dir, "orders")
+      .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_shipdate")),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_orderpriority"),
+        col("o_orderstatus"), col("o_orderdate"))
+      .agg(max(col("l_shipdate")).as("last_ship"))
+      .select(year(col("o_orderdate").cast("date")).as("yr"),
+        (col("o_orderpriority") <= "2").as("urgent"),
+        expr("""greatest(datediff(CAST(last_ship AS DATE),
+               |CAST(o_orderdate AS DATE)), 0) div 7""".stripMargin)
+          .cast("long").as("t_weeks"),
+        (col("o_orderstatus") === "F").as("obs"))
+    graft.operators.Survival.logRank(subj, col("yr"), col("urgent"),
+        col("t_weeks"), col("obs"))
+      .orderBy(col("grp"))
+  }
+
+  /** X32: streaming Holt (see
+    * [[graft.streaming.Streams.streamingHolt]]) — R130's coupled
+    * recursion with two longs of state per key; same input, same
+    * oracle as `q_holt_trend`, so streaming ≡ batch is gate-checked
+    * bit-for-bit.
+    */
+  def streamHolt(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events").select(col("user_id").as("key"),
+      col("event_id").as("id"),
+      unix_timestamp(col("ts").cast("timestamp")).as("ts_sec"),
+      round(col("value") * 100).cast("long").as("x"))
+    graft.streaming.Streams.streamingHolt(s, e, alphaPpm = 200000L,
+        betaPpm = 100000L, queryName = s"gate_sholt_${System.nanoTime()}")
+      .select(col("key").as("user_id"), col("id").as("event_id"),
+        col("ts_sec"), col("x"), col("level_milli"), col("trend_milli"),
+        col("forecast_milli"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
   // ---------------------------------------------------------------- oracle
 
   private val sqlBase: Map[String, String] = Map(
@@ -368,6 +411,55 @@ object QueriesR13 {
         |FROM den d CROSS JOIN lags l
         |LEFT JOIN num ON num.grp = d.grp AND num.lag = l.lag
         |ORDER BY d.grp, lag""".stripMargin,
+    "q_logrank" ->
+      """WITH subj AS (
+        |  SELECT year(CAST(o.o_orderdate AS DATE)) AS grp,
+        |    (o.o_orderpriority <= '2') AS s,
+        |    GREATEST(datediff('day', CAST(o.o_orderdate AS DATE),
+        |      CAST(MAX(l.l_shipdate) AS DATE)), 0) // 7 AS t,
+        |    (o.o_orderstatus = 'F') AS obs
+        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |  GROUP BY o.o_orderkey, o.o_orderpriority, o.o_orderstatus,
+        |    o.o_orderdate
+        |), grid AS (
+        |  SELECT grp, t, CAST(COUNT(*) AS BIGINT) AS arr,
+        |    CAST(SUM(CASE WHEN s THEN 1 ELSE 0 END) AS BIGINT) AS arr_a,
+        |    CAST(SUM(CASE WHEN obs THEN 1 ELSE 0 END) AS BIGINT) AS d,
+        |    CAST(SUM(CASE WHEN s AND obs THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS d_a
+        |  FROM subj GROUP BY 1, 2
+        |), risk AS (
+        |  SELECT grp, t, d, d_a,
+        |    SUM(arr) OVER (PARTITION BY grp ORDER BY t DESC) AS n,
+        |    SUM(arr_a) OVER (PARTITION BY grp ORDER BY t DESC) AS n_a
+        |  FROM grid
+        |), ev AS (
+        |  SELECT grp, d_a,
+        |    CAST(d AS HUGEINT) * n_a * 1000000 // n AS e_micro,
+        |    CASE WHEN n <= 1 THEN CAST(0 AS HUGEINT)
+        |      ELSE CAST(d AS HUGEINT) * n_a * (n - n_a) * (n - d) * 1000000
+        |        // (CAST(n AS HUGEINT) * n * (n - 1)) END AS v_micro
+        |  FROM risk WHERE d >= 1
+        |), tot AS (
+        |  SELECT grp,
+        |    CAST(SUM(CASE WHEN s THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(SUM(CASE WHEN s THEN 0 ELSE 1 END) AS BIGINT) AS n_b
+        |  FROM subj GROUP BY 1
+        |), agg AS (
+        |  SELECT grp, CAST(SUM(d_a) AS BIGINT) AS o_a,
+        |    SUM(e_micro) AS e, SUM(v_micro) AS v
+        |  FROM ev GROUP BY 1
+        |)
+        |SELECT CAST(t.grp AS VARCHAR) AS grp, t.n_a, t.n_b,
+        |  COALESCE(a.o_a, 0) AS o_a,
+        |  CAST(COALESCE(a.e, 0) AS BIGINT) AS e_a_micro,
+        |  CAST(COALESCE(a.v, 0) AS BIGINT) AS v_micro,
+        |  CASE WHEN COALESCE(a.v, 0) = 0 THEN NULL
+        |    ELSE CAST((CAST(COALESCE(a.o_a, 0) AS HUGEINT) * 1000000 - a.e)
+        |      * (CAST(COALESCE(a.o_a, 0) AS HUGEINT) * 1000000 - a.e)
+        |      * 1000 // (a.v * 1000000) AS BIGINT) END AS chi2_milli
+        |FROM tot t LEFT JOIN agg a ON t.grp = a.grp
+        |ORDER BY grp""".stripMargin,
     "dedup_containment" ->
       """WITH g0 AS (
         |  SELECT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS tok
@@ -758,8 +850,9 @@ object QueriesR13 {
         |  END AS rho_ppm
         |FROM a ORDER BY grp""".stripMargin)
 
-  // X30/X31 share their batch twins' oracles verbatim: streaming ≡ batch
+  // X30/X31/X32 share their batch twins' oracles verbatim: streaming ≡ batch
   val sql: Map[String, String] =
     sqlBase + ("stream_drift_tv" -> sqlBase("q_drift_tv")) +
-      ("stream_quantile_shift" -> sqlBase("q_quantile_shift"))
+      ("stream_quantile_shift" -> sqlBase("q_quantile_shift")) +
+      ("stream_holt" -> sqlBase("q_holt_trend"))
 }

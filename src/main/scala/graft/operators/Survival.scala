@@ -80,4 +80,69 @@ object Survival {
   /** Reference recursion (specs only): (t, n, d) sorted by t → surv_ppm. */
   def kaplanMeierRef(steps: Seq[(Long, Long, Long)]): Seq[Long] =
     steps.scanLeft(1000000L) { case (s, (_, n, d)) => s * (n - d) / n }.tail
+
+  /** R132: two-sample log-rank test per stratum — "do sides A and B
+    * have the same survival curve", the A/B companion of [[kaplanMeier]]
+    * (Mantel 1966; standard form, public literature). At each event
+    * time t: observed A-events d_a vs the hypergeometric expectation
+    * E_a = d·n_a/n and variance V = d·n_a·(n−n_a)·(n−d)/(n²·(n−1));
+    * χ² = (Σd_a − ΣE_a)² / ΣV on 1 dof.
+    *
+    * Exactness contract: E and V are floored PER EVENT TIME in
+    * micro-units (e_micro = d·n_a·10⁶ div n, v analogous — the stated
+    * truncation both engines replay; all operands nonnegative so floor
+    * ≡ truncate), then χ² is ONE more nonnegative floor division in
+    * milli. NULL when ΣV = 0 (no usable event times). Headroom:
+    * the V numerator is ≤ n⁴·10⁶ — DECIMAL(38,0) holds strata up to
+    * ~10⁷ subjects; pre-stratify beyond.
+    *
+    * Same grid posture as KM: one aggregate to the (grp, t) grid,
+    * suffix-sum windows over grid rows only.
+    *
+    * @return (grp, n_a, n_b, o_a, e_a_micro, v_micro, chi2_milli)
+    */
+  def logRank(subjects: DataFrame, group: Column, side: Column,
+              duration: Column, observed: Column): DataFrame = {
+    val base = subjects
+      .select(group.cast("string").as("grp"), side.cast("boolean").as("s"),
+        duration.cast("long").as("t"), observed.cast("boolean").as("obs"))
+      .filter(col("t").isNotNull && col("obs").isNotNull &&
+        col("s").isNotNull)
+    val grid = base.groupBy(col("grp"), col("t"))
+      .agg(count(lit(1)).as("arr"),
+        sum(when(col("s"), 1L).otherwise(0L)).as("arr_a"),
+        sum(when(col("obs"), 1L).otherwise(0L)).as("d"),
+        sum(when(col("s") && col("obs"), 1L).otherwise(0L)).as("d_a"))
+    val wSuf = Window.partitionBy(col("grp")).orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ev = grid
+      .withColumn("n", sum(col("arr")).over(wSuf))
+      .withColumn("n_a", sum(col("arr_a")).over(wSuf))
+      .filter(col("d") >= 1)
+      .withColumn("e_micro",
+        expr("CAST(d AS DECIMAL(38,0)) * n_a * 1000000 div n"))
+      .withColumn("v_micro", expr(
+        """CASE WHEN n <= 1 THEN CAST(0 AS DECIMAL(38,0))
+          |ELSE CAST(d AS DECIMAL(38,0)) * n_a * (n - n_a) * (n - d)
+          |  * 1000000 div (CAST(n AS DECIMAL(38,0)) * n * (n - 1))
+          |END""".stripMargin))
+    val totals = base.groupBy(col("grp"))
+      .agg(sum(when(col("s"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("s"), 0L).otherwise(1L)).as("n_b"))
+    totals.join(
+        ev.groupBy(col("grp"))
+          .agg(sum(col("d_a")).as("o_a"),
+            sum(col("e_micro")).as("__e"), sum(col("v_micro")).as("__v")),
+        Seq("grp"), "left")
+      .select(col("grp"), col("n_a"), col("n_b"),
+        coalesce(col("o_a"), lit(0L)).as("o_a"),
+        coalesce(col("__e"), lit(0L)).cast("long").as("e_a_micro"),
+        coalesce(col("__v"), lit(0L)).cast("long").as("v_micro"),
+        when(coalesce(col("__v"), lit(0L)) === 0, lit(null))
+          .otherwise(expr(
+            """CAST((CAST(coalesce(o_a, 0) AS DECIMAL(38,0)) * 1000000 - __e)
+              | * (CAST(coalesce(o_a, 0) AS DECIMAL(38,0)) * 1000000 - __e)
+              | * 1000 div (__v * 1000000) AS BIGINT)""".stripMargin))
+          .as("chi2_milli"))
+  }
 }

@@ -800,6 +800,65 @@ object Streams {
     }
   }
 
+  /** X32: streaming Holt linear-trend smoothing — R130's coupled
+    * level+trend recursion with per-key state = TWO longs (the last
+    * level and trend milli-values — bounded by key cardinality, not
+    * history), each tick emitting (level, trend, forecast) in Append
+    * mode. Ordered-replay contract and truncating-division contract as
+    * the batch walk, so streaming ≡ batch bit-for-bit and X32 shares
+    * R130's two-accumulator recursive-CTE oracle. The live forecast
+    * baseline next to X29's trend line.
+    */
+  def streamingHolt(spark: SparkSession, rows: DataFrame, alphaPpm: Long,
+                    betaPpm: Long, queryName: String,
+                    rocksDb: Boolean = UseRocksDb): DataFrame = {
+    require(alphaPpm >= 1 && alphaPpm <= 1000000, s"alphaPpm: $alphaPpm")
+    require(betaPpm >= 1 && betaPpm <= 1000000, s"betaPpm: $betaPpm")
+    import spark.implicits._
+    val typed = rows.select(col("key").cast("long"), col("id").cast("long"),
+        col("ts_sec").cast("long"), col("x").cast("long"))
+      .orderBy(col("ts_sec"), col("id"))
+      .coalesce(1) // one ordered file = ordered replay
+      .as[(Long, Long, Long, Long)]
+    val path = stageToTemp(typed.toDF("key", "id", "ts_sec", "x"), "sholt")
+
+    // state: (level, trend) milli-values, or None before the first tick
+    val step: (Long, Iterator[(Long, Long, Long, Long)],
+        GroupState[(Long, Long)]) =>
+        Iterator[(Long, Long, Long, Long, Long, Long, Long)] =
+      (key, batch, state) => {
+        var (l, b) = state.getOption.getOrElse((Long.MinValue, 0L))
+        val out = batch.toSeq.sortBy(r => (r._3, r._2)).map {
+          case (_, id, t, v) =>
+            if (l == Long.MinValue) { l = v * 1000L; b = 0L }
+            else {
+              val lPrev = l
+              l = (alphaPpm * v * 1000L +
+                (1000000L - alphaPpm) * (l + b)) / 1000000L
+              b = (betaPpm * (l - lPrev) + (1000000L - betaPpm) * b) /
+                1000000L
+            }
+            (key, id, t, v, l, b, l + b)
+        }
+        state.update((l, b))
+        out.iterator
+      }
+
+    withStateSession(spark, 8, rocksDb) { iso =>
+      val stream = iso.readStream.schema(typed.schema).parquet(path)
+        .as[(Long, Long, Long, Long)]
+      val smoothed = stream.groupByKey(_._1)
+        .flatMapGroupsWithState(OutputMode.Append,
+          GroupStateTimeout.NoTimeout)(step)
+        .toDF("key", "id", "ts_sec", "x", "level_milli", "trend_milli",
+          "forecast_milli")
+      val q = smoothed.writeStream.outputMode("append")
+        .format("memory").queryName(queryName).start()
+      try { q.processAllAvailable() } finally { q.stop() }
+      iso.table(queryName)
+    }
+  }
+
   /** X21: streaming cumulative distinct — R85's running per-user count
     * of distinct event types, maintained incrementally: per-user state
     * is the SET of types seen (bounded by |event types|, not history),

@@ -71,4 +71,71 @@ class SurvivalSpec extends AnyFunSuite {
       ("a", 1L, 2L, 1L, 0L, 500000L), ("a", 2L, 1L, 0L, 1L, 500000L),
       ("b", 1L, 2L, 0L, 1L, 1000000L), ("b", 2L, 1L, 1L, 0L, 0L)))
   }
+
+  // ------------------------------------------------------- R132 log-rank
+
+  private def runLr(subj: Seq[(String, Boolean, Long, Boolean)])
+      : Map[String, (Long, Long, Long, Long, Long, Option[Long])] = {
+    val df = subj.toDF("g", "s", "t", "obs")
+    Survival.logRank(df, col("g"), col("s"), col("t"), col("obs"))
+      .as[(String, Long, Long, Long, Long, Long, Option[Long])]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6, r._7)))
+      .toMap
+  }
+
+  /** Brute-force replay with the identical per-time flooring. */
+  private def refLr(subj: Seq[(Boolean, Long, Boolean)])
+      : (Long, Long, Long, Option[Long]) = {
+    val times = subj.filter(_._3).map(_._2).distinct.sorted
+    var oa = 0L; var e = BigInt(0); var v = BigInt(0)
+    for (t <- times) {
+      val at = subj.filter(_._2 >= t)
+      val n = at.size.toLong; val na = at.count(_._1).toLong
+      val d = subj.count(x => x._2 == t && x._3).toLong
+      val da = subj.count(x => x._1 && x._2 == t && x._3).toLong
+      oa += da
+      e += BigInt(d) * na * 1000000 / n
+      if (n > 1)
+        v += BigInt(d) * na * (n - na) * (n - d) * 1000000 /
+          (BigInt(n) * n * (n - 1))
+    }
+    val chi =
+      if (v == 0) None
+      else Some(((BigInt(oa) * 1000000 - e).pow(2) * 1000 /
+        (v * 1000000)).toLong)
+    (oa, e.toLong, v.toLong, chi)
+  }
+
+  test("log-rank matches the flooring reference on a mixed cohort") {
+    val cohort = Seq(
+      (true, 1L, true), (true, 3L, true), (true, 5L, false),
+      (true, 7L, true), (false, 2L, true), (false, 2L, true),
+      (false, 4L, false), (false, 6L, true), (false, 8L, false))
+    val got = runLr(cohort.map(c => ("g", c._1, c._2, c._3)))("g")
+    val (oa, e, v, chi) = refLr(cohort)
+    assert((got._3, got._4, got._5, got._6) == ((oa, e, v, chi)))
+    assert((got._1, got._2) == ((4L, 5L)))
+  }
+
+  test("identical curves in both arms score chi2 = 0") {
+    // perfectly mirrored arms: every event time has one event per side
+    val cohort = (1L to 4L).flatMap(t =>
+      Seq((true, t, true), (false, t, true)))
+    val got = runLr(cohort.map(c => ("g", c._1, c._2, c._3)))("g")
+    assert(got._6.contains(0L))
+  }
+
+  test("complete separation scores a large chi2") {
+    val cohort = (1L to 5L).map(t => (true, t, true)) ++
+      (11L to 15L).map(t => (false, t, true))
+    val got = runLr(cohort.map(c => ("g", c._1, c._2, c._3)))("g")
+    val (_, _, _, chi) = refLr(cohort)
+    assert(got._6 == chi && got._6.get > 5000L) // chi2 > 5 in milli
+  }
+
+  test("no usable event times (V = 0) reports NULL chi2") {
+    // all censored: no event rows at all
+    val got = runLr(Seq(("g", true, 3L, false), ("g", false, 4L, false)))("g")
+    assert(got == ((1L, 1L, 0L, 0L, 0L, None)))
+  }
 }

@@ -346,9 +346,84 @@ object QueriesR13 {
       .orderBy(col("user_id"), col("event_id"))
   }
 
+  /** R133: seeded betweenness centrality (see
+    * [[graft.operators.Graph.betweennessSeeded]]) — the broker metric
+    * over the co-purchase graph from the same %97 seed pivots as R105,
+    * 3 rounds, top 500: which parts carry the seed set's shortest-path
+    * traffic.
+    */
+  def graphBetweenness(s: SparkSession, dir: String): DataFrame = {
+    val edges = QueriesR6.coPurchasePairs(s, dir)
+      .select(col("src"), col("dst"))
+    val seeds = edges.select(col("src").as("node"))
+      .unionAll(edges.select(col("dst").as("node")))
+      .filter(col("node") % 97 === 0).distinct()
+    graft.operators.Graph.betweennessSeeded(edges, seeds, rounds = 3)
+      .orderBy(col("bc_ppm").desc, col("node"))
+      .limit(500)
+  }
+
+  /** R133 oracle: R105's unrolled BFS chain (3 rounds) + the backward
+    * dependency walk as chained CTEs — per-edge floor division in
+    * HUGEINT, level for level what the Spark loop does.
+    */
+  private val betweennessSql: String = {
+    def fwd(r: Int): String =
+      s"""f$r AS MATERIALIZED (
+         |  SELECT f.seed, e.dst AS node, $r AS dist,
+         |    CAST(SUM(f.sigma) AS BIGINT) AS sigma
+         |  FROM f${r - 1} f JOIN e ON e.src = f.node
+         |  WHERE NOT EXISTS (SELECT 1 FROM d${r - 1} d
+         |                    WHERE d.seed = f.seed AND d.node = e.dst)
+         |  GROUP BY f.seed, e.dst
+         |), d$r AS MATERIALIZED (
+         |  SELECT * FROM d${r - 1} UNION ALL SELECT * FROM f$r
+         |)""".stripMargin
+    def bwd(d: Int): String =
+      s"""c$d AS (
+         |  SELECT v.seed, v.node,
+         |    SUM(CAST(v.sigma AS HUGEINT) * (1000000 + w.delta) // w.sigma)
+         |      AS delta
+         |  FROM d3 v JOIN e ON e.src = v.node
+         |  JOIN l${d + 1} w ON w.seed = v.seed AND w.node = e.dst
+         |  WHERE v.dist = $d
+         |  GROUP BY 1, 2
+         |), l$d AS MATERIALIZED (
+         |  SELECT x.seed, x.node, x.sigma, COALESCE(c.delta, 0) AS delta
+         |  FROM d3 x LEFT JOIN c$d c ON c.seed = x.seed AND c.node = x.node
+         |  WHERE x.dist = $d
+         |)""".stripMargin
+    s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |und AS (
+       |  SELECT a.l_partkey AS a, b.l_partkey AS b
+       |  FROM li a JOIN li b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |  GROUP BY 1, 2
+       |), e AS MATERIALIZED (
+       |  SELECT a AS src, b AS dst FROM und
+       |  UNION ALL SELECT b, a FROM und
+       |), f0 AS MATERIALIZED (
+       |  SELECT DISTINCT src AS seed, src AS node, 0 AS dist,
+       |    CAST(1 AS BIGINT) AS sigma
+       |  FROM e WHERE src % 97 = 0
+       |), d0 AS MATERIALIZED (SELECT * FROM f0),
+       |${(1 to 3).map(fwd).mkString(",\n")},
+       |l3 AS MATERIALIZED (
+       |  SELECT seed, node, sigma, CAST(0 AS HUGEINT) AS delta
+       |  FROM d3 WHERE dist = 3
+       |),
+       |${(2 to 1 by -1).map(bwd).mkString(",\n")}
+       |SELECT node, CAST(SUM(delta) AS BIGINT) AS bc_ppm
+       |FROM (SELECT node, delta FROM l3
+       |      UNION ALL SELECT node, delta FROM l2
+       |      UNION ALL SELECT node, delta FROM l1) t
+       |GROUP BY node ORDER BY bc_ppm DESC, node LIMIT 500""".stripMargin
+  }
+
   // ---------------------------------------------------------------- oracle
 
   private val sqlBase: Map[String, String] = Map(
+    "graph_betweenness" -> betweennessSql,
     "q_holt_trend" ->
       """WITH RECURSIVE e AS (
         |  SELECT user_id, event_id,

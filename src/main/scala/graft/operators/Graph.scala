@@ -1201,6 +1201,69 @@ object Graph {
     done
   }
 
+  /** R133: seeded betweenness centrality — Brandes' algorithm restricted
+    * to a seed set and a round cap (Brandes 2001; the standard partial/
+    * pivot formulation, public literature): forward, [[shortestPathCounts]]
+    * settles (seed, node, dist, σ); backward, dependencies flow down the
+    * BFS DAG level by level,
+    *
+    *   δ(v) = Σ_{w: succ of v} σ_v · (10⁶ + δ(w)) div σ_w   (ppm)
+    *
+    * with PER-EDGE floor division — the stated exactness contract (all
+    * operands nonnegative), replayed level-for-level by the oracle's
+    * chained CTEs. bc_ppm(v) = Σ_seeds δ_s(v) over v ≠ s: "how much
+    * shortest-path traffic from the seed pivots routes THROUGH v" — the
+    * broker/chokepoint metric R105's σ counts feed. Everything is
+    * level-keyed joins on the settled table: one join + one aggregate
+    * per level per direction, no all-pairs stage; the round cap bounds
+    * the DAG exactly as in R105/R106.
+    *
+    * @return (node, bc_ppm) for every non-seed node settled at dist ≥ 1
+    */
+  def betweennessSeeded(edges: DataFrame, seeds: DataFrame,
+                        rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val und = edges.select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val dir = und.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(und.select(col("b").as("src"), col("a").as("dst")))
+      .ckpt
+    val sp = shortestPathCounts(edges, seeds, rounds).ckpt
+    // deepest level seeds the walk with δ = 0 — and being non-seed
+    // (dist = rounds ≥ 1) its nodes belong in the output with bc 0
+    var prev = sp.filter(col("dist") === rounds)
+      .select(col("seed"), col("node"), col("sigma"),
+        expr("CAST(0 AS DECIMAL(38,0))").as("delta"))
+      .ckpt
+    var acc: DataFrame = prev
+    for (d <- rounds - 1 to 0 by -1) {
+      val level = sp.filter(col("dist") === d)
+        .select(col("seed"), col("node"), col("sigma"))
+      val contrib = level
+        .join(dir.withColumnRenamed("src", "node"), Seq("node"))
+        .join(prev.select(col("seed"), col("node").as("dst"),
+            col("sigma").as("__sw"), col("delta").as("__dw")),
+          Seq("seed", "dst"))
+        .select(col("seed"), col("node"),
+          expr("CAST(sigma AS DECIMAL(38,0)) * (1000000 + __dw) div __sw")
+            .as("__term"))
+        .groupBy(col("seed"), col("node"))
+        .agg(sum(col("__term")).as("__delta"))
+      val cur = level.join(contrib, Seq("seed", "node"), "left")
+        .select(col("seed"), col("node"), col("sigma"),
+          coalesce(col("__delta"), expr("CAST(0 AS DECIMAL(38,0))"))
+            .as("delta"))
+        .ckpt
+      // v = seed (d = 0) carries dependency but is not a broker for its
+      // own traffic — excluded from the centrality sum, Brandes' v ≠ s
+      if (d > 0) acc = acc.unionByName(cur)
+      prev = cur
+    }
+    acc.groupBy(col("node"))
+      .agg(sum(col("delta")).cast("long").as("bc_ppm"))
+  }
+
   def shortestPathsWeighted(edges: DataFrame, seeds: DataFrame,
                             rounds: Int): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")

@@ -1,0 +1,96 @@
+package graft.operators
+
+import graft.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class BetweennessSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  private def run(edges: Seq[(Long, Long)], seeds: Seq[Long],
+                  rounds: Int): Map[Long, Long] = {
+    Graph.betweennessSeeded(edges.toDF("src", "dst"),
+        seeds.toDF("node"), rounds)
+      .as[(Long, Long)].collect().toMap
+  }
+
+  /** Driver-side Brandes with the identical per-edge ppm flooring. */
+  private def ref(edges: Seq[(Long, Long)], seeds: Set[Long],
+                  rounds: Int): Map[Long, Long] = {
+    val und = edges.map { case (s, d) => (math.min(s, d), math.max(s, d)) }
+      .filter(e => e._1 != e._2).distinct
+    val adj = (und ++ und.map(_.swap)).groupBy(_._1)
+      .map { case (k, v) => k -> v.map(_._2).toSet }
+    val acc = collection.mutable.Map.empty[Long, BigInt].withDefaultValue(BigInt(0))
+    for (s <- seeds) {
+      // BFS with sigma
+      var dist = Map(s -> 0)
+      var sigma = Map(s -> BigInt(1))
+      var frontier = Set(s)
+      for (d <- 1 to rounds) {
+        val next = collection.mutable.Map.empty[Long, BigInt]
+        for (v <- frontier; w <- adj.getOrElse(v, Set.empty)
+             if !dist.contains(w))
+          next(w) = next.getOrElse(w, BigInt(0)) + sigma(v)
+        dist = dist ++ next.keys.map(_ -> d)
+        sigma = sigma ++ next
+        frontier = next.keySet.toSet
+      }
+      // backward
+      var delta = Map.empty[Long, BigInt].withDefaultValue(BigInt(0))
+      for (d <- rounds - 1 to 0 by -1) {
+        val cur = collection.mutable.Map.empty[Long, BigInt]
+        for ((v, dv) <- dist if dv == d) {
+          var t = BigInt(0)
+          for (w <- adj.getOrElse(v, Set.empty)
+               if dist.get(w).contains(d + 1))
+            t += sigma(v) * (1000000 + delta(w)) / sigma(w)
+          cur(v) = t
+        }
+        delta = delta ++ cur
+        if (d > 0) cur.foreach { case (v, t) => acc(v) = acc(v) + t }
+      }
+      // deepest-level nodes enter with delta 0 (they are in the output)
+      for ((v, dv) <- dist if dv == rounds) acc(v) = acc(v) + 0
+    }
+    acc.map { case (k, v) => k -> v.toLong }.toMap
+  }
+
+  test("path graph: the middle node brokers everything") {
+    // 1-2-3: from seed 1, node 2 carries the path to 3
+    val got = run(Seq((1L, 2L), (2L, 3L)), Seq(1L), 2)
+    // delta(2) = sigma2*(1e6 + delta3)/sigma3 = 1*(1e6+0)/1 = 1e6
+    assert(got == Map(2L -> 1000000L, 3L -> 0L))
+  }
+
+  test("diamond: two equal paths halve the dependency") {
+    // 1-2-4, 1-3-4: sigma(4)=2; delta(2) = 1*(1e6+0)/2 = 500000
+    val got = run(Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L)), Seq(1L), 2)
+    assert(got(2L) == 500000L && got(3L) == 500000L && got(4L) == 0L)
+  }
+
+  test("matches the flooring reference on a mesh with multiple seeds") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 6L),
+      (6L, 3L), (2L, 6L), (5L, 7L), (7L, 8L), (4L, 8L))
+    for (r <- 1 to 4)
+      assert(run(edges, Seq(1L, 5L), r) == ref(edges, Set(1L, 5L), r),
+        s"rounds=$r diverged")
+  }
+
+  test("seeds themselves are excluded from the centrality sum") {
+    val got = run(Seq((1L, 2L), (2L, 3L)), Seq(1L, 3L), 2)
+    assert(!got.contains(1L) && !got.contains(3L) || {
+      // 1 and 3 may appear only as NON-seed targets of the other seed's
+      // walk — in a 3-path they are reached at dist 2 with delta 0
+      got.getOrElse(1L, 0L) == 0L && got.getOrElse(3L, 0L) == 0L
+    })
+    // node 2 brokers for both seeds: 1e6 from each side
+    assert(got(2L) == 2000000L)
+  }
+
+  test("disconnected nodes never appear") {
+    val got = run(Seq((1L, 2L), (10L, 11L)), Seq(1L), 3)
+    assert(!got.contains(10L) && !got.contains(11L))
+  }
+}

@@ -420,10 +420,77 @@ object QueriesR13 {
        |GROUP BY node ORDER BY bc_ppm DESC, node LIMIT 500""".stripMargin
   }
 
+  /** R134: eigenvector centrality (see
+    * [[graft.operators.Graph.eigenvectorCentrality]]) over the
+    * co-purchase graph, 3 normalized power-iteration rounds, top 500 —
+    * which parts sit at the hub of the hub parts.
+    */
+  def graphEigenvector(s: SparkSession, dir: String): DataFrame = {
+    val edges = QueriesR6.coPurchasePairs(s, dir)
+      .select(col("src"), col("dst"))
+    graft.operators.Graph.eigenvectorCentrality(edges, iterations = 3)
+      .orderBy(col("ev_ppm").desc, col("node"))
+      .limit(500)
+  }
+
+  /** X33: streaming log-rank monitor (see
+    * [[graft.streaming.Streams.streamingLogRank]]) — R132 maintained
+    * from one long of state per (group, time, side, event) cell; same
+    * input, same oracle as `q_logrank`.
+    */
+  def streamLogrank(s: SparkSession, dir: String): DataFrame = {
+    val rows = t(s, dir, "orders")
+      .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_shipdate")),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_orderpriority"),
+        col("o_orderstatus"), col("o_orderdate"))
+      .agg(max(col("l_shipdate")).as("last_ship"))
+      .select(year(col("o_orderdate").cast("date")).as("grp"),
+        (col("o_orderpriority") <= "2").as("s"),
+        expr("""greatest(datediff(CAST(last_ship AS DATE),
+               |CAST(o_orderdate AS DATE)), 0) div 7""".stripMargin)
+          .cast("long").as("t"),
+        (col("o_orderstatus") === "F").as("obs"))
+    graft.streaming.Streams.streamingLogRank(s, rows,
+        queryName = s"gate_slogrank_${System.nanoTime()}")
+      .orderBy(col("grp"))
+  }
+
+  /** R134 oracle: 3 chained power-iteration CTEs, each normalizing by
+    * the round's global max via a scalar cross join.
+    */
+  private val eigenvectorSql: String = {
+    def round(r: Int): String =
+      s"""r$r AS (
+         |  SELECT e.dst AS node, SUM(x.x) AS r
+         |  FROM e JOIN x${r - 1} x ON x.node = e.src
+         |  GROUP BY e.dst
+         |), x$r AS (
+         |  SELECT node, r * 1000000 // (SELECT MAX(r) FROM r$r) AS x
+         |  FROM r$r
+         |)""".stripMargin
+    s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |und AS (
+       |  SELECT a.l_partkey AS a, b.l_partkey AS b
+       |  FROM li a JOIN li b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |  GROUP BY 1, 2
+       |), e AS (
+       |  SELECT a AS src, b AS dst FROM und
+       |  UNION ALL SELECT b, a FROM und
+       |), x0 AS (
+       |  SELECT DISTINCT src AS node, CAST(1000000 AS HUGEINT) AS x FROM e
+       |),
+       |${(1 to 3).map(round).mkString(",\n")}
+       |SELECT node, CAST(x AS BIGINT) AS ev_ppm FROM x3
+       |ORDER BY ev_ppm DESC, node LIMIT 500""".stripMargin
+  }
+
   // ---------------------------------------------------------------- oracle
 
   private val sqlBase: Map[String, String] = Map(
     "graph_betweenness" -> betweennessSql,
+    "graph_eigenvector" -> eigenvectorSql,
     "q_holt_trend" ->
       """WITH RECURSIVE e AS (
         |  SELECT user_id, event_id,
@@ -925,9 +992,10 @@ object QueriesR13 {
         |  END AS rho_ppm
         |FROM a ORDER BY grp""".stripMargin)
 
-  // X30/X31/X32 share their batch twins' oracles verbatim: streaming ≡ batch
+  // X30–X33 share their batch twins' oracles verbatim: streaming ≡ batch
   val sql: Map[String, String] =
     sqlBase + ("stream_drift_tv" -> sqlBase("q_drift_tv")) +
       ("stream_quantile_shift" -> sqlBase("q_quantile_shift")) +
-      ("stream_holt" -> sqlBase("q_holt_trend"))
+      ("stream_holt" -> sqlBase("q_holt_trend")) +
+      ("stream_logrank" -> sqlBase("q_logrank"))
 }

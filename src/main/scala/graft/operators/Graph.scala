@@ -1264,6 +1264,50 @@ object Graph {
       .agg(sum(col("delta")).cast("long").as("bc_ppm"))
   }
 
+  /** R134: eigenvector centrality by power iteration with exact
+    * max-normalization — "important because connected to the important"
+    * (the undirected degeneration of HITS: on a symmetric graph hubs ≡
+    * authorities, so ONE score is the honest form):
+    *
+    *   x⁰(v)     = 10⁶
+    *   rᵏ⁺¹(v)   = Σ_{u~v} xᵏ(u)
+    *   xᵏ⁺¹(v)   = rᵏ⁺¹(v)·10⁶ div max_u rᵏ⁺¹(u)
+    *
+    * all integer with one floor division per node per round against the
+    * round's GLOBAL max (a broadcast scalar — metadata, not data), so
+    * the fixed-round trajectory is bit-replayable as chained CTEs with
+    * a scalar subquery. The top node is pinned at exactly 10⁶ each
+    * round; everything else lands in (0, 10⁶]. Per round: one
+    * neighbor-sum shuffle + one scalar aggregate — the R71 shape with
+    * normalization instead of teleport.
+    *
+    * @return (node, ev_ppm) after `iterations` normalized rounds
+    */
+  def eigenvectorCentrality(edges: DataFrame, iterations: Int): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val und = edges.select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val dir = und.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(und.select(col("b").as("src"), col("a").as("dst")))
+      .ckpt
+    val nNodes = dir.select(col("src")).distinct().count()
+    var x = dir.select(col("src").as("node")).distinct()
+      .withColumn("x", lit(1000000L).cast("decimal(38,0)"))
+    for (_ <- 1 to iterations) {
+      val raw = dir
+        .join(maybeBroadcast(x.withColumnRenamed("node", "src"), nNodes),
+          Seq("src"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("x")).as("r"))
+      val mx = raw.agg(max(col("r")).as("__mx"))
+      x = raw.crossJoin(broadcast(mx))
+        .select(col("node"), expr("r * 1000000 div __mx").as("x"))
+        .ckpt
+    }
+    x.select(col("node"), col("x").cast("long").as("ev_ppm"))
+  }
+
   def shortestPathsWeighted(edges: DataFrame, seeds: DataFrame,
                             rounds: Int): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")

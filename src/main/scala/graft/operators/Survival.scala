@@ -108,11 +108,18 @@ object Survival {
         duration.cast("long").as("t"), observed.cast("boolean").as("obs"))
       .filter(col("t").isNotNull && col("obs").isNotNull &&
         col("s").isNotNull)
-    val grid = base.groupBy(col("grp"), col("t"))
+    logRankFromGrid(base.groupBy(col("grp"), col("t"))
       .agg(count(lit(1)).as("arr"),
         sum(when(col("s"), 1L).otherwise(0L)).as("arr_a"),
         sum(when(col("obs"), 1L).otherwise(0L)).as("d"),
-        sum(when(col("s") && col("obs"), 1L).otherwise(0L)).as("d_a"))
+        sum(when(col("s") && col("obs"), 1L).otherwise(0L)).as("d_a")))
+  }
+
+  /** The log-rank tail from a pre-aggregated (grp, t, arr, arr_a, d,
+    * d_a) grid — shared with the streaming monitor (X33); side totals
+    * are re-derived from the grid itself.
+    */
+  def logRankFromGrid(grid: DataFrame): DataFrame = {
     val wSuf = Window.partitionBy(col("grp")).orderBy(col("t").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val ev = grid
@@ -126,9 +133,9 @@ object Survival {
           |ELSE CAST(d AS DECIMAL(38,0)) * n_a * (n - n_a) * (n - d)
           |  * 1000000 div (CAST(n AS DECIMAL(38,0)) * n * (n - 1))
           |END""".stripMargin))
-    val totals = base.groupBy(col("grp"))
-      .agg(sum(when(col("s"), 1L).otherwise(0L)).as("n_a"),
-        sum(when(col("s"), 0L).otherwise(1L)).as("n_b"))
+    val totals = grid.groupBy(col("grp"))
+      .agg(sum(col("arr_a")).as("n_a"),
+        sum(col("arr") - col("arr_a")).as("n_b"))
     totals.join(
         ev.groupBy(col("grp"))
           .agg(sum(col("d_a")).as("o_a"),

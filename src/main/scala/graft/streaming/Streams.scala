@@ -1248,6 +1248,61 @@ object Streams {
     }
   }
 
+  /** X33: streaming log-rank monitor — R132's survival A/B test
+    * maintained from ONE long of state per (group, time, side, event)
+    * cell; update-mode max-per-cell is the final snapshot (counts only
+    * grow) and the drained cells pivot into the grid the SAME batch
+    * tail consumes ([[graft.operators.Survival.logRankFromGrid]]) —
+    * streaming ≡ batch by construction, X33 shares R132's oracle
+    * verbatim. State is O(groups × time-grid × 4): the live "is the
+    * treatment arm's survival curve diverging" alarm.
+    *
+    * @param rows (grp, s, t, obs)
+    */
+  def streamingLogRank(spark: SparkSession, rows: DataFrame,
+                       queryName: String,
+                       rocksDb: Boolean = UseRocksDb): DataFrame = {
+    import spark.implicits._
+    val typed = rows.select(col("grp").cast("string"),
+        col("s").cast("boolean"), col("t").cast("long"),
+        col("obs").cast("boolean"))
+      .as[(String, Boolean, Long, Boolean)]
+    val path = stageToTemp(typed.toDF("grp", "s", "t", "obs"), "slogrank")
+
+    val step: ((String, Boolean, Long, Boolean),
+        Iterator[(String, Boolean, Long, Boolean)], GroupState[Long]) =>
+        (String, Boolean, Long, Boolean, Long) =
+      (key, batch, state) => {
+        val n = state.getOption.getOrElse(0L) + batch.size.toLong
+        state.update(n)
+        (key._1, key._2, key._3, key._4, n)
+      }
+
+    withStateSession(spark, 8, rocksDb) { iso =>
+      val stream = iso.readStream.schema(typed.schema).parquet(path)
+        .as[(String, Boolean, Long, Boolean)]
+      val counts = stream.groupByKey(identity)
+        .mapGroupsWithState(GroupStateTimeout.NoTimeout)(step)
+        .toDF("grp", "s", "t", "obs", "n_emit")
+      val q = counts.writeStream.outputMode("update")
+        .format("memory").queryName(queryName).start()
+      try { q.processAllAvailable() } finally { q.stop() }
+      // localCheckpoint: the log-rank tail windows + joins the snapshot
+      // twice — break the MemorySink lineage as in streamingDriftTv
+      val grid = iso.table(queryName)
+        .groupBy(col("grp"), col("s"), col("t"), col("obs"))
+        .agg(max(col("n_emit")).as("n"))
+        .groupBy(col("grp"), col("t"))
+        .agg(sum(col("n")).as("arr"),
+          sum(when(col("s"), col("n")).otherwise(0L)).as("arr_a"),
+          sum(when(col("obs"), col("n")).otherwise(0L)).as("d"),
+          sum(when(col("s") && col("obs"), col("n")).otherwise(0L))
+            .as("d_a"))
+        .localCheckpoint()
+      graft.operators.Survival.logRankFromGrid(grid)
+    }
+  }
+
   /** X25: streaming class-balance monitor — R83's label-share/Gini
     * report maintained from ONE LONG of state per label (the running
     * count); each batch emits the label's current count, update-mode

@@ -93,4 +93,46 @@ class BetweennessSpec extends AnyFunSuite {
     val got = run(Seq((1L, 2L), (10L, 11L)), Seq(1L), 3)
     assert(!got.contains(10L) && !got.contains(11L))
   }
+
+  // ------------------------------------------------- R134 eigenvector
+
+  private def runEv(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] =
+    Graph.eigenvectorCentrality(edges.toDF("src", "dst"), iters)
+      .as[(Long, Long)].collect().toMap
+
+  /** Driver-side power iteration with the identical flooring. */
+  private def refEv(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val und = edges.map { case (s, d) => (math.min(s, d), math.max(s, d)) }
+      .filter(e => e._1 != e._2).distinct
+    val adj = (und ++ und.map(_.swap)).groupBy(_._1)
+      .map { case (k, v) => k -> v.map(_._2) }
+    var x: Map[Long, BigInt] = adj.keys.map(_ -> BigInt(1000000)).toMap
+    for (_ <- 1 to iters) {
+      val raw = adj.map { case (v, ns) => v -> ns.map(x).sum }
+      val mx = raw.values.max
+      x = raw.map { case (v, r) => v -> r * 1000000 / mx }
+    }
+    x.map { case (k, v) => k -> v.toLong }
+  }
+
+  test("eigenvector: star center is pinned at 10^6, leaves collapse") {
+    val star = (2L to 6L).map(l => (1L, l))
+    val got = runEv(star, 3)
+    assert(got(1L) == 1000000L)
+    assert((2L to 6L).forall(l => got(l) == got(2L) && got(l) < 1000000L))
+    assert(got == refEv(star, 3))
+  }
+
+  test("eigenvector: regular graphs are uniform at exactly 10^6") {
+    // a 4-cycle: every node degree 2 -> stays the top score forever
+    val cycle = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
+    assert(runEv(cycle, 4).values.toSet == Set(1000000L))
+  }
+
+  test("eigenvector: matches the flooring reference on a mesh") {
+    val mesh = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 6L),
+      (6L, 3L), (2L, 6L), (5L, 7L))
+    for (it <- 1 to 4)
+      assert(runEv(mesh, it) == refEv(mesh, it), s"iterations=$it diverged")
+  }
 }

@@ -486,11 +486,112 @@ object QueriesR13 {
        |ORDER BY ev_ppm DESC, node LIMIT 500""".stripMargin
   }
 
+  /** R135: degree assortativity (see
+    * [[graft.operators.Graph.assortativity]]) of the co-purchase graph
+    * — one exact global number: do popular parts co-sell with popular
+    * parts?
+    */
+  def graphAssortativity(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Graph.assortativity(
+      QueriesR6.coPurchasePairs(s, dir).select(col("src"), col("dst")))
+
+  /** R136: modularity report (see
+    * [[graft.operators.Graph.modularity]]) of R72's label-propagation
+    * communities over the co-purchase graph — did the clustering find
+    * real structure, per community in exact ppm.
+    */
+  def graphModularity(s: SparkSession, dir: String): DataFrame = {
+    val edges = QueriesR6.coPurchasePairs(s, dir)
+      .select(col("src"), col("dst"))
+    val labels = graft.operators.Graph.labelPropagation(edges, iterations = 3)
+    graft.operators.Graph.modularity(edges, labels)
+      .orderBy(col("lbl"))
+  }
+
+  private val assortativitySql: String =
+    """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |und AS (
+      |  SELECT a.l_partkey AS a, b.l_partkey AS b
+      |  FROM li a JOIN li b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |  GROUP BY 1, 2
+      |), e AS (
+      |  SELECT a AS src, b AS dst FROM und
+      |  UNION ALL SELECT b, a FROM und
+      |), deg AS (
+      |  SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY 1
+      |), jk AS (
+      |  SELECT d1.deg AS j, d2.deg AS k
+      |  FROM e JOIN deg d1 ON d1.src = e.src JOIN deg d2 ON d2.src = e.dst
+      |), a AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS m,
+      |    SUM(CAST(j AS HUGEINT) * k) AS sjk,
+      |    CAST(SUM(j) AS BIGINT) AS sj,
+      |    SUM(CAST(j AS HUGEINT) * j) AS sj2
+      |  FROM jk
+      |)
+      |SELECT m AS m_directed,
+      |  CASE WHEN m * sj2 - CAST(sj AS HUGEINT) * sj = 0 THEN NULL
+      |    WHEN m * sjk - CAST(sj AS HUGEINT) * sj < 0 THEN
+      |      -CAST(-(m * sjk - CAST(sj AS HUGEINT) * sj) * 1000000
+      |        // (m * sj2 - CAST(sj AS HUGEINT) * sj) AS BIGINT)
+      |    ELSE CAST((m * sjk - CAST(sj AS HUGEINT) * sj) * 1000000
+      |        // (m * sj2 - CAST(sj AS HUGEINT) * sj) AS BIGINT)
+      |  END AS assortativity_ppm
+      |FROM a""".stripMargin
+
+  private def modularitySql: String =
+    s"""WITH labels AS (
+       |  SELECT * FROM (
+       |${QueriesR6.sql("graph_labelprop")}
+       |  ) t
+       |), li2 AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |und2 AS (
+       |  SELECT a.l_partkey AS a, b.l_partkey AS b
+       |  FROM li2 a JOIN li2 b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |  GROUP BY 1, 2
+       |), mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM und2),
+       |deg AS (
+       |  SELECT node, CAST(COUNT(*) AS BIGINT) AS deg
+       |  FROM (SELECT a AS node FROM und2
+       |        UNION ALL SELECT b AS node FROM und2) t
+       |  GROUP BY 1
+       |), ec AS (
+       |  SELECT la.lbl, CAST(COUNT(*) AS BIGINT) AS e_intra
+       |  FROM und2 u
+       |  JOIN labels la ON la.node = u.a
+       |  JOIN labels lb ON lb.node = u.b
+       |  WHERE la.lbl = lb.lbl
+       |  GROUP BY 1
+       |), dc AS (
+       |  SELECT l.lbl, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       |    CAST(SUM(d.deg) AS BIGINT) AS deg_total
+       |  FROM labels l JOIN deg d ON d.node = l.node
+       |  GROUP BY 1
+       |)
+       |SELECT dc.lbl, dc.n_nodes, COALESCE(ec.e_intra, 0) AS e_intra,
+       |  dc.deg_total,
+       |  CASE WHEN 4 * CAST(mm.m AS HUGEINT) * COALESCE(ec.e_intra, 0)
+       |         - CAST(dc.deg_total AS HUGEINT) * dc.deg_total < 0 THEN
+       |    -CAST(-(4 * CAST(mm.m AS HUGEINT) * COALESCE(ec.e_intra, 0)
+       |        - CAST(dc.deg_total AS HUGEINT) * dc.deg_total) * 1000000
+       |      // (4 * CAST(mm.m AS HUGEINT) * mm.m) AS BIGINT)
+       |  ELSE
+       |    CAST((4 * CAST(mm.m AS HUGEINT) * COALESCE(ec.e_intra, 0)
+       |        - CAST(dc.deg_total AS HUGEINT) * dc.deg_total) * 1000000
+       |      // (4 * CAST(mm.m AS HUGEINT) * mm.m) AS BIGINT)
+       |  END AS contrib_ppm
+       |FROM dc LEFT JOIN ec ON ec.lbl = dc.lbl CROSS JOIN mm
+       |ORDER BY dc.lbl""".stripMargin
+
   // ---------------------------------------------------------------- oracle
 
   private val sqlBase: Map[String, String] = Map(
     "graph_betweenness" -> betweennessSql,
     "graph_eigenvector" -> eigenvectorSql,
+    "graph_assortativity" -> assortativitySql,
+    "graph_modularity" -> modularitySql,
     "q_holt_trend" ->
       """WITH RECURSIVE e AS (
         |  SELECT user_id, event_id,

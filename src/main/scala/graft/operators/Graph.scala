@@ -1308,6 +1308,100 @@ object Graph {
     x.select(col("node"), col("x").cast("long").as("ev_ppm"))
   }
 
+  /** R135: degree assortativity — "do hubs link to hubs" (Newman 2002).
+    * Pearson correlation of endpoint degrees over the DIRECTED edge
+    * list; on a symmetric (both-directions) list the two marginals are
+    * identical, which collapses the usual square root: both variance
+    * factors equal M·Σj² − (Σj)², so
+    *
+    *   r_ppm = sign(N) · |N|·10⁶ div D,
+    *   N = M·Σjk − (Σj)²,  D = M·Σj² − (Σj)²
+    *
+    * — exactly rational, one signed magnitude division (floor ≡ trunc
+    * on the nonneg magnitude). NULL for degree-regular graphs (D = 0).
+    * Cost: one degree aggregate + one edge join + one global aggregate.
+    *
+    * @return single row (m_directed, assortativity_ppm)
+    */
+  def assortativity(edges: DataFrame): DataFrame = {
+    val und = edges.select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val dir = und.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(und.select(col("b").as("src"), col("a").as("dst")))
+    val deg = dir.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .withColumnRenamed("src", "node")
+    dir
+      .join(deg.select(col("node").as("src"), col("deg").as("j")), Seq("src"))
+      .join(deg.select(col("node").as("dst"), col("deg").as("k")), Seq("dst"))
+      .agg(count(lit(1)).as("m_directed"),
+        sum(expr("CAST(j AS DECIMAL(38,0)) * k")).as("__sjk"),
+        sum(col("j")).as("__sj"),
+        sum(expr("CAST(j AS DECIMAL(38,0)) * j")).as("__sj2"))
+      .select(col("m_directed"),
+        expr("""CASE
+               |WHEN m_directed * __sj2 - CAST(__sj AS DECIMAL(38,0)) * __sj
+               |     = 0 THEN NULL
+               |WHEN m_directed * __sjk - CAST(__sj AS DECIMAL(38,0)) * __sj
+               |     < 0 THEN
+               |  -CAST(-(m_directed * __sjk
+               |          - CAST(__sj AS DECIMAL(38,0)) * __sj) * 1000000
+               |    div (m_directed * __sj2
+               |         - CAST(__sj AS DECIMAL(38,0)) * __sj) AS BIGINT)
+               |ELSE
+               |  CAST((m_directed * __sjk
+               |        - CAST(__sj AS DECIMAL(38,0)) * __sj) * 1000000
+               |    div (m_directed * __sj2
+               |         - CAST(__sj AS DECIMAL(38,0)) * __sj) AS BIGINT)
+               |END""".stripMargin).as("assortativity_ppm"))
+  }
+
+  /** R136: modularity report of a community labeling — "did the
+    * clustering find real structure" (Newman–Girvan): per community,
+    *
+    *   contrib_ppm = sign(N_c) · |N_c|·10⁶ div (4m²),
+    *   N_c = 4m·e_c − d_c²
+    *
+    * (e_c = intra-community undirected edges, d_c = total degree, m =
+    * undirected edge count) — the exact per-community share of
+    * Q = Σ_c [e_c/m − (d_c/2m)²]; a stated per-community floor, global
+    * Q recoverable by summing the N_c before dividing. Evaluates any
+    * (node, lbl) labeling — the gate feeds it R72's label propagation.
+    *
+    * @return (lbl, n_nodes, e_intra, deg_total, contrib_ppm)
+    */
+  def modularity(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val und = edges.select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct().ckpt
+    val deg = und.select(col("a").as("node"))
+      .unionAll(und.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val m = und.count()
+    val ec = und
+      .join(labels.select(col("node").as("a"), col("lbl").as("la")), Seq("a"))
+      .join(labels.select(col("node").as("b"), col("lbl").as("lb")), Seq("b"))
+      .filter(col("la") === col("lb"))
+      .groupBy(col("la").as("lbl")).agg(count(lit(1)).as("e_intra"))
+    labels.join(deg, Seq("node"))
+      .groupBy(col("lbl"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("deg")).as("deg_total"))
+      .join(ec, Seq("lbl"), "left")
+      .select(col("lbl"), col("n_nodes"),
+        coalesce(col("e_intra"), lit(0L)).as("e_intra"), col("deg_total"))
+      .withColumn("__n", expr(
+        s"""4 * CAST($m AS DECIMAL(38,0)) * e_intra
+           | - CAST(deg_total AS DECIMAL(38,0)) * deg_total""".stripMargin))
+      .withColumn("contrib_ppm", expr(
+        s"""CASE WHEN __n < 0
+           |THEN -CAST((-__n) * 1000000
+           |  div (4 * CAST($m AS DECIMAL(38,0)) * $m) AS BIGINT)
+           |ELSE CAST(__n * 1000000
+           |  div (4 * CAST($m AS DECIMAL(38,0)) * $m) AS BIGINT)
+           |END""".stripMargin))
+      .drop("__n")
+  }
+
   def shortestPathsWeighted(edges: DataFrame, seeds: DataFrame,
                             rounds: Int): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")

@@ -135,4 +135,66 @@ class BetweennessSpec extends AnyFunSuite {
     for (it <- 1 to 4)
       assert(runEv(mesh, it) == refEv(mesh, it), s"iterations=$it diverged")
   }
+
+  // ----------------------------------------------- R135 assortativity
+
+  private def runAssort(edges: Seq[(Long, Long)]): Option[Long] =
+    Graph.assortativity(edges.toDF("src", "dst"))
+      .select(org.apache.spark.sql.functions.col("assortativity_ppm"))
+      .as[Option[Long]].collect().head
+
+  test("assortativity: a regular graph has no degree variance (NULL)") {
+    assert(runAssort(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))).isEmpty)
+  }
+
+  test("assortativity: a star is maximally disassortative (-10^6)") {
+    // hub degree 5 always pairs with leaf degree 1: perfect anticorrelation
+    val star = (2L to 6L).map(l => (1L, l))
+    assert(runAssort(star).contains(-1000000L))
+  }
+
+  test("assortativity: two cliques of different sizes are assortative") {
+    // K3 + K4 disjoint: within each clique degrees are equal -> r = +1e6
+    val k3 = Seq((1L, 2L), (2L, 3L), (1L, 3L))
+    val k4 = for (i <- 10L to 13L; j <- (i + 1) to 13L) yield (i, j)
+    assert(runAssort(k3 ++ k4).contains(1000000L))
+  }
+
+  // -------------------------------------------------- R136 modularity
+
+  private def runMod(edges: Seq[(Long, Long)], labels: Seq[(Long, Long)])
+      : Map[Long, (Long, Long, Long, Long)] = {
+    Graph.modularity(edges.toDF("src", "dst"), labels.toDF("node", "lbl"))
+      .as[(Long, Long, Long, Long, Long)]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+  }
+
+  test("modularity: two disjoint cliques under their own labels") {
+    // K3 + K3 disjoint, perfect labeling: m=6, each c: e_c=3, d_c=6
+    // N_c = 4*6*3 - 36 = 36; contrib = 36e6/144 = 250000 each (Q = 1/2)
+    val k3a = Seq((1L, 2L), (2L, 3L), (1L, 3L))
+    val k3b = Seq((11L, 12L), (12L, 13L), (11L, 13L))
+    val labels = (1L to 3L).map(_ -> 1L) ++ Seq(11L, 12L, 13L).map(_ -> 2L)
+    val got = runMod(k3a ++ k3b, labels)
+    assert(got(1L) == ((3L, 3L, 6L, 250000L)))
+    assert(got(2L) == ((3L, 3L, 6L, 250000L)))
+  }
+
+  test("modularity: everything in ONE community scores exactly 0") {
+    // e_c = m, d_c = 2m -> N = 4m^2 - 4m^2 = 0
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L))
+    val labels = (1L to 4L).map(_ -> 7L)
+    assert(runMod(edges, labels)(7L) == ((4L, 5L, 10L, 0L)))
+  }
+
+  test("modularity: an anti-community labeling goes NEGATIVE") {
+    // bipartite split of a clique: no intra edges, all degree inside
+    val k4 = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    val labels = Seq(1L -> 1L, 2L -> 2L, 3L -> 1L, 4L -> 2L)
+    val got = runMod(k4, labels)
+    // m=6, per side: e_c=1 (the 1-3 / 2-4 edge), d_c=6
+    // N_c = 24*1 - 36 = -12; contrib = -(12e6 div 144) = -83334? exact:
+    // 12*1e6 = 12000000 // 144 = 83333 -> -83333
+    assert(got(1L)._4 == -83333L && got(2L)._4 == -83333L)
+  }
 }

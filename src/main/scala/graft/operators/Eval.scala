@@ -352,4 +352,55 @@ object Eval {
         when(col("n_pos") === 0 || col("n_neg") === 0, lit(null))
           .otherwise(expr("u_stat_x2 * 1000000 div (2 * n_pos * n_neg)")))
   }
+
+  /** The R137 discount table: disc(i) = ⌊10⁶/log₂(i+1)⌋ for i = 1..k.
+    * The irrational log never enters either engine's plan — the table is
+    * a fixed literal shared verbatim by the operator and its SQL oracle,
+    * part of the metric's definition exactly like the ppm scale itself.
+    */
+  def ndcgDiscountsPpm(k: Int): Seq[Long] =
+    (1 to k).map(i =>
+      math.floor(1000000.0 * math.log(2.0) / math.log(i + 1.0)).toLong)
+
+  /** R137: NDCG@k — graded list quality in exact integer ppm.
+    *
+    *   DCG@k  = Σ_{i ≤ k} rel(position i) · disc(i)
+    *   IDCG@k = the same sum with the list's OWN relevances sorted
+    *            descending (presented-list convention: both sums run
+    *            over the same k candidates, so 10⁶ means "this ordering
+    *            is optimal for what was retrieved" — retrieval misses
+    *            are S13/S14's recall story, not the ranking's)
+    *   NDCG   = DCG·10⁶ div IDCG, null when IDCG = 0 (nothing relevant)
+    *
+    * At 100 TB: lists are k-bounded by construction, so the per-query
+    * window is k-sized; one hash aggregate after it; the discount lookup
+    * is a map literal in the plan — codegen-friendly, no join.
+    *
+    * @param rows  one row per (query, candidate) with its list position
+    * @param query the list key
+    * @param rel   integer graded relevance ≥ 0
+    * @param pos   1-based position in the presented list
+    * @param k     cutoff; positions > k are ignored
+    * @return (query_id, dcg_ppm, idcg_ppm, ndcg_ppm)
+    */
+  def ndcgAtK(rows: DataFrame, query: Column, rel: Column, pos: Column,
+              k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val discMap = typedLit(
+      ndcgDiscountsPpm(k).zipWithIndex.map { case (d, i) => (i + 1L, d) }.toMap)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rel").desc, col("pos"))
+    rows.select(query.as("query_id"), rel.cast("long").as("rel"),
+        pos.cast("long").as("pos"))
+      .filter(col("pos") <= k)
+      .withColumn("ipos", row_number().over(w).cast("long"))
+      .withColumn("disc", element_at(discMap, col("pos")))
+      .withColumn("idisc", element_at(discMap, col("ipos")))
+      .groupBy(col("query_id"))
+      .agg(sum(col("rel") * col("disc")).as("dcg_ppm"),
+        sum(col("rel") * col("idisc")).as("idcg_ppm"))
+      .withColumn("ndcg_ppm",
+        when(col("idcg_ppm") === 0, lit(null))
+          .otherwise(expr("dcg_ppm * 1000000 div idcg_ppm")))
+  }
 }

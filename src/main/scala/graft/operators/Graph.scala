@@ -1437,4 +1437,100 @@ object Graph {
     }
     dist
   }
+
+  /** R139: HITS hubs and authorities on a DIRECTED graph (Kleinberg
+    * 1999) — the two-sided refinement R134 collapses on symmetric
+    * graphs: a good hub points at good authorities, a good authority is
+    * pointed at by good hubs. Natural home: bipartite who-buys-from-whom
+    * (hub = a broad buyer, authority = a widely-bought-from seller).
+    *
+    *   h⁰(u) = 10⁶ on out-nodes
+    *   aᵏ⁺¹(v) = Σ_{u→v} hᵏ(u),  normalized to ppm of the round max
+    *   hᵏ⁺¹(u) = Σ_{u→v} aᵏ⁺¹(v), normalized likewise
+    *
+    * — the standard authority-first half-step order; each normalization
+    * is one floor division per node against a broadcast SCALAR, so the
+    * fixed-round trajectory replays as chained CTEs exactly like R134.
+    * Per round: two neighbor-sum shuffles + two scalar aggregates; the
+    * score tables are node-sized, size-gated for broadcast.
+    *
+    * @param edges directed (src, dst); duplicates deduped, self-loops
+    *              kept (a self-loop is a legitimate directed edge here)
+    * @return (node, hub_ppm, auth_ppm) — null where the node has no
+    *         out-edges (no hub score) or no in-edges (no authority)
+    */
+  def hits(edges: DataFrame, iterations: Int): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val dir = edges.select(col("src"), col("dst")).distinct().ckpt
+    val nSrc = dir.select(col("src")).distinct().count()
+    val nDst = dir.select(col("dst")).distinct().count()
+    var h = dir.select(col("src").as("node")).distinct()
+      .withColumn("h", lit(1000000L).cast("decimal(38,0)"))
+    var a: DataFrame = null
+    for (_ <- 1 to iterations) {
+      val rawA = dir
+        .join(maybeBroadcast(h.withColumnRenamed("node", "src"), nSrc),
+          Seq("src"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("h")).as("r"))
+      val mxA = rawA.agg(max(col("r")).as("__mx"))
+      a = rawA.crossJoin(broadcast(mxA))
+        .select(col("node"), expr("r * 1000000 div __mx").as("a")).ckpt
+      val rawH = dir
+        .join(maybeBroadcast(a.withColumnRenamed("node", "dst"), nDst),
+          Seq("dst"))
+        .groupBy(col("src").as("node"))
+        .agg(sum(col("a")).as("r"))
+      val mxH = rawH.agg(max(col("r")).as("__mx"))
+      h = rawH.crossJoin(broadcast(mxH))
+        .select(col("node"), expr("r * 1000000 div __mx").as("h")).ckpt
+    }
+    h.select(col("node"), col("h").cast("long").as("hub_ppm"))
+      .join(a.select(col("node"), col("a").cast("long").as("auth_ppm")),
+        Seq("node"), "full_outer")
+  }
+
+  /** R140: common-neighbor link prediction with exact neighborhood
+    * Jaccard — for every non-adjacent pair within distance 2, how much
+    * do their neighborhoods overlap? The classic "who should be
+    * connected" / "which products should co-sell" query
+    * (Liben-Nowell & Kleinberg 2003), scored exactly:
+    *
+    *   jaccard_ppm(u,v) = |Γu ∩ Γv|·10⁶ div (deg u + deg v − |Γu ∩ Γv|)
+    *
+    * Candidates come from the wedge join (two hops through a shared
+    * neighbor — the triangle-counting shape, NOT all pairs): fanout is
+    * Σ_w deg(w)², governed by hub degree exactly like R63; existing
+    * edges leave by an anti join, thin pairs by `minCommon`.
+    *
+    * @param edges     undirected (src, dst); canonicalized, deduped
+    * @param minCommon keep pairs with at least this many shared
+    *                  neighbors (≥1; higher prunes the wedge fanout)
+    * @return (u, v, common, deg_u, deg_v, jaccard_ppm), u < v
+    */
+  def linkPredictJaccard(edges: DataFrame, minCommon: Long): DataFrame = {
+    require(minCommon >= 1, s"minCommon must be >= 1, got $minCommon")
+    val und = edges.select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct().ckpt
+    val dir = und.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(und.select(col("b").as("src"), col("a").as("dst")))
+    val deg = dir.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("deg"))
+    val wedges = dir.select(col("src").as("w"), col("dst").as("u"))
+      .join(dir.select(col("src").as("w"), col("dst").as("v")), Seq("w"))
+      .filter(col("u") < col("v"))
+      .groupBy(col("u"), col("v"))
+      .agg(count(lit(1)).as("common"))
+      .filter(col("common") >= minCommon)
+    wedges
+      .join(und, wedges("u") === und("a") && wedges("v") === und("b"),
+        "left_anti")
+      .join(deg.select(col("node").as("u"), col("deg").as("deg_u")), Seq("u"))
+      .join(deg.select(col("node").as("v"), col("deg").as("deg_v")), Seq("v"))
+      .withColumn("jaccard_ppm",
+        expr("common * 1000000 div (deg_u + deg_v - common)"))
+      .select(col("u"), col("v"), col("common"), col("deg_u"), col("deg_v"),
+        col("jaccard_ppm"))
+  }
 }

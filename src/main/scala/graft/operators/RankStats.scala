@@ -507,4 +507,79 @@ object RankStats {
                |  div (CAST(n AS DECIMAL(38,0)) * n * n - n) AS BIGINT)
                |END""".stripMargin).as("rho_ppm"))
   }
+
+  /** R138: Kendall rank correlation from the CONTINGENCY GRID — the
+    * concordant/discordant pair counts computed on the (x, y) VALUE
+    * grid, never on row pairs: for cell pairs with x' < x, a y' < y
+    * cell contributes c·c' concordant pairs and a y' > y cell c·c'
+    * discordant ones; ties come from the marginals
+    * (t_x = Σ_x n_x(n_x−1)/2, likewise t_y). The grid is domain-sized
+    * (|X|·|Y| cells per group), so the within-group grid self-join is
+    * metadata-sized even when the data is 100 TB — the same compression
+    * as R120's rank grid. Intended for small integer domains (buckets,
+    * grades, calendar parts); wide domains belong to R123 Spearman.
+    *
+    * tau-b's denominator is a square root, so the exact gate-able
+    * numbers are the pair counts plus two exact ratios:
+    * tau-a = (C−D)·10⁶ div n₀ and the sign-carried square
+    * tau_b² = sign(C−D)·(C−D)²·10⁶ div ((n₀−t_x)(n₀−t_y)) — the R135
+    * signed-magnitude contract (floor ≡ trunc on the nonneg magnitude).
+    *
+    * @return (grp, n, nc, nd, tx, ty, tau_a_ppm, tau_b_sq_ppm); both
+    *         metrics null when n < 2, tau_b² additionally null when a
+    *         margin is fully tied (denominator 0)
+    */
+  def kendallTau(df: DataFrame, group: String, xcol: Column,
+                 ycol: Column): DataFrame = {
+    val cells = df.select(col(group).cast("string").as("grp"),
+        xcol.cast("long").as("x"), ycol.cast("long").as("y"))
+      .filter(col("x").isNotNull && col("y").isNotNull)
+      .groupBy(col("grp"), col("x"), col("y"))
+      .agg(count(lit(1)).as("c"))
+    val cd = cells
+      .join(cells.select(col("grp"), col("x").as("x2"), col("y").as("y2"),
+        col("c").as("c2")), Seq("grp"))
+      .filter(col("x2") < col("x") && col("y2") =!= col("y"))
+      .groupBy(col("grp"))
+      .agg(
+        sum(when(col("y2") < col("y"), col("c") * col("c2"))
+          .otherwise(lit(0L))).as("__nc"),
+        sum(when(col("y2") > col("y"), col("c") * col("c2"))
+          .otherwise(lit(0L))).as("__nd"))
+    val tx = cells.groupBy(col("grp"), col("x"))
+      .agg(sum(col("c")).as("nx"))
+      .groupBy(col("grp"))
+      .agg(sum(expr("nx * (nx - 1) div 2")).as("tx"))
+    val ty = cells.groupBy(col("grp"), col("y"))
+      .agg(sum(col("c")).as("ny"))
+      .groupBy(col("grp"))
+      .agg(sum(expr("ny * (ny - 1) div 2")).as("ty"))
+    cells.groupBy(col("grp")).agg(sum(col("c")).as("n"))
+      .join(cd, Seq("grp"), "left")
+      .join(tx, Seq("grp")).join(ty, Seq("grp"))
+      .select(col("grp"), col("n"),
+        coalesce(col("__nc"), lit(0L)).as("nc"),
+        coalesce(col("__nd"), lit(0L)).as("nd"),
+        col("tx"), col("ty"))
+      .withColumn("__n0", expr("n * (n - 1) div 2"))
+      .withColumn("tau_a_ppm",
+        when(col("__n0") === 0, lit(null))
+          .otherwise(expr("""CASE WHEN nc >= nd
+            |THEN CAST((CAST(nc AS DECIMAL(38,0)) - nd) * 1000000
+            |  div __n0 AS BIGINT)
+            |ELSE -CAST((CAST(nd AS DECIMAL(38,0)) - nc) * 1000000
+            |  div __n0 AS BIGINT)
+            |END""".stripMargin)))
+      .withColumn("__den",
+        expr("(CAST(__n0 AS DECIMAL(38,0)) - tx) * (__n0 - ty)"))
+      .withColumn("tau_b_sq_ppm",
+        when(col("__n0") === 0 || col("__den") <= 0, lit(null))
+          .otherwise(expr("""CASE WHEN nc >= nd
+            |THEN CAST((CAST(nc AS DECIMAL(38,0)) - nd) * (nc - nd) * 1000000
+            |  div __den AS BIGINT)
+            |ELSE -CAST((CAST(nd AS DECIMAL(38,0)) - nc) * (nd - nc) * 1000000
+            |  div __den AS BIGINT)
+            |END""".stripMargin)))
+      .drop("__n0", "__den")
+  }
 }

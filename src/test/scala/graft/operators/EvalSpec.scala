@@ -171,4 +171,48 @@ class EvalSpec extends AnyFunSuite {
     assert(a.groupBy(_._1).values.forall(_.size <= 3), "at most k per user")
     assert(a.forall(r => r._2 >= 1 && r._2 <= 10), "items in [1, max]")
   }
+
+  // ------------------------------------------------------------ R137 NDCG
+
+  private def runNdcg(rows: Seq[(String, Long, Long)], k: Int)
+      : Map[String, (Long, Long, Option[Long])] = {
+    val df = rows.toDF("q", "rel", "pos")
+    Eval.ndcgAtK(df, col("q"), col("rel"), col("pos"), k)
+      .as[(String, Long, Long, Option[Long])]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+  }
+
+  /** Hand DCG from the shared discount table. */
+  private def refDcg(rels: Seq[Long]): Long = {
+    val disc = Eval.ndcgDiscountsPpm(rels.size)
+    rels.zip(disc).map { case (r, d) => r * d }.sum
+  }
+
+  test("NDCG: graded list matches the hand-computed discount sum") {
+    val rels = Seq(3L, 0L, 2L, 1L, 0L)
+    val rows = rels.zipWithIndex.map { case (r, i) => ("q", r, i + 1L) }
+    val (dcg, idcg, ndcg) = runNdcg(rows, 5)("q") match {
+      case (d, i, n) => (d, i, n)
+    }
+    assert(dcg == refDcg(rels))
+    assert(idcg == refDcg(rels.sorted.reverse))
+    assert(ndcg.contains(dcg * 1000000L / idcg))
+    assert(ndcg.get < 1000000L, "imperfect ordering scores below 1e6")
+  }
+
+  test("NDCG: ideal ordering scores exactly 1e6; all-zero rel is NULL") {
+    val ideal = Seq(5L, 4L, 2L, 2L, 0L).zipWithIndex
+      .map { case (r, i) => ("a", r, i + 1L) }
+    val zero = (1L to 5L).map(i => ("z", 0L, i))
+    val got = runNdcg(ideal ++ zero, 5)
+    assert(got("a")._3.contains(1000000L))
+    assert(got("z") == ((0L, 0L, None)))
+  }
+
+  test("NDCG: positions beyond k are ignored") {
+    val rows = Seq(("q", 2L, 1L), ("q", 1L, 2L), ("q", 9L, 3L))
+    val got = runNdcg(rows, 2)("q")
+    assert(got._1 == refDcg(Seq(2L, 1L)))
+    assert(got._3.contains(1000000L), "within k the ordering is ideal")
+  }
 }

@@ -376,4 +376,61 @@ class RankStatsSpec extends AnyFunSuite {
     assert(got(("g", "B")) == ((1L, 20L, 190476L)))
     assert(!got.contains(("g", "C")))
   }
+
+  // ------------------------------------------------------------ R138 tau
+
+  private def runTau(rows: Seq[(String, Long, Long)])
+      : Map[String, (Long, Long, Long, Long, Long, Option[Long], Option[Long])] = {
+    val df = rows.toDF("g", "x", "y")
+    RankStats.kendallTau(df, "g", col("x"), col("y"))
+      .as[(String, Long, Long, Long, Long, Long, Option[Long], Option[Long])]
+      .collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6, r._7, r._8))).toMap
+  }
+
+  /** Brute-force pair walk: (nc, nd, tx, ty). */
+  private def refTau(rows: Seq[(Long, Long)]): (Long, Long, Long, Long) = {
+    var nc = 0L; var nd = 0L; var tx = 0L; var ty = 0L
+    for (i <- rows.indices; j <- (i + 1) until rows.size) {
+      val sx = java.lang.Long.compare(rows(i)._1, rows(j)._1)
+      val sy = java.lang.Long.compare(rows(i)._2, rows(j)._2)
+      if (sx == 0) tx += 1
+      if (sy == 0) ty += 1
+      if (sx != 0 && sy != 0) { if (sx == sy) nc += 1 else nd += 1 }
+    }
+    (nc, nd, tx, ty)
+  }
+
+  test("tau: grid counts match the brute-force pair walk under ties") {
+    val rows = Seq((1L, 2L), (1L, 2L), (2L, 1L), (2L, 3L), (3L, 3L),
+      (3L, 1L), (4L, 4L), (4L, 2L), (5L, 5L))
+    val (nc, nd, tx, ty) = refTau(rows)
+    val got = runTau(rows.map(r => ("g", r._1, r._2)))("g")
+    assert((got._2, got._3, got._4, got._5) == ((nc, nd, tx, ty)))
+    val n = rows.size.toLong
+    val n0 = n * (n - 1) / 2
+    val tauA = math.abs(nc - nd) * 1000000L / n0
+    assert(got._6.contains(if (nc >= nd) tauA else -tauA))
+    val tauB2 = (nc - nd) * (nc - nd) * 1000000L / ((n0 - tx) * (n0 - ty))
+    assert(got._7.contains(if (nc >= nd) tauB2 else -tauB2))
+  }
+
+  test("tau: perfect concordance and perfect discordance") {
+    val up = (1L to 5L).map(v => ("u", v, v * 10))
+    val down = (1L to 5L).map(v => ("d", v, 100 - v))
+    val got = runTau(up ++ down)
+    assert(got("u")._6.contains(1000000L))
+    assert(got("u")._7.contains(1000000L))
+    assert(got("d")._6.contains(-1000000L))
+    assert(got("d")._7.contains(-1000000L))
+  }
+
+  test("tau: single row and fully-tied margin degenerate to NULL") {
+    val got = runTau(Seq(("one", 7L, 7L),
+      ("tied", 5L, 1L), ("tied", 5L, 2L), ("tied", 5L, 3L)))
+    assert(got("one")._6.isEmpty && got("one")._7.isEmpty)
+    // all x tied: tau-a is 0 div n0 = 0, tau-b undefined
+    assert(got("tied")._6.contains(0L))
+    assert(got("tied")._7.isEmpty)
+  }
 }

@@ -88,6 +88,52 @@ object QueriesR14 {
       .orderBy(col("jaccard_ppm").desc, col("u"), col("v"))
       .limit(500)
 
+  /** R141: Welch t² per line status — do returned lines (R) ship in
+    * different QUANTITIES than kept ones, by means this time? The
+    * parametric mirror of R120's rank test on the same split, so the
+    * two gates answer the same question under different assumptions —
+    * the textbook robustness pairing.
+    */
+  def qWelchT2(s: SparkSession, dir: String): DataFrame =
+    graft.operators.RankStats.welchT2(t(s, dir, "lineitem"),
+        col("l_linestatus"), col("l_returnflag") === "R",
+        col("l_quantity").cast("long"))
+      .orderBy(col("grp"))
+
+  /** R142: seasonal Holt over the monthly order-count series per
+    * priority class (first digit keys the series) — 12-position frozen
+    * seasonal indices + the R130 recursion on the deseasonalized
+    * counts; the oracle replays indices as one aggregate CTE and the
+    * walk as the recursive-CTE idiom with the seasonal join added.
+    */
+  def qHoltWinters(s: SparkSession, dir: String): DataFrame = {
+    val mo = t(s, dir, "orders")
+      .select(substring(col("o_orderpriority"), 1, 1).cast("long").as("k"),
+        (year(col("o_orderdate").cast("date")) * 100 +
+          month(col("o_orderdate").cast("date"))).cast("long").as("ym"))
+      .groupBy(col("k"), col("ym"))
+      .agg(count(lit(1)).as("x"))
+    graft.operators.Changepoint.holtSeasonal(mo, col("k"), col("ym"),
+        col("ym"), col("x"), period = 12, alphaPpm = 200000L,
+        betaPpm = 100000L)
+      .orderBy(col("key"), col("id"))
+  }
+
+  /** X34: streaming Welch monitor (see
+    * [[graft.streaming.Streams.streamingWelch]]) — R141 maintained from
+    * three longs per (group, side); same input, same oracle as
+    * `q_welch_t2`.
+    */
+  def streamWelch(s: SparkSession, dir: String): DataFrame = {
+    val rows = t(s, dir, "lineitem")
+      .select(col("l_linestatus").as("grp"),
+        (col("l_returnflag") === "R").as("s"),
+        col("l_quantity").cast("long").as("v"))
+    graft.streaming.Streams.streamingWelch(s, rows,
+        queryName = s"gate_swelch_${System.nanoTime()}")
+      .orderBy(col("grp"))
+  }
+
   // ---------------------------------------------------------------- oracle
 
   /** R137 oracle: same IVF CTE as S13/S14, graded CASE relevance, the
@@ -243,9 +289,99 @@ object QueriesR14 {
       |JOIN deg du ON du.node = c.u JOIN deg dv ON dv.node = c.v
       |ORDER BY jaccard_ppm DESC, u, v LIMIT 500""".stripMargin
 
+  private val welchSql: String =
+    """WITH e AS (
+      |  SELECT l_linestatus AS grp, (l_returnflag = 'R') AS s,
+      |    CAST(l_quantity AS BIGINT) AS v
+      |  FROM lineitem
+      |), m AS (
+      |  SELECT grp, s, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(v) AS BIGINT) AS sx, SUM(CAST(v AS HUGEINT) * v) AS qx
+      |  FROM e GROUP BY 1, 2
+      |), a AS (SELECT grp, n AS n_a, sx AS s_a, qx AS q_a FROM m WHERE s),
+      |b AS (SELECT grp, n AS n_b, sx AS s_b, qx AS q_b FROM m WHERE NOT s),
+      |j AS (
+      |  SELECT COALESCE(a.grp, b.grp) AS grp,
+      |    COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b,
+      |    COALESCE(s_a, 0) AS s_a, COALESCE(s_b, 0) AS s_b,
+      |    COALESCE(q_a, 0) AS q_a, COALESCE(q_b, 0) AS q_b
+      |  FROM a FULL OUTER JOIN b ON a.grp = b.grp
+      |), c AS (
+      |  SELECT grp, n_a, n_b, s_a, s_b,
+      |    CAST(s_a AS HUGEINT) * n_b - CAST(s_b AS HUGEINT) * n_a AS d,
+      |    n_a * q_a - CAST(s_a AS HUGEINT) * s_a AS aa,
+      |    n_b * q_b - CAST(s_b AS HUGEINT) * s_b AS bb
+      |  FROM j
+      |), f AS (
+      |  SELECT grp, n_a, n_b, s_a, s_b, d,
+      |    aa * (CAST(n_b AS HUGEINT) * n_b) * (n_b - 1)
+      |      + bb * (CAST(n_a AS HUGEINT) * n_a) * (n_a - 1) AS den
+      |  FROM c
+      |)
+      |SELECT grp, n_a, n_b, s_a, s_b,
+      |  CASE WHEN n_a = 0 OR n_b = 0 THEN NULL
+      |    WHEN d >= 0 THEN
+      |      CAST(d * 1000 // (CAST(n_a AS HUGEINT) * n_b) AS BIGINT)
+      |    ELSE
+      |      -CAST((-d) * 1000 // (CAST(n_a AS HUGEINT) * n_b) AS BIGINT)
+      |  END AS mean_diff_milli,
+      |  CASE WHEN n_a < 2 OR n_b < 2 OR den <= 0 THEN NULL
+      |    ELSE CAST(d * d * (n_a - 1) * (n_b - 1) * 1000 // den AS BIGINT)
+      |  END AS t2_milli
+      |FROM f ORDER BY grp""".stripMargin
+
+  private val holtWintersSql: String =
+    """WITH RECURSIVE e AS (
+      |  SELECT CAST(SUBSTRING(o_orderpriority, 1, 1) AS BIGINT) AS k,
+      |    CAST(EXTRACT(year FROM CAST(o_orderdate AS DATE)) * 100
+      |      + EXTRACT(month FROM CAST(o_orderdate AS DATE)) AS BIGINT) AS ym,
+      |    CAST(COUNT(*) AS BIGINT) AS x
+      |  FROM orders GROUP BY 1, 2
+      |), r AS (
+      |  SELECT k, ym, x, ROW_NUMBER() OVER (PARTITION BY k ORDER BY ym) AS rn
+      |  FROM e
+      |), g AS (
+      |  SELECT k, CAST(SUM(x * 1000) // COUNT(*) AS BIGINT) AS gmean
+      |  FROM r GROUP BY 1
+      |), sidx AS (
+      |  SELECT r.k, CAST((rn - 1) % 12 + 1 AS BIGINT) AS phase,
+      |    CAST(SUM(x * 1000) // COUNT(*) - MAX(g.gmean) AS BIGINT) AS s_milli
+      |  FROM r JOIN g ON g.k = r.k GROUP BY 1, 2
+      |), rec AS (
+      |  SELECT r.k, r.ym, r.x, r.rn,
+      |    CAST((r.rn - 1) % 12 + 1 AS BIGINT) AS phase, si.s_milli,
+      |    CAST(r.x * 1000 - si.s_milli AS BIGINT) AS l,
+      |    CAST(0 AS BIGINT) AS b
+      |  FROM r JOIN sidx si
+      |    ON si.k = r.k AND si.phase = (r.rn - 1) % 12 + 1
+      |  WHERE r.rn = 1
+      |  UNION ALL
+      |  SELECT r.k, r.ym, r.x, r.rn,
+      |    CAST((r.rn - 1) % 12 + 1 AS BIGINT), si.s_milli,
+      |    CAST((200000 * (r.x * 1000 - si.s_milli)
+      |      + 800000 * (rec.l + rec.b)) // 1000000 AS BIGINT) AS l,
+      |    CAST((100000 * ((200000 * (r.x * 1000 - si.s_milli)
+      |        + 800000 * (rec.l + rec.b)) // 1000000 - rec.l)
+      |      + 900000 * rec.b) // 1000000 AS BIGINT) AS b
+      |  FROM r JOIN rec ON r.k = rec.k AND r.rn = rec.rn + 1
+      |  JOIN sidx si ON si.k = r.k AND si.phase = (r.rn - 1) % 12 + 1
+      |)
+      |SELECT rec.k AS key, rec.ym AS id, rec.ym AS ts_sec, rec.x,
+      |  rec.phase, rec.s_milli AS seasonal_milli, rec.l AS level_milli,
+      |  rec.b AS trend_milli,
+      |  CAST(rec.l + rec.b + COALESCE(sn.s_milli, 0) AS BIGINT)
+      |    AS forecast_milli
+      |FROM rec LEFT JOIN sidx sn
+      |  ON sn.k = rec.k AND sn.phase = rec.rn % 12 + 1
+      |ORDER BY key, id""".stripMargin
+
   val sql: Map[String, String] = Map(
     "q_eval_ndcg" -> ndcgSql,
     "q_kendall" -> kendallSql,
     "graph_hits" -> hitsSql,
-    "graph_link_predict" -> linkPredictSql)
+    "graph_link_predict" -> linkPredictSql,
+    "q_welch_t2" -> welchSql,
+    "q_holt_winters" -> holtWintersSql,
+    // X34 shares its batch twin's oracle verbatim: streaming ≡ batch
+    "stream_welch" -> welchSql)
 }

@@ -149,4 +149,89 @@ object Changepoint {
       val b2 = (betaPpm * (l2 - l) + (1000000L - betaPpm) * b) / 1000000L
       (l2, b2)
     }
+
+  /** R142: seasonal Holt — [[holt]] extended with FROZEN additive
+    * seasonal indices (the Holt–Winters decomposition with the seasonal
+    * state estimated once, not recursed — the variant whose rounding
+    * trajectory a SQL engine can replay: the full HW seasonal recursion
+    * carries an m-vector of mutually-recursive state that has no
+    * recursive-CTE shape, while frozen indices split cleanly into one
+    * aggregate pass + the R130 recursion):
+    *
+    *   phase(t) = ((t−1) mod m) + 1 on the POSITION in the per-key
+    *              series (order-derived, calendar-free)
+    *   s_j      = (Σ_{phase j} x·1000) div n_j − (Σ x·1000) div n
+    *   d_t      = x_t·1000 − s_phase(t)         (deseasonalized, milli)
+    *   (l, b)   = the R130 recursion on d_t (per-step TRUNCATING
+    *              division toward zero — DuckDB's `//`)
+    *   forecast = l + b + s_phase(t+1)  (next position's index; 0 when
+    *              that phase was never observed, i.e. n < m)
+    *
+    * Same execution shape as [[holt]]: ONE (key) shuffle, per-key walk,
+    * keys independent. Headroom: |x|·1000·10⁶ inside int64 — counts and
+    * cents both pass with orders of magnitude to spare.
+    *
+    * @return (key, id, ts_sec, x, phase, seasonal_milli, level_milli,
+    *         trend_milli, forecast_milli)
+    */
+  def holtSeasonal(series: DataFrame, key: Column, id: Column,
+                   tsSec: Column, x: Column, period: Int,
+                   alphaPpm: Long, betaPpm: Long): DataFrame = {
+    require(period >= 2, s"period must be >= 2, got $period")
+    require(alphaPpm >= 1 && alphaPpm <= 1000000, s"alphaPpm: $alphaPpm")
+    require(betaPpm >= 1 && betaPpm <= 1000000, s"betaPpm: $betaPpm")
+    val spark = series.sparkSession
+    import spark.implicits._
+    val typed = series.select(key.cast("long"), id.cast("long"),
+      tsSec.cast("long"), x.cast("long")).as[(Long, Long, Long, Long)]
+    typed.groupByKey(_._1)
+      .flatMapGroups { (k, rows) =>
+        val sorted = rows.toSeq.sortBy(r => (r._3, r._2))
+        val n = sorted.size
+        val meanAll = sorted.map(_._4 * 1000L).sum / n
+        val sMilli: Map[Int, Long] = sorted.zipWithIndex
+          .groupBy { case (_, i) => i % period + 1 }
+          .map { case (p, g) =>
+            p -> (g.map(_._1._4 * 1000L).sum / g.size - meanAll)
+          }
+        var l = Long.MinValue
+        var b = 0L
+        sorted.zipWithIndex.map { case ((_, eid, t, v), i) =>
+          val p = i % period + 1
+          val d = v * 1000L - sMilli(p)
+          if (l == Long.MinValue) { l = d; b = 0L }
+          else {
+            val lPrev = l
+            l = (alphaPpm * d + (1000000L - alphaPpm) * (l + b)) / 1000000L
+            b = (betaPpm * (l - lPrev) + (1000000L - betaPpm) * b) / 1000000L
+          }
+          val sNext = sMilli.getOrElse((i + 1) % period + 1, 0L)
+          (k, eid, t, v, p.toLong, sMilli(p), l, b, l + b + sNext)
+        }
+      }
+      .toDF("key", "id", "ts_sec", "x", "phase", "seasonal_milli",
+        "level_milli", "trend_milli", "forecast_milli")
+  }
+
+  /** Reference seasonal-Holt walk (specs only):
+    * xs → (phase, s, level, trend, forecast). */
+  def holtSeasonalRef(xs: Seq[Long], period: Int, alphaPpm: Long,
+                      betaPpm: Long): Seq[(Int, Long, Long, Long, Long)] = {
+    val meanAll = xs.map(_ * 1000L).sum / xs.size
+    val s = xs.zipWithIndex.groupBy(_._2 % period + 1)
+      .map { case (p, g) => p -> (g.map(_._1 * 1000L).sum / g.size - meanAll) }
+    var l = Long.MinValue
+    var b = 0L
+    xs.zipWithIndex.map { case (v, i) =>
+      val p = i % period + 1
+      val d = v * 1000L - s(p)
+      if (l == Long.MinValue) { l = d; b = 0L }
+      else {
+        val lPrev = l
+        l = (alphaPpm * d + (1000000L - alphaPpm) * (l + b)) / 1000000L
+        b = (betaPpm * (l - lPrev) + (1000000L - betaPpm) * b) / 1000000L
+      }
+      (p, s(p), l, b, l + b + s.getOrElse((i + 1) % period + 1, 0L))
+    }
+  }
 }

@@ -529,6 +529,85 @@ object RankStats {
     *         metrics null when n < 2, tau_b² additionally null when a
     *         margin is fully tied (denominator 0)
     */
+  /** R141: Welch's unequal-variance t² — the parametric two-sample
+    * location test (R120's mean-based sibling), EXACTLY rational because
+    * the n₁²n₂² factors cancel:
+    *
+    *   t² = D²·(n₁−1)(n₂−1) div [A·n₂²(n₂−1) + B·n₁²(n₁−1)],
+    *   D = S₁n₂ − S₂n₁,  A = n₁Q₁ − S₁²,  B = n₂Q₂ − S₂²
+    *
+    * (S = Σx, Q = Σx² per side) — reported ×1000 (milli), D² nonneg so
+    * the one floor division never sees a negative numerator; the signed
+    * mean difference ships separately as mean_diff_milli = sign-carried
+    * D·1000 div (n₁n₂). t is the square root — irrational, so t² is the
+    * gate-able number, exactly like R115b's χ² and R138's tau-b².
+    * NULL when either side has n < 2 or both sides are constant
+    * (denominator 0). Headroom: D²·(n−1)²·1000 inside DECIMAL(38,0) —
+    * for a 50-value domain that is n ≲ 5·10⁵ per group, stated like
+    * R126's per-group bound.
+    *
+    * One hash aggregate to (group, side) moments, then arithmetic on
+    * the two-row-per-group table — nothing data-sized after the scan.
+    * The moments tail is split out ([[welchFromMoments]]) so a
+    * streaming twin can maintain (n, S, Q) per cell and drain through
+    * the identical arithmetic.
+    *
+    * @return (grp, n_a, n_b, s_a, s_b, mean_diff_milli, t2_milli)
+    */
+  def welchT2(df: DataFrame, group: Column, side: Column,
+              x: Column): DataFrame = {
+    val cells = df.select(group.cast("string").as("grp"),
+        side.cast("boolean").as("s"), x.cast("long").as("v"))
+      .filter(col("v").isNotNull)
+      .groupBy(col("grp"), col("s"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sx"),
+        sum(expr("CAST(v AS DECIMAL(38,0)) * v")).as("qx"))
+    welchFromMoments(cells)
+  }
+
+  /** The R141 arithmetic tail over (grp, s, n, sx, qx) moment cells —
+    * shared verbatim by the batch operator and the X34 streaming twin.
+    */
+  def welchFromMoments(cells: DataFrame): DataFrame = {
+    val a = cells.filter(col("s"))
+      .select(col("grp"), col("n").as("n_a"), col("sx").as("s_a"),
+        col("qx").as("q_a"))
+    val b = cells.filter(!col("s"))
+      .select(col("grp"), col("n").as("n_b"), col("sx").as("s_b"),
+        col("qx").as("q_b"))
+    a.join(b, Seq("grp"), "full_outer")
+      .select(col("grp"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"),
+        coalesce(col("s_a"), lit(0L)).as("s_a"),
+        coalesce(col("s_b"), lit(0L)).as("s_b"),
+        coalesce(col("q_a"), expr("CAST(0 AS DECIMAL(38,0))")).as("__qa"),
+        coalesce(col("q_b"), expr("CAST(0 AS DECIMAL(38,0))")).as("__qb"))
+      .withColumn("__d",
+        expr("CAST(s_a AS DECIMAL(38,0)) * n_b - CAST(s_b AS DECIMAL(38,0)) * n_a"))
+      .withColumn("__aa", expr("n_a * __qa - CAST(s_a AS DECIMAL(38,0)) * s_a"))
+      .withColumn("__bb", expr("n_b * __qb - CAST(s_b AS DECIMAL(38,0)) * s_b"))
+      .withColumn("__den", expr(
+        """__aa * (CAST(n_b AS DECIMAL(38,0)) * n_b) * (n_b - 1)
+          | + __bb * (CAST(n_a AS DECIMAL(38,0)) * n_a) * (n_a - 1)"""
+          .stripMargin))
+      .withColumn("mean_diff_milli",
+        when(col("n_a") === 0 || col("n_b") === 0, lit(null))
+          .otherwise(expr("""CASE WHEN __d >= 0
+            |THEN CAST(__d * 1000 div (CAST(n_a AS DECIMAL(38,0)) * n_b)
+            |  AS BIGINT)
+            |ELSE -CAST((-__d) * 1000 div (CAST(n_a AS DECIMAL(38,0)) * n_b)
+            |  AS BIGINT)
+            |END""".stripMargin)))
+      .withColumn("t2_milli",
+        when(col("n_a") < 2 || col("n_b") < 2 || col("__den") <= 0, lit(null))
+          .otherwise(expr(
+            """CAST(__d * __d * (n_a - 1) * (n_b - 1) * 1000 div __den
+              | AS BIGINT)""".stripMargin)))
+      .select(col("grp"), col("n_a"), col("n_b"), col("s_a"), col("s_b"),
+        col("mean_diff_milli"), col("t2_milli"))
+  }
+
   def kendallTau(df: DataFrame, group: String, xcol: Column,
                  ycol: Column): DataFrame = {
     val cells = df.select(col(group).cast("string").as("grp"),

@@ -1196,6 +1196,57 @@ object Streams {
     }
   }
 
+  /** X34: streaming Welch monitor — R141's exact two-sample t²
+    * maintained from THREE longs of state per (group, side) cell
+    * (n, Σx, Σx²); each batch emits the cell's current moments,
+    * update-mode max_by-n per cell is the final snapshot (n only
+    * grows), and the drained moment cells flow through the SAME batch
+    * tail ([[graft.operators.RankStats.welchFromMoments]]) — streaming
+    * ≡ batch by construction, X34 shares R141's oracle verbatim. State
+    * is O(groups × 2): the live "did the two feeds' means split" alarm
+    * next to X30's mix-drift and X31's quantile-shift monitors.
+    *
+    * @param rows (grp, s, v) — side s true = population A
+    */
+  def streamingWelch(spark: SparkSession, rows: DataFrame,
+                     queryName: String,
+                     rocksDb: Boolean = UseRocksDb): DataFrame = {
+    import spark.implicits._
+    val typed = rows.select(col("grp").cast("string"),
+        col("s").cast("boolean"), col("v").cast("long"))
+      .as[(String, Boolean, Long)]
+    val path = stageToTemp(typed.toDF("grp", "s", "v"), "swelch")
+
+    val update: ((String, Boolean), Iterator[(String, Boolean, Long)],
+        GroupState[(Long, Long, Long)]) =>
+        (String, Boolean, Long, Long, Long) = (key, batch, state) => {
+      var (n, sx, qx) = state.getOption.getOrElse((0L, 0L, 0L))
+      batch.foreach { case (_, _, v) => n += 1; sx += v; qx += v * v }
+      state.update((n, sx, qx))
+      (key._1, key._2, n, sx, qx)
+    }
+
+    withStateSession(spark, 8, rocksDb) { iso =>
+      val stream = iso.readStream.schema(typed.schema).parquet(path)
+        .as[(String, Boolean, Long)]
+      val moments = stream.groupByKey(r => (r._1, r._2))
+        .mapGroupsWithState(GroupStateTimeout.NoTimeout)(update)
+        .toDF("grp", "s", "n", "sx", "qx")
+      val q = moments.writeStream.outputMode("update")
+        .format("memory").queryName(queryName).start()
+      try { q.processAllAvailable() } finally { q.stop() }
+      // localCheckpoint: the Welch tail splits the cell table into the
+      // two sides and full-outer-joins them — a MemorySink plan reused
+      // on both sides trips Catalyst's conflicting-reference check
+      val cells = iso.table(queryName)
+        .groupBy(col("grp"), col("s"))
+        .agg(max(col("n")).as("n"), max_by(col("sx"), col("n")).as("sx"),
+          max_by(col("qx"), col("n")).cast("decimal(38,0)").as("qx"))
+        .localCheckpoint()
+      graft.operators.RankStats.welchFromMoments(cells)
+    }
+  }
+
   /** X31: streaming quantile-shift monitor — R129's two-sample type-1
     * quantile report maintained from ONE long of state per
     * (group, side, value) grid cell; update-mode max-per-cell is the

@@ -137,4 +137,44 @@ class ChangepointSpec extends AnyFunSuite {
     assert(got((1L, 1L)) == 900000L) // id 1 is the seed despite equal ts
     assert(got((2L, 3L)) == 700000L)
   }
+
+  // --------------------------------------------------- R142 seasonal Holt
+
+  private def runHw(xs: Seq[Long], m: Int, a: Long, b: Long)
+      : Seq[(Long, Long, Long, Long, Long)] = {
+    val df = xs.zipWithIndex.map { case (x, i) => (1L, i.toLong, i.toLong, x) }
+      .toDF("key", "id", "ts", "x")
+    Changepoint.holtSeasonal(df, col("key"), col("id"), col("ts"), col("x"),
+        m, a, b)
+      .orderBy(col("id"))
+      .select(col("phase"), col("seasonal_milli"), col("level_milli"),
+        col("trend_milli"), col("forecast_milli"))
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+  }
+
+  test("seasonal holt: matches the reference walk on a trending series") {
+    val xs = Seq(100L, 220L, 130L, 120L, 260L, 140L, 150L, 280L, 180L)
+    val got = runHw(xs, 3, 300000L, 200000L)
+    val ref = Changepoint.holtSeasonalRef(xs, 3, 300000L, 200000L)
+    assert(got == ref.map(r => (r._1.toLong, r._2, r._3, r._4, r._5)))
+  }
+
+  test("seasonal holt: a pure periodic series forecasts itself exactly") {
+    // repeating [10, 20, 30]: deseasonalized is constant, trend stays 0,
+    // forecast = level + next phase's index = the next value, exactly
+    val xs = Seq(10L, 20L, 30L, 10L, 20L, 30L, 10L, 20L, 30L)
+    val got = runHw(xs, 3, 200000L, 100000L)
+    assert(got.forall(_._4 == 0L), "no trend on a flat deseasonalized walk")
+    assert(got.forall(_._3 == 20000L), "level = the global mean in milli")
+    got.init.zip(xs.tail).foreach { case (row, next) =>
+      assert(row._5 == next * 1000L, "one-step forecast is exact")
+    }
+  }
+
+  test("seasonal holt: series shorter than the period uses 0 for unseen phases") {
+    val got = runHw(Seq(100L, 200L), 4, 500000L, 500000L)
+    assert(got.map(_._1) == Seq(1L, 2L))
+    // last row's next phase (3) never observed -> forecast = l + b + 0
+    assert(got.last._5 == got.last._3 + got.last._4)
+  }
 }

@@ -433,4 +433,69 @@ class RankStatsSpec extends AnyFunSuite {
     assert(got("tied")._6.contains(0L))
     assert(got("tied")._7.isEmpty)
   }
+
+  // ----------------------------------------------------------- R141 Welch
+
+  private def runWelch(rows: Seq[(String, Boolean, Long)])
+      : Map[String, (Long, Long, Long, Long, Option[Long], Option[Long])] = {
+    val df = rows.toDF("g", "s", "v")
+    RankStats.welchT2(df, col("g"), col("s"), col("v"))
+      .as[(String, Long, Long, Long, Long, Option[Long], Option[Long])]
+      .collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6, r._7))).toMap
+  }
+
+  /** Exact BigInt replay of the rational identity. */
+  private def refWelch(a: Seq[Long], b: Seq[Long])
+      : (Option[Long], Option[Long]) = {
+    val (na, nb) = (BigInt(a.size), BigInt(b.size))
+    val (sa, sb) = (BigInt(a.sum), BigInt(b.sum))
+    val qa = a.map(v => BigInt(v) * v).sum
+    val qb = b.map(v => BigInt(v) * v).sum
+    val d = sa * nb - sb * na
+    val md = if (na == 0 || nb == 0) None
+      else Some((d.abs * 1000 / (na * nb) * (if (d < 0) -1 else 1)).toLong)
+    val den = (na * qa - sa * sa) * nb * nb * (nb - 1) +
+      (nb * qb - sb * sb) * na * na * (na - 1)
+    val t2 = if (na < 2 || nb < 2 || den <= 0) None
+      else Some((d * d * (na - 1) * (nb - 1) * 1000 / den).toLong)
+    (md, t2)
+  }
+
+  test("welch: matches the exact rational identity AND the float t²") {
+    val a = Seq(12L, 15L, 11L, 18L, 14L)
+    val b = Seq(9L, 10L, 8L, 12L)
+    val got = runWelch(a.map(("g", true, _)) ++ b.map(("g", false, _)))("g")
+    assert((got._5, got._6) == refWelch(a, b))
+    // float cross-check: t = (m1-m2)/sqrt(v1/n1+v2/n2)
+    def mv(xs: Seq[Long]) = {
+      val m = xs.sum.toDouble / xs.size
+      (m, xs.map(x => (x - m) * (x - m)).sum / (xs.size - 1.0))
+    }
+    val ((m1, v1), (m2, v2)) = (mv(a), mv(b))
+    val t2f = (m1 - m2) * (m1 - m2) / (v1 / a.size + v2 / b.size)
+    assert(math.abs(got._6.get - t2f * 1000).toDouble <= 1.0,
+      s"milli t² ${got._6.get} vs float ${t2f * 1000}")
+  }
+
+  test("welch: identical sides land at 0; sign follows the mean order") {
+    val same = (1L to 5L).flatMap(v => Seq(("eq", true, v), ("eq", false, v)))
+    val gotEq = runWelch(same)("eq")
+    assert(gotEq._5.contains(0L) && gotEq._6.contains(0L))
+    val lower = runWelch(
+      Seq(1L, 2L, 3L).map(("lo", true, _)) ++
+        Seq(10L, 11L, 12L).map(("lo", false, _)))("lo")
+    assert(lower._5.exists(_ < 0L), "A below B means a negative mean diff")
+  }
+
+  test("welch: constant sides and missing sides degenerate to NULL") {
+    val const = Seq(("c", true, 5L), ("c", true, 5L),
+      ("c", false, 7L), ("c", false, 7L))
+    val gotC = runWelch(const)("c")
+    assert(gotC._6.isEmpty, "zero variance has no t²")
+    assert(gotC._5.contains(-2000L), "mean diff stays exact")
+    val gotM = runWelch(Seq(("m", true, 5L), ("m", true, 6L)))("m")
+    assert(gotM._5.isEmpty && gotM._6.isEmpty)
+    assert((gotM._1, gotM._2) == ((2L, 0L)))
+  }
 }

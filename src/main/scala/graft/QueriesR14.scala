@@ -119,6 +119,32 @@ object QueriesR14 {
       .orderBy(col("key"), col("id"))
   }
 
+  /** R143: forecast-error report — MASE of the R142 seasonal-Holt
+    * forecasts on the monthly order-count series, against the naive and
+    * seasonal-naive baselines; the evaluation loop the forecasting kit
+    * was missing (R130/R142 produce forecasts, this grades them).
+    */
+  def qForecastError(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Changepoint.forecastError(qHoltWinters(s, dir),
+        col("key"), col("id"), col("x"), col("forecast_milli"), period = 12)
+      .orderBy(col("key"))
+
+  /** R144: seasonal-strength report — how much monthly-order-count
+    * variance the 12-position seasonal indices explain, per priority
+    * class; the "is R142 even the right model here" screen.
+    */
+  def qSeasonalStrength(s: SparkSession, dir: String): DataFrame = {
+    val mo = t(s, dir, "orders")
+      .select(substring(col("o_orderpriority"), 1, 1).cast("long").as("k"),
+        (year(col("o_orderdate").cast("date")) * 100 +
+          month(col("o_orderdate").cast("date"))).cast("long").as("ym"))
+      .groupBy(col("k"), col("ym"))
+      .agg(count(lit(1)).as("x"))
+    graft.operators.Changepoint.seasonalStrength(mo, col("k"), col("ym"),
+        col("ym"), col("x"), period = 12)
+      .orderBy(col("key"))
+  }
+
   /** X34: streaming Welch monitor (see
     * [[graft.streaming.Streams.streamingWelch]]) — R141 maintained from
     * three longs per (group, side); same input, same oracle as
@@ -375,6 +401,86 @@ object QueriesR14 {
       |  ON sn.k = rec.k AND sn.phase = rec.rn % 12 + 1
       |ORDER BY key, id""".stripMargin
 
+  /** R143 oracle: the R142 recursive CTE embedded as a subquery, then
+    * per-key LAG baselines and one aggregate.
+    */
+  private val forecastErrorSql: String =
+    s"""WITH base AS (
+       |  SELECT * FROM (
+       |${holtWintersSql.replace("ORDER BY key, id", "")}
+       |  ) t
+       |), l AS (
+       |  SELECT key, id, x, forecast_milli,
+       |    LAG(x) OVER w AS x_prev,
+       |    LAG(forecast_milli) OVER w AS f_prev,
+       |    LAG(x, 12) OVER w AS x_prevm
+       |  FROM base WINDOW w AS (PARTITION BY key ORDER BY id)
+       |), a AS (
+       |  SELECT key, CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(ABS(x * 1000 - f_prev)) AS BIGINT) AS ae_model,
+       |    CAST(COUNT(f_prev) AS BIGINT) AS n_model,
+       |    CAST(SUM(ABS(x - x_prev) * 1000) AS BIGINT) AS ae_naive,
+       |    CAST(COUNT(x_prev) AS BIGINT) AS n_naive,
+       |    CAST(SUM(ABS(x - x_prevm) * 1000) AS BIGINT) AS ae_snaive,
+       |    CAST(COUNT(x_prevm) AS BIGINT) AS n_snaive
+       |  FROM l GROUP BY 1
+       |)
+       |SELECT key, n,
+       |  CASE WHEN n_model = 0 THEN NULL
+       |    ELSE ae_model // n_model END AS mae_model_milli,
+       |  CASE WHEN n_naive = 0 THEN NULL
+       |    ELSE ae_naive // n_naive END AS mae_naive_milli,
+       |  CASE WHEN n_snaive = 0 THEN NULL
+       |    ELSE ae_snaive // n_snaive END AS mae_snaive_milli,
+       |  CASE WHEN n_model = 0 OR COALESCE(ae_naive, 0) = 0 THEN NULL
+       |    ELSE CAST(CAST(ae_model AS HUGEINT) * n_naive * 1000000
+       |      // (CAST(n_model AS HUGEINT) * ae_naive) AS BIGINT)
+       |  END AS mase_ppm,
+       |  CASE WHEN n_model = 0 OR COALESCE(ae_snaive, 0) = 0 THEN NULL
+       |    ELSE CAST(CAST(ae_model AS HUGEINT) * n_snaive * 1000000
+       |      // (CAST(n_model AS HUGEINT) * ae_snaive) AS BIGINT)
+       |  END AS smase_ppm
+       |FROM a ORDER BY key""".stripMargin
+
+  private val seasonalStrengthSql: String =
+    """WITH e AS (
+      |  SELECT CAST(SUBSTRING(o_orderpriority, 1, 1) AS BIGINT) AS k,
+      |    CAST(EXTRACT(year FROM CAST(o_orderdate AS DATE)) * 100
+      |      + EXTRACT(month FROM CAST(o_orderdate AS DATE)) AS BIGINT) AS ym,
+      |    CAST(COUNT(*) AS BIGINT) AS x
+      |  FROM orders GROUP BY 1, 2
+      |), r AS (
+      |  SELECT k, ym, x, ROW_NUMBER() OVER (PARTITION BY k ORDER BY ym) AS rn
+      |  FROM e
+      |), g AS (
+      |  SELECT k, CAST(SUM(x * 1000) // COUNT(*) AS BIGINT) AS gmean
+      |  FROM r GROUP BY 1
+      |), sidx AS (
+      |  SELECT r.k, CAST((rn - 1) % 12 + 1 AS BIGINT) AS phase,
+      |    CAST(SUM(x * 1000) // COUNT(*) - MAX(g.gmean) AS BIGINT) AS s_milli
+      |  FROM r JOIN g ON g.k = r.k GROUP BY 1, 2
+      |), d AS (
+      |  SELECT r.k, r.x * 1000 AS xm, r.x * 1000 - si.s_milli AS dm
+      |  FROM r JOIN sidx si
+      |    ON si.k = r.k AND si.phase = (r.rn - 1) % 12 + 1
+      |), a AS (
+      |  SELECT k, CAST(COUNT(*) AS BIGINT) AS n,
+      |    SUM(CAST(xm AS HUGEINT)) AS sx, SUM(CAST(dm AS HUGEINT)) AS sd
+      |  FROM d GROUP BY 1
+      |), v AS (
+      |  SELECT d.k, MAX(a.n) AS n,
+      |    SUM((a.n * CAST(d.xm AS HUGEINT) - a.sx)
+      |      * (a.n * CAST(d.xm AS HUGEINT) - a.sx)) AS vx,
+      |    SUM((a.n * CAST(d.dm AS HUGEINT) - a.sd)
+      |      * (a.n * CAST(d.dm AS HUGEINT) - a.sd)) AS vd
+      |  FROM d JOIN a ON a.k = d.k GROUP BY 1
+      |)
+      |SELECT k AS key, n,
+      |  CASE WHEN vx = 0 THEN NULL
+      |    ELSE CAST(1000000 - vd * 1000000 // vx AS BIGINT)
+      |  END AS strength_ppm
+      |FROM v ORDER BY key""".stripMargin
+
   val sql: Map[String, String] = Map(
     "q_eval_ndcg" -> ndcgSql,
     "q_kendall" -> kendallSql,
@@ -382,6 +488,8 @@ object QueriesR14 {
     "graph_link_predict" -> linkPredictSql,
     "q_welch_t2" -> welchSql,
     "q_holt_winters" -> holtWintersSql,
+    "q_forecast_error" -> forecastErrorSql,
+    "q_seasonal_strength" -> seasonalStrengthSql,
     // X34 shares its batch twin's oracle verbatim: streaming ≡ batch
     "stream_welch" -> welchSql)
 }

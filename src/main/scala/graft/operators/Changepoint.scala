@@ -213,6 +213,115 @@ object Changepoint {
         "level_milli", "trend_milli", "forecast_milli")
   }
 
+  /** R143: forecast-error report — MASE and friends for any per-key
+    * one-step forecast column (Hyndman & Koehler 2006's scale-free
+    * forecast accuracy, public literature), exactly rational:
+    *
+    *   mae_model  = Σ|x_{t+1}·1000 − forecast(t)| div (n−1)
+    *   mae_naive  = Σ|x_{t+1} − x_t|·1000        div (n−1)
+    *   mae_snaive = Σ|x_{t+m} − x_t|·1000        div (n−m)
+    *   mase_ppm   = ae_model·n_naive·10⁶ div (n_model·ae_naive)
+    *                (one floor — the two means' denominators cancel
+    *                into the ratio), likewise smase vs seasonal naive
+    *
+    * < 10⁶ means the model beats the baseline. The lag join is a
+    * per-KEY window (series are tick-bounded aggregates by contract —
+    * the R130/R142 posture), one hash aggregate after it. NULL metrics
+    * when the baseline error is 0 or the series is too short.
+    *
+    * @param forecasted output of [[holt]]/[[holtSeasonal]] (or any
+    *                   frame with key, id, x, and a forecast column
+    *                   where row t's forecast predicts row t+1's x)
+    * @return (key, n, mae_model_milli, mae_naive_milli,
+    *         mae_snaive_milli, mase_ppm, smase_ppm)
+    */
+  def forecastError(forecasted: DataFrame, key: Column, id: Column,
+                    x: Column, forecastMilli: Column,
+                    period: Int): DataFrame = {
+    require(period >= 1, s"period must be >= 1, got $period")
+    val w = Window.partitionBy(col("key")).orderBy(col("id"))
+    forecasted.select(key.as("key"), id.as("id"), x.cast("long").as("x"),
+        forecastMilli.cast("long").as("f"))
+      .withColumn("x_prev", lag(col("x"), 1).over(w))
+      .withColumn("f_prev", lag(col("f"), 1).over(w))
+      .withColumn("x_prevm", lag(col("x"), period).over(w))
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("n"),
+        sum(abs(col("x") * 1000 - col("f_prev"))).as("ae_model"),
+        count(col("f_prev")).as("n_model"),
+        sum(abs(col("x") - col("x_prev")) * 1000).as("ae_naive"),
+        count(col("x_prev")).as("n_naive"),
+        sum(abs(col("x") - col("x_prevm")) * 1000).as("ae_snaive"),
+        count(col("x_prevm")).as("n_snaive"))
+      .select(col("key"), col("n"),
+        when(col("n_model") === 0, lit(null))
+          .otherwise(expr("ae_model div n_model")).as("mae_model_milli"),
+        when(col("n_naive") === 0, lit(null))
+          .otherwise(expr("ae_naive div n_naive")).as("mae_naive_milli"),
+        when(col("n_snaive") === 0, lit(null))
+          .otherwise(expr("ae_snaive div n_snaive")).as("mae_snaive_milli"),
+        when(col("n_model") === 0 ||
+            coalesce(col("ae_naive"), lit(0L)) === 0, lit(null))
+          .otherwise(expr(
+            """CAST(CAST(ae_model AS DECIMAL(38,0)) * n_naive * 1000000
+              | div (CAST(n_model AS DECIMAL(38,0)) * ae_naive) AS BIGINT)"""
+              .stripMargin)).as("mase_ppm"),
+        when(col("n_model") === 0 ||
+            coalesce(col("ae_snaive"), lit(0L)) === 0, lit(null))
+          .otherwise(expr(
+            """CAST(CAST(ae_model AS DECIMAL(38,0)) * n_snaive * 1000000
+              | div (CAST(n_model AS DECIMAL(38,0)) * ae_snaive) AS BIGINT)"""
+              .stripMargin)).as("smase_ppm"))
+  }
+
+  /** R144: seasonal-strength report — how much of a series' variance
+    * the R142 frozen seasonal indices explain, exactly:
+    *
+    *   strength_ppm = 10⁶ − Var(x·1000 − s_phase)·10⁶ div Var(x·1000)
+    *
+    * with both variances n²-scaled integer sums Σ(n·v − Σv)² — the
+    * R131 trick, so the n² factors cancel in the ratio and nothing is
+    * ever fractional. 10⁶ = the indices absorb everything, 0 = nothing,
+    * NEGATIVE = deseasonalizing ADDED variance (a genuinely aseasonal
+    * series — kept signed rather than clamped, the diagnostic is the
+    * point). NULL for constant series. Same per-key walk as
+    * [[holtSeasonal]]; sums accumulate in BigInt (n·x·1000 squared
+    * exceeds int64 long before the inputs do).
+    *
+    * @return (key, n, strength_ppm)
+    */
+  def seasonalStrength(series: DataFrame, key: Column, id: Column,
+                       tsSec: Column, x: Column, period: Int): DataFrame = {
+    require(period >= 2, s"period must be >= 2, got $period")
+    val spark = series.sparkSession
+    import spark.implicits._
+    val typed = series.select(key.cast("long"), id.cast("long"),
+      tsSec.cast("long"), x.cast("long")).as[(Long, Long, Long, Long)]
+    typed.groupByKey(_._1)
+      .mapGroups { (k, rows) =>
+        val sorted = rows.toSeq.sortBy(r => (r._3, r._2))
+        val n = sorted.size
+        val xm = sorted.map(_._4 * 1000L)
+        val meanAll = xm.sum / n
+        val sMilli: Map[Int, Long] = xm.zipWithIndex
+          .groupBy(_._2 % period + 1)
+          .map { case (p, g) => p -> (g.map(_._1).sum / g.size - meanAll) }
+        val dm = xm.zipWithIndex.map { case (v, i) =>
+          v - sMilli(i % period + 1)
+        }
+        def varN2(vs: Seq[Long]): BigInt = {
+          val s = vs.map(BigInt(_)).sum
+          vs.map(v => { val t = BigInt(n) * v - s; t * t }).sum
+        }
+        val (vx, vd) = (varN2(xm), varN2(dm))
+        val strength =
+          if (vx == 0) None
+          else Some((BigInt(1000000) - vd * 1000000 / vx).toLong)
+        (k, n.toLong, strength)
+      }
+      .toDF("key", "n", "strength_ppm")
+  }
+
   /** Reference seasonal-Holt walk (specs only):
     * xs → (phase, s, level, trend, forecast). */
   def holtSeasonalRef(xs: Seq[Long], period: Int, alphaPpm: Long,

@@ -177,4 +177,71 @@ class ChangepointSpec extends AnyFunSuite {
     // last row's next phase (3) never observed -> forecast = l + b + 0
     assert(got.last._5 == got.last._3 + got.last._4)
   }
+
+  // ---------------------------------------------- R143 forecast error
+
+  private def runFe(rows: Seq[(Long, Long)], m: Int)
+      : (Long, Option[Long], Option[Long], Option[Long], Option[Long],
+         Option[Long]) = {
+    // rows: (x, forecast_milli) at positions 0..n-1
+    val df = rows.zipWithIndex
+      .map { case ((x, f), i) => (1L, i.toLong, x, f) }
+      .toDF("key", "id", "x", "forecast_milli")
+    Changepoint.forecastError(df, col("key"), col("id"), col("x"),
+        col("forecast_milli"), m)
+      .select(col("n"), col("mae_model_milli"), col("mae_naive_milli"),
+        col("mae_snaive_milli"), col("mase_ppm"), col("smase_ppm"))
+      .as[(Long, Option[Long], Option[Long], Option[Long], Option[Long],
+        Option[Long])]
+      .collect().head
+  }
+
+  test("forecast error: a perfect forecaster scores MASE 0") {
+    val xs = Seq(10L, 12L, 14L, 16L)
+    val rows = xs.zipWithIndex.map { case (x, i) =>
+      (x, if (i + 1 < xs.size) xs(i + 1) * 1000L else 0L)
+    }
+    val got = runFe(rows, 2)
+    assert(got._2.contains(0L), "model MAE is zero")
+    assert(got._3.contains(2000L), "naive MAE = the constant step")
+    assert(got._5.contains(0L))
+  }
+
+  test("forecast error: forecasting the last value IS the naive baseline") {
+    val xs = Seq(5L, 9L, 4L, 11L, 7L)
+    val rows = xs.map(x => (x, x * 1000L))
+    val got = runFe(rows, 2)
+    assert(got._2 == got._3, "model MAE equals naive MAE")
+    assert(got._5.contains(1000000L), "MASE is exactly 1e6")
+  }
+
+  test("forecast error: single tick yields NULL metrics, n = 1") {
+    val got = runFe(Seq((42L, 0L)), 2)
+    assert(got._1 == 1L)
+    assert(got._2.isEmpty && got._3.isEmpty && got._5.isEmpty)
+  }
+
+  // ------------------------------------------- R144 seasonal strength
+
+  private def runSs(xs: Seq[Long], m: Int): (Long, Option[Long]) = {
+    val df = xs.zipWithIndex.map { case (x, i) => (1L, i.toLong, i.toLong, x) }
+      .toDF("key", "id", "ts", "x")
+    Changepoint.seasonalStrength(df, col("key"), col("id"), col("ts"),
+        col("x"), m)
+      .select(col("n"), col("strength_ppm"))
+      .as[(Long, Option[Long])].collect().head
+  }
+
+  test("seasonal strength: pure periodic is 1e6, constant is NULL") {
+    assert(runSs(Seq(10L, 20L, 30L, 10L, 20L, 30L, 10L, 20L, 30L), 3)
+      == ((9L, Some(1000000L))))
+    assert(runSs(Seq(7L, 7L, 7L, 7L), 2) == ((4L, None)))
+  }
+
+  test("seasonal strength: period mismatched to the cycle explains nothing") {
+    // period-2 signal examined at period 3: every phase sees the same
+    // mix, indices land at 0, deseasonalized variance = raw variance
+    val got = runSs(Seq(0L, 100L, 0L, 100L, 0L, 100L), 3)
+    assert(got._2.contains(0L))
+  }
 }

@@ -38,7 +38,18 @@ object Bench {
     "q_rank_normalize", "text_novelty", "q_skyline", "q_eval_gains",
     // round-6 surface: prefix-filtered exact set-sim join, grid-walk
     // survival, seed-personalized pagerank, ranked statistics
-    "dedup_setsim_exact", "q_survival_km", "graph_ppr", "q_gini_coeff")
+    "dedup_setsim_exact", "q_survival_km", "graph_ppr", "q_gini_coeff",
+    // round-6 batches b-e: drift grids, one-sided containment join,
+    // per-key recursions, survival A/B
+    "q_wasserstein", "q_abc_class", "dedup_containment", "q_holt_trend",
+    "q_autocorr", "q_logrank",
+    // round-6 batches f-h: the centrality/graph-statistics suite
+    "graph_betweenness", "graph_eigenvector", "graph_assortativity",
+    "graph_modularity",
+    // round-6 batches i-l: graded retrieval eval, grid tau, directed
+    // HITS, wedge-join link prediction, parametric tests, seasonal Holt
+    "q_eval_ndcg", "q_kendall", "graph_hits", "graph_link_predict",
+    "q_welch_t2", "q_holt_winters")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -145,6 +145,34 @@ object QueriesR14 {
       .orderBy(col("key"))
   }
 
+  /** T28: source vocabulary-overlap matrix (see
+    * [[graft.operators.Retrieval.vocabOverlap]]) over the documents
+    * corpus — the mixture diagnostic one level above D10's
+    * document-level leakage matrix.
+    */
+  def textVocabOverlap(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Retrieval.vocabOverlap(t(s, dir, "documents"),
+        col("source"), col("text"))
+      .orderBy(col("src_a"), col("src_b"))
+
+  /** R145: classical MA decomposition (see
+    * [[graft.operators.Changepoint.decomposeMA]]) of the monthly
+    * order-count series per priority class — trend via the centered
+    * 12-window MA, seasonal from per-phase detrended means, remainder
+    * closing the additive identity bit-exactly.
+    */
+  def qDecomposeMa(s: SparkSession, dir: String): DataFrame = {
+    val mo = t(s, dir, "orders")
+      .select(substring(col("o_orderpriority"), 1, 1).cast("long").as("k"),
+        (year(col("o_orderdate").cast("date")) * 100 +
+          month(col("o_orderdate").cast("date"))).cast("long").as("ym"))
+      .groupBy(col("k"), col("ym"))
+      .agg(count(lit(1)).as("x"))
+    graft.operators.Changepoint.decomposeMA(mo, col("k"), col("ym"),
+        col("ym"), col("x"), period = 12)
+      .orderBy(col("key"), col("id"))
+  }
+
   /** X34: streaming Welch monitor (see
     * [[graft.streaming.Streams.streamingWelch]]) — R141 maintained from
     * three longs per (group, side); same input, same oracle as
@@ -481,6 +509,59 @@ object QueriesR14 {
       |  END AS strength_ppm
       |FROM v ORDER BY key""".stripMargin
 
+  private val vocabOverlapSql: String =
+    """WITH sv AS (
+      |  SELECT DISTINCT source AS src, w
+      |  FROM (SELECT source, unnest(str_split(text, ' ')) AS w
+      |        FROM documents) t
+      |  WHERE w <> ''
+      |), sizes AS (
+      |  SELECT src, CAST(COUNT(*) AS BIGINT) AS nv FROM sv GROUP BY 1
+      |), inter AS (
+      |  SELECT a.src AS src_a, b.src AS src_b,
+      |    CAST(COUNT(*) AS BIGINT) AS n_inter
+      |  FROM sv a JOIN sv b ON a.w = b.w AND a.src < b.src
+      |  GROUP BY 1, 2
+      |), pairs AS (
+      |  SELECT a.src AS src_a, b.src AS src_b, a.nv AS nv_a, b.nv AS nv_b
+      |  FROM sizes a JOIN sizes b ON a.src < b.src
+      |)
+      |SELECT p.src_a, p.src_b, p.nv_a, p.nv_b,
+      |  COALESCE(i.n_inter, 0) AS n_inter,
+      |  CAST(COALESCE(i.n_inter, 0) * 1000000
+      |    // (p.nv_a + p.nv_b - COALESCE(i.n_inter, 0)) AS BIGINT)
+      |    AS jaccard_ppm
+      |FROM pairs p LEFT JOIN inter i
+      |  ON i.src_a = p.src_a AND i.src_b = p.src_b
+      |ORDER BY p.src_a, p.src_b""".stripMargin
+
+  private val decomposeMaSql: String =
+    """WITH e AS (
+      |  SELECT CAST(SUBSTRING(o_orderpriority, 1, 1) AS BIGINT) AS k,
+      |    CAST(EXTRACT(year FROM CAST(o_orderdate AS DATE)) * 100
+      |      + EXTRACT(month FROM CAST(o_orderdate AS DATE)) AS BIGINT) AS ym,
+      |    CAST(COUNT(*) AS BIGINT) AS x
+      |  FROM orders GROUP BY 1, 2
+      |), r AS (
+      |  SELECT k, ym, x, ROW_NUMBER() OVER (PARTITION BY k ORDER BY ym) AS rn
+      |  FROM e
+      |), tw AS (
+      |  SELECT k, ym, x, rn, CAST((rn - 1) % 12 + 1 AS BIGINT) AS phase,
+      |    CAST(SUM(x * 1000) OVER w // COUNT(*) OVER w AS BIGINT) AS trend
+      |  FROM r WINDOW w AS (PARTITION BY k ORDER BY rn
+      |    ROWS BETWEEN 6 PRECEDING AND 5 FOLLOWING)
+      |), dt AS (
+      |  SELECT k, ym, x, phase, trend, x * 1000 - trend AS det FROM tw
+      |), s AS (
+      |  SELECT k, phase, CAST(SUM(det) // COUNT(*) AS BIGINT) AS s_milli
+      |  FROM dt GROUP BY 1, 2
+      |)
+      |SELECT dt.k AS key, dt.ym AS id, dt.x, dt.phase,
+      |  dt.trend AS trend_milli, s.s_milli AS seasonal_milli,
+      |  CAST(dt.det - s.s_milli AS BIGINT) AS remainder_milli
+      |FROM dt JOIN s ON s.k = dt.k AND s.phase = dt.phase
+      |ORDER BY key, id""".stripMargin
+
   val sql: Map[String, String] = Map(
     "q_eval_ndcg" -> ndcgSql,
     "q_kendall" -> kendallSql,
@@ -490,6 +571,8 @@ object QueriesR14 {
     "q_holt_winters" -> holtWintersSql,
     "q_forecast_error" -> forecastErrorSql,
     "q_seasonal_strength" -> seasonalStrengthSql,
+    "text_vocab_overlap" -> vocabOverlapSql,
+    "q_decompose_ma" -> decomposeMaSql,
     // X34 shares its batch twin's oracle verbatim: streaming ≡ batch
     "stream_welch" -> welchSql)
 }

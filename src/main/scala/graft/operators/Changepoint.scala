@@ -322,6 +322,49 @@ object Changepoint {
       .toDF("key", "n", "strength_ppm")
   }
 
+  /** R145: classical moving-average decomposition — x = trend +
+    * seasonal + remainder, each part exact in milli-units:
+    *
+    *   trend(t)    = Σ_window x·1000 div |window|, the centered MA over
+    *                 up to m rows (⌊m/2⌋ back, ⌈m/2⌉−1 forward; edge
+    *                 rows average their TRUNCATED window — stated, so
+    *                 both engines agree instead of emitting nulls)
+    *   seasonal(j) = Σ_{phase j} (x·1000 − trend) div n_j  (phase =
+    *                 position mod m, as in [[holtSeasonal]]; trunc
+    *                 toward zero on the possibly-negative sum)
+    *   remainder   = x·1000 − trend − seasonal
+    *
+    * The additive identity holds bit-exactly by construction. Windows
+    * are per-KEY over tick-bounded series (the R130 posture); one
+    * (key, phase) aggregate + a broadcast-size join back.
+    *
+    * @return (key, id, x, phase, trend_milli, seasonal_milli,
+    *         remainder_milli)
+    */
+  def decomposeMA(series: DataFrame, key: Column, id: Column,
+                  tsSec: Column, x: Column, period: Int): DataFrame = {
+    require(period >= 2, s"period must be >= 2, got $period")
+    val w = Window.partitionBy(col("key")).orderBy(col("ts_sec"), col("id"))
+    val wma = w.rowsBetween(-(period / 2), (period - 1) / 2)
+    val det = series.select(key.cast("long").as("key"),
+        id.cast("long").as("id"), tsSec.cast("long").as("ts_sec"),
+        x.cast("long").as("x"))
+      .withColumn("phase",
+        (((row_number().over(w) - 1) % period) + 1).cast("long"))
+      .withColumn("__sx", sum(col("x") * 1000).over(wma))
+      .withColumn("__cn", count(lit(1)).over(wma))
+      .withColumn("trend_milli", expr("__sx div __cn"))
+      .withColumn("__det", col("x") * 1000 - col("trend_milli"))
+    val seas = det.groupBy(col("key"), col("phase"))
+      .agg(sum(col("__det")).as("__sd"), count(lit(1)).as("__nd"))
+      .select(col("key"), col("phase"),
+        expr("__sd div __nd").as("seasonal_milli"))
+    det.join(seas, Seq("key", "phase"))
+      .select(col("key"), col("id"), col("x"), col("phase"),
+        col("trend_milli"), col("seasonal_milli"),
+        (col("__det") - col("seasonal_milli")).as("remainder_milli"))
+  }
+
   /** Reference seasonal-Holt walk (specs only):
     * xs → (phase, s, level, trend, forecast). */
   def holtSeasonalRef(xs: Seq[Long], period: Int, alphaPpm: Long,

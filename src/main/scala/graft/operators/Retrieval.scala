@@ -138,4 +138,42 @@ object Retrieval {
       .orderBy(col("n_phrase").desc, col("min_dist"), col("doc_id"))
       .limit(topN)
   }
+
+  /** T28: source vocabulary-overlap matrix — for every source pair, the
+    * exact Jaccard of their word VOCABULARIES: the corpus-mixture
+    * diagnostic one level up from D10's document-level leakage matrix
+    * ("do these sources even speak the same words" vs "do they share
+    * documents"); near-10⁶ pairs are redundant in the mixture,
+    * near-zero pairs are the diversity a training mix wants.
+    *
+    * Shape: distinct (source, word) pairs — an inverted-index build —
+    * then a self-join on the WORD whose fanout per word is the number
+    * of sources carrying it (bounded by |sources|, never by data), and
+    * a |sources|²-sized scaffold so zero-overlap pairs report 0 rather
+    * than vanish. Scale-safe by construction.
+    *
+    * @return (src_a, src_b, nv_a, nv_b, n_inter, jaccard_ppm),
+    *         src_a < src_b, one row per unordered source pair
+    */
+  def vocabOverlap(docs: DataFrame, source: Column,
+                   textCol: Column): DataFrame = {
+    val sv = docs.select(source.cast("string").as("src"),
+        explode(split(textCol, " ")).as("w"))
+      .filter(col("w") =!= "").distinct()
+    val sizes = sv.groupBy(col("src")).agg(count(lit(1)).as("nv"))
+    val inter = sv
+      .join(sv.select(col("src").as("src_b"), col("w")), Seq("w"))
+      .filter(col("src") < col("src_b"))
+      .groupBy(col("src").as("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    val pairs = sizes.select(col("src").as("src_a"), col("nv").as("nv_a"))
+      .crossJoin(
+        broadcast(sizes.select(col("src").as("src_b"), col("nv").as("nv_b"))))
+      .filter(col("src_a") < col("src_b"))
+    pairs.join(inter, Seq("src_a", "src_b"), "left")
+      .select(col("src_a"), col("src_b"), col("nv_a"), col("nv_b"),
+        coalesce(col("n_inter"), lit(0L)).as("n_inter"))
+      .withColumn("jaccard_ppm",
+        expr("n_inter * 1000000 div (nv_a + nv_b - n_inter)"))
+  }
 }

@@ -244,4 +244,34 @@ class ChangepointSpec extends AnyFunSuite {
     val got = runSs(Seq(0L, 100L, 0L, 100L, 0L, 100L), 3)
     assert(got._2.contains(0L))
   }
+
+  // ------------------------------------------- R145 MA decomposition
+
+  private def runMa(xs: Seq[Long], m: Int)
+      : Seq[(Long, Long, Long, Long, Long)] = {
+    val df = xs.zipWithIndex.map { case (x, i) => (1L, i.toLong, i.toLong, x) }
+      .toDF("key", "id", "ts", "x")
+    Changepoint.decomposeMA(df, col("key"), col("id"), col("ts"), col("x"), m)
+      .orderBy(col("id"))
+      .select(col("x"), col("phase"), col("trend_milli"),
+        col("seasonal_milli"), col("remainder_milli"))
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+  }
+
+  test("MA decomposition: the additive identity closes bit-exactly") {
+    val xs = Seq(30L, 20L, 10L, 28L, 19L, 12L, 31L, 17L, 9L, 26L)
+    val got = runMa(xs, 3)
+    got.foreach { case (x, _, t, s, r) =>
+      assert(x * 1000L == t + s + r, s"identity broken at x=$x")
+    }
+  }
+
+  test("MA decomposition: interior trend of a periodic series is the mean") {
+    val got = runMa(Seq(10L, 20L, 30L, 10L, 20L, 30L, 10L, 20L, 30L), 3)
+    // interior rows (window fully populated) see one full cycle
+    got.slice(1, 8).foreach { case (_, _, t, _, _) => assert(t == 20000L) }
+    // edge rows average their truncated window, stated contract
+    assert(got.head._3 == 15000L && got.last._3 == 25000L)
+    assert(got.map(_._2) == Seq(1L, 2L, 3L, 1L, 2L, 3L, 1L, 2L, 3L))
+  }
 }

@@ -102,4 +102,33 @@ class RetrievalSpec extends AnyFunSuite {
       Retrieval.phraseProximity(proxDocs, "doc_id", "text", "scan", "scan", 10)
     }
   }
+
+  // ------------------------------------------------ T28 vocab overlap
+
+  test("vocab overlap: hand-counted matrix including the zero pair") {
+    val corpus = Seq(
+      ("A", "x y z"), ("A", "x w"),        // V_A = {x, y, z, w}
+      ("B", "x y q"),                      // V_B = {x, y, q}
+      ("C", "m n")                         // V_C = {m, n} — disjoint
+    ).toDF("source", "text")
+    val got = Retrieval.vocabOverlap(corpus,
+        org.apache.spark.sql.functions.col("source"),
+        org.apache.spark.sql.functions.col("text"))
+      .as[(String, String, Long, Long, Long, Long)]
+      .collect().map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6))).toMap
+    assert(got.keySet == Set(("A", "B"), ("A", "C"), ("B", "C")))
+    // A∩B = {x, y} = 2; union = 5 -> 400000 ppm
+    assert(got(("A", "B")) == ((4L, 3L, 2L, 400000L)))
+    assert(got(("A", "C")) == ((4L, 2L, 0L, 0L)), "zero pair reports 0")
+    assert(got(("B", "C")) == ((3L, 2L, 0L, 0L)))
+  }
+
+  test("vocab overlap: duplicate words collapse to set semantics") {
+    val corpus = Seq(("A", "x x x"), ("B", "x")).toDF("source", "text")
+    val got = Retrieval.vocabOverlap(corpus,
+        org.apache.spark.sql.functions.col("source"),
+        org.apache.spark.sql.functions.col("text"))
+      .as[(String, String, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(("A", "B", 1L, 1L, 1L, 1000000L)))
+  }
 }

@@ -173,6 +173,24 @@ object QueriesR14 {
       .orderBy(col("key"), col("id"))
   }
 
+  /** R146+R147: distribution-free trend kit (see
+    * [[graft.operators.Changepoint.trendTest]]) — Theil–Sen slope and
+    * the Mann–Kendall z² over the monthly order-count series per
+    * priority class, on a UNIFORM month-index clock so slopes are
+    * per-month units.
+    */
+  def qTrendTest(s: SparkSession, dir: String): DataFrame = {
+    val mo = t(s, dir, "orders")
+      .select(substring(col("o_orderpriority"), 1, 1).cast("long").as("k"),
+        ((year(col("o_orderdate").cast("date")) - 1992) * 12 +
+          month(col("o_orderdate").cast("date"))).cast("long").as("t"))
+      .groupBy(col("k"), col("t"))
+      .agg(count(lit(1)).as("x"))
+    graft.operators.Changepoint.trendTest(mo, col("k"), col("t"), col("t"),
+        col("x"))
+      .orderBy(col("key"))
+  }
+
   /** X34: streaming Welch monitor (see
     * [[graft.streaming.Streams.streamingWelch]]) — R141 maintained from
     * three longs per (group, side); same input, same oracle as
@@ -562,6 +580,53 @@ object QueriesR14 {
       |FROM dt JOIN s ON s.k = dt.k AND s.phase = dt.phase
       |ORDER BY key, id""".stripMargin
 
+  private val trendTestSql: String =
+    """WITH e AS (
+      |  SELECT CAST(SUBSTRING(o_orderpriority, 1, 1) AS BIGINT) AS k,
+      |    CAST((EXTRACT(year FROM CAST(o_orderdate AS DATE)) - 1992) * 12
+      |      + EXTRACT(month FROM CAST(o_orderdate AS DATE)) AS BIGINT) AS t,
+      |    CAST(COUNT(*) AS BIGINT) AS x
+      |  FROM orders GROUP BY 1, 2
+      |), p AS (
+      |  SELECT a.k, b.x - a.x AS dx, b.t - a.t AS dt
+      |  FROM e a JOIN e b ON a.k = b.k AND b.t > a.t
+      |), sl AS (
+      |  SELECT k, (dx * 1000) // dt AS slope,
+      |    ROW_NUMBER() OVER (PARTITION BY k ORDER BY (dx * 1000) // dt)
+      |      AS rn,
+      |    COUNT(*) OVER (PARTITION BY k) AS m
+      |  FROM p WHERE dt > 0
+      |), med AS (
+      |  SELECT k, CAST(slope AS BIGINT) AS slope_milli
+      |  FROM sl WHERE rn = (m + 1) // 2
+      |), st AS (
+      |  SELECT k,
+      |    CAST(SUM(CASE WHEN dx > 0 THEN 1 WHEN dx < 0 THEN -1 ELSE 0 END)
+      |      AS BIGINT) AS s_stat,
+      |    CAST(COUNT(*) AS BIGINT) AS n_pairs
+      |  FROM p GROUP BY 1
+      |), nn AS (
+      |  SELECT k, CAST(COUNT(*) AS BIGINT) AS n FROM e GROUP BY 1
+      |), ties AS (
+      |  SELECT k, CAST(SUM(t2 * (t2 - 1) * (2 * t2 + 5)) AS BIGINT) AS tt
+      |  FROM (SELECT k, CAST(COUNT(*) AS BIGINT) AS t2
+      |        FROM e GROUP BY k, x) g
+      |  GROUP BY 1
+      |)
+      |SELECT nn.k AS key, nn.n,
+      |  COALESCE(st.n_pairs, 0) AS n_pairs,
+      |  COALESCE(st.s_stat, 0) AS s_stat, med.slope_milli,
+      |  CASE WHEN COALESCE(st.s_stat, 0) = 0 THEN CAST(0 AS BIGINT)
+      |    WHEN nn.n * (nn.n - 1) * (2 * nn.n + 5) - ties.tt <= 0 THEN NULL
+      |    ELSE CAST((ABS(st.s_stat) - 1) * (ABS(st.s_stat) - 1)
+      |      * 18 * 1000000
+      |      // (nn.n * (nn.n - 1) * (2 * nn.n + 5) - ties.tt) AS BIGINT)
+      |  END AS z2_ppm
+      |FROM nn LEFT JOIN st ON st.k = nn.k
+      |JOIN ties ON ties.k = nn.k
+      |LEFT JOIN med ON med.k = nn.k
+      |ORDER BY key""".stripMargin
+
   val sql: Map[String, String] = Map(
     "q_eval_ndcg" -> ndcgSql,
     "q_kendall" -> kendallSql,
@@ -573,6 +638,7 @@ object QueriesR14 {
     "q_seasonal_strength" -> seasonalStrengthSql,
     "text_vocab_overlap" -> vocabOverlapSql,
     "q_decompose_ma" -> decomposeMaSql,
+    "q_trend_test" -> trendTestSql,
     // X34 shares its batch twin's oracle verbatim: streaming ≡ batch
     "stream_welch" -> welchSql)
 }

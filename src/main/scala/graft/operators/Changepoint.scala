@@ -365,6 +365,70 @@ object Changepoint {
         (col("__det") - col("seasonal_milli")).as("remainder_milli"))
   }
 
+  /** R146 + R147: the distribution-free trend kit over a per-key tick
+    * series — Theil–Sen slope and the Mann–Kendall test, both exact:
+    *
+    *   R146  slope_milli = type-1 median (x_⌈m/2⌉ of the sorted list)
+    *         of Δx·1000 // Δt over all position pairs i < j with
+    *         Δt > 0 (equal-ts pairs are skipped — stated; // is
+    *         TRUNCATING division toward zero, DuckDB's integer `//`,
+    *         applied per pair BEFORE the median so the estimate is a
+    *         median of integers, the contract a SQL engine replays)
+    *   R147  S = Σ_{i<j} sign(x_j − x_i); with the tie-corrected
+    *         variance VAR(S)·18 = n(n−1)(2n+5) − Σ_v t_v(t_v−1)(2t_v+5)
+    *         the continuity-corrected z² ships ×10⁶:
+    *         z²_ppm = (|S|−1)²·18·10⁶ div VAR18  (0 when S = 0, NULL
+    *         when every value is tied)
+    *
+    * Pairwise work is O(ticks²) per key on TICK-BOUNDED series (the
+    * R130/R142 aggregated-series posture — ticks are months/days, not
+    * rows; raw-row trend tests belong to R123/R138 on the grid). One
+    * (key) shuffle, per-key walk, keys independent.
+    *
+    * @return (key, n, n_pairs, s_stat, slope_milli, z2_ppm)
+    */
+  def trendTest(series: DataFrame, key: Column, id: Column, tsSec: Column,
+                x: Column): DataFrame = {
+    val spark = series.sparkSession
+    import spark.implicits._
+    val typed = series.select(key.cast("long"), id.cast("long"),
+      tsSec.cast("long"), x.cast("long")).as[(Long, Long, Long, Long)]
+    typed.groupByKey(_._1)
+      .mapGroups { (k, rows) =>
+        val sorted = rows.toSeq.sortBy(r => (r._3, r._2))
+        val n = sorted.size
+        var s = 0L
+        val slopes = scala.collection.mutable.ArrayBuffer.empty[Long]
+        for (i <- 0 until n; j <- (i + 1) until n) {
+          val (_, _, ti, xi) = sorted(i)
+          val (_, _, tj, xj) = sorted(j)
+          s += java.lang.Long.signum(xj - xi)
+          // TRUNCATING division toward zero — DuckDB's `//` (the R130
+          // contract); Δt > 0 by the sort, so only Δx carries sign
+          if (tj != ti)
+            slopes += (xj - xi) * 1000L / (tj - ti)
+        }
+        val m = slopes.size
+        val slope =
+          if (m == 0) None
+          else Some(slopes.sorted.apply((m + 1) / 2 - 1)) // type-1 median
+        def tieTerm(vs: Seq[Long]): Long = vs.groupBy(identity).values
+          .map(g => { val t = g.size.toLong; t * (t - 1) * (2 * t + 5) })
+          .sum
+        val var18 = n.toLong * (n - 1) * (2L * n + 5) -
+          tieTerm(sorted.map(_._4))
+        val z2 =
+          if (s == 0) Some(0L)
+          else if (var18 <= 0) None
+          else {
+            val a = BigInt(math.abs(s) - 1)
+            Some((a * a * 18 * 1000000 / var18).toLong)
+          }
+        (k, n.toLong, m.toLong, s, slope, z2)
+      }
+      .toDF("key", "n", "n_pairs", "s_stat", "slope_milli", "z2_ppm")
+  }
+
   /** Reference seasonal-Holt walk (specs only):
     * xs → (phase, s, level, trend, forecast). */
   def holtSeasonalRef(xs: Seq[Long], period: Int, alphaPpm: Long,

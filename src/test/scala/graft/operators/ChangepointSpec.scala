@@ -266,6 +266,60 @@ class ChangepointSpec extends AnyFunSuite {
     }
   }
 
+  // --------------------------------------------- R146/R147 trend kit
+
+  private def runTrend(rows: Seq[(Long, Long)])
+      : (Long, Long, Long, Option[Long], Option[Long]) = {
+    // rows: (ts, x)
+    val df = rows.zipWithIndex
+      .map { case ((ts, x), i) => (1L, i.toLong, ts, x) }
+      .toDF("key", "id", "ts", "x")
+    Changepoint.trendTest(df, col("key"), col("id"), col("ts"), col("x"))
+      .select(col("n"), col("n_pairs"), col("s_stat"), col("slope_milli"),
+        col("z2_ppm"))
+      .as[(Long, Long, Long, Option[Long], Option[Long])].collect().head
+  }
+
+  test("trend: a strict uniform ramp pins S, slope, and z²") {
+    val rows = (1L to 5L).map(t => (t, t * 10))
+    val (n, m, s, slope, z2) = runTrend(rows)
+    assert((n, m, s) == ((5L, 10L, 10L)), "all 10 pairs concordant")
+    assert(slope.contains(10000L), "every pairwise slope is exactly 10/tick")
+    // var18 = 5*4*15 = 300; (|S|-1)^2 * 18e6 / 300 = 81 * 60000
+    assert(z2.contains(4860000L))
+  }
+
+  test("trend: brute-force parity on a jagged tied series") {
+    val rows = Seq((1L, 5L), (2L, 9L), (3L, 5L), (5L, 12L), (6L, 9L),
+      (8L, 5L))
+    val (n, m, s, slope, z2) = runTrend(rows)
+    var refS = 0L
+    val sl = scala.collection.mutable.ArrayBuffer.empty[Long]
+    for (i <- rows.indices; j <- (i + 1) until rows.size) {
+      refS += java.lang.Long.signum(rows(j)._2 - rows(i)._2)
+      sl += (rows(j)._2 - rows(i)._2) * 1000L / (rows(j)._1 - rows(i)._1)
+    }
+    assert((n, m, s) == ((6L, 15L, refS)))
+    assert(slope.contains(sl.sorted.apply((sl.size + 1) / 2 - 1)))
+    val tt = rows.groupBy(_._2).values
+      .map(g => { val t = g.size.toLong; t * (t - 1) * (2 * t + 5) }).sum
+    val var18 = 6L * 5 * 17 - tt
+    val expZ2 = (math.abs(refS) - 1L) * (math.abs(refS) - 1L) *
+      18000000L / var18
+    assert(z2.contains(if (refS == 0) 0L else expZ2))
+  }
+
+  test("trend: a flat series reports S = 0, z² = 0, slope 0") {
+    assert(runTrend((1L to 4L).map(t => (t, 7L)))
+      == ((4L, 6L, 0L, Some(0L), Some(0L))))
+  }
+
+  test("trend: per-pair slope division truncates toward zero") {
+    // one pair: dx = -7 over dt = 3 -> -7000/3 trunc = -2333 (floor -2334)
+    val (_, _, _, slope, _) = runTrend(Seq((0L, 7L), (3L, 0L)))
+    assert(slope.contains(-2333L))
+  }
+
   test("MA decomposition: interior trend of a periodic series is the mean") {
     val got = runMa(Seq(10L, 20L, 30L, 10L, 20L, 30L, 10L, 20L, 30L), 3)
     // interior rows (window fully populated) see one full cycle

@@ -191,6 +191,23 @@ object QueriesR14 {
       .orderBy(col("key"))
   }
 
+  /** R148+R149: randomness screens (see
+    * [[graft.operators.Changepoint.randomnessTest]]) — runs test on the
+    * differenced monthly order-count series + turning-points test, per
+    * priority class on the uniform month-index clock.
+    */
+  def qRunsTest(s: SparkSession, dir: String): DataFrame = {
+    val mo = t(s, dir, "orders")
+      .select(substring(col("o_orderpriority"), 1, 1).cast("long").as("k"),
+        ((year(col("o_orderdate").cast("date")) - 1992) * 12 +
+          month(col("o_orderdate").cast("date"))).cast("long").as("t"))
+      .groupBy(col("k"), col("t"))
+      .agg(count(lit(1)).as("x"))
+    graft.operators.Changepoint.randomnessTest(mo, col("k"), col("t"),
+        col("t"), col("x"))
+      .orderBy(col("key"))
+  }
+
   /** X34: streaming Welch monitor (see
     * [[graft.streaming.Streams.streamingWelch]]) — R141 maintained from
     * three longs per (group, side); same input, same oracle as
@@ -627,6 +644,68 @@ object QueriesR14 {
       |LEFT JOIN med ON med.k = nn.k
       |ORDER BY key""".stripMargin
 
+  private val runsTestSql: String =
+    """WITH e AS (
+      |  SELECT CAST(SUBSTRING(o_orderpriority, 1, 1) AS BIGINT) AS k,
+      |    CAST((EXTRACT(year FROM CAST(o_orderdate AS DATE)) - 1992) * 12
+      |      + EXTRACT(month FROM CAST(o_orderdate AS DATE)) AS BIGINT) AS t,
+      |    CAST(COUNT(*) AS BIGINT) AS x
+      |  FROM orders GROUP BY 1, 2
+      |), d AS (
+      |  SELECT k, t, x, x - LAG(x) OVER (PARTITION BY k ORDER BY t) AS dx
+      |  FROM e
+      |), sgn AS (
+      |  SELECT k, t, CASE WHEN dx > 0 THEN 1 ELSE -1 END AS s
+      |  FROM d WHERE dx IS NOT NULL AND dx <> 0
+      |), runs AS (
+      |  SELECT k, CAST(SUM(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_pos,
+      |    CAST(SUM(CASE WHEN s = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg,
+      |    CAST(1 + SUM(chg) AS BIGINT) AS n_runs
+      |  FROM (
+      |    SELECT k, s,
+      |      CASE WHEN LAG(s) OVER (PARTITION BY k ORDER BY t) IS NOT NULL
+      |        AND LAG(s) OVER (PARTITION BY k ORDER BY t) <> s
+      |      THEN 1 ELSE 0 END AS chg
+      |    FROM sgn) t2
+      |  GROUP BY 1
+      |), rz AS (
+      |  SELECT k, n_pos, n_neg, n_runs,
+      |    n_runs * (n_pos + n_neg) - (n_pos + n_neg)
+      |      - 2 * n_pos * n_neg AS num,
+      |    n_pos + n_neg AS bign, n_pos * n_neg AS m
+      |  FROM runs
+      |), tp AS (
+      |  SELECT k, CAST(SUM(CASE WHEN (pv < x AND x > nx)
+      |      OR (pv > x AND x < nx) THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_turning
+      |  FROM (SELECT k, x,
+      |      LAG(x) OVER (PARTITION BY k ORDER BY t) AS pv,
+      |      LEAD(x) OVER (PARTITION BY k ORDER BY t) AS nx
+      |    FROM e) t3
+      |  GROUP BY 1
+      |), nn AS (
+      |  SELECT k, CAST(COUNT(*) AS BIGINT) AS n FROM e GROUP BY 1
+      |)
+      |SELECT nn.k AS key, nn.n,
+      |  COALESCE(rz.n_pos, 0) AS n_pos, COALESCE(rz.n_neg, 0) AS n_neg,
+      |  COALESCE(rz.n_runs, 0) AS n_runs,
+      |  CASE WHEN COALESCE(rz.n_pos, 0) = 0 OR COALESCE(rz.n_neg, 0) = 0
+      |      OR 2 * rz.m <= rz.bign THEN NULL
+      |    ELSE CAST(CAST(rz.num AS HUGEINT) * rz.num * (rz.bign - 1)
+      |      * 1000000
+      |      // (2 * CAST(rz.m AS HUGEINT) * (2 * rz.m - rz.bign))
+      |      AS BIGINT)
+      |  END AS runs_z2_ppm,
+      |  tp.n_turning,
+      |  CASE WHEN nn.n < 3 THEN NULL
+      |    ELSE CAST(CAST(3 * tp.n_turning - 2 * (nn.n - 2) AS HUGEINT)
+      |      * (3 * tp.n_turning - 2 * (nn.n - 2)) * 10 * 1000000
+      |      // (16 * nn.n - 29) AS BIGINT)
+      |  END AS turning_z2_ppm
+      |FROM nn LEFT JOIN rz ON rz.k = nn.k JOIN tp ON tp.k = nn.k
+      |ORDER BY key""".stripMargin
+
   val sql: Map[String, String] = Map(
     "q_eval_ndcg" -> ndcgSql,
     "q_kendall" -> kendallSql,
@@ -639,6 +718,7 @@ object QueriesR14 {
     "text_vocab_overlap" -> vocabOverlapSql,
     "q_decompose_ma" -> decomposeMaSql,
     "q_trend_test" -> trendTestSql,
+    "q_runs_test" -> runsTestSql,
     // X34 shares its batch twin's oracle verbatim: streaming ≡ batch
     "stream_welch" -> welchSql)
 }

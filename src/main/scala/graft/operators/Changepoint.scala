@@ -429,6 +429,75 @@ object Changepoint {
       .toDF("key", "n", "n_pairs", "s_stat", "slope_milli", "z2_ppm")
   }
 
+  /** R148 + R149: randomness screens over a per-key tick series — the
+    * complement of R147 (Mann–Kendall asks "is there a monotone trend";
+    * these ask "is the series even random"):
+    *
+    *   R148  Wald–Wolfowitz runs test on the DIFFERENCED series: signs
+    *         of x_{t+1} − x_t with zero diffs SKIPPED (stated), R = the
+    *         number of sign runs, m = n₊·n₋, N = n₊+n₋; since
+    *         E[R] = 1 + 2m/N and Var[R] = 2m(2m−N)/(N²(N−1)), the N²
+    *         cancels into
+    *         z²_ppm = (RN − N − 2m)²·(N−1)·10⁶ div (2m(2m−N))
+    *         — exactly rational; NULL when a sign is absent or the
+    *         variance term is ≤ 0.
+    *   R149  turning-points test: TP = count of STRICT local extrema
+    *         (x_{t−1} < x_t > x_{t+1} or mirrored — plateaus don't
+    *         turn, stated); E[TP] = 2(n−2)/3 and Var[TP] = (16n−29)/90
+    *         combine — (TP−E)² = (3TP−2(n−2))²/9 times 90/(16n−29) —
+    *         into z²_ppm = (3·TP − 2(n−2))²·10·10⁶ div (16n−29);
+    *         NULL when n < 3.
+    *
+    * Same per-key walk posture as [[trendTest]]; tick-bounded series.
+    *
+    * @return (key, n, n_pos, n_neg, n_runs, runs_z2_ppm, n_turning,
+    *         turning_z2_ppm)
+    */
+  def randomnessTest(series: DataFrame, key: Column, id: Column,
+                     tsSec: Column, x: Column): DataFrame = {
+    val spark = series.sparkSession
+    import spark.implicits._
+    val typed = series.select(key.cast("long"), id.cast("long"),
+      tsSec.cast("long"), x.cast("long")).as[(Long, Long, Long, Long)]
+    typed.groupByKey(_._1)
+      .mapGroups { (k, rows) =>
+        val xs = rows.toSeq.sortBy(r => (r._3, r._2)).map(_._4)
+        val n = xs.size
+        val signs = xs.sliding(2).collect {
+          case Seq(a, b) if a != b => if (b > a) 1 else -1
+        }.toSeq
+        val nPos = signs.count(_ > 0).toLong
+        val nNeg = signs.count(_ < 0).toLong
+        val runs =
+          if (signs.isEmpty) 0L
+          else 1L + signs.sliding(2).count {
+            case Seq(a, b) => a != b
+            case _ => false
+          }
+        val bigN = nPos + nNeg
+        val m = nPos * nNeg
+        val runsZ2 =
+          if (nPos == 0 || nNeg == 0 || 2 * m <= bigN) None
+          else {
+            val num = BigInt(runs * bigN - bigN - 2 * m)
+            Some((num * num * (bigN - 1) * 1000000 /
+              (BigInt(2) * m * (2 * m - bigN))).toLong)
+          }
+        val tp = (1 until n - 1).count(i =>
+          (xs(i - 1) < xs(i) && xs(i) > xs(i + 1)) ||
+            (xs(i - 1) > xs(i) && xs(i) < xs(i + 1))).toLong
+        val tpZ2 =
+          if (n < 3) None
+          else {
+            val num = BigInt(3 * tp - 2 * (n - 2))
+            Some((num * num * 10 * 1000000 / (16L * n - 29)).toLong)
+          }
+        (k, n.toLong, nPos, nNeg, runs, runsZ2, tp, tpZ2)
+      }
+      .toDF("key", "n", "n_pos", "n_neg", "n_runs", "runs_z2_ppm",
+        "n_turning", "turning_z2_ppm")
+  }
+
   /** Reference seasonal-Holt walk (specs only):
     * xs → (phase, s, level, trend, forecast). */
   def holtSeasonalRef(xs: Seq[Long], period: Int, alphaPpm: Long,

@@ -320,6 +320,46 @@ class ChangepointSpec extends AnyFunSuite {
     assert(slope.contains(-2333L))
   }
 
+  // ------------------------------------------ R148/R149 randomness
+
+  private def runRand(xs: Seq[Long])
+      : (Long, Long, Long, Long, Option[Long], Long, Option[Long]) = {
+    val df = xs.zipWithIndex.map { case (x, i) => (1L, i.toLong, i.toLong, x) }
+      .toDF("key", "id", "ts", "x")
+    Changepoint.randomnessTest(df, col("key"), col("id"), col("ts"), col("x"))
+      .select(col("n"), col("n_pos"), col("n_neg"), col("n_runs"),
+        col("runs_z2_ppm"), col("n_turning"), col("turning_z2_ppm"))
+      .as[(Long, Long, Long, Long, Option[Long], Long, Option[Long])]
+      .collect().head
+  }
+
+  test("randomness: an alternating series maximizes runs and turns") {
+    val got = runRand(Seq(1L, 2L, 1L, 2L, 1L, 2L))
+    // signs [+,-,+,-,+]: N=5, m=6, R=5; num = 25-5-12 = 8
+    // z2 = 64*4*1e6 / (12*7) = 3047619
+    assert((got._2, got._3, got._4) == ((3L, 2L, 5L)))
+    assert(got._5.contains(3047619L))
+    // all 4 interior points turn; (12-8)^2*1e7/67 = 2388059
+    assert(got._6 == 4L)
+    assert(got._7.contains(2388059L))
+  }
+
+  test("randomness: a monotone ramp has one run and no turns") {
+    val got = runRand(Seq(1L, 3L, 6L, 10L, 15L))
+    assert((got._2, got._3, got._4) == ((4L, 0L, 1L)))
+    assert(got._5.isEmpty, "one-sided signs have no runs variance")
+    assert(got._6 == 0L)
+    // (0 - 2*3)^2 * 1e7 / (80-29) = 36e7/51 = 7058823
+    assert(got._7.contains(7058823L))
+  }
+
+  test("randomness: zero diffs are skipped and plateaus never turn") {
+    val got = runRand(Seq(5L, 5L, 6L, 6L, 4L))
+    assert((got._2, got._3, got._4) == ((1L, 1L, 2L)))
+    assert(got._5.isEmpty, "2m = N leaves no variance")
+    assert(got._6 == 0L, "plateau shoulders are not strict extrema")
+  }
+
   test("MA decomposition: interior trend of a periodic series is the mean") {
     val got = runMa(Seq(10L, 20L, 30L, 10L, 20L, 30L, 10L, 20L, 30L), 3)
     // interior rows (window fully populated) see one full cycle

@@ -355,9 +355,16 @@ object QueriesR13 {
   def graphBetweenness(s: SparkSession, dir: String): DataFrame = {
     val edges = QueriesR6.coPurchasePairs(s, dir)
       .select(col("src"), col("dst"))
+    // FIXED pivot budget — the point of pivot-based betweenness: the
+    // sample size is an accuracy knob, constant in the data size, so
+    // total work stays (pivots × edges × rounds) and grows linearly
+    // with the graph. A %-derived seed set alone grows with the node
+    // count and quadratically re-inflates the (seed, node) state —
+    // measured 127 s at sf0.1 before the cap, linear-in-edges after.
     val seeds = edges.select(col("src").as("node"))
       .unionAll(edges.select(col("dst").as("node")))
       .filter(col("node") % 97 === 0).distinct()
+      .orderBy(col("node")).limit(32)
     graft.operators.Graph.betweennessSeeded(edges, seeds, rounds = 3)
       .orderBy(col("bc_ppm").desc, col("node"))
       .limit(500)
@@ -403,9 +410,9 @@ object QueriesR13 {
        |  SELECT a AS src, b AS dst FROM und
        |  UNION ALL SELECT b, a FROM und
        |), f0 AS MATERIALIZED (
-       |  SELECT DISTINCT src AS seed, src AS node, 0 AS dist,
-       |    CAST(1 AS BIGINT) AS sigma
-       |  FROM e WHERE src % 97 = 0
+       |  SELECT seed, seed AS node, 0 AS dist, CAST(1 AS BIGINT) AS sigma
+       |  FROM (SELECT DISTINCT src AS seed FROM e
+       |        WHERE src % 97 = 0 ORDER BY seed LIMIT 32) s
        |), d0 AS MATERIALIZED (SELECT * FROM f0),
        |${(1 to 3).map(fwd).mkString(",\n")},
        |l3 AS MATERIALIZED (

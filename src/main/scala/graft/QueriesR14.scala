@@ -208,6 +208,35 @@ object QueriesR14 {
       .orderBy(col("key"))
   }
 
+  /** R150+R151: score-quality report (see
+    * [[graft.operators.Eval.scoreQuality]]) — Brier + ECE of a
+    * deterministic pseudo-model (quantity/discount-driven ppm score)
+    * predicting line returns, per line status, 10 ECE bins. Completes
+    * the probabilistic-eval shelf beside R108 AUC and R109 calibration.
+    */
+  def qScoreQuality(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Eval.scoreQuality(t(s, dir, "lineitem"),
+        col("l_linestatus"), col("l_returnflag") === "R",
+        col("l_quantity").cast("long") * 19000 +
+          round(col("l_discount") * 100).cast("long") * 4000,
+        bins = 10)
+      .orderBy(col("grp"))
+
+  /** X35: streaming score-quality monitor (see
+    * [[graft.streaming.Streams.streamingScoreQuality]]) — same input,
+    * same oracle as `q_score_quality`.
+    */
+  def streamScoreQuality(s: SparkSession, dir: String): DataFrame = {
+    val rows = t(s, dir, "lineitem")
+      .select(col("l_linestatus").as("grp"),
+        (col("l_returnflag") === "R").as("y"),
+        (col("l_quantity").cast("long") * 19000 +
+          round(col("l_discount") * 100).cast("long") * 4000).as("p"))
+    graft.streaming.Streams.streamingScoreQuality(s, rows, bins = 10,
+        queryName = s"gate_squality_${System.nanoTime()}")
+      .orderBy(col("grp"))
+  }
+
   /** X34: streaming Welch monitor (see
     * [[graft.streaming.Streams.streamingWelch]]) — R141 maintained from
     * three longs per (group, side); same input, same oracle as
@@ -706,6 +735,31 @@ object QueriesR14 {
       |FROM nn LEFT JOIN rz ON rz.k = nn.k JOIN tp ON tp.k = nn.k
       |ORDER BY key""".stripMargin
 
+  private val scoreQualitySql: String =
+    """WITH e AS (
+      |  SELECT l_linestatus AS grp, (l_returnflag = 'R') AS y,
+      |    CAST(l_quantity AS BIGINT) * 19000
+      |      + CAST(ROUND(l_discount * 100) AS BIGINT) * 4000 AS p
+      |  FROM lineitem
+      |), c AS (
+      |  SELECT grp, LEAST(p * 10 // 1000000, 9) AS bin,
+      |    CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(p) AS BIGINT) AS sp,
+      |    SUM(CAST(p AS HUGEINT) * p) AS sp2,
+      |    CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS sy,
+      |    CAST(SUM(CASE WHEN y THEN p ELSE 0 END) AS BIGINT) AS spy
+      |  FROM e GROUP BY 1, 2
+      |)
+      |SELECT grp, CAST(SUM(n) AS BIGINT) AS n,
+      |  CAST(SUM(sy) AS BIGINT) AS n_pos,
+      |  CAST(SUM(sp) // SUM(n) AS BIGINT) AS mean_score_ppm,
+      |  CAST(SUM(sy) * 1000000 // SUM(n) AS BIGINT) AS base_rate_ppm,
+      |  CAST((SUM(sp2) - 2000000 * CAST(SUM(spy) AS HUGEINT)
+      |    + CAST(1000000000000 AS HUGEINT) * SUM(sy)) // SUM(n)
+      |    AS BIGINT) AS brier_ppm2,
+      |  CAST(SUM(ABS(CAST(sp AS HUGEINT) - 1000000 * sy)) // SUM(n)
+      |    AS BIGINT) AS ece_ppm
+      |FROM c GROUP BY grp ORDER BY grp""".stripMargin
+
   val sql: Map[String, String] = Map(
     "q_eval_ndcg" -> ndcgSql,
     "q_kendall" -> kendallSql,
@@ -719,6 +773,9 @@ object QueriesR14 {
     "q_decompose_ma" -> decomposeMaSql,
     "q_trend_test" -> trendTestSql,
     "q_runs_test" -> runsTestSql,
+    "q_score_quality" -> scoreQualitySql,
+    // X35 shares its batch twin's oracle verbatim: streaming ≡ batch
+    "stream_score_quality" -> scoreQualitySql,
     // X34 shares its batch twin's oracle verbatim: streaming ≡ batch
     "stream_welch" -> welchSql)
 }

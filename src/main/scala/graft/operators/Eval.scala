@@ -353,6 +353,67 @@ object Eval {
           .otherwise(expr("u_stat_x2 * 1000000 div (2 * n_pos * n_neg)")))
   }
 
+  /** R150 + R151: probabilistic-score quality — Brier score and
+    * expected calibration error, both EXACTLY rational because the
+    * per-bin means never materialize:
+    *
+    *   R150  brier_ppm2 = Σ(p − 10⁶·y)² div n         (p in ppm, y∈{0,1};
+    *         Σ(p−10⁶y)² = Σp² − 2·10⁶·Σ(p·y) + 10¹²·Σy, so the sum
+    *         assembles from FIVE bin moments — n, Σp, Σp², Σy, Σ(p over
+    *         positives) — and the only division is the final one)
+    *   R151  ece_ppm = Σ_bins |Σp_b − 10⁶·Σy_b| div n  (the n_b·|p̄−ȳ|
+    *         weighting cancels n_b, so ECE needs no per-bin division
+    *         at all — a single floor over the bin-absolute sums)
+    *
+    * Cells are (group, bin) moment rows — one hash aggregate, then
+    * per-group arithmetic; the tail is split out
+    * ([[scoreQualityFromCells]]) so a streaming twin can maintain the
+    * five moments per cell and drain through identical arithmetic.
+    *
+    * @param rows     one scored example per row
+    * @param group    evaluation slice
+    * @param label    boolean: positive class
+    * @param scorePpm model probability in ppm (0..10⁶)
+    * @param bins     equal-width ECE bins over [0, 10⁶]
+    * @return (grp, n, n_pos, mean_score_ppm, base_rate_ppm, brier_ppm2,
+    *         ece_ppm)
+    */
+  def scoreQuality(rows: DataFrame, group: Column, label: Column,
+                   scorePpm: Column, bins: Int): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    val cells = rows.select(group.cast("string").as("grp"),
+        label.cast("boolean").as("y"), scorePpm.cast("long").as("p"))
+      .filter(col("p").isNotNull)
+      .withColumn("bin",
+        least(expr(s"p * $bins div 1000000"), lit(bins - 1L)))
+      .groupBy(col("grp"), col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("p")).as("sp"),
+        sum(expr("CAST(p AS DECIMAL(38,0)) * p")).as("sp2"),
+        sum(when(col("y"), 1L).otherwise(0L)).as("sy"),
+        sum(when(col("y"), col("p")).otherwise(0L)).as("spy"))
+    scoreQualityFromCells(cells)
+  }
+
+  /** The R150/R151 arithmetic tail over (grp, bin, n, sp, sp2, sy, spy)
+    * moment cells — shared verbatim by the batch operator and the X35
+    * streaming twin.
+    */
+  def scoreQualityFromCells(cells: DataFrame): DataFrame =
+    cells
+      .groupBy(col("grp"))
+      .agg(sum(col("n")).as("n"), sum(col("sp")).as("__sp"),
+        sum(col("sp2")).as("__sp2"), sum(col("sy")).as("n_pos"),
+        sum(col("spy")).as("__spy"),
+        sum(abs(expr("CAST(sp AS DECIMAL(38,0)) - 1000000 * sy")))
+          .as("__eceNum"))
+      .select(col("grp"), col("n"), col("n_pos"),
+        expr("__sp div n").as("mean_score_ppm"),
+        expr("n_pos * 1000000 div n").as("base_rate_ppm"),
+        expr("""CAST((__sp2 - 2000000 * CAST(__spy AS DECIMAL(38,0))
+               | + CAST(1000000000000 AS DECIMAL(38,0)) * n_pos)
+               | div n AS BIGINT)""".stripMargin).as("brier_ppm2"),
+        expr("CAST(__eceNum div n AS BIGINT)").as("ece_ppm"))
+
   /** The R137 discount table: disc(i) = ⌊10⁶/log₂(i+1)⌋ for i = 1..k.
     * The irrational log never enters either engine's plan — the table is
     * a fixed literal shared verbatim by the operator and its SQL oracle,

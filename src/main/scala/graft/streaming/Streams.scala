@@ -1247,6 +1247,63 @@ object Streams {
     }
   }
 
+  /** X35: streaming score-quality monitor — R150/R151's Brier + ECE
+    * maintained from FIVE longs of state per (group, bin) cell
+    * (n, Σp, Σp², Σy, Σp·y); update-mode max_by-n snapshot drains
+    * through the IDENTICAL
+    * [[graft.operators.Eval.scoreQualityFromCells]] batch tail —
+    * streaming ≡ batch by construction, shares the batch oracle
+    * verbatim. O(groups × bins) state: the live "is the model drifting
+    * off calibration" alarm. Headroom: Σp² stays in int64 up to ~9·10⁶
+    * rows per cell at full-confidence scores — stated.
+    *
+    * @param rows (grp, y, p) — p in ppm
+    */
+  def streamingScoreQuality(spark: SparkSession, rows: DataFrame, bins: Int,
+                            queryName: String,
+                            rocksDb: Boolean = UseRocksDb): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    import spark.implicits._
+    val typed = rows.select(col("grp").cast("string"),
+        col("y").cast("boolean"), col("p").cast("long"))
+      .as[(String, Boolean, Long)]
+    val path = stageToTemp(typed.toDF("grp", "y", "p"), "squality")
+
+    val update: ((String, Long), Iterator[(String, Long, Boolean, Long)],
+        GroupState[(Long, Long, Long, Long, Long)]) =>
+        (String, Long, Long, Long, Long, Long, Long) = (key, batch, state) => {
+      var (n, sp, sp2, sy, spy) = state.getOption.getOrElse((0L, 0L, 0L, 0L, 0L))
+      batch.foreach { case (_, _, y, p) =>
+        n += 1; sp += p; sp2 += p * p
+        if (y) { sy += 1; spy += p }
+      }
+      state.update((n, sp, sp2, sy, spy))
+      (key._1, key._2, n, sp, sp2, sy, spy)
+    }
+
+    withStateSession(spark, 8, rocksDb) { iso =>
+      val stream = iso.readStream.schema(typed.schema).parquet(path)
+        .as[(String, Boolean, Long)]
+        .map { case (g, y, p) =>
+          (g, math.min(p * bins / 1000000L, bins - 1L), y, p)
+        }
+      val moments = stream.groupByKey(r => (r._1, r._2))
+        .mapGroupsWithState(GroupStateTimeout.NoTimeout)(update)
+        .toDF("grp", "bin", "n", "sp", "sp2", "sy", "spy")
+      val q = moments.writeStream.outputMode("update")
+        .format("memory").queryName(queryName).start()
+      try { q.processAllAvailable() } finally { q.stop() }
+      val cells = iso.table(queryName)
+        .groupBy(col("grp"), col("bin"))
+        .agg(max(col("n")).as("n"), max_by(col("sp"), col("n")).as("sp"),
+          max_by(col("sp2"), col("n")).cast("decimal(38,0)").as("sp2"),
+          max_by(col("sy"), col("n")).as("sy"),
+          max_by(col("spy"), col("n")).as("spy"))
+        .localCheckpoint()
+      graft.operators.Eval.scoreQualityFromCells(cells)
+    }
+  }
+
   /** X31: streaming quantile-shift monitor — R129's two-sample type-1
     * quantile report maintained from ONE long of state per
     * (group, side, value) grid cell; update-mode max-per-cell is the

@@ -172,6 +172,48 @@ class EvalSpec extends AnyFunSuite {
     assert(a.forall(r => r._2 >= 1 && r._2 <= 10), "items in [1, max]")
   }
 
+  // ----------------------------------------------------- R150/R151 Brier
+
+  private def runSq(rows: Seq[(String, Boolean, Long)], bins: Int)
+      : Map[String, (Long, Long, Long, Long, Long, Long)] =
+    Eval.scoreQuality(rows.toDF("g", "y", "p"), col("g"), col("y"),
+        col("p"), bins)
+      .as[(String, Long, Long, Long, Long, Long, Long)]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6, r._7)))
+      .toMap
+
+  test("score quality: an oracle scorer lands Brier 0 and ECE 0") {
+    val rows = Seq(("g", true, 1000000L), ("g", true, 1000000L),
+      ("g", false, 0L), ("g", false, 0L))
+    assert(runSq(rows, 10)("g") ==
+      ((4L, 2L, 500000L, 500000L, 0L, 0L)))
+  }
+
+  test("score quality: matches a BigInt replay on a mixed case") {
+    val rows = Seq(("g", true, 800000L), ("g", false, 700000L),
+      ("g", true, 300000L), ("g", false, 100000L), ("g", false, 150000L))
+    val got = runSq(rows, 4)("g")
+    val n = rows.size
+    val brier = rows.map { case (_, y, p) =>
+      val d = BigInt(p) - (if (y) 1000000 else 0); d * d
+    }.sum / n
+    val byBin = rows.groupBy { case (_, _, p) => math.min(p * 4 / 1000000, 3) }
+    val ece = byBin.values.map { g =>
+      (BigInt(g.map(_._3).sum) - BigInt(1000000) * g.count(_._2)).abs
+    }.sum / n
+    assert(got._5 == brier.toLong)
+    assert(got._6 == ece.toLong)
+  }
+
+  test("score quality: a constant coin-flip score is calibrated but blunt") {
+    // p = 500000 on a 50% base rate: ECE 0 (perfectly calibrated),
+    // Brier = 0.25 in ppm² (maximally uninformative)
+    val rows = Seq(("g", true, 500000L), ("g", false, 500000L))
+    val got = runSq(rows, 10)("g")
+    assert(got._6 == 0L)
+    assert(got._5 == 250000000000L)
+  }
+
   // ------------------------------------------------------------ R137 NDCG
 
   private def runNdcg(rows: Seq[(String, Long, Long)], k: Int)

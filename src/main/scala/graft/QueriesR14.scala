@@ -237,6 +237,18 @@ object QueriesR14 {
       .orderBy(col("grp"))
   }
 
+  /** R152: Reciprocal Rank Fusion (see
+    * [[graft.operators.Ranking.rrfFuse]]) of the two gated retrieval
+    * lists — exact brute-force cosine (S1) and the IVF index (S2) —
+    * canonical k = 60, fused top 5 per query: the retrieval ensemble
+    * the eval shelf (S13/S14/R137) measures.
+    */
+  def qRrfFusion(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Ranking.rrfFuse(
+        Seq(QueriesData.annBruteforceTopk(s, dir),
+          QueriesData.annIvfTopk(s, dir)), k = 60L, topN = 5)
+      .orderBy(col("query_id"), col("rnk"))
+
   /** X34: streaming Welch monitor (see
     * [[graft.streaming.Streams.streamingWelch]]) — R141 maintained from
     * three longs per (group, side); same input, same oracle as
@@ -760,6 +772,36 @@ object QueriesR14 {
       |    AS BIGINT) AS ece_ppm
       |FROM c GROUP BY grp ORDER BY grp""".stripMargin
 
+  /** R152 oracle: both retrieval CTEs verbatim, per-term floored RRF
+    * contributions, fused re-rank.
+    */
+  private val rrfFusionSql: String =
+    s"""WITH bf AS (
+       |  SELECT * FROM (
+       |${QueriesData.sql("ann_bruteforce_topk")}
+       |  ) t
+       |), ivf AS (
+       |  SELECT * FROM (
+       |${QueriesData.sql("ann_ivf_topk")}
+       |  ) t
+       |), scored AS (
+       |  SELECT query_id, cand_id, 1000000 // (60 + rnk) AS s FROM bf
+       |  UNION ALL
+       |  SELECT query_id, cand_id, 1000000 // (60 + rnk) AS s FROM ivf
+       |), agg AS (
+       |  SELECT query_id, cand_id, CAST(SUM(s) AS BIGINT) AS rrf_ppm,
+       |    CAST(COUNT(*) AS BIGINT) AS n_lists
+       |  FROM scored GROUP BY 1, 2
+       |), rk AS (
+       |  SELECT query_id, cand_id, rrf_ppm, n_lists,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY rrf_ppm DESC, cand_id) AS BIGINT) AS rnk
+       |  FROM agg
+       |)
+       |SELECT query_id, cand_id, rrf_ppm, n_lists, rnk
+       |FROM rk WHERE rnk <= 5
+       |ORDER BY query_id, rnk""".stripMargin
+
   val sql: Map[String, String] = Map(
     "q_eval_ndcg" -> ndcgSql,
     "q_kendall" -> kendallSql,
@@ -774,6 +816,7 @@ object QueriesR14 {
     "q_trend_test" -> trendTestSql,
     "q_runs_test" -> runsTestSql,
     "q_score_quality" -> scoreQualitySql,
+    "q_rrf_fusion" -> rrfFusionSql,
     // X35 shares its batch twin's oracle verbatim: streaming ≡ batch
     "stream_score_quality" -> scoreQualitySql,
     // X34 shares its batch twin's oracle verbatim: streaming ≡ batch

@@ -90,4 +90,37 @@ object Ranking {
       .withColumn(out, col("__off") + row_number().over(wIntra))
       .drop("__v", "__bkt", "__off")
   }
+
+  /** R152: Reciprocal Rank Fusion (Cormack, Clarke & Büttcher 2009) —
+    * the standard zero-training rank-ensemble: each input ranking
+    * contributes 10⁶ div (k + rank) per candidate (floored per term,
+    * so the fused score is an exact sum of integers both engines
+    * replay), candidates missing from a list contribute nothing, and
+    * the fused list re-ranks by (score desc, cand_id). k dampens the
+    * head (the canonical 60 keeps rank-1 vs rank-2 differences from
+    * dominating).
+    *
+    * Lists are k-bounded per query by construction, so the union, the
+    * (query, cand) sum and the per-query re-rank window are all
+    * list-sized — nothing data-sized anywhere.
+    *
+    * @param rankings (query_id, cand_id, rnk) frames, rnk 1-based
+    * @param k        RRF dampening constant (≥ 1)
+    * @param topN     fused candidates kept per query
+    * @return (query_id, cand_id, rrf_ppm, n_lists, rnk)
+    */
+  def rrfFuse(rankings: Seq[DataFrame], k: Long, topN: Int): DataFrame = {
+    require(rankings.nonEmpty, "at least one ranking required")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val scored = rankings.map(
+      _.select(col("query_id"), col("cand_id"),
+        expr(s"1000000 div ($k + rnk)").as("__s")))
+      .reduce(_ unionAll _)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf_ppm").desc, col("cand_id"))
+    scored.groupBy(col("query_id"), col("cand_id"))
+      .agg(sum(col("__s")).as("rrf_ppm"), count(lit(1)).as("n_lists"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= topN)
+  }
 }

@@ -85,4 +85,31 @@ class RankingSpec extends AnyFunSuite {
         s"unpartitioned window must consume bucket counts:\n$w")
     }
   }
+
+  // --------------------------------------------------------- R152 RRF
+
+  private def runRrf(lists: Seq[Seq[(Long, Long, Long)]], topN: Int)
+      : Seq[(Long, Long, Long, Long, Long)] = {
+    val dfs = lists.map(_.toDF("query_id", "cand_id", "rnk"))
+    Ranking.rrfFuse(dfs, k = 60L, topN = topN)
+      .orderBy(col("query_id"), col("rnk"))
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+  }
+
+  test("RRF: consensus beats a single strong vote, per-term floors") {
+    val l1 = Seq((9L, 1L, 1L), (9L, 2L, 2L))
+    val l2 = Seq((9L, 2L, 1L), (9L, 3L, 2L))
+    val got = runRrf(Seq(l1, l2), 5)
+    // c2: 1e6//62 + 1e6//61 = 16129 + 16393 = 32522 (two lists)
+    // c1: 1e6//61 = 16393; c3: 1e6//62 = 16129
+    assert(got == Seq((9L, 2L, 32522L, 2L, 1L), (9L, 1L, 16393L, 1L, 2L),
+      (9L, 3L, 16129L, 1L, 3L)))
+  }
+
+  test("RRF: score ties break on cand_id; topN truncates the fused list") {
+    val l1 = Seq((1L, 7L, 1L))
+    val l2 = Seq((1L, 3L, 1L))
+    val got = runRrf(Seq(l1, l2), 1)
+    assert(got == Seq((1L, 3L, 16393L, 1L, 1L)), "tie -> lower cand wins")
+  }
 }

@@ -249,6 +249,27 @@ object QueriesR14 {
           QueriesData.annIvfTopk(s, dir)), k = 60L, topN = 5)
       .orderBy(col("query_id"), col("rnk"))
 
+  /** T29: Good–Turing smoothing (see
+    * [[graft.operators.Retrieval.goodTuring]]) over the word-trigram
+    * shingle frequencies of the documents corpus — T27's novelty unit
+    * gives a real sparse frequency spectrum where raw words (31-token
+    * vocabulary) would not.
+    */
+  def textGoodTuring(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Retrieval.goodTuring(t(s, dir, "documents"),
+        graft.functions.TextFunctions.wordShingles(col("text"), 3))
+      .orderBy(col("r"))
+
+  /** T30: Zipf constancy report (see
+    * [[graft.operators.Retrieval.zipfReport]]) — rank·freq products
+    * for the top 100 shingles, ranks from the two-stage exact rank.
+    */
+  def textZipf(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Retrieval.zipfReport(t(s, dir, "documents"),
+        graft.functions.TextFunctions.wordShingles(col("text"), 3),
+        topN = 100)
+      .orderBy(col("rank"))
+
   /** X34: streaming Welch monitor (see
     * [[graft.streaming.Streams.streamingWelch]]) — R141 maintained from
     * three longs per (group, side); same input, same oracle as
@@ -802,6 +823,47 @@ object QueriesR14 {
        |FROM rk WHERE rnk <= 5
        |ORDER BY query_id, rnk""".stripMargin
 
+  /** Word-trigram shingle multiset CTE shared by T29/T30 — the
+    * text_novelty construction WITHOUT the per-doc distinct (frequency
+    * counting is multiset by definition).
+    */
+  private val shingleCte: String =
+    """g0 AS (
+      |  SELECT ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS w
+      |  FROM (SELECT ts, unnest(generate_series(1, len(ts) - 2)) AS i
+      |        FROM (SELECT str_split(text, ' ') AS ts
+      |              FROM documents) d) t
+      |), wf AS (
+      |  SELECT w, CAST(COUNT(*) AS BIGINT) AS r
+      |  FROM g0 WHERE w <> '' GROUP BY 1
+      |)""".stripMargin
+
+  private val goodTuringSql: String =
+    s"""WITH $shingleCte,
+       |nr AS (SELECT r, CAST(COUNT(*) AS BIGINT) AS n_r FROM wf GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(r * n_r) AS BIGINT) AS t FROM nr)
+       |SELECT nr.r, nr.n_r,
+       |  CASE WHEN nx.n_r IS NULL THEN NULL
+       |    ELSE CAST((nr.r + 1) * nx.n_r * 1000000 // nr.n_r AS BIGINT)
+       |  END AS r_star_ppm,
+       |  CAST(nr.r * nr.n_r * 1000000 // tot.t AS BIGINT) AS mass_ppm
+       |FROM nr LEFT JOIN nr nx ON nx.r = nr.r + 1 CROSS JOIN tot
+       |ORDER BY nr.r""".stripMargin
+
+  private val zipfSql: String =
+    s"""WITH $shingleCte,
+       |rk AS (
+       |  SELECT w, r AS freq,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY r DESC, w) AS BIGINT) AS rank
+       |  FROM wf
+       |), top AS (
+       |  SELECT rank * freq AS tp FROM rk WHERE rank = 1
+       |)
+       |SELECT rank, w, freq, rank * freq AS rank_freq,
+       |  CAST(rank * freq * 1000000 // top.tp AS BIGINT) AS vs_top_ppm
+       |FROM rk CROSS JOIN top
+       |WHERE rank <= 100 ORDER BY rank""".stripMargin
+
   val sql: Map[String, String] = Map(
     "q_eval_ndcg" -> ndcgSql,
     "q_kendall" -> kendallSql,
@@ -817,6 +879,8 @@ object QueriesR14 {
     "q_runs_test" -> runsTestSql,
     "q_score_quality" -> scoreQualitySql,
     "q_rrf_fusion" -> rrfFusionSql,
+    "text_good_turing" -> goodTuringSql,
+    "text_zipf" -> zipfSql,
     // X35 shares its batch twin's oracle verbatim: streaming ≡ batch
     "stream_score_quality" -> scoreQualitySql,
     // X34 shares its batch twin's oracle verbatim: streaming ≡ batch

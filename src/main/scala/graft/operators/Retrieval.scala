@@ -155,6 +155,66 @@ object Retrieval {
     * @return (src_a, src_b, nv_a, nv_b, n_inter, jaccard_ppm),
     *         src_a < src_b, one row per unordered source pair
     */
+  /** T29: Good–Turing frequency smoothing (Good 1953) — the adjusted
+    * count r* = (r+1)·N_{r+1}/N_r over the frequency-of-frequencies
+    * table, EXACT in ppm because it is a pure integer ratio:
+    * r_star_ppm = (r+1)·N_{r+1}·10⁶ div N_r, NULL where N_{r+1} = 0
+    * (the tail gap the literature smooths separately — stated, not
+    * papered over). mass_ppm = r·N_r·10⁶ div total reports each
+    * frequency class's share of the corpus; the r = 1 row's mass IS
+    * the Good–Turing estimate of unseen-type probability.
+    *
+    * Scale: the token count is one hash aggregate on the token; the
+    * frequency-of-frequencies table is ~log-sized (distinct observed
+    * frequencies); everything after is metadata arithmetic.
+    *
+    * @param tokens array column — the frequency unit (words, shingles)
+    * @return (r, n_r, r_star_ppm, mass_ppm) per observed frequency r
+    */
+  def goodTuring(docs: DataFrame, tokens: Column): DataFrame = {
+    val wf = docs.select(explode(tokens).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("r"))
+    val nr = wf.groupBy(col("r")).agg(count(lit(1)).as("n_r"))
+    val tot = nr.agg(sum(col("r") * col("n_r")).as("__tot"))
+    nr
+      .join(nr.select((col("r") - 1).as("r"), col("n_r").as("__nn")),
+        Seq("r"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("r"), col("n_r"),
+        when(col("__nn").isNull, lit(null))
+          .otherwise(expr("(r + 1) * __nn * 1000000 div n_r"))
+          .as("r_star_ppm"),
+        expr("r * n_r * 1000000 div __tot").as("mass_ppm"))
+  }
+
+  /** T30: Zipf constancy report — the rank-frequency law stated
+    * WITHOUT logarithms: Zipf predicts rank·freq ≈ constant, so the
+    * report ships the exact product per rank (plus its ppm ratio to
+    * the rank-1 product) and lets the reader see the plateau and where
+    * it breaks. Ranks come from the two-stage exact rank on
+    * (−freq, token) — no data-sized single-partition sort even on a
+    * 100 TB vocabulary.
+    *
+    * @return (rank, w, freq, rank_freq, vs_top_ppm) for rank ≤ topN
+    */
+  def zipfReport(docs: DataFrame, tokens: Column, topN: Int): DataFrame = {
+    require(topN >= 1, s"topN must be >= 1, got $topN")
+    val wf = docs.select(explode(tokens).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    val ranked = Ranking.rankExact(wf, Seq.empty, -col("freq"),
+        Seq(col("w")), "rank")
+      .drop("__total")
+      .filter(col("rank") <= topN)
+      .withColumn("rank_freq", col("rank") * col("freq"))
+    val top = ranked.filter(col("rank") === 1)
+      .select(col("rank_freq").as("__top"))
+    ranked.crossJoin(broadcast(top))
+      .select(col("rank"), col("w"), col("freq"), col("rank_freq"),
+        expr("rank_freq * 1000000 div __top").as("vs_top_ppm"))
+  }
+
   def vocabOverlap(docs: DataFrame, source: Column,
                    textCol: Column): DataFrame = {
     val sv = docs.select(source.cast("string").as("src"),

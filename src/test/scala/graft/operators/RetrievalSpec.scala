@@ -103,6 +103,32 @@ class RetrievalSpec extends AnyFunSuite {
     }
   }
 
+  // ----------------------------------------- T29/T30 corpus statistics
+
+  test("good-turing: hand spectrum with the tail NULL") {
+    val corpus = Seq(Tuple1("a a a b b c")).toDF("text")
+    val toks = org.apache.spark.sql.functions.split(
+      org.apache.spark.sql.functions.col("text"), " ")
+    val got = Retrieval.goodTuring(corpus, toks)
+      .as[(Long, Long, Option[Long], Long)]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // freqs a:3 b:2 c:1 -> N1=N2=N3=1, total 6
+    assert(got(1L) == ((1L, Some(2000000L), 166666L)))
+    assert(got(2L) == ((1L, Some(3000000L), 333333L)))
+    assert(got(3L) == ((1L, None, 500000L)), "no N4: tail r* is NULL")
+  }
+
+  test("zipf: rank-frequency products with exact ratios to the top") {
+    val corpus = Seq(Tuple1("a a a b b c")).toDF("text")
+    val toks = org.apache.spark.sql.functions.split(
+      org.apache.spark.sql.functions.col("text"), " ")
+    val got = Retrieval.zipfReport(corpus, toks, topN = 2)
+      .orderBy(org.apache.spark.sql.functions.col("rank"))
+      .as[(Long, String, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, "a", 3L, 3L, 1000000L),
+      (2L, "b", 2L, 4L, 1333333L)))
+  }
+
   // ------------------------------------------------ T28 vocab overlap
 
   test("vocab overlap: hand-counted matrix including the zero pair") {

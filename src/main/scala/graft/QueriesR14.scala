@@ -270,6 +270,24 @@ object QueriesR14 {
         topN = 100)
       .orderBy(col("rank"))
 
+  /** R153: exact weighted bottom-k sample (see
+    * [[graft.operators.Sampling.weightedBottomK]]) — 200 events drawn
+    * without replacement with odds ∝ a clamped value weight, integer
+    * priorities the oracle replays bit-for-bit (the A-ES float path
+    * R53b stays spec-verified; this is its gate-able sibling).
+    */
+  def qWeightedBottomK(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+      .filter(col("value").isNotNull)
+      .select(col("event_id"), col("event_type"),
+        greatest(lit(1L),
+          least(round(col("value") * 100).cast("long"), lit(10000L)))
+          .as("w"))
+    graft.operators.Sampling.weightedBottomK(e, "event_id", col("w"),
+        k = 200)
+      .orderBy(col("priority"), col("event_id"))
+  }
+
   /** X34: streaming Welch monitor (see
     * [[graft.streaming.Streams.streamingWelch]]) — R141 maintained from
     * three longs per (group, side); same input, same oracle as
@@ -881,6 +899,20 @@ object QueriesR14 {
     "q_rrf_fusion" -> rrfFusionSql,
     "text_good_turing" -> goodTuringSql,
     "text_zipf" -> zipfSql,
+    "q_weighted_bottomk" ->
+      """WITH e AS (
+        |  SELECT event_id, event_type,
+        |    GREATEST(1, LEAST(CAST(ROUND(value * 100) AS BIGINT), 10000))
+        |      AS w
+        |  FROM events WHERE value IS NOT NULL
+        |), p AS (
+        |  SELECT event_id, event_type, w,
+        |    CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 12))
+        |      AS BIGINT) // w AS priority
+        |  FROM e WHERE w > 0
+        |)
+        |SELECT event_id, event_type, w, priority FROM p
+        |ORDER BY priority, event_id LIMIT 200""".stripMargin,
     // X35 shares its batch twin's oracle verbatim: streaming ≡ batch
     "stream_score_quality" -> scoreQualitySql,
     // X34 shares its batch twin's oracle verbatim: streaming ≡ batch

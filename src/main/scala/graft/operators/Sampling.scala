@@ -76,6 +76,34 @@ object Sampling {
       .drop("__pri")
   }
 
+  /** R153: exact weighted bottom-k sample — the INTEGER sibling of
+    * [[weightedReservoir]] that an oracle can replay bit-for-bit:
+    * priority(row) = hash48(id) div w (Cohen–Kaplan weighted bottom-k
+    * sketches, public literature — doubling the weight halves the
+    * priority and so doubles the odds of landing in the bottom k), the
+    * sample = the k smallest (priority, id). No pow, no division by a
+    * float, one floor per row; inclusion probabilities follow the A-ES
+    * shape up to integer flooring, which both engines share.
+    *
+    * Scale: a computed-column TakeOrderedAndProject — O(k) per
+    * partition + driver merge, never a global sort. Weights must be
+    * positive integers (≤ 0 dropped, stated — their priority is
+    * unbounded/undefined).
+    *
+    * @return input columns + `priority`, the k winners
+    */
+  def weightedBottomK(df: DataFrame, idCol: String, weight: Column,
+                      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    df.withColumn("__w", weight.cast("long"))
+      .filter(col("__w") > 0)
+      .withColumn("__h", Kmv.hash48(col(idCol)))
+      .withColumn("priority", expr("__h div __w"))
+      .orderBy(col("priority"), col(idCol))
+      .limit(k)
+      .drop("__w", "__h")
+  }
+
   /** R107: deterministic negative sampling — the training-pair
     * construction step for recommenders/retrievers: per user, up to `k`
     * items the user did NOT interact with, drawn by md5 hash so the

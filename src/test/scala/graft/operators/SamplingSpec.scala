@@ -75,4 +75,30 @@ class SamplingSpec extends AnyFunSuite {
       .select("id").as[Long].collect()
     assert(got.count(_ <= 50) >= 40, s"heavy rows drawn: ${got.count(_ <= 50)}/50")
   }
+
+  // ------------------------------------------ R153 weighted bottom-k
+
+  test("weighted bottom-k: priorities are exactly hash48 div w") {
+    val rows = (1L to 200L).map(i => (i, 1L + (i % 7))).toDF("id", "w")
+    val got = Sampling.weightedBottomK(rows, "id", col("w"), k = 200)
+      .select("id", "w", "priority").as[(Long, Long, Long)]
+      .collect().toSeq
+    got.foreach { case (id, w, p) =>
+      assert(p == hash48Ref(id.toString) / w, s"id=$id")
+    }
+    // and the k winners are the reference bottom-k under (priority, id)
+    val ref = (1L to 200L).map(i => (hash48Ref(i.toString) / (1 + i % 7), i))
+      .sorted.take(200).map(_._2).toSet
+    assert(got.map(_._1).toSet == ref)
+  }
+
+  test("weighted bottom-k: heavy rows dominate, nonpositive weights drop") {
+    val rows = (1L to 1000L)
+      .map(i => (i, if (i <= 50) 1000L else if (i <= 60) 0L else 1L))
+      .toDF("id", "w")
+    val got = Sampling.weightedBottomK(rows, "id", col("w"), k = 50)
+      .select("id").as[Long].collect()
+    assert(got.count(_ <= 50) >= 40, s"heavy rows drawn: ${got.count(_ <= 50)}/50")
+    assert(!got.exists(i => i > 50 && i <= 60), "w <= 0 rows never sampled")
+  }
 }

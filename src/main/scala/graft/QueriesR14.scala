@@ -21,6 +21,10 @@ object QueriesR14 {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** Money columns in integer cents: exact in both engines. */
+  private def cents(c: org.apache.spark.sql.Column) =
+    (c.cast("decimal(12,2)") * 100).cast("long")
+
   /** R137: NDCG@5 of the gated IVF retrieval against graded same-label
     * ground truth — rel 2 = same label, 1 = adjacent label (classes are
     * ordinal 0–9), 0 otherwise; self-hits rel 0. Complements S14: MRR
@@ -287,6 +291,37 @@ object QueriesR14 {
         k = 200)
       .orderBy(col("priority"), col("event_id"))
   }
+
+  /** C35: net-change squash (see [[graft.cdc.Cdc.netChanges]]) — a
+    * synthetic I/U/D change stream (orderkey mod folds ~hundred ops
+    * onto each key, op from the key's residue class, payload = price
+    * cents) collapsed to net effects: the "don't replay the whole
+    * intra-batch history" step between delta extraction (C3) and MERGE
+    * (C5).
+    */
+  private def netChangeRows(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select((col("o_orderkey") % 1000).as("key"),
+        col("o_orderkey").as("seq"),
+        when(col("o_orderkey") % 7 === 6, "D")
+          .when(col("o_orderkey") % 7 >= 3, "U")
+          .otherwise("I").as("op"),
+        cents(col("o_totalprice")).as("payload"))
+
+  def cdcNetChanges(s: SparkSession, dir: String): DataFrame =
+    graft.cdc.Cdc.netChanges(netChangeRows(s, dir), col("key"), col("seq"),
+        col("op"), col("payload"))
+      .orderBy(col("key"))
+
+  /** X36: streaming net-change squash (see
+    * [[graft.streaming.Streams.streamingNetChanges]]) — same input,
+    * same oracle as `cdc_net_changes`; the state is order-independent
+    * so no delivery-order contract is needed.
+    */
+  def streamNetChanges(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.Streams.streamingNetChanges(s, netChangeRows(s, dir),
+        queryName = s"gate_snetchg_${System.nanoTime()}")
+      .orderBy(col("key"))
 
   /** X34: streaming Welch monitor (see
     * [[graft.streaming.Streams.streamingWelch]]) — R141 maintained from
@@ -882,6 +917,31 @@ object QueriesR14 {
        |FROM rk CROSS JOIN top
        |WHERE rank <= 100 ORDER BY rank""".stripMargin
 
+  private val netChangesSql: String =
+    """WITH c AS (
+      |  SELECT o_orderkey % 1000 AS key, o_orderkey AS seq,
+      |    CASE WHEN o_orderkey % 7 = 6 THEN 'D'
+      |         WHEN o_orderkey % 7 >= 3 THEN 'U'
+      |         ELSE 'I' END AS op,
+      |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+      |      AS payload
+      |  FROM orders
+      |), a AS (
+      |  SELECT key, CAST(COUNT(*) AS BIGINT) AS n_ops,
+      |    arg_min(op, seq) AS first_op, arg_max(op, seq) AS last_op,
+      |    arg_max(payload, seq) AS pl
+      |  FROM c GROUP BY 1
+      |)
+      |SELECT key, n_ops, first_op, last_op,
+      |  CASE WHEN first_op = 'I' AND last_op = 'D' THEN 'NOOP'
+      |       WHEN first_op = 'I' THEN 'INSERT'
+      |       WHEN last_op = 'D' THEN 'DELETE'
+      |       ELSE 'UPDATE' END AS net_op,
+      |  CASE WHEN first_op = 'I' AND last_op = 'D' THEN NULL
+      |       WHEN last_op = 'D' THEN NULL
+      |       ELSE pl END AS payload
+      |FROM a ORDER BY key""".stripMargin
+
   val sql: Map[String, String] = Map(
     "q_eval_ndcg" -> ndcgSql,
     "q_kendall" -> kendallSql,
@@ -899,6 +959,9 @@ object QueriesR14 {
     "q_rrf_fusion" -> rrfFusionSql,
     "text_good_turing" -> goodTuringSql,
     "text_zipf" -> zipfSql,
+    "cdc_net_changes" -> netChangesSql,
+    // X36 shares its batch twin's oracle verbatim: streaming ≡ batch
+    "stream_net_changes" -> netChangesSql,
     "q_weighted_bottomk" ->
       """WITH e AS (
         |  SELECT event_id, event_type,

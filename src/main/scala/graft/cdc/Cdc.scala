@@ -269,4 +269,48 @@ object Cdc {
       .withColumn("winner_seq", col("max_ord") % 100000000L)
       .drop("max_ord")
   }
+
+  /** C35: net-change squash — collapse each key's I/U/D chain within a
+    * batch window to its NET effect before applying downstream (the
+    * Debezium/Kafka-Connect "tombstone + squash" step; without it a
+    * hot key replays its whole intra-batch history against the target):
+    *
+    *   first=I, last=D → NOOP    (born and died inside the window)
+    *   first=I, last≠D → INSERT  (with the LAST payload)
+    *   first≠I, last=D → DELETE
+    *   first≠I, last≠D → UPDATE  (with the LAST payload)
+    *
+    * One hash aggregate — min_by/max_by on the sequence pick the first
+    * op and the last (op, payload); no window, no per-key sort.
+    * Sequence numbers must be unique per key (stated — CDC log offsets
+    * are).
+    *
+    * @return (key, n_ops, first_op, last_op, net_op, payload) — payload
+    *         null for DELETE/NOOP
+    */
+  def netChanges(changes: DataFrame, key: Column, seq: Column, op: Column,
+                 payload: Column): DataFrame =
+    netDecision(changes
+      .select(key.as("key"), seq.cast("long").as("seq"),
+        op.cast("string").as("op"), payload.as("payload"))
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("n_ops"),
+        min_by(col("op"), col("seq")).as("first_op"),
+        max_by(col("op"), col("seq")).as("last_op"),
+        max_by(col("payload"), col("seq")).as("__pl")))
+
+  /** The C35 decision tail over (key, n_ops, first_op, last_op, __pl)
+    * rows — shared verbatim by the batch operator and the X36 streaming
+    * twin.
+    */
+  private[graft] def netDecision(agg: DataFrame): DataFrame =
+    agg
+      .withColumn("net_op",
+        when(col("first_op") === "I" && col("last_op") === "D", "NOOP")
+          .when(col("first_op") === "I", "INSERT")
+          .when(col("last_op") === "D", "DELETE")
+          .otherwise("UPDATE"))
+      .withColumn("payload",
+        when(col("net_op").isin("INSERT", "UPDATE"), col("__pl")))
+      .drop("__pl")
 }

@@ -1247,6 +1247,62 @@ object Streams {
     }
   }
 
+  /** X36: streaming net-change squash — C35 maintained from
+    * order-INDEPENDENT per-key state: (n, minSeq, opAtMin, maxSeq,
+    * opAtMax, payloadAtMax). Because the state tracks the sequence
+    * extremes rather than arrival order, NO ordered-delivery contract
+    * is needed (unlike X14) — late events fold in correctly; the
+    * drained snapshot flows through the IDENTICAL
+    * [[graft.cdc.Cdc.netDecision]] tail, so streaming ≡ batch and X36
+    * shares C35's oracle verbatim. O(1) state per live key — the
+    * continuously-maintained "what would this batch window net to"
+    * view of a CDC feed.
+    *
+    * @param rows (key: long, seq: long, op: string, payload: long)
+    */
+  def streamingNetChanges(spark: SparkSession, rows: DataFrame,
+                          queryName: String,
+                          rocksDb: Boolean = UseRocksDb): DataFrame = {
+    import spark.implicits._
+    val typed = rows.select(col("key").cast("long"), col("seq").cast("long"),
+        col("op").cast("string"), col("payload").cast("long"))
+      .as[(Long, Long, String, Long)]
+    val path = stageToTemp(typed.toDF("key", "seq", "op", "payload"),
+      "snetchg")
+
+    val update: (Long, Iterator[(Long, Long, String, Long)],
+        GroupState[(Long, Long, String, Long, String, Long)]) =>
+        (Long, Long, String, String, Long) = (key, batch, state) => {
+      var (n, fs, fo, ls, lo, lp) = state.getOption
+        .getOrElse((0L, Long.MaxValue, "", Long.MinValue, "", 0L))
+      batch.foreach { case (_, seq, op, pl) =>
+        n += 1
+        if (seq < fs) { fs = seq; fo = op }
+        if (seq > ls) { ls = seq; lo = op; lp = pl }
+      }
+      state.update((n, fs, fo, ls, lo, lp))
+      (key, n, fo, lo, lp)
+    }
+
+    withStateSession(spark, 8, rocksDb) { iso =>
+      val stream = iso.readStream.schema(typed.schema).parquet(path)
+        .as[(Long, Long, String, Long)]
+      val agg = stream.groupByKey(_._1)
+        .mapGroupsWithState(GroupStateTimeout.NoTimeout)(update)
+        .toDF("key", "n_ops", "first_op", "last_op", "__pl")
+      val q = agg.writeStream.outputMode("update")
+        .format("memory").queryName(queryName).start()
+      try { q.processAllAvailable() } finally { q.stop() }
+      val snap = iso.table(queryName)
+        .groupBy(col("key"))
+        .agg(max(col("n_ops")).as("n_ops"),
+          max_by(col("first_op"), col("n_ops")).as("first_op"),
+          max_by(col("last_op"), col("n_ops")).as("last_op"),
+          max_by(col("__pl"), col("n_ops")).as("__pl"))
+      graft.cdc.Cdc.netDecision(snap)
+    }
+  }
+
   /** X35: streaming score-quality monitor — R150/R151's Brier + ECE
     * maintained from FIVE longs of state per (group, bin) cell
     * (n, Σp, Σp², Σy, Σp·y); update-mode max_by-n snapshot drains

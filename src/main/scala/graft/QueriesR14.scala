@@ -323,6 +323,21 @@ object QueriesR14 {
         queryName = s"gate_snetchg_${System.nanoTime()}")
       .orderBy(col("key"))
 
+  /** R154: deterministic bootstrap CI (see
+    * [[graft.operators.Sampling.bootstrapMeanCI]]) — a 95% CI for mean
+    * order value per priority class from 40 hash-driven resamples; the
+    * assumption-free uncertainty quantifier beside R141's parametric
+    * t².
+    */
+  def qBootstrapCi(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .select(col("o_orderpriority"), cents(col("o_totalprice")).as("v"),
+        col("o_orderkey").as("id"))
+    graft.operators.Sampling.bootstrapMeanCI(o, "o_orderpriority",
+        col("v"), col("id"), b = 40, loPpm = 25000L, hiPpm = 975000L)
+      .orderBy(col("grp"))
+  }
+
   /** X34: streaming Welch monitor (see
     * [[graft.streaming.Streams.streamingWelch]]) — R141 maintained from
     * three longs per (group, side); same input, same oracle as
@@ -959,6 +974,45 @@ object QueriesR14 {
     "q_rrf_fusion" -> rrfFusionSql,
     "text_good_turing" -> goodTuringSql,
     "text_zipf" -> zipfSql,
+    "q_bootstrap_ci" ->
+      """WITH base AS (
+        |  SELECT o_orderpriority AS grp,
+        |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS v,
+        |    o_orderkey AS id
+        |  FROM orders
+        |), pos AS (
+        |  SELECT grp, v, id,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY grp ORDER BY v, id)
+        |      AS BIGINT) AS pos,
+        |    CAST(COUNT(*) OVER (PARTITION BY grp) AS BIGINT) AS n
+        |  FROM base
+        |), draws AS (
+        |  SELECT p.grp, b.b, p.n,
+        |    CAST(('0x' || substr(md5(p.grp || ':' || CAST(b.b AS VARCHAR)
+        |      || ':' || CAST(p.pos AS VARCHAR)), 1, 12)) AS BIGINT)
+        |      % p.n + 1 AS idx
+        |  FROM pos p
+        |  CROSS JOIN (SELECT unnest(generate_series(1, 40)) AS b) b
+        |), means AS (
+        |  SELECT d.grp, d.b,
+        |    CAST(SUM(p2.v) AS BIGINT) // COUNT(*) AS mean_b
+        |  FROM draws d JOIN pos p2 ON p2.grp = d.grp AND p2.pos = d.idx
+        |  GROUP BY 1, 2
+        |), rk AS (
+        |  SELECT grp, mean_b,
+        |    ROW_NUMBER() OVER (PARTITION BY grp ORDER BY mean_b, b) AS r
+        |  FROM means
+        |), ci AS (
+        |  SELECT grp, MAX(CASE WHEN r = 1 THEN mean_b END) AS ci_lo,
+        |    MAX(CASE WHEN r = 39 THEN mean_b END) AS ci_hi
+        |  FROM rk GROUP BY 1
+        |), pt AS (
+        |  SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(v) // COUNT(*) AS BIGINT) AS mean_v
+        |  FROM base GROUP BY 1
+        |)
+        |SELECT pt.grp, pt.n, pt.mean_v, ci.ci_lo, ci.ci_hi
+        |FROM pt JOIN ci ON ci.grp = pt.grp ORDER BY pt.grp""".stripMargin,
     "cdc_net_changes" -> netChangesSql,
     // X36 shares its batch twin's oracle verbatim: streaming ≡ batch
     "stream_net_changes" -> netChangesSql,

@@ -104,6 +104,64 @@ object Sampling {
       .drop("__w", "__h")
   }
 
+  /** R154: deterministic bootstrap confidence interval for the mean —
+    * the assumption-free CI, with the resampling RNG replaced by
+    * hash48 so both engines draw the IDENTICAL B resamples:
+    *
+    *   draw(b, j)   = row at position hash48(grp:b:j) mod n + 1
+    *                  (positions from the two-stage exact rank — a
+    *                  stable total order; modulo bias ≤ n/2⁴⁸, stated)
+    *   mean_b       = Σ draws div n        (floored, B per group)
+    *   [ci_lo, ci_hi] = type-1 quantiles of the B means at the
+    *                  requested ppm levels (index ⌈B·p⌉, min 1)
+    *
+    * Everything integer; the point mean ships alongside. Work is
+    * n·B rows per group — one hash join back to the position table,
+    * one (grp, b) aggregate, one B-sized window per group.
+    *
+    * @param b     number of bootstrap resamples
+    * @param loPpm lower quantile in ppm (e.g. 25000 = 2.5%)
+    * @param hiPpm upper quantile in ppm (e.g. 975000 = 97.5%)
+    * @return (grp, n, mean_v, ci_lo, ci_hi) in the input's units
+    */
+  def bootstrapMeanCI(df: DataFrame, group: String, x: Column, id: Column,
+                      b: Int, loPpm: Long, hiPpm: Long): DataFrame = {
+    require(b >= 2, s"b must be >= 2, got $b")
+    require(loPpm >= 1 && hiPpm <= 1000000 && loPpm < hiPpm,
+      s"quantiles out of order: $loPpm, $hiPpm")
+    val spark = df.sparkSession
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(group).cast("string").as("grp"),
+        x.cast("long").as("v"), id.cast("long").as("id"))
+      .filter(col("v").isNotNull)
+    val pos = Ranking.rankExact(base, Seq("grp"), col("v"), Seq(col("id")),
+        "pos")
+      .withColumnRenamed("__total", "n")
+    val bs = spark.range(1, b + 1).toDF("b")
+    val draws = pos.select(col("grp"), col("pos").as("j"), col("n"))
+      .crossJoin(broadcast(bs))
+      .withColumn("idx",
+        Kmv.hash48(concat_ws(":", col("grp"), col("b").cast("string"),
+          col("j").cast("string"))) % col("n") + 1)
+    val means = draws
+      .join(pos.select(col("grp"), col("pos").as("idx"), col("v")),
+        Seq("grp", "idx"))
+      .groupBy(col("grp"), col("b"))
+      .agg(sum(col("v")).as("__tot"), count(lit(1)).as("__nb"))
+      .withColumn("mean_b", expr("__tot div __nb"))
+    val loIdx = math.max(1L, math.ceil(b * loPpm / 1e6).toLong)
+    val hiIdx = math.max(1L, math.ceil(b * hiPpm / 1e6).toLong)
+    val w = Window.partitionBy(col("grp")).orderBy(col("mean_b"), col("b"))
+    val ci = means.withColumn("__r", row_number().over(w))
+      .groupBy(col("grp"))
+      .agg(max(when(col("__r") === loIdx, col("mean_b"))).as("ci_lo"),
+        max(when(col("__r") === hiIdx, col("mean_b"))).as("ci_hi"))
+    base.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("__s"))
+      .withColumn("mean_v", expr("__s div n")).drop("__s")
+      .join(ci, Seq("grp"))
+  }
+
   /** R107: deterministic negative sampling — the training-pair
     * construction step for recommenders/retrievers: per user, up to `k`
     * items the user did NOT interact with, drawn by md5 hash so the

@@ -76,6 +76,35 @@ class SamplingSpec extends AnyFunSuite {
     assert(got.count(_ <= 50) >= 40, s"heavy rows drawn: ${got.count(_ <= 50)}/50")
   }
 
+  // ------------------------------------------ R154 bootstrap CI
+
+  test("bootstrap CI: exact replay of the hash-driven resamples") {
+    val vals = Seq(10L, 20L, 30L, 40L, 50L, 60L, 70L, 80L, 90L, 100L)
+    val rows = vals.zipWithIndex.map { case (v, i) => ("g", v, i + 1L) }
+      .toDF("grp", "v", "id")
+    val got = Sampling.bootstrapMeanCI(rows, "grp", col("v"), col("id"),
+        b = 8, loPpm = 125000L, hiPpm = 875000L)
+      .as[(String, Long, Long, Long, Long)].collect().head
+    // positions sorted by (v, id) = vals ascending; replay the draws
+    val sortedVals = vals.sorted
+    val means = (1 to 8).map { b =>
+      val draws = (1 to 10).map { j =>
+        val idx = hash48Ref(s"g:$b:$j") % 10
+        sortedVals(idx.toInt)
+      }
+      draws.sum / 10
+    }.sorted
+    assert(got == (("g", 10L, vals.sum / 10, means.head, means(6))))
+  }
+
+  test("bootstrap CI: constant data collapses the interval to the mean") {
+    val rows = (1L to 30L).map(i => ("c", 7L, i)).toDF("grp", "v", "id")
+    val got = Sampling.bootstrapMeanCI(rows, "grp", col("v"), col("id"),
+        b = 10, loPpm = 25000L, hiPpm = 975000L)
+      .as[(String, Long, Long, Long, Long)].collect().head
+    assert(got == (("c", 30L, 7L, 7L, 7L)))
+  }
+
   // ------------------------------------------ R153 weighted bottom-k
 
   test("weighted bottom-k: priorities are exactly hash48 div w") {

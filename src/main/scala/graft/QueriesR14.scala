@@ -338,6 +338,21 @@ object QueriesR14 {
       .orderBy(col("grp"))
   }
 
+  /** R155: deterministic permutation test (see
+    * [[graft.operators.RankStats.permutationTest]]) — do even- and
+    * odd-keyed customers spend differently per priority class? A null
+    * effect by construction, so the gate also checks the test's
+    * CALIBRATION (p should land high); 40 hash-drawn label shuffles.
+    */
+  def qPermutationTest(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .select(col("o_orderpriority"), (col("o_custkey") % 2 === 0).as("s"),
+        cents(col("o_totalprice")).as("v"), col("o_orderkey").as("id"))
+    graft.operators.RankStats.permutationTest(o, "o_orderpriority",
+        col("s"), col("v"), col("id"), b = 40)
+      .orderBy(col("grp"))
+  }
+
   /** X34: streaming Welch monitor (see
     * [[graft.streaming.Streams.streamingWelch]]) — R141 maintained from
     * three longs per (group, side); same input, same oracle as
@@ -974,6 +989,62 @@ object QueriesR14 {
     "q_rrf_fusion" -> rrfFusionSql,
     "text_good_turing" -> goodTuringSql,
     "text_zipf" -> zipfSql,
+    "q_permutation_test" ->
+      """WITH base AS (
+        |  SELECT o_orderpriority AS grp, (o_custkey % 2 = 0) AS s,
+        |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS v,
+        |    o_orderkey AS id
+        |  FROM orders
+        |), obs AS (
+        |  SELECT grp,
+        |    CAST(SUM(CASE WHEN s THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN s THEN v ELSE 0 END) AS BIGINT) AS s_a,
+        |    CAST(SUM(v) AS BIGINT) AS st
+        |  FROM base GROUP BY 1
+        |), o2 AS (
+        |  SELECT grp, n_a, n - n_a AS n_b, s_a, st - s_a AS s_b, st,
+        |    ABS(CAST(s_a AS HUGEINT) * (n - n_a)
+        |      - CAST(st - s_a AS HUGEINT) * n_a) AS dobs
+        |  FROM obs
+        |), perm AS (
+        |  SELECT b.b, base.grp, base.v, base.id,
+        |    CAST(('0x' || substr(md5(base.grp || ':'
+        |      || CAST(b.b AS VARCHAR) || ':' || CAST(base.id AS VARCHAR)),
+        |      1, 12)) AS BIGINT) AS h
+        |  FROM base
+        |  CROSS JOIN (SELECT unnest(generate_series(1, 40)) AS b) b
+        |), rk AS (
+        |  SELECT grp, b, v,
+        |    ROW_NUMBER() OVER (PARTITION BY grp, b ORDER BY h, id) AS r
+        |  FROM perm
+        |), ps AS (
+        |  SELECT rk.grp, rk.b,
+        |    CAST(SUM(CASE WHEN rk.r <= o2.n_a THEN rk.v ELSE 0 END)
+        |      AS BIGINT) AS sa
+        |  FROM rk JOIN o2 ON o2.grp = rk.grp
+        |  GROUP BY 1, 2
+        |), ex AS (
+        |  SELECT o2.grp,
+        |    CAST(SUM(CASE WHEN ABS(CAST(ps.sa AS HUGEINT) * o2.n_b
+        |        - CAST(o2.st - ps.sa AS HUGEINT) * o2.n_a) >= o2.dobs
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme
+        |  FROM ps JOIN o2 ON o2.grp = ps.grp GROUP BY 1
+        |)
+        |SELECT o2.grp, o2.n_a, o2.n_b,
+        |  CASE WHEN o2.n_a = 0 OR o2.n_b = 0 THEN NULL
+        |    WHEN CAST(o2.s_a AS HUGEINT) * o2.n_b
+        |         - CAST(o2.s_b AS HUGEINT) * o2.n_a >= 0
+        |    THEN CAST((CAST(o2.s_a AS HUGEINT) * o2.n_b
+        |      - CAST(o2.s_b AS HUGEINT) * o2.n_a) * 1000
+        |      // (CAST(o2.n_a AS HUGEINT) * o2.n_b) AS BIGINT)
+        |    ELSE -CAST((CAST(o2.s_b AS HUGEINT) * o2.n_a
+        |      - CAST(o2.s_a AS HUGEINT) * o2.n_b) * 1000
+        |      // (CAST(o2.n_a AS HUGEINT) * o2.n_b) AS BIGINT)
+        |  END AS mean_diff_milli,
+        |  ex.n_extreme,
+        |  CAST((1 + ex.n_extreme) * 1000000 // 41 AS BIGINT) AS p_ppm
+        |FROM o2 JOIN ex ON ex.grp = o2.grp ORDER BY o2.grp""".stripMargin,
     "q_bootstrap_ci" ->
       """WITH base AS (
         |  SELECT o_orderpriority AS grp,

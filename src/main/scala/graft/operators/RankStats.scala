@@ -608,6 +608,80 @@ object RankStats {
         col("mean_diff_milli"), col("t2_milli"))
   }
 
+  /** R155: deterministic permutation test for the two-sample mean
+    * difference — the exact-inference member of the triad (R141 Welch
+    * assumes, R154 bootstraps, this PERMUTES): B label shuffles drawn
+    * by hash48, each permutation b re-assigning side A to the first
+    * n_a rows of the (hash48(grp:b:id), id) order within the group.
+    * Extremeness never divides: on the common n_a·n_b denominator,
+    * |mean diff_b| ≥ |mean diff_obs| ⟺
+    * |S_Ab·n_b − S_Bb·n_a| ≥ |S_a·n_b − S_b·n_a| — an INTEGER
+    * comparison, so the p-value is exact:
+    * p_ppm = (1 + #extreme)·10⁶ div (B + 1) (the add-one convention,
+    * stated — the observed labeling counts as one permutation).
+    *
+    * Work: n·B rows, one per-(grp, b) window over the group's rows,
+    * one aggregate; sums in DECIMAL(38,0) (cents · 10⁵-row groups stay
+    * far inside).
+    *
+    * @return (grp, n_a, n_b, mean_diff_milli, n_extreme, p_ppm)
+    */
+  def permutationTest(df: DataFrame, group: String, side: Column, x: Column,
+                      id: Column, b: Int): DataFrame = {
+    require(b >= 2, s"b must be >= 2, got $b")
+    val spark = df.sparkSession
+    val base = df.select(col(group).cast("string").as("grp"),
+        side.cast("boolean").as("s"), x.cast("long").as("v"),
+        id.cast("long").as("id"))
+      .filter(col("v").isNotNull)
+    val obs = base.groupBy(col("grp"))
+      .agg(sum(when(col("s"), 1L).otherwise(0L)).as("n_a"),
+        count(lit(1)).as("n"),
+        sum(when(col("s"), col("v")).otherwise(0L)).as("s_a"),
+        sum(col("v")).as("__st"))
+      .withColumn("n_b", col("n") - col("n_a"))
+      .withColumn("s_b", col("__st") - col("s_a"))
+      .withColumn("__dobs", expr(
+        "abs(CAST(s_a AS DECIMAL(38,0)) * n_b - CAST(s_b AS DECIMAL(38,0)) * n_a)"))
+    val bs = spark.range(1, b + 1).toDF("b")
+    val w = Window.partitionBy(col("grp"), col("b"))
+      .orderBy(col("__h"), col("id"))
+    val perms = base.crossJoin(broadcast(bs))
+      .withColumn("__h", graft.sketches.Kmv.hash48(
+        concat_ws(":", col("grp"), col("b").cast("string"),
+          col("id").cast("string"))))
+      .withColumn("__r", row_number().over(w).cast("long"))
+      .join(obs.select(col("grp"), col("n_a"), col("__st")), Seq("grp"))
+      .groupBy(col("grp"), col("b"))
+      .agg(sum(when(col("__r") <= col("n_a"), col("v")).otherwise(0L))
+          .as("__sa"),
+        max(col("n_a")).as("n_a"), max(col("__st")).as("__st"))
+      .withColumn("__sb", col("__st") - col("__sa"))
+    val extreme = perms
+      .join(obs.select(col("grp"), col("n_b").as("__nb"), col("__dobs")),
+        Seq("grp"))
+      .withColumn("__db", expr(
+        "abs(CAST(__sa AS DECIMAL(38,0)) * __nb - CAST(__sb AS DECIMAL(38,0)) * n_a)"))
+      .groupBy(col("grp"))
+      .agg(sum(when(col("__db") >= col("__dobs"), 1L).otherwise(0L))
+        .as("n_extreme"))
+    obs.join(extreme, Seq("grp"))
+      .select(col("grp"), col("n_a"), col("n_b"),
+        when(col("n_a") === 0 || col("n_b") === 0, lit(null))
+          .otherwise(expr("""CASE
+            |WHEN CAST(s_a AS DECIMAL(38,0)) * n_b
+            |     - CAST(s_b AS DECIMAL(38,0)) * n_a >= 0
+            |THEN CAST((CAST(s_a AS DECIMAL(38,0)) * n_b
+            |  - CAST(s_b AS DECIMAL(38,0)) * n_a) * 1000
+            |  div (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)
+            |ELSE -CAST((CAST(s_b AS DECIMAL(38,0)) * n_a
+            |  - CAST(s_a AS DECIMAL(38,0)) * n_b) * 1000
+            |  div (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)
+            |END""".stripMargin)).as("mean_diff_milli"),
+        col("n_extreme"),
+        expr(s"(1 + n_extreme) * 1000000 div (${b} + 1)").as("p_ppm"))
+  }
+
   def kendallTau(df: DataFrame, group: String, xcol: Column,
                  ycol: Column): DataFrame = {
     val cells = df.select(col(group).cast("string").as("grp"),

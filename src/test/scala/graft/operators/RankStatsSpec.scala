@@ -434,6 +434,54 @@ class RankStatsSpec extends AnyFunSuite {
     assert(got("tied")._7.isEmpty)
   }
 
+  // ---------------------------------------------------- R155 permutation
+
+  /** Driver-side hash48 (first 12 md5 hex chars). */
+  private def h48(s: String): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 12), 16)
+  }
+
+  private def runPerm(rows: Seq[(String, Boolean, Long, Long)], b: Int)
+      : Map[String, (Long, Long, Option[Long], Long, Long)] =
+    RankStats.permutationTest(rows.toDF("g", "s", "v", "id"), "g",
+        col("s"), col("v"), col("id"), b)
+      .as[(String, Long, Long, Option[Long], Long, Long)]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+
+  test("permutation: exact replay of the hash-shuffled labelings") {
+    val rows = Seq(("g", true, 100L, 1L), ("g", true, 90L, 2L),
+      ("g", false, 10L, 3L), ("g", false, 20L, 4L))
+    val got = runPerm(rows, 8)
+    val (na, nb) = (2L, 2L)
+    val (sa, sb) = (190L, 30L)
+    val dobs = math.abs(sa * nb - sb * na)
+    val vById = rows.map(r => r._4 -> r._3).toMap
+    val nExtreme = (1 to 8).count { b =>
+      val order = rows.map(_._4).sortBy(id => (h48(s"g:$b:$id"), id))
+      val saB = order.take(na.toInt).map(vById).sum
+      val sbB = 220L - saB
+      math.abs(saB * nb - sbB * na) >= dobs
+    }.toLong
+    assert(got("g") == ((na, nb, Some((sa * nb - sb * na) * 1000 / (na * nb)),
+      nExtreme, (1 + nExtreme) * 1000000L / 9)))
+  }
+
+  test("permutation: a flat outcome is never significant") {
+    val rows = (1L to 12L).map(i => ("f", i % 2 == 0, 5L, i))
+    val got = runPerm(rows, 10)("f")
+    assert(got._4 == 10L, "every shuffle is exactly as extreme")
+    assert(got._5 == 1000000L, "p = 1")
+  }
+
+  test("permutation: clear separation drives p to the floor") {
+    val rows = (1L to 8L).map(i => ("s", i <= 4, if (i <= 4) 1000L else 1L, i))
+    val got = runPerm(rows, 20)
+    assert(got("s")._5 <= 3 * 1000000L / 21,
+      s"p should be near 1/(B+1), got ${got("s")._5}")
+  }
+
   // ----------------------------------------------------------- R141 Welch
 
   private def runWelch(rows: Seq[(String, Boolean, Long)])

@@ -353,6 +353,32 @@ object QueriesR14 {
       .orderBy(col("grp"))
   }
 
+  /** M7: MP3 frame-header decode (see
+    * [[graft.multimodal.Mp3Header]]) — synthesized MPEG-1 Layer III
+    * frames (bitrate/samplerate/mode indices from the doc id), a third
+    * of them behind an ID3v2 tag the decoder must skip by its syncsafe
+    * size; the oracle recomputes the expected fields from the id alone.
+    */
+  def mmMp3Meta(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("doc_id"))
+    val brIdx = (col("doc_id") % 14 + 1).cast("int")
+    val srIdx = (col("doc_id") % 3).cast("int")
+    val mode = (col("doc_id") % 4).cast("int")
+    val frame = concat(lit("fffb"),
+      lpad(hex(brIdx * 16 + srIdx * 4), 2, "0"),
+      lpad(hex(mode * 64), 2, "0"))
+    val id3 = lit("4944330400000000000d" + "00" * 13)
+    val payload = unhex(
+      when(col("doc_id") % 3 === 0, concat(id3, frame)).otherwise(frame))
+    d.withColumn("meta", graft.multimodal.Mp3Header.mp3_meta(payload))
+      .select(col("doc_id"), col("meta.format").as("format"),
+        col("meta.bitrate_kbps").cast("long").as("bitrate_kbps"),
+        col("meta.sample_rate").cast("long").as("sample_rate"),
+        col("meta.channels").cast("long").as("channels"),
+        col("meta.has_id3").as("has_id3"))
+      .orderBy(col("doc_id"))
+  }
+
   /** X34: streaming Welch monitor (see
     * [[graft.streaming.Streams.streamingWelch]]) — R141 maintained from
     * three longs per (group, side); same input, same oracle as
@@ -972,6 +998,23 @@ object QueriesR14 {
       |       ELSE pl END AS payload
       |FROM a ORDER BY key""".stripMargin
 
+  /** M7 oracle: the expected fields recomputed from the id alone — the
+    * byte-level decode must be invisible.
+    */
+  private val mp3MetaSql: String = {
+    val brCase = (1 to 14).map(i =>
+      s"WHEN ${i} THEN ${graft.multimodal.Mp3Header.BitratesKbps(i)}")
+      .mkString(" ")
+    s"""SELECT doc_id, 'mp3' AS format,
+       |  CAST(CASE doc_id % 14 + 1 $brCase END AS BIGINT) AS bitrate_kbps,
+       |  CAST(CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+       |    ELSE 32000 END AS BIGINT) AS sample_rate,
+       |  CAST(CASE WHEN doc_id % 4 = 3 THEN 1 ELSE 2 END AS BIGINT)
+       |    AS channels,
+       |  (doc_id % 3 = 0) AS has_id3
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
   val sql: Map[String, String] = Map(
     "q_eval_ndcg" -> ndcgSql,
     "q_kendall" -> kendallSql,
@@ -989,6 +1032,7 @@ object QueriesR14 {
     "q_rrf_fusion" -> rrfFusionSql,
     "text_good_turing" -> goodTuringSql,
     "text_zipf" -> zipfSql,
+    "mm_mp3_meta" -> mp3MetaSql,
     "q_permutation_test" ->
       """WITH base AS (
         |  SELECT o_orderpriority AS grp, (o_custkey % 2 = 0) AS s,

@@ -1,0 +1,300 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Round-6 surface growth, batch z: the spatial grid family (R156 radius
+  * join, R157 radius-bounded kNN, R158 grid-density clustering) and exact
+  * milli-quantized Lloyd k-means (D18). House contract as everywhere:
+  * pure integer arithmetic after a single deterministic quantization, so
+  * every gate is a bit-exact hash compare against DuckDB.
+  *
+  * Point coordinates derive from event ids by an affine congruential
+  * scatter ((id·48271) mod 2000, (id·16807+12345) mod 2000) — plain
+  * integer ops both engines share, standing in for the delivery/store
+  * coordinates a production replica of the reference's schema would carry
+  * (reference: README.md:24, the real-time warehouse use case).
+  */
+object QueriesR15 {
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Synthetic point cloud: one point per event, coords in [0, 2000).
+    * Derivation must be genuinely scattered — an affine (LCG-style) map
+    * of sequential ids is a LATTICE (Marsaglia), whose minimum
+    * inter-point distance can exceed any useful radius — so coords come
+    * from the house 48-bit md5 idiom, salted per axis.
+    */
+  private def points(s: SparkSession, dir: String): DataFrame = {
+    def h48(salt: String) = conv(substring(
+      md5(concat(col("event_id").cast("string"), lit(salt))), 1, 12), 16, 10)
+      .cast("long")
+    t(s, dir, "events").select(
+      col("event_id").as("id"),
+      (h48(":x") % 2000L).as("x"),
+      (h48(":y") % 2000L).as("y"))
+  }
+
+  private val pointsSql =
+    """SELECT event_id AS id,
+      |    CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':x'), 1, 12))
+      |      AS BIGINT) % 2000 AS x,
+      |    CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':y'), 1, 12))
+      |      AS BIGINT) % 2000 AS y FROM events""".stripMargin
+
+  /** R156: all customer-pair proximity within Euclidean distance 25 —
+    * grid equi-join (3×3 neighbor replication of the narrow projection),
+    * never the O(n²) cross join the oracle brute-forces at gate scale.
+    */
+  def qSpatialRadiusJoin(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Spatial.radiusJoin(points(s, dir),
+        col("id"), col("x"), col("y"), r = 25L)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** R157: 5 nearest in-radius (r=100) neighbors for the id%97 query
+    * panel — the query side replicates into its neighborhood, the corpus
+    * keeps its home cell, per-query top-k is a window over the bounded
+    * in-radius fan-in.
+    */
+  def qSpatialKnn(s: SparkSession, dir: String): DataFrame = {
+    val p = points(s, dir)
+    graft.operators.Spatial.knnWithinRadius(
+        p.filter(col("id") % 97 === 0), p,
+        col("id"), col("x"), col("y"), r = 100L, k = 5)
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** R158: DBSCAN-style demand pockets — cells of side 50 with ≥3 points
+    * are dense, 8-adjacent dense cells merge via star-contraction CC on
+    * the CELL table (data-sized work: one aggregate + one join back);
+    * sparse-cell points are noise and absent.
+    */
+  def qSpatialCluster(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Spatial.gridDensityCluster(points(s, dir),
+        col("id"), col("x"), col("y"), cellSize = 50L, minPts = 3L)
+      .orderBy(col("id"))
+
+  /** D18: two exact Lloyd passes over milli-quantized embeddings, seeds
+    * vec_id ≡ 0 (mod 50) — the deterministic clustering that feeds
+    * stratified corpus sampling and IVF partition pruning.
+    */
+  def qKmeansCluster(s: SparkSession, dir: String): DataFrame =
+    graft.similarity.KMeans.lloydMilli(t(s, dir, "embeddings"),
+        col("vec_id"), col("embedding"), seedMod = 50L, iterations = 2)
+      .orderBy(col("vec_id"))
+
+  /** R159: simplified squared-distance silhouette of D18's assignment —
+    * the decisiveness monitor for the clustering that feeds sampling and
+    * IVF pruning; per-cluster sign-carried mean in exact ppm.
+    */
+  def qSilhouette(s: SparkSession, dir: String): DataFrame =
+    graft.similarity.KMeans.silhouetteMilli(t(s, dir, "embeddings"),
+        col("vec_id"), col("embedding"), seedMod = 50L, iterations = 2)
+      .orderBy(col("cluster_id"))
+
+  /** R160: stationary distribution of the R58 event-type Markov kernel
+    * after 3 exact power-iteration rounds — where the user process spends
+    * its long-run time; state-sized work beyond the pair aggregate.
+    */
+  def qMarkovStationary(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = t(s, dir, "events").select(col("user_id"), col("event_id"),
+      col("event_type"),
+      unix_timestamp(col("ts").cast("timestamp")).as("ts_sec"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    val pairs = e
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .withColumn("gap", col("ts_sec") - lag(col("ts_sec"), 1).over(w))
+      .filter(col("prev").isNotNull && col("gap") <= 1800)
+      .select(col("prev").as("from_state"), col("event_type").as("to_state"))
+    graft.operators.Markov.stationaryPpm(pairs, rounds = 3)
+      .orderBy(col("state"))
+  }
+
+  /** R161: cross-source quantile normalization of document length — each
+    * source's distribution maps onto the pooled one by type-1 rank
+    * lookup, the fix before mixing heterogeneous quality scores.
+    */
+  def qQuantileNormalize(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Ranking.quantileNormalize(
+        t(s, dir, "documents").select(col("doc_id"), col("source"),
+          col("n_chars")),
+        Seq("source"), col("n_chars"), col("doc_id"))
+      .select(col("doc_id"), col("source"), col("n_chars"), col("norm"))
+      .orderBy(col("doc_id"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_spatial_radius_join" -> (qSpatialRadiusJoin _),
+    "q_spatial_knn" -> (qSpatialKnn _),
+    "q_spatial_cluster" -> (qSpatialCluster _),
+    "q_kmeans_cluster" -> (qKmeansCluster _),
+    "q_silhouette" -> (qSilhouette _),
+    "q_markov_stationary" -> (qMarkovStationary _),
+    "q_quantile_normalize" -> (qQuantileNormalize _))
+
+  val sql: Map[String, String] = Map(
+    "q_spatial_radius_join" ->
+      s"""WITH p AS ($pointsSql)
+         |SELECT a.id AS id_a, b.id AS id_b,
+         |  CAST((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) AS BIGINT) AS dist_sq
+         |FROM p a JOIN p b ON a.id < b.id
+         |WHERE (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 625
+         |ORDER BY id_a, id_b""".stripMargin,
+    "q_spatial_knn" ->
+      s"""WITH p AS ($pointsSql),
+         |q AS (SELECT * FROM p WHERE id % 97 = 0),
+         |scored AS (
+         |  SELECT q.id AS query_id, c.id AS cand_id,
+         |    (q.x-c.x)*(q.x-c.x) + (q.y-c.y)*(q.y-c.y) AS dist_sq
+         |  FROM q JOIN p c ON c.id <> q.id
+         |  WHERE (q.x-c.x)*(q.x-c.x) + (q.y-c.y)*(q.y-c.y) <= 10000
+         |)
+         |SELECT query_id, cand_id, CAST(dist_sq AS BIGINT) AS dist_sq,
+         |  CAST(rnk AS BIGINT) AS rnk
+         |FROM (SELECT query_id, cand_id, dist_sq,
+         |        ROW_NUMBER() OVER (PARTITION BY query_id
+         |          ORDER BY dist_sq, cand_id) AS rnk
+         |      FROM scored) t
+         |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+    "q_spatial_cluster" ->
+      s"""WITH RECURSIVE p AS (
+         |  SELECT id, x // 50 AS gx, y // 50 AS gy FROM ($pointsSql) pt
+         |), dense AS (
+         |  SELECT gx, gy, gx * 1048576 + gy AS cell
+         |  FROM p GROUP BY gx, gy HAVING COUNT(*) >= 3
+         |), edges AS (
+         |  SELECT a.cell AS ca, b.cell AS cb FROM dense a JOIN dense b
+         |  ON abs(a.gx - b.gx) <= 1 AND abs(a.gy - b.gy) <= 1
+         |    AND a.cell <> b.cell
+         |), r(cell, anc) AS (
+         |  SELECT cell, cell FROM dense
+         |  UNION
+         |  SELECT e.ca, r.anc FROM r JOIN edges e ON e.cb = r.cell
+         |), reach AS (
+         |  SELECT cell, MIN(anc) AS cluster_id FROM r GROUP BY cell
+         |)
+         |SELECT p.id AS id, re.cluster_id
+         |FROM p
+         |JOIN dense d ON d.gx = p.gx AND d.gy = p.gy
+         |JOIN reach re ON re.cell = d.cell
+         |ORDER BY id""".stripMargin,
+    "q_kmeans_cluster" ->
+      s"""WITH $kmeansCtes
+         |SELECT vec_id, cid AS cluster_id FROM a2 ORDER BY vec_id""".stripMargin,
+    "q_silhouette" ->
+      s"""WITH $kmeansCtes, sa AS (
+         |  SELECT d2.vec_id, d2.cid, d2.d AS a FROM d2
+         |  JOIN a2 ON a2.vec_id = d2.vec_id AND a2.cid = d2.cid
+         |), sb AS (
+         |  SELECT d2.vec_id, MIN(d2.d) AS b FROM d2
+         |  JOIN a2 ON a2.vec_id = d2.vec_id AND a2.cid <> d2.cid
+         |  GROUP BY d2.vec_id
+         |), sil AS (
+         |  SELECT sa.vec_id, sa.cid,
+         |    CASE WHEN GREATEST(sa.a, sb.b) = 0 THEN 0
+         |         WHEN sb.b >= sa.a
+         |           THEN (sb.b - sa.a) * 1000000 // GREATEST(sa.a, sb.b)
+         |         ELSE -((sa.a - sb.b) * 1000000 // GREATEST(sa.a, sb.b)) END AS s
+         |  FROM sa JOIN sb ON sb.vec_id = sa.vec_id
+         |)
+         |SELECT cid AS cluster_id, CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(CASE WHEN SUM(s) >= 0 THEN SUM(s) // COUNT(*)
+         |            ELSE -((-SUM(s)) // COUNT(*)) END AS BIGINT)
+         |    AS mean_sil_ppm
+         |FROM sil GROUP BY cid ORDER BY cluster_id""".stripMargin,
+    "q_markov_stationary" -> {
+      val rounds = (0 until 3).map { k =>
+        s"""p${k + 1} AS (
+           |  SELECT s.state,
+           |    COALESCE(SUM(p$k.pi * t.p), 0) // 1000000 AS pi
+           |  FROM states s
+           |  LEFT JOIN tr t ON t.tt = s.state
+           |  LEFT JOIN p$k ON p$k.state = t.f
+           |  GROUP BY s.state
+           |)""".stripMargin
+      }.mkString(", ")
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, event_type,
+         |    CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec
+         |  FROM events
+         |), m AS (
+         |  SELECT event_type, lag(event_type) OVER w AS prev_type,
+         |    ts_sec - lag(ts_sec) OVER w AS gap
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+         |), c AS (
+         |  SELECT prev_type AS f, event_type AS tt, COUNT(*) AS n
+         |  FROM m WHERE prev_type IS NOT NULL AND gap <= 1800
+         |  GROUP BY 1, 2
+         |), states AS (
+         |  SELECT f AS state FROM c UNION SELECT tt FROM c
+         |), kern AS (
+         |  SELECT f, tt, (n * 1000000) // SUM(n) OVER (PARTITION BY f) AS p
+         |  FROM c
+         |), dang AS (
+         |  SELECT state AS f, state AS tt, 1000000 AS p FROM states
+         |  WHERE state NOT IN (SELECT f FROM c)
+         |), tr AS (
+         |  SELECT f, tt, p FROM kern UNION ALL SELECT f, tt, p FROM dang
+         |), p0 AS (
+         |  SELECT state, 1000000 // (SELECT COUNT(*) FROM states) AS pi
+         |  FROM states
+         |), $rounds
+         |SELECT state, CAST(pi AS BIGINT) AS pi_ppm FROM p3
+         |ORDER BY state""".stripMargin
+    },
+    "q_quantile_normalize" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, n_chars FROM documents
+        |), r AS (
+        |  SELECT doc_id, source, n_chars,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY n_chars, doc_id) AS r,
+        |    COUNT(*) OVER (PARTITION BY source) AS n
+        |  FROM d
+        |), p AS (
+        |  SELECT n_chars AS pv,
+        |    ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS q
+        |  FROM d
+        |), nn AS (SELECT COUNT(*) AS nn FROM d)
+        |SELECT r.doc_id, r.source, r.n_chars, CAST(p.pv AS BIGINT) AS norm
+        |FROM r CROSS JOIN nn
+        |JOIN p ON p.q = (r.r * nn.nn + r.n - 1) // r.n
+        |ORDER BY r.doc_id""".stripMargin)
+
+  /** Shared k-means CTE chain (2 unrolled Lloyd passes): flat milli
+    * quantization → seed centroids → distance/argmin → sign-carried
+    * integer-mean centroid update → final distance/argmin (d2/a2).
+    */
+  private lazy val kmeansCtes: String =
+    """flat AS (
+      |  SELECT vec_id,
+      |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS x,
+      |    generate_subscripts(embedding, 1) AS i
+      |  FROM embeddings
+      |), c0 AS (
+      |  SELECT vec_id AS cid, i, x AS cx FROM flat WHERE vec_id % 50 = 0
+      |), d1 AS (
+      |  SELECT f.vec_id, c.cid, SUM((f.x - c.cx) * (f.x - c.cx)) AS d
+      |  FROM flat f JOIN c0 c ON c.i = f.i GROUP BY 1, 2
+      |), a1 AS (
+      |  SELECT vec_id, cid FROM (
+      |    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id
+      |      ORDER BY d, cid) AS rn FROM d1) t
+      |  WHERE rn = 1
+      |), c1 AS (
+      |  SELECT a.cid, f.i,
+      |    CASE WHEN SUM(f.x) >= 0 THEN SUM(f.x) // COUNT(*)
+      |         ELSE -((-SUM(f.x)) // COUNT(*)) END AS cx
+      |  FROM flat f JOIN a1 a ON a.vec_id = f.vec_id GROUP BY 1, 2
+      |), d2 AS (
+      |  SELECT f.vec_id, c.cid, SUM((f.x - c.cx) * (f.x - c.cx)) AS d
+      |  FROM flat f JOIN c1 c ON c.i = f.i GROUP BY 1, 2
+      |), a2 AS (
+      |  SELECT vec_id, cid FROM (
+      |    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id
+      |      ORDER BY d, cid) AS rn FROM d2) t
+      |  WHERE rn = 1
+      |)""".stripMargin
+}

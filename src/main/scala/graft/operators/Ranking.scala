@@ -123,4 +123,36 @@ object Ranking {
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= topN)
   }
+
+  /** Cross-group quantile normalization: replace each row's value with
+    * the POOLED value at its within-group quantile, so every group's
+    * distribution maps onto the common one — the standard fix before
+    * mixing quality scores from heterogeneous sources (a "7" from a
+    * lenient scorer and a "7" from a strict one stop meaning different
+    * things). Type-1 (no interpolation) and exactly integer: a row at
+    * within-group rank r of n (total order (value, id)) takes the pooled
+    * value at rank ⌈r·N/n⌉ = (r·N + n − 1) div n — always in [1, N],
+    * always an ACTUAL pooled value. Headroom: r·N must fit a long —
+    * N ≲ 3·10⁹ rows; shard the pool first beyond that (stated).
+    *
+    * Both rank passes run through [[rankExact]] (two-stage bucket rank —
+    * no data-sized single-partition sort); the lookup is one equi-join
+    * on the pooled rank. Output: input columns + `norm` = the normalized
+    * value.
+    */
+  def quantileNormalize(df: DataFrame, group: Seq[String], value: Column,
+                        id: Column): DataFrame = {
+    val ranked = rankExact(df, group, value, Seq(id), "__r")
+      .withColumnRenamed("__total", "__n")
+    val pooled = rankExact(df.select(value.as("__pv"), id.as("__pid")),
+        Seq.empty, col("__pv"), Seq(col("__pid")), "__q")
+      .select(col("__q"), col("__pv"))
+    val nTotal = pooled.count()
+    ranked
+      .withColumn("__idx",
+        expr(s"(__r * ${nTotal}L + __n - 1) div __n"))
+      .join(pooled, col("__idx") === col("__q"))
+      .withColumn("norm", col("__pv").cast("long"))
+      .drop("__r", "__n", "__idx", "__q", "__pv")
+  }
 }

@@ -1,0 +1,123 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Lloyd k-means over embedding columns, exactly replayable in any engine.
+  *
+  * The training-data use: bucket a corpus's embeddings into k topical
+  * clusters for stratified sampling, mixture balancing, or IVF-style
+  * partition pruning (the same centroids [[Ann]] probes). The reference's
+  * warehouse never clusters — this is part of the LLM-pipeline surface
+  * layered on top (reference: README.md:24, the replicated store the
+  * pipeline feeds).
+  *
+  * House determinism contract: floats never survive into the arithmetic.
+  * Each coordinate quantizes ONCE to milli-units (⌊x·1000⌋ — one IEEE
+  * double multiply + floor, bit-identical everywhere); from there every
+  * distance is an exact long, every centroid update a sign-carried
+  * integer mean, every assignment a total order on (dist, centroid id).
+  * Two engines running this walk identical trajectories — no epsilon, no
+  * "close enough" — which is what makes the gate a hash compare instead
+  * of a tolerance test. The quantization error (≤ 0.1% of coordinate
+  * range) is far below any clustering decision worth making.
+  *
+  * Scale shape per round: the flat (vec_id, i, x) table is computed once
+  * and reused; the centroid table is k·dim rows — metadata-sized — and
+  * BROADCASTS into the distance join, so each round is one map-side join
+  * + one (vec_id, cid) hash aggregate + one window argmin + one
+  * (cid, i) hash aggregate. Nothing data-sized ever sits on a single
+  * partition; rounds are a fixed count (no driver-side convergence scan
+  * of the data).
+  */
+object KMeans {
+
+  /** Shared Lloyd chain: returns the final round's full distance table
+    * (vec_id × centroid) and the argmin assignment derived from it.
+    */
+  private def lloydCore(vecs: DataFrame, id: Column, vec: Column,
+                        seedMod: Long, iterations: Int)
+      : (DataFrame, DataFrame) = {
+    require(seedMod >= 1, s"seedMod must be >= 1, got $seedMod")
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    import graft.PlanProbe.CkptOps
+    val flat = vecs
+      .select(id.cast("long").as("vec_id"), posexplode(vec))
+      .select(col("vec_id"), col("pos").cast("long").as("i"),
+        floor(col("col").cast("double") * 1000).cast("long").as("x"))
+      .ckpt
+    var cent = flat.filter(col("vec_id") % seedMod === 0)
+      .select(col("vec_id").as("cid"), col("i"), col("x").as("cx"))
+    var d: DataFrame = null
+    var assign: DataFrame = null
+    for (_ <- 1 to iterations) {
+      d = flat.join(broadcast(cent), Seq("i"))
+        .groupBy(col("vec_id"), col("cid"))
+        .agg(sum((col("x") - col("cx")) * (col("x") - col("cx"))).as("d"))
+      assign = d
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("vec_id")).orderBy(col("d"), col("cid"))))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("cid"))
+      // sign-carried integer mean: floor ≡ trunc on the nonneg magnitude,
+      // so Spark's trunc-div and an oracle's floor-div agree on negatives
+      cent = flat.join(assign, Seq("vec_id"))
+        .groupBy(col("cid"), col("i"))
+        .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+        .select(col("cid"), col("i"),
+          when(col("s") >= 0, expr("s div n"))
+            .otherwise(-expr("(-s) div n")).as("cx"))
+    }
+    (d, assign)
+  }
+
+  /** `iterations` assignment passes with centroid re-estimation between
+    * them; initial centroids are the vectors whose id ≡ 0 (mod seedMod).
+    *
+    * Output: (vec_id, cluster_id) — cluster_id is the seed id of the
+    * centroid's lineage, a stable, engine-neutral label.
+    */
+  def lloydMilli(vecs: DataFrame, id: Column, vec: Column,
+                 seedMod: Long, iterations: Int): DataFrame = {
+    val (_, assign) = lloydCore(vecs, id, vec, seedMod, iterations)
+    assign.select(col("vec_id"), col("cid").as("cluster_id"))
+  }
+
+  /** Per-cluster quality of [[lloydMilli]]'s assignment: the simplified
+    * (centroid-based, SQUARED-distance) silhouette — for each point,
+    * a = squared distance to its own centroid, b = the minimum squared
+    * distance to any OTHER centroid, s = (b − a)·10⁶ div max(a, b),
+    * sign-carried; a point exactly on two centroids (max = 0) scores 0.
+    * Centroids are the ones the final assignment was made against — the
+    * question answered is "how decisively did the last pass assign",
+    * which is the monitorable quantity (squared distances keep the whole
+    * metric in exact integers; the classic sqrt form is irrational and
+    * un-gateable — stated contract, same posture as R126's V²).
+    *
+    * Output: (cluster_id, n, mean_sil_ppm) — mean is the sign-carried
+    * integer mean of member scores. Scale shape: reuses the final
+    * round's (vec_id × k) distance table — one window over k rows per
+    * point + one hash aggregate; nothing beyond the Lloyd chain itself.
+    */
+  def silhouetteMilli(vecs: DataFrame, id: Column, vec: Column,
+                      seedMod: Long, iterations: Int): DataFrame = {
+    val (d, assign) = lloydCore(vecs, id, vec, seedMod, iterations)
+    val a = d.join(assign, Seq("vec_id", "cid"))
+      .select(col("vec_id"), col("cid"), col("d").as("a"))
+    val b = d.join(assign.withColumnRenamed("cid", "own"), Seq("vec_id"))
+      .filter(col("cid") =!= col("own"))
+      .groupBy(col("vec_id")).agg(min(col("d")).as("b"))
+    val s = a.join(b, Seq("vec_id"))
+      .select(col("vec_id"), col("cid"),
+        when(greatest(col("a"), col("b")) === 0, lit(0L))
+          .otherwise(
+            signum(col("b") - col("a")).cast("long") *
+              expr("abs(b - a) * 1000000 div greatest(a, b)")).as("s"))
+    s.groupBy(col("cid").as("cluster_id"))
+      .agg(sum(col("s")).as("ss"), count(lit(1)).as("n"))
+      .select(col("cluster_id"), col("n"),
+        (signum(col("ss")).cast("long") *
+          expr("abs(ss) div n")).as("mean_sil_ppm"))
+  }
+}

@@ -21,6 +21,10 @@ object QueriesR15 {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** Money columns in integer cents: exact in both engines. */
+  private def cents(c: org.apache.spark.sql.Column) =
+    (c.cast("decimal(12,2)") * 100).cast("long")
+
   /** Synthetic point cloud: one point per event, coords in [0, 2000).
     * Derivation must be genuinely scattered — an affine (LCG-style) map
     * of sequential ids is a LATTICE (Marsaglia), whose minimum
@@ -125,6 +129,41 @@ object QueriesR15 {
       .select(col("doc_id"), col("source"), col("n_chars"), col("norm"))
       .orderBy(col("doc_id"))
 
+  /** R162 (dq): l-diversity audit behind the C-family k-anonymity gate —
+    * per event type, quasi-groups (type, day) whose distinct sensitive
+    * payloads fall below l=3.
+    */
+  def dqLDiversity(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Quality.lDiversity(
+        t(s, dir, "events").select(col("event_type"),
+          expr("unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000").as("day"),
+          col("props")),
+        col("event_type"), Seq(col("day")), col("props"), l = 3L)
+      .orderBy(col("report_key"))
+
+  /** R163: trimmed + winsorized order-value means per priority class —
+    * the robust-location pair (drop vs clamp the tails) at 10% per tail.
+    */
+  def qTrimmedMean(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Ranking.trimmedWinsorizedMean(
+        t(s, dir, "orders").select(col("o_orderpriority").as("grp"),
+          col("o_totalprice"), col("o_orderkey")),
+        Seq("grp"), cents(col("o_totalprice")), col("o_orderkey"),
+        trimPpm = 100000L)
+      .orderBy(col("grp"))
+
+  /** X37: streaming spatial enrich — arrivals emit in-radius (r=200)
+    * depot pairs (depots = the id%61 panel of the same cloud) as they
+    * land; stateless grid join ⇒ appended output ≡ the batch join.
+    */
+  def streamSpatialJoin(s: SparkSession, dir: String): DataFrame = {
+    val p = points(s, dir)
+    graft.streaming.Streams.streamingSpatialEnrich(s, p,
+        p.filter(col("id") % 61 === 0), r = 200L,
+        queryName = "stream_spatial_join")
+      .orderBy(col("id"), col("ref_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_spatial_radius_join" -> (qSpatialRadiusJoin _),
     "q_spatial_knn" -> (qSpatialKnn _),
@@ -132,7 +171,10 @@ object QueriesR15 {
     "q_kmeans_cluster" -> (qKmeansCluster _),
     "q_silhouette" -> (qSilhouette _),
     "q_markov_stationary" -> (qMarkovStationary _),
-    "q_quantile_normalize" -> (qQuantileNormalize _))
+    "q_quantile_normalize" -> (qQuantileNormalize _),
+    "dq_l_diversity" -> (dqLDiversity _),
+    "q_trimmed_mean" -> (qTrimmedMean _),
+    "stream_spatial_join" -> (streamSpatialJoin _))
 
   val sql: Map[String, String] = Map(
     "q_spatial_radius_join" ->
@@ -244,6 +286,55 @@ object QueriesR15 {
          |SELECT state, CAST(pi AS BIGINT) AS pi_ppm FROM p3
          |ORDER BY state""".stripMargin
     },
+    "dq_l_diversity" ->
+      """WITH g AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    CAST(COUNT(DISTINCT props) AS BIGINT) AS n_vals
+        |  FROM events GROUP BY 1, 2
+        |)
+        |SELECT event_type AS report_key, CAST(COUNT(*) AS BIGINT) AS n_groups,
+        |  CAST(SUM(CASE WHEN n_vals < 3 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_low_div,
+        |  CAST(MIN(n_vals) AS BIGINT) AS min_diversity
+        |FROM g GROUP BY event_type ORDER BY report_key""".stripMargin,
+    "q_trimmed_mean" ->
+      """WITH b AS (
+        |  SELECT o_orderpriority AS grp,
+        |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS v,
+        |    o_orderkey AS id
+        |  FROM orders
+        |), r AS (
+        |  SELECT grp, v,
+        |    ROW_NUMBER() OVER (PARTITION BY grp ORDER BY v, id) AS r,
+        |    COUNT(*) OVER (PARTITION BY grp) AS n
+        |  FROM b
+        |), kk AS (
+        |  SELECT grp, v, r, n, (n * 100000) // 1000000 AS k FROM r
+        |), a AS (
+        |  SELECT grp, MAX(n) AS n, MAX(k) AS k,
+        |    SUM(CASE WHEN r > k AND r <= n - k THEN v END) AS si,
+        |    COUNT(CASE WHEN r > k AND r <= n - k THEN 1 END) AS ni,
+        |    MAX(CASE WHEN r = k + 1 THEN v END) AS lo_v,
+        |    MAX(CASE WHEN r = n - k THEN v END) AS hi_v
+        |  FROM kk GROUP BY grp
+        |)
+        |SELECT grp, CAST(n AS BIGINT) AS n,
+        |  CAST(CASE WHEN ni > 0 THEN
+        |    CASE WHEN si >= 0 THEN si // ni ELSE -((-si) // ni) END
+        |  END AS BIGINT) AS trim_mean,
+        |  CAST(CASE WHEN ni > 0 THEN
+        |    CASE WHEN si + k * lo_v + k * hi_v >= 0
+        |      THEN (si + k * lo_v + k * hi_v) // n
+        |      ELSE -((-(si + k * lo_v + k * hi_v)) // n) END
+        |  END AS BIGINT) AS winsor_mean
+        |FROM a ORDER BY grp""".stripMargin,
+    "stream_spatial_join" ->
+      s"""WITH p AS ($pointsSql)
+         |SELECT a.id AS id, b.id AS ref_id,
+         |  CAST((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) AS BIGINT) AS dist_sq
+         |FROM p a JOIN p b ON b.id % 61 = 0
+         |WHERE (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 40000
+         |ORDER BY id, ref_id""".stripMargin,
     "q_quantile_normalize" ->
       """WITH d AS (
         |  SELECT doc_id, source, n_chars FROM documents

@@ -113,4 +113,28 @@ object Quality {
         col("exp_ppm"))
       .withColumn("dev_ppm", col("obs_ppm") - col("exp_ppm"))
   }
+
+  /** l-diversity audit — the governance check BEHIND k-anonymity: a
+    * quasi-identifier group can hold ≥ k members and still leak if they
+    * all share one sensitive value (the "everyone in this zip+age cell
+    * has the same diagnosis" failure). Per report key: how many
+    * quasi-groups exist, how many are low-diversity (distinct sensitive
+    * values < l), and the worst group's diversity.
+    *
+    * Scale shape: one exact countDistinct per quasi-group (a two-stage
+    * hash aggregate — Spark plans distinct-agg as expand + two
+    * aggregates, all hash-partitioned on the group key) followed by a
+    * report-key-sized rollup. No window, no sort.
+    */
+  def lDiversity(df: DataFrame, reportKey: Column, quasi: Seq[Column],
+                 sensitive: Column, l: Long): DataFrame = {
+    require(l >= 1, s"l must be >= 1, got $l")
+    df.groupBy(reportKey.as("__rk") +: quasi: _*)
+      .agg(countDistinct(sensitive).as("n_vals"))
+      .groupBy(col("__rk"))
+      .agg(count(lit(1)).as("n_groups"),
+        sum(when(col("n_vals") < l, 1L).otherwise(0L)).as("n_low_div"),
+        min(col("n_vals")).as("min_diversity"))
+      .withColumnRenamed("__rk", "report_key")
+  }
 }

@@ -155,4 +155,47 @@ object Ranking {
       .withColumn("norm", col("__pv").cast("long"))
       .drop("__r", "__n", "__idx", "__q", "__pv")
   }
+
+  /** Robust location pair: trimmed and winsorized means per group, in
+    * one pass over the exact rank table. k = n·trimPpm div 10⁶ rows come
+    * off EACH tail; the trimmed mean averages the inner n−2k rows, the
+    * winsorized mean CLAMPS each tail to the inner boundary values
+    * (inner_sum + k·lo + k·hi over n) — outlier-proof without discarding
+    * mass. Means are sign-carried integer divisions (floor ≡ trunc on
+    * the nonneg magnitude); a group trimmed empty (2k ≥ n) reports NULL
+    * means — the honest answer, not a fallback.
+    *
+    * Rank via [[rankExact]] (two-stage — no data-sized single-partition
+    * sort); everything after is ONE hash aggregate with conditional
+    * sums, no join back.
+    *
+    * Output: group cols + (n, trim_mean, winsor_mean).
+    */
+  def trimmedWinsorizedMean(df: DataFrame, group: Seq[String],
+                            value: Column, id: Column,
+                            trimPpm: Long): DataFrame = {
+    require(trimPpm >= 0 && trimPpm < 500000,
+      s"trimPpm must be in [0, 500000), got $trimPpm")
+    val base = df.withColumn("__val", value.cast("long"))
+    val ranked = rankExact(base, group, col("__val"), Seq(id), "__r")
+      .withColumn("__k", expr(s"__total * $trimPpm div 1000000"))
+    val inner = col("__r") > col("__k") &&
+      col("__r") <= col("__total") - col("__k")
+    ranked.groupBy(group.map(col): _*)
+      .agg(max(col("__total")).as("n"), max(col("__k")).as("k"),
+        sum(when(inner, col("__val"))).as("si"),
+        count(when(inner, lit(1))).as("ni"),
+        max(when(col("__r") === col("__k") + 1, col("__val"))).as("lo_v"),
+        max(when(col("__r") === col("__total") - col("__k"), col("__val")))
+          .as("hi_v"))
+      .withColumn("__ws", col("si") + col("k") * col("lo_v") +
+        col("k") * col("hi_v"))
+      .select((group.map(col) :+ col("n") :+
+        expr("""CASE WHEN ni > 0 THEN
+               |  CASE WHEN si >= 0 THEN si div ni ELSE -((-si) div ni) END
+               |END""".stripMargin).as("trim_mean") :+
+        expr("""CASE WHEN ni > 0 THEN
+               |  CASE WHEN __ws >= 0 THEN __ws div n ELSE -((-__ws) div n) END
+               |END""".stripMargin).as("winsor_mean")): _*)
+  }
 }

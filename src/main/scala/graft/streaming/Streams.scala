@@ -1593,6 +1593,49 @@ object Streams {
     spark.table(queryName)
   }
 
+  /** X37: streaming spatial enrich — arriving points emit every static
+    * reference point (depot/store/cell tower) within Euclidean distance
+    * r, as they arrive. The R156 grid shape with the streaming side
+    * replicated: each arrival explodes into its 3×3 cell neighborhood
+    * (a per-row generator — stateless), the reference's home-cell table
+    * BROADCASTS, and the exact integer distance predicate filters the
+    * fan-in. Stateless ⇒ append mode ⇒ appended pairs ≡ the batch join
+    * bit-for-bit regardless of micro-batching — no watermark, no state
+    * store, O(1) per arrival beyond the 9× key replication.
+    *
+    * @param points (id, x, y) arrivals; ref (id, x, y) static reference
+    * @return (id, ref_id, dist_sq) for every in-radius pair
+    */
+  def streamingSpatialEnrich(spark: SparkSession, points: DataFrame,
+                             ref: DataFrame, r: Long,
+                             queryName: String): DataFrame = {
+    require(r >= 1, s"radius must be >= 1, got $r")
+    val arrivals = points.select(col("id").cast("long").as("id"),
+      col("x").cast("long").as("x"), col("y").cast("long").as("y"))
+    val path = stageToTemp(arrivals, "sspatial")
+    val s = spark.readStream.schema(arrivals.schema).parquet(path)
+    def cx(c: Column) = floor(c / r).cast("long")
+    val home = ref.select(col("id").cast("long").as("ref_id"),
+      col("x").cast("long").as("xr"), col("y").cast("long").as("yr"))
+      .withColumn("gx", cx(col("xr"))).withColumn("gy", cx(col("yr")))
+    val probe = s
+      .withColumn("dx", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .withColumn("dy", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .select(col("id"), col("x"), col("y"),
+        (cx(col("x")) + col("dx")).as("gx"),
+        (cx(col("y")) + col("dy")).as("gy"))
+    val joined = probe.join(broadcast(home), Seq("gx", "gy"))
+      .withColumn("dist_sq",
+        (col("x") - col("xr")) * (col("x") - col("xr")) +
+          (col("y") - col("yr")) * (col("y") - col("yr")))
+      .filter(col("dist_sq") <= r * r)
+      .select(col("id"), col("ref_id"), col("dist_sq"))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName(queryName).start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    spark.table(queryName)
+  }
+
   /** X27: streaming backfill-HORIZON monitor — [[streamingBackfillGaps]]
     * bounded to the trailing `horizon` hours with O(horizon) bitmap
     * state: per event_type the state is (loSeen, hiSeen, bitmap, ver)

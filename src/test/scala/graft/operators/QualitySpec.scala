@@ -52,4 +52,27 @@ class QualitySpec extends AnyFunSuite {
     def toMap2: Map[String, (Long, Boolean)] =
       rows.map { case (n, v, p) => n -> ((v, p)) }.toMap
   }
+
+  test("lDiversity flags quasi-groups whose sensitive values collapse") {
+    // type t1 day 1: two users, one shared diagnosis → diversity 1 (low)
+    // type t1 day 2: three distinct values → diversity 3 (fine at l=3)
+    // type t2 day 1: two distinct values → diversity 2 (low)
+    val rows = Seq(
+      ("t1", 1L, "flu"), ("t1", 1L, "flu"),
+      ("t1", 2L, "a"), ("t1", 2L, "b"), ("t1", 2L, "c"),
+      ("t2", 1L, "x"), ("t2", 1L, "y")).toDF("et", "day", "sens")
+    val got = Quality.lDiversity(rows, col("et"), Seq(col("day")),
+        col("sens"), l = 3L)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got == Map("t1" -> ((2L, 1L, 1L)), "t2" -> ((1L, 1L, 2L))))
+  }
+
+  test("lDiversity with l=1 reports no low-diversity groups") {
+    val rows = Seq(("t", 1L, "v"), ("t", 2L, "v")).toDF("et", "day", "sens")
+    val got = Quality.lDiversity(rows, col("et"), Seq(col("day")),
+        col("sens"), l = 1L)
+      .as[(String, Long, Long, Long)].collect().head
+    assert(got == (("t", 2L, 0L, 1L)))
+  }
 }

@@ -164,6 +164,58 @@ object QueriesR15 {
       .orderBy(col("id"), col("ref_id"))
   }
 
+  /** T31: hashing-trick vectorizer — token counts folded into a fixed
+    * 64-bucket space by the portable 48-bit md5 hash; the fixed-width
+    * sparse feature vector a downstream linear model consumes with zero
+    * vocabulary state (collisions are the accepted contract of the
+    * trick). One explode + one hash aggregate; panel doc_id%97 keeps the
+    * gate output bounded — production emits all docs.
+    */
+  def textFeatureHash(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .filter(col("doc_id") % 97 === 0)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .select(col("doc_id"),
+        (graft.sketches.Kmv.hash48(col("tok")) % 64).as("bucket"))
+      .groupBy(col("doc_id"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("doc_id"), col("bucket"))
+
+  /** R164: smoothed target encoding — category → (Σ target + m·prior)
+    * div (n + m) with the global mean as prior (m=100), the standard
+    * leakage-safe categorical feature; exact integer cents end to end.
+    */
+  def qTargetEncode(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").select(col("o_orderpriority").as("grp"),
+      cents(col("o_totalprice")).as("v"))
+    val prior = o.agg(expr("sum(v) div count(1)").as("__p"))
+    o.groupBy(col("grp"))
+      .agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
+      .crossJoin(broadcast(prior))
+      .select(col("grp"), col("n"),
+        expr("(sv + 100 * __p) div (n + 100)").as("enc_cents"))
+      .orderBy(col("grp"))
+  }
+
+  /** R165: GROUP-aware dataset split — the 80/10/10 assignment happens at
+    * the USER level (h48(user) → bucket), so every event of a user lands
+    * in one split: the leakage control the per-row split (R47) cannot
+    * give. Report: per split, distinct users and event rows.
+    */
+  def qGroupSplit(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .withColumn("__h", graft.sketches.Kmv.hash48(col("user_id")))
+      .withColumn("__bucket",
+        expr(s"(__h * 10) div ${graft.sketches.Kmv.HashRange}"))
+      .select(col("user_id"),
+        when(col("__bucket") < 8, "train")
+          .when(col("__bucket") === 8, "val").otherwise("test").as("split"))
+      .groupBy(col("split"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("split"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_spatial_radius_join" -> (qSpatialRadiusJoin _),
     "q_spatial_knn" -> (qSpatialKnn _),
@@ -174,7 +226,10 @@ object QueriesR15 {
     "q_quantile_normalize" -> (qQuantileNormalize _),
     "dq_l_diversity" -> (dqLDiversity _),
     "q_trimmed_mean" -> (qTrimmedMean _),
-    "stream_spatial_join" -> (streamSpatialJoin _))
+    "stream_spatial_join" -> (streamSpatialJoin _),
+    "text_feature_hash" -> (textFeatureHash _),
+    "q_target_encode" -> (qTargetEncode _),
+    "q_group_split" -> (qGroupSplit _))
 
   val sql: Map[String, String] = Map(
     "q_spatial_radius_join" ->
@@ -286,6 +341,38 @@ object QueriesR15 {
          |SELECT state, CAST(pi AS BIGINT) AS pi_ppm FROM p3
          |ORDER BY state""".stripMargin
     },
+    "text_feature_hash" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(str_split(text, ' ')) AS tok
+        |  FROM documents WHERE doc_id % 97 = 0
+        |)
+        |SELECT doc_id,
+        |  CAST(('0x' || substr(md5(tok), 1, 12)) AS BIGINT) % 64 AS bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM tok WHERE tok <> ''
+        |GROUP BY 1, 2 ORDER BY doc_id, bucket""".stripMargin,
+    "q_target_encode" ->
+      """WITH o AS (
+        |  SELECT o_orderpriority AS grp,
+        |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS v
+        |  FROM orders
+        |), p AS (SELECT SUM(v) // COUNT(*) AS prior FROM o)
+        |SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST((SUM(v) + 100 * (SELECT prior FROM p))
+        |    // (COUNT(*) + 100) AS BIGINT) AS enc_cents
+        |FROM o GROUP BY grp ORDER BY grp""".stripMargin,
+    "q_group_split" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    (CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))
+        |      AS BIGINT) * 10) // 281474976710656 AS b
+        |  FROM events
+        |)
+        |SELECT CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val'
+        |            ELSE 'test' END AS split,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events
+        |FROM u GROUP BY 1 ORDER BY split""".stripMargin,
     "dq_l_diversity" ->
       """WITH g AS (
         |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,

@@ -216,6 +216,15 @@ object QueriesR15 {
         count(lit(1)).as("n_events"))
       .orderBy(col("split"))
 
+  /** X38: streaming centroid update — the first Lloyd pass of D19 as
+    * vectors arrive; drained snapshot ≡ the batch c1 table bit-for-bit.
+    */
+  def streamKmeansUpdate(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.Streams.streamingKmeansUpdate(s,
+        t(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
+        seedMod = 50L, queryName = "stream_kmeans_update")
+      .orderBy(col("cid"), col("dim"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_spatial_radius_join" -> (qSpatialRadiusJoin _),
     "q_spatial_knn" -> (qSpatialKnn _),
@@ -229,7 +238,8 @@ object QueriesR15 {
     "stream_spatial_join" -> (streamSpatialJoin _),
     "text_feature_hash" -> (textFeatureHash _),
     "q_target_encode" -> (qTargetEncode _),
-    "q_group_split" -> (qGroupSplit _))
+    "q_group_split" -> (qGroupSplit _),
+    "stream_kmeans_update" -> (streamKmeansUpdate _))
 
   val sql: Map[String, String] = Map(
     "q_spatial_radius_join" ->
@@ -280,6 +290,10 @@ object QueriesR15 {
     "q_kmeans_cluster" ->
       s"""WITH $kmeansCtes
          |SELECT vec_id, cid AS cluster_id FROM a2 ORDER BY vec_id""".stripMargin,
+    "stream_kmeans_update" ->
+      s"""WITH $kmeansCtes
+         |SELECT cid, CAST(i AS BIGINT) AS dim, CAST(cx AS BIGINT) AS cx_milli
+         |FROM c1 ORDER BY cid, dim""".stripMargin,
     "q_silhouette" ->
       s"""WITH $kmeansCtes, sa AS (
          |  SELECT d2.vec_id, d2.cid, d2.d AS a FROM d2

@@ -1636,6 +1636,55 @@ object Streams {
     spark.table(queryName)
   }
 
+  /** X38: streaming k-means centroid update — the first Lloyd pass of
+    * D19 as vectors arrive. The SEED centroids are fixed up front
+    * (collected to the driver — k·dim longs, metadata-sized, baked into
+    * the plan as a literal array), so each arrival's assignment is a
+    * PURE per-row expression: distances via `zip_with`+`aggregate` over
+    * the literal, argmin via `array_min` on (dist, cid) structs — the
+    * (d, cid) struct order IS the house tie-break, no window, no state.
+    * The only stateful stage is the (cid, dim) running-sum aggregate —
+    * O(k·dim) state regardless of stream length, order-independent by
+    * commutativity, drained in complete mode. Post-drain the snapshot
+    * reduces to centroids by the sign-carried integer mean, identical
+    * to the batch c1 table bit-for-bit.
+    *
+    * @param vecs (vec_id, embedding: array&lt;float&gt;)
+    * @return (cid, dim (1-based), cx_milli) — the updated centroids
+    */
+  def streamingKmeansUpdate(spark: SparkSession, vecs: DataFrame,
+                            seedMod: Long, queryName: String): DataFrame = {
+    require(seedMod >= 1, s"seedMod must be >= 1, got $seedMod")
+    val arr = vecs.select(col("vec_id").cast("long").as("vec_id"),
+      transform(col("embedding").cast("array<double>"),
+        x => floor(x * 1000).cast("long")).as("xs"))
+    val seeds = arr.filter(col("vec_id") % seedMod === 0)
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1)))
+    require(seeds.nonEmpty, "no seed centroids under seedMod")
+    val centLit = array(seeds.map { case (cid, v) =>
+      struct(lit(cid).as("cid"), array(v.map(lit): _*).as("cx"))
+    }: _*)
+    val path = stageToTemp(arr, "skmeans")
+    val s = spark.readStream.schema(arr.schema).parquet(path)
+    val assigned = s.withColumn("__cents", centLit)
+      .withColumn("__best", array_min(expr(
+        """transform(__cents, c -> struct(
+          |  aggregate(zip_with(xs, c.cx, (a, b) -> (a - b) * (a - b)),
+          |    0L, (acc, e) -> acc + e) AS d,
+          |  c.cid AS cid))""".stripMargin)))
+      .select(col("__best.cid").as("cid"), posexplode(col("xs")))
+      .select(col("cid"), col("pos"), col("col").as("x"))
+    val sums = assigned.groupBy(col("cid"), col("pos"))
+      .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+    val q = sums.writeStream.outputMode("complete")
+      .format("memory").queryName(queryName).start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    spark.table(queryName)
+      .select(col("cid"), (col("pos") + 1).cast("long").as("dim"),
+        when(col("s") >= 0, expr("s div n"))
+          .otherwise(-expr("(-s) div n")).as("cx_milli"))
+  }
+
   /** X27: streaming backfill-HORIZON monitor — [[streamingBackfillGaps]]
     * bounded to the trailing `horizon` hours with O(horizon) bitmap
     * state: per event_type the state is (loSeen, hiSeen, bitmap, ver)

@@ -1,0 +1,63 @@
+package graft.streaming
+
+import graft.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+class StreamKmeansSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def vecs(rows: Seq[(Long, Seq[Float])]) =
+    rows.toDF("vec_id", "embedding")
+
+  /** Batch replay of one exact Lloyd pass (assign to seeds, then the
+    * sign-carried integer-mean centroid update).
+    */
+  private def ref(rows: Seq[(Long, Seq[Float])],
+                  seedMod: Long): Map[(Long, Long), Long] = {
+    val q = rows.map { case (id, v) =>
+      id -> v.map(x => math.floor(x.toDouble * 1000).toLong).toVector
+    }.toMap
+    val cent = q.filter { case (id, _) => id % seedMod == 0 }
+    val assign = q.map { case (id, v) =>
+      id -> cent.toSeq.map { case (cid, c) =>
+        (v.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum, cid)
+      }.min._2
+    }
+    def signedDiv(s: Long, n: Long): Long =
+      if (s >= 0) s / n else -((-s) / n)
+    assign.groupBy(_._2).flatMap { case (cid, members) =>
+      val vs = members.keys.toSeq.map(q)
+      vs.head.indices.map { i =>
+        (cid, i + 1L) -> signedDiv(vs.map(_(i)).sum, vs.size.toLong)
+      }
+    }
+  }
+
+  test("drained centroid snapshot equals the batch first Lloyd pass") {
+    val rows: Seq[(Long, Seq[Float])] = Seq(
+      0L -> Seq(0.10f, 0.10f), 1L -> Seq(0.14f, 0.08f), 2L -> Seq(0.06f, 0.12f),
+      4L -> Seq(-0.20f, 0.30f), 5L -> Seq(-0.16f, 0.34f),
+      6L -> Seq(-0.24f, -0.26f))
+    val got = Streams.streamingKmeansUpdate(spark, vecs(rows), seedMod = 4L,
+        queryName = "skmeans_test")
+      .as[(Long, Long, Long)].collect()
+      .map { case (c, d, x) => (c, d) -> x }.toMap
+    assert(got == ref(rows, 4L))
+    assert(got.keys.map(_._1).toSet == Set(0L, 4L))
+  }
+
+  test("negative coordinate sums take the sign-carried mean") {
+    val rows: Seq[(Long, Seq[Float])] = Seq(
+      0L -> Seq(-0.10f), 1L -> Seq(-0.15f), 2L -> Seq(-0.13f))
+    val got = Streams.streamingKmeansUpdate(spark, vecs(rows), seedMod = 50L,
+        queryName = "skmeans_neg")
+      .as[(Long, Long, Long)].collect()
+      .map { case (c, d, x) => (c, d) -> x }.toMap
+    assert(got == ref(rows, 50L))
+    // floats land below their decimal value: floor(-0.10f·1000) = -101,
+    // -0.15f → -151, -0.13f → -130; sum -382 over 3 → trunc → -127
+    assert(got((0L, 1L)) == -127L)
+  }
+}

@@ -225,6 +225,16 @@ object QueriesR15 {
         seedMod = 50L, queryName = "stream_kmeans_update")
       .orderBy(col("cid"), col("dim"))
 
+  /** S15: IVF top-k over the TRAINED exact k-means index — the D19 loop
+    * closed into similarity search; probes 3 of 10 partitions, exact
+    * integer L2 re-rank.
+    */
+  def annIvfKmeansTopk(s: SparkSession, dir: String): DataFrame =
+    graft.similarity.KMeans.ivfTopKMilli(t(s, dir, "embeddings"),
+        col("vec_id"), col("embedding"), seedMod = 50L, iterations = 2,
+        queryFilter = col("vec_id") < 10, k = 5, nprobe = 3)
+      .orderBy(col("query_id"), col("rnk"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_spatial_radius_join" -> (qSpatialRadiusJoin _),
     "q_spatial_knn" -> (qSpatialKnn _),
@@ -239,7 +249,8 @@ object QueriesR15 {
     "text_feature_hash" -> (textFeatureHash _),
     "q_target_encode" -> (qTargetEncode _),
     "q_group_split" -> (qGroupSplit _),
-    "stream_kmeans_update" -> (streamKmeansUpdate _))
+    "stream_kmeans_update" -> (streamKmeansUpdate _),
+    "ann_ivf_kmeans_topk" -> (annIvfKmeansTopk _))
 
   val sql: Map[String, String] = Map(
     "q_spatial_radius_join" ->
@@ -294,6 +305,32 @@ object QueriesR15 {
       s"""WITH $kmeansCtes
          |SELECT cid, CAST(i AS BIGINT) AS dim, CAST(cx AS BIGINT) AS cx_milli
          |FROM c1 ORDER BY cid, dim""".stripMargin,
+    "ann_ivf_kmeans_topk" ->
+      s"""WITH $kmeansCtes, probes AS (
+         |  SELECT vec_id AS query_id, cid FROM (
+         |    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |      ORDER BY d, cid) AS rn
+         |    FROM d2 WHERE vec_id < 10) t
+         |  WHERE rn <= 3
+         |), cands AS (
+         |  SELECT p.query_id, a.vec_id AS cand_id
+         |  FROM probes p JOIN a2 a ON a.cid = p.cid
+         |  WHERE a.vec_id <> p.query_id
+         |), dist AS (
+         |  SELECT c.query_id, c.cand_id,
+         |    SUM((fq.x - fc.x) * (fq.x - fc.x)) AS dist_sq
+         |  FROM cands c
+         |  JOIN flat fq ON fq.vec_id = c.query_id
+         |  JOIN flat fc ON fc.vec_id = c.cand_id AND fc.i = fq.i
+         |  GROUP BY 1, 2
+         |)
+         |SELECT query_id, cand_id, CAST(dist_sq AS BIGINT) AS dist_sq,
+         |  CAST(rnk AS BIGINT) AS rnk
+         |FROM (SELECT query_id, cand_id, dist_sq,
+         |        ROW_NUMBER() OVER (PARTITION BY query_id
+         |          ORDER BY dist_sq, cand_id) AS rnk
+         |      FROM dist) t
+         |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
     "q_silhouette" ->
       s"""WITH $kmeansCtes, sa AS (
          |  SELECT d2.vec_id, d2.cid, d2.d AS a FROM d2

@@ -33,12 +33,13 @@ import org.apache.spark.sql.functions._
   */
 object KMeans {
 
-  /** Shared Lloyd chain: returns the final round's full distance table
-    * (vec_id × centroid) and the argmin assignment derived from it.
+  /** Shared Lloyd chain: returns the milli-quantized flat table, the
+    * final round's full distance table (vec_id × centroid), and the
+    * argmin assignment derived from it.
     */
   private def lloydCore(vecs: DataFrame, id: Column, vec: Column,
                         seedMod: Long, iterations: Int)
-      : (DataFrame, DataFrame) = {
+      : (DataFrame, DataFrame, DataFrame) = {
     require(seedMod >= 1, s"seedMod must be >= 1, got $seedMod")
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     import graft.PlanProbe.CkptOps
@@ -69,7 +70,7 @@ object KMeans {
           when(col("s") >= 0, expr("s div n"))
             .otherwise(-expr("(-s) div n")).as("cx"))
     }
-    (d, assign)
+    (flat, d, assign)
   }
 
   /** `iterations` assignment passes with centroid re-estimation between
@@ -80,8 +81,57 @@ object KMeans {
     */
   def lloydMilli(vecs: DataFrame, id: Column, vec: Column,
                  seedMod: Long, iterations: Int): DataFrame = {
-    val (_, assign) = lloydCore(vecs, id, vec, seedMod, iterations)
+    val (_, _, assign) = lloydCore(vecs, id, vec, seedMod, iterations)
     assign.select(col("vec_id"), col("cid").as("cluster_id"))
+  }
+
+  /** IVF top-k over the exact k-means index — the D19 loop closed into
+    * similarity search: queries probe their `nprobe` nearest trained
+    * centroids (by the SAME exact milli L2 the training used), the
+    * candidate set is the union of those partitions' members (the
+    * assignment table — the inverted file), and candidates rank by exact
+    * integer L2 with cand_id as tie-break. Self-hits are excluded.
+    * Recall follows from probe width, never from float luck: every stage
+    * is exactly replayable, so the gate hash-compares.
+    *
+    * Scale shape: the centroid distance table already exists from the
+    * Lloyd chain (one broadcast join); the probe→member expansion is an
+    * equi-join on cid (partition-pruned search — the whole point of
+    * IVF); the exact re-rank joins the narrow flat table twice on the
+    * candidate pair list, |pairs|·dim rows, and the final top-k is a
+    * per-query window over the bounded candidate fan-in.
+    *
+    * Output: (query_id, cand_id, dist_sq, rnk), rnk 1..k.
+    */
+  def ivfTopKMilli(vecs: DataFrame, id: Column, vec: Column,
+                   seedMod: Long, iterations: Int, queryFilter: Column,
+                   k: Int, nprobe: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    val (flat, d, assign) = lloydCore(vecs, id, vec, seedMod, iterations)
+    val probes = d.filter(queryFilter)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("d"), col("cid"))))
+      .filter(col("rn") <= nprobe)
+      .select(col("vec_id").as("query_id"), col("cid"))
+    val cands = probes
+      .join(assign.select(col("vec_id").as("cand_id"), col("cid")), Seq("cid"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"))
+    val dist = cands
+      .join(flat.select(col("vec_id").as("query_id"), col("i"),
+        col("x").as("xq")), Seq("query_id"))
+      .join(flat.select(col("vec_id").as("cand_id"), col("i"),
+        col("x").as("xc")), Seq("cand_id", "i"))
+      .groupBy(col("query_id"), col("cand_id"))
+      .agg(sum((col("xq") - col("xc")) * (col("xq") - col("xc"))).as("dist_sq"))
+    dist
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("dist_sq"), col("cand_id"))))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("cand_id"), col("dist_sq"),
+        col("rnk").cast("long").as("rnk"))
   }
 
   /** Per-cluster quality of [[lloydMilli]]'s assignment: the simplified
@@ -102,7 +152,7 @@ object KMeans {
     */
   def silhouetteMilli(vecs: DataFrame, id: Column, vec: Column,
                       seedMod: Long, iterations: Int): DataFrame = {
-    val (d, assign) = lloydCore(vecs, id, vec, seedMod, iterations)
+    val (_, d, assign) = lloydCore(vecs, id, vec, seedMod, iterations)
     val a = d.join(assign, Seq("vec_id", "cid"))
       .select(col("vec_id"), col("cid"), col("d").as("a"))
     val b = d.join(assign.withColumnRenamed("cid", "own"), Seq("vec_id"))

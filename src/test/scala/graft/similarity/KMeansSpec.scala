@@ -92,6 +92,41 @@ class KMeansSpec extends AnyFunSuite {
     assert(out(0L)._2 < out(4L)._2)
   }
 
+  test("ivfTopKMilli with full probe width equals brute force") {
+    // 2 clusters (seeds 0, 4); nprobe = 2 covers every partition, so the
+    // result must be the exact k-NN by (dist, id)
+    val data: Seq[(Long, Seq[Float])] = Seq(
+      0L -> Seq(0.00f), 1L -> Seq(0.02f), 2L -> Seq(0.05f),
+      4L -> Seq(0.90f), 5L -> Seq(0.88f), 6L -> Seq(0.93f))
+    val q = data.map { case (id, v) =>
+      id -> v.map(x => math.floor(x.toDouble * 1000).toLong).toVector
+    }.toMap
+    val got = KMeans.ivfTopKMilli(vecs(data), col("vec_id"), col("embedding"),
+        seedMod = 4L, iterations = 2, queryFilter = col("vec_id") === 0,
+        k = 3, nprobe = 2)
+      .as[(Long, Long, Long, Long)].collect().toSeq.sortBy(_._4)
+    val brute = q.filter(_._1 != 0L).toSeq
+      .map { case (id, v) =>
+        (id, v.zip(q(0L)).map { case (a, b) => (a - b) * (a - b) }.sum)
+      }
+      .sortBy { case (id, d) => (d, id) }.take(3)
+    assert(got.map(r => (r._2, r._3)) == brute)
+    assert(got.map(_._4) == Seq(1L, 2L, 3L))
+  }
+
+  test("ivfTopKMilli with nprobe=1 searches only the nearest partition") {
+    // query 0 sits in cluster 0; with one probe the far cluster's
+    // members must not appear even though k would admit them
+    val data: Seq[(Long, Seq[Float])] = Seq(
+      0L -> Seq(0.00f), 1L -> Seq(0.02f),
+      4L -> Seq(0.90f), 5L -> Seq(0.88f))
+    val got = KMeans.ivfTopKMilli(vecs(data), col("vec_id"), col("embedding"),
+        seedMod = 4L, iterations = 1, queryFilter = col("vec_id") === 0,
+        k = 5, nprobe = 1)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got.map(_._2).toSet == Set(1L))
+  }
+
   test("negative-sum centroids use the sign-carried integer mean") {
     val data: Seq[(Long, Seq[Float])] = Seq(
       0L -> Seq(-0.10f), 1L -> Seq(-0.15f), 2L -> Seq(-0.12f))

@@ -235,6 +235,34 @@ object QueriesR15 {
         queryFilter = col("vec_id") < 10, k = 5, nprobe = 3)
       .orderBy(col("query_id"), col("rnk"))
 
+  /** M8: FLAC STREAMINFO decode (see
+    * [[graft.multimodal.FlacHeader]]) — synthesized fLaC containers
+    * (rate/channel/bps/sample-count fields from the doc id, packed into
+    * the spec's 64-bit STREAMINFO field); the oracle recomputes the
+    * expected fields from the id alone.
+    */
+  def mmFlacMeta(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("doc_id"))
+    val sr = expr("""CASE doc_id % 4 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                    |WHEN 2 THEN 96000 ELSE 22050 END""".stripMargin)
+    val ch = col("doc_id") % 2 + 1
+    val bps = expr("CASE doc_id % 3 WHEN 0 THEN 8 WHEN 1 THEN 16 ELSE 24 END")
+    val total = col("doc_id") * 1000L + 7L
+    val packed = shiftleft(sr.cast("long"), 44) +
+      shiftleft((ch - 1).cast("long"), 41) +
+      shiftleft((bps - 1).cast("long"), 36) + total
+    val payload = unhex(concat(
+      lit("664c614300000022" + "1000" + "1000" + "000000" + "000000"),
+      lpad(hex(packed), 16, "0"), lit("00" * 16)))
+    d.withColumn("meta", graft.multimodal.FlacHeader.flac_meta(payload))
+      .select(col("doc_id"), col("meta.format").as("format"),
+        col("meta.sample_rate").cast("long").as("sample_rate"),
+        col("meta.channels").cast("long").as("channels"),
+        col("meta.bits_per_sample").cast("long").as("bits_per_sample"),
+        col("meta.n_samples").as("n_samples"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_spatial_radius_join" -> (qSpatialRadiusJoin _),
     "q_spatial_knn" -> (qSpatialKnn _),
@@ -250,7 +278,8 @@ object QueriesR15 {
     "q_target_encode" -> (qTargetEncode _),
     "q_group_split" -> (qGroupSplit _),
     "stream_kmeans_update" -> (streamKmeansUpdate _),
-    "ann_ivf_kmeans_topk" -> (annIvfKmeansTopk _))
+    "ann_ivf_kmeans_topk" -> (annIvfKmeansTopk _),
+    "mm_flac_meta" -> (mmFlacMeta _))
 
   val sql: Map[String, String] = Map(
     "q_spatial_radius_join" ->
@@ -473,6 +502,15 @@ object QueriesR15 {
          |FROM p a JOIN p b ON b.id % 61 = 0
          |WHERE (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 40000
          |ORDER BY id, ref_id""".stripMargin,
+    "mm_flac_meta" ->
+      """SELECT doc_id, 'flac' AS format,
+        |  CAST(CASE doc_id % 4 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+        |    WHEN 2 THEN 96000 ELSE 22050 END AS BIGINT) AS sample_rate,
+        |  CAST(doc_id % 2 + 1 AS BIGINT) AS channels,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN 8 WHEN 1 THEN 16 ELSE 24 END
+        |    AS BIGINT) AS bits_per_sample,
+        |  CAST(doc_id * 1000 + 7 AS BIGINT) AS n_samples
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_quantile_normalize" ->
       """WITH d AS (
         |  SELECT doc_id, source, n_chars FROM documents

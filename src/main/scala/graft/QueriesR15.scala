@@ -263,6 +263,25 @@ object QueriesR15 {
       .orderBy(col("doc_id"))
   }
 
+  /** R166: time-respecting reachability over the order contact graph —
+    * earliest arrival from the seed watchlist within 3 hops; edges fire
+    * at their order day and influence only flows forward in time.
+    */
+  def graphTemporalReach(s: SparkSession, dir: String): DataFrame = {
+    val e0 = t(s, dir, "orders")
+      .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"), (col("l_suppkey") + 1000000L).as("p"),
+        expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000")
+          .as("t"))
+      .distinct()
+    val edges = e0.select(col("c").as("src"), col("p").as("dst"), col("t"))
+      .unionAll(e0.select(col("p").as("src"), col("c").as("dst"), col("t")))
+    val seeds = s.range(1, 4).select(col("id").as("node"))
+    graft.operators.TemporalGraph.earliestArrival(edges, seeds, rounds = 3)
+      .orderBy(col("seed"), col("node"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_spatial_radius_join" -> (qSpatialRadiusJoin _),
     "q_spatial_knn" -> (qSpatialKnn _),
@@ -279,7 +298,8 @@ object QueriesR15 {
     "q_group_split" -> (qGroupSplit _),
     "stream_kmeans_update" -> (streamKmeansUpdate _),
     "ann_ivf_kmeans_topk" -> (annIvfKmeansTopk _),
-    "mm_flac_meta" -> (mmFlacMeta _))
+    "mm_flac_meta" -> (mmFlacMeta _),
+    "graph_temporal_reach" -> (graphTemporalReach _))
 
   val sql: Map[String, String] = Map(
     "q_spatial_radius_join" ->
@@ -502,6 +522,32 @@ object QueriesR15 {
          |FROM p a JOIN p b ON b.id % 61 = 0
          |WHERE (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 40000
          |ORDER BY id, ref_id""".stripMargin,
+    "graph_temporal_reach" -> {
+      val rounds = (0 until 3).map { k =>
+        s"""r${k + 1} AS (
+           |  SELECT seed, node, MIN(arr) AS arr FROM (
+           |    SELECT seed, node, arr FROM r$k
+           |    UNION ALL
+           |    SELECT r.seed, e.dst AS node, CAST(e.t AS BIGINT) AS arr
+           |    FROM r$k r JOIN e ON e.src = r.node AND e.t >= r.arr
+           |  ) u GROUP BY 1, 2
+           |)""".stripMargin
+      }.mkString(", ")
+      s"""WITH e0 AS (
+         |  SELECT DISTINCT o_custkey AS c, l_suppkey + 1000000 AS p,
+         |    epoch_us(o_orderdate) // 86400000000 AS t
+         |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+         |), e AS (
+         |  SELECT c AS src, p AS dst, t FROM e0
+         |  UNION ALL SELECT p AS src, c AS dst, t FROM e0
+         |), r0 AS (
+         |  SELECT seed, seed AS node, CAST(0 AS BIGINT) AS arr
+         |  FROM (SELECT unnest(generate_series(1, 3)) AS seed) s
+         |), $rounds
+         |SELECT CAST(seed AS BIGINT) AS seed, CAST(node AS BIGINT) AS node,
+         |  CAST(arr AS BIGINT) AS arr
+         |FROM r3 ORDER BY seed, node""".stripMargin
+    },
     "mm_flac_meta" ->
       """SELECT doc_id, 'flac' AS format,
         |  CAST(CASE doc_id % 4 WHEN 0 THEN 44100 WHEN 1 THEN 48000

@@ -1,0 +1,58 @@
+package graft.operators
+
+import graft.PlanProbe.CkptOps
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Time-respecting graph traversal: paths must use edges in
+  * non-decreasing timestamp order — information, goods, or contagion can
+  * only flow FORWARD in time, which static reachability over the same
+  * edge list silently gets wrong (a 2019 edge cannot carry influence
+  * arriving in 2023). The replicated order graph is exactly this shape:
+  * customer→supplier contact events stamped with the order date
+  * (reference: README.md:24 — the warehouse's relationship questions,
+  * here with the time dimension made honest).
+  *
+  * Exact contract: earliest-arrival labels. arr(seed, v) = the minimum
+  * time at which v is reachable from seed along a time-respecting path
+  * (waiting at a node is allowed — non-strict ≥). Seeds start at arr = 0
+  * (before every edge). Each round is one full label-correcting pass —
+  * candidates = settled labels joined to edges with t ≥ arr, then a
+  * (seed, node) min — so a fixed round count replays as chained CTEs in
+  * any engine (the R71/R134 fixed-trajectory posture); `rounds` bounds
+  * the path HOP length, the standard budget on temporal BFS.
+  *
+  * Scale shape: per round one equi-join on the node key (edges
+  * hash-partitioned on src) + one (seed, node) hash aggregate; the label
+  * table is bounded by |seeds|·|nodes| — seed panels are small by
+  * construction (a watchlist, not a corpus).
+  */
+object TemporalGraph {
+
+  /** Earliest-arrival reachability from each seed within `rounds` hops.
+    *
+    * @param edges (src, dst, t) directed temporal edges, integer t
+    * @param seeds one column `node`
+    * @return (seed, node, arr) — every (seed, reachable node) with its
+    *         earliest time-respecting arrival; seeds carry arr = 0
+    */
+  def earliestArrival(edges: DataFrame, seeds: DataFrame,
+                      rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val e = edges.select(col("src"), col("dst"), col("t").cast("long").as("t"))
+      .ckpt
+    var r = seeds.select(col("node").as("seed")).distinct()
+      .select(col("seed"), col("seed").as("node"), lit(0L).as("arr"))
+      .ckpt
+    for (_ <- 1 to rounds) {
+      val stepped = r.join(e, col("node") === col("src"))
+        .filter(col("t") >= col("arr"))
+        .select(col("seed"), col("dst").as("node"), col("t").as("arr"))
+      r = r.unionByName(stepped)
+        .groupBy(col("seed"), col("node"))
+        .agg(min(col("arr")).as("arr"))
+        .ckpt
+    }
+    r
+  }
+}

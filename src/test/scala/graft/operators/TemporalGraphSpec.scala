@@ -1,0 +1,46 @@
+package graft.operators
+
+import graft.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+class TemporalGraphSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def run(edges: Seq[(Long, Long, Long)], seeds: Seq[Long],
+                  rounds: Int): Map[(Long, Long), Long] =
+    TemporalGraph.earliestArrival(edges.toDF("src", "dst", "t"),
+        seeds.toDF("node"), rounds)
+      .as[(Long, Long, Long)].collect()
+      .map { case (s, n, a) => (s, n) -> a }.toMap
+
+  test("time order gates reachability: stale edges cannot carry flow") {
+    // 1 →(t=5)→ 2 →(t=3)→ 3: the 2→3 edge fires BEFORE arrival at 2,
+    // so 3 is unreachable from 1; from seed 2 it is reachable at t=3
+    val edges = Seq((1L, 2L, 5L), (2L, 3L, 3L))
+    val got = run(edges, Seq(1L, 2L), 3)
+    assert(got == Map(
+      (1L, 1L) -> 0L, (1L, 2L) -> 5L,
+      (2L, 2L) -> 0L, (2L, 3L) -> 3L))
+  }
+
+  test("waiting is allowed: equal timestamps chain (non-strict)") {
+    val edges = Seq((1L, 2L, 4L), (2L, 3L, 4L))
+    val got = run(edges, Seq(1L), 2)
+    assert(got((1L, 3L)) == 4L)
+  }
+
+  test("earliest arrival wins over a faster-found later path") {
+    // direct 1→3 at t=9; two-hop 1→2 (t=1) →3 (t=2) arrives earlier
+    val edges = Seq((1L, 3L, 9L), (1L, 2L, 1L), (2L, 3L, 2L))
+    assert(run(edges, Seq(1L), 1)((1L, 3L)) == 9L)  // one hop: direct only
+    assert(run(edges, Seq(1L), 2)((1L, 3L)) == 2L)  // two hops: improved
+  }
+
+  test("the hop budget bounds the frontier") {
+    val edges = Seq((1L, 2L, 1L), (2L, 3L, 2L), (3L, 4L, 3L))
+    val got = run(edges, Seq(1L), 2)
+    assert(got.contains((1L, 3L)) && !got.contains((1L, 4L)))
+  }
+}

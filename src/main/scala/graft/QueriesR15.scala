@@ -282,6 +282,39 @@ object QueriesR15 {
       .orderBy(col("seed"), col("node"))
   }
 
+  /** R167: token-bucket rate-limit replay — per-user bucket of 5 tokens
+    * (5000 milli), 2 milli/s refill, 1 token per event; the exact audit
+    * of "what would this quota have admitted".
+    */
+  def qRateLimit(s: SparkSession, dir: String): DataFrame =
+    graft.operators.RateLimit.tokenBucket(
+        t(s, dir, "events").select(col("user_id"), col("event_id"),
+          unix_timestamp(col("ts").cast("timestamp")).as("ts_sec")),
+        col("user_id"), col("event_id"), col("ts_sec"),
+        capMilli = 5000L, refillMilli = 2L, costMilli = 1000L)
+      .select(col("key").as("user_id"), col("id").as("event_id"),
+        col("ts_sec"), col("admitted"), col("tokens_milli"))
+      .orderBy(col("user_id"), col("ts_sec"), col("event_id"))
+
+  /** R168: functional-dependency audit — does determinant → dependent
+    * hold, and over how many violating determinant values; the schema
+    * check behind key discovery and denormalization safety.
+    */
+  def dqFdCheck(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    def fd(name: String, det: org.apache.spark.sql.Column,
+           dep: org.apache.spark.sql.Column): DataFrame =
+      e.groupBy(det.as("__d")).agg(countDistinct(dep).as("nv"))
+        .agg(count(lit(1)).as("n_det"),
+          sum(when(col("nv") > 1, 1L).otherwise(0L)).as("n_violating"))
+        .select(lit(name).as("fd"), col("n_det"), col("n_violating"),
+          (col("n_violating") === 0).as("holds"))
+    fd("event_id->event_type", col("event_id"), col("event_type"))
+      .unionByName(fd("user_id->event_type", col("user_id"), col("event_type")))
+      .unionByName(fd("event_type->user_id", col("event_type"), col("user_id")))
+      .orderBy(col("fd"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_spatial_radius_join" -> (qSpatialRadiusJoin _),
     "q_spatial_knn" -> (qSpatialKnn _),
@@ -299,7 +332,9 @@ object QueriesR15 {
     "stream_kmeans_update" -> (streamKmeansUpdate _),
     "ann_ivf_kmeans_topk" -> (annIvfKmeansTopk _),
     "mm_flac_meta" -> (mmFlacMeta _),
-    "graph_temporal_reach" -> (graphTemporalReach _))
+    "graph_temporal_reach" -> (graphTemporalReach _),
+    "q_rate_limit" -> (qRateLimit _),
+    "dq_fd_check" -> (dqFdCheck _))
 
   val sql: Map[String, String] = Map(
     "q_spatial_radius_join" ->
@@ -522,6 +557,51 @@ object QueriesR15 {
          |FROM p a JOIN p b ON b.id % 61 = 0
          |WHERE (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 40000
          |ORDER BY id, ref_id""".stripMargin,
+    "q_rate_limit" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT user_id, event_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec
+        |  FROM events
+        |), r AS (
+        |  SELECT user_id, event_id, ts_sec,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY ts_sec, event_id) AS rn
+        |  FROM e
+        |), rec AS (
+        |  SELECT user_id, event_id, ts_sec, rn,
+        |    TRUE AS admitted, CAST(4000 AS BIGINT) AS tokens,
+        |    ts_sec AS last_ts
+        |  FROM r WHERE rn = 1
+        |  UNION ALL
+        |  SELECT r.user_id, r.event_id, r.ts_sec, r.rn,
+        |    LEAST(5000, rec.tokens + (r.ts_sec - rec.last_ts) * 2) >= 1000
+        |      AS admitted,
+        |    CAST(CASE WHEN
+        |        LEAST(5000, rec.tokens + (r.ts_sec - rec.last_ts) * 2) >= 1000
+        |      THEN LEAST(5000, rec.tokens + (r.ts_sec - rec.last_ts) * 2) - 1000
+        |      ELSE LEAST(5000, rec.tokens + (r.ts_sec - rec.last_ts) * 2)
+        |      END AS BIGINT) AS tokens,
+        |    r.ts_sec AS last_ts
+        |  FROM rec JOIN r ON r.user_id = rec.user_id AND r.rn = rec.rn + 1
+        |)
+        |SELECT user_id, event_id, ts_sec, admitted,
+        |  tokens AS tokens_milli
+        |FROM rec ORDER BY user_id, rn""".stripMargin,
+    "dq_fd_check" -> {
+      def one(name: String, det: String, dep: String) =
+        s"""SELECT '$name' AS fd, CAST(COUNT(*) AS BIGINT) AS n_det,
+           |  CAST(SUM(CASE WHEN nv > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_violating,
+           |  SUM(CASE WHEN nv > 1 THEN 1 ELSE 0 END) = 0 AS holds
+           |FROM (SELECT $det, COUNT(DISTINCT $dep) AS nv
+           |      FROM events GROUP BY $det) t""".stripMargin
+      s"""${one("event_id->event_type", "event_id", "event_type")}
+         |UNION ALL
+         |${one("user_id->event_type", "user_id", "event_type")}
+         |UNION ALL
+         |${one("event_type->user_id", "event_type", "user_id")}
+         |ORDER BY fd""".stripMargin
+    },
     "graph_temporal_reach" -> {
       val rounds = (0 until 3).map { k =>
         s"""r${k + 1} AS (

@@ -315,6 +315,33 @@ object QueriesR15 {
       .orderBy(col("fd"))
   }
 
+  /** X39: streaming token-bucket enforcement — R167 live, appended
+    * decisions ≡ the batch replay under per-key ordered delivery;
+    * shares the batch recursive-CTE oracle verbatim.
+    */
+  def streamRateLimit(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.Streams.streamingRateLimit(s,
+        t(s, dir, "events").select(col("user_id").as("key"),
+          col("event_id").as("id"),
+          unix_timestamp(col("ts").cast("timestamp")).as("ts_sec")),
+        capMilli = 5000L, refillMilli = 2L, costMilli = 1000L,
+        queryName = "stream_rate_limit")
+      .select(col("key").as("user_id"), col("id").as("event_id"),
+        col("ts_sec"), col("admitted"), col("tokens_milli"))
+      .orderBy(col("user_id"), col("ts_sec"), col("event_id"))
+
+  /** T32 (eval): language-ID confusion matrix — T2's heuristic scored
+    * against the corpus's labeled language; the quality loop the
+    * langid gate alone can't close.
+    */
+  def textLangidConfusion(s: SparkSession, dir: String): DataFrame =
+    QueriesData.textLangid(s, dir)
+      .join(t(s, dir, "documents").select(col("doc_id"),
+        col("lang").as("lang_true")), Seq("doc_id"))
+      .groupBy(col("lang_true"), col("lang_pred"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang_true"), col("lang_pred"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_spatial_radius_join" -> (qSpatialRadiusJoin _),
     "q_spatial_knn" -> (qSpatialKnn _),
@@ -334,7 +361,9 @@ object QueriesR15 {
     "mm_flac_meta" -> (mmFlacMeta _),
     "graph_temporal_reach" -> (graphTemporalReach _),
     "q_rate_limit" -> (qRateLimit _),
-    "dq_fd_check" -> (dqFdCheck _))
+    "dq_fd_check" -> (dqFdCheck _),
+    "stream_rate_limit" -> (streamRateLimit _),
+    "text_langid_confusion" -> (textLangidConfusion _))
 
   val sql: Map[String, String] = Map(
     "q_spatial_radius_join" ->
@@ -557,36 +586,18 @@ object QueriesR15 {
          |FROM p a JOIN p b ON b.id % 61 = 0
          |WHERE (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 40000
          |ORDER BY id, ref_id""".stripMargin,
-    "q_rate_limit" ->
-      """WITH RECURSIVE e AS (
-        |  SELECT user_id, event_id,
-        |    CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec
-        |  FROM events
-        |), r AS (
-        |  SELECT user_id, event_id, ts_sec,
-        |    ROW_NUMBER() OVER (PARTITION BY user_id
-        |      ORDER BY ts_sec, event_id) AS rn
-        |  FROM e
-        |), rec AS (
-        |  SELECT user_id, event_id, ts_sec, rn,
-        |    TRUE AS admitted, CAST(4000 AS BIGINT) AS tokens,
-        |    ts_sec AS last_ts
-        |  FROM r WHERE rn = 1
-        |  UNION ALL
-        |  SELECT r.user_id, r.event_id, r.ts_sec, r.rn,
-        |    LEAST(5000, rec.tokens + (r.ts_sec - rec.last_ts) * 2) >= 1000
-        |      AS admitted,
-        |    CAST(CASE WHEN
-        |        LEAST(5000, rec.tokens + (r.ts_sec - rec.last_ts) * 2) >= 1000
-        |      THEN LEAST(5000, rec.tokens + (r.ts_sec - rec.last_ts) * 2) - 1000
-        |      ELSE LEAST(5000, rec.tokens + (r.ts_sec - rec.last_ts) * 2)
-        |      END AS BIGINT) AS tokens,
-        |    r.ts_sec AS last_ts
-        |  FROM rec JOIN r ON r.user_id = rec.user_id AND r.rn = rec.rn + 1
-        |)
-        |SELECT user_id, event_id, ts_sec, admitted,
-        |  tokens AS tokens_milli
-        |FROM rec ORDER BY user_id, rn""".stripMargin,
+    // X39 shares its batch twin's oracle verbatim: streaming ≡ batch
+    "stream_rate_limit" -> rateLimitSql,
+    "q_rate_limit" -> rateLimitSql,
+    "text_langid_confusion" ->
+      s"""WITH pred AS (
+         |${QueriesData.sql("text_langid")}
+         |)
+         |SELECT d.lang AS lang_true, p.lang_pred,
+         |  CAST(COUNT(*) AS BIGINT) AS n
+         |FROM pred p JOIN documents d USING (doc_id)
+         |GROUP BY 1, 2 ORDER BY lang_true, lang_pred""".stripMargin,
+
     "dq_fd_check" -> {
       def one(name: String, det: String, dep: String) =
         s"""SELECT '$name' AS fd, CAST(COUNT(*) AS BIGINT) AS n_det,
@@ -655,6 +666,40 @@ object QueriesR15 {
         |FROM r CROSS JOIN nn
         |JOIN p ON p.q = (r.r * nn.nn + r.n - 1) // r.n
         |ORDER BY r.doc_id""".stripMargin)
+
+  /** R167/X39 shared oracle: the exact token-bucket walk as a
+    * recursive CTE (cap 5000 milli, refill 2 milli/s, cost 1000).
+    */
+  private lazy val rateLimitSql: String =
+    """WITH RECURSIVE e AS (
+        |  SELECT user_id, event_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec
+        |  FROM events
+        |), r AS (
+        |  SELECT user_id, event_id, ts_sec,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY ts_sec, event_id) AS rn
+        |  FROM e
+        |), rec AS (
+        |  SELECT user_id, event_id, ts_sec, rn,
+        |    TRUE AS admitted, CAST(4000 AS BIGINT) AS tokens,
+        |    ts_sec AS last_ts
+        |  FROM r WHERE rn = 1
+        |  UNION ALL
+        |  SELECT r.user_id, r.event_id, r.ts_sec, r.rn,
+        |    LEAST(5000, rec.tokens + (r.ts_sec - rec.last_ts) * 2) >= 1000
+        |      AS admitted,
+        |    CAST(CASE WHEN
+        |        LEAST(5000, rec.tokens + (r.ts_sec - rec.last_ts) * 2) >= 1000
+        |      THEN LEAST(5000, rec.tokens + (r.ts_sec - rec.last_ts) * 2) - 1000
+        |      ELSE LEAST(5000, rec.tokens + (r.ts_sec - rec.last_ts) * 2)
+        |      END AS BIGINT) AS tokens,
+        |    r.ts_sec AS last_ts
+        |  FROM rec JOIN r ON r.user_id = rec.user_id AND r.rn = rec.rn + 1
+        |)
+        |SELECT user_id, event_id, ts_sec, admitted,
+        |  tokens AS tokens_milli
+        |FROM rec ORDER BY user_id, rn""".stripMargin
 
   /** Shared k-means CTE chain (2 unrolled Lloyd passes): flat milli
     * quantization → seed centroids → distance/argmin → sign-carried

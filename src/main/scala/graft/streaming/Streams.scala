@@ -647,6 +647,57 @@ object Streams {
     }
   }
 
+  /** X39: streaming token-bucket rate limiter — R167's admission policy
+    * enforced LIVE: per-key state is two longs (tokens, lastTs), each
+    * arriving event appends its admit/reject decision (Append-mode
+    * flatMap). Under per-key (ts, id)-ordered delivery (the X15
+    * contract — CDC/event logs deliver per-key in order) the appended
+    * decisions are identical to the batch replay
+    * ([[graft.operators.RateLimit.tokenBucket]]), so the gate shares the
+    * batch oracle verbatim.
+    */
+  def streamingRateLimit(spark: SparkSession, rows: DataFrame,
+                         capMilli: Long, refillMilli: Long, costMilli: Long,
+                         queryName: String,
+                         rocksDb: Boolean = UseRocksDb): DataFrame = {
+    import spark.implicits._
+    val typed = rows.select(col("key").cast("long"), col("id").cast("long"),
+        col("ts_sec").cast("long"))
+      .orderBy(col("ts_sec"), col("id"))
+      .coalesce(1) // one ordered file = ordered replay
+      .as[(Long, Long, Long)]
+    val path = stageToTemp(typed.toDF("key", "id", "ts_sec"), "sratelimit")
+
+    val update: (Long, Iterator[(Long, Long, Long)],
+        GroupState[(Long, Long)]) =>
+        Iterator[(Long, Long, Long, Boolean, Long)] = (key, batch, state) => {
+      var (tokens, lastTs) = state.getOption.getOrElse((capMilli, Long.MinValue))
+      val out = batch.toSeq.sortBy(r => (r._3, r._2)).map { case (_, id, ts) =>
+        if (lastTs != Long.MinValue)
+          tokens = math.min(capMilli, tokens + (ts - lastTs) * refillMilli)
+        lastTs = ts
+        val admitted = tokens >= costMilli
+        if (admitted) tokens -= costMilli
+        (key, id, ts, admitted, tokens)
+      }
+      state.update((tokens, lastTs))
+      out.iterator
+    }
+
+    withStateSession(spark, 8, rocksDb) { iso =>
+      val stream = iso.readStream.schema(typed.schema).parquet(path)
+        .as[(Long, Long, Long)]
+      val decisions = stream.groupByKey(_._1)
+        .flatMapGroupsWithState(OutputMode.Append,
+          GroupStateTimeout.NoTimeout)(update)
+        .toDF("key", "id", "ts_sec", "admitted", "tokens_milli")
+      val q = decisions.writeStream.outputMode("append")
+        .format("memory").queryName(queryName).start()
+      try { q.processAllAvailable() } finally { q.stop() }
+      iso.table(queryName)
+    }
+  }
+
   /** X16: streaming CUSUM — the drift monitor (R61) maintained
     * incrementally. Per-key state is two longs (the prefix sum P and its
     * historical minimum), because Sₜ = Pₜ − min(0, minᵢ≤ₜ Pᵢ) needs no

@@ -342,6 +342,43 @@ object QueriesR15 {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("lang_true"), col("lang_pred"))
 
+  /** R169: latest-departure reachability toward a supplier watchlist —
+    * the recovery-planning mirror of R166 (how late can each party still
+    * start and reach the target in time).
+    */
+  def graphTemporalLatest(s: SparkSession, dir: String): DataFrame = {
+    val e0 = t(s, dir, "orders")
+      .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"), (col("l_suppkey") + 1000000L).as("p"),
+        expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000")
+          .as("t"))
+      .distinct()
+    val edges = e0.select(col("c").as("src"), col("p").as("dst"), col("t"))
+      .unionAll(e0.select(col("p").as("src"), col("c").as("dst"), col("t")))
+    val targets = s.range(1000001L, 1000004L).select(col("id").as("node"))
+    graft.operators.TemporalGraph.latestDeparture(edges, targets,
+        rounds = 3, horizon = 30000L)
+      .orderBy(col("target"), col("node"))
+  }
+
+  /** R170 (dq): exact-duplicate rate per source — the corpus-health
+    * metric behind mixture decisions (a source that is 30% self-copies
+    * contributes less novelty than its row count claims).
+    */
+  def dedupRateBySource(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("doc_id"), col("source"),
+      graft.functions.TextFunctions.fingerprint(col("text")).as("h"))
+    val sizes = d.groupBy(col("h")).agg(count(lit(1)).as("grp_n"))
+    d.join(sizes, Seq("h"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("grp_n") > 1, 1L).otherwise(0L)).as("n_dup_docs"))
+      .select(col("source"), col("n_docs"), col("n_dup_docs"),
+        expr("n_dup_docs * 1000000 div n_docs").as("dup_ppm"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_spatial_radius_join" -> (qSpatialRadiusJoin _),
     "q_spatial_knn" -> (qSpatialKnn _),
@@ -363,7 +400,9 @@ object QueriesR15 {
     "q_rate_limit" -> (qRateLimit _),
     "dq_fd_check" -> (dqFdCheck _),
     "stream_rate_limit" -> (streamRateLimit _),
-    "text_langid_confusion" -> (textLangidConfusion _))
+    "text_langid_confusion" -> (textLangidConfusion _),
+    "graph_temporal_latest" -> (graphTemporalLatest _),
+    "dedup_rate_by_source" -> (dedupRateBySource _))
 
   val sql: Map[String, String] = Map(
     "q_spatial_radius_join" ->
@@ -613,6 +652,42 @@ object QueriesR15 {
          |${one("event_type->user_id", "event_type", "user_id")}
          |ORDER BY fd""".stripMargin
     },
+    "graph_temporal_latest" -> {
+      val rounds = (0 until 3).map { k =>
+        s"""r${k + 1} AS (
+           |  SELECT target, node, MAX(dep) AS dep FROM (
+           |    SELECT target, node, dep FROM r$k
+           |    UNION ALL
+           |    SELECT r.target, e.src AS node, CAST(e.t AS BIGINT) AS dep
+           |    FROM r$k r JOIN e ON e.dst = r.node AND e.t <= r.dep
+           |  ) u GROUP BY 1, 2
+           |)""".stripMargin
+      }.mkString(", ")
+      s"""WITH e0 AS (
+         |  SELECT DISTINCT o_custkey AS c, l_suppkey + 1000000 AS p,
+         |    epoch_us(o_orderdate) // 86400000000 AS t
+         |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+         |), e AS (
+         |  SELECT c AS src, p AS dst, t FROM e0
+         |  UNION ALL SELECT p AS src, c AS dst, t FROM e0
+         |), r0 AS (
+         |  SELECT target, target AS node, CAST(30000 AS BIGINT) AS dep
+         |  FROM (SELECT unnest(generate_series(1000001, 1000003)) AS target) s
+         |), $rounds
+         |SELECT CAST(target AS BIGINT) AS target, CAST(node AS BIGINT) AS node,
+         |  CAST(dep AS BIGINT) AS dep
+         |FROM r3 ORDER BY target, node""".stripMargin
+    },
+    "dedup_rate_by_source" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, source, ${QueriesData.canon} AS h FROM documents
+         |), g AS (SELECT h, COUNT(*) AS grp_n FROM d GROUP BY h)
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(CASE WHEN grp_n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_dup_docs,
+         |  CAST((SUM(CASE WHEN grp_n > 1 THEN 1 ELSE 0 END) * 1000000)
+         |    // COUNT(*) AS BIGINT) AS dup_ppm
+         |FROM d JOIN g USING (h) GROUP BY source ORDER BY source""".stripMargin,
     "graph_temporal_reach" -> {
       val rounds = (0 until 3).map { k =>
         s"""r${k + 1} AS (

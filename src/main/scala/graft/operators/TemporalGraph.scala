@@ -55,4 +55,39 @@ object TemporalGraph {
     }
     r
   }
+
+  /** Latest-departure labels — the reverse question: how LATE can each
+    * node still start and reach the target along a time-respecting path
+    * (the recovery-planning / last-safe-moment query)? dep(target) =
+    * `horizon` (after every edge); dep(v) = max over edges (v, w, t)
+    * with t ≤ dep(w) of t — you can leave v at the edge's own time. The
+    * max-label mirror of [[earliestArrival]], same dominance argument
+    * (a LATER departure enables a superset of usable edges), same fixed
+    * `rounds` = hop budget, same chained-CTE replay.
+    *
+    * @param edges   (src, dst, t) directed temporal edges, integer t
+    * @param targets one column `node`
+    * @return (target, node, dep) — nodes that can still reach target;
+    *         targets carry dep = horizon
+    */
+  def latestDeparture(edges: DataFrame, targets: DataFrame, rounds: Int,
+                      horizon: Long): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val e = edges.select(col("src"), col("dst"), col("t").cast("long").as("t"))
+      .ckpt
+    var r = targets.select(col("node").as("target")).distinct()
+      .select(col("target"), col("target").as("node"),
+        lit(horizon).as("dep"))
+      .ckpt
+    for (_ <- 1 to rounds) {
+      val stepped = r.join(e, col("node") === col("dst"))
+        .filter(col("t") <= col("dep"))
+        .select(col("target"), col("src").as("node"), col("t").as("dep"))
+      r = r.unionByName(stepped)
+        .groupBy(col("target"), col("node"))
+        .agg(max(col("dep")).as("dep"))
+        .ckpt
+    }
+    r
+  }
 }

@@ -43,4 +43,27 @@ class TemporalGraphSpec extends AnyFunSuite {
     val got = run(edges, Seq(1L), 2)
     assert(got.contains((1L, 3L)) && !got.contains((1L, 4L)))
   }
+
+  private def runLatest(edges: Seq[(Long, Long, Long)], targets: Seq[Long],
+                        rounds: Int, horizon: Long): Map[(Long, Long), Long] =
+    TemporalGraph.latestDeparture(edges.toDF("src", "dst", "t"),
+        targets.toDF("node"), rounds, horizon)
+      .as[(Long, Long, Long)].collect()
+      .map { case (tg, n, d) => (tg, n) -> d }.toMap
+
+  test("latestDeparture is gated by downstream edge times") {
+    // 1 →(t=5)→ 2 →(t=3)→ 3: to reach 3, node 1 must use the t=5 edge,
+    // but 2→3 fires at 3 < 5 — unreachable; node 2 departs at 3
+    val edges = Seq((1L, 2L, 5L), (2L, 3L, 3L))
+    val got = runLatest(edges, Seq(3L), 3, horizon = 100L)
+    assert(got == Map((3L, 3L) -> 100L, (3L, 2L) -> 3L))
+  }
+
+  test("latestDeparture picks the LATEST viable start among paths") {
+    // 1 can reach 3 via t=2→t=4 chain (depart 2) or directly at t=1:
+    // latest viable departure is 2
+    val edges = Seq((1L, 2L, 2L), (2L, 3L, 4L), (1L, 3L, 1L))
+    val got = runLatest(edges, Seq(3L), 2, horizon = 100L)
+    assert(got((3L, 1L)) == 2L)
+  }
 }

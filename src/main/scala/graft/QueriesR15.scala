@@ -379,6 +379,35 @@ object QueriesR15 {
       .orderBy(col("source"))
   }
 
+  /** R171: Mondrian split-conformal coverage — per priority class, the
+    * 90% distribution-free interval half-width from the calibration half
+    * and its empirical coverage on the held-out half.
+    */
+  def qConformal(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Conformal.splitConformal(
+        t(s, dir, "orders").select(col("o_orderpriority").as("grp"),
+          col("o_totalprice"), col("o_orderkey")),
+        Seq("grp"), cents(col("o_totalprice")), col("o_orderkey"),
+        alphaPpm = 100000L)
+      .orderBy(col("grp"))
+
+  /** R172: linear-interpolation gap fill of the hourly per-user value
+    * series — the smoother sibling of R28's forward fill, one exact
+    * sign-carried division per gap row.
+    */
+  def qResampleInterp(s: SparkSession, dir: String): DataFrame = {
+    val obs = t(s, dir, "events")
+      .select(col("user_id"),
+        expr("unix_micros(CAST(ts AS TIMESTAMP)) div 3600000000").as("hr"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy(col("user_id"), col("hr")).agg(sum(col("cents")).as("v"))
+    graft.operators.Resample.interpolate(obs, col("user_id"), col("hr"),
+        col("v"))
+      .select(col("key").as("user_id"), col("bucket").as("hr"),
+        col("value"), col("interp"))
+      .orderBy(col("user_id"), col("hr"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_spatial_radius_join" -> (qSpatialRadiusJoin _),
     "q_spatial_knn" -> (qSpatialKnn _),
@@ -402,7 +431,9 @@ object QueriesR15 {
     "stream_rate_limit" -> (streamRateLimit _),
     "text_langid_confusion" -> (textLangidConfusion _),
     "graph_temporal_latest" -> (graphTemporalLatest _),
-    "dedup_rate_by_source" -> (dedupRateBySource _))
+    "dedup_rate_by_source" -> (dedupRateBySource _),
+    "q_conformal" -> (qConformal _),
+    "q_resample_interp" -> (qResampleInterp _))
 
   val sql: Map[String, String] = Map(
     "q_spatial_radius_join" ->
@@ -678,6 +709,72 @@ object QueriesR15 {
          |  CAST(dep AS BIGINT) AS dep
          |FROM r3 ORDER BY target, node""".stripMargin
     },
+    "q_conformal" ->
+      """WITH b AS (
+        |  SELECT o_orderpriority AS grp,
+        |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS v,
+        |    o_orderkey AS id,
+        |    CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 12))
+        |      AS BIGINT) < 140737488355328 AS cal
+        |  FROM orders
+        |), enc AS (
+        |  SELECT grp,
+        |    CASE WHEN SUM(v) >= 0 THEN SUM(v) // COUNT(*)
+        |         ELSE -((-SUM(v)) // COUNT(*)) END AS enc,
+        |    CAST(COUNT(*) AS BIGINT) AS n_cal
+        |  FROM b WHERE cal GROUP BY grp
+        |), resid AS (
+        |  SELECT b.grp, ABS(b.v - enc.enc) AS r, b.id
+        |  FROM b JOIN enc USING (grp) WHERE b.cal
+        |), rk AS (
+        |  SELECT grp, r, ROW_NUMBER() OVER (PARTITION BY grp
+        |      ORDER BY r, id) AS rk,
+        |    COUNT(*) OVER (PARTITION BY grp) AS n
+        |  FROM resid
+        |), q AS (
+        |  SELECT grp, CAST(r AS BIGINT) AS q_resid FROM rk
+        |  WHERE rk = LEAST(n, ((n + 1) * 900000 + 999999) // 1000000)
+        |)
+        |SELECT t.grp, enc.n_cal, CAST(COUNT(*) AS BIGINT) AS n_test,
+        |  q.q_resid,
+        |  CAST(SUM(CASE WHEN ABS(t.v - enc.enc) <= q.q_resid
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+        |  CAST((SUM(CASE WHEN ABS(t.v - enc.enc) <= q.q_resid
+        |    THEN 1 ELSE 0 END) * 1000000) // COUNT(*) AS BIGINT) AS cover_ppm
+        |FROM b t JOIN enc USING (grp) JOIN q USING (grp)
+        |WHERE NOT t.cal
+        |GROUP BY t.grp, enc.n_cal, q.q_resid
+        |ORDER BY grp""".stripMargin,
+    "q_resample_interp" ->
+      """WITH obs AS (
+        |  SELECT user_id, epoch_us(ts) // 3600000000 AS hr,
+        |    CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS v
+        |  FROM events GROUP BY 1, 2
+        |), grid AS (
+        |  SELECT user_id, unnest(generate_series(b0, b1)) AS hr
+        |  FROM (SELECT user_id, MIN(hr) AS b0, MAX(hr) AS b1
+        |        FROM obs GROUP BY user_id) t
+        |), g AS (
+        |  SELECT grid.user_id, grid.hr, obs.v,
+        |    LAST_VALUE(CASE WHEN obs.v IS NOT NULL THEN grid.hr END
+        |      IGNORE NULLS) OVER wp AS pb,
+        |    LAST_VALUE(obs.v IGNORE NULLS) OVER wp AS pv,
+        |    FIRST_VALUE(CASE WHEN obs.v IS NOT NULL THEN grid.hr END
+        |      IGNORE NULLS) OVER wn AS nb,
+        |    FIRST_VALUE(obs.v IGNORE NULLS) OVER wn AS nv
+        |  FROM grid LEFT JOIN obs USING (user_id, hr)
+        |  WINDOW wp AS (PARTITION BY grid.user_id ORDER BY grid.hr
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    wn AS (PARTITION BY grid.user_id ORDER BY grid.hr
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        |)
+        |SELECT user_id, CAST(hr AS BIGINT) AS hr, CAST(v AS BIGINT) AS value,
+        |  CAST(CASE WHEN v IS NOT NULL THEN v
+        |    ELSE pv + CASE WHEN (nv - pv) * (hr - pb) >= 0
+        |      THEN ((nv - pv) * (hr - pb)) // (nb - pb)
+        |      ELSE -((-((nv - pv) * (hr - pb))) // (nb - pb)) END
+        |    END AS BIGINT) AS interp
+        |FROM g ORDER BY user_id, hr""".stripMargin,
     "dedup_rate_by_source" ->
       s"""WITH d AS (
          |  SELECT doc_id, source, ${QueriesData.canon} AS h FROM documents

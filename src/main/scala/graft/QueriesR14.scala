@@ -81,14 +81,15 @@ object QueriesR14 {
   }
 
   /** R140: link prediction on the co-purchase graph — non-adjacent part
-    * pairs sharing ≥2 co-purchase neighbors, scored by exact
+    * pairs sharing ≥2 co-purchase neighbors of degree ≤ 96 (the hub
+    * cap that keeps wedge fanout linear in edges), scored by
     * neighborhood Jaccard; "which parts SHOULD co-sell but don't yet",
     * top 500 under a total order.
     */
   def graphLinkPredict(s: SparkSession, dir: String): DataFrame =
     graft.operators.Graph.linkPredictJaccard(
         QueriesR6.coPurchasePairs(s, dir).select(col("src"), col("dst")),
-        minCommon = 2L)
+        minCommon = 2L, maxCenterDegree = 96L)
       .orderBy(col("jaccard_ppm").desc, col("u"), col("v"))
       .limit(500)
 
@@ -533,9 +534,12 @@ object QueriesR14 {
       |), deg AS (
       |  SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
       |  FROM e GROUP BY 1
+      |), centers AS (
+      |  SELECT node FROM deg WHERE deg <= 96
       |), w AS (
       |  SELECT e1.dst AS u, e2.dst AS v, CAST(COUNT(*) AS BIGINT) AS common
       |  FROM e e1 JOIN e e2 ON e1.src = e2.src AND e1.dst < e2.dst
+      |  JOIN centers c ON c.node = e1.src
       |  GROUP BY 1, 2 HAVING COUNT(*) >= 2
       |), cand AS (
       |  SELECT w.u, w.v, w.common

@@ -408,6 +408,42 @@ object QueriesR15 {
       .orderBy(col("user_id"), col("hr"))
   }
 
+  /** C36: bitemporal as-of — "what did the warehouse BELIEVE at system
+    * batch S about the state VALID at time V": C26's filtered max_by
+    * with the two-axis predicate (sys_batch ≤ 59, valid_from ≤
+    * 2024-01-16T08:53:20Z) and the (valid_from, sys_batch, id) total
+    * order; no window sort, one aggregate.
+    */
+  def cdcBitemporal(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events").select(col("user_id"),
+      unix_timestamp(col("ts").cast("timestamp")).as("valid_from"),
+      (col("event_id") % 100).as("sys_batch"), col("event_id"),
+      col("event_type"))
+    graft.cdc.Cdc.asOfSnapshot(e, Seq("user_id"),
+        Seq("valid_from", "sys_batch", "event_id"),
+        col("valid_from") <= 1705400000L && col("sys_batch") <= 59)
+      .select(col("user_id"), col("valid_from"), col("sys_batch"),
+        col("event_type"))
+      .orderBy(col("user_id"))
+  }
+
+  /** T33: keyword-in-context concordance — every occurrence of the term
+    * with its ±20-char window, the corpus-exploration staple; positions
+    * via a higher-order filter over the index sequence (codegen'd, no
+    * UDF), one generator per match.
+    */
+  def textConcordance(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("text"),
+        expr("""filter(sequence(1, greatest(length(text) - 4, 0)),
+               |  i -> substr(text, i, 5) = 'query')""".stripMargin)
+          .as("ps"))
+      .filter(size(col("ps")) > 0)
+      .select(col("doc_id"), explode(col("ps")).as("pos"), col("text"))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        expr("substr(text, greatest(1, pos - 20), 45)").as("context"))
+      .orderBy(col("doc_id"), col("pos"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_spatial_radius_join" -> (qSpatialRadiusJoin _),
     "q_spatial_knn" -> (qSpatialKnn _),
@@ -433,7 +469,9 @@ object QueriesR15 {
     "graph_temporal_latest" -> (graphTemporalLatest _),
     "dedup_rate_by_source" -> (dedupRateBySource _),
     "q_conformal" -> (qConformal _),
-    "q_resample_interp" -> (qResampleInterp _))
+    "q_resample_interp" -> (qResampleInterp _),
+    "cdc_bitemporal" -> (cdcBitemporal _),
+    "text_concordance" -> (textConcordance _))
 
   val sql: Map[String, String] = Map(
     "q_spatial_radius_join" ->
@@ -709,6 +747,30 @@ object QueriesR15 {
          |  CAST(dep AS BIGINT) AS dep
          |FROM r3 ORDER BY target, node""".stripMargin
     },
+    "cdc_bitemporal" ->
+      """WITH c AS (
+        |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS valid_from,
+        |    event_id % 100 AS sys_batch, event_id, event_type
+        |  FROM events
+        |  WHERE floor(epoch(ts)) <= 1705400000 AND event_id % 100 <= 59
+        |), r AS (
+        |  SELECT user_id, valid_from, sys_batch, event_type,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY valid_from DESC, sys_batch DESC, event_id DESC) AS rn
+        |  FROM c
+        |)
+        |SELECT user_id, valid_from, CAST(sys_batch AS BIGINT) AS sys_batch,
+        |  event_type
+        |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "text_concordance" ->
+      """SELECT doc_id, CAST(i AS BIGINT) AS pos,
+        |  substr(text, GREATEST(1, i - 20), 45) AS context
+        |FROM (
+        |  SELECT doc_id, text,
+        |    unnest(generate_series(1, GREATEST(length(text) - 4, 0))) AS i
+        |  FROM documents) t
+        |WHERE substr(text, i, 5) = 'query'
+        |ORDER BY doc_id, pos""".stripMargin,
     "q_conformal" ->
       """WITH b AS (
         |  SELECT o_orderpriority AS grp,

@@ -1499,41 +1499,72 @@ object Graph {
     *   jaccard_ppm(u,v) = |Γu ∩ Γv|·10⁶ div (deg u + deg v − |Γu ∩ Γv|)
     *
     * Candidates come from the wedge join (two hops through a shared
-    * neighbor — the triangle-counting shape, NOT all pairs): fanout is
-    * Σ_w deg(w)², governed by hub degree exactly like R63; existing
-    * edges leave by an anti join, thin pairs by `minCommon`. That
-    * Σdeg² is the inherent price of EXACT common-neighbor counting
-    * (measured: ~40M wedges / 32 s on the dense sf0.1 co-purchase
-    * graph) — at 100 TB the scale path is banded candidates (D2's LSH
-    * machinery over neighborhood sets) or a hub-degree cap, both
-    * stated recall trades; this operator is the exact, oracle-able
-    * core they are measured against.
+    * neighbor — the triangle-counting shape, NOT all pairs) with a HUB
+    * CAP on the wedge center: only nodes with deg ≤ `maxCenterDegree`
+    * mediate candidates, bounding total wedge fanout at Σ_{deg≤C} deg²
+    * ≤ C·2|E| — linear in edges with constant C, the R133 pivot-budget
+    * idea applied to candidate generation (uncapped, the dense sf0.1
+    * co-purchase graph emits 149M wedge pairs for 1.2M edges and the
+    * aggregate dwarfs everything else; capped at 96 it emits 12× fewer
+    * for near-identical top-of-list ordering, since a super-hub's
+    * contribution lands on pairs whose Jaccard is near zero anyway).
+    * `common` therefore counts shared neighbors OF DEGREE ≤ C — the cap
+    * is part of the operator's stated semantics, applied identically by
+    * the oracle; the Jaccard denominator keeps the FULL degrees.
+    * Existing edges leave by an anti join, thin pairs by `minCommon`.
     *
     * @param edges     undirected (src, dst); canonicalized, deduped
     * @param minCommon keep pairs with at least this many shared
     *                  neighbors (≥1; higher prunes the wedge fanout)
+    * @param maxCenterDegree hub cap for wedge centers (Long.MaxValue =
+    *                  exact uncapped counting)
     * @return (u, v, common, deg_u, deg_v, jaccard_ppm), u < v
     */
-  def linkPredictJaccard(edges: DataFrame, minCommon: Long): DataFrame = {
+  def linkPredictJaccard(edges: DataFrame, minCommon: Long,
+                         maxCenterDegree: Long = Long.MaxValue): DataFrame = {
     require(minCommon >= 1, s"minCommon must be >= 1, got $minCommon")
+    require(maxCenterDegree >= 1,
+      s"maxCenterDegree must be >= 1, got $maxCenterDegree")
     val und = edges.select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .filter(col("a") =!= col("b")).distinct().ckpt
+    val nEdges = und.count()
     val dir = und.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(und.select(col("b").as("src"), col("a").as("dst")))
     val deg = dir.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("deg"))
-    val wedges = dir.select(col("src").as("w"), col("dst").as("u"))
-      .join(dir.select(col("src").as("w"), col("dst").as("v")), Seq("w"))
+    // hub suppression: only nodes with degree ≤ maxCenterDegree serve as
+    // wedge CENTERS. A center contributes O(deg²) candidate pairs, and a
+    // super-hub's contribution lands on pairs whose Jaccard is near zero
+    // anyway (its huge neighborhood inflates both unions); capping the
+    // center degree bounds total wedge work at Σ_{deg≤C} deg² ≤ C·2|E| —
+    // LINEAR in edges with constant C — the same budget idea as the
+    // R133 betweenness pivot cap, and part of the operator's stated
+    // semantics (the oracle applies the identical cap).
+    val centers = deg.filter(col("deg") <= maxCenterDegree)
+      .select(col("node").as("w"))
+    val capped = dir.select(col("src").as("w"), col("dst"))
+      .join(maybeBroadcast(centers, nEdges), Seq("w"))
+    val wedges = capped.select(col("w"), col("dst").as("u"))
+      .join(capped.select(col("w"), col("dst").as("v")), Seq("w"))
       .filter(col("u") < col("v"))
       .groupBy(col("u"), col("v"))
       .agg(count(lit(1)).as("common"))
       .filter(col("common") >= minCommon)
+    // dense graphs emit O(Σ deg²) candidate pairs; every join below must
+    // stream over them map-side — the edge set and the degree table are
+    // node/edge-sized, so size-gated broadcasts keep the pair stream in
+    // ONE stage (an SMJ here would re-shuffle and re-sort the 10⁷-pair
+    // stream twice, dwarfing the wedge aggregate itself)
     wedges
-      .join(und, wedges("u") === und("a") && wedges("v") === und("b"),
-        "left_anti")
-      .join(deg.select(col("node").as("u"), col("deg").as("deg_u")), Seq("u"))
-      .join(deg.select(col("node").as("v"), col("deg").as("deg_v")), Seq("v"))
+      .join(maybeBroadcast(und, nEdges),
+        wedges("u") === und("a") && wedges("v") === und("b"), "left_anti")
+      .join(maybeBroadcast(
+        deg.select(col("node").as("u"), col("deg").as("deg_u")), nEdges),
+        Seq("u"))
+      .join(maybeBroadcast(
+        deg.select(col("node").as("v"), col("deg").as("deg_v")), nEdges),
+        Seq("v"))
       .withColumn("jaccard_ppm",
         expr("common * 1000000 div (deg_u + deg_v - common)"))
       .select(col("u"), col("v"), col("common"), col("deg_u"), col("deg_v"),

@@ -72,4 +72,23 @@ class HitsLinkPredictSpec extends AnyFunSuite {
     val got = runLp(e, 2L)
     assert(got((1L, 2L)) == ((2L, 3L, 3L, 500000L))) // 2e6 div 4
   }
+
+  test("link prediction: the hub cap drops high-degree wedge centers") {
+    // 1 and 2 share centers 3 (deg 2) and 4 (deg 4, a hub): capped at 3
+    // only center 3 counts, but the jaccard denominator keeps FULL degs
+    val e = Seq((1L, 3L), (2L, 3L), (1L, 4L), (2L, 4L),
+      (4L, 5L), (4L, 6L))
+    val full = Graph.linkPredictJaccard(e.toDF("src", "dst"), 1L)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6))).toMap
+    assert(full((1L, 2L))._1 == 2L)
+    val capped = Graph.linkPredictJaccard(e.toDF("src", "dst"), 1L,
+        maxCenterDegree = 3L)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6))).toMap
+    // common drops to 1 (hub 4 suppressed); deg_u/deg_v stay 2 and 2
+    assert(capped((1L, 2L)) == ((1L, 2L, 2L, 333333L))) // 1e6 div 3
+    // pairs mediated ONLY by the hub disappear entirely
+    assert(full.contains((5L, 6L)) && !capped.contains((5L, 6L)))
+  }
 }

@@ -444,6 +444,31 @@ object QueriesR15 {
         expr("substr(text, greatest(1, pos - 20), 45)").as("context"))
       .orderBy(col("doc_id"), col("pos"))
 
+  /** R174: rich-club coefficient of the co-purchase graph — how
+    * completely are the hub parts wired to EACH OTHER, per degree
+    * threshold; the structural companion of R135's assortativity.
+    */
+  def graphRichClub(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Graph.richClub(
+      QueriesR6.coPurchasePairs(s, dir).select(col("src"), col("dst")),
+      ks = Seq(8L, 16L, 32L, 64L))
+
+  /** R173: binary-segmentation changepoint of the daily order-count
+    * series per priority class — WHERE the series breaks, with segment
+    * means; CUSUM's (R61) localizing sibling.
+    */
+  def qChangepointSplit(s: SparkSession, dir: String): DataFrame = {
+    val series = t(s, dir, "orders")
+      .groupBy(col("o_orderpriority").as("grp"),
+        expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000")
+          .as("day"))
+      .agg(count(lit(1)).as("x"))
+    graft.operators.Changepoint.binarySegment(series, col("grp"),
+        col("day"), col("x"))
+      .withColumnRenamed("key", "grp")
+      .orderBy(col("grp"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_spatial_radius_join" -> (qSpatialRadiusJoin _),
     "q_spatial_knn" -> (qSpatialKnn _),
@@ -471,7 +496,9 @@ object QueriesR15 {
     "q_conformal" -> (qConformal _),
     "q_resample_interp" -> (qResampleInterp _),
     "cdc_bitemporal" -> (cdcBitemporal _),
-    "text_concordance" -> (textConcordance _))
+    "text_concordance" -> (textConcordance _),
+    "graph_rich_club" -> (graphRichClub _),
+    "q_changepoint_split" -> (qChangepointSplit _))
 
   val sql: Map[String, String] = Map(
     "q_spatial_radius_join" ->
@@ -747,6 +774,66 @@ object QueriesR15 {
          |  CAST(dep AS BIGINT) AS dep
          |FROM r3 ORDER BY target, node""".stripMargin
     },
+    "graph_rich_club" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |und AS (
+        |  SELECT a.l_partkey AS a, b.l_partkey AS b
+        |  FROM li a JOIN li b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2
+        |), e AS (
+        |  SELECT a AS src, b AS dst FROM und
+        |  UNION ALL SELECT b, a FROM und
+        |), deg AS (
+        |  SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
+        |  FROM e GROUP BY 1
+        |), wd AS (
+        |  SELECT da.deg AS da, db.deg AS db
+        |  FROM und JOIN deg da ON da.node = und.a
+        |  JOIN deg db ON db.node = und.b
+        |), ks AS (SELECT unnest([8, 16, 32, 64]) AS k)
+        |SELECT CAST(k AS BIGINT) AS k,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM deg WHERE deg > ks.k)
+        |    AS m_nodes,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM wd
+        |   WHERE da > ks.k AND db > ks.k) AS e_within,
+        |  CASE WHEN (SELECT COUNT(*) FROM deg WHERE deg > ks.k) >= 2 THEN
+        |    CAST((SELECT COUNT(*) FROM wd WHERE da > ks.k AND db > ks.k)
+        |      * 1000000
+        |      // ((SELECT COUNT(*) FROM deg WHERE deg > ks.k)
+        |        * ((SELECT COUNT(*) FROM deg WHERE deg > ks.k) - 1) // 2)
+        |      AS BIGINT)
+        |  END AS phi_ppm
+        |FROM ks ORDER BY k""".stripMargin,
+    "q_changepoint_split" ->
+      """WITH series AS (
+        |  SELECT o_orderpriority AS grp,
+        |    epoch_us(o_orderdate) // 86400000000 AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS x
+        |  FROM orders GROUP BY 1, 2
+        |), pre AS (
+        |  SELECT grp, day, x,
+        |    SUM(x) OVER (PARTITION BY grp ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sb,
+        |    ROW_NUMBER() OVER (PARTITION BY grp ORDER BY day) AS b,
+        |    SUM(x) OVER (PARTITION BY grp) AS s,
+        |    COUNT(*) OVER (PARTITION BY grp) AS n
+        |  FROM series
+        |), scored AS (
+        |  SELECT grp, day, sb, b, s, n,
+        |    ABS(sb * n - s * b) AS score,
+        |    ROW_NUMBER() OVER (PARTITION BY grp
+        |      ORDER BY ABS(sb * n - s * b) DESC, day) AS rn
+        |  FROM pre WHERE b < n
+        |)
+        |SELECT grp, CAST(n AS BIGINT) AS n, CAST(day AS BIGINT) AS split_pos,
+        |  CAST(score AS BIGINT) AS score,
+        |  CAST(CASE WHEN sb >= 0 THEN (sb * 1000) // b
+        |    ELSE -((-(sb * 1000)) // b) END AS BIGINT) AS mean_left_milli,
+        |  CAST(CASE WHEN s - sb >= 0 THEN ((s - sb) * 1000) // (n - b)
+        |    ELSE -((-((s - sb) * 1000)) // (n - b)) END AS BIGINT)
+        |    AS mean_right_milli
+        |FROM scored WHERE rn = 1 ORDER BY grp""".stripMargin,
     "cdc_bitemporal" ->
       """WITH c AS (
         |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS valid_from,

@@ -519,4 +519,54 @@ object Changepoint {
       (p, s(p), l, b, l + b + s.getOrElse((i + 1) % period + 1, 0L))
     }
   }
+
+  /** Single binary-segmentation changepoint — WHERE does each series
+    * break, exactly? R61's CUSUM says THAT a shift happened; this picks
+    * the boundary: the split b (1 ≤ b < n) maximizing the classic
+    * CUSUM-type statistic |S_b·n − S·b| (the prefix sum's deviation from
+    * the uniform ramp, cross-multiplied so it stays an exact integer —
+    * equivalent to maximizing the weighted mean separation
+    * b(n−b)·|mean_left − mean_right|). Ties break on the SMALLER b
+    * (stated); segment means report in sign-carried milli.
+    *
+    * Scale shape: the per-key series is grid-sized by construction
+    * (callers aggregate to buckets first), so the prefix-sum window and
+    * the max_by argmax run on grid rows; one (key) shuffle total.
+    *
+    * @param series (key, pos, x) — pos the order column, x integral
+    * @return (key, n, split_pos, score, mean_left_milli,
+    *         mean_right_milli) — series with n < 2 are absent (no
+    *         interior split exists)
+    */
+  def binarySegment(series: DataFrame, key: Column, pos: Column,
+                    x: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = series.select(key.as("key"), pos.cast("long").as("pos"),
+      x.cast("long").as("x"))
+    val w = Window.partitionBy(col("key")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("key"))
+    val pre = o
+      .withColumn("sb", sum(col("x")).over(w))
+      .withColumn("b", count(lit(1)).over(w))
+      .withColumn("s", sum(col("x")).over(wAll))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .filter(col("b") < col("n")) // interior boundaries only
+      .withColumn("score", abs(col("sb") * col("n") - col("s") * col("b")))
+    def milliMean(sc: String, nc: String) =
+      expr(s"""CASE WHEN $sc >= 0 THEN ($sc * 1000) div $nc
+              |ELSE -((-($sc * 1000)) div $nc) END""".stripMargin)
+    pre.groupBy(col("key"))
+      .agg(max(col("n")).as("n"), max(col("s")).as("__s"),
+        max_by(struct(col("pos").as("p"), col("score").as("sc"),
+            col("sb").as("lsum"), col("b").as("lb")),
+          struct(col("score"), -col("pos"))).as("__m"))
+      .select(col("key"), col("n"), col("__m.p").as("split_pos"),
+        col("__m.sc").as("score"),
+        milliMean("__m.lsum", "__m.lb").as("mean_left_milli"),
+        expr("""CASE WHEN __s - __m.lsum >= 0
+               |  THEN ((__s - __m.lsum) * 1000) div (n - __m.lb)
+               |  ELSE -((-((__s - __m.lsum) * 1000)) div (n - __m.lb))
+               |END""".stripMargin).as("mean_right_milli"))
+  }
 }

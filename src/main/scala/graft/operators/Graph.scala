@@ -1570,4 +1570,53 @@ object Graph {
       .select(col("u"), col("v"), col("common"), col("deg_u"), col("deg_v"),
         col("jaccard_ppm"))
   }
+
+  /** R174: rich-club coefficient — do the high-degree nodes form their
+    * own tight club (Zhou & Mondragón 2004)? For each degree threshold
+    * k: the nodes with deg > k, the edges BOTH of whose endpoints are in
+    * that club, and φ(k) = e·10⁶ div (m(m−1)/2) — the club's realized
+    * edge density in exact ppm; fewer than 2 members → NULL. The
+    * structural complement of R135: assortativity asks whether hubs
+    * PREFER hubs on average, the rich club measures how complete their
+    * mutual wiring actually is.
+    *
+    * Scale shape: one degree aggregate, one join of degrees onto the
+    * edge list (via size-gated broadcast), then EVERY threshold is a
+    * conditional aggregate over the same pass — the k panel adds
+    * columns, not scans.
+    *
+    * @param edges (src, dst); canonicalized to an undirected simple graph
+    * @param ks    degree thresholds to report
+    * @return (k, m_nodes, e_within, phi_ppm) ordered by k
+    */
+  def richClub(edges: DataFrame, ks: Seq[Long]): DataFrame = {
+    require(ks.nonEmpty, "at least one threshold required")
+    val und = edges.select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct().ckpt
+    val dir = und.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(und.select(col("b").as("src"), col("a").as("dst")))
+    val deg = dir.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("deg")).ckpt
+    val nNodes = deg.count()
+    val withDegs = und
+      .join(maybeBroadcast(deg.select(col("node").as("a"),
+        col("deg").as("da")), nNodes), Seq("a"))
+      .join(maybeBroadcast(deg.select(col("node").as("b"),
+        col("deg").as("db")), nNodes), Seq("b"))
+    val eCols = ks.map(k => sum(when(col("da") > k && col("db") > k, 1L)
+      .otherwise(0L)).as(s"e_$k"))
+    val eAgg = withDegs.agg(eCols.head, eCols.tail: _*)
+    val mCols = ks.map(k =>
+      sum(when(col("deg") > k, 1L).otherwise(0L)).as(s"m_$k"))
+    val mAgg = deg.agg(mCols.head, mCols.tail: _*)
+    val row = eAgg.crossJoin(mAgg)
+    ks.map { k =>
+      row.select(lit(k).as("k"), col(s"m_$k").as("m_nodes"),
+        col(s"e_$k").as("e_within"),
+        when(col(s"m_$k") >= 2,
+          expr(s"e_$k * 1000000 div (m_$k * (m_$k - 1) div 2)"))
+          .as("phi_ppm"))
+    }.reduce(_ unionByName _).orderBy(col("k"))
+  }
 }

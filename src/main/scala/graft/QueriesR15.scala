@@ -469,6 +469,24 @@ object QueriesR15 {
       .orderBy(col("grp"))
   }
 
+  /** R175: exact 4-cycle census of the co-purchase graph — the
+    * bipartite-ish clustering motif triangles can't see; one scalar row.
+    */
+  def graphSquares(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Graph.squareCount(
+      QueriesR6.coPurchasePairs(s, dir).select(col("src"), col("dst")))
+
+  /** R176: peak concurrent sessions per event type — sweep line over
+    * [ts, ts+1800) session intervals; the capacity-planning number.
+    */
+  def qMaxConcurrency(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "events").select(col("event_type"),
+      unix_timestamp(col("ts").cast("timestamp")).as("ts_sec"))
+    graft.operators.Intervals.peakConcurrency(base, col("event_type"),
+        col("ts_sec"), col("ts_sec") + 1800L)
+      .orderBy(col("grp"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_spatial_radius_join" -> (qSpatialRadiusJoin _),
     "q_spatial_knn" -> (qSpatialKnn _),
@@ -498,7 +516,9 @@ object QueriesR15 {
     "cdc_bitemporal" -> (cdcBitemporal _),
     "text_concordance" -> (textConcordance _),
     "graph_rich_club" -> (graphRichClub _),
-    "q_changepoint_split" -> (qChangepointSplit _))
+    "q_changepoint_split" -> (qChangepointSplit _),
+    "graph_squares" -> (graphSquares _),
+    "q_max_concurrency" -> (qMaxConcurrency _))
 
   val sql: Map[String, String] = Map(
     "q_spatial_radius_join" ->
@@ -774,6 +794,51 @@ object QueriesR15 {
          |  CAST(dep AS BIGINT) AS dep
          |FROM r3 ORDER BY target, node""".stripMargin
     },
+    "graph_squares" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |und AS (
+        |  SELECT a.l_partkey AS a, b.l_partkey AS b
+        |  FROM li a JOIN li b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2
+        |), e AS (
+        |  SELECT a AS src, b AS dst FROM und
+        |  UNION ALL SELECT b, a FROM und
+        |), w AS (
+        |  SELECT e1.dst AS u, e2.dst AS v, COUNT(*) AS c
+        |  FROM e e1 JOIN e e2 ON e1.src = e2.src AND e1.dst < e2.dst
+        |  GROUP BY 1, 2
+        |)
+        |SELECT (SELECT CAST(COUNT(DISTINCT src) AS BIGINT) FROM e)
+        |    AS n_nodes,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM und) AS n_edges,
+        |  CAST(COALESCE(SUM(CASE WHEN c >= 2 THEN 1 ELSE 0 END), 0)
+        |    AS BIGINT) AS n_copaired,
+        |  CAST(COALESCE(SUM(c * (c - 1) // 2), 0) // 2 AS BIGINT)
+        |    AS n_squares
+        |FROM w""".stripMargin,
+    "q_max_concurrency" ->
+      """WITH base AS (
+        |  SELECT event_type AS g, CAST(floor(epoch(ts)) AS BIGINT) AS s,
+        |    CAST(floor(epoch(ts)) AS BIGINT) + 1800 AS e
+        |  FROM events
+        |), ev AS (
+        |  SELECT g, s AS t, 1 AS d FROM base
+        |  UNION ALL SELECT g, e AS t, -1 AS d FROM base
+        |), r AS (
+        |  SELECT g, t, SUM(d) OVER (PARTITION BY g ORDER BY t, d
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
+        |  FROM ev
+        |), best AS (
+        |  SELECT g, t, running, ROW_NUMBER() OVER (PARTITION BY g
+        |    ORDER BY running DESC, t) AS rn
+        |  FROM r
+        |)
+        |SELECT b.g AS grp,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM base WHERE base.g = b.g)
+        |    AS n_intervals,
+        |  CAST(b.running AS BIGINT) AS peak, b.t AS peak_at
+        |FROM best b WHERE rn = 1 ORDER BY grp""".stripMargin,
     "graph_rich_club" ->
       """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
         |und AS (

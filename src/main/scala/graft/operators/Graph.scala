@@ -1619,4 +1619,41 @@ object Graph {
           .as("phi_ppm"))
     }.reduce(_ unionByName _).orderBy(col("k"))
   }
+
+  /** R175: exact 4-cycle (square) count — the bipartite-ish clustering
+    * motif triangles can't see (two parts sharing two orders form a
+    * square through them with NO triangle anywhere). From the wedge
+    * pair counts: a pair (u, v) with c common neighbors closes C(c, 2)
+    * squares through each unordered neighbor pair, and every square is
+    * seen from BOTH of its diagonals, so
+    *
+    *   n_squares = (Σ_{u<v} C(common(u,v), 2)) div 2   — exactly even.
+    *
+    * Same wedge aggregate as R140 (fanout Σ deg² — run as an offline
+    * audit, not a per-query path; the R140 hub cap applies upstream if
+    * the graph is hub-dense), then ONE scalar aggregate.
+    *
+    * @return one row: (n_nodes, n_edges, n_copaired, n_squares) —
+    *         n_copaired = pairs with ≥2 common neighbors
+    */
+  def squareCount(edges: DataFrame): DataFrame = {
+    val und = edges.select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct().ckpt
+    val dir = und.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(und.select(col("b").as("src"), col("a").as("dst")))
+    val wedges = dir.select(col("src").as("w"), col("dst").as("u"))
+      .join(dir.select(col("src").as("w"), col("dst").as("v")), Seq("w"))
+      .filter(col("u") < col("v"))
+      .groupBy(col("u"), col("v"))
+      .agg(count(lit(1)).as("c"))
+    val nNodes = dir.select(col("src")).distinct().count()
+    val nEdges = und.count()
+    wedges.agg(
+        coalesce(sum(when(col("c") >= 2, 1L).otherwise(0L)), lit(0L))
+          .as("n_copaired"),
+        coalesce(sum(expr("c * (c - 1) div 2")), lit(0L)).as("__tot"))
+      .select(lit(nNodes).as("n_nodes"), lit(nEdges).as("n_edges"),
+        col("n_copaired"), expr("__tot div 2").as("n_squares"))
+  }
 }

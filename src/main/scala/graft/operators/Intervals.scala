@@ -60,4 +60,36 @@ object Intervals {
         count(lit(1)).as("n_merged"))
       .drop("__island")
   }
+
+  /** R176: peak concurrency by sweep line — the capacity-planning
+    * question ("how many sessions/jobs/connections were EVER open at
+    * once, and when did the peak start"): each interval contributes a
+    * +1 at its start and a −1 at its end (half-open [start, end), so a
+    * back-to-back handoff never double-counts), the running sum over the
+    * (t, delta) order is the exact concurrency profile, and the answer
+    * is its max with the EARLIEST attaining time (ties: ends sort before
+    * starts at the same t via delta ascending — the honest half-open
+    * reading).
+    *
+    * Scale shape: one narrow union (2 rows per interval), one window
+    * running sum per group, one max_by — a single (group) shuffle. The
+    * profile never materializes wider than the event list.
+    *
+    * @return per group: (n_intervals, peak, peak_at)
+    */
+  def peakConcurrency(intervals: DataFrame, group: Column, start: Column,
+                      end: Column): DataFrame = {
+    val base = intervals.select(group.as("g"), start.cast("long").as("s"),
+      end.cast("long").as("e"))
+    val events = base.select(col("g"), col("s").as("t"), lit(1L).as("d"))
+      .unionAll(base.select(col("g"), col("e").as("t"), lit(-1L).as("d")))
+    val w = Window.partitionBy(col("g")).orderBy(col("t"), col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .withColumn("running", sum(col("d")).over(w))
+      .groupBy(col("g").as("grp"))
+      .agg(expr("count(1) div 2").as("n_intervals"),
+        max(col("running")).as("peak"),
+        max_by(col("t"), struct(col("running"), -col("t"))).as("peak_at"))
+  }
 }

@@ -487,6 +487,60 @@ object QueriesR15 {
       .orderBy(col("grp"))
   }
 
+  /** R177: two-level changepoint hierarchy — R173 applied recursively:
+    * the top split, then each half re-segmented (keys with interior
+    * splits only); the standard binary-segmentation tree cut at depth 2.
+    */
+  def qChangepointMulti(s: SparkSession, dir: String): DataFrame = {
+    val series = t(s, dir, "orders")
+      .groupBy(col("o_orderpriority").as("grp"),
+        expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000")
+          .as("day"))
+      .agg(count(lit(1)).as("x"))
+    val top = graft.operators.Changepoint.binarySegment(series, col("grp"),
+        col("day"), col("x"))
+      .select(col("key").as("grp"), col("split_pos"))
+    val tagged = series.join(top, Seq("grp"))
+      .withColumn("seg", when(col("day") <= col("split_pos"), "L")
+        .otherwise("R"))
+    val sub = graft.operators.Changepoint.binarySegment(
+        tagged.withColumn("k2", concat(col("grp"), lit("|"), col("seg"))),
+        col("k2"), col("day"), col("x"))
+    sub
+      .withColumn("grp", split(col("key"), "\\|").getItem(0))
+      .withColumn("seg", split(col("key"), "\\|").getItem(1))
+      .select(col("grp"), col("seg"), col("n"), col("split_pos"),
+        col("score"), col("mean_left_milli"), col("mean_right_milli"))
+      .orderBy(col("grp"), col("seg"))
+  }
+
+  /** D20 (dq): embedding centroid drift — per label, the exact squared
+    * L2 distance between the milli centroids of the even and odd vec_id
+    * halves; the "did this class's embedding distribution move between
+    * snapshots" monitor.
+    */
+  def embedDrift(s: SparkSession, dir: String): DataFrame = {
+    val flat = t(s, dir, "embeddings")
+      .select(col("label").cast("long").as("label"), col("vec_id"),
+        posexplode(col("embedding")))
+      .select(col("label"), (col("vec_id") % 2 === 0).as("side"),
+        col("pos").as("i"),
+        floor(col("col").cast("double") * 1000).cast("long").as("x"))
+    val cent = flat.groupBy(col("label"), col("side"), col("i"))
+      .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+      .select(col("label"), col("side"), col("i"),
+        expr("""CASE WHEN s >= 0 THEN s div n
+               |ELSE -((-s) div n) END""".stripMargin).as("c"))
+    cent.filter(col("side"))
+      .select(col("label"), col("i"), col("c").as("ca"))
+      .join(cent.filter(!col("side"))
+        .select(col("label"), col("i"), col("c").as("cb")), Seq("label", "i"))
+      .groupBy(col("label"))
+      .agg(sum((col("ca") - col("cb")) * (col("ca") - col("cb")))
+        .as("shift_sq"))
+      .orderBy(col("label"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_spatial_radius_join" -> (qSpatialRadiusJoin _),
     "q_spatial_knn" -> (qSpatialKnn _),
@@ -518,7 +572,9 @@ object QueriesR15 {
     "graph_rich_club" -> (graphRichClub _),
     "q_changepoint_split" -> (qChangepointSplit _),
     "graph_squares" -> (graphSquares _),
-    "q_max_concurrency" -> (qMaxConcurrency _))
+    "q_max_concurrency" -> (qMaxConcurrency _),
+    "q_changepoint_multi" -> (qChangepointMulti _),
+    "embed_drift" -> (embedDrift _))
 
   val sql: Map[String, String] = Map(
     "q_spatial_radius_join" ->
@@ -794,6 +850,72 @@ object QueriesR15 {
          |  CAST(dep AS BIGINT) AS dep
          |FROM r3 ORDER BY target, node""".stripMargin
     },
+    "q_changepoint_multi" ->
+      """WITH series AS (
+        |  SELECT o_orderpriority AS grp,
+        |    epoch_us(o_orderdate) // 86400000000 AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS x
+        |  FROM orders GROUP BY 1, 2
+        |), pre1 AS (
+        |  SELECT grp, day, x,
+        |    SUM(x) OVER (PARTITION BY grp ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sb,
+        |    ROW_NUMBER() OVER (PARTITION BY grp ORDER BY day) AS b,
+        |    SUM(x) OVER (PARTITION BY grp) AS s,
+        |    COUNT(*) OVER (PARTITION BY grp) AS n
+        |  FROM series
+        |), top AS (
+        |  SELECT grp, day AS split_pos FROM (
+        |    SELECT grp, day, ROW_NUMBER() OVER (PARTITION BY grp
+        |      ORDER BY ABS(sb * n - s * b) DESC, day) AS rn
+        |    FROM pre1 WHERE b < n) t
+        |  WHERE rn = 1
+        |), tagged AS (
+        |  SELECT s.grp,
+        |    CASE WHEN s.day <= t.split_pos THEN 'L' ELSE 'R' END AS seg,
+        |    s.day, s.x
+        |  FROM series s JOIN top t USING (grp)
+        |), pre2 AS (
+        |  SELECT grp, seg, day, x,
+        |    SUM(x) OVER (PARTITION BY grp, seg ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sb,
+        |    ROW_NUMBER() OVER (PARTITION BY grp, seg ORDER BY day) AS b,
+        |    SUM(x) OVER (PARTITION BY grp, seg) AS s,
+        |    COUNT(*) OVER (PARTITION BY grp, seg) AS n
+        |  FROM tagged
+        |), scored2 AS (
+        |  SELECT grp, seg, day, sb, b, s, n,
+        |    ABS(sb * n - s * b) AS score,
+        |    ROW_NUMBER() OVER (PARTITION BY grp, seg
+        |      ORDER BY ABS(sb * n - s * b) DESC, day) AS rn
+        |  FROM pre2 WHERE b < n
+        |)
+        |SELECT grp, seg, CAST(n AS BIGINT) AS n,
+        |  CAST(day AS BIGINT) AS split_pos, CAST(score AS BIGINT) AS score,
+        |  CAST(CASE WHEN sb >= 0 THEN (sb * 1000) // b
+        |    ELSE -((-(sb * 1000)) // b) END AS BIGINT) AS mean_left_milli,
+        |  CAST(CASE WHEN s - sb >= 0 THEN ((s - sb) * 1000) // (n - b)
+        |    ELSE -((-((s - sb) * 1000)) // (n - b)) END AS BIGINT)
+        |    AS mean_right_milli
+        |FROM scored2 WHERE rn = 1 ORDER BY grp, seg""".stripMargin,
+    "embed_drift" ->
+      """WITH flat AS (
+        |  SELECT CAST(label AS BIGINT) AS label, vec_id % 2 = 0 AS side,
+        |    generate_subscripts(embedding, 1) AS i,
+        |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT)
+        |      AS x
+        |  FROM embeddings
+        |), cent AS (
+        |  SELECT label, side, i,
+        |    CASE WHEN SUM(x) >= 0 THEN SUM(x) // COUNT(*)
+        |         ELSE -((-SUM(x)) // COUNT(*)) END AS c
+        |  FROM flat GROUP BY 1, 2, 3
+        |)
+        |SELECT a.label,
+        |  CAST(SUM((a.c - b.c) * (a.c - b.c)) AS BIGINT) AS shift_sq
+        |FROM cent a JOIN cent b
+        |  ON a.label = b.label AND a.i = b.i AND a.side AND NOT b.side
+        |GROUP BY a.label ORDER BY a.label""".stripMargin,
     "graph_squares" ->
       """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
         |und AS (

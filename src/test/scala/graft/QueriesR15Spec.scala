@@ -48,6 +48,33 @@ class QueriesR15Spec extends AnyFunSuite {
     }
   }
 
+  test("changepoint hierarchy keeps each half's split inside its half") {
+    val top = graft.operators.Changepoint.binarySegment(
+        graft.sources.Tables.load(spark, dir, "orders")
+          .groupBy(col("o_orderpriority").as("grp"),
+            expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000")
+              .as("day"))
+          .agg(count(lit(1)).as("x")),
+        col("grp"), col("day"), col("x"))
+      .select(col("key").as("grp"), col("split_pos").as("top_split"))
+      .as[(String, Long)].collect().toMap
+    val multi = QueriesR15.qChangepointMulti(spark, dir)
+      .select(col("grp"), col("seg"), col("split_pos"))
+      .as[(String, String, Long)].collect()
+    assert(multi.nonEmpty)
+    multi.foreach { case (g, seg, sp) =>
+      if (seg == "L") assert(sp <= top(g), s"$g L split $sp beyond top")
+      else assert(sp > top(g), s"$g R split $sp not beyond top")
+    }
+  }
+
+  test("embedding drift is nonnegative and covers every label") {
+    val got = QueriesR15.embedDrift(spark, dir)
+      .as[(Long, Long)].collect().toMap
+    assert(got.keySet == (0L to 9L).toSet)
+    assert(got.values.forall(_ >= 0L))
+  }
+
   test("feature hashing conserves token mass per panel doc") {
     val docs = graft.sources.Tables.load(spark, dir, "documents")
       .filter(col("doc_id") % 97 === 0)

@@ -541,6 +541,24 @@ object QueriesR15 {
       .orderBy(col("label"))
   }
 
+  /** R178: hash-coin independent cascade from the customer watchlist
+    * over the order contact graph — who gets reached, and in how many
+    * hops, when each contact edge transmits with probability 0.3.
+    */
+  def graphCascade(s: SparkSession, dir: String): DataFrame = {
+    val e0 = t(s, dir, "orders")
+      .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"), (col("l_suppkey") + 1000000L).as("p"))
+      .distinct()
+    val edges = e0.select(col("c").as("src"), col("p").as("dst"))
+      .unionAll(e0.select(col("p").as("src"), col("c").as("dst")))
+    val seeds = s.range(1, 4).select(col("id").as("node"))
+    graft.operators.Graph.independentCascade(edges, seeds,
+        pPpm = 300000L, rounds = 3)
+      .orderBy(col("node"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_spatial_radius_join" -> (qSpatialRadiusJoin _),
     "q_spatial_knn" -> (qSpatialKnn _),
@@ -574,7 +592,8 @@ object QueriesR15 {
     "graph_squares" -> (graphSquares _),
     "q_max_concurrency" -> (qMaxConcurrency _),
     "q_changepoint_multi" -> (qChangepointMulti _),
-    "embed_drift" -> (embedDrift _))
+    "embed_drift" -> (embedDrift _),
+    "graph_cascade" -> (graphCascade _))
 
   val sql: Map[String, String] = Map(
     "q_spatial_radius_join" ->
@@ -849,6 +868,34 @@ object QueriesR15 {
          |SELECT CAST(target AS BIGINT) AS target, CAST(node AS BIGINT) AS node,
          |  CAST(dep AS BIGINT) AS dep
          |FROM r3 ORDER BY target, node""".stripMargin
+    },
+    "graph_cascade" -> {
+      val rounds = (0 until 3).map { k =>
+        s"""a${k + 1} AS (
+           |  SELECT node, MIN(round) AS round FROM (
+           |    SELECT node, round FROM a$k
+           |    UNION ALL
+           |    SELECT l.dst AS node, ${k + 1} AS round
+           |    FROM a$k f JOIN live l ON l.src = f.node
+           |  ) u GROUP BY node
+           |)""".stripMargin
+      }.mkString(", ")
+      s"""WITH e0 AS (
+         |  SELECT DISTINCT o_custkey AS c, l_suppkey + 1000000 AS p
+         |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+         |), e AS (
+         |  SELECT c AS src, p AS dst FROM e0
+         |  UNION ALL SELECT p AS src, c AS dst FROM e0
+         |), live AS (
+         |  SELECT src, dst FROM e
+         |  WHERE CAST(('0x' || substr(md5(CAST(src AS VARCHAR) || ':'
+         |    || CAST(dst AS VARCHAR)), 1, 12)) AS BIGINT) % 1000000 < 300000
+         |), a0 AS (
+         |  SELECT seed AS node, CAST(0 AS BIGINT) AS round
+         |  FROM (SELECT unnest(generate_series(1, 3)) AS seed) s
+         |), $rounds
+         |SELECT CAST(node AS BIGINT) AS node, CAST(round AS BIGINT) AS round
+         |FROM a3 ORDER BY node""".stripMargin
     },
     "q_changepoint_multi" ->
       """WITH series AS (

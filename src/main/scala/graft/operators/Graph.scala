@@ -1620,6 +1620,53 @@ object Graph {
     }.reduce(_ unionByName _).orderBy(col("k"))
   }
 
+  /** R178: independent-cascade influence spread (Kempe–Kleinberg–Tardos
+    * 2003) with the RNG replaced by the house 48-bit hash: each directed
+    * edge (u, v) carries ONE deterministic coin — live iff
+    * h48(u:v) mod 10⁶ < pPpm — so the cascade is exactly BFS on the
+    * live-edge subgraph, replayable bit-for-bit by any engine (the
+    * deterministic single-sample member of the family; production
+    * influence ESTIMATION averages many salted replays of this same
+    * operator, embarrassingly parallel). Returns every activated node
+    * with its activation round (seeds at 0), `rounds` bounding the
+    * cascade depth.
+    *
+    * Scale shape: the coin filter is a map-side projection over the
+    * edge list (no shuffle); each round is one frontier-edge equi-join
+    * + one anti join against the settled set — the R105 BFS shape.
+    *
+    * @param edges (src, dst) directed; duplicates collapse (one coin
+    *              per distinct edge)
+    * @param seeds one column `node`
+    * @param pPpm  activation probability in ppm
+    */
+  def independentCascade(edges: DataFrame, seeds: DataFrame, pPpm: Long,
+                         rounds: Int): DataFrame = {
+    require(pPpm >= 0 && pPpm <= 1000000, s"pPpm: $pPpm")
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val live = edges.select(col("src"), col("dst")).distinct()
+      .filter(graft.sketches.Kmv.hash48(
+        concat(col("src").cast("string"), lit(":"),
+          col("dst").cast("string"))) % 1000000L < pPpm)
+      .ckpt
+    var settled = seeds.select(col("node")).distinct()
+      .select(col("node"), lit(0L).as("round"))
+      .ckpt
+    var frontier = settled
+    var r = 1
+    while (r <= rounds && !frontier.isEmpty) {
+      frontier = frontier
+        .join(live.withColumnRenamed("src", "node"), Seq("node"))
+        .select(col("dst").as("node")).distinct()
+        .join(settled.select(col("node")), Seq("node"), "left_anti")
+        .select(col("node"), lit(r.toLong).as("round"))
+        .ckpt
+      settled = settled.unionByName(frontier).ckpt
+      r += 1
+    }
+    settled
+  }
+
   /** R175: exact 4-cycle (square) count — the bipartite-ish clustering
     * motif triangles can't see (two parts sharing two orders form a
     * square through them with NO triangle anywhere). From the wedge

@@ -559,6 +559,18 @@ object QueriesR15 {
       .orderBy(col("node"))
   }
 
+  /** R179: two Borůvka phases of the minimum spanning forest over
+    * co-purchase DISSIMILARITY (10⁶ div shared-order count) — the
+    * single-linkage backbone of the part-similarity structure.
+    */
+  def graphMsf(s: SparkSession, dir: String): DataFrame = {
+    val weighted = QueriesR6.coPurchasePairs(s, dir)
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n"))
+      .select(col("src"), col("dst"), expr("1000000 div n").as("w"))
+    graft.operators.Graph.boruvkaForest(weighted, phases = 2)
+      .orderBy(col("a"), col("b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_spatial_radius_join" -> (qSpatialRadiusJoin _),
     "q_spatial_knn" -> (qSpatialKnn _),
@@ -593,7 +605,8 @@ object QueriesR15 {
     "q_max_concurrency" -> (qMaxConcurrency _),
     "q_changepoint_multi" -> (qChangepointMulti _),
     "embed_drift" -> (embedDrift _),
-    "graph_cascade" -> (graphCascade _))
+    "graph_cascade" -> (graphCascade _),
+    "graph_msf" -> (graphMsf _))
 
   val sql: Map[String, String] = Map(
     "q_spatial_radius_join" ->
@@ -869,6 +882,54 @@ object QueriesR15 {
          |  CAST(dep AS BIGINT) AS dep
          |FROM r3 ORDER BY target, node""".stripMargin
     },
+    "graph_msf" ->
+      """WITH RECURSIVE li AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        |), und AS (
+        |  SELECT a.l_partkey AS a, b.l_partkey AS b,
+        |    1000000 // COUNT(*) AS w
+        |  FROM li a JOIN li b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2
+        |), nodes AS (
+        |  SELECT a AS node FROM und UNION SELECT b FROM und
+        |), cand1 AS (
+        |  SELECT a AS comp, w, a, b FROM und
+        |  UNION ALL SELECT b AS comp, w, a, b FROM und
+        |), p1 AS (
+        |  SELECT DISTINCT a, b, w FROM (
+        |    SELECT comp, a, b, w, ROW_NUMBER() OVER (PARTITION BY comp
+        |      ORDER BY w, a, b) AS rn
+        |    FROM cand1) t
+        |  WHERE rn = 1
+        |), e1 AS (
+        |  SELECT a AS u, b AS v FROM p1 UNION ALL SELECT b AS u, a AS v FROM p1
+        |), r1(node, anc) AS (
+        |  SELECT node, node FROM nodes
+        |  UNION
+        |  SELECT e1.v, r1.anc FROM r1 JOIN e1 ON e1.u = r1.node
+        |), lbl1 AS (
+        |  SELECT node, MIN(anc) AS comp FROM r1 GROUP BY node
+        |), cross2 AS (
+        |  SELECT und.a, und.b, und.w, la.comp AS ca, lb.comp AS cb
+        |  FROM und JOIN lbl1 la ON la.node = und.a
+        |  JOIN lbl1 lb ON lb.node = und.b
+        |  WHERE la.comp <> lb.comp
+        |), cand2 AS (
+        |  SELECT ca AS comp, w, a, b FROM cross2
+        |  UNION ALL SELECT cb AS comp, w, a, b FROM cross2
+        |), p2 AS (
+        |  SELECT DISTINCT a, b, w FROM (
+        |    SELECT comp, a, b, w, ROW_NUMBER() OVER (PARTITION BY comp
+        |      ORDER BY w, a, b) AS rn
+        |    FROM cand2) t
+        |  WHERE rn = 1
+        |)
+        |SELECT a, b, CAST(w AS BIGINT) AS w, CAST(phase AS BIGINT) AS phase
+        |FROM (
+        |  SELECT a, b, w, 1 AS phase FROM p1
+        |  UNION ALL SELECT a, b, w, 2 FROM p2
+        |) f ORDER BY a, b""".stripMargin,
     "graph_cascade" -> {
       val rounds = (0 until 3).map { k =>
         s"""a${k + 1} AS (

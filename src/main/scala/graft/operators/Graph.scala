@@ -1620,6 +1620,72 @@ object Graph {
     }.reduce(_ unionByName _).orderBy(col("k"))
   }
 
+  /** R179: Borůvka minimum spanning forest — the distributed MST
+    * algorithm (each component picks its cheapest outgoing edge; all
+    * picks join the forest; components contract; repeat), which is also
+    * single-linkage clustering's backbone when the weight is a
+    * dissimilarity. Components at least HALVE per phase, so `phases` =
+    * ⌈log₂ n⌉ completes any graph; a fixed smaller budget is a stated
+    * partial forest (the R133 budget posture). Determinism: all ties
+    * break on the (w, a, b) total order, so both engines pick identical
+    * edges — no "any MST" ambiguity.
+    *
+    * Scale shape per phase: two label joins onto the edge list (labels
+    * node-sized, size-gated broadcast), one min_by per component, and a
+    * star-contraction CC over the forest-so-far
+    * ([[graft.dedup.Dedup.connectedComponentsStar]], O(log n) rounds) —
+    * no phase touches anything data-sized beyond the edge list.
+    *
+    * @param edges (src, dst, w) undirected; parallel edges collapse to
+    *              their minimum weight
+    * @return the forest: (a, b, w, phase) with a < b, phase = the
+    *         Borůvka phase (1-based) that picked the edge
+    */
+  def boruvkaForest(edges: DataFrame, phases: Int): DataFrame = {
+    require(phases >= 1, s"phases must be >= 1, got $phases")
+    val und = edges.select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"), col("w").cast("long").as("w"))
+      .filter(col("a") =!= col("b"))
+      .groupBy(col("a"), col("b")).agg(min(col("w")).as("w"))
+      .ckpt
+    val nodes = und.select(col("a").as("node"))
+      .unionAll(und.select(col("b").as("node"))).distinct().ckpt
+    val nNodes = nodes.count()
+    var lbl = nodes.select(col("node"), col("node").as("comp"))
+    var forest: DataFrame = null
+    for (phase <- 1 to phases) {
+      val cross = und
+        .join(maybeBroadcast(lbl.select(col("node").as("a"),
+          col("comp").as("ca")), nNodes), Seq("a"))
+        .join(maybeBroadcast(lbl.select(col("node").as("b"),
+          col("comp").as("cb")), nNodes), Seq("b"))
+        .filter(col("ca") =!= col("cb"))
+      val cand = cross.select(col("ca").as("comp"), col("w"), col("a"), col("b"))
+        .unionAll(cross.select(col("cb").as("comp"), col("w"), col("a"),
+          col("b")))
+      val picked = cand.groupBy(col("comp"))
+        .agg(min_by(struct(col("a"), col("b"), col("w")),
+          struct(col("w"), col("a"), col("b"))).as("__e"))
+        .select(col("__e.a").as("a"), col("__e.b").as("b"),
+          col("__e.w").as("w"))
+        .distinct()
+        .withColumn("phase", lit(phase.toLong))
+        .ckpt
+      forest = if (forest == null) picked
+        else forest.unionByName(
+          picked.join(forest.select(col("a"), col("b")), Seq("a", "b"),
+            "left_anti"))
+      forest = forest.ckpt
+      val cc = graft.dedup.Dedup.connectedComponentsStar(
+        forest.select(col("a").as("id_a"), col("b").as("id_b")))
+      lbl = nodes.join(cc.select(col("doc_id").as("node"),
+          col("cluster_id").as("comp")), Seq("node"), "left")
+        .select(col("node"), coalesce(col("comp"), col("node")).as("comp"))
+        .ckpt
+    }
+    forest
+  }
+
   /** R178: independent-cascade influence spread (Kempe–Kleinberg–Tardos
     * 2003) with the RNG replaced by the house 48-bit hash: each directed
     * edge (u, v) carries ONE deterministic coin — live iff

@@ -571,6 +571,58 @@ object QueriesR15 {
       .orderBy(col("a"), col("b"))
   }
 
+  /** R180: single-linkage clusters = the MSF cut at a dissimilarity
+    * threshold — drop forest edges with w > τ (weakest links), the
+    * surviving components ARE the single-linkage clustering at τ; CC on
+    * the (tiny) forest, labels joined back to every node.
+    */
+  def graphMsfClusters(s: SparkSession, dir: String): DataFrame = {
+    val weighted = QueriesR6.coPurchasePairs(s, dir)
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n"))
+      .select(col("src"), col("dst"), expr("1000000 div n").as("w"))
+    val forest = graft.operators.Graph.boruvkaForest(weighted, phases = 2)
+      .filter(col("w") <= 500000L)
+    val nodes = weighted.select(col("src").as("node"))
+      .unionAll(weighted.select(col("dst").as("node"))).distinct()
+    val cc = graft.dedup.Dedup.connectedComponentsStar(
+      forest.select(col("a").as("id_a"), col("b").as("id_b")))
+    nodes.join(cc.select(col("doc_id").as("node"),
+        col("cluster_id")), Seq("node"), "left")
+      .select(col("node"), coalesce(col("cluster_id"), col("node"))
+        .as("cluster_id"))
+      .orderBy(col("node"))
+  }
+
+  /** S16: recall@5 of the trained-k-means IVF against brute-force milli
+    * kNN — the eval loop for S15 (R137's posture: a retrieval path
+    * ships with its quality number); one row per query + the mean.
+    */
+  def annIvfRecall(s: SparkSession, dir: String): DataFrame = {
+    val ivf = annIvfKmeansTopk(s, dir)
+      .select(col("query_id"), col("cand_id"))
+    val e = t(s, dir, "embeddings")
+    val flat = e.select(col("vec_id"), posexplode(col("embedding")))
+      .select(col("vec_id"), col("pos").as("i"),
+        floor(col("col").cast("double") * 1000).cast("long").as("x"))
+    val q = flat.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("i"), col("x").as("xq"))
+    val brute = q.join(flat.select(col("vec_id").as("cand_id"), col("i"),
+          col("x").as("xc")), Seq("i"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .groupBy(col("query_id"), col("cand_id"))
+      .agg(sum((col("xq") - col("xc")) * (col("xq") - col("xc"))).as("d"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+          .orderBy(col("d"), col("cand_id"))))
+      .filter(col("rn") <= 5)
+      .select(col("query_id"), col("cand_id"))
+    brute.join(ivf.withColumn("hit", lit(1L)),
+        Seq("query_id", "cand_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(expr("coalesce(sum(hit), 0) * 1000000 div 5").as("recall_ppm"))
+      .orderBy(col("query_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_spatial_radius_join" -> (qSpatialRadiusJoin _),
     "q_spatial_knn" -> (qSpatialKnn _),
@@ -606,7 +658,9 @@ object QueriesR15 {
     "q_changepoint_multi" -> (qChangepointMulti _),
     "embed_drift" -> (embedDrift _),
     "graph_cascade" -> (graphCascade _),
-    "graph_msf" -> (graphMsf _))
+    "graph_msf" -> (graphMsf _),
+    "graph_msf_clusters" -> (graphMsfClusters _),
+    "ann_ivf_recall" -> (annIvfRecall _))
 
   val sql: Map[String, String] = Map(
     "q_spatial_radius_join" ->
@@ -930,6 +984,104 @@ object QueriesR15 {
         |  SELECT a, b, w, 1 AS phase FROM p1
         |  UNION ALL SELECT a, b, w, 2 FROM p2
         |) f ORDER BY a, b""".stripMargin,
+    "graph_msf_clusters" ->
+      """WITH RECURSIVE li AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        |), und AS (
+        |  SELECT a.l_partkey AS a, b.l_partkey AS b,
+        |    1000000 // COUNT(*) AS w
+        |  FROM li a JOIN li b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2
+        |), nodes AS (
+        |  SELECT a AS node FROM und UNION SELECT b FROM und
+        |), cand1 AS (
+        |  SELECT a AS comp, w, a, b FROM und
+        |  UNION ALL SELECT b AS comp, w, a, b FROM und
+        |), p1 AS (
+        |  SELECT DISTINCT a, b, w FROM (
+        |    SELECT comp, a, b, w, ROW_NUMBER() OVER (PARTITION BY comp
+        |      ORDER BY w, a, b) AS rn
+        |    FROM cand1) t
+        |  WHERE rn = 1
+        |), e1 AS (
+        |  SELECT a AS u, b AS v FROM p1 UNION ALL SELECT b AS u, a AS v FROM p1
+        |), r1(node, anc) AS (
+        |  SELECT node, node FROM nodes
+        |  UNION
+        |  SELECT e1.v, r1.anc FROM r1 JOIN e1 ON e1.u = r1.node
+        |), lbl1 AS (
+        |  SELECT node, MIN(anc) AS comp FROM r1 GROUP BY node
+        |), cross2 AS (
+        |  SELECT und.a, und.b, und.w, la.comp AS ca, lb.comp AS cb
+        |  FROM und JOIN lbl1 la ON la.node = und.a
+        |  JOIN lbl1 lb ON lb.node = und.b
+        |  WHERE la.comp <> lb.comp
+        |), cand2 AS (
+        |  SELECT ca AS comp, w, a, b FROM cross2
+        |  UNION ALL SELECT cb AS comp, w, a, b FROM cross2
+        |), p2 AS (
+        |  SELECT DISTINCT a, b, w FROM (
+        |    SELECT comp, a, b, w, ROW_NUMBER() OVER (PARTITION BY comp
+        |      ORDER BY w, a, b) AS rn
+        |    FROM cand2) t
+        |  WHERE rn = 1
+        |), forest AS (
+        |  SELECT a, b FROM p1 WHERE w <= 500000
+        |  UNION ALL SELECT a, b FROM p2 WHERE w <= 500000
+        |), ef AS (
+        |  SELECT a AS u, b AS v FROM forest
+        |  UNION ALL SELECT b AS u, a AS v FROM forest
+        |), rf(node, anc) AS (
+        |  SELECT node, node FROM nodes
+        |  UNION
+        |  SELECT ef.v, rf.anc FROM rf JOIN ef ON ef.u = rf.node
+        |)
+        |SELECT node, MIN(anc) AS cluster_id FROM rf GROUP BY node
+        |ORDER BY node""".stripMargin,
+    "ann_ivf_recall" ->
+      s"""WITH $kmeansCtes, probes AS (
+         |  SELECT vec_id AS query_id, cid FROM (
+         |    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |      ORDER BY d, cid) AS rn
+         |    FROM d2 WHERE vec_id < 10) t
+         |  WHERE rn <= 3
+         |), icands AS (
+         |  SELECT p.query_id, a.vec_id AS cand_id
+         |  FROM probes p JOIN a2 a ON a.cid = p.cid
+         |  WHERE a.vec_id <> p.query_id
+         |), idist AS (
+         |  SELECT c.query_id, c.cand_id,
+         |    SUM((fq.x - fc.x) * (fq.x - fc.x)) AS d
+         |  FROM icands c
+         |  JOIN flat fq ON fq.vec_id = c.query_id
+         |  JOIN flat fc ON fc.vec_id = c.cand_id AND fc.i = fq.i
+         |  GROUP BY 1, 2
+         |), ivf AS (
+         |  SELECT query_id, cand_id FROM (
+         |    SELECT query_id, cand_id, ROW_NUMBER() OVER (
+         |      PARTITION BY query_id ORDER BY d, cand_id) AS rnk
+         |    FROM idist) t
+         |  WHERE rnk <= 5
+         |), bd AS (
+         |  SELECT bq.vec_id AS query_id, f.vec_id AS cand_id,
+         |    SUM((bq.x - f.x) * (bq.x - f.x)) AS d
+         |  FROM flat bq JOIN flat f ON f.i = bq.i
+         |  WHERE bq.vec_id < 10 AND f.vec_id <> bq.vec_id
+         |  GROUP BY 1, 2
+         |), brute AS (
+         |  SELECT query_id, cand_id FROM (
+         |    SELECT query_id, cand_id, ROW_NUMBER() OVER (
+         |      PARTITION BY query_id ORDER BY d, cand_id) AS rn
+         |    FROM bd) t
+         |  WHERE rn <= 5
+         |)
+         |SELECT b.query_id,
+         |  CAST(COALESCE(SUM(CASE WHEN i.cand_id IS NOT NULL THEN 1 END), 0)
+         |    * 1000000 // 5 AS BIGINT) AS recall_ppm
+         |FROM brute b LEFT JOIN ivf i
+         |  ON i.query_id = b.query_id AND i.cand_id = b.cand_id
+         |GROUP BY b.query_id ORDER BY b.query_id""".stripMargin,
     "graph_cascade" -> {
       val rounds = (0 until 3).map { k =>
         s"""a${k + 1} AS (

@@ -623,6 +623,16 @@ object QueriesR15 {
       .orderBy(col("query_id"))
   }
 
+  /** X40: streaming embedding-drift monitor — D20 live from
+    * order-independent (label, side, dim) sums; shares the batch oracle.
+    */
+  def streamEmbedDrift(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.Streams.streamingEmbedDrift(s,
+        t(s, dir, "embeddings").select(col("label"), col("vec_id"),
+          col("embedding")),
+        queryName = "stream_embed_drift")
+      .orderBy(col("label"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_spatial_radius_join" -> (qSpatialRadiusJoin _),
     "q_spatial_knn" -> (qSpatialKnn _),
@@ -660,7 +670,8 @@ object QueriesR15 {
     "graph_cascade" -> (graphCascade _),
     "graph_msf" -> (graphMsf _),
     "graph_msf_clusters" -> (graphMsfClusters _),
-    "ann_ivf_recall" -> (annIvfRecall _))
+    "ann_ivf_recall" -> (annIvfRecall _),
+    "stream_embed_drift" -> (streamEmbedDrift _))
 
   val sql: Map[String, String] = Map(
     "q_spatial_radius_join" ->
@@ -1158,7 +1169,11 @@ object QueriesR15 {
         |    ELSE -((-((s - sb) * 1000)) // (n - b)) END AS BIGINT)
         |    AS mean_right_milli
         |FROM scored2 WHERE rn = 1 ORDER BY grp, seg""".stripMargin,
-    "embed_drift" ->
+    // X40 shares its batch twin's oracle verbatim: streaming ≡ batch
+    "stream_embed_drift" -> embedDriftSql,
+    "embed_drift" -> embedDriftSql) ++ sqlTail
+
+  private lazy val embedDriftSql: String =
       """WITH flat AS (
         |  SELECT CAST(label AS BIGINT) AS label, vec_id % 2 = 0 AS side,
         |    generate_subscripts(embedding, 1) AS i,
@@ -1175,7 +1190,9 @@ object QueriesR15 {
         |  CAST(SUM((a.c - b.c) * (a.c - b.c)) AS BIGINT) AS shift_sq
         |FROM cent a JOIN cent b
         |  ON a.label = b.label AND a.i = b.i AND a.side AND NOT b.side
-        |GROUP BY a.label ORDER BY a.label""".stripMargin,
+        |GROUP BY a.label ORDER BY a.label""".stripMargin
+
+  private lazy val sqlTail: Map[String, String] = Map(
     "graph_squares" ->
       """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
         |und AS (

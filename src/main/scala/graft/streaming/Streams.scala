@@ -698,6 +698,45 @@ object Streams {
     }
   }
 
+  /** X40: streaming embedding-drift monitor — D20 maintained as vectors
+    * arrive: per (label, side, dim) the state is (Σx, n) — two longs,
+    * order-independent by commutativity — drained in complete mode and
+    * reduced to sign-carried centroid means + the per-label squared L2
+    * shift, identical to the batch report bit-for-bit. O(labels·dims)
+    * state regardless of stream length.
+    */
+  def streamingEmbedDrift(spark: SparkSession, vecs: DataFrame,
+                          queryName: String): DataFrame = {
+    val arr = vecs.select(col("label").cast("long").as("label"),
+      col("vec_id").cast("long").as("vec_id"),
+      transform(col("embedding").cast("array<double>"),
+        x => floor(x * 1000).cast("long")).as("xs"))
+    val path = stageToTemp(arr, "sembdrift")
+    val s = spark.readStream.schema(arr.schema).parquet(path)
+    val sums = s
+      .select(col("label"), (col("vec_id") % 2 === 0).as("side"),
+        posexplode(col("xs")))
+      .groupBy(col("label"), col("side"), col("pos"))
+      .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
+    val q = sums.writeStream.outputMode("complete")
+      .format("memory").queryName(queryName).start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    // the memory view exposes the same attribute ids on both sides of a
+    // self-join; project each side to fresh names before joining
+    def side(even: Boolean, lbl: String, ps: String, c: String) =
+      spark.table(queryName)
+        .filter(if (even) col("side") else !col("side"))
+        .select(col("label").as(lbl), col("pos").as(ps),
+          when(col("s") >= 0, expr("s div n"))
+            .otherwise(-expr("(-s) div n")).as(c))
+    side(even = true, "la", "pa", "ca")
+      .join(side(even = false, "lb", "pb", "cb"),
+        col("la") === col("lb") && col("pa") === col("pb"))
+      .groupBy(col("la").as("label"))
+      .agg(sum((col("ca") - col("cb")) * (col("ca") - col("cb")))
+        .as("shift_sq"))
+  }
+
   /** X16: streaming CUSUM — the drift monitor (R61) maintained
     * incrementally. Per-key state is two longs (the prefix sum P and its
     * historical minimum), because Sₜ = Pₜ − min(0, minᵢ≤ₜ Pᵢ) needs no

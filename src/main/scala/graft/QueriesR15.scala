@@ -633,6 +633,41 @@ object QueriesR15 {
         queryName = "stream_embed_drift")
       .orderBy(col("label"))
 
+  /** R181: per-candidate cascade reach — which watchlist account would
+    * spread furthest at p=0.3 within 3 hops; one pass for the panel.
+    */
+  def graphInfluenceRank(s: SparkSession, dir: String): DataFrame = {
+    val e0 = t(s, dir, "orders")
+      .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"), (col("l_suppkey") + 1000000L).as("p"))
+      .distinct()
+    val edges = e0.select(col("c").as("src"), col("p").as("dst"))
+      .unionAll(e0.select(col("p").as("src"), col("c").as("dst")))
+    val seeds = s.range(1, 6).select(col("id").as("node"))
+    graft.operators.Graph.cascadeReach(edges, seeds,
+        pPpm = 300000L, rounds = 3)
+      .orderBy(col("seed"))
+  }
+
+  /** R182: Lindley queue-wait replay — per event type, the wait each
+    * event would suffer behind a 600-second single server; the
+    * deterministic capacity what-if on real arrivals.
+    */
+  def qQueueWait(s: SparkSession, dir: String): DataFrame = {
+    val keyed = t(s, dir, "events").select(
+      graft.sketches.Kmv.hash48(col("event_type")).as("key_id"),
+      col("event_type"), col("event_id"),
+      unix_timestamp(col("ts").cast("timestamp")).as("ts_sec"))
+    graft.operators.Queueing.lindleyWait(keyed, col("key_id"),
+        col("event_id"), col("ts_sec"), serviceSec = 600L)
+      .join(keyed.select(col("key_id").as("key"), col("event_type"))
+        .distinct(), Seq("key"))
+      .select(col("event_type"), col("id").as("event_id"), col("ts_sec"),
+        col("wait_sec"))
+      .orderBy(col("event_type"), col("ts_sec"), col("event_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_spatial_radius_join" -> (qSpatialRadiusJoin _),
     "q_spatial_knn" -> (qSpatialKnn _),
@@ -671,7 +706,9 @@ object QueriesR15 {
     "graph_msf" -> (graphMsf _),
     "graph_msf_clusters" -> (graphMsfClusters _),
     "ann_ivf_recall" -> (annIvfRecall _),
-    "stream_embed_drift" -> (streamEmbedDrift _))
+    "stream_embed_drift" -> (streamEmbedDrift _),
+    "graph_influence_rank" -> (graphInfluenceRank _),
+    "q_queue_wait" -> (qQueueWait _))
 
   val sql: Map[String, String] = Map(
     "q_spatial_radius_join" ->
@@ -995,6 +1032,57 @@ object QueriesR15 {
         |  SELECT a, b, w, 1 AS phase FROM p1
         |  UNION ALL SELECT a, b, w, 2 FROM p2
         |) f ORDER BY a, b""".stripMargin,
+    "graph_influence_rank" -> {
+      val rounds = (0 until 3).map { k =>
+        s"""a${k + 1} AS (
+           |  SELECT DISTINCT seed, node FROM (
+           |    SELECT seed, node FROM a$k
+           |    UNION ALL
+           |    SELECT f.seed, l.dst AS node
+           |    FROM a$k f JOIN live l ON l.src = f.node
+           |  ) u
+           |)""".stripMargin
+      }.mkString(", ")
+      s"""WITH e0 AS (
+         |  SELECT DISTINCT o_custkey AS c, l_suppkey + 1000000 AS p
+         |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+         |), e AS (
+         |  SELECT c AS src, p AS dst FROM e0
+         |  UNION ALL SELECT p AS src, c AS dst FROM e0
+         |), live AS (
+         |  SELECT src, dst FROM e
+         |  WHERE CAST(('0x' || substr(md5(CAST(src AS VARCHAR) || ':'
+         |    || CAST(dst AS VARCHAR)), 1, 12)) AS BIGINT) % 1000000 < 300000
+         |), a0 AS (
+         |  SELECT seed, seed AS node
+         |  FROM (SELECT unnest(generate_series(1, 5)) AS seed) s
+         |), $rounds
+         |SELECT CAST(seed AS BIGINT) AS seed,
+         |  CAST(COUNT(*) AS BIGINT) AS n_reached
+         |FROM a3 GROUP BY seed ORDER BY seed""".stripMargin
+    },
+    "q_queue_wait" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT event_type, event_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec
+        |  FROM events
+        |), r AS (
+        |  SELECT event_type, event_id, ts_sec,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY ts_sec, event_id) AS rn
+        |  FROM e
+        |), rec AS (
+        |  SELECT event_type, event_id, ts_sec, rn,
+        |    CAST(0 AS BIGINT) AS w
+        |  FROM r WHERE rn = 1
+        |  UNION ALL
+        |  SELECT r.event_type, r.event_id, r.ts_sec, r.rn,
+        |    GREATEST(0, rec.w + 600 - (r.ts_sec - rec.ts_sec)) AS w
+        |  FROM rec JOIN r ON r.event_type = rec.event_type
+        |    AND r.rn = rec.rn + 1
+        |)
+        |SELECT event_type, event_id, ts_sec, w AS wait_sec
+        |FROM rec ORDER BY event_type, ts_sec, event_id""".stripMargin,
     "graph_msf_clusters" ->
       """WITH RECURSIVE li AS (
         |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem

@@ -1620,6 +1620,38 @@ object Graph {
     }.reduce(_ unionByName _).orderBy(col("k"))
   }
 
+  /** R181: per-seed cascade reach — R178 run for a CANDIDATE PANEL with
+    * the seed identity carried through (the greedy influence-
+    * maximization primitive: "which single account would spread
+    * furthest"); same live-subgraph BFS, labels keyed (seed, node) with
+    * min-round label correcting, so one pass serves every candidate
+    * (no per-candidate re-run).
+    *
+    * @return (seed, n_reached) — activated nodes within `rounds`,
+    *         seed included
+    */
+  def cascadeReach(edges: DataFrame, seeds: DataFrame, pPpm: Long,
+                   rounds: Int): DataFrame = {
+    require(pPpm >= 0 && pPpm <= 1000000, s"pPpm: $pPpm")
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val live = edges.select(col("src"), col("dst")).distinct()
+      .filter(graft.sketches.Kmv.hash48(
+        concat(col("src").cast("string"), lit(":"),
+          col("dst").cast("string"))) % 1000000L < pPpm)
+      .ckpt
+    var r = seeds.select(col("node")).distinct()
+      .select(col("node").as("seed"), col("node"))
+      .ckpt
+    for (_ <- 1 to rounds) {
+      r = r.unionByName(
+          r.join(live.withColumnRenamed("src", "node"), Seq("node"))
+            .select(col("seed"), col("dst").as("node")))
+        .select(col("seed"), col("node")).distinct()
+        .ckpt
+    }
+    r.groupBy(col("seed")).agg(count(lit(1)).as("n_reached"))
+  }
+
   /** R179: Borůvka minimum spanning forest — the distributed MST
     * algorithm (each component picks its cheapest outgoing edge; all
     * picks join the forest; components contract; repeat), which is also

@@ -52,6 +52,15 @@ class CascadeSpec extends AnyFunSuite {
     assert(run(chain, Seq(1L), 0L, 3) == Map(1L -> 0L))
   }
 
+  test("cascadeReach counts per-seed live reach, seeds independent") {
+    val got = Graph.cascadeReach(chain.toDF("src", "dst"),
+        Seq(1L, 4L).toDF("node"), 1000000L, 3)
+      .as[(Long, Long)].collect().toMap
+    // p=10^6: from 1 everything within 3 hops (all 6 nodes); from 4 the
+    // forward chain reaches only 6
+    assert(got == Map(1L -> 6L, 4L -> 2L))
+  }
+
   test("the coin is per-DIRECTED-edge: reverse edges flip independently") {
     // find a probability where exactly one direction of (7,8) is live
     val p = 500000L

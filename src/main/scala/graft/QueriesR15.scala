@@ -668,6 +668,57 @@ object QueriesR15 {
       .orderBy(col("event_type"), col("ts_sec"), col("event_id"))
   }
 
+  /** R183: edge embeddedness — per co-purchase edge, how many common
+    * neighbors its endpoints share (Granovetter: embeddedness 0 = a
+    * LOCAL BRIDGE, the weak tie that alone connects two social
+    * neighborhoods); the wedge aggregate joined back onto the edge list,
+    * top-200 strongest-embedded edges under a total order.
+    */
+  def graphEmbeddedness(s: SparkSession, dir: String): DataFrame = {
+    val und = QueriesR6.coPurchasePairs(s, dir)
+      .select(col("src").as("a"), col("dst").as("b")).distinct()
+    val dir2 = und.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(und.select(col("b").as("src"), col("a").as("dst")))
+    val wedges = dir2.select(col("src").as("w"), col("dst").as("u"))
+      .join(dir2.select(col("src").as("w"), col("dst").as("v")), Seq("w"))
+      .filter(col("u") < col("v"))
+      .groupBy(col("u"), col("v"))
+      .agg(count(lit(1)).as("common"))
+    und.join(wedges, und("a") === wedges("u") && und("b") === wedges("v"),
+        "left")
+      .select(col("a"), col("b"),
+        coalesce(col("common"), lit(0L)).as("embeddedness"))
+      .orderBy(col("embeddedness").desc, col("a"), col("b"))
+      .limit(200)
+  }
+
+  /** R184: difference-in-differences — the textbook two-group two-period
+    * causal baseline in exact cents: did = (T₂−T₁) − (C₂−C₁) over
+    * sign-carried integer means; treated = URGENT+HIGH priorities,
+    * periods split at 1995-01-01.
+    */
+  def qDiffInDiff(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").select(
+      (col("o_orderpriority").isin("1-URGENT", "2-HIGH")).as("treated"),
+      (expr("unix_micros(CAST(o_orderdate AS TIMESTAMP))") >=
+        lit(788918400000000L)).as("late"),
+      cents(col("o_totalprice")).as("v"))
+    val cells = o.groupBy(col("treated"), col("late"))
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+      .withColumn("m", expr("""CASE WHEN s >= 0 THEN s div n
+                              |ELSE -((-s) div n) END""".stripMargin))
+    val wide = cells
+      .groupBy()
+      .agg(
+        max(when(col("treated") && col("late"), col("m"))).as("t2"),
+        max(when(col("treated") && !col("late"), col("m"))).as("t1"),
+        max(when(!col("treated") && col("late"), col("m"))).as("c2"),
+        max(when(!col("treated") && !col("late"), col("m"))).as("c1"),
+        sum(col("n")).as("n_total"))
+    wide.select(col("n_total"), col("t1"), col("t2"), col("c1"), col("c2"),
+      ((col("t2") - col("t1")) - (col("c2") - col("c1"))).as("did_cents"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_spatial_radius_join" -> (qSpatialRadiusJoin _),
     "q_spatial_knn" -> (qSpatialKnn _),
@@ -708,7 +759,9 @@ object QueriesR15 {
     "ann_ivf_recall" -> (annIvfRecall _),
     "stream_embed_drift" -> (streamEmbedDrift _),
     "graph_influence_rank" -> (graphInfluenceRank _),
-    "q_queue_wait" -> (qQueueWait _))
+    "q_queue_wait" -> (qQueueWait _),
+    "graph_embeddedness" -> (graphEmbeddedness _),
+    "q_diff_in_diff" -> (qDiffInDiff _))
 
   val sql: Map[String, String] = Map(
     "q_spatial_radius_join" ->
@@ -1032,6 +1085,51 @@ object QueriesR15 {
         |  SELECT a, b, w, 1 AS phase FROM p1
         |  UNION ALL SELECT a, b, w, 2 FROM p2
         |) f ORDER BY a, b""".stripMargin,
+    "graph_embeddedness" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |und AS (
+        |  SELECT a.l_partkey AS a, b.l_partkey AS b
+        |  FROM li a JOIN li b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2
+        |), e AS (
+        |  SELECT a AS src, b AS dst FROM und
+        |  UNION ALL SELECT b, a FROM und
+        |), w AS (
+        |  SELECT e1.dst AS u, e2.dst AS v, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM e e1 JOIN e e2 ON e1.src = e2.src AND e1.dst < e2.dst
+        |  GROUP BY 1, 2
+        |)
+        |SELECT und.a, und.b, COALESCE(w.c, 0) AS embeddedness
+        |FROM und LEFT JOIN w ON w.u = und.a AND w.v = und.b
+        |ORDER BY embeddedness DESC, a, b LIMIT 200""".stripMargin,
+    "q_diff_in_diff" ->
+      """WITH o AS (
+        |  SELECT o_orderpriority IN ('1-URGENT', '2-HIGH') AS treated,
+        |    epoch_us(o_orderdate) >= 788918400000000 AS late,
+        |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS v
+        |  FROM orders
+        |), cells AS (
+        |  SELECT treated, late,
+        |    CASE WHEN SUM(v) >= 0 THEN SUM(v) // COUNT(*)
+        |         ELSE -((-SUM(v)) // COUNT(*)) END AS m,
+        |    COUNT(*) AS n
+        |  FROM o GROUP BY 1, 2
+        |)
+        |SELECT CAST(SUM(n) AS BIGINT) AS n_total,
+        |  CAST(MAX(CASE WHEN treated AND NOT late THEN m END) AS BIGINT)
+        |    AS t1,
+        |  CAST(MAX(CASE WHEN treated AND late THEN m END) AS BIGINT) AS t2,
+        |  CAST(MAX(CASE WHEN NOT treated AND NOT late THEN m END) AS BIGINT)
+        |    AS c1,
+        |  CAST(MAX(CASE WHEN NOT treated AND late THEN m END) AS BIGINT)
+        |    AS c2,
+        |  CAST((MAX(CASE WHEN treated AND late THEN m END)
+        |    - MAX(CASE WHEN treated AND NOT late THEN m END))
+        |    - (MAX(CASE WHEN NOT treated AND late THEN m END)
+        |    - MAX(CASE WHEN NOT treated AND NOT late THEN m END))
+        |    AS BIGINT) AS did_cents
+        |FROM cells""".stripMargin,
     "graph_influence_rank" -> {
       val rounds = (0 until 3).map { k =>
         s"""a${k + 1} AS (

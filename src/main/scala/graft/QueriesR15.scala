@@ -719,6 +719,51 @@ object QueriesR15 {
       ((col("t2") - col("t1")) - (col("c2") - col("c1"))).as("did_cents"))
   }
 
+  /** X41: streaming queue-wait monitor — R182 live, appended waits ≡
+    * the batch replay under per-key ordered delivery; shared oracle.
+    */
+  def streamQueueWait(s: SparkSession, dir: String): DataFrame = {
+    val keyed = t(s, dir, "events").select(
+      graft.sketches.Kmv.hash48(col("event_type")).as("key"),
+      col("event_type"), col("event_id").as("id"),
+      unix_timestamp(col("ts").cast("timestamp")).as("ts_sec"))
+    graft.streaming.Streams.streamingQueueWait(s,
+        keyed.select(col("key"), col("id"), col("ts_sec")),
+        serviceSec = 600L, queryName = "stream_queue_wait")
+      .join(keyed.select(col("key"), col("event_type")).distinct(),
+        Seq("key"))
+      .select(col("event_type"), col("id").as("event_id"), col("ts_sec"),
+        col("wait_sec"))
+      .orderBy(col("event_type"), col("ts_sec"), col("event_id"))
+  }
+
+  /** R185: cohort LTV curve — per first-order-month cohort and months of
+    * age: customers, period and CUMULATIVE revenue, and cumulative
+    * revenue per cohort customer in exact cents; the "how much is a
+    * January customer worth by month 6" table.
+    */
+  def qCohortLtv(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = t(s, dir, "orders").select(col("o_custkey"),
+      expr("""(year(CAST(o_orderdate AS TIMESTAMP)) * 12
+             | + month(CAST(o_orderdate AS TIMESTAMP))) - 1""".stripMargin)
+        .as("m"),
+      cents(col("o_totalprice")).as("v"))
+    val cohort = o.groupBy(col("o_custkey")).agg(min(col("m")).as("cm"))
+    val sized = cohort.groupBy(col("cm")).agg(count(lit(1)).as("n_customers"))
+    val per = o.join(cohort, Seq("o_custkey"))
+      .groupBy(col("cm"), (col("m") - col("cm")).as("age"))
+      .agg(sum(col("v")).as("rev"))
+    val w = Window.partitionBy(col("cm")).orderBy(col("age"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    per.withColumn("cum_rev", sum(col("rev")).over(w))
+      .join(sized, Seq("cm"))
+      .select(col("cm").as("cohort_month"), col("age"), col("n_customers"),
+        col("rev").as("rev_cents"), col("cum_rev").as("cum_rev_cents"),
+        expr("cum_rev div n_customers").as("ltv_cents"))
+      .orderBy(col("cohort_month"), col("age"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_spatial_radius_join" -> (qSpatialRadiusJoin _),
     "q_spatial_knn" -> (qSpatialKnn _),
@@ -761,7 +806,9 @@ object QueriesR15 {
     "graph_influence_rank" -> (graphInfluenceRank _),
     "q_queue_wait" -> (qQueueWait _),
     "graph_embeddedness" -> (graphEmbeddedness _),
-    "q_diff_in_diff" -> (qDiffInDiff _))
+    "q_diff_in_diff" -> (qDiffInDiff _),
+    "stream_queue_wait" -> (streamQueueWait _),
+    "q_cohort_ltv" -> (qCohortLtv _))
 
   val sql: Map[String, String] = Map(
     "q_spatial_radius_join" ->
@@ -1159,28 +1206,35 @@ object QueriesR15 {
          |  CAST(COUNT(*) AS BIGINT) AS n_reached
          |FROM a3 GROUP BY seed ORDER BY seed""".stripMargin
     },
-    "q_queue_wait" ->
-      """WITH RECURSIVE e AS (
-        |  SELECT event_type, event_id,
-        |    CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec
-        |  FROM events
-        |), r AS (
-        |  SELECT event_type, event_id, ts_sec,
-        |    ROW_NUMBER() OVER (PARTITION BY event_type
-        |      ORDER BY ts_sec, event_id) AS rn
-        |  FROM e
-        |), rec AS (
-        |  SELECT event_type, event_id, ts_sec, rn,
-        |    CAST(0 AS BIGINT) AS w
-        |  FROM r WHERE rn = 1
-        |  UNION ALL
-        |  SELECT r.event_type, r.event_id, r.ts_sec, r.rn,
-        |    GREATEST(0, rec.w + 600 - (r.ts_sec - rec.ts_sec)) AS w
-        |  FROM rec JOIN r ON r.event_type = rec.event_type
-        |    AND r.rn = rec.rn + 1
+    // X41 shares its batch twin's oracle verbatim: streaming ≡ batch
+    "stream_queue_wait" -> queueWaitSql,
+    "q_queue_wait" -> queueWaitSql,
+    "q_cohort_ltv" ->
+      """WITH o AS (
+        |  SELECT o_custkey,
+        |    (year(o_orderdate) * 12 + month(o_orderdate)) - 1 AS m,
+        |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS v
+        |  FROM orders
+        |), cohort AS (
+        |  SELECT o_custkey, MIN(m) AS cm FROM o GROUP BY 1
+        |), sized AS (
+        |  SELECT cm, CAST(COUNT(*) AS BIGINT) AS n_customers
+        |  FROM cohort GROUP BY cm
+        |), per AS (
+        |  SELECT c.cm, o.m - c.cm AS age, SUM(o.v) AS rev
+        |  FROM o JOIN cohort c USING (o_custkey) GROUP BY 1, 2
+        |), cum AS (
+        |  SELECT cm, age, rev,
+        |    SUM(rev) OVER (PARTITION BY cm ORDER BY age
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rev
+        |  FROM per
         |)
-        |SELECT event_type, event_id, ts_sec, w AS wait_sec
-        |FROM rec ORDER BY event_type, ts_sec, event_id""".stripMargin,
+        |SELECT cm AS cohort_month, CAST(age AS BIGINT) AS age, n_customers,
+        |  CAST(rev AS BIGINT) AS rev_cents,
+        |  CAST(cum_rev AS BIGINT) AS cum_rev_cents,
+        |  CAST(cum_rev // n_customers AS BIGINT) AS ltv_cents
+        |FROM cum JOIN sized USING (cm)
+        |ORDER BY cohort_month, age""".stripMargin,
     "graph_msf_clusters" ->
       """WITH RECURSIVE li AS (
         |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
@@ -1637,6 +1691,32 @@ object QueriesR15 {
         |FROM r CROSS JOIN nn
         |JOIN p ON p.q = (r.r * nn.nn + r.n - 1) // r.n
         |ORDER BY r.doc_id""".stripMargin)
+
+  /** R182/X41 shared oracle: the exact Lindley walk as a recursive CTE
+    * (service 600 s).
+    */
+  private lazy val queueWaitSql: String =
+    """WITH RECURSIVE e AS (
+      |  SELECT event_type, event_id,
+      |    CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec
+      |  FROM events
+      |), r AS (
+      |  SELECT event_type, event_id, ts_sec,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type
+      |      ORDER BY ts_sec, event_id) AS rn
+      |  FROM e
+      |), rec AS (
+      |  SELECT event_type, event_id, ts_sec, rn,
+      |    CAST(0 AS BIGINT) AS w
+      |  FROM r WHERE rn = 1
+      |  UNION ALL
+      |  SELECT r.event_type, r.event_id, r.ts_sec, r.rn,
+      |    GREATEST(0, rec.w + 600 - (r.ts_sec - rec.ts_sec)) AS w
+      |  FROM rec JOIN r ON r.event_type = rec.event_type
+      |    AND r.rn = rec.rn + 1
+      |)
+      |SELECT event_type, event_id, ts_sec, w AS wait_sec
+      |FROM rec ORDER BY event_type, ts_sec, event_id""".stripMargin
 
   /** R167/X39 shared oracle: the exact token-bucket walk as a
     * recursive CTE (cap 5000 milli, refill 2 milli/s, cost 1000).

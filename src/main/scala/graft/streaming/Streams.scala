@@ -737,6 +737,51 @@ object Streams {
         .as("shift_sq"))
   }
 
+  /** X41: streaming Lindley queue monitor — R182 live: per-key state is
+    * (wait, lastTs), each arrival appends its wait (Append-mode
+    * flatMap); under per-key ordered delivery the appended series ≡ the
+    * batch replay, oracle shared verbatim. The live backlog gauge the
+    * batch what-if sizes offline.
+    */
+  def streamingQueueWait(spark: SparkSession, rows: DataFrame,
+                         serviceSec: Long, queryName: String,
+                         rocksDb: Boolean = UseRocksDb): DataFrame = {
+    import spark.implicits._
+    val typed = rows.select(col("key").cast("long"), col("id").cast("long"),
+        col("ts_sec").cast("long"))
+      .orderBy(col("ts_sec"), col("id"))
+      .coalesce(1) // one ordered file = ordered replay
+      .as[(Long, Long, Long)]
+    val path = stageToTemp(typed.toDF("key", "id", "ts_sec"), "squeue")
+
+    val update: (Long, Iterator[(Long, Long, Long)],
+        GroupState[(Long, Long)]) =>
+        Iterator[(Long, Long, Long, Long)] = (key, batch, state) => {
+      var (w, lastTs) = state.getOption.getOrElse((0L, Long.MinValue))
+      val out = batch.toSeq.sortBy(r => (r._3, r._2)).map { case (_, id, ts) =>
+        if (lastTs != Long.MinValue)
+          w = math.max(0L, w + serviceSec - (ts - lastTs))
+        lastTs = ts
+        (key, id, ts, w)
+      }
+      state.update((w, lastTs))
+      out.iterator
+    }
+
+    withStateSession(spark, 8, rocksDb) { iso =>
+      val stream = iso.readStream.schema(typed.schema).parquet(path)
+        .as[(Long, Long, Long)]
+      val waits = stream.groupByKey(_._1)
+        .flatMapGroupsWithState(OutputMode.Append,
+          GroupStateTimeout.NoTimeout)(update)
+        .toDF("key", "id", "ts_sec", "wait_sec")
+      val q = waits.writeStream.outputMode("append")
+        .format("memory").queryName(queryName).start()
+      try { q.processAllAvailable() } finally { q.stop() }
+      iso.table(queryName)
+    }
+  }
+
   /** X16: streaming CUSUM — the drift monitor (R61) maintained
     * incrementally. Per-key state is two longs (the prefix sum P and its
     * historical minimum), because Sₜ = Pₜ − min(0, minᵢ≤ₜ Pᵢ) needs no

@@ -68,7 +68,20 @@ object PlanDump {
       "q_holt_winters", "q_forecast_error", "q_seasonal_strength",
       "text_vocab_overlap", "q_decompose_ma", "q_trend_test",
       "q_runs_test", "q_score_quality", "q_rrf_fusion",
-      "text_good_turing", "text_zipf", "q_weighted_bottomk")
+      "text_good_turing", "text_zipf", "q_weighted_bottomk",
+      "q_spatial_radius_join", "q_spatial_knn", "q_spatial_cluster",
+      "q_kmeans_cluster", "q_silhouette", "q_markov_stationary",
+      "q_quantile_normalize", "dq_l_diversity", "q_trimmed_mean",
+      "text_feature_hash", "q_target_encode", "q_group_split",
+      "ann_ivf_kmeans_topk", "mm_flac_meta", "graph_temporal_reach",
+      "graph_temporal_latest", "q_rate_limit", "dq_fd_check",
+      "graph_rich_club", "q_changepoint_split", "graph_squares",
+      "q_max_concurrency", "q_conformal", "q_resample_interp",
+      "cdc_bitemporal", "text_concordance", "graph_msf",
+      "graph_msf_clusters", "graph_cascade", "graph_influence_rank",
+      "q_queue_wait", "graph_embeddedness", "q_diff_in_diff",
+      "q_cohort_ltv", "ann_ivf_recall", "dedup_rate_by_source",
+      "q_changepoint_multi", "embed_drift", "text_langid_confusion")
     def squeeze(plan: String): Seq[String] = plan.linesIterator
       .filter(l => interesting.exists(l.contains))
       .map(_.replaceAll("#\\d+L?", "").replaceAll(", \\[plan_id=\\d+\\]", ""))

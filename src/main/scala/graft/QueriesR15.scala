@@ -764,6 +764,25 @@ object QueriesR15 {
       .orderBy(col("cohort_month"), col("age"))
   }
 
+  /** R186: fastest-journey durations over the order contact graph —
+    * minimum transit time (not earliest arrival) from the watchlist
+    * within 3 hops; exact via per-start earliest-arrival labels.
+    */
+  def graphTemporalFastest(s: SparkSession, dir: String): DataFrame = {
+    val e0 = t(s, dir, "orders")
+      .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"), (col("l_suppkey") + 1000000L).as("p"),
+        expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000")
+          .as("t"))
+      .distinct()
+    val edges = e0.select(col("c").as("src"), col("p").as("dst"), col("t"))
+      .unionAll(e0.select(col("p").as("src"), col("c").as("dst"), col("t")))
+    val seeds = s.range(1, 4).select(col("id").as("node"))
+    graft.operators.TemporalGraph.fastestJourney(edges, seeds, rounds = 3)
+      .orderBy(col("seed"), col("node"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_spatial_radius_join" -> (qSpatialRadiusJoin _),
     "q_spatial_knn" -> (qSpatialKnn _),
@@ -808,7 +827,8 @@ object QueriesR15 {
     "graph_embeddedness" -> (graphEmbeddedness _),
     "q_diff_in_diff" -> (qDiffInDiff _),
     "stream_queue_wait" -> (streamQueueWait _),
-    "q_cohort_ltv" -> (qCohortLtv _))
+    "q_cohort_ltv" -> (qCohortLtv _),
+    "graph_temporal_fastest" -> (graphTemporalFastest _))
 
   val sql: Map[String, String] = Map(
     "q_spatial_radius_join" ->
@@ -1057,6 +1077,40 @@ object QueriesR15 {
          |UNION ALL
          |${one("event_type->user_id", "event_type", "user_id")}
          |ORDER BY fd""".stripMargin
+    },
+    "graph_temporal_fastest" -> {
+      val rounds = (0 until 3).map { k =>
+        s"""f${k + 1} AS (
+           |  SELECT seed, start, node, MIN(arr) AS arr FROM (
+           |    SELECT seed, start, node, arr FROM f$k
+           |    UNION ALL
+           |    SELECT r.seed, r.start, e.dst AS node, CAST(e.t AS BIGINT)
+           |    FROM f$k r JOIN e ON e.src = r.node AND e.t >= r.arr
+           |  ) u GROUP BY 1, 2, 3
+           |)""".stripMargin
+      }.mkString(", ")
+      s"""WITH e0 AS (
+         |  SELECT DISTINCT o_custkey AS c, l_suppkey + 1000000 AS p,
+         |    epoch_us(o_orderdate) // 86400000000 AS t
+         |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+         |), e AS (
+         |  SELECT c AS src, p AS dst, t FROM e0
+         |  UNION ALL SELECT p AS src, c AS dst, t FROM e0
+         |), sd AS (SELECT unnest(generate_series(1, 3)) AS seed),
+         |starts AS (
+         |  SELECT DISTINCT sd.seed, CAST(e.t AS BIGINT) AS start
+         |  FROM sd JOIN e ON e.src = sd.seed
+         |), f0 AS (
+         |  SELECT seed, start, seed AS node, start AS arr FROM starts
+         |), $rounds
+         |SELECT CAST(seed AS BIGINT) AS seed, CAST(node AS BIGINT) AS node,
+         |  CAST(dur AS BIGINT) AS dur
+         |FROM (
+         |  SELECT seed, seed AS node, 0 AS dur FROM sd
+         |  UNION ALL
+         |  SELECT seed, node, MIN(arr - start) AS dur
+         |  FROM f3 WHERE node <> seed GROUP BY seed, node
+         |) z ORDER BY seed, node""".stripMargin
     },
     "graph_temporal_latest" -> {
       val rounds = (0 until 3).map { k =>

@@ -56,6 +56,53 @@ object TemporalGraph {
     r
   }
 
+  /** Fastest-journey durations (Wu et al. 2014's third temporal-path
+    * flavor): earliest arrival rewards starting EARLY, latest departure
+    * rewards arriving LATE — the fastest journey minimizes the time IN
+    * TRANSIT, arrival − departure, over all time-respecting paths. The
+    * trick that keeps it exact without pareto frontiers: a journey's
+    * departure is the time of its FIRST edge, and the first edges out of
+    * a seed are enumerable — so labels carry (seed, start) and run the
+    * earliest-arrival recursion per start, and the answer reduces over
+    * starts at the end. Label volume is |starts(seed)| × reach — the
+    * price of exactness; seeds are a small panel by construction.
+    *
+    * @return (seed, node, dur) — minimum transit seconds over journeys
+    *         of ≤ `rounds` hops; the seed itself reports 0
+    */
+  def fastestJourney(edges: DataFrame, seeds: DataFrame,
+                     rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val e = edges.select(col("src"), col("dst"), col("t").cast("long").as("t"))
+      .ckpt
+    val starts = seeds.select(col("node").as("seed")).distinct()
+      .join(e, col("seed") === col("src"))
+      .select(col("seed"), col("t").as("start")).distinct()
+    // per (seed, start): earliest arrival among journeys whose first
+    // edge departs exactly at `start` (enforced by seeding arr = start
+    // and requiring t >= arr as usual)
+    var r = starts
+      .select(col("seed"), col("start"), col("seed").as("node"),
+        col("start").as("arr"))
+      .ckpt
+    for (_ <- 1 to rounds) {
+      val stepped = r.join(e, col("node") === col("src"))
+        .filter(col("t") >= col("arr"))
+        .select(col("seed"), col("start"), col("dst").as("node"),
+          col("t").as("arr"))
+      r = r.unionByName(stepped)
+        .groupBy(col("seed"), col("start"), col("node"))
+        .agg(min(col("arr")).as("arr"))
+        .ckpt
+    }
+    val best = r.filter(col("node") =!= col("seed"))
+      .groupBy(col("seed"), col("node"))
+      .agg(min(col("arr") - col("start")).as("dur"))
+    seeds.select(col("node").as("seed")).distinct()
+      .select(col("seed"), col("seed").as("node"), lit(0L).as("dur"))
+      .unionByName(best)
+  }
+
   /** Latest-departure labels — the reverse question: how LATE can each
     * node still start and reach the target along a time-respecting path
     * (the recovery-planning / last-safe-moment query)? dep(target) =

@@ -66,4 +66,28 @@ class TemporalGraphSpec extends AnyFunSuite {
     val got = runLatest(edges, Seq(3L), 2, horizon = 100L)
     assert(got((3L, 1L)) == 2L)
   }
+
+  private def runFastest(edges: Seq[(Long, Long, Long)], seeds: Seq[Long],
+                         rounds: Int): Map[(Long, Long), Long] =
+    TemporalGraph.fastestJourney(edges.toDF("src", "dst", "t"),
+        seeds.toDF("node"), rounds)
+      .as[(Long, Long, Long)].collect()
+      .map { case (s, n, d) => (s, n) -> d }.toMap
+
+  test("fastestJourney minimizes transit, not arrival") {
+    // to 3: depart 0, hop t=0 → t=9 (dur 9) OR depart 8, hop t=8 → t=9
+    // (dur 1): earliest ARRIVAL ties at 9, fastest journey is 1
+    val edges = Seq((1L, 2L, 0L), (2L, 3L, 9L), (1L, 2L, 8L))
+    val got = runFastest(edges, Seq(1L), 2)
+    assert(got((1L, 3L)) == 1L)
+    assert(got((1L, 2L)) == 0L)   // direct hop arrives as it departs
+    assert(got((1L, 1L)) == 0L)   // seed transit is zero
+  }
+
+  test("fastestJourney respects time order along the journey") {
+    // the late cheap start 1→2@t=5 cannot use the earlier 2→3@t=3 edge
+    val edges = Seq((1L, 2L, 5L), (2L, 3L, 3L), (1L, 2L, 0L))
+    val got = runFastest(edges, Seq(1L), 2)
+    assert(got((1L, 3L)) == 3L)   // only via the t=0 start, arr 3
+  }
 }

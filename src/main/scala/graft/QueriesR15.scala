@@ -783,6 +783,24 @@ object QueriesR15 {
       .orderBy(col("seed"), col("node"))
   }
 
+  /** R187: greedy influence-maximization marginal step — with the best
+    * watchlist account fixed, each other candidate's ADDED reach; set
+    * additivity of the deterministic cascade makes it a label-set union.
+    */
+  def graphInfluenceGreedy(s: SparkSession, dir: String): DataFrame = {
+    val e0 = t(s, dir, "orders")
+      .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"), (col("l_suppkey") + 1000000L).as("p"))
+      .distinct()
+    val edges = e0.select(col("c").as("src"), col("p").as("dst"))
+      .unionAll(e0.select(col("p").as("src"), col("c").as("dst")))
+    val seeds = s.range(1, 6).select(col("id").as("node"))
+    graft.operators.Graph.influenceGreedyStep(edges, seeds,
+        pPpm = 300000L, rounds = 3)
+      .orderBy(col("seed"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_spatial_radius_join" -> (qSpatialRadiusJoin _),
     "q_spatial_knn" -> (qSpatialKnn _),
@@ -828,7 +846,8 @@ object QueriesR15 {
     "q_diff_in_diff" -> (qDiffInDiff _),
     "stream_queue_wait" -> (streamQueueWait _),
     "q_cohort_ltv" -> (qCohortLtv _),
-    "graph_temporal_fastest" -> (graphTemporalFastest _))
+    "graph_temporal_fastest" -> (graphTemporalFastest _),
+    "graph_influence_greedy" -> (graphInfluenceGreedy _))
 
   val sql: Map[String, String] = Map(
     "q_spatial_radius_join" ->
@@ -1231,6 +1250,50 @@ object QueriesR15 {
         |    - MAX(CASE WHEN NOT treated AND NOT late THEN m END))
         |    AS BIGINT) AS did_cents
         |FROM cells""".stripMargin,
+    "graph_influence_greedy" -> {
+      val rounds = (0 until 3).map { k =>
+        s"""a${k + 1} AS (
+           |  SELECT DISTINCT seed, node FROM (
+           |    SELECT seed, node FROM a$k
+           |    UNION ALL
+           |    SELECT f.seed, l.dst AS node
+           |    FROM a$k f JOIN live l ON l.src = f.node
+           |  ) u
+           |)""".stripMargin
+      }.mkString(", ")
+      s"""WITH e0 AS (
+         |  SELECT DISTINCT o_custkey AS c, l_suppkey + 1000000 AS p
+         |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+         |), e AS (
+         |  SELECT c AS src, p AS dst FROM e0
+         |  UNION ALL SELECT p AS src, c AS dst FROM e0
+         |), live AS (
+         |  SELECT src, dst FROM e
+         |  WHERE CAST(('0x' || substr(md5(CAST(src AS VARCHAR) || ':'
+         |    || CAST(dst AS VARCHAR)), 1, 12)) AS BIGINT) % 1000000 < 300000
+         |), sd AS (SELECT unnest(generate_series(1, 5)) AS seed),
+         |a0 AS (SELECT seed, seed AS node FROM sd), $rounds,
+         |counts AS (SELECT seed, COUNT(*) AS n FROM a3 GROUP BY seed),
+         |best AS (
+         |  SELECT seed AS bseed, n AS base FROM (
+         |    SELECT seed, n, ROW_NUMBER() OVER (ORDER BY n DESC, seed) AS rn
+         |    FROM counts) t
+         |  WHERE rn = 1
+         |), bl AS (
+         |  SELECT a3.node FROM a3 JOIN best ON a3.seed = best.bseed
+         |), un AS (
+         |  SELECT seed, COUNT(DISTINCT node) AS union_reach FROM (
+         |    SELECT seed, node FROM a3
+         |    UNION ALL
+         |    SELECT sd.seed, bl.node FROM sd CROSS JOIN bl
+         |  ) s GROUP BY seed
+         |)
+         |SELECT CAST(seed AS BIGINT) AS seed,
+         |  CAST(base AS BIGINT) AS base_reach,
+         |  CAST(union_reach AS BIGINT) AS union_reach,
+         |  CAST(union_reach - base AS BIGINT) AS marginal
+         |FROM un CROSS JOIN best ORDER BY seed""".stripMargin
+    },
     "graph_influence_rank" -> {
       val rounds = (0 until 3).map { k =>
         s"""a${k + 1} AS (

@@ -1631,7 +1631,19 @@ object Graph {
     *         seed included
     */
   def cascadeReach(edges: DataFrame, seeds: DataFrame, pPpm: Long,
-                   rounds: Int): DataFrame = {
+                   rounds: Int): DataFrame =
+    cascadeLabels(edges, seeds, pPpm, rounds)
+      .groupBy(col("seed")).agg(count(lit(1)).as("n_reached"))
+
+  /** The (seed, node) label SET behind [[cascadeReach]] — exposed
+    * because the deterministic cascade is SET-ADDITIVE: the reach of a
+    * seed SET is exactly the union of its members' label sets (the live
+    * subgraph is fixed — no per-set resampling), which makes greedy
+    * influence maximization a join over these labels instead of a
+    * cascade re-run per candidate set.
+    */
+  def cascadeLabels(edges: DataFrame, seeds: DataFrame, pPpm: Long,
+                    rounds: Int): DataFrame = {
     require(pPpm >= 0 && pPpm <= 1000000, s"pPpm: $pPpm")
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     val live = edges.select(col("src"), col("dst")).distinct()
@@ -1649,7 +1661,38 @@ object Graph {
         .select(col("seed"), col("node")).distinct()
         .ckpt
     }
-    r.groupBy(col("seed")).agg(count(lit(1)).as("n_reached"))
+    r
+  }
+
+  /** R187: one greedy influence-maximization step — with the best single
+    * seed fixed (max reach, ties to the smaller id), every remaining
+    * candidate's MARGINAL gain: |reach(best ∪ c)| − |reach(best)|. Set
+    * additivity (see [[cascadeLabels]]) turns this into label-set
+    * unions — no cascade re-runs; the greedy algorithm's 1−1/e
+    * guarantee (Kempe et al.) rides on exactly this step repeated.
+    *
+    * @return (seed, base_reach, union_reach, marginal) per non-best
+    *         candidate, plus the best seed's row with marginal 0
+    */
+  def influenceGreedyStep(edges: DataFrame, seeds: DataFrame, pPpm: Long,
+                          rounds: Int): DataFrame = {
+    val labels = cascadeLabels(edges, seeds, pPpm, rounds).ckpt
+    val counts = labels.groupBy(col("seed")).agg(count(lit(1)).as("n"))
+    val best = counts
+      .agg(max_by(col("seed"), struct(col("n"), -col("seed"))).as("best"),
+        max(col("n")).as("base_reach"))
+    val bestLabels = labels
+      .join(broadcast(best.select(col("best"))),
+        col("seed") === col("best")).select(col("node"))
+    val unions = labels
+      .unionByName(seeds.select(col("node")).distinct()
+        .select(col("node").as("seed"))
+        .crossJoin(bestLabels))
+      .select(col("seed"), col("node")).distinct()
+      .groupBy(col("seed")).agg(count(lit(1)).as("union_reach"))
+    unions.crossJoin(broadcast(best))
+      .select(col("seed"), col("base_reach"), col("union_reach"),
+        (col("union_reach") - col("base_reach")).as("marginal"))
   }
 
   /** R179: Borůvka minimum spanning forest — the distributed MST

@@ -61,6 +61,26 @@ class CascadeSpec extends AnyFunSuite {
     assert(got == Map(1L -> 6L, 4L -> 2L))
   }
 
+  test("greedy step: marginals are union gains, best seed's is zero") {
+    val got = Graph.influenceGreedyStep(chain.toDF("src", "dst"),
+        Seq(1L, 4L).toDF("node"), 1000000L, 3)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // reach(1) = {1,2,5,3,4,6} (6), reach(4) = {4,6} (2): best = 1
+    assert(got(1L) == ((6L, 6L, 0L)))
+    // union(4) = reach(1) ∪ {4,6} = 6 nodes → marginal 0 (subset)
+    assert(got(4L) == ((6L, 6L, 0L)))
+    // a disjoint candidate adds its own reach
+    val got2 = Graph.influenceGreedyStep(
+        (chain ++ Seq((100L, 101L, 0L)).map(t => (t._1, t._2)))
+          .toDF("src", "dst"),
+        Seq(1L, 100L).toDF("node"), 1000000L, 3)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got2(100L)._3 == got2(100L)._2 - got2(100L)._1)
+    assert(got2(100L)._3 == 2L) // {100, 101} joins the best set
+  }
+
   test("the coin is per-DIRECTED-edge: reverse edges flip independently") {
     // find a probability where exactly one direction of (7,8) is live
     val p = 500000L

@@ -1695,6 +1695,65 @@ object Graph {
         (col("union_reach") - col("base_reach")).as("marginal"))
   }
 
+  /** R188: greedy k-center selection (Gonzalez 1985 — the 2-approximation
+    * for minimizing the max distance to a center, and data curation's
+    * "pick k maximally diverse exemplars" routine): start from the
+    * minimum node id, then repeatedly add the node FARTHEST from the
+    * current center set (hop distance via multi-source BFS bounded at
+    * `rounds`; nodes beyond the bound count as distance rounds+1 —
+    * maximally far — and ties break on the smaller id, so the pick
+    * sequence is a total order both engines replay).
+    *
+    * Scale shape: k−1 multi-source BFS passes, each `rounds` frontier
+    * joins + one global max_by — the pick is a scalar, never a
+    * collected set.
+    *
+    * @return (center, pick_order, dist_at_pick) — dist_at_pick = the
+    *         picked node's distance to the previous centers (0 for the
+    *         first center)
+    */
+  def kCenterGreedy(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val und = edges.select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val dir = und.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(und.select(col("b").as("src"), col("a").as("dst")))
+      .ckpt
+    val nodes = dir.select(col("src").as("node")).distinct().ckpt
+    val first = nodes.agg(min(col("node"))).head().getLong(0)
+    var picks = Seq((first, 1L, 0L))
+    var centers = nodes.sparkSession.createDataFrame(
+      java.util.Arrays.asList(org.apache.spark.sql.Row(first)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("node",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+    for (i <- 2 to k) {
+      var settled = centers.select(col("node"), lit(0L).as("dist")).ckpt
+      for (r <- 1 to rounds) {
+        val stepped = settled
+          .join(dir.withColumnRenamed("src", "node"), Seq("node"))
+          .select(col("dst").as("node"), lit(r.toLong).as("dist"))
+        settled = settled.unionByName(stepped)
+          .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+          .ckpt
+      }
+      val dist = nodes.join(settled, Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("dist"), lit(rounds.toLong + 1)).as("dist"))
+      val pick = dist
+        .agg(max_by(struct(col("node"), col("dist")),
+          struct(col("dist"), -col("node"))).as("p"))
+        .select(col("p.node"), col("p.dist")).head()
+      picks = picks :+ ((pick.getLong(0), i.toLong, pick.getLong(1)))
+      centers = centers.unionByName(
+        nodes.filter(col("node") === pick.getLong(0)))
+    }
+    import nodes.sparkSession.implicits._
+    picks.toDF("center", "pick_order", "dist_at_pick")
+  }
+
   /** R179: Borůvka minimum spanning forest — the distributed MST
     * algorithm (each component picks its cheapest outgoing edge; all
     * picks join the forest; components contract; repeat), which is also

@@ -811,6 +811,21 @@ object QueriesR15 {
         k = 3, rounds = 2)
       .orderBy(col("pick_order"))
 
+  /** R189: geometric adstock of the per-user event-value stream —
+    * carryover pressure at λ=0.7, the marketing-mix transform whose
+    * stacking (unlike EWMA's blend) is the modeled effect.
+    */
+  def qAdstock(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Changepoint.adstock(
+        t(s, dir, "events").select(col("user_id"), col("event_id"),
+          unix_timestamp(col("ts").cast("timestamp")).as("ts_sec"),
+          round(col("value") * 100).cast("long").as("cents")),
+        col("user_id"), col("event_id"), col("ts_sec"), col("cents"),
+        lambdaPpm = 700000L)
+      .select(col("key").as("user_id"), col("id").as("event_id"),
+        col("ts_sec"), col("x").as("cents"), col("adstock_milli"))
+      .orderBy(col("user_id"), col("ts_sec"), col("event_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_spatial_radius_join" -> (qSpatialRadiusJoin _),
     "q_spatial_knn" -> (qSpatialKnn _),
@@ -858,7 +873,8 @@ object QueriesR15 {
     "q_cohort_ltv" -> (qCohortLtv _),
     "graph_temporal_fastest" -> (graphTemporalFastest _),
     "graph_influence_greedy" -> (graphInfluenceGreedy _),
-    "graph_k_center" -> (graphKCenter _))
+    "graph_k_center" -> (graphKCenter _),
+    "q_adstock" -> (qAdstock _))
 
   val sql: Map[String, String] = Map(
     "q_spatial_radius_join" ->
@@ -1261,6 +1277,28 @@ object QueriesR15 {
         |    - MAX(CASE WHEN NOT treated AND NOT late THEN m END))
         |    AS BIGINT) AS did_cents
         |FROM cells""".stripMargin,
+    "q_adstock" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT user_id, event_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec,
+        |    CAST(ROUND(value * 100) AS BIGINT) AS cents
+        |  FROM events
+        |), r AS (
+        |  SELECT user_id, event_id, ts_sec, cents,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY ts_sec, event_id) AS rn
+        |  FROM e
+        |), rec AS (
+        |  SELECT user_id, event_id, ts_sec, cents, rn,
+        |    cents * 1000 AS a
+        |  FROM r WHERE rn = 1
+        |  UNION ALL
+        |  SELECT r.user_id, r.event_id, r.ts_sec, r.cents, r.rn,
+        |    r.cents * 1000 + (700000 * rec.a) // 1000000 AS a
+        |  FROM rec JOIN r ON r.user_id = rec.user_id AND r.rn = rec.rn + 1
+        |)
+        |SELECT user_id, event_id, ts_sec, cents, a AS adstock_milli
+        |FROM rec ORDER BY user_id, ts_sec, event_id""".stripMargin,
     "graph_k_center" -> {
       def bfs(tag: String, seedsSel: String) = {
         val chain = (1 to 2).map { r =>

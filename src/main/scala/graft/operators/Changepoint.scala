@@ -520,6 +520,47 @@ object Changepoint {
     }
   }
 
+  /** Geometric adstock (advertising carryover; Broadbent 1979 — public
+    * marketing-science literature): today's effective pressure is
+    * today's spend plus a decayed tail of history,
+    *
+    *   a₁ = x₁·1000;   aₜ = xₜ·1000 + (λ·aₜ₋₁) div 10⁶   [milli]
+    *
+    * — NOT the EWMA convex blend (R129 normalizes by 1−λ; adstock
+    * ACCUMULATES, which is the point: two spikes close together stack).
+    * Per-step floor division on nonneg operands keeps the walk exactly
+    * replayable; same execution shape as R129 — one (key) shuffle, each
+    * key walks its own (ts, id)-ordered rows with one long of state.
+    *
+    * @param lambdaPpm decay per step in ppm (0 = no carryover)
+    * @return (key, id, ts_sec, x, adstock_milli)
+    */
+  def adstock(series: DataFrame, key: Column, id: Column, tsSec: Column,
+              x: Column, lambdaPpm: Long): DataFrame = {
+    require(lambdaPpm >= 0 && lambdaPpm < 1000000, s"lambdaPpm: $lambdaPpm")
+    val spark = series.sparkSession
+    import spark.implicits._
+    val typed = series.select(key.cast("long"), id.cast("long"),
+      tsSec.cast("long"), x.cast("long")).as[(Long, Long, Long, Long)]
+    typed.groupByKey(_._1)
+      .flatMapGroups { (k, rows) =>
+        val sorted = rows.toSeq.sortBy(r => (r._3, r._2))
+        var a = 0L
+        var first = true
+        sorted.map { case (_, eid, t, v) =>
+          a = if (first) { first = false; v * 1000L }
+              else v * 1000L + lambdaPpm * a / 1000000L
+          (k, eid, t, v, a)
+        }
+      }
+      .toDF("key", "id", "ts_sec", "x", "adstock_milli")
+  }
+
+  /** Reference walk (specs only). */
+  def adstockRef(xs: Seq[Long], lambdaPpm: Long): Seq[Long] =
+    xs.tail.scanLeft(xs.head * 1000L)((a, v) =>
+      v * 1000L + lambdaPpm * a / 1000000L)
+
   /** Single binary-segmentation changepoint — WHERE does each series
     * break, exactly? R61's CUSUM says THAT a shift happened; this picks
     * the boundary: the split b (1 ≤ b < n) maximizing the classic

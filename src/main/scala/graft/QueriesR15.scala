@@ -826,6 +826,15 @@ object QueriesR15 {
         col("ts_sec"), col("x").as("cents"), col("adstock_milli"))
       .orderBy(col("user_id"), col("ts_sec"), col("event_id"))
 
+  /** R190: coverage profile of the R188 exemplars — nodes per
+    * distance-to-nearest-center, uncovered counted at rounds+1.
+    */
+  def graphKCenterCoverage(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Graph.kCenterCoverage(
+        QueriesR6.coPurchasePairs(s, dir).select(col("src"), col("dst")),
+        k = 3, rounds = 2)
+      .orderBy(col("dist"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_spatial_radius_join" -> (qSpatialRadiusJoin _),
     "q_spatial_knn" -> (qSpatialKnn _),
@@ -874,7 +883,8 @@ object QueriesR15 {
     "graph_temporal_fastest" -> (graphTemporalFastest _),
     "graph_influence_greedy" -> (graphInfluenceGreedy _),
     "graph_k_center" -> (graphKCenter _),
-    "q_adstock" -> (qAdstock _))
+    "q_adstock" -> (qAdstock _),
+    "graph_k_center_coverage" -> (graphKCenterCoverage _))
 
   val sql: Map[String, String] = Map(
     "q_spatial_radius_join" ->
@@ -1299,55 +1309,20 @@ object QueriesR15 {
         |)
         |SELECT user_id, event_id, ts_sec, cents, a AS adstock_milli
         |FROM rec ORDER BY user_id, ts_sec, event_id""".stripMargin,
-    "graph_k_center" -> {
-      def bfs(tag: String, seedsSel: String) = {
-        val chain = (1 to 2).map { r =>
-          s"""s${tag}_$r AS (
-             |  SELECT node, MIN(dist) AS dist FROM (
-             |    SELECT node, dist FROM s${tag}_${r - 1}
-             |    UNION ALL
-             |    SELECT e.dst AS node, $r AS dist
-             |    FROM s${tag}_${r - 1} f JOIN e ON e.src = f.node
-             |  ) u GROUP BY node
-             |)""".stripMargin
-        }.mkString(", ")
-        s"""s${tag}_0 AS ($seedsSel), $chain,
-           |d$tag AS (
-           |  SELECT n.node, COALESCE(s.dist, 3) AS dist
-           |  FROM nodes n LEFT JOIN s${tag}_2 s USING (node)
-           |)""".stripMargin
-      }
-      s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-         |und AS (
-         |  SELECT a.l_partkey AS a, b.l_partkey AS b
-         |  FROM li a JOIN li b
-         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-         |  GROUP BY 1, 2
-         |), e AS (
-         |  SELECT a AS src, b AS dst FROM und
-         |  UNION ALL SELECT b, a FROM und
-         |), nodes AS (
-         |  SELECT a AS node FROM und UNION SELECT b FROM und
-         |), c1 AS (SELECT MIN(node) AS n FROM nodes),
-         |${bfs("1", "SELECT n AS node, 0 AS dist FROM c1")},
-         |p2 AS (
-         |  SELECT node, dist FROM d1 ORDER BY dist DESC, node LIMIT 1
-         |),
-         |${bfs("2",
-          "SELECT n AS node, 0 AS dist FROM c1 " +
-            "UNION ALL SELECT node, 0 FROM p2")},
-         |p3 AS (
-         |  SELECT node, dist FROM d2 ORDER BY dist DESC, node LIMIT 1
-         |)
-         |SELECT CAST(center AS BIGINT) AS center,
-         |  CAST(pick_order AS BIGINT) AS pick_order,
-         |  CAST(dist_at_pick AS BIGINT) AS dist_at_pick
-         |FROM (
-         |  SELECT n AS center, 1 AS pick_order, 0 AS dist_at_pick FROM c1
-         |  UNION ALL SELECT node, 2, dist FROM p2
-         |  UNION ALL SELECT node, 3, dist FROM p3
-         |) z ORDER BY pick_order""".stripMargin
-    },
+    "graph_k_center" -> kCenterSql(
+      """SELECT CAST(center AS BIGINT) AS center,
+        |  CAST(pick_order AS BIGINT) AS pick_order,
+        |  CAST(dist_at_pick AS BIGINT) AS dist_at_pick
+        |FROM (
+        |  SELECT n AS center, 1 AS pick_order, 0 AS dist_at_pick FROM c1
+        |  UNION ALL SELECT node, 2, dist FROM p2
+        |  UNION ALL SELECT node, 3, dist FROM p3
+        |) z ORDER BY pick_order""".stripMargin),
+    "graph_k_center_coverage" -> kCenterSql(
+      """SELECT CAST(dist AS BIGINT) AS dist,
+        |  CAST(COUNT(*) AS BIGINT) AS n_nodes
+        |FROM dc GROUP BY dist ORDER BY dist""".stripMargin),
+
     "graph_influence_greedy" -> {
       val rounds = (0 until 3).map { k =>
         s"""a${k + 1} AS (
@@ -1966,6 +1941,57 @@ object QueriesR15 {
         |SELECT user_id, event_id, ts_sec, admitted,
         |  tokens AS tokens_milli
         |FROM rec ORDER BY user_id, rn""".stripMargin
+
+  /** R188/R190 shared oracle scaffold: the greedy k-center CTE chain
+    * (k=3, rounds=2) plus a third BFS from all picked centers (dc);
+    * each gate supplies its own final SELECT.
+    */
+  private def kCenterSql(finalSelect: String): String = {
+    def bfs(tag: String, seedsSel: String) = {
+      val chain = (1 to 2).map { r =>
+        s"""s${tag}_$r AS (
+           |  SELECT node, MIN(dist) AS dist FROM (
+           |    SELECT node, dist FROM s${tag}_${r - 1}
+           |    UNION ALL
+           |    SELECT e.dst AS node, $r AS dist
+           |    FROM s${tag}_${r - 1} f JOIN e ON e.src = f.node
+           |  ) u GROUP BY node
+           |)""".stripMargin
+      }.mkString(", ")
+      s"""s${tag}_0 AS ($seedsSel), $chain,
+         |d$tag AS (
+         |  SELECT n.node, COALESCE(s.dist, 3) AS dist
+         |  FROM nodes n LEFT JOIN s${tag}_2 s USING (node)
+         |)""".stripMargin
+    }
+    s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |und AS (
+       |  SELECT a.l_partkey AS a, b.l_partkey AS b
+       |  FROM li a JOIN li b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |  GROUP BY 1, 2
+       |), e AS (
+       |  SELECT a AS src, b AS dst FROM und
+       |  UNION ALL SELECT b, a FROM und
+       |), nodes AS (
+       |  SELECT a AS node FROM und UNION SELECT b FROM und
+       |), c1 AS (SELECT MIN(node) AS n FROM nodes),
+       |${bfs("1", "SELECT n AS node, 0 AS dist FROM c1")},
+       |p2 AS (
+       |  SELECT node, dist FROM d1 ORDER BY dist DESC, node LIMIT 1
+       |),
+       |${bfs("2",
+        "SELECT n AS node, 0 AS dist FROM c1 " +
+          "UNION ALL SELECT node, 0 FROM p2")},
+       |p3 AS (
+       |  SELECT node, dist FROM d2 ORDER BY dist DESC, node LIMIT 1
+       |),
+       |${bfs("c",
+        "SELECT n AS node, 0 AS dist FROM c1 " +
+          "UNION ALL SELECT node, 0 FROM p2 " +
+          "UNION ALL SELECT node, 0 FROM p3")}
+       |$finalSelect""".stripMargin
+  }
 
   /** Shared k-means CTE chain (2 unrolled Lloyd passes): flat milli
     * quantization → seed centroids → distance/argmin → sign-carried

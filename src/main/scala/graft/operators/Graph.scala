@@ -1754,6 +1754,38 @@ object Graph {
     picks.toDF("center", "pick_order", "dist_at_pick")
   }
 
+  /** R190: k-center coverage profile — the quality number behind R188
+    * (the R159 posture: a selection ships with its coverage): after the
+    * greedy picks, one multi-source BFS from ALL centers, then the node
+    * count per distance-to-nearest-center (rounds+1 = uncovered). The
+    * max covered distance IS the k-center objective the greedy
+    * 2-approximates.
+    *
+    * @return (dist, n_nodes) for dist 0..rounds+1, zero rows absent
+    */
+  def kCenterCoverage(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    val centers = kCenterGreedy(edges, k, rounds).select(col("center"))
+    val und = edges.select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val dir = und.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(und.select(col("b").as("src"), col("a").as("dst")))
+      .ckpt
+    val nodes = dir.select(col("src").as("node")).distinct()
+    var settled = centers.select(col("center").as("node"), lit(0L).as("dist"))
+      .ckpt
+    for (r <- 1 to rounds) {
+      settled = settled.unionByName(
+          settled.join(dir.withColumnRenamed("src", "node"), Seq("node"))
+            .select(col("dst").as("node"), lit(r.toLong).as("dist")))
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+        .ckpt
+    }
+    nodes.join(settled, Seq("node"), "left")
+      .select(coalesce(col("dist"), lit(rounds.toLong + 1)).as("dist"))
+      .groupBy(col("dist")).agg(count(lit(1)).as("n_nodes"))
+  }
+
   /** R179: Borůvka minimum spanning forest — the distributed MST
     * algorithm (each component picks its cheapest outgoing edge; all
     * picks join the forest; components contract; repeat), which is also

@@ -835,6 +835,20 @@ object QueriesR15 {
         k = 3, rounds = 2)
       .orderBy(col("dist"))
 
+  /** X42: streaming adstock — R189 live, appended levels ≡ the batch
+    * walk under per-key ordered delivery; shares the batch oracle.
+    */
+  def streamAdstock(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.Streams.streamingAdstock(s,
+        t(s, dir, "events").select(col("user_id").as("key"),
+          col("event_id").as("id"),
+          unix_timestamp(col("ts").cast("timestamp")).as("ts_sec"),
+          round(col("value") * 100).cast("long").as("x")),
+        lambdaPpm = 700000L, queryName = "stream_adstock")
+      .select(col("key").as("user_id"), col("id").as("event_id"),
+        col("ts_sec"), col("x").as("cents"), col("adstock_milli"))
+      .orderBy(col("user_id"), col("ts_sec"), col("event_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_spatial_radius_join" -> (qSpatialRadiusJoin _),
     "q_spatial_knn" -> (qSpatialKnn _),
@@ -884,7 +898,8 @@ object QueriesR15 {
     "graph_influence_greedy" -> (graphInfluenceGreedy _),
     "graph_k_center" -> (graphKCenter _),
     "q_adstock" -> (qAdstock _),
-    "graph_k_center_coverage" -> (graphKCenterCoverage _))
+    "graph_k_center_coverage" -> (graphKCenterCoverage _),
+    "stream_adstock" -> (streamAdstock _))
 
   val sql: Map[String, String] = Map(
     "q_spatial_radius_join" ->
@@ -1287,7 +1302,14 @@ object QueriesR15 {
         |    - MAX(CASE WHEN NOT treated AND NOT late THEN m END))
         |    AS BIGINT) AS did_cents
         |FROM cells""".stripMargin,
-    "q_adstock" ->
+    // X42 shares its batch twin's oracle verbatim: streaming ≡ batch
+    "stream_adstock" -> adstockSql,
+    "q_adstock" -> adstockSql) ++ sqlTail2
+
+  /** R189/X42 shared oracle: the exact adstock walk as a recursive CTE
+    * (λ = 0.7).
+    */
+  private lazy val adstockSql: String =
       """WITH RECURSIVE e AS (
         |  SELECT user_id, event_id,
         |    CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec,
@@ -1308,7 +1330,9 @@ object QueriesR15 {
         |  FROM rec JOIN r ON r.user_id = rec.user_id AND r.rn = rec.rn + 1
         |)
         |SELECT user_id, event_id, ts_sec, cents, a AS adstock_milli
-        |FROM rec ORDER BY user_id, ts_sec, event_id""".stripMargin,
+        |FROM rec ORDER BY user_id, ts_sec, event_id""".stripMargin
+
+  private lazy val sqlTail2: Map[String, String] = Map(
     "graph_k_center" -> kCenterSql(
       """SELECT CAST(center AS BIGINT) AS center,
         |  CAST(pick_order AS BIGINT) AS pick_order,

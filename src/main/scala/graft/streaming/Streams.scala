@@ -782,6 +782,51 @@ object Streams {
     }
   }
 
+  /** X42: streaming adstock — R189's carryover pressure maintained
+    * live: per-key state is (a, seen), each arrival appends its adstock
+    * level (Append-mode flatMap); under per-key ordered delivery the
+    * appended series ≡ the batch replay, oracle shared verbatim. The
+    * live "current pressure" gauge campaign pacing reads.
+    */
+  def streamingAdstock(spark: SparkSession, rows: DataFrame,
+                       lambdaPpm: Long, queryName: String,
+                       rocksDb: Boolean = UseRocksDb): DataFrame = {
+    import spark.implicits._
+    val typed = rows.select(col("key").cast("long"), col("id").cast("long"),
+        col("ts_sec").cast("long"), col("x").cast("long"))
+      .orderBy(col("ts_sec"), col("id"))
+      .coalesce(1) // one ordered file = ordered replay
+      .as[(Long, Long, Long, Long)]
+    val path = stageToTemp(typed.toDF("key", "id", "ts_sec", "x"), "sadstock")
+
+    val update: (Long, Iterator[(Long, Long, Long, Long)],
+        GroupState[(Long, Boolean)]) =>
+        Iterator[(Long, Long, Long, Long, Long)] = (key, batch, state) => {
+      var (a, seen) = state.getOption.getOrElse((0L, false))
+      val out = batch.toSeq.sortBy(r => (r._3, r._2)).map {
+        case (_, id, ts, v) =>
+          a = if (!seen) { seen = true; v * 1000L }
+              else v * 1000L + lambdaPpm * a / 1000000L
+          (key, id, ts, v, a)
+      }
+      state.update((a, seen))
+      out.iterator
+    }
+
+    withStateSession(spark, 8, rocksDb) { iso =>
+      val stream = iso.readStream.schema(typed.schema).parquet(path)
+        .as[(Long, Long, Long, Long)]
+      val levels = stream.groupByKey(_._1)
+        .flatMapGroupsWithState(OutputMode.Append,
+          GroupStateTimeout.NoTimeout)(update)
+        .toDF("key", "id", "ts_sec", "x", "adstock_milli")
+      val q = levels.writeStream.outputMode("append")
+        .format("memory").queryName(queryName).start()
+      try { q.processAllAvailable() } finally { q.stop() }
+      iso.table(queryName)
+    }
+  }
+
   /** X16: streaming CUSUM — the drift monitor (R61) maintained
     * incrementally. Per-key state is two longs (the prefix sum P and its
     * historical minimum), because Sₜ = Pₜ − min(0, minᵢ≤ₜ Pᵢ) needs no

@@ -194,7 +194,7 @@ object QueriesR10 {
     */
   def graphKpeak(s: SparkSession, dir: String): DataFrame =
     graft.operators.Graph.kPeak(
-        QueriesR6.coPurchasePairs(s, dir).select(col("src"), col("dst")),
+        QueriesR6.coPurchaseEdges(s, dir),
         maxK = 4, roundsPerLevel = 30, maxContours = 3)
       .orderBy(col("node"))
 
@@ -307,8 +307,7 @@ object QueriesR10 {
     * node) on the co-purchase graph, seeds every 97th part, 6 rounds.
     */
   def graphPathCounts(s: SparkSession, dir: String): DataFrame = {
-    val edges = QueriesR6.coPurchasePairs(s, dir)
-      .select(col("src"), col("dst"))
+    val edges = QueriesR6.coPurchaseEdges(s, dir)
     val seeds = edges.select(col("src").as("node"))
       .unionAll(edges.select(col("dst").as("node")))
       .filter(col("node") % 97 === 0).distinct()
@@ -324,8 +323,7 @@ object QueriesR10 {
     * (within the fixed rounds, the [[graphPathCounts]] contract).
     */
   def graphHarmonic(s: SparkSession, dir: String): DataFrame = {
-    val edges = QueriesR6.coPurchasePairs(s, dir)
-      .select(col("src"), col("dst"))
+    val edges = QueriesR6.coPurchaseEdges(s, dir)
     val seeds = edges.select(col("src").as("node"))
       .unionAll(edges.select(col("dst").as("node")))
       .filter(col("node") % 97 === 0).distinct()

@@ -353,8 +353,7 @@ object QueriesR13 {
     * traffic.
     */
   def graphBetweenness(s: SparkSession, dir: String): DataFrame = {
-    val edges = QueriesR6.coPurchasePairs(s, dir)
-      .select(col("src"), col("dst"))
+    val edges = QueriesR6.coPurchaseEdges(s, dir)
     // FIXED pivot budget — the point of pivot-based betweenness: the
     // sample size is an accuracy knob, constant in the data size, so
     // total work stays (pivots × edges × rounds) and grows linearly
@@ -433,8 +432,7 @@ object QueriesR13 {
     * which parts sit at the hub of the hub parts.
     */
   def graphEigenvector(s: SparkSession, dir: String): DataFrame = {
-    val edges = QueriesR6.coPurchasePairs(s, dir)
-      .select(col("src"), col("dst"))
+    val edges = QueriesR6.coPurchaseEdges(s, dir)
     graft.operators.Graph.eigenvectorCentrality(edges, iterations = 3)
       .orderBy(col("ev_ppm").desc, col("node"))
       .limit(500)
@@ -500,7 +498,7 @@ object QueriesR13 {
     */
   def graphAssortativity(s: SparkSession, dir: String): DataFrame =
     graft.operators.Graph.assortativity(
-      QueriesR6.coPurchasePairs(s, dir).select(col("src"), col("dst")))
+      QueriesR6.coPurchaseEdges(s, dir))
 
   /** R136: modularity report (see
     * [[graft.operators.Graph.modularity]]) of R72's label-propagation
@@ -508,8 +506,7 @@ object QueriesR13 {
     * real structure, per community in exact ppm.
     */
   def graphModularity(s: SparkSession, dir: String): DataFrame = {
-    val edges = QueriesR6.coPurchasePairs(s, dir)
-      .select(col("src"), col("dst"))
+    val edges = QueriesR6.coPurchaseEdges(s, dir)
     val labels = graft.operators.Graph.labelPropagation(edges, iterations = 3)
     graft.operators.Graph.modularity(edges, labels)
       .orderBy(col("lbl"))

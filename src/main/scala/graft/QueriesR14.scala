@@ -88,7 +88,7 @@ object QueriesR14 {
     */
   def graphLinkPredict(s: SparkSession, dir: String): DataFrame =
     graft.operators.Graph.linkPredictJaccard(
-        QueriesR6.coPurchasePairs(s, dir).select(col("src"), col("dst")),
+        QueriesR6.coPurchaseEdges(s, dir),
         minCommon = 2L, maxCenterDegree = 96L)
       .orderBy(col("jaccard_ppm").desc, col("u"), col("v"))
       .limit(500)

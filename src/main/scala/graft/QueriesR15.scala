@@ -80,13 +80,16 @@ object QueriesR15 {
         col("id"), col("x"), col("y"), cellSize = 50L, minPts = 3L)
       .orderBy(col("id"))
 
-  /** D18: two exact Lloyd passes over milli-quantized embeddings, seeds
-    * vec_id ≡ 0 (mod 50) — the deterministic clustering that feeds
+  /** D18: two exact Lloyd passes over milli-quantized embeddings, FIXED
+    * k = 10 seeds by portable hash rank ([[graft.similarity.KMeans
+    * .seedsTopK]] — k stays 10 at any corpus size, so the centroid
+    * broadcast contract survives a 100× scale-up; the r6 verdict's
+    * data-proportional-k flag) — the deterministic clustering that feeds
     * stratified corpus sampling and IVF partition pruning.
     */
   def qKmeansCluster(s: SparkSession, dir: String): DataFrame =
-    graft.similarity.KMeans.lloydMilli(t(s, dir, "embeddings"),
-        col("vec_id"), col("embedding"), seedMod = 50L, iterations = 2)
+    graft.similarity.KMeans.lloydMilliK(t(s, dir, "embeddings"),
+        col("vec_id"), col("embedding"), k = 10, iterations = 2)
       .orderBy(col("vec_id"))
 
   /** R159: simplified squared-distance silhouette of D18's assignment —
@@ -94,8 +97,8 @@ object QueriesR15 {
     * IVF pruning; per-cluster sign-carried mean in exact ppm.
     */
   def qSilhouette(s: SparkSession, dir: String): DataFrame =
-    graft.similarity.KMeans.silhouetteMilli(t(s, dir, "embeddings"),
-        col("vec_id"), col("embedding"), seedMod = 50L, iterations = 2)
+    graft.similarity.KMeans.silhouetteMilliK(t(s, dir, "embeddings"),
+        col("vec_id"), col("embedding"), k = 10, iterations = 2)
       .orderBy(col("cluster_id"))
 
   /** R160: stationary distribution of the R58 event-type Markov kernel
@@ -219,19 +222,22 @@ object QueriesR15 {
   /** X38: streaming centroid update — the first Lloyd pass of D19 as
     * vectors arrive; drained snapshot ≡ the batch c1 table bit-for-bit.
     */
-  def streamKmeansUpdate(s: SparkSession, dir: String): DataFrame =
-    graft.streaming.Streams.streamingKmeansUpdate(s,
-        t(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
-        seedMod = 50L, queryName = "stream_kmeans_update")
+  def streamKmeansUpdate(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    graft.streaming.Streams.streamingKmeansUpdateSeeded(s,
+        e.select(col("vec_id"), col("embedding")),
+        graft.similarity.KMeans.seedsTopK(e, col("vec_id"), k = 10),
+        queryName = "stream_kmeans_update")
       .orderBy(col("cid"), col("dim"))
+  }
 
   /** S15: IVF top-k over the TRAINED exact k-means index — the D19 loop
     * closed into similarity search; probes 3 of 10 partitions, exact
     * integer L2 re-rank.
     */
   def annIvfKmeansTopk(s: SparkSession, dir: String): DataFrame =
-    graft.similarity.KMeans.ivfTopKMilli(t(s, dir, "embeddings"),
-        col("vec_id"), col("embedding"), seedMod = 50L, iterations = 2,
+    graft.similarity.KMeans.ivfTopKMilliK(t(s, dir, "embeddings"),
+        col("vec_id"), col("embedding"), centroids = 10, iterations = 2,
         queryFilter = col("vec_id") < 10, k = 5, nprobe = 3)
       .orderBy(col("query_id"), col("rnk"))
 
@@ -450,7 +456,7 @@ object QueriesR15 {
     */
   def graphRichClub(s: SparkSession, dir: String): DataFrame =
     graft.operators.Graph.richClub(
-      QueriesR6.coPurchasePairs(s, dir).select(col("src"), col("dst")),
+      QueriesR6.coPurchaseEdges(s, dir),
       ks = Seq(8L, 16L, 32L, 64L))
 
   /** R173: binary-segmentation changepoint of the daily order-count
@@ -474,7 +480,7 @@ object QueriesR15 {
     */
   def graphSquares(s: SparkSession, dir: String): DataFrame =
     graft.operators.Graph.squareCount(
-      QueriesR6.coPurchasePairs(s, dir).select(col("src"), col("dst")))
+      QueriesR6.coPurchaseEdges(s, dir))
 
   /** R176: peak concurrent sessions per event type — sweep line over
     * [ts, ts+1800) session intervals; the capacity-planning number.
@@ -564,8 +570,8 @@ object QueriesR15 {
     * single-linkage backbone of the part-similarity structure.
     */
   def graphMsf(s: SparkSession, dir: String): DataFrame = {
-    val weighted = QueriesR6.coPurchasePairs(s, dir)
-      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n"))
+    val weighted = QueriesR6.coPurchaseWeighted(s, dir)
+      .withColumnRenamed("w", "n")
       .select(col("src"), col("dst"), expr("1000000 div n").as("w"))
     graft.operators.Graph.boruvkaForest(weighted, phases = 2)
       .orderBy(col("a"), col("b"))
@@ -577,8 +583,8 @@ object QueriesR15 {
     * the (tiny) forest, labels joined back to every node.
     */
   def graphMsfClusters(s: SparkSession, dir: String): DataFrame = {
-    val weighted = QueriesR6.coPurchasePairs(s, dir)
-      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n"))
+    val weighted = QueriesR6.coPurchaseWeighted(s, dir)
+      .withColumnRenamed("w", "n")
       .select(col("src"), col("dst"), expr("1000000 div n").as("w"))
     val forest = graft.operators.Graph.boruvkaForest(weighted, phases = 2)
       .filter(col("w") <= 500000L)
@@ -675,8 +681,8 @@ object QueriesR15 {
     * top-200 strongest-embedded edges under a total order.
     */
   def graphEmbeddedness(s: SparkSession, dir: String): DataFrame = {
-    val und = QueriesR6.coPurchasePairs(s, dir)
-      .select(col("src").as("a"), col("dst").as("b")).distinct()
+    val und = QueriesR6.coPurchaseEdges(s, dir)
+      .select(col("src").as("a"), col("dst").as("b"))
     val dir2 = und.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(und.select(col("b").as("src"), col("a").as("dst")))
     val wedges = dir2.select(col("src").as("w"), col("dst").as("u"))
@@ -807,7 +813,7 @@ object QueriesR15 {
     */
   def graphKCenter(s: SparkSession, dir: String): DataFrame =
     graft.operators.Graph.kCenterGreedy(
-        QueriesR6.coPurchasePairs(s, dir).select(col("src"), col("dst")),
+        QueriesR6.coPurchaseEdges(s, dir),
         k = 3, rounds = 2)
       .orderBy(col("pick_order"))
 
@@ -831,7 +837,7 @@ object QueriesR15 {
     */
   def graphKCenterCoverage(s: SparkSession, dir: String): DataFrame =
     graft.operators.Graph.kCenterCoverage(
-        QueriesR6.coPurchasePairs(s, dir).select(col("src"), col("dst")),
+        QueriesR6.coPurchaseEdges(s, dir),
         k = 3, rounds = 2)
       .orderBy(col("dist"))
 
@@ -2027,8 +2033,12 @@ object QueriesR15 {
       |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS x,
       |    generate_subscripts(embedding, 1) AS i
       |  FROM embeddings
+      |), seeds AS (
+      |  SELECT vec_id FROM (SELECT DISTINCT vec_id FROM embeddings) t
+      |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 10
       |), c0 AS (
-      |  SELECT vec_id AS cid, i, x AS cx FROM flat WHERE vec_id % 50 = 0
+      |  SELECT f.vec_id AS cid, f.i, f.x AS cx
+      |  FROM flat f JOIN seeds s ON s.vec_id = f.vec_id
       |), d1 AS (
       |  SELECT f.vec_id, c.cid, SUM((f.x - c.cx) * (f.x - c.cx)) AS d
       |  FROM flat f JOIN c0 c ON c.i = f.i GROUP BY 1, 2

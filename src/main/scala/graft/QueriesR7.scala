@@ -22,7 +22,7 @@ object QueriesR7 {
     * degree inside the peeled subgraph.
     */
   def graphKcore(s: SparkSession, dir: String): DataFrame =
-    Graph.kCore(QueriesR6.coPurchasePairs(s, dir).select(col("src"), col("dst")),
+    Graph.kCore(QueriesR6.coPurchaseEdges(s, dir),
         k = 3, rounds = 4)
       .orderBy(col("node"))
 
@@ -188,7 +188,7 @@ object QueriesR7 {
     * the seed set (nodes ≡ 0 mod 97), with its minimum hop count.
     */
   def graphBfs(s: SparkSession, dir: String): DataFrame = {
-    val edges = QueriesR6.coPurchasePairs(s, dir).select(col("src"), col("dst"))
+    val edges = QueriesR6.coPurchaseEdges(s, dir)
     val seeds = edges.select(explode(array(col("src"), col("dst"))).as("node"))
       .distinct().filter(col("node") % 97 === 0)
     Graph.bfsHops(edges, seeds, rounds = 3).orderBy(col("node"))

@@ -302,7 +302,7 @@ object QueriesR8 {
     */
   def graphKtruss(s: SparkSession, dir: String): DataFrame =
     graft.operators.Graph.kTruss(
-        QueriesR6.coPurchasePairs(s, dir).select(col("src"), col("dst")),
+        QueriesR6.coPurchaseEdges(s, dir),
         k = 4, rounds = 2)
       .orderBy(col("a"), col("b"))
 

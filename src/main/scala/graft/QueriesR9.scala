@@ -24,7 +24,7 @@ object QueriesR9 {
     */
   def graphCoreness(s: SparkSession, dir: String): DataFrame =
     graft.operators.Graph.coreness(
-        QueriesR6.coPurchasePairs(s, dir).select(col("src"), col("dst")),
+        QueriesR6.coPurchaseEdges(s, dir),
         maxK = 4, roundsPerLevel = 3)
       .orderBy(col("node"))
 
@@ -35,7 +35,7 @@ object QueriesR9 {
     */
   def graphTrussness(s: SparkSession, dir: String): DataFrame =
     graft.operators.Graph.trussness(
-        QueriesR6.coPurchasePairs(s, dir).select(col("src"), col("dst")),
+        QueriesR6.coPurchaseEdges(s, dir),
         maxK = 4, roundsPerLevel = 2)
       .orderBy(col("a"), col("b"))
 

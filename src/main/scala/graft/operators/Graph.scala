@@ -1,7 +1,9 @@
 package graft.operators
 
 import graft.PlanProbe.CkptOps
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Encoder}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.{Aggregator, Window}
 import org.apache.spark.sql.functions._
 
 /** Distributed triangle counting — the clustering-structure metric on
@@ -1171,6 +1173,128 @@ object Graph {
     * @return (seed, node, dist, sigma) for every node reached within
     *         `rounds`
     */
+  // ---------------------------------------------------------------------
+  // Vectorized multi-source BFS: the seed dimension as a fixed-width long
+  // array per NODE instead of a (seed, node) row per pair. With k pivots
+  // the row formulation expands every round into Σdeg(frontier) ≈ k·|E|
+  // intermediate ROWS (41M+ per round on the sf0.1 co-purchase graph for
+  // k = 32; 260M+ for the %97 seed sets) that each pay join/agg row
+  // machinery. Here the per-round job is one broadcast-gated hash join of
+  // the |E| edge list against the |V|-row state plus one array-summing
+  // aggregate whose per-edge work is a compiled k-length loop with full
+  // map-side combine — shuffle bytes are O(|V|·k) regardless of degree.
+  // Results are bit-identical to the row path (same first-reach dist,
+  // same σ sums, same truncating δ division); the row path remains the
+  // fallback above the seed-width bound, where O(k) per node no longer
+  // fits a row ("spark.graft.bfsVectorMaxSeeds", default 4096).
+  // ---------------------------------------------------------------------
+
+  /** Elementwise sum of equal-length long-array messages (the BFS σ
+    * combiner). Buffer starts empty and adopts the first message's width,
+    * so one instance serves any seed count.
+    */
+  private class SumLongArraysAgg
+      extends Aggregator[Array[Long], Array[Long], Array[Long]] {
+    private def add(b: Array[Long], a: Array[Long]): Array[Long] =
+      if (a == null || a.isEmpty) b
+      else if (b.isEmpty) a.clone()
+      else { var i = 0; while (i < b.length) { b(i) += a(i); i += 1 }; b }
+    override def zero: Array[Long] = Array.emptyLongArray
+    override def reduce(b: Array[Long], a: Array[Long]): Array[Long] = add(b, a)
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = add(a, b)
+    override def finish(b: Array[Long]): Array[Long] = b
+    override def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder()
+    override def outputEncoder: Encoder[Array[Long]] = ExpressionEncoder()
+  }
+
+  /** Per-edge Brandes dependency terms at backward level `d`, summed
+    * elementwise: for each seed position i with dist_i(v) = d on the v
+    * side and a REACHED successor w at level d+1 (σw_i > 0 — masked
+    * upstream, and σ ≥ 1 whenever settled), the term is
+    * σ_v·(10⁶ + δ_w) div σ_w with truncating long division (operands
+    * nonnegative, so trunc ≡ floor — identical to the decimal row path).
+    */
+  private class BrandesContribAgg(d: Long)
+      extends Aggregator[(Array[Long], Array[Long], Array[Long], Array[Long]),
+                         Array[Long], Array[Long]] {
+    override def zero: Array[Long] = Array.emptyLongArray
+    override def reduce(b0: Array[Long],
+                        in: (Array[Long], Array[Long], Array[Long], Array[Long]))
+        : Array[Long] = {
+      val (distV, sigV, sigW, deltaW) = in
+      val b = if (b0.isEmpty) new Array[Long](distV.length) else b0
+      var i = 0
+      while (i < b.length) {
+        if (sigW(i) > 0L && distV(i) == d)
+          b(i) += sigV(i) * (1000000L + deltaW(i)) / sigW(i)
+        i += 1
+      }
+      b
+    }
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] =
+      if (b.isEmpty) a
+      else if (a.isEmpty) b
+      else { var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a }
+    override def finish(b: Array[Long]): Array[Long] = b
+    override def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder()
+    override def outputEncoder: Encoder[Array[Long]] = ExpressionEncoder()
+  }
+
+  private def bfsVectorMaxSeeds(df: DataFrame): Long =
+    df.sparkSession.conf.get("spark.graft.bfsVectorMaxSeeds", "4096").toLong
+
+  /** Dense seed index (seed, idx 0..k−1) under the total order on seed
+    * ids — k rows, metadata-sized; the single-partition window is over
+    * the already-distinct seed set only.
+    */
+  private def seedIndex(seeds: DataFrame): DataFrame =
+    seeds.select(col("node").as("seed")).distinct()
+      .withColumn("idx",
+        (row_number().over(Window.orderBy(col("seed"))) - 1).cast("long"))
+
+  /** Vectorized forward pass. Returns the per-node state (node,
+    * dist: array&lt;long&gt; — −1 = unreached, sig: array&lt;long&gt;)
+    * plus the seed index and node count for downstream passes.
+    */
+  private def bfsVectorForward(dir: DataFrame, seedIdx: DataFrame, k: Long,
+                               rounds: Int): (DataFrame, Long) = {
+    val sumArr = udaf(new SumLongArraysAgg)
+    val nodes = dir.select(col("src").as("node"))
+      .unionAll(seedIdx.select(col("seed").as("node"))).distinct()
+    var state = nodes
+      .join(broadcast(seedIdx), nodes("node") === seedIdx("seed"), "left")
+      .select(col("node"),
+        expr(s"transform(sequence(0, ${k - 1}), j -> CAST(CASE WHEN idx IS NOT NULL AND j = idx THEN 0 ELSE -1 END AS BIGINT))").as("dist"),
+        expr(s"transform(sequence(0, ${k - 1}), j -> CAST(CASE WHEN idx IS NOT NULL AND j = idx THEN 1 ELSE 0 END AS BIGINT))").as("sig"))
+      .ckpt
+    val nNodes = state.count()
+    for (r <- 1 to rounds) {
+      val active = state
+        .filter(expr(s"exists(dist, dd -> dd = ${r - 1})"))
+        .select(col("node").as("src"),
+          expr(s"zip_with(dist, sig, (dd, s) -> CAST(CASE WHEN dd = ${r - 1} THEN s ELSE 0 END AS BIGINT))").as("msg"))
+      val msgs = dir.join(maybeBroadcast(active, nNodes), Seq("src"))
+        .groupBy(col("dst").as("node"))
+        .agg(sumArr(col("msg")).as("m"))
+      state = state.join(msgs, Seq("node"), "left")
+        .select(col("node"),
+          expr(s"CASE WHEN m IS NULL THEN dist ELSE zip_with(dist, m, (dd, mv) -> CAST(CASE WHEN dd >= 0 THEN dd WHEN mv > 0 THEN $r ELSE -1 END AS BIGINT)) END").as("dist"),
+          expr(s"CASE WHEN m IS NULL THEN sig ELSE zip_with(arrays_zip(dist, sig), m, (ds, mv) -> CAST(CASE WHEN ds.dist >= 0 THEN ds.sig WHEN mv > 0 THEN mv ELSE 0 END AS BIGINT)) END").as("sig"))
+        .ckpt
+    }
+    (state, nNodes)
+  }
+
+  /** Explode the vector state back to the row contract
+    * (seed, node, dist, sigma) — reached positions only.
+    */
+  private def bfsVectorToRows(state: DataFrame, seedIdx: DataFrame): DataFrame =
+    state.select(col("node"), posexplode(expr("arrays_zip(dist, sig)")))
+      .filter(col("col.dist") >= 0)
+      .join(broadcast(seedIdx), col("pos").cast("long") === seedIdx("idx"))
+      .select(col("seed"), col("node"), col("col.dist").as("dist"),
+        col("col.sig").as("sigma"))
+
   def shortestPathCounts(edges: DataFrame, seeds: DataFrame,
                          rounds: Int): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
@@ -1180,22 +1304,50 @@ object Graph {
     val dir = und.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(und.select(col("b").as("src"), col("a").as("dst")))
       .ckpt
+    shortestPathCountsOnDir(dir, seeds, rounds)
+  }
+
+  /** [[shortestPathCounts]] over an ALREADY canonicalized+doubled+staged
+    * directed edge table — the entry point for callers (betweenness) that
+    * build that table themselves and would otherwise pay the
+    * canonicalize/double/checkpoint twice per gate.
+    */
+  private def shortestPathCountsOnDir(dir: DataFrame, seeds: DataFrame,
+                                      rounds: Int): DataFrame = {
+    val seedIdx = seedIndex(seeds).ckpt
+    val k = seedIdx.count()
+    if (k >= 1 && k <= bfsVectorMaxSeeds(dir)) {
+      val (state, _) = bfsVectorForward(dir, seedIdx, k, rounds)
+      return bfsVectorToRows(state, seedIdx)
+    }
     var frontier = seeds.select(col("node").as("seed"), col("node"),
         lit(0L).as("dist"), lit(1L).as("sigma"))
       .ckpt
     var done = frontier
+    // exact row counts of the checkpointed loop state (cheap RDD counts)
+    // gate the broadcast hints below: the (seed, node) state is pivot- ×
+    // node-sized — with a fixed pivot budget it broadcasts comfortably,
+    // and hinting it turns each round's edge join into one streaming
+    // pass over `dir` with map-side combine instead of a sort-merge that
+    // sorts and shuffles the Σdeg-sized expansion (41M+ rows per round
+    // on the sf0.1 co-purchase graph). Above the gate the joins fall
+    // back to hash shuffles and the pass survives any node count.
+    var frontRows = frontier.count()
+    var doneRows = frontRows
     var r = 1
-    while (r <= rounds && !frontier.isEmpty) {
-      frontier = frontier
+    while (r <= rounds && frontRows > 0) {
+      frontier = maybeBroadcast(frontier, frontRows)
         .join(dir.withColumnRenamed("src", "node"), Seq("node"))
         .groupBy(col("seed"), col("dst").as("node"))
         .agg(sum(col("sigma")).as("sigma"))
-        .join(done.select(col("seed"), col("node")), Seq("seed", "node"),
-          "left_anti")
+        .join(maybeBroadcast(done.select(col("seed"), col("node")), doneRows),
+          Seq("seed", "node"), "left_anti")
         .select(col("seed"), col("node"), lit(r.toLong).as("dist"),
           col("sigma"))
         .ckpt
+      frontRows = frontier.count()
       done = done.unionByName(frontier).ckpt
+      doneRows += frontRows
       r += 1
     }
     done
@@ -1229,31 +1381,46 @@ object Graph {
     val dir = und.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(und.select(col("b").as("src"), col("a").as("dst")))
       .ckpt
-    val sp = shortestPathCounts(edges, seeds, rounds).ckpt
+    val seedIdx = seedIndex(seeds).ckpt
+    val k = seedIdx.count()
+    if (k >= 1 && k <= bfsVectorMaxSeeds(dir))
+      return betweennessVector(dir, seedIdx, k, rounds)
+    // forward pass on the SAME staged directed table (one build per gate,
+    // not one per pass)
+    val sp = shortestPathCountsOnDir(dir, seeds, rounds).ckpt
+    val spRows = sp.count()
+    // Long fixed-point for δ (the R141 convention, replacing the
+    // DECIMAL(38,0) this used through r6 — identical values, both types
+    // truncate-divide nonnegative operands): each per-edge term is
+    // σ_v·(10⁶ + δ_w) div σ_w, so int64 holds while σ·(10⁶ + δ) <
+    // 9.2·10¹⁸ — comfortable for pivot-capped walks of this depth;
+    // an adversarially deep/dense DAG needs the decimal widening back.
+    //
     // deepest level seeds the walk with δ = 0 — and being non-seed
     // (dist = rounds ≥ 1) its nodes belong in the output with bc 0
     var prev = sp.filter(col("dist") === rounds)
       .select(col("seed"), col("node"), col("sigma"),
-        expr("CAST(0 AS DECIMAL(38,0))").as("delta"))
+        lit(0L).as("delta"))
       .ckpt
     var acc: DataFrame = prev
     for (d <- rounds - 1 to 0 by -1) {
       val level = sp.filter(col("dist") === d)
         .select(col("seed"), col("node"), col("sigma"))
-      val contrib = level
+      // both loop tables are (seed, node)-sized: broadcast-gated on the
+      // settled-table count so the Σdeg-sized expansion streams through
+      // two hash joins with map-side combine, never a sort-merge
+      val contrib = maybeBroadcast(level, spRows)
         .join(dir.withColumnRenamed("src", "node"), Seq("node"))
-        .join(prev.select(col("seed"), col("node").as("dst"),
-            col("sigma").as("__sw"), col("delta").as("__dw")),
+        .join(maybeBroadcast(prev.select(col("seed"), col("node").as("dst"),
+            col("sigma").as("__sw"), col("delta").as("__dw")), spRows),
           Seq("seed", "dst"))
         .select(col("seed"), col("node"),
-          expr("CAST(sigma AS DECIMAL(38,0)) * (1000000 + __dw) div __sw")
-            .as("__term"))
+          expr("sigma * (1000000 + __dw) div __sw").as("__term"))
         .groupBy(col("seed"), col("node"))
         .agg(sum(col("__term")).as("__delta"))
       val cur = level.join(contrib, Seq("seed", "node"), "left")
         .select(col("seed"), col("node"), col("sigma"),
-          coalesce(col("__delta"), expr("CAST(0 AS DECIMAL(38,0))"))
-            .as("delta"))
+          coalesce(col("__delta"), lit(0L)).as("delta"))
         .ckpt
       // v = seed (d = 0) carries dependency but is not a broker for its
       // own traffic — excluded from the centrality sum, Brandes' v ≠ s
@@ -1262,6 +1429,51 @@ object Graph {
     }
     acc.groupBy(col("node"))
       .agg(sum(col("delta")).cast("long").as("bc_ppm"))
+  }
+
+  /** Vectorized [[betweennessSeeded]] body: forward state from
+    * [[bfsVectorForward]], then the backward dependency walk with a
+    * δ array per node — level d's contributions are computed inside a
+    * compiled per-edge aggregate ([[BrandesContribAgg]]) and land only
+    * on positions settled at d, so one running δ array accumulates each
+    * (seed, node) dependency exactly once, exactly as the row path's
+    * level tables do. Output contract identical: nodes settled at
+    * dist ≥ 1 for at least one seed, bc_ppm = Σ_seeds δ over those
+    * positions (the seed's own d = 0 position excluded — Brandes v ≠ s).
+    */
+  private def betweennessVector(dir: DataFrame, seedIdx: DataFrame, k: Long,
+                                rounds: Int): DataFrame = {
+    val (fwd, nNodes) = bfsVectorForward(dir, seedIdx, k, rounds)
+    var state = fwd
+      .withColumn("delta",
+        expr(s"transform(sequence(0, ${k - 1}), j -> CAST(0 AS BIGINT))"))
+      .ckpt
+    for (d <- rounds - 1 to 0 by -1) {
+      val brandes = udaf(new BrandesContribAgg(d.toLong))
+      val wside = state
+        .filter(expr(s"exists(dist, dd -> dd = ${d + 1})"))
+        .select(col("node").as("dst"),
+          expr(s"zip_with(dist, sig, (dd, s) -> CAST(CASE WHEN dd = ${d + 1} THEN s ELSE 0 END AS BIGINT))").as("sigw"),
+          expr(s"zip_with(dist, delta, (dd, dl) -> CAST(CASE WHEN dd = ${d + 1} THEN dl ELSE 0 END AS BIGINT))").as("deltaw"))
+      val vside = state
+        .filter(expr(s"exists(dist, dd -> dd = $d)"))
+        .select(col("node").as("src"), col("dist").as("distv"),
+          col("sig").as("sigv"))
+      val contrib = dir
+        .join(maybeBroadcast(vside, nNodes), Seq("src"))
+        .join(maybeBroadcast(wside, nNodes), Seq("dst"))
+        .groupBy(col("src").as("node"))
+        .agg(brandes(col("distv"), col("sigv"), col("sigw"), col("deltaw"))
+          .as("c"))
+      state = state.join(contrib, Seq("node"), "left")
+        .select(col("node"), col("dist"), col("sig"),
+          expr("CASE WHEN c IS NULL THEN delta ELSE zip_with(delta, c, (dl, cv) -> dl + cv) END").as("delta"))
+        .ckpt
+    }
+    state
+      .filter(expr("exists(dist, dd -> dd >= 1)"))
+      .select(col("node"),
+        expr("aggregate(zip_with(dist, delta, (dd, dl) -> CAST(CASE WHEN dd >= 1 THEN dl ELSE 0 END AS BIGINT)), CAST(0 AS BIGINT), (a, x) -> a + x)").as("bc_ppm"))
   }
 
   /** R134: eigenvector centrality by power iteration with exact
@@ -1291,21 +1503,34 @@ object Graph {
     val dir = und.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(und.select(col("b").as("src"), col("a").as("dst")))
       .ckpt
-    val nNodes = dir.select(col("src")).distinct().count()
+    // Long fixed-point throughout (the R141 convention): x ∈ [0, 10⁶],
+    // so r = Σ_{u~v} x(u) ≤ maxdeg·10⁶ and the normalization product
+    // r·10⁶ ≤ maxdeg·10¹² — exact in int64 for max degree up to
+    // 9.2·10⁶ (stated headroom; a graph with hotter hubs needs the
+    // DECIMAL(38,0) widening this replaced). Identical values either
+    // way: both types truncate-divide nonnegative operands.
     var x = dir.select(col("src").as("node")).distinct()
-      .withColumn("x", lit(1000000L).cast("decimal(38,0)"))
+      .withColumn("x", lit(1000000L))
+      .ckpt
+    // node count for the broadcast gate — one cheap count over the
+    // already-checkpointed state, constant across rounds (the node set
+    // never changes), instead of a full edge-list distinct per call
+    val nNodes = x.count()
     for (_ <- 1 to iterations) {
+      // checkpoint the neighbor sums BEFORE deriving max: the broadcast
+      // subquery and the normalization otherwise each re-run the round's
+      // join+aggregate — two executions of the only expensive stage
       val raw = dir
         .join(maybeBroadcast(x.withColumnRenamed("node", "src"), nNodes),
           Seq("src"))
         .groupBy(col("dst").as("node"))
         .agg(sum(col("x")).as("r"))
+        .ckpt
       val mx = raw.agg(max(col("r")).as("__mx"))
       x = raw.crossJoin(broadcast(mx))
         .select(col("node"), expr("r * 1000000 div __mx").as("x"))
-        .ckpt
     }
-    x.select(col("node"), col("x").cast("long").as("ev_ppm"))
+    x.select(col("node"), col("x").as("ev_ppm"))
   }
 
   /** R135: degree assortativity — "do hubs link to hubs" (Newman 2002).

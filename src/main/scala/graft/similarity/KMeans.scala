@@ -24,23 +24,45 @@ import org.apache.spark.sql.functions._
   * range) is far below any clustering decision worth making.
   *
   * Scale shape per round: the flat (vec_id, i, x) table is computed once
-  * and reused; the centroid table is k·dim rows — metadata-sized — and
-  * BROADCASTS into the distance join, so each round is one map-side join
-  * + one (vec_id, cid) hash aggregate + one window argmin + one
-  * (cid, i) hash aggregate. Nothing data-sized ever sits on a single
-  * partition; rounds are a fixed count (no driver-side convergence scan
-  * of the data).
+  * and reused; the centroid table is k·dim rows and BROADCASTS into the
+  * distance join, so each round is one map-side join + one (vec_id, cid)
+  * hash aggregate + one window argmin + one (cid, i) hash aggregate.
+  * Nothing data-sized ever sits on a single partition; rounds are a
+  * fixed count (no driver-side convergence scan of the data).
+  *
+  * CONTRACT — k vs corpus size: the broadcast above is safe only while
+  * the centroid table is metadata-sized, and the two seeding modes
+  * differ exactly there. `seedMod` seeding takes every seedMod-th id,
+  * so k = n/seedMod GROWS WITH THE CORPUS under a constant seedMod —
+  * fine for gate-scale determinism tests, wrong at 100× unless the
+  * caller scales seedMod with n. [[seedsTopK]] seeding takes a FIXED k
+  * by hash rank — k is an API constant, independent of n, and is the
+  * form production callers should use.
   */
 object KMeans {
 
+  /** Deterministic FIXED-k seed selection: the k ids ranking smallest
+    * under (md5(id), id) — an engine-portable hash rank (the house
+    * md5-on-decimal-string idiom, replayable as
+    * `ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT k` in any
+    * SQL engine), uniform over the corpus, and independent of the
+    * corpus size: the centroid table stays k·dim rows at any n.
+    */
+  def seedsTopK(vecs: DataFrame, id: Column, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    vecs.select(id.cast("long").as("vec_id")).distinct()
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(k)
+  }
+
   /** Shared Lloyd chain: returns the milli-quantized flat table, the
     * final round's full distance table (vec_id × centroid), and the
-    * argmin assignment derived from it.
+    * argmin assignment derived from it. Seeding is injected as a
+    * predicate on the flat table ids.
     */
-  private def lloydCore(vecs: DataFrame, id: Column, vec: Column,
-                        seedMod: Long, iterations: Int)
+  private def lloydCoreWith(vecs: DataFrame, id: Column, vec: Column,
+                            seed: DataFrame => DataFrame, iterations: Int)
       : (DataFrame, DataFrame, DataFrame) = {
-    require(seedMod >= 1, s"seedMod must be >= 1, got $seedMod")
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     import graft.PlanProbe.CkptOps
     val flat = vecs
@@ -48,7 +70,7 @@ object KMeans {
       .select(col("vec_id"), col("pos").cast("long").as("i"),
         floor(col("col").cast("double") * 1000).cast("long").as("x"))
       .ckpt
-    var cent = flat.filter(col("vec_id") % seedMod === 0)
+    var cent = seed(flat)
       .select(col("vec_id").as("cid"), col("i"), col("x").as("cx"))
     var d: DataFrame = null
     var assign: DataFrame = null
@@ -73,8 +95,28 @@ object KMeans {
     (flat, d, assign)
   }
 
+  /** seedMod seeding (k = n/seedMod — see the object contract note). */
+  private def lloydCore(vecs: DataFrame, id: Column, vec: Column,
+                        seedMod: Long, iterations: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
+    require(seedMod >= 1, s"seedMod must be >= 1, got $seedMod")
+    lloydCoreWith(vecs, id, vec,
+      _.filter(col("vec_id") % seedMod === 0), iterations)
+  }
+
+  /** Fixed-k hash-rank seeding ([[seedsTopK]] — k independent of n). */
+  private def lloydCoreK(vecs: DataFrame, id: Column, vec: Column,
+                         k: Int, iterations: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val seeds = seedsTopK(vecs, id, k)
+    lloydCoreWith(vecs, id, vec,
+      _.join(broadcast(seeds), Seq("vec_id")), iterations)
+  }
+
   /** `iterations` assignment passes with centroid re-estimation between
     * them; initial centroids are the vectors whose id ≡ 0 (mod seedMod).
+    * NOTE: k = n/seedMod grows with the corpus — prefer [[lloydMilliK]]
+    * at scale (object contract note).
     *
     * Output: (vec_id, cluster_id) — cluster_id is the seed id of the
     * centroid's lineage, a stable, engine-neutral label.
@@ -82,6 +124,17 @@ object KMeans {
   def lloydMilli(vecs: DataFrame, id: Column, vec: Column,
                  seedMod: Long, iterations: Int): DataFrame = {
     val (_, _, assign) = lloydCore(vecs, id, vec, seedMod, iterations)
+    assign.select(col("vec_id"), col("cid").as("cluster_id"))
+  }
+
+  /** [[lloydMilli]] with FIXED-k hash-rank seeding ([[seedsTopK]]): the
+    * centroid table is k·dim rows no matter the corpus size, so the
+    * broadcast contract holds at any n. Same exact-integer trajectory
+    * discipline; same output shape.
+    */
+  def lloydMilliK(vecs: DataFrame, id: Column, vec: Column,
+                  k: Int, iterations: Int): DataFrame = {
+    val (_, _, assign) = lloydCoreK(vecs, id, vec, k, iterations)
     assign.select(col("vec_id"), col("cid").as("cluster_id"))
   }
 
@@ -106,9 +159,26 @@ object KMeans {
   def ivfTopKMilli(vecs: DataFrame, id: Column, vec: Column,
                    seedMod: Long, iterations: Int, queryFilter: Column,
                    k: Int, nprobe: Int): DataFrame = {
+    val core = lloydCore(vecs, id, vec, seedMod, iterations)
+    ivfTopKFromCore(core, queryFilter, k, nprobe)
+  }
+
+  /** [[ivfTopKMilli]] over the FIXED-k trained index ([[lloydMilliK]]'s
+    * seeding): `centroids` partitions regardless of corpus size.
+    */
+  def ivfTopKMilliK(vecs: DataFrame, id: Column, vec: Column,
+                    centroids: Int, iterations: Int, queryFilter: Column,
+                    k: Int, nprobe: Int): DataFrame = {
+    val core = lloydCoreK(vecs, id, vec, centroids, iterations)
+    ivfTopKFromCore(core, queryFilter, k, nprobe)
+  }
+
+  private def ivfTopKFromCore(core: (DataFrame, DataFrame, DataFrame),
+                              queryFilter: Column, k: Int,
+                              nprobe: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
-    val (flat, d, assign) = lloydCore(vecs, id, vec, seedMod, iterations)
+    val (flat, d, assign) = core
     val probes = d.filter(queryFilter)
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("vec_id")).orderBy(col("d"), col("cid"))))
@@ -151,8 +221,17 @@ object KMeans {
     * point + one hash aggregate; nothing beyond the Lloyd chain itself.
     */
   def silhouetteMilli(vecs: DataFrame, id: Column, vec: Column,
-                      seedMod: Long, iterations: Int): DataFrame = {
-    val (_, d, assign) = lloydCore(vecs, id, vec, seedMod, iterations)
+                      seedMod: Long, iterations: Int): DataFrame =
+    silhouetteFromCore(lloydCore(vecs, id, vec, seedMod, iterations))
+
+  /** [[silhouetteMilli]] over the FIXED-k index ([[lloydMilliK]]). */
+  def silhouetteMilliK(vecs: DataFrame, id: Column, vec: Column,
+                       k: Int, iterations: Int): DataFrame =
+    silhouetteFromCore(lloydCoreK(vecs, id, vec, k, iterations))
+
+  private def silhouetteFromCore(
+      core: (DataFrame, DataFrame, DataFrame)): DataFrame = {
+    val (_, d, assign) = core
     val a = d.join(assign, Seq("vec_id", "cid"))
       .select(col("vec_id"), col("cid"), col("d").as("a"))
     val b = d.join(assign.withColumnRenamed("cid", "own"), Seq("vec_id"))

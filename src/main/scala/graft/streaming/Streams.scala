@@ -1817,17 +1817,27 @@ object Streams {
   }
 
   /** X38: streaming k-means centroid update — the first Lloyd pass of
-    * D19 as vectors arrive. The SEED centroids are fixed up front
-    * (collected to the driver — k·dim longs, metadata-sized, baked into
-    * the plan as a literal array), so each arrival's assignment is a
-    * PURE per-row expression: distances via `zip_with`+`aggregate` over
-    * the literal, argmin via `array_min` on (dist, cid) structs — the
-    * (d, cid) struct order IS the house tie-break, no window, no state.
+    * D19 as vectors arrive. The SEED centroids stay a DataFrame: the
+    * static side folds them into ONE row (`collect_list` of (cid, cx)
+    * structs) that broadcast-cross-joins into the stream — executor
+    * memory only, no driver collect, and the query PLAN carries no
+    * literal that grows with the corpus (the r6 verdict's scale flag:
+    * the literal formulation embedded every seed in the plan, a driver
+    * OOM at 10⁹ vectors; a spec now pins the plan-literal shape).
+    * Each arrival's assignment is still a PURE per-row expression:
+    * distances via `zip_with`+`aggregate` over the joined array, argmin
+    * via `array_min` on (dist, cid) structs — the (d, cid) struct order
+    * IS the house tie-break, no window, no per-key state.
     * The only stateful stage is the (cid, dim) running-sum aggregate —
     * O(k·dim) state regardless of stream length, order-independent by
     * commutativity, drained in complete mode. Post-drain the snapshot
     * reduces to centroids by the sign-carried integer mean, identical
     * to the batch c1 table bit-for-bit.
+    *
+    * Scale note: the one-row centroid array is k·dim longs on the
+    * executors — the same working set the batch Lloyd broadcast join
+    * carries; pair a data-proportional corpus with a FIXED k seeding
+    * ([[graft.similarity.KMeans.seedsTopK]]) so it stays metadata-sized.
     *
     * @param vecs (vec_id, embedding: array&lt;float&gt;)
     * @return (cid, dim (1-based), cx_milli) — the updated centroids
@@ -1835,18 +1845,36 @@ object Streams {
   def streamingKmeansUpdate(spark: SparkSession, vecs: DataFrame,
                             seedMod: Long, queryName: String): DataFrame = {
     require(seedMod >= 1, s"seedMod must be >= 1, got $seedMod")
+    streamingKmeansUpdateWith(spark, vecs,
+      _.filter(col("vec_id") % seedMod === 0), queryName)
+  }
+
+  /** [[streamingKmeansUpdate]] seeded by an explicit id set — the
+    * fixed-k production form (pair with
+    * [[graft.similarity.KMeans.seedsTopK]]).
+    */
+  def streamingKmeansUpdateSeeded(spark: SparkSession, vecs: DataFrame,
+                                  seeds: DataFrame,
+                                  queryName: String): DataFrame =
+    streamingKmeansUpdateWith(spark, vecs,
+      _.join(broadcast(seeds.select(col("vec_id"))), Seq("vec_id")),
+      queryName)
+
+  private def streamingKmeansUpdateWith(spark: SparkSession, vecs: DataFrame,
+                                        seed: DataFrame => DataFrame,
+                                        queryName: String): DataFrame = {
     val arr = vecs.select(col("vec_id").cast("long").as("vec_id"),
       transform(col("embedding").cast("array<double>"),
         x => floor(x * 1000).cast("long")).as("xs"))
-    val seeds = arr.filter(col("vec_id") % seedMod === 0)
-      .collect().map(r => (r.getLong(0), r.getSeq[Long](1)))
-    require(seeds.nonEmpty, "no seed centroids under seedMod")
-    val centLit = array(seeds.map { case (cid, v) =>
-      struct(lit(cid).as("cid"), array(v.map(lit): _*).as("cx"))
-    }: _*)
+    // one-row static side: the centroid set as data, never a plan literal
+    val seedSet = seed(arr)
+    require(!seedSet.isEmpty, "no seed centroids under the seed rule")
+    val centRow = seedSet
+      .agg(sort_array(collect_list(struct(col("vec_id").as("cid"),
+        col("xs").as("cx")))).as("__cents"))
     val path = stageToTemp(arr, "skmeans")
     val s = spark.readStream.schema(arr.schema).parquet(path)
-    val assigned = s.withColumn("__cents", centLit)
+    val assigned = s.crossJoin(broadcast(centRow))
       .withColumn("__best", array_min(expr(
         """transform(__cents, c -> struct(
           |  aggregate(zip_with(xs, c.cx, (a, b) -> (a - b) * (a - b)),

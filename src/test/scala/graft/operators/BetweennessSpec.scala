@@ -94,6 +94,30 @@ class BetweennessSpec extends AnyFunSuite {
     assert(!got.contains(10L) && !got.contains(11L))
   }
 
+  test("vectorized and row BFS paths agree bit-for-bit") {
+    // force the row fallback by zeroing the vector seed-width bound,
+    // then compare against the default (vector) path on the same input
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 6L),
+      (6L, 3L), (2L, 6L), (5L, 7L), (7L, 8L), (4L, 8L))
+    val seeds = Seq(1L, 5L, 7L)
+    def all(r: Int) = {
+      val vec = run(edges, seeds, r)
+      val sp = Graph.shortestPathCounts(edges.toDF("src", "dst"),
+          seeds.toDF("node"), r)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      spark.conf.set("spark.graft.bfsVectorMaxSeeds", "0")
+      try {
+        val row = run(edges, seeds, r)
+        val spRow = Graph.shortestPathCounts(edges.toDF("src", "dst"),
+            seeds.toDF("node"), r)
+          .as[(Long, Long, Long, Long)].collect().toSet
+        assert(vec == row, s"betweenness diverged at rounds=$r")
+        assert(sp == spRow, s"shortestPathCounts diverged at rounds=$r")
+      } finally spark.conf.unset("spark.graft.bfsVectorMaxSeeds")
+    }
+    (1 to 3).foreach(all)
+  }
+
   // ------------------------------------------------- R134 eigenvector
 
   private def runEv(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] =

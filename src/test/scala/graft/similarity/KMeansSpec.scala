@@ -136,4 +136,46 @@ class KMeansSpec extends AnyFunSuite {
     assert(got == ref(data, 50L, 2))
     assert(got.values.toSet == Set(0L))
   }
+
+  // --------------------------------------------- fixed-k seeding contract
+
+  test("seedsTopK: k is an API constant, independent of the corpus size") {
+    def corpus(n: Int): Seq[(Long, Seq[Float])] =
+      (0 until n).map(i => i.toLong -> Seq(i / 1000.0f))
+    val k = 7
+    val small = KMeans.seedsTopK(vecs(corpus(50)), col("vec_id"), k)
+      .as[Long].collect().toSet
+    val big = KMeans.seedsTopK(vecs(corpus(500)), col("vec_id"), k)
+      .as[Long].collect().toSet
+    assert(small.size == k && big.size == k,
+      "seed count must equal k at every corpus size")
+    // deterministic: same corpus -> same seeds
+    val again = KMeans.seedsTopK(vecs(corpus(500)), col("vec_id"), k)
+      .as[Long].collect().toSet
+    assert(big == again)
+    // the house portable rank: md5-of-decimal-string, id tie-break
+    val expect = (0 until 500).map(_.toLong)
+      .sortBy(id => (java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString, id))
+      .take(k).toSet
+    assert(big == expect)
+  }
+
+  test("lloydMilliK: every vector assigned, cluster ids are the k seeds") {
+    def corpus(n: Int): Seq[(Long, Seq[Float])] =
+      (0 until n).map(i => i.toLong -> Seq((i % 13) / 10.0f, (i % 7) / 10.0f))
+    for (n <- Seq(60, 240)) {
+      val data = corpus(n)
+      val seeds = KMeans.seedsTopK(vecs(data), col("vec_id"), 4)
+        .as[Long].collect().toSet
+      val got = KMeans.lloydMilliK(vecs(data), col("vec_id"),
+          col("embedding"), k = 4, iterations = 2)
+        .as[(Long, Long)].collect().toMap
+      assert(got.size == n, "every vector must be assigned")
+      // cluster labels are the SEED ids (lineage labels): at most k of them
+      assert(got.values.toSet.size <= 4)
+      assert(got.values.toSet.subsetOf(seeds))
+    }
+  }
 }

@@ -1,0 +1,228 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.Bpe
+import graft.sources.Tables
+
+/** Round-7 surface growth: true BPE tokenization (T34 — the r6 verdict's
+  * top text gap) with the token-budget operators re-pointed at trained
+  * subword counts (T9b packing, T24b mixture), cross-document repeated-
+  * span detection (D21 — the cut-list half of the Lee et al. exact-
+  * substring pass), and schema-evolving union (R80). House contract as
+  * everywhere: integer/string outputs, deterministic total orders, every
+  * gate a bit-exact hash compare against DuckDB.
+  */
+object QueriesR16 {
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** BPE merge budget shared by the Scala gates and the generated
+    * oracle SQL. Small on purpose: the gate corpus has a ~31-word
+    * vocabulary, so 24 merges leaves both multi-token and fully-merged
+    * words in play (a production run would use 30k+).
+    */
+  val bpeMerges = 24
+
+  // One training per (SparkContext, data dir): the merges and end-state
+  // tables are vocabulary-sized and ckpt'd, and FOUR gates consume them
+  // (merges, tokenize, pack, mixture) — the coPurchaseWeighted staging
+  // idiom applied to the tokenizer. At production scale this is the
+  // "train once, broadcast the vocab everywhere" deployment shape.
+  private val bpeMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, String),
+      (DataFrame, DataFrame)]()
+
+  private def bpeTrained(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) =
+    bpeMemo.computeIfAbsent((s.sparkContext.applicationId, dir), _ =>
+      Bpe.train(t(s, dir, "documents"), col("text"), bpeMerges))
+
+  /** Per-doc (doc_id, source, n_bpe) off the shared trained state. */
+  private def bpeDocCounts(s: SparkSession, dir: String): DataFrame = {
+    val (_, endState) = bpeTrained(s, dir)
+    val nSub = endState.groupBy(col("w")).agg(count(lit(1)).as("n_sub"))
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        explode(split(col("text"), " ")).as("w"))
+      .join(broadcast(nSub), Seq("w"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(sum(col("n_sub")).as("n_bpe"))
+  }
+
+  /** T34: the trained BPE merges table — rank order IS the tokenizer
+    * (see [[graft.operators.Bpe]]); the oracle replays the identical
+    * training loop as an unrolled chained-CTE pyramid.
+    */
+  def textBpeMerges(s: SparkSession, dir: String): DataFrame = {
+    val (merges, _) = bpeTrained(s, dir)
+    merges.orderBy(col("mrank"))
+  }
+
+  /** T34: per-document token accounting under the trained tokenizer —
+    * whitespace count next to BPE subword count, the honest budget
+    * basis for every token-budget operator.
+    */
+  def textBpeTokenize(s: SparkSession, dir: String): DataFrame = {
+    val (_, endState) = bpeTrained(s, dir)
+    val nSub = endState.groupBy(col("w")).agg(count(lit(1)).as("n_sub"))
+    t(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .join(broadcast(nSub), Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_ws"), sum(col("n_sub")).as("n_bpe"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** T9b: sequence packing re-pointed at BPE token counts — T9's
+    * greedy per-source cumulative packing, budgeting in the units an
+    * LLM consumes (the r6 verdict: whitespace budgets mis-size real
+    * batches 20–40%). Budget 512 subwords per chunk.
+    */
+  def textPackBpe(s: SparkSession, dir: String): DataFrame = {
+    val budget = 512L
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bpeDocCounts(s, dir)
+      .withColumn("cum", sum(col("n_bpe")).over(w))
+      .select(col("doc_id"), col("source"), col("n_bpe"),
+        ((col("cum") - col("n_bpe")) / budget).cast("long").as("chunk_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** T24b: mixture materialization re-pointed at BPE token counts —
+    * T24's hash-shuffled per-source budget fill over n_bpe (budgets
+    * scaled 2× vs the whitespace form since subword counts run higher).
+    */
+  def textMixtureBpe(s: SparkSession, dir: String): DataFrame = {
+    val d = bpeDocCounts(s, dir)
+      .withColumn("budget",
+        when(substring(col("source"), 4, 10).cast("long") % 2 === 0, 1600L)
+          .otherwise(400L))
+    graft.operators.Sampling.mixtureSelect(d, col("source"), col("doc_id"),
+        col("n_bpe"), col("budget"))
+      .select(col("source"), col("doc_id"), col("n_bpe"), col("cum_before"))
+      .orderBy(col("source"), col("doc_id"))
+  }
+
+  /** D21: cross-document repeated-span cut list (see
+    * [[graft.dedup.Dedup.repeatedSpans]]) — maximal token ranges that
+    * repeat text seen earlier in the corpus (keep-first rule), 8-token
+    * windows; the spans a dedup pass removes, complementing D14's
+    * pairwise overlap report.
+    */
+  def dedupRepeatedSpans(s: SparkSession, dir: String): DataFrame =
+    graft.dedup.Dedup.repeatedSpans(t(s, dir, "documents"),
+        col("doc_id"), col("text"), w = 8)
+      .orderBy(col("doc_id"), col("span_start"))
+
+  /** R80: schema-evolving union — unionByName with allowMissingColumns,
+    * the relational form of "append a table whose schema drifted"
+    * (columns matched BY NAME, absent columns null-filled); the id-gap
+    * filler the r6 verdict flagged. Split orders by key parity into a
+    * narrow v1 and a wider v2 and re-unify.
+    */
+  def qUnionEvolve(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val v1 = o.filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val v2 = o.filter(col("o_orderkey") % 2 === 1)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    v1.unionByName(v2, allowMissingColumns = true)
+      .orderBy(col("o_orderkey"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_bpe_merges" -> (textBpeMerges _),
+    "text_bpe_tokenize" -> (textBpeTokenize _),
+    "text_pack_bpe" -> (textPackBpe _),
+    "text_mixture_bpe" -> (textMixtureBpe _),
+    "dedup_repeated_spans" -> (dedupRepeatedSpans _),
+    "q_union_evolve" -> (qUnionEvolve _))
+
+  /** Shared oracle prefix: the BPE training pyramid + per-(doc, source)
+    * subword counts, as chained CTE text.
+    */
+  private def bpeDocCte: String =
+    s"""${Bpe.oracleCtes("documents", "text", bpeMerges)},
+       |${Bpe.nsubCte(bpeMerges)},
+       |db AS (
+       |  SELECT doc_id, source, CAST(SUM(n_sub) AS BIGINT) AS n_bpe
+       |  FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
+       |        FROM documents) dw
+       |  JOIN ns USING (w) GROUP BY doc_id, source
+       |)""".stripMargin
+
+  val sql: Map[String, String] = Map(
+    "text_bpe_merges" ->
+      Bpe.mergesOracle("documents", "text", bpeMerges),
+    "text_bpe_tokenize" ->
+      Bpe.tokenCountsOracle("documents", "doc_id", "text", bpeMerges),
+    "text_pack_bpe" ->
+      s"""WITH $bpeDocCte
+         |SELECT doc_id, source, n_bpe,
+         |  CAST((cum - n_bpe) // 512 AS BIGINT) AS chunk_id
+         |FROM (
+         |  SELECT doc_id, source, n_bpe,
+         |    SUM(n_bpe) OVER (PARTITION BY source ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM db) p
+         |ORDER BY doc_id""".stripMargin,
+    "text_mixture_bpe" ->
+      s"""WITH $bpeDocCte,
+         |d AS (
+         |  SELECT source, doc_id, n_bpe,
+         |    CASE WHEN CAST(substr(source, 4) AS BIGINT) % 2 = 0
+         |      THEN 1600 ELSE 400 END AS budget,
+         |    md5(CAST(doc_id AS VARCHAR)) AS h
+         |  FROM db
+         |), c AS (
+         |  SELECT source, doc_id, n_bpe, budget,
+         |    CAST(COALESCE(SUM(n_bpe) OVER (
+         |      PARTITION BY source ORDER BY h, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS cum_before
+         |  FROM d
+         |)
+         |SELECT source, doc_id, n_bpe, cum_before FROM c
+         |WHERE cum_before < budget
+         |ORDER BY source, doc_id""".stripMargin,
+    "dedup_repeated_spans" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+        |), g AS (
+        |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS p,
+        |         array_to_string(list_slice(tk, i, i + 7), ' ') AS g
+        |  FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 7)) AS i
+        |        FROM tok WHERE len(tk) >= 8)
+        |), dup AS (
+        |  SELECT doc_id, p FROM (
+        |    SELECT doc_id, p,
+        |           ROW_NUMBER() OVER (PARTITION BY g ORDER BY doc_id, p) AS rn,
+        |           COUNT(*) OVER (PARTITION BY g) AS n
+        |    FROM g) WHERE n > 1 AND rn > 1
+        |), br AS (
+        |  SELECT doc_id, p,
+        |         CASE WHEN lag(p) OVER (PARTITION BY doc_id ORDER BY p) IS NULL
+        |              OR p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) > 8
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM dup
+        |), gr AS (
+        |  SELECT doc_id, p, SUM(brk) OVER (PARTITION BY doc_id ORDER BY p
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+        |  FROM br
+        |)
+        |SELECT doc_id, CAST(MIN(p) AS BIGINT) AS span_start,
+        |       CAST(MAX(p) + 7 AS BIGINT) AS span_end,
+        |       CAST(MAX(p) + 8 - MIN(p) AS BIGINT) AS span_tokens
+        |FROM gr GROUP BY doc_id, grp
+        |ORDER BY doc_id, span_start""".stripMargin,
+    "q_union_evolve" ->
+      """SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 2 = 0
+        |UNION ALL BY NAME
+        |SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |WHERE o_orderkey % 2 = 1
+        |ORDER BY o_orderkey""".stripMargin)
+}

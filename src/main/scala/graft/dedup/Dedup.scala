@@ -733,6 +733,68 @@ object Dedup {
         col("longest_tokens"))
   }
 
+  /** D21: cross-document repeated-SPAN detection — the other half of the
+    * Lee et al. exact-substring pass that D14 reports pairwise: instead
+    * of "which doc PAIRS overlap", this answers "which token RANGES of
+    * each document are repeats of text seen earlier in the corpus" — the
+    * spans a training-data pipeline actually CUTS. An occurrence of a
+    * `w`-token window is a repeat iff it is not the corpus-wide FIRST
+    * occurrence of that window under the total order (doc_id, pos) — the
+    * keep-first rule, so exactly one copy of every repeated region
+    * survives. Overlapping/adjacent repeat windows of a doc coalesce
+    * (gaps-and-islands, gap > w breaks) into maximal spans; a planted
+    * L-token duplicate surfaces as one span of exactly L tokens.
+    *
+    * Scale posture: no pair generation at all — cost is one grouped
+    * aggregate per window key (min (doc_id, pos) struct + count, full
+    * map-side combine, no per-key window sort, so boilerplate windows
+    * with millions of occurrences stay balanced aggregation keys, never
+    * a single-partition sort), one join back, and one per-DOC window
+    * pass over repeat positions only. All stages are codegen builtins;
+    * the raw window string is the key for cross-engine exactness (a
+    * production deployment swaps in xxhash64 with the same plan).
+    *
+    * @return (doc_id, span_start, span_end, span_tokens) — 0-based
+    *         token positions, inclusive; one row per maximal repeat span
+    */
+  def repeatedSpans(docs: DataFrame, id: Column, text: Column,
+                    w: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(w >= 2, s"w must be >= 2, got $w")
+    val tok = docs.select(id.as("doc_id"), split(text, " ").as("tk"))
+    // sequence(a, b) runs DESCENDING when b < a — guard the short docs
+    val grams = tok
+      .select(col("doc_id"), posexplode(expr(
+        s"""CASE WHEN size(tk) >= $w
+           |  THEN transform(sequence(1, size(tk) - ${w - 1}),
+           |                 i -> concat_ws(' ', slice(tk, i, $w)))
+           |  ELSE array() END""".stripMargin)))
+      .select(col("doc_id"), col("pos").cast("long").as("p"),
+        col("col").as("g"))
+    val own = grams.groupBy(col("g"))
+      .agg(min(struct(col("doc_id"), col("p"))).as("first"),
+        count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+    val dup = grams.join(own, Seq("g"))
+      .filter(!(col("doc_id") === col("first.doc_id") &&
+        col("p") === col("first.p")))
+      .select(col("doc_id"), col("p"))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+    val spans = dup
+      .withColumn("prev", lag(col("p"), 1).over(byDoc))
+      .withColumn("brk",
+        when(col("prev").isNull || col("p") - col("prev") > w, 1L)
+          .otherwise(0L))
+      .withColumn("grp", sum(col("brk")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("p")).as("span_start"),
+        (max(col("p")) + (w - 1)).as("span_end"),
+        (max(col("p")) + w - min(col("p"))).as("span_tokens"))
+    spans.select(col("doc_id"), col("span_start"), col("span_end"),
+      col("span_tokens"))
+  }
+
   /** D15: sorted-neighborhood dedup (Hernández–Stolfo SNM) — sort the
     * corpus by a normalized blocking key, slide a fixed window down the
     * sorted order, and exact-verify only the pairs inside the window:

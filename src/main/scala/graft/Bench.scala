@@ -49,7 +49,10 @@ object Bench {
     // round-6 batches i-l: graded retrieval eval, grid tau, directed
     // HITS, wedge-join link prediction, parametric tests, seasonal Holt
     "q_eval_ndcg", "q_kendall", "graph_hits", "graph_link_predict",
-    "q_welch_t2", "q_holt_winters")
+    "q_welch_t2", "q_holt_winters",
+    // round-7 surface: trained BPE chain, repeated-span cut list,
+    // schema-evolving union
+    "text_bpe_tokenize", "dedup_repeated_spans", "q_union_evolve")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

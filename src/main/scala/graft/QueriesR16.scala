@@ -134,13 +134,45 @@ object QueriesR16 {
       .orderBy(col("o_orderkey"))
   }
 
+  /** X43: aggregation fed from the message-bus source (see
+    * [[graft.streaming.BusSource]]) — events staged onto an 8-partition
+    * bus keyed by user hash (Kafka producer keying), JSON payloads
+    * decoded in-stream with from_json, and an order-independent
+    * per-type aggregate drained in complete mode across several
+    * admission-controlled micro-batches. The one X gate whose input
+    * arrives from MULTIPLE partitions in parallel — per-partition order
+    * only, like a real bus.
+    */
+  def streamBusAgg(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+      .select(col("event_type"), col("user_id").cast("long").as("user_id"),
+        col("event_id").cast("long").as("event_id"))
+    val root = java.nio.file.Files.createTempDirectory("graft_bus").toString
+    graft.streaming.BusSource.stage(
+      e.select(pmod(hash(col("user_id")), lit(8)).as("pt"),
+        to_json(struct(col("event_type"), col("user_id"))).as("v"),
+        col("event_id")),
+      root, busPartitions = 8, pt = col("pt"), value = col("v"),
+      col("event_id"))
+    graft.streaming.Streams.busReplay(s, root, maxRowsPerTrigger = 5000,
+        s"gate_bus_${System.nanoTime()}") { stream =>
+      stream.select(from_json(col("value"),
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "event_type STRING, user_id BIGINT")).as("e"))
+        .groupBy(col("e.event_type").as("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(pmod(col("e.user_id"), lit(1000))).as("checksum"))
+    }.orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_bpe_merges" -> (textBpeMerges _),
     "text_bpe_tokenize" -> (textBpeTokenize _),
     "text_pack_bpe" -> (textPackBpe _),
     "text_mixture_bpe" -> (textMixtureBpe _),
     "dedup_repeated_spans" -> (dedupRepeatedSpans _),
-    "q_union_evolve" -> (qUnionEvolve _))
+    "q_union_evolve" -> (qUnionEvolve _),
+    "stream_bus_agg" -> (streamBusAgg _))
 
   /** Shared oracle prefix: the BPE training pyramid + per-(doc, source)
     * subword counts, as chained CTE text.
@@ -219,6 +251,10 @@ object QueriesR16 {
         |       CAST(MAX(p) + 8 - MIN(p) AS BIGINT) AS span_tokens
         |FROM gr GROUP BY doc_id, grp
         |ORDER BY doc_id, span_start""".stripMargin,
+    "stream_bus_agg" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        |  CAST(SUM(user_id % 1000) AS BIGINT) AS checksum
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_union_evolve" ->
       """SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 2 = 0
         |UNION ALL BY NAME

@@ -1,0 +1,150 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** F14: Delta Lake table reader — open-table-format interop from the
+  * PUBLIC Delta transaction-log protocol (delta.io PROTOCOL.md: a table
+  * is a directory of parquet data files plus `_delta_log/` holding
+  * ordered JSON commit files `%020d.json`, optionally compacted into
+  * `%020d.checkpoint.parquet` files). Lakehouse users arrive with Delta
+  * tables (the r6 verdict's interop gap); this reads them with zero
+  * extra dependencies — the log is JSON (parsed by Spark's own json
+  * reader) and the checkpoint is parquet.
+  *
+  * Protocol subset honored (the read path):
+  *  - `metaData`: schemaString (Spark JSON schema) + partitionColumns;
+  *    the LAST metaData wins (schema evolution).
+  *  - `add`: data file path + partitionValues; `remove`: the path
+  *    leaves the live set. Replay order = version order; the protocol
+  *    guarantees a path is not both added and removed in one commit.
+  *  - checkpoint: a parquet file of the same actions pre-folded;
+  *    replay starts from the newest checkpoint ≤ the requested version
+  *    and applies only later JSON commits (how real readers bound log
+  *    replay). Tombstones in the checkpoint fold as removes — a no-op
+  *    on the live set, kept only for protocol fidelity.
+  *  - `versionAsOf`: time travel by stopping the replay early.
+  *
+  * Scale shape: the log (file METADATA) is driver-side — bounded by
+  * file count like the house manifest ([[graft.layout.FileManifest]],
+  * stated bound ~10⁶ files), never by data size. Data reading is one
+  * `spark.read.schema(...).parquet(files*)` per partition-value GROUP
+  * (partition columns live in the log, not the files — they re-enter
+  * as typed literals, Spark's own partitioned-read shape), so scans
+  * stay parallel, pruned, and pushdown-capable; `partitionFilter`
+  * drops file groups BEFORE any scan is planned — the log IS the
+  * partition index.
+  */
+object DeltaLog {
+
+  /** One live data file after log replay. */
+  final case class LiveFile(path: String, partitionValues: Map[String, String])
+
+  /** Replayed table state at a version. */
+  final case class State(version: Long, schema: StructType,
+                         partitionColumns: Seq[String], files: Seq[LiveFile])
+
+  /** Fold one batch of action rows (a JSON commit or a checkpoint) into
+    * the live-file map + metadata slot. JSON infers `partitionValues`
+    * as a struct, checkpoints may store a map — `from_json(to_json(…))`
+    * canonicalizes both to map&lt;string,string&gt;.
+    */
+  private def fold(df: DataFrame,
+                   live: collection.mutable.LinkedHashMap[String, Map[String, String]],
+                   meta: Array[Option[(StructType, Seq[String])]]): Unit = {
+    val roots = df.columns.toSet
+    def sub(root: String, path: String) =
+      if (roots.contains(root)) expr(path) else lit(null).cast("string")
+    val pv =
+      if (roots.contains("add"))
+        expr("from_json(to_json(add.partitionValues), 'map<string,string>')")
+      else lit(null).cast("map<string,string>")
+    val pc =
+      if (roots.contains("metaData"))
+        expr("metaData.partitionColumns")
+      else lit(null).cast("array<string>")
+    df.select(sub("add", "add.path"), pv, sub("remove", "remove.path"),
+        sub("metaData", "metaData.schemaString"), pc)
+      .collect().foreach { r =>
+        if (!r.isNullAt(3)) {
+          val sch = DataType.fromJson(r.getString(3)).asInstanceOf[StructType]
+          val cols = if (r.isNullAt(4)) Seq.empty[String] else r.getSeq[String](4)
+          meta(0) = Some((sch, cols))
+        }
+        if (!r.isNullAt(2)) live.remove(r.getString(2))
+        if (!r.isNullAt(0)) {
+          val m = if (r.isNullAt(1)) Map.empty[String, String]
+                  else r.getMap[String, String](1).toMap
+          live.put(r.getString(0), m)
+        }
+      }
+  }
+
+  /** Replay the log to `versionAsOf` (or the latest commit). */
+  def state(spark: SparkSession, table: String,
+            versionAsOf: Option[Long] = None): State = {
+    import spark.implicits._
+    val dir = Paths.get(table, "_delta_log")
+    require(Files.isDirectory(dir), s"not a delta table: $table")
+    val entries = Files.list(dir).iterator().asScala
+      .map(_.getFileName.toString).toSeq.sorted
+    val commits = entries.filter(_.matches("\\d{20}\\.json"))
+      .map(n => n.take(20).toLong -> n)
+    val checkpoints = entries.filter(_.matches("\\d{20}\\.checkpoint\\.parquet"))
+      .map(n => n.take(20).toLong -> n)
+    val upTo = versionAsOf.getOrElse(
+      (commits.map(_._1) ++ checkpoints.map(_._1)).maxOption.getOrElse(
+        throw new IllegalArgumentException(s"empty delta log: $table")))
+    val live = collection.mutable.LinkedHashMap[String, Map[String, String]]()
+    val meta = Array[Option[(StructType, Seq[String])]](None)
+    val ckpt = checkpoints.filter(_._1 <= upTo).maxByOption(_._1)
+    ckpt.foreach { case (_, name) =>
+      fold(spark.read.parquet(dir.resolve(name).toString), live, meta)
+    }
+    val fromV = ckpt.map(_._1 + 1).getOrElse(0L)
+    commits.filter { case (v, _) => v >= fromV && v <= upTo }
+      .sortBy(_._1)
+      .foreach { case (_, name) =>
+        val lines = Files.readAllLines(dir.resolve(name)).asScala.toSeq
+          .filter(_.nonEmpty)
+        if (lines.nonEmpty) fold(spark.read.json(lines.toDS), live, meta)
+      }
+    val (schema, partCols) = meta(0).getOrElse(
+      throw new IllegalArgumentException(s"no metaData action in log: $table"))
+    State(upTo, schema, partCols,
+      live.toSeq.map { case (p, m) => LiveFile(p, m) })
+  }
+
+  /** Read the live table (optionally at an old version / with partition
+    * pruning). `partitionFilter` sees each live file's partition values
+    * as strings — file groups it drops are never scanned.
+    */
+  def read(spark: SparkSession, table: String,
+           versionAsOf: Option[Long] = None,
+           partitionFilter: Map[String, String] => Boolean = _ => true)
+      : DataFrame = {
+    val st = state(spark, table, versionAsOf)
+    val dataSchema = StructType(
+      st.schema.fields.filterNot(f => st.partitionColumns.contains(f.name)))
+    val groups = st.files.filter(f => partitionFilter(f.partitionValues))
+      .groupBy(_.partitionValues).toSeq
+      .sortBy(_._1.toSeq.sorted.mkString(","))
+    if (groups.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], st.schema)
+    val parts = groups.map { case (pvals, files) =>
+      val base = spark.read.schema(dataSchema)
+        .parquet(files.map(f => Paths.get(table, f.path).toString): _*)
+      st.partitionColumns.foldLeft(base) { (df, c0) =>
+        val f = st.schema.fields.find(_.name == c0).getOrElse(
+          throw new IllegalArgumentException(s"partition column $c0 not in schema"))
+        df.withColumn(c0, lit(pvals.getOrElse(c0, null)).cast(f.dataType))
+      }.select(st.schema.fieldNames.map(col).toSeq: _*)
+    }
+    parts.reduce(_ unionByName _)
+  }
+}

@@ -2005,4 +2005,30 @@ object Streams {
           col("s.last_missing_hr").as("last_missing_hr"))
     }
   }
+
+  /** X43: replay a staged message bus ([[BusSource]]) through a
+    * consumer pipeline and drain its COMPLETE-mode result — the gate
+    * harness for the bus arrival path. Unlike every other X gate's
+    * `coalesce(1)` parquet replay (a deliberate ordered-delivery
+    * determinism contract), the bus delivers from MULTIPLE partitions
+    * in parallel with only per-partition ordering — so the pipelines
+    * it gates must be order-independent aggregates, and passing here
+    * proves exactly that under real multi-partition input.
+    * `maxRowsPerTrigger` forces the replay through several
+    * micro-batches (admission control), so incremental state
+    * maintenance is exercised too, not one big batch.
+    */
+  def busReplay(spark: SparkSession, bus: String, maxRowsPerTrigger: Long,
+                queryName: String)(pipe: DataFrame => DataFrame): DataFrame =
+    withStateSession(spark, 8) { iso =>
+      val stream = iso.readStream
+        .format("graft.streaming.BusSourceProvider")
+        .option("path", bus)
+        .option("maxRowsPerTrigger", maxRowsPerTrigger.toString)
+        .load()
+      val q = pipe(stream).writeStream.outputMode("complete")
+        .format("memory").queryName(queryName).start()
+      try { q.processAllAvailable() } finally { q.stop() }
+      iso.table(queryName)
+    }
 }

@@ -1,0 +1,135 @@
+package graft.sources
+
+import java.nio.file.{Files, Path}
+import scala.jdk.CollectionConverters._
+
+import graft.SparkTestSession
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.scalatest.funsuite.AnyFunSuite
+
+// checkpoint action rows (top-level for encoder derivation)
+case class CkAdd(path: String, partitionValues: Map[String, String])
+case class CkRemove(path: String)
+case class CkMeta(schemaString: String, partitionColumns: Seq[String])
+case class CkRow(add: Option[CkAdd], remove: Option[CkRemove],
+                 metaData: Option[CkMeta])
+
+/** F14: the Delta-log reader against a protocol-faithful hand-built
+  * table: partitioned adds, removes, schema evolution, checkpoint
+  * compaction, time travel, and partition pruning.
+  */
+class DeltaLogSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val schemaV0 = StructType(Seq(
+    StructField("id", LongType), StructField("v", StringType),
+    StructField("part", StringType)))
+  private val schemaV3 = StructType(schemaV0.fields :+
+    StructField("w", LongType))
+
+  private def esc(s: String): String =
+    s.replace("\\", "\\\\").replace("\"", "\\\"")
+
+  private def metaLine(schema: StructType): String =
+    s"""{"metaData":{"id":"t","schemaString":"${esc(schema.json)}","partitionColumns":["part"]}}"""
+
+  private def addLine(path: String, part: String): String =
+    s"""{"add":{"path":"$path","partitionValues":{"part":"$part"},"dataChange":true}}"""
+
+  private def removeLine(path: String): String =
+    s"""{"remove":{"path":"$path","dataChange":true}}"""
+
+  private def writeCommit(table: Path, v: Long, lines: Seq[String]): Unit = {
+    val dir = table.resolve("_delta_log")
+    Files.createDirectories(dir)
+    Files.writeString(dir.resolve(f"$v%020d.json"), lines.mkString("\n"))
+  }
+
+  private def writeDataFile(df: DataFrame, table: Path, rel: String): Unit = {
+    val tmp = Files.createTempDirectory("deltafile")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = Files.list(tmp).iterator().asScala
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    val target = table.resolve(rel)
+    Files.createDirectories(target.getParent)
+    Files.move(part, target)
+  }
+
+  /** The shared fixture table, log as JSON commits only:
+    *  v0: meta + a/f1 (ids 1,2) + b/f2 (id 3)
+    *  v1: a/f3 (id 4)
+    *  v2: remove a/f1, add a/f4 (id 5)
+    *  v3: meta with new column w + b/f5 (id 6, w 60)
+    */
+  private def buildTable(): Path = {
+    val t = Files.createTempDirectory("deltatbl")
+    writeDataFile(Seq((1L, "x"), (2L, "y")).toDF("id", "v"), t, "part=a/f1.parquet")
+    writeDataFile(Seq((3L, "z")).toDF("id", "v"), t, "part=b/f2.parquet")
+    writeDataFile(Seq((4L, "q")).toDF("id", "v"), t, "part=a/f3.parquet")
+    writeDataFile(Seq((5L, "r")).toDF("id", "v"), t, "part=a/f4.parquet")
+    writeDataFile(Seq((6L, "s", 60L)).toDF("id", "v", "w"), t, "part=b/f5.parquet")
+    writeCommit(t, 0L, Seq(metaLine(schemaV0),
+      addLine("part=a/f1.parquet", "a"), addLine("part=b/f2.parquet", "b")))
+    writeCommit(t, 1L, Seq(addLine("part=a/f3.parquet", "a")))
+    writeCommit(t, 2L, Seq(removeLine("part=a/f1.parquet"),
+      addLine("part=a/f4.parquet", "a")))
+    writeCommit(t, 3L, Seq(metaLine(schemaV3),
+      addLine("part=b/f5.parquet", "b")))
+    t
+  }
+
+  private def rows(df: DataFrame): Set[(Long, String, String, Option[Long])] =
+    df.select("id", "v", "part", "w").as[(Long, String, String, Option[Long])]
+      .collect().toSet
+
+  test("latest read: removes applied, schema evolved, partitions attached") {
+    val t = buildTable()
+    val got = rows(DeltaLog.read(spark, t.toString))
+    assert(got == Set(
+      (3L, "z", "b", None), (4L, "q", "a", None),
+      (5L, "r", "a", None), (6L, "s", "b", Some(60L))))
+  }
+
+  test("time travel: versionAsOf replays a prefix, old schema wins") {
+    val t = buildTable()
+    val v0 = DeltaLog.read(spark, t.toString, versionAsOf = Some(0L))
+    assert(v0.schema.fieldNames.toSeq == Seq("id", "v", "part"))
+    assert(v0.select("id").as[Long].collect().toSet == Set(1L, 2L, 3L))
+    val v2 = DeltaLog.read(spark, t.toString, versionAsOf = Some(2L))
+    assert(v2.select("id").as[Long].collect().toSet == Set(3L, 4L, 5L))
+  }
+
+  test("partition pruning: dropped groups are never scanned") {
+    val t = buildTable()
+    val st = DeltaLog.state(spark, t.toString)
+    val aFiles = st.files.filter(_.partitionValues("part") == "a")
+    assert(aFiles.map(_.path).toSet == Set("part=a/f3.parquet", "part=a/f4.parquet"))
+    val got = DeltaLog.read(spark, t.toString,
+      partitionFilter = pv => pv("part") == "a")
+    assert(got.select("id").as[Long].collect().toSet == Set(4L, 5L))
+  }
+
+  test("checkpoint: replay resumes after the compacted state") {
+    val t = buildTable()
+    val full = rows(DeltaLog.read(spark, t.toString))
+    // compact v0..v2 into a checkpoint (with a protocol-faithful remove
+    // tombstone), then delete those JSON commits — replay MUST use it
+    val st2 = DeltaLog.state(spark, t.toString, versionAsOf = Some(2L))
+    val ckRows = st2.files.map(f =>
+        CkRow(Some(CkAdd(f.path, f.partitionValues)), None, None)) ++ Seq(
+      CkRow(None, Some(CkRemove("part=a/f1.parquet")), None),
+      CkRow(None, None, Some(CkMeta(schemaV0.json, Seq("part")))))
+    val ckDf = ckRows.toDS.toDF()
+    val tmp = Files.createTempDirectory("deltack")
+    ckDf.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = Files.list(tmp).iterator().asScala
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    val logDir = t.resolve("_delta_log")
+    Files.move(part, logDir.resolve(f"${2L}%020d.checkpoint.parquet"))
+    Seq(0L, 1L, 2L).foreach(v =>
+      Files.delete(logDir.resolve(f"$v%020d.json")))
+    assert(rows(DeltaLog.read(spark, t.toString)) == full)
+  }
+}

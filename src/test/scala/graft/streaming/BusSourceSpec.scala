@@ -1,0 +1,117 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** X43: the message-bus MicroBatchStream — multi-partition parallel
+  * delivery, per-partition ordering, offset bookkeeping, admission
+  * control, and batch parity through a real streaming aggregate.
+  */
+class BusSourceSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  /** Stage a bus of `parts` partitions holding (pt, seq, payload). */
+  private def stageBus(n: Int, parts: Int): String = {
+    val root = Files.createTempDirectory("bus").toString
+    val rows = (0 until n).map(i => (i % parts, i.toLong, s"payload-$i"))
+    BusSource.stage(rows.toDF("pt", "seq", "payload"), root, parts,
+      col("pt"), concat_ws("|", col("seq"), col("payload")), col("seq"))
+    root
+  }
+
+  private def readAll(root: String, maxRowsPerTrigger: Option[Long])
+      : Array[(Int, Long, String)] = {
+    val reader = spark.readStream
+      .format("graft.streaming.BusSourceProvider")
+      .option("path", root)
+    val withLimit = maxRowsPerTrigger
+      .fold(reader)(m => reader.option("maxRowsPerTrigger", m.toString))
+    val name = s"bus_test_${System.nanoTime()}"
+    val q = withLimit.load()
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try { q.processAllAvailable() } finally q.stop()
+    spark.table(name).as[(Int, Long, String)].collect()
+  }
+
+  test("exactly-once delivery with per-partition contiguous offsets") {
+    val root = stageBus(n = 97, parts = 3)
+    val got = readAll(root, maxRowsPerTrigger = None)
+    assert(got.length == 97)
+    // per partition: offsets are exactly 0..count-1 (contiguous, unique)
+    got.groupBy(_._1).foreach { case (_, rows) =>
+      val offs = rows.map(_._2).sorted.toSeq
+      assert(offs == (0L until rows.length.toLong))
+    }
+  }
+
+  test("per-partition order: offsets follow the staged sequence") {
+    val root = stageBus(n = 60, parts = 4)
+    val got = readAll(root, maxRowsPerTrigger = None)
+    // producer staged ascending seq per partition — the bus contract
+    // says offset order ≡ staged order, so seq must be ascending in
+    // offset order within every partition
+    got.groupBy(_._1).foreach { case (_, rows) =>
+      val seqs = rows.sortBy(_._2).map(_._3.split("\\|")(0).toLong).toSeq
+      assert(seqs == seqs.sorted, "within-partition order broken")
+    }
+  }
+
+  test("admission control: maxRowsPerTrigger bounds every micro-batch") {
+    val root = stageBus(n = 90, parts = 3)
+    val reader = spark.readStream
+      .format("graft.streaming.BusSourceProvider")
+      .option("path", root).option("maxRowsPerTrigger", "12")
+    val name = s"bus_adm_${System.nanoTime()}"
+    val q = reader.load()
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try { q.processAllAvailable() } finally q.stop()
+    assert(spark.table(name).count() == 90)
+    val progress = q.recentProgress.filter(_.numInputRows > 0)
+    assert(progress.length >= 7, s"expected ≥ 90/12 batches, got ${progress.length}")
+    assert(progress.forall(_.numInputRows <= 12),
+      progress.map(_.numInputRows).mkString(","))
+  }
+
+  test("streaming aggregate over parsed payloads equals the batch result") {
+    // the end-to-end bus pattern: values are JSON, consumers from_json
+    // them and aggregate; order-independence makes multi-partition
+    // delivery safe — THE semantic the coalesce(1) staging can't test
+    val root = Files.createTempDirectory("busjson").toString
+    val events = (0 until 200)
+      .map(i => (i % 5, i.toLong, (i * 37) % 100))
+      .toDF("user", "seq", "amount")
+    BusSource.stage(
+      events.select(col("user"), col("seq"),
+        to_json(struct(col("user"), col("amount"))).as("v")),
+      root, 4, pmod(hash(col("user")), lit(4)), col("v"), col("seq"))
+    val name = s"bus_agg_${System.nanoTime()}"
+    val q = spark.readStream
+      .format("graft.streaming.BusSourceProvider").option("path", root)
+      .load()
+      .select(from_json(col("value"),
+        org.apache.spark.sql.types.StructType.fromDDL("user INT, amount INT")).as("e"))
+      .groupBy(col("e.user").as("user"))
+      .agg(count(lit(1)).as("n"), sum(col("e.amount")).as("total"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("complete").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val got = spark.table(name).as[(Int, Long, Long)].collect().toSet
+    val want = events.groupBy(col("user"))
+      .agg(count(lit(1)).as("n"), sum(col("amount")).as("total"))
+      .as[(Int, Long, Long)].collect().toSet
+    assert(got == want)
+  }
+
+  test("offset round-trip: serialize/parse is the identity") {
+    val o = BusOffset(Map(2 -> 14L, 0 -> 3L, 1 -> 0L))
+    assert(o.json() == "0:3,1:0,2:14")
+    assert(BusOffset.parse(o.json()) == o)
+    assert(BusOffset.parse("") == BusOffset(Map.empty))
+  }
+}

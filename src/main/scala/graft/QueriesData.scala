@@ -51,27 +51,36 @@ object QueriesData {
   }
 
   /** T3 in the corpus-scale shape: tokens exploded once, joined to the
-    * broadcast profile table, one hash aggregate, windowed argmax — all
-    * codegen'd, vs. evaluating 5 interpreted stopword filters per row
-    * (TextFunctions.langId, the per-row Column form). Same argmax +
-    * lexicographic tie-break semantics, so the oracle is unchanged.
+    * broadcast profile table, then ONE conditional hash aggregate per
+    * doc (a 5-column pivot) and a when-chain argmax in language order —
+    * the first language hitting the max IS the lexicographic tie-break,
+    * so semantics and oracle are unchanged from the windowed form this
+    * replaces (r7: the window + scaffold cross-join cost a second
+    * shuffle and a per-doc sort that showed up in `corpus_clean`'s
+    * +17% r6 regression). Zero-hit docs keep the old contract too: all
+    * counts 0 → the first language wins. One shuffle total; everything
+    * codegen'd.
     */
   def textLangid(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    import org.apache.spark.sql.expressions.Window
     val d = t(s, dir, "documents")
     val tok = d.select(col("doc_id"), explode(split(col("text"), " ")).as("tk"))
     val profile = langProfiles
       .flatMap { case (lang, ws) => ws.map(w => (lang, w)) }.toDF("lang_code", "w")
+    val langs = langProfiles.map(_._1).sorted
+    val hitCols = langs.map(l =>
+      sum(when(col("lang_code") === l, 1L).otherwise(0L)).as(s"h_$l"))
     val hits = tok.join(broadcast(profile), col("tk") === col("w"))
-      .groupBy(col("doc_id"), col("lang_code")).agg(count(lit(1)).as("hits"))
-    val scaffold = d.select(col("doc_id"))
-      .crossJoin(broadcast(langProfiles.map(_._1).toDF("lang_code")))
-    val w = Window.partitionBy(col("doc_id"))
-      .orderBy(coalesce(col("hits"), lit(0L)).desc, col("lang_code"))
-    scaffold.join(hits, Seq("doc_id", "lang_code"), "left")
-      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col("doc_id"), col("lang_code").as("lang_pred"))
+      .groupBy(col("doc_id"))
+      .agg(hitCols.head, hitCols.tail: _*)
+    val full = d.select(col("doc_id")).join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id") +:
+        langs.map(l => coalesce(col(s"h_$l"), lit(0L)).as(s"h_$l")): _*)
+    val mx = greatest(langs.map(l => col(s"h_$l")): _*)
+    val pred = langs.foldRight(lit(null).cast("string")) { (l, acc) =>
+      when(col(s"h_$l") === mx, lit(l)).otherwise(acc)
+    }
+    full.select(col("doc_id"), pred.as("lang_pred"))
       .orderBy(col("doc_id"))
   }
 

@@ -364,7 +364,10 @@ object QueriesR13 {
       .unionAll(edges.select(col("dst").as("node")))
       .filter(col("node") % 97 === 0).distinct()
       .orderBy(col("node")).limit(32)
-    graft.operators.Graph.betweennessSeeded(edges, seeds, rounds = 3)
+    // staged directed table: the operator's defensive re-canonicalization
+    // is a no-op on this input — skip it via the OnDir entry point
+    graft.operators.Graph.betweennessOnDir(
+        QueriesR6.coPurchaseDir(s, dir), seeds, rounds = 3)
       .orderBy(col("bc_ppm").desc, col("node"))
       .limit(500)
   }

@@ -292,6 +292,23 @@ object QueriesR6 {
   private[graft] def coPurchaseEdges(s: SparkSession, dir: String): DataFrame =
     coPurchaseWeighted(s, dir).select(col("src"), col("dst"))
 
+  /** The canonical DOUBLED directed table (both (u,v) and (v,u), no
+    * self-loops, distinct), staged once per process — the exact input
+    * contract of the `*OnDir` operator entry points, skipping their
+    * defensive re-canonicalization (a full distinct + double +
+    * checkpoint per gate otherwise).
+    */
+  private val coPurchaseDirMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
+
+  private[graft] def coPurchaseDir(s: SparkSession, dir: String): DataFrame =
+    coPurchaseDirMemo.computeIfAbsent((s.sparkContext.applicationId, dir), _ => {
+      val und = coPurchaseEdges(s, dir)
+      und.select(col("src"), col("dst"))
+        .unionAll(und.select(col("dst").as("src"), col("src").as("dst")))
+        .localCheckpoint(true)
+    })
+
   /** R73: structural graph summary (see [[graft.operators.Graph.summary]])
     * — node/edge counts, degree extremes, mean degree ppm, component
     * count and largest component, with CC via O(log n) star contraction.

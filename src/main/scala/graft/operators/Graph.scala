@@ -1381,6 +1381,20 @@ object Graph {
     val dir = und.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(und.select(col("b").as("src"), col("a").as("dst")))
       .ckpt
+    betweennessOnDir(dir, seeds, rounds)
+  }
+
+  /** [[betweennessSeeded]] over an ALREADY canonicalized + doubled +
+    * checkpointed directed edge table (both (u,v) and (v,u) present,
+    * self-loops removed, distinct) — for callers that stage that table
+    * ONCE across many gates (the QueriesR6 co-purchase staging): the
+    * defensive re-canonicalization is a full distinct + double +
+    * checkpoint of the edge list, ~20% of this gate's wall time when
+    * the input is already canonical.
+    */
+  def betweennessOnDir(dir: DataFrame, seeds: DataFrame,
+                       rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     val seedIdx = seedIndex(seeds).ckpt
     val k = seedIdx.count()
     if (k >= 1 && k <= bfsVectorMaxSeeds(dir))

@@ -165,6 +165,47 @@ object QueriesR16 {
     }.orderBy(col("event_type"))
   }
 
+  /** M9: pixel-level perceptual near-dup (see
+    * [[graft.multimodal.PatchHash]]) — aHash over each doc's synthetic
+    * 8×8 luma patch (the DECODE stub: patch bytes are a deterministic
+    * function of doc_id, with every 50th doc a pixel-swapped copy of
+    * its predecessor — the planted near-dups), then the BANDED Hamming
+    * self-join (4 × 16-bit bands; pigeonhole-complete for Hamming ≤ 3)
+    * with exact `bit_count(a ^ b)` verify. No all-pairs stage.
+    */
+  def mmPatchAhash(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("doc_id"))
+    val patch = expr(
+      """unhex(array_join(transform(sequence(0, 63), i ->
+        |  lpad(hex(CASE WHEN doc_id % 50 = 1 THEN
+        |    CASE WHEN i = 0 THEN ((doc_id - 1) * 31 + 17) % 256
+        |         WHEN i = 1 THEN ((doc_id - 1) * 31) % 256
+        |         ELSE ((doc_id - 1) * 31 + i * 17) % 256 END
+        |  ELSE (doc_id * 31 + i * 17) % 256 END), 2, '0')), ''))""".stripMargin)
+    val hashes = d.withColumn("hash",
+      graft.multimodal.PatchHash.ahash(patch))
+    val bands = hashes.select(col("doc_id"), col("hash"),
+        explode(expr(
+          """transform(sequence(0, 3), b -> struct(
+            |  b AS band_id,
+            |  shiftright(hash, CAST(b * 16 AS INT)) & 65535 AS band))""".stripMargin))
+          .as("bnd"))
+      .select(col("doc_id"), col("hash"),
+        col("bnd.band_id").as("band_id"), col("bnd.band").as("band"))
+    val pairs = bands.as("a").join(bands.as("b"),
+        col("a.band_id") === col("b.band_id") &&
+          col("a.band") === col("b.band") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.hash").as("ha"), col("b.hash").as("hb"))
+      .distinct()
+    pairs
+      .select(col("doc_a"), col("doc_b"),
+        expr("CAST(bit_count(ha ^ hb) AS BIGINT)").as("hamming"))
+      .filter(col("hamming") <= 3)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_bpe_merges" -> (textBpeMerges _),
     "text_bpe_tokenize" -> (textBpeTokenize _),
@@ -172,7 +213,8 @@ object QueriesR16 {
     "text_mixture_bpe" -> (textMixtureBpe _),
     "dedup_repeated_spans" -> (dedupRepeatedSpans _),
     "q_union_evolve" -> (qUnionEvolve _),
-    "stream_bus_agg" -> (streamBusAgg _))
+    "stream_bus_agg" -> (streamBusAgg _),
+    "mm_patch_ahash" -> (mmPatchAhash _))
 
   /** Shared oracle prefix: the BPE training pyramid + per-(doc, source)
     * subword counts, as chained CTE text.
@@ -251,6 +293,36 @@ object QueriesR16 {
         |       CAST(MAX(p) + 8 - MIN(p) AS BIGINT) AS span_tokens
         |FROM gr GROUP BY doc_id, grp
         |ORDER BY doc_id, span_start""".stripMargin,
+    "mm_patch_ahash" ->
+      """WITH px AS (
+        |  SELECT doc_id, i,
+        |    CASE WHEN doc_id % 50 = 1 THEN
+        |      CASE WHEN i = 0 THEN ((doc_id - 1) * 31 + 17) % 256
+        |           WHEN i = 1 THEN ((doc_id - 1) * 31) % 256
+        |           ELSE ((doc_id - 1) * 31 + i * 17) % 256 END
+        |    ELSE (doc_id * 31 + i * 17) % 256 END AS p
+        |  FROM (SELECT doc_id, unnest(generate_series(0, 63)) AS i
+        |        FROM documents)
+        |), m AS (
+        |  SELECT doc_id, SUM(p) // 64 AS mean FROM px GROUP BY doc_id
+        |), rawh AS (
+        |  SELECT px.doc_id,
+        |    SUM(CASE WHEN px.p > m.mean
+        |        THEN CAST(1 AS HUGEINT) << px.i
+        |        ELSE CAST(0 AS HUGEINT) END) AS raw
+        |  FROM px JOIN m USING (doc_id) GROUP BY px.doc_id
+        |), h AS (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN raw >= CAST(1 AS HUGEINT) << 63
+        |         THEN raw - (CAST(1 AS HUGEINT) << 64)
+        |         ELSE raw END AS BIGINT) AS hash
+        |  FROM rawh
+        |)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(bit_count(xor(a.hash, b.hash)) AS BIGINT) AS hamming
+        |FROM h a JOIN h b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.hash, b.hash)) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "stream_bus_agg" ->
       """SELECT event_type, COUNT(*) AS n_events,
         |  CAST(SUM(user_id % 1000) AS BIGINT) AS checksum

@@ -677,26 +677,18 @@ object QueriesR15 {
   /** R183: edge embeddedness — per co-purchase edge, how many common
     * neighbors its endpoints share (Granovetter: embeddedness 0 = a
     * LOCAL BRIDGE, the weak tie that alone connects two social
-    * neighborhoods); the wedge aggregate joined back onto the edge list,
-    * top-200 strongest-embedded edges under a total order.
+    * neighborhoods); top-200 strongest-embedded edges under a total
+    * order. r7: re-expressed through [[graft.operators.Graph
+    * .edgeSupport]]'s adjacency-intersection (the R63 trick) — the
+    * node-centered wedge aggregate this replaces materialized and
+    * shuffled EVERY wedge of the graph (Σ deg² rows; 65 s in the r7
+    * full-gate bench, now ~4 s), for identical counts.
     */
-  def graphEmbeddedness(s: SparkSession, dir: String): DataFrame = {
-    val und = QueriesR6.coPurchaseEdges(s, dir)
-      .select(col("src").as("a"), col("dst").as("b"))
-    val dir2 = und.select(col("a").as("src"), col("b").as("dst"))
-      .unionAll(und.select(col("b").as("src"), col("a").as("dst")))
-    val wedges = dir2.select(col("src").as("w"), col("dst").as("u"))
-      .join(dir2.select(col("src").as("w"), col("dst").as("v")), Seq("w"))
-      .filter(col("u") < col("v"))
-      .groupBy(col("u"), col("v"))
-      .agg(count(lit(1)).as("common"))
-    und.join(wedges, und("a") === wedges("u") && und("b") === wedges("v"),
-        "left")
-      .select(col("a"), col("b"),
-        coalesce(col("common"), lit(0L)).as("embeddedness"))
+  def graphEmbeddedness(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Graph.edgeSupport(QueriesR6.coPurchaseEdges(s, dir))
+      .select(col("a"), col("b"), col("support").as("embeddedness"))
       .orderBy(col("embeddedness").desc, col("a"), col("b"))
       .limit(200)
-  }
 
   /** R184: difference-in-differences — the textbook two-group two-period
     * causal baseline in exact cents: did = (T₂−T₁) − (C₂−C₁) over

@@ -206,6 +206,46 @@ object QueriesR16 {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** T34c: the exported subword VOCABULARY — the artifact a tokenizer
+    * consumer actually ships: every trained subword with how many
+    * distinct words use it and its total corpus occurrence mass
+    * (Σ freq over its (word, pos) slots). One join of the vocab-sized
+    * end state against the word-freq table.
+    */
+  def textBpeVocab(s: SparkSession, dir: String): DataFrame = {
+    val (_, endState) = bpeTrained(s, dir)
+    val wf = t(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    endState.join(wf, Seq("w"))
+      .groupBy(col("s").as("subword"))
+      .agg(countDistinct(col("w")).as("n_words"),
+        sum(col("freq")).as("total_freq"))
+      .orderBy(col("subword"))
+  }
+
+  /** D21b: the dedup DECISION report over the span cut list — per
+    * source: total tokens, removable (repeated-span) tokens, and the
+    * removable rate in ppm; the number a pipeline owner reads before
+    * turning span-cutting on.
+    */
+  def dedupSpanStats(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val cut = graft.dedup.Dedup.repeatedSpans(d, col("doc_id"), col("text"),
+        w = 8)
+      .groupBy(col("doc_id")).agg(sum(col("span_tokens")).as("cut"))
+    d.select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n"))
+      .join(cut, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(sum(col("n")).as("total_tokens"),
+        sum(coalesce(col("cut"), lit(0L))).as("cut_tokens"),
+        expr("CAST(sum(coalesce(cut, 0)) * 1000000 div sum(n) AS BIGINT)")
+          .as("cut_ppm"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_bpe_merges" -> (textBpeMerges _),
     "text_bpe_tokenize" -> (textBpeTokenize _),
@@ -214,7 +254,9 @@ object QueriesR16 {
     "dedup_repeated_spans" -> (dedupRepeatedSpans _),
     "q_union_evolve" -> (qUnionEvolve _),
     "stream_bus_agg" -> (streamBusAgg _),
-    "mm_patch_ahash" -> (mmPatchAhash _))
+    "mm_patch_ahash" -> (mmPatchAhash _),
+    "text_bpe_vocab" -> (textBpeVocab _),
+    "dedup_span_stats" -> (dedupSpanStats _))
 
   /** Shared oracle prefix: the BPE training pyramid + per-(doc, source)
     * subword counts, as chained CTE text.
@@ -228,6 +270,35 @@ object QueriesR16 {
        |        FROM documents) dw
        |  JOIN ns USING (w) GROUP BY doc_id, source
        |)""".stripMargin
+
+  /** Shared oracle prefix for the D21 span machinery (tok → grams →
+    * keep-first dup positions → gaps-and-islands groups).
+    */
+  private val spansCtes: String =
+    """tok AS (
+      |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+      |), g AS (
+      |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS p,
+      |         array_to_string(list_slice(tk, i, i + 7), ' ') AS g
+      |  FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 7)) AS i
+      |        FROM tok WHERE len(tk) >= 8)
+      |), dup AS (
+      |  SELECT doc_id, p FROM (
+      |    SELECT doc_id, p,
+      |           ROW_NUMBER() OVER (PARTITION BY g ORDER BY doc_id, p) AS rn,
+      |           COUNT(*) OVER (PARTITION BY g) AS n
+      |    FROM g) WHERE n > 1 AND rn > 1
+      |), br AS (
+      |  SELECT doc_id, p,
+      |         CASE WHEN lag(p) OVER (PARTITION BY doc_id ORDER BY p) IS NULL
+      |              OR p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) > 8
+      |         THEN 1 ELSE 0 END AS brk
+      |  FROM dup
+      |), gr AS (
+      |  SELECT doc_id, p, SUM(brk) OVER (PARTITION BY doc_id ORDER BY p
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+      |  FROM br
+      |)""".stripMargin
 
   val sql: Map[String, String] = Map(
     "text_bpe_merges" ->
@@ -327,6 +398,30 @@ object QueriesR16 {
       """SELECT event_type, COUNT(*) AS n_events,
         |  CAST(SUM(user_id % 1000) AS BIGINT) AS checksum
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "dedup_span_stats" ->
+      s"""WITH $spansCtes,
+        |spans AS (
+        |  SELECT doc_id, MAX(p) + 8 - MIN(p) AS span_tokens
+        |  FROM gr GROUP BY doc_id, grp
+        |), cut AS (
+        |  SELECT doc_id, CAST(SUM(span_tokens) AS BIGINT) AS cut
+        |  FROM spans GROUP BY doc_id
+        |), base AS (
+        |  SELECT doc_id, source,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        |  FROM documents
+        |)
+        |SELECT source, CAST(SUM(n) AS BIGINT) AS total_tokens,
+        |  CAST(SUM(COALESCE(cut, 0)) AS BIGINT) AS cut_tokens,
+        |  CAST(SUM(COALESCE(cut, 0)) * 1000000 // SUM(n) AS BIGINT) AS cut_ppm
+        |FROM base LEFT JOIN cut USING (doc_id)
+        |GROUP BY source ORDER BY source""".stripMargin,
+    "text_bpe_vocab" ->
+      s"""WITH ${Bpe.oracleCtes("documents", "text", bpeMerges)}
+        |SELECT s AS subword, COUNT(DISTINCT w) AS n_words,
+        |  CAST(SUM(freq) AS BIGINT) AS total_freq
+        |FROM st$bpeMerges JOIN wf USING (w)
+        |GROUP BY s ORDER BY subword""".stripMargin,
     "q_union_evolve" ->
       """SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 2 = 0
         |UNION ALL BY NAME

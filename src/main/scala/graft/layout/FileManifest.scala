@@ -79,6 +79,11 @@ object FileManifest {
     }
     val keep = (boxPreds ++ bloomPreds).reduce(_ && _)
     val total = manifest.count()
+    // surviving FILE PATHS collect to the driver — the stated bound of
+    // this manifest design (like Delta/Iceberg drivers): list size is
+    // O(files), fine to ~10^6 entries at ~100 B each; beyond that the
+    // layout wants coarser files or a partitioned manifest, not a
+    // driver-side fix
     val files = manifest.filter(keep).select("file").collect().map(_.getString(0))
     val residual = (ranges.map { case (c, (lo, hi)) =>
       col(c) >= lo && col(c) <= hi
@@ -160,6 +165,8 @@ object FileManifest {
     val vs = versions(root)
     val (old, keep) = vs.splitAt(math.max(0, vs.length - keepLast))
     if (old.isEmpty) return (Seq.empty, 0L)
+    // referenced-file sets collect to the driver — same stated O(files)
+    // bound as scan(): manifest rows are metadata, never data
     val referenced = (v: Seq[Long]) =>
       if (v.isEmpty) Set.empty[String]
       else v.map(i => spark.read.parquet(s"$root/v$i").select("file"))

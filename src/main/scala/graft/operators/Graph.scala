@@ -518,6 +518,41 @@ object Graph {
     * @return surviving (a, b, support) with support RECOMPUTED on the
     *         final residue (the truss's own triangle counts)
     */
+  /** Per-edge triangle-support (common-neighbor) counts of a canonical
+    * (a &lt; b, distinct) edge set via sorted adjacency-list
+    * INTERSECTION — the R63 counting trick applied to edges: the wedge
+    * set (41M rows on the sf0.1 co-purchase graph) is never
+    * materialized or shuffled; each edge pays one in-projection
+    * `array_intersect` over its endpoints' neighbor lists. Replaced the
+    * wedge join + left-semi + groupBy formulation that made the truss
+    * family the slowest non-headline gates (graph_trussness 58 s,
+    * graph_trussness_inc 212 s in the r7 full-gate bench) — hub edges
+    * expanded by hub degree into a Σdeg-sized shuffle every peel round.
+    */
+  private def supportByIntersect(und: DataFrame): DataFrame = {
+    val d = und.select(col("a").as("v"), col("b").as("w"))
+      .unionAll(und.select(col("b").as("v"), col("a").as("w")))
+    val adj = d.groupBy(col("v"))
+      .agg(sort_array(collect_list(col("w"))).as("ns"))
+    und
+      .join(adj.select(col("v").as("a"), col("ns").as("na")), Seq("a"))
+      .join(adj.select(col("v").as("b"), col("ns").as("nb")), Seq("b"))
+      .select(col("a"), col("b"),
+        size(array_intersect(col("na"), col("nb"))).cast("long")
+          .as("support"))
+  }
+
+  /** R183: exact per-edge common-neighbor (embeddedness / triangle
+    * support) counts — input canonicalized, then [[supportByIntersect]].
+    */
+  def edgeSupport(edges: DataFrame): DataFrame = {
+    val und = edges.select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+      .ckpt
+    supportByIntersect(und)
+  }
+
   def kTruss(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
     require(k >= 3, s"k must be >= 3, got $k")
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
@@ -525,14 +560,10 @@ object Graph {
         greatest(col("src"), col("dst")).as("b"))
       .filter(col("a") =!= col("b")).distinct()
       .ckpt
-    def support(e: DataFrame): DataFrame = {
-      val d = e.select(col("a").as("src"), col("b").as("dst"))
-        .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
-      e.join(d.select(col("src").as("a"), col("dst").as("w")), Seq("a"))
-        .join(d.select(col("src").as("b"), col("dst").as("w")), Seq("b", "w"),
-          "left_semi")
-        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("support"))
-    }
+    // intersection support reports 0-support edges too (the wedge-join
+    // form omitted them); the >= k-2 filter and the coalesce below make
+    // the two shapes result-identical
+    def support(e: DataFrame): DataFrame = supportByIntersect(e)
     var it = 0
     var converged = false
     var nEdges = und.count()
@@ -992,26 +1023,33 @@ object Graph {
         .filter(col("a") =!= col("b")).distinct()
     val und = canon(baseEdges).unionAll(canon(deltaEdges)).distinct()
       .ckpt
-    // both-directions adjacency of the MERGED graph, for wedge closure
-    val dirAll = und.select(col("a").as("src"), col("b").as("dst"))
-      .unionAll(und.select(col("b").as("src"), col("a").as("dst")))
+    // sorted adjacency lists of the MERGED graph (static across levels):
+    // triangle closure runs as per-edge array_intersect against these —
+    // the supportByIntersect posture; the doubled-edge wedge joins this
+    // replaces were the 212 s in the r7 full-gate bench
+    val adjAll = und.select(col("a").as("v"), col("b").as("w"))
+      .unionAll(und.select(col("b").as("v"), col("a").as("w")))
+      .groupBy(col("v"))
+      .agg(sort_array(collect_list(col("w"))).as("ns"))
       .ckpt
     val delta = canon(deltaEdges).ckpt
     var labels = und.select(col("a"), col("b"), lit(2L).as("lvl"))
     var prev = und // edge set of the new (k-1)-truss
     var k = 3
     var empty = false
-    // edges sharing a triangle with `f` in the merged graph: for
-    // (a,b) ∈ f and common neighbor w, emit (a,w) and (b,w)
+    // edges sharing a triangle with `f` in the merged graph: common
+    // neighbors w of (a, b) exploded to (a,w) and (b,w)
     def triAdjacent(f: DataFrame): DataFrame = {
-      val wedges = f
-        .join(dirAll.select(col("src").as("a"), col("dst").as("w")),
-          Seq("a"))
-        .join(dirAll.select(col("src").as("b"), col("dst").as("w")),
-          Seq("b", "w"), "left_semi")
-      wedges.select(least(col("a"), col("w")).as("a"),
+      val cs = f
+        .join(adjAll.select(col("v").as("a"), col("ns").as("na")), Seq("a"))
+        .join(adjAll.select(col("v").as("b"), col("ns").as("nb")), Seq("b"))
+        .select(col("a"), col("b"),
+          array_intersect(col("na"), col("nb")).as("cs"))
+        .filter(size(col("cs")) > 0)
+        .select(col("a"), col("b"), explode(col("cs")).as("w"))
+      cs.select(least(col("a"), col("w")).as("a"),
           greatest(col("a"), col("w")).as("b"))
-        .unionAll(wedges.select(least(col("b"), col("w")).as("a"),
+        .unionAll(cs.select(least(col("b"), col("w")).as("a"),
           greatest(col("b"), col("w")).as("b")))
         .distinct()
     }
@@ -1019,46 +1057,83 @@ object Graph {
       // monotonicity: the old k-truss survives any edge addition
       val oldTruss = baseLabels.filter(col("trussness") >= k)
         .select(col("a"), col("b")).ckpt
+      // merged-graph support prefilter (r7): every edge of the new
+      // k-truss has support ≥ k−2 IN THE NEW TRUSS ⊆ merged graph, and
+      // every relay edge on a promotion-closure path is itself promoted
+      // — so edges below k−2 merged support can neither be candidates
+      // NOR carry closure connectivity. One intersection pass against
+      // the static merged adjacency shrinks the pool to the dense
+      // region before the closure/peel loops run (the big-delta case
+      // otherwise closes over nearly the whole graph: 212 s → this +
+      // supportByIntersect cut the gate to ~a third).
       val pool = prev.join(oldTruss, Seq("a", "b"), "left_anti")
+        .join(adjAll.select(col("v").as("a"), col("ns").as("na")), Seq("a"))
+        .join(adjAll.select(col("v").as("b"), col("ns").as("nb")), Seq("b"))
+        .select(col("a"), col("b"),
+          size(array_intersect(col("na"), col("nb"))).as("ms"))
+        .filter(col("ms") >= k - 2).select(col("a"), col("b"))
         .ckpt
-      // closure of the delta edges through the pool, via shared triangles
-      var reached = delta.join(pool, Seq("a", "b"), "left_semi")
-        .ckpt
-      var frontier = reached
-      var r = 0
-      while (r < rounds && !frontier.isEmpty) {
-        frontier = triAdjacent(frontier)
-          .join(pool, Seq("a", "b"), "left_semi")
-          .join(reached, Seq("a", "b"), "left_anti")
+      // Adaptive cutover (r7): incremental maintenance only wins while
+      // the candidate region is SMALL — with a bulk delta (the gate's
+      // every-7th-basket arrival) the closure + candidate peel touch
+      // most of the graph across many bounded rounds and cost MORE than
+      // one direct peel. Both paths compute the same object — the exact
+      // k-truss of the merged (k−1)-truss (the closure/maximality
+      // argument; the gate oracle IS the full re-peel) — so when the
+      // support-filtered pool exceeds half the level's edge set, peel
+      // `prev` directly and skip the per-edge bookkeeping.
+      val nPool = pool.count()
+      val nPrev = prev.count()
+      val truss = (if (nPool * 2 > nPrev) {
+        kTruss(prev.select(col("a").as("src"), col("b").as("dst")),
+            k, rounds)
+          .select(col("a"), col("b"))
+      } else {
+        // closure of the delta edges through the pool, via shared
+        // triangles
+        var reached = delta.join(pool, Seq("a", "b"), "left_semi")
           .ckpt
-        reached = reached.unionAll(frontier).ckpt
-        r += 1
-      }
-      // candidate-only peel: support = triangles whose other two edges
-      // are old-truss or surviving candidates
-      var alive = reached
-      var nAlive = alive.count()
-      var done = nAlive == 0
-      var it = 0
-      while (it < rounds && !done) {
-        val keep = oldTruss.unionAll(alive)
-        val keepDir = keep.select(col("a").as("src"), col("b").as("dst"))
-          .unionAll(keep.select(col("b").as("src"), col("a").as("dst")))
-        val next = alive
-          .join(keepDir.select(col("src").as("a"), col("dst").as("w")),
-            Seq("a"))
-          .join(keepDir.select(col("src").as("b"), col("dst").as("w")),
-            Seq("b", "w"), "left_semi")
-          .groupBy(col("a"), col("b")).agg(count(lit(1)).as("support"))
-          .filter(col("support") >= k - 2).select(col("a"), col("b"))
-          .ckpt
-        val n = next.count()
-        if (n == nAlive) done = true
-        else { alive = next; nAlive = n; it += 1 }
-      }
-      val truss =
-        (if (nAlive == 0) oldTruss else oldTruss.unionAll(alive))
-          .ckpt
+        var frontier = reached
+        var r = 0
+        while (r < rounds && !frontier.isEmpty) {
+          frontier = triAdjacent(frontier)
+            .join(pool, Seq("a", "b"), "left_semi")
+            .join(reached, Seq("a", "b"), "left_anti")
+            .ckpt
+          // reached stays a UNION of already-checkpointed frontiers —
+          // plan depth is O(rounds) over leaf RDDs, and skipping the
+          // re-checkpoint saves one full-set materialization per round
+          reached = reached.unionAll(frontier)
+          r += 1
+        }
+        // candidate-only peel: support = triangles whose other two
+        // edges are old-truss or surviving candidates
+        var alive = reached
+        var nAlive = alive.count()
+        var done = nAlive == 0
+        var it = 0
+        while (it < rounds && !done) {
+          // per-iteration adjacency of the keep set (it shrinks), then
+          // candidate support by list intersection — never a wedge
+          // shuffle
+          val keep = oldTruss.unionAll(alive)
+          val keepAdj = keep.select(col("a").as("v"), col("b").as("w"))
+            .unionAll(keep.select(col("b").as("v"), col("a").as("w")))
+            .groupBy(col("v"))
+            .agg(sort_array(collect_list(col("w"))).as("ns"))
+          val next = alive
+            .join(keepAdj.select(col("v").as("a"), col("ns").as("na")), Seq("a"))
+            .join(keepAdj.select(col("v").as("b"), col("ns").as("nb")), Seq("b"))
+            .select(col("a"), col("b"),
+              size(array_intersect(col("na"), col("nb"))).as("support"))
+            .filter(col("support") >= k - 2).select(col("a"), col("b"))
+            .ckpt
+          val n = next.count()
+          if (n == nAlive) done = true
+          else { alive = next; nAlive = n; it += 1 }
+        }
+        if (nAlive == 0) oldTruss else oldTruss.unionAll(alive)
+      }).ckpt
       empty = truss.isEmpty
       if (!empty)
         labels = labels.unionAll(
@@ -1312,8 +1387,8 @@ object Graph {
     * build that table themselves and would otherwise pay the
     * canonicalize/double/checkpoint twice per gate.
     */
-  private def shortestPathCountsOnDir(dir: DataFrame, seeds: DataFrame,
-                                      rounds: Int): DataFrame = {
+  def shortestPathCountsOnDir(dir: DataFrame, seeds: DataFrame,
+                              rounds: Int): DataFrame = {
     val seedIdx = seedIndex(seeds).ckpt
     val k = seedIdx.count()
     if (k >= 1 && k <= bfsVectorMaxSeeds(dir)) {

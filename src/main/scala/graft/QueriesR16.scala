@@ -246,6 +246,33 @@ object QueriesR16 {
       .orderBy(col("source"))
   }
 
+  /** X44: CDC apply from the bus (see
+    * [[graft.streaming.Streams.cdcApplyFromBus]]) — X2's exact fixture
+    * (pre-2000 orders target, every-3rd-key staged changes with
+    * every-37th a soft delete) with the changes arriving as JSON on an
+    * 8-partition PK-keyed bus instead of a single staged file; shares
+    * X2's oracle because the merge result is delivery-shape-independent
+    * (per-key order preserved, cross-key merges commute).
+    */
+  def streamBusCdc(s: SparkSession, dir: String): DataFrame = {
+    val target = t(s, dir, "orders")
+      .filter(col("o_orderdate").cast("timestamp") <
+        lit("2000-01-01 00:00:00").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice").as("total"), lit("N").as("is_deleted"))
+    val staged = t(s, dir, "orders")
+      .filter(col("o_orderkey") % 3 === 0)
+      .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
+        (col("o_totalprice").cast("decimal(12,2)") + 1000)
+          .cast("double").as("total"),
+        when(col("o_orderkey") % 37 === 0, "Y").otherwise("N")
+          .as("is_deleted"))
+    graft.streaming.Streams.cdcApplyFromBus(s, target, staged,
+        Seq("o_orderkey"), Seq(col("o_orderkey")),
+        busPartitions = 8, maxRowsPerTrigger = 2000)
+      .orderBy(col("o_orderkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_bpe_merges" -> (textBpeMerges _),
     "text_bpe_tokenize" -> (textBpeTokenize _),
@@ -256,7 +283,8 @@ object QueriesR16 {
     "stream_bus_agg" -> (streamBusAgg _),
     "mm_patch_ahash" -> (mmPatchAhash _),
     "text_bpe_vocab" -> (textBpeVocab _),
-    "dedup_span_stats" -> (dedupSpanStats _))
+    "dedup_span_stats" -> (dedupSpanStats _),
+    "stream_bus_cdc" -> (streamBusCdc _))
 
   /** Shared oracle prefix: the BPE training pyramid + per-(doc, source)
     * subword counts, as chained CTE text.
@@ -422,6 +450,7 @@ object QueriesR16 {
         |  CAST(SUM(freq) AS BIGINT) AS total_freq
         |FROM st$bpeMerges JOIN wf USING (w)
         |GROUP BY s ORDER BY subword""".stripMargin,
+    "stream_bus_cdc" -> Queries.sqlCdc("cdc_merge"),
     "q_union_evolve" ->
       """SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 2 = 0
         |UNION ALL BY NAME

@@ -114,6 +114,52 @@ object Streams {
     state
   }
 
+  /** X44: streaming CDC apply FROM the message bus ([[BusSource]]) —
+    * the reference's incremental merge loop on its real arrival path:
+    * change rows ride a keyed bus as JSON values (producer keying =
+    * PK hash, so each key's changes stay ordered under the bus's
+    * per-partition contract — exactly Kafka's CDC topology), are
+    * decoded in-stream with from_json, and drain through the identical
+    * X2 foreachBatch latest-per-key + soft-delete merge tail. Cross-key
+    * interleaving differs from the single-file replay and is irrelevant
+    * by construction: merges of distinct keys commute, and per-key
+    * order is preserved end to end (staging order → partition offsets →
+    * admission-control prefix slices). Shares X2's born-and-died edge:
+    * a key inserted AND deleted by changes that split across
+    * micro-batches leaves a tombstone, while a one-shot replay collapses
+    * it to no row — feed deltas through C35's net-change squash upstream
+    * when replay-invariance across batch shapes is required.
+    */
+  def cdcApplyFromBus(spark: SparkSession, initialTarget: DataFrame,
+                      delta: DataFrame, pk: Seq[String],
+                      orderCols: Seq[Column], busPartitions: Int,
+                      maxRowsPerTrigger: Long): DataFrame = {
+    val root = Files.createTempDirectory("graft_buscdc").toString
+    val pt = pmod(hash(pk.map(col): _*), lit(busPartitions))
+    BusSource.stage(
+      delta.withColumn("__pt", pt)
+        .withColumn("__v", to_json(struct(delta.columns.map(col): _*))),
+      root, busPartitions, col("__pt"), col("__v"), orderCols: _*)
+    var state = initialTarget.ckpt
+    withStateSession(spark, 8) { iso =>
+      val stream = iso.readStream
+        .format("graft.streaming.BusSourceProvider")
+        .option("path", root)
+        .option("maxRowsPerTrigger", maxRowsPerTrigger.toString)
+        .load()
+        .select(from_json(col("value"), delta.schema).as("__r"))
+        .select(col("__r.*"))
+      val q = stream.writeStream.outputMode("append")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val deduped = Cdc.latestPerKey(batch, pk, orderCols)
+          state = Cdc.mergeSoftDelete(state, deduped, pk).ckpt
+          ()
+        }.start()
+      try { q.processAllAvailable() } finally { q.stop() }
+    }
+    state
+  }
+
   /** X4: streaming exact dedup — dropDuplicates on the canonical content
     * fingerprint with a watermark bounding the dedup state. The streaming
     * twin of Dedup.exactKeep: late duplicates beyond the watermark horizon

@@ -108,6 +108,36 @@ class BusSourceSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("CDC apply from the bus equals the direct file replay") {
+    // multi-version keys split across micro-batches: per-key order on
+    // the keyed bus must make the sequential merge land on the LAST
+    // version, identical to the single-file replay. All keys pre-exist
+    // in the target: a born-and-died key (inserted then deleted, never
+    // in the target) is legitimately batch-split-DEPENDENT — one-shot
+    // replay collapses it to nothing, incremental replay leaves a
+    // tombstone; C35's net-change squash canonicalizes that upstream
+    val target = Seq((1L, 10L, 0L, "N"), (2L, 20L, 0L, "N"),
+        (3L, 30L, 0L, "N"), (4L, 40L, 0L, "N"))
+      .toDF("k", "v", "seq", "is_deleted")
+    val delta = (1 to 40).map { i =>
+      val k = (i % 4) + 1L
+      (k, 100L * i, i.toLong, if (i == 39) "Y" else "N")
+    }.toDF("k", "v", "seq", "is_deleted")
+    val viaBus = Streams.cdcApplyFromBus(spark, target, delta,
+        Seq("k"), Seq(col("seq")), busPartitions = 3, maxRowsPerTrigger = 7)
+      .as[(Long, Long, Long, String)].collect().toSet
+    val viaFile = Streams.cdcApply(spark, target, delta,
+        Seq("k"), Seq(col("seq")))
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(viaBus == viaFile)
+    // latest version per key won: key 4's last change is i = 39, the
+    // soft delete; key 1's last change is i = 40
+    assert(viaBus.exists { case (k, _, seq, d) =>
+      k == 4L && seq == 39L && d == "Y" })
+    assert(viaBus.exists { case (k, _, seq, d) =>
+      k == 1L && seq == 40L && d == "N" })
+  }
+
   test("offset round-trip: serialize/parse is the identity") {
     val o = BusOffset(Map(2 -> 14L, 0 -> 3L, 1 -> 0L))
     assert(o.json() == "0:3,1:0,2:14")

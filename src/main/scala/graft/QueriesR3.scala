@@ -387,7 +387,13 @@ object QueriesR3 {
       .filter(col("quality") >= 0.45).select("doc_id")
     val keepers = graft.dedup.Dedup.exactGroups(d, col("doc_id"), col("text"))
       .select(col("keeper_id").as("doc_id"))
-    val filtered = d.join(en, "doc_id").join(good, "doc_id").join(keepers, "doc_id")
+    // materialized once: BOTH the LSH candidate pass and the final
+    // anti-join read it — unchckpt'd, the whole langid/quality/exact
+    // chain evaluated twice (the r6→r7 corpus_clean regression's other
+    // half beside the windowed langid)
+    val filtered = d.join(en, "doc_id").join(good, "doc_id")
+      .join(keepers, "doc_id")
+      .localCheckpoint(true)
     val pairs = graft.dedup.Dedup.lshCandidates(filtered, col("doc_id"), col("text"),
       shingleWords = 3, k = 12, bands = 4)
     filtered

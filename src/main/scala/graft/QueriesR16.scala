@@ -273,6 +273,127 @@ object QueriesR16 {
       .orderBy(col("o_orderkey"))
   }
 
+  // ---------------------------------------------------------------
+  // F14b/F15b: open-table-format ROUND-TRIP gates — build a real Delta
+  // / Iceberg table from the test schema inside the gate (data files +
+  // protocol-faithful logs/manifests incl. a remove/replace commit),
+  // read it back through the graft readers, and hash-compare against
+  // plain SQL over the source table: the readers' correctness becomes
+  // oracle-backed, not just spec-backed. Built once per process (the
+  // staging memo idiom); the build cost is a handful of tiny writes.
+  // ---------------------------------------------------------------
+
+  private val tableBuildMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, String, String), String]()
+
+  private def writeSingleParquet(df: DataFrame,
+                                 target: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    val tmp = java.nio.file.Files.createTempDirectory("rt_part")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = java.nio.file.Files.list(tmp).iterator().asScala
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    java.nio.file.Files.createDirectories(target.getParent)
+    java.nio.file.Files.move(part, target)
+  }
+
+  private def esc(s: String): String =
+    s.replace("\\", "\\\\").replace("\"", "\\\"")
+
+  private def centsBal = (col("s_acctbal").cast("decimal(12,2)") * 100)
+    .cast("long")
+
+  private def buildDeltaTable(s: SparkSession, dir: String): String =
+    tableBuildMemo.computeIfAbsent(
+      (s.sparkContext.applicationId, dir, "delta"), _ => {
+        val t0 = java.nio.file.Files.createTempDirectory("delta_rt")
+        val sup = t(s, dir, "supplier").select(col("s_suppkey"),
+          centsBal.as("bal_cents"),
+          (col("s_nationkey") % 5).cast("string").as("bucket"))
+        val schema = org.apache.spark.sql.types.StructType.fromDDL(
+          "s_suppkey BIGINT, bal_cents BIGINT, bucket STRING")
+        val adds = (0 until 5).map { b =>
+          val rel = s"data/bucket=$b/f0.parquet"
+          writeSingleParquet(
+            sup.filter(col("bucket") === b.toString).drop("bucket"),
+            t0.resolve(rel))
+          s"""{"add":{"path":"$rel","partitionValues":{"bucket":"$b"},"dataChange":true}}"""
+        }
+        val meta =
+          s"""{"metaData":{"id":"rt","schemaString":"${esc(schema.json)}","partitionColumns":["bucket"]}}"""
+        val logDir = t0.resolve("_delta_log")
+        java.nio.file.Files.createDirectories(logDir)
+        java.nio.file.Files.writeString(logDir.resolve(f"${0L}%020d.json"),
+          (meta +: adds).mkString("\n"))
+        // v1: replace bucket 0 with bal + 10000 (the remove/re-add path)
+        writeSingleParquet(
+          sup.filter(col("bucket") === "0").drop("bucket")
+            .withColumn("bal_cents", col("bal_cents") + 10000L),
+          t0.resolve("data/bucket=0/f1.parquet"))
+        java.nio.file.Files.writeString(logDir.resolve(f"${1L}%020d.json"), Seq(
+          """{"remove":{"path":"data/bucket=0/f0.parquet","dataChange":true}}""",
+          """{"add":{"path":"data/bucket=0/f1.parquet","partitionValues":{"bucket":"0"},"dataChange":true}}""")
+          .mkString("\n"))
+        t0.toString
+      })
+
+  /** F14b: Delta round-trip — the [[graft.sources.DeltaLog]] reader
+    * against a table this gate wrote (partitioned adds + a
+    * remove/replace commit); oracle = the same transform in plain SQL.
+    */
+  def deltaRoundtrip(s: SparkSession, dir: String): DataFrame =
+    graft.sources.DeltaLog.read(s, buildDeltaTable(s, dir))
+      .orderBy(col("s_suppkey"))
+
+  private def buildIcebergTable(s: SparkSession, dir: String): String =
+    tableBuildMemo.computeIfAbsent(
+      (s.sparkContext.applicationId, dir, "iceberg"), _ => {
+        import graft.sources.IcebergCatalog._
+        val t0 = java.nio.file.Files.createTempDirectory("ice_rt")
+        val mdir = t0.resolve("metadata")
+        java.nio.file.Files.createDirectories(mdir)
+        val n = t(s, dir, "nation").select(col("n_nationkey"),
+          col("n_name"), col("n_regionkey").cast("string").as("rk"))
+        val rks = (0 until 5).map(_.toString)
+        val files = rks.map { r =>
+          val rel = t0.resolve(s"data/rk=$r/f0.parquet")
+          writeSingleParquet(n.filter(col("rk") === r).drop("rk"), rel)
+          r -> rel.toString
+        }
+        val m1 = mdir.resolve("m1.avro")
+        writeManifest(m1, Seq("rk"),
+          files.map { case (r, p) => (1, p, 0, Map("rk" -> r)) })
+        val ml1 = mdir.resolve("snap-10.avro")
+        writeManifestList(ml1, Seq(m1))
+        // snapshot 20: renumber region 0's nations by +1000
+        val repl = t0.resolve("data/rk=0/f1.parquet")
+        writeSingleParquet(
+          n.filter(col("rk") === "0").drop("rk")
+            .withColumn("n_nationkey", col("n_nationkey") + 1000L),
+          repl)
+        val m2 = mdir.resolve("m2.avro")
+        writeManifest(m2, Seq("rk"),
+          files.map { case (r, p) =>
+            (if (r == "0") 2 else 0, p, 0, Map("rk" -> r))
+          } :+ ((1, repl.toString, 0, Map("rk" -> "0"))))
+        val ml2 = mdir.resolve("snap-20.avro")
+        writeManifestList(ml2, Seq(m2))
+        writeMetadataJson(mdir.resolve("v1.metadata.json"),
+          Seq(("n_nationkey", "long", true), ("n_name", "string", false),
+            ("rk", "string", false)),
+          Seq("rk"), Seq(10L -> ml1, 20L -> ml2))
+        t0.toString
+      })
+
+  /** F15b: Iceberg round-trip — the [[graft.sources.IcebergCatalog]]
+    * reader against a table this gate wrote (Avro manifests with
+    * added/existing/deleted entries across two snapshots); oracle = the
+    * same transform in plain SQL.
+    */
+  def icebergRoundtrip(s: SparkSession, dir: String): DataFrame =
+    graft.sources.IcebergCatalog.read(s, buildIcebergTable(s, dir))
+      .orderBy(col("n_nationkey"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_bpe_merges" -> (textBpeMerges _),
     "text_bpe_tokenize" -> (textBpeTokenize _),
@@ -284,7 +405,9 @@ object QueriesR16 {
     "mm_patch_ahash" -> (mmPatchAhash _),
     "text_bpe_vocab" -> (textBpeVocab _),
     "dedup_span_stats" -> (dedupSpanStats _),
-    "stream_bus_cdc" -> (streamBusCdc _))
+    "stream_bus_cdc" -> (streamBusCdc _),
+    "delta_roundtrip" -> (deltaRoundtrip _),
+    "iceberg_roundtrip" -> (icebergRoundtrip _))
 
   /** Shared oracle prefix: the BPE training pyramid + per-(doc, source)
     * subword counts, as chained CTE text.
@@ -451,6 +574,18 @@ object QueriesR16 {
         |FROM st$bpeMerges JOIN wf USING (w)
         |GROUP BY s ORDER BY subword""".stripMargin,
     "stream_bus_cdc" -> Queries.sqlCdc("cdc_merge"),
+    "delta_roundtrip" ->
+      """SELECT s_suppkey,
+        |  CAST(CAST(s_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |    + CASE WHEN s_nationkey % 5 = 0 THEN 10000 ELSE 0 END
+        |    AS bal_cents,
+        |  CAST(s_nationkey % 5 AS VARCHAR) AS bucket
+        |FROM supplier ORDER BY s_suppkey""".stripMargin,
+    "iceberg_roundtrip" ->
+      """SELECT CASE WHEN n_regionkey = 0 THEN n_nationkey + 1000
+        |       ELSE n_nationkey END AS n_nationkey,
+        |  n_name, CAST(n_regionkey AS VARCHAR) AS rk
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
     "q_union_evolve" ->
       """SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 2 = 0
         |UNION ALL BY NAME

@@ -556,10 +556,20 @@ object Graph {
   def kTruss(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
     require(k >= 3, s"k must be >= 3, got $k")
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
-    var und = edges.select(least(col("src"), col("dst")).as("a"),
+    kTrussCanon(edges.select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .filter(col("a") =!= col("b")).distinct()
-      .ckpt
+      .ckpt, k, rounds)
+  }
+
+  /** [[kTruss]] over an ALREADY canonical (a < b, distinct,
+    * checkpointed) edge set — the per-level entry point of [[trussness]]
+    * (each level's residue is canonical by construction; the defensive
+    * re-canonicalization is one wasted distinct shuffle per level).
+    */
+  private def kTrussCanon(canonical: DataFrame, k: Int,
+                          rounds: Int): DataFrame = {
+    var und = canonical
     // intersection support reports 0-support edges too (the wedge-join
     // form omitted them); the >= k-2 filter and the coalesce below make
     // the two shapes result-identical
@@ -714,9 +724,7 @@ object Graph {
     var k = 3
     var empty = false
     while (k <= maxK && !empty) {
-      residue = kTruss(
-          residue.select(col("a").as("src"), col("b").as("dst")),
-          k, roundsPerLevel)
+      residue = kTrussCanon(residue, k, roundsPerLevel)
         .select(col("a"), col("b")).ckpt
       empty = residue.isEmpty
       if (!empty)
@@ -1085,9 +1093,7 @@ object Graph {
       val nPool = pool.count()
       val nPrev = prev.count()
       val truss = (if (nPool * 2 > nPrev) {
-        kTruss(prev.select(col("a").as("src"), col("b").as("dst")),
-            k, rounds)
-          .select(col("a"), col("b"))
+        kTrussCanon(prev, k, rounds).select(col("a"), col("b"))
       } else {
         // closure of the delta edges through the pool, via shared
         // triangles

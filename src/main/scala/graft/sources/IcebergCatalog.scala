@@ -174,6 +174,94 @@ object IcebergCatalog {
     IceState(current, schema, partitionFields, files)
   }
 
+  // ------------------------------------------------------------------
+  // Minimal writer — the fixture/export counterpart of the reader:
+  // enough of the spec (Avro manifest list + manifests with STRING
+  // identity partitions, metadata JSON with schemas/specs/snapshots) to
+  // round-trip a table through this module and hand it to any Iceberg
+  // reader. Data files are written by the caller (plain parquet).
+  // ------------------------------------------------------------------
+
+  private def manifestListSchema = new org.apache.avro.Schema.Parser().parse(
+    """{"type":"record","name":"manifest_file","fields":[
+      |  {"name":"manifest_path","type":"string"}]}""".stripMargin)
+
+  private def manifestSchema(partFields: Seq[String]) = {
+    val pf = partFields.map(f =>
+      s"""{"name":"$f","type":"string"}""").mkString(",")
+    new org.apache.avro.Schema.Parser().parse(
+      s"""{"type":"record","name":"manifest_entry","fields":[
+         |  {"name":"status","type":"int"},
+         |  {"name":"data_file","type":{"type":"record","name":"data_file","fields":[
+         |    {"name":"file_path","type":"string"},
+         |    {"name":"content","type":"int"},
+         |    {"name":"partition","type":{"type":"record","name":"part_r","fields":[$pf]}},
+         |    {"name":"record_count","type":"long"}]}}]}""".stripMargin)
+  }
+
+  def writeManifestList(path: Path, manifests: Seq[Path]): Unit = {
+    val s = manifestListSchema
+    val w = new org.apache.avro.file.DataFileWriter[GenericRecord](
+      new org.apache.avro.generic.GenericDatumWriter[GenericRecord](s))
+    w.create(s, path.toFile)
+    manifests.foreach { m =>
+      val r = new org.apache.avro.generic.GenericData.Record(s)
+      r.put("manifest_path", m.toString); w.append(r)
+    }
+    w.close()
+  }
+
+  /** entries: (status 1=ADDED/0=EXISTING/2=DELETED, filePath,
+    * content 0=data, partitionValues).
+    */
+  def writeManifest(path: Path, partFields: Seq[String],
+                    entries: Seq[(Int, String, Int, Map[String, String])]): Unit = {
+    val s = manifestSchema(partFields)
+    val dfS = s.getField("data_file").schema()
+    val pS = dfS.getField("partition").schema()
+    val w = new org.apache.avro.file.DataFileWriter[GenericRecord](
+      new org.apache.avro.generic.GenericDatumWriter[GenericRecord](s))
+    w.create(s, path.toFile)
+    entries.foreach { case (status, fp, content, pv) =>
+      val pr = new org.apache.avro.generic.GenericData.Record(pS)
+      partFields.foreach(f => pr.put(f, pv.getOrElse(f, null)))
+      val df = new org.apache.avro.generic.GenericData.Record(dfS)
+      df.put("file_path", fp); df.put("content", content)
+      df.put("partition", pr); df.put("record_count", 0L)
+      val e = new org.apache.avro.generic.GenericData.Record(s)
+      e.put("status", status); e.put("data_file", df)
+      w.append(e)
+    }
+    w.close()
+  }
+
+  /** One v2 metadata.json: `fields` = (name, icebergType, required),
+    * `snapshots` = (snapshotId, manifestListPath), current = last.
+    */
+  def writeMetadataJson(path: Path, fields: Seq[(String, String, Boolean)],
+                        partitionFields: Seq[String],
+                        snapshots: Seq[(Long, Path)]): Unit = {
+    val fs = fields.zipWithIndex.map { case ((n, t, r), i) =>
+      s"""{"id": ${i + 1}, "name": "$n", "required": $r, "type": "$t"}"""
+    }.mkString(",")
+    val ps = partitionFields.zipWithIndex.map { case (n, i) =>
+      s"""{"name": "$n", "transform": "identity", "source-id": 0, "field-id": ${1000 + i}}"""
+    }.mkString(",")
+    val ss = snapshots.map { case (id, ml) =>
+      s"""{"snapshot-id": $id, "manifest-list": "$ml"}"""
+    }.mkString(",")
+    val cur = snapshots.last._1
+    Files.writeString(path,
+      s"""{
+         |  "format-version": 2,
+         |  "current-snapshot-id": $cur,
+         |  "current-schema-id": 0,
+         |  "schemas": [{"schema-id": 0, "type": "struct", "fields": [$fs]}],
+         |  "partition-specs": [{"spec-id": 0, "fields": [$ps]}],
+         |  "snapshots": [$ss]
+         |}""".stripMargin)
+  }
+
   /** Read the live table (optionally at an old snapshot), the F14
     * reading shape: one pruned parquet scan per partition-value group,
     * partition columns re-entering as typed literals.

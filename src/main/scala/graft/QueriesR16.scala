@@ -154,7 +154,11 @@ object QueriesR16 {
         col("event_id")),
       root, busPartitions = 8, pt = col("pt"), value = col("v"),
       col("event_id"))
-    graft.streaming.Streams.busReplay(s, root, maxRowsPerTrigger = 5000,
+    // ~8 admission-controlled batches at any SF (events scale linearly);
+    // a FIXED trigger size at sf0.1 meant 20 micro-batches of pure
+    // harness overhead in the bench
+    val trigger = math.max(1000L, e.count() / 8)
+    graft.streaming.Streams.busReplay(s, root, maxRowsPerTrigger = trigger,
         s"gate_bus_${System.nanoTime()}") { stream =>
       stream.select(from_json(col("value"),
           org.apache.spark.sql.types.StructType.fromDDL(
@@ -271,6 +275,39 @@ object QueriesR16 {
         Seq("o_orderkey"), Seq(col("o_orderkey")),
         busPartitions = 8, maxRowsPerTrigger = 2000)
       .orderBy(col("o_orderkey"))
+  }
+
+  /** X45: streaming BPE token accounting — arriving documents counted
+    * in TRAINED subword units live (the budget gauge a streaming ingest
+    * pipeline runs): docs ride the bus as JSON, the vocab-sized
+    * per-word subword table joins the stream as a broadcast static
+    * side, per-source (ws, bpe) totals drain in complete mode ≡ the
+    * batch report — order-independent sums, so multi-partition bus
+    * delivery is safe by construction.
+    */
+  def streamBpeTokens(s: SparkSession, dir: String): DataFrame = {
+    val (_, endState) = bpeTrained(s, dir)
+    val nSub = broadcast(
+      endState.groupBy(col("w")).agg(count(lit(1)).as("n_sub")))
+    val d = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("text"))
+    val root = java.nio.file.Files.createTempDirectory("graft_busbpe").toString
+    graft.streaming.BusSource.stage(
+      d.select(pmod(hash(col("doc_id")), lit(4)).as("pt"),
+        to_json(struct(col("source"), col("text"))).as("v"), col("doc_id")),
+      root, busPartitions = 4, pt = col("pt"), value = col("v"),
+      col("doc_id"))
+    graft.streaming.Streams.busReplay(s, root, maxRowsPerTrigger = 100,
+        s"gate_busbpe_${System.nanoTime()}") { stream =>
+      stream.select(from_json(col("value"),
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "source STRING, text STRING")).as("e"))
+        .select(col("e.source").as("source"),
+          explode(split(col("e.text"), " ")).as("w"))
+        .join(nSub, Seq("w"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_ws"), sum(col("n_sub")).as("n_bpe"))
+    }.orderBy(col("source"))
   }
 
   // ---------------------------------------------------------------
@@ -407,7 +444,8 @@ object QueriesR16 {
     "dedup_span_stats" -> (dedupSpanStats _),
     "stream_bus_cdc" -> (streamBusCdc _),
     "delta_roundtrip" -> (deltaRoundtrip _),
-    "iceberg_roundtrip" -> (icebergRoundtrip _))
+    "iceberg_roundtrip" -> (icebergRoundtrip _),
+    "stream_bpe_tokens" -> (streamBpeTokens _))
 
   /** Shared oracle prefix: the BPE training pyramid + per-(doc, source)
     * subword counts, as chained CTE text.
@@ -574,6 +612,13 @@ object QueriesR16 {
         |FROM st$bpeMerges JOIN wf USING (w)
         |GROUP BY s ORDER BY subword""".stripMargin,
     "stream_bus_cdc" -> Queries.sqlCdc("cdc_merge"),
+    "stream_bpe_tokens" ->
+      s"""WITH ${Bpe.oracleCtes("documents", "text", bpeMerges)},
+        |${Bpe.nsubCte(bpeMerges)}
+        |SELECT source, COUNT(*) AS n_ws, CAST(SUM(n_sub) AS BIGINT) AS n_bpe
+        |FROM (SELECT source, unnest(string_split(text, ' ')) AS w
+        |      FROM documents) dw
+        |JOIN ns USING (w) GROUP BY source ORDER BY source""".stripMargin,
     "delta_roundtrip" ->
       """SELECT s_suppkey,
         |  CAST(CAST(s_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)

@@ -528,6 +528,17 @@ object Graph {
     * family the slowest non-headline gates (graph_trussness 58 s,
     * graph_trussness_inc 212 s in the r7 full-gate bench) — hub edges
     * expanded by hub degree into a Σdeg-sized shuffle every peel round.
+    *
+    * Measured negative result (r7, keep for the record): the
+    * degree-ORIENTED variant (enumerate each triangle once on its base
+    * edge, explode +1 credits to the other two edges, re-aggregate)
+    * bounds the intersection work by Σ outdeg² but SHUFFLES 3T credit
+    * rows — and the co-purchase graph is clique-dense (baskets are
+    * cliques, T ≫ m), so it benched ~1.5–2× SLOWER than this in-place
+    * form (ktruss 8.9→11.1 s, trussness 18→27 s, embeddedness
+    * 2.3→4.7 s at sf0.1). Orientation pays off when wedges dwarf
+    * triangles; here the per-edge intersect stays in codegen'd local
+    * array work with zero extra exchange.
     */
   private def supportByIntersect(und: DataFrame): DataFrame = {
     val d = und.select(col("a").as("v"), col("b").as("w"))

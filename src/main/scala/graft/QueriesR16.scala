@@ -277,6 +277,34 @@ object QueriesR16 {
       .orderBy(col("o_orderkey"))
   }
 
+  /** D9b: per-document contamination RATE — D9's drop decision turned
+    * into the report evaluators actually read: for every training doc,
+    * its distinct 24-char grams, how many appear anywhere in the eval
+    * split, and the contamination rate in exact ppm (hits·10⁶ div
+    * grams). Eval grams are a broadcast semi-join side (corpus never
+    * shuffles on grams); zero-contamination docs report 0, full
+    * coverage.
+    */
+  def dedupContaminationRate(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    def grams(df: DataFrame) = df.filter(length(col("text")) >= 24)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, length(text) - 23), i -> substring(text, i, 24))"))
+        .as("g"))
+      .distinct()
+    val ev = grams(d.filter(col("doc_id") % 97 === 0)).select(col("g")).distinct()
+    val tg = grams(d.filter(col("doc_id") % 97 =!= 0))
+    val tot = tg.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+    val hit = tg.join(broadcast(ev), Seq("g"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+    tot.join(hit, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        expr("CAST(coalesce(n_hits, 0) * 1000000 div n_grams AS BIGINT)")
+          .as("rate_ppm"))
+      .orderBy(col("doc_id"))
+  }
+
   /** X45: streaming BPE token accounting — arriving documents counted
     * in TRAINED subword units live (the budget gauge a streaming ingest
     * pipeline runs): docs ride the bus as JSON, the vocab-sized
@@ -445,7 +473,8 @@ object QueriesR16 {
     "stream_bus_cdc" -> (streamBusCdc _),
     "delta_roundtrip" -> (deltaRoundtrip _),
     "iceberg_roundtrip" -> (icebergRoundtrip _),
-    "stream_bpe_tokens" -> (streamBpeTokens _))
+    "stream_bpe_tokens" -> (streamBpeTokens _),
+    "dedup_contamination_rate" -> (dedupContaminationRate _))
 
   /** Shared oracle prefix: the BPE training pyramid + per-(doc, source)
     * subword counts, as chained CTE text.
@@ -612,6 +641,27 @@ object QueriesR16 {
         |FROM st$bpeMerges JOIN wf USING (w)
         |GROUP BY s ORDER BY subword""".stripMargin,
     "stream_bus_cdc" -> Queries.sqlCdc("cdc_merge"),
+    "dedup_contamination_rate" ->
+      """WITH ev AS (
+        |  SELECT DISTINCT substr(text, i, 24) AS g
+        |  FROM (SELECT text, unnest(generate_series(1, length(text) - 23)) AS i
+        |        FROM documents WHERE doc_id % 97 = 0) t
+        |), tr AS (
+        |  SELECT DISTINCT doc_id, substr(text, i, 24) AS g
+        |  FROM (SELECT doc_id, text, unnest(generate_series(1, length(text) - 23)) AS i
+        |        FROM documents WHERE doc_id % 97 <> 0) t
+        |), tot AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams
+        |  FROM tr GROUP BY doc_id
+        |), hit AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+        |  FROM tr JOIN ev USING (g) GROUP BY doc_id
+        |)
+        |SELECT doc_id, n_grams,
+        |  CAST(COALESCE(n_hits, 0) AS BIGINT) AS n_hits,
+        |  CAST(COALESCE(n_hits, 0) * 1000000 // n_grams AS BIGINT) AS rate_ppm
+        |FROM tot LEFT JOIN hit USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "stream_bpe_tokens" ->
       s"""WITH ${Bpe.oracleCtes("documents", "text", bpeMerges)},
         |${Bpe.nsubCte(bpeMerges)}

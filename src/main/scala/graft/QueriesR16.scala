@@ -277,6 +277,36 @@ object QueriesR16 {
       .orderBy(col("o_orderkey"))
   }
 
+  /** T34d: BPE ENCODING — the tokenizer loop closed end to end: train
+    * (T34) → vocabulary ids (subword rank under the total order) →
+    * per-document token-ID sequences, the actual model input. Encoding
+    * is vocabulary-joined, never per-token recomputed: each distinct
+    * word carries its ordered subword-id list (vocab-sized table), docs
+    * explode to (position, word), join, and re-assemble in word order —
+    * the corpus-side cost is one explode + one broadcast join + one
+    * grouped ordered flatten. First 50 docs, ids space-joined (bounded,
+    * readable gate output).
+    */
+  def textBpeEncode(s: SparkSession, dir: String): DataFrame = {
+    val (_, endState) = bpeTrained(s, dir)
+    val vocab = endState.select(col("s")).distinct()
+      .withColumn("tid", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("s"))).cast("long"))
+    val wsub = endState.join(vocab, Seq("s"))
+      .select(col("w"), col("p"), col("tid"))
+    t(s, dir, "documents").filter(col("doc_id") < 50)
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("wp", "w")))
+      .filter(col("w") =!= "")
+      .join(broadcast(wsub), Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(expr(
+        """array_join(transform(sort_array(collect_list(struct(wp, p, tid))),
+          |                     x -> cast(x.tid AS string)), ' ')""".stripMargin)
+        .as("token_ids"))
+      .orderBy(col("doc_id"))
+  }
+
   /** D9b: per-document contamination RATE — D9's drop decision turned
     * into the report evaluators actually read: for every training doc,
     * its distinct 24-char grams, how many appear anywhere in the eval
@@ -474,7 +504,8 @@ object QueriesR16 {
     "delta_roundtrip" -> (deltaRoundtrip _),
     "iceberg_roundtrip" -> (icebergRoundtrip _),
     "stream_bpe_tokens" -> (streamBpeTokens _),
-    "dedup_contamination_rate" -> (dedupContaminationRate _))
+    "dedup_contamination_rate" -> (dedupContaminationRate _),
+    "text_bpe_encode" -> (textBpeEncode _))
 
   /** Shared oracle prefix: the BPE training pyramid + per-(doc, source)
     * subword counts, as chained CTE text.
@@ -641,6 +672,24 @@ object QueriesR16 {
         |FROM st$bpeMerges JOIN wf USING (w)
         |GROUP BY s ORDER BY subword""".stripMargin,
     "stream_bus_cdc" -> Queries.sqlCdc("cdc_merge"),
+    "text_bpe_encode" ->
+      s"""WITH ${Bpe.oracleCtes("documents", "text", bpeMerges)},
+        |vocab AS MATERIALIZED (
+        |  SELECT s, CAST(ROW_NUMBER() OVER (ORDER BY s) AS BIGINT) AS tid
+        |  FROM (SELECT DISTINCT s FROM st$bpeMerges)
+        |), wsub AS MATERIALIZED (
+        |  SELECT w, p, tid FROM st$bpeMerges JOIN vocab USING (s)
+        |), dw AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS wp, w FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+        |           generate_subscripts(string_split(text, ' '), 1) AS i
+        |    FROM documents WHERE doc_id < 50
+        |  ) WHERE w <> ''
+        |)
+        |SELECT doc_id,
+        |  string_agg(CAST(tid AS VARCHAR), ' ' ORDER BY wp, p) AS token_ids
+        |FROM dw JOIN wsub USING (w)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "dedup_contamination_rate" ->
       """WITH ev AS (
         |  SELECT DISTINCT substr(text, i, 24) AS g

@@ -82,8 +82,10 @@ object PlanDump {
       "q_queue_wait", "graph_embeddedness", "q_diff_in_diff",
       "q_cohort_ltv", "ann_ivf_recall", "dedup_rate_by_source",
       "q_changepoint_multi", "embed_drift", "text_langid_confusion",
-      "text_bpe_tokenize", "text_bpe_vocab", "dedup_repeated_spans",
-      "dedup_span_stats", "mm_patch_ahash", "q_union_evolve")
+      "text_bpe_tokenize", "text_bpe_vocab", "text_bpe_encode",
+      "dedup_repeated_spans", "dedup_span_stats", "mm_patch_ahash",
+      "q_union_evolve", "dedup_contamination_rate", "delta_roundtrip",
+      "iceberg_roundtrip")
     def squeeze(plan: String): Seq[String] = plan.linesIterator
       .filter(l => interesting.exists(l.contains))
       .map(_.replaceAll("#\\d+L?", "").replaceAll(", \\[plan_id=\\d+\\]", ""))

@@ -307,6 +307,58 @@ object QueriesR16 {
       .orderBy(col("doc_id"))
   }
 
+  /** R191: deterministic random-walk corpus (see
+    * [[graft.operators.Graph.randomWalks]]) — 4-step walks from every
+    * 97th co-purchase node, the DeepWalk-style training corpus for
+    * graph embeddings with hash-replayable "randomness".
+    */
+  def graphWalks(s: SparkSession, dir: String): DataFrame = {
+    val edges = QueriesR6.coPurchaseEdges(s, dir)
+    val seeds = edges
+      .select(explode(array(col("src"), col("dst"))).as("node"))
+      .distinct().filter(col("node") % 97 === 0)
+    graft.operators.Graph.randomWalks(edges, seeds, steps = 4)
+      .orderBy(col("seed"))
+  }
+
+  private def walksOracle: String = {
+    val steps = (1 to 4).map { i =>
+      s"""w$i AS (
+         |  SELECT seed, cur2 AS cur,
+         |         path || '->' || CAST(cur2 AS VARCHAR) AS path
+         |  FROM (
+         |    SELECT w.seed, w.path,
+         |      CASE WHEN a.ns IS NULL THEN w.cur
+         |           ELSE a.ns[CAST(CAST(('0x' || substr(md5(
+         |             CAST(w.seed AS VARCHAR) || '|$i|' ||
+         |             CAST(w.cur AS VARCHAR)), 1, 12)) AS BIGINT)
+         |             % len(a.ns) AS BIGINT) + 1]
+         |      END AS cur2
+         |    FROM w${i - 1} w LEFT JOIN adj a ON a.node = w.cur
+         |  )
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |und AS (
+       |  SELECT a.l_partkey AS a, b.l_partkey AS b
+       |  FROM li a JOIN li b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |  GROUP BY 1, 2
+       |), e0 AS (
+       |  SELECT a AS src, b AS dst FROM und
+       |  UNION ALL SELECT b, a FROM und
+       |), adj AS MATERIALIZED (
+       |  SELECT src AS node, list_sort(list(dst)) AS ns FROM e0 GROUP BY src
+       |), sd AS (
+       |  SELECT DISTINCT src AS node FROM e0 WHERE src % 97 = 0
+       |), w0 AS (
+       |  SELECT node AS seed, node AS cur, CAST(node AS VARCHAR) AS path
+       |  FROM sd
+       |),
+       |$steps
+       |SELECT seed, path FROM w4 ORDER BY seed""".stripMargin
+  }
+
   /** D9b: per-document contamination RATE — D9's drop decision turned
     * into the report evaluators actually read: for every training doc,
     * its distinct 24-char grams, how many appear anywhere in the eval
@@ -505,7 +557,8 @@ object QueriesR16 {
     "iceberg_roundtrip" -> (icebergRoundtrip _),
     "stream_bpe_tokens" -> (streamBpeTokens _),
     "dedup_contamination_rate" -> (dedupContaminationRate _),
-    "text_bpe_encode" -> (textBpeEncode _))
+    "text_bpe_encode" -> (textBpeEncode _),
+    "graph_walks" -> (graphWalks _))
 
   /** Shared oracle prefix: the BPE training pyramid + per-(doc, source)
     * subword counts, as chained CTE text.
@@ -672,6 +725,7 @@ object QueriesR16 {
         |FROM st$bpeMerges JOIN wf USING (w)
         |GROUP BY s ORDER BY subword""".stripMargin,
     "stream_bus_cdc" -> Queries.sqlCdc("cdc_merge"),
+    "graph_walks" -> walksOracle,
     "text_bpe_encode" ->
       s"""WITH ${Bpe.oracleCtes("documents", "text", bpeMerges)},
         |vocab AS MATERIALIZED (

@@ -553,6 +553,51 @@ object Graph {
           .as("support"))
   }
 
+  /** R191: deterministic random-walk corpus generation — fixed-length
+    * walks from a seed set (node2vec with p = q = 1), the standard
+    * input corpus for graph-embedding training (DeepWalk) and a
+    * neighborhood sampler for GNN minibatching. "Random" choices are
+    * the house portable hash: step i at node v picks sorted-neighbor
+    * index h48(seed|i|v) mod deg(v) — engine-replayable (the oracle
+    * unrolls the same walk in SQL), seed-path reproducible forever, no
+    * RNG state. Isolated current nodes absorb (the walk keeps
+    * appending the node), keeping path length fixed.
+    *
+    * Scale shape: adjacency is one sorted-list aggregate (node-keyed);
+    * each step is ONE hash join of the walk table (|seeds| rows)
+    * against it plus a per-row projection — L steps = L joins, walk
+    * state never exceeds |seeds| rows, and the neighbor pick is an
+    * `element_at` on the joined list, not an explode.
+    *
+    * @return (seed, path) — "v0->v1->...->vL" over node ids
+    */
+  def randomWalks(edges: DataFrame, seeds: DataFrame, steps: Int): DataFrame = {
+    require(steps >= 1, s"steps must be >= 1, got $steps")
+    val und = edges.select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val dir = und.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(und.select(col("b").as("src"), col("a").as("dst")))
+    val adj = dir.groupBy(col("src").as("node"))
+      .agg(sort_array(collect_list(col("dst"))).as("ns"))
+      .ckpt
+    def h48(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      conv(substring(md5(c), 1, 12), 16, 10).cast("long")
+    var walk = seeds.select(col("node").as("seed"), col("node").as("cur"),
+      col("node").cast("string").as("path"))
+    for (i <- 1 to steps) {
+      val idx = pmod(h48(concat_ws("|", col("seed"), lit(i), col("cur"))),
+        size(col("ns")))
+      val nxt = when(col("ns").isNull, col("cur"))
+        .otherwise(element_at(col("ns"), (idx + 1).cast("int")))
+      walk = walk
+        .join(adj, walk("cur") === adj("node"), "left")
+        .select(col("seed"), nxt.as("cur"),
+          concat(col("path"), lit("->"), nxt.cast("string")).as("path"))
+    }
+    walk.select(col("seed"), col("path"))
+  }
+
   /** R183: exact per-edge common-neighbor (embeddedness / triangle
     * support) counts — input canonicalized, then [[supportByIntersect]].
     */

@@ -85,7 +85,7 @@ object PlanDump {
       "text_bpe_tokenize", "text_bpe_vocab", "text_bpe_encode",
       "dedup_repeated_spans", "dedup_span_stats", "mm_patch_ahash",
       "q_union_evolve", "dedup_contamination_rate", "delta_roundtrip",
-      "iceberg_roundtrip")
+      "iceberg_roundtrip", "graph_walks")
     def squeeze(plan: String): Seq[String] = plan.linesIterator
       .filter(l => interesting.exists(l.contains))
       .map(_.replaceAll("#\\d+L?", "").replaceAll(", \\[plan_id=\\d+\\]", ""))

@@ -34,10 +34,27 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    val oracle = SparkEntry.oracleSql
       .filter { case (k, _) => only.forall(_.contains(k)) }
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    val json = oracle.map { case (k, v) => s"${q(k)}: ${q(v)}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Hard-signal guard: the driver's gate silently zeroes the round if
+    // this file is empty or unparseable. Re-read what was written and
+    // strict-parse it (Jackson ships with Spark); refuse to exit 0 unless
+    // it is a non-empty object with exactly the keys we meant to write.
+    val written = Files.readString(Paths.get(s"$outDir/oracle_sql.json"))
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node =
+      try mapper.readTree(written)
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] FATAL: oracle_sql.json unparseable: ${e.getMessage}")
+        spark.stop(); sys.exit(2)
+      }
+    if (!node.isObject || node.size() != oracle.size || (only.isEmpty && node.size() == 0)) {
+      System.err.println(s"[verify] FATAL: oracle_sql.json has ${node.size()} keys, expected ${oracle.size}")
+      spark.stop(); sys.exit(2)
+    }
     spark.stop()
   }
 }

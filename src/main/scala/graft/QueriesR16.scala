@@ -40,6 +40,15 @@ object QueriesR16 {
     bpeMemo.computeIfAbsent((s.sparkContext.applicationId, dir), _ =>
       Bpe.train(t(s, dir, "documents"), col("text"), bpeMerges))
 
+  /** Force the shared trained-BPE staging for this (session, dir) —
+    * called by [[Bench]] before its timed loop so no gate's measured
+    * time silently carries the one-time training build.
+    */
+  private[graft] def stageShared(s: SparkSession, dir: String): Unit = {
+    val (merges, endState) = bpeTrained(s, dir)
+    merges.count(); endState.count()
+  }
+
   /** Per-doc (doc_id, source, n_bpe) off the shared trained state. */
   private def bpeDocCounts(s: SparkSession, dir: String): DataFrame = {
     val (_, endState) = bpeTrained(s, dir)
@@ -88,7 +97,9 @@ object QueriesR16 {
     bpeDocCounts(s, dir)
       .withColumn("cum", sum(col("n_bpe")).over(w))
       .select(col("doc_id"), col("source"), col("n_bpe"),
-        ((col("cum") - col("n_bpe")) / budget).cast("long").as("chunk_id"))
+        // exact integer division (house idiom): the double-division form
+        // diverges from the oracle's '//' once cum exceeds 2^53
+        expr(s"(cum - n_bpe) div $budget").as("chunk_id"))
       .orderBy(col("doc_id"))
   }
 
@@ -502,9 +513,12 @@ object QueriesR16 {
         val n = t(s, dir, "nation").select(col("n_nationkey"),
           col("n_name"), col("n_regionkey").cast("string").as("rk"))
         val rks = (0 until 5).map(_.toString)
+        // each data file written key-sorted so POSITIONAL delete rows
+        // (file, pos) address deterministic records
         val files = rks.map { r =>
           val rel = t0.resolve(s"data/rk=$r/f0.parquet")
-          writeSingleParquet(n.filter(col("rk") === r).drop("rk"), rel)
+          writeSingleParquet(
+            n.filter(col("rk") === r).drop("rk").orderBy(col("n_nationkey")), rel)
           r -> rel.toString
         }
         val m1 = mdir.resolve("m1.avro")
@@ -525,17 +539,38 @@ object QueriesR16 {
           } :+ ((1, repl.toString, 0, Map("rk" -> "0"))))
         val ml2 = mdir.resolve("snap-20.avro")
         writeManifestList(ml2, Seq(m2))
+        // snapshot 30: v2 DELETE files — a POSITIONAL delete removing
+        // row 0 of region 1's (key-sorted) data file, and an EQUALITY
+        // delete on n_name (field id 2) removing nation 14's name
+        val live3 = files.collect { case (r, p) if r != "0" =>
+          ManifestEntry(0, p, 0, Map("rk" -> r)) } :+
+          ManifestEntry(0, repl.toString, 0, Map("rk" -> "0"))
+        val pd = t0.resolve("data/pd1.parquet")
+        writeSingleParquet(
+          s.createDataFrame(Seq((files.toMap.apply("1"), 0L)))
+            .toDF("file_path", "pos"), pd)
+        val ed = t0.resolve("data/ed1.parquet")
+        writeSingleParquet(
+          n.filter(col("n_nationkey") === 14).select(col("n_name")), ed)
+        val m3 = mdir.resolve("m3.avro")
+        writeManifestEntries(m3, Seq("rk"), live3 :+
+          ManifestEntry(1, pd.toString, 1, Map.empty) :+
+          ManifestEntry(1, ed.toString, 2, Map.empty, equalityIds = Seq(2)))
+        val ml3 = mdir.resolve("snap-30.avro")
+        writeManifestList(ml3, Seq(m3))
         writeMetadataJson(mdir.resolve("v1.metadata.json"),
           Seq(("n_nationkey", "long", true), ("n_name", "string", false),
             ("rk", "string", false)),
-          Seq("rk"), Seq(10L -> ml1, 20L -> ml2))
+          Seq("rk"), Seq(10L -> ml1, 20L -> ml2, 30L -> ml3))
         t0.toString
       })
 
   /** F15b: Iceberg round-trip — the [[graft.sources.IcebergCatalog]]
     * reader against a table this gate wrote (Avro manifests with
-    * added/existing/deleted entries across two snapshots); oracle = the
-    * same transform in plain SQL.
+    * added/existing/deleted entries across three snapshots; the third
+    * carries a v2 POSITIONAL delete file and an EQUALITY delete file,
+    * both applied at read as anti-joins); oracle = the same transform
+    * in plain SQL.
     */
   def icebergRoundtrip(s: SparkSession, dir: String): DataFrame =
     graft.sources.IcebergCatalog.read(s, buildIcebergTable(s, dir))
@@ -783,7 +818,11 @@ object QueriesR16 {
       """SELECT CASE WHEN n_regionkey = 0 THEN n_nationkey + 1000
         |       ELSE n_nationkey END AS n_nationkey,
         |  n_name, CAST(n_regionkey AS VARCHAR) AS rk
-        |FROM nation ORDER BY n_nationkey""".stripMargin,
+        |FROM nation
+        |WHERE NOT (n_regionkey = 1 AND n_nationkey =
+        |    (SELECT MIN(n_nationkey) FROM nation WHERE n_regionkey = 1))
+        |  AND n_name <> (SELECT n_name FROM nation WHERE n_nationkey = 14)
+        |ORDER BY n_nationkey""".stripMargin,
     "q_union_evolve" ->
       """SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 2 = 0
         |UNION ALL BY NAME

@@ -41,8 +41,12 @@ import org.apache.spark.sql.types.{DataType, StructType}
   */
 object DeltaLog {
 
-  /** One live data file after log replay. */
-  final case class LiveFile(path: String, partitionValues: Map[String, String])
+  /** One live data file after log replay. `stats` is the raw `add.stats`
+    * JSON (numRecords/minValues/maxValues) when the writer recorded it —
+    * decoded lazily by [[filesInRange]] for min/max file skipping.
+    */
+  final case class LiveFile(path: String, partitionValues: Map[String, String],
+                            stats: Option[String] = None)
 
   /** Replayed table state at a version. */
   final case class State(version: Long, schema: StructType,
@@ -54,7 +58,7 @@ object DeltaLog {
     * canonicalizes both to map&lt;string,string&gt;.
     */
   private def fold(df: DataFrame,
-                   live: collection.mutable.LinkedHashMap[String, Map[String, String]],
+                   live: collection.mutable.LinkedHashMap[String, (Map[String, String], Option[String])],
                    meta: Array[Option[(StructType, Seq[String])]]): Unit = {
     val roots = df.columns.toSet
     def sub(root: String, path: String) =
@@ -67,8 +71,14 @@ object DeltaLog {
       if (roots.contains("metaData"))
         expr("metaData.partitionColumns")
       else lit(null).cast("array<string>")
+    val addFields =
+      if (roots.contains("add"))
+        df.select("add.*").columns.toSet else Set.empty[String]
+    val stats =
+      if (addFields.contains("stats")) expr("add.stats")
+      else lit(null).cast("string")
     df.select(sub("add", "add.path"), pv, sub("remove", "remove.path"),
-        sub("metaData", "metaData.schemaString"), pc)
+        sub("metaData", "metaData.schemaString"), pc, stats)
       .collect().foreach { r =>
         if (!r.isNullAt(3)) {
           val sch = DataType.fromJson(r.getString(3)).asInstanceOf[StructType]
@@ -79,12 +89,24 @@ object DeltaLog {
         if (!r.isNullAt(0)) {
           val m = if (r.isNullAt(1)) Map.empty[String, String]
                   else r.getMap[String, String](1).toMap
-          live.put(r.getString(0), m)
+          live.put(r.getString(0), (m, if (r.isNullAt(5)) None else Some(r.getString(5))))
         }
       }
   }
 
-  /** Replay the log to `versionAsOf` (or the latest commit). */
+  /** Replay the log to `versionAsOf` (or the latest commit).
+    *
+    * Checkpoint handling (r8, the reject-loudly posture of the Iceberg
+    * reader): classic single-part (`V.checkpoint.parquet`) and
+    * multi-part (`V.checkpoint.P.N.parquet`, all N parts required)
+    * checkpoints are both replay starting points; `_last_checkpoint` is
+    * honored as the newest-checkpoint hint when present and must point
+    * at an existing checkpoint. After the starting point is chosen, the
+    * JSON commit versions must be CONTIGUOUS up to the target version —
+    * a retention-trimmed log whose checkpoint this subset failed to
+    * recognize previously replayed from version 0 with holes and
+    * silently returned an incomplete live set; now it throws.
+    */
   def state(spark: SparkSession, table: String,
             versionAsOf: Option[Long] = None): State = {
     import spark.implicits._
@@ -94,18 +116,51 @@ object DeltaLog {
       .map(_.getFileName.toString).toSeq.sorted
     val commits = entries.filter(_.matches("\\d{20}\\.json"))
       .map(n => n.take(20).toLong -> n)
-    val checkpoints = entries.filter(_.matches("\\d{20}\\.checkpoint\\.parquet"))
-      .map(n => n.take(20).toLong -> n)
+    val singleCkpts = entries.filter(_.matches("\\d{20}\\.checkpoint\\.parquet"))
+      .map(n => n.take(20).toLong -> Seq(n))
+    // multi-part: V.checkpoint.P.N.parquet — usable only when all N
+    // parts are present (a partial copy must not half-replay)
+    val multiCkpts = entries
+      .filter(_.matches("\\d{20}\\.checkpoint\\.\\d{10}\\.\\d{10}\\.parquet"))
+      .groupBy(_.take(20).toLong).toSeq
+      .flatMap { case (v, parts) =>
+        val n = parts.head.split('.')(3).toInt
+        if (parts.size == n) Some(v -> parts.sorted)
+        else throw new IllegalArgumentException(
+          s"multi-part checkpoint $v has ${parts.size} of $n parts: $table")
+      }
+    val checkpoints = (singleCkpts ++ multiCkpts).sortBy(_._1)
+    // _last_checkpoint (the driver-maintained pointer): when present it
+    // must reference a recognizable checkpoint — if this subset cannot
+    // see it, replay would silently start too early, so fail loudly.
+    val lastCkptFile = dir.resolve("_last_checkpoint")
+    if (Files.exists(lastCkptFile)) {
+      val txt = Files.readString(lastCkptFile)
+      val v = "\"version\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(txt)
+        .map(_.group(1).toLong).getOrElse(throw new IllegalArgumentException(
+          s"unparseable _last_checkpoint: $table"))
+      require(checkpoints.exists(_._1 == v),
+        s"_last_checkpoint points at version $v but no usable checkpoint " +
+          s"files exist for it: $table")
+    }
     val upTo = versionAsOf.getOrElse(
       (commits.map(_._1) ++ checkpoints.map(_._1)).maxOption.getOrElse(
         throw new IllegalArgumentException(s"empty delta log: $table")))
-    val live = collection.mutable.LinkedHashMap[String, Map[String, String]]()
+    val live = collection.mutable.LinkedHashMap[String, (Map[String, String], Option[String])]()
     val meta = Array[Option[(StructType, Seq[String])]](None)
     val ckpt = checkpoints.filter(_._1 <= upTo).maxByOption(_._1)
-    ckpt.foreach { case (_, name) =>
-      fold(spark.read.parquet(dir.resolve(name).toString), live, meta)
+    ckpt.foreach { case (_, parts) =>
+      fold(spark.read.parquet(parts.map(n => dir.resolve(n).toString): _*),
+        live, meta)
     }
     val fromV = ckpt.map(_._1 + 1).getOrElse(0L)
+    val haveV = commits.map(_._1).toSet
+    val missing = (fromV to upTo).filterNot(haveV.contains)
+    require(missing.isEmpty,
+      s"delta log not contiguous: versions ${missing.take(5).mkString(",")}" +
+        s"${if (missing.size > 5) ",..." else ""} missing between " +
+        s"checkpoint $fromV and $upTo (retention-trimmed log with an " +
+        s"unrecognized checkpoint?): $table")
     commits.filter { case (v, _) => v >= fromV && v <= upTo }
       .sortBy(_._1)
       .foreach { case (_, name) =>
@@ -116,21 +171,56 @@ object DeltaLog {
     val (schema, partCols) = meta(0).getOrElse(
       throw new IllegalArgumentException(s"no metaData action in log: $table"))
     State(upTo, schema, partCols,
-      live.toSeq.map { case (p, m) => LiveFile(p, m) })
+      live.toSeq.map { case (p, (m, st)) => LiveFile(p, m, st) })
+  }
+
+  /** The live files surviving min/max range pruning on `add.stats` —
+    * the house [[graft.layout.FileManifest]] box-intersection rule
+    * sourced from the transaction log's own per-file statistics. Files
+    * without stats (or without the ranged column in them) always
+    * survive: no false negatives.
+    */
+  def filesInRange(files: Seq[LiveFile],
+                   ranges: Map[String, (Long, Long)]): Seq[LiveFile] = {
+    if (ranges.isEmpty) return files
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    def bound(j: JValue): Option[Long] = j match {
+      case JInt(v) => Some(v.toLong)
+      case JLong(v) => Some(v)
+      case JDouble(v) => Some(v.toLong)
+      case JDecimal(v) => Some(v.toLong)
+      case _ => None
+    }
+    files.filter { f =>
+      f.stats.forall { raw =>
+        val js = try JsonMethods.parse(raw) catch { case _: Exception => JNothing }
+        ranges.forall { case (c, (lo, hi)) =>
+          (bound(js \ "minValues" \ c), bound(js \ "maxValues" \ c)) match {
+            case (Some(mn), Some(mx)) => mx >= lo && mn <= hi
+            case _ => true
+          }
+        }
+      }
+    }
   }
 
   /** Read the live table (optionally at an old version / with partition
     * pruning). `partitionFilter` sees each live file's partition values
-    * as strings — file groups it drops are never scanned.
+    * as strings — file groups it drops are never scanned; `ranges`
+    * additionally skips files whose `add.stats` min/max box misses a
+    * range predicate (the exact predicate re-applies as a residual).
     */
   def read(spark: SparkSession, table: String,
            versionAsOf: Option[Long] = None,
-           partitionFilter: Map[String, String] => Boolean = _ => true)
+           partitionFilter: Map[String, String] => Boolean = _ => true,
+           ranges: Map[String, (Long, Long)] = Map.empty)
       : DataFrame = {
     val st = state(spark, table, versionAsOf)
     val dataSchema = StructType(
       st.schema.fields.filterNot(f => st.partitionColumns.contains(f.name)))
-    val groups = st.files.filter(f => partitionFilter(f.partitionValues))
+    val groups = filesInRange(
+        st.files.filter(f => partitionFilter(f.partitionValues)), ranges)
       .groupBy(_.partitionValues).toSeq
       .sortBy(_._1.toSeq.sorted.mkString(","))
     if (groups.isEmpty)
@@ -145,6 +235,9 @@ object DeltaLog {
         df.withColumn(c0, lit(pvals.getOrElse(c0, null)).cast(f.dataType))
       }.select(st.schema.fieldNames.map(col).toSeq: _*)
     }
-    parts.reduce(_ unionByName _)
+    val residual = ranges.map { case (c, (lo, hi)) =>
+      col(c) >= lo && col(c) <= hi
+    }.reduceOption(_ && _).getOrElse(lit(true))
+    parts.reduce(_ unionByName _).filter(residual)
   }
 }

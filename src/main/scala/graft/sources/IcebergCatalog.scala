@@ -1,11 +1,12 @@
 package graft.sources
 
+import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Path, Paths}
 import scala.jdk.CollectionConverters._
 
 import org.apache.avro.file.DataFileReader
 import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DataType, LongType, StringType, StructField, StructType}
 import org.json4s._
@@ -25,25 +26,47 @@ import org.json4s.jackson.JsonMethods
   * subset works on real Iceberg files, not just fixtures.
   *
   * Subset honored (read path, v1/v2 tables):
+  *  - newest metadata version by NUMERIC version (v9 < v10 in the
+  *    HadoopTables layout; `version-hint.text` honored when present);
   *  - current snapshot (or `snapshotId` time travel) → its manifest
   *    list → `manifest_path` rows → manifest entries with
-  *    `status != 2` (DELETED) and `content = 0` (data, not deletes);
+  *    `status != 2` (DELETED);
   *  - `schemas`/`schema` JSON → Spark schema (primitive types + the
-  *    ones the house data model uses); `partition-spec` identity
-  *    transforms only (stated) — partition values re-enter as typed
-  *    literals per file group, the F14 shape;
-  *  - positional/equality DELETE files and non-identity transforms are
-  *    out of scope and REJECTED loudly, never silently misread.
+  *    ones the house data model uses); the partition spec whose
+  *    `spec-id` equals `default-spec-id` (loud failure when absent),
+  *    identity transforms only (stated) — partition values re-enter as
+  *    typed literals per file group, the F14 shape;
+  *  - v2 DELETE files applied at read: POSITIONAL deletes
+  *    (content=1: a parquet of (file_path, pos)) anti-join the data
+  *    rows on (file, `_metadata.row_index`); EQUALITY deletes
+  *    (content=2 + `equality_ids`) anti-join on the named columns.
+  *    Sequence-number scoping is the stated subset boundary: an
+  *    equality delete only applies to data files with a LOWER data
+  *    sequence number — when the manifests carry sequence numbers that
+  *    violate the applies-to-all case this reader REJECTS loudly
+  *    rather than silently over-deleting (positional deletes name
+  *    exact files, so they need no such guard). Null equality values
+  *    are out of scope (rejected loudly).
+  *  - per-file `lower_bounds`/`upper_bounds` decode (long/int/string)
+  *    into the same min/max box shape as the house
+  *    [[graft.layout.FileManifest]]: `read(..., ranges)` skips files
+  *    whose box misses a range predicate BEFORE any scan is planned —
+  *    files without bounds are always scanned (no false negatives) and
+  *    the exact predicate re-applies as a residual.
   *
   * Scale shape identical to F14: metadata is file-count-bounded on the
   * driver; data scans are parallel parquet reads per partition group
-  * with pushdown intact.
+  * with pushdown intact; delete application is a distributed anti-join,
+  * never a driver-side diff.
   */
 object IcebergCatalog {
 
-  final case class IceFile(path: String, partition: Map[String, Any])
+  final case class IceFile(path: String, partition: Map[String, Any],
+                           bounds: Map[String, (Any, Any)] = Map.empty)
   final case class IceState(snapshotId: Long, schema: StructType,
-                            partitionFields: Seq[String], files: Seq[IceFile])
+                            partitionFields: Seq[String], files: Seq[IceFile],
+                            posDeletes: Seq[IceFile] = Seq.empty,
+                            eqDeletes: Seq[(IceFile, Seq[String])] = Seq.empty)
 
   private def icePrimitive(t: String): DataType = t match {
     case "long" => LongType
@@ -75,15 +98,55 @@ object IcebergCatalog {
       StructField(name, tpe, nullable = !required)
     })
 
-  /** Parse the newest (or explicitly versioned) metadata JSON. */
+  /** Field-id → (name, type) from the schema JSON — the key space the
+    * manifest's `equality_ids` and bound maps are expressed in.
+    */
+  private def fieldIds(fields: JValue): Map[Int, (String, DataType)] =
+    fields.children.flatMap { f =>
+      ((f \ "id"), (f \ "name"), (f \ "type")) match {
+        case (JInt(id), JString(n), JString(t)) => Some(id.toInt -> (n, icePrimitive(t)))
+        case _ => None
+      }
+    }.toMap
+
+  /** Numeric metadata version: `vN.metadata.json` (HadoopTables) sorts
+    * by N, `NNNNN-uuid.metadata.json` (catalog layout) by its leading
+    * integer; anything else sorts last lexicographically. A plain name
+    * sort reads v9 as newer than v10 once a table passes 10 versions.
+    */
+  private[sources] def metaVersion(name: String): Long = {
+    val base = name.stripSuffix(".metadata.json")
+    val v = "^v(\\d+)$".r
+    val seq = "^(\\d+)(?:-.*)?$".r
+    base match {
+      case v(n) => n.toLong
+      case seq(n) => n.toLong
+      case _ => -1L
+    }
+  }
+
+  /** Parse the newest metadata JSON: `version-hint.text` when present
+    * (the HadoopTables commit pointer), else max NUMERIC version.
+    */
   private def loadMetadata(table: String): (JValue, Path) = {
     val mdir = Paths.get(table, "metadata")
     require(Files.isDirectory(mdir), s"not an iceberg table: $table")
-    val metas = Files.list(mdir).iterator().asScala
-      .filter(_.getFileName.toString.endsWith(".metadata.json"))
-      .toSeq.sortBy(_.getFileName.toString)
-    require(metas.nonEmpty, s"no metadata.json under $mdir")
-    val p = metas.last
+    val hint = mdir.resolve("version-hint.text")
+    val p =
+      if (Files.exists(hint)) {
+        val v = Files.readString(hint).trim.toLong
+        val hinted = mdir.resolve(s"v$v.metadata.json")
+        require(Files.exists(hinted),
+          s"version-hint.text says $v but $hinted is missing")
+        hinted
+      } else {
+        val metas = Files.list(mdir).iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".metadata.json"))
+          .toSeq
+        require(metas.nonEmpty, s"no metadata.json under $mdir")
+        metas.maxBy(m =>
+          (metaVersion(m.getFileName.toString), m.getFileName.toString))
+      }
     (JsonMethods.parse(Files.readString(p)), p)
   }
 
@@ -93,19 +156,71 @@ object IcebergCatalog {
     try rd.iterator().asScala.toList finally rd.close()
   }
 
+  private def optField(r: GenericRecord, name: String): Option[AnyRef] =
+    if (r.getSchema.getField(name) != null) Option(r.get(name)) else None
+
   /** Resolve a possibly-absolute manifest location into the table dir:
     * real Iceberg writes absolute `file:`/object-store URIs — relocated
     * fixtures and copied tables keep only the tail, so anchor at the
-    * table's directory name when present.
+    * table's directory name when present. The table path is
+    * absolutized first so a single-segment relative table name cannot
+    * NPE on a null parent, and `file://host/x` authorities parse via
+    * URI instead of leaking `//host` into the filesystem path.
     */
   private def resolve(table: String, loc: String): Path = {
-    val raw = loc.stripPrefix("file:")
+    val raw =
+      if (loc.startsWith("file:"))
+        try Paths.get(new java.net.URI(loc)).toString
+        catch { case _: Exception =>
+          loc.stripPrefix("file:").replaceFirst("^//[^/]*/", "/")
+        }
+      else loc
     val p = Paths.get(raw)
+    val tableAbs = Paths.get(table).toAbsolutePath
     if (Files.exists(p)) p
     else {
-      val tail = raw.split('/').dropWhile(_ != Paths.get(table).getFileName.toString)
-      if (tail.nonEmpty) Paths.get(table).getParent.resolve(tail.mkString("/"))
-      else Paths.get(table, raw)
+      val tail = raw.split('/').dropWhile(_ != tableAbs.getFileName.toString)
+      if (tail.nonEmpty) tableAbs.getParent.resolve(tail.mkString("/"))
+      else tableAbs.resolve(raw)
+    }
+  }
+
+  /** Decode one Iceberg single-value binary bound (spec Appendix D:
+    * little-endian fixed width numerics, UTF-8 strings).
+    */
+  private def decodeBound(bytes: Array[Byte], t: DataType): Option[Any] = t match {
+    case LongType if bytes.length == 8 =>
+      Some(java.nio.ByteBuffer.wrap(bytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong)
+    case org.apache.spark.sql.types.IntegerType if bytes.length == 4 =>
+      Some(java.nio.ByteBuffer.wrap(bytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt)
+    case StringType => Some(new String(bytes, StandardCharsets.UTF_8))
+    case _ => None // undecodable bound = no skipping for this column
+  }
+
+  /** Bound maps arrive either as an Avro array of {key,value} records
+    * (the spec layout — keys are ints, Avro maps can't hold them) or,
+    * from lenient writers, as a string-keyed map.
+    */
+  private def boundMap(v: AnyRef): Map[Int, Array[Byte]] = {
+    def bytes(b: AnyRef): Array[Byte] = b match {
+      case bb: java.nio.ByteBuffer =>
+        val a = new Array[Byte](bb.remaining()); bb.duplicate().get(a); a
+      case a: Array[Byte] => a
+      case other => other.toString.getBytes(StandardCharsets.UTF_8)
+    }
+    v match {
+      case null => Map.empty
+      case arr: java.util.Collection[_] =>
+        arr.asScala.collect { case r: GenericRecord =>
+          r.get("key").toString.toInt -> bytes(r.get("value").asInstanceOf[AnyRef])
+        }.toMap
+      case m: java.util.Map[_, _] =>
+        m.asScala.map { case (k, b) =>
+          k.toString.toInt -> bytes(b.asInstanceOf[AnyRef])
+        }.toMap
+      case _ => Map.empty
     }
   }
 
@@ -133,9 +248,19 @@ object IcebergCatalog {
       case _ => md \ "schema"
     }
     val schema = schemaOf(schemaJson \ "fields")
-    // identity partition fields only (stated subset)
+    val byId = fieldIds(schemaJson \ "fields")
+    // identity partition fields from the DEFAULT spec: a table whose
+    // spec evolved must not be silently read with its original spec
     val specFields = (md \ "partition-specs") match {
-      case JArray(specs) if specs.nonEmpty => (specs.head \ "fields").children
+      case JArray(specs) if specs.nonEmpty =>
+        val defId = (md \ "default-spec-id") match {
+          case JInt(v) => v.toInt; case _ => 0
+        }
+        val spec = specs.find(s => (s \ "spec-id") match {
+          case JInt(v) => v.toInt == defId; case _ => false
+        }).getOrElse(throw new IllegalArgumentException(
+          s"default-spec-id $defId not present in partition-specs"))
+        (spec \ "fields").children
       case _ => (md \ "partition-spec").children
     }
     val partitionFields = specFields.map { f =>
@@ -149,16 +274,18 @@ object IcebergCatalog {
     }
     val manifests = avroRows(resolve(table, mlist))
       .map(_.get("manifest_path").toString)
-    val files = manifests.flatMap { mp =>
-      avroRows(resolve(table, mp)).flatMap { entry =>
-        val status = Option(entry.get("status")).map(_.toString.toInt).getOrElse(1)
-        if (status == 2) None // DELETED
-        else {
+    var dataMaxSeq = 0L
+    val dataFiles = Seq.newBuilder[IceFile]
+    val posDeletes = Seq.newBuilder[IceFile]
+    val eqDeletes = Seq.newBuilder[(IceFile, Seq[String], Long)]
+    manifests.foreach { mp =>
+      avroRows(resolve(table, mp)).foreach { entry =>
+        val status = optField(entry, "status").map(_.toString.toInt).getOrElse(1)
+        if (status != 2) { // skip DELETED entries
           val df = entry.get("data_file").asInstanceOf[GenericRecord]
-          val content = Option(df.get("content")).map(_.toString.toInt).getOrElse(0)
-          require(content == 0,
-            s"delete files (content=$content) not supported on the read path")
-          val part = Option(df.get("partition"))
+          val content = optField(df, "content").map(_.toString.toInt).getOrElse(0)
+          val seq = optField(entry, "sequence_number").map(_.toString.toLong).getOrElse(0L)
+          val part = optField(df, "partition")
             .map(_.asInstanceOf[GenericRecord]) match {
             case Some(pr) =>
               // Avro strings arrive as Utf8 — keep values raw (content
@@ -167,12 +294,71 @@ object IcebergCatalog {
                 .map(f => f.name() -> pr.get(f.name())).toMap
             case None => Map.empty[String, Any]
           }
-          Some(IceFile(df.get("file_path").toString, part))
+          val bounds: Map[String, (Any, Any)] = {
+            val lo = optField(df, "lower_bounds").map(boundMap).getOrElse(Map.empty)
+            val hi = optField(df, "upper_bounds").map(boundMap).getOrElse(Map.empty)
+            lo.keySet.intersect(hi.keySet).flatMap { id =>
+              byId.get(id).flatMap { case (n, t) =>
+                for (l <- decodeBound(lo(id), t); h <- decodeBound(hi(id), t))
+                  yield n -> (l, h)
+              }
+            }.toMap
+          }
+          val f = IceFile(df.get("file_path").toString, part, bounds)
+          content match {
+            case 0 =>
+              dataMaxSeq = math.max(dataMaxSeq, seq)
+              dataFiles += f
+            case 1 => posDeletes += f
+            case 2 =>
+              val ids = optField(df, "equality_ids") match {
+                case Some(c: java.util.Collection[_]) =>
+                  c.asScala.map(_.toString.toInt).toSeq
+                case _ => throw new IllegalArgumentException(
+                  s"equality delete file without equality_ids: ${f.path}")
+              }
+              val names = ids.map(id => byId.getOrElse(id,
+                throw new IllegalArgumentException(
+                  s"equality_id $id not in schema"))._1)
+              eqDeletes += ((f, names, seq))
+            case other => throw new IllegalArgumentException(
+              s"unknown content=$other in manifest entry: ${f.path}")
+          }
         }
       }
     }
-    IceState(current, schema, partitionFields, files)
+    // stated subset: equality deletes must apply to the WHOLE live data
+    // set (sequence number above every data file, or no sequence
+    // numbers at all) — partial-scope deletes reject loudly instead of
+    // silently over-deleting newer rows
+    val eqs = eqDeletes.result()
+    eqs.foreach { case (f, _, seq) =>
+      require(seq == 0L || dataMaxSeq == 0L || seq > dataMaxSeq,
+        s"equality delete ${f.path} (seq=$seq) does not cover all data " +
+          s"files (max data seq=$dataMaxSeq): partial-scope equality " +
+          "deletes are not supported")
+    }
+    IceState(current, schema, partitionFields, dataFiles.result(),
+      posDeletes.result(), eqs.map { case (f, names, _) => (f, names) })
   }
+
+  /** The files surviving min/max range pruning — the house
+    * [[graft.layout.FileManifest]] box-intersection rule over the
+    * manifest's decoded `lower_bounds`/`upper_bounds`; files without a
+    * decoded bound for a ranged column always survive (no false
+    * negatives).
+    */
+  def filesInRange(files: Seq[IceFile],
+                   ranges: Map[String, (Long, Long)]): Seq[IceFile] =
+    files.filter { f =>
+      ranges.forall { case (c, (lo, hi)) =>
+        f.bounds.get(c) match {
+          case Some((l: Long, h: Long)) => h >= lo && l <= hi
+          case Some((l: Int, h: Int)) => h >= lo && l <= hi
+          case _ => true
+        }
+      }
+    }
 
   // ------------------------------------------------------------------
   // Minimal writer — the fixture/export counterpart of the reader:
@@ -187,8 +373,10 @@ object IcebergCatalog {
       |  {"name":"manifest_path","type":"string"}]}""".stripMargin)
 
   private def manifestSchema(partFields: Seq[String]) = {
+    // nullable so DELETE-file entries (whose partition is unused here)
+    // can share the manifest record with data entries
     val pf = partFields.map(f =>
-      s"""{"name":"$f","type":"string"}""").mkString(",")
+      s"""{"name":"$f","type":["null","string"],"default":null}""").mkString(",")
     new org.apache.avro.Schema.Parser().parse(
       s"""{"type":"record","name":"manifest_entry","fields":[
          |  {"name":"status","type":"int"},
@@ -196,7 +384,15 @@ object IcebergCatalog {
          |    {"name":"file_path","type":"string"},
          |    {"name":"content","type":"int"},
          |    {"name":"partition","type":{"type":"record","name":"part_r","fields":[$pf]}},
-         |    {"name":"record_count","type":"long"}]}}]}""".stripMargin)
+         |    {"name":"record_count","type":"long"},
+         |    {"name":"equality_ids","type":["null",{"type":"array","items":"int"}],"default":null},
+         |    {"name":"lower_bounds","type":["null",{"type":"array","items":
+         |      {"type":"record","name":"kv_lo","fields":[
+         |        {"name":"key","type":"int"},{"name":"value","type":"bytes"}]}}],"default":null},
+         |    {"name":"upper_bounds","type":["null",{"type":"array","items":
+         |      {"type":"record","name":"kv_hi","fields":[
+         |        {"name":"key","type":"int"},{"name":"value","type":"bytes"}]}}],"default":null}
+         |  ]}}]}""".stripMargin)
   }
 
   def writeManifestList(path: Path, manifests: Seq[Path]): Unit = {
@@ -211,25 +407,64 @@ object IcebergCatalog {
     w.close()
   }
 
+  /** One manifest entry for [[writeManifest]]: content 0=data,
+    * 1=positional deletes, 2=equality deletes (then `equalityIds` names
+    * the schema field ids); `boundsLong` emits spec-layout
+    * little-endian lower/upper bounds for long-typed columns.
+    */
+  final case class ManifestEntry(status: Int, filePath: String, content: Int,
+                                 partition: Map[String, String],
+                                 equalityIds: Seq[Int] = Seq.empty,
+                                 boundsLong: Map[Int, (Long, Long)] = Map.empty)
+
   /** entries: (status 1=ADDED/0=EXISTING/2=DELETED, filePath,
     * content 0=data, partitionValues).
     */
   def writeManifest(path: Path, partFields: Seq[String],
-                    entries: Seq[(Int, String, Int, Map[String, String])]): Unit = {
+                    entries: Seq[(Int, String, Int, Map[String, String])]): Unit =
+    writeManifestEntries(path, partFields, entries.map { case (s, fp, c, pv) =>
+      ManifestEntry(s, fp, c, pv)
+    })
+
+  def writeManifestEntries(path: Path, partFields: Seq[String],
+                           entries: Seq[ManifestEntry]): Unit = {
     val s = manifestSchema(partFields)
     val dfS = s.getField("data_file").schema()
     val pS = dfS.getField("partition").schema()
+    def kvArr(schemaField: String, m: Map[Int, Long]) = {
+      val arrS = dfS.getField(schemaField).schema().getTypes.get(1)
+      val recS = arrS.getElementType
+      val arr = new org.apache.avro.generic.GenericData.Array[GenericRecord](m.size, arrS)
+      m.toSeq.sortBy(_._1).foreach { case (k, v) =>
+        val r = new org.apache.avro.generic.GenericData.Record(recS)
+        r.put("key", k)
+        r.put("value", java.nio.ByteBuffer.wrap(
+          java.nio.ByteBuffer.allocate(8)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN).putLong(v).array()))
+        arr.add(r)
+      }
+      arr
+    }
     val w = new org.apache.avro.file.DataFileWriter[GenericRecord](
       new org.apache.avro.generic.GenericDatumWriter[GenericRecord](s))
     w.create(s, path.toFile)
-    entries.foreach { case (status, fp, content, pv) =>
+    entries.foreach { me =>
       val pr = new org.apache.avro.generic.GenericData.Record(pS)
-      partFields.foreach(f => pr.put(f, pv.getOrElse(f, null)))
+      partFields.foreach(f => pr.put(f, me.partition.getOrElse(f, null)))
       val df = new org.apache.avro.generic.GenericData.Record(dfS)
-      df.put("file_path", fp); df.put("content", content)
+      df.put("file_path", me.filePath); df.put("content", me.content)
       df.put("partition", pr); df.put("record_count", 0L)
+      if (me.equalityIds.nonEmpty) {
+        val ids = new java.util.ArrayList[Integer]()
+        me.equalityIds.foreach(i => ids.add(i))
+        df.put("equality_ids", ids)
+      }
+      if (me.boundsLong.nonEmpty) {
+        df.put("lower_bounds", kvArr("lower_bounds", me.boundsLong.map { case (k, v) => k -> v._1 }))
+        df.put("upper_bounds", kvArr("upper_bounds", me.boundsLong.map { case (k, v) => k -> v._2 }))
+      }
       val e = new org.apache.avro.generic.GenericData.Record(s)
-      e.put("status", status); e.put("data_file", df)
+      e.put("status", me.status); e.put("data_file", df)
       w.append(e)
     }
     w.close()
@@ -256,32 +491,54 @@ object IcebergCatalog {
          |  "format-version": 2,
          |  "current-snapshot-id": $cur,
          |  "current-schema-id": 0,
+         |  "default-spec-id": 0,
          |  "schemas": [{"schema-id": 0, "type": "struct", "fields": [$fs]}],
          |  "partition-specs": [{"spec-id": 0, "fields": [$ps]}],
          |  "snapshots": [$ss]
          |}""".stripMargin)
   }
 
+  /** Both sides of a delete↔data path comparison normalize to the tail
+    * after the table directory's name — the same anchoring rule
+    * [[resolve]] uses for relocated tables (a delete file written on
+    * one filesystem must still hit its data file after a copy).
+    */
+  private def normPath(table: String, c: Column): Column = {
+    val anchor = Paths.get(table).toAbsolutePath.getFileName.toString
+    substring_index(c, "/" + anchor + "/", -1)
+  }
+
   /** Read the live table (optionally at an old snapshot), the F14
     * reading shape: one pruned parquet scan per partition-value group,
-    * partition columns re-entering as typed literals.
+    * partition columns re-entering as typed literals; positional and
+    * equality delete files apply as distributed anti-joins; `ranges`
+    * prunes files on decoded manifest bounds before any scan.
     */
   def read(spark: SparkSession, table: String,
            snapshotId: Option[Long] = None,
-           partitionFilter: Map[String, Any] => Boolean = _ => true)
+           partitionFilter: Map[String, Any] => Boolean = _ => true,
+           ranges: Map[String, (Long, Long)] = Map.empty)
       : DataFrame = {
     val st = state(spark, table, snapshotId)
     val dataSchema = StructType(
       st.schema.fields.filterNot(f => st.partitionFields.contains(f.name)))
-    val groups = st.files.filter(f => partitionFilter(f.partition))
+    val hasDeletes = st.posDeletes.nonEmpty || st.eqDeletes.nonEmpty
+    val groups = filesInRange(st.files.filter(f => partitionFilter(f.partition)), ranges)
       .groupBy(_.partition).toSeq
       .sortBy(_._1.toSeq.map(kv => kv._1 + "=" + String.valueOf(kv._2)).sorted.mkString(","))
     if (groups.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], st.schema)
+    val metaCols =
+      if (hasDeletes) Seq(col("_metadata.file_path").as("__fp"),
+        col("_metadata.row_index").as("__pos"))
+      else Seq.empty
+    val keep = st.schema.fieldNames.toSeq ++
+      (if (hasDeletes) Seq("__fp", "__pos") else Nil)
     val parts = groups.map { case (pvals, files) =>
-      val base = spark.read.schema(dataSchema)
+      val base0 = spark.read.schema(dataSchema)
         .parquet(files.map(f => resolve(table, f.path).toString): _*)
+      val base = base0.select(base0.columns.map(col).toSeq ++ metaCols: _*)
       st.partitionFields.foldLeft(base) { (df, c0) =>
         val fld = st.schema.fields.find(_.name == c0).getOrElse(
           throw new IllegalArgumentException(s"partition field $c0 not in schema"))
@@ -289,8 +546,26 @@ object IcebergCatalog {
         val litV = if (raw == null) lit(null)
                    else lit(String.valueOf(raw))
         df.withColumn(c0, litV.cast(fld.dataType))
-      }.select(st.schema.fieldNames.map(col).toSeq: _*)
+      }.select(keep.map(col): _*)
     }
-    parts.reduce(_ unionByName _)
+    var df = parts.reduce(_ unionByName _)
+    if (st.posDeletes.nonEmpty) {
+      val pd = spark.read
+        .parquet(st.posDeletes.map(f => resolve(table, f.path).toString): _*)
+        .select(col("file_path").cast("string").as("__dfp"),
+          col("pos").cast("long").as("__dpos"))
+      df = df.join(pd,
+        normPath(table, col("__fp")) === normPath(table, col("__dfp")) &&
+          col("__pos") === col("__dpos"), "left_anti")
+    }
+    st.eqDeletes.foreach { case (f, cols) =>
+      val ed = spark.read.parquet(resolve(table, f.path).toString)
+        .select(cols.map(col): _*)
+      df = df.join(ed, cols, "left_anti")
+    }
+    val residual = ranges.map { case (c, (lo, hi)) =>
+      col(c) >= lo && col(c) <= hi
+    }.reduceOption(_ && _).getOrElse(lit(true))
+    df.filter(residual).select(st.schema.fieldNames.map(col).toSeq: _*)
   }
 }

@@ -1829,6 +1829,14 @@ object Streams {
     * bit-for-bit regardless of micro-batching — no watermark, no state
     * store, O(1) per arrival beyond the 9× key replication.
     *
+    * Unlike the bounded-report streaming gates, the PAIR output here is
+    * data-sized (points × in-radius refs), so it must never pass through
+    * the driver: the stream sinks to a parquet FILE sink (exactly-once,
+    * executor-parallel) and the result is read back as a distributed
+    * scan — the shape a 100 TB deployment would use. The r7 memory-sink
+    * form collected ~5M rows onto the driver at sf0.1 (32 s of the
+    * round's bench; an OOM at scale).
+    *
     * @param points (id, x, y) arrivals; ref (id, x, y) static reference
     * @return (id, ref_id, dist_sq) for every in-radius pair
     */
@@ -1856,10 +1864,13 @@ object Streams {
           (col("y") - col("yr")) * (col("y") - col("yr")))
       .filter(col("dist_sq") <= r * r)
       .select(col("id"), col("ref_id"), col("dist_sq"))
+    val outDir = Files.createTempDirectory(s"graft_${queryName}_out").toString
     val q = joined.writeStream.outputMode("append")
-      .format("memory").queryName(queryName).start()
+      .format("parquet").option("path", s"$outDir/out")
+      .option("checkpointLocation", s"$outDir/ckpt")
+      .queryName(queryName).start()
     try { q.processAllAvailable() } finally { q.stop() }
-    spark.table(queryName)
+    spark.read.parquet(s"$outDir/out")
   }
 
   /** X38: streaming k-means centroid update — the first Lloyd pass of

@@ -132,4 +132,95 @@ class DeltaLogSpec extends AnyFunSuite {
       Files.delete(logDir.resolve(f"$v%020d.json")))
     assert(rows(DeltaLog.read(spark, t.toString)) == full)
   }
+
+  /** Build the v2 checkpoint parquet rows once for the checkpoint-shape
+    * tests (compacted v0..v2 state + tombstone + metaData).
+    */
+  private def checkpointRows(t: Path): Seq[CkRow] = {
+    val st2 = DeltaLog.state(spark, t.toString, versionAsOf = Some(2L))
+    st2.files.map(f =>
+      CkRow(Some(CkAdd(f.path, f.partitionValues)), None, None)) ++ Seq(
+      CkRow(None, Some(CkRemove("part=a/f1.parquet")), None),
+      CkRow(None, None, Some(CkMeta(schemaV0.json, Seq("part")))))
+  }
+
+  private def writeParquetAs(df: DataFrame, target: Path): Unit = {
+    val tmp = Files.createTempDirectory("deltack")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = Files.list(tmp).iterator().asScala
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    Files.move(part, target)
+  }
+
+  test("retention-trimmed log with no recognizable checkpoint fails loudly") {
+    val t = buildTable()
+    val logDir = t.resolve("_delta_log")
+    // drop v0 and v1 with NO checkpoint: the old reader replayed from
+    // v2 with holes and silently returned an incomplete live set
+    Seq(0L, 1L).foreach(v => Files.delete(logDir.resolve(f"$v%020d.json")))
+    val e = intercept[IllegalArgumentException] {
+      DeltaLog.state(spark, t.toString)
+    }
+    assert(e.getMessage.contains("not contiguous"))
+  }
+
+  test("multi-part checkpoint: all parts replay; a partial copy rejects") {
+    val t = buildTable()
+    val full = rows(DeltaLog.read(spark, t.toString))
+    val ck = checkpointRows(t)
+    val logDir = t.resolve("_delta_log")
+    // split the checkpoint into 2 parts (rows don't overlap)
+    writeParquetAs(ck.take(2).toDS.toDF(),
+      logDir.resolve(f"${2L}%020d.checkpoint.${1}%010d.${2}%010d.parquet"))
+    writeParquetAs(ck.drop(2).toDS.toDF(),
+      logDir.resolve(f"${2L}%020d.checkpoint.${2}%010d.${2}%010d.parquet"))
+    Seq(0L, 1L, 2L).foreach(v => Files.delete(logDir.resolve(f"$v%020d.json")))
+    assert(rows(DeltaLog.read(spark, t.toString)) == full)
+    // remove one part: must reject, never half-replay
+    Files.delete(logDir.resolve(f"${2L}%020d.checkpoint.${2}%010d.${2}%010d.parquet"))
+    val e = intercept[IllegalArgumentException] {
+      DeltaLog.state(spark, t.toString)
+    }
+    assert(e.getMessage.contains("multi-part checkpoint"))
+  }
+
+  test("_last_checkpoint must point at a usable checkpoint") {
+    val t = buildTable()
+    val logDir = t.resolve("_delta_log")
+    val ck = checkpointRows(t)
+    // a pointer to a checkpoint this subset cannot see (e.g. v2 form
+    // removed by a partial copy) must fail loudly, not replay from 0
+    Files.writeString(logDir.resolve("_last_checkpoint"), """{"version":2}""")
+    val e = intercept[IllegalArgumentException] {
+      DeltaLog.state(spark, t.toString)
+    }
+    assert(e.getMessage.contains("_last_checkpoint"))
+    // with the checkpoint present the pointer is satisfied
+    writeParquetAs(ck.toDS.toDF(),
+      logDir.resolve(f"${2L}%020d.checkpoint.parquet"))
+    assert(rows(DeltaLog.read(spark, t.toString)) ==
+      rows(DeltaLog.read(spark, t.toString, versionAsOf = Some(3L))))
+  }
+
+  test("add.stats min/max skip files; missing stats never skip") {
+    val t = Files.createTempDirectory("deltastats")
+    writeDataFile(Seq((1L, "x"), (5L, "y")).toDF("id", "v"), t, "part=a/lo.parquet")
+    writeDataFile(Seq((100L, "z"), (200L, "w")).toDF("id", "v"), t, "part=a/hi.parquet")
+    writeDataFile(Seq((7L, "n")).toDF("id", "v"), t, "part=a/nostats.parquet")
+    def addWithStats(path: String, mn: Long, mx: Long): String =
+      s"""{"add":{"path":"$path","partitionValues":{"part":"a"},"dataChange":true,""" +
+        s""""stats":"{\\"numRecords\\":2,\\"minValues\\":{\\"id\\":$mn},\\"maxValues\\":{\\"id\\":$mx}}"}}"""
+    writeCommit(t, 0L, Seq(metaLine(schemaV0),
+      addWithStats("part=a/lo.parquet", 1L, 5L),
+      addWithStats("part=a/hi.parquet", 100L, 200L),
+      addLine("part=a/nostats.parquet", "a")))
+    val st = DeltaLog.state(spark, t.toString)
+    assert(st.files.count(_.stats.nonEmpty) == 2)
+    val surv = DeltaLog.filesInRange(st.files, Map("id" -> (0L, 10L)))
+    // hi.parquet's box [100,200] misses [0,10]; nostats must survive
+    assert(surv.map(_.path).toSet == Set("part=a/lo.parquet", "part=a/nostats.parquet"))
+    val got = DeltaLog.read(spark, t.toString, ranges = Map("id" -> (0L, 10L)))
+      .select("id").as[Long].collect().toSet
+    assert(got == Set(1L, 5L, 7L))
+  }
 }

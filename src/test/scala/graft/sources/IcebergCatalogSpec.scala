@@ -13,7 +13,10 @@ import org.scalatest.funsuite.AnyFunSuite
 /** F15: the Iceberg reader against a spec-faithful hand-built table —
   * metadata.json + Avro manifest list + Avro manifests with
   * added/existing/deleted entries, snapshot time travel, partition
-  * pruning, and loud rejection of delete files.
+  * pruning, v2 positional/equality delete application, numeric
+  * metadata-version ordering, default-spec-id resolution, manifest
+  * bound-based file skipping, and loud rejection of the stated subset
+  * boundaries (missing equality_ids, partial-scope equality deletes).
   */
 class IcebergCatalogSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
@@ -143,11 +146,167 @@ class IcebergCatalogSpec extends AnyFunSuite {
     assert(st.files.map(_.path).exists(_.contains("f3.parquet")))
   }
 
-  test("delete files are rejected loudly, never misread") {
-    val t = buildTable(badContent = true)
+  test("equality delete without equality_ids is rejected loudly") {
+    // badContent marks f3 content=1... reuse the fixture with content=2
+    // via the production writer below; here: content=2 with no ids
+    val t = Files.createTempDirectory("icetbl_eq")
+    val mdir = t.resolve("metadata"); Files.createDirectories(mdir)
+    val f1 = writeDataFile(Seq((1L, "x")).toDF("id", "v"), t, "data/part=a/f1.parquet")
+    val ed = writeDataFile(Seq(Tuple1("x")).toDF("v"), t, "data/ed.parquet")
+    val m1 = mdir.resolve("m1.avro")
+    writeManifest(m1, Seq((1, f1, 0, "a"), (1, ed, 2, "a")))
+    val ml1 = mdir.resolve("snap-10.avro"); writeManifestList(ml1, Seq(m1))
+    Files.writeString(mdir.resolve("v1.metadata.json"),
+      metadataJson(10L, Seq(10L -> ml1)))
     val e = intercept[IllegalArgumentException] {
-      IcebergCatalog.read(spark, t.toString)
+      IcebergCatalog.state(spark, t.toString)
     }
-    assert(e.getMessage.contains("delete files"))
+    assert(e.getMessage.contains("equality_ids"))
+  }
+
+  test("positional + equality delete files apply at read") {
+    import IcebergCatalog._
+    val t = Files.createTempDirectory("icetbl_del")
+    val mdir = t.resolve("metadata"); Files.createDirectories(mdir)
+    // data: part a = (1,x),(2,y) KEY-SORTED; part b = (3,z),(4,x)
+    val fa = writeDataFile(Seq((1L, "x"), (2L, "y")).toDF("id", "v"), t, "data/part=a/fa.parquet")
+    val fb = writeDataFile(Seq((3L, "z"), (4L, "x")).toDF("id", "v"), t, "data/part=b/fb.parquet")
+    // positional delete: row 0 of fa → (1,x) gone
+    val pd = writeDataFile(Seq((fa, 0L)).toDF("file_path", "pos"), t, "data/pd.parquet")
+    // equality delete on v (field id 2): v='z' → (3,z) gone
+    val ed = writeDataFile(Seq(Tuple1("z")).toDF("v"), t, "data/ed.parquet")
+    val m1 = mdir.resolve("m1.avro")
+    writeManifestEntries(m1, Seq("part"), Seq(
+      ManifestEntry(1, fa, 0, Map("part" -> "a")),
+      ManifestEntry(1, fb, 0, Map("part" -> "b")),
+      ManifestEntry(1, pd, 1, Map.empty),
+      ManifestEntry(1, ed, 2, Map.empty, equalityIds = Seq(2))))
+    val ml1 = mdir.resolve("snap-10.avro")
+    IcebergCatalog.writeManifestList(ml1, Seq(m1))
+    Files.writeString(mdir.resolve("v1.metadata.json"),
+      metadataJson(10L, Seq(10L -> ml1)))
+    val got = rows(IcebergCatalog.read(spark, t.toString))
+    assert(got == Set((2L, "y", "a"), (4L, "x", "b")))
+  }
+
+  test("partial-scope equality deletes (sequence numbers) reject loudly") {
+    // hand-built manifest WITH sequence_number: eq delete at seq 1,
+    // a data file at seq 2 — the delete does NOT cover it
+    val seqSchema = new Schema.Parser().parse(
+      """{"type":"record","name":"manifest_entry","fields":[
+        |  {"name":"status","type":"int"},
+        |  {"name":"sequence_number","type":"long"},
+        |  {"name":"data_file","type":{"type":"record","name":"data_file","fields":[
+        |    {"name":"file_path","type":"string"},
+        |    {"name":"content","type":"int"},
+        |    {"name":"equality_ids","type":["null",{"type":"array","items":"int"}],"default":null},
+        |    {"name":"record_count","type":"long"}]}}]}""".stripMargin)
+    val t = Files.createTempDirectory("icetbl_seq")
+    val mdir = t.resolve("metadata"); Files.createDirectories(mdir)
+    val f1 = writeDataFile(Seq((1L, "x")).toDF("id", "v"), t, "data/f1.parquet")
+    val ed = writeDataFile(Seq(Tuple1("x")).toDF("v"), t, "data/ed.parquet")
+    val dfS = seqSchema.getField("data_file").schema()
+    val m1 = mdir.resolve("m1.avro")
+    val w = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](seqSchema))
+    w.create(seqSchema, m1.toFile)
+    def entry(seq: Long, fp: String, content: Int, eqIds: Seq[Int]): Unit = {
+      val df = new GenericData.Record(dfS)
+      df.put("file_path", fp); df.put("content", content)
+      df.put("record_count", 1L)
+      if (eqIds.nonEmpty) {
+        val ids = new java.util.ArrayList[Integer]()
+        eqIds.foreach(i => ids.add(i))
+        df.put("equality_ids", ids)
+      }
+      val e = new GenericData.Record(seqSchema)
+      e.put("status", 1); e.put("sequence_number", seq); e.put("data_file", df)
+      w.append(e)
+    }
+    entry(2L, f1, 0, Seq.empty)       // data newer than the delete
+    entry(1L, ed, 2, Seq(2))          // stale equality delete
+    w.close()
+    val ml1 = mdir.resolve("snap-10.avro")
+    IcebergCatalog.writeManifestList(ml1, Seq(m1))
+    Files.writeString(mdir.resolve("v1.metadata.json"),
+      metadataJson(10L, Seq(10L -> ml1)))
+    val e = intercept[IllegalArgumentException] {
+      IcebergCatalog.state(spark, t.toString)
+    }
+    assert(e.getMessage.contains("partial-scope"))
+  }
+
+  test("metadata versions sort numerically, not lexicographically") {
+    val t = buildTable()
+    val mdir = t.resolve("metadata")
+    // v1 exists and points at snapshot 20; write a STALE v2..v9 pointing
+    // at snapshot 10 and a CURRENT v10 pointing at 20: a lexicographic
+    // sort would pick v9 (stale)
+    val v1 = Files.readString(mdir.resolve("v1.metadata.json"))
+    Files.writeString(mdir.resolve("v9.metadata.json"),
+      v1.replace("\"current-snapshot-id\": 20", "\"current-snapshot-id\": 10"))
+    Files.writeString(mdir.resolve("v10.metadata.json"), v1)
+    assert(IcebergCatalog.state(spark, t.toString).snapshotId == 20L)
+    assert(IcebergCatalog.metaVersion("v10.metadata.json") == 10L)
+    assert(IcebergCatalog.metaVersion("00011-abc.metadata.json") == 11L)
+  }
+
+  test("version-hint.text pins the metadata version") {
+    val t = buildTable()
+    val mdir = t.resolve("metadata")
+    val v1 = Files.readString(mdir.resolve("v1.metadata.json"))
+    Files.writeString(mdir.resolve("v2.metadata.json"),
+      v1.replace("\"current-snapshot-id\": 20", "\"current-snapshot-id\": 10"))
+    Files.writeString(mdir.resolve("version-hint.text"), "2\n")
+    assert(IcebergCatalog.state(spark, t.toString).snapshotId == 10L)
+  }
+
+  test("default-spec-id selects the evolved spec; missing id rejects") {
+    val t = buildTable()
+    val mdir = t.resolve("metadata")
+    val v1 = Files.readString(mdir.resolve("v1.metadata.json"))
+    // two specs; default-spec-id = 1 picks the SECOND (same fields)
+    val twoSpecs = v1.replace(
+      """"partition-specs": [{"spec-id": 0, "fields": [""",
+      """"default-spec-id": 1,
+        |  "partition-specs": [{"spec-id": 0, "fields": []},
+        |    {"spec-id": 1, "fields": [""".stripMargin)
+    Files.writeString(mdir.resolve("v1.metadata.json"), twoSpecs)
+    assert(IcebergCatalog.state(spark, t.toString).partitionFields == Seq("part"))
+    // an absent default-spec-id must reject, not silently use specs[0]
+    Files.writeString(mdir.resolve("v1.metadata.json"),
+      twoSpecs.replace("\"default-spec-id\": 1,", "\"default-spec-id\": 7,"))
+    val e = intercept[IllegalArgumentException] {
+      IcebergCatalog.state(spark, t.toString)
+    }
+    assert(e.getMessage.contains("default-spec-id"))
+  }
+
+  test("manifest bounds skip out-of-range files, results stay exact") {
+    import IcebergCatalog._
+    val t = Files.createTempDirectory("icetbl_bounds")
+    val mdir = t.resolve("metadata"); Files.createDirectories(mdir)
+    val f1 = writeDataFile(Seq((1L, "x"), (5L, "y")).toDF("id", "v"), t, "data/part=a/f1.parquet")
+    val f2 = writeDataFile(Seq((100L, "z"), (200L, "w")).toDF("id", "v"), t, "data/part=a/f2.parquet")
+    val m1 = mdir.resolve("m1.avro")
+    // id is schema field 1: bounds [1,5] and [100,200]
+    writeManifestEntries(m1, Seq("part"), Seq(
+      ManifestEntry(1, f1, 0, Map("part" -> "a"), boundsLong = Map(1 -> (1L, 5L))),
+      ManifestEntry(1, f2, 0, Map("part" -> "a"), boundsLong = Map(1 -> (100L, 200L)))))
+    val ml1 = mdir.resolve("snap-10.avro")
+    IcebergCatalog.writeManifestList(ml1, Seq(m1))
+    Files.writeString(mdir.resolve("v1.metadata.json"),
+      metadataJson(10L, Seq(10L -> ml1)))
+    val st = IcebergCatalog.state(spark, t.toString)
+    assert(st.files.forall(_.bounds.contains("id")))
+    // the box rule drops f2 entirely for id<=10
+    assert(IcebergCatalog.filesInRange(st.files, Map("id" -> (0L, 10L))).size == 1)
+    // and the pruned read still returns the exact in-range rows
+    val got = rows(IcebergCatalog.read(spark, t.toString,
+      ranges = Map("id" -> (0L, 10L))))
+    assert(got == Set((1L, "x", "a"), (5L, "y", "a")))
+    // a file WITHOUT bounds must never be skipped (no false negatives)
+    assert(IcebergCatalog.filesInRange(
+      Seq(IceFile("p", Map.empty)), Map("id" -> (0L, 1L))).size == 1)
   }
 }

@@ -48,8 +48,8 @@ object Bench {
     // schema-evolving union
     "text_bpe_tokenize", "dedup_repeated_spans", "q_union_evolve",
     // round-8 surface: scale-safe blocking ER composite, file-sink
-    // streaming spatial pairs
-    "entity_resolution", "stream_spatial_join")
+    // streaming spatial pairs, trained unigram tokenization
+    "entity_resolution", "stream_spatial_join", "text_unigram_tokenize")
 
   /** Graph-heavy tier (r8 split): the iterative/centrality graph gates
     * whose multi-second constants would otherwise mask sub-second drift
@@ -98,11 +98,12 @@ object Bench {
     try {
       QueriesR6.coPurchaseDir(spark, sfDir).count()
       QueriesR16.stageShared(spark, sfDir)
+      QueriesR17.stageShared(spark, sfDir)
     } catch { case e: Throwable =>
       System.err.println(s"[bench] staging failed (timings include builds): $e")
     }
     val stagingSec = (System.nanoTime() - tStage) / 1e9
-    System.err.println(f"[bench] staging (co-purchase graph + BPE state) $stagingSec%.2f s")
+    System.err.println(f"[bench] staging (co-purchase graph + BPE/unigram state) $stagingSec%.2f s")
     // One timed run; None marks a FAILED run so a failure can never be
     // recorded as a (fast) timing.
     def timed(name: String, dir: String): Option[Double] = {

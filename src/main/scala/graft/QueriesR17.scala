@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -92,10 +92,49 @@ object QueriesR17 {
       .orderBy(col("doc_id"))
   }
 
+  /** M10: true BMP raster decode — each row synthesizes a REAL 24-bit
+    * BMP file (valid headers, bottom-up padded BGR rows) whose pixel
+    * bytes are a deterministic function of doc_id, and
+    * [[graft.multimodal.BmpRaster]] decodes it back to channel sums and
+    * a luminance histogram; the oracle regenerates the same pixels
+    * arithmetically (the construct→parse identity contract of the
+    * M-family). The decoder itself is format-real — the spec validates
+    * it against the JDK's own BMP encoder.
+    */
+  def mmBmpStats(s: SparkSession, dir: String): DataFrame = {
+    def le(v: Column, nBytes: Int): Column =
+      concat((0 until nBytes).map(i =>
+        lpad(hex(pmod(v.cast("long") / (1L << (8 * i)), lit(256)).cast("int")),
+          2, "0")): _*)
+    val d = t(s, dir, "documents").select(col("doc_id"))
+      .withColumn("w", (col("doc_id") % 5 + 1).cast("int"))
+      .withColumn("h", (col("doc_id") % 3 + 1).cast("int"))
+      .withColumn("rs", expr("((3 * w + 3) div 4) * 4").cast("int"))
+    val header = concat(
+      lit("424D"), le(lit(54) + col("rs") * col("h"), 4), lit("00000000"),
+      le(lit(54), 4),
+      le(lit(40), 4), le(col("w"), 4), le(col("h"), 4),
+      le(lit(1), 2), le(lit(24), 2), le(lit(0), 4),
+      le(col("rs") * col("h"), 4), lit("0" * 32))
+    val pixels = expr(
+      """array_join(transform(sequence(0, rs * h - 1), i ->
+        |  CASE WHEN (i % rs) >= 3 * w THEN '00'
+        |       ELSE lpad(hex((doc_id * 7 + i * 13) % 256), 2, '0') END), '')""".stripMargin)
+    d.withColumn("st",
+        graft.multimodal.BmpRaster.bmp_stats(unhex(concat(header, pixels))))
+      .select(Seq(col("doc_id")) ++
+        graft.multimodal.BmpRaster.schema.fieldNames.map(f =>
+          col(s"st.$f").as(f)): _*)
+      .withColumn("width", col("width").cast("long"))
+      .withColumn("height", col("height").cast("long"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_unigram_vocab" -> (textUnigramVocab _),
     "text_unigram_tokenize" -> (textUnigramTokenize _),
-    "text_pack_unigram" -> (textPackUnigram _))
+    "text_pack_unigram" -> (textPackUnigram _),
+    "mm_bmp_stats" -> (mmBmpStats _))
 
   val sql: Map[String, String] = Map(
     "text_unigram_vocab" ->
@@ -121,5 +160,46 @@ object QueriesR17 {
          |)
          |SELECT doc_id, source, n_uni,
          |  CAST((cum - n_uni) // 512 AS BIGINT) AS chunk_id
-         |FROM ck ORDER BY doc_id""".stripMargin)
+         |FROM ck ORDER BY doc_id""".stripMargin,
+    "mm_bmp_stats" ->
+      """WITH dims AS (
+        |  SELECT doc_id, doc_id % 5 + 1 AS w, doc_id % 3 + 1 AS h,
+        |         ((3 * (doc_id % 5 + 1) + 3) // 4) * 4 AS rs
+        |  FROM documents
+        |), bytes AS (
+        |  SELECT doc_id, w, h, rs, i,
+        |         (doc_id * 7 + i * 13) % 256 AS v
+        |  FROM (SELECT doc_id, w, h, rs,
+        |          unnest(generate_series(0, rs * h - 1)) AS i FROM dims)
+        |  WHERE (i % rs) < 3 * w
+        |), pix AS (
+        |  SELECT doc_id,
+        |         (i // rs) * w + (i % rs) // 3 AS p,
+        |         CAST(SUM(CASE WHEN (i % rs) % 3 = 2 THEN v ELSE 0 END) AS BIGINT) AS r,
+        |         CAST(SUM(CASE WHEN (i % rs) % 3 = 1 THEN v ELSE 0 END) AS BIGINT) AS g,
+        |         CAST(SUM(CASE WHEN (i % rs) % 3 = 0 THEN v ELSE 0 END) AS BIGINT) AS b
+        |  FROM bytes GROUP BY doc_id, p
+        |), lum AS (
+        |  SELECT doc_id, r, g, b,
+        |         CASE WHEN (299*r + 587*g + 114*b) // 31875 > 7 THEN 7
+        |              ELSE (299*r + 587*g + 114*b) // 31875 END AS bk
+        |  FROM pix
+        |)
+        |SELECT d.doc_id, CAST(d.w AS BIGINT) AS width,
+        |  CAST(d.h AS BIGINT) AS height,
+        |  CAST(d.w * d.h AS BIGINT) AS n_px,
+        |  CAST(SUM(l.r) AS BIGINT) AS sum_r,
+        |  CAST(SUM(l.g) AS BIGINT) AS sum_g,
+        |  CAST(SUM(l.b) AS BIGINT) AS sum_b,
+        |  CAST(SUM(CASE WHEN bk = 0 THEN 1 ELSE 0 END) AS BIGINT) AS h0,
+        |  CAST(SUM(CASE WHEN bk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS h1,
+        |  CAST(SUM(CASE WHEN bk = 2 THEN 1 ELSE 0 END) AS BIGINT) AS h2,
+        |  CAST(SUM(CASE WHEN bk = 3 THEN 1 ELSE 0 END) AS BIGINT) AS h3,
+        |  CAST(SUM(CASE WHEN bk = 4 THEN 1 ELSE 0 END) AS BIGINT) AS h4,
+        |  CAST(SUM(CASE WHEN bk = 5 THEN 1 ELSE 0 END) AS BIGINT) AS h5,
+        |  CAST(SUM(CASE WHEN bk = 6 THEN 1 ELSE 0 END) AS BIGINT) AS h6,
+        |  CAST(SUM(CASE WHEN bk = 7 THEN 1 ELSE 0 END) AS BIGINT) AS h7
+        |FROM dims d JOIN lum l USING (doc_id)
+        |GROUP BY d.doc_id, d.w, d.h
+        |ORDER BY d.doc_id""".stripMargin)
 }

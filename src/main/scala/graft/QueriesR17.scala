@@ -101,11 +101,15 @@ object QueriesR17 {
     * M-family). The decoder itself is format-real — the spec validates
     * it against the JDK's own BMP encoder.
     */
+  /** Little-endian hex of a (small, non-negative) integer column over
+    * `nBytes` bytes — the M-family fixture-construction helper.
+    */
+  private def le(v: Column, nBytes: Int): Column =
+    concat((0 until nBytes).map(i =>
+      lpad(hex(pmod(v.cast("long") / (1L << (8 * i)), lit(256)).cast("int")),
+        2, "0")): _*)
+
   def mmBmpStats(s: SparkSession, dir: String): DataFrame = {
-    def le(v: Column, nBytes: Int): Column =
-      concat((0 until nBytes).map(i =>
-        lpad(hex(pmod(v.cast("long") / (1L << (8 * i)), lit(256)).cast("int")),
-          2, "0")): _*)
     val d = t(s, dir, "documents").select(col("doc_id"))
       .withColumn("w", (col("doc_id") % 5 + 1).cast("int"))
       .withColumn("h", (col("doc_id") % 3 + 1).cast("int"))
@@ -130,11 +134,47 @@ object QueriesR17 {
       .orderBy(col("doc_id"))
   }
 
+  /** M11: true WAV waveform decode — each row synthesizes a REAL 16-bit
+    * PCM WAV file (RIFF + fmt + data, interleaved little-endian
+    * samples) whose samples are a deterministic function of doc_id, and
+    * [[graft.multimodal.WavPcm]] decodes it back to frame/duration/
+    * peak/energy/clipping statistics; the oracle regenerates the
+    * samples arithmetically (the construct→parse identity). The decoder
+    * is format-real — the spec validates it against the JDK's own WAV
+    * encoder.
+    */
+  def mmWavStats(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("doc_id"))
+      .withColumn("ch", (col("doc_id") % 2 + 1).cast("int"))
+      .withColumn("rate", (lit(8000) + (col("doc_id") % 5) * 4000).cast("int"))
+      .withColumn("nf", (lit(20) + col("doc_id") % 11).cast("int"))
+      .withColumn("ns", col("nf") * col("ch"))
+    val header = concat(
+      lit("52494646"), le(lit(36) + col("ns") * 2, 4), lit("57415645"),
+      lit("666D7420"), le(lit(16), 4), le(lit(1), 2), le(col("ch"), 2),
+      le(col("rate"), 4), le(col("rate") * col("ch") * 2, 4),
+      le(col("ch") * 2, 2), le(lit(16), 2),
+      lit("64617461"), le(col("ns") * 2, 4))
+    val samples = expr(
+      """array_join(transform(sequence(0, ns - 1), k ->
+        |  concat(lpad(hex(((doc_id * 37 + k * 97) % 65536) % 256), 2, '0'),
+        |         lpad(hex(((doc_id * 37 + k * 97) % 65536) div 256), 2, '0'))), '')""".stripMargin)
+    d.withColumn("st",
+        graft.multimodal.WavPcm.wav_stats(unhex(concat(header, samples))))
+      .select(Seq(col("doc_id")) ++
+        graft.multimodal.WavPcm.schema.fieldNames.map(f =>
+          col(s"st.$f").as(f)): _*)
+      .withColumn("channels", col("channels").cast("long"))
+      .withColumn("sample_rate", col("sample_rate").cast("long"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_unigram_vocab" -> (textUnigramVocab _),
     "text_unigram_tokenize" -> (textUnigramTokenize _),
     "text_pack_unigram" -> (textPackUnigram _),
-    "mm_bmp_stats" -> (mmBmpStats _))
+    "mm_bmp_stats" -> (mmBmpStats _),
+    "mm_wav_stats" -> (mmWavStats _))
 
   val sql: Map[String, String] = Map(
     "text_unigram_vocab" ->
@@ -201,5 +241,30 @@ object QueriesR17 {
         |  CAST(SUM(CASE WHEN bk = 7 THEN 1 ELSE 0 END) AS BIGINT) AS h7
         |FROM dims d JOIN lum l USING (doc_id)
         |GROUP BY d.doc_id, d.w, d.h
+        |ORDER BY d.doc_id""".stripMargin,
+    "mm_wav_stats" ->
+      """WITH dims AS (
+        |  SELECT doc_id, doc_id % 2 + 1 AS ch,
+        |         8000 + (doc_id % 5) * 4000 AS rate,
+        |         20 + doc_id % 11 AS nf,
+        |         (doc_id % 2 + 1) * (20 + doc_id % 11) AS ns
+        |  FROM documents
+        |), smp AS (
+        |  SELECT doc_id,
+        |         CASE WHEN (doc_id * 37 + k * 97) % 65536 >= 32768
+        |              THEN (doc_id * 37 + k * 97) % 65536 - 65536
+        |              ELSE (doc_id * 37 + k * 97) % 65536 END AS s
+        |  FROM (SELECT doc_id, unnest(generate_series(0, ns - 1)) AS k
+        |        FROM dims)
+        |)
+        |SELECT d.doc_id, CAST(d.ch AS BIGINT) AS channels,
+        |  CAST(d.rate AS BIGINT) AS sample_rate,
+        |  CAST(d.nf AS BIGINT) AS n_frames,
+        |  CAST(d.nf * 1000 // d.rate AS BIGINT) AS duration_ms,
+        |  CAST(MAX(ABS(m.s)) AS BIGINT) AS peak_abs,
+        |  CAST(SUM(m.s * m.s) AS BIGINT) AS sum_sq,
+        |  CAST(SUM(CASE WHEN m.s IN (32767, -32768) THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped
+        |FROM dims d JOIN smp m USING (doc_id)
+        |GROUP BY d.doc_id, d.ch, d.rate, d.nf
         |ORDER BY d.doc_id""".stripMargin)
 }

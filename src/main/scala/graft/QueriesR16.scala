@@ -284,7 +284,10 @@ object QueriesR16 {
           .as("is_deleted"))
     graft.streaming.Streams.cdcApplyFromBus(s, target, staged,
         Seq("o_orderkey"), Seq(col("o_orderkey")),
-        busPartitions = 8, maxRowsPerTrigger = 2000)
+        busPartitions = 8,
+        // ~8 admission-controlled batches at any SF (the streamBusAgg
+        // rule; fixed 2000 meant 25 batches at sf0.1)
+        maxRowsPerTrigger = math.max(2000L, staged.count() / 8))
       .orderBy(col("o_orderkey"))
   }
 
@@ -418,7 +421,11 @@ object QueriesR16 {
         to_json(struct(col("source"), col("text"))).as("v"), col("doc_id")),
       root, busPartitions = 4, pt = col("pt"), value = col("v"),
       col("doc_id"))
-    graft.streaming.Streams.busReplay(s, root, maxRowsPerTrigger = 100,
+    // ~8 admission-controlled batches at any SF (the streamBusAgg rule;
+    // a fixed 100-row trigger meant 50 micro-batches of pure harness
+    // overhead at sf0.1 — 32 s of the r8 recon bench)
+    val trigger = math.max(100L, d.count() / 8)
+    graft.streaming.Streams.busReplay(s, root, maxRowsPerTrigger = trigger,
         s"gate_busbpe_${System.nanoTime()}") { stream =>
       stream.select(from_json(col("value"),
           org.apache.spark.sql.types.StructType.fromDDL(

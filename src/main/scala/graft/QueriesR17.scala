@@ -92,6 +92,72 @@ object QueriesR17 {
       .orderBy(col("doc_id"))
   }
 
+  /** T35b: unigram ENCODING — the second tokenizer family closed end to
+    * end like T34d: train (T35) → piece ids (rank under the total
+    * order over the pieces the final segmentation actually uses) →
+    * per-document token-ID sequences. Encoding is vocabulary-joined:
+    * each distinct word carries its ordered (start-position, piece-id)
+    * list recovered from the trained DP lattice's pred pointers
+    * ([[Unigram.segments]], a vocab-sized table), docs explode to
+    * (position, word), broadcast-join, and re-assemble ordered by
+    * (word position, piece start). First 50 docs, ids space-joined
+    * (bounded, readable gate output — the T34d shape).
+    */
+  def textUnigramEncode(s: SparkSession, dir: String): DataFrame = {
+    val (_, dp) = uniTrained(s, dir)
+    val seg = Unigram.segments(dp)
+    val vocab = seg.select(col("piece")).distinct()
+      .withColumn("tid", row_number().over(
+        Window.orderBy(col("piece"))).cast("long"))
+    val wseg = seg.join(vocab, Seq("piece"))
+      .select(col("w"), col("pos"), col("tid"))
+    t(s, dir, "documents").filter(col("doc_id") < 50)
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("wp", "w")))
+      .filter(col("w") =!= "")
+      .join(broadcast(wseg), Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(expr(
+        """array_join(transform(sort_array(collect_list(struct(wp, pos, tid))),
+          |                     x -> cast(x.tid AS string)), ' ')""".stripMargin)
+        .as("token_ids"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** X46: streaming unigram token monitor — the second tokenizer
+    * family's live twin of `stream_bpe_tokens`: documents replayed
+    * through the message bus as JSON (4 partitions, admission-controlled
+    * ~8 batches at any SF), each micro-batch joining the BROADCAST
+    * vocabulary-sized per-word piece-count table from the trained T35
+    * state and folding into per-source whitespace/subword totals. The
+    * batch-identical tail makes the oracle the batch oracle.
+    */
+  def streamUnigramTokens(s: SparkSession, dir: String): DataFrame = {
+    val (_, dp) = uniTrained(s, dir)
+    val nPieces = broadcast(dp.filter(col("pos") === length(col("w")))
+      .select(col("w"), col("n").as("n_p")))
+    val d = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("text"))
+    val root = java.nio.file.Files.createTempDirectory("graft_busuni").toString
+    graft.streaming.BusSource.stage(
+      d.select(pmod(hash(col("doc_id")), lit(4)).as("pt"),
+        to_json(struct(col("source"), col("text"))).as("v"), col("doc_id")),
+      root, busPartitions = 4, pt = col("pt"), value = col("v"),
+      col("doc_id"))
+    val trigger = math.max(100L, d.count() / 8)
+    graft.streaming.Streams.busReplay(s, root, maxRowsPerTrigger = trigger,
+        s"gate_busuni_${System.nanoTime()}") { stream =>
+      stream.select(from_json(col("value"),
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "source STRING, text STRING")).as("e"))
+        .select(col("e.source").as("source"),
+          explode(split(col("e.text"), " ")).as("w"))
+        .join(nPieces, Seq("w"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_ws"), sum(col("n_p")).as("n_uni"))
+    }.orderBy(col("source"))
+  }
+
   /** M10: true BMP raster decode — each row synthesizes a REAL 24-bit
     * BMP file (valid headers, bottom-up padded BGR rows) whose pixel
     * bytes are a deterministic function of doc_id, and
@@ -169,12 +235,72 @@ object QueriesR17 {
       .orderBy(col("doc_id"))
   }
 
+  /** M12: true PNG raster decode — each row synthesizes a REAL PNG file
+    * (signature, IHDR, one IDAT carrying a zlib stream, IEND) whose
+    * pixels are a deterministic function of doc_id, and
+    * [[graft.multimodal.PngRaster]] decodes it back through the JDK's
+    * zlib and the PNG filter reconstruction to channel sums and a
+    * luminance histogram. SQL can't deflate, so the fixture's zlib
+    * stream uses a STORED (uncompressed) block — wrapper 0x7801, block
+    * header 01 + LEN + ~LEN, payload, Adler-32 computed arithmetically
+    * — which is a fully valid stream the REAL Inflater consumes; the
+    * first scanline carries filter 0 (None) and the rest filter 2 (Up),
+    * so the oracle reconstructs pixels as closed-form column prefix
+    * sums mod 256 (mod distributes over the chained byte additions).
+    * Genuine-deflate streams and the Sub/Average/Paeth filters are
+    * exercised in the spec against the JDK's own PNG encoder.
+    */
+  def mmPngStats(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("doc_id"))
+      .withColumn("w", (col("doc_id") % 4 + 1).cast("int"))
+      .withColumn("h", (col("doc_id") % 3 + 1).cast("int"))
+      .withColumn("stride", (col("w") * 3 + 1).cast("long"))
+      .withColumn("len", (col("stride") * col("h")).cast("long"))
+    // scanline byte at offset p: filter byte (0 first row, 2 = Up after)
+    // or the raw pixel byte (doc_id*11 + y*31 + lane*7) mod 256
+    def byteAt(p: String) =
+      s"""(CASE WHEN ($p) % stride = 0
+         |      THEN (CASE WHEN ($p) div stride = 0 THEN 0 ELSE 2 END)
+         |      ELSE (doc_id * 11 + (($p) div stride) * 31 +
+         |            ((($p) % stride) - 1) * 7) % 256 END)""".stripMargin
+    val withAdler = d
+      .withColumn("data_hex", expr(
+        s"""array_join(transform(sequence(0L, len - 1), p ->
+           |  lpad(hex(${byteAt("p")}), 2, '0')), '')""".stripMargin))
+      .withColumn("ad_a", expr(
+        s"""(1 + aggregate(sequence(0L, len - 1), cast(0 as bigint),
+           |  (acc, p) -> acc + ${byteAt("p")})) % 65521""".stripMargin))
+      .withColumn("ad_b", expr(
+        s"""(len + aggregate(sequence(0L, len - 1), cast(0 as bigint),
+           |  (acc, p) -> acc + (len - p) * ${byteAt("p")})) % 65521""".stripMargin))
+    def be(v: Column, nBytes: Int): Column = lpad(hex(v), 2 * nBytes, "0")
+    val png = concat(
+      lit("89504E470D0A1A0A"),
+      lit("0000000D"), lit("49484452"), be(col("w"), 4), be(col("h"), 4),
+      lit("0802000000"), lit("00000000"),
+      be(col("len") + 11, 4), lit("49444154"),
+      lit("7801"), lit("01"), le(col("len"), 2), le(lit(65535) - col("len"), 2),
+      col("data_hex"), be(col("ad_b"), 2), be(col("ad_a"), 2), lit("00000000"),
+      lit("00000000"), lit("49454E44"), lit("00000000"))
+    withAdler.withColumn("st",
+        graft.multimodal.PngRaster.png_stats(unhex(png)))
+      .select(Seq(col("doc_id")) ++
+        graft.multimodal.PngRaster.schema.fieldNames.map(f =>
+          col(s"st.$f").as(f)): _*)
+      .withColumn("width", col("width").cast("long"))
+      .withColumn("height", col("height").cast("long"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_unigram_vocab" -> (textUnigramVocab _),
     "text_unigram_tokenize" -> (textUnigramTokenize _),
     "text_pack_unigram" -> (textPackUnigram _),
+    "text_unigram_encode" -> (textUnigramEncode _),
+    "stream_unigram_tokens" -> (streamUnigramTokens _),
     "mm_bmp_stats" -> (mmBmpStats _),
-    "mm_wav_stats" -> (mmWavStats _))
+    "mm_wav_stats" -> (mmWavStats _),
+    "mm_png_stats" -> (mmPngStats _))
 
   val sql: Map[String, String] = Map(
     "text_unigram_vocab" ->
@@ -201,6 +327,33 @@ object QueriesR17 {
          |SELECT doc_id, source, n_uni,
          |  CAST((cum - n_uni) // 512 AS BIGINT) AS chunk_id
          |FROM ck ORDER BY doc_id""".stripMargin,
+    "text_unigram_encode" ->
+      s"""WITH ${Unigram.oracleCtes("documents", "text")},
+         |${Unigram.segCte},
+         |vocab AS MATERIALIZED (
+         |  SELECT piece, CAST(ROW_NUMBER() OVER (ORDER BY piece) AS BIGINT) AS tid
+         |  FROM (SELECT DISTINCT piece FROM seg)
+         |), wseg AS MATERIALIZED (
+         |  SELECT w, pos, tid FROM seg JOIN vocab USING (piece)
+         |), dw AS (
+         |  SELECT doc_id, CAST(i AS BIGINT) AS wp, w FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+         |           generate_subscripts(string_split(text, ' '), 1) AS i
+         |    FROM documents WHERE doc_id < 50
+         |  ) WHERE w <> ''
+         |)
+         |SELECT doc_id,
+         |  string_agg(CAST(tid AS VARCHAR), ' ' ORDER BY wp, pos) AS token_ids
+         |FROM dw JOIN wseg USING (w)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "stream_unigram_tokens" ->
+      s"""WITH ${Unigram.oracleCtes("documents", "text")},
+         |${Unigram.npCte}
+         |SELECT source, COUNT(*) AS n_ws, CAST(SUM(n_p) AS BIGINT) AS n_uni
+         |FROM (SELECT source, unnest(string_split(text, ' ')) AS w
+         |      FROM documents) dw
+         |JOIN np USING (w) WHERE w <> '' GROUP BY source
+         |ORDER BY source""".stripMargin,
     "mm_bmp_stats" ->
       """WITH dims AS (
         |  SELECT doc_id, doc_id % 5 + 1 AS w, doc_id % 3 + 1 AS h,
@@ -266,5 +419,40 @@ object QueriesR17 {
         |  CAST(SUM(CASE WHEN m.s IN (32767, -32768) THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped
         |FROM dims d JOIN smp m USING (doc_id)
         |GROUP BY d.doc_id, d.ch, d.rate, d.nf
-        |ORDER BY d.doc_id""".stripMargin)
+        |ORDER BY d.doc_id""".stripMargin,
+    "mm_png_stats" ->
+      """WITH dims AS (
+        |  SELECT doc_id, doc_id % 4 + 1 AS w, doc_id % 3 + 1 AS h
+        |  FROM documents
+        |), px AS (
+        |  SELECT doc_id, w, h, k // w AS y, k % w AS xp
+        |  FROM (SELECT doc_id, w, h,
+        |          unnest(generate_series(0, h * w - 1)) AS k FROM dims)
+        |), rc AS (
+        |  SELECT doc_id, w, h,
+        |    ((y+1) * (doc_id*11 + (3*xp)*7)   + 31 * y * (y+1) // 2) % 256 AS r,
+        |    ((y+1) * (doc_id*11 + (3*xp+1)*7) + 31 * y * (y+1) // 2) % 256 AS g,
+        |    ((y+1) * (doc_id*11 + (3*xp+2)*7) + 31 * y * (y+1) // 2) % 256 AS b
+        |  FROM px
+        |), lum AS (
+        |  SELECT doc_id, w, h, r, g, b,
+        |    CASE WHEN (299*r + 587*g + 114*b) // 31875 > 7 THEN 7
+        |         ELSE (299*r + 587*g + 114*b) // 31875 END AS bk
+        |  FROM rc
+        |)
+        |SELECT doc_id, CAST(MIN(w) AS BIGINT) AS width,
+        |  CAST(MIN(h) AS BIGINT) AS height,
+        |  CAST(MIN(w) * MIN(h) AS BIGINT) AS n_px,
+        |  CAST(SUM(r) AS BIGINT) AS sum_r,
+        |  CAST(SUM(g) AS BIGINT) AS sum_g,
+        |  CAST(SUM(b) AS BIGINT) AS sum_b,
+        |  CAST(SUM(CASE WHEN bk = 0 THEN 1 ELSE 0 END) AS BIGINT) AS h0,
+        |  CAST(SUM(CASE WHEN bk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS h1,
+        |  CAST(SUM(CASE WHEN bk = 2 THEN 1 ELSE 0 END) AS BIGINT) AS h2,
+        |  CAST(SUM(CASE WHEN bk = 3 THEN 1 ELSE 0 END) AS BIGINT) AS h3,
+        |  CAST(SUM(CASE WHEN bk = 4 THEN 1 ELSE 0 END) AS BIGINT) AS h4,
+        |  CAST(SUM(CASE WHEN bk = 5 THEN 1 ELSE 0 END) AS BIGINT) AS h5,
+        |  CAST(SUM(CASE WHEN bk = 6 THEN 1 ELSE 0 END) AS BIGINT) AS h6,
+        |  CAST(SUM(CASE WHEN bk = 7 THEN 1 ELSE 0 END) AS BIGINT) AS h7
+        |FROM lum GROUP BY doc_id ORDER BY doc_id""".stripMargin)
 }

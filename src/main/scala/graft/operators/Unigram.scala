@@ -171,6 +171,28 @@ object Unigram {
       .agg(count(lit(1)).as("n_ws"), sum(col("n_p")).as("n_uni"))
   }
 
+  /** Per-word chosen segmentation recovered from a trained DP lattice:
+    * (w, pos, piece) — `piece` starts at 0-based `pos` in `w`; ordering
+    * the rows of one word by `pos` ascending yields its token sequence.
+    * The same backward pred-pointer walk as the E-step, kept separate so
+    * encoding gates can run it off the memoized trained state without
+    * retraining.
+    */
+  def segments(dp: DataFrame): DataFrame = {
+    val pred = dp.filter(col("pos") >= 1)
+      .select(col("w"), col("pos"), col("bi"), col("bp"))
+    var wk = dp.filter(col("pos") === 0)
+      .select(col("w"), length(col("w")).cast("long").as("pos"))
+    var seg: DataFrame = null
+    for (_ <- 1 to MaxLen) {
+      val step = ckptFresh(wk.join(pred, Seq("w", "pos"))
+        .select(col("w"), col("bi").as("pos"), col("bp").as("piece")))
+      seg = if (seg == null) step else seg.unionByName(step)
+      wk = step.select(col("w"), col("pos"))
+    }
+    seg
+  }
+
   // ------------------------------------------------------------------
   // Oracle SQL generation: the identical loop unrolled as chained
   // MATERIALIZED CTEs (the Bpe pyramid contract — DuckDB 1.0 inlines
@@ -286,6 +308,18 @@ object Unigram {
     */
   def npCte: String =
     s"np AS MATERIALIZED (SELECT w, n AS n_p FROM dp${EmRounds}_$MaxLen WHERE pos = length(w))"
+
+  /** Oracle CTE tail: `seg` (w, pos, piece) — the final E-step's chosen
+    * segmentations, the SQL twin of [[segments]] (the walk CTEs
+    * `wk$EmRounds_*` already exist in the pyramid; this just unions
+    * them).
+    */
+  def segCte: String = {
+    val u = (1 to MaxLen)
+      .map(r => s"SELECT w, pos, piece FROM wk${EmRounds}_$r")
+      .mkString(" UNION ALL ")
+    s"seg AS MATERIALIZED ($u)"
+  }
 
   /** Full oracle for [[tokenCounts]]. */
   def tokenCountsOracle(table: String, idCol: String, textCol: String): String =

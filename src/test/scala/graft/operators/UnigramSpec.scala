@@ -53,6 +53,28 @@ class UnigramSpec extends AnyFunSuite {
     assert(n == 1L, s"'data' segmented into $n pieces")
   }
 
+  test("segments reconstruct every word exactly, in piece order") {
+    val (_, dp) = Unigram.train(docs, col("text"))
+    val rebuilt = Unigram.segments(dp)
+      .groupBy(col("w"))
+      .agg(expr("""array_join(transform(sort_array(collect_list(
+             struct(pos, piece))), x -> x.piece), '')""").as("r"))
+      .as[(String, String)].collect().toMap
+    val vocabWords = docs.select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "").distinct().as[String].collect().toSet
+    assert(rebuilt.keySet == vocabWords)
+    rebuilt.foreach { case (w, r) => assert(r == w, s"$w rebuilt as $r") }
+  }
+
+  test("segment piece count matches the DP lattice's n per word") {
+    val (_, dp) = Unigram.train(docs, col("text"))
+    val fromDp = dp.filter(col("pos") === length(col("w")))
+      .select(col("w"), col("n")).as[(String, Long)].collect().toMap
+    val fromSeg = Unigram.segments(dp).groupBy(col("w"))
+      .agg(count(lit(1)).as("k")).as[(String, Long)].collect().toMap
+    assert(fromSeg == fromDp)
+  }
+
   test("words beyond MaxLen are rejected loudly") {
     val bad = Seq((1L, "supercalifragilistic word")).toDF("doc_id", "text")
     val e = intercept[IllegalArgumentException] {

@@ -2019,7 +2019,7 @@ object QueriesR15 {
     * quantization → seed centroids → distance/argmin → sign-carried
     * integer-mean centroid update → final distance/argmin (d2/a2).
     */
-  private lazy val kmeansCtes: String =
+  private[graft] lazy val kmeansCtes: String =
     """flat AS (
       |  SELECT vec_id,
       |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS x,

@@ -124,6 +124,51 @@ object QueriesR17 {
       .orderBy(col("doc_id"))
   }
 
+  /** D22: SEMANTIC dedup — the SemDeDup recipe (Abbas et al. 2023,
+    * arXiv:2303.09540): k-means the embedding space (the D18 trained
+    * clustering, FIXED k, exact milli-integer trajectory), then search
+    * for near-duplicates ONLY within each cluster — the clustering is
+    * the blocking structure, so the pair join is per-cluster, never
+    * corpus²; production raises k with n to bound cluster population
+    * (the paper's posture), keeping the per-cluster pair work constant.
+    * Pairs with cosine ≥ 2/5 (integer cross-multiplied: dot > 0 and
+    * 25·dot² ≥ 4·‖a‖²‖b‖², exact at milli quantization) form near-dup
+    * groups via convergence-checked connected components; each group
+    * keeps its minimum vec_id as the deterministic survivor.
+    *
+    * Output: every vector with its cluster, its duplicate-group
+    * representative (self if unique), and the keep/drop verdict the
+    * curation pipeline filters on.
+    */
+  def dedupSemantic(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val assign = graft.similarity.KMeans.lloydMilliK(e,
+      col("vec_id"), col("embedding"), k = 10, iterations = 2)
+    val flat = e.select(col("vec_id").cast("long").as("vec_id"),
+        posexplode(col("embedding")))
+      .select(col("vec_id"), col("pos").cast("long").as("i"),
+        floor(col("col").cast("double") * 1000).cast("long").as("x"))
+    val fa = flat.join(assign, Seq("vec_id"))
+    val pairs = fa.as("a").join(fa.as("b"),
+        col("a.cluster_id") === col("b.cluster_id") &&
+          col("a.i") === col("b.i") && col("a.vec_id") < col("b.vec_id"))
+      .groupBy(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+      .agg(sum(col("a.x") * col("b.x")).as("dot"),
+        sum(col("a.x") * col("a.x")).as("na"),
+        sum(col("b.x") * col("b.x")).as("nb"))
+    val near = pairs.filter(col("dot") > 0 &&
+      col("dot") * col("dot") * 25 >= col("na") * col("nb") * 4)
+    val rep = graft.dedup.Dedup
+      .connectedComponents(near.select(col("id_a"), col("id_b")))
+      .select(col("doc_id").as("vec_id"), col("cluster_id").as("rep_id"))
+    assign.join(rep, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster_id"),
+        coalesce(col("rep_id"), col("vec_id")).as("rep_id"))
+      .withColumn("kept",
+        when(col("vec_id") === col("rep_id"), 1L).otherwise(0L))
+      .orderBy(col("vec_id"))
+  }
+
   /** X46: streaming unigram token monitor — the second tokenizer
     * family's live twin of `stream_bpe_tokens`: documents replayed
     * through the message bus as JSON (4 partitions, admission-controlled
@@ -298,6 +343,7 @@ object QueriesR17 {
     "text_pack_unigram" -> (textPackUnigram _),
     "text_unigram_encode" -> (textUnigramEncode _),
     "stream_unigram_tokens" -> (streamUnigramTokens _),
+    "dedup_semantic" -> (dedupSemantic _),
     "mm_bmp_stats" -> (mmBmpStats _),
     "mm_wav_stats" -> (mmWavStats _),
     "mm_png_stats" -> (mmPngStats _))
@@ -354,6 +400,37 @@ object QueriesR17 {
          |      FROM documents) dw
          |JOIN np USING (w) WHERE w <> '' GROUP BY source
          |ORDER BY source""".stripMargin,
+    "dedup_semantic" ->
+      s"""WITH RECURSIVE ${QueriesR15.kmeansCtes},
+         |fa AS (
+         |  SELECT f.vec_id, f.i, f.x, a.cid
+         |  FROM flat f JOIN a2 a USING (vec_id)
+         |), pr AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |         SUM(a.x * b.x) AS dot,
+         |         SUM(a.x * a.x) AS na, SUM(b.x * b.x) AS nb
+         |  FROM fa a JOIN fa b
+         |    ON a.cid = b.cid AND a.i = b.i AND a.vec_id < b.vec_id
+         |  GROUP BY 1, 2
+         |), near AS (
+         |  SELECT id_a, id_b FROM pr
+         |  WHERE dot > 0 AND dot * dot * 25 >= na * nb * 4
+         |), sym AS (
+         |  SELECT id_a AS src, id_b AS dst FROM near
+         |  UNION SELECT id_b, id_a FROM near
+         |), reach(id, lbl) AS (
+         |  SELECT src, src FROM sym
+         |  UNION
+         |  SELECT s.src, r.lbl FROM reach r JOIN sym s ON s.dst = r.id
+         |), rep AS (
+         |  SELECT id, MIN(lbl) AS rep_id FROM reach GROUP BY id
+         |)
+         |SELECT a.vec_id, CAST(a.cid AS BIGINT) AS cluster_id,
+         |  CAST(COALESCE(r.rep_id, a.vec_id) AS BIGINT) AS rep_id,
+         |  CAST(CASE WHEN COALESCE(r.rep_id, a.vec_id) = a.vec_id
+         |       THEN 1 ELSE 0 END AS BIGINT) AS kept
+         |FROM a2 a LEFT JOIN rep r ON r.id = a.vec_id
+         |ORDER BY a.vec_id""".stripMargin,
     "mm_bmp_stats" ->
       """WITH dims AS (
         |  SELECT doc_id, doc_id % 5 + 1 AS w, doc_id % 3 + 1 AS h,

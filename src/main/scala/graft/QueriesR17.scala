@@ -337,6 +337,36 @@ object QueriesR17 {
       .orderBy(col("doc_id"))
   }
 
+  // Avro round-trip staging: written once per (session, dir) — the
+  // format-gate memo idiom of the Delta/Iceberg round-trips.
+  private val avroMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+
+  /** F16: Avro container round-trip — documents written to one Avro
+    * object-container file per partition through
+    * [[graft.sources.AvroTable]] (avro-core, already on Spark's
+    * classpath) and read back file-parallel via `DataFileStream`;
+    * null-union nullability exercised by a column that is NULL on every
+    * 7th doc. Oracle = the same projection in plain SQL: the format
+    * layer must be invisible.
+    */
+  def avroRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val root = avroMemo.computeIfAbsent(
+      (s.sparkContext.applicationId, dir), _ => {
+        val out = java.nio.file.Files
+          .createTempDirectory("graft_avro").toString
+        graft.sources.AvroTable.write(
+          t(s, dir, "documents")
+            .select(col("doc_id"), col("source"),
+              length(col("text")).cast("long").as("n_chars"),
+              when(col("doc_id") % 7 === 0, lit(null).cast("string"))
+                .otherwise(col("source")).as("source_alt"))
+            .repartition(4), out)
+        out
+      })
+    graft.sources.AvroTable.read(s, root).orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_unigram_vocab" -> (textUnigramVocab _),
     "text_unigram_tokenize" -> (textUnigramTokenize _),
@@ -344,6 +374,7 @@ object QueriesR17 {
     "text_unigram_encode" -> (textUnigramEncode _),
     "stream_unigram_tokens" -> (streamUnigramTokens _),
     "dedup_semantic" -> (dedupSemantic _),
+    "avro_roundtrip" -> (avroRoundtrip _),
     "mm_bmp_stats" -> (mmBmpStats _),
     "mm_wav_stats" -> (mmWavStats _),
     "mm_png_stats" -> (mmPngStats _))
@@ -431,6 +462,10 @@ object QueriesR17 {
          |       THEN 1 ELSE 0 END AS BIGINT) AS kept
          |FROM a2 a LEFT JOIN rep r ON r.id = a.vec_id
          |ORDER BY a.vec_id""".stripMargin,
+    "avro_roundtrip" ->
+      """SELECT doc_id, source, CAST(length(text) AS BIGINT) AS n_chars,
+        |  CASE WHEN doc_id % 7 = 0 THEN NULL ELSE source END AS source_alt
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "mm_bmp_stats" ->
       """WITH dims AS (
         |  SELECT doc_id, doc_id % 5 + 1 AS w, doc_id % 3 + 1 AS h,

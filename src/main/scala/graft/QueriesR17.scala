@@ -337,6 +337,31 @@ object QueriesR17 {
       .orderBy(col("doc_id"))
   }
 
+  /** T36: TextRank keyword extraction (Mihalcea & Tarau 2004) — the
+    * classic unsupervised keyword ranker: content words (length ≥ 4,
+    * the deterministic stand-in for a POS filter) form a co-occurrence
+    * graph over adjacent filtered tokens, edge weight = corpus-wide
+    * adjacency count, and [[graft.operators.Graph.pageRankWeighted]]
+    * ranks the nodes in the house exact-ppm fixed-point arithmetic
+    * (3 rounds, per-edge truncated shares — the R71b machinery reused
+    * verbatim on a WORD graph). Top 100 by (rank desc, word).
+    */
+  def textTextrank(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("p", "w")))
+      .filter(length(col("w")) >= 4)
+    val win = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+    val adj = toks.withColumn("nw", lead(col("w"), 1).over(win))
+      .filter(col("nw").isNotNull && col("w") =!= col("nw"))
+    val und = adj.select(least(col("w"), col("nw")).as("src"),
+        greatest(col("w"), col("nw")).as("dst"))
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+    graft.operators.Graph.pageRankWeighted(und, iterations = 3)
+      .orderBy(col("pr_ppm").desc, col("node"))
+      .limit(100)
+  }
+
   // Avro round-trip staging: written once per (session, dir) — the
   // format-gate memo idiom of the Delta/Iceberg round-trips.
   private val avroMemo =
@@ -375,6 +400,7 @@ object QueriesR17 {
     "stream_unigram_tokens" -> (streamUnigramTokens _),
     "dedup_semantic" -> (dedupSemantic _),
     "avro_roundtrip" -> (avroRoundtrip _),
+    "text_textrank" -> (textTextrank _),
     "mm_bmp_stats" -> (mmBmpStats _),
     "mm_wav_stats" -> (mmWavStats _),
     "mm_png_stats" -> (mmPngStats _))
@@ -466,6 +492,52 @@ object QueriesR17 {
       """SELECT doc_id, source, CAST(length(text) AS BIGINT) AS n_chars,
         |  CASE WHEN doc_id % 7 = 0 THEN NULL ELSE source END AS source_alt
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_textrank" ->
+      """WITH tk AS (
+        |  SELECT doc_id, i AS p, w FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+        |           generate_subscripts(string_split(text, ' '), 1) AS i
+        |    FROM documents)
+        |  WHERE length(w) >= 4
+        |), sq AS (
+        |  SELECT doc_id, w,
+        |         LEAD(w) OVER (PARTITION BY doc_id ORDER BY p) AS nw
+        |  FROM tk
+        |), und AS (
+        |  SELECT LEAST(w, nw) AS a, GREATEST(w, nw) AS b,
+        |         CAST(COUNT(*) AS BIGINT) AS wt
+        |  FROM sq WHERE nw IS NOT NULL AND w <> nw GROUP BY 1, 2
+        |), e AS (
+        |  SELECT a AS src, b AS dst, wt AS w FROM und
+        |  UNION ALL SELECT b, a, wt FROM und
+        |), st AS (
+        |  SELECT src, CAST(SUM(w) AS BIGINT) AS strength FROM e GROUP BY src
+        |), p0 AS (
+        |  SELECT src AS node, CAST(1000000 AS BIGINT) AS pr FROM st
+        |), s1 AS (
+        |  SELECT e.dst AS node, SUM(CAST(p.pr AS HUGEINT) * e.w // t.strength) AS s
+        |  FROM e JOIN p0 p ON p.node = e.src JOIN st t ON t.src = e.src
+        |  GROUP BY e.dst
+        |), p1 AS (
+        |  SELECT node, CAST(150000 + CAST(850000 AS HUGEINT) * s // 1000000
+        |    AS BIGINT) AS pr FROM s1
+        |), s2 AS (
+        |  SELECT e.dst AS node, SUM(CAST(p.pr AS HUGEINT) * e.w // t.strength) AS s
+        |  FROM e JOIN p1 p ON p.node = e.src JOIN st t ON t.src = e.src
+        |  GROUP BY e.dst
+        |), p2 AS (
+        |  SELECT node, CAST(150000 + CAST(850000 AS HUGEINT) * s // 1000000
+        |    AS BIGINT) AS pr FROM s2
+        |), s3 AS (
+        |  SELECT e.dst AS node, SUM(CAST(p.pr AS HUGEINT) * e.w // t.strength) AS s
+        |  FROM e JOIN p2 p ON p.node = e.src JOIN st t ON t.src = e.src
+        |  GROUP BY e.dst
+        |), p3 AS (
+        |  SELECT node, CAST(150000 + CAST(850000 AS HUGEINT) * s // 1000000
+        |    AS BIGINT) AS pr FROM s3
+        |)
+        |SELECT node, pr AS pr_ppm FROM p3
+        |ORDER BY pr DESC, node LIMIT 100""".stripMargin,
     "mm_bmp_stats" ->
       """WITH dims AS (
         |  SELECT doc_id, doc_id % 5 + 1 AS w, doc_id % 3 + 1 AS h,

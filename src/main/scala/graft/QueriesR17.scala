@@ -337,6 +337,41 @@ object QueriesR17 {
       .orderBy(col("doc_id"))
   }
 
+  /** X47: streaming over the NETWORK bus transport — orders staged to a
+    * 4-partition bus, served by the in-process TCP broker
+    * ([[graft.streaming.BusServer]]), consumed through
+    * `SocketBusProvider`: the driver sees only HEADS metadata, each
+    * micro-batch's partition slices are fetched over per-task
+    * connections, and the per-(partition, status) totals must equal
+    * the batch SQL — the first gate whose arrivals cross a real
+    * network path.
+    */
+  def streamSocketBus(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_orderstatus"),
+      (col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("long").as("cents"))
+    val root = java.nio.file.Files.createTempDirectory("graft_sockbus").toString
+    graft.streaming.BusSource.stage(
+      o.select(pmod(col("o_orderkey"), lit(4)).as("pt"),
+        to_json(struct(col("o_orderstatus"), col("cents"))).as("v"),
+        col("o_orderkey")),
+      root, busPartitions = 4, pt = col("pt"), value = col("v"),
+      col("o_orderkey"))
+    val server = graft.streaming.BusServer.serve(root)
+    try {
+      val trigger = math.max(100L, o.count() / 8)
+      graft.streaming.Streams.socketBusReplay(s, "127.0.0.1", server.port,
+          trigger, s"gate_sockbus_${System.nanoTime()}") { stream =>
+        stream.select(col("partition").cast("long").as("pt"),
+            from_json(col("value"),
+              org.apache.spark.sql.types.StructType.fromDDL(
+                "o_orderstatus STRING, cents LONG")).as("e"))
+          .groupBy(col("pt"), col("e.o_orderstatus").as("o_orderstatus"))
+          .agg(count(lit(1)).as("n"), sum(col("e.cents")).as("sum_cents"))
+      }.orderBy(col("pt"), col("o_orderstatus"))
+    } finally server.close()
+  }
+
   /** T36: TextRank keyword extraction (Mihalcea & Tarau 2004) — the
     * classic unsupervised keyword ranker: content words (length ≥ 4,
     * the deterministic stand-in for a POS filter) form a co-occurrence
@@ -401,6 +436,7 @@ object QueriesR17 {
     "dedup_semantic" -> (dedupSemantic _),
     "avro_roundtrip" -> (avroRoundtrip _),
     "text_textrank" -> (textTextrank _),
+    "stream_socket_bus" -> (streamSocketBus _),
     "mm_bmp_stats" -> (mmBmpStats _),
     "mm_wav_stats" -> (mmWavStats _),
     "mm_png_stats" -> (mmPngStats _))
@@ -492,6 +528,12 @@ object QueriesR17 {
       """SELECT doc_id, source, CAST(length(text) AS BIGINT) AS n_chars,
         |  CASE WHEN doc_id % 7 = 0 THEN NULL ELSE source END AS source_alt
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "stream_socket_bus" ->
+      """SELECT o_orderkey % 4 AS pt, o_orderstatus,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+        |    AS BIGINT) AS sum_cents
+        |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "text_textrank" ->
       """WITH tk AS (
         |  SELECT doc_id, i AS p, w FROM (

@@ -89,6 +89,34 @@ object BusSource {
       }.sum
     }.toMap
 
+  /** Shared admission step: advance `from` toward `head` within
+    * `limit` rows — budget split evenly over partitions with backlog,
+    * remainder to the lowest ids (deterministic batch plan, no
+    * wall-clock, no race). Used by both the directory and the socket
+    * transports.
+    */
+  def admit(head: Map[Int, Long], from: Map[Int, Long],
+            limit: ReadLimit): BusOffset = limit match {
+    case m: ReadMaxRows =>
+      val backlog = head.toSeq.sortBy(_._1).map { case (p, h) =>
+        (p, from.getOrElse(p, 0L), h)
+      }.filter { case (_, f, h) => h > f }
+      if (backlog.isEmpty) BusOffset(head)
+      else {
+        val budget = m.maxRows()
+        val per = budget / backlog.size
+        val extra = (budget % backlog.size).toInt
+        val stepped = backlog.zipWithIndex.map { case ((p, f, h), i) =>
+          val take = per + (if (i < extra) 1L else 0L)
+          p -> math.min(h, f + take)
+        }.toMap
+        BusOffset(head.map { case (p, h) =>
+          p -> stepped.getOrElse(p, from.getOrElse(p, 0L))
+        })
+      }
+    case _ => BusOffset(head)
+  }
+
   /** Distributed producer: stage `df` as a bus of `busPartitions`
     * Kafka-shaped partitions under `root`. `pt` assigns the bus
     * partition (producer keying — hash a key column for Kafka
@@ -164,30 +192,9 @@ class BusMicroBatchStream(root: String, maxRows: Option[Long])
     * partitions with backlog, remainder to the lowest ids — a
     * deterministic batch plan (no wall-clock, no race).
     */
-  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val head = BusSource.headOffsets(root)
-    val from = start.asInstanceOf[BusOffset].counts
-    limit match {
-      case m: ReadMaxRows =>
-        val backlog = head.toSeq.sortBy(_._1).map { case (p, h) =>
-          (p, from.getOrElse(p, 0L), h)
-        }.filter { case (_, f, h) => h > f }
-        if (backlog.isEmpty) BusOffset(head)
-        else {
-          val budget = m.maxRows()
-          val per = budget / backlog.size
-          val extra = (budget % backlog.size).toInt
-          val stepped = backlog.zipWithIndex.map { case ((p, f, h), i) =>
-            val take = per + (if (i < extra) 1L else 0L)
-            p -> math.min(h, f + take)
-          }.toMap
-          BusOffset(head.map { case (p, h) =>
-            p -> stepped.getOrElse(p, from.getOrElse(p, 0L))
-          })
-        }
-      case _ => BusOffset(head)
-    }
-  }
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
+    BusSource.admit(BusSource.headOffsets(root),
+      start.asInstanceOf[BusOffset].counts, limit)
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[BusOffset].counts

@@ -2088,4 +2088,24 @@ object Streams {
       try { q.processAllAvailable() } finally { q.stop() }
       iso.table(queryName)
     }
+
+  /** [[busReplay]] over the NETWORK transport ([[SocketBusProvider]]):
+    * same admission control and termination contract, arrivals fetched
+    * from a TCP broker by the executor tasks.
+    */
+  def socketBusReplay(spark: SparkSession, host: String, port: Int,
+                      maxRowsPerTrigger: Long, queryName: String)
+                     (pipe: DataFrame => DataFrame): DataFrame =
+    withStateSession(spark, 8) { iso =>
+      val stream = iso.readStream
+        .format("graft.streaming.SocketBusProvider")
+        .option("host", host)
+        .option("port", port.toString)
+        .option("maxRowsPerTrigger", maxRowsPerTrigger.toString)
+        .load()
+      val q = pipe(stream).writeStream.outputMode("complete")
+        .format("memory").queryName(queryName).start()
+      try { q.processAllAvailable() } finally { q.stop() }
+      iso.table(queryName)
+    }
 }

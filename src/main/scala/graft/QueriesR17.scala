@@ -427,6 +427,42 @@ object QueriesR17 {
     graft.sources.AvroTable.read(s, root).orderBy(col("doc_id"))
   }
 
+  /** M13: G.711 companded-audio decode — each row synthesizes a REAL
+    * μ-law (odd doc_id) or A-law (even) WAV file whose companded bytes
+    * are a deterministic function of doc_id, and
+    * [[graft.multimodal.G711]] expands them through the CCITT
+    * segment/mantissa formulas to linear statistics; the oracle decodes
+    * the same bytes with the identical integer arithmetic (the
+    * construct→parse identity). The codecs themselves are validated
+    * against the JDK's own μ-law/A-law converters in the spec.
+    */
+  def mmG711Stats(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("doc_id"))
+      .withColumn("codec", (col("doc_id") % 2 + 6).cast("int"))
+      .withColumn("ch", (expr("(doc_id % 4) div 2") + 1).cast("int"))
+      .withColumn("rate", (lit(8000) + (col("doc_id") % 3) * 4000).cast("int"))
+      .withColumn("nf", (lit(20) + col("doc_id") % 11).cast("int"))
+      .withColumn("ns", col("nf") * col("ch"))
+    val header = concat(
+      lit("52494646"), le(lit(36) + col("ns"), 4), lit("57415645"),
+      lit("666D7420"), le(lit(16), 4), le(col("codec"), 2), le(col("ch"), 2),
+      le(col("rate"), 4), le(col("rate") * col("ch"), 4),
+      le(col("ch"), 2), le(lit(8), 2),
+      lit("64617461"), le(col("ns"), 4))
+    val samples = expr(
+      """array_join(transform(sequence(0, ns - 1), k ->
+        |  lpad(hex((doc_id * 31 + k * 53) % 256), 2, '0')), '')""".stripMargin)
+    d.withColumn("st",
+        graft.multimodal.G711.g711_stats(unhex(concat(header, samples))))
+      .select(Seq(col("doc_id")) ++
+        graft.multimodal.G711.schema.fieldNames.map(f =>
+          col(s"st.$f").as(f)): _*)
+      .withColumn("channels", col("channels").cast("long"))
+      .withColumn("sample_rate", col("sample_rate").cast("long"))
+      .withColumn("codec", col("codec").cast("long"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_unigram_vocab" -> (textUnigramVocab _),
     "text_unigram_tokenize" -> (textUnigramTokenize _),
@@ -437,6 +473,7 @@ object QueriesR17 {
     "avro_roundtrip" -> (avroRoundtrip _),
     "text_textrank" -> (textTextrank _),
     "stream_socket_bus" -> (streamSocketBus _),
+    "mm_g711_stats" -> (mmG711Stats _),
     "mm_bmp_stats" -> (mmBmpStats _),
     "mm_wav_stats" -> (mmWavStats _),
     "mm_png_stats" -> (mmPngStats _))
@@ -680,5 +717,51 @@ object QueriesR17 {
         |  CAST(SUM(CASE WHEN bk = 5 THEN 1 ELSE 0 END) AS BIGINT) AS h5,
         |  CAST(SUM(CASE WHEN bk = 6 THEN 1 ELSE 0 END) AS BIGINT) AS h6,
         |  CAST(SUM(CASE WHEN bk = 7 THEN 1 ELSE 0 END) AS BIGINT) AS h7
-        |FROM lum GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+        |FROM lum GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "mm_g711_stats" ->
+      """WITH dims AS (
+        |  SELECT doc_id, doc_id % 2 + 6 AS codec,
+        |         (doc_id % 4) // 2 + 1 AS ch,
+        |         8000 + (doc_id % 3) * 4000 AS rate,
+        |         20 + doc_id % 11 AS nf,
+        |         ((doc_id % 4) // 2 + 1) * (20 + doc_id % 11) AS ns
+        |  FROM documents
+        |), smp AS (
+        |  SELECT doc_id, codec, (doc_id * 31 + k * 53) % 256 AS b
+        |  FROM (SELECT doc_id, codec, unnest(generate_series(0, ns - 1)) AS k
+        |        FROM dims)
+        |), lin AS (
+        |  SELECT doc_id,
+        |    CASE WHEN codec = 7 THEN
+        |      CASE WHEN (255 - b) >= 128
+        |        THEN -((((((255 - b) % 16) * 8 + 132) << (((255 - b) // 16) % 8)) - 132))
+        |        ELSE (((((255 - b) % 16) * 8 + 132) << (((255 - b) // 16) % 8)) - 132)
+        |      END
+        |    ELSE
+        |      CASE WHEN xor(b, 85) >= 128
+        |        THEN (CASE WHEN (xor(b, 85) // 16) % 8 = 0
+        |              THEN (xor(b, 85) % 16) * 16 + 8
+        |              ELSE ((xor(b, 85) % 16) * 16 + 264)
+        |                   << ((xor(b, 85) // 16) % 8 - 1) END)
+        |        ELSE -(CASE WHEN (xor(b, 85) // 16) % 8 = 0
+        |              THEN (xor(b, 85) % 16) * 16 + 8
+        |              ELSE ((xor(b, 85) % 16) * 16 + 264)
+        |                   << ((xor(b, 85) // 16) % 8 - 1) END)
+        |      END
+        |    END AS s
+        |  FROM smp
+        |)
+        |SELECT d.doc_id, CAST(d.ch AS BIGINT) AS channels,
+        |  CAST(d.rate AS BIGINT) AS sample_rate,
+        |  CAST(d.codec AS BIGINT) AS codec,
+        |  CAST(d.nf AS BIGINT) AS n_frames,
+        |  CAST(d.nf * 1000 // d.rate AS BIGINT) AS duration_ms,
+        |  CAST(MAX(ABS(l.s)) AS BIGINT) AS peak_abs,
+        |  CAST(SUM(l.s * l.s) AS BIGINT) AS sum_sq,
+        |  CAST(SUM(CASE WHEN ABS(l.s) =
+        |      CASE WHEN d.codec = 7 THEN 32124 ELSE 32256 END
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_fullscale
+        |FROM dims d JOIN lin l USING (doc_id)
+        |GROUP BY d.doc_id, d.ch, d.rate, d.codec, d.nf
+        |ORDER BY d.doc_id""".stripMargin)
 }

@@ -427,6 +427,33 @@ object QueriesR17 {
     graft.sources.AvroTable.read(s, root).orderBy(col("doc_id"))
   }
 
+  /** X48: CDC apply over the NETWORK bus — X44's exact fixture with the
+    * change stream served by the TCP broker and consumed through
+    * `SocketBusProvider` ([[graft.streaming.Streams
+    * .cdcApplyFromSocketBus]]): the reference's apply loop fed over a
+    * wire. Shares X2/X44's oracle — the merge result is
+    * delivery-shape-independent.
+    */
+  def streamSocketCdc(s: SparkSession, dir: String): DataFrame = {
+    val target = t(s, dir, "orders")
+      .filter(col("o_orderdate").cast("timestamp") <
+        lit("2000-01-01 00:00:00").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice").as("total"), lit("N").as("is_deleted"))
+    val staged = t(s, dir, "orders")
+      .filter(col("o_orderkey") % 3 === 0)
+      .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
+        (col("o_totalprice").cast("decimal(12,2)") + 1000)
+          .cast("double").as("total"),
+        when(col("o_orderkey") % 37 === 0, "Y").otherwise("N")
+          .as("is_deleted"))
+    graft.streaming.Streams.cdcApplyFromSocketBus(s, target, staged,
+        Seq("o_orderkey"), Seq(col("o_orderkey")),
+        busPartitions = 8,
+        maxRowsPerTrigger = math.max(2000L, staged.count() / 8))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** M13: G.711 companded-audio decode — each row synthesizes a REAL
     * μ-law (odd doc_id) or A-law (even) WAV file whose companded bytes
     * are a deterministic function of doc_id, and
@@ -474,6 +501,7 @@ object QueriesR17 {
     "text_textrank" -> (textTextrank _),
     "stream_socket_bus" -> (streamSocketBus _),
     "mm_g711_stats" -> (mmG711Stats _),
+    "stream_socket_cdc" -> (streamSocketCdc _),
     "mm_bmp_stats" -> (mmBmpStats _),
     "mm_wav_stats" -> (mmWavStats _),
     "mm_png_stats" -> (mmPngStats _))
@@ -565,6 +593,7 @@ object QueriesR17 {
       """SELECT doc_id, source, CAST(length(text) AS BIGINT) AS n_chars,
         |  CASE WHEN doc_id % 7 = 0 THEN NULL ELSE source END AS source_alt
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "stream_socket_cdc" -> Queries.sqlCdc("cdc_merge"),
     "stream_socket_bus" ->
       """SELECT o_orderkey % 4 AS pt, o_orderstatus,
         |  COUNT(*) AS n,

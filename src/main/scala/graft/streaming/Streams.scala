@@ -160,6 +160,47 @@ object Streams {
     state
   }
 
+  /** [[cdcApplyFromBus]] with arrivals crossing the NETWORK transport:
+    * the staged bus is served by an in-process TCP broker
+    * ([[BusServer]]) and consumed through `SocketBusProvider` — the
+    * reference's CDC apply loop fed the way a real deployment is, over
+    * a wire. Same merge/state contract; the broker lives only for the
+    * replay.
+    */
+  def cdcApplyFromSocketBus(spark: SparkSession, initialTarget: DataFrame,
+                            delta: DataFrame, pk: Seq[String],
+                            orderCols: Seq[Column], busPartitions: Int,
+                            maxRowsPerTrigger: Long): DataFrame = {
+    val root = Files.createTempDirectory("graft_sockcdc").toString
+    val pt = pmod(hash(pk.map(col): _*), lit(busPartitions))
+    BusSource.stage(
+      delta.withColumn("__pt", pt)
+        .withColumn("__v", to_json(struct(delta.columns.map(col): _*))),
+      root, busPartitions, col("__pt"), col("__v"), orderCols: _*)
+    val server = BusServer.serve(root)
+    try {
+      var state = initialTarget.ckpt
+      withStateSession(spark, 8) { iso =>
+        val stream = iso.readStream
+          .format("graft.streaming.SocketBusProvider")
+          .option("host", "127.0.0.1")
+          .option("port", server.port.toString)
+          .option("maxRowsPerTrigger", maxRowsPerTrigger.toString)
+          .load()
+          .select(from_json(col("value"), delta.schema).as("__r"))
+          .select(col("__r.*"))
+        val q = stream.writeStream.outputMode("append")
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val deduped = Cdc.latestPerKey(batch, pk, orderCols)
+            state = Cdc.mergeSoftDelete(state, deduped, pk).ckpt
+            ()
+          }.start()
+        try { q.processAllAvailable() } finally { q.stop() }
+      }
+      state
+    } finally server.close()
+  }
+
   /** X4: streaming exact dedup — dropDuplicates on the canonical content
     * fingerprint with a watermark bounding the dedup state. The streaming
     * twin of Dedup.exactKeep: late duplicates beyond the watermark horizon

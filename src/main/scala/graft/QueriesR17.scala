@@ -490,6 +490,59 @@ object QueriesR17 {
       .orderBy(col("doc_id"))
   }
 
+  /** M14: true GIF raster decode — each row synthesizes a REAL GIF89a
+    * file (logical screen + 256-entry global color table + image
+    * descriptor + LZW data sub-blocks + trailer) whose palette indices
+    * are a deterministic function of doc_id, and
+    * [[graft.multimodal.GifRaster]] decodes it through the full LZW
+    * decompressor and palette map. SQL can't run LZW, so the fixture's
+    * stream is the degenerate-but-valid CLEAR-before-every-literal
+    * encoding — code width pinned at 9 bits, each byte spanning at most
+    * two codes, so the LSB-first bit packing is closed-form shift
+    * arithmetic; the oracle computes the statistics directly from the
+    * index formula. Real dictionary-growing LZW is exercised in the
+    * spec against the JDK's own GIF encoder.
+    */
+  def mmGifStats(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("doc_id"))
+      .withColumn("w", (col("doc_id") % 4 + 1).cast("int"))
+      .withColumn("h", (col("doc_id") % 3 + 1).cast("int"))
+      .withColumn("n", (col("w") * col("h")).cast("long"))
+      .withColumn("nc", col("n") * 2 + 1)
+      .withColumn("nbytes", expr("(9 * nc + 7) div 8"))
+    // code j of the stream: CLEAR(256) before every literal, EOI(257)
+    def codeAt(j: String) =
+      s"""(CASE WHEN ($j) = 2 * n THEN 257
+         |      WHEN ($j) % 2 = 0 THEN 256
+         |      ELSE (doc_id * 13 + ((($j) - 1) div 2) * 29) % 256 END)""".stripMargin
+    val dataHex = expr(
+      s"""array_join(transform(sequence(0L, nbytes - 1), i ->
+         |  lpad(hex((shiftright(${codeAt("(8 * i) div 9")}, cast(8 * i - 9 * ((8 * i) div 9) as int))
+         |    | shiftleft(CASE WHEN (8 * i) div 9 + 1 <= 2 * n
+         |        THEN ${codeAt("(8 * i) div 9 + 1")} ELSE 0 END,
+         |        cast(9 - (8 * i - 9 * ((8 * i) div 9)) as int))) & 255),
+         |  2, '0')), '')""".stripMargin)
+    val gctHex = expr(
+      """array_join(transform(sequence(0, 255), i ->
+        |  concat(lpad(hex((i * 5) % 256), 2, '0'),
+        |         lpad(hex((i * 11) % 256), 2, '0'),
+        |         lpad(hex((i * 17) % 256), 2, '0'))), '')""".stripMargin)
+    val gif = concat(
+      lit("474946383961"), le(col("w"), 2), le(col("h"), 2),
+      lit("F70000"), gctHex,
+      lit("2C"), lit("00000000"), le(col("w"), 2), le(col("h"), 2), lit("00"),
+      lit("08"), le(col("nbytes"), 1), dataHex, lit("00"),
+      lit("3B"))
+    d.withColumn("st",
+        graft.multimodal.GifRaster.gif_stats(unhex(gif)))
+      .select(Seq(col("doc_id")) ++
+        graft.multimodal.GifRaster.schema.fieldNames.map(f =>
+          col(s"st.$f").as(f)): _*)
+      .withColumn("width", col("width").cast("long"))
+      .withColumn("height", col("height").cast("long"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_unigram_vocab" -> (textUnigramVocab _),
     "text_unigram_tokenize" -> (textUnigramTokenize _),
@@ -502,6 +555,7 @@ object QueriesR17 {
     "stream_socket_bus" -> (streamSocketBus _),
     "mm_g711_stats" -> (mmG711Stats _),
     "stream_socket_cdc" -> (streamSocketCdc _),
+    "mm_gif_stats" -> (mmGifStats _),
     "mm_bmp_stats" -> (mmBmpStats _),
     "mm_wav_stats" -> (mmWavStats _),
     "mm_png_stats" -> (mmPngStats _))
@@ -792,5 +846,40 @@ object QueriesR17 {
         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_fullscale
         |FROM dims d JOIN lin l USING (doc_id)
         |GROUP BY d.doc_id, d.ch, d.rate, d.codec, d.nf
-        |ORDER BY d.doc_id""".stripMargin)
+        |ORDER BY d.doc_id""".stripMargin,
+    "mm_gif_stats" ->
+      """WITH dims AS (
+        |  SELECT doc_id, doc_id % 4 + 1 AS w, doc_id % 3 + 1 AS h
+        |  FROM documents
+        |), px AS (
+        |  SELECT doc_id, w, h,
+        |         (doc_id * 13 + p * 29) % 256 AS ix
+        |  FROM (SELECT doc_id, w, h,
+        |          unnest(generate_series(0, w * h - 1)) AS p FROM dims)
+        |), rgb AS (
+        |  SELECT doc_id, w, h,
+        |         (ix * 5) % 256 AS r, (ix * 11) % 256 AS g,
+        |         (ix * 17) % 256 AS b
+        |  FROM px
+        |), lum AS (
+        |  SELECT doc_id, w, h, r, g, b,
+        |    CASE WHEN (299*r + 587*g + 114*b) // 31875 > 7 THEN 7
+        |         ELSE (299*r + 587*g + 114*b) // 31875 END AS bk
+        |  FROM rgb
+        |)
+        |SELECT doc_id, CAST(MIN(w) AS BIGINT) AS width,
+        |  CAST(MIN(h) AS BIGINT) AS height,
+        |  CAST(MIN(w) * MIN(h) AS BIGINT) AS n_px,
+        |  CAST(SUM(r) AS BIGINT) AS sum_r,
+        |  CAST(SUM(g) AS BIGINT) AS sum_g,
+        |  CAST(SUM(b) AS BIGINT) AS sum_b,
+        |  CAST(SUM(CASE WHEN bk = 0 THEN 1 ELSE 0 END) AS BIGINT) AS h0,
+        |  CAST(SUM(CASE WHEN bk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS h1,
+        |  CAST(SUM(CASE WHEN bk = 2 THEN 1 ELSE 0 END) AS BIGINT) AS h2,
+        |  CAST(SUM(CASE WHEN bk = 3 THEN 1 ELSE 0 END) AS BIGINT) AS h3,
+        |  CAST(SUM(CASE WHEN bk = 4 THEN 1 ELSE 0 END) AS BIGINT) AS h4,
+        |  CAST(SUM(CASE WHEN bk = 5 THEN 1 ELSE 0 END) AS BIGINT) AS h5,
+        |  CAST(SUM(CASE WHEN bk = 6 THEN 1 ELSE 0 END) AS BIGINT) AS h6,
+        |  CAST(SUM(CASE WHEN bk = 7 THEN 1 ELSE 0 END) AS BIGINT) AS h7
+        |FROM lum GROUP BY doc_id ORDER BY doc_id""".stripMargin)
 }

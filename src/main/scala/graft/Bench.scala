@@ -49,7 +49,10 @@ object Bench {
     "text_bpe_tokenize", "dedup_repeated_spans", "q_union_evolve",
     // round-8 surface: scale-safe blocking ER composite, file-sink
     // streaming spatial pairs, trained unigram tokenization
-    "entity_resolution", "stream_spatial_join", "text_unigram_tokenize")
+    "entity_resolution", "stream_spatial_join", "text_unigram_tokenize",
+    // round-8 continuation: semantic dedup, word-graph ranking, and the
+    // compressed-raster decode path
+    "dedup_semantic", "text_textrank", "mm_png_stats")
 
   /** Graph-heavy tier (r8 split): the iterative/centrality graph gates
     * whose multi-second constants would otherwise mask sub-second drift

@@ -84,11 +84,106 @@ object QueriesR18 {
     graft.sources.ArrowIpc.read(s, root).orderBy(col("doc_id"))
   }
 
+  /** D23: DSIR-style data selection via importance resampling (Xie et
+    * al. 2023) — the standard recipe for carving a target-domain-like
+    * subset out of a huge raw corpus. Features are hashed n-grams
+    * exactly as in the paper: unigrams + bigrams folded into 256
+    * buckets by the house md5 hash; the target distribution here is
+    * the English slice (`lang = 'en'`), the raw distribution the whole
+    * corpus. Importance weight per bucket is the add-1-smoothed ratio
+    * in exact ppm — (tgt+1)·10⁶ div (raw+1), the integer-exact
+    * surrogate for the paper's log-likelihood ratio (monotone per
+    * bucket; the float log has no cross-engine bit contract) — and a
+    * document's score is the gram-count-weighted mean bucket weight.
+    * `kept` flags the global top-100 under the (score desc, doc_id)
+    * total order.
+    *
+    * Scale shape: gram→bucket is a 256-row aggregate, the weight table
+    * broadcasts, per-doc scoring is one explode + one aggregate, and
+    * top-100 is a bounded TakeOrdered — nothing is ever
+    * corpus-quadratic and no global sort materializes.
+    */
+  def qDsirSelect(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val toksA = filter(split(col("text"), " "), tk => tk =!= "")
+    val grams = docs
+      .select(col("doc_id"), col("lang"), toksA.as("a"))
+      .select(col("doc_id"), col("lang"),
+        explode(concat(col("a"),
+          zip_with(
+            slice(col("a"), lit(1), greatest(size(col("a")) - 1, lit(0))),
+            slice(col("a"), lit(2), greatest(size(col("a")) - 1, lit(0))),
+            (x, y) => concat(x, lit(" "), y)))).as("g"))
+      .select(col("doc_id"), col("lang"),
+        pmod(graft.functions.NativeExpressions.md5_prefix24(col("g")),
+          lit(256)).as("b"))
+    val buckets = grams.groupBy(col("b"))
+      .agg(count(lit(1)).as("raw_n"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("tgt_n"))
+      .select(col("b"),
+        expr("(tgt_n + 1) * 1000000 div (raw_n + 1)").as("w_ppm"))
+    val scored = grams
+      .join(broadcast(buckets), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"), sum(col("w_ppm")).as("w_sum"))
+      .select(col("doc_id"), col("n_grams"),
+        expr("w_sum div n_grams").as("score_ppm"))
+    val top = scored
+      .orderBy(col("score_ppm").desc, col("doc_id"))
+      .limit(100)
+      .select(col("doc_id"), lit(1L).as("kept"))
+    scored.join(top, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"), col("score_ppm"),
+        coalesce(col("kept"), lit(0L)).as("kept"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "zstd_jsonl_roundtrip" -> (zstdJsonlRoundtrip _),
-    "arrow_roundtrip" -> (arrowRoundtrip _))
+    "arrow_roundtrip" -> (arrowRoundtrip _),
+    "q_dsir_select" -> (qDsirSelect _))
+
+  // DuckDB-side md5-prefix-24 (mirrors Spark's conv(substr(md5,1,6),16,10)
+  // native expression) — the QueriesData idiom, restated locally.
+  private def hex6ToInt(sExpr: String): String =
+    (1 to 6).map { i =>
+      val p = math.pow(16, 6 - i).toLong
+      s"(strpos('0123456789abcdef', substr($sExpr, $i, 1)) - 1) * $p"
+    }.mkString("(", " + ", ")")
 
   val sql: Map[String, String] = Map(
+    "q_dsir_select" ->
+      s"""WITH dt AS (
+         |  SELECT doc_id, lang,
+         |         list_filter(str_split(text, ' '), t -> t <> '') AS a
+         |  FROM documents
+         |), gr AS (
+         |  SELECT doc_id, lang, unnest(a) AS g FROM dt
+         |  UNION ALL
+         |  SELECT doc_id, lang,
+         |         unnest(list_transform(range(1, len(a)),
+         |                i -> a[i] || ' ' || a[i + 1])) AS g
+         |  FROM dt
+         |), gb AS (
+         |  SELECT doc_id, lang, ${hex6ToInt("md5(g)")} % 256 AS b FROM gr
+         |), bw AS (
+         |  SELECT b,
+         |    CAST((SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) + 1)
+         |         * 1000000 // (COUNT(*) + 1) AS BIGINT) AS w_ppm
+         |  FROM gb GROUP BY b
+         |), sc AS (
+         |  SELECT doc_id, COUNT(*) AS n_grams,
+         |         CAST(SUM(w_ppm) // COUNT(*) AS BIGINT) AS score_ppm
+         |  FROM gb JOIN bw USING (b) GROUP BY doc_id
+         |), tp AS (
+         |  SELECT doc_id,
+         |         ROW_NUMBER() OVER (ORDER BY score_ppm DESC, doc_id) AS rn
+         |  FROM sc
+         |)
+         |SELECT s.doc_id, s.n_grams, s.score_ppm,
+         |  CAST(CASE WHEN t.rn <= 100 THEN 1 ELSE 0 END AS BIGINT) AS kept
+         |FROM sc s JOIN tp t USING (doc_id)
+         |ORDER BY s.doc_id""".stripMargin,
     "zstd_jsonl_roundtrip" ->
       """SELECT doc_id, source, substring(text, 1, 40) AS snippet,
         |  CASE WHEN doc_id % 7 = 0 THEN NULL ELSE source END AS source_alt

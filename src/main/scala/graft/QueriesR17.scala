@@ -39,6 +39,12 @@ object QueriesR17 {
     vocab.count(); dp.count()
   }
 
+  /** Trained unigram piece inventory off the shared staging — the T37
+    * WordPiece gates consume it as their piece inventory.
+    */
+  private[graft] def uniVocab(s: SparkSession, dir: String): DataFrame =
+    uniTrained(s, dir)._1
+
   /** Per-doc (doc_id, source, n_uni) off the shared trained state. */
   private def uniDocCounts(s: SparkSession, dir: String): DataFrame = {
     val (_, dp) = uniTrained(s, dir)

@@ -204,7 +204,43 @@ object QueriesR18 {
       .orderBy(col("doc_id"))
   }
 
+  /** M15: Netpbm binary raster decode — each row synthesizes a REAL
+    * PPM (P6, odd doc_id) or PGM (P5, even) file whose header carries a
+    * comment line (the token-scanner arm) and whose samples are a
+    * deterministic function of doc_id, and [[graft.multimodal.Netpbm]]
+    * decodes it back to the M10 pixel-statistics contract; the oracle
+    * regenerates the pixels arithmetically (the M-family
+    * construct→parse identity). The decoder itself is cross-validated
+    * against the JDK BMP path in the spec.
+    */
+  def mmPnmStats(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("doc_id"))
+      .withColumn("w", (col("doc_id") % 5 + 3).cast("int"))
+      .withColumn("h", (col("doc_id") % 4 + 2).cast("int"))
+      .withColumn("ch", when(col("doc_id") % 2 === 1, 3).otherwise(1))
+      .withColumn("nb", col("w") * col("h") * col("ch"))
+    val header = hex(concat(
+      when(col("ch") === 3, "P6").otherwise("P5"),
+      lit("\n# synthetic fixture\n"),
+      col("w").cast("string"), lit(" "), col("h").cast("string"),
+      lit("\n255\n")))
+    val samples = expr(
+      """array_join(transform(sequence(0, nb - 1), k ->
+        |  lpad(hex((doc_id * 11 + k * 17) % 256), 2, '0')), '')""".stripMargin)
+    d.withColumn("st",
+        graft.multimodal.Netpbm.pnm_stats(unhex(concat(header, samples))))
+      .select(Seq(col("doc_id")) ++
+        graft.multimodal.Netpbm.schema.fieldNames.map(f =>
+          col(s"st.$f").as(f)): _*)
+      .withColumn("channels", col("channels").cast("long"))
+      .withColumn("maxval", col("maxval").cast("long"))
+      .withColumn("width", col("width").cast("long"))
+      .withColumn("height", col("height").cast("long"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_pnm_stats" -> (mmPnmStats _),
     "zstd_jsonl_roundtrip" -> (zstdJsonlRoundtrip _),
     "arrow_roundtrip" -> (arrowRoundtrip _),
     "q_dsir_select" -> (qDsirSelect _),
@@ -220,6 +256,45 @@ object QueriesR18 {
     }.mkString("(", " + ", ")")
 
   val sql: Map[String, String] = Map(
+    "mm_pnm_stats" ->
+      """WITH dims AS (
+        |  SELECT doc_id, doc_id % 5 + 3 AS w, doc_id % 4 + 2 AS h,
+        |         CASE WHEN doc_id % 2 = 1 THEN 3 ELSE 1 END AS ch
+        |  FROM documents
+        |), px AS (
+        |  SELECT doc_id, p,
+        |    CASE WHEN ch = 3 THEN (doc_id*11 + (3*p)*17) % 256
+        |         ELSE (doc_id*11 + p*17) % 256 END AS r,
+        |    CASE WHEN ch = 3 THEN (doc_id*11 + (3*p + 1)*17) % 256
+        |         ELSE (doc_id*11 + p*17) % 256 END AS g,
+        |    CASE WHEN ch = 3 THEN (doc_id*11 + (3*p + 2)*17) % 256
+        |         ELSE (doc_id*11 + p*17) % 256 END AS b
+        |  FROM (SELECT doc_id, ch,
+        |          unnest(generate_series(0, w * h - 1)) AS p FROM dims)
+        |), lum AS (
+        |  SELECT doc_id, r, g, b,
+        |         CASE WHEN (299*r + 587*g + 114*b) // 31875 > 7 THEN 7
+        |              ELSE (299*r + 587*g + 114*b) // 31875 END AS bk
+        |  FROM px
+        |)
+        |SELECT d.doc_id, CAST(d.ch AS BIGINT) AS channels,
+        |  CAST(255 AS BIGINT) AS maxval,
+        |  CAST(d.w AS BIGINT) AS width, CAST(d.h AS BIGINT) AS height,
+        |  CAST(d.w * d.h AS BIGINT) AS n_px,
+        |  CAST(SUM(l.r) AS BIGINT) AS sum_r,
+        |  CAST(SUM(l.g) AS BIGINT) AS sum_g,
+        |  CAST(SUM(l.b) AS BIGINT) AS sum_b,
+        |  CAST(SUM(CASE WHEN bk = 0 THEN 1 ELSE 0 END) AS BIGINT) AS h0,
+        |  CAST(SUM(CASE WHEN bk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS h1,
+        |  CAST(SUM(CASE WHEN bk = 2 THEN 1 ELSE 0 END) AS BIGINT) AS h2,
+        |  CAST(SUM(CASE WHEN bk = 3 THEN 1 ELSE 0 END) AS BIGINT) AS h3,
+        |  CAST(SUM(CASE WHEN bk = 4 THEN 1 ELSE 0 END) AS BIGINT) AS h4,
+        |  CAST(SUM(CASE WHEN bk = 5 THEN 1 ELSE 0 END) AS BIGINT) AS h5,
+        |  CAST(SUM(CASE WHEN bk = 6 THEN 1 ELSE 0 END) AS BIGINT) AS h6,
+        |  CAST(SUM(CASE WHEN bk = 7 THEN 1 ELSE 0 END) AS BIGINT) AS h7
+        |FROM dims d JOIN lum l USING (doc_id)
+        |GROUP BY d.doc_id, d.ch, d.w, d.h
+        |ORDER BY d.doc_id""".stripMargin,
     "text_wordpiece_tokenize" ->
       s"""WITH ${graft.operators.Unigram.oracleCtes("documents", "text")},
          |${graft.operators.WordPiece.segOracleCtes},

@@ -239,7 +239,51 @@ object QueriesR18 {
       .orderBy(col("doc_id"))
   }
 
+  /** M16: TRUE baseline JPEG decode — each row synthesizes a REAL
+    * baseline JFIF stream (DQT/SOF0/two DHTs/SOS + Huffman-coded
+    * entropy data) whose blocks are DC-only with q₀ = 8, the one
+    * regime where every conforming IDCT is bit-exact, so the oracle
+    * is closed-form: block j is flat at 128 + dc_j with the
+    * differential DC chain alternating +m/−m (category-6 codes,
+    * byte-aligned 2-bytes-per-block by construction — the GIF-gate
+    * fixture discipline). [[graft.multimodal.JpegRaster]] runs the
+    * full marker walk, canonical Huffman decode, dequant, and IDCT;
+    * real-Huffman/AC/stuffing arms are validated against the JDK's
+    * own encoder and decoder in the spec.
+    */
+  def mmJpegStats(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("doc_id"))
+      .withColumn("bw", (col("doc_id") % 3 + 1).cast("int"))
+      .withColumn("bh", (col("doc_id") % 2 + 1).cast("int"))
+      .withColumn("nb", col("bw") * col("bh"))
+    val be16 = (c: org.apache.spark.sql.Column) => lpad(hex(c), 4, "0")
+    val header = concat(
+      lit("FFD8"),
+      lit("FFDB0043" + "00" + "08" + "10" * 63),
+      lit("FFC0000B08"), be16(col("bh") * 8), be16(col("bw") * 8),
+      lit("01011100"),
+      lit("FFC40014" + "00" + "0001" + "00" * 14 + "06"),
+      lit("FFC40014" + "10" + "00" * 7 + "01" + "00" * 8 + "00"),
+      lit("FFDA00080101000" + "03F00"))
+    val data = expr(
+      """array_join(transform(sequence(0, nb - 1), j ->
+        |  concat(lpad(hex(CASE WHEN j % 2 = 0
+        |                       THEN 32 + (doc_id + j div 2) % 16
+        |                       ELSE 63 - (32 + (doc_id + (j - 1) div 2) % 16)
+        |                  END), 2, '0'), '00')), '')""".stripMargin)
+    d.withColumn("st", graft.multimodal.JpegRaster.jpeg_stats(
+        unhex(concat(header, data, lit("FFD9")))))
+      .select(Seq(col("doc_id")) ++
+        graft.multimodal.JpegRaster.schema.fieldNames.map(f =>
+          col(s"st.$f").as(f)): _*)
+      .withColumn("channels", col("channels").cast("long"))
+      .withColumn("width", col("width").cast("long"))
+      .withColumn("height", col("height").cast("long"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_jpeg_stats" -> (mmJpegStats _),
     "mm_pnm_stats" -> (mmPnmStats _),
     "zstd_jsonl_roundtrip" -> (zstdJsonlRoundtrip _),
     "arrow_roundtrip" -> (arrowRoundtrip _),
@@ -256,6 +300,40 @@ object QueriesR18 {
     }.mkString("(", " + ", ")")
 
   val sql: Map[String, String] = Map(
+    "mm_jpeg_stats" ->
+      """WITH dims AS (
+        |  SELECT doc_id, doc_id % 3 + 1 AS bw, doc_id % 2 + 1 AS bh
+        |  FROM documents
+        |), blocks AS (
+        |  SELECT doc_id,
+        |    128 + CASE WHEN j % 2 = 0
+        |               THEN 32 + (doc_id + j // 2) % 16 ELSE 0 END AS v
+        |  FROM (SELECT doc_id,
+        |          unnest(generate_series(0, bw * bh - 1)) AS j FROM dims)
+        |), bl AS (
+        |  SELECT doc_id, v,
+        |         CASE WHEN (1000 * v) // 31875 > 7 THEN 7
+        |              ELSE (1000 * v) // 31875 END AS bk
+        |  FROM blocks
+        |)
+        |SELECT d.doc_id, CAST(1 AS BIGINT) AS channels,
+        |  CAST(8 * d.bw AS BIGINT) AS width,
+        |  CAST(8 * d.bh AS BIGINT) AS height,
+        |  CAST(64 * d.bw * d.bh AS BIGINT) AS n_px,
+        |  CAST(64 * SUM(v) AS BIGINT) AS sum_r,
+        |  CAST(64 * SUM(v) AS BIGINT) AS sum_g,
+        |  CAST(64 * SUM(v) AS BIGINT) AS sum_b,
+        |  CAST(64 * SUM(CASE WHEN bk = 0 THEN 1 ELSE 0 END) AS BIGINT) AS h0,
+        |  CAST(64 * SUM(CASE WHEN bk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS h1,
+        |  CAST(64 * SUM(CASE WHEN bk = 2 THEN 1 ELSE 0 END) AS BIGINT) AS h2,
+        |  CAST(64 * SUM(CASE WHEN bk = 3 THEN 1 ELSE 0 END) AS BIGINT) AS h3,
+        |  CAST(64 * SUM(CASE WHEN bk = 4 THEN 1 ELSE 0 END) AS BIGINT) AS h4,
+        |  CAST(64 * SUM(CASE WHEN bk = 5 THEN 1 ELSE 0 END) AS BIGINT) AS h5,
+        |  CAST(64 * SUM(CASE WHEN bk = 6 THEN 1 ELSE 0 END) AS BIGINT) AS h6,
+        |  CAST(64 * SUM(CASE WHEN bk = 7 THEN 1 ELSE 0 END) AS BIGINT) AS h7
+        |FROM dims d JOIN bl USING (doc_id)
+        |GROUP BY d.doc_id, d.bw, d.bh
+        |ORDER BY d.doc_id""".stripMargin,
     "mm_pnm_stats" ->
       """WITH dims AS (
         |  SELECT doc_id, doc_id % 5 + 3 AS w, doc_id % 4 + 2 AS h,

@@ -1,0 +1,376 @@
+package graft.multimodal
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** M16: TRUE baseline JPEG decode — the dominant photographic format,
+  * decoded end to end with no codec library: marker walk (DQT/DHT/
+  * SOF0/DRI/SOS), canonical Huffman entropy decode with byte
+  * de-stuffing and restart markers, differential-DC + run-length-AC
+  * coefficient recovery in zigzag order, dequantization, the full 2-D
+  * inverse DCT, level shift, and (for color) JFIF YCbCr→RGB — all
+  * inside one whole-stage-codegen expression emitting the M10
+  * pixel-statistics contract.
+  *
+  * Determinism: the IDCT uses StrictMath cosines and double
+  * arithmetic, so results are bit-identical on every JVM. (The JPEG
+  * standard itself only bounds decoder IDCT error — cross-DECODER
+  * agreement is inherently approximate, which is why the spec checks
+  * the JDK's own decoder within ±1/pixel while the gate fixture is
+  * DC-only with q₀ = 8, where every conforming IDCT is exact and the
+  * oracle is closed-form.)
+  *
+  * Subset honored (reject-by-null, never misread): baseline
+  * sequential SOF0, 8-bit precision, 1 or 3 components with 1×1
+  * sampling factors (4:4:4 or grayscale — chroma-subsampled 4:2:0
+  * rejected loudly rather than resampled approximately), 8-bit
+  * quantization tables, interleaved single scan. Restart intervals
+  * handled; progressive/arithmetic/hierarchical rejected.
+  */
+object JpegRaster {
+
+  val schema: StructType = StructType(
+    Seq(StructField("channels", IntegerType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("n_px", LongType, nullable = false),
+      StructField("sum_r", LongType, nullable = false),
+      StructField("sum_g", LongType, nullable = false),
+      StructField("sum_b", LongType, nullable = false)) ++
+      (0 until 8).map(i => StructField(s"h$i", LongType, nullable = false)))
+
+  /** Column form: the per-image statistics struct, null for payloads
+    * outside the stated subset.
+    */
+  def jpeg_stats(payload: Column): Column =
+    ColumnBridge.column(JpegStatsExpr(ColumnBridge.expression(payload)))
+
+  /** Zigzag scan order: zz(k) = raster index of the k-th coefficient. */
+  private val Zigzag: Array[Int] = {
+    val z = new Array[Int](64)
+    var k = 0
+    for (s <- 0 until 15) {
+      val xs = math.max(0, s - 7) to math.min(7, s)
+      val diag = if (s % 2 == 0) xs.reverse else xs
+      for (x <- diag) { z(k) = (s - x) * 8 + x; k += 1 }
+    }
+    z
+  }
+
+  // IDCT basis: c(u) * cos((2x+1) u pi / 16), StrictMath for JVM-stable bits
+  private val Cos: Array[Array[Double]] = Array.tabulate(8, 8) { (u, x) =>
+    val cu = if (u == 0) 1.0 / math.sqrt(2.0) else 1.0
+    cu * StrictMath.cos((2 * x + 1) * u * StrictMath.PI / 16.0)
+  }
+
+  private final class SubsetReject extends RuntimeException
+
+  private final class Huff(bits: Array[Int], vals: Array[Byte]) {
+    // canonical table: mincode/maxcode/valptr per length (JPEG F.2.2.3)
+    val minCode = new Array[Int](17)
+    val maxCode = new Array[Int](17)
+    val valPtr = new Array[Int](17)
+    locally {
+      var code = 0; var k = 0
+      for (l <- 1 to 16) {
+        valPtr(l) = k
+        minCode(l) = code
+        code += bits(l - 1); k += bits(l - 1)
+        maxCode(l) = if (bits(l - 1) == 0) -1 else code - 1
+        code <<= 1
+      }
+    }
+    def value(l: Int, code: Int): Int =
+      vals(valPtr(l) + code - minCode(l)) & 0xff
+  }
+
+  private final class BitReader(b: Array[Byte], var pos: Int) {
+    private var acc = 0
+    private var nBits = 0
+    def byteAlign(): Unit = { acc = 0; nBits = 0 }
+    /** Next marker byte pair at the current byte position (after align). */
+    def peekMarker(): Int =
+      if (pos + 1 < b.length && (b(pos) & 0xff) == 0xff &&
+        (b(pos + 1) & 0xff) != 0) ((0xff << 8) | (b(pos + 1) & 0xff))
+      else -1
+    def skipMarker(): Unit = { pos += 2 }
+    def bit(): Int = {
+      if (nBits == 0) {
+        if (pos >= b.length) throw new SubsetReject
+        var v = b(pos) & 0xff; pos += 1
+        if (v == 0xff) {
+          if (pos >= b.length) throw new SubsetReject
+          val n = b(pos) & 0xff
+          if (n == 0) pos += 1 // stuffed byte
+          else throw new SubsetReject // marker inside entropy data
+        }
+        acc = v; nBits = 8
+      }
+      nBits -= 1
+      (acc >> nBits) & 1
+    }
+    def bits(n: Int): Int = {
+      var v = 0; var i = 0
+      while (i < n) { v = (v << 1) | bit(); i += 1 }
+      v
+    }
+    def decode(h: Huff): Int = {
+      var code = bit(); var l = 1
+      while (l <= 16) {
+        if (h.maxCode(l) >= 0 && code <= h.maxCode(l)) return h.value(l, code)
+        code = (code << 1) | bit(); l += 1
+      }
+      throw new SubsetReject
+    }
+  }
+
+  private def extend(v: Int, t: Int): Int =
+    if (t == 0) 0 else if (v < (1 << (t - 1))) v - (1 << t) + 1 else v
+
+  private def u16(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+
+  private def clamp(v: Int): Int = if (v < 0) 0 else if (v > 255) 255 else v
+
+  /** Decode + accumulate in one pass; null outside the subset. */
+  def parse(b: Array[Byte]): InternalRow =
+    try decodeOrReject(b)
+    catch {
+      case _: SubsetReject => null
+      case _: ArrayIndexOutOfBoundsException => null
+    }
+
+  private def decodeOrReject(b: Array[Byte]): InternalRow = {
+    if (b == null || b.length < 4 ||
+      (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return null
+    val qt = new Array[Array[Int]](4)
+    val dcT = new Array[Huff](4)
+    val acT = new Array[Huff](4)
+    var w = 0; var h = 0; var nc = 0
+    val compQ = new Array[Int](3)
+    val compDc = new Array[Int](3)
+    val compAc = new Array[Int](3)
+    var restartInterval = 0
+    var i = 2
+    var sosAt = -1
+    while (sosAt < 0) {
+      if (i + 4 > b.length) return null
+      if ((b(i) & 0xff) != 0xff) return null
+      val m = b(i + 1) & 0xff
+      if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7)) { i += 2 }
+      else if (m == 0xd9) return null // EOI before SOS
+      else {
+        val len = u16(b, i + 2)
+        if (len < 2 || i + 2 + len > b.length) return null
+        val seg = i + 4
+        m match {
+          case 0xdb => // DQT
+            var p = seg
+            while (p < i + 2 + len) {
+              val pq = (b(p) & 0xff) >> 4
+              val tq = b(p) & 0x0f
+              if (pq != 0 || tq > 3) return null // 16-bit tables: reject
+              val t = new Array[Int](64)
+              var k = 0
+              while (k < 64) { t(Zigzag(k)) = b(p + 1 + k) & 0xff; k += 1 }
+              qt(tq) = t
+              p += 65
+            }
+          case 0xc4 => // DHT
+            var p = seg
+            while (p < i + 2 + len) {
+              val tc = (b(p) & 0xff) >> 4
+              val th = b(p) & 0x0f
+              if (tc > 1 || th > 3) return null
+              val bits = new Array[Int](16)
+              var n = 0
+              var k = 0
+              while (k < 16) { bits(k) = b(p + 1 + k) & 0xff; n += bits(k); k += 1 }
+              if (n > 256 || p + 17 + n > i + 2 + len) return null
+              val vals = new Array[Byte](n)
+              System.arraycopy(b, p + 17, vals, 0, n)
+              val t = new Huff(bits, vals)
+              if (tc == 0) dcT(th) = t else acT(th) = t
+              p += 17 + n
+            }
+          case 0xc0 => // SOF0 baseline
+            if ((b(seg) & 0xff) != 8) return null
+            h = u16(b, seg + 1); w = u16(b, seg + 3)
+            nc = b(seg + 5) & 0xff
+            if (w <= 0 || h <= 0 || (nc != 1 && nc != 3)) return null
+            var c = 0
+            while (c < nc) {
+              val hv = b(seg + 7 + 3 * c) & 0xff
+              if (hv != 0x11) return null // 4:4:4 / gray only
+              compQ(c) = b(seg + 8 + 3 * c) & 0x0f
+              c += 1
+            }
+          case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 |
+               0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
+            return null // extended/progressive/arithmetic/hierarchical
+          case 0xdd => // DRI
+            restartInterval = u16(b, seg)
+          case 0xda => // SOS
+            val ns = b(seg) & 0xff
+            if (ns != nc || nc == 0) return null
+            var c = 0
+            while (c < ns) {
+              val tda = b(seg + 2 + 2 * c) & 0xff
+              compDc(c) = tda >> 4; compAc(c) = tda & 0x0f
+              c += 1
+            }
+            sosAt = i + 2 + len
+          case _ => // APPn / COM / others: skip
+        }
+        i += 2 + len
+      }
+    }
+    var c = 0
+    while (c < nc) {
+      if (qt(compQ(c)) == null || dcT(compDc(c)) == null ||
+        acT(compAc(c)) == null) return null
+      c += 1
+    }
+
+    val bw = (w + 7) / 8
+    val bh = (h + 7) / 8
+    val r = new BitReader(b, sosAt)
+    val pred = new Array[Int](3)
+    val coef = new Array[Int](64)
+    val block = Array.ofDim[Int](3, 64)
+    var sumR = 0L; var sumG = 0L; var sumB = 0L
+    val hist = new Array[Long](8)
+    var mcu = 0
+    val nMcu = bw * bh
+    while (mcu < nMcu) {
+      if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+        r.byteAlign()
+        val mk = r.peekMarker()
+        if (mk < 0xffd0 || mk > 0xffd7) throw new SubsetReject
+        r.skipMarker()
+        java.util.Arrays.fill(pred, 0)
+      }
+      var c = 0
+      while (c < nc) {
+        java.util.Arrays.fill(coef, 0)
+        val t = r.decode(dcT(compDc(c)))
+        if (t > 11) throw new SubsetReject
+        val diff = extend(r.bits(t), t)
+        pred(c) += diff
+        coef(0) = pred(c) * qt(compQ(c))(0)
+        var k = 1
+        var eob = false
+        while (k < 64 && !eob) {
+          val rs = r.decode(acT(compAc(c)))
+          val run = rs >> 4; val size = rs & 0x0f
+          if (size == 0) {
+            if (run == 15) k += 16 else eob = true
+          } else {
+            k += run
+            if (k > 63) throw new SubsetReject
+            coef(Zigzag(k)) = extend(r.bits(size), size) * qt(compQ(c))(Zigzag(k))
+            k += 1
+          }
+        }
+        // 2-D IDCT (separable, StrictMath-stable doubles)
+        val tmp = new Array[Double](64)
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            var s = 0.0
+            var u = 0
+            while (u < 8) {
+              var v = 0
+              while (v < 8) {
+                val f = coef(v * 8 + u)
+                if (f != 0) s += Cos(u)(x) * Cos(v)(y) * f
+                v += 1
+              }
+              u += 1
+            }
+            tmp(y * 8 + x) = s / 4.0
+            x += 1
+          }
+          y += 1
+        }
+        var p = 0
+        while (p < 64) {
+          block(c)(p) = clamp(Math.round(tmp(p)).toInt + 128)
+          p += 1
+        }
+        c += 1
+      }
+      // accumulate pixels of this MCU inside the image bounds
+      val bx = mcu % bw; val by = mcu / bw
+      var yy = 0
+      while (yy < 8) {
+        val py = by * 8 + yy
+        if (py < h) {
+          var xx = 0
+          while (xx < 8) {
+            val px = bx * 8 + xx
+            if (px < w) {
+              val p = yy * 8 + xx
+              var pr = 0; var pg = 0; var pb = 0
+              if (nc == 1) { pr = block(0)(p); pg = pr; pb = pr }
+              else {
+                val yv = block(0)(p)
+                val cb = block(1)(p) - 128
+                val cr = block(2)(p) - 128
+                pr = clamp(Math.round(yv + 1.402 * cr).toInt)
+                pg = clamp(Math.round(yv - 0.344136 * cb - 0.714136 * cr).toInt)
+                pb = clamp(Math.round(yv + 1.772 * cb).toInt)
+              }
+              sumR += pr; sumG += pg; sumB += pb
+              val luma = 299 * pr + 587 * pg + 114 * pb
+              var bucket = luma / 31875
+              if (bucket > 7) bucket = 7
+              hist(bucket) += 1L
+            }
+            xx += 1
+          }
+        }
+        yy += 1
+      }
+      mcu += 1
+    }
+    new GenericInternalRow(Array[Any](nc, w, h, w.toLong * h,
+      sumR, sumG, sumB) ++ hist.map(v => v: Any))
+  }
+}
+
+/** Expression wrapper: the [[JpegRaster.schema]] struct from a binary
+  * column; null outside the stated subset. Eval and codegen share
+  * [[JpegRaster.parse]].
+  */
+case class JpegStatsExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = JpegRaster.schema
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes() = {
+    require(child.dataType == BinaryType,
+      s"jpeg_stats needs binary, got ${child.dataType}")
+    super.checkInputDataTypes()
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    JpegRaster.parse(v.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = (org.apache.spark.sql.catalyst.InternalRow)
+         |  graft.multimodal.JpegRaster.parse($c);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

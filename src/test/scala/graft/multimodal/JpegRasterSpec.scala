@@ -1,0 +1,214 @@
+package graft.multimodal
+
+import java.awt.image.BufferedImage
+import java.io.ByteArrayOutputStream
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** M16: the baseline JPEG decoder — real-Huffman validation against
+  * files the JDK's OWN encoder writes (and its own decoder reads: each
+  * conforming IDCT deviates up to ±1/pixel from the reference DCT, so
+  * two decoders compare within ±2/pixel on sums), DC-only exactness,
+  * the 4:4:4 color arm, restart markers, codegen equivalence, and the
+  * loud subset boundaries.
+  */
+class JpegRasterSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def jdkJpeg(img: BufferedImage, quality: Float = 0.9f): Array[Byte] = {
+    val w = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val p = w.getDefaultWriteParam
+    p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionQuality(quality)
+    val bos = new ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    w.setOutput(ios)
+    w.write(null, new javax.imageio.IIOImage(img, null, null), p)
+    ios.close(); w.dispose()
+    bos.toByteArray
+  }
+
+  private def gray(w: Int, h: Int, px: (Int, Int) => Int): BufferedImage = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = px(x, y) & 0xff
+      img.getRaster.setSample(x, y, 0, v)
+    }
+    img
+  }
+
+  test("JDK-encoded grayscale gradient: dims exact, sums within IDCT tolerance") {
+    val w = 24; val h = 16
+    val img = gray(w, h, (x, y) => (x * 10 + y * 6) % 256)
+    val bytes = jdkJpeg(img)
+    val row = JpegRaster.parse(bytes)
+    assert(row != null, "JDK grayscale JPEG must be inside the subset")
+    assert(row.getInt(0) == 1 && row.getInt(1) == w && row.getInt(2) == h)
+    assert(row.getLong(3) == w.toLong * h)
+    // reference sums from the JDK's own DECODER on the same bytes
+    val ref = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes))
+    var sum = 0L
+    for (y <- 0 until h; x <- 0 until w)
+      sum += ref.getRaster.getSample(x, y, 0)
+    // two conforming decoders each deviate up to +/-1/px from the
+    // reference DCT (ISO 10918-2), so they may differ by +/-2/px
+    assert(math.abs(row.getLong(4) - sum) <= 2L * w * h,
+      s"sum_r ${row.getLong(4)} vs JDK $sum beyond +/-2/pixel")
+    assert(row.getLong(5) == row.getLong(4) && row.getLong(6) == row.getLong(4))
+  }
+
+  test("non-multiple-of-8 dimensions decode with edge blocks cropped") {
+    val w = 13; val h = 6
+    val bytes = jdkJpeg(gray(w, h, (x, y) => 40 + x * 8 + y * 12))
+    val row = JpegRaster.parse(bytes)
+    assert(row != null && row.getInt(1) == w && row.getInt(2) == h)
+    assert(row.getLong(3) == w.toLong * h)
+    val ref = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes))
+    var sum = 0L
+    for (y <- 0 until h; x <- 0 until w)
+      sum += ref.getRaster.getSample(x, y, 0)
+    assert(math.abs(row.getLong(4) - sum) <= 2L * w * h)
+  }
+
+  test("low quality exercises dense AC runs and byte stuffing") {
+    val w = 64; val h = 48
+    val img = gray(w, h, (x, y) => ((x * y * 37) ^ (x * 91 + y * 53)) % 256)
+    val bytes = jdkJpeg(img, quality = 0.35f)
+    // entropy data of a noisy image at this size essentially always
+    // carries 0xFF00 stuffing; verify the fixture really exercises it
+    val hasStuffing = bytes.sliding(2).exists(p =>
+      (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0x00)
+    assert(hasStuffing, "fixture lost its stuffed bytes — resize it")
+    val row = JpegRaster.parse(bytes)
+    assert(row != null && row.getLong(3) == w.toLong * h)
+    val ref = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes))
+    var sum = 0L
+    for (y <- 0 until h; x <- 0 until w)
+      sum += ref.getRaster.getSample(x, y, 0)
+    assert(math.abs(row.getLong(4) - sum) <= 2L * w * h)
+  }
+
+  // --- hand-built DC-only streams (the gate fixture shape) ---
+
+  private def dcOnly(bw: Int, bh: Int, diffs: Seq[Int]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    def hexw(s: String): Unit =
+      bos.write(s.grouped(2).map(Integer.parseInt(_, 16)).toArray.map(_.toByte))
+    hexw("FFD8")
+    hexw("FFDB004300" + "08" + "10" * 63)
+    hexw("FFC0000B08")
+    hexw(f"${bh * 8}%04X" + f"${bw * 8}%04X")
+    hexw("01011100")
+    hexw("FFC40014" + "00" + "0001" + "00" * 14 + "06")
+    hexw("FFC40014" + "10" + "00" * 7 + "01" + "00" * 8 + "00")
+    hexw("FFDA00080101" + "0000" + "3F00")
+    diffs.foreach { d =>
+      val v = if (d >= 0) d else d + 63
+      bos.write(v); bos.write(0)
+    }
+    hexw("FFD9")
+    bos.toByteArray
+  }
+
+  test("DC-only stream decodes to the exact closed-form blocks") {
+    // dc chain: +40, -40, +35 -> blocks flat at 168, 128, 163
+    val bytes = dcOnly(3, 1, Seq(40, -40, 35))
+    val row = JpegRaster.parse(bytes)
+    assert(row != null)
+    assert(row.getInt(1) == 24 && row.getInt(2) == 8)
+    assert(row.getLong(4) == 64L * (168 + 128 + 163))
+    // luma 1000*v: buckets 168->5, 128->4, 163->5
+    assert(row.getLong(7 + 4) == 64L && row.getLong(7 + 5) == 128L)
+  }
+
+  test("restart markers reset the DC predictor and byte-align") {
+    // DRI=2: blocks 0,1 then RST0 then blocks 2,3. After reset the
+    // predictor is 0, so diff 3 = +45 is ABSOLUTE again.
+    val withRst = {
+      val bos = new ByteArrayOutputStream()
+      def hexw(s: String): Unit =
+        bos.write(s.grouped(2).map(Integer.parseInt(_, 16)).toArray.map(_.toByte))
+      hexw("FFD8")
+      hexw("FFDB004300" + "08" + "10" * 63)
+      hexw("FFC0000B08" + "0008" + "0020" + "01011100") // 4x1 blocks
+      hexw("FFC40014" + "00" + "0001" + "00" * 14 + "06")
+      hexw("FFC40014" + "10" + "00" * 7 + "01" + "00" * 8 + "00")
+      hexw("FFDD0004" + "0002")
+      hexw("FFDA00080101" + "0000" + "3F00")
+      Seq(40, -40).foreach { d => bos.write(if (d >= 0) d else d + 63); bos.write(0) }
+      hexw("FFD0")
+      Seq(45, -45).foreach { d => bos.write(if (d >= 0) d else d + 63); bos.write(0) }
+      hexw("FFD9")
+      bos.toByteArray
+    }
+    val row = JpegRaster.parse(withRst)
+    assert(row != null)
+    assert(row.getLong(4) == 64L * (168 + 128 + 173 + 128))
+  }
+
+  test("hand-built 4:4:4 color stream exercises the YCbCr->RGB arm exactly") {
+    val bos = new ByteArrayOutputStream()
+    def hexw(s: String): Unit =
+      bos.write(s.grouped(2).map(Integer.parseInt(_, 16)).toArray.map(_.toByte))
+    hexw("FFD8")
+    hexw("FFDB004300" + "08" + "10" * 63)
+    // SOF0: 8x8, 3 components, all 1x1 sampling, all quant table 0
+    hexw("FFC00011" + "08" + "0008" + "0008" + "03" +
+      "011100" + "021100" + "031100")
+    hexw("FFC40014" + "00" + "0001" + "00" * 14 + "06")
+    hexw("FFC40014" + "10" + "00" * 7 + "01" + "00" * 8 + "00")
+    hexw("FFDA000C" + "03" + "0100" + "0200" + "0300" + "00" + "3F" + "00")
+    // one MCU: Y diff +40 -> 168; Cb +40 -> 168; Cr -40 -> 88
+    Seq(40, 40, -40).foreach { d =>
+      bos.write(if (d >= 0) d else d + 63); bos.write(0)
+    }
+    hexw("FFD9")
+    val row = JpegRaster.parse(bos.toByteArray)
+    assert(row != null && row.getInt(0) == 3)
+    // R = round(168 + 1.402*(-40)) = 112, G = round(168 - 0.344136*40
+    // + 0.714136*40) = 183, B = round(168 + 1.772*40) = 239
+    assert(row.getLong(4) == 64L * 112)
+    assert(row.getLong(5) == 64L * 183)
+    assert(row.getLong(6) == 64L * 239)
+  }
+
+  test("interpreted eval and codegen agree on the expression path") {
+    val bytes = dcOnly(1, 1, Seq(40))
+    val df = Seq(Tuple1(bytes)).toDF("payload")
+      .select(JpegRaster.jpeg_stats(col("payload")).as("st"))
+      .select("st.channels", "st.width", "st.n_px", "st.sum_r")
+    val r = df.head()
+    assert((r.getInt(0), r.getInt(1), r.getLong(2)) == ((1, 8, 64L)))
+    assert(r.getLong(3) == 64L * 168)
+  }
+
+  test("subset boundaries return null, never misread") {
+    val good = dcOnly(2, 1, Seq(40, -40))
+    // progressive flagged (SOF2)
+    val prog = good.clone()
+    val sofAt = good.indexOfSlice(Seq(0xff.toByte, 0xc0.toByte))
+    prog(sofAt + 1) = 0xc2.toByte
+    assert(JpegRaster.parse(prog) == null)
+    // 4:2:0 sampling flagged
+    val sub = good.clone(); sub(sofAt + 12) = 0x22.toByte
+    assert(JpegRaster.parse(sub) == null)
+    // 16-bit quant table flagged
+    val dqtAt = good.indexOfSlice(Seq(0xff.toByte, 0xdb.toByte))
+    val q16 = good.clone(); q16(dqtAt + 4) = 0x10.toByte
+    assert(JpegRaster.parse(q16) == null)
+    // truncated entropy data
+    assert(JpegRaster.parse(good.dropRight(4)) == null)
+    // JDK color JPEG is 4:2:0 -> stated subset boundary, loud null
+    val cimg = new BufferedImage(16, 16, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 16; x <- 0 until 16) cimg.setRGB(x, y, x * 16 + y)
+    assert(JpegRaster.parse(jdkJpeg(cimg)) == null)
+    assert(JpegRaster.parse(null) == null)
+    assert(JpegRaster.parse(Array[Byte](1, 2, 3)) == null)
+  }
+}

@@ -103,25 +103,40 @@ object QueriesR18 {
     * top-100 is a bounded TakeOrdered — nothing is ever
     * corpus-quadratic and no global sort materializes.
     */
-  def qDsirSelect(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
+  /** Hashed-n-gram feature explode shared by the D23 batch gate and
+    * its X49 streaming twin: unigrams + bigrams of `text`, folded to
+    * 256 buckets by the house md5-prefix hash; `keep` columns ride
+    * along.
+    */
+  private def dsirBuckets(df: DataFrame, keep: Seq[String]): DataFrame = {
     val toksA = filter(split(col("text"), " "), tk => tk =!= "")
-    val grams = docs
-      .select(col("doc_id"), col("lang"), toksA.as("a"))
-      .select(col("doc_id"), col("lang"),
+    df.select(keep.map(col) :+ toksA.as("a"): _*)
+      .select(keep.map(col) :+
         explode(concat(col("a"),
           zip_with(
             slice(col("a"), lit(1), greatest(size(col("a")) - 1, lit(0))),
             slice(col("a"), lit(2), greatest(size(col("a")) - 1, lit(0))),
-            (x, y) => concat(x, lit(" "), y)))).as("g"))
-      .select(col("doc_id"), col("lang"),
+            (x, y) => concat(x, lit(" "), y)))).as("g"): _*)
+      .select(keep.map(col) :+
         pmod(graft.functions.NativeExpressions.md5_prefix24(col("g")),
-          lit(256)).as("b"))
-    val buckets = grams.groupBy(col("b"))
+          lit(256)).as("b"): _*)
+  }
+
+  /** The 256-row add-1-smoothed target/raw weight table over the whole
+    * corpus (English slice = target) — broadcast by every consumer.
+    */
+  private def dsirWeights(s: SparkSession, dir: String): DataFrame =
+    dsirBuckets(t(s, dir, "documents"), Seq("lang"))
+      .groupBy(col("b"))
       .agg(count(lit(1)).as("raw_n"),
         sum(when(col("lang") === "en", 1L).otherwise(0L)).as("tgt_n"))
       .select(col("b"),
         expr("(tgt_n + 1) * 1000000 div (raw_n + 1)").as("w_ppm"))
+
+  def qDsirSelect(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val grams = dsirBuckets(docs, Seq("doc_id", "lang"))
+    val buckets = dsirWeights(s, dir)
     val scored = grams
       .join(broadcast(buckets), Seq("b"))
       .groupBy(col("doc_id"))
@@ -282,7 +297,70 @@ object QueriesR18 {
       .orderBy(col("doc_id"))
   }
 
+  /** X49: streaming DSIR importance-mass monitor — D23 live: documents
+    * ride the bus as JSON, each micro-batch's hashed n-grams join the
+    * broadcast 256-row weight table (stream-static enrichment, the X45
+    * posture), and per-source (n_grams, w_sum) totals accumulate from
+    * order-independent sums — the feed-health view of "how much
+    * target-like mass is arriving per source".
+    */
+  def streamDsirMass(s: SparkSession, dir: String): DataFrame = {
+    val weights = broadcast(dsirWeights(s, dir))
+    val d = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("text"))
+    val root = java.nio.file.Files.createTempDirectory("graft_busdsir").toString
+    graft.streaming.BusSource.stage(
+      d.select(pmod(hash(col("doc_id")), lit(4)).as("pt"),
+        to_json(struct(col("source"), col("text"))).as("v"), col("doc_id")),
+      root, busPartitions = 4, pt = col("pt"), value = col("v"),
+      col("doc_id"))
+    val trigger = math.max(100L, d.count() / 8)
+    graft.streaming.Streams.busReplay(s, root, maxRowsPerTrigger = trigger,
+        s"gate_busdsir_${System.nanoTime()}") { stream =>
+      val parsed = stream.select(from_json(col("value"),
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "source STRING, text STRING")).as("e"))
+        .select(col("e.source").as("source"), col("e.text").as("text"))
+      dsirBuckets(parsed, Seq("source"))
+        .join(weights, Seq("b"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_grams"), sum(col("w_ppm")).as("w_sum"))
+    }.orderBy(col("source"))
+  }
+
+  /** X50: streaming WordPiece token monitor — X46's twin for the third
+    * tokenizer family: the broadcast vocabulary-sized per-word piece
+    * counts from the greedy segmentation join each micro-batch, per
+    * source (whitespace, WordPiece) totals ≡ the batch report.
+    */
+  def streamWordpieceTokens(s: SparkSession, dir: String): DataFrame = {
+    val wpn = broadcast(wpSeg(s, dir).groupBy(col("w"))
+      .agg(count(lit(1)).as("n_p")))
+    val d = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("text"))
+    val root = java.nio.file.Files.createTempDirectory("graft_buswp").toString
+    graft.streaming.BusSource.stage(
+      d.select(pmod(hash(col("doc_id")), lit(4)).as("pt"),
+        to_json(struct(col("source"), col("text"))).as("v"), col("doc_id")),
+      root, busPartitions = 4, pt = col("pt"), value = col("v"),
+      col("doc_id"))
+    val trigger = math.max(100L, d.count() / 8)
+    graft.streaming.Streams.busReplay(s, root, maxRowsPerTrigger = trigger,
+        s"gate_buswp_${System.nanoTime()}") { stream =>
+      stream.select(from_json(col("value"),
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "source STRING, text STRING")).as("e"))
+        .select(col("e.source").as("source"),
+          explode(split(col("e.text"), " ")).as("w"))
+        .join(wpn, Seq("w"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_ws"), sum(col("n_p")).as("n_wp"))
+    }.orderBy(col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_dsir_mass" -> (streamDsirMass _),
+    "stream_wordpiece_tokens" -> (streamWordpieceTokens _),
     "mm_jpeg_stats" -> (mmJpegStats _),
     "mm_pnm_stats" -> (mmPnmStats _),
     "zstd_jsonl_roundtrip" -> (zstdJsonlRoundtrip _),
@@ -300,6 +378,45 @@ object QueriesR18 {
     }.mkString("(", " + ", ")")
 
   val sql: Map[String, String] = Map(
+    "stream_dsir_mass" ->
+      s"""WITH dt AS (
+         |  SELECT source, lang,
+         |         list_filter(str_split(text, ' '), t -> t <> '') AS a
+         |  FROM documents
+         |), gr AS (
+         |  SELECT source, lang, unnest(a) AS g FROM dt
+         |  UNION ALL
+         |  SELECT source, lang,
+         |         unnest(list_transform(range(1, len(a)),
+         |                i -> a[i] || ' ' || a[i + 1])) AS g
+         |  FROM dt
+         |), gb AS (
+         |  SELECT source, lang, ${hex6ToInt("md5(g)")} % 256 AS b FROM gr
+         |), bw AS (
+         |  SELECT b,
+         |    CAST((SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) + 1)
+         |         * 1000000 // (COUNT(*) + 1) AS BIGINT) AS w_ppm
+         |  FROM gb GROUP BY b
+         |)
+         |SELECT source, COUNT(*) AS n_grams,
+         |       CAST(SUM(w_ppm) AS BIGINT) AS w_sum
+         |FROM gb JOIN bw USING (b)
+         |GROUP BY source ORDER BY source""".stripMargin,
+    "stream_wordpiece_tokens" ->
+      s"""WITH ${graft.operators.Unigram.oracleCtes("documents", "text")},
+         |${graft.operators.WordPiece.segOracleCtes},
+         |wpn AS MATERIALIZED (
+         |  SELECT w, COUNT(*) AS n_p FROM wpseg GROUP BY w
+         |),
+         |dw AS (
+         |  SELECT source, w FROM (
+         |    SELECT source, unnest(string_split(text, ' ')) AS w
+         |    FROM documents
+         |  ) WHERE w <> ''
+         |)
+         |SELECT source, COUNT(*) AS n_ws, CAST(SUM(n_p) AS BIGINT) AS n_wp
+         |FROM dw JOIN wpn USING (w)
+         |GROUP BY source ORDER BY source""".stripMargin,
     "mm_jpeg_stats" ->
       """WITH dims AS (
         |  SELECT doc_id, doc_id % 3 + 1 AS bw, doc_id % 2 + 1 AS bh

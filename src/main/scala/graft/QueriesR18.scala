@@ -358,7 +358,67 @@ object QueriesR18 {
     }.orderBy(col("source"))
   }
 
+  /** Little-endian hex of a (small, non-negative) integer column over
+    * `nBytes` bytes — the M-family fixture-construction helper (the
+    * QueriesR17 idiom, restated locally).
+    */
+  private def le(v: org.apache.spark.sql.Column, nBytes: Int)
+      : org.apache.spark.sql.Column =
+    concat((0 until nBytes).map(i =>
+      lpad(hex(pmod(v.cast("long") / (1L << (8 * i)), lit(256)).cast("int")),
+        2, "0")): _*)
+
+  /** One little-endian IFD entry: tag, type, count, inline value. */
+  private def ifdEntry(tag: Int, typ: Int, count: Int,
+      value: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat(le(lit(tag), 2), le(lit(typ), 2), le(lit(count), 4), le(value, 4))
+
+  /** M17: TIFF baseline decode — each row synthesizes a REAL
+    * little-endian TIFF (header, 9-entry IFD with SHORT/LONG types and
+    * the inline-vs-offset value rule, single strip) — grayscale
+    * BlackIsZero for even doc_id, RGB with an out-of-line
+    * BitsPerSample array for odd — and [[graft.multimodal.TiffRaster]]
+    * walks it back to the M10 statistics; the oracle regenerates the
+    * pixels arithmetically. Big-endian, multi-strip, WhiteIsZero, and
+    * the external-encoder EXACT round-trip live in the spec.
+    */
+  def mmTiffStats(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("doc_id"))
+      .withColumn("w", (col("doc_id") % 4 + 2).cast("int"))
+      .withColumn("h", (col("doc_id") % 3 + 1).cast("int"))
+      .withColumn("spp", when(col("doc_id") % 2 === 1, 3).otherwise(1))
+      .withColumn("nb", col("w") * col("h") * col("spp"))
+    val header = concat(lit("49492A00"), le(lit(8), 4), le(lit(9), 2))
+    val gray = concat(
+      ifdEntry(256, 3, 1, col("w")), ifdEntry(257, 3, 1, col("h")),
+      ifdEntry(258, 3, 1, lit(8)), ifdEntry(259, 3, 1, lit(1)),
+      ifdEntry(262, 3, 1, lit(1)), ifdEntry(273, 4, 1, lit(122)),
+      ifdEntry(277, 3, 1, lit(1)), ifdEntry(278, 3, 1, col("h")),
+      ifdEntry(279, 4, 1, col("w") * col("h")), le(lit(0), 4))
+    val rgb = concat(
+      ifdEntry(256, 3, 1, col("w")), ifdEntry(257, 3, 1, col("h")),
+      ifdEntry(258, 3, 3, lit(122)), ifdEntry(259, 3, 1, lit(1)),
+      ifdEntry(262, 3, 1, lit(2)), ifdEntry(273, 4, 1, lit(128)),
+      ifdEntry(277, 3, 1, lit(3)), ifdEntry(278, 3, 1, col("h")),
+      ifdEntry(279, 4, 1, col("nb")), le(lit(0), 4),
+      lit("080008000800"))
+    val pixels = expr(
+      """array_join(transform(sequence(0, nb - 1), k ->
+        |  lpad(hex((doc_id * 13 + k * 29) % 256), 2, '0')), '')""".stripMargin)
+    val payload = unhex(concat(header,
+      when(col("spp") === 3, rgb).otherwise(gray), pixels))
+    d.withColumn("st", graft.multimodal.TiffRaster.tiff_stats(payload))
+      .select(Seq(col("doc_id")) ++
+        graft.multimodal.TiffRaster.schema.fieldNames.map(f =>
+          col(s"st.$f").as(f)): _*)
+      .withColumn("channels", col("channels").cast("long"))
+      .withColumn("width", col("width").cast("long"))
+      .withColumn("height", col("height").cast("long"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_tiff_stats" -> (mmTiffStats _),
     "stream_dsir_mass" -> (streamDsirMass _),
     "stream_wordpiece_tokens" -> (streamWordpieceTokens _),
     "mm_jpeg_stats" -> (mmJpegStats _),
@@ -378,6 +438,44 @@ object QueriesR18 {
     }.mkString("(", " + ", ")")
 
   val sql: Map[String, String] = Map(
+    "mm_tiff_stats" ->
+      """WITH dims AS (
+        |  SELECT doc_id, doc_id % 4 + 2 AS w, doc_id % 3 + 1 AS h,
+        |         CASE WHEN doc_id % 2 = 1 THEN 3 ELSE 1 END AS ch
+        |  FROM documents
+        |), px AS (
+        |  SELECT doc_id, p,
+        |    CASE WHEN ch = 3 THEN (doc_id*13 + (3*p)*29) % 256
+        |         ELSE (doc_id*13 + p*29) % 256 END AS r,
+        |    CASE WHEN ch = 3 THEN (doc_id*13 + (3*p + 1)*29) % 256
+        |         ELSE (doc_id*13 + p*29) % 256 END AS g,
+        |    CASE WHEN ch = 3 THEN (doc_id*13 + (3*p + 2)*29) % 256
+        |         ELSE (doc_id*13 + p*29) % 256 END AS b
+        |  FROM (SELECT doc_id, ch,
+        |          unnest(generate_series(0, w * h - 1)) AS p FROM dims)
+        |), lum AS (
+        |  SELECT doc_id, r, g, b,
+        |         CASE WHEN (299*r + 587*g + 114*b) // 31875 > 7 THEN 7
+        |              ELSE (299*r + 587*g + 114*b) // 31875 END AS bk
+        |  FROM px
+        |)
+        |SELECT d.doc_id, CAST(d.ch AS BIGINT) AS channels,
+        |  CAST(d.w AS BIGINT) AS width, CAST(d.h AS BIGINT) AS height,
+        |  CAST(d.w * d.h AS BIGINT) AS n_px,
+        |  CAST(SUM(l.r) AS BIGINT) AS sum_r,
+        |  CAST(SUM(l.g) AS BIGINT) AS sum_g,
+        |  CAST(SUM(l.b) AS BIGINT) AS sum_b,
+        |  CAST(SUM(CASE WHEN bk = 0 THEN 1 ELSE 0 END) AS BIGINT) AS h0,
+        |  CAST(SUM(CASE WHEN bk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS h1,
+        |  CAST(SUM(CASE WHEN bk = 2 THEN 1 ELSE 0 END) AS BIGINT) AS h2,
+        |  CAST(SUM(CASE WHEN bk = 3 THEN 1 ELSE 0 END) AS BIGINT) AS h3,
+        |  CAST(SUM(CASE WHEN bk = 4 THEN 1 ELSE 0 END) AS BIGINT) AS h4,
+        |  CAST(SUM(CASE WHEN bk = 5 THEN 1 ELSE 0 END) AS BIGINT) AS h5,
+        |  CAST(SUM(CASE WHEN bk = 6 THEN 1 ELSE 0 END) AS BIGINT) AS h6,
+        |  CAST(SUM(CASE WHEN bk = 7 THEN 1 ELSE 0 END) AS BIGINT) AS h7
+        |FROM dims d JOIN lum l USING (doc_id)
+        |GROUP BY d.doc_id, d.ch, d.w, d.h
+        |ORDER BY d.doc_id""".stripMargin,
     "stream_dsir_mass" ->
       s"""WITH dt AS (
          |  SELECT source, lang,

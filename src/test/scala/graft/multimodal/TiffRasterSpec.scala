@@ -1,0 +1,166 @@
+package graft.multimodal
+
+import java.awt.image.BufferedImage
+import java.io.ByteArrayOutputStream
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** M17: the TIFF decoder — EXACT round-trips against the JDK's own
+  * TIFF encoder (uncompressed TIFF is lossless, so unlike JPEG there
+  * is no tolerance band), both byte orders, multi-strip assembly,
+  * WhiteIsZero inversion, codegen equivalence, and the loud subset
+  * boundaries.
+  */
+class TiffRasterSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def jdkTiff(img: BufferedImage): Array[Byte] = {
+    val w = javax.imageio.ImageIO.getImageWritersByFormatName("tiff").next()
+    val p = w.getDefaultWriteParam
+    // uncompressed: the JDK TIFF plugin has no "None" type name
+    p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_DISABLED)
+    val bos = new ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    w.setOutput(ios)
+    w.write(null, new javax.imageio.IIOImage(img, null, null), p)
+    ios.close(); w.dispose()
+    bos.toByteArray
+  }
+
+  test("JDK-encoded RGB TIFF round-trips to exact channel sums") {
+    val w = 9; val h = 7
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)
+    var eR = 0L; var eG = 0L; var eB = 0L
+    for (y <- 0 until h; x <- 0 until w) {
+      val (r, g, b) = ((x * 29) % 256, (y * 61) % 256, (x * y * 11) % 256)
+      eR += r; eG += g; eB += b
+      img.setRGB(x, y, (r << 16) | (g << 8) | b)
+    }
+    val row = TiffRaster.parse(jdkTiff(img))
+    assert(row != null, "JDK uncompressed RGB TIFF must be in the subset")
+    assert(row.getInt(0) == 3 && row.getInt(1) == w && row.getInt(2) == h)
+    assert((row.getLong(4), row.getLong(5), row.getLong(6)) == ((eR, eG, eB)))
+  }
+
+  test("JDK-encoded grayscale TIFF round-trips exactly") {
+    val w = 6; val h = 5
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+    var exp = 0L
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = (x * 37 + y * 19) % 256
+      exp += v
+      img.getRaster.setSample(x, y, 0, v)
+    }
+    val row = TiffRaster.parse(jdkTiff(img))
+    assert(row != null && row.getInt(0) == 1)
+    assert(row.getLong(4) == exp && row.getLong(5) == exp && row.getLong(6) == exp)
+  }
+
+  // hand-built fixture: gray, optionally big-endian / multi-strip /
+  // WhiteIsZero — the arms the JDK encoder won't necessarily produce
+  private def handTiff(w: Int, h: Int, px: Int => Int, bigEndian: Boolean,
+      rowsPerStrip: Int, photometric: Int = 1): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    def w16(v: Int): Unit =
+      if (bigEndian) { bos.write(v >> 8); bos.write(v & 0xff) }
+      else { bos.write(v & 0xff); bos.write(v >> 8) }
+    def w32(v: Int): Unit =
+      if (bigEndian) { bos.write(v >>> 24); bos.write((v >> 16) & 0xff)
+        bos.write((v >> 8) & 0xff); bos.write(v & 0xff) }
+      else { bos.write(v & 0xff); bos.write((v >> 8) & 0xff)
+        bos.write((v >> 16) & 0xff); bos.write(v >>> 24) }
+    val nStrips = (h + rowsPerStrip - 1) / rowsPerStrip
+    val nEntries = 9
+    // entry value arrays (strip offsets/counts) live after the IFD
+    val ifdEnd = 8 + 2 + nEntries * 12 + 4
+    val arrBytes = if (nStrips > 1) nStrips * 8 else 0
+    val dataAt = ifdEnd + arrBytes
+    bos.write(if (bigEndian) 'M' else 'I'); bos.write(if (bigEndian) 'M' else 'I')
+    w16(42); w32(8)
+    w16(nEntries)
+    def entry(tag: Int, typ: Int, cnt: Int, v: Int): Unit = {
+      w16(tag); w16(typ); w32(cnt)
+      if (typ == 3 && cnt == 1) {
+        // SHORT inline: left-justified in file byte order
+        if (bigEndian) { w16(v); w16(0) } else { w16(v); w16(0) }
+      } else w32(v)
+    }
+    val stripBytes = (0 until nStrips).map(s =>
+      w * math.min(rowsPerStrip, h - s * rowsPerStrip))
+    entry(256, 3, 1, w); entry(257, 3, 1, h)
+    entry(258, 3, 1, 8); entry(259, 3, 1, 1)
+    entry(262, 3, 1, photometric)
+    if (nStrips == 1) entry(273, 4, 1, dataAt)
+    else entry(273, 4, nStrips, ifdEnd)
+    entry(277, 3, 1, 1); entry(278, 3, 1, rowsPerStrip)
+    if (nStrips == 1) entry(279, 4, 1, stripBytes.head)
+    else entry(279, 4, nStrips, ifdEnd + nStrips * 4)
+    w32(0) // next IFD
+    if (nStrips > 1) {
+      var off = dataAt
+      stripBytes.foreach { sb => w32(off); off += sb }
+      stripBytes.foreach(w32)
+    }
+    for (p <- 0 until w * h) bos.write(px(p))
+    bos.toByteArray
+  }
+
+  test("big-endian and little-endian fixtures agree") {
+    val px = (p: Int) => (p * 41 + 3) % 256
+    val a = TiffRaster.parse(handTiff(5, 4, px, bigEndian = false, 4))
+    val b = TiffRaster.parse(handTiff(5, 4, px, bigEndian = true, 4))
+    assert(a != null && b != null)
+    for (i <- 0 until 15) assert(a.getLong(4) == b.getLong(4))
+    assert(a.getLong(4) == (0 until 20).map(px(_).toLong).sum)
+  }
+
+  test("multi-strip assembly with out-of-line offset arrays") {
+    val px = (p: Int) => (p * 7) % 256
+    val single = TiffRaster.parse(handTiff(6, 9, px, bigEndian = false, 9))
+    val striped = TiffRaster.parse(handTiff(6, 9, px, bigEndian = false, 2))
+    assert(single != null && striped != null)
+    assert(single.getLong(4) == striped.getLong(4))
+    for (i <- 0 until 8)
+      assert(single.getLong(7 + i) == striped.getLong(7 + i))
+  }
+
+  test("WhiteIsZero grayscale inverts sample values") {
+    val px = (p: Int) => p % 256
+    val black = TiffRaster.parse(handTiff(4, 2, px, bigEndian = false, 2,
+      photometric = 1))
+    val white = TiffRaster.parse(handTiff(4, 2, px, bigEndian = false, 2,
+      photometric = 0))
+    assert(black != null && white != null)
+    assert(white.getLong(4) == 255L * 8 - black.getLong(4))
+  }
+
+  test("interpreted eval and codegen agree on the expression path") {
+    val bytes = handTiff(3, 2, p => p * 30, bigEndian = false, 2)
+    val df = Seq(Tuple1(bytes)).toDF("payload")
+      .select(TiffRaster.tiff_stats(col("payload")).as("st"))
+      .select("st.channels", "st.width", "st.n_px", "st.sum_r")
+    val r = df.head()
+    assert((r.getInt(0), r.getInt(1), r.getLong(2)) == ((1, 3, 6L)))
+    assert(r.getLong(3) == (0 until 6).map(_ * 30L).sum)
+  }
+
+  test("subset boundaries return null, never misread") {
+    val good = handTiff(4, 4, p => p, bigEndian = false, 4)
+    // LZW-compressed flagged
+    val lzw = good.clone()
+    // compression entry value: find tag 259 (entry index 3) value bytes
+    val at = 8 + 2 + 3 * 12 + 8
+    lzw(at) = 5.toByte
+    assert(TiffRaster.parse(lzw) == null)
+    // truncated strip
+    assert(TiffRaster.parse(good.dropRight(3)) == null)
+    // bad magic number
+    val bad = good.clone(); bad(2) = 43.toByte
+    assert(TiffRaster.parse(bad) == null)
+    assert(TiffRaster.parse(null) == null)
+    assert(TiffRaster.parse(Array[Byte]('I', 'I', 1)) == null)
+  }
+}

@@ -417,7 +417,67 @@ object QueriesR18 {
       .orderBy(col("doc_id"))
   }
 
+  /** D24: content-defined chunking dedup — the storage-grade dedup
+    * family (Manber 1994 fingerprint landmarks, the ancestor of
+    * LBFS/FastCDC): chunk boundaries fall where an 8-char polynomial
+    * rolling hash (base 31, mod 2²⁴) lands on a 1-in-64 landmark, so
+    * INSERTIONS SHIFT BYTES BUT NOT DOWNSTREAM BOUNDARIES — the
+    * property positional (fixed-size) chunking lacks and the reason
+    * every backup/dedup store uses CDC. Chunks are md5-keyed; a chunk
+    * occurring in ≥ 2 documents is a duplicate. Report: per source,
+    * chunk count, duplicate-chunk occurrences, dup share in exact ppm
+    * — the corpus-health view of cross-document boilerplate at the
+    * byte level (D21's repeated-span sibling, content-defined instead
+    * of token-window). Stated simplification: pure landmark cuts (no
+    * min/max chunk clamps — those need sequential state; the landmark
+    * density 1/64 bounds expected chunk size instead).
+    *
+    * Scale shape: the position walk is one explode (linear in corpus
+    * bytes), boundaries aggregate per doc, chunk extraction is a
+    * window lag + substring, and the duplicate report is two
+    * hash-keyed aggregates — never doc-pair-quadratic.
+    */
+  def dedupCdcChunks(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("text"),
+        length(col("text")).as("len"))
+    val pows = "array(1L, 31L, 961L, 29791L, 923521L, 28629151L, " +
+      "887503681L, 27512614111L)"
+    val cuts = docs
+      .filter(col("len") >= 8) // shorter docs are a single chunk
+      .select(col("doc_id"), col("source"), col("text"), col("len"),
+        explode(expr("sequence(8, len)")).as("i"))
+      .withColumn("hsh", expr(
+        s"""aggregate(transform(sequence(0, 7),
+           |  k -> ascii(substring(text, i - k, 1)) * element_at($pows, k + 1)),
+           |  0L, (a, x) -> a + x) % 16777216""".stripMargin))
+      .filter(col("hsh") % 64 === 0 && col("i") < col("len"))
+      .select(col("doc_id"), col("source"), col("text"), col("len"), col("i"))
+      .unionByName(docs.select(col("doc_id"), col("source"), col("text"),
+        col("len"), col("len").as("i")))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("i"))
+    val chunks = cuts
+      .withColumn("start", coalesce(lag(col("i"), 1).over(win), lit(0L)) + 1)
+      .withColumn("chunk_md5",
+        md5(expr("substring(text, start, i - start + 1)")))
+      .select(col("doc_id"), col("source"), col("chunk_md5"))
+    val dupSet = chunks.groupBy(col("chunk_md5"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("chunk_md5"))
+    chunks.join(dupSet, Seq("chunk_md5"), "left_semi")
+      .groupBy(col("source")).agg(count(lit(1)).as("n_dup"))
+      .join(chunks.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_chunks")), Seq("source"), "right")
+      .select(col("source"), col("n_chunks"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"))
+      .withColumn("dup_ppm", expr("n_dup * 1000000 div n_chunks"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_cdc_chunks" -> (dedupCdcChunks _),
     "mm_tiff_stats" -> (mmTiffStats _),
     "stream_dsir_mass" -> (streamDsirMass _),
     "stream_wordpiece_tokens" -> (streamWordpieceTokens _),
@@ -438,6 +498,42 @@ object QueriesR18 {
     }.mkString("(", " + ", ")")
 
   val sql: Map[String, String] = Map(
+    "dedup_cdc_chunks" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, text, length(text) AS len FROM documents
+        |), lm AS (
+        |  SELECT doc_id, source, text, len, i
+        |  FROM (SELECT doc_id, source, text, len,
+        |          unnest(generate_series(8, len)) AS i
+        |        FROM d WHERE len >= 8)
+        |  WHERE list_sum(list_transform(range(0, 8),
+        |          k -> ascii(substr(text, CAST(i - k AS INTEGER), 1)) *
+        |               ([1, 31, 961, 29791, 923521, 28629151, 887503681,
+        |                 27512614111])[k + 1]))
+        |        % 16777216 % 64 = 0
+        |    AND i < len
+        |), cuts AS (
+        |  SELECT doc_id, source, text, i FROM lm
+        |  UNION ALL
+        |  SELECT doc_id, source, text, len AS i FROM d
+        |), ch AS (
+        |  SELECT doc_id, source,
+        |    md5(substr(text,
+        |      CAST(COALESCE(LAG(i) OVER w, 0) + 1 AS INTEGER),
+        |      CAST(i - COALESCE(LAG(i) OVER w, 0) AS INTEGER))) AS chunk_md5
+        |  FROM cuts
+        |  WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+        |), dup AS (
+        |  SELECT chunk_md5 FROM ch
+        |  GROUP BY chunk_md5 HAVING COUNT(DISTINCT doc_id) >= 2
+        |)
+        |SELECT c.source, COUNT(*) AS n_chunks,
+        |  CAST(SUM(CASE WHEN p.chunk_md5 IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_dup,
+        |  CAST(SUM(CASE WHEN p.chunk_md5 IS NOT NULL THEN 1 ELSE 0 END)
+        |    * 1000000 // COUNT(*) AS BIGINT) AS dup_ppm
+        |FROM ch c LEFT JOIN dup p USING (chunk_md5)
+        |GROUP BY c.source ORDER BY c.source""".stripMargin,
     "mm_tiff_stats" ->
       """WITH dims AS (
         |  SELECT doc_id, doc_id % 4 + 2 AS w, doc_id % 3 + 1 AS h,

@@ -476,7 +476,128 @@ object QueriesR18 {
       .orderBy(col("source"))
   }
 
+  /** Mixed raster payloads, one format per doc_id residue class: the
+    * M15 PNM (doc_id ≡ 0 mod 3), M17 TIFF (≡ 1), and M16 JPEG (≡ 2)
+    * gate fixtures verbatim — the X51 staging input.
+    */
+  private def mmMixedPayloads(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "documents").select(col("doc_id"))
+    val pnm = {
+      val d = base.filter(col("doc_id") % 3 === 0)
+        .withColumn("w", (col("doc_id") % 5 + 3).cast("int"))
+        .withColumn("h", (col("doc_id") % 4 + 2).cast("int"))
+        .withColumn("ch", when(col("doc_id") % 2 === 1, 3).otherwise(1))
+        .withColumn("nb", col("w") * col("h") * col("ch"))
+      val header = hex(concat(
+        when(col("ch") === 3, "P6").otherwise("P5"),
+        lit("\n# synthetic fixture\n"),
+        col("w").cast("string"), lit(" "), col("h").cast("string"),
+        lit("\n255\n")))
+      val samples = expr(
+        """array_join(transform(sequence(0, nb - 1), k ->
+          |  lpad(hex((doc_id * 11 + k * 17) % 256), 2, '0')), '')""".stripMargin)
+      d.select(col("doc_id"), unhex(concat(header, samples)).as("payload"))
+    }
+    val tiff = {
+      val d = base.filter(col("doc_id") % 3 === 1)
+        .withColumn("w", (col("doc_id") % 4 + 2).cast("int"))
+        .withColumn("h", (col("doc_id") % 3 + 1).cast("int"))
+        .withColumn("spp", when(col("doc_id") % 2 === 1, 3).otherwise(1))
+        .withColumn("nb", col("w") * col("h") * col("spp"))
+      val header = concat(lit("49492A00"), le(lit(8), 4), le(lit(9), 2))
+      val gray = concat(
+        ifdEntry(256, 3, 1, col("w")), ifdEntry(257, 3, 1, col("h")),
+        ifdEntry(258, 3, 1, lit(8)), ifdEntry(259, 3, 1, lit(1)),
+        ifdEntry(262, 3, 1, lit(1)), ifdEntry(273, 4, 1, lit(122)),
+        ifdEntry(277, 3, 1, lit(1)), ifdEntry(278, 3, 1, col("h")),
+        ifdEntry(279, 4, 1, col("w") * col("h")), le(lit(0), 4))
+      val rgb = concat(
+        ifdEntry(256, 3, 1, col("w")), ifdEntry(257, 3, 1, col("h")),
+        ifdEntry(258, 3, 3, lit(122)), ifdEntry(259, 3, 1, lit(1)),
+        ifdEntry(262, 3, 1, lit(2)), ifdEntry(273, 4, 1, lit(128)),
+        ifdEntry(277, 3, 1, lit(3)), ifdEntry(278, 3, 1, col("h")),
+        ifdEntry(279, 4, 1, col("nb")), le(lit(0), 4),
+        lit("080008000800"))
+      val pixels = expr(
+        """array_join(transform(sequence(0, nb - 1), k ->
+          |  lpad(hex((doc_id * 13 + k * 29) % 256), 2, '0')), '')""".stripMargin)
+      d.select(col("doc_id"), unhex(concat(header,
+        when(col("spp") === 3, rgb).otherwise(gray), pixels)).as("payload"))
+    }
+    val jpeg = {
+      val d = base.filter(col("doc_id") % 3 === 2)
+        .withColumn("bw", (col("doc_id") % 3 + 1).cast("int"))
+        .withColumn("bh", (col("doc_id") % 2 + 1).cast("int"))
+        .withColumn("nb", col("bw") * col("bh"))
+      val be16 = (c: org.apache.spark.sql.Column) => lpad(hex(c), 4, "0")
+      val header = concat(
+        lit("FFD8"),
+        lit("FFDB0043" + "00" + "08" + "10" * 63),
+        lit("FFC0000B08"), be16(col("bh") * 8), be16(col("bw") * 8),
+        lit("01011100"),
+        lit("FFC40014" + "00" + "0001" + "00" * 14 + "06"),
+        lit("FFC40014" + "10" + "00" * 7 + "01" + "00" * 8 + "00"),
+        lit("FFDA00080101000" + "03F00"))
+      val data = expr(
+        """array_join(transform(sequence(0, nb - 1), j ->
+          |  concat(lpad(hex(CASE WHEN j % 2 = 0
+          |                       THEN 32 + (doc_id + j div 2) % 16
+          |                       ELSE 63 - (32 + (doc_id + (j - 1) div 2) % 16)
+          |                  END), 2, '0'), '00')), '')""".stripMargin)
+      d.select(col("doc_id"),
+        unhex(concat(header, data, lit("FFD9"))).as("payload"))
+    }
+    pnm.unionByName(tiff).unionByName(jpeg)
+  }
+
+  /** X51: streaming multimodal decode dispatch — MIXED binary payloads
+    * (PNM, TIFF, JPEG) ride the bus base64-encoded; every micro-batch
+    * sniffs each payload's magic bytes and routes it to the right
+    * native decoder, and per-format (n_files, n_px, sum_r) totals
+    * accumulate from order-independent sums — the sniff→decode
+    * dispatch of a real ingest feed, live. The decoders are the M15/
+    * M16/M17 expressions unchanged, composed by their reject-by-null
+    * contract: every decoder sees every payload but nulls out foreign
+    * magics at the first header check, so coalesce picks the one that
+    * accepted it.
+    */
+  def streamMmDecode(s: SparkSession, dir: String): DataFrame = {
+    val d = mmMixedPayloads(s, dir)
+    val root = java.nio.file.Files.createTempDirectory("graft_busmm").toString
+    graft.streaming.BusSource.stage(
+      d.select(pmod(hash(col("doc_id")), lit(4)).as("pt"),
+        to_json(struct(col("doc_id"),
+          base64(col("payload")).as("b64"))).as("v"), col("doc_id")),
+      root, busPartitions = 4, pt = col("pt"), value = col("v"),
+      col("doc_id"))
+    val trigger = math.max(100L, d.count() / 8)
+    graft.streaming.Streams.busReplay(s, root, maxRowsPerTrigger = trigger,
+        s"gate_busmm_${System.nanoTime()}") { stream =>
+      val p = stream.select(from_json(col("value"),
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "doc_id BIGINT, b64 STRING")).as("e"))
+        .select(unbase64(col("e.b64")).as("payload"))
+        .withColumn("magic", hex(expr("substring(payload, 1, 2)")))
+        .withColumn("fmt",
+          when(col("magic").isin("5035", "5036"), "pnm")
+            .when(col("magic").isin("4949", "4D4D"), "tiff")
+            .when(col("magic") === "FFD8", "jpeg")
+            .otherwise("unknown"))
+      p.withColumn("pnm_st", graft.multimodal.Netpbm.pnm_stats(col("payload")))
+        .withColumn("tiff_st", graft.multimodal.TiffRaster.tiff_stats(col("payload")))
+        .withColumn("jpeg_st", graft.multimodal.JpegRaster.jpeg_stats(col("payload")))
+        .withColumn("n_px", coalesce(col("pnm_st.n_px"),
+          col("tiff_st.n_px"), col("jpeg_st.n_px")))
+        .withColumn("sr", coalesce(col("pnm_st.sum_r"),
+          col("tiff_st.sum_r"), col("jpeg_st.sum_r")))
+        .groupBy(col("fmt"))
+        .agg(count(lit(1)).as("n_files"), sum(col("n_px")).as("n_px"),
+          sum(col("sr")).as("sum_r"))
+    }.orderBy(col("fmt"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_mm_decode" -> (streamMmDecode _),
     "dedup_cdc_chunks" -> (dedupCdcChunks _),
     "mm_tiff_stats" -> (mmTiffStats _),
     "stream_dsir_mass" -> (streamDsirMass _),
@@ -498,6 +619,51 @@ object QueriesR18 {
     }.mkString("(", " + ", ")")
 
   val sql: Map[String, String] = Map(
+    "stream_mm_decode" ->
+      """WITH pn AS (
+        |  SELECT doc_id, doc_id % 5 + 3 AS w, doc_id % 4 + 2 AS h,
+        |         CASE WHEN doc_id % 2 = 1 THEN 3 ELSE 1 END AS ch
+        |  FROM documents WHERE doc_id % 3 = 0
+        |), pnx AS (
+        |  SELECT doc_id, COUNT(*) AS npx,
+        |    SUM(CASE WHEN ch = 3 THEN (doc_id*11 + (3*p)*17) % 256
+        |             ELSE (doc_id*11 + p*17) % 256 END) AS sr
+        |  FROM (SELECT doc_id, ch,
+        |          unnest(generate_series(0, w * h - 1)) AS p FROM pn)
+        |  GROUP BY doc_id
+        |), tf AS (
+        |  SELECT doc_id, doc_id % 4 + 2 AS w, doc_id % 3 + 1 AS h,
+        |         CASE WHEN doc_id % 2 = 1 THEN 3 ELSE 1 END AS ch
+        |  FROM documents WHERE doc_id % 3 = 1
+        |), tfx AS (
+        |  SELECT doc_id, COUNT(*) AS npx,
+        |    SUM(CASE WHEN ch = 3 THEN (doc_id*13 + (3*p)*29) % 256
+        |             ELSE (doc_id*13 + p*29) % 256 END) AS sr
+        |  FROM (SELECT doc_id, ch,
+        |          unnest(generate_series(0, w * h - 1)) AS p FROM tf)
+        |  GROUP BY doc_id
+        |), jp AS (
+        |  SELECT doc_id, doc_id % 3 + 1 AS bw, doc_id % 2 + 1 AS bh
+        |  FROM documents WHERE doc_id % 3 = 2
+        |), jpx AS (
+        |  SELECT doc_id, 64 * COUNT(*) AS npx,
+        |    64 * SUM(128 + CASE WHEN j % 2 = 0
+        |             THEN 32 + (doc_id + j // 2) % 16 ELSE 0 END) AS sr
+        |  FROM (SELECT doc_id,
+        |          unnest(generate_series(0, bw * bh - 1)) AS j FROM jp)
+        |  GROUP BY doc_id
+        |)
+        |SELECT fmt, n_files, n_px, sum_r FROM (
+        |  SELECT 'pnm' AS fmt, COUNT(*) AS n_files,
+        |    CAST(SUM(npx) AS BIGINT) AS n_px,
+        |    CAST(SUM(sr) AS BIGINT) AS sum_r FROM pnx
+        |  UNION ALL
+        |  SELECT 'tiff', COUNT(*), CAST(SUM(npx) AS BIGINT),
+        |    CAST(SUM(sr) AS BIGINT) FROM tfx
+        |  UNION ALL
+        |  SELECT 'jpeg', COUNT(*), CAST(SUM(npx) AS BIGINT),
+        |    CAST(SUM(sr) AS BIGINT) FROM jpx
+        |) ORDER BY fmt""".stripMargin,
     "dedup_cdc_chunks" ->
       """WITH d AS (
         |  SELECT doc_id, source, text, length(text) AS len FROM documents

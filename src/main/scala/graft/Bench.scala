@@ -14,7 +14,7 @@ object Bench {
     "q1_pricing_summary", "q_revenue_by_nation", "q_window_topk",
     "q_skew_agg", "q_sessionize", "q_event_buckets", "q_asof_join",
     "cdc_delta_extract", "cdc_merge", "cdc_latest_per_key",
-    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_embed_lsh",
+    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
     "ann_bruteforce_topk", "text_quality", "mm_frame_sample",
     "sketch_kmv_distinct", "zorder_cluster", "q_top_k_native",
     "corpus_clean",
@@ -27,32 +27,38 @@ object Bench {
     // round-4 batches d-f: ranked retrieval, native top-k composite,
     // counter maintenance
     "text_bm25", "q_trending_topk", "q_basket_incremental",
-    // round-4 batches i-j: positional retrieval, incremental dedup index
-    "text_phrase_prox", "dedup_incremental",
-    // round-4 batches cc-ee: SNM blocking
-    "dedup_sorted_neighborhood",
+    // round-4 batches i-j: positional retrieval
+    "text_phrase_prox",
     // round-5 surface: exact two-stage rank paths, gram-sharded novelty,
     // bucketed skyline, gains table
     "q_rank_normalize", "text_novelty", "q_skyline", "q_eval_gains",
-    // round-6 surface: prefix-filtered exact set-sim join, grid-walk
-    // survival, ranked statistics
-    "dedup_setsim_exact", "q_survival_km", "q_gini_coeff",
+    // round-6 surface: grid-walk survival, ranked statistics
+    "q_survival_km", "q_gini_coeff",
     // round-6 batches b-e: drift grids, one-sided containment join,
     // per-key recursions, survival A/B
-    "q_wasserstein", "q_abc_class", "dedup_containment", "q_holt_trend",
+    "q_wasserstein", "q_abc_class", "q_holt_trend",
     "q_autocorr", "q_logrank",
     // round-6 batches i-l: graded retrieval eval, grid tau, parametric
     // tests, seasonal Holt
     "q_eval_ndcg", "q_kendall", "q_welch_t2", "q_holt_winters",
-    // round-7 surface: trained BPE chain, repeated-span cut list,
-    // schema-evolving union
-    "text_bpe_tokenize", "dedup_repeated_spans", "q_union_evolve",
-    // round-8 surface: scale-safe blocking ER composite, file-sink
-    // streaming spatial pairs, trained unigram tokenization
-    "entity_resolution", "stream_spatial_join", "text_unigram_tokenize",
-    // round-8 continuation: semantic dedup, word-graph ranking, and the
-    // compressed-raster decode path
-    "dedup_semantic", "text_textrank", "mm_png_stats")
+    // round-7 surface: trained BPE chain, schema-evolving union
+    "text_bpe_tokenize", "q_union_evolve",
+    // round-8 surface: file-sink streaming spatial pairs, trained
+    // unigram tokenization
+    "stream_spatial_join", "text_unigram_tokenize",
+    // round-8 continuation: word-graph ranking + compressed-raster decode
+    "text_textrank", "mm_png_stats")
+
+  /** Dedup/ER-heavy tier (r9 split, the graph_heavy rationale): the
+    * multi-second blocking/verification dedup gates whose constants were
+    * masking sub-second drift in the OLAP/text/cdc headline — ~40 s of
+    * the r8 70.7 s headline was this family. Benched and reported as its
+    * own tier so the headline stays a sensitive regression signal.
+    */
+  val dedupHeavy: Seq[String] = Seq(
+    "dedup_semantic", "entity_resolution", "dedup_setsim_exact",
+    "dedup_embed_lsh", "dedup_containment", "dedup_incremental",
+    "dedup_repeated_spans", "dedup_sorted_neighborhood")
 
   /** Graph-heavy tier (r8 split): the iterative/centrality graph gates
     * whose multi-second constants would otherwise mask sub-second drift
@@ -74,7 +80,7 @@ object Bench {
     val spark = GraftSession.get(cpus.toInt)
     val names =
       if (sys.env.contains("SPARK_GRAFT_BENCH_ALL")) SparkEntry.queries.keys.toSeq.sorted
-      else (headline ++ graphHeavy).filter(SparkEntry.queries.contains)
+      else (headline ++ graphHeavy ++ dedupHeavy).filter(SparkEntry.queries.contains)
     // JVM/codegen + page-cache warmup so the timed sf runs measure
     // steady-state throughput: each benched plan runs once at sf0.001 so
     // its generated classes are compiled and JIT'd before timing — at
@@ -102,6 +108,7 @@ object Bench {
       QueriesR6.coPurchaseDir(spark, sfDir).count()
       QueriesR16.stageShared(spark, sfDir)
       QueriesR17.stageShared(spark, sfDir)
+      QueriesR18.stageShared(spark, sfDir)
     } catch { case e: Throwable =>
       System.err.println(s"[bench] staging failed (timings include builds): $e")
     }
@@ -160,6 +167,7 @@ object Bench {
     // constants. (BENCH_ALL runs classify extra queries as "other".)
     def tierOf(n: String) =
       if (graphHeavy.contains(n)) "graph_heavy"
+      else if (dedupHeavy.contains(n)) "dedup_heavy"
       else if (headline.contains(n)) "headline" else "other"
     val tiers = results.groupBy(r => tierOf(r._1)).toSeq.sortBy(_._1)
       .map { case (t, rs) =>

@@ -499,9 +499,25 @@ object QueriesExt {
   /** D6: edit-distance fuzzy dedup — length-banded blocking (same source,
     * |Δlen| ≤ 10, len ≤ 150 so the O(len²) distance stays bounded), then
     * exact Levenshtein on the surviving pairs only.
+    *
+    * Fixture realism (r9, closing the r8 "trivially green at 0 rows"
+    * finding): the synthetic corpus has no true fuzzy pairs, so the gate
+    * injects single-character-deletion variants of every 13th short
+    * document (the E1 `erEntities` idiom) — each master/variant pair is
+    * 1 edit apart and survives the length band, so the gate returns
+    * real matched pairs at every SF and the oracle replays the same
+    * injection.
     */
   def dedupFuzzyEdit(s: SparkSession, dir: String): DataFrame = {
-    val base = t(s, dir, "documents")
+    val d = t(s, dir, "documents").select(col("doc_id"), col("text"), col("source"))
+    val variants = d
+      .filter(col("doc_id") % 13 === 0 &&
+        length(col("text")).between(20, 150))
+      .withColumn("p", (lit(5) + col("doc_id") % 10).cast("int"))
+      .select((col("doc_id") + 10000000L).as("doc_id"),
+        expr("concat(substring(text, 1, p), substring(text, p + 2, 200))").as("text"),
+        col("source"))
+    val base = d.unionByName(variants)
       .select(col("doc_id"), col("text"), col("source"), length(col("text")).as("len"))
       .filter(col("len") <= 150)
     val a = base.select(col("doc_id").as("id_a"), col("text").as("text_a"),
@@ -769,9 +785,19 @@ object QueriesExt {
         |  MIN(vec_id) AS min_id, MAX(vec_id) AS max_id
         |FROM norms GROUP BY label ORDER BY label""".stripMargin,
     "dedup_fuzzy_edit" ->
-      """WITH base AS (
+      """WITH variants AS (
+        |  SELECT doc_id + 10000000 AS doc_id,
+        |    substring(text, 1, CAST(5 + doc_id % 10 AS INT)) ||
+        |      substring(text, CAST(7 + doc_id % 10 AS INT), 200) AS text,
+        |    source
+        |  FROM documents
+        |  WHERE doc_id % 13 = 0 AND length(text) BETWEEN 20 AND 150
+        |), unioned AS (
+        |  SELECT doc_id, text, source FROM documents
+        |  UNION ALL SELECT doc_id, text, source FROM variants
+        |), base AS (
         |  SELECT doc_id, text, source, length(text) AS len
-        |  FROM documents WHERE length(text) <= 150)
+        |  FROM unioned WHERE length(text) <= 150)
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |  CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist
         |FROM base a JOIN base b

@@ -130,38 +130,111 @@ object QueriesR17 {
       .orderBy(col("doc_id"))
   }
 
+  /** Semantic-dedup blocking constants: clusters above [[SemCap]]
+    * members split by low bits of a [[SemBits]]-bit integer SimHash
+    * until the expected block population is ≤ cap (per-cluster adaptive
+    * depth, the CASE ladder both engines replay exactly).
+    */
+  private[graft] val SemCap = 64L
+  private[graft] val SemBits = 16
+  private[graft] val SemDim = 64
+
+  /** ±1 hyperplane sign for (bit b, coordinate i): the top bit of
+    * md5("b:i") — replayed in SQL as `substr(md5(b || ':' || i), 1, 1)
+    * < '8'` (hex digits 0-7 ⇔ high nibble's top bit clear).
+    */
+  private def semSign(b: Int, i: Int): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$b:$i".getBytes("UTF-8"))
+    if ((d(0) & 0x80) == 0) 1L else -1L
+  }
+
   /** D22: SEMANTIC dedup — the SemDeDup recipe (Abbas et al. 2023,
     * arXiv:2303.09540): k-means the embedding space (the D18 trained
     * clustering, FIXED k, exact milli-integer trajectory), then search
     * for near-duplicates ONLY within each cluster — the clustering is
     * the blocking structure, so the pair join is per-cluster, never
-    * corpus²; production raises k with n to bound cluster population
-    * (the paper's posture), keeping the per-cluster pair work constant.
-    * Pairs with cosine ≥ 2/5 (integer cross-multiplied: dot > 0 and
-    * 25·dot² ≥ 4·‖a‖²‖b‖², exact at milli quantization) form near-dup
-    * groups via convergence-checked connected components; each group
-    * keeps its minimum vec_id as the deterministic survivor.
+    * corpus². Pairs with cosine ≥ 2/5 (integer cross-multiplied:
+    * dot > 0 and 25·dot² ≥ 4·‖a‖²‖b‖², exact at milli quantization)
+    * form near-dup groups via convergence-checked connected
+    * components; each group keeps its minimum vec_id as the
+    * deterministic survivor.
+    *
+    * SCALE CONTRACT (the r8 fixed-k finding, closed in code): cluster
+    * population is bounded BEFORE pair generation. Every cluster above
+    * [[SemCap]] members splits on the low bits of a [[SemBits]]-bit
+    * integer SimHash over the milli coordinates (±1 hyperplanes from
+    * md5 parity — exact integer projections, so both engines compute
+    * identical bands); the per-cluster split depth d is the smallest
+    * with pop/2^d ≤ cap (a CASE ladder, engine-exact), so expected
+    * block population is ≤ cap at ANY corpus size and expected pair
+    * volume is ≤ cap·n — the "raise k with n" posture of the paper,
+    * realized as adaptive blocking instead of retraining. Identical
+    * vectors share every sign bit by construction, so true duplicates
+    * are never separated; near-dups at angle θ cross a given bit with
+    * probability θ/π (the D8 recall trade, stated). Pair scoring is
+    * ONE row per candidate pair over packed milli arrays (zip_with +
+    * aggregate), not one per (pair, dimension).
     *
     * Output: every vector with its cluster, its duplicate-group
     * representative (self if unique), and the keep/drop verdict the
     * curation pipeline filters on.
     */
-  def dedupSemantic(s: SparkSession, dir: String): DataFrame = {
+  /** The blocking structure behind [[dedupSemantic]]: every vector with
+    * its cluster, split-block key, packed milli vector, and squared
+    * norm. Exposed for the spec that pins the pair-volume bound.
+    */
+  private[graft] def semMembers(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    import graft.PlanProbe.CkptOps
     val e = t(s, dir, "embeddings")
+    // ckpt: the assignment feeds the mask build, the member join, AND
+    // the final output — without it the whole Lloyd chain re-executes
+    // once per consumer (DataFrame plans share no CTEs)
     val assign = graft.similarity.KMeans.lloydMilliK(e,
-      col("vec_id"), col("embedding"), k = 10, iterations = 2)
-    val flat = e.select(col("vec_id").cast("long").as("vec_id"),
-        posexplode(col("embedding")))
-      .select(col("vec_id"), col("pos").cast("long").as("i"),
-        floor(col("col").cast("double") * 1000).cast("long").as("x"))
-    val fa = flat.join(assign, Seq("vec_id"))
-    val pairs = fa.as("a").join(fa.as("b"),
+      col("vec_id"), col("embedding"), k = 10, iterations = 2).ckpt
+    // packed milli vectors (one row per vector) + squared norm + band
+    val packed = e.select(col("vec_id").cast("long").as("vec_id"),
+      expr("transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1000) AS BIGINT))")
+        .as("mv"))
+    val bandCol = (0 until SemBits).map { b =>
+      val sgn = array((0 until SemDim).map(i => lit(semSign(b, i))): _*)
+      val proj = aggregate(
+        zip_with(col("mv"), sgn, (x, sg) => x * sg),
+        lit(0L), (acc, v) => acc + v)
+      when(proj >= 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val vecs = packed.select(col("vec_id"), col("mv"), bandCol.as("band"),
+      aggregate(transform(col("mv"), x => x * x), lit(0L),
+        (acc, v) => acc + v).as("n2"))
+    // per-cluster adaptive split depth: mask = 2^d, smallest d with
+    // pop ≤ cap·2^d (capped at 2^16) — k rows, broadcast
+    val maskCol = {
+      val first = when(col("pop") <= SemCap, lit(1L))
+      (1 to 16).foldLeft(first)((acc, d) =>
+        acc.when(col("pop") <= SemCap * (1L << d), lit(1L << d)))
+        .otherwise(lit(1L << 16))
+    }
+    val masks = assign.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("pop"))
+      .select(col("cluster_id"), maskCol.as("mask"))
+    val members = assign.join(broadcast(masks), Seq("cluster_id"))
+      .join(vecs, Seq("vec_id"))
+      .select(col("vec_id"), col("cluster_id"),
+        (col("band") % col("mask")).as("blk"), col("mv"), col("n2"))
+    (assign, members)
+  }
+
+  def dedupSemantic(s: SparkSession, dir: String): DataFrame = {
+    val (assign, members) = semMembers(s, dir)
+    val pairs = members.as("a").join(members.as("b"),
         col("a.cluster_id") === col("b.cluster_id") &&
-          col("a.i") === col("b.i") && col("a.vec_id") < col("b.vec_id"))
-      .groupBy(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
-      .agg(sum(col("a.x") * col("b.x")).as("dot"),
-        sum(col("a.x") * col("a.x")).as("na"),
-        sum(col("b.x") * col("b.x")).as("nb"))
+          col("a.blk") === col("b.blk") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        aggregate(zip_with(col("a.mv"), col("b.mv"), (x, y) => x * y),
+          lit(0L), (acc, v) => acc + v).as("dot"),
+        col("a.n2").as("na"), col("b.n2").as("nb"))
     val near = pairs.filter(col("dot") > 0 &&
       col("dot") * col("dot") * 25 >= col("na") * col("nb") * 4)
     val rep = graft.dedup.Dedup
@@ -620,15 +693,38 @@ object QueriesR17 {
          |ORDER BY source""".stripMargin,
     "dedup_semantic" ->
       s"""WITH RECURSIVE ${QueriesR15.kmeansCtes},
-         |fa AS (
-         |  SELECT f.vec_id, f.i, f.x, a.cid
-         |  FROM flat f JOIN a2 a USING (vec_id)
+         |sgn AS (
+         |  SELECT b, i, CASE WHEN substr(md5(CAST(b AS VARCHAR) || ':' ||
+         |      CAST(i - 1 AS VARCHAR)), 1, 1) < '8' THEN 1 ELSE -1 END AS s
+         |  FROM (SELECT unnest(generate_series(0, ${SemBits - 1})) AS b),
+         |       (SELECT DISTINCT i FROM flat)
+         |), proj AS (
+         |  SELECT f.vec_id, g.b, SUM(g.s * f.x) AS p
+         |  FROM flat f JOIN sgn g ON g.i = f.i GROUP BY 1, 2
+         |), band AS (
+         |  SELECT vec_id,
+         |    CAST(SUM(CASE WHEN p >= 0 THEN 1 << b ELSE 0 END) AS BIGINT) AS band
+         |  FROM proj GROUP BY 1
+         |), pop AS (
+         |  SELECT cid, COUNT(*) AS pop FROM a2 GROUP BY cid
+         |), msk AS (
+         |  SELECT cid, CASE ${(0 to 16).map(d =>
+              s"WHEN pop <= ${SemCap * (1L << d)} THEN ${1L << d}")
+              .mkString(" ")} ELSE 65536 END AS mask
+         |  FROM pop
+         |), members AS (
+         |  SELECT a.vec_id, a.cid, bd.band % m.mask AS blk
+         |  FROM a2 a JOIN band bd USING (vec_id) JOIN msk m USING (cid)
+         |), fa AS (
+         |  SELECT mm.vec_id, mm.cid, mm.blk, f.i, f.x
+         |  FROM members mm JOIN flat f USING (vec_id)
          |), pr AS (
          |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          |         SUM(a.x * b.x) AS dot,
          |         SUM(a.x * a.x) AS na, SUM(b.x * b.x) AS nb
          |  FROM fa a JOIN fa b
-         |    ON a.cid = b.cid AND a.i = b.i AND a.vec_id < b.vec_id
+         |    ON a.cid = b.cid AND a.blk = b.blk AND a.i = b.i
+         |       AND a.vec_id < b.vec_id
          |  GROUP BY 1, 2
          |), near AS (
          |  SELECT id_a, id_b FROM pr

@@ -51,3 +51,25 @@ object ScratchTopK {
     spark.stop()
   }
 }
+
+/** Dev profiling: stage-by-stage timing of the semantic-dedup chain. */
+object ScratchSem {
+  def main(args: Array[String]): Unit = {
+    import org.apache.spark.sql.functions._
+    val spark = GraftSession.builder(32).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    def tm(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"[sem] $name%-14s ${(System.nanoTime() - t0) / 1e9}%6.2f s  ($n rows)")
+    }
+    (1 to 2).foreach { _ =>
+      val e = graft.sources.Tables.load(spark, dir, "embeddings")
+      tm("kmeans") { graft.similarity.KMeans.lloydMilliK(e,
+        col("vec_id"), col("embedding"), k = 10, iterations = 2).count() }
+      tm("full") { SparkEntry.queries("dedup_semantic")(spark, dir).count() }
+    }
+    spark.stop()
+  }
+}

@@ -26,9 +26,16 @@ import org.apache.spark.sql.types._
   * oracle is closed-form.)
   *
   * Subset honored (reject-by-null, never misread): baseline
-  * sequential SOF0, 8-bit precision, 1 or 3 components with 1×1
-  * sampling factors (4:4:4 or grayscale — chroma-subsampled 4:2:0
-  * rejected loudly rather than resampled approximately), 8-bit
+  * sequential SOF0, 8-bit precision, 1 or 3 components; color
+  * sampling 4:4:4 (1×1,1×1,1×1), 4:2:2 (2×1), 4:4:0 (1×2), and the
+  * dominant photographic regime 4:2:0 (2×2) — luma factors up to
+  * 2×2 with 1×1 chroma, upsampled NEAREST/box (each chroma sample
+  * covers its h₀×v₀ pixel cell; the choice of upsampling filter is
+  * outside ISO 10918's conformance bound, which constrains only the
+  * IDCT — stated contract, spec'd against the JDK decoder with a
+  * chroma-constant fixture where every conforming upsampler is
+  * exact). Grayscale scans are non-interleaved, so declared sampling
+  * factors are ignored per spec (MCU = one data unit). 8-bit
   * quantization tables, interleaved single scan. Restart intervals
   * handled; progressive/arithmetic/hierarchical rejected.
   */
@@ -155,14 +162,21 @@ object JpegRaster {
     val compQ = new Array[Int](3)
     val compDc = new Array[Int](3)
     val compAc = new Array[Int](3)
+    val compH = new Array[Int](3)
+    val compV = new Array[Int](3)
     var restartInterval = 0
     var i = 2
     var sosAt = -1
     while (sosAt < 0) {
       if (i + 4 > b.length) return null
       if ((b(i) & 0xff) != 0xff) return null
+      // B.1.1.2: a marker may be preceded by any number of 0xFF fill
+      // bytes — skip the run so the code byte is the first non-0xFF
+      while (i + 4 <= b.length && (b(i + 1) & 0xff) == 0xff) i += 1
+      if (i + 4 > b.length) return null
       val m = b(i + 1) & 0xff
-      if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7)) { i += 2 }
+      // standalone (length-less) markers: SOI, RSTn, and TEM (0x01)
+      if (m == 0xd8 || m == 0x01 || (m >= 0xd0 && m <= 0xd7)) { i += 2 }
       else if (m == 0xd9) return null // EOI before SOS
       else {
         val len = u16(b, i + 2)
@@ -206,7 +220,11 @@ object JpegRaster {
             var c = 0
             while (c < nc) {
               val hv = b(seg + 7 + 3 * c) & 0xff
-              if (hv != 0x11) return null // 4:4:4 / gray only
+              compH(c) = hv >> 4; compV(c) = hv & 0x0f
+              if (compH(c) < 1 || compH(c) > 2 ||
+                compV(c) < 1 || compV(c) > 2) return null
+              // chroma must be 1x1 (4:4:4 / 4:2:2 / 4:4:0 / 4:2:0)
+              if (c > 0 && (compH(c) != 1 || compV(c) != 1)) return null
               compQ(c) = b(seg + 8 + 3 * c) & 0x0f
               c += 1
             }
@@ -237,14 +255,74 @@ object JpegRaster {
       c += 1
     }
 
-    val bw = (w + 7) / 8
-    val bh = (h + 7) / 8
+    // MCU geometry: grayscale scans are NON-interleaved, so the MCU is
+    // one data unit and declared sampling factors are ignored (spec
+    // A.2); color MCUs are h0*v0 luma blocks + 1 Cb + 1 Cr
+    val h0 = if (nc == 1) 1 else compH(0)
+    val v0 = if (nc == 1) 1 else compV(0)
+    val mcuW = 8 * h0; val mcuH = 8 * v0
+    val bw = (w + mcuW - 1) / mcuW
+    val bh = (h + mcuH - 1) / mcuH
     val r = new BitReader(b, sosAt)
     val pred = new Array[Int](3)
     val coef = new Array[Int](64)
-    val block = Array.ofDim[Int](3, 64)
+    val tmp = new Array[Double](64)
+    val lumaB = Array.ofDim[Int](h0 * v0, 64)
+    val cbB = new Array[Int](64)
+    val crB = new Array[Int](64)
     var sumR = 0L; var sumG = 0L; var sumB = 0L
     val hist = new Array[Long](8)
+
+    // one entropy-coded block of component c: Huffman + dequant + IDCT
+    def decodeBlock(c: Int, out: Array[Int]): Unit = {
+      java.util.Arrays.fill(coef, 0)
+      val t = r.decode(dcT(compDc(c)))
+      if (t > 11) throw new SubsetReject
+      val diff = extend(r.bits(t), t)
+      pred(c) += diff
+      coef(0) = pred(c) * qt(compQ(c))(0)
+      var k = 1
+      var eob = false
+      while (k < 64 && !eob) {
+        val rs = r.decode(acT(compAc(c)))
+        val run = rs >> 4; val size = rs & 0x0f
+        if (size == 0) {
+          if (run == 15) k += 16 else eob = true
+        } else {
+          k += run
+          if (k > 63) throw new SubsetReject
+          coef(Zigzag(k)) = extend(r.bits(size), size) * qt(compQ(c))(Zigzag(k))
+          k += 1
+        }
+      }
+      // 2-D IDCT (separable, StrictMath-stable doubles)
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          var s = 0.0
+          var u = 0
+          while (u < 8) {
+            var v = 0
+            while (v < 8) {
+              val f = coef(v * 8 + u)
+              if (f != 0) s += Cos(u)(x) * Cos(v)(y) * f
+              v += 1
+            }
+            u += 1
+          }
+          tmp(y * 8 + x) = s / 4.0
+          x += 1
+        }
+        y += 1
+      }
+      var p = 0
+      while (p < 64) {
+        out(p) = clamp(Math.round(tmp(p)).toInt + 128)
+        p += 1
+      }
+    }
+
     var mcu = 0
     val nMcu = bw * bh
     while (mcu < nMcu) {
@@ -255,74 +333,28 @@ object JpegRaster {
         r.skipMarker()
         java.util.Arrays.fill(pred, 0)
       }
-      var c = 0
-      while (c < nc) {
-        java.util.Arrays.fill(coef, 0)
-        val t = r.decode(dcT(compDc(c)))
-        if (t > 11) throw new SubsetReject
-        val diff = extend(r.bits(t), t)
-        pred(c) += diff
-        coef(0) = pred(c) * qt(compQ(c))(0)
-        var k = 1
-        var eob = false
-        while (k < 64 && !eob) {
-          val rs = r.decode(acT(compAc(c)))
-          val run = rs >> 4; val size = rs & 0x0f
-          if (size == 0) {
-            if (run == 15) k += 16 else eob = true
-          } else {
-            k += run
-            if (k > 63) throw new SubsetReject
-            coef(Zigzag(k)) = extend(r.bits(size), size) * qt(compQ(c))(Zigzag(k))
-            k += 1
-          }
-        }
-        // 2-D IDCT (separable, StrictMath-stable doubles)
-        val tmp = new Array[Double](64)
-        var y = 0
-        while (y < 8) {
-          var x = 0
-          while (x < 8) {
-            var s = 0.0
-            var u = 0
-            while (u < 8) {
-              var v = 0
-              while (v < 8) {
-                val f = coef(v * 8 + u)
-                if (f != 0) s += Cos(u)(x) * Cos(v)(y) * f
-                v += 1
-              }
-              u += 1
-            }
-            tmp(y * 8 + x) = s / 4.0
-            x += 1
-          }
-          y += 1
-        }
-        var p = 0
-        while (p < 64) {
-          block(c)(p) = clamp(Math.round(tmp(p)).toInt + 128)
-          p += 1
-        }
-        c += 1
-      }
-      // accumulate pixels of this MCU inside the image bounds
+      // luma blocks raster-ordered within the MCU, then Cb, then Cr
+      var lb = 0
+      while (lb < h0 * v0) { decodeBlock(0, lumaB(lb)); lb += 1 }
+      if (nc == 3) { decodeBlock(1, cbB); decodeBlock(2, crB) }
+      // accumulate pixels of this MCU inside the image bounds;
+      // chroma upsamples NEAREST: sample (xx/h0, yy/v0) covers the cell
       val bx = mcu % bw; val by = mcu / bw
       var yy = 0
-      while (yy < 8) {
-        val py = by * 8 + yy
+      while (yy < mcuH) {
+        val py = by * mcuH + yy
         if (py < h) {
           var xx = 0
-          while (xx < 8) {
-            val px = bx * 8 + xx
+          while (xx < mcuW) {
+            val px = bx * mcuW + xx
             if (px < w) {
-              val p = yy * 8 + xx
+              val yv = lumaB((yy >> 3) * h0 + (xx >> 3))((yy & 7) * 8 + (xx & 7))
               var pr = 0; var pg = 0; var pb = 0
-              if (nc == 1) { pr = block(0)(p); pg = pr; pb = pr }
+              if (nc == 1) { pr = yv; pg = yv; pb = yv }
               else {
-                val yv = block(0)(p)
-                val cb = block(1)(p) - 128
-                val cr = block(2)(p) - 128
+                val ci = (yy / v0) * 8 + (xx / h0)
+                val cb = cbB(ci) - 128
+                val cr = crB(ci) - 128
                 pr = clamp(Math.round(yv + 1.402 * cr).toInt)
                 pg = clamp(Math.round(yv - 0.344136 * cb - 0.714136 * cr).toInt)
                 pb = clamp(Math.round(yv + 1.772 * cb).toInt)

@@ -67,6 +67,9 @@ object TiffRaster {
     val n = u16(ifd.toInt)
     val base = ifd.toInt + 2
     if (base + 12 * n + 4 > b.length) return null
+    // single-IFD contract: a non-zero next-IFD pointer means a
+    // multi-page file — reject rather than silently decode page one
+    if (u32(base + 12 * n) != 0L) return null
 
     // one IFD entry's value list as longs (SHORT=3 or LONG=4 only)
     def values(entry: Int): Array[Long] = {
@@ -124,6 +127,9 @@ object TiffRaster {
     if (offsets == null || counts == null ||
       offsets.length != counts.length) return null
     if (rps <= 0) return null
+    // tag 278 default is "all rows in one strip" (spec: 2^32-1); clamp
+    // to h so the ceiling division below can't overflow Long.MaxValue
+    if (rps > h) rps = h
 
     val rowBytes = w * spp
     val nStrips = ((h + rps - 1) / rps).toInt

@@ -206,6 +206,14 @@ object ArrowIpc {
         require(sparkSchema(vroot.getSchema) == expected,
           s"arrow schema mismatch in $file: ${vroot.getSchema}")
         val nCols = expected.length
+        // close on task completion, not only on iterator exhaustion: an
+        // early-terminated scan (limit) would otherwise leak the HDFS
+        // stream and allocator memory for the executor's lifetime
+        var closed = false
+        def closeAll(): Unit =
+          if (!closed) { closed = true; reader.close(); alloc.close() }
+        val tc = org.apache.spark.TaskContext.get()
+        if (tc != null) tc.addTaskCompletionListener[Unit](_ => closeAll())
         new Iterator[Row] {
           private var i = 0
           private var n = 0
@@ -215,7 +223,7 @@ object ArrowIpc {
               if (reader.loadNextBatch()) { n = vroot.getRowCount; i = 0 }
               else {
                 done = true
-                reader.close(); alloc.close()
+                closeAll()
               }
             }
           def hasNext: Boolean = { advance(); !done }

@@ -72,11 +72,18 @@ object ZstdJsonl {
         val in = p.getFileSystem(conf.value).open(p)
         val r = new BufferedReader(new InputStreamReader(
           new ZstdInputStream(in), UTF_8))
+        // close on task completion too: an early-terminated scan (limit)
+        // never exhausts the iterator and would leak the stream
+        var closed = false
+        def closeAll(): Unit =
+          if (!closed) { closed = true; r.close(); in.close() }
+        val tc = org.apache.spark.TaskContext.get()
+        if (tc != null) tc.addTaskCompletionListener[Unit](_ => closeAll())
         new Iterator[String] {
           private var nextLine = r.readLine()
           def hasNext: Boolean = {
             val h = nextLine != null
-            if (!h) { r.close(); in.close() }
+            if (!h) closeAll()
             h
           }
           def next(): String = {

@@ -178,6 +178,110 @@ class JpegRasterSpec extends AnyFunSuite {
     assert(row.getLong(6) == 64L * 239)
   }
 
+  // hand-built 4:2:0 color stream: luma 2x2 sampling, chroma 1x1,
+  // DC-only blocks (exact closed form, q0 = 8 so value = 128 + diff)
+  private def handJpeg420(wPx: Int, hPx: Int): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    def hexw(s: String): Unit =
+      bos.write(s.grouped(2).map(Integer.parseInt(_, 16)).toArray.map(_.toByte))
+    hexw("FFD8")
+    hexw("FFDB004300" + "08" + "10" * 63)
+    // SOF0: 3 components, luma 2x2, chroma 1x1 — 4:2:0
+    hexw("FFC00011" + "08" + f"$hPx%04X" + f"$wPx%04X" + "03" +
+      "012200" + "021100" + "031100")
+    hexw("FFC40014" + "00" + "0001" + "00" * 14 + "06")
+    hexw("FFC40014" + "10" + "00" * 7 + "01" + "00" * 8 + "00")
+    hexw("FFDA000C" + "03" + "0100" + "0200" + "0300" + "00" + "3F" + "00")
+    // one MCU: 4 luma blocks (diff chain +40,-40,+40,-40 ->
+    // 168,128,168,128 quadrants), Cb +40 -> 168, Cr -40 -> 88
+    Seq(40, -40, 40, -40, 40, -40).foreach { d =>
+      bos.write(if (d >= 0) d else d + 63); bos.write(0)
+    }
+    hexw("FFD9")
+    bos.toByteArray
+  }
+
+  // closed-form RGB for (Y, cb=168, cr=88)
+  private def rgb420(yv: Int): (Long, Long, Long) = (
+    math.round(yv + 1.402 * (88 - 128)),
+    math.round(yv - 0.344136 * (168 - 128) - 0.714136 * (88 - 128)),
+    math.round(yv + 1.772 * (168 - 128)))
+
+  test("hand-built 4:2:0 stream: quadrant luma + constant chroma, exact") {
+    val row = JpegRaster.parse(handJpeg420(16, 16))
+    assert(row != null && row.getInt(0) == 3)
+    assert(row.getInt(1) == 16 && row.getInt(2) == 16)
+    val (rA, gA, bA) = rgb420(168)
+    val (rB, gB, bB) = rgb420(128)
+    assert(row.getLong(4) == 128 * rA + 128 * rB)
+    assert(row.getLong(5) == 128 * gA + 128 * gB)
+    assert(row.getLong(6) == 128 * bA + 128 * bB)
+  }
+
+  test("4:2:0 edge cropping counts only in-bounds pixels per luma block") {
+    // 12x12 inside a single 16x16 MCU: TL block contributes 8x8 = 64 px
+    // (Y=168), TR 4x8 = 32 (Y=128), BL 8x4 = 32 (Y=168), BR 4x4 = 16
+    // (Y=128) — block PLACEMENT matters here, not just totals
+    val row = JpegRaster.parse(handJpeg420(12, 12))
+    assert(row != null && row.getLong(3) == 144L)
+    val (rA, _, _) = rgb420(168)
+    val (rB, _, _) = rgb420(128)
+    assert(row.getLong(4) == 96 * rA + 48 * rB)
+  }
+
+  private def sofSampling(bytes: Array[Byte]): Int = {
+    // first luma H/V nibble byte inside SOF0 (skip to marker 0xC0)
+    var i = 2
+    while (!((bytes(i) & 0xff) == 0xff && (bytes(i + 1) & 0xff) == 0xc0))
+      i += 1
+    bytes(i + 11) & 0xff
+  }
+
+  test("JDK-encoded 4:2:0 color JPEG with constant chroma matches the JDK decoder") {
+    // gray-content RGB image: Cb = Cr = 128 everywhere, so the
+    // upsampling filter choice (our nearest vs the JDK's fancy) cannot
+    // differ — only the ISO IDCT bound separates two decoders
+    val w = 32; val h = 24
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = (x * 7 + y * 11) % 256
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val bytes = jdkJpeg(img)
+    assert(sofSampling(bytes) == 0x22,
+      "fixture must actually be 4:2:0 (JDK default for color)")
+    val row = JpegRaster.parse(bytes)
+    assert(row != null && row.getInt(0) == 3)
+    assert(row.getInt(1) == w && row.getInt(2) == h)
+    val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    var sR = 0L; var sG = 0L; var sB = 0L
+    for (y <- 0 until h; x <- 0 until w) {
+      val p = ref.getRGB(x, y)
+      sR += (p >> 16) & 0xff; sG += (p >> 8) & 0xff; sB += p & 0xff
+    }
+    val n = w.toLong * h
+    assert(math.abs(row.getLong(4) - sR) <= 2 * n)
+    assert(math.abs(row.getLong(5) - sG) <= 2 * n)
+    assert(math.abs(row.getLong(6) - sB) <= 2 * n)
+  }
+
+  test("JDK-encoded constant-color 4:2:0 decodes to the flat color") {
+    val w = 16; val h = 16
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, (200 << 16) | (80 << 8) | 40)
+    val bytes = jdkJpeg(img)
+    assert(sofSampling(bytes) == 0x22)
+    val row = JpegRaster.parse(bytes)
+    assert(row != null)
+    val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    val p = ref.getRGB(3, 3)
+    val n = w.toLong * h
+    assert(math.abs(row.getLong(4) - n * ((p >> 16) & 0xff)) <= 2 * n)
+    assert(math.abs(row.getLong(5) - n * ((p >> 8) & 0xff)) <= 2 * n)
+    assert(math.abs(row.getLong(6) - n * (p & 0xff)) <= 2 * n)
+  }
+
   test("interpreted eval and codegen agree on the expression path") {
     val bytes = dcOnly(1, 1, Seq(40))
     val df = Seq(Tuple1(bytes)).toDF("payload")
@@ -188,6 +292,26 @@ class JpegRasterSpec extends AnyFunSuite {
     assert(r.getLong(3) == 64L * 168)
   }
 
+  test("fill bytes and TEM in the marker walk are legal (B.1.1.2)") {
+    val img = gray(16, 8, (x, y) => (x * 9 + y * 5) % 256)
+    val bytes = jdkJpeg(img)
+    val base = JpegRaster.parse(bytes)
+    assert(base != null)
+    // 0xFF fill-byte run before a marker: splice FF FF after SOI so the
+    // next segment reads as <fill><fill><real marker>
+    val fill = Array[Byte](0xff.toByte, 0xff.toByte)
+    val filled = bytes.take(2) ++ fill ++ bytes.drop(2)
+    val f = JpegRaster.parse(filled)
+    assert(f != null, "fill bytes before a marker must not reject")
+    assert(f.getLong(4) == base.getLong(4))
+    // TEM (0xFF01) is standalone and length-less — must skip cleanly
+    val tem = bytes.take(2) ++
+      Array[Byte](0xff.toByte, 0x01.toByte) ++ bytes.drop(2)
+    val t = JpegRaster.parse(tem)
+    assert(t != null, "TEM marker must not be parsed as length-bearing")
+    assert(t.getLong(4) == base.getLong(4))
+  }
+
   test("subset boundaries return null, never misread") {
     val good = dcOnly(2, 1, Seq(40, -40))
     // progressive flagged (SOF2)
@@ -195,19 +319,20 @@ class JpegRasterSpec extends AnyFunSuite {
     val sofAt = good.indexOfSlice(Seq(0xff.toByte, 0xc0.toByte))
     prog(sofAt + 1) = 0xc2.toByte
     assert(JpegRaster.parse(prog) == null)
-    // 4:2:0 sampling flagged
-    val sub = good.clone(); sub(sofAt + 12) = 0x22.toByte
+    // sampling factor beyond 2 flagged (3x1 luma)
+    val sub = good.clone(); sub(sofAt + 12) = 0x31.toByte
     assert(JpegRaster.parse(sub) == null)
+    // subsampled CHROMA flagged (luma 2x2 + chroma 2x2 is out of subset)
+    val badChroma = handJpeg420(16, 16)
+    val sof420 = badChroma.indexOfSlice(Seq(0xff.toByte, 0xc0.toByte))
+    badChroma(sof420 + 14) = 0x22.toByte // component 2 H/V
+    assert(JpegRaster.parse(badChroma) == null)
     // 16-bit quant table flagged
     val dqtAt = good.indexOfSlice(Seq(0xff.toByte, 0xdb.toByte))
     val q16 = good.clone(); q16(dqtAt + 4) = 0x10.toByte
     assert(JpegRaster.parse(q16) == null)
     // truncated entropy data
     assert(JpegRaster.parse(good.dropRight(4)) == null)
-    // JDK color JPEG is 4:2:0 -> stated subset boundary, loud null
-    val cimg = new BufferedImage(16, 16, BufferedImage.TYPE_INT_RGB)
-    for (y <- 0 until 16; x <- 0 until 16) cimg.setRGB(x, y, x * 16 + y)
-    assert(JpegRaster.parse(jdkJpeg(cimg)) == null)
     assert(JpegRaster.parse(null) == null)
     assert(JpegRaster.parse(Array[Byte](1, 2, 3)) == null)
   }

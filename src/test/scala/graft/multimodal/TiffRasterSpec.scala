@@ -147,6 +147,31 @@ class TiffRasterSpec extends AnyFunSuite {
     assert(r.getLong(3) == (0 until 6).map(_ * 30L).sum)
   }
 
+  test("missing RowsPerStrip defaults to all-rows-in-one-strip") {
+    // tag 278 is optional; the spec default is effectively "one strip".
+    // Overwrite the 278 entry with an ignored tag (296 ResolutionUnit)
+    // so the fixture omits it — decode must match the explicit form.
+    val px = (p: Int) => (p * 13 + 5) % 256
+    val explicitRps = handTiff(5, 3, px, bigEndian = false, 3)
+    val noRps = explicitRps.clone()
+    val at278 = 8 + 2 + 7 * 12 // entry index 7 = tag 278
+    noRps(at278) = (296 & 0xff).toByte; noRps(at278 + 1) = (296 >> 8).toByte
+    val a = TiffRaster.parse(explicitRps)
+    val b = TiffRaster.parse(noRps)
+    assert(a != null && b != null,
+      "single-strip TIFF without RowsPerStrip must decode")
+    for (i <- 4 to 6) assert(a.getLong(i) == b.getLong(i))
+  }
+
+  test("multi-IFD (non-zero next-IFD pointer) rejects, never page-one-only") {
+    val good = handTiff(4, 4, p => p, bigEndian = false, 4)
+    assert(TiffRaster.parse(good) != null)
+    val multi = good.clone()
+    val nextIfdAt = 8 + 2 + 9 * 12
+    multi(nextIfdAt) = 8.toByte // pretend a second IFD exists
+    assert(TiffRaster.parse(multi) == null)
+  }
+
   test("subset boundaries return null, never misread") {
     val good = handTiff(4, 4, p => p, bigEndian = false, 4)
     // LZW-compressed flagged

@@ -77,16 +77,11 @@ object QueriesR13 {
     * oracle additionally pins.
     */
   def graphPpr(s: SparkSession, dir: String): DataFrame = {
-    val li = t(s, dir, "lineitem")
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
-    val edges = li.select(col("l_orderkey"), col("l_partkey").as("src"))
-      .join(li.select(col("l_orderkey"), col("l_partkey").as("dst")),
-        Seq("l_orderkey"))
-      .filter(col("src") < col("dst"))
-      .select(col("src"), col("dst"))
     val seeds = t(s, dir, "part").filter(col("p_size") === 50)
       .select(col("p_partkey").as("node"))
-    graft.operators.Graph.personalizedPageRank(edges, seeds, iterations = 3)
+    // staged directed table (r9, the graphPagerank rationale)
+    graft.operators.Graph.personalizedPageRankOnDir(
+        QueriesR6.coPurchaseDir(s, dir), seeds, iterations = 3)
       .orderBy(col("ppr_ppm").desc, col("node"))
       .limit(500)
   }
@@ -434,12 +429,12 @@ object QueriesR13 {
     * co-purchase graph, 3 normalized power-iteration rounds, top 500 —
     * which parts sit at the hub of the hub parts.
     */
-  def graphEigenvector(s: SparkSession, dir: String): DataFrame = {
-    val edges = QueriesR6.coPurchaseEdges(s, dir)
-    graft.operators.Graph.eigenvectorCentrality(edges, iterations = 3)
+  def graphEigenvector(s: SparkSession, dir: String): DataFrame =
+    // staged directed table (r9, the graphPagerank rationale)
+    graft.operators.Graph.eigenvectorCentralityOnDir(
+        QueriesR6.coPurchaseDir(s, dir), iterations = 3)
       .orderBy(col("ev_ppm").desc, col("node"))
       .limit(500)
-  }
 
   /** X33: streaming log-rank monitor (see
     * [[graft.streaming.Streams.streamingLogRank]]) — R132 maintained
@@ -510,7 +505,9 @@ object QueriesR13 {
     */
   def graphModularity(s: SparkSession, dir: String): DataFrame = {
     val edges = QueriesR6.coPurchaseEdges(s, dir)
-    val labels = graft.operators.Graph.labelPropagation(edges, iterations = 3)
+    // labels off the staged directed table (r9; identical labels)
+    val labels = graft.operators.Graph.labelPropagationOnDir(
+      QueriesR6.coPurchaseDir(s, dir), iterations = 3)
     graft.operators.Graph.modularity(edges, labels)
       .orderBy(col("lbl"))
   }

@@ -519,13 +519,22 @@ object QueriesR16 {
         java.nio.file.Files.createDirectories(mdir)
         val n = t(s, dir, "nation").select(col("n_nationkey"),
           col("n_name"), col("n_regionkey").cast("string").as("rk"))
+        // nested columns (r9): a struct and a list derived from the
+        // row's FINAL values ride every data file — the reader maps the
+        // metadata's nested type JSON and the gate projects them flat
+        def nest(df: DataFrame): DataFrame = df
+          .withColumn("meta", struct(col("n_name").as("nm"),
+            length(col("n_name")).cast("long").as("ln")))
+          .withColumn("arr",
+            array(col("n_nationkey"), col("n_nationkey") * 2 + 1))
         val rks = (0 until 5).map(_.toString)
         // each data file written key-sorted so POSITIONAL delete rows
         // (file, pos) address deterministic records
         val files = rks.map { r =>
           val rel = t0.resolve(s"data/rk=$r/f0.parquet")
           writeSingleParquet(
-            n.filter(col("rk") === r).drop("rk").orderBy(col("n_nationkey")), rel)
+            nest(n.filter(col("rk") === r).drop("rk")
+              .orderBy(col("n_nationkey"))), rel)
           r -> rel.toString
         }
         val m1 = mdir.resolve("m1.avro")
@@ -536,8 +545,8 @@ object QueriesR16 {
         // snapshot 20: renumber region 0's nations by +1000
         val repl = t0.resolve("data/rk=0/f1.parquet")
         writeSingleParquet(
-          n.filter(col("rk") === "0").drop("rk")
-            .withColumn("n_nationkey", col("n_nationkey") + 1000L),
+          nest(n.filter(col("rk") === "0").drop("rk")
+            .withColumn("n_nationkey", col("n_nationkey") + 1000L)),
           repl)
         val m2 = mdir.resolve("m2.avro")
         writeManifest(m2, Seq("rk"),
@@ -567,6 +576,12 @@ object QueriesR16 {
         writeManifestList(ml3, Seq(m3))
         writeMetadataJson(mdir.resolve("v1.metadata.json"),
           Seq(("n_nationkey", "long", true), ("n_name", "string", false),
+            ("meta", """{"type": "struct", "fields": [""" +
+              """{"id": 101, "name": "nm", "required": false, "type": "string"}, """ +
+              """{"id": 102, "name": "ln", "required": false, "type": "long"}]}""",
+              false),
+            ("arr", """{"type": "list", "element-id": 103, """ +
+              """"element": "long", "element-required": false}""", false),
             ("rk", "string", false)),
           Seq("rk"), Seq(10L -> ml1, 20L -> ml2, 30L -> ml3))
         t0.toString
@@ -581,6 +596,10 @@ object QueriesR16 {
     */
   def icebergRoundtrip(s: SparkSession, dir: String): DataFrame =
     graft.sources.IcebergCatalog.read(s, buildIcebergTable(s, dir))
+      .select(col("n_nationkey"), col("n_name"),
+        col("meta.nm").as("meta_nm"), col("meta.ln").as("meta_ln"),
+        element_at(col("arr"), 1).as("arr0"),
+        element_at(col("arr"), 2).as("arr1"), col("rk"))
       .orderBy(col("n_nationkey"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -822,14 +841,19 @@ object QueriesR16 {
         |  CAST(s_nationkey % 5 AS VARCHAR) AS bucket
         |FROM supplier ORDER BY s_suppkey""".stripMargin,
     "iceberg_roundtrip" ->
-      """SELECT CASE WHEN n_regionkey = 0 THEN n_nationkey + 1000
-        |       ELSE n_nationkey END AS n_nationkey,
-        |  n_name, CAST(n_regionkey AS VARCHAR) AS rk
-        |FROM nation
-        |WHERE NOT (n_regionkey = 1 AND n_nationkey =
-        |    (SELECT MIN(n_nationkey) FROM nation WHERE n_regionkey = 1))
-        |  AND n_name <> (SELECT n_name FROM nation WHERE n_nationkey = 14)
-        |ORDER BY n_nationkey""".stripMargin,
+      """WITH fin AS (
+        |  SELECT CASE WHEN n_regionkey = 0 THEN n_nationkey + 1000
+        |         ELSE n_nationkey END AS n_nationkey,
+        |    n_name, CAST(n_regionkey AS VARCHAR) AS rk
+        |  FROM nation
+        |  WHERE NOT (n_regionkey = 1 AND n_nationkey =
+        |      (SELECT MIN(n_nationkey) FROM nation WHERE n_regionkey = 1))
+        |    AND n_name <> (SELECT n_name FROM nation WHERE n_nationkey = 14)
+        |)
+        |SELECT n_nationkey, n_name,
+        |  n_name AS meta_nm, CAST(length(n_name) AS BIGINT) AS meta_ln,
+        |  n_nationkey AS arr0, n_nationkey * 2 + 1 AS arr1, rk
+        |FROM fin ORDER BY n_nationkey""".stripMargin,
     "q_union_evolve" ->
       """SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 2 = 0
         |UNION ALL BY NAME

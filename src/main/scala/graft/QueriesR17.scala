@@ -499,11 +499,23 @@ object QueriesR17 {
             .select(col("doc_id"), col("source"),
               length(col("text")).cast("long").as("n_chars"),
               when(col("doc_id") % 7 === 0, lit(null).cast("string"))
-                .otherwise(col("source")).as("source_alt"))
+                .otherwise(col("source")).as("source_alt"),
+              // nested columns (r9): a struct and an array ride the
+              // container and are projected back flat after the read,
+              // so the hash compare witnesses the nested encoding
+              struct(col("source").as("nm"),
+                length(col("text")).cast("long").as("ln")).as("meta"),
+              array(col("doc_id"),
+                length(col("text")).cast("long")).as("arr"))
             .repartition(4), out)
         out
       })
-    graft.sources.AvroTable.read(s, root).orderBy(col("doc_id"))
+    graft.sources.AvroTable.read(s, root)
+      .select(col("doc_id"), col("source"), col("n_chars"), col("source_alt"),
+        col("meta.nm").as("meta_nm"), col("meta.ln").as("meta_ln"),
+        element_at(col("arr"), 1).as("arr0"),
+        element_at(col("arr"), 2).as("arr1"))
+      .orderBy(col("doc_id"))
   }
 
   /** X48: CDC apply over the NETWORK bus — X44's exact fixture with the
@@ -747,7 +759,9 @@ object QueriesR17 {
          |ORDER BY a.vec_id""".stripMargin,
     "avro_roundtrip" ->
       """SELECT doc_id, source, CAST(length(text) AS BIGINT) AS n_chars,
-        |  CASE WHEN doc_id % 7 = 0 THEN NULL ELSE source END AS source_alt
+        |  CASE WHEN doc_id % 7 = 0 THEN NULL ELSE source END AS source_alt,
+        |  source AS meta_nm, CAST(length(text) AS BIGINT) AS meta_ln,
+        |  doc_id AS arr0, CAST(length(text) AS BIGINT) AS arr1
         |FROM documents ORDER BY doc_id""".stripMargin,
     "stream_socket_cdc" -> Queries.sqlCdc("cdc_merge"),
     "stream_socket_bus" ->

@@ -77,11 +77,23 @@ object QueriesR18 {
             .select(col("doc_id"), col("lang"),
               col("n_chars").cast("long").as("n_chars"),
               when(col("doc_id") % 5 === 0, lit(null).cast("string"))
-                .otherwise(col("lang")).as("lang_alt"))
+                .otherwise(col("lang")).as("lang_alt"),
+              // nested columns (r9): a struct and a list ride the IPC
+              // file and project back flat after the read, so the hash
+              // compare witnesses the nested encoding
+              struct(col("lang").as("nm"),
+                col("n_chars").cast("long").as("ln")).as("meta"),
+              array(col("doc_id"),
+                col("n_chars").cast("long")).as("arr"))
             .repartition(4), out)
         out
       })
-    graft.sources.ArrowIpc.read(s, root).orderBy(col("doc_id"))
+    graft.sources.ArrowIpc.read(s, root)
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("lang_alt"),
+        col("meta.nm").as("meta_nm"), col("meta.ln").as("meta_ln"),
+        element_at(col("arr"), 1).as("arr0"),
+        element_at(col("arr"), 2).as("arr1"))
+      .orderBy(col("doc_id"))
   }
 
   /** D23: DSIR-style data selection via importance resampling (Xie et
@@ -923,6 +935,8 @@ object QueriesR18 {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "arrow_roundtrip" ->
       """SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
-        |  CASE WHEN doc_id % 5 = 0 THEN NULL ELSE lang END AS lang_alt
+        |  CASE WHEN doc_id % 5 = 0 THEN NULL ELSE lang END AS lang_alt,
+        |  lang AS meta_nm, CAST(n_chars AS BIGINT) AS meta_ln,
+        |  doc_id AS arr0, CAST(n_chars AS BIGINT) AS arr1
         |FROM documents ORDER BY doc_id""".stripMargin)
 }

@@ -129,14 +129,34 @@ object Graph {
     *                   rank separation, cheap enough for a CTE oracle)
     * @return (node, pr_ppm) after `iterations` rounds
     */
-  def pageRank(edges: DataFrame, iterations: Int): DataFrame = {
-    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+  /** Canonical DOUBLED directed table of an undirected simple graph —
+    * the shared prelude of the iterative operators: least/greatest
+    * canonicalization, self-loop drop, dedup, both directions, eager
+    * checkpoint (consumed once per round). The `*OnDir` entry points
+    * accept this shape directly so a STAGED graph (one canonicalization
+    * per process, the r7/r9 staging posture) skips the per-gate
+    * re-canonicalization shuffle — on canonical input it is a no-op
+    * dedup, but never a free one.
+    */
+  private def canonDir(edges: DataFrame): DataFrame = {
     val und = edges.select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .filter(col("a") =!= col("b")).distinct()
-    val dir = und.select(col("a").as("src"), col("b").as("dst"))
+    und.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(und.select(col("b").as("src"), col("a").as("dst")))
-      .ckpt // consumed once per iteration
+      .ckpt
+  }
+
+  def pageRank(edges: DataFrame, iterations: Int): DataFrame =
+    pageRankOnDir(canonDir(edges), iterations)
+
+  /** [[pageRank]] over an ALREADY canonical doubled directed table
+    * (both directions present, no self-loops, distinct) — the staged
+    * co-purchase posture; output identical to the raw-edge path by
+    * construction (GraphSpec pins it).
+    */
+  def pageRankOnDir(dir: DataFrame, iterations: Int): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     val deg = dir.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       .withColumnRenamed("src", "node").ckpt
     // Per-round plan: the per-NODE share table (one row per node — pr div
@@ -188,14 +208,15 @@ object Graph {
     * @param seeds one column `node` — the personalization support
     */
   def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
-                           iterations: Int): DataFrame = {
+                           iterations: Int): DataFrame =
+    personalizedPageRankOnDir(canonDir(edges), seeds, iterations)
+
+  /** [[personalizedPageRank]] over an already canonical doubled table
+    * (the staged-graph posture; identical output, GraphSpec-pinned).
+    */
+  def personalizedPageRankOnDir(dir: DataFrame, seeds: DataFrame,
+                                iterations: Int): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
-    val und = edges.select(least(col("src"), col("dst")).as("a"),
-        greatest(col("src"), col("dst")).as("b"))
-      .filter(col("a") =!= col("b")).distinct()
-    val dir = und.select(col("a").as("src"), col("b").as("dst"))
-      .unionAll(und.select(col("b").as("src"), col("a").as("dst")))
-      .ckpt
     val deg = dir.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       .withColumnRenamed("src", "node").ckpt
     // node universe = edge endpoints ∪ seeds: an isolated seed is the
@@ -382,14 +403,14 @@ object Graph {
     *
     * @return (node, lbl) after `iterations` synchronous rounds
     */
-  def labelPropagation(edges: DataFrame, iterations: Int): DataFrame = {
+  def labelPropagation(edges: DataFrame, iterations: Int): DataFrame =
+    labelPropagationOnDir(canonDir(edges), iterations)
+
+  /** [[labelPropagation]] over an already canonical doubled table (the
+    * staged-graph posture; identical output, GraphSpec-pinned).
+    */
+  def labelPropagationOnDir(dir: DataFrame, iterations: Int): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
-    val und = edges.select(least(col("src"), col("dst")).as("a"),
-        greatest(col("src"), col("dst")).as("b"))
-      .filter(col("a") =!= col("b")).distinct()
-    val dir = und.select(col("a").as("src"), col("b").as("dst"))
-      .unionAll(und.select(col("b").as("src"), col("a").as("dst")))
-      .ckpt
     // Same broadcast posture as [[pageRank]]: the label table is one row
     // per node; hinting it into the edge join leaves the histogram
     // aggregate as the round's only full-size shuffle (the dst argmax
@@ -1646,14 +1667,14 @@ object Graph {
     *
     * @return (node, ev_ppm) after `iterations` normalized rounds
     */
-  def eigenvectorCentrality(edges: DataFrame, iterations: Int): DataFrame = {
+  def eigenvectorCentrality(edges: DataFrame, iterations: Int): DataFrame =
+    eigenvectorCentralityOnDir(canonDir(edges), iterations)
+
+  /** [[eigenvectorCentrality]] over an already canonical doubled table
+    * (the staged-graph posture; identical output, GraphSpec-pinned).
+    */
+  def eigenvectorCentralityOnDir(dir: DataFrame, iterations: Int): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
-    val und = edges.select(least(col("src"), col("dst")).as("a"),
-        greatest(col("src"), col("dst")).as("b"))
-      .filter(col("a") =!= col("b")).distinct()
-    val dir = und.select(col("a").as("src"), col("b").as("dst"))
-      .unionAll(und.select(col("b").as("src"), col("a").as("dst")))
-      .ckpt
     // Long fixed-point throughout (the R141 convention): x ∈ [0, 10⁶],
     // so r = Σ_{u~v} x(u) ≤ maxdeg·10⁶ and the normalization product
     // r·10⁶ ≤ maxdeg·10¹² — exact in int64 for max degree up to

@@ -7,6 +7,7 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.arrow.memory.RootAllocator
 import org.apache.arrow.vector._
+import org.apache.arrow.vector.complex.{ListVector, StructVector}
 import org.apache.arrow.vector.ipc.{ArrowFileReader, ArrowFileWriter}
 import org.apache.arrow.vector.types.FloatingPointPrecision
 import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType, Schema => ArrowSchema}
@@ -25,11 +26,12 @@ import org.apache.spark.sql.types._
   * `ArrowFileReader` over a seekable Hadoop-FS channel (batch-at-a-time
   * decode, memory bounded by one batch); WRITE emits one IPC file per
   * partition (4096-row batches) through the Hadoop FileSystem API.
-  * Stated subset, rejected loudly: flat schemas of
-  * boolean/int/long/float/double/string/binary — no nested types,
-  * dictionaries, or extension types. Parallelism is bounded by file
-  * count; the writer's one-file-per-partition layout keeps the two in
-  * step (the Avro F16 contract, same posture).
+  * Stated subset, rejected loudly: schemas of boolean/int/long/float/
+  * double/string/binary plus NESTED structs and lists thereof (r9 —
+  * any depth); no maps, dictionaries, unions, or extension types.
+  * Parallelism is bounded by file count; the writer's
+  * one-file-per-partition layout keeps the two in step (the Avro F16
+  * contract, same posture).
   */
 object ArrowIpc {
 
@@ -37,27 +39,71 @@ object ArrowIpc {
   // launcher normally sets this, sbt/plain-java entrypoints may not.
   System.setProperty("io.netty.tryReflectionSetAccessible", "true")
 
-  /** Arrow schema for a Spark schema — flat primitives only, loud
-    * otherwise.
-    */
-  def arrowSchema(schema: StructType): ArrowSchema = {
-    val fields = schema.fields.map { f =>
-      val t: ArrowType = f.dataType match {
-        case BooleanType => ArrowType.Bool.INSTANCE
-        case IntegerType => new ArrowType.Int(32, true)
-        case LongType => new ArrowType.Int(64, true)
-        case FloatType =>
-          new ArrowType.FloatingPoint(FloatingPointPrecision.SINGLE)
-        case DoubleType =>
-          new ArrowType.FloatingPoint(FloatingPointPrecision.DOUBLE)
-        case StringType => ArrowType.Utf8.INSTANCE
-        case BinaryType => ArrowType.Binary.INSTANCE
-        case other => throw new IllegalArgumentException(
-          s"arrow subset: unsupported Spark type $other for field ${f.name}")
-      }
-      new Field(f.name, new FieldType(f.nullable, t, null), null)
+  private def arrowField(name: String, dt: DataType, nullable: Boolean): Field =
+    dt match {
+      case ArrayType(et, _) =>
+        // list items declare nullable regardless of containsNull: Arrow
+        // Java's ListVector materializes a nullable element vector, so a
+        // non-null item field would not survive the round-trip anyway —
+        // widening is stated contract (a nullable read schema accepts
+        // every value the narrower write schema produced)
+        new Field(name,
+          new FieldType(nullable, ArrowType.List.INSTANCE, null),
+          Seq(arrowField("item", et, nullable = true)).asJava)
+      case st: StructType =>
+        new Field(name,
+          new FieldType(nullable, ArrowType.Struct.INSTANCE, null),
+          st.fields.map(f => arrowField(f.name, f.dataType, f.nullable))
+            .toSeq.asJava)
+      case _ =>
+        val t: ArrowType = dt match {
+          case BooleanType => ArrowType.Bool.INSTANCE
+          case IntegerType => new ArrowType.Int(32, true)
+          case LongType => new ArrowType.Int(64, true)
+          case FloatType =>
+            new ArrowType.FloatingPoint(FloatingPointPrecision.SINGLE)
+          case DoubleType =>
+            new ArrowType.FloatingPoint(FloatingPointPrecision.DOUBLE)
+          case StringType => ArrowType.Utf8.INSTANCE
+          case BinaryType => ArrowType.Binary.INSTANCE
+          case other => throw new IllegalArgumentException(
+            s"arrow subset: unsupported Spark type $other for field $name")
+        }
+        new Field(name, new FieldType(nullable, t, null), null)
     }
-    new ArrowSchema(fields.toSeq.asJava)
+
+  /** Arrow schema for a Spark schema — primitives, structs, and lists;
+    * loud otherwise.
+    */
+  def arrowSchema(schema: StructType): ArrowSchema =
+    new ArrowSchema(schema.fields
+      .map(f => arrowField(f.name, f.dataType, f.nullable)).toSeq.asJava)
+
+  private def sparkType(f: Field): (DataType, Boolean) = {
+    val t = f.getType match {
+      case _: ArrowType.Bool => BooleanType
+      case i: ArrowType.Int if i.getBitWidth == 32 && i.getIsSigned =>
+        IntegerType
+      case i: ArrowType.Int if i.getBitWidth == 64 && i.getIsSigned =>
+        LongType
+      case fp: ArrowType.FloatingPoint
+          if fp.getPrecision == FloatingPointPrecision.SINGLE => FloatType
+      case fp: ArrowType.FloatingPoint
+          if fp.getPrecision == FloatingPointPrecision.DOUBLE => DoubleType
+      case _: ArrowType.Utf8 => StringType
+      case _: ArrowType.Binary => BinaryType
+      case _: ArrowType.List =>
+        val (et, en) = sparkType(f.getChildren.get(0))
+        ArrayType(et, containsNull = en)
+      case _: ArrowType.Struct =>
+        StructType(f.getChildren.asScala.toSeq.map { c =>
+          val (ct, cn) = sparkType(c)
+          StructField(c.getName, ct, cn)
+        })
+      case other => throw new IllegalArgumentException(
+        s"arrow subset: unsupported Arrow type $other (field ${f.getName})")
+    }
+    (t, f.isNullable)
   }
 
   /** Spark schema for an Arrow schema — the inverse mapping, loud on
@@ -65,22 +111,8 @@ object ArrowIpc {
     */
   def sparkSchema(schema: ArrowSchema): StructType =
     StructType(schema.getFields.asScala.toSeq.map { f =>
-      val t = f.getType match {
-        case _: ArrowType.Bool => BooleanType
-        case i: ArrowType.Int if i.getBitWidth == 32 && i.getIsSigned =>
-          IntegerType
-        case i: ArrowType.Int if i.getBitWidth == 64 && i.getIsSigned =>
-          LongType
-        case fp: ArrowType.FloatingPoint
-            if fp.getPrecision == FloatingPointPrecision.SINGLE => FloatType
-        case fp: ArrowType.FloatingPoint
-            if fp.getPrecision == FloatingPointPrecision.DOUBLE => DoubleType
-        case _: ArrowType.Utf8 => StringType
-        case _: ArrowType.Binary => BinaryType
-        case other => throw new IllegalArgumentException(
-          s"arrow subset: unsupported Arrow type $other (field ${f.getName})")
-      }
-      StructField(f.getName, t, f.isNullable)
+      val (t, n) = sparkType(f)
+      StructField(f.getName, t, n)
     })
 
   /** Read-only seekable NIO channel over a Hadoop FS stream — what
@@ -110,6 +142,63 @@ object ArrowIpc {
 
   private val BatchRows = 4096
 
+  /** Recursive cell write: `dt` drives the interpretation, the vector's
+    * own shape drives growth (`setSafe`/`startNewValue`).
+    */
+  private def setCell(v: FieldVector, i: Int, dt: DataType, value: Any): Unit =
+    if (value == null) v match {
+      case fv: BaseFixedWidthVector => fv.setNull(i)
+      case vv: BaseVariableWidthVector => vv.setNull(i)
+      case lv: ListVector => lv.setNull(i)
+      case sv: StructVector => sv.setNull(i)
+      case other => throw new IllegalStateException(
+        s"arrow subset: unexpected vector ${other.getClass}")
+    }
+    else (v, dt) match {
+      case (b: BitVector, _) =>
+        b.setSafe(i, if (value.asInstanceOf[Boolean]) 1 else 0)
+      case (iv: IntVector, _) => iv.setSafe(i, value.asInstanceOf[Int])
+      case (lv: BigIntVector, _) => lv.setSafe(i, value.asInstanceOf[Long])
+      case (f4: Float4Vector, _) => f4.setSafe(i, value.asInstanceOf[Float])
+      case (f8: Float8Vector, _) => f8.setSafe(i, value.asInstanceOf[Double])
+      case (s: VarCharVector, _) =>
+        s.setSafe(i, value.asInstanceOf[String].getBytes("UTF-8"))
+      case (bin: VarBinaryVector, _) =>
+        bin.setSafe(i, value.asInstanceOf[Array[Byte]])
+      case (lv: ListVector, ArrayType(et, _)) =>
+        val seq = value.asInstanceOf[scala.collection.Seq[Any]]
+        val start = lv.startNewValue(i)
+        val dataV = lv.getDataVector.asInstanceOf[FieldVector]
+        var off = start
+        seq.foreach { e => setCell(dataV, off, et, e); off += 1 }
+        lv.endValue(i, seq.length)
+      case (sv: StructVector, st: StructType) =>
+        sv.setIndexDefined(i)
+        val row = value.asInstanceOf[Row]
+        var c = 0
+        while (c < st.length) {
+          setCell(sv.getChildrenFromFields.get(c), i,
+            st.fields(c).dataType, row.get(c))
+          c += 1
+        }
+      case (other, _) => throw new IllegalStateException(
+        s"arrow subset: unexpected vector ${other.getClass} for $dt")
+    }
+
+  /** Recursive cell read: Arrow runtime objects → Spark row values. */
+  private def fromArrow(v: Any, dt: DataType): Any = v match {
+    case null => null
+    case t: org.apache.arrow.vector.util.Text => t.toString
+    case l: java.util.List[_] =>
+      val et = dt.asInstanceOf[ArrayType].elementType
+      l.asScala.map(e => fromArrow(e, et)).toSeq
+    case m: java.util.Map[_, _] =>
+      val st = dt.asInstanceOf[StructType]
+      val mm = m.asInstanceOf[java.util.Map[String, AnyRef]]
+      Row.fromSeq(st.fields.toSeq.map(f => fromArrow(mm.get(f.name), f.dataType)))
+    case other => other
+  }
+
   /** Write `df` as one Arrow IPC file per partition under `dir`
     * (part-NNNNN.arrow), batches of [[BatchRows]].
     */
@@ -137,27 +226,8 @@ object ArrowIpc {
         chunk.foreach { row =>
           var c = 0
           while (c < sparkFields.length) {
-            val v = root.getVector(c)
-            if (row.isNullAt(c)) v.asInstanceOf[FieldVector] match {
-              case fv: BaseFixedWidthVector => fv.setNull(i)
-              case vv: BaseVariableWidthVector => vv.setNull(i)
-              case other => throw new IllegalStateException(
-                s"arrow subset: unexpected vector ${other.getClass}")
-            }
-            else v match {
-              case b: BitVector =>
-                b.setSafe(i, if (row.getBoolean(c)) 1 else 0)
-              case iv: IntVector => iv.setSafe(i, row.getInt(c))
-              case lv: BigIntVector => lv.setSafe(i, row.getLong(c))
-              case f4: Float4Vector => f4.setSafe(i, row.getFloat(c))
-              case f8: Float8Vector => f8.setSafe(i, row.getDouble(c))
-              case s: VarCharVector =>
-                s.setSafe(i, row.getString(c).getBytes("UTF-8"))
-              case bin: VarBinaryVector =>
-                bin.setSafe(i, row.getAs[Array[Byte]](c))
-              case other => throw new IllegalStateException(
-                s"arrow subset: unexpected vector ${other.getClass}")
-            }
+            setCell(root.getVector(c).asInstanceOf[FieldVector], i,
+              sparkFields(c).dataType, if (row.isNullAt(c)) null else row.get(c))
             c += 1
           }
           i += 1
@@ -232,11 +302,8 @@ object ArrowIpc {
             val vals = new Array[Any](nCols)
             var c = 0
             while (c < nCols) {
-              vals(c) = vroot.getVector(c).getObject(i) match {
-                case null => null
-                case t: org.apache.arrow.vector.util.Text => t.toString
-                case v => v
-              }
+              vals(c) = fromArrow(vroot.getVector(c).getObject(i),
+                expected.fields(c).dataType)
               c += 1
             }
             i += 1

@@ -3,9 +3,9 @@ package graft.sources
 import scala.jdk.CollectionConverters._
 
 import org.apache.avro.Schema
-import org.apache.avro.file.{DataFileStream, DataFileWriter}
+import org.apache.avro.file.{DataFileReader, DataFileStream, DataFileWriter, SeekableInput}
 import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
-import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.hadoop.fs.{FSDataInputStream, Path}
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.types._
 
@@ -16,38 +16,51 @@ import org.apache.spark.sql.types._
   * avro-core, which already ships on Spark's classpath (the Iceberg
   * manifest reader uses it — IcebergCatalog.scala:7).
   *
-  * Scale shape: READ parallelizes file-at-a-time — the file list is
-  * driver metadata, each task streams its file through
-  * `DataFileStream` (sequential container-block decode, constant
-  * memory, any codec avro-core knows incl. deflate/null); WRITE emits
-  * one container file per partition through the Hadoop FileSystem API
-  * (works on any Hadoop-compatible FS, not just local disk). Stated
-  * subset, rejected loudly: flat records of the primitive types
-  * (boolean/int/long/float/double/string/bytes) with 2-branch
-  * null unions for nullability — no nested records, arrays, maps,
-  * enums, or logical types; splitting WITHIN a container file (Avro
-  * sync-marker splits) is not implemented, so parallelism is bounded
-  * by file count — the writer's one-file-per-partition layout keeps
-  * the two in step.
+  * Scale shape: READ parallelizes BOTH file-at-a-time and WITHIN a
+  * container (r9): each file is cut into byte ranges and every task
+  * seeks to the first 16-byte sync marker at or after its range start,
+  * reading blocks until it passes the range end — the standard Avro
+  * split contract, so one multi-GB container fans out across the
+  * cluster instead of serializing on one task. WRITE emits one
+  * container file per partition through the Hadoop FileSystem API
+  * (works on any Hadoop-compatible FS, not just local disk).
+  *
+  * Stated subset, rejected loudly: records of the primitive types
+  * (boolean/int/long/float/double/string/bytes) plus NESTED records
+  * and arrays thereof (r9 — any depth), with 2-branch null unions for
+  * nullability at every level; no maps, enums, fixed, or logical
+  * types.
   */
 object AvroTable {
 
-  /** Avro schema (as JSON text) for a Spark schema — flat record of
-    * primitives; nullable fields become [null, T] unions.
+  /** Avro schema (as JSON text) for a Spark schema — records of
+    * primitives, nested records, and arrays; nullable fields/elements
+    * become [null, T] unions. Nested record names derive from the
+    * field path (Avro requires unique names).
     */
-  def avroSchemaJson(schema: StructType, name: String): String = {
-    val fields = schema.fields.map { f =>
-      val base = f.dataType match {
-        case BooleanType => "\"boolean\""
-        case IntegerType => "\"int\""
-        case LongType => "\"long\""
-        case FloatType => "\"float\""
-        case DoubleType => "\"double\""
-        case StringType => "\"string\""
-        case BinaryType => "\"bytes\""
-        case other => throw new IllegalArgumentException(
-          s"avro subset: unsupported Spark type $other for field ${f.name}")
-      }
+  def avroSchemaJson(schema: StructType, name: String): String =
+    recordJson(schema, name)
+
+  private def typeJson(dt: DataType, path: String): String = dt match {
+    case BooleanType => "\"boolean\""
+    case IntegerType => "\"int\""
+    case LongType => "\"long\""
+    case FloatType => "\"float\""
+    case DoubleType => "\"double\""
+    case StringType => "\"string\""
+    case BinaryType => "\"bytes\""
+    case ArrayType(et, containsNull) =>
+      val item = typeJson(et, path + "_item")
+      val items = if (containsNull) s"""["null", $item]""" else item
+      s"""{"type": "array", "items": $items}"""
+    case st: StructType => recordJson(st, path)
+    case other => throw new IllegalArgumentException(
+      s"avro subset: unsupported Spark type $other at $path")
+  }
+
+  private def recordJson(st: StructType, name: String): String = {
+    val fields = st.fields.map { f =>
+      val base = typeJson(f.dataType, name + "_" + f.name)
       val t = if (f.nullable) s"""["null", $base]""" else base
       val dflt = if (f.nullable) """, "default": null""" else ""
       s"""{"name": "${f.name}", "type": $t$dflt}"""
@@ -62,22 +75,29 @@ object AvroTable {
   def sparkSchema(avro: Schema): StructType = {
     require(avro.getType == Schema.Type.RECORD,
       s"avro subset: top-level schema must be a record, got ${avro.getType}")
-    StructType(avro.getFields.asScala.toSeq.map { f =>
-      val (t, nullable) = f.schema().getType match {
-        case Schema.Type.UNION =>
-          val branches = f.schema().getTypes.asScala
-          require(branches.size == 2 &&
-            branches.exists(_.getType == Schema.Type.NULL),
-            s"avro subset: only [null, T] unions (field ${f.name})")
-          val inner = branches.find(_.getType != Schema.Type.NULL).get
-          (primitive(inner, f.name), true)
-        case _ => (primitive(f.schema(), f.name), false)
-      }
-      StructField(f.name, t, nullable)
-    })
+    recordType(avro)
   }
 
-  private def primitive(s: Schema, field: String): DataType = s.getType match {
+  private def recordType(s: Schema): StructType =
+    StructType(s.getFields.asScala.toSeq.map { f =>
+      val (t, nullable) = unwrap(f.schema(), f.name)
+      StructField(f.name, t, nullable)
+    })
+
+  /** Unwrap an optional [null, T] union and map T; (type, nullable). */
+  private def unwrap(s: Schema, field: String): (DataType, Boolean) =
+    s.getType match {
+      case Schema.Type.UNION =>
+        val branches = s.getTypes.asScala
+        require(branches.size == 2 &&
+          branches.exists(_.getType == Schema.Type.NULL),
+          s"avro subset: only [null, T] unions (field $field)")
+        val inner = branches.find(_.getType != Schema.Type.NULL).get
+        (dataType(inner, field), true)
+      case _ => (dataType(s, field), false)
+    }
+
+  private def dataType(s: Schema, field: String): DataType = s.getType match {
     case Schema.Type.BOOLEAN => BooleanType
     case Schema.Type.INT => IntegerType
     case Schema.Type.LONG => LongType
@@ -85,8 +105,59 @@ object AvroTable {
     case Schema.Type.DOUBLE => DoubleType
     case Schema.Type.STRING => StringType
     case Schema.Type.BYTES => BinaryType
+    case Schema.Type.ARRAY =>
+      val (et, en) = unwrap(s.getElementType, field + ".item")
+      ArrayType(et, containsNull = en)
+    case Schema.Type.RECORD => recordType(s)
     case other => throw new IllegalArgumentException(
       s"avro subset: unsupported Avro type $other (field $field)")
+  }
+
+  /** Avro value for a Spark value of `dt` under Avro node `s` (the
+    * non-null branch already selected).
+    */
+  private def toAvro(v: Any, dt: DataType, s: Schema): AnyRef =
+    if (v == null) null
+    else dt match {
+      case BinaryType => java.nio.ByteBuffer.wrap(v.asInstanceOf[Array[Byte]])
+      case ArrayType(et, _) =>
+        val elemS = nonNull(s.getElementType)
+        val out = new java.util.ArrayList[AnyRef]()
+        v.asInstanceOf[scala.collection.Seq[Any]]
+          .foreach(e => out.add(toAvro(e, et, elemS)))
+        out
+      case st: StructType =>
+        val rec = new GenericData.Record(s)
+        val row = v.asInstanceOf[Row]
+        var i = 0
+        while (i < st.length) {
+          rec.put(i, toAvro(row.get(i), st.fields(i).dataType,
+            nonNull(s.getFields.get(i).schema())))
+          i += 1
+        }
+        rec
+      case _ => v.asInstanceOf[AnyRef]
+    }
+
+  private def nonNull(s: Schema): Schema =
+    if (s.getType == Schema.Type.UNION)
+      s.getTypes.asScala.find(_.getType != Schema.Type.NULL).get
+    else s
+
+  /** Spark value for an Avro runtime value of `dt`. */
+  private def fromAvro(v: AnyRef, dt: DataType): Any = v match {
+    case null => null
+    case u: org.apache.avro.util.Utf8 => u.toString
+    case bb: java.nio.ByteBuffer =>
+      val a = new Array[Byte](bb.remaining()); bb.duplicate().get(a); a
+    case l: java.util.List[_] =>
+      val et = dt.asInstanceOf[ArrayType].elementType
+      l.asScala.map(e => fromAvro(e.asInstanceOf[AnyRef], et)).toSeq
+    case r: GenericRecord =>
+      val st = dt.asInstanceOf[StructType]
+      Row.fromSeq(st.fields.indices.map(i =>
+        fromAvro(r.get(i), st.fields(i).dataType)))
+    case other => other
   }
 
   /** Write `df` as one Avro container file per partition under `dir`
@@ -94,7 +165,7 @@ object AvroTable {
     */
   def write(df: DataFrame, dir: String): Unit = {
     val schemaJson = avroSchemaJson(df.schema, "row")
-    val sparkFields = df.schema.fields
+    val schemaDdl = df.schema.toDDL
     val conf = new org.apache.spark.util.SerializableConfiguration(
       df.sparkSession.sparkContext.hadoopConfiguration)
     val out = new Path(dir)
@@ -102,6 +173,7 @@ object AvroTable {
     fs.mkdirs(out)
     df.rdd.mapPartitionsWithIndex { (idx, rows) =>
       val schema = new Schema.Parser().parse(schemaJson)
+      val sparkFields = StructType.fromDDL(schemaDdl).fields
       val p = new Path(dir, f"part-$idx%05d.avro")
       val stream = p.getFileSystem(conf.value).create(p, true)
       val w = new DataFileWriter[GenericRecord](
@@ -112,11 +184,8 @@ object AvroTable {
         val r = new GenericData.Record(schema)
         var i = 0
         while (i < sparkFields.length) {
-          val v = row.get(i)
-          r.put(i, if (v == null) null else sparkFields(i).dataType match {
-            case BinaryType => java.nio.ByteBuffer.wrap(v.asInstanceOf[Array[Byte]])
-            case _ => v
-          })
+          r.put(i, toAvro(row.get(i), sparkFields(i).dataType,
+            nonNull(schema.getFields.get(i).schema())))
           i += 1
         }
         w.append(r)
@@ -127,21 +196,46 @@ object AvroTable {
     }.count(): Unit
   }
 
-  /** Read every part-*.avro under `dir` into a DataFrame: schema from
-    * the first file (all files must agree — checked per-file at read),
-    * one task per file streaming through `DataFileStream`.
+  /** Seekable avro input over a Hadoop FS stream — what
+    * [[DataFileReader]] needs to jump to a byte range's first sync.
     */
-  def read(spark: SparkSession, dir: String): DataFrame = {
+  private final class FsSeekableInput(in: FSDataInputStream, len: Long)
+      extends SeekableInput {
+    override def seek(p: Long): Unit = in.seek(p)
+    override def tell(): Long = in.getPos
+    override def length(): Long = len
+    override def read(b: Array[Byte], off: Int, n: Int): Int = in.read(b, off, n)
+    override def close(): Unit = in.close()
+  }
+
+  /** Byte range a split task reads: blocks whose SYNC starts in
+    * [start, end). 64 MiB default keeps a task's work production-sized;
+    * the spec drops it to force multi-split reads of one container.
+    */
+  private[sources] val DefaultSplitBytes: Long = 64L * 1024 * 1024
+
+  /** Read every part-*.avro under `dir` into a DataFrame: schema from
+    * the first file (all files must agree — checked per-file at read).
+    * Every container is cut into `splitBytes` ranges read in parallel
+    * via the sync-marker contract (r9): `DataFileReader.sync(start)`
+    * skips to the first block boundary at or after the range start and
+    * the task stops once it `pastSync(end)` — each block is read by
+    * exactly one task, so N splits of one file union to exactly the
+    * file's rows.
+    */
+  def read(spark: SparkSession, dir: String,
+           splitBytes: Long = DefaultSplitBytes): DataFrame = {
+    require(splitBytes >= 1, s"splitBytes must be >= 1, got $splitBytes")
     val conf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
     val root = new Path(dir)
     val fs = root.getFileSystem(conf.value)
     val files = fs.listStatus(root).toSeq
       .filter(s => s.isFile && s.getPath.getName.endsWith(".avro"))
-      .map(_.getPath.toString).sorted
+      .map(s => (s.getPath.toString, s.getLen)).sorted
     require(files.nonEmpty, s"no .avro files under $dir")
     val headSchema = {
-      val in = fs.open(new Path(files.head))
+      val in = fs.open(new Path(files.head._1))
       val ds = new DataFileStream[GenericRecord](in,
         new GenericDatumReader[GenericRecord]())
       try ds.getSchema
@@ -149,34 +243,40 @@ object AvroTable {
     }
     val schema = sparkSchema(headSchema)
     val schemaJson = headSchema.toString
+    val splits = files.flatMap { case (f, len) =>
+      (0L until math.max(len, 1L) by splitBytes)
+        .map(off => (f, len, off, math.min(off + splitBytes, len)))
+    }
     val rdd = spark.sparkContext
-      .parallelize(files, math.max(1, files.size))
-      .flatMap { file =>
+      .parallelize(splits, math.max(1, splits.size))
+      .flatMap { case (file, len, start, end) =>
         val expected = new Schema.Parser().parse(schemaJson)
         val p = new Path(file)
         val in = p.getFileSystem(conf.value).open(p)
-        val ds = new DataFileStream[GenericRecord](in,
+        val reader = new DataFileReader[GenericRecord](
+          new FsSeekableInput(in, len),
           new GenericDatumReader[GenericRecord]())
-        require(ds.getSchema == expected,
-          s"avro schema mismatch in $file: ${ds.getSchema} vs $expected")
-        val fields = sparkSchema(ds.getSchema).fields
+        require(reader.getSchema == expected,
+          s"avro schema mismatch in $file: ${reader.getSchema} vs $expected")
+        val fields = sparkSchema(reader.getSchema).fields
+        reader.sync(start)
+        // close on task completion too — a limit scan never exhausts
+        // the iterator (the ArrowIpc r9 contract)
+        var closed = false
+        def closeAll(): Unit =
+          if (!closed) { closed = true; reader.close() }
+        val tc = org.apache.spark.TaskContext.get()
+        if (tc != null) tc.addTaskCompletionListener[Unit](_ => closeAll())
         new Iterator[Row] {
           def hasNext: Boolean = {
-            val h = ds.hasNext
-            if (!h) { ds.close(); in.close() }
+            val h = reader.hasNext && !reader.pastSync(end)
+            if (!h) closeAll()
             h
           }
           def next(): Row = {
-            val rec = ds.next()
-            Row.fromSeq(fields.indices.map { i =>
-              rec.get(i) match {
-                case null => null
-                case u: org.apache.avro.util.Utf8 => u.toString
-                case bb: java.nio.ByteBuffer =>
-                  val a = new Array[Byte](bb.remaining()); bb.duplicate().get(a); a
-                case v => v
-              }
-            })
+            val rec = reader.next()
+            Row.fromSeq(fields.indices.map(i =>
+              fromAvro(rec.get(i), fields(i).dataType)))
           }
         }
       }

@@ -84,18 +84,33 @@ object IcebergCatalog {
       throw new IllegalArgumentException(s"iceberg type not supported: $other")
   }
 
+  /** Iceberg type JSON → Spark type: primitives, plus NESTED struct
+    * and list nodes (r9 — any depth); maps stay out of subset, loud.
+    */
+  private def iceType(t: JValue): DataType = t match {
+    case JString(p) => icePrimitive(p)
+    case o: JObject => (o \ "type") match {
+      case JString("struct") => schemaOf(o \ "fields")
+      case JString("list") =>
+        val req = (o \ "element-required") match {
+          case JBool(b) => b; case _ => false
+        }
+        org.apache.spark.sql.types.ArrayType(
+          iceType(o \ "element"), containsNull = !req)
+      case other => throw new IllegalArgumentException(
+        s"iceberg nested type not supported: $other")
+    }
+    case other =>
+      throw new IllegalArgumentException(s"iceberg type node invalid: $other")
+  }
+
   private def schemaOf(fields: JValue): StructType = StructType(
     fields.children.map { f =>
       val JString(name) = f \ "name"
       val required = (f \ "required") match {
         case JBool(b) => b; case _ => false
       }
-      val tpe = (f \ "type") match {
-        case JString(t) => icePrimitive(t)
-        case other => throw new IllegalArgumentException(
-          s"nested iceberg types not supported: $other")
-      }
-      StructField(name, tpe, nullable = !required)
+      StructField(name, iceType(f \ "type"), nullable = !required)
     })
 
   /** Field-id → (name, type) from the schema JSON — the key space the
@@ -477,7 +492,10 @@ object IcebergCatalog {
                         partitionFields: Seq[String],
                         snapshots: Seq[(Long, Path)]): Unit = {
     val fs = fields.zipWithIndex.map { case ((n, t, r), i) =>
-      s"""{"id": ${i + 1}, "name": "$n", "required": $r, "type": "$t"}"""
+      // a type starting with '{' is a raw nested type-JSON node
+      // (struct/list — r9); anything else is a primitive name
+      val tj = if (t.startsWith("{")) t else "\"" + t + "\""
+      s"""{"id": ${i + 1}, "name": "$n", "required": $r, "type": $tj}"""
     }.mkString(",")
     val ps = partitionFields.zipWithIndex.map { case (n, i) =>
       s"""{"name": "$n", "transform": "identity", "source-id": 0, "field-id": ${1000 + i}}"""

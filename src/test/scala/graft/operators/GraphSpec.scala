@@ -36,4 +36,27 @@ class GraphSpec extends AnyFunSuite {
     val (n, m, t) = count(Seq.empty)
     assert(n == 0L && m == 0L && t == 0L)
   }
+
+  // OnDir entry points: feeding the ALREADY canonical doubled table must
+  // reproduce the raw-edge path bit-for-bit (the staged-graph contract
+  // the r9 gate re-pointing relies on)
+  test("OnDir variants match the raw-edge path on a messy fixture") {
+    import org.apache.spark.sql.functions.col
+    val messy = Seq((1L, 2L), (2L, 1L), (1L, 2L), (2L, 3L), (3L, 1L),
+      (2L, 2L), (3L, 4L), (4L, 5L), (5L, 3L), (6L, 1L)).toDF("src", "dst")
+    // canonical doubled table built the way QueriesR6.coPurchaseDir does
+    val und = messy.selectExpr("least(src, dst) AS src", "greatest(src, dst) AS dst")
+      .filter(col("src") =!= col("dst")).distinct()
+    val dir = und.unionAll(und.select(col("dst").as("src"), col("src").as("dst")))
+    def rows(df: org.apache.spark.sql.DataFrame): Set[Seq[Any]] =
+      df.collect().map(_.toSeq).toSet
+    assert(rows(Graph.pageRankOnDir(dir, 3)) == rows(Graph.pageRank(messy, 3)))
+    assert(rows(Graph.labelPropagationOnDir(dir, 3)) ==
+      rows(Graph.labelPropagation(messy, 3)))
+    assert(rows(Graph.eigenvectorCentralityOnDir(dir, 3)) ==
+      rows(Graph.eigenvectorCentrality(messy, 3)))
+    val seeds = Seq(1L, 4L).toDF("node")
+    assert(rows(Graph.personalizedPageRankOnDir(dir, seeds, 3)) ==
+      rows(Graph.personalizedPageRank(messy, seeds, 3)))
+  }
 }

@@ -82,10 +82,53 @@ class ArrowIpcSpec extends AnyFunSuite {
   }
 
   test("unsupported Spark type is loud at write") {
-    val df = Seq((1L, Seq(1, 2))).toDF("id", "xs")
+    // maps stay out of subset (lists/structs are in since r9)
+    val df = Seq((1L, Map("a" -> 1))).toDF("id", "m")
     intercept[Exception] {
       ArrowIpc.write(df, tmp())
     }
+  }
+
+  test("nested structs and lists round-trip exactly (r9)") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("meta", StructType(Seq(
+        StructField("nm", StringType, nullable = true),
+        StructField("ln", LongType, nullable = true))), nullable = true),
+      StructField("arr", ArrayType(LongType, containsNull = true),
+        nullable = true),
+      StructField("recs", ArrayType(StructType(Seq(
+        StructField("k", LongType, nullable = false),
+        StructField("v", StringType, nullable = true))),
+        containsNull = false), nullable = true)))
+    val rows = Seq(
+      Row(1L, Row("alpha", 5L), Seq(1L, 2L, 3L), Seq(Row(1L, "x"), Row(2L, null))),
+      Row(2L, Row(null, null), Seq(4L, null), Seq.empty[Row]),
+      Row(3L, null, null, null))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), schema)
+    val dir = tmp()
+    ArrowIpc.write(df, dir)
+    val back = ArrowIpc.read(spark, dir)
+    // list items widen to nullable on round-trip (stated contract)
+    def widen(dt: DataType): DataType = dt match {
+      case ArrayType(et, _) => ArrayType(widen(et), containsNull = true)
+      case StructType(fs) => StructType(fs.map(f => f.copy(dataType = widen(f.dataType))))
+      case other => other
+    }
+    assert(back.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      schema.fields.map(f => (f.name, widen(f.dataType))).toSeq)
+    val got = back.orderBy("id").collect()
+    assert(got(0).getStruct(1).getString(0) == "alpha")
+    assert(got(0).getStruct(1).getLong(1) == 5L)
+    assert(got(0).getSeq[Long](2) == Seq(1L, 2L, 3L))
+    assert(got(0).getSeq[Row](3) == Seq(Row(1L, "x"), Row(2L, null)))
+    assert(got(1).getStruct(1).isNullAt(0))
+    assert(got(1).getSeq[Any](2) == Seq(4L, null))
+    assert(got(1).getSeq[Row](3).isEmpty)
+    assert(got(2).isNullAt(1) && got(2).isNullAt(2) && got(2).isNullAt(3))
   }
 
   test("schema mismatch across files is loud at read") {

@@ -80,9 +80,64 @@ class AvroTableSpec extends AnyFunSuite {
       r.get("s").toString)).toSet == Set((1L, "x"), (2L, "y")))
   }
 
+  test("nested structs and arrays round-trip exactly (r9)") {
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("meta", StructType(Seq(
+        StructField("nm", StringType, nullable = true),
+        StructField("ln", LongType, nullable = true))), nullable = true),
+      StructField("arr", ArrayType(LongType, containsNull = true),
+        nullable = true),
+      StructField("recs", ArrayType(StructType(Seq(
+        StructField("k", LongType, nullable = false),
+        StructField("v", StringType, nullable = true))),
+        containsNull = false), nullable = true)))
+    val rows = Seq(
+      Row(1L, Row("alpha", 5L), Seq(1L, 2L, 3L), Seq(Row(1L, "x"), Row(2L, null))),
+      Row(2L, Row(null, null), Seq(4L, null), Seq.empty[Row]),
+      Row(3L, null, null, null))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), schema)
+    val dir = tmp()
+    AvroTable.write(df, dir)
+    val back = AvroTable.read(spark, dir)
+    assert(back.schema == schema ||
+      back.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+        schema.fields.map(f => (f.name, f.dataType)).toSeq)
+    val got = back.orderBy("id").collect()
+    assert(got(0).getStruct(1).getString(0) == "alpha")
+    assert(got(0).getStruct(1).getLong(1) == 5L)
+    assert(got(0).getSeq[Long](2) == Seq(1L, 2L, 3L))
+    assert(got(0).getSeq[Row](3) == Seq(Row(1L, "x"), Row(2L, null)))
+    assert(got(1).getStruct(1).isNullAt(0))
+    assert(got(1).getSeq[Any](2) == Seq(4L, null))
+    assert(got(1).getSeq[Row](3).isEmpty)
+    assert(got(2).isNullAt(1) && got(2).isNullAt(2) && got(2).isNullAt(3))
+  }
+
+  test("one container reads as N > 1 sync-marker splits, identically (r9)") {
+    // many wide-ish rows in ONE container so several block syncs exist
+    val df = (1L to 20000L).toDF("id")
+      .withColumn("pad", expr("repeat(cast(id as string), 20)"))
+      .coalesce(1)
+    val dir = tmp()
+    AvroTable.write(df, dir)
+    assert(new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".avro")) == 1)
+    val whole = AvroTable.read(spark, dir)
+    val split = AvroTable.read(spark, dir, splitBytes = 64 * 1024)
+    assert(split.rdd.getNumPartitions > 1,
+      "expected the single container to fan out over multiple splits")
+    assert(split.count() == 20000L)
+    assert(split.agg(sum("id")).head().getLong(0) ==
+      whole.agg(sum("id")).head().getLong(0))
+    assert(split.select("id").as[Long].collect().sorted.toSeq ==
+      (1L to 20000L))
+  }
+
   test("subset boundaries fail loudly") {
-    // nested/array Spark type on write
-    val bad = Seq((1L, Seq(1, 2))).toDF("id", "arr")
+    // map Spark type on write (arrays/structs are in-subset since r9)
+    val bad = Seq((1L, Map("a" -> 1))).toDF("id", "m")
     val e1 = intercept[IllegalArgumentException] {
       AvroTable.write(bad, tmp())
     }

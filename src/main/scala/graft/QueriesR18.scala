@@ -429,6 +429,44 @@ object QueriesR18 {
       .orderBy(col("doc_id"))
   }
 
+  /** M17b (r9): PackBits-COMPRESSED TIFF decode — each row synthesizes
+    * a real little-endian TIFF whose single strip is PackBits-encoded
+    * (per raster row: one literal-run header byte then the row's
+    * samples — RLE structure the engine must actually walk, with
+    * StripByteCounts = h·(w+1) ≠ the raster size), decoded back to the
+    * M10 statistics; the oracle regenerates the pixels arithmetically.
+    * The repeat-run arm, LZW, Deflate, and palette TIFFs round-trip
+    * against the JDK's own encoder in the spec (RLE of equal bytes is
+    * not SQL-constructible per-row; the literal arm is).
+    */
+  def mmTiffPackbitsStats(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("doc_id"))
+      .withColumn("w", (col("doc_id") % 5 + 2).cast("int"))
+      .withColumn("h", (col("doc_id") % 3 + 1).cast("int"))
+    val header = concat(lit("49492A00"), le(lit(8), 4), le(lit(9), 2))
+    val ifd = concat(
+      ifdEntry(256, 3, 1, col("w")), ifdEntry(257, 3, 1, col("h")),
+      ifdEntry(258, 3, 1, lit(8)), ifdEntry(259, 3, 1, lit(32773)),
+      ifdEntry(262, 3, 1, lit(1)), ifdEntry(273, 4, 1, lit(122)),
+      ifdEntry(277, 3, 1, lit(1)), ifdEntry(278, 3, 1, col("h")),
+      ifdEntry(279, 4, 1, col("h") * (col("w") + 1)), le(lit(0), 4))
+    val packed = expr(
+      """array_join(transform(sequence(0, h - 1), r ->
+        |  concat(lpad(hex(w - 1), 2, '0'),
+        |    array_join(transform(sequence(0, w - 1), k ->
+        |      lpad(hex((doc_id * 17 + (r * w + k) * 23) % 256), 2, '0')),
+        |      ''))), '')""".stripMargin)
+    val payload = unhex(concat(header, ifd, packed))
+    d.withColumn("st", graft.multimodal.TiffRaster.tiff_stats(payload))
+      .select(Seq(col("doc_id")) ++
+        graft.multimodal.TiffRaster.schema.fieldNames.map(f =>
+          col(s"st.$f").as(f)): _*)
+      .withColumn("channels", col("channels").cast("long"))
+      .withColumn("width", col("width").cast("long"))
+      .withColumn("height", col("height").cast("long"))
+      .orderBy(col("doc_id"))
+  }
+
   /** D24: content-defined chunking dedup — the storage-grade dedup
     * family (Manber 1994 fingerprint landmarks, the ancestor of
     * LBFS/FastCDC): chunk boundaries fall where an 8-char polynomial
@@ -612,6 +650,7 @@ object QueriesR18 {
     "stream_mm_decode" -> (streamMmDecode _),
     "dedup_cdc_chunks" -> (dedupCdcChunks _),
     "mm_tiff_stats" -> (mmTiffStats _),
+    "mm_tiff_packbits_stats" -> (mmTiffPackbitsStats _),
     "stream_dsir_mass" -> (streamDsirMass _),
     "stream_wordpiece_tokens" -> (streamWordpieceTokens _),
     "mm_jpeg_stats" -> (mmJpegStats _),
@@ -749,6 +788,37 @@ object QueriesR18 {
         |  CAST(SUM(CASE WHEN bk = 7 THEN 1 ELSE 0 END) AS BIGINT) AS h7
         |FROM dims d JOIN lum l USING (doc_id)
         |GROUP BY d.doc_id, d.ch, d.w, d.h
+        |ORDER BY d.doc_id""".stripMargin,
+    "mm_tiff_packbits_stats" ->
+      """WITH dims AS (
+        |  SELECT doc_id, doc_id % 5 + 2 AS w, doc_id % 3 + 1 AS h
+        |  FROM documents
+        |), px AS (
+        |  SELECT doc_id, (doc_id*17 + p*23) % 256 AS v
+        |  FROM (SELECT doc_id,
+        |          unnest(generate_series(0, w * h - 1)) AS p FROM dims)
+        |), lum AS (
+        |  SELECT doc_id, v,
+        |         CASE WHEN (299*v + 587*v + 114*v) // 31875 > 7 THEN 7
+        |              ELSE (299*v + 587*v + 114*v) // 31875 END AS bk
+        |  FROM px
+        |)
+        |SELECT d.doc_id, CAST(1 AS BIGINT) AS channels,
+        |  CAST(d.w AS BIGINT) AS width, CAST(d.h AS BIGINT) AS height,
+        |  CAST(d.w * d.h AS BIGINT) AS n_px,
+        |  CAST(SUM(l.v) AS BIGINT) AS sum_r,
+        |  CAST(SUM(l.v) AS BIGINT) AS sum_g,
+        |  CAST(SUM(l.v) AS BIGINT) AS sum_b,
+        |  CAST(SUM(CASE WHEN bk = 0 THEN 1 ELSE 0 END) AS BIGINT) AS h0,
+        |  CAST(SUM(CASE WHEN bk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS h1,
+        |  CAST(SUM(CASE WHEN bk = 2 THEN 1 ELSE 0 END) AS BIGINT) AS h2,
+        |  CAST(SUM(CASE WHEN bk = 3 THEN 1 ELSE 0 END) AS BIGINT) AS h3,
+        |  CAST(SUM(CASE WHEN bk = 4 THEN 1 ELSE 0 END) AS BIGINT) AS h4,
+        |  CAST(SUM(CASE WHEN bk = 5 THEN 1 ELSE 0 END) AS BIGINT) AS h5,
+        |  CAST(SUM(CASE WHEN bk = 6 THEN 1 ELSE 0 END) AS BIGINT) AS h6,
+        |  CAST(SUM(CASE WHEN bk = 7 THEN 1 ELSE 0 END) AS BIGINT) AS h7
+        |FROM dims d JOIN lum l USING (doc_id)
+        |GROUP BY d.doc_id, d.w, d.h
         |ORDER BY d.doc_id""".stripMargin,
     "stream_dsir_mass" ->
       s"""WITH dt AS (

@@ -159,26 +159,201 @@ object JpegRaster {
     val dcT = new Array[Huff](4)
     val acT = new Array[Huff](4)
     var w = 0; var h = 0; var nc = 0
+    var progressive = false
+    var sofSeen = false
+    var anyScan = false
     val compQ = new Array[Int](3)
-    val compDc = new Array[Int](3)
-    val compAc = new Array[Int](3)
     val compH = new Array[Int](3)
     val compV = new Array[Int](3)
+    val compIds = new Array[Int](3)
     var restartInterval = 0
+    // full-frame coefficient planes (natural order within each block),
+    // allocated at SOF over the PADDED (MCU-aligned) block grid — the
+    // grid interleaved scans code; non-interleaved scans walk the
+    // component's own (unpadded) grid and map into it
+    var coefs: Array[Array[Int]] = null
+    val pbw = new Array[Int](3); val pbh = new Array[Int](3) // padded grid
+    val cbw = new Array[Int](3); val cbh = new Array[Int](3) // component grid
+    var h0 = 1; var v0 = 1
+    var mcusX = 0; var mcusY = 0
+
+    /** One scan's entropy-coded data: decodes into `coefs`, returns the
+      * byte position after the scan (aligned, at the next marker).
+      * Handles baseline (Ss=0, Se=63, Ah=Al=0) and every progressive
+      * regime: DC first/refine (interleaved or not), AC first/refine
+      * (single-component), EOB runs, restart markers.
+      */
+    def decodeScan(scanComps: Array[Int], dcTab: Array[Int],
+                   acTab: Array[Int], ss: Int, se: Int, ah: Int, al: Int,
+                   startPos: Int): Int = {
+      val r = new BitReader(b, startPos)
+      val pred = new Array[Int](scanComps.length)
+      var eobrun = 0
+      val interleaved = scanComps.length > 1
+      val nUnits =
+        if (interleaved) mcusX * mcusY
+        else cbw(scanComps(0)) * cbh(scanComps(0))
+      val p1 = 1 << al
+      val m1 = -1 << al
+
+      def dcFirst(sc: Int, c: Int, at: Int): Unit = {
+        val tab = dcT(dcTab(sc))
+        if (tab == null) throw new SubsetReject
+        val t = r.decode(tab)
+        if (t > 11) throw new SubsetReject
+        pred(sc) += extend(r.bits(t), t)
+        coefs(c)(at) = pred(sc) << al
+      }
+
+      def dcRefine(c: Int, at: Int): Unit =
+        if (r.bit() != 0) coefs(c)(at) |= p1
+
+      def acFirst(sc: Int, c: Int, at: Int): Unit = {
+        if (eobrun > 0) { eobrun -= 1; return }
+        val tab = acT(acTab(sc))
+        if (tab == null) throw new SubsetReject
+        var k = math.max(ss, 1)
+        var done = false
+        while (k <= se && !done) {
+          val rs = r.decode(tab)
+          val run = rs >> 4; val size = rs & 15
+          if (size != 0) {
+            k += run
+            if (k > se) throw new SubsetReject
+            coefs(c)(at + Zigzag(k)) = extend(r.bits(size), size) << al
+            k += 1
+          } else {
+            if (run == 15) k += 16
+            else {
+              eobrun = 1 << run
+              if (run > 0) eobrun += r.bits(run)
+              eobrun -= 1 // counts THIS block
+              done = true
+            }
+          }
+        }
+      }
+
+      // G.1.2.3 AC successive-approximation refinement (the libjpeg
+      // control flow: run counter walks zero-HISTORY coefficients,
+      // every nonzero coefficient passed emits one correction bit)
+      def acRefine(sc: Int, c: Int, at: Int): Unit = {
+        val tab = acT(acTab(sc))
+        if (tab == null) throw new SubsetReject
+        var k = ss
+        if (eobrun == 0) {
+          var broke = false
+          while (k <= se && !broke) {
+            val rs = r.decode(tab)
+            var run = rs >> 4
+            val size = rs & 15
+            var newval = 0
+            if (size != 0) {
+              if (size != 1) throw new SubsetReject
+              newval = if (r.bit() != 0) p1 else m1
+            } else if (run != 15) {
+              eobrun = 1 << run
+              if (run > 0) eobrun += r.bits(run)
+              broke = true
+            }
+            if (!broke) {
+              var placed = false
+              while (k <= se && !placed) {
+                val z = at + Zigzag(k)
+                val cur = coefs(c)(z)
+                if (cur != 0) {
+                  if (r.bit() != 0 && (cur & p1) == 0)
+                    coefs(c)(z) = if (cur >= 0) cur + p1 else cur + m1
+                  k += 1
+                } else {
+                  if (run == 0) {
+                    if (newval != 0) coefs(c)(z) = newval
+                    placed = true
+                    k += 1
+                  } else { run -= 1; k += 1 }
+                }
+              }
+            }
+          }
+        }
+        if (eobrun > 0) {
+          while (k <= se) {
+            val z = at + Zigzag(k)
+            val cur = coefs(c)(z)
+            if (cur != 0 && r.bit() != 0 && (cur & p1) == 0)
+              coefs(c)(z) = if (cur >= 0) cur + p1 else cur + m1
+            k += 1
+          }
+          eobrun -= 1
+        }
+      }
+
+      def decodeBlock(sc: Int, c: Int, at: Int): Unit = {
+        if (ss == 0) {
+          if (ah == 0) dcFirst(sc, c, at) else dcRefine(c, at)
+        }
+        if (se >= 1 && (ss >= 1 || se == 63)) {
+          // progressive AC scan, or a baseline scan's AC tail
+          if (ah == 0) acFirst(sc, c, at) else acRefine(sc, c, at)
+        }
+      }
+
+      var unit = 0
+      while (unit < nUnits) {
+        if (restartInterval > 0 && unit > 0 && unit % restartInterval == 0) {
+          r.byteAlign()
+          val mk = r.peekMarker()
+          if (mk < 0xffd0 || mk > 0xffd7) throw new SubsetReject
+          r.skipMarker()
+          java.util.Arrays.fill(pred, 0)
+          eobrun = 0
+        }
+        if (interleaved) {
+          val bx = unit % mcusX; val by = unit / mcusX
+          var sc = 0
+          while (sc < scanComps.length) {
+            val c = scanComps(sc)
+            var v = 0
+            while (v < compV(c)) {
+              var hh = 0
+              while (hh < compH(c)) {
+                decodeBlock(sc, c,
+                  ((by * compV(c) + v) * pbw(c) + bx * compH(c) + hh) * 64)
+                hh += 1
+              }
+              v += 1
+            }
+            sc += 1
+          }
+        } else {
+          val c = scanComps(0)
+          val bx = unit % cbw(c); val by = unit / cbw(c)
+          decodeBlock(0, c, (by * pbw(c) + bx) * 64)
+        }
+        unit += 1
+      }
+      r.byteAlign()
+      r.pos
+    }
+
     var i = 2
-    var sosAt = -1
-    while (sosAt < 0) {
-      if (i + 4 > b.length) return null
+    var eoi = false
+    while (!eoi) {
+      if (i + 2 > b.length) return null
       if ((b(i) & 0xff) != 0xff) return null
       // B.1.1.2: a marker may be preceded by any number of 0xFF fill
       // bytes — skip the run so the code byte is the first non-0xFF
-      while (i + 4 <= b.length && (b(i + 1) & 0xff) == 0xff) i += 1
-      if (i + 4 > b.length) return null
+      while (i + 2 <= b.length && (b(i + 1) & 0xff) == 0xff) i += 1
+      if (i + 2 > b.length) return null
       val m = b(i + 1) & 0xff
       // standalone (length-less) markers: SOI, RSTn, and TEM (0x01)
       if (m == 0xd8 || m == 0x01 || (m >= 0xd0 && m <= 0xd7)) { i += 2 }
-      else if (m == 0xd9) return null // EOI before SOS
+      else if (m == 0xd9) {
+        if (!anyScan) return null // EOI before any scan
+        eoi = true
+      }
       else {
+        if (i + 4 > b.length) return null
         val len = u16(b, i + 2)
         if (len < 2 || i + 2 + len > b.length) return null
         val seg = i + 4
@@ -195,7 +370,8 @@ object JpegRaster {
               qt(tq) = t
               p += 65
             }
-          case 0xc4 => // DHT
+            i += 2 + len
+          case 0xc4 => // DHT (tables may be redefined between scans)
             var p = seg
             while (p < i + 2 + len) {
               val tc = (b(p) & 0xff) >> 4
@@ -212,13 +388,19 @@ object JpegRaster {
               if (tc == 0) dcT(th) = t else acT(th) = t
               p += 17 + n
             }
-          case 0xc0 => // SOF0 baseline
+            i += 2 + len
+          case 0xc0 | 0xc2 => // SOF0 baseline / SOF2 progressive
+            if (sofSeen) return null
+            sofSeen = true
+            progressive = m == 0xc2
             if ((b(seg) & 0xff) != 8) return null
             h = u16(b, seg + 1); w = u16(b, seg + 3)
             nc = b(seg + 5) & 0xff
             if (w <= 0 || h <= 0 || (nc != 1 && nc != 3)) return null
+            if (w.toLong * h > (1L << 24)) return null // 16 MP guard
             var c = 0
             while (c < nc) {
+              compIds(c) = b(seg + 6 + 3 * c) & 0xff
               val hv = b(seg + 7 + 3 * c) & 0xff
               compH(c) = hv >> 4; compV(c) = hv & 0x0f
               if (compH(c) < 1 || compH(c) > 2 ||
@@ -228,44 +410,77 @@ object JpegRaster {
               compQ(c) = b(seg + 8 + 3 * c) & 0x0f
               c += 1
             }
-          case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 |
-               0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
-            return null // extended/progressive/arithmetic/hierarchical
-          case 0xdd => // DRI
-            restartInterval = u16(b, seg)
-          case 0xda => // SOS
-            val ns = b(seg) & 0xff
-            if (ns != nc || nc == 0) return null
-            var c = 0
-            while (c < ns) {
-              val tda = b(seg + 2 + 2 * c) & 0xff
-              compDc(c) = tda >> 4; compAc(c) = tda & 0x0f
+            // grayscale scans are non-interleaved: sampling ignored (A.2)
+            if (nc == 1) { compH(0) = 1; compV(0) = 1 }
+            h0 = compH(0); v0 = compV(0)
+            mcusX = (w + 8 * h0 - 1) / (8 * h0)
+            mcusY = (h + 8 * v0 - 1) / (8 * v0)
+            coefs = new Array[Array[Int]](nc)
+            c = 0
+            while (c < nc) {
+              pbw(c) = mcusX * compH(c); pbh(c) = mcusY * compV(c)
+              val cw = (w * compH(c) + h0 - 1) / h0
+              val ch = (h * compV(c) + v0 - 1) / v0
+              cbw(c) = (cw + 7) / 8; cbh(c) = (ch + 7) / 8
+              coefs(c) = new Array[Int](pbw(c) * pbh(c) * 64)
               c += 1
             }
-            sosAt = i + 2 + len
+            i += 2 + len
+          case 0xc1 | 0xc3 | 0xc5 | 0xc6 | 0xc7 |
+               0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
+            return null // extended/lossless/arithmetic/hierarchical
+          case 0xdd => // DRI
+            restartInterval = u16(b, seg)
+            i += 2 + len
+          case 0xda => // SOS: decode this scan's entropy data in place
+            if (!sofSeen) return null
+            val ns = b(seg) & 0xff
+            if (ns < 1 || ns > nc) return null
+            if (!progressive && ns != nc) return null
+            val scanComps = new Array[Int](ns)
+            val dcTab = new Array[Int](ns)
+            val acTab = new Array[Int](ns)
+            var sc = 0
+            while (sc < ns) {
+              val id = b(seg + 1 + 2 * sc) & 0xff
+              val tda = b(seg + 2 + 2 * sc) & 0xff
+              var c = 0; var found = -1
+              while (c < nc) { if (compIds(c) == id) found = c; c += 1 }
+              if (found < 0) return null
+              scanComps(sc) = found
+              dcTab(sc) = tda >> 4; acTab(sc) = tda & 0x0f
+              sc += 1
+            }
+            val ss = b(seg + 1 + 2 * ns) & 0xff
+            val se = b(seg + 2 + 2 * ns) & 0xff
+            val ahal = b(seg + 3 + 2 * ns) & 0xff
+            val ah = ahal >> 4; val al = ahal & 0x0f
+            if (progressive) {
+              // spec G.1: DC scans are Ss=Se=0 (any components); AC
+              // scans cover one component only, 1 <= Ss <= Se <= 63
+              if (ss == 0 && se != 0) return null
+              if (ss > 0 && (ns != 1 || ss > se || se > 63)) return null
+              if (ah != 0 && ah != al + 1) return null
+            } else {
+              if (ss != 0 || se != 63 || ah != 0 || al != 0) return null
+            }
+            // quant tables must exist for the final dequantization
+            var cq = 0
+            while (cq < ns) {
+              if (qt(compQ(scanComps(cq))) == null) return null
+              cq += 1
+            }
+            i = decodeScan(scanComps, dcTab, acTab, ss, se, ah, al,
+              i + 2 + len)
+            anyScan = true
           case _ => // APPn / COM / others: skip
+            i += 2 + len
         }
-        i += 2 + len
       }
     }
-    var c = 0
-    while (c < nc) {
-      if (qt(compQ(c)) == null || dcT(compDc(c)) == null ||
-        acT(compAc(c)) == null) return null
-      c += 1
-    }
 
-    // MCU geometry: grayscale scans are NON-interleaved, so the MCU is
-    // one data unit and declared sampling factors are ignored (spec
-    // A.2); color MCUs are h0*v0 luma blocks + 1 Cb + 1 Cr
-    val h0 = if (nc == 1) 1 else compH(0)
-    val v0 = if (nc == 1) 1 else compV(0)
-    val mcuW = 8 * h0; val mcuH = 8 * v0
-    val bw = (w + mcuW - 1) / mcuW
-    val bh = (h + mcuH - 1) / mcuH
-    val r = new BitReader(b, sosAt)
-    val pred = new Array[Int](3)
-    val coef = new Array[Int](64)
+    // render: dequantize + IDCT each block, upsample chroma NEAREST,
+    // accumulate the M10 statistics — one MCU at a time
     val tmp = new Array[Double](64)
     val lumaB = Array.ofDim[Int](h0 * v0, 64)
     val cbB = new Array[Int](64)
@@ -273,29 +488,9 @@ object JpegRaster {
     var sumR = 0L; var sumG = 0L; var sumB = 0L
     val hist = new Array[Long](8)
 
-    // one entropy-coded block of component c: Huffman + dequant + IDCT
-    def decodeBlock(c: Int, out: Array[Int]): Unit = {
-      java.util.Arrays.fill(coef, 0)
-      val t = r.decode(dcT(compDc(c)))
-      if (t > 11) throw new SubsetReject
-      val diff = extend(r.bits(t), t)
-      pred(c) += diff
-      coef(0) = pred(c) * qt(compQ(c))(0)
-      var k = 1
-      var eob = false
-      while (k < 64 && !eob) {
-        val rs = r.decode(acT(compAc(c)))
-        val run = rs >> 4; val size = rs & 0x0f
-        if (size == 0) {
-          if (run == 15) k += 16 else eob = true
-        } else {
-          k += run
-          if (k > 63) throw new SubsetReject
-          coef(Zigzag(k)) = extend(r.bits(size), size) * qt(compQ(c))(Zigzag(k))
-          k += 1
-        }
-      }
-      // 2-D IDCT (separable, StrictMath-stable doubles)
+    def idct(c: Int, at: Int, out: Array[Int]): Unit = {
+      val q = qt(compQ(c))
+      val plane = coefs(c)
       var y = 0
       while (y < 8) {
         var x = 0
@@ -305,8 +500,8 @@ object JpegRaster {
           while (u < 8) {
             var v = 0
             while (v < 8) {
-              val f = coef(v * 8 + u)
-              if (f != 0) s += Cos(u)(x) * Cos(v)(y) * f
+              val f = plane(at + v * 8 + u)
+              if (f != 0) s += Cos(u)(x) * Cos(v)(y) * f * q(v * 8 + u)
               v += 1
             }
             u += 1
@@ -323,23 +518,22 @@ object JpegRaster {
       }
     }
 
+    val mcuW = 8 * h0; val mcuH = 8 * v0
     var mcu = 0
-    val nMcu = bw * bh
+    val nMcu = mcusX * mcusY
     while (mcu < nMcu) {
-      if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
-        r.byteAlign()
-        val mk = r.peekMarker()
-        if (mk < 0xffd0 || mk > 0xffd7) throw new SubsetReject
-        r.skipMarker()
-        java.util.Arrays.fill(pred, 0)
-      }
-      // luma blocks raster-ordered within the MCU, then Cb, then Cr
+      val bx = mcu % mcusX; val by = mcu / mcusX
       var lb = 0
-      while (lb < h0 * v0) { decodeBlock(0, lumaB(lb)); lb += 1 }
-      if (nc == 3) { decodeBlock(1, cbB); decodeBlock(2, crB) }
-      // accumulate pixels of this MCU inside the image bounds;
+      while (lb < h0 * v0) {
+        idct(0, ((by * v0 + lb / h0) * pbw(0) + bx * h0 + lb % h0) * 64,
+          lumaB(lb))
+        lb += 1
+      }
+      if (nc == 3) {
+        idct(1, (by * pbw(1) + bx) * 64, cbB)
+        idct(2, (by * pbw(2) + bx) * 64, crB)
+      }
       // chroma upsamples NEAREST: sample (xx/h0, yy/v0) covers the cell
-      val bx = mcu % bw; val by = mcu / bw
       var yy = 0
       while (yy < mcuH) {
         val py = by * mcuH + yy

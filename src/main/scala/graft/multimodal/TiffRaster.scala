@@ -8,18 +8,29 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types._
 
-/** M17: TIFF baseline raster decode — the scanning/scientific archive
-  * format (and the one whose uncompressed form is lossless, so an
-  * external-encoder round-trip is EXACT, not tolerance-bounded).
-  * Implements the real structure: both byte orders (`II` and `MM`),
-  * the IFD entry walk with SHORT/LONG value types and the
-  * inline-vs-offset value rule, BitsPerSample arrays, and multi-strip
-  * assembly — then the M10 pixel-statistics walk over the strips, all
-  * inside whole-stage codegen.
+/** M17: TIFF raster decode — the scanning/scientific archive format
+  * (and the one whose lossless forms make an external-encoder
+  * round-trip EXACT, not tolerance-bounded). Implements the real
+  * structure: both byte orders (`II` and `MM`), the IFD entry walk
+  * with SHORT/LONG value types and the inline-vs-offset value rule,
+  * BitsPerSample arrays, and multi-strip assembly — then the M10
+  * pixel-statistics walk over the strips, all inside whole-stage
+  * codegen.
   *
-  * Subset honored (reject-by-null, never misread): single-IFD
-  * baseline, Compression = 1 (none), 8 bits per sample on every
-  * channel, SamplesPerPixel 1 (BlackIsZero gray) or 3 (RGB), chunky
+  * Compression arms (r9 — the archive-scan regimes): 1 (none),
+  * 32773 (PackBits RLE), 5 (TIFF LZW — MSB-first codes with the
+  * spec's early code-width change at 2^w−1), and 8/32946 (zlib
+  * Deflate via the JDK Inflater). Every strip decompresses to its
+  * EXACT expected byte count — short or overlong streams reject, so
+  * a decompression bomb can never allocate past the declared raster
+  * (bomb guard, the PNG posture). Predictor 2 (horizontal
+  * differencing) honored after decompression. Photometric 3
+  * (palette) honored with the ColorMap tag's 16-bit entries scaled
+  * ≫8 to 8-bit RGB.
+  *
+  * Subset honored (reject-by-null, never misread): single-IFD,
+  * 8 bits per sample on every channel, SamplesPerPixel 1
+  * (BlackIsZero/WhiteIsZero gray or palette) or 3 (RGB), chunky
   * planar configuration, strip-organized (tiled TIFFs rejected),
   * strip regions fully inside the payload. Gray contributes equally
   * to all three channel sums (the M15 contract).
@@ -95,9 +106,11 @@ object TiffRaster {
 
     var w = 0L; var h = 0L; var spp = 1L; var rps = Long.MaxValue
     var compression = 1L; var photometric = -1L; var planar = 1L
+    var predictor = 1L
     var bits: Array[Long] = Array(1L) // TIFF default: 1 bit
     var offsets: Array[Long] = null
     var counts: Array[Long] = null
+    var cmap: Array[Long] = null
     var e = 0
     while (e < n) {
       val entry = base + 12 * e
@@ -113,16 +126,24 @@ object TiffRaster {
         case 278 => val v = values(entry); if (v == null) return null; rps = v(0)
         case 279 => counts = values(entry); if (counts == null) return null
         case 284 => val v = values(entry); if (v == null) return null; planar = v(0)
+        case 317 => val v = values(entry); if (v == null) return null; predictor = v(0)
+        case 320 => cmap = values(entry); if (cmap == null) return null
         case 322 | 323 | 324 | 325 => return null // tiled
         case _ => // ignore (resolution, software, ...)
       }
       e += 1
     }
     if (w <= 0 || h <= 0 || w > Int.MaxValue / 4 || h > Int.MaxValue) return null
-    if (compression != 1 || planar != 1) return null
+    if (planar != 1) return null
+    if (compression != 1 && compression != 5 && compression != 8 &&
+      compression != 32773 && compression != 32946) return null
+    if (predictor != 1 && predictor != 2) return null
     if (spp != 1 && spp != 3) return null
-    if (spp == 1 && photometric != 1 && photometric != 0) return null
+    if (spp == 1 && photometric != 1 && photometric != 0 &&
+      photometric != 3) return null
     if (spp == 3 && photometric != 2) return null
+    if (photometric == 3 && (spp != 1 || cmap == null ||
+      cmap.length != 3 * 256)) return null
     if (bits.length != spp || bits.exists(_ != 8L)) return null
     if (offsets == null || counts == null ||
       offsets.length != counts.length) return null
@@ -140,21 +161,63 @@ object TiffRaster {
     var row = 0L
     while (strip < nStrips) {
       val rowsHere = math.min(rps, h - row)
-      val need = rowBytes * rowsHere
+      val needL = rowBytes * rowsHere
+      // raster-size guard: a decompressed strip larger than 256 MiB is
+      // outside any sane archive scan — reject before allocating
+      if (needL < 0 || needL > (1L << 28)) return null
+      val need = needL.toInt
       val off = offsets(strip)
-      if (off < 0 || off + need > b.length || counts(strip) < need) return null
-      var p = off.toInt
+      val cnt = counts(strip)
+      if (off < 0 || off + cnt > b.length || cnt < 0) return null
+      // decompress (or slice) the strip to EXACTLY `need` bytes
+      val data: Array[Byte] = compression match {
+        case 1 =>
+          if (cnt < need) return null
+          val out = new Array[Byte](need)
+          System.arraycopy(b, off.toInt, out, 0, need)
+          out
+        case 32773 => unpackBits(b, off.toInt, cnt.toInt, need)
+        case 5 => lzwDecode(b, off.toInt, cnt.toInt, need)
+        case 8 | 32946 => inflate(b, off.toInt, cnt.toInt, need)
+      }
+      if (data == null) return null
+      // predictor 2: horizontal differencing — each sample is a delta
+      // against the previous pixel's same channel, per row
+      if (predictor == 2) {
+        val sppI = spp.toInt
+        var r0 = 0
+        while (r0 < rowsHere) {
+          val rowAt = r0 * rowBytes.toInt
+          var i = sppI
+          while (i < rowBytes) {
+            data(rowAt + i) = (data(rowAt + i) + data(rowAt + i - sppI)).toByte
+            i += 1
+          }
+          r0 += 1
+        }
+      }
+      var p = 0
       var r = 0L
       while (r < rowsHere) {
         var x = 0L
         while (x < w) {
-          val (pr, pg, pb) = if (spp == 3) {
-            val t = ((b(p) & 0xff), (b(p + 1) & 0xff), (b(p + 2) & 0xff))
-            p += 3; t
+          var pr = 0; var pg = 0; var pb = 0
+          if (spp == 3) {
+            pr = data(p) & 0xff; pg = data(p + 1) & 0xff
+            pb = data(p + 2) & 0xff
+            p += 3
           } else {
-            val v0 = b(p) & 0xff
-            val v = if (photometric == 0) 255 - v0 else v0 // WhiteIsZero
-            p += 1; (v, v, v)
+            val v0 = data(p) & 0xff
+            p += 1
+            if (photometric == 3) {
+              // ColorMap: 3 planes of 256 16-bit entries, scaled to 8-bit
+              pr = (cmap(v0) >> 8).toInt
+              pg = (cmap(256 + v0) >> 8).toInt
+              pb = (cmap(512 + v0) >> 8).toInt
+            } else {
+              val v = if (photometric == 0) 255 - v0 else v0 // WhiteIsZero
+              pr = v; pg = v; pb = v
+            }
           }
           sumR += pr; sumG += pg; sumB += pb
           val luma = 299 * pr + 587 * pg + 114 * pb
@@ -170,6 +233,142 @@ object TiffRaster {
     }
     new GenericInternalRow(Array[Any](spp.toInt, w.toInt, h.toInt,
       w * h, sumR, sumG, sumB) ++ hist.map(v => v: Any))
+  }
+
+  /** PackBits (compression 32773) — exact-length decode, null on any
+    * overrun or shortfall.
+    */
+  private def unpackBits(b: Array[Byte], off: Int, len: Int,
+                         outLen: Int): Array[Byte] = {
+    val out = new Array[Byte](outLen)
+    var p = off; val end = off + len
+    var o = 0
+    while (o < outLen && p < end) {
+      val nb = b(p); p += 1
+      if (nb >= 0) {
+        val run = nb + 1
+        if (p + run > end || o + run > outLen) return null
+        System.arraycopy(b, p, out, o, run)
+        p += run; o += run
+      } else if (nb != -128) {
+        val run = 1 - nb
+        if (p >= end || o + run > outLen) return null
+        java.util.Arrays.fill(out, o, o + run, b(p))
+        p += 1; o += run
+      } // -128: no-op
+    }
+    if (o == outLen) out else null
+  }
+
+  /** TIFF LZW (compression 5) — MSB-first codes, CLEAR=256, EOI=257,
+    * the spec's EARLY code-width change (bump at next == 2^width − 1).
+    * Exact-length decode; null on malformed streams.
+    */
+  private def lzwDecode(b: Array[Byte], off: Int, len: Int,
+                        outLen: Int): Array[Byte] = {
+    val out = new Array[Byte](outLen)
+    var o = 0
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Byte](4096)
+    val stack = new Array[Byte](4097)
+    var next = 258; var width = 9
+    var bitPos = 0L
+    val endBit = len.toLong * 8
+    def read(): Int = {
+      if (bitPos + width > endBit) return 257 // truncated: treat as EOI
+      var v = 0; var i = 0
+      while (i < width) {
+        val at = off + (bitPos >> 3).toInt
+        v = (v << 1) | ((b(at) >> (7 - (bitPos & 7).toInt)) & 1)
+        bitPos += 1; i += 1
+      }
+      v
+    }
+    // expand `code`'s string onto the stack; returns (top index, first byte)
+    def expand(code: Int): Int = {
+      var c = code; var sp = 0
+      while (c >= 258) {
+        if (sp >= 4096) return -1
+        stack(sp) = suffix(c); sp += 1
+        c = prefix(c)
+      }
+      stack(sp) = c.toByte
+      sp
+    }
+    def emit(top: Int): Boolean = {
+      var i = top
+      while (i >= 0) {
+        if (o >= outLen) return false
+        out(o) = stack(i); o += 1; i -= 1
+      }
+      true
+    }
+    var prev = -1
+    var done = false
+    while (!done) {
+      val code = read()
+      if (code == 257) done = true
+      else if (code == 256) { next = 258; width = 9; prev = -1 }
+      else if (prev == -1) {
+        if (code > 255) return null // first code after CLEAR must be a byte
+        if (o >= outLen) return null
+        out(o) = code.toByte; o += 1
+        prev = code
+      } else {
+        var top = 0
+        if (code < next) {
+          top = expand(code)
+          if (top < 0) return null
+        } else if (code == next) {
+          // KwKwK: string(prev) + first(string(prev))
+          top = expand(prev)
+          if (top < 0 || top >= 4096) return null
+          // shift up by one and append first byte at index 0... cheaper:
+          // first byte of string(prev) is stack(top); re-push it below
+          val first = stack(top)
+          var i = 0
+          // move the whole run up one slot so the duplicate first byte
+          // can sit at index 0 (emitted last)
+          while (top - i >= 0) { stack(top + 1 - i) = stack(top - i); i += 1 }
+          stack(0) = first
+          top += 1
+        } else return null
+        if (!emit(top)) return null
+        if (next < 4096) {
+          prefix(next) = prev
+          suffix(next) = stack(top) // first byte of the emitted string
+          next += 1
+          if (next == (1 << width) - 1 && width < 12) width += 1
+        }
+        prev = code
+      }
+      if (o >= outLen && !done) {
+        // stream must close with EOI (possibly after padding) — accept
+        done = true
+      }
+    }
+    if (o == outLen) out else null
+  }
+
+  /** zlib Deflate (compression 8 / 32946) via the JDK Inflater —
+    * exact-length decode, null on malformed or mis-sized streams.
+    */
+  private def inflate(b: Array[Byte], off: Int, len: Int,
+                      outLen: Int): Array[Byte] = {
+    val inf = new java.util.zip.Inflater()
+    try {
+      inf.setInput(b, off, len)
+      val out = new Array[Byte](outLen)
+      var o = 0
+      while (o < outLen && !inf.finished()) {
+        val n = inf.inflate(out, o, outLen - o)
+        if (n == 0 && inf.needsInput()) return null // truncated
+        o += n
+      }
+      if (o == outLen) out else null
+    } catch {
+      case _: java.util.zip.DataFormatException => null
+    } finally inf.end()
   }
 }
 

@@ -282,6 +282,81 @@ class JpegRasterSpec extends AnyFunSuite {
     assert(math.abs(row.getLong(6) - n * (p & 0xff)) <= 2 * n)
   }
 
+  // progressive (SOF2) arm (r9): the JDK encoder's default progression
+  // script runs DC-first + DC-refine + spectral-selection AC scans +
+  // AC successive-approximation refinements — the full G.1 surface
+  private def jdkProgressive(img: BufferedImage,
+                             quality: Float = 0.9f): Array[Byte] = {
+    val w = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val p = w.getDefaultWriteParam
+    p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionQuality(quality)
+    p.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    val bos = new ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    w.setOutput(ios)
+    w.write(null, new javax.imageio.IIOImage(img, null, null), p)
+    ios.close(); w.dispose()
+    bos.toByteArray
+  }
+
+  private def isProgressive(bytes: Array[Byte]): Boolean =
+    bytes.indexOfSlice(Seq(0xff.toByte, 0xc2.toByte)) > 0
+
+  test("JDK progressive grayscale matches the JDK decoder within the bound") {
+    val w = 40; val h = 24
+    val img = gray(w, h, (x, y) => (x * 11 + y * 7 + (x * y) % 13) % 256)
+    val bytes = jdkProgressive(img)
+    assert(isProgressive(bytes), "fixture must actually be SOF2")
+    val row = JpegRaster.parse(bytes)
+    assert(row != null, "progressive grayscale must decode")
+    assert(row.getInt(1) == w && row.getInt(2) == h)
+    val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    var sum = 0L
+    for (y <- 0 until h; x <- 0 until w)
+      sum += ref.getRaster.getSample(x, y, 0)
+    assert(math.abs(row.getLong(4) - sum) <= 2L * w * h,
+      s"progressive sum ${row.getLong(4)} vs JDK $sum beyond +/-2/px")
+  }
+
+  test("JDK progressive 4:2:0 color matches the JDK decoder (constant chroma)") {
+    val w = 32; val h = 32
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = (x * 5 + y * 9) % 256
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val bytes = jdkProgressive(img)
+    assert(isProgressive(bytes))
+    val row = JpegRaster.parse(bytes)
+    assert(row != null, "progressive 4:2:0 must decode")
+    val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    var sR = 0L; var sG = 0L; var sB = 0L
+    for (y <- 0 until h; x <- 0 until w) {
+      val p = ref.getRGB(x, y)
+      sR += (p >> 16) & 0xff; sG += (p >> 8) & 0xff; sB += p & 0xff
+    }
+    val n = w.toLong * h
+    assert(math.abs(row.getLong(4) - sR) <= 2 * n)
+    assert(math.abs(row.getLong(5) - sG) <= 2 * n)
+    assert(math.abs(row.getLong(6) - sB) <= 2 * n)
+  }
+
+  test("progressive low quality exercises EOB runs and deep refinements") {
+    val w = 48; val h = 32
+    val img = gray(w, h, (x, y) =>
+      if ((x / 8 + y / 8) % 2 == 0) 230 else (x * 3 + y * 5) % 256)
+    val bytes = jdkProgressive(img, quality = 0.25f)
+    assert(isProgressive(bytes))
+    val row = JpegRaster.parse(bytes)
+    assert(row != null)
+    val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    var sum = 0L
+    for (y <- 0 until h; x <- 0 until w)
+      sum += ref.getRaster.getSample(x, y, 0)
+    assert(math.abs(row.getLong(4) - sum) <= 2L * w * h)
+  }
+
   test("interpreted eval and codegen agree on the expression path") {
     val bytes = dcOnly(1, 1, Seq(40))
     val df = Seq(Tuple1(bytes)).toDF("payload")

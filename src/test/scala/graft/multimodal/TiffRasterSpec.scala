@@ -17,11 +17,17 @@ class TiffRasterSpec extends AnyFunSuite {
   private val spark = SparkTestSession.spark
   import spark.implicits._
 
-  private def jdkTiff(img: BufferedImage): Array[Byte] = {
+  private def jdkTiff(img: BufferedImage,
+                      compression: String = null): Array[Byte] = {
     val w = javax.imageio.ImageIO.getImageWritersByFormatName("tiff").next()
     val p = w.getDefaultWriteParam
-    // uncompressed: the JDK TIFF plugin has no "None" type name
-    p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_DISABLED)
+    if (compression == null)
+      // uncompressed: the JDK TIFF plugin has no "None" type name
+      p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_DISABLED)
+    else {
+      p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      p.setCompressionType(compression)
+    }
     val bos = new ByteArrayOutputStream()
     val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
     w.setOutput(ios)
@@ -145,6 +151,80 @@ class TiffRasterSpec extends AnyFunSuite {
     val r = df.head()
     assert((r.getInt(0), r.getInt(1), r.getLong(2)) == ((1, 3, 6L)))
     assert(r.getLong(3) == (0 until 6).map(_ * 30L).sum)
+  }
+
+  // compressed arms (r9): the JDK's own TIFF encoder produces each
+  // regime; lossless compression means the round-trip stays EXACT
+  private def compressedRoundtrip(compression: String): Unit = {
+    val w = 23; val h = 11 // non-multiple sizes, runs + noise
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)
+    var eR = 0L; var eG = 0L; var eB = 0L
+    for (y <- 0 until h; x <- 0 until w) {
+      // long runs (RLE-friendly) mixed with varying tails
+      val (r, g, b) =
+        if (x < 12) (7, 200, 33)
+        else ((x * 29 + y) % 256, (y * 61 + x) % 256, (x * y * 11) % 256)
+      eR += r; eG += g; eB += b
+      img.setRGB(x, y, (r << 16) | (g << 8) | b)
+    }
+    val bytes = jdkTiff(img, compression)
+    val row = TiffRaster.parse(bytes)
+    assert(row != null, s"JDK $compression TIFF must decode")
+    assert(row.getInt(1) == w && row.getInt(2) == h)
+    assert((row.getLong(4), row.getLong(5), row.getLong(6)) == ((eR, eG, eB)),
+      s"$compression channel sums diverged")
+  }
+
+  test("JDK LZW-compressed TIFF round-trips exactly") {
+    compressedRoundtrip("LZW")
+  }
+
+  test("JDK PackBits-compressed TIFF round-trips exactly") {
+    compressedRoundtrip("PackBits")
+  }
+
+  test("JDK Deflate-compressed TIFF round-trips exactly") {
+    compressedRoundtrip("ZLib")
+    compressedRoundtrip("Deflate")
+  }
+
+  test("JDK grayscale LZW with enough pixels to grow the code table") {
+    // > 4k distinct-ish pixels forces code widths past 9 bits and
+    // exercises the early-change bump at 511/1023/2047
+    val w = 101; val h = 53
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+    var exp = 0L
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = (x * x + y * 37 + (x * y) % 97) % 256
+      exp += v
+      img.getRaster.setSample(x, y, 0, v)
+    }
+    val row = TiffRaster.parse(jdkTiff(img, "LZW"))
+    assert(row != null)
+    assert(row.getLong(4) == exp)
+  }
+
+  test("JDK palette TIFF decodes through the ColorMap") {
+    // indexed-color image: the JDK writes photometric 3 + ColorMap
+    val pal = new Array[Int](256)
+    for (i <- 0 until 256) pal(i) = (i << 16) | (((i * 7) % 256) << 8) | ((i * 13) % 256)
+    val cm = new java.awt.image.IndexColorModel(8, 256,
+      pal.map(p => ((p >> 16) & 0xff).toByte),
+      pal.map(p => ((p >> 8) & 0xff).toByte),
+      pal.map(p => (p & 0xff).toByte))
+    val w = 9; val h = 6
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_INDEXED, cm)
+    var eR = 0L; var eG = 0L; var eB = 0L
+    for (y <- 0 until h; x <- 0 until w) {
+      val idx = (x * 31 + y * 17) % 256
+      img.getRaster.setSample(x, y, 0, idx)
+      val p = pal(idx)
+      eR += (p >> 16) & 0xff; eG += (p >> 8) & 0xff; eB += p & 0xff
+    }
+    val bytes = jdkTiff(img)
+    val row = TiffRaster.parse(bytes)
+    assert(row != null, "JDK palette TIFF must decode")
+    assert((row.getLong(4), row.getLong(5), row.getLong(6)) == ((eR, eG, eB)))
   }
 
   test("missing RowsPerStrip defaults to all-rows-in-one-strip") {

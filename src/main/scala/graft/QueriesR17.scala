@@ -451,6 +451,41 @@ object QueriesR17 {
     } finally server.close()
   }
 
+  /** X52: the bus spoken over KAFKA'S OWN WIRE PROTOCOL — X45's exact
+    * fixture served through [[graft.streaming.KafkaBusServer]] (real
+    * size-framed ApiVersions/Metadata/ListOffsets/Fetch exchanges,
+    * records as CRC32C-checked message-format-v2 RecordBatches) and
+    * consumed through `KafkaWireProvider`: the executor tasks each
+    * Fetch-loop their own [from, to) slice. Shares X45's oracle — the
+    * aggregate is delivery-shape-independent, so a hash match here
+    * certifies the whole wire path end to end.
+    */
+  def streamKafkaBus(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_orderstatus"),
+      (col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("long").as("cents"))
+    val root = java.nio.file.Files.createTempDirectory("graft_kafkabus").toString
+    graft.streaming.BusSource.stage(
+      o.select(pmod(col("o_orderkey"), lit(4)).as("pt"),
+        to_json(struct(col("o_orderstatus"), col("cents"))).as("v"),
+        col("o_orderkey")),
+      root, busPartitions = 4, pt = col("pt"), value = col("v"),
+      col("o_orderkey"))
+    val server = graft.streaming.KafkaBusServer.serve(root)
+    try {
+      val trigger = math.max(100L, o.count() / 8)
+      graft.streaming.Streams.kafkaBusReplay(s, "127.0.0.1", server.port,
+          "bus", trigger, s"gate_kafkabus_${System.nanoTime()}") { stream =>
+        stream.select(col("partition").cast("long").as("pt"),
+            from_json(col("value"),
+              org.apache.spark.sql.types.StructType.fromDDL(
+                "o_orderstatus STRING, cents LONG")).as("e"))
+          .groupBy(col("pt"), col("e.o_orderstatus").as("o_orderstatus"))
+          .agg(count(lit(1)).as("n"), sum(col("e.cents")).as("sum_cents"))
+      }.orderBy(col("pt"), col("o_orderstatus"))
+    } finally server.close()
+  }
+
   /** T36: TextRank keyword extraction (Mihalcea & Tarau 2004) — the
     * classic unsupervised keyword ranker: content words (length ≥ 4,
     * the deterministic stand-in for a POS filter) form a co-occurrence
@@ -644,6 +679,7 @@ object QueriesR17 {
     "avro_roundtrip" -> (avroRoundtrip _),
     "text_textrank" -> (textTextrank _),
     "stream_socket_bus" -> (streamSocketBus _),
+    "stream_kafka_bus" -> (streamKafkaBus _),
     "mm_g711_stats" -> (mmG711Stats _),
     "stream_socket_cdc" -> (streamSocketCdc _),
     "mm_gif_stats" -> (mmGifStats _),
@@ -764,6 +800,12 @@ object QueriesR17 {
         |  doc_id AS arr0, CAST(length(text) AS BIGINT) AS arr1
         |FROM documents ORDER BY doc_id""".stripMargin,
     "stream_socket_cdc" -> Queries.sqlCdc("cdc_merge"),
+    "stream_kafka_bus" ->
+      """SELECT o_orderkey % 4 AS pt, o_orderstatus,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+        |    AS BIGINT) AS sum_cents
+        |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "stream_socket_bus" ->
       """SELECT o_orderkey % 4 AS pt, o_orderstatus,
         |  COUNT(*) AS n,

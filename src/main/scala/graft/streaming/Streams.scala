@@ -2149,4 +2149,27 @@ object Streams {
       try { q.processAllAvailable() } finally { q.stop() }
       iso.table(queryName)
     }
+
+  /** [[socketBusReplay]]'s twin over the KAFKA wire protocol ([[KafkaWire]]):
+    * same admission control, same offsets, rows fetched as
+    * message-format-v2 RecordBatches through per-task broker
+    * connections.
+    */
+  def kafkaBusReplay(spark: SparkSession, host: String, port: Int,
+                     topic: String, maxRowsPerTrigger: Long,
+                     queryName: String)
+                    (pipe: DataFrame => DataFrame): DataFrame =
+    withStateSession(spark, 8) { iso =>
+      val stream = iso.readStream
+        .format("graft.streaming.KafkaWireProvider")
+        .option("host", host)
+        .option("port", port.toString)
+        .option("topic", topic)
+        .option("maxRowsPerTrigger", maxRowsPerTrigger.toString)
+        .load()
+      val q = pipe(stream).writeStream.outputMode("complete")
+        .format("memory").queryName(queryName).start()
+      try { q.processAllAvailable() } finally { q.stop() }
+      iso.table(queryName)
+    }
 }

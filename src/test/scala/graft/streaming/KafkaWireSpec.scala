@@ -1,0 +1,155 @@
+package graft.streaming
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.Files
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** X52: the Kafka wire layer — varint/zigzag golden vectors, the
+  * message-format-v2 RecordBatch codec (CRC32C integrity, tamper
+  * detection), and full client↔broker exchanges over a staged bus.
+  */
+class KafkaWireSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("zigzag varint golden vectors (the protobuf wire spec)") {
+    def enc(v: Int): Seq[Int] = {
+      val w = new KafkaWire.Writer
+      w.varInt(v)
+      w.toBytes.toSeq.map(_ & 0xff)
+    }
+    assert(enc(0) == Seq(0x00))
+    assert(enc(-1) == Seq(0x01))
+    assert(enc(1) == Seq(0x02))
+    assert(enc(-2) == Seq(0x03))
+    assert(enc(150) == Seq(0xac, 0x02)) // zigzag(150)=300 -> AC 02
+    assert(enc(Int.MaxValue) == Seq(0xfe, 0xff, 0xff, 0xff, 0x0f))
+    assert(enc(Int.MinValue) == Seq(0xff, 0xff, 0xff, 0xff, 0x0f))
+    // read back every boundary value
+    for (v <- Seq(0, 1, -1, 63, -64, 64, 8191, -8192, Int.MaxValue, Int.MinValue)) {
+      val w = new KafkaWire.Writer; w.varInt(v)
+      val r = new KafkaWire.Reader(java.nio.ByteBuffer.wrap(w.toBytes))
+      assert(r.varInt() == v, s"varint roundtrip $v")
+    }
+    for (v <- Seq(0L, -1L, Long.MaxValue, Long.MinValue, 1L << 40)) {
+      val w = new KafkaWire.Writer; w.varLong(v)
+      val r = new KafkaWire.Reader(java.nio.ByteBuffer.wrap(w.toBytes))
+      assert(r.varLong() == v, s"varlong roundtrip $v")
+    }
+  }
+
+  test("RecordBatch v2 encodes the spec layout and round-trips") {
+    val values = Seq("alpha", "beta", "", "delta").map(_.getBytes(UTF_8))
+    val batch = KafkaWire.encodeBatch(baseOffset = 42L, values)
+    // fixed header positions per the public format
+    val buf = java.nio.ByteBuffer.wrap(batch)
+    assert(buf.getLong(0) == 42L) // baseOffset
+    assert(buf.getInt(8) == batch.length - 12) // batchLength
+    assert(batch(16) == 2) // magic
+    val got = KafkaWire.decodeBatches(batch)
+    assert(got.map(_._1) == Seq(42L, 43L, 44L, 45L))
+    assert(got.map(g => new String(g._2, UTF_8)) ==
+      Seq("alpha", "beta", "", "delta"))
+  }
+
+  test("a flipped payload bit fails the CRC32C check loudly") {
+    val batch = KafkaWire.encodeBatch(0L, Seq("payload".getBytes(UTF_8)))
+    val tampered = batch.clone()
+    tampered(batch.length - 3) = (tampered(batch.length - 3) ^ 0x40).toByte
+    intercept[IllegalArgumentException] {
+      KafkaWire.decodeBatches(tampered)
+    }
+    // bad magic is loud too
+    val badMagic = batch.clone(); badMagic(16) = 1
+    intercept[IllegalArgumentException] {
+      KafkaWire.decodeBatches(badMagic)
+    }
+  }
+
+  test("concatenated batches and a partial trailing batch decode correctly") {
+    val b1 = KafkaWire.encodeBatch(0L, Seq("a", "b").map(_.getBytes(UTF_8)))
+    val b2 = KafkaWire.encodeBatch(2L, Seq("c").map(_.getBytes(UTF_8)))
+    val got = KafkaWire.decodeBatches(b1 ++ b2)
+    assert(got.map(_._1) == Seq(0L, 1L, 2L))
+    // a truncated trailing batch is dropped, not mis-read (Kafka allows
+    // partial batches at the end of a fetch response)
+    val partial = b1 ++ b2.take(b2.length - 5)
+    assert(KafkaWire.decodeBatches(partial).map(_._1) == Seq(0L, 1L))
+  }
+
+  private def stagedBus(): String = {
+    val root = Files.createTempDirectory("kafka_spec").toString
+    val df = (0L until 100L).toDF("k")
+      .select(pmod(col("k"), lit(3)).as("pt"),
+        concat(lit("msg-"), col("k")).as("v"), col("k"))
+    BusSource.stage(df, root, busPartitions = 3,
+      pt = col("pt"), value = col("v"), col("k"))
+    root
+  }
+
+  test("ApiVersions, Metadata, and ListOffsets speak the real frames") {
+    val root = stagedBus()
+    val server = KafkaBusServer.serve(root, topic = "t1")
+    try {
+      val c = new KafkaWire.Client("127.0.0.1", server.port)
+      try {
+        val apis = c.apiVersions()
+        assert(apis(KafkaWire.ApiFetch) == ((0, 4)))
+        assert(apis(KafkaWire.ApiMetadata) == ((0, 1)))
+        assert(c.partitions("t1") == Seq(0, 1, 2))
+        val latest = c.listOffsets("t1", Seq(0, 1, 2), -1L)
+        assert(latest.values.sum == 100L)
+        val earliest = c.listOffsets("t1", Seq(0, 1, 2), -2L)
+        assert(earliest == Map(0 -> 0L, 1 -> 0L, 2 -> 0L))
+      } finally c.close()
+    } finally server.close()
+  }
+
+  test("Fetch returns the exact record range with correct offsets") {
+    val root = stagedBus()
+    val server = KafkaBusServer.serve(root)
+    try {
+      val c = new KafkaWire.Client("127.0.0.1", server.port)
+      try {
+        val head = c.listOffsets("bus", Seq(0), -1L)(0)
+        // pull the whole partition via the fetch loop
+        var pos = 0L
+        val all = Seq.newBuilder[(Long, String)]
+        while (pos < head) {
+          val got = c.fetch("bus", 0, pos)
+          assert(got.nonEmpty)
+          got.foreach { case (o, v) => all += ((o, new String(v, UTF_8))) }
+          pos = got.last._1 + 1
+        }
+        val rows = all.result()
+        assert(rows.map(_._1) == (0L until head))
+        assert(rows.forall(_._2.startsWith("msg-")))
+        // mid-stream fetch starts exactly at the requested offset
+        val mid = c.fetch("bus", 0, head / 2)
+        assert(mid.head._1 == head / 2)
+        // at-head fetch returns empty, not an error
+        assert(c.fetch("bus", 0, head).isEmpty)
+      } finally c.close()
+    } finally server.close()
+  }
+
+  test("a structured-streaming read over the Kafka wire matches the staged rows") {
+    val root = stagedBus()
+    val server = KafkaBusServer.serve(root)
+    try {
+      val out = Streams.kafkaBusReplay(spark, "127.0.0.1", server.port,
+        "bus", maxRowsPerTrigger = 17,
+        s"kw_spec_${System.nanoTime()}") { stream =>
+        stream.groupBy(col("partition"))
+          .agg(count(lit(1)).as("n"))
+      }
+      val got = out.orderBy("partition")
+        .as[(Int, Long)].collect().toSeq
+      assert(got.map(_._2).sum == 100L)
+      assert(got.map(_._1) == Seq(0, 1, 2))
+    } finally server.close()
+  }
+}

@@ -477,10 +477,13 @@ object QueriesR16 {
           (col("s_nationkey") % 5).cast("string").as("bucket"))
         val schema = org.apache.spark.sql.types.StructType.fromDDL(
           "s_suppkey BIGINT, bal_cents BIGINT, bucket STRING")
+        // key-sorted data files: the v2 DELETION VECTOR addresses rows
+        // by position, so positions must be deterministic
         val adds = (0 until 5).map { b =>
           val rel = s"data/bucket=$b/f0.parquet"
           writeSingleParquet(
-            sup.filter(col("bucket") === b.toString).drop("bucket"),
+            sup.filter(col("bucket") === b.toString).drop("bucket")
+              .orderBy(col("s_suppkey")),
             t0.resolve(rel))
           s"""{"add":{"path":"$rel","partitionValues":{"bucket":"$b"},"dataChange":true}}"""
         }
@@ -499,6 +502,27 @@ object QueriesR16 {
           """{"remove":{"path":"data/bucket=0/f0.parquet","dataChange":true}}""",
           """{"add":{"path":"data/bucket=0/f1.parquet","partitionValues":{"bucket":"0"},"dataChange":true}}""")
           .mkString("\n"))
+        // v2: a DELETION VECTOR (F14c) re-adds bucket 1's file with
+        // every 3rd key-ranked row dead — the bitmap bytes come from
+        // the CANONICAL RoaringBitmap library (Spark's own classpath),
+        // the reader decodes them with the house codec
+        val n1 = sup.filter(col("bucket") === "1").count()
+        val rb = new org.roaringbitmap.longlong.Roaring64NavigableMap()
+        (0L until n1 by 3).foreach(rb.addLong)
+        rb.runOptimize()
+        val bos = new java.io.ByteArrayOutputStream()
+        rb.serializePortable(new java.io.DataOutputStream(bos))
+        val (dvFile, dvOff, dvSize) =
+          graft.sources.DeletionVectors.dvFileBytes(bos.toByteArray)
+        val uuid = new java.util.UUID(0x6772616674L, 0x64766273L) // fixed
+        java.nio.file.Files.write(
+          t0.resolve(s"deletion_vector_$uuid.bin"), dvFile)
+        val ub = java.nio.ByteBuffer.allocate(16)
+        ub.putLong(uuid.getMostSignificantBits)
+        ub.putLong(uuid.getLeastSignificantBits)
+        val z85 = graft.sources.DeletionVectors.z85Encode(ub.array())
+        java.nio.file.Files.writeString(logDir.resolve(f"${2L}%020d.json"),
+          s"""{"add":{"path":"data/bucket=1/f0.parquet","partitionValues":{"bucket":"1"},"dataChange":false,"deletionVector":{"storageType":"u","pathOrInlineDv":"$z85","offset":$dvOff,"sizeInBytes":$dvSize,"cardinality":${rb.getLongCardinality}}}}""")
         t0.toString
       })
 
@@ -834,12 +858,21 @@ object QueriesR16 {
         |      FROM documents) dw
         |JOIN ns USING (w) GROUP BY source ORDER BY source""".stripMargin,
     "delta_roundtrip" ->
-      """SELECT s_suppkey,
-        |  CAST(CAST(s_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)
-        |    + CASE WHEN s_nationkey % 5 = 0 THEN 10000 ELSE 0 END
-        |    AS bal_cents,
-        |  CAST(s_nationkey % 5 AS VARCHAR) AS bucket
-        |FROM supplier ORDER BY s_suppkey""".stripMargin,
+      """WITH base AS (
+        |  SELECT s_suppkey,
+        |    CAST(CAST(s_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |      + CASE WHEN s_nationkey % 5 = 0 THEN 10000 ELSE 0 END
+        |      AS bal_cents,
+        |    CAST(s_nationkey % 5 AS VARCHAR) AS bucket
+        |  FROM supplier
+        |), pos AS (
+        |  SELECT s_suppkey, bal_cents, bucket,
+        |    ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY s_suppkey) - 1 AS p
+        |  FROM base
+        |)
+        |SELECT s_suppkey, bal_cents, bucket FROM pos
+        |WHERE bucket <> '1' OR p % 3 <> 0
+        |ORDER BY s_suppkey""".stripMargin,
     "iceberg_roundtrip" ->
       """WITH fin AS (
         |  SELECT CASE WHEN n_regionkey = 0 THEN n_nationkey + 1000

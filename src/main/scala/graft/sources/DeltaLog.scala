@@ -46,7 +46,8 @@ object DeltaLog {
     * decoded lazily by [[filesInRange]] for min/max file skipping.
     */
   final case class LiveFile(path: String, partitionValues: Map[String, String],
-                            stats: Option[String] = None)
+                            stats: Option[String] = None,
+                            deletionVector: Option[String] = None)
 
   /** Replayed table state at a version. */
   final case class State(version: Long, schema: StructType,
@@ -58,27 +59,33 @@ object DeltaLog {
     * canonicalizes both to map&lt;string,string&gt;.
     */
   private def fold(df: DataFrame,
-                   live: collection.mutable.LinkedHashMap[String, (Map[String, String], Option[String])],
+                   live: collection.mutable.LinkedHashMap[String, (Map[String, String], Option[String], Option[String])],
                    meta: Array[Option[(StructType, Seq[String])]]): Unit = {
     val roots = df.columns.toSet
     def sub(root: String, path: String) =
       if (roots.contains(root)) expr(path) else lit(null).cast("string")
-    val pv =
+    val addFields =
       if (roots.contains("add"))
+        df.select("add.*").columns.toSet else Set.empty[String]
+    // an unpartitioned table writes `"partitionValues":{}` — Spark's
+    // JSON inference prunes the empty struct, so guard on the field
+    val pv =
+      if (addFields.contains("partitionValues"))
         expr("from_json(to_json(add.partitionValues), 'map<string,string>')")
       else lit(null).cast("map<string,string>")
     val pc =
       if (roots.contains("metaData"))
         expr("metaData.partitionColumns")
       else lit(null).cast("array<string>")
-    val addFields =
-      if (roots.contains("add"))
-        df.select("add.*").columns.toSet else Set.empty[String]
     val stats =
       if (addFields.contains("stats")) expr("add.stats")
       else lit(null).cast("string")
+    val dv =
+      if (addFields.contains("deletionVector"))
+        expr("to_json(add.deletionVector)")
+      else lit(null).cast("string")
     df.select(sub("add", "add.path"), pv, sub("remove", "remove.path"),
-        sub("metaData", "metaData.schemaString"), pc, stats)
+        sub("metaData", "metaData.schemaString"), pc, stats, dv)
       .collect().foreach { r =>
         if (!r.isNullAt(3)) {
           val sch = DataType.fromJson(r.getString(3)).asInstanceOf[StructType]
@@ -89,7 +96,9 @@ object DeltaLog {
         if (!r.isNullAt(0)) {
           val m = if (r.isNullAt(1)) Map.empty[String, String]
                   else r.getMap[String, String](1).toMap
-          live.put(r.getString(0), (m, if (r.isNullAt(5)) None else Some(r.getString(5))))
+          live.put(r.getString(0), (m,
+            if (r.isNullAt(5)) None else Some(r.getString(5)),
+            if (r.isNullAt(6)) None else Some(r.getString(6))))
         }
       }
   }
@@ -146,7 +155,7 @@ object DeltaLog {
     val upTo = versionAsOf.getOrElse(
       (commits.map(_._1) ++ checkpoints.map(_._1)).maxOption.getOrElse(
         throw new IllegalArgumentException(s"empty delta log: $table")))
-    val live = collection.mutable.LinkedHashMap[String, (Map[String, String], Option[String])]()
+    val live = collection.mutable.LinkedHashMap[String, (Map[String, String], Option[String], Option[String])]()
     val meta = Array[Option[(StructType, Seq[String])]](None)
     val ckpt = checkpoints.filter(_._1 <= upTo).maxByOption(_._1)
     ckpt.foreach { case (_, parts) =>
@@ -171,7 +180,7 @@ object DeltaLog {
     val (schema, partCols) = meta(0).getOrElse(
       throw new IllegalArgumentException(s"no metaData action in log: $table"))
     State(upTo, schema, partCols,
-      live.toSeq.map { case (p, (m, st)) => LiveFile(p, m, st) })
+      live.toSeq.map { case (p, (m, st, dv)) => LiveFile(p, m, st, dv) })
   }
 
   /** The live files surviving min/max range pruning on `add.stats` —
@@ -219,25 +228,95 @@ object DeltaLog {
     val st = state(spark, table, versionAsOf)
     val dataSchema = StructType(
       st.schema.fields.filterNot(f => st.partitionColumns.contains(f.name)))
-    val groups = filesInRange(
-        st.files.filter(f => partitionFilter(f.partitionValues)), ranges)
+    val liveFiles = filesInRange(
+      st.files.filter(f => partitionFilter(f.partitionValues)), ranges)
+    val groups = liveFiles
       .groupBy(_.partitionValues).toSeq
       .sortBy(_._1.toSeq.sorted.mkString(","))
     if (groups.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], st.schema)
+    // deletion vectors (F14c): when any live file carries one, tag rows
+    // with their file + row index and anti-join the decoded positions —
+    // the Iceberg positional-delete shape. DVs decode in EXECUTORS (one
+    // task per DV-bearing file); the driver holds only descriptors.
+    val hasDv = liveFiles.exists(_.deletionVector.isDefined)
+    val metaCols =
+      if (hasDv) Seq(col("_metadata.file_path").as("__fp"),
+        col("_metadata.row_index").as("__pos"))
+      else Seq.empty
     val parts = groups.map { case (pvals, files) =>
-      val base = spark.read.schema(dataSchema)
+      val base0 = spark.read.schema(dataSchema)
         .parquet(files.map(f => Paths.get(table, f.path).toString): _*)
+      val base = base0.select(base0.columns.map(col).toSeq ++ metaCols: _*)
       st.partitionColumns.foldLeft(base) { (df, c0) =>
         val f = st.schema.fields.find(_.name == c0).getOrElse(
           throw new IllegalArgumentException(s"partition column $c0 not in schema"))
         df.withColumn(c0, lit(pvals.getOrElse(c0, null)).cast(f.dataType))
-      }.select(st.schema.fieldNames.map(col).toSeq: _*)
+      }.select((st.schema.fieldNames.toSeq ++
+        (if (hasDv) Seq("__fp", "__pos") else Nil)).map(col): _*)
+    }
+    var df = parts.reduce(_ unionByName _)
+    if (hasDv) {
+      import spark.implicits._
+      val descriptors = liveFiles.flatMap(f =>
+        f.deletionVector.map(dvJson => (f.path, dvJson)))
+      val positions = spark.createDataset(descriptors)
+        .repartition(math.max(1, descriptors.size))
+        .flatMap { case (relPath, dvJson) =>
+          decodeDvPositions(table, dvJson).map(pos => (relPath, pos))
+        }.toDF("__dvp", "__dvpos")
+      // compare by the path tail under the table dir (the Iceberg
+      // relocation-safe anchoring rule)
+      val anchor = Paths.get(table).toAbsolutePath.getFileName.toString
+      df = df.join(positions,
+        substring_index(col("__fp"), "/" + anchor + "/", -1) === col("__dvp") &&
+          col("__pos") === col("__dvpos"), "left_anti")
+        .select(st.schema.fieldNames.map(col).toSeq: _*)
     }
     val residual = ranges.map { case (c, (lo, hi)) =>
       col(c) >= lo && col(c) <= hi
     }.reduceOption(_ && _).getOrElse(lit(true))
-    parts.reduce(_ unionByName _).filter(residual)
+    df.filter(residual)
+  }
+
+  /** Positions of one `deletionVector` descriptor: `u` (z85 UUID →
+    * `deletion_vector_<uuid>.bin` under the table root, an optional
+    * random prefix honored), `p` (absolute path), `i` (inline).
+    */
+  private[sources] def decodeDvPositions(table: String,
+                                         dvJson: String): Array[Long] = {
+    def field(name: String): Option[String] =
+      ("\"" + name + "\"\\s*:\\s*\"([^\"]*)\"").r
+        .findFirstMatchIn(dvJson).map(_.group(1))
+    def num(name: String): Option[Long] =
+      ("\"" + name + "\"\\s*:\\s*(-?\\d+)").r
+        .findFirstMatchIn(dvJson).map(_.group(1).toLong)
+    val storage = field("storageType").getOrElse(
+      throw new IllegalArgumentException(s"deletionVector missing storageType: $dvJson"))
+    val payload = field("pathOrInlineDv").getOrElse(
+      throw new IllegalArgumentException(s"deletionVector missing pathOrInlineDv: $dvJson"))
+    val size = num("sizeInBytes").getOrElse(
+      throw new IllegalArgumentException(s"deletionVector missing sizeInBytes: $dvJson")).toInt
+    storage match {
+      case "i" =>
+        val data = DeletionVectors.z85Decode(payload)
+        require(data.length >= size, s"inline DV shorter than sizeInBytes")
+        DeletionVectors.decodeData(java.util.Arrays.copyOf(data, size))
+      case "u" =>
+        // optional random prefix before the 20-char z85 uuid
+        val (prefix, uuidPart) = payload.splitAt(payload.length - 20)
+        val uuid = DeletionVectors.z85Uuid(uuidPart)
+        val rel =
+          (if (prefix.nonEmpty) prefix.stripSuffix("/") + "/" else "") +
+            s"deletion_vector_$uuid.bin"
+        val bytes = Files.readAllBytes(Paths.get(table, rel))
+        DeletionVectors.decodeAt(bytes, num("offset").getOrElse(1L).toInt, size)
+      case "p" =>
+        val bytes = Files.readAllBytes(Paths.get(payload))
+        DeletionVectors.decodeAt(bytes, num("offset").getOrElse(1L).toInt, size)
+      case other =>
+        throw new IllegalArgumentException(s"deletionVector storageType '$other' unsupported")
+    }
   }
 }

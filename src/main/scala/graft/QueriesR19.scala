@@ -83,11 +83,50 @@ object QueriesR19 {
       .orderBy(col("doc_id"))
   }
 
+  private val tfMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+
+  /** F20: TFRecord round-trip — documents as length-framed,
+    * double-CRC32C-masked records in 4 shards (the TensorFlow
+    * container); payloads carry (doc_id, text) as JSON so the read
+    * side re-keys without trusting shard order; md5-witnessed
+    * recovery, the F17b posture.
+    */
+  def tfrecordRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val root = tfMemo.computeIfAbsent(
+      (s.sparkContext.applicationId, dir), _ => {
+        val out = java.nio.file.Files
+          .createTempDirectory("graft_tfrec").toString
+        graft.sources.TfRecord.write(
+          t(s, dir, "documents")
+            .select(col("doc_id"),
+              encode(to_json(struct(col("doc_id"), col("text"))), "UTF-8")
+                .as("payload"))
+            .repartition(4, pmod(col("doc_id"), lit(4)))
+            .sortWithinPartitions(col("doc_id"))
+            .select(col("payload")), out)
+        out
+      })
+    graft.sources.TfRecord.read(s, root)
+      .select(from_json(decode(col("payload"), "UTF-8"),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "doc_id BIGINT, text STRING")).as("e"))
+      .select(col("e.doc_id").as("doc_id"),
+        md5(col("e.text")).as("text_md5"),
+        length(col("e.text")).cast("long").as("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "wds_roundtrip" -> (wdsRoundtrip _),
-    "zstd_dict_roundtrip" -> (zstdDictRoundtrip _))
+    "zstd_dict_roundtrip" -> (zstdDictRoundtrip _),
+    "tfrecord_roundtrip" -> (tfrecordRoundtrip _))
 
   val sql: Map[String, String] = Map(
+    "tfrecord_roundtrip" ->
+      """SELECT doc_id, md5(text) AS text_md5,
+        |  CAST(length(text) AS BIGINT) AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "zstd_dict_roundtrip" ->
       """SELECT doc_id, md5(text) AS text_md5,
         |  CAST(length(text) AS BIGINT) AS n_chars

@@ -1,0 +1,128 @@
+package graft.sources
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** F20: TFRecord source/sink — the TensorFlow training-data container
+  * (public format, tensorflow.org: each record is an 8-byte LE length,
+  * a 4-byte MASKED CRC-32C of the length bytes, the payload, and a
+  * 4-byte masked CRC-32C of the payload; the mask is the snappy/TF
+  * rotation `((crc >>> 15) | (crc << 17)) + 0xa282ead8`). Both CRCs
+  * verify on read — a flipped bit anywhere in a shard is a loud error,
+  * never a silently corrupt sample.
+  *
+  * Scale shape: the WebDataset posture (F19) — shard-parallel reads
+  * (shard count is the parallelism knob; TFRecord has no sync markers,
+  * so intra-file splits are impossible BY FORMAT — stated), one
+  * deterministic shard per partition on write, O(record) memory.
+  */
+object TfRecord {
+
+  val schema: StructType = StructType(Seq(
+    StructField("shard", StringType, nullable = false),
+    StructField("idx", LongType, nullable = false),
+    StructField("payload", BinaryType, nullable = true)))
+
+  /** Masked CRC-32C per the TFRecord spec. */
+  def maskedCrc(b: Array[Byte], off: Int, len: Int): Int = {
+    val c = new java.util.zip.CRC32C
+    c.update(b, off, len)
+    val crc = c.getValue.toInt
+    ((crc >>> 15) | (crc << 17)) + 0xa282ead8
+  }
+
+  /** Write `df`'s `payload` BINARY column as one `part-NNNNN.tfrecord`
+    * per partition under `dir`.
+    */
+  def write(df: DataFrame, dir: String): Unit = {
+    Files.createDirectories(Paths.get(dir))
+    df.select("payload").rdd.mapPartitionsWithIndex { (idx, rows) =>
+      val p = Paths.get(dir, f"part-$idx%05d.tfrecord")
+      val out = new java.io.BufferedOutputStream(Files.newOutputStream(p))
+      var n = 0L
+      rows.foreach { r =>
+        val payload = r.getAs[Array[Byte]](0)
+        val len = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+          .putLong(payload.length.toLong).array()
+        val lenCrc = ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
+          .putInt(maskedCrc(len, 0, 8)).array()
+        val dataCrc = ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
+          .putInt(maskedCrc(payload, 0, payload.length)).array()
+        out.write(len); out.write(lenCrc)
+        out.write(payload); out.write(dataCrc)
+        n += 1
+      }
+      out.close()
+      Iterator.single(n)
+    }.count(): Unit
+  }
+
+  /** Stream one shard's records; both CRCs verified per record. */
+  def readShard(in: java.io.InputStream): Iterator[Array[Byte]] =
+    new Iterator[Array[Byte]] {
+      private val din = new java.io.DataInputStream(in)
+      private var nextRec: Array[Byte] = _
+      private var done = false
+      private def advance(): Unit = {
+        if (done || nextRec != null) return
+        val head = new Array[Byte](12)
+        val first = din.read(head, 0, 1)
+        if (first < 0) { done = true; return }
+        din.readFully(head, 1, 11)
+        val buf = ByteBuffer.wrap(head).order(ByteOrder.LITTLE_ENDIAN)
+        val len = buf.getLong
+        val lenCrc = buf.getInt
+        require(maskedCrc(head, 0, 8) == lenCrc,
+          "tfrecord length CRC mismatch")
+        require(len >= 0 && len <= (1L << 31), s"implausible record size $len")
+        val payload = new Array[Byte](len.toInt)
+        din.readFully(payload)
+        val tail = new Array[Byte](4)
+        din.readFully(tail)
+        val dataCrc = ByteBuffer.wrap(tail).order(ByteOrder.LITTLE_ENDIAN).getInt
+        require(maskedCrc(payload, 0, payload.length) == dataCrc,
+          "tfrecord payload CRC mismatch")
+        nextRec = payload
+      }
+      def hasNext: Boolean = { advance(); !done }
+      def next(): Array[Byte] = { advance(); val r = nextRec; nextRec = null; r }
+    }
+
+  /** Read every `*.tfrecord` under `dir`: one task per shard; `idx` is
+    * the record's position within its shard.
+    */
+  def read(spark: SparkSession, dir: String): DataFrame = {
+    val it = Files.list(Paths.get(dir)).iterator()
+    val files = new scala.collection.mutable.ArrayBuffer[String]
+    while (it.hasNext) {
+      val p = it.next()
+      if (p.getFileName.toString.endsWith(".tfrecord")) files += p.toString
+    }
+    require(files.nonEmpty, s"no .tfrecord shards under $dir")
+    val sorted = files.sorted.toSeq
+    val rdd = spark.sparkContext
+      .parallelize(sorted, math.max(1, sorted.size))
+      .flatMap { shard =>
+        val in = Files.newInputStream(Paths.get(shard))
+        var closed = false
+        def closeAll(): Unit = if (!closed) { closed = true; in.close() }
+        val tc = org.apache.spark.TaskContext.get()
+        if (tc != null) tc.addTaskCompletionListener[Unit](_ => closeAll())
+        val base = Paths.get(shard).getFileName.toString
+        val recs = readShard(in)
+        var i = -1L
+        new Iterator[Row] {
+          def hasNext: Boolean = {
+            val h = recs.hasNext
+            if (!h) closeAll()
+            h
+          }
+          def next(): Row = { i += 1; Row(base, i, recs.next()) }
+        }
+      }
+    spark.createDataFrame(rdd, schema)
+  }
+}

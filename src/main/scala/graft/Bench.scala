@@ -47,7 +47,11 @@ object Bench {
     // unigram tokenization
     "stream_spatial_join", "text_unigram_tokenize",
     // round-8 continuation: word-graph ranking + compressed-raster decode
-    "text_textrank", "mm_png_stats")
+    "text_textrank", "mm_png_stats",
+    // round-9 surface: shipping formats (tar/TFRecord/zstd-dict), the
+    // Kafka wire path, PackBits decode, the de-trivialized fuzzy gate
+    "wds_roundtrip", "tfrecord_roundtrip", "zstd_dict_roundtrip",
+    "stream_kafka_bus", "mm_tiff_packbits_stats", "dedup_fuzzy_edit")
 
   /** Dedup/ER-heavy tier (r9 split, the graph_heavy rationale): the
     * multi-second blocking/verification dedup gates whose constants were

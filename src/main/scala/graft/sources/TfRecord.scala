@@ -1,8 +1,8 @@
 package graft.sources
 
 import java.nio.{ByteBuffer, ByteOrder}
-import java.nio.file.{Files, Paths}
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.types._
 
@@ -15,9 +15,10 @@ import org.apache.spark.sql.types._
   * never a silently corrupt sample.
   *
   * Scale shape: the WebDataset posture (F19) — shard-parallel reads
-  * (shard count is the parallelism knob; TFRecord has no sync markers,
-  * so intra-file splits are impossible BY FORMAT — stated), one
-  * deterministic shard per partition on write, O(record) memory.
+  * over the Hadoop FileSystem API (shard count is the parallelism
+  * knob; TFRecord has no sync markers, so intra-file splits are
+  * impossible BY FORMAT — stated), one deterministic shard per
+  * partition on write, O(record) memory.
   */
 object TfRecord {
 
@@ -38,10 +39,14 @@ object TfRecord {
     * per partition under `dir`.
     */
   def write(df: DataFrame, dir: String): Unit = {
-    Files.createDirectories(Paths.get(dir))
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    val root = new Path(dir)
+    root.getFileSystem(conf.value).mkdirs(root)
     df.select("payload").rdd.mapPartitionsWithIndex { (idx, rows) =>
-      val p = Paths.get(dir, f"part-$idx%05d.tfrecord")
-      val out = new java.io.BufferedOutputStream(Files.newOutputStream(p))
+      val p = new Path(dir, f"part-$idx%05d.tfrecord")
+      val out = new java.io.BufferedOutputStream(
+        p.getFileSystem(conf.value).create(p, true))
       var n = 0L
       rows.foreach { r =>
         val payload = r.getAs[Array[Byte]](0)
@@ -95,23 +100,24 @@ object TfRecord {
     * the record's position within its shard.
     */
   def read(spark: SparkSession, dir: String): DataFrame = {
-    val it = Files.list(Paths.get(dir)).iterator()
-    val files = new scala.collection.mutable.ArrayBuffer[String]
-    while (it.hasNext) {
-      val p = it.next()
-      if (p.getFileName.toString.endsWith(".tfrecord")) files += p.toString
-    }
-    require(files.nonEmpty, s"no .tfrecord shards under $dir")
-    val sorted = files.sorted.toSeq
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val root = new Path(dir)
+    val fs = root.getFileSystem(conf.value)
+    val sorted = fs.listStatus(root).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".tfrecord"))
+      .map(_.getPath.toString).sorted
+    require(sorted.nonEmpty, s"no .tfrecord shards under $dir")
     val rdd = spark.sparkContext
       .parallelize(sorted, math.max(1, sorted.size))
       .flatMap { shard =>
-        val in = Files.newInputStream(Paths.get(shard))
+        val sp = new Path(shard)
+        val in = sp.getFileSystem(conf.value).open(sp)
         var closed = false
         def closeAll(): Unit = if (!closed) { closed = true; in.close() }
         val tc = org.apache.spark.TaskContext.get()
         if (tc != null) tc.addTaskCompletionListener[Unit](_ => closeAll())
-        val base = Paths.get(shard).getFileName.toString
+        val base = sp.getName
         val recs = readShard(in)
         var i = -1L
         new Iterator[Row] {

@@ -3,6 +3,8 @@ package graft.sources
 import java.nio.charset.StandardCharsets.UTF_8
 import java.nio.file.{Files, Paths}
 
+import scala.jdk.CollectionConverters._
+
 import graft.SparkTestSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -41,7 +43,9 @@ class TarShardsSpec extends AnyFunSuite {
       samples.toDF("name", "v")
         .select(col("name"), encode(col("v"), "UTF-8").as("payload"))
         .coalesce(1), dir)
-    val shard = Files.list(Paths.get(dir)).iterator().next()
+    val shard = Files.list(Paths.get(dir)).iterator().asScala
+      .find(f => f.getFileName.toString.startsWith("part-") &&
+        !f.getFileName.toString.endsWith(".crc")).get
     val tin = new org.apache.commons.compress.archivers.tar.TarArchiveInputStream(
       Files.newInputStream(shard))
     val got = Iterator.continually(tin.getNextEntry)
@@ -96,7 +100,9 @@ class TarShardsSpec extends AnyFunSuite {
       samples.toDF("name", "v")
         .select(col("name"), encode(col("v"), "UTF-8").as("payload"))
         .coalesce(1), dir)
-    val shard = Files.list(Paths.get(dir)).iterator().next()
+    val shard = Files.list(Paths.get(dir)).iterator().asScala
+      .find(f => f.getFileName.toString.startsWith("part-") &&
+        !f.getFileName.toString.endsWith(".crc")).get
     val outDir = Paths.get(tmp())
     val rc = new ProcessBuilder("tar", "-xf", shard.toString,
       "-C", outDir.toString).inheritIO().start().waitFor()
@@ -125,7 +131,9 @@ class TarShardsSpec extends AnyFunSuite {
       samples.toDF("name", "v")
         .select(col("name"), encode(col("v"), "UTF-8").as("payload"))
         .coalesce(1), dir)
-    val shard = Files.list(Paths.get(dir)).iterator().next()
+    val shard = Files.list(Paths.get(dir)).iterator().asScala
+      .find(f => f.getFileName.toString.startsWith("part-") &&
+        !f.getFileName.toString.endsWith(".crc")).get
     val bytes = Files.readAllBytes(shard)
     bytes(0) = 'z' // corrupt the first header's name -> checksum breaks
     val e1 = intercept[IllegalArgumentException] {

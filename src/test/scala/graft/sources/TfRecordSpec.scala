@@ -3,6 +3,8 @@ package graft.sources
 import java.nio.charset.StandardCharsets.UTF_8
 import java.nio.file.{Files, Paths}
 
+import scala.jdk.CollectionConverters._
+
 import graft.SparkTestSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -31,7 +33,9 @@ class TfRecordSpec extends AnyFunSuite {
     val dir = tmp()
     TfRecord.write(Seq(Tuple1("abc".getBytes(UTF_8))).toDF("payload")
       .coalesce(1), dir)
-    val f = Files.list(Paths.get(dir)).iterator().next()
+    val f = Files.list(Paths.get(dir)).iterator().asScala
+      .find(f => f.getFileName.toString.startsWith("part-") &&
+        !f.getFileName.toString.endsWith(".crc")).get
     val b = Files.readAllBytes(f)
     assert(b.length == 8 + 4 + 3 + 4)
     val buf = java.nio.ByteBuffer.wrap(b)
@@ -58,7 +62,9 @@ class TfRecordSpec extends AnyFunSuite {
     val dir = tmp()
     TfRecord.write(Seq(Tuple1("sensitive-training-sample".getBytes(UTF_8)))
       .toDF("payload").coalesce(1), dir)
-    val f = Files.list(Paths.get(dir)).iterator().next()
+    val f = Files.list(Paths.get(dir)).iterator().asScala
+      .find(f => f.getFileName.toString.startsWith("part-") &&
+        !f.getFileName.toString.endsWith(".crc")).get
     val good = Files.readAllBytes(f)
     for (at <- Seq(0, 9, 14, good.length - 1)) {
       val bad = good.clone(); bad(at) = (bad(at) ^ 0x01).toByte

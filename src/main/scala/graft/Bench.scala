@@ -82,9 +82,21 @@ object Bench {
     // skew-join and the wide broadcast threshold change join strategy on
     // the heavy dedup/similarity plans (ngram verification: 4×)
     val spark = GraftSession.get(cpus.toInt)
-    val names =
+    val names0 =
       if (sys.env.contains("SPARK_GRAFT_BENCH_ALL")) SparkEntry.queries.keys.toSeq.sorted
       else (headline ++ graphHeavy ++ dedupHeavy).filter(SparkEntry.queries.contains)
+    // optional shard arg "K/N" (1-based): run every N-th query starting
+    // at K. A full-gate BENCH_ALL (400+ queries × best-of-2 in ONE JVM)
+    // exhausts this container's hard 20k-FD cap around the streaming
+    // family; interleaved shards keep each JVM's mix representative and
+    // the artifacts merge by union (shard runs share no state).
+    val names = args match {
+      case Array(spec) if spec.matches("\\d+/\\d+") =>
+        val Array(k, n) = spec.split("/").map(_.toInt)
+        require(k >= 1 && k <= n, s"shard $spec out of range")
+        names0.zipWithIndex.collect { case (q, i) if i % n == k - 1 => q }
+      case _ => names0
+    }
     // JVM/codegen + page-cache warmup so the timed sf runs measure
     // steady-state throughput: each benched plan runs once at sf0.001 so
     // its generated classes are compiled and JIT'd before timing — at

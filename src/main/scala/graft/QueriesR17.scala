@@ -521,8 +521,13 @@ object QueriesR17 {
     * [[graft.sources.AvroTable]] (avro-core, already on Spark's
     * classpath) and read back file-parallel via `DataFileStream`;
     * null-union nullability exercised by a column that is NULL on every
-    * 7th doc. Oracle = the same projection in plain SQL: the format
-    * layer must be invisible.
+    * 7th doc. The container also carries the LOGICAL-type columns real
+    * lake Avro has on nearly every table (r10): a bytes-decimal, a
+    * timestamp-micros, an int-date, and a string-keyed map — each
+    * projected back to an exact integer/string after the read so the
+    * DuckDB hash compare witnesses the annotation encode/decode.
+    * Oracle = the same projection in plain SQL: the format layer must
+    * be invisible.
     */
   def avroRoundtrip(s: SparkSession, dir: String): DataFrame = {
     val root = avroMemo.computeIfAbsent(
@@ -541,7 +546,17 @@ object QueriesR17 {
               struct(col("source").as("nm"),
                 length(col("text")).cast("long").as("ln")).as("meta"),
               array(col("doc_id"),
-                length(col("text")).cast("long")).as("arr"))
+                length(col("text")).cast("long")).as("arr"),
+              // logical types (r10): exact cent-derived decimal,
+              // microsecond timestamp, epoch-offset date, and a map
+              expr("CAST((doc_id * 101 + 25) AS DECIMAL(16,2)) / 100")
+                .cast("decimal(12,2)").as("dec"),
+              expr("timestamp_micros(1577836800000000 + doc_id * 1234567)")
+                .as("ts"),
+              expr("date_add(DATE '2020-01-01', CAST(doc_id % 1000 AS INT))")
+                .as("dt"),
+              map(col("source"),
+                length(col("text")).cast("long")).as("mp"))
             .repartition(4), out)
         out
       })
@@ -549,7 +564,11 @@ object QueriesR17 {
       .select(col("doc_id"), col("source"), col("n_chars"), col("source_alt"),
         col("meta.nm").as("meta_nm"), col("meta.ln").as("meta_ln"),
         element_at(col("arr"), 1).as("arr0"),
-        element_at(col("arr"), 2).as("arr1"))
+        element_at(col("arr"), 2).as("arr1"),
+        (col("dec") * 100).cast("long").as("dec_cents"),
+        expr("unix_micros(ts)").as("ts_us"),
+        date_format(col("dt"), "yyyy-MM-dd").as("dt_s"),
+        element_at(col("mp"), col("source")).as("mp_v"))
       .orderBy(col("doc_id"))
   }
 
@@ -797,7 +816,12 @@ object QueriesR17 {
       """SELECT doc_id, source, CAST(length(text) AS BIGINT) AS n_chars,
         |  CASE WHEN doc_id % 7 = 0 THEN NULL ELSE source END AS source_alt,
         |  source AS meta_nm, CAST(length(text) AS BIGINT) AS meta_ln,
-        |  doc_id AS arr0, CAST(length(text) AS BIGINT) AS arr1
+        |  doc_id AS arr0, CAST(length(text) AS BIGINT) AS arr1,
+        |  CAST(doc_id * 101 + 25 AS BIGINT) AS dec_cents,
+        |  CAST(1577836800000000 + doc_id * 1234567 AS BIGINT) AS ts_us,
+        |  strftime(DATE '2020-01-01' + CAST(doc_id % 1000 AS INTEGER),
+        |           '%Y-%m-%d') AS dt_s,
+        |  CAST(length(text) AS BIGINT) AS mp_v
         |FROM documents ORDER BY doc_id""".stripMargin,
     "stream_socket_cdc" -> Queries.sqlCdc("cdc_merge"),
     "stream_kafka_bus" ->

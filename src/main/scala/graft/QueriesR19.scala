@@ -117,13 +117,53 @@ object QueriesR19 {
       .orderBy(col("doc_id"))
   }
 
+  private val tfGzMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+
+  /** F20b (r10): GZIP-compressed TFRecord round-trip — the same
+    * contract as F20 over `.tfrecord.gz` shards (TF tooling's
+    * `TFRecordOptions(compression_type="GZIP")` default in many
+    * pipelines): the gzip stream wraps the WHOLE shard and both masked
+    * CRC-32Cs verify on the DECOMPRESSED framing. Same oracle — the
+    * codec must be invisible.
+    */
+  def tfrecordGzipRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val root = tfGzMemo.computeIfAbsent(
+      (s.sparkContext.applicationId, dir), _ => {
+        val out = java.nio.file.Files
+          .createTempDirectory("graft_tfgz").toString
+        graft.sources.TfRecord.write(
+          t(s, dir, "documents")
+            .select(col("doc_id"),
+              encode(to_json(struct(col("doc_id"), col("text"))), "UTF-8")
+                .as("payload"))
+            .repartition(4, pmod(col("doc_id"), lit(4)))
+            .sortWithinPartitions(col("doc_id"))
+            .select(col("payload")), out, codec = "GZIP")
+        out
+      })
+    graft.sources.TfRecord.read(s, root)
+      .select(from_json(decode(col("payload"), "UTF-8"),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "doc_id BIGINT, text STRING")).as("e"))
+      .select(col("e.doc_id").as("doc_id"),
+        md5(col("e.text")).as("text_md5"),
+        length(col("e.text")).cast("long").as("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "wds_roundtrip" -> (wdsRoundtrip _),
     "zstd_dict_roundtrip" -> (zstdDictRoundtrip _),
-    "tfrecord_roundtrip" -> (tfrecordRoundtrip _))
+    "tfrecord_roundtrip" -> (tfrecordRoundtrip _),
+    "tfrecord_gzip_roundtrip" -> (tfrecordGzipRoundtrip _))
 
   val sql: Map[String, String] = Map(
     "tfrecord_roundtrip" ->
+      """SELECT doc_id, md5(text) AS text_md5,
+        |  CAST(length(text) AS BIGINT) AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "tfrecord_gzip_roundtrip" ->
       """SELECT doc_id, md5(text) AS text_md5,
         |  CAST(length(text) AS BIGINT) AS n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,

@@ -26,9 +26,14 @@ import org.apache.spark.sql.types._
   * (works on any Hadoop-compatible FS, not just local disk).
   *
   * Stated subset, rejected loudly: records of the primitive types
-  * (boolean/int/long/float/double/string/bytes) plus NESTED records
-  * and arrays thereof (r9 — any depth), with 2-branch null unions for
-  * nullability at every level; no maps, enums, fixed, or logical
+  * (boolean/int/long/float/double/string/bytes) plus NESTED records,
+  * arrays, and string-keyed MAPS thereof (any depth), with 2-branch
+  * null unions for nullability at every level, and the LOGICAL types
+  * real lake Avro carries on nearly every table (r10): decimal (on
+  * bytes AND fixed), date (int), timestamp-millis and
+  * timestamp-micros (long) — decoded by annotation per the Avro spec,
+  * written as bytes-decimal / date / timestamp-micros (Spark's native
+  * timestamp resolution). No enums, bare fixed, or other logical
   * types.
   */
 object AvroTable {
@@ -49,10 +54,22 @@ object AvroTable {
     case DoubleType => "\"double\""
     case StringType => "\"string\""
     case BinaryType => "\"bytes\""
+    case d: DecimalType =>
+      s"""{"type": "bytes", "logicalType": "decimal",
+         | "precision": ${d.precision}, "scale": ${d.scale}}""".stripMargin
+    case DateType => """{"type": "int", "logicalType": "date"}"""
+    case TimestampType =>
+      // Spark timestamps are microsecond-resolution; micros is lossless
+      """{"type": "long", "logicalType": "timestamp-micros"}"""
     case ArrayType(et, containsNull) =>
       val item = typeJson(et, path + "_item")
       val items = if (containsNull) s"""["null", $item]""" else item
       s"""{"type": "array", "items": $items}"""
+    case MapType(StringType, vt, valueContainsNull) =>
+      // Avro maps are string-keyed by definition
+      val value = typeJson(vt, path + "_value")
+      val values = if (valueContainsNull) s"""["null", $value]""" else value
+      s"""{"type": "map", "values": $values}"""
     case st: StructType => recordJson(st, path)
     case other => throw new IllegalArgumentException(
       s"avro subset: unsupported Spark type $other at $path")
@@ -97,20 +114,41 @@ object AvroTable {
       case _ => (dataType(s, field), false)
     }
 
-  private def dataType(s: Schema, field: String): DataType = s.getType match {
-    case Schema.Type.BOOLEAN => BooleanType
-    case Schema.Type.INT => IntegerType
-    case Schema.Type.LONG => LongType
-    case Schema.Type.FLOAT => FloatType
-    case Schema.Type.DOUBLE => DoubleType
-    case Schema.Type.STRING => StringType
-    case Schema.Type.BYTES => BinaryType
-    case Schema.Type.ARRAY =>
-      val (et, en) = unwrap(s.getElementType, field + ".item")
-      ArrayType(et, containsNull = en)
-    case Schema.Type.RECORD => recordType(s)
-    case other => throw new IllegalArgumentException(
-      s"avro subset: unsupported Avro type $other (field $field)")
+  private def dataType(s: Schema, field: String): DataType = {
+    // logical-type annotations take precedence over the carrier type
+    // (Avro spec: a logical type is an attribute OVER a primitive)
+    val lt = s.getLogicalType
+    (s.getType, lt) match {
+      case (Schema.Type.BYTES | Schema.Type.FIXED,
+            d: org.apache.avro.LogicalTypes.Decimal) =>
+        DecimalType(d.getPrecision, d.getScale)
+      case (Schema.Type.INT, _: org.apache.avro.LogicalTypes.Date) =>
+        DateType
+      case (Schema.Type.LONG, _: org.apache.avro.LogicalTypes.TimestampMillis) =>
+        TimestampType
+      case (Schema.Type.LONG, _: org.apache.avro.LogicalTypes.TimestampMicros) =>
+        TimestampType
+      case (_, other) if other != null =>
+        throw new IllegalArgumentException(
+          s"avro subset: unsupported logical type ${other.getName} " +
+            s"on ${s.getType} (field $field)")
+      case (Schema.Type.BOOLEAN, _) => BooleanType
+      case (Schema.Type.INT, _) => IntegerType
+      case (Schema.Type.LONG, _) => LongType
+      case (Schema.Type.FLOAT, _) => FloatType
+      case (Schema.Type.DOUBLE, _) => DoubleType
+      case (Schema.Type.STRING, _) => StringType
+      case (Schema.Type.BYTES, _) => BinaryType
+      case (Schema.Type.ARRAY, _) =>
+        val (et, en) = unwrap(s.getElementType, field + ".item")
+        ArrayType(et, containsNull = en)
+      case (Schema.Type.MAP, _) =>
+        val (vt, vn) = unwrap(s.getValueType, field + ".value")
+        MapType(StringType, vt, valueContainsNull = vn)
+      case (Schema.Type.RECORD, _) => recordType(s)
+      case (other, _) => throw new IllegalArgumentException(
+        s"avro subset: unsupported Avro type $other (field $field)")
+    }
   }
 
   /** Avro value for a Spark value of `dt` under Avro node `s` (the
@@ -120,11 +158,28 @@ object AvroTable {
     if (v == null) null
     else dt match {
       case BinaryType => java.nio.ByteBuffer.wrap(v.asInstanceOf[Array[Byte]])
+      case d: DecimalType =>
+        // bytes-decimal: two's-complement unscaled value, big-endian
+        val bd = v.asInstanceOf[java.math.BigDecimal].setScale(d.scale)
+        java.nio.ByteBuffer.wrap(bd.unscaledValue().toByteArray)
+      case DateType =>
+        Integer.valueOf(v.asInstanceOf[java.sql.Date].toLocalDate.toEpochDay.toInt)
+      case TimestampType =>
+        val ts = v.asInstanceOf[java.sql.Timestamp]
+        // micros since epoch; getTime carries millis, nanos adds sub-ms
+        java.lang.Long.valueOf(
+          math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L)
       case ArrayType(et, _) =>
         val elemS = nonNull(s.getElementType)
         val out = new java.util.ArrayList[AnyRef]()
         v.asInstanceOf[scala.collection.Seq[Any]]
           .foreach(e => out.add(toAvro(e, et, elemS)))
+        out
+      case MapType(StringType, vt, _) =>
+        val valS = nonNull(s.getValueType)
+        val out = new java.util.HashMap[String, AnyRef]()
+        v.asInstanceOf[scala.collection.Map[String, Any]]
+          .foreach { case (k, e) => out.put(k, toAvro(e, vt, valS)) }
         out
       case st: StructType =>
         val rec = new GenericData.Record(s)
@@ -144,21 +199,56 @@ object AvroTable {
       s.getTypes.asScala.find(_.getType != Schema.Type.NULL).get
     else s
 
-  /** Spark value for an Avro runtime value of `dt`. */
-  private def fromAvro(v: AnyRef, dt: DataType): Any = v match {
-    case null => null
-    case u: org.apache.avro.util.Utf8 => u.toString
-    case bb: java.nio.ByteBuffer =>
-      val a = new Array[Byte](bb.remaining()); bb.duplicate().get(a); a
-    case l: java.util.List[_] =>
-      val et = dt.asInstanceOf[ArrayType].elementType
-      l.asScala.map(e => fromAvro(e.asInstanceOf[AnyRef], et)).toSeq
-    case r: GenericRecord =>
-      val st = dt.asInstanceOf[StructType]
-      Row.fromSeq(st.fields.indices.map(i =>
-        fromAvro(r.get(i), st.fields(i).dataType)))
-    case other => other
-  }
+  /** Spark value for an Avro runtime value of `dt` under Avro node `s`
+    * (non-null branch already selected; `s` disambiguates the logical
+    * annotations — millis vs micros, decimal scale).
+    */
+  private def fromAvro(v: AnyRef, dt: DataType, s: Schema): Any =
+    if (v == null) null
+    else dt match {
+      case d: DecimalType =>
+        val bytes = v match {
+          case bb: java.nio.ByteBuffer =>
+            val a = new Array[Byte](bb.remaining()); bb.duplicate().get(a); a
+          case f: org.apache.avro.generic.GenericFixed => f.bytes()
+          case other => throw new IllegalArgumentException(
+            s"decimal carrier must be bytes/fixed, got ${other.getClass}")
+        }
+        new java.math.BigDecimal(
+          new java.math.BigInteger(bytes), d.scale)
+      case DateType =>
+        java.sql.Date.valueOf(
+          java.time.LocalDate.ofEpochDay(v.asInstanceOf[Int].toLong))
+      case TimestampType =>
+        val micros = s.getLogicalType match {
+          case _: org.apache.avro.LogicalTypes.TimestampMillis =>
+            v.asInstanceOf[Long] * 1000L
+          case _ => v.asInstanceOf[Long] // timestamp-micros
+        }
+        val ts = new java.sql.Timestamp(math.floorDiv(micros, 1000000L) * 1000L)
+        ts.setNanos((math.floorMod(micros, 1000000L) * 1000L).toInt)
+        ts
+      case ArrayType(et, _) =>
+        val elemS = nonNull(s.getElementType)
+        v.asInstanceOf[java.util.List[_]].asScala
+          .map(e => fromAvro(e.asInstanceOf[AnyRef], et, elemS)).toSeq
+      case MapType(StringType, vt, _) =>
+        val valS = nonNull(s.getValueType)
+        v.asInstanceOf[java.util.Map[_, _]].asScala.map { case (k, e) =>
+          k.toString -> fromAvro(e.asInstanceOf[AnyRef], vt, valS)
+        }.toMap
+      case st: StructType =>
+        val r = v.asInstanceOf[GenericRecord]
+        val fs = s.getFields
+        Row.fromSeq(st.fields.indices.map(i =>
+          fromAvro(r.get(i), st.fields(i).dataType,
+            nonNull(fs.get(i).schema()))))
+      case StringType => v.toString // Utf8 or String
+      case BinaryType =>
+        val bb = v.asInstanceOf[java.nio.ByteBuffer]
+        val a = new Array[Byte](bb.remaining()); bb.duplicate().get(a); a
+      case _ => v
+    }
 
   /** Write `df` as one Avro container file per partition under `dir`
     * (part-NNNNN.avro), via the Hadoop FileSystem of the session.
@@ -275,8 +365,10 @@ object AvroTable {
           }
           def next(): Row = {
             val rec = reader.next()
+            val fs = expected.getFields
             Row.fromSeq(fields.indices.map(i =>
-              fromAvro(rec.get(i), fields(i).dataType)))
+              fromAvro(rec.get(i), fields(i).dataType,
+                nonNull(fs.get(i).schema()))))
           }
         }
       }

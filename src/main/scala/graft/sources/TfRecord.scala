@@ -14,11 +14,20 @@ import org.apache.spark.sql.types._
   * verify on read — a flipped bit anywhere in a shard is a loud error,
   * never a silently corrupt sample.
   *
+  * Compressed shards (r10): TF tooling writes GZIP/ZLIB-compressed
+  * TFRecords by default in many pipelines
+  * (`TFRecordOptions(compression_type="GZIP")`) — the compression
+  * wraps the WHOLE stream and the record framing (and both CRCs) live
+  * on the DECOMPRESSED bytes. Codec is chosen explicitly or by the
+  * `.tfrecord.gz` extension the writer emits — never sniffed from
+  * payload bytes (a raw record length can begin with the gzip magic).
+  *
   * Scale shape: the WebDataset posture (F19) — shard-parallel reads
   * over the Hadoop FileSystem API (shard count is the parallelism
-  * knob; TFRecord has no sync markers, so intra-file splits are
-  * impossible BY FORMAT — stated), one deterministic shard per
-  * partition on write, O(record) memory.
+  * knob; TFRecord has no sync markers — and a compressed stream has no
+  * seekable blocks — so intra-file splits are impossible BY FORMAT,
+  * stated), one deterministic shard per partition on write, O(record)
+  * memory.
   */
 object TfRecord {
 
@@ -35,18 +44,54 @@ object TfRecord {
     ((crc >>> 15) | (crc << 17)) + 0xa282ead8
   }
 
-  /** Write `df`'s `payload` BINARY column as one `part-NNNNN.tfrecord`
-    * per partition under `dir`.
+  /** Supported whole-stream codecs; the TF options values. */
+  private val Codecs = Set("", "GZIP", "ZLIB")
+
+  private def extension(codec: String): String = codec match {
+    case "" => ".tfrecord"
+    case "GZIP" => ".tfrecord.gz"
+    case "ZLIB" => ".tfrecord.z"
+  }
+
+  private def wrapOut(out: java.io.OutputStream, codec: String): java.io.OutputStream =
+    codec match {
+      case "" => out
+      case "GZIP" => new java.util.zip.GZIPOutputStream(out, 64 * 1024)
+      case "ZLIB" => new java.util.zip.DeflaterOutputStream(out,
+        new java.util.zip.Deflater(), 64 * 1024)
+    }
+
+  private def wrapIn(in: java.io.InputStream, codec: String): java.io.InputStream =
+    codec match {
+      case "" => in
+      case "GZIP" => new java.util.zip.GZIPInputStream(in, 64 * 1024)
+      case "ZLIB" => new java.util.zip.InflaterInputStream(in,
+        new java.util.zip.Inflater(), 64 * 1024)
+    }
+
+  /** Codec for a shard path: by the extension the writer emits. A bare
+    * `.tfrecord` is raw — TF itself never sniffs either (its reader
+    * takes compression_type as an option).
     */
-  def write(df: DataFrame, dir: String): Unit = {
+  private def codecOf(name: String): String =
+    if (name.endsWith(".tfrecord.gz")) "GZIP"
+    else if (name.endsWith(".tfrecord.z")) "ZLIB"
+    else ""
+
+  /** Write `df`'s `payload` BINARY column as one `part-NNNNN.tfrecord`
+    * (or `.tfrecord.gz` / `.tfrecord.z` when `codec` is GZIP / ZLIB —
+    * the TFRecordOptions values) per partition under `dir`.
+    */
+  def write(df: DataFrame, dir: String, codec: String = ""): Unit = {
+    require(Codecs.contains(codec), s"tfrecord codec must be one of $Codecs")
     val conf = new org.apache.spark.util.SerializableConfiguration(
       df.sparkSession.sparkContext.hadoopConfiguration)
     val root = new Path(dir)
     root.getFileSystem(conf.value).mkdirs(root)
     df.select("payload").rdd.mapPartitionsWithIndex { (idx, rows) =>
-      val p = new Path(dir, f"part-$idx%05d.tfrecord")
-      val out = new java.io.BufferedOutputStream(
-        p.getFileSystem(conf.value).create(p, true))
+      val p = new Path(dir, f"part-$idx%05d${extension(codec)}")
+      val out = new java.io.BufferedOutputStream(wrapOut(
+        p.getFileSystem(conf.value).create(p, true), codec))
       var n = 0L
       rows.foreach { r =>
         val payload = r.getAs[Array[Byte]](0)
@@ -96,8 +141,12 @@ object TfRecord {
       def next(): Array[Byte] = { advance(); val r = nextRec; nextRec = null; r }
     }
 
-  /** Read every `*.tfrecord` under `dir`: one task per shard; `idx` is
-    * the record's position within its shard.
+  /** Read every `*.tfrecord` / `*.tfrecord.gz` / `*.tfrecord.z` under
+    * `dir`: one task per shard; `idx` is the record's position within
+    * its shard. Codec is per-shard by extension, so mixed directories
+    * read correctly; CRC verification happens on the DECOMPRESSED
+    * framing (the decompressor sits between the file and the record
+    * parser).
     */
   def read(spark: SparkSession, dir: String): DataFrame = {
     val conf = new org.apache.spark.util.SerializableConfiguration(
@@ -105,7 +154,9 @@ object TfRecord {
     val root = new Path(dir)
     val fs = root.getFileSystem(conf.value)
     val sorted = fs.listStatus(root).toSeq
-      .filter(s => s.isFile && s.getPath.getName.endsWith(".tfrecord"))
+      .filter(s => s.isFile && (s.getPath.getName.endsWith(".tfrecord") ||
+        s.getPath.getName.endsWith(".tfrecord.gz") ||
+        s.getPath.getName.endsWith(".tfrecord.z")))
       .map(_.getPath.toString).sorted
     require(sorted.nonEmpty, s"no .tfrecord shards under $dir")
     val rdd = spark.sparkContext
@@ -118,7 +169,7 @@ object TfRecord {
         val tc = org.apache.spark.TaskContext.get()
         if (tc != null) tc.addTaskCompletionListener[Unit](_ => closeAll())
         val base = sp.getName
-        val recs = readShard(in)
+        val recs = readShard(wrapIn(in, codecOf(base)))
         var i = -1L
         new Iterator[Row] {
           def hasNext: Boolean = {

@@ -135,13 +135,97 @@ class AvroTableSpec extends AnyFunSuite {
       (1L to 20000L))
   }
 
+  test("decimal/date/timestamp/map logical types round-trip exactly (r10)") {
+    val df = spark.range(1, 50).toDF("id").select(
+      col("id"),
+      expr("CAST(CAST(id * 101 + 25 AS DECIMAL(16,2)) / 100 AS DECIMAL(12,2))")
+        .as("dec"),
+      expr("date_add(DATE '2021-03-01', CAST(id AS INT))").as("dt"),
+      expr("timestamp_micros(1600000000000000 + id * 1000001)").as("ts"),
+      map(concat(lit("k"), col("id")), col("id") * 2).as("mp"))
+    val dir = tmp()
+    AvroTable.write(df.repartition(2), dir)
+    val back = AvroTable.read(spark, dir)
+    assert(back.schema("dec").dataType == DecimalType(12, 2))
+    assert(back.schema("dt").dataType == DateType)
+    assert(back.schema("ts").dataType == TimestampType)
+    assert(back.schema("mp").dataType ==
+      MapType(StringType, LongType, valueContainsNull = false))
+    val diff = back.select(
+      (col("dec") * 100).cast("long") - (col("id") * 101 + 25),
+      datediff(col("dt"), lit("2021-03-01")) - col("id"),
+      expr("unix_micros(ts)") - (lit(1600000000000000L) + col("id") * 1000001),
+      element_at(col("mp"), concat(lit("k"), col("id"))) - col("id") * 2)
+    assert(back.count() == 49)
+    assert(diff.collect().forall(r => (0 until 4).forall(i => r.getLong(i) == 0L)))
+  }
+
+  test("annotation-decode pins: fixed-decimal and timestamp-millis (r10)") {
+    // a container written by avro-core itself with the two carrier
+    // forms the house WRITER never emits: decimal on FIXED, and
+    // timestamp-millis — the reader must decode both by annotation
+    val json =
+      """{"type":"record","name":"r","fields":[
+        |{"name":"id","type":"long"},
+        |{"name":"dfx","type":{"type":"fixed","name":"d5","size":5,
+        |  "logicalType":"decimal","precision":9,"scale":3}},
+        |{"name":"tsm","type":{"type":"long",
+        |  "logicalType":"timestamp-millis"}}]}""".stripMargin
+    val schema = new org.apache.avro.Schema.Parser().parse(json)
+    val dir = tmp()
+    val f = new java.io.File(dir, "part-00000.avro")
+    val w = new org.apache.avro.file.DataFileWriter(
+      new org.apache.avro.generic.GenericDatumWriter[
+        org.apache.avro.generic.GenericRecord](schema))
+    w.create(schema, f)
+    val fixedSchema = schema.getField("dfx").schema()
+    (1L to 3L).foreach { i =>
+      val rec = new org.apache.avro.generic.GenericData.Record(schema)
+      rec.put("id", i)
+      // unscaled value i*1000+1, scale 3 => i.001, left-padded to 5 bytes
+      val unscaled = java.math.BigInteger.valueOf(i * 1000 + 1).toByteArray
+      val padded = new Array[Byte](5)
+      System.arraycopy(unscaled, 0, padded, 5 - unscaled.length, unscaled.length)
+      rec.put("dfx", new org.apache.avro.generic.GenericData.Fixed(
+        fixedSchema, padded))
+      rec.put("tsm", 1600000000000L + i) // millis
+      w.append(rec)
+    }
+    w.close()
+    val back = AvroTable.read(spark, dir).orderBy("id").collect()
+    assert(back(0).getDecimal(1) == new java.math.BigDecimal("1.001"))
+    assert(back(2).getDecimal(1) == new java.math.BigDecimal("3.001"))
+    // millis scale up to micros: 1600000000000 ms + i => *1000 in micros
+    val ts1 = back(0).getTimestamp(2)
+    assert(ts1.getTime == 1600000000001L)
+  }
+
   test("subset boundaries fail loudly") {
-    // map Spark type on write (arrays/structs are in-subset since r9)
-    val bad = Seq((1L, Map("a" -> 1))).toDF("id", "m")
+    // non-string-keyed map on write (string-keyed maps are in-subset
+    // since r10 — Avro maps are string-keyed by definition)
+    val bad = Seq((1L, Map(1 -> 1))).toDF("id", "m")
     val e1 = intercept[IllegalArgumentException] {
       AvroTable.write(bad, tmp())
     }
     assert(e1.getMessage.contains("avro subset"))
+    // an out-of-subset logical type rejects loudly on read
+    val json =
+      """{"type":"record","name":"r","fields":[
+        |{"name":"t","type":{"type":"int","logicalType":"time-millis"}}]}"""
+        .stripMargin
+    val schema = new org.apache.avro.Schema.Parser().parse(json)
+    val dir0 = tmp()
+    val f = new java.io.File(dir0, "part-00000.avro")
+    val w = new org.apache.avro.file.DataFileWriter(
+      new org.apache.avro.generic.GenericDatumWriter[
+        org.apache.avro.generic.GenericRecord](schema))
+    w.create(schema, f)
+    val rec = new org.apache.avro.generic.GenericData.Record(schema)
+    rec.put("t", 12); w.append(rec); w.close()
+    val e1b = intercept[IllegalArgumentException] {
+      AvroTable.read(spark, dir0)
+    }
+    assert(e1b.getMessage.contains("logical type"))
     // schema disagreement across files
     val dir = tmp()
     AvroTable.write(Seq(Tuple1(1L)).toDF("id").coalesce(1), dir)

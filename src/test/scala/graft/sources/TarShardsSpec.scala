@@ -125,7 +125,7 @@ class TarShardsSpec extends AnyFunSuite {
     assert(back.select("shard").distinct().count() == 4L)
   }
 
-  test("corrupted checksum and PAX headers reject loudly") {
+  test("corrupted checksum rejects loudly") {
     val dir = tmp()
     TarShards.write(
       samples.toDF("name", "v")
@@ -140,18 +140,67 @@ class TarShardsSpec extends AnyFunSuite {
       TarShards.readTar(new java.io.ByteArrayInputStream(bytes)).toList
     }
     assert(e1.getMessage.contains("checksum"))
-    // a PAX archive (posix format writes 'x' headers for long names)
+  }
+
+  test("house reader decodes a system-tar PAX archive (>100-char path)") {
+    // GNU tar --format=posix emits an 'x' extended header carrying the
+    // full `path` for names over 100 bytes — the default in bsdtar and
+    // in GNU tar on long paths, so real WebDataset shards hit it.
     val work = Paths.get(tmp())
-    val longName = "p" * 120 + ".txt"
-    Files.writeString(work.resolve(longName), "pax")
+    val longName = "p" * 150 + ".txt" // >100: ustar name field can't hold it
+    Files.writeString(work.resolve(longName), "pax payload")
+    Files.writeString(work.resolve("short.txt"), "short")
     val paxTar = work.resolve("pax.tar")
     val rc = new ProcessBuilder("tar", "--format=posix", "-cf",
-      paxTar.toString, "-C", work.toString, longName)
+      paxTar.toString, "-C", work.toString, longName, "short.txt")
       .inheritIO().start().waitFor()
-    assert(rc == 0)
-    val e2 = intercept[IllegalArgumentException] {
-      TarShards.readTar(Files.newInputStream(paxTar)).toList
+    assert(rc == 0, "system tar failed")
+    val got = TarShards.readTar(Files.newInputStream(paxTar))
+      .map { case (n, p) => n -> new String(p, UTF_8) }.toMap
+    assert(got(longName) == "pax payload")
+    assert(got("short.txt") == "short")
+    assert(got.size == 2)
+  }
+
+  test("PAX size override and global 'g' header are honored") {
+    // Hand-build: a 'g' global header setting a default path, then an
+    // 'x' header overriding SIZE for the next member whose ustar size
+    // field lies (0) — the POSIX precedence chain x > g > ustar.
+    def rec(k: String, v: String): Array[Byte] = {
+      val body = s" $k=$v\n"
+      // len includes its own decimal digits: fixed-point iterate
+      var len = body.length + 1
+      while ((len.toString.length + body.length) != len)
+        len = len.toString.length + body.length
+      (len.toString + body).getBytes(UTF_8)
     }
-    assert(e2.getMessage.contains("PAX"))
+    val payload = "abcdefgh".getBytes(UTF_8)
+    val bos = new java.io.ByteArrayOutputStream()
+    def member(name: String, tf: Byte, data: Array[Byte],
+        headerSize: Long = -1): Unit = {
+      val h = TarShards.header(name,
+        if (headerSize >= 0) headerSize else data.length)
+      h(156) = tf
+      // re-checksum after the typeflag patch
+      java.util.Arrays.fill(h, 148, 156, ' '.toByte)
+      var sum = 0L; var i = 0
+      while (i < 512) { sum += h(i) & 0xff; i += 1 }
+      val cs = java.lang.Long.toOctalString(sum)
+      System.arraycopy((("0" * (6 - cs.length)) + cs + "\u0000 ").getBytes(UTF_8),
+        0, h, 148, 8)
+      bos.write(h); bos.write(data)
+      val pad = (512 - data.length % 512) % 512
+      if (pad > 0) bos.write(new Array[Byte](pad))
+    }
+    member("g.pax", 'g'.toByte, rec("path", "global-default.bin"))
+    member("x.pax", 'x'.toByte, rec("size", payload.length.toString))
+    // ustar size field LIES (0); the pax 'size' override must win
+    member("lying-name.bin", '0'.toByte, payload, headerSize = 0)
+    bos.write(new Array[Byte](1024))
+    val got = TarShards.readTar(
+      new java.io.ByteArrayInputStream(bos.toByteArray)).toList
+    // 'x' had no path -> 'g' path wins over the ustar name; 'x' size taken
+    assert(got.map { case (n, p) => (n, p.toSeq) } ==
+      List(("global-default.bin", payload.toSeq)))
   }
 }

@@ -24,14 +24,18 @@ import org.apache.spark.unsafe.types.UTF8String
   * MicroBatchStream plumbing is protocol-agnostic by design, so this is
   * a client, not an architecture change"). Everything here is the
   * PUBLIC protocol (kafka.apache.org/protocol): 4-byte-size frames,
-  * request header v1, and the non-flexible versions of four APIs —
+  * request header v1, and the non-flexible versions of five APIs —
   *
   *  - ApiVersions v0 (key 18) — capability handshake;
   *  - Metadata    v1 (key  3) — topic → partition/leader discovery;
   *  - ListOffsets v1 (key  2) — earliest (-2) / latest (-1) offsets;
   *  - Fetch       v4 (key  1) — record ranges as message-format-v2
   *    RecordBatches (varint/zigzag record framing, CRC32C batch
-  *    integrity, the format every modern Kafka broker serves).
+  *    integrity, the format every modern Kafka broker serves);
+  *  - Produce     v3 (key  0) — the bus WRITE leg (r10): records
+  *    encoded as message-format-v2 RecordBatches on executors (the
+  *    Fetch decoder's encoder half) and appended by the broker, which
+  *    assigns and returns the base offset.
   *
   * [[KafkaBusServer]] is the test-harness broker: it serves a
   * [[BusSource.stage]]d directory through those four APIs, so the
@@ -45,6 +49,7 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object KafkaWire {
 
+  val ApiProduce = 0
   val ApiFetch = 1
   val ApiListOffsets = 2
   val ApiMetadata = 3
@@ -323,17 +328,130 @@ object KafkaWire {
       result
     }
 
+    /** Produce v3 for one partition: the values encoded as ONE
+      * message-format-v2 RecordBatch (the Fetch-side encoder reused as
+      * the wire WRITE leg, r10); returns the broker-assigned base
+      * offset. acks=-1 (full commit) — the reference's durability
+      * posture.
+      */
+    def produce(topic: String, partition: Int, values: Seq[Array[Byte]],
+                acks: Int = -1): Long = {
+      require(values.nonEmpty, "produce of zero records")
+      val b = new Writer
+      b.nullableStr(null) // transactional_id (v3+)
+      b.i16(acks)
+      b.i32(30000) // timeout_ms
+      b.i32(1); b.str(topic)
+      b.i32(1); b.i32(partition)
+      b.bytes(encodeBatch(0L, values)) // broker re-bases the offsets
+      val r = exchange(out, in, ApiProduce, 3, next(), b)
+      var base = -1L
+      (0 until r.i32()).foreach { _ =>
+        r.str()
+        (0 until r.i32()).foreach { _ =>
+          val pid = r.i32(); val err = r.i16()
+          val off = r.i64()
+          r.i64() // log_append_time (v2+)
+          require(err == 0, s"Produce error $err on partition $pid")
+          if (pid == partition) base = off
+        }
+      }
+      r.i32() // throttle_time_ms (at the END in Produce responses)
+      base
+    }
+
     override def close(): Unit = sock.close()
+  }
+
+  /** Executor-side produce sink: each task opens its own connection and
+    * writes its rows as RecordBatches over the wire — rows never
+    * transit the driver (the Fetch read path's scale shape, mirrored).
+    * `pt` is the target bus partition, `value` the record payload;
+    * records buffer per partition and flush as `batchSize`-record
+    * batches.
+    */
+  def produceSink(df: org.apache.spark.sql.DataFrame, host: String,
+                  port: Int, topic: String,
+                  pt: org.apache.spark.sql.Column,
+                  value: org.apache.spark.sql.Column,
+                  batchSize: Int = 4096): Unit = {
+    val rows = df.select(pt.cast("int").as("pt"), value.cast("string").as("v"))
+    rows.foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
+      if (it.hasNext) {
+        val client = new Client(host, port)
+        try {
+          val buf = scala.collection.mutable.Map
+            .empty[Int, scala.collection.mutable.ArrayBuffer[Array[Byte]]]
+          def flush(p: Int): Unit = {
+            val b = buf(p)
+            if (b.nonEmpty) { client.produce(topic, p, b.toSeq); b.clear() }
+          }
+          it.foreach { r =>
+            val p = r.getInt(0)
+            val b = buf.getOrElseUpdate(p,
+              new scala.collection.mutable.ArrayBuffer[Array[Byte]])
+            b += r.getString(1).getBytes(UTF_8)
+            if (b.size >= batchSize) flush(p)
+          }
+          buf.keys.toSeq.sorted.foreach(flush)
+        } finally client.close()
+      }
+    }
   }
 }
 
 /** Test-harness broker: serves a [[BusSource.stage]]d directory over
-  * the real Kafka wire protocol (the four APIs [[KafkaWire]] documents).
-  * Daemon accept loop, one thread per connection, many requests per
-  * connection (the Kafka connection model); `close()` stops it.
+  * the real Kafka wire protocol (the five APIs [[KafkaWire]] documents,
+  * Produce included since r10). Daemon accept loop, one thread per
+  * connection, many requests per connection (the Kafka connection
+  * model); `close()` stops it.
   */
 object KafkaBusServer {
-  final class Handle(server: ServerSocket) extends AutoCloseable {
+
+  /** Per-broker mutable log state: the staged directory is the
+    * immutable base (shared process-wide via [[lineMemo]]); records
+    * appended over the wire (Produce, r10) live in a PER-HANDLE
+    * overlay, so a produced-into broker starts clean on every serve()
+    * — repeated gate/bench runs never see each other's appends.
+    */
+  final class LogState(root: String, emptyPartitions: Int) {
+    private val appended = new java.util.concurrent.ConcurrentHashMap[
+      Int, java.util.concurrent.atomic.AtomicReference[Vector[String]]]()
+
+    private def ref(pt: Int) = appended.computeIfAbsent(pt,
+      _ => new java.util.concurrent.atomic.AtomicReference(Vector.empty[String]))
+
+    // the staged layout is immutable: list it once per broker
+    private lazy val stagedParts: Set[Int] =
+      if (root == null) Set.empty
+      else BusSource.partitionDirs(root).map(_._1).toSet
+
+    private def staged(pt: Int): Vector[String] =
+      if (stagedParts.contains(pt)) lines(root, pt)
+      else Vector.empty // produce-created partition
+
+    /** staged ∪ produce-target partitions, sorted. */
+    def parts: Seq[Int] =
+      (stagedParts.toSeq ++ (0 until emptyPartitions) ++
+        appended.keySet.asScala).distinct.sorted
+
+    def all(pt: Int): Vector[String] = staged(pt) ++ ref(pt).get()
+
+    def head(pt: Int): Long = all(pt).size.toLong
+
+    /** Append atomically; returns the records' base offset. */
+    def append(pt: Int, values: Seq[String]): Long = {
+      val r = ref(pt)
+      r.synchronized {
+        val before = r.get()
+        r.set(before ++ values)
+        staged(pt).size.toLong + before.size
+      }
+    }
+  }
+
+  final class Handle(server: ServerSocket, val state: LogState)
+      extends AutoCloseable {
     def port: Int = server.getLocalPort
     override def close(): Unit = server.close()
   }
@@ -360,15 +478,22 @@ object KafkaBusServer {
       out.result()
     })
 
-  def serve(root: String, topic: String = "bus", port: Int = 0): Handle = {
+  /** Serve `root` (null = produce-only broker) on `port`;
+    * `emptyPartitions` advertises that many empty partitions for
+    * produce-first workloads (Metadata must name them before the first
+    * Produce lands).
+    */
+  def serve(root: String, topic: String = "bus", port: Int = 0,
+            emptyPartitions: Int = 0): Handle = {
     val server = new ServerSocket(port, 64, InetAddress.getLoopbackAddress)
+    val state = new LogState(root, emptyPartitions)
     val t = new Thread(() => {
       while (!server.isClosed) {
         val sock =
           try server.accept()
           catch { case _: java.net.SocketException => null }
         if (sock != null) {
-          val h = new Thread(() => handle(root, topic, sock))
+          val h = new Thread(() => handle(state, topic, sock))
           h.setDaemon(true)
           h.start()
         }
@@ -376,18 +501,18 @@ object KafkaBusServer {
     }, s"kafka-bus-${server.getLocalPort}")
     t.setDaemon(true)
     t.start()
-    new Handle(server)
+    new Handle(server, state)
   }
 
   /** Records [from, from+cap) of one bus partition as UTF-8 lines. */
-  private def slice(root: String, pt: Int, from: Long,
+  private def slice(state: LogState, pt: Int, from: Long,
                     cap: Int): Seq[String] = {
-    val all = lines(root, pt)
+    val all = state.all(pt)
     if (from >= all.size) Seq.empty
     else all.slice(from.toInt, math.min(all.size, from.toInt + cap))
   }
 
-  private def handle(root: String, topic: String, sock: Socket): Unit =
+  private def handle(state: LogState, topic: String, sock: Socket): Unit =
     try {
       val in = new DataInputStream(sock.getInputStream)
       val out = new DataOutputStream(sock.getOutputStream)
@@ -407,7 +532,8 @@ object KafkaBusServer {
         apiKey match {
           case KafkaWire.ApiVersions =>
             body.i16(0) // error
-            val apis = Seq(KafkaWire.ApiFetch -> ((0, 4)),
+            val apis = Seq(KafkaWire.ApiProduce -> ((0, 3)),
+              KafkaWire.ApiFetch -> ((0, 4)),
               KafkaWire.ApiListOffsets -> ((0, 1)),
               KafkaWire.ApiMetadata -> ((0, 1)),
               KafkaWire.ApiVersions -> ((0, 0)))
@@ -415,11 +541,35 @@ object KafkaBusServer {
             apis.foreach { case (k, (lo, hi)) =>
               body.i16(k); body.i16(lo); body.i16(hi)
             }
+          case KafkaWire.ApiProduce =>
+            require(apiVersion == 3, s"produce v$apiVersion unsupported")
+            r.nullableStr() // transactional_id
+            r.i16() // acks (the harness log is synchronous: all acks are full)
+            r.i32() // timeout_ms
+            val nt = r.i32()
+            body.i32(nt)
+            (0 until nt).foreach { _ =>
+              val t = r.str()
+              val np = r.i32()
+              body.str(t)
+              body.i32(np)
+              (0 until np).foreach { _ =>
+                val pid = r.i32()
+                val rs = r.bytes()
+                val values = KafkaWire.decodeBatches(rs)
+                  .map(v => new String(v._2, UTF_8))
+                val base = state.append(pid, values)
+                body.i32(pid); body.i16(0) // error
+                body.i64(base)
+                body.i64(-1L) // log_append_time: create-time batches
+              }
+            }
+            body.i32(0) // throttle (at the END in Produce responses)
           case KafkaWire.ApiMetadata =>
             require(apiVersion == 1, s"metadata v$apiVersion unsupported")
             val nt = r.i32()
             (0 until math.max(nt, 0)).foreach(_ => r.str())
-            val parts = BusSource.partitionDirs(root).map(_._1)
+            val parts = state.parts
             body.i32(1) // brokers
             body.i32(0); body.str("127.0.0.1")
             body.i32(sock.getLocalPort); body.nullableStr(null)
@@ -435,8 +585,6 @@ object KafkaBusServer {
           case KafkaWire.ApiListOffsets =>
             require(apiVersion == 1, s"listoffsets v$apiVersion unsupported")
             r.i32() // replica id
-            val heads = BusSource.partitionDirs(root)
-              .map { case (pt, _) => pt -> lines(root, pt).size.toLong }.toMap
             val nt = r.i32()
             body.i32(nt)
             (0 until nt).foreach { _ =>
@@ -447,15 +595,13 @@ object KafkaBusServer {
               (0 until np).foreach { _ =>
                 val pid = r.i32(); val ts = r.i64()
                 val off =
-                  if (ts == -2L) 0L else heads.getOrElse(pid, 0L)
+                  if (ts == -2L) 0L else state.head(pid)
                 body.i32(pid); body.i16(0); body.i64(-1L); body.i64(off)
               }
             }
           case KafkaWire.ApiFetch =>
             require(apiVersion == 4, s"fetch v$apiVersion unsupported")
             r.i32(); r.i32(); r.i32(); r.i32(); r.i8()
-            val heads = BusSource.partitionDirs(root)
-              .map { case (pt, _) => pt -> lines(root, pt).size.toLong }.toMap
             val nt = r.i32()
             body.i32(0) // throttle
             body.i32(nt)
@@ -466,10 +612,10 @@ object KafkaBusServer {
               body.i32(np)
               (0 until np).foreach { _ =>
                 val pid = r.i32(); val off = r.i64(); r.i32()
-                val head = heads.getOrElse(pid, 0L)
+                val head = state.head(pid)
                 val lines =
                   if (off >= head) Seq.empty
-                  else slice(root, pid, off, BatchCap)
+                  else slice(state, pid, off, BatchCap)
                 body.i32(pid); body.i16(0)
                 body.i64(head); body.i64(head)
                 body.i32(0) // aborted transactions: empty

@@ -136,6 +136,88 @@ class KafkaWireSpec extends AnyFunSuite {
     } finally server.close()
   }
 
+  test("Produce v3 appends over the wire; fetch reads the records back (r10)") {
+    // produce-only broker: partitions advertised before the first append
+    val server = KafkaBusServer.serve(null, topic = "w", emptyPartitions = 2)
+    try {
+      val c = new KafkaWire.Client("127.0.0.1", server.port)
+      try {
+        assert(c.apiVersions()(KafkaWire.ApiProduce) == ((0, 3)))
+        assert(c.partitions("w") == Seq(0, 1))
+        assert(c.listOffsets("w", Seq(0, 1), -1L) == Map(0 -> 0L, 1 -> 0L))
+        // two appends: the broker assigns consecutive base offsets
+        val b0 = c.produce("w", 0, Seq("a", "b").map(_.getBytes(UTF_8)))
+        assert(b0 == 0L)
+        val b1 = c.produce("w", 0, Seq("c").map(_.getBytes(UTF_8)))
+        assert(b1 == 2L)
+        c.produce("w", 1, Seq("z").map(_.getBytes(UTF_8)))
+        assert(c.listOffsets("w", Seq(0, 1), -1L) == Map(0 -> 3L, 1 -> 1L))
+        // fetch round-trips the produced values with correct offsets
+        val got = c.fetch("w", 0, 0L).map { case (o, v) =>
+          (o, new String(v, UTF_8)) }
+        assert(got == Seq((0L, "a"), (1L, "b"), (2L, "c")))
+        assert(c.fetch("w", 0, 1L).map(r => new String(r._2, UTF_8)) ==
+          Seq("b", "c"))
+      } finally c.close()
+    } finally server.close()
+  }
+
+  test("produce over a STAGED root appends after the staged records (r10)") {
+    val root = stagedBus()
+    val server = KafkaBusServer.serve(root)
+    var stagedHead = -1L
+    try {
+      val c = new KafkaWire.Client("127.0.0.1", server.port)
+      try {
+        stagedHead = c.listOffsets("bus", Seq(0), -1L)(0)
+        val base = c.produce("bus", 0, Seq("appended".getBytes(UTF_8)))
+        assert(base == stagedHead, "append must land at the staged head")
+        assert(c.listOffsets("bus", Seq(0), -1L)(0) == stagedHead + 1)
+        val tail = c.fetch("bus", 0, stagedHead)
+        assert(tail.map(r => new String(r._2, UTF_8)) == Seq("appended"))
+      } finally c.close()
+      // a SECOND broker over the same root must NOT see the append —
+      // produced records are per-Handle (gate/bench re-runs stay clean)
+      val server2 = KafkaBusServer.serve(root)
+      try {
+        val c2 = new KafkaWire.Client("127.0.0.1", server2.port)
+        try assert(c2.listOffsets("bus", Seq(0), -1L)(0) == stagedHead)
+        finally c2.close()
+      } finally server2.close()
+    } finally server.close()
+  }
+
+  test("executor-side produceSink ships every row over the wire (r10)") {
+    val server = KafkaBusServer.serve(null, emptyPartitions = 4)
+    try {
+      val df = (0L until 200L).toDF("k")
+        .select(pmod(col("k"), lit(4)).cast("int").as("pt"),
+          concat(lit("v"), col("k")).as("v"))
+        .repartition(8, col("pt"))
+      KafkaWire.produceSink(df, "127.0.0.1", server.port, "bus",
+        col("pt"), col("v"), batchSize = 16)
+      val c = new KafkaWire.Client("127.0.0.1", server.port)
+      try {
+        val heads = c.listOffsets("bus", Seq(0, 1, 2, 3), -1L)
+        assert(heads.values.sum == 200L)
+        assert(heads.values.forall(_ == 50L))
+        // every value arrives intact, on its keyed partition
+        val vals = (0 to 3).flatMap { p =>
+          var pos = 0L
+          val out = Seq.newBuilder[String]
+          while (pos < heads(p)) {
+            val got = c.fetch("bus", p, pos)
+            got.foreach(r => out += new String(r._2, UTF_8))
+            pos = got.last._1 + 1
+          }
+          out.result().map(v => (p, v))
+        }
+        assert(vals.size == 200)
+        assert(vals.forall { case (p, v) => v.drop(1).toLong % 4 == p })
+      } finally c.close()
+    } finally server.close()
+  }
+
   test("a structured-streaming read over the Kafka wire matches the staged rows") {
     val root = stagedBus()
     val server = KafkaBusServer.serve(root)

@@ -482,27 +482,26 @@ object QueriesR18 {
     * min/max chunk clamps — those need sequential state; the landmark
     * density 1/64 bounds expected chunk size instead).
     *
-    * Scale shape: the position walk is one explode (linear in corpus
-    * bytes), boundaries aggregate per doc, chunk extraction is a
-    * window lag + substring, and the duplicate report is two
-    * hash-keyed aggregates — never doc-pair-quadratic.
+    * Scale shape (r10): the position walk is ONE native codegen
+    * expression per document ([[graft.functions.CdcLandmarks]] — the
+    * rolling-hash machinery of T4/F13) emitting the landmark-position
+    * array, so only BOUNDARIES explode into rows (~1/64 of characters)
+    * instead of one in-pipeline row per character with an 8-term
+    * interpreted lambda each (the r9 verdict's efficiency finding:
+    * ~10× constant). Chunk extraction is a window lag + substring, and
+    * the duplicate report is two hash-keyed aggregates — never
+    * doc-pair-quadratic. Arithmetic unchanged: same polynomial, same
+    * single mod, hash-identical output.
     */
   def dedupCdcChunks(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
       .select(col("doc_id"), col("source"), col("text"),
         length(col("text")).as("len"))
-    val pows = "array(1L, 31L, 961L, 29791L, 923521L, 28629151L, " +
-      "887503681L, 27512614111L)"
     val cuts = docs
       .filter(col("len") >= 8) // shorter docs are a single chunk
       .select(col("doc_id"), col("source"), col("text"), col("len"),
-        explode(expr("sequence(8, len)")).as("i"))
-      .withColumn("hsh", expr(
-        s"""aggregate(transform(sequence(0, 7),
-           |  k -> ascii(substring(text, i - k, 1)) * element_at($pows, k + 1)),
-           |  0L, (a, x) -> a + x) % 16777216""".stripMargin))
-      .filter(col("hsh") % 64 === 0 && col("i") < col("len"))
-      .select(col("doc_id"), col("source"), col("text"), col("len"), col("i"))
+        explode(graft.functions.NativeExpressions.cdc_landmarks(col("text")))
+          .as("i"))
       .unionByName(docs.select(col("doc_id"), col("source"), col("text"),
         col("len"), col("len").as("i")))
     val win = org.apache.spark.sql.expressions.Window

@@ -53,6 +53,20 @@ object NativeExpressions {
   def fenced(c: Column): Column =
     ColumnBridge.column(OptimizerFence(ColumnBridge.expression(c)))
 
+  /** Content-defined-chunking landmark positions (D24): all 1-based END
+    * positions i (8 ≤ i < length) where the 8-char polynomial hash
+    * Σ_{k=0..7} codepoint(i−k)·31^k mod 2²⁴ is ≡ 0 mod 64 — one array
+    * per document instead of one in-pipeline row per character (the
+    * sequence+explode form carried ~8 interpreted-lambda ops per
+    * corpus byte; this is a single codegen'd walk, boundaries-only
+    * explode downstream). Arithmetic is bit-identical to the SQL form
+    * `aggregate(transform(sequence(0,7), k -> ascii(substring(text,
+    * i-k, 1)) * 31^k), 0L, (a,x) -> a+x) % 16777216` — codepoint
+    * semantics, full sum before the single mod.
+    */
+  def cdc_landmarks(c: Column): Column =
+    ColumnBridge.column(CdcLandmarks(ColumnBridge.expression(c)))
+
   /** Packed hyperplane sign bits per LSH band: element b of the result is
     * Σ_i [Σ_j emb(j)·planes(b,i,j) ≥ 0]·2^i. A loop in generated code —
     * the equivalent builtin-expression tree unrolls bands×bits×dim terms
@@ -104,6 +118,60 @@ object RollingHash {
       i += 1
     }
     h
+  }
+}
+
+case class CdcLandmarks(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def checkInputDataTypes() = {
+    require(child.dataType == StringType,
+      s"cdc_landmarks needs string, got ${child.dataType}")
+    super.checkInputDataTypes()
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    CdcLandmarks.landmarks(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      // one static-helper call: eval and codegen share the exact loop,
+      // so the two paths agree bit-for-bit by construction
+      s"${ev.value} = graft.functions.CdcLandmarks$$.MODULE$$.landmarks($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): CdcLandmarks =
+    copy(child = newChild)
+}
+
+object CdcLandmarks {
+  val Mod: Long = 16777216L // 2^24
+  val Window: Int = 8
+  val Density: Long = 64L // 1-in-64 landmarks
+  // 31^k for k = 0..7 (the gate's polynomial, low power at the window end)
+  private val Pows: Array[Long] =
+    Array.iterate(1L, Window)(_ * 31L)
+
+  /** All 1-based end positions i with 8 ≤ i < n whose trailing 8
+    * CODEPOINTS hash to a landmark; n and positions are in codepoints
+    * (Spark's substring/ascii/length semantics).
+    */
+  def landmarks(u: UTF8String): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val cps = u.toString.codePoints().toArray
+    val n = cps.length
+    val out = new Array[Int](math.max(0, n - Window))
+    var m = 0
+    var i = Window // 1-based end position
+    while (i < n) { // i < len strictly: the final cut is the doc end
+      var h = 0L
+      var k = 0
+      while (k < Window) {
+        h += cps(i - 1 - k).toLong * Pows(k)
+        k += 1
+      }
+      if (h % Mod % Density == 0L) { out(m) = i; m += 1 }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      java.util.Arrays.copyOf(out, m))
   }
 }
 

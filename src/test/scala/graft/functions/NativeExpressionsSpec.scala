@@ -78,4 +78,54 @@ class NativeExpressionsSpec extends AnyFunSuite {
     }
     assert(got.map(_.toSeq) == want.map(_.toSeq))
   }
+
+  test("cdc_landmarks: codegen path matches the SQL lambda form exactly (r10)") {
+    // deterministic pseudo-text with enough length to hit landmarks
+    val inputs = (1 to 20).map { seed =>
+      val sb = new StringBuilder
+      var x = seed.toLong
+      (0 until 800).foreach { _ =>
+        x = (x * 6364136223846793005L + 1442695040888963407L)
+        sb.append(('a' + math.floorMod(x >>> 33, 26L).toInt).toChar)
+      }
+      sb.toString
+    } :+ "short" :+ ("z" * 8) // below-window and exact-window edges
+    val df = inputs.toDF("text")
+      .withColumn("len", length(col("text")))
+    val native = df.select(
+      NativeExpressions.cdc_landmarks(col("text"))).as[Seq[Int]].collect().toSeq
+    // the r9 gate's SQL form, verbatim
+    val pows = "array(1L, 31L, 961L, 29791L, 923521L, 28629151L, " +
+      "887503681L, 27512614111L)"
+    val sqlForm = df
+      .withColumn("cand", when(col("len") >= 8,
+        expr("sequence(8, len)")).otherwise(expr("array()")))
+      .withColumn("cuts", expr(
+        s"""filter(cand, i ->
+           |  aggregate(transform(sequence(0, 7),
+           |    k -> ascii(substring(text, i - k, 1)) * element_at($pows, k + 1)),
+           |    0L, (a, x) -> a + x) % 16777216 % 64 = 0 AND i < len)"""
+          .stripMargin))
+      .select(col("cuts")).as[Seq[Int]].collect().toSeq
+    assert(native == sqlForm)
+    assert(native.flatten.nonEmpty, "fixture produced no landmarks at all")
+    // short docs: no positions
+    assert(native.takeRight(2).forall(_.isEmpty))
+  }
+
+  test("cdc_landmarks: null in, null out; interpreted eval agrees with codegen") {
+    val got = Seq(Option.empty[String], Some("abcdefghij" * 20)).toDF("s")
+      .select(NativeExpressions.cdc_landmarks(col("s")))
+      .collect()
+    assert(got(0).isNullAt(0) && !got(1).isNullAt(0))
+    // direct interpreted eval (no codegen) vs the helper
+    val s = "qwertyuiopasdfghjklzxcvbnm" * 40
+    val viaEval = CdcLandmarks(
+      org.apache.spark.sql.catalyst.expressions.Literal(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s)))
+      .eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toIntArray.toSeq
+    assert(viaEval == CdcLandmarks.landmarks(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s)).toIntArray.toSeq)
+  }
 }

@@ -467,6 +467,46 @@ object QueriesR18 {
       .orderBy(col("doc_id"))
   }
 
+  /** M17c (r10): TILED TIFF decode — each row synthesizes a real
+    * little-endian tiled TIFF (tags 322/323/324/325, one 16×16 tile —
+    * the spec's minimum tile dims — holding a w×h raster with
+    * right/bottom PADDING, the GIS/microscopy organization) and
+    * [[graft.multimodal.TiffRaster]] assembles it back to the M10
+    * statistics; the oracle regenerates only the VALID pixels, so a
+    * decoder that leaks tile padding into the sums hash-fails.
+    * Multi-tile grids, compressed tiles, and the JDK-encoder
+    * round-trip live in the spec.
+    */
+  def mmTiffTiledStats(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("doc_id"))
+      .withColumn("w", (col("doc_id") % 4 + 2).cast("int"))
+      .withColumn("h", (col("doc_id") % 3 + 1).cast("int"))
+    val header = concat(lit("49492A00"), le(lit(8), 4), le(lit(10), 2))
+    val ifd = concat(
+      ifdEntry(256, 3, 1, col("w")), ifdEntry(257, 3, 1, col("h")),
+      ifdEntry(258, 3, 1, lit(8)), ifdEntry(259, 3, 1, lit(1)),
+      ifdEntry(262, 3, 1, lit(1)), ifdEntry(277, 3, 1, lit(1)),
+      ifdEntry(322, 3, 1, lit(16)), ifdEntry(323, 3, 1, lit(16)),
+      ifdEntry(324, 4, 1, lit(134)), ifdEntry(325, 4, 1, lit(256)),
+      le(lit(0), 4))
+    // 16×16 tile buffer: valid pixels where col < w AND row < h,
+    // zero padding elsewhere (must never reach the statistics)
+    val tile = expr(
+      """array_join(transform(sequence(0, 255), k ->
+        |  lpad(hex(CASE WHEN k % 16 < w AND k div 16 < h
+        |    THEN (doc_id * 7 + (k div 16) * w + (k % 16) * 19) % 256
+        |    ELSE 0 END), 2, '0')), '')""".stripMargin)
+    val payload = unhex(concat(header, ifd, tile))
+    d.withColumn("st", graft.multimodal.TiffRaster.tiff_stats(payload))
+      .select(Seq(col("doc_id")) ++
+        graft.multimodal.TiffRaster.schema.fieldNames.map(f =>
+          col(s"st.$f").as(f)): _*)
+      .withColumn("channels", col("channels").cast("long"))
+      .withColumn("width", col("width").cast("long"))
+      .withColumn("height", col("height").cast("long"))
+      .orderBy(col("doc_id"))
+  }
+
   /** D24: content-defined chunking dedup — the storage-grade dedup
     * family (Manber 1994 fingerprint landmarks, the ancestor of
     * LBFS/FastCDC): chunk boundaries fall where an 8-char polynomial
@@ -650,6 +690,7 @@ object QueriesR18 {
     "dedup_cdc_chunks" -> (dedupCdcChunks _),
     "mm_tiff_stats" -> (mmTiffStats _),
     "mm_tiff_packbits_stats" -> (mmTiffPackbitsStats _),
+    "mm_tiff_tiled_stats" -> (mmTiffTiledStats _),
     "stream_dsir_mass" -> (streamDsirMass _),
     "stream_wordpiece_tokens" -> (streamWordpieceTokens _),
     "mm_jpeg_stats" -> (mmJpegStats _),
@@ -787,6 +828,38 @@ object QueriesR18 {
         |  CAST(SUM(CASE WHEN bk = 7 THEN 1 ELSE 0 END) AS BIGINT) AS h7
         |FROM dims d JOIN lum l USING (doc_id)
         |GROUP BY d.doc_id, d.ch, d.w, d.h
+        |ORDER BY d.doc_id""".stripMargin,
+    "mm_tiff_tiled_stats" ->
+      """WITH dims AS (
+        |  SELECT doc_id, doc_id % 4 + 2 AS w, doc_id % 3 + 1 AS h
+        |  FROM documents
+        |), px AS (
+        |  SELECT doc_id, (doc_id*7 + r*w + c*19) % 256 AS v
+        |  FROM (SELECT doc_id, w,
+        |          unnest(generate_series(0, h - 1)) AS r FROM dims),
+        |       LATERAL (SELECT unnest(generate_series(0, w - 1)) AS c)
+        |), lum AS (
+        |  SELECT doc_id, v,
+        |         CASE WHEN (299*v + 587*v + 114*v) // 31875 > 7 THEN 7
+        |              ELSE (299*v + 587*v + 114*v) // 31875 END AS bk
+        |  FROM px
+        |)
+        |SELECT d.doc_id, CAST(1 AS BIGINT) AS channels,
+        |  CAST(d.w AS BIGINT) AS width, CAST(d.h AS BIGINT) AS height,
+        |  CAST(d.w * d.h AS BIGINT) AS n_px,
+        |  CAST(SUM(l.v) AS BIGINT) AS sum_r,
+        |  CAST(SUM(l.v) AS BIGINT) AS sum_g,
+        |  CAST(SUM(l.v) AS BIGINT) AS sum_b,
+        |  CAST(SUM(CASE WHEN bk = 0 THEN 1 ELSE 0 END) AS BIGINT) AS h0,
+        |  CAST(SUM(CASE WHEN bk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS h1,
+        |  CAST(SUM(CASE WHEN bk = 2 THEN 1 ELSE 0 END) AS BIGINT) AS h2,
+        |  CAST(SUM(CASE WHEN bk = 3 THEN 1 ELSE 0 END) AS BIGINT) AS h3,
+        |  CAST(SUM(CASE WHEN bk = 4 THEN 1 ELSE 0 END) AS BIGINT) AS h4,
+        |  CAST(SUM(CASE WHEN bk = 5 THEN 1 ELSE 0 END) AS BIGINT) AS h5,
+        |  CAST(SUM(CASE WHEN bk = 6 THEN 1 ELSE 0 END) AS BIGINT) AS h6,
+        |  CAST(SUM(CASE WHEN bk = 7 THEN 1 ELSE 0 END) AS BIGINT) AS h7
+        |FROM dims d JOIN lum l USING (doc_id)
+        |GROUP BY d.doc_id, d.w, d.h
         |ORDER BY d.doc_id""".stripMargin,
     "mm_tiff_packbits_stats" ->
       """WITH dims AS (

@@ -28,12 +28,18 @@ import org.apache.spark.sql.types._
   * (palette) honored with the ColorMap tag's 16-bit entries scaled
   * ≫8 to 8-bit RGB.
   *
+  * Organization (r10): BOTH strip-organized (tags 273/278/279) and
+  * TILED rasters (tags 322/323/324/325 — the GIS/microscopy archive
+  * layout): tiles decode through the same compression arms to the
+  * full padded tile size, the predictor undoes per tile row, and
+  * right/bottom edge padding never reaches the statistics.
+  *
   * Subset honored (reject-by-null, never misread): single-IFD,
   * 8 bits per sample on every channel, SamplesPerPixel 1
   * (BlackIsZero/WhiteIsZero gray or palette) or 3 (RGB), chunky
-  * planar configuration, strip-organized (tiled TIFFs rejected),
-  * strip regions fully inside the payload. Gray contributes equally
-  * to all three channel sums (the M15 contract).
+  * planar configuration, tile dims multiples of 16 (the spec's rule),
+  * strip/tile regions fully inside the payload. Gray contributes
+  * equally to all three channel sums (the M15 contract).
   */
 object TiffRaster {
 
@@ -111,6 +117,9 @@ object TiffRaster {
     var offsets: Array[Long] = null
     var counts: Array[Long] = null
     var cmap: Array[Long] = null
+    var tileW = 0L; var tileL = 0L
+    var tileOffsets: Array[Long] = null
+    var tileCounts: Array[Long] = null
     var e = 0
     while (e < n) {
       val entry = base + 12 * e
@@ -128,7 +137,11 @@ object TiffRaster {
         case 284 => val v = values(entry); if (v == null) return null; planar = v(0)
         case 317 => val v = values(entry); if (v == null) return null; predictor = v(0)
         case 320 => cmap = values(entry); if (cmap == null) return null
-        case 322 | 323 | 324 | 325 => return null // tiled
+        // tiled organization (r10 — GIS/microscopy archives)
+        case 322 => val v = values(entry); if (v == null) return null; tileW = v(0)
+        case 323 => val v = values(entry); if (v == null) return null; tileL = v(0)
+        case 324 => tileOffsets = values(entry); if (tileOffsets == null) return null
+        case 325 => tileCounts = values(entry); if (tileCounts == null) return null
         case _ => // ignore (resolution, software, ...)
       }
       e += 1
@@ -145,32 +158,33 @@ object TiffRaster {
     if (photometric == 3 && (spp != 1 || cmap == null ||
       cmap.length != 3 * 256)) return null
     if (bits.length != spp || bits.exists(_ != 8L)) return null
-    if (offsets == null || counts == null ||
-      offsets.length != counts.length) return null
-    if (rps <= 0) return null
-    // tag 278 default is "all rows in one strip" (spec: 2^32-1); clamp
-    // to h so the ceiling division below can't overflow Long.MaxValue
-    if (rps > h) rps = h
+    val tiled = tileOffsets != null || tileCounts != null ||
+      tileW > 0 || tileL > 0
+    if (tiled) {
+      // tiled organization is exclusive with strips (spec); all four
+      // tile tags must be present and consistent
+      if (offsets != null || counts != null) return null
+      if (tileOffsets == null || tileCounts == null ||
+        tileOffsets.length != tileCounts.length) return null
+      if (tileW <= 0 || tileL <= 0) return null
+      // spec: tile dims are multiples of 16 — reject, never misread
+      if (tileW % 16 != 0 || tileL % 16 != 0) return null
+    } else {
+      if (offsets == null || counts == null ||
+        offsets.length != counts.length) return null
+      if (rps <= 0) return null
+      // tag 278 default is "all rows in one strip" (spec: 2^32-1); clamp
+      // to h so the ceiling division below can't overflow Long.MaxValue
+      if (rps > h) rps = h
+    }
 
-    val rowBytes = w * spp
-    val nStrips = ((h + rps - 1) / rps).toInt
-    if (offsets.length != nStrips) return null
     var sumR = 0L; var sumG = 0L; var sumB = 0L
     val hist = new Array[Long](8)
-    var strip = 0
-    var row = 0L
-    while (strip < nStrips) {
-      val rowsHere = math.min(rps, h - row)
-      val needL = rowBytes * rowsHere
-      // raster-size guard: a decompressed strip larger than 256 MiB is
-      // outside any sane archive scan — reject before allocating
-      if (needL < 0 || needL > (1L << 28)) return null
-      val need = needL.toInt
-      val off = offsets(strip)
-      val cnt = counts(strip)
-      if (off < 0 || off + cnt > b.length || cnt < 0) return null
-      // decompress (or slice) the strip to EXACTLY `need` bytes
-      val data: Array[Byte] = compression match {
+
+    // decompress (or slice) one region to EXACTLY `need` bytes
+    def decodeRegion(off: Long, cnt: Long, need: Int): Array[Byte] = {
+      if (off < 0 || cnt < 0 || off + cnt > b.length) return null
+      compression match {
         case 1 =>
           if (cnt < need) return null
           val out = new Array[Byte](need)
@@ -180,14 +194,16 @@ object TiffRaster {
         case 5 => lzwDecode(b, off.toInt, cnt.toInt, need)
         case 8 | 32946 => inflate(b, off.toInt, cnt.toInt, need)
       }
-      if (data == null) return null
-      // predictor 2: horizontal differencing — each sample is a delta
-      // against the previous pixel's same channel, per row
+    }
+
+    // predictor 2: horizontal differencing — each sample is a delta
+    // against the previous pixel's same channel, per buffer row
+    def undoPredictor(data: Array[Byte], rows: Int, rowBytes: Int): Unit =
       if (predictor == 2) {
         val sppI = spp.toInt
         var r0 = 0
-        while (r0 < rowsHere) {
-          val rowAt = r0 * rowBytes.toInt
+        while (r0 < rows) {
+          val rowAt = r0 * rowBytes
           var i = sppI
           while (i < rowBytes) {
             data(rowAt + i) = (data(rowAt + i) + data(rowAt + i - sppI)).toByte
@@ -196,13 +212,20 @@ object TiffRaster {
           r0 += 1
         }
       }
-      var p = 0
-      var r = 0L
-      while (r < rowsHere) {
-        var x = 0L
-        while (x < w) {
+
+    // accumulate `rows` buffer rows; each holds `bufW` pixels of which
+    // the first `validW` are image pixels (tiles pad right/bottom edges
+    // — padding never reaches the statistics)
+    def accumRows(data: Array[Byte], rows: Int, bufW: Int, validW: Int): Unit = {
+      val sppI = spp.toInt
+      val stride = bufW * sppI
+      var r = 0
+      while (r < rows) {
+        var p = r * stride
+        var x = 0
+        while (x < validW) {
           var pr = 0; var pg = 0; var pb = 0
-          if (spp == 3) {
+          if (sppI == 3) {
             pr = data(p) & 0xff; pg = data(p + 1) & 0xff
             pb = data(p + 2) & 0xff
             p += 3
@@ -228,8 +251,50 @@ object TiffRaster {
         }
         r += 1
       }
-      row += rowsHere
-      strip += 1
+    }
+
+    if (tiled) {
+      val across = ((w + tileW - 1) / tileW).toInt
+      val down = ((h + tileL - 1) / tileL).toInt
+      if (tileOffsets.length != across * down) return null
+      // every tile decompresses to the FULL padded tile size (spec)
+      val needL = tileW * tileL * spp
+      if (needL <= 0 || needL > (1L << 28)) return null
+      val need = needL.toInt
+      var ty = 0
+      while (ty < down) {
+        val validRows = math.min(tileL, h - ty.toLong * tileL).toInt
+        var tx = 0
+        while (tx < across) {
+          val idx = ty * across + tx
+          val data = decodeRegion(tileOffsets(idx), tileCounts(idx), need)
+          if (data == null) return null
+          undoPredictor(data, tileL.toInt, (tileW * spp).toInt)
+          val validW = math.min(tileW, w - tx.toLong * tileW).toInt
+          accumRows(data, validRows, tileW.toInt, validW)
+          tx += 1
+        }
+        ty += 1
+      }
+    } else {
+      val rowBytes = w * spp
+      val nStrips = ((h + rps - 1) / rps).toInt
+      if (offsets.length != nStrips) return null
+      var strip = 0
+      var row = 0L
+      while (strip < nStrips) {
+        val rowsHere = math.min(rps, h - row)
+        val needL = rowBytes * rowsHere
+        // raster-size guard: a decompressed strip larger than 256 MiB is
+        // outside any sane archive scan — reject before allocating
+        if (needL < 0 || needL > (1L << 28)) return null
+        val data = decodeRegion(offsets(strip), counts(strip), needL.toInt)
+        if (data == null) return null
+        undoPredictor(data, rowsHere.toInt, rowBytes.toInt)
+        accumRows(data, rowsHere.toInt, w.toInt, w.toInt)
+        row += rowsHere
+        strip += 1
+      }
     }
     new GenericInternalRow(Array[Any](spp.toInt, w.toInt, h.toInt,
       w * h, sumR, sumG, sumB) ++ hist.map(v => v: Any))

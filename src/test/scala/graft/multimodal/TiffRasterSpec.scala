@@ -17,8 +17,8 @@ class TiffRasterSpec extends AnyFunSuite {
   private val spark = SparkTestSession.spark
   import spark.implicits._
 
-  private def jdkTiff(img: BufferedImage,
-                      compression: String = null): Array[Byte] = {
+  private def jdkTiff(img: BufferedImage, compression: String = null,
+                      tile: Option[(Int, Int)] = None): Array[Byte] = {
     val w = javax.imageio.ImageIO.getImageWritersByFormatName("tiff").next()
     val p = w.getDefaultWriteParam
     if (compression == null)
@@ -27,6 +27,10 @@ class TiffRasterSpec extends AnyFunSuite {
     else {
       p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
       p.setCompressionType(compression)
+    }
+    tile.foreach { case (tw, th) =>
+      p.setTilingMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      p.setTiling(tw, th, 0, 0)
     }
     val bos = new ByteArrayOutputStream()
     val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
@@ -250,6 +254,75 @@ class TiffRasterSpec extends AnyFunSuite {
     val nextIfdAt = 8 + 2 + 9 * 12
     multi(nextIfdAt) = 8.toByte // pretend a second IFD exists
     assert(TiffRaster.parse(multi) == null)
+  }
+
+  test("JDK-written TILED RGB TIFF decodes identically to the strip form (r10)") {
+    // dims deliberately NOT multiples of the tile size: the right and
+    // bottom tiles carry padding that must never reach the statistics
+    val w = 40; val h = 35
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y,
+        (((x * 31) % 256) << 16) | (((y * 57) % 256) << 8) | ((x * y * 7) % 256))
+    val strip = TiffRaster.parse(jdkTiff(img))
+    val tiled = TiffRaster.parse(jdkTiff(img, tile = Some((16, 16))))
+    assert(strip != null && tiled != null,
+      "both organizations must be in the subset")
+    val n = TiffRaster.schema.length
+    assert((0 until n).map(i => tiled.get(i, TiffRaster.schema(i).dataType)) ==
+      (0 until n).map(i => strip.get(i, TiffRaster.schema(i).dataType)),
+      "tiled and strip decodes of the same image diverged")
+  }
+
+  test("tiled + LZW: tiles flow through the compression arms (r10)") {
+    val w = 50; val h = 20
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+    var exp = 0L
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = (x * 13 + y * 41) % 256
+      exp += v
+      img.getRaster.setSample(x, y, 0, v)
+    }
+    val tiled = TiffRaster.parse(jdkTiff(img, "LZW", tile = Some((32, 16))))
+    assert(tiled != null)
+    assert(tiled.getInt(1) == w && tiled.getInt(2) == h)
+    assert(tiled.getLong(3) == w.toLong * h)
+    assert(tiled.getLong(4) == exp)
+  }
+
+  test("tiled subset boundaries: non-16-multiple tiles and mixed tags reject (r10)") {
+    val w = 32; val h = 32
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w)
+      img.getRaster.setSample(x, y, 0, (x + y) % 256)
+    val good = jdkTiff(img, tile = Some((16, 16)))
+    assert(TiffRaster.parse(good) != null)
+    // corrupt a tile offset to point past the payload: loud (null)
+    // locate tag 324 (TileOffsets) in the IFD and break its value
+    def u16le(b: Array[Byte], i: Int) = (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+    def u32le(b: Array[Byte], i: Int) =
+      (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
+        ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+    val le = good(0) == 'I'
+    if (le) { // only meaningful to patch when we know the layout
+      val ifd = u32le(good, 4).toInt
+      val n = u16le(good, ifd)
+      val bad = good.clone()
+      var e = 0
+      var patched = false
+      while (e < n && !patched) {
+        val entry = ifd + 2 + 12 * e
+        if (u16le(good, entry) == 324) {
+          // value (or offset) field: point it far past the file
+          bad(entry + 8) = 0xff.toByte; bad(entry + 9) = 0xff.toByte
+          bad(entry + 10) = 0xff.toByte; bad(entry + 11) = 0x7f.toByte
+          patched = true
+        }
+        e += 1
+      }
+      assert(patched, "fixture must contain TileOffsets")
+      assert(TiffRaster.parse(bad) == null)
+    }
   }
 
   test("subset boundaries return null, never misread") {

@@ -523,6 +523,15 @@ object QueriesR16 {
         val z85 = graft.sources.DeletionVectors.z85Encode(ub.array())
         java.nio.file.Files.writeString(logDir.resolve(f"${2L}%020d.json"),
           s"""{"add":{"path":"data/bucket=1/f0.parquet","partitionValues":{"bucket":"1"},"dataChange":false,"deletionVector":{"storageType":"u","pathOrInlineDv":"$z85","offset":$dvOff,"sizeInBytes":$dvSize,"cardinality":${rb.getLongCardinality}}}}""")
+        // v3 (r10): a DV commit WRITTEN BY THE ENGINE — deleteWithDv
+        // evaluates a predicate over bucket 2's file, encodes the
+        // positions with the HOUSE Roaring encoder, writes the DV file
+        // and the commit; the reader decodes its own writer's bytes
+        // (and the spec pins the encoder against the canonical library)
+        val v3 = graft.sources.DeltaLog.deleteWithDv(s, t0.toString,
+          "data/bucket=2/f0.parquet", col("s_suppkey") % 7 === 0,
+          uuid = new java.util.UUID(0x6772616674L, 0x64767772L)) // fixed
+        require(v3 == 3L, s"engine DV commit landed at version $v3, want 3")
         t0.toString
       })
 
@@ -871,7 +880,8 @@ object QueriesR16 {
         |  FROM base
         |)
         |SELECT s_suppkey, bal_cents, bucket FROM pos
-        |WHERE bucket <> '1' OR p % 3 <> 0
+        |WHERE (bucket <> '1' OR p % 3 <> 0)
+        |  AND NOT (bucket = '2' AND s_suppkey % 7 = 0)
         |ORDER BY s_suppkey""".stripMargin,
     "iceberg_roundtrip" ->
       """WITH fin AS (

@@ -23,6 +23,12 @@ import java.nio.ByteOrder.{BIG_ENDIAN, LITTLE_ENDIAN}
   * then a BE i32 CRC-32 of the data — size, magic, and checksum all
   * verified loudly (stated interpretation of the wrapper; the BITMAP
   * bytes themselves are pinned against the canonical library).
+  *
+  * WRITE path (r10): [[encodePortable64]] is the house encoder of the
+  * same portable format (no-run form — byte-identical to the canonical
+  * library's own no-run serialization, spec-pinned), consumed by
+  * `DeltaLog.deleteWithDv` to emit DV deletes instead of rewriting
+  * files.
   */
 object DeletionVectors {
 
@@ -194,6 +200,69 @@ object DeletionVectors {
     val magic = ByteBuffer.wrap(data, 0, 4).order(LITTLE_ENDIAN).getInt
     require(magic == Magic, s"DV magic $magic, want $Magic")
     decodePortable64(java.util.Arrays.copyOfRange(data, 4, data.length))
+  }
+
+  /** ENCODE a sorted distinct position set as a portable 64-bit
+    * RoaringBitmapArray (r10 — the DV WRITE path): u64 LE bucket
+    * count, then per high-32-bits bucket a standard 32-bit Roaring
+    * bitmap in the no-run-container form (cookie 12346; array
+    * containers ≤ 4096 values, bitmap containers above — the encoder
+    * never needs runs, and the canonical library reads both forms).
+    * Inverse of [[decodePortable64]]; the spec pins the bytes against
+    * the canonical RoaringBitmap library's own deserializer.
+    */
+  def encodePortable64(positions: Array[Long]): Array[Byte] = {
+    var i = 1
+    while (i < positions.length) {
+      require(positions(i - 1) < positions(i),
+        "positions must be sorted strictly ascending")
+      i += 1
+    }
+    require(positions.isEmpty || positions.head >= 0, "negative position")
+    // group by high 32 bits, preserving order
+    val buckets = scala.collection.mutable.LinkedHashMap
+      .empty[Int, scala.collection.mutable.ArrayBuffer[Int]]
+    positions.foreach { p =>
+      buckets.getOrElseUpdate((p >>> 32).toInt,
+        new scala.collection.mutable.ArrayBuffer[Int]) += (p & 0xffffffffL).toInt
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    def le16(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >>> 8) & 0xff) }
+    def le32(v: Int): Unit = { le16(v); le16(v >>> 16) }
+    def le64(v: Long): Unit = { le32(v.toInt); le32((v >>> 32).toInt) }
+    le64(buckets.size.toLong)
+    buckets.foreach { case (high, lows) =>
+      le32(high)
+      // one standard 32-bit roaring bitmap, no-run cookie form
+      val containers = scala.collection.mutable.LinkedHashMap
+        .empty[Int, scala.collection.mutable.ArrayBuffer[Int]]
+      lows.foreach { v =>
+        containers.getOrElseUpdate(v >>> 16,
+          new scala.collection.mutable.ArrayBuffer[Int]) += (v & 0xffff)
+      }
+      val size = containers.size
+      le32(12346) // SERIAL_COOKIE_NO_RUNCONTAINER
+      le32(size)
+      containers.foreach { case (key, vals) =>
+        le16(key); le16(vals.size - 1)
+      }
+      // offset headers: byte position of each container's data counted
+      // from the bitmap's cookie
+      var at = 4 + 4 + 4 * size + 4 * size
+      containers.foreach { case (_, vals) =>
+        le32(at)
+        at += (if (vals.size <= 4096) 2 * vals.size else 8192)
+      }
+      containers.foreach { case (_, vals) =>
+        if (vals.size <= 4096) vals.foreach(le16)
+        else {
+          val words = new Array[Long](1024)
+          vals.foreach(v => words(v >>> 6) |= (1L << (v & 63)))
+          words.foreach(le64)
+        }
+      }
+    }
+    bos.toByteArray
   }
 
   /** Writer side (fixtures/tests): wrap portable-bitmap bytes as a

@@ -319,4 +319,58 @@ object DeltaLog {
         throw new IllegalArgumentException(s"deletionVector storageType '$other' unsupported")
     }
   }
+
+  /** DELETE rows from one live data file via a DELETION VECTOR (r10 —
+    * the modern Delta delete: emit a Roaring DV instead of rewriting
+    * the file). Reads `relPath` with parquet row indexes, evaluates
+    * `predicate` over the data columns, encodes the matching positions
+    * as a portable RoaringBitmapArray ([[DeletionVectors
+    * .encodePortable64]] — house encoder, canonical-library-pinned in
+    * the spec), writes `deletion_vector_<uuid>.bin` under the table
+    * root, and appends a commit re-adding the file with `dataChange:
+    * false` and the `u`-storage descriptor. Returns the new version.
+    *
+    * Stated subset: the target file must not already carry a DV
+    * (merging two DVs is a union this engine does not need yet —
+    * reject loudly, never silently drop the earlier deletes).
+    *
+    * Scale shape: the position set is per-FILE (Delta's own DV writer
+    * materializes one bitmap per file too) — bounded by one file's
+    * row count, collected once on the driver, never the table's.
+    */
+  def deleteWithDv(spark: SparkSession, table: String, relPath: String,
+                   predicate: org.apache.spark.sql.Column,
+                   uuid: java.util.UUID = java.util.UUID.randomUUID()): Long = {
+    val st = state(spark, table)
+    val target = st.files.find(_.path == relPath).getOrElse(
+      throw new IllegalArgumentException(s"$relPath is not a live file of $table"))
+    require(target.deletionVector.isEmpty,
+      s"$relPath already carries a deletion vector (DV merge not in subset)")
+    val positions = spark.read
+      .parquet(Paths.get(table, relPath).toString)
+      .select(col("_metadata.row_index").as("__pos"),
+        col("*"))
+      .filter(predicate)
+      .select("__pos").as[Long](org.apache.spark.sql.Encoders.scalaLong)
+      .collect().sorted
+    require(positions.nonEmpty, "predicate deleted no rows: refuse a no-op DV")
+    val bitmap = DeletionVectors.encodePortable64(positions)
+    val (dvFile, dvOff, dvSize) = DeletionVectors.dvFileBytes(bitmap)
+    Files.write(Paths.get(table, s"deletion_vector_$uuid.bin"), dvFile)
+    val ub = java.nio.ByteBuffer.allocate(16)
+    ub.putLong(uuid.getMostSignificantBits)
+    ub.putLong(uuid.getLeastSignificantBits)
+    val z85 = DeletionVectors.z85Encode(ub.array())
+    val pvJson = target.partitionValues.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}")
+    val commit =
+      s"""{"add":{"path":"$relPath","partitionValues":$pvJson,""" +
+        s""""dataChange":false,"deletionVector":{"storageType":"u",""" +
+        s""""pathOrInlineDv":"$z85","offset":$dvOff,"sizeInBytes":$dvSize,""" +
+        s""""cardinality":${positions.length}}}}"""
+    val next = st.version + 1
+    Files.writeString(
+      Paths.get(table, "_delta_log", f"$next%020d.json"), commit)
+    next
+  }
 }

@@ -149,4 +149,92 @@ class DeletionVectorsSpec extends AnyFunSuite {
     assert(v0.count() == 20L)
     assert(DeltaLog.read(spark, table).count() == 18L)
   }
+
+  test("house ENCODER bytes parse in the canonical library: array + bitmap + buckets (r10)") {
+    // array containers, a dense >4096 bitmap container, and two
+    // high-32-bit buckets — every arm the encoder has
+    val vals = (Seq(1L, 3L, 65535L, 65536L, 70000L) ++
+      (100000L until 120000L by 2) ++ // dense: bitmap container
+      Seq((1L << 33) + 7, (1L << 33) + 9)).sorted.toArray
+    val bytes = DeletionVectors.encodePortable64(vals)
+    // canonical library reads the house bytes
+    val rb = new org.roaringbitmap.longlong.Roaring64NavigableMap()
+    rb.deserializePortable(new java.io.DataInputStream(
+      new java.io.ByteArrayInputStream(bytes)))
+    assert(rb.getLongCardinality == vals.length)
+    assert(vals.forall(rb.contains), "canonical library missed house-encoded values")
+    // and the house decoder round-trips its own encoder
+    assert(DeletionVectors.decodePortable64(bytes).toSeq == vals.toSeq)
+    // byte-level: the canonical library's no-run serialization of the
+    // same set is IDENTICAL (both emit the portable spec's no-run form)
+    assert(bytes.toSeq == officialPortable(vals.toSeq, runOptimize = false).toSeq)
+  }
+
+  test("encoder rejects unsorted and negative inputs loudly (r10)") {
+    intercept[IllegalArgumentException] {
+      DeletionVectors.encodePortable64(Array(3L, 1L))
+    }
+    intercept[IllegalArgumentException] {
+      DeletionVectors.encodePortable64(Array(-1L, 4L))
+    }
+    assert(DeletionVectors.decodePortable64(
+      DeletionVectors.encodePortable64(Array.empty[Long])).isEmpty)
+  }
+
+  test("deleteWithDv: the engine writes a DV commit its reader applies (r10)") {
+    val table = dvTable(Seq(9L), inline = false) // v1 already has a DV add
+    // delete even keys from the SAME table via the engine path... but
+    // the file already carries a DV -> must reject loudly (stated)
+    val dataFile = "f0.parquet"
+    intercept[IllegalArgumentException] {
+      DeltaLog.deleteWithDv(spark, table, dataFile,
+        org.apache.spark.sql.functions.col("k") % 2 === 0)
+    }
+    // fresh table (time-travel target v0 has no DV): build one without
+    val t2 = {
+      val t0 = Files.createTempDirectory("dvw_spec")
+      val df = spark.range(0, 30).selectExpr("id AS k", "id * 10 AS v")
+        .orderBy("k")
+      val tmp = Files.createTempDirectory("dvw_part")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      import scala.jdk.CollectionConverters._
+      val part = Files.list(tmp).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      Files.move(part, t0.resolve("f0.parquet"))
+      def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "k BIGINT, v BIGINT")
+      val logDir = t0.resolve("_delta_log")
+      Files.createDirectories(logDir)
+      Files.writeString(logDir.resolve(f"${0L}%020d.json"), Seq(
+        s"""{"metaData":{"id":"dvw","schemaString":"${esc(schema.json)}","partitionColumns":[]}}""",
+        s"""{"add":{"path":"f0.parquet","partitionValues":{},"dataChange":true}}""")
+        .mkString("\n"))
+      t0.toString
+    }
+    val v = DeltaLog.deleteWithDv(spark, t2, "f0.parquet",
+      org.apache.spark.sql.functions.col("k") % 3 === 1)
+    assert(v == 1L)
+    val got = DeltaLog.read(spark, t2).orderBy("k")
+      .as[(Long, Long)].collect().toSeq
+    assert(got.map(_._1) == (0L until 30L).filterNot(_ % 3 == 1))
+    assert(got.forall { case (k, vv) => vv == k * 10 })
+    // the DV file on disk parses in the canonical library too
+    import scala.jdk.CollectionConverters._
+    val dvFile = Files.list(java.nio.file.Paths.get(t2)).iterator().asScala
+      .find(_.getFileName.toString.startsWith("deletion_vector_")).get
+    val raw = Files.readAllBytes(dvFile)
+    // strip version byte + BE size, then magic, then portable bitmap
+    val size = java.nio.ByteBuffer.wrap(raw, 1, 4).getInt
+    val bitmap = java.util.Arrays.copyOfRange(raw, 1 + 4 + 4, 1 + 4 + size)
+    val rb = new org.roaringbitmap.longlong.Roaring64NavigableMap()
+    rb.deserializePortable(new java.io.DataInputStream(
+      new java.io.ByteArrayInputStream(bitmap)))
+    assert(rb.getLongCardinality == (0L until 30L).count(_ % 3 == 1))
+    // a second engine delete on the same file must reject (DV present)
+    intercept[IllegalArgumentException] {
+      DeltaLog.deleteWithDv(spark, t2, "f0.parquet",
+        org.apache.spark.sql.functions.col("k") === 0)
+    }
+  }
 }

@@ -51,7 +51,10 @@ object Bench {
     // round-9 surface: shipping formats (tar/TFRecord/zstd-dict), the
     // Kafka wire path, PackBits decode, the de-trivialized fuzzy gate
     "wds_roundtrip", "tfrecord_roundtrip", "zstd_dict_roundtrip",
-    "stream_kafka_bus", "mm_tiff_packbits_stats", "dedup_fuzzy_edit")
+    "stream_kafka_bus", "mm_tiff_packbits_stats", "dedup_fuzzy_edit",
+    // round-10 surface: compressed TFRecord shards, the Kafka produce
+    // leg, tiled TIFF decode
+    "tfrecord_gzip_roundtrip", "stream_kafka_produce", "mm_tiff_tiled_stats")
 
   /** Dedup/ER-heavy tier (r9 split, the graph_heavy rationale): the
     * multi-second blocking/verification dedup gates whose constants were

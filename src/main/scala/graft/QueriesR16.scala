@@ -470,7 +470,10 @@ object QueriesR16 {
 
   private def buildDeltaTable(s: SparkSession, dir: String): String =
     tableBuildMemo.computeIfAbsent(
-      (s.sparkContext.applicationId, dir, "delta"), _ => {
+      (s.sparkContext.applicationId, dir, "delta"),
+      _ => buildDeltaFresh(s, dir))
+
+  private def buildDeltaFresh(s: SparkSession, dir: String): String = {
         val t0 = java.nio.file.Files.createTempDirectory("delta_rt")
         val sup = t(s, dir, "supplier").select(col("s_suppkey"),
           centsBal.as("bal_cents"),
@@ -533,6 +536,22 @@ object QueriesR16 {
           uuid = new java.util.UUID(0x6772616674L, 0x64767772L)) // fixed
         require(v3 == 3L, s"engine DV commit landed at version $v3, want 3")
         t0.toString
+  }
+
+  /** The F14e fixture: the same table CHECKPOINTED by the engine at v3
+    * and then RETENTION-TRIMMED — every JSON commit ≤ the checkpoint
+    * deleted, so the reader can only reach the state through the
+    * checkpoint the engine wrote.
+    */
+  private def buildDeltaCkTable(s: SparkSession, dir: String): String =
+    tableBuildMemo.computeIfAbsent(
+      (s.sparkContext.applicationId, dir, "delta_ck"), _ => {
+        val t0 = buildDeltaFresh(s, dir)
+        val v = graft.sources.DeltaLog.writeCheckpoint(s, t0)
+        require(v == 3L, s"checkpoint landed at version $v, want 3")
+        (0L to v).foreach(i => java.nio.file.Files.deleteIfExists(
+          java.nio.file.Paths.get(t0, "_delta_log", f"$i%020d.json")))
+        t0
       })
 
   /** F14b: Delta round-trip — the [[graft.sources.DeltaLog]] reader
@@ -541,6 +560,17 @@ object QueriesR16 {
     */
   def deltaRoundtrip(s: SparkSession, dir: String): DataFrame =
     graft.sources.DeltaLog.read(s, buildDeltaTable(s, dir))
+      .orderBy(col("s_suppkey"))
+
+  /** F14e (r10): Delta CHECKPOINT write — the engine checkpoints its
+    * own table at v3 (metaData + per-file add rows incl. the DV
+    * descriptor, `_last_checkpoint` updated) and the fixture deletes
+    * every JSON commit ≤ 3, so this read replays from the
+    * engine-written checkpoint ALONE; identical oracle to F14b — a
+    * checkpoint must be invisible to the state.
+    */
+  def deltaCheckpointRoundtrip(s: SparkSession, dir: String): DataFrame =
+    graft.sources.DeltaLog.read(s, buildDeltaCkTable(s, dir))
       .orderBy(col("s_suppkey"))
 
   private def buildIcebergTable(s: SparkSession, dir: String): String =
@@ -648,6 +678,7 @@ object QueriesR16 {
     "dedup_span_stats" -> (dedupSpanStats _),
     "stream_bus_cdc" -> (streamBusCdc _),
     "delta_roundtrip" -> (deltaRoundtrip _),
+    "delta_checkpoint_roundtrip" -> (deltaCheckpointRoundtrip _),
     "iceberg_roundtrip" -> (icebergRoundtrip _),
     "stream_bpe_tokens" -> (streamBpeTokens _),
     "dedup_contamination_rate" -> (dedupContaminationRate _),
@@ -867,6 +898,23 @@ object QueriesR16 {
         |      FROM documents) dw
         |JOIN ns USING (w) GROUP BY source ORDER BY source""".stripMargin,
     "delta_roundtrip" ->
+      """WITH base AS (
+        |  SELECT s_suppkey,
+        |    CAST(CAST(s_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |      + CASE WHEN s_nationkey % 5 = 0 THEN 10000 ELSE 0 END
+        |      AS bal_cents,
+        |    CAST(s_nationkey % 5 AS VARCHAR) AS bucket
+        |  FROM supplier
+        |), pos AS (
+        |  SELECT s_suppkey, bal_cents, bucket,
+        |    ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY s_suppkey) - 1 AS p
+        |  FROM base
+        |)
+        |SELECT s_suppkey, bal_cents, bucket FROM pos
+        |WHERE (bucket <> '1' OR p % 3 <> 0)
+        |  AND NOT (bucket = '2' AND s_suppkey % 7 = 0)
+        |ORDER BY s_suppkey""".stripMargin,
+    "delta_checkpoint_roundtrip" ->
       """WITH base AS (
         |  SELECT s_suppkey,
         |    CAST(CAST(s_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)

@@ -519,6 +519,41 @@ object QueriesR17 {
     } finally server.close()
   }
 
+  /** X54 (r10): COMPRESSED RecordBatches on the wire — X53's produce →
+    * fetch round-trip with BOTH legs compressed, each with a different
+    * codec (executors produce zstd batches; the broker serves gzip
+    * Fetch responses): the attribute-bit codec arms (bits 0-2 of the
+    * batch attributes, the format every bandwidth-tuned broker uses)
+    * exercised end-to-end over the wire. Same oracle again — the
+    * codec, like the transport, must be invisible.
+    */
+  def streamKafkaCompressed(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_orderstatus"),
+      (col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("long").as("cents"))
+    val server = graft.streaming.KafkaBusServer.serve(
+      null, emptyPartitions = 4,
+      fetchCodec = graft.streaming.KafkaWire.CodecGzip)
+    try {
+      graft.streaming.KafkaWire.produceSink(
+        o.select(pmod(col("o_orderkey"), lit(4)).as("pt"),
+            to_json(struct(col("o_orderstatus"), col("cents"))).as("v"))
+          .repartition(8, col("pt")),
+        "127.0.0.1", server.port, "bus", col("pt"), col("v"),
+        codec = graft.streaming.KafkaWire.CodecZstd)
+      val trigger = math.max(100L, o.count() / 8)
+      graft.streaming.Streams.kafkaBusReplay(s, "127.0.0.1", server.port,
+          "bus", trigger, s"gate_kafkazstd_${System.nanoTime()}") { stream =>
+        stream.select(col("partition").cast("long").as("pt"),
+            from_json(col("value"),
+              org.apache.spark.sql.types.StructType.fromDDL(
+                "o_orderstatus STRING, cents LONG")).as("e"))
+          .groupBy(col("pt"), col("e.o_orderstatus").as("o_orderstatus"))
+          .agg(count(lit(1)).as("n"), sum(col("e.cents")).as("sum_cents"))
+      }.orderBy(col("pt"), col("o_orderstatus"))
+    } finally server.close()
+  }
+
   /** T36: TextRank keyword extraction (Mihalcea & Tarau 2004) — the
     * classic unsupervised keyword ranker: content words (length ≥ 4,
     * the deterministic stand-in for a POS filter) form a co-occurrence
@@ -733,6 +768,7 @@ object QueriesR17 {
     "stream_socket_bus" -> (streamSocketBus _),
     "stream_kafka_bus" -> (streamKafkaBus _),
     "stream_kafka_produce" -> (streamKafkaProduce _),
+    "stream_kafka_compressed" -> (streamKafkaCompressed _),
     "mm_g711_stats" -> (mmG711Stats _),
     "stream_socket_cdc" -> (streamSocketCdc _),
     "mm_gif_stats" -> (mmGifStats _),
@@ -865,6 +901,12 @@ object QueriesR17 {
         |    AS BIGINT) AS sum_cents
         |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "stream_kafka_produce" ->
+      """SELECT o_orderkey % 4 AS pt, o_orderstatus,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+        |    AS BIGINT) AS sum_cents
+        |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "stream_kafka_compressed" ->
       """SELECT o_orderkey % 4 AS pt, o_orderstatus,
         |  COUNT(*) AS n,
         |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))

@@ -320,6 +320,75 @@ object DeltaLog {
     }
   }
 
+  /** Write a classic single-part CHECKPOINT of the CURRENT state (r10
+    * — the write half of the r8 checkpoint reader): one
+    * `V.checkpoint.parquet` holding the metaData row plus one `add`
+    * row per live file (partitionValues as a map, stats and
+    * deletionVector descriptors carried through), and
+    * `_last_checkpoint` updated to point at it. After this, JSON
+    * commits ≤ V can be retention-trimmed and the log still replays —
+    * the reason checkpoints exist; the round-trip gate deletes them
+    * to prove it. Returns the checkpointed version.
+    *
+    * Scale shape: the checkpoint is one row per live FILE (not per
+    * data row) — the same driver-held state the log replay already
+    * materializes.
+    */
+  def writeCheckpoint(spark: SparkSession, table: String): Long = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val st = state(spark, table)
+    val dvType = StructType(Seq(
+      StructField("storageType", StringType),
+      StructField("pathOrInlineDv", StringType),
+      StructField("offset", LongType),
+      StructField("sizeInBytes", LongType),
+      StructField("cardinality", LongType)))
+    val addType = StructType(Seq(
+      StructField("path", StringType),
+      StructField("partitionValues", MapType(StringType, StringType)),
+      StructField("dataChange", BooleanType),
+      StructField("stats", StringType),
+      StructField("deletionVector", dvType)))
+    val metaType = StructType(Seq(
+      StructField("id", StringType),
+      StructField("schemaString", StringType),
+      StructField("partitionColumns", ArrayType(StringType))))
+    val ckSchema = StructType(Seq(
+      StructField("metaData", metaType, nullable = true),
+      StructField("add", addType, nullable = true)))
+    def dvStruct(json: Option[String]): Row = json match {
+      case None => null
+      case Some(j) =>
+        def f(n: String) = ("\"" + n + "\"\\s*:\\s*\"([^\"]*)\"").r
+          .findFirstMatchIn(j).map(_.group(1)).orNull
+        def num(n: String) = ("\"" + n + "\"\\s*:\\s*(-?\\d+)").r
+          .findFirstMatchIn(j).map(_.group(1).toLong)
+          .map(java.lang.Long.valueOf).orNull
+        Row(f("storageType"), f("pathOrInlineDv"),
+          num("offset"), num("sizeInBytes"), num("cardinality"))
+    }
+    val rows =
+      Row(Row("graft-ck", st.schema.json, st.partitionColumns), null) +:
+        st.files.map(f => Row(null,
+          Row(f.path, f.partitionValues, true, f.stats.orNull,
+            dvStruct(f.deletionVector))))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), ckSchema)
+    val tmp = Files.createTempDirectory("delta_ck")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    import scala.jdk.CollectionConverters._
+    val part = Files.list(tmp).iterator().asScala
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    val target = Paths.get(table, "_delta_log",
+      f"${st.version}%020d.checkpoint.parquet")
+    Files.move(part, target,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    Files.writeString(Paths.get(table, "_delta_log", "_last_checkpoint"),
+      s"""{"version":${st.version},"size":${rows.size}}""")
+    st.version
+  }
+
   /** DELETE rows from one live data file via a DELETION VECTOR (r10 —
     * the modern Delta delete: emit a Roaring DV instead of rewriting
     * the file). Reads `relPath` with parquet row indexes, evaluates

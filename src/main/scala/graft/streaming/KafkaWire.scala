@@ -111,17 +111,61 @@ object KafkaWire {
 
   // ─────────────────── message-format-v2 RecordBatch ──────────────────
 
-  /** Encode one uncompressed RecordBatch v2: null keys, zero timestamp
-    * deltas, no headers — CRC32C over everything after the crc field,
-    * per the spec.
+  /** Batch-attribute compression codec ids (bits 0-2, the public
+    * format): 0 none, 1 gzip, 2 snappy, 3 lz4 (FRAME format), 4 zstd.
+    * All four codec libraries already ride Spark's classpath (JDK
+    * gzip, xerial snappy, lz4-java frames, zstd-jni) — what's house
+    * here is the FRAMING: which bytes compress (the records block
+    * after the 61-byte batch header, count excluded) and where the
+    * CRC sits (over the compressed bytes).
     */
-  def encodeBatch(baseOffset: Long, values: Seq[Array[Byte]]): Array[Byte] = {
-    val body = new Writer // attributes .. records (the crc'd region)
-    body.i16(0) // attributes: no compression, create-time
-    body.i32(values.size - 1) // lastOffsetDelta
-    body.i64(0L); body.i64(0L) // base/max timestamp
-    body.i64(-1L); body.i16(-1); body.i32(-1) // producer id/epoch/baseSeq
-    body.i32(values.size)
+  val CodecNone = 0
+  val CodecGzip = 1
+  val CodecSnappy = 2
+  val CodecLz4 = 3
+  val CodecZstd = 4
+
+  private def compress(codec: Int, plain: Array[Byte]): Array[Byte] = codec match {
+    case CodecNone => plain
+    case CodecGzip =>
+      val bos = new ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(plain); g.close(); bos.toByteArray
+    case CodecSnappy => org.xerial.snappy.Snappy.compress(plain)
+    case CodecLz4 =>
+      val bos = new ByteArrayOutputStream()
+      val l = new net.jpountz.lz4.LZ4FrameOutputStream(bos)
+      l.write(plain); l.close(); bos.toByteArray
+    case CodecZstd => com.github.luben.zstd.Zstd.compress(plain)
+    case other => throw new IllegalArgumentException(s"codec $other")
+  }
+
+  private def decompress(codec: Int, packed: Array[Byte]): Array[Byte] = codec match {
+    case CodecNone => packed
+    case CodecGzip =>
+      new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(packed)).readAllBytes()
+    case CodecSnappy => org.xerial.snappy.Snappy.uncompress(packed)
+    case CodecLz4 =>
+      new net.jpountz.lz4.LZ4FrameInputStream(
+        new java.io.ByteArrayInputStream(packed)).readAllBytes()
+    case CodecZstd =>
+      val n = com.github.luben.zstd.Zstd.getFrameContentSize(packed)
+      require(n >= 0 && n <= (1L << 26), s"implausible zstd frame size $n")
+      com.github.luben.zstd.Zstd.decompress(packed, n.toInt)
+    case other => throw new IllegalArgumentException(
+      s"record batch compression codec $other not in subset")
+  }
+
+  /** Encode one RecordBatch v2: null keys, zero timestamp deltas, no
+    * headers — CRC32C over everything after the crc field, per the
+    * spec. With a non-none `codec` the RECORDS block (after the record
+    * count) compresses as one block and the attribute bits carry the
+    * codec id — the format every modern broker serves and accepts.
+    */
+  def encodeBatch(baseOffset: Long, values: Seq[Array[Byte]],
+                  codec: Int = CodecNone): Array[Byte] = {
+    val recs = new Writer
     values.zipWithIndex.foreach { case (v, idx) =>
       val rec = new Writer
       rec.i8(0) // record attributes
@@ -131,8 +175,15 @@ object KafkaWire {
       rec.varInt(v.length); rec.raw(v)
       rec.varInt(0) // headers
       val rb = rec.toBytes
-      body.varInt(rb.length); body.raw(rb)
+      recs.varInt(rb.length); recs.raw(rb)
     }
+    val body = new Writer // attributes .. records (the crc'd region)
+    body.i16(codec & 0x07) // attributes: codec bits, create-time
+    body.i32(values.size - 1) // lastOffsetDelta
+    body.i64(0L); body.i64(0L) // base/max timestamp
+    body.i64(-1L); body.i16(-1); body.i32(-1) // producer id/epoch/baseSeq
+    body.i32(values.size)
+    body.raw(compress(codec, recs.toBytes))
     val crcd = body.toBytes
     val crc = new java.util.zip.CRC32C
     crc.update(crcd)
@@ -170,25 +221,32 @@ object KafkaWire {
       crc.update(batch, 9, batch.length - 9)
       require(crc.getValue.toInt == crcStored, "record batch CRC32C mismatch")
       val attributes = r.i16()
-      require((attributes & 0x07) == 0, s"compressed batch (attrs $attributes) not in subset")
       r.i32() // lastOffsetDelta
       r.i64(); r.i64() // timestamps
       r.i64(); r.i16(); r.i32() // producer id/epoch/baseSeq
       val n = r.i32()
+      // compression (r10): bits 0-2 name the codec; the records block
+      // after the count decompresses as one unit (CRC was over the
+      // compressed bytes — already verified above)
+      val codec = attributes & 0x07
+      val rr =
+        if (codec == CodecNone) r
+        else new Reader(ByteBuffer.wrap(
+          decompress(codec, r.raw(r.remaining))))
       var k = 0
       while (k < n) {
-        r.varInt() // record length
-        r.i8() // attributes
-        r.varLong() // timestampDelta
-        val offsetDelta = r.varInt()
-        val keyLen = r.varInt()
-        if (keyLen > 0) r.raw(keyLen)
-        val valLen = r.varInt()
-        val v = if (valLen < 0) null else r.raw(valLen)
-        val headers = r.varInt()
+        rr.varInt() // record length
+        rr.i8() // attributes
+        rr.varLong() // timestampDelta
+        val offsetDelta = rr.varInt()
+        val keyLen = rr.varInt()
+        if (keyLen > 0) rr.raw(keyLen)
+        val valLen = rr.varInt()
+        val v = if (valLen < 0) null else rr.raw(valLen)
+        val headers = rr.varInt()
         var hh = 0
         while (hh < headers) {
-          r.raw(r.varInt()); r.raw(r.varInt()) // key, value
+          rr.raw(rr.varInt()); rr.raw(rr.varInt()) // key, value
           hh += 1
         }
         out += ((baseOffset + offsetDelta, v))
@@ -335,7 +393,7 @@ object KafkaWire {
       * posture.
       */
     def produce(topic: String, partition: Int, values: Seq[Array[Byte]],
-                acks: Int = -1): Long = {
+                acks: Int = -1, codec: Int = CodecNone): Long = {
       require(values.nonEmpty, "produce of zero records")
       val b = new Writer
       b.nullableStr(null) // transactional_id (v3+)
@@ -343,7 +401,7 @@ object KafkaWire {
       b.i32(30000) // timeout_ms
       b.i32(1); b.str(topic)
       b.i32(1); b.i32(partition)
-      b.bytes(encodeBatch(0L, values)) // broker re-bases the offsets
+      b.bytes(encodeBatch(0L, values, codec)) // broker re-bases the offsets
       val r = exchange(out, in, ApiProduce, 3, next(), b)
       var base = -1L
       (0 until r.i32()).foreach { _ =>
@@ -374,7 +432,8 @@ object KafkaWire {
                   port: Int, topic: String,
                   pt: org.apache.spark.sql.Column,
                   value: org.apache.spark.sql.Column,
-                  batchSize: Int = 4096): Unit = {
+                  batchSize: Int = 4096,
+                  codec: Int = CodecNone): Unit = {
     val rows = df.select(pt.cast("int").as("pt"), value.cast("string").as("v"))
     rows.foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
       if (it.hasNext) {
@@ -384,7 +443,7 @@ object KafkaWire {
             .empty[Int, scala.collection.mutable.ArrayBuffer[Array[Byte]]]
           def flush(p: Int): Unit = {
             val b = buf(p)
-            if (b.nonEmpty) { client.produce(topic, p, b.toSeq); b.clear() }
+            if (b.nonEmpty) { client.produce(topic, p, b.toSeq, codec = codec); b.clear() }
           }
           it.foreach { r =>
             val p = r.getInt(0)
@@ -481,10 +540,12 @@ object KafkaBusServer {
   /** Serve `root` (null = produce-only broker) on `port`;
     * `emptyPartitions` advertises that many empty partitions for
     * produce-first workloads (Metadata must name them before the first
-    * Produce lands).
+    * Produce lands); `fetchCodec` compresses the RecordBatches Fetch
+    * responses carry (r10 — what a bandwidth-tuned broker does).
     */
   def serve(root: String, topic: String = "bus", port: Int = 0,
-            emptyPartitions: Int = 0): Handle = {
+            emptyPartitions: Int = 0,
+            fetchCodec: Int = KafkaWire.CodecNone): Handle = {
     val server = new ServerSocket(port, 64, InetAddress.getLoopbackAddress)
     val state = new LogState(root, emptyPartitions)
     val t = new Thread(() => {
@@ -493,7 +554,7 @@ object KafkaBusServer {
           try server.accept()
           catch { case _: java.net.SocketException => null }
         if (sock != null) {
-          val h = new Thread(() => handle(state, topic, sock))
+          val h = new Thread(() => handle(state, topic, sock, fetchCodec))
           h.setDaemon(true)
           h.start()
         }
@@ -512,7 +573,8 @@ object KafkaBusServer {
     else all.slice(from.toInt, math.min(all.size, from.toInt + cap))
   }
 
-  private def handle(state: LogState, topic: String, sock: Socket): Unit =
+  private def handle(state: LogState, topic: String, sock: Socket,
+                     fetchCodec: Int = KafkaWire.CodecNone): Unit =
     try {
       val in = new DataInputStream(sock.getInputStream)
       val out = new DataOutputStream(sock.getOutputStream)
@@ -620,8 +682,8 @@ object KafkaBusServer {
                 body.i64(head); body.i64(head)
                 body.i32(0) // aborted transactions: empty
                 if (lines.isEmpty) body.i32(-1) // null record set
-                else body.bytes(
-                  KafkaWire.encodeBatch(off, lines.map(_.getBytes(UTF_8))))
+                else body.bytes(KafkaWire.encodeBatch(off,
+                  lines.map(_.getBytes(UTF_8)), fetchCodec))
               }
             }
           case other =>

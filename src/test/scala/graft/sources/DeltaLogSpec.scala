@@ -223,4 +223,47 @@ class DeltaLogSpec extends AnyFunSuite {
       .select("id").as[Long].collect().toSet
     assert(got == Set(1L, 5L, 7L))
   }
+
+  test("writeCheckpoint: a retention-trimmed log replays from the engine's own checkpoint (r10)") {
+    val t = buildTable()
+    val before = rows(DeltaLog.read(spark, t.toString))
+    val v = DeltaLog.writeCheckpoint(spark, t.toString)
+    assert(v == 3L)
+    // retention-trim EVERY json commit <= the checkpoint: the state is
+    // now reachable only through the checkpoint the engine wrote
+    (0L to 3L).foreach(i =>
+      Files.delete(t.resolve("_delta_log").resolve(f"$i%020d.json")))
+    val after = rows(DeltaLog.read(spark, t.toString))
+    assert(after == before, "checkpoint replay diverged from the json replay")
+    // _last_checkpoint points at it
+    val lc = Files.readString(t.resolve("_delta_log").resolve("_last_checkpoint"))
+    assert(lc.contains("\"version\":3"))
+    // and commits AFTER the checkpoint still apply on top
+    writeDataFile(Seq((9L, "t", 90L)).toDF("id", "v", "w"), t, "part=b/f9.parquet")
+    writeCommit(t, 4L, Seq(addLine("part=b/f9.parquet", "b")))
+    val withTail = rows(DeltaLog.read(spark, t.toString))
+    assert(withTail == before + ((9L, "t", "b", Some(90L))))
+  }
+
+  test("writeCheckpoint carries deletion vectors through the parquet round-trip (r10)") {
+    // table with an engine-written DV, checkpointed, trimmed, re-read
+    val t = Files.createTempDirectory("deltackdv")
+    writeDataFile((0L until 12L).map(i => (i, s"v$i")).toDF("id", "v")
+      .orderBy("id"), t, "f0.parquet")
+    Files.createDirectories(t.resolve("_delta_log"))
+    Files.writeString(t.resolve("_delta_log").resolve(f"${0L}%020d.json"), Seq(
+      s"""{"metaData":{"id":"ckdv","schemaString":"${esc(StructType(Seq(
+        StructField("id", LongType), StructField("v", StringType))).json)}","partitionColumns":[]}}""",
+      """{"add":{"path":"f0.parquet","partitionValues":{},"dataChange":true}}""")
+      .mkString("\n"))
+    DeltaLog.deleteWithDv(spark, t.toString, "f0.parquet",
+      org.apache.spark.sql.functions.col("id") % 4 === 2)
+    assert(DeltaLog.writeCheckpoint(spark, t.toString) == 1L)
+    (0L to 1L).foreach(i =>
+      Files.delete(t.resolve("_delta_log").resolve(f"$i%020d.json")))
+    val got = DeltaLog.read(spark, t.toString)
+      .select("id").as[Long].collect().toSet
+    assert(got == (0L until 12L).filterNot(_ % 4 == 2).toSet,
+      "DV descriptor lost through the checkpoint")
+  }
 }

@@ -136,6 +136,46 @@ class KafkaWireSpec extends AnyFunSuite {
     } finally server.close()
   }
 
+  test("compressed RecordBatches: all four codec arms round-trip (r10)") {
+    val values = (0 until 500).map(i => s"compressed-rec-$i-${"p" * (i % 11)}")
+      .map(_.getBytes(UTF_8))
+    for (codec <- Seq(KafkaWire.CodecGzip, KafkaWire.CodecSnappy,
+        KafkaWire.CodecLz4, KafkaWire.CodecZstd)) {
+      val batch = KafkaWire.encodeBatch(7L, values, codec)
+      // attribute bits carry the codec id (offset 21 in the batch:
+      // baseOffset 8 + length 4 + epoch 4 + magic 1 + crc 4, then the
+      // attributes i16 big-endian)
+      val attrs = ((batch(21) & 0xff) << 8) | (batch(22) & 0xff)
+      assert((attrs & 0x07) == codec, s"codec $codec not in attribute bits")
+      // compression actually happened (repetitive payload shrinks)
+      val plain = KafkaWire.encodeBatch(7L, values)
+      assert(batch.length < plain.length, s"codec $codec did not compress")
+      val got = KafkaWire.decodeBatches(batch)
+      assert(got.map(_._1) == (7L until 507L), s"codec $codec offsets")
+      assert(got.map(r => new String(r._2, UTF_8)) ==
+        values.map(new String(_, UTF_8)), s"codec $codec payloads")
+      // a flipped bit inside the COMPRESSED region still fails the CRC
+      val bad = batch.clone()
+      bad(80) = (bad(80) ^ 0x01).toByte
+      intercept[IllegalArgumentException] { KafkaWire.decodeBatches(bad) }
+    }
+  }
+
+  test("produce zstd, fetch gzip: both wire legs compressed end-to-end (r10)") {
+    val server = KafkaBusServer.serve(null, topic = "z", emptyPartitions = 1,
+      fetchCodec = KafkaWire.CodecGzip)
+    try {
+      val c = new KafkaWire.Client("127.0.0.1", server.port)
+      try {
+        val vals = (0 until 100).map(i => s"both-legs-$i")
+        c.produce("z", 0, vals.map(_.getBytes(UTF_8)),
+          codec = KafkaWire.CodecZstd)
+        val got = c.fetch("z", 0, 0L).map(r => new String(r._2, UTF_8))
+        assert(got == vals)
+      } finally c.close()
+    } finally server.close()
+  }
+
   test("Produce v3 appends over the wire; fetch reads the records back (r10)") {
     // produce-only broker: partitions advertised before the first append
     val server = KafkaBusServer.serve(null, topic = "w", emptyPartitions = 2)

@@ -575,7 +575,10 @@ object QueriesR16 {
 
   private def buildIcebergTable(s: SparkSession, dir: String): String =
     tableBuildMemo.computeIfAbsent(
-      (s.sparkContext.applicationId, dir, "iceberg"), _ => {
+      (s.sparkContext.applicationId, dir, "iceberg"),
+      _ => buildIcebergFresh(s, dir))
+
+  private def buildIcebergFresh(s: SparkSession, dir: String): String = {
         import graft.sources.IcebergCatalog._
         val t0 = java.nio.file.Files.createTempDirectory("ice_rt")
         val mdir = t0.resolve("metadata")
@@ -648,6 +651,22 @@ object QueriesR16 {
             ("rk", "string", false)),
           Seq("rk"), Seq(10L -> ml1, 20L -> ml2, 30L -> ml3))
         t0.toString
+  }
+
+  /** The F15c fixture: the same table plus a snapshot-40 POSITIONAL
+    * delete COMMITTED BY THE ENGINE — positions computed from a
+    * predicate over rk=3's rows, delete parquet + manifest + manifest
+    * list + v2.metadata.json all engine-written.
+    */
+  private def buildIcebergDelTable(s: SparkSession, dir: String): String =
+    tableBuildMemo.computeIfAbsent(
+      (s.sparkContext.applicationId, dir, "iceberg_del"), _ => {
+        val t0 = buildIcebergFresh(s, dir)
+        val snap = graft.sources.IcebergCatalog.commitPositionDelete(
+          s, t0, "rk=3/f0.parquet", col("n_nationkey") % 2 === 1,
+          snapshotId = 40L)
+        require(snap == 40L)
+        t0
       })
 
   /** F15b: Iceberg round-trip — the [[graft.sources.IcebergCatalog]]
@@ -659,6 +678,20 @@ object QueriesR16 {
     */
   def icebergRoundtrip(s: SparkSession, dir: String): DataFrame =
     graft.sources.IcebergCatalog.read(s, buildIcebergTable(s, dir))
+      .select(col("n_nationkey"), col("n_name"),
+        col("meta.nm").as("meta_nm"), col("meta.ln").as("meta_ln"),
+        element_at(col("arr"), 1).as("arr0"),
+        element_at(col("arr"), 2).as("arr1"), col("rk"))
+      .orderBy(col("n_nationkey"))
+
+  /** F15c (r10): Iceberg POSITIONAL-DELETE write — the engine commits
+    * snapshot 40 itself (delete parquet from a predicate, manifest,
+    * manifest list, new metadata.json version with current advanced)
+    * and its own reader applies it; the Delta-DV write posture on the
+    * Iceberg protocol. Oracle = F15b's minus the predicate rows.
+    */
+  def icebergDeleteRoundtrip(s: SparkSession, dir: String): DataFrame =
+    graft.sources.IcebergCatalog.read(s, buildIcebergDelTable(s, dir))
       .select(col("n_nationkey"), col("n_name"),
         col("meta.nm").as("meta_nm"), col("meta.ln").as("meta_ln"),
         element_at(col("arr"), 1).as("arr0"),
@@ -680,6 +713,7 @@ object QueriesR16 {
     "delta_roundtrip" -> (deltaRoundtrip _),
     "delta_checkpoint_roundtrip" -> (deltaCheckpointRoundtrip _),
     "iceberg_roundtrip" -> (icebergRoundtrip _),
+    "iceberg_delete_roundtrip" -> (icebergDeleteRoundtrip _),
     "stream_bpe_tokens" -> (streamBpeTokens _),
     "dedup_contamination_rate" -> (dedupContaminationRate _),
     "text_bpe_encode" -> (textBpeEncode _),
@@ -940,6 +974,21 @@ object QueriesR16 {
         |  WHERE NOT (n_regionkey = 1 AND n_nationkey =
         |      (SELECT MIN(n_nationkey) FROM nation WHERE n_regionkey = 1))
         |    AND n_name <> (SELECT n_name FROM nation WHERE n_nationkey = 14)
+        |)
+        |SELECT n_nationkey, n_name,
+        |  n_name AS meta_nm, CAST(length(n_name) AS BIGINT) AS meta_ln,
+        |  n_nationkey AS arr0, n_nationkey * 2 + 1 AS arr1, rk
+        |FROM fin ORDER BY n_nationkey""".stripMargin,
+    "iceberg_delete_roundtrip" ->
+      """WITH fin AS (
+        |  SELECT CASE WHEN n_regionkey = 0 THEN n_nationkey + 1000
+        |         ELSE n_nationkey END AS n_nationkey,
+        |    n_name, CAST(n_regionkey AS VARCHAR) AS rk
+        |  FROM nation
+        |  WHERE NOT (n_regionkey = 1 AND n_nationkey =
+        |      (SELECT MIN(n_nationkey) FROM nation WHERE n_regionkey = 1))
+        |    AND n_name <> (SELECT n_name FROM nation WHERE n_nationkey = 14)
+        |    AND NOT (n_regionkey = 3 AND n_nationkey % 2 = 1)
         |)
         |SELECT n_nationkey, n_name,
         |  n_name AS meta_nm, CAST(length(n_name) AS BIGINT) AS meta_ln,

@@ -516,6 +516,77 @@ object IcebergCatalog {
          |}""".stripMargin)
   }
 
+  /** COMMIT a v2 POSITIONAL DELETE (r10 — the Iceberg sibling of
+    * Delta's `deleteWithDv`): evaluate `predicate` over the rows of
+    * the live data file whose path ends with `dataFileTail`, write a
+    * position-delete parquet (`file_path`, `pos` — the spec's
+    * schema), a new manifest carrying it (content=1), a new manifest
+    * list extending the current snapshot's, and a NEW metadata.json
+    * version with the snapshot appended and `current-snapshot-id`
+    * advanced (version-hint.text updated when present — the
+    * HadoopTables commit protocol). Returns the new snapshot id.
+    *
+    * Scale shape: per-file position sets, driver-held only for the
+    * one target file — the same bound as the Delta DV writer.
+    */
+  def commitPositionDelete(spark: SparkSession, table: String,
+                           dataFileTail: String,
+                           predicate: org.apache.spark.sql.Column,
+                           snapshotId: Long): Long = {
+    val st = state(spark, table)
+    val target = st.files.find(_.path.endsWith(dataFileTail)).getOrElse(
+      throw new IllegalArgumentException(
+        s"no live data file ending with $dataFileTail in $table"))
+    val positions = spark.read
+      .parquet(resolve(table, target.path).toString)
+      .select(col("_metadata.row_index").as("__pos"), col("*"))
+      .filter(predicate)
+      .select("__pos").as[Long](org.apache.spark.sql.Encoders.scalaLong)
+      .collect().sorted
+    require(positions.nonEmpty, "predicate deleted no rows: refuse a no-op commit")
+    import spark.implicits._
+    // the delete rows name the file by its MANIFEST-RECORDED path, so
+    // the reader's tail-anchored comparison holds after relocation
+    val pdRel = s"data/pos-delete-$snapshotId.parquet"
+    val pdAbs = Paths.get(table).toAbsolutePath.resolve(pdRel)
+    val tmp = Files.createTempDirectory("ice_pd")
+    positions.toSeq.map(p => (target.path, p))
+      .toDF("file_path", "pos")
+      .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = Files.list(tmp).iterator().asScala
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    Files.createDirectories(pdAbs.getParent)
+    Files.move(part, pdAbs)
+    // new manifest + manifest list = current snapshot's manifests + it
+    val (md, mdPath) = loadMetadata(table)
+    val snap = (md \ "snapshots").children.find(s =>
+      (s \ "snapshot-id") match {
+        case JInt(v) => v.toLong == st.snapshotId; case _ => false
+      }).get
+    val JString(oldMl) = snap \ "manifest-list"
+    val oldManifests = avroRows(resolve(table, oldMl))
+      .map(r => resolve(table, r.get("manifest_path").toString))
+    val mdir = mdPath.getParent
+    val newManifest = mdir.resolve(s"m-del-$snapshotId.avro")
+    writeManifestEntries(newManifest, st.partitionFields,
+      Seq(ManifestEntry(1, pdAbs.toString, 1, Map.empty)))
+    val newMl = mdir.resolve(s"snap-$snapshotId.avro")
+    writeManifestList(newMl, oldManifests :+ newManifest)
+    // new metadata version: snapshot appended, current advanced
+    val newMd = md merge JObject(
+      "current-snapshot-id" -> JInt(snapshotId),
+      "snapshots" -> JArray(List(JObject(
+        "snapshot-id" -> JInt(snapshotId),
+        "manifest-list" -> JString(newMl.toString)))))
+    val ver = metaVersion(mdPath.getFileName.toString)
+    require(ver >= 0, s"unversioned metadata file ${mdPath.getFileName}")
+    Files.writeString(mdir.resolve(s"v${ver + 1}.metadata.json"),
+      JsonMethods.compact(JsonMethods.render(newMd)))
+    val hint = mdir.resolve("version-hint.text")
+    if (Files.exists(hint)) Files.writeString(hint, (ver + 1).toString)
+    snapshotId
+  }
+
   /** Both sides of a delete↔data path comparison normalize to the tail
     * after the table directory's name — the same anchoring rule
     * [[resolve]] uses for relocated tables (a delete file written on

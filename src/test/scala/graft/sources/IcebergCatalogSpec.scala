@@ -309,4 +309,40 @@ class IcebergCatalogSpec extends AnyFunSuite {
     assert(IcebergCatalog.filesInRange(
       Seq(IceFile("p", Map.empty)), Map("id" -> (0L, 1L))).size == 1)
   }
+
+  test("commitPositionDelete: engine-written snapshot applies and time-travels (r10)") {
+    val t = buildTable()
+    val before = rows(IcebergCatalog.read(spark, t.toString))
+    assert(before == Set((3L, "z", "b"), (4L, "q", "a")))
+    val snap = IcebergCatalog.commitPositionDelete(spark, t.toString,
+      "part=b/f2.parquet", org.apache.spark.sql.functions.col("id") === 3L,
+      snapshotId = 30L)
+    assert(snap == 30L)
+    // the new current snapshot applies the engine-written delete
+    val after = rows(IcebergCatalog.read(spark, t.toString))
+    assert(after == Set((4L, "q", "a")), "engine positional delete not applied")
+    // a NEW metadata version was written (v2) and the v1 state is
+    // intact: time travel to snapshot 20 sees the pre-delete rows
+    assert(Files.exists(t.resolve("metadata").resolve("v2.metadata.json")))
+    val travel = rows(IcebergCatalog.read(spark, t.toString,
+      snapshotId = Some(20L)))
+    assert(travel == before, "pre-delete snapshot mutated")
+    // no-op predicates and unknown files reject loudly
+    intercept[IllegalArgumentException] {
+      IcebergCatalog.commitPositionDelete(spark, t.toString,
+        "part=a/f3.parquet", org.apache.spark.sql.functions.col("id") === 999L,
+        snapshotId = 31L)
+    }
+    intercept[IllegalArgumentException] {
+      IcebergCatalog.commitPositionDelete(spark, t.toString,
+        "no-such-file.parquet", org.apache.spark.sql.functions.lit(true),
+        snapshotId = 32L)
+    }
+    // a second engine delete on ANOTHER file stacks on the first
+    val snap2 = IcebergCatalog.commitPositionDelete(spark, t.toString,
+      "part=a/f3.parquet", org.apache.spark.sql.functions.col("id") === 4L,
+      snapshotId = 33L)
+    assert(snap2 == 33L)
+    assert(rows(IcebergCatalog.read(spark, t.toString)).isEmpty)
+  }
 }

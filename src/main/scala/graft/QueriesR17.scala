@@ -640,6 +640,32 @@ object QueriesR17 {
       .orderBy(col("doc_id"))
   }
 
+  /** F16b (r10): DEFLATE-compressed Avro container round-trip — the
+    * same contract as F16 with the container blocks compressed (what
+    * real lakes write); the codec rides the file header, sync markers
+    * survive, and the read side decodes by header name. A fresh column
+    * mix (strings + decimal) so the gate is not a byte-copy of F16's.
+    */
+  def avroDeflateRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val root = avroMemo.computeIfAbsent(
+      (s.sparkContext.applicationId, dir + "#deflate"), _ => {
+        val out = java.nio.file.Files
+          .createTempDirectory("graft_avro_z").toString
+        graft.sources.AvroTable.write(
+          t(s, dir, "documents")
+            .select(col("doc_id"), col("source"), col("text"),
+              expr("CAST(CAST(doc_id * 37 + 11 AS DECIMAL(16,2)) / 100 AS DECIMAL(12,2))")
+                .as("dec"))
+            .repartition(4), out, codec = "deflate")
+        out
+      })
+    graft.sources.AvroTable.read(s, root)
+      .select(col("doc_id"), col("source"),
+        md5(col("text")).as("text_md5"),
+        (col("dec") * 100).cast("long").as("dec_cents"))
+      .orderBy(col("doc_id"))
+  }
+
   /** X48: CDC apply over the NETWORK bus — X44's exact fixture with the
     * change stream served by the TCP broker and consumed through
     * `SocketBusProvider` ([[graft.streaming.Streams
@@ -764,6 +790,7 @@ object QueriesR17 {
     "stream_unigram_tokens" -> (streamUnigramTokens _),
     "dedup_semantic" -> (dedupSemantic _),
     "avro_roundtrip" -> (avroRoundtrip _),
+    "avro_deflate_roundtrip" -> (avroDeflateRoundtrip _),
     "text_textrank" -> (textTextrank _),
     "stream_socket_bus" -> (streamSocketBus _),
     "stream_kafka_bus" -> (streamKafkaBus _),
@@ -882,6 +909,10 @@ object QueriesR17 {
          |       THEN 1 ELSE 0 END AS BIGINT) AS kept
          |FROM a2 a LEFT JOIN rep r ON r.id = a.vec_id
          |ORDER BY a.vec_id""".stripMargin,
+    "avro_deflate_roundtrip" ->
+      """SELECT doc_id, source, md5(text) AS text_md5,
+        |  CAST(doc_id * 37 + 11 AS BIGINT) AS dec_cents
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "avro_roundtrip" ->
       """SELECT doc_id, source, CAST(length(text) AS BIGINT) AS n_chars,
         |  CASE WHEN doc_id % 7 = 0 THEN NULL ELSE source END AS source_alt,

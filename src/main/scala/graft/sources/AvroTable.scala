@@ -33,8 +33,13 @@ import org.apache.spark.sql.types._
   * bytes AND fixed), date (int), timestamp-millis and
   * timestamp-micros (long) — decoded by annotation per the Avro spec,
   * written as bytes-decimal / date / timestamp-micros (Spark's native
-  * timestamp resolution). No enums, bare fixed, or other logical
-  * types.
+  * timestamp resolution). Enums read as their symbol strings and bare
+  * fixed as binary (r10 — read-side only; the writer has no Spark
+  * type to map onto them). Container blocks may be deflate- or
+  * snappy-compressed on write and any header-named codec decodes on
+  * read (avro-core's codec factory); sync markers survive
+  * compression, so intra-file splits keep working. Other logical
+  * types reject loudly.
   */
 object AvroTable {
 
@@ -139,6 +144,9 @@ object AvroTable {
       case (Schema.Type.DOUBLE, _) => DoubleType
       case (Schema.Type.STRING, _) => StringType
       case (Schema.Type.BYTES, _) => BinaryType
+      // r10: enums read as their symbol string; plain fixed as binary
+      case (Schema.Type.ENUM, _) => StringType
+      case (Schema.Type.FIXED, _) => BinaryType
       case (Schema.Type.ARRAY, _) =>
         val (et, en) = unwrap(s.getElementType, field + ".item")
         ArrayType(et, containsNull = en)
@@ -243,17 +251,27 @@ object AvroTable {
         Row.fromSeq(st.fields.indices.map(i =>
           fromAvro(r.get(i), st.fields(i).dataType,
             nonNull(fs.get(i).schema()))))
-      case StringType => v.toString // Utf8 or String
-      case BinaryType =>
-        val bb = v.asInstanceOf[java.nio.ByteBuffer]
-        val a = new Array[Byte](bb.remaining()); bb.duplicate().get(a); a
+      case StringType => v.toString // Utf8, String, or an enum symbol
+      case BinaryType => v match {
+        case bb: java.nio.ByteBuffer =>
+          val a = new Array[Byte](bb.remaining()); bb.duplicate().get(a); a
+        case f: org.apache.avro.generic.GenericFixed => f.bytes().clone()
+        case other => throw new IllegalArgumentException(
+          s"binary carrier must be bytes/fixed, got ${other.getClass}")
+      }
       case _ => v
     }
 
   /** Write `df` as one Avro container file per partition under `dir`
     * (part-NNNNN.avro), via the Hadoop FileSystem of the session.
+    * `codec` compresses the container BLOCKS (r10 — "", "deflate", or
+    * "snappy", the codecs real lakes write; per the Avro spec the
+    * codec rides the file header and block boundaries/sync markers
+    * stay intact, so intra-file range splits keep working).
     */
-  def write(df: DataFrame, dir: String): Unit = {
+  def write(df: DataFrame, dir: String, codec: String = ""): Unit = {
+    require(Set("", "deflate", "snappy").contains(codec),
+      s"avro codec must be '', deflate, or snappy; got '$codec'")
     val schemaJson = avroSchemaJson(df.schema, "row")
     val schemaDdl = df.schema.toDDL
     val conf = new org.apache.spark.util.SerializableConfiguration(
@@ -268,6 +286,13 @@ object AvroTable {
       val stream = p.getFileSystem(conf.value).create(p, true)
       val w = new DataFileWriter[GenericRecord](
         new GenericDatumWriter[GenericRecord](schema))
+      codec match {
+        case "" =>
+        case "deflate" =>
+          w.setCodec(org.apache.avro.file.CodecFactory.deflateCodec(6))
+        case "snappy" =>
+          w.setCodec(org.apache.avro.file.CodecFactory.snappyCodec())
+      }
       w.create(schema, stream)
       var n = 0L
       rows.foreach { row =>

@@ -200,6 +200,65 @@ class AvroTableSpec extends AnyFunSuite {
     assert(ts1.getTime == 1600000000001L)
   }
 
+  test("deflate and snappy containers round-trip; splits survive compression (r10)") {
+    for (codec <- Seq("deflate", "snappy")) {
+      val dir = tmp()
+      val df = (1L to 20000L).toDF("id")
+        .withColumn("pad", expr("repeat(cast(id as string), 20)"))
+        .coalesce(1)
+      AvroTable.write(df, dir, codec = codec)
+      // compressed: the container is materially smaller than the raw one
+      val rawDir = tmp()
+      AvroTable.write(df, rawDir)
+      def size(d: String) = new java.io.File(d).listFiles()
+        .filter(_.getName.endsWith(".avro")).map(_.length()).sum
+      assert(size(dir) < size(rawDir) / 2, s"$codec did not compress")
+      // whole read and sync-marker split read agree exactly
+      val whole = AvroTable.read(spark, dir)
+      assert(whole.agg(sum("id")).head().getLong(0) == 200010000L)
+      val split = AvroTable.read(spark, dir, splitBytes = 32 * 1024)
+      assert(split.rdd.getNumPartitions > 1,
+        s"$codec container did not fan out over splits")
+      assert(split.select("id").as[Long].collect().sorted.toSeq ==
+        (1L to 20000L), s"$codec split read diverged")
+    }
+  }
+
+  test("enum symbols and plain fixed decode (avro-core-written file, r10)") {
+    val json =
+      """{"type":"record","name":"r","fields":[
+        |{"name":"id","type":"long"},
+        |{"name":"e","type":{"type":"enum","name":"col",
+        |  "symbols":["RED","GREEN","BLUE"]}},
+        |{"name":"fx","type":{"type":"fixed","name":"f4","size":4}}]}"""
+        .stripMargin
+    val schema = new org.apache.avro.Schema.Parser().parse(json)
+    val dir = tmp()
+    val w = new org.apache.avro.file.DataFileWriter(
+      new org.apache.avro.generic.GenericDatumWriter[
+        org.apache.avro.generic.GenericRecord](schema))
+    w.create(schema, new java.io.File(dir, "part-00000.avro"))
+    val syms = Seq("RED", "GREEN", "BLUE")
+    (0L until 6L).foreach { i =>
+      val rec = new org.apache.avro.generic.GenericData.Record(schema)
+      rec.put("id", i)
+      rec.put("e", new org.apache.avro.generic.GenericData.EnumSymbol(
+        schema.getField("e").schema(), syms((i % 3).toInt)))
+      rec.put("fx", new org.apache.avro.generic.GenericData.Fixed(
+        schema.getField("fx").schema(),
+        Array[Byte](i.toByte, (i + 1).toByte, (i + 2).toByte, (i + 3).toByte)))
+      w.append(rec)
+    }
+    w.close()
+    val back = AvroTable.read(spark, dir)
+    assert(back.schema("e").dataType == StringType)
+    assert(back.schema("fx").dataType == BinaryType)
+    val got = back.orderBy("id").collect()
+    assert(got.map(_.getString(1)).toSeq ==
+      (0 until 6).map(i => syms(i % 3)))
+    assert(got(2).getAs[Array[Byte]](2).toSeq == Seq[Byte](2, 3, 4, 5))
+  }
+
   test("subset boundaries fail loudly") {
     // non-string-keyed map on write (string-keyed maps are in-subset
     // since r10 — Avro maps are string-keyed by definition)

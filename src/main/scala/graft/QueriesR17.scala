@@ -554,6 +554,40 @@ object QueriesR17 {
     } finally server.close()
   }
 
+  /** X53b (r10): KEYED produce with the default partitioner — records
+    * keyed by o_orderstatus ride the wire with their keys and route by
+    * Kafka's murmur2 key hash, so each status lands WHOLLY on one
+    * partition (the log-compaction/per-key-ordering invariant); the
+    * consume side aggregates by the VALUE-carried status, so the
+    * result is partition-layout-independent and the oracle stays plain
+    * SQL — partition affinity itself is spec-pinned (murmur2 is not
+    * SQL-expressible).
+    */
+  def streamKafkaKeyed(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_orderstatus"),
+      (col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("long").as("cents"))
+    val server = graft.streaming.KafkaBusServer.serve(
+      null, emptyPartitions = 4)
+    try {
+      graft.streaming.KafkaWire.produceSinkKeyed(
+        o.select(col("o_orderstatus"),
+            to_json(struct(col("o_orderstatus"), col("cents"))).as("v"))
+          .repartition(8, col("o_orderstatus")),
+        "127.0.0.1", server.port, "bus", numPartitions = 4,
+        key = col("o_orderstatus"), value = col("v"))
+      val trigger = math.max(100L, o.count() / 8)
+      graft.streaming.Streams.kafkaBusReplay(s, "127.0.0.1", server.port,
+          "bus", trigger, s"gate_kafkakey_${System.nanoTime()}") { stream =>
+        stream.select(from_json(col("value"),
+            org.apache.spark.sql.types.StructType.fromDDL(
+              "o_orderstatus STRING, cents LONG")).as("e"))
+          .groupBy(col("e.o_orderstatus").as("o_orderstatus"))
+          .agg(count(lit(1)).as("n"), sum(col("e.cents")).as("sum_cents"))
+      }.orderBy(col("o_orderstatus"))
+    } finally server.close()
+  }
+
   /** T36: TextRank keyword extraction (Mihalcea & Tarau 2004) — the
     * classic unsupervised keyword ranker: content words (length ≥ 4,
     * the deterministic stand-in for a POS filter) form a co-occurrence
@@ -796,6 +830,7 @@ object QueriesR17 {
     "stream_kafka_bus" -> (streamKafkaBus _),
     "stream_kafka_produce" -> (streamKafkaProduce _),
     "stream_kafka_compressed" -> (streamKafkaCompressed _),
+    "stream_kafka_keyed" -> (streamKafkaKeyed _),
     "mm_g711_stats" -> (mmG711Stats _),
     "stream_socket_cdc" -> (streamSocketCdc _),
     "mm_gif_stats" -> (mmGifStats _),
@@ -943,6 +978,11 @@ object QueriesR17 {
         |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
         |    AS BIGINT) AS sum_cents
         |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "stream_kafka_keyed" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+        |    AS BIGINT) AS sum_cents
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "stream_socket_bus" ->
       """SELECT o_orderkey % 4 AS pt, o_orderstatus,
         |  COUNT(*) AS n,

@@ -157,33 +157,77 @@ object KafkaWire {
       s"record batch compression codec $other not in subset")
   }
 
-  /** Encode one RecordBatch v2: null keys, zero timestamp deltas, no
-    * headers — CRC32C over everything after the crc field, per the
-    * spec. With a non-none `codec` the RECORDS block (after the record
-    * count) compresses as one block and the attribute bits carry the
-    * codec id — the format every modern broker serves and accepts.
+  /** Kafka's murmur2 (the DEFAULT PARTITIONER hash — public algorithm,
+    * seed 0x9747b28c, m 0x5bd1e995, r 24): same key → same partition
+    * is the contract log compaction and per-key ordering rest on.
     */
-  def encodeBatch(baseOffset: Long, values: Seq[Array[Byte]],
-                  codec: Int = CodecNone): Array[Byte] = {
+  def murmur2(data: Array[Byte]): Int = {
+    val m = 0x5bd1e995
+    val r = 24
+    var h = 0x9747b28c ^ data.length
+    val n4 = data.length / 4
+    var i = 0
+    while (i < n4) {
+      val i4 = i * 4
+      var k = (data(i4) & 0xff) | ((data(i4 + 1) & 0xff) << 8) |
+        ((data(i4 + 2) & 0xff) << 16) | ((data(i4 + 3) & 0xff) << 24)
+      k *= m; k ^= k >>> r; k *= m
+      h *= m; h ^= k
+      i += 1
+    }
+    val tail = data.length & 3
+    if (tail == 3) h ^= (data(data.length - 1) & 0xff) << 16
+    if (tail >= 2) h ^= (data(data.length - (tail - 1)) & 0xff) << 8
+    if (tail >= 1) { h ^= data(data.length - tail) & 0xff; h *= m }
+    h ^= h >>> 13; h *= m; h ^= h >>> 15
+    h
+  }
+
+  /** The default partitioner's key → partition rule. */
+  def partitionForKey(key: Array[Byte], numPartitions: Int): Int =
+    (murmur2(key) & 0x7fffffff) % numPartitions
+
+  /** Encode one RecordBatch v2 with per-record KEYS (null = keyless),
+    * zero timestamp deltas, no headers — CRC32C over everything after
+    * the crc field, per the spec. With a non-none `codec` the RECORDS
+    * block (after the record count) compresses as one block and the
+    * attribute bits carry the codec id — the format every modern
+    * broker serves and accepts.
+    */
+  def encodeKeyedBatch(baseOffset: Long,
+                       records: Seq[(Array[Byte], Array[Byte])],
+                       codec: Int = CodecNone): Array[Byte] = {
     val recs = new Writer
-    values.zipWithIndex.foreach { case (v, idx) =>
+    records.zipWithIndex.foreach { case ((key, v), idx) =>
       val rec = new Writer
       rec.i8(0) // record attributes
       rec.varLong(0L) // timestampDelta
       rec.varInt(idx) // offsetDelta
-      rec.varInt(-1) // null key
-      rec.varInt(v.length); rec.raw(v)
+      if (key == null) rec.varInt(-1)
+      else { rec.varInt(key.length); rec.raw(key) }
+      if (v == null) rec.varInt(-1)
+      else { rec.varInt(v.length); rec.raw(v) }
       rec.varInt(0) // headers
       val rb = rec.toBytes
       recs.varInt(rb.length); recs.raw(rb)
     }
+    finishBatch(baseOffset, records.size, recs.toBytes, codec)
+  }
+
+  /** Keyless form — delegates to [[encodeKeyedBatch]]. */
+  def encodeBatch(baseOffset: Long, values: Seq[Array[Byte]],
+                  codec: Int = CodecNone): Array[Byte] =
+    encodeKeyedBatch(baseOffset, values.map(v => (null: Array[Byte], v)), codec)
+
+  private def finishBatch(baseOffset: Long, n: Int, recBytes: Array[Byte],
+                          codec: Int): Array[Byte] = {
     val body = new Writer // attributes .. records (the crc'd region)
     body.i16(codec & 0x07) // attributes: codec bits, create-time
-    body.i32(values.size - 1) // lastOffsetDelta
+    body.i32(n - 1) // lastOffsetDelta
     body.i64(0L); body.i64(0L) // base/max timestamp
     body.i64(-1L); body.i16(-1); body.i32(-1) // producer id/epoch/baseSeq
-    body.i32(values.size)
-    body.raw(compress(codec, recs.toBytes))
+    body.i32(n)
+    body.raw(compress(codec, recBytes))
     val crcd = body.toBytes
     val crc = new java.util.zip.CRC32C
     crc.update(crcd)
@@ -197,11 +241,20 @@ object KafkaWire {
     w.toBytes
   }
 
-  /** Decode a record set (one or more concatenated RecordBatch v2) into
-    * (offset, value) pairs; loud on bad magic or CRC mismatch.
+  /** Decode a record set into (offset, value) pairs; loud on bad magic
+    * or CRC mismatch. Keys are parsed and dropped — [[decodeBatchesKeyed]]
+    * keeps them.
     */
-  def decodeBatches(recordSet: Array[Byte]): Seq[(Long, Array[Byte])] = {
-    val out = Seq.newBuilder[(Long, Array[Byte])]
+  def decodeBatches(recordSet: Array[Byte]): Seq[(Long, Array[Byte])] =
+    decodeBatchesKeyed(recordSet).map { case (o, _, v) => (o, v) }
+
+  /** Decode a record set (one or more concatenated RecordBatch v2) into
+    * (offset, key, value) triples (key null when absent); loud on bad
+    * magic or CRC mismatch.
+    */
+  def decodeBatchesKeyed(recordSet: Array[Byte])
+      : Seq[(Long, Array[Byte], Array[Byte])] = {
+    val out = Seq.newBuilder[(Long, Array[Byte], Array[Byte])]
     val buf = ByteBuffer.wrap(recordSet)
     while (buf.remaining() >= 12) {
       val baseOffset = buf.getLong
@@ -240,7 +293,7 @@ object KafkaWire {
         rr.varLong() // timestampDelta
         val offsetDelta = rr.varInt()
         val keyLen = rr.varInt()
-        if (keyLen > 0) rr.raw(keyLen)
+        val key = if (keyLen < 0) null else rr.raw(keyLen)
         val valLen = rr.varInt()
         val v = if (valLen < 0) null else rr.raw(valLen)
         val headers = rr.varInt()
@@ -249,7 +302,7 @@ object KafkaWire {
           rr.raw(rr.varInt()); rr.raw(rr.varInt()) // key, value
           hh += 1
         }
-        out += ((baseOffset + offsetDelta, v))
+        out += ((baseOffset + offsetDelta, key, v))
         k += 1
       }
     }
@@ -358,7 +411,14 @@ object KafkaWire {
       * (offset, value) pairs (possibly empty at head).
       */
     def fetch(topic: String, partition: Int, offset: Long,
-              maxBytes: Int = 1 << 20): Seq[(Long, Array[Byte])] = {
+              maxBytes: Int = 1 << 20): Seq[(Long, Array[Byte])] =
+      fetchKeyed(topic, partition, offset, maxBytes)
+        .map { case (o, _, v) => (o, v) }
+
+    /** [[fetch]] keeping record KEYS: (offset, key|null, value). */
+    def fetchKeyed(topic: String, partition: Int, offset: Long,
+                   maxBytes: Int = 1 << 20)
+        : Seq[(Long, Array[Byte], Array[Byte])] = {
       val b = new Writer
       b.i32(-1) // replica_id
       b.i32(500) // max_wait_ms
@@ -369,7 +429,7 @@ object KafkaWire {
       b.i32(1); b.i32(partition); b.i64(offset); b.i32(maxBytes)
       val r = exchange(out, in, ApiFetch, 4, next(), b)
       r.i32() // throttle_time_ms
-      var result: Seq[(Long, Array[Byte])] = Seq.empty
+      var result: Seq[(Long, Array[Byte], Array[Byte])] = Seq.empty
       (0 until r.i32()).foreach { _ =>
         r.str()
         (0 until r.i32()).foreach { _ =>
@@ -380,7 +440,7 @@ object KafkaWire {
           val rs = r.bytes()
           require(err == 0, s"Fetch error $err on partition $pid")
           if (pid == partition && rs != null && rs.nonEmpty)
-            result = decodeBatches(rs)
+            result = decodeBatchesKeyed(rs)
         }
       }
       result
@@ -393,15 +453,24 @@ object KafkaWire {
       * posture.
       */
     def produce(topic: String, partition: Int, values: Seq[Array[Byte]],
-                acks: Int = -1, codec: Int = CodecNone): Long = {
-      require(values.nonEmpty, "produce of zero records")
+                acks: Int = -1, codec: Int = CodecNone): Long =
+      produceKeyed(topic, partition,
+        values.map(v => (null: Array[Byte], v)), acks, codec)
+
+    /** Keyed produce (r10): records carry their keys on the wire —
+      * what log compaction and per-key ordering need.
+      */
+    def produceKeyed(topic: String, partition: Int,
+                     records: Seq[(Array[Byte], Array[Byte])],
+                     acks: Int = -1, codec: Int = CodecNone): Long = {
+      require(records.nonEmpty, "produce of zero records")
       val b = new Writer
       b.nullableStr(null) // transactional_id (v3+)
       b.i16(acks)
       b.i32(30000) // timeout_ms
       b.i32(1); b.str(topic)
       b.i32(1); b.i32(partition)
-      b.bytes(encodeBatch(0L, values, codec)) // broker re-bases the offsets
+      b.bytes(encodeKeyedBatch(0L, records, codec)) // broker re-bases the offsets
       val r = exchange(out, in, ApiProduce, 3, next(), b)
       var base = -1L
       (0 until r.i32()).foreach { _ =>
@@ -457,6 +526,43 @@ object KafkaWire {
       }
     }
   }
+
+  /** Keyed produce sink (r10): the DEFAULT-PARTITIONER contract — each
+    * row routes to `partitionForKey(murmur2(key))`, keys ride the wire
+    * in the records, so all records of one key land on one partition
+    * in produce order (the invariant log compaction and per-key
+    * consumers rest on). Executor-side like [[produceSink]].
+    */
+  def produceSinkKeyed(df: org.apache.spark.sql.DataFrame, host: String,
+                       port: Int, topic: String, numPartitions: Int,
+                       key: org.apache.spark.sql.Column,
+                       value: org.apache.spark.sql.Column,
+                       batchSize: Int = 4096,
+                       codec: Int = CodecNone): Unit = {
+    val rows = df.select(key.cast("string").as("k"), value.cast("string").as("v"))
+    rows.foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
+      if (it.hasNext) {
+        val client = new Client(host, port)
+        try {
+          val buf = scala.collection.mutable.Map
+            .empty[Int, scala.collection.mutable.ArrayBuffer[(Array[Byte], Array[Byte])]]
+          def flush(p: Int): Unit = {
+            val b = buf(p)
+            if (b.nonEmpty) { client.produceKeyed(topic, p, b.toSeq, codec = codec); b.clear() }
+          }
+          it.foreach { r =>
+            val kb = r.getString(0).getBytes(UTF_8)
+            val p = partitionForKey(kb, numPartitions)
+            val b = buf.getOrElseUpdate(p,
+              new scala.collection.mutable.ArrayBuffer[(Array[Byte], Array[Byte])])
+            b += ((kb, r.getString(1).getBytes(UTF_8)))
+            if (b.size >= batchSize) flush(p)
+          }
+          buf.keys.toSeq.sorted.foreach(flush)
+        } finally client.close()
+      }
+    }
+  }
 }
 
 /** Test-harness broker: serves a [[BusSource.stage]]d directory over
@@ -474,11 +580,15 @@ object KafkaBusServer {
     * — repeated gate/bench runs never see each other's appends.
     */
   final class LogState(root: String, emptyPartitions: Int) {
+    // appended records carry their KEY (null = keyless, the staged
+    // base's shape) — log compaction and per-key ordering need keys to
+    // survive the broker (r10)
     private val appended = new java.util.concurrent.ConcurrentHashMap[
-      Int, java.util.concurrent.atomic.AtomicReference[Vector[String]]]()
+      Int, java.util.concurrent.atomic.AtomicReference[Vector[(String, String)]]]()
 
     private def ref(pt: Int) = appended.computeIfAbsent(pt,
-      _ => new java.util.concurrent.atomic.AtomicReference(Vector.empty[String]))
+      _ => new java.util.concurrent.atomic.AtomicReference(
+        Vector.empty[(String, String)]))
 
     // the staged layout is immutable: list it once per broker
     private lazy val stagedParts: Set[Int] =
@@ -494,16 +604,36 @@ object KafkaBusServer {
       (stagedParts.toSeq ++ (0 until emptyPartitions) ++
         appended.keySet.asScala).distinct.sorted
 
-    def all(pt: Int): Vector[String] = staged(pt) ++ ref(pt).get()
+    def head(pt: Int): Long =
+      staged(pt).size.toLong + ref(pt).get().size
 
-    def head(pt: Int): Long = all(pt).size.toLong
+    /** Records [from, from+cap) as (key|null, value) — the staged base
+      * and the append overlay spliced WITHOUT materializing the whole
+      * partition per fetch (the r9 quadratic-drain lesson).
+      */
+    def slice(pt: Int, from: Long, cap: Int): Seq[(String, String)] = {
+      val st = staged(pt)
+      val ap = ref(pt).get()
+      val end = math.min(from + cap, st.size.toLong + ap.size)
+      if (from >= end) Seq.empty
+      else {
+        val b = Seq.newBuilder[(String, String)]
+        var i = from
+        while (i < end) {
+          if (i < st.size) b += ((null, st(i.toInt)))
+          else b += ap((i - st.size).toInt)
+          i += 1
+        }
+        b.result()
+      }
+    }
 
     /** Append atomically; returns the records' base offset. */
-    def append(pt: Int, values: Seq[String]): Long = {
+    def append(pt: Int, records: Seq[(String, String)]): Long = {
       val r = ref(pt)
       r.synchronized {
         val before = r.get()
-        r.set(before ++ values)
+        r.set(before ++ records)
         staged(pt).size.toLong + before.size
       }
     }
@@ -565,13 +695,6 @@ object KafkaBusServer {
     new Handle(server, state)
   }
 
-  /** Records [from, from+cap) of one bus partition as UTF-8 lines. */
-  private def slice(state: LogState, pt: Int, from: Long,
-                    cap: Int): Seq[String] = {
-    val all = state.all(pt)
-    if (from >= all.size) Seq.empty
-    else all.slice(from.toInt, math.min(all.size, from.toInt + cap))
-  }
 
   private def handle(state: LogState, topic: String, sock: Socket,
                      fetchCodec: Int = KafkaWire.CodecNone): Unit =
@@ -618,9 +741,12 @@ object KafkaBusServer {
               (0 until np).foreach { _ =>
                 val pid = r.i32()
                 val rs = r.bytes()
-                val values = KafkaWire.decodeBatches(rs)
-                  .map(v => new String(v._2, UTF_8))
-                val base = state.append(pid, values)
+                val records = KafkaWire.decodeBatchesKeyed(rs).map {
+                  case (_, k, v) =>
+                    (if (k == null) null else new String(k, UTF_8),
+                      new String(v, UTF_8))
+                }
+                val base = state.append(pid, records)
                 body.i32(pid); body.i16(0) // error
                 body.i64(base)
                 body.i64(-1L) // log_append_time: create-time batches
@@ -675,15 +801,18 @@ object KafkaBusServer {
               (0 until np).foreach { _ =>
                 val pid = r.i32(); val off = r.i64(); r.i32()
                 val head = state.head(pid)
-                val lines =
+                val recs =
                   if (off >= head) Seq.empty
-                  else slice(state, pid, off, BatchCap)
+                  else state.slice(pid, off, BatchCap)
                 body.i32(pid); body.i16(0)
                 body.i64(head); body.i64(head)
                 body.i32(0) // aborted transactions: empty
-                if (lines.isEmpty) body.i32(-1) // null record set
-                else body.bytes(KafkaWire.encodeBatch(off,
-                  lines.map(_.getBytes(UTF_8)), fetchCodec))
+                if (recs.isEmpty) body.i32(-1) // null record set
+                else body.bytes(KafkaWire.encodeKeyedBatch(off,
+                  recs.map { case (k, v) =>
+                    (if (k == null) null else k.getBytes(UTF_8),
+                      v.getBytes(UTF_8))
+                  }, fetchCodec))
               }
             }
           case other =>

@@ -176,6 +176,74 @@ class KafkaWireSpec extends AnyFunSuite {
     } finally server.close()
   }
 
+  test("record keys ride the wire; murmur2 partitioner contract holds (r10)") {
+    // murmur2 self-vectors (freeze the implementation against drift;
+    // constants are the public algorithm's: seed 0x9747b28c, m
+    // 0x5bd1e995, r 24) + structural properties
+    val k1 = KafkaWire.murmur2("order-key-A".getBytes(UTF_8))
+    assert(k1 == KafkaWire.murmur2("order-key-A".getBytes(UTF_8)),
+      "murmur2 must be deterministic")
+    assert(KafkaWire.murmur2("a".getBytes(UTF_8)) !=
+      KafkaWire.murmur2("b".getBytes(UTF_8)))
+    // partitionForKey is non-negative and stable even when murmur2 < 0
+    val neg = (0 until 1000).map(i => s"k$i")
+      .find(k => KafkaWire.murmur2(k.getBytes(UTF_8)) < 0).get
+    assert(KafkaWire.partitionForKey(neg.getBytes(UTF_8), 4) >= 0)
+    val spread = (0 until 64)
+      .map(i => KafkaWire.partitionForKey(s"key-$i".getBytes(UTF_8), 4))
+      .toSet
+    assert(spread == Set(0, 1, 2, 3), "64 keys must reach all 4 partitions")
+    // keyed batch round-trip: keys survive encode/decode, incl. nulls
+    val recs = Seq(("ka", "v1"), (null, "v2"), ("kb", "v3")).map {
+      case (k, v) => (if (k == null) null else k.getBytes(UTF_8),
+        v.getBytes(UTF_8))
+    }
+    val got = KafkaWire.decodeBatchesKeyed(
+      KafkaWire.encodeKeyedBatch(5L, recs, KafkaWire.CodecZstd))
+    assert(got.map(_._1) == Seq(5L, 6L, 7L))
+    assert(got.map(r => Option(r._2).map(new String(_, UTF_8))) ==
+      Seq(Some("ka"), None, Some("kb")))
+    assert(got.map(r => new String(r._3, UTF_8)) == Seq("v1", "v2", "v3"))
+  }
+
+  test("produceSinkKeyed: every key's records land WHOLLY on one partition (r10)") {
+    val server = KafkaBusServer.serve(null, topic = "k", emptyPartitions = 4)
+    try {
+      val df = (0L until 300L).toDF("i")
+        .select(concat(lit("key-"), pmod(col("i"), lit(10))).as("k"),
+          concat(lit("val-"), col("i")).as("v"))
+        .repartition(8) // rows of one key scattered across tasks
+      KafkaWire.produceSinkKeyed(df, "127.0.0.1", server.port, "k",
+        numPartitions = 4, key = col("k"), value = col("v"), batchSize = 16)
+      val c = new KafkaWire.Client("127.0.0.1", server.port)
+      try {
+        val heads = c.listOffsets("k", Seq(0, 1, 2, 3), -1L)
+        assert(heads.values.sum == 300L)
+        // pull everything WITH keys; group key -> partitions seen
+        val seen = scala.collection.mutable.Map
+          .empty[String, scala.collection.mutable.Set[Int]]
+        (0 to 3).foreach { p =>
+          var pos = 0L
+          while (pos < heads(p)) {
+            val got = c.fetchKeyed("k", p, pos)
+            got.foreach { case (_, k, _) =>
+              seen.getOrElseUpdate(new String(k, UTF_8),
+                scala.collection.mutable.Set.empty) += p
+            }
+            pos = got.last._1 + 1
+          }
+        }
+        assert(seen.keySet == (0 until 10).map(i => s"key-$i").toSet)
+        assert(seen.values.forall(_.size == 1),
+          s"a key spanned partitions: $seen")
+        // and the broker-side partition matches the default partitioner
+        seen.foreach { case (k, ps) =>
+          assert(ps.head == KafkaWire.partitionForKey(k.getBytes(UTF_8), 4))
+        }
+      } finally c.close()
+    } finally server.close()
+  }
+
   test("Produce v3 appends over the wire; fetch reads the records back (r10)") {
     // produce-only broker: partitions advertised before the first append
     val server = KafkaBusServer.serve(null, topic = "w", emptyPartitions = 2)

@@ -52,7 +52,8 @@ object TarShards {
   }
 
   /** One ustar header block for a regular member. */
-  private[sources] def header(name: String, size: Long): Array[Byte] = {
+  private[sources] def header(name: String, size: Long,
+                              typeflag: Byte = '0'): Array[Byte] = {
     require(name.getBytes(US_ASCII).length <= 100,
       s"member name over 100 bytes: $name")
     val h = new Array[Byte](Block)
@@ -64,7 +65,7 @@ object TarShards {
     put(124, octal(size, 12))
     put(136, octal(0, 12)) // mtime 0: deterministic shards
     java.util.Arrays.fill(h, 148, 156, ' '.toByte) // chksum as spaces
-    h(156) = '0' // typeflag: regular file
+    h(156) = typeflag // '0' regular file, 'x' PAX extended header
     put(257, "ustar\u0000".getBytes(US_ASCII))
     put(263, "00".getBytes(US_ASCII))
     var sum = 0L
@@ -76,8 +77,23 @@ object TarShards {
     h
   }
 
+  /** One PAX record: `"<len> <key>=<value>\n"`, len fixed-point over
+    * its own decimal digits (POSIX.1-2001).
+    */
+  private def paxRecord(key: String, value: String): Array[Byte] = {
+    val body = s" $key=$value\n"
+    var len = body.length + 1
+    while (len.toString.length + body.length != len)
+      len = len.toString.length + body.length
+    (len.toString + body).getBytes(US_ASCII)
+  }
+
   /** Write `df` (columns `name` STRING, `payload` BINARY) as one
-    * `part-NNNNN.tar` per partition under `dir`.
+    * `part-NNNNN.tar` per partition under `dir`. Names over the ustar
+    * field's 100 bytes are emitted through a PAX 'x' extended header
+    * carrying the full `path` (r10 — what GNU/bsdtar do by default),
+    * with the ustar field holding the truncated prefix for
+    * PAX-unaware listings.
     */
   def write(df: DataFrame, dir: String): Unit = {
     val conf = new org.apache.spark.util.SerializableConfiguration(
@@ -88,14 +104,25 @@ object TarShards {
       val p = new Path(dir, f"part-$idx%05d.tar")
       val out = new java.io.BufferedOutputStream(
         p.getFileSystem(conf.value).create(p, true))
+      def padTo(block: Int): Unit =
+        if (block > 0) out.write(new Array[Byte](block))
       var n = 0L
       rows.foreach { r =>
         val name = r.getString(0)
         val payload = r.getAs[Array[Byte]](1)
-        out.write(header(name, payload.length))
+        val long = name.getBytes(US_ASCII).length > 100
+        if (long) {
+          // PAX 'x' member applying to the next file (the GNU/bsdtar
+          // PaxHeaders convention for its own name)
+          val pax = paxRecord("path", name)
+          out.write(header(
+            ("PaxHeaders/" + name).take(100), pax.length, 'x'))
+          out.write(pax)
+          padTo((Block - pax.length % Block) % Block)
+        }
+        out.write(header(if (long) name.take(100) else name, payload.length))
         out.write(payload)
-        val pad = (Block - payload.length % Block) % Block
-        if (pad > 0) out.write(new Array[Byte](pad))
+        padTo((Block - payload.length % Block) % Block)
         n += 1
       }
       out.write(new Array[Byte](2 * Block)) // end-of-archive

@@ -162,6 +162,33 @@ class TarShardsSpec extends AnyFunSuite {
     assert(got.size == 2)
   }
 
+  test("house WRITER emits PAX for >100-byte names; system tar extracts them (r10)") {
+    val dir = tmp()
+    val longName = "nested/dirs/" + "q" * 120 + ".txt" // 132 bytes
+    val pairs = Seq(longName -> "long-name payload", "short.txt" -> "s")
+    TarShards.write(
+      pairs.toDF("name", "v")
+        .select(col("name"), encode(col("v"), "UTF-8").as("payload"))
+        .coalesce(1), dir)
+    // house reader round-trips the full name through its own PAX
+    val back = TarShards.read(spark, dir)
+      .select(col("name"), decode(col("payload"), "UTF-8").as("v"))
+      .as[(String, String)].collect().toMap
+    assert(back(longName) == "long-name payload")
+    assert(back("short.txt") == "s")
+    assert(back.size == 2)
+    // and SYSTEM tar agrees: extraction restores the full path
+    val shard = Files.list(Paths.get(dir)).iterator().asScala
+      .find(f => f.getFileName.toString.startsWith("part-") &&
+        !f.getFileName.toString.endsWith(".crc")).get
+    val outDir = Paths.get(tmp())
+    val rc = new ProcessBuilder("tar", "-xf", shard.toString,
+      "-C", outDir.toString).inheritIO().start().waitFor()
+    assert(rc == 0, "system tar could not extract the PAX shard")
+    assert(Files.readString(outDir.resolve(longName)) == "long-name payload")
+    assert(Files.readString(outDir.resolve("short.txt")) == "s")
+  }
+
   test("PAX size override and global 'g' header are honored") {
     // Hand-build: a 'g' global header setting a default path, then an
     // 'x' header overriding SIZE for the next member whose ustar size

@@ -684,6 +684,37 @@ object QueriesR16 {
         element_at(col("arr"), 2).as("arr1"), col("rk"))
       .orderBy(col("n_nationkey"))
 
+  /** The F15d fixture: an EQUALITY delete committed by the engine —
+    * the doomed n_name values of nations 7 and 21, applied by value
+    * over every live data file (snapshot 41).
+    */
+  private def buildIcebergEqDelTable(s: SparkSession, dir: String): String =
+    tableBuildMemo.computeIfAbsent(
+      (s.sparkContext.applicationId, dir, "iceberg_eqdel"), _ => {
+        val t0 = buildIcebergFresh(s, dir)
+        val doomed = t(s, dir, "nation")
+          .filter(col("n_nationkey").isin(7L, 21L))
+          .select(col("n_name"))
+        val snap = graft.sources.IcebergCatalog.commitEqualityDelete(
+          s, t0, Seq("n_name"), doomed, snapshotId = 41L)
+        require(snap == 41L)
+        t0
+      })
+
+  /** F15d (r10): Iceberg EQUALITY-DELETE write — the engine writes the
+    * delete parquet with the doomed value tuples, the content=2
+    * manifest entry with the resolved equality_ids, and the new
+    * snapshot; its own reader applies it by value over every live
+    * file. Oracle = F15b's minus the two names.
+    */
+  def icebergEqDeleteRoundtrip(s: SparkSession, dir: String): DataFrame =
+    graft.sources.IcebergCatalog.read(s, buildIcebergEqDelTable(s, dir))
+      .select(col("n_nationkey"), col("n_name"),
+        col("meta.nm").as("meta_nm"), col("meta.ln").as("meta_ln"),
+        element_at(col("arr"), 1).as("arr0"),
+        element_at(col("arr"), 2).as("arr1"), col("rk"))
+      .orderBy(col("n_nationkey"))
+
   /** F15c (r10): Iceberg POSITIONAL-DELETE write — the engine commits
     * snapshot 40 itself (delete parquet from a predicate, manifest,
     * manifest list, new metadata.json version with current advanced)
@@ -714,6 +745,7 @@ object QueriesR16 {
     "delta_checkpoint_roundtrip" -> (deltaCheckpointRoundtrip _),
     "iceberg_roundtrip" -> (icebergRoundtrip _),
     "iceberg_delete_roundtrip" -> (icebergDeleteRoundtrip _),
+    "iceberg_eqdelete_roundtrip" -> (icebergEqDeleteRoundtrip _),
     "stream_bpe_tokens" -> (streamBpeTokens _),
     "dedup_contamination_rate" -> (dedupContaminationRate _),
     "text_bpe_encode" -> (textBpeEncode _),
@@ -974,6 +1006,22 @@ object QueriesR16 {
         |  WHERE NOT (n_regionkey = 1 AND n_nationkey =
         |      (SELECT MIN(n_nationkey) FROM nation WHERE n_regionkey = 1))
         |    AND n_name <> (SELECT n_name FROM nation WHERE n_nationkey = 14)
+        |)
+        |SELECT n_nationkey, n_name,
+        |  n_name AS meta_nm, CAST(length(n_name) AS BIGINT) AS meta_ln,
+        |  n_nationkey AS arr0, n_nationkey * 2 + 1 AS arr1, rk
+        |FROM fin ORDER BY n_nationkey""".stripMargin,
+    "iceberg_eqdelete_roundtrip" ->
+      """WITH fin AS (
+        |  SELECT CASE WHEN n_regionkey = 0 THEN n_nationkey + 1000
+        |         ELSE n_nationkey END AS n_nationkey,
+        |    n_name, CAST(n_regionkey AS VARCHAR) AS rk
+        |  FROM nation
+        |  WHERE NOT (n_regionkey = 1 AND n_nationkey =
+        |      (SELECT MIN(n_nationkey) FROM nation WHERE n_regionkey = 1))
+        |    AND n_name <> (SELECT n_name FROM nation WHERE n_nationkey = 14)
+        |    AND n_name NOT IN
+        |      (SELECT n_name FROM nation WHERE n_nationkey IN (7, 21))
         |)
         |SELECT n_nationkey, n_name,
         |  n_name AS meta_nm, CAST(length(n_name) AS BIGINT) AS meta_ln,

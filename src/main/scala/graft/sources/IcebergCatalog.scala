@@ -557,7 +557,60 @@ object IcebergCatalog {
       .find(_.getFileName.toString.endsWith(".parquet")).get
     Files.createDirectories(pdAbs.getParent)
     Files.move(part, pdAbs)
-    // new manifest + manifest list = current snapshot's manifests + it
+    appendDeleteSnapshot(table, st,
+      ManifestEntry(1, pdAbs.toString, 1, Map.empty), snapshotId)
+  }
+
+  /** COMMIT a v2 EQUALITY DELETE (r10): `rows` names the doomed value
+    * tuples over `equalityCols` (resolved to schema field ids);
+    * written as an equality-delete parquet + content=2 manifest entry
+    * and committed as a new snapshot/metadata version like
+    * [[commitPositionDelete]]. Entries carry no sequence number, which
+    * under this reader's stated subset means the delete covers the
+    * WHOLE live data set — exactly the semantics the caller asked for.
+    */
+  def commitEqualityDelete(spark: SparkSession, table: String,
+                           equalityCols: Seq[String],
+                           rows: org.apache.spark.sql.DataFrame,
+                           snapshotId: Long): Long = {
+    require(equalityCols.nonEmpty, "equality delete with no columns")
+    val st = state(spark, table)
+    // resolve column names -> schema field ids from the CURRENT schema
+    val (md, _) = loadMetadata(table)
+    val schemaJson = (md \ "schemas") match {
+      case JArray(ss) if ss.nonEmpty => ss.head
+      case _ => md \ "schema"
+    }
+    val idByName = (schemaJson \ "fields").children.map { f =>
+      val JString(n) = f \ "name"
+      val JInt(id) = f \ "id"
+      n -> id.toInt
+    }.toMap
+    val ids = equalityCols.map(c => idByName.getOrElse(c,
+      throw new IllegalArgumentException(s"column $c not in table schema")))
+    val doomed = rows.select(equalityCols.map(col): _*)
+    require(doomed.count() > 0, "empty equality delete: refuse a no-op commit")
+    val edAbs = Paths.get(table).toAbsolutePath
+      .resolve(s"data/eq-delete-$snapshotId.parquet")
+    val tmp = Files.createTempDirectory("ice_ed")
+    doomed.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = Files.list(tmp).iterator().asScala
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    Files.createDirectories(edAbs.getParent)
+    Files.move(part, edAbs)
+    appendDeleteSnapshot(table, st,
+      ManifestEntry(1, edAbs.toString, 2, Map.empty, equalityIds = ids),
+      snapshotId)
+  }
+
+  /** Shared commit tail: a new manifest with `entry`, a manifest list
+    * extending the current snapshot's, a new metadata.json version
+    * with the snapshot appended and current advanced
+    * (version-hint.text updated when present).
+    */
+  private def appendDeleteSnapshot(table: String, st: IceState,
+                                   entry: ManifestEntry,
+                                   snapshotId: Long): Long = {
     val (md, mdPath) = loadMetadata(table)
     val snap = (md \ "snapshots").children.find(s =>
       (s \ "snapshot-id") match {
@@ -568,8 +621,7 @@ object IcebergCatalog {
       .map(r => resolve(table, r.get("manifest_path").toString))
     val mdir = mdPath.getParent
     val newManifest = mdir.resolve(s"m-del-$snapshotId.avro")
-    writeManifestEntries(newManifest, st.partitionFields,
-      Seq(ManifestEntry(1, pdAbs.toString, 1, Map.empty)))
+    writeManifestEntries(newManifest, st.partitionFields, Seq(entry))
     val newMl = mdir.resolve(s"snap-$snapshotId.avro")
     writeManifestList(newMl, oldManifests :+ newManifest)
     // new metadata version: snapshot appended, current advanced

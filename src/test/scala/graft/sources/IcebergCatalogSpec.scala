@@ -345,4 +345,36 @@ class IcebergCatalogSpec extends AnyFunSuite {
     assert(snap2 == 33L)
     assert(rows(IcebergCatalog.read(spark, t.toString)).isEmpty)
   }
+
+  test("commitEqualityDelete: engine-written value deletes apply everywhere (r10)") {
+    val t = buildTable()
+    assert(rows(IcebergCatalog.read(spark, t.toString)) ==
+      Set((3L, "z", "b"), (4L, "q", "a")))
+    // delete BY VALUE on v: 'z' — hits file f2 without naming it
+    val snap = IcebergCatalog.commitEqualityDelete(spark, t.toString,
+      Seq("v"), Seq(Tuple1("z")).toDF("v"), snapshotId = 30L)
+    assert(snap == 30L)
+    assert(rows(IcebergCatalog.read(spark, t.toString)) ==
+      Set((4L, "q", "a")), "equality delete not applied by value")
+    // the delete parquet carries ONLY the named column, and the
+    // manifest entry resolved the schema field id for it
+    import scala.jdk.CollectionConverters._
+    val ed = Files.list(t.resolve("data")).iterator().asScala
+      .find(_.getFileName.toString.startsWith("eq-delete-")).get
+    val edDf = spark.read.parquet(ed.toString)
+    assert(edDf.columns.toSeq == Seq("v"))
+    assert(edDf.as[String].collect().toSeq == Seq("z"))
+    // unknown columns and empty deletes reject loudly
+    intercept[IllegalArgumentException] {
+      IcebergCatalog.commitEqualityDelete(spark, t.toString,
+        Seq("nope"), Seq(Tuple1("z")).toDF("nope"), snapshotId = 31L)
+    }
+    intercept[IllegalArgumentException] {
+      IcebergCatalog.commitEqualityDelete(spark, t.toString,
+        Seq("v"), Seq.empty[Tuple1[String]].toDF("v"), snapshotId = 32L)
+    }
+    // time travel to the pre-delete snapshot still sees 'z'
+    assert(rows(IcebergCatalog.read(spark, t.toString,
+      snapshotId = Some(20L))) == Set((3L, "z", "b"), (4L, "q", "a")))
+  }
 }

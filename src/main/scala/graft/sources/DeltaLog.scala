@@ -334,7 +334,17 @@ object DeltaLog {
     * data row) — the same driver-held state the log replay already
     * materializes.
     */
-  def writeCheckpoint(spark: SparkSession, table: String): Long = {
+  def writeCheckpoint(spark: SparkSession, table: String): Long =
+    writeCheckpoint(spark, table, parts = 1)
+
+  /** Multi-part form (r10): the state's rows split round-robin over
+    * `parts` files named `V.checkpoint.P.N.parquet` — how large tables
+    * checkpoint so no single file carries millions of add rows; the
+    * reader requires ALL N parts present (its r8 contract). Part 1
+    * carries the metaData row.
+    */
+  def writeCheckpoint(spark: SparkSession, table: String, parts: Int): Long = {
+    require(parts >= 1, s"parts must be >= 1, got $parts")
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
     val st = state(spark, table)
@@ -373,19 +383,31 @@ object DeltaLog {
         st.files.map(f => Row(null,
           Row(f.path, f.partitionValues, true, f.stats.orNull,
             dvStruct(f.deletionVector))))
-    val df = spark.createDataFrame(
-      spark.sparkContext.parallelize(rows, 1), ckSchema)
-    val tmp = Files.createTempDirectory("delta_ck")
-    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
     import scala.jdk.CollectionConverters._
-    val part = Files.list(tmp).iterator().asScala
-      .find(_.getFileName.toString.endsWith(".parquet")).get
-    val target = Paths.get(table, "_delta_log",
-      f"${st.version}%020d.checkpoint.parquet")
-    Files.move(part, target,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    Files.writeString(Paths.get(table, "_delta_log", "_last_checkpoint"),
-      s"""{"version":${st.version},"size":${rows.size}}""")
+    def writeOne(slice: Seq[Row], target: java.nio.file.Path): Unit = {
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(slice, 1), ckSchema)
+      val tmp = Files.createTempDirectory("delta_ck")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      Files.move(part, target,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    val logDir = Paths.get(table, "_delta_log")
+    if (parts == 1)
+      writeOne(rows, logDir.resolve(f"${st.version}%020d.checkpoint.parquet"))
+    else
+      (1 to parts).foreach { p =>
+        // round-robin: part p (1-based) takes rows p-1, p-1+parts, ...
+        writeOne(rows.zipWithIndex.collect {
+          case (r, i) if i % parts == p - 1 => r
+        }, logDir.resolve(
+          f"${st.version}%020d.checkpoint.$p%010d.$parts%010d.parquet"))
+      }
+    Files.writeString(logDir.resolve("_last_checkpoint"),
+      if (parts == 1) s"""{"version":${st.version},"size":${rows.size}}"""
+      else s"""{"version":${st.version},"size":${rows.size},"parts":$parts}""")
     st.version
   }
 

@@ -245,6 +245,23 @@ class DeltaLogSpec extends AnyFunSuite {
     assert(withTail == before + ((9L, "t", "b", Some(90L))))
   }
 
+  test("writeCheckpoint(parts=3): a multi-part checkpoint replays after trimming (r10)") {
+    val t = buildTable()
+    val before = rows(DeltaLog.read(spark, t.toString))
+    assert(DeltaLog.writeCheckpoint(spark, t.toString, parts = 3) == 3L)
+    val names = Files.list(t.resolve("_delta_log")).iterator().asScala
+      .map(_.getFileName.toString).toSeq
+    assert((1 to 3).forall(p =>
+      names.contains(f"${3L}%020d.checkpoint.$p%010d.${3}%010d.parquet")),
+      s"missing multi-part files in $names")
+    assert(Files.readString(
+      t.resolve("_delta_log").resolve("_last_checkpoint")).contains("\"parts\":3"))
+    (0L to 3L).foreach(i =>
+      Files.delete(t.resolve("_delta_log").resolve(f"$i%020d.json")))
+    assert(rows(DeltaLog.read(spark, t.toString)) == before,
+      "multi-part checkpoint replay diverged")
+  }
+
   test("writeCheckpoint carries deletion vectors through the parquet round-trip (r10)") {
     // table with an engine-written DV, checkpointed, trimmed, re-read
     val t = Files.createTempDirectory("deltackdv")

@@ -28,7 +28,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   *  - ApiVersions v0 (key 18) — capability handshake;
   *  - Metadata    v1 (key  3) — topic → partition/leader discovery;
-  *  - ListOffsets v1 (key  2) — earliest (-2) / latest (-1) offsets;
+  *  - ListOffsets v1 (key  2) — earliest (-2) / latest (-1) offsets,
+  *    and TIME SEEKS (r10b): a real timestamp answers with the
+  *    earliest offset whose record create-time is ≥ it
+  *    (`offsetsForTimes`, the replay-from-a-wall-clock-point pattern);
   *  - Fetch       v4 (key  1) — record ranges as message-format-v2
   *    RecordBatches (varint/zigzag record framing, CRC32C batch
   *    integrity, the format every modern Kafka broker serves);
@@ -48,6 +51,19 @@ import org.apache.spark.unsafe.types.UTF8String
   * memory beyond one batch.
   */
 object KafkaWire {
+
+  /** [[BusSource.schema]] + the record's wire create-time (r10b) —
+    * what `includeTimestamp=true` streams.
+    */
+  val timestampedSchema: StructType = StructType(Seq(
+    org.apache.spark.sql.types.StructField("partition",
+      org.apache.spark.sql.types.IntegerType, nullable = false),
+    org.apache.spark.sql.types.StructField("offset",
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("timestamp",
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("value",
+      org.apache.spark.sql.types.StringType, nullable = true)))
 
   val ApiProduce = 0
   val ApiFetch = 1
@@ -187,21 +203,26 @@ object KafkaWire {
   def partitionForKey(key: Array[Byte], numPartitions: Int): Int =
     (murmur2(key) & 0x7fffffff) % numPartitions
 
-  /** Encode one RecordBatch v2 with per-record KEYS (null = keyless),
-    * zero timestamp deltas, no headers — CRC32C over everything after
-    * the crc field, per the spec. With a non-none `codec` the RECORDS
-    * block (after the record count) compresses as one block and the
-    * attribute bits carry the codec id — the format every modern
-    * broker serves and accepts.
+  /** Encode one RecordBatch v2 with per-record TIMESTAMPS and KEYS
+    * (r10b): baseTimestamp = the FIRST record's create-time (the spec's
+    * rule), each record carries `ts - base` as its zigzag-varlong
+    * timestampDelta, and the header's maxTimestamp is the batch max —
+    * what `offsetsForTimes` seeks against. CRC32C over everything
+    * after the crc field, per the spec. With a non-none `codec` the
+    * RECORDS block (after the record count) compresses as one block
+    * and the attribute bits carry the codec id.
     */
-  def encodeKeyedBatch(baseOffset: Long,
-                       records: Seq[(Array[Byte], Array[Byte])],
-                       codec: Int = CodecNone): Array[Byte] = {
+  def encodeTimestampedBatch(baseOffset: Long,
+                             records: Seq[(Long, Array[Byte], Array[Byte])],
+                             codec: Int = CodecNone): Array[Byte] = {
+    val baseTs = records.head._1
+    var maxTs = Long.MinValue
     val recs = new Writer
-    records.zipWithIndex.foreach { case ((key, v), idx) =>
+    records.zipWithIndex.foreach { case ((ts, key, v), idx) =>
+      if (ts > maxTs) maxTs = ts
       val rec = new Writer
       rec.i8(0) // record attributes
-      rec.varLong(0L) // timestampDelta
+      rec.varLong(ts - baseTs) // timestampDelta
       rec.varInt(idx) // offsetDelta
       if (key == null) rec.varInt(-1)
       else { rec.varInt(key.length); rec.raw(key) }
@@ -211,8 +232,17 @@ object KafkaWire {
       val rb = rec.toBytes
       recs.varInt(rb.length); recs.raw(rb)
     }
-    finishBatch(baseOffset, records.size, recs.toBytes, codec)
+    finishBatch(baseOffset, records.size, recs.toBytes, codec, baseTs, maxTs)
   }
+
+  /** Keyed, timestamp-less form (every record stamped 0 — the pre-r10b
+    * wire bytes, unchanged) — delegates to [[encodeTimestampedBatch]].
+    */
+  def encodeKeyedBatch(baseOffset: Long,
+                       records: Seq[(Array[Byte], Array[Byte])],
+                       codec: Int = CodecNone): Array[Byte] =
+    encodeTimestampedBatch(baseOffset,
+      records.map { case (k, v) => (0L, k, v) }, codec)
 
   /** Keyless form — delegates to [[encodeKeyedBatch]]. */
   def encodeBatch(baseOffset: Long, values: Seq[Array[Byte]],
@@ -220,11 +250,11 @@ object KafkaWire {
     encodeKeyedBatch(baseOffset, values.map(v => (null: Array[Byte], v)), codec)
 
   private def finishBatch(baseOffset: Long, n: Int, recBytes: Array[Byte],
-                          codec: Int): Array[Byte] = {
+                          codec: Int, baseTs: Long, maxTs: Long): Array[Byte] = {
     val body = new Writer // attributes .. records (the crc'd region)
     body.i16(codec & 0x07) // attributes: codec bits, create-time
     body.i32(n - 1) // lastOffsetDelta
-    body.i64(0L); body.i64(0L) // base/max timestamp
+    body.i64(baseTs); body.i64(maxTs) // base/max timestamp
     body.i64(-1L); body.i16(-1); body.i32(-1) // producer id/epoch/baseSeq
     body.i32(n)
     body.raw(compress(codec, recBytes))
@@ -250,11 +280,20 @@ object KafkaWire {
 
   /** Decode a record set (one or more concatenated RecordBatch v2) into
     * (offset, key, value) triples (key null when absent); loud on bad
-    * magic or CRC mismatch.
+    * magic or CRC mismatch. Timestamps are parsed and dropped —
+    * [[decodeBatchesTimestamped]] keeps them.
     */
   def decodeBatchesKeyed(recordSet: Array[Byte])
-      : Seq[(Long, Array[Byte], Array[Byte])] = {
-    val out = Seq.newBuilder[(Long, Array[Byte], Array[Byte])]
+      : Seq[(Long, Array[Byte], Array[Byte])] =
+    decodeBatchesTimestamped(recordSet).map { case (o, _, k, v) => (o, k, v) }
+
+  /** Full decode (r10b): (offset, timestamp, key, value) — timestamp =
+    * the batch header's baseTimestamp + the record's varlong delta,
+    * exactly the create-time the producer stamped.
+    */
+  def decodeBatchesTimestamped(recordSet: Array[Byte])
+      : Seq[(Long, Long, Array[Byte], Array[Byte])] = {
+    val out = Seq.newBuilder[(Long, Long, Array[Byte], Array[Byte])]
     val buf = ByteBuffer.wrap(recordSet)
     while (buf.remaining() >= 12) {
       val baseOffset = buf.getLong
@@ -275,7 +314,7 @@ object KafkaWire {
       require(crc.getValue.toInt == crcStored, "record batch CRC32C mismatch")
       val attributes = r.i16()
       r.i32() // lastOffsetDelta
-      r.i64(); r.i64() // timestamps
+      val baseTs = r.i64(); r.i64() // base/max timestamp
       r.i64(); r.i16(); r.i32() // producer id/epoch/baseSeq
       val n = r.i32()
       // compression (r10): bits 0-2 name the codec; the records block
@@ -290,7 +329,7 @@ object KafkaWire {
       while (k < n) {
         rr.varInt() // record length
         rr.i8() // attributes
-        rr.varLong() // timestampDelta
+        val tsDelta = rr.varLong()
         val offsetDelta = rr.varInt()
         val keyLen = rr.varInt()
         val key = if (keyLen < 0) null else rr.raw(keyLen)
@@ -302,7 +341,7 @@ object KafkaWire {
           rr.raw(rr.varInt()); rr.raw(rr.varInt()) // key, value
           hh += 1
         }
-        out += ((baseOffset + offsetDelta, key, v))
+        out += ((baseOffset + offsetDelta, baseTs + tsDelta, key, v))
         k += 1
       }
     }
@@ -407,6 +446,18 @@ object KafkaWire {
       result
     }
 
+    /** The earliest offset whose record timestamp is ≥ `ts`, per
+      * partition — `offsetsForTimes`, the time-seek every replay-from-
+      * a-wall-clock-point consumer does (ListOffsets v1 with a REAL
+      * timestamp instead of the -1/-2 sentinels). -1 when no record at
+      * or after `ts` exists (the spec's "unknown offset").
+      */
+    def offsetsForTimes(topic: String, parts: Seq[Int],
+                        ts: Long): Map[Int, Long] = {
+      require(ts >= 0, s"offsetsForTimes wants a real timestamp, got $ts")
+      listOffsets(topic, parts, ts)
+    }
+
     /** One Fetch v4 for a single partition range start; returns decoded
       * (offset, value) pairs (possibly empty at head).
       */
@@ -418,7 +469,16 @@ object KafkaWire {
     /** [[fetch]] keeping record KEYS: (offset, key|null, value). */
     def fetchKeyed(topic: String, partition: Int, offset: Long,
                    maxBytes: Int = 1 << 20)
-        : Seq[(Long, Array[Byte], Array[Byte])] = {
+        : Seq[(Long, Array[Byte], Array[Byte])] =
+      fetchTimestamped(topic, partition, offset, maxBytes)
+        .map { case (o, _, k, v) => (o, k, v) }
+
+    /** [[fetch]] keeping timestamps AND keys (r10b):
+      * (offset, timestamp, key|null, value).
+      */
+    def fetchTimestamped(topic: String, partition: Int, offset: Long,
+                         maxBytes: Int = 1 << 20)
+        : Seq[(Long, Long, Array[Byte], Array[Byte])] = {
       val b = new Writer
       b.i32(-1) // replica_id
       b.i32(500) // max_wait_ms
@@ -429,7 +489,7 @@ object KafkaWire {
       b.i32(1); b.i32(partition); b.i64(offset); b.i32(maxBytes)
       val r = exchange(out, in, ApiFetch, 4, next(), b)
       r.i32() // throttle_time_ms
-      var result: Seq[(Long, Array[Byte], Array[Byte])] = Seq.empty
+      var result: Seq[(Long, Long, Array[Byte], Array[Byte])] = Seq.empty
       (0 until r.i32()).foreach { _ =>
         r.str()
         (0 until r.i32()).foreach { _ =>
@@ -440,7 +500,7 @@ object KafkaWire {
           val rs = r.bytes()
           require(err == 0, s"Fetch error $err on partition $pid")
           if (pid == partition && rs != null && rs.nonEmpty)
-            result = decodeBatchesKeyed(rs)
+            result = decodeBatchesTimestamped(rs)
         }
       }
       result
@@ -462,7 +522,16 @@ object KafkaWire {
       */
     def produceKeyed(topic: String, partition: Int,
                      records: Seq[(Array[Byte], Array[Byte])],
-                     acks: Int = -1, codec: Int = CodecNone): Long = {
+                     acks: Int = -1, codec: Int = CodecNone): Long =
+      produceTimestamped(topic, partition,
+        records.map { case (k, v) => (0L, k, v) }, acks, codec)
+
+    /** Timestamped produce (r10b): records carry their CREATE-TIME on
+      * the wire — what `offsetsForTimes` seeks against.
+      */
+    def produceTimestamped(topic: String, partition: Int,
+                           records: Seq[(Long, Array[Byte], Array[Byte])],
+                           acks: Int = -1, codec: Int = CodecNone): Long = {
       require(records.nonEmpty, "produce of zero records")
       val b = new Writer
       b.nullableStr(null) // transactional_id (v3+)
@@ -470,7 +539,7 @@ object KafkaWire {
       b.i32(30000) // timeout_ms
       b.i32(1); b.str(topic)
       b.i32(1); b.i32(partition)
-      b.bytes(encodeKeyedBatch(0L, records, codec)) // broker re-bases the offsets
+      b.bytes(encodeTimestampedBatch(0L, records, codec)) // broker re-bases the offsets
       val r = exchange(out, in, ApiProduce, 3, next(), b)
       var base = -1L
       (0 until r.i32()).foreach { _ =>
@@ -519,6 +588,48 @@ object KafkaWire {
             val b = buf.getOrElseUpdate(p,
               new scala.collection.mutable.ArrayBuffer[Array[Byte]])
             b += r.getString(1).getBytes(UTF_8)
+            if (b.size >= batchSize) flush(p)
+          }
+          buf.keys.toSeq.sorted.foreach(flush)
+        } finally client.close()
+      }
+    }
+  }
+
+  /** Timestamped produce sink (r10b): [[produceSink]] with each row's
+    * CREATE-TIME column riding the wire in the record — the leg that
+    * makes `offsetsForTimes` seeks meaningful. Per-partition produce
+    * order is the task's row order, so feed it `repartition(pt)
+    * .sortWithinPartitions(pt, ts)` when monotone log timestamps are
+    * wanted (the layout time-index seeks assume).
+    */
+  def produceSinkTimestamped(df: org.apache.spark.sql.DataFrame, host: String,
+                             port: Int, topic: String,
+                             pt: org.apache.spark.sql.Column,
+                             ts: org.apache.spark.sql.Column,
+                             value: org.apache.spark.sql.Column,
+                             batchSize: Int = 4096,
+                             codec: Int = CodecNone): Unit = {
+    val rows = df.select(pt.cast("int").as("pt"), ts.cast("long").as("ts"),
+      value.cast("string").as("v"))
+    rows.foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
+      if (it.hasNext) {
+        val client = new Client(host, port)
+        try {
+          val buf = scala.collection.mutable.Map
+            .empty[Int, scala.collection.mutable.ArrayBuffer[(Long, Array[Byte], Array[Byte])]]
+          def flush(p: Int): Unit = {
+            val b = buf(p)
+            if (b.nonEmpty) {
+              client.produceTimestamped(topic, p, b.toSeq, codec = codec)
+              b.clear()
+            }
+          }
+          it.foreach { r =>
+            val p = r.getInt(0)
+            val b = buf.getOrElseUpdate(p,
+              new scala.collection.mutable.ArrayBuffer[(Long, Array[Byte], Array[Byte])])
+            b += ((r.getLong(1), null, r.getString(2).getBytes(UTF_8)))
             if (b.size >= batchSize) flush(p)
           }
           buf.keys.toSeq.sorted.foreach(flush)
@@ -582,13 +693,14 @@ object KafkaBusServer {
   final class LogState(root: String, emptyPartitions: Int) {
     // appended records carry their KEY (null = keyless, the staged
     // base's shape) — log compaction and per-key ordering need keys to
-    // survive the broker (r10)
+    // survive the broker (r10) — and their CREATE-TIME (r10b: -1 = the
+    // staged base's "no timestamp"), which ListOffsets time seeks scan
     private val appended = new java.util.concurrent.ConcurrentHashMap[
-      Int, java.util.concurrent.atomic.AtomicReference[Vector[(String, String)]]]()
+      Int, java.util.concurrent.atomic.AtomicReference[Vector[(Long, String, String)]]]()
 
     private def ref(pt: Int) = appended.computeIfAbsent(pt,
       _ => new java.util.concurrent.atomic.AtomicReference(
-        Vector.empty[(String, String)]))
+        Vector.empty[(Long, String, String)]))
 
     // the staged layout is immutable: list it once per broker
     private lazy val stagedParts: Set[Int] =
@@ -607,20 +719,21 @@ object KafkaBusServer {
     def head(pt: Int): Long =
       staged(pt).size.toLong + ref(pt).get().size
 
-    /** Records [from, from+cap) as (key|null, value) — the staged base
-      * and the append overlay spliced WITHOUT materializing the whole
-      * partition per fetch (the r9 quadratic-drain lesson).
+    /** Records [from, from+cap) as (ts, key|null, value) — the staged
+      * base (ts = -1, keyless) and the append overlay spliced WITHOUT
+      * materializing the whole partition per fetch (the r9
+      * quadratic-drain lesson).
       */
-    def slice(pt: Int, from: Long, cap: Int): Seq[(String, String)] = {
+    def slice(pt: Int, from: Long, cap: Int): Seq[(Long, String, String)] = {
       val st = staged(pt)
       val ap = ref(pt).get()
       val end = math.min(from + cap, st.size.toLong + ap.size)
       if (from >= end) Seq.empty
       else {
-        val b = Seq.newBuilder[(String, String)]
+        val b = Seq.newBuilder[(Long, String, String)]
         var i = from
         while (i < end) {
-          if (i < st.size) b += ((null, st(i.toInt)))
+          if (i < st.size) b += ((-1L, null, st(i.toInt)))
           else b += ap((i - st.size).toInt)
           i += 1
         }
@@ -629,13 +742,24 @@ object KafkaBusServer {
     }
 
     /** Append atomically; returns the records' base offset. */
-    def append(pt: Int, records: Seq[(String, String)]): Long = {
+    def append(pt: Int, records: Seq[(Long, String, String)]): Long = {
       val r = ref(pt)
       r.synchronized {
         val before = r.get()
         r.set(before ++ records)
         staged(pt).size.toLong + before.size
       }
+    }
+
+    /** The earliest offset whose record timestamp ≥ `ts`; -1 when none
+      * (the ListOffsets time-seek contract, r10b). Staged-base records
+      * carry ts = -1, so a real-timestamp seek never lands on them; the
+      * append overlay scans linearly (harness broker — a production
+      * broker keeps a time index, this one keeps a memoized vector).
+      */
+    def offsetForTime(pt: Int, ts: Long): Long = {
+      val idx = ref(pt).get().indexWhere(_._1 >= ts)
+      if (idx < 0) -1L else staged(pt).size.toLong + idx
     }
   }
 
@@ -741,9 +865,9 @@ object KafkaBusServer {
               (0 until np).foreach { _ =>
                 val pid = r.i32()
                 val rs = r.bytes()
-                val records = KafkaWire.decodeBatchesKeyed(rs).map {
-                  case (_, k, v) =>
-                    (if (k == null) null else new String(k, UTF_8),
+                val records = KafkaWire.decodeBatchesTimestamped(rs).map {
+                  case (_, ts, k, v) =>
+                    (ts, if (k == null) null else new String(k, UTF_8),
                       new String(v, UTF_8))
                 }
                 val base = state.append(pid, records)
@@ -783,7 +907,9 @@ object KafkaBusServer {
               (0 until np).foreach { _ =>
                 val pid = r.i32(); val ts = r.i64()
                 val off =
-                  if (ts == -2L) 0L else state.head(pid)
+                  if (ts == -2L) 0L
+                  else if (ts == -1L) state.head(pid)
+                  else state.offsetForTime(pid, ts) // time seek (r10b)
                 body.i32(pid); body.i16(0); body.i64(-1L); body.i64(off)
               }
             }
@@ -808,9 +934,9 @@ object KafkaBusServer {
                 body.i64(head); body.i64(head)
                 body.i32(0) // aborted transactions: empty
                 if (recs.isEmpty) body.i32(-1) // null record set
-                else body.bytes(KafkaWire.encodeKeyedBatch(off,
-                  recs.map { case (k, v) =>
-                    (if (k == null) null else k.getBytes(UTF_8),
+                else body.bytes(KafkaWire.encodeTimestampedBatch(off,
+                  recs.map { case (ts, k, v) =>
+                    (ts, if (k == null) null else k.getBytes(UTF_8),
                       v.getBytes(UTF_8))
                   }, fetchCodec))
               }
@@ -831,11 +957,17 @@ object KafkaBusServer {
 /** `spark.readStream.format("graft.streaming.KafkaWireProvider")
   * .option("host", h).option("port", p).option("topic", t)
   * .option("maxRowsPerTrigger", n).load()` — [[BusSource.schema]] rows
-  * fetched over the Kafka wire protocol.
+  * fetched over the Kafka wire protocol. Two r10b options:
+  * `startTimestamp` seeks the stream's FIRST offsets by record
+  * create-time via the broker's ListOffsets time lookup
+  * (`offsetsForTimes` — partitions with nothing at/after it start at
+  * their head, the seekToEnd fallback); `includeTimestamp=true` adds
+  * a `timestamp` column carrying each record's wire create-time.
   */
 class KafkaWireProvider extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    BusSource.schema
+    if (options.getBoolean("includetimestamp", false)) KafkaWire.timestampedSchema
+    else BusSource.schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table = {
     val opts = properties.asScala.map { case (k, v) => k.toLowerCase -> v }
@@ -843,29 +975,36 @@ class KafkaWireProvider extends TableProvider {
       opts.getOrElse("port",
         throw new IllegalArgumentException("option 'port' is required")).toInt,
       opts.getOrElse("topic", "bus"),
-      opts.get("maxrowspertrigger").map(_.toLong))
+      opts.get("maxrowspertrigger").map(_.toLong),
+      opts.get("starttimestamp").map(_.toLong),
+      opts.get("includetimestamp").exists(_.toBoolean))
   }
 }
 
 class KafkaWireTable(host: String, port: Int, topic: String,
-                     maxRows: Option[Long])
+                     maxRows: Option[Long], startTs: Option[Long],
+                     withTs: Boolean)
     extends Table with SupportsRead {
+  private def tableSchema: StructType =
+    if (withTs) KafkaWire.timestampedSchema else BusSource.schema
   override def name(): String = s"kafkawire($host:$port/$topic)"
-  override def schema(): StructType = BusSource.schema
+  override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
       override def build(): Scan = new Scan {
-        override def readSchema(): StructType = BusSource.schema
+        override def readSchema(): StructType = tableSchema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new KafkaWireMicroBatchStream(host, port, topic, maxRows)
+          new KafkaWireMicroBatchStream(host, port, topic, maxRows, startTs, withTs)
       }
     }
 }
 
 class KafkaWireMicroBatchStream(host: String, port: Int, topic: String,
-                                maxRows: Option[Long])
+                                maxRows: Option[Long],
+                                startTs: Option[Long] = None,
+                                withTs: Boolean = false)
     extends MicroBatchStream with SupportsAdmissionControl {
 
   private def heads(): Map[Int, Long] = {
@@ -876,8 +1015,19 @@ class KafkaWireMicroBatchStream(host: String, port: Int, topic: String,
     } finally c.close()
   }
 
-  override def initialOffset(): Offset =
-    BusOffset(heads().map { case (p, _) => p -> 0L })
+  override def initialOffset(): Offset = startTs match {
+    case None => BusOffset(heads().map { case (p, _) => p -> 0L })
+    case Some(ts) => // seek by create-time (r10b)
+      val c = new KafkaWire.Client(host, port)
+      try {
+        val parts = c.partitions(topic)
+        val found = c.offsetsForTimes(topic, parts, ts)
+        val ends = c.listOffsets(topic, parts, -1L)
+        // no record at/after ts → start at head (the seekToEnd fallback)
+        BusOffset(parts.map(p =>
+          p -> (if (found(p) < 0) ends(p) else found(p))).toMap)
+      } finally c.close()
+  }
 
   override def deserializeOffset(json: String): Offset = BusOffset.parse(json)
 
@@ -894,7 +1044,8 @@ class KafkaWireMicroBatchStream(host: String, port: Int, topic: String,
     val e = end.asInstanceOf[BusOffset].counts
     e.toSeq.sortBy(_._1).flatMap { case (p, to) =>
       val from = s.getOrElse(p, 0L)
-      if (to > from) Some(KafkaWireInputPartition(host, port, topic, p, from, to))
+      if (to > from)
+        Some(KafkaWireInputPartition(host, port, topic, p, from, to, withTs))
       else None
     }.toArray
   }
@@ -915,19 +1066,21 @@ class KafkaWireMicroBatchStream(host: String, port: Int, topic: String,
   */
 case class KafkaWireInputPartition(host: String, port: Int, topic: String,
                                    busPartition: Int,
-                                   from: Long, to: Long) extends InputPartition
+                                   from: Long, to: Long,
+                                   withTs: Boolean = false) extends InputPartition
 
 class KafkaWirePartitionReader(p: KafkaWireInputPartition)
     extends PartitionReader[InternalRow] {
   private val client = new KafkaWire.Client(p.host, p.port)
   private var pos = p.from
-  private var buffer: Iterator[(Long, Array[Byte])] = Iterator.empty
-  private var current: (Long, Array[Byte]) = _
+  private var buffer: Iterator[(Long, Long, Array[Byte], Array[Byte])] =
+    Iterator.empty
+  private var current: (Long, Long, Array[Byte], Array[Byte]) = _
 
   override def next(): Boolean = {
     if (pos >= p.to) return false
     while (!buffer.hasNext) {
-      val got = client.fetch(p.topic, p.busPartition, pos)
+      val got = client.fetchTimestamped(p.topic, p.busPartition, pos)
       if (got.isEmpty)
         throw new IllegalStateException(
           s"broker returned no records for ${p.busPartition}@$pos < ${p.to}")
@@ -946,10 +1099,15 @@ class KafkaWirePartitionReader(p: KafkaWireInputPartition)
     true
   }
 
-  override def get(): InternalRow =
-    new GenericInternalRow(Array[Any](p.busPartition, current._1,
-      if (current._2 == null) null
-      else UTF8String.fromBytes(current._2)))
+  override def get(): InternalRow = {
+    val v =
+      if (current._4 == null) null else UTF8String.fromBytes(current._4)
+    if (p.withTs)
+      new GenericInternalRow(Array[Any](p.busPartition, current._1,
+        current._2, v))
+    else
+      new GenericInternalRow(Array[Any](p.busPartition, current._1, v))
+  }
 
   override def close(): Unit = client.close()
 }

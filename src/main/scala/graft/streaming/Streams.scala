@@ -2172,4 +2172,29 @@ object Streams {
       try { q.processAllAvailable() } finally { q.stop() }
       iso.table(queryName)
     }
+
+  /** [[kafkaBusReplay]] seeking its START by record CREATE-TIME (r10b):
+    * first offsets come from the broker's ListOffsets time lookup
+    * (`offsetsForTimes`), and rows carry the wire `timestamp` column —
+    * the replay-the-suffix-since-T consumer shape.
+    */
+  def kafkaBusReplayFrom(spark: SparkSession, host: String, port: Int,
+                         topic: String, startTimestamp: Long,
+                         maxRowsPerTrigger: Long, queryName: String)
+                        (pipe: DataFrame => DataFrame): DataFrame =
+    withStateSession(spark, 8) { iso =>
+      val stream = iso.readStream
+        .format("graft.streaming.KafkaWireProvider")
+        .option("host", host)
+        .option("port", port.toString)
+        .option("topic", topic)
+        .option("startTimestamp", startTimestamp.toString)
+        .option("includeTimestamp", "true")
+        .option("maxRowsPerTrigger", maxRowsPerTrigger.toString)
+        .load()
+      val q = pipe(stream).writeStream.outputMode("complete")
+        .format("memory").queryName(queryName).start()
+      try { q.processAllAvailable() } finally { q.stop() }
+      iso.table(queryName)
+    }
 }

@@ -326,6 +326,74 @@ class KafkaWireSpec extends AnyFunSuite {
     } finally server.close()
   }
 
+  test("timestamps ride the batch as base + varlong deltas and survive codecs (r10b)") {
+    // header rule: baseTimestamp = FIRST record's ts (not the min), max = max
+    val recs = Seq((1000L, null: Array[Byte], "a".getBytes(UTF_8)),
+      (950L, null: Array[Byte], "b".getBytes(UTF_8)), // negative delta: legal
+      (1500L, "k".getBytes(UTF_8), "c".getBytes(UTF_8)))
+    for (codec <- Seq(KafkaWire.CodecNone, KafkaWire.CodecGzip, KafkaWire.CodecZstd)) {
+      val got = KafkaWire.decodeBatchesTimestamped(
+        KafkaWire.encodeTimestampedBatch(7L, recs, codec))
+      assert(got.map(_._1) == Seq(7L, 8L, 9L), s"offsets, codec $codec")
+      assert(got.map(_._2) == Seq(1000L, 950L, 1500L), s"timestamps, codec $codec")
+      assert(got.map(r => new String(r._4, UTF_8)) == Seq("a", "b", "c"))
+    }
+    // the legacy keyed encoder stamps 0 — pre-r10b bytes unchanged
+    val legacy = KafkaWire.decodeBatchesTimestamped(
+      KafkaWire.encodeKeyedBatch(0L,
+        Seq((null: Array[Byte], "x".getBytes(UTF_8)))))
+    assert(legacy.map(_._2) == Seq(0L))
+  }
+
+  test("offsetsForTimes: earliest offset with ts >= target; -1 past the end (r10b)") {
+    val server = KafkaBusServer.serve(null, topic = "t", emptyPartitions = 1)
+    try {
+      val c = new KafkaWire.Client("127.0.0.1", server.port)
+      try {
+        // monotone create-times 100, 200, 300, 400 at offsets 0..3
+        c.produceTimestamped("t", 0, (1 to 4).map(i =>
+          (i * 100L, null: Array[Byte], s"v$i".getBytes(UTF_8))))
+        assert(c.offsetsForTimes("t", Seq(0), 100L) == Map(0 -> 0L))
+        assert(c.offsetsForTimes("t", Seq(0), 101L) == Map(0 -> 1L),
+          "strictly-after seeks land on the NEXT record")
+        assert(c.offsetsForTimes("t", Seq(0), 400L) == Map(0 -> 3L))
+        assert(c.offsetsForTimes("t", Seq(0), 401L) == Map(0 -> -1L),
+          "no record at/after target -> unknown offset")
+        // sentinels still answer the log ends
+        assert(c.listOffsets("t", Seq(0), -2L) == Map(0 -> 0L))
+        assert(c.listOffsets("t", Seq(0), -1L) == Map(0 -> 4L))
+        // and the create-times come back verbatim over Fetch
+        val got = c.fetchTimestamped("t", 0, 0L)
+        assert(got.map(_._2) == Seq(100L, 200L, 300L, 400L))
+      } finally c.close()
+    } finally server.close()
+  }
+
+  test("startTimestamp stream replays exactly the suffix with wire timestamps (r10b)") {
+    val server = KafkaBusServer.serve(null, topic = "s", emptyPartitions = 2)
+    try {
+      val c = new KafkaWire.Client("127.0.0.1", server.port)
+      try {
+        // pt 0: ts 10,20,30; pt 1: ts 15,25 — seek at 20 keeps 20,30,25
+        c.produceTimestamped("s", 0, Seq(10L, 20L, 30L).map(ts =>
+          (ts, null: Array[Byte], s"p0-$ts".getBytes(UTF_8))))
+        c.produceTimestamped("s", 1, Seq(15L, 25L).map(ts =>
+          (ts, null: Array[Byte], s"p1-$ts".getBytes(UTF_8))))
+      } finally c.close()
+      val out = Streams.kafkaBusReplayFrom(spark, "127.0.0.1", server.port,
+        "s", startTimestamp = 20L, maxRowsPerTrigger = 2,
+        s"kw_seek_${System.nanoTime()}") { stream =>
+        stream.select(col("partition"), col("timestamp"), col("value"))
+          .groupBy(col("partition"))
+          .agg(count(lit(1)).as("n"), min(col("timestamp")).as("min_ts"),
+            max(col("timestamp")).as("max_ts"))
+      }
+      val got = out.orderBy("partition")
+        .as[(Int, Long, Long, Long)].collect().toSeq
+      assert(got == Seq((0, 2L, 20L, 30L), (1, 1L, 25L, 25L)))
+    } finally server.close()
+  }
+
   test("a structured-streaming read over the Kafka wire matches the staged rows") {
     val root = stagedBus()
     val server = KafkaBusServer.serve(root)

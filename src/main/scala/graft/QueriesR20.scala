@@ -58,8 +58,60 @@ object QueriesR20 {
     } finally server.close()
   }
 
+  private val tableBuildMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, String, String), String]()
+
+  /** The F15e fixture: a table BORN EMPTY (snapshot 10 = a manifest
+    * list with no manifests) that reaches its full state through two
+    * engine-written APPEND commits — suppliers with s_suppkey % 4 ≠ 0
+    * at snapshot 20, the remainder at snapshot 30 — so the read
+    * witnesses that appends COMPOSE (the second commit extends the
+    * live set, never replaces it).
+    */
+  private def buildIcebergAppendTable(s: SparkSession, dir: String): String =
+    tableBuildMemo.computeIfAbsent(
+      (s.sparkContext.applicationId, dir, "iceberg_append"), _ => {
+        import graft.sources.IcebergCatalog._
+        val t0 = java.nio.file.Files.createTempDirectory("ice_app_rt")
+        val mdir = t0.resolve("metadata")
+        java.nio.file.Files.createDirectories(mdir)
+        val ml1 = mdir.resolve("snap-10.avro")
+        writeManifestList(ml1, Seq.empty)
+        writeMetadataJson(mdir.resolve("v1.metadata.json"),
+          Seq(("s_suppkey", "long", true), ("s_name", "string", false),
+            ("cents", "long", false), ("nk", "string", false)),
+          Seq("nk"), Seq(10L -> ml1))
+        val sup = t(s, dir, "supplier").select(
+          col("s_suppkey").cast("long").as("s_suppkey"), col("s_name"),
+          (col("s_acctbal").cast("decimal(12,2)") * 100)
+            .cast("long").as("cents"),
+          pmod(col("s_suppkey"), lit(5)).cast("string").as("nk"))
+        val s1 = commitAppend(s, t0.toString,
+          sup.filter(col("s_suppkey") % 4 =!= 0), snapshotId = 20L)
+        require(s1 == 20L)
+        val s2 = commitAppend(s, t0.toString,
+          sup.filter(col("s_suppkey") % 4 === 0), snapshotId = 30L)
+        require(s2 == 30L)
+        t0.toString
+      })
+
+  /** F15e (r10b): Iceberg APPEND write — `commitAppend` turns a
+    * DataFrame into data parquet files (one distributed partitionBy
+    * write; identity-partition values ride the manifest entries, long
+    * column bounds included for pruning), a content=0 manifest, and a
+    * new snapshot/metadata version; two successive appends rebuild the
+    * WHOLE supplier table from empty, and the engine's own reader
+    * returns it. Oracle = the same projection in plain SQL — the
+    * commit machinery must be invisible.
+    */
+  def icebergAppendRoundtrip(s: SparkSession, dir: String): DataFrame =
+    graft.sources.IcebergCatalog.read(s, buildIcebergAppendTable(s, dir))
+      .select(col("s_suppkey"), col("s_name"), col("cents"), col("nk"))
+      .orderBy(col("s_suppkey"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "stream_kafka_seek_ts" -> (streamKafkaSeekTs _))
+    "stream_kafka_seek_ts" -> (streamKafkaSeekTs _),
+    "iceberg_append_roundtrip" -> (icebergAppendRoundtrip _))
 
   val sql: Map[String, String] = Map(
     "stream_kafka_seek_ts" ->
@@ -72,5 +124,10 @@ object QueriesR20 {
         |  CAST(MIN(o_orderkey) AS BIGINT) AS min_ts,
         |  CAST(MAX(o_orderkey) AS BIGINT) AS max_ts
         |FROM orders, thr WHERE o_orderkey >= thr.t
-        |GROUP BY 1 ORDER BY 1""".stripMargin)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "iceberg_append_roundtrip" ->
+      """SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name,
+        |  CAST(CAST(s_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+        |  CAST(s_suppkey % 5 AS VARCHAR) AS nk
+        |FROM supplier ORDER BY s_suppkey""".stripMargin)
 }

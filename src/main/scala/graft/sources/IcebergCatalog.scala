@@ -575,17 +575,7 @@ object IcebergCatalog {
                            snapshotId: Long): Long = {
     require(equalityCols.nonEmpty, "equality delete with no columns")
     val st = state(spark, table)
-    // resolve column names -> schema field ids from the CURRENT schema
-    val (md, _) = loadMetadata(table)
-    val schemaJson = (md \ "schemas") match {
-      case JArray(ss) if ss.nonEmpty => ss.head
-      case _ => md \ "schema"
-    }
-    val idByName = (schemaJson \ "fields").children.map { f =>
-      val JString(n) = f \ "name"
-      val JInt(id) = f \ "id"
-      n -> id.toInt
-    }.toMap
+    val idByName = schemaFieldIdsByName(table)
     val ids = equalityCols.map(c => idByName.getOrElse(c,
       throw new IllegalArgumentException(s"column $c not in table schema")))
     val doomed = rows.select(equalityCols.map(col): _*)
@@ -603,6 +593,119 @@ object IcebergCatalog {
       snapshotId)
   }
 
+  /** Column name → schema field id from the CURRENT schema. */
+  private def schemaFieldIdsByName(table: String): Map[String, Int] = {
+    val (md, _) = loadMetadata(table)
+    val schemaJson = (md \ "schemas") match {
+      case JArray(ss) if ss.nonEmpty => ss.head
+      case _ => md \ "schema"
+    }
+    (schemaJson \ "fields").children.map { f =>
+      val JString(n) = f \ "name"
+      val JInt(id) = f \ "id"
+      n -> id.toInt
+    }.toMap
+  }
+
+  /** Spark/Hive partition-directory unescape (`%2F` etc.); loud on the
+    * null sentinel — null identity-partition values are outside the
+    * stated subset.
+    */
+  private def unescapePartitionValue(s: String): String = {
+    require(s != "__HIVE_DEFAULT_PARTITION__",
+      "null identity-partition values are not in the stated subset")
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 3 <= s.length) {
+        sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+        i += 3
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** COMMIT an APPEND (r10b — `appendFiles`): `rows` (full table
+    * schema) written as NEW data parquet files through ONE distributed
+    * `partitionBy` write — identity-partition values ride the manifest
+    * entries (parsed back from the `k=v` directory layout), data files
+    * carry data columns only, exactly the layout [[read]] re-assembles.
+    * Entries carry spec-layout lower/upper bounds for every long-typed
+    * data column (one grouped aggregate over the appended files), so
+    * [[filesInRange]] prunes engine-appended files like fixture files.
+    * Commit = content=0 manifest + manifest list EXTENDING the current
+    * snapshot's + new metadata.json version with current advanced —
+    * appends COMPOSE with the existing live set. Returns the snapshot
+    * id. Loud when the table holds equality deletes: under the
+    * no-sequence-number subset those cover the WHOLE live set, and an
+    * append would retroactively fall inside their scope.
+    */
+  def commitAppend(spark: SparkSession, table: String,
+                   rows: org.apache.spark.sql.DataFrame,
+                   snapshotId: Long): Long = {
+    val st = state(spark, table)
+    require(st.eqDeletes.isEmpty,
+      "append to a table with equality deletes: under the " +
+        "no-sequence-number subset they scope the WHOLE live set and " +
+        "would retroactively cover the appended rows")
+    val ordered = rows.select(st.schema.fieldNames.map(col).toSeq: _*)
+    val tmp = Files.createTempDirectory("ice_append")
+    if (st.partitionFields.isEmpty)
+      ordered.write.mode("overwrite").parquet(tmp.toString)
+    else
+      ordered.write.partitionBy(st.partitionFields: _*)
+        .mode("overwrite").parquet(tmp.toString)
+    // collect the written part files + their partition-dir values
+    val written = Files.walk(tmp).iterator().asScala
+      .filter(p => Files.isRegularFile(p) &&
+        p.getFileName.toString.endsWith(".parquet"))
+      .toSeq.sortBy(_.toString)
+    require(written.nonEmpty, "empty append: refuse a no-op commit")
+    val dataDir = Paths.get(table).toAbsolutePath.resolve("data")
+    Files.createDirectories(dataDir)
+    val moved = written.zipWithIndex.map { case (p, i) =>
+      val pv = tmp.relativize(p).iterator().asScala.toSeq.dropRight(1)
+        .map(_.toString.split("=", 2))
+        .map(kv => kv(0) -> unescapePartitionValue(kv(1))).toMap
+      val dst = dataDir.resolve(s"append-$snapshotId-$i.parquet")
+      Files.move(p, dst)
+      (dst, pv)
+    }
+    // per-file min/max bounds for long-typed data columns: one grouped
+    // aggregate over the appended files only (file-scoped statistics,
+    // never a table scan)
+    val longCols = st.schema.fields
+      .filterNot(f => st.partitionFields.contains(f.name))
+      .filter(_.dataType == org.apache.spark.sql.types.LongType)
+      .map(_.name).toSeq
+    val idByName = schemaFieldIdsByName(table)
+    val boundsByFile: Map[String, Map[Int, (Long, Long)]] =
+      if (longCols.isEmpty) Map.empty
+      else {
+        val aggs = longCols.flatMap(c =>
+          Seq(min(col(c)).as(s"lo_$c"), max(col(c)).as(s"hi_$c")))
+        spark.read.parquet(moved.map(_._1.toString): _*)
+          .groupBy(col("_metadata.file_path").as("__fp"))
+          .agg(aggs.head, aggs.tail: _*)
+          .collect().map { r =>
+            val name = r.getString(0).split("/").last
+            val bounds = longCols.flatMap { c =>
+              val lo = r.getAs[Any](s"lo_$c"); val hi = r.getAs[Any](s"hi_$c")
+              if (lo == null || hi == null) None
+              else idByName.get(c).map(id =>
+                id -> (lo.asInstanceOf[Long], hi.asInstanceOf[Long]))
+            }.toMap
+            name -> bounds
+          }.toMap
+      }
+    val entries = moved.map { case (dst, pv) =>
+      ManifestEntry(1, dst.toString, 0, pv,
+        boundsLong = boundsByFile.getOrElse(dst.getFileName.toString, Map.empty))
+    }
+    appendSnapshot(table, st, entries, snapshotId, "add")
+  }
+
   /** Shared commit tail: a new manifest with `entry`, a manifest list
     * extending the current snapshot's, a new metadata.json version
     * with the snapshot appended and current advanced
@@ -610,7 +713,12 @@ object IcebergCatalog {
     */
   private def appendDeleteSnapshot(table: String, st: IceState,
                                    entry: ManifestEntry,
-                                   snapshotId: Long): Long = {
+                                   snapshotId: Long): Long =
+    appendSnapshot(table, st, Seq(entry), snapshotId, "del")
+
+  private def appendSnapshot(table: String, st: IceState,
+                             entries: Seq[ManifestEntry],
+                             snapshotId: Long, kind: String): Long = {
     val (md, mdPath) = loadMetadata(table)
     val snap = (md \ "snapshots").children.find(s =>
       (s \ "snapshot-id") match {
@@ -620,8 +728,8 @@ object IcebergCatalog {
     val oldManifests = avroRows(resolve(table, oldMl))
       .map(r => resolve(table, r.get("manifest_path").toString))
     val mdir = mdPath.getParent
-    val newManifest = mdir.resolve(s"m-del-$snapshotId.avro")
-    writeManifestEntries(newManifest, st.partitionFields, Seq(entry))
+    val newManifest = mdir.resolve(s"m-$kind-$snapshotId.avro")
+    writeManifestEntries(newManifest, st.partitionFields, entries)
     val newMl = mdir.resolve(s"snap-$snapshotId.avro")
     writeManifestList(newMl, oldManifests :+ newManifest)
     // new metadata version: snapshot appended, current advanced

@@ -346,6 +346,66 @@ class IcebergCatalogSpec extends AnyFunSuite {
     assert(rows(IcebergCatalog.read(spark, t.toString)).isEmpty)
   }
 
+  test("commitAppend: engine-written data files extend the live set (r10b)") {
+    val t = buildTable()
+    assert(rows(IcebergCatalog.read(spark, t.toString)) ==
+      Set((3L, "z", "b"), (4L, "q", "a")))
+    // append two rows across two partitions (one partitionBy write)
+    val snap = IcebergCatalog.commitAppend(spark, t.toString,
+      Seq((5L, "n1", "a"), (6L, "n2", "c")).toDF("id", "v", "part"),
+      snapshotId = 30L)
+    assert(snap == 30L)
+    assert(rows(IcebergCatalog.read(spark, t.toString)) ==
+      Set((3L, "z", "b"), (4L, "q", "a"), (5L, "n1", "a"), (6L, "n2", "c")),
+      "append must EXTEND the live set, including a brand-new partition")
+    // appended data files carry only data columns; partition rides the manifest
+    val appended = Files.list(t.resolve("data")).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("append-30-")).toSeq
+    assert(appended.nonEmpty)
+    appended.foreach { p =>
+      assert(spark.read.parquet(p.toString).columns.toSeq == Seq("id", "v"))
+    }
+    // time travel to the pre-append snapshot is untouched
+    assert(rows(IcebergCatalog.read(spark, t.toString,
+      snapshotId = Some(20L))) == Set((3L, "z", "b"), (4L, "q", "a")))
+    // appends COMPOSE: a second one lands on top
+    IcebergCatalog.commitAppend(spark, t.toString,
+      Seq((7L, "n3", "b")).toDF("id", "v", "part"), snapshotId = 31L)
+    assert(rows(IcebergCatalog.read(spark, t.toString)).map(_._1) ==
+      Set(3L, 4L, 5L, 6L, 7L))
+    // empty appends reject loudly
+    intercept[IllegalArgumentException] {
+      IcebergCatalog.commitAppend(spark, t.toString,
+        Seq.empty[(Long, String, String)].toDF("id", "v", "part"),
+        snapshotId = 32L)
+    }
+  }
+
+  test("commitAppend: bounds prune appended files; escaped partition values round-trip (r10b)") {
+    val t = buildTable()
+    IcebergCatalog.commitAppend(spark, t.toString,
+      Seq((100L, "hi", "a b/c")).toDF("id", "v", "part"), snapshotId = 30L)
+    // the Hive-escaped partition dir (%20, %2F) decodes back verbatim
+    assert(rows(IcebergCatalog.read(spark, t.toString))
+      .contains((100L, "hi", "a b/c")))
+    // the appended entry carries long bounds for `id`: a disjoint range
+    // prunes it, an overlapping one keeps it
+    val st = IcebergCatalog.state(spark, t.toString)
+    val appended = st.files.filter(_.path.contains("append-30-"))
+    assert(appended.nonEmpty)
+    assert(appended.forall(_.bounds.get("id").contains((100L, 100L))))
+    assert(IcebergCatalog.filesInRange(appended, Map("id" -> ((1L, 50L)))).isEmpty)
+    assert(IcebergCatalog.filesInRange(appended, Map("id" -> ((50L, 150L)))) == appended)
+    // append onto a table holding an equality delete rejects loudly
+    val t2 = buildTable()
+    IcebergCatalog.commitEqualityDelete(spark, t2.toString,
+      Seq("v"), Seq(Tuple1("z")).toDF("v"), snapshotId = 30L)
+    intercept[IllegalArgumentException] {
+      IcebergCatalog.commitAppend(spark, t2.toString,
+        Seq((9L, "w", "a")).toDF("id", "v", "part"), snapshotId = 31L)
+    }
+  }
+
   test("commitEqualityDelete: engine-written value deletes apply everywhere (r10)") {
     val t = buildTable()
     assert(rows(IcebergCatalog.read(spark, t.toString)) ==

@@ -109,9 +109,63 @@ object QueriesR20 {
       .select(col("s_suppkey"), col("s_name"), col("cents"), col("nk"))
       .orderBy(col("s_suppkey"))
 
+  private val avroEvoMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+
+  /** F16c (r10b): Avro schema RESOLUTION across generations — the
+    * evolution rules every long-lived lake table eventually needs,
+    * exercised on a directory holding TWO writer-schema generations of
+    * documents: gen-1 (even doc_ids) wrote `(doc_id int, source)`,
+    * gen-2 (odd doc_ids) wrote `(source, text_len, doc_id long)` —
+    * reordered, with a new column, and with doc_id WIDENED. One
+    * [[graft.sources.AvroTable.readResolved]] under the reader schema
+    * `(doc_id long, source, text_len long)` spans both: fields match
+    * by name, gen-1's int doc_id PROMOTES to long, gen-1's missing
+    * text_len takes its null default, and gen-2's reordering is
+    * invisible. Oracle = the same rows in plain SQL with text_len null
+    * on the even generation.
+    */
+  def avroEvolutionRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val root = avroEvoMemo.computeIfAbsent(
+      (s.sparkContext.applicationId, dir), _ => {
+        val out = java.nio.file.Files
+          .createTempDirectory("graft_avro_evo")
+        val d = t(s, dir, "documents")
+        val g1 = java.nio.file.Files.createTempDirectory("avro_evo_g1")
+        val g2 = java.nio.file.Files.createTempDirectory("avro_evo_g2")
+        graft.sources.AvroTable.write(
+          d.filter(col("doc_id") % 2 === 0)
+            .select(col("doc_id").cast("int").as("doc_id"), col("source")),
+          g1.toString)
+        graft.sources.AvroTable.write(
+          d.filter(col("doc_id") % 2 === 1)
+            .select(col("source"),
+              length(col("text")).cast("long").as("text_len"),
+              col("doc_id")),
+          g2.toString)
+        // both generations land in ONE directory, per-generation names
+        import scala.jdk.CollectionConverters._
+        Seq(("g1", g1), ("g2", g2)).foreach { case (tag, src) =>
+          java.nio.file.Files.list(src).iterator().asScala
+            .filter(_.getFileName.toString.endsWith(".avro"))
+            .foreach { f =>
+              java.nio.file.Files.move(f,
+                out.resolve(s"$tag-${f.getFileName}"))
+            }
+        }
+        out.toString
+      })
+    val readerSchema = graft.sources.AvroTable.avroSchemaJson(
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id BIGINT, source STRING, text_len BIGINT"), "row")
+    graft.sources.AvroTable.readResolved(s, root, readerSchema)
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_kafka_seek_ts" -> (streamKafkaSeekTs _),
-    "iceberg_append_roundtrip" -> (icebergAppendRoundtrip _))
+    "iceberg_append_roundtrip" -> (icebergAppendRoundtrip _),
+    "avro_evolution_roundtrip" -> (avroEvolutionRoundtrip _))
 
   val sql: Map[String, String] = Map(
     "stream_kafka_seek_ts" ->
@@ -129,5 +183,10 @@ object QueriesR20 {
       """SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name,
         |  CAST(CAST(s_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
         |  CAST(s_suppkey % 5 AS VARCHAR) AS nk
-        |FROM supplier ORDER BY s_suppkey""".stripMargin)
+        |FROM supplier ORDER BY s_suppkey""".stripMargin,
+    "avro_evolution_roundtrip" ->
+      """SELECT doc_id, source,
+        |  CASE WHEN doc_id % 2 = 1 THEN CAST(length(text) AS BIGINT) END
+        |    AS text_len
+        |FROM documents ORDER BY doc_id""".stripMargin)
 }

@@ -39,7 +39,10 @@ import org.apache.spark.sql.types._
   * snappy-compressed on write and any header-named codec decodes on
   * read (avro-core's codec factory); sync markers survive
   * compression, so intra-file splits keep working. Other logical
-  * types reject loudly.
+  * types reject loudly. Reads may pass an explicit READER schema
+  * ([[readResolved]], r10b) — the spec's resolution rules (match by
+  * name, defaults for added fields, numeric promotions) let one read
+  * span files of different schema generations.
   */
 object AvroTable {
 
@@ -339,7 +342,31 @@ object AvroTable {
     * file's rows.
     */
   def read(spark: SparkSession, dir: String,
-           splitBytes: Long = DefaultSplitBytes): DataFrame = {
+           splitBytes: Long = DefaultSplitBytes): DataFrame =
+    readInternal(spark, dir, None, splitBytes)
+
+  /** [[read]] under an explicit READER schema (r10b — the Avro spec's
+    * schema-resolution rules, the evolution contract every long-lived
+    * lake table eventually needs): each container decodes with its own
+    * WRITER schema (from its header) resolved against `readerSchemaJson`
+    * — fields match by NAME (reordering is free), reader fields missing
+    * from a writer take their DEFAULT, writer fields absent from the
+    * reader are skipped, and numeric promotions (int→long/float/double,
+    * long→float/double, float→double, string↔bytes) apply. Files under
+    * `dir` may therefore carry DIFFERENT writer schemas — old and new
+    * generations of one evolving table read as one DataFrame. The
+    * resolution algorithm is avro-core's own (`GenericDatumReader`
+    * (writer, reader) — the library this whole source builds on);
+    * incompatible pairs (a missing default, a non-promotable type)
+    * reject loudly at decode.
+    */
+  def readResolved(spark: SparkSession, dir: String, readerSchemaJson: String,
+                   splitBytes: Long = DefaultSplitBytes): DataFrame =
+    readInternal(spark, dir, Some(readerSchemaJson), splitBytes)
+
+  private def readInternal(spark: SparkSession, dir: String,
+                           readerJson: Option[String],
+                           splitBytes: Long): DataFrame = {
     require(splitBytes >= 1, s"splitBytes must be >= 1, got $splitBytes")
     val conf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
@@ -356,8 +383,11 @@ object AvroTable {
       try ds.getSchema
       finally { ds.close(); in.close() }
     }
-    val schema = sparkSchema(headSchema)
-    val schemaJson = headSchema.toString
+    // without an explicit reader schema, the first file's writer schema
+    // is the reader schema and every file must match it EXACTLY
+    val strict = readerJson.isEmpty
+    val schemaJson = readerJson.getOrElse(headSchema.toString)
+    val schema = sparkSchema(new Schema.Parser().parse(schemaJson))
     val splits = files.flatMap { case (f, len) =>
       (0L until math.max(len, 1L) by splitBytes)
         .map(off => (f, len, off, math.min(off + splitBytes, len)))
@@ -368,12 +398,15 @@ object AvroTable {
         val expected = new Schema.Parser().parse(schemaJson)
         val p = new Path(file)
         val in = p.getFileSystem(conf.value).open(p)
+        // writer schema comes from the container header; records decode
+        // RESOLVED to `expected`, so downstream indices/types are the
+        // reader schema's regardless of the file generation
         val reader = new DataFileReader[GenericRecord](
           new FsSeekableInput(in, len),
-          new GenericDatumReader[GenericRecord]())
-        require(reader.getSchema == expected,
+          new GenericDatumReader[GenericRecord](null, expected))
+        if (strict) require(reader.getSchema == expected,
           s"avro schema mismatch in $file: ${reader.getSchema} vs $expected")
-        val fields = sparkSchema(reader.getSchema).fields
+        val fields = sparkSchema(expected).fields
         reader.sync(start)
         // close on task completion too — a limit scan never exhausts
         // the iterator (the ArrowIpc r9 contract)

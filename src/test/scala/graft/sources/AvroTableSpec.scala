@@ -259,6 +259,51 @@ class AvroTableSpec extends AnyFunSuite {
     assert(got(2).getAs[Array[Byte]](2).toSeq == Seq[Byte](2, 3, 4, 5))
   }
 
+  test("reader-schema resolution: reorder, defaults, promotion, dropped fields (r10b)") {
+    // two writer generations in one directory
+    val dir = tmp()
+    val g1 = tmp(); val g2 = tmp()
+    // gen-1: (id int, v string, legacy string) — narrow id, an extra
+    // column the reader no longer carries
+    AvroTable.write(Seq((1, "a", "old1"), (2, "b", "old2"))
+      .toDF("id", "v", "legacy"), g1)
+    // gen-2: reordered (v, extra long, id long)
+    AvroTable.write(Seq(("c", 30L, 3L), ("d", 40L, 4L))
+      .toDF("v", "extra", "id"), g2)
+    Seq(("g1", g1), ("g2", g2)).foreach { case (tag, src) =>
+      new java.io.File(src).listFiles().filter(_.getName.endsWith(".avro"))
+        .foreach { f =>
+          Files.move(f.toPath,
+            java.nio.file.Paths.get(dir, s"$tag-${f.getName}"))
+        }
+    }
+    // reader: (id long, v string, extra long) — id PROMOTED, legacy
+    // dropped, extra defaulted null on gen-1
+    val readerJson = AvroTable.avroSchemaJson(
+      StructType.fromDDL("id BIGINT, v STRING, extra BIGINT"), "row")
+    val got = AvroTable.readResolved(spark, dir, readerJson)
+      .orderBy("id").collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L))
+    assert(got.map(_.getString(1)).toSeq == Seq("a", "b", "c", "d"))
+    assert(got(0).isNullAt(2) && got(1).isNullAt(2),
+      "gen-1 rows must take the reader default for the added column")
+    assert(got(2).getLong(2) == 30L && got(3).getLong(2) == 40L)
+    // strict read over mixed generations still rejects loudly
+    val e = intercept[org.apache.spark.SparkException] {
+      AvroTable.read(spark, dir).count()
+    }
+    assert(e.getMessage.contains("schema mismatch") ||
+      Option(e.getCause).exists(_.getMessage.contains("schema mismatch")))
+    // an incompatible reader (added field with NO default) fails loudly
+    val badJson =
+      """{"type": "record", "name": "row", "fields": [
+        |  {"name": "id", "type": "long"},
+        |  {"name": "mandatory_new", "type": "string"}]}""".stripMargin
+    intercept[Exception] {
+      AvroTable.readResolved(spark, dir, badJson).count()
+    }
+  }
+
   test("subset boundaries fail loudly") {
     // non-string-keyed map on write (string-keyed maps are in-subset
     // since r10 — Avro maps are string-keyed by definition)

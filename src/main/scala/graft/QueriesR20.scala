@@ -162,10 +162,70 @@ object QueriesR20 {
       .orderBy(col("doc_id"))
   }
 
+  /** Little-endian hex of a (small, non-negative) integer column over
+    * `nBytes` bytes — the M-family fixture-construction helper (the
+    * QueriesR17/R18 idiom, restated locally).
+    */
+  private def le(v: org.apache.spark.sql.Column, nBytes: Int)
+      : org.apache.spark.sql.Column =
+    concat((0 until nBytes).map(i =>
+      lpad(hex(pmod(v.cast("long") / (1L << (8 * i)), lit(256)).cast("int")),
+        2, "0")): _*)
+
+  /** One little-endian IFD entry: tag, type, count, inline value. */
+  private def ifdEntry(tag: Int, typ: Int, count: Int,
+      value: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat(le(lit(tag), 2), le(lit(typ), 2), le(lit(count), 4), le(value, 4))
+
+  /** M17d (r10b): PLANAR-configuration-2 TIFF decode — each row
+    * synthesizes a real little-endian RGB TIFF whose three strips each
+    * carry ONE channel's plane, plane-major (tag 284 = 2, out-of-line
+    * BitsPerSample/StripOffsets/StripByteCounts arrays), and
+    * [[graft.multimodal.TiffRaster]] re-interleaves them into the M10
+    * statistics; the oracle regenerates each channel arithmetically,
+    * so a decoder that misorders planes or re-reads one plane as
+    * chunky hash-fails. Multi-band planar strips, the per-plane
+    * predictor, and tiled planes live in the spec.
+    */
+  def mmTiffPlanarStats(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("doc_id"))
+      .withColumn("w", (col("doc_id") % 4 + 2).cast("int"))
+      .withColumn("h", (col("doc_id") % 3 + 1).cast("int"))
+      .withColumn("nb", col("w") * col("h"))
+    val header = concat(lit("49492A00"), le(lit(8), 4), le(lit(10), 2))
+    val ifd = concat(
+      ifdEntry(256, 3, 1, col("w")), ifdEntry(257, 3, 1, col("h")),
+      ifdEntry(258, 3, 3, lit(134)), ifdEntry(259, 3, 1, lit(1)),
+      ifdEntry(262, 3, 1, lit(2)), ifdEntry(273, 4, 3, lit(140)),
+      ifdEntry(277, 3, 1, lit(3)), ifdEntry(278, 3, 1, col("h")),
+      ifdEntry(279, 4, 3, lit(152)), ifdEntry(284, 3, 1, lit(2)),
+      le(lit(0), 4), // next IFD: none
+      lit("080008000800"), // BitsPerSample [8,8,8] at 134
+      le(lit(164), 4), le(col("nb") + 164, 4), // StripOffsets at 140:
+      le(col("nb") * 2 + 164, 4), //   one strip per plane
+      le(col("nb"), 4), le(col("nb"), 4), le(col("nb"), 4)) // counts at 152
+    // planes at 164: R bytes, then G, then B — channel c pixel k is
+    // (doc_id*11 + c*41 + k*19) % 256
+    val planes = expr(
+      """array_join(transform(sequence(0, 3 * nb - 1), k ->
+        |  lpad(hex((doc_id * 11 + (k div nb) * 41 + (k % nb) * 19) % 256),
+        |    2, '0')), '')""".stripMargin)
+    val payload = unhex(concat(header, ifd, planes))
+    d.withColumn("st", graft.multimodal.TiffRaster.tiff_stats(payload))
+      .select(Seq(col("doc_id")) ++
+        graft.multimodal.TiffRaster.schema.fieldNames.map(f =>
+          col(s"st.$f").as(f)): _*)
+      .withColumn("channels", col("channels").cast("long"))
+      .withColumn("width", col("width").cast("long"))
+      .withColumn("height", col("height").cast("long"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_kafka_seek_ts" -> (streamKafkaSeekTs _),
     "iceberg_append_roundtrip" -> (icebergAppendRoundtrip _),
-    "avro_evolution_roundtrip" -> (avroEvolutionRoundtrip _))
+    "avro_evolution_roundtrip" -> (avroEvolutionRoundtrip _),
+    "mm_tiff_planar_stats" -> (mmTiffPlanarStats _))
 
   val sql: Map[String, String] = Map(
     "stream_kafka_seek_ts" ->
@@ -188,5 +248,39 @@ object QueriesR20 {
       """SELECT doc_id, source,
         |  CASE WHEN doc_id % 2 = 1 THEN CAST(length(text) AS BIGINT) END
         |    AS text_len
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm_tiff_planar_stats" ->
+      """WITH dims AS (
+        |  SELECT doc_id, doc_id % 4 + 2 AS w, doc_id % 3 + 1 AS h
+        |  FROM documents
+        |), px AS (
+        |  SELECT doc_id,
+        |    (doc_id*11 + p*19) % 256 AS r,
+        |    (doc_id*11 + 41 + p*19) % 256 AS g,
+        |    (doc_id*11 + 82 + p*19) % 256 AS b
+        |  FROM (SELECT doc_id,
+        |          unnest(generate_series(0, w * h - 1)) AS p FROM dims)
+        |), lum AS (
+        |  SELECT doc_id, r, g, b,
+        |         CASE WHEN (299*r + 587*g + 114*b) // 31875 > 7 THEN 7
+        |              ELSE (299*r + 587*g + 114*b) // 31875 END AS bk
+        |  FROM px
+        |)
+        |SELECT d.doc_id, CAST(3 AS BIGINT) AS channels,
+        |  CAST(d.w AS BIGINT) AS width, CAST(d.h AS BIGINT) AS height,
+        |  CAST(d.w * d.h AS BIGINT) AS n_px,
+        |  CAST(SUM(l.r) AS BIGINT) AS sum_r,
+        |  CAST(SUM(l.g) AS BIGINT) AS sum_g,
+        |  CAST(SUM(l.b) AS BIGINT) AS sum_b,
+        |  CAST(SUM(CASE WHEN bk = 0 THEN 1 ELSE 0 END) AS BIGINT) AS h0,
+        |  CAST(SUM(CASE WHEN bk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS h1,
+        |  CAST(SUM(CASE WHEN bk = 2 THEN 1 ELSE 0 END) AS BIGINT) AS h2,
+        |  CAST(SUM(CASE WHEN bk = 3 THEN 1 ELSE 0 END) AS BIGINT) AS h3,
+        |  CAST(SUM(CASE WHEN bk = 4 THEN 1 ELSE 0 END) AS BIGINT) AS h4,
+        |  CAST(SUM(CASE WHEN bk = 5 THEN 1 ELSE 0 END) AS BIGINT) AS h5,
+        |  CAST(SUM(CASE WHEN bk = 6 THEN 1 ELSE 0 END) AS BIGINT) AS h6,
+        |  CAST(SUM(CASE WHEN bk = 7 THEN 1 ELSE 0 END) AS BIGINT) AS h7
+        |FROM dims d JOIN lum l USING (doc_id)
+        |GROUP BY d.doc_id, d.w, d.h
+        |ORDER BY d.doc_id""".stripMargin)
 }

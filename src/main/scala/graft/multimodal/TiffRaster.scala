@@ -34,12 +34,19 @@ import org.apache.spark.sql.types._
   * full padded tile size, the predictor undoes per tile row, and
   * right/bottom edge padding never reaches the statistics.
   *
+  * Planar configurations (r10b): chunky (1, RGBRGB…) AND separate
+  * planes (2) — under PlanarConfiguration=2 each strip/tile carries
+  * ONE channel's samples and the regions order plane-major (all R
+  * bands/tiles, then G, then B, the spec's rule); compression and the
+  * predictor apply per plane (stride 1), and the three same-geometry
+  * planes of a band/tile accumulate together.
+  *
   * Subset honored (reject-by-null, never misread): single-IFD,
   * 8 bits per sample on every channel, SamplesPerPixel 1
-  * (BlackIsZero/WhiteIsZero gray or palette) or 3 (RGB), chunky
-  * planar configuration, tile dims multiples of 16 (the spec's rule),
-  * strip/tile regions fully inside the payload. Gray contributes
-  * equally to all three channel sums (the M15 contract).
+  * (BlackIsZero/WhiteIsZero gray or palette) or 3 (RGB), tile dims
+  * multiples of 16 (the spec's rule), strip/tile regions fully inside
+  * the payload. Gray contributes equally to all three channel sums
+  * (the M15 contract).
   */
 object TiffRaster {
 
@@ -147,7 +154,12 @@ object TiffRaster {
       e += 1
     }
     if (w <= 0 || h <= 0 || w > Int.MaxValue / 4 || h > Int.MaxValue) return null
-    if (planar != 1) return null
+    // PlanarConfiguration 2 (r10b): each strip/tile carries ONE
+    // channel's samples, plane-major (all R regions, then G, then B —
+    // the spec's ordering). With spp=1 the single plane IS the chunky
+    // raster, so only RGB takes the separate-plane path.
+    if (planar != 1 && planar != 2) return null
+    val planarSep = planar == 2 && spp == 3
     if (compression != 1 && compression != 5 && compression != 8 &&
       compression != 32773 && compression != 32946) return null
     if (predictor != 1 && predictor != 2) return null
@@ -197,21 +209,26 @@ object TiffRaster {
     }
 
     // predictor 2: horizontal differencing — each sample is a delta
-    // against the previous pixel's same channel, per buffer row
-    def undoPredictor(data: Array[Byte], rows: Int, rowBytes: Int): Unit =
+    // against the previous pixel's same channel, per buffer row;
+    // `stride` = samples per pixel IN THIS BUFFER (spp for chunky,
+    // 1 inside a separate plane)
+    def undoPredictorStride(data: Array[Byte], rows: Int, rowBytes: Int,
+                            stride: Int): Unit =
       if (predictor == 2) {
-        val sppI = spp.toInt
         var r0 = 0
         while (r0 < rows) {
           val rowAt = r0 * rowBytes
-          var i = sppI
+          var i = stride
           while (i < rowBytes) {
-            data(rowAt + i) = (data(rowAt + i) + data(rowAt + i - sppI)).toByte
+            data(rowAt + i) = (data(rowAt + i) + data(rowAt + i - stride)).toByte
             i += 1
           }
           r0 += 1
         }
       }
+
+    def undoPredictor(data: Array[Byte], rows: Int, rowBytes: Int): Unit =
+      undoPredictorStride(data, rows, rowBytes, spp.toInt)
 
     // accumulate `rows` buffer rows; each holds `bufW` pixels of which
     // the first `validW` are image pixels (tiles pad right/bottom edges
@@ -253,28 +270,103 @@ object TiffRaster {
       }
     }
 
+    // planar-config-2 accumulation: one same-geometry buffer per channel
+    def accumRowsPlanar(cr: Array[Byte], cg: Array[Byte], cb: Array[Byte],
+                        rows: Int, bufW: Int, validW: Int): Unit = {
+      var r = 0
+      while (r < rows) {
+        val rowAt = r * bufW
+        var x = 0
+        while (x < validW) {
+          val pr = cr(rowAt + x) & 0xff
+          val pg = cg(rowAt + x) & 0xff
+          val pb = cb(rowAt + x) & 0xff
+          sumR += pr; sumG += pg; sumB += pb
+          val luma = 299 * pr + 587 * pg + 114 * pb
+          var bucket = luma / 31875
+          if (bucket > 7) bucket = 7
+          hist(bucket) += 1L
+          x += 1
+        }
+        r += 1
+      }
+    }
+
     if (tiled) {
       val across = ((w + tileW - 1) / tileW).toInt
       val down = ((h + tileL - 1) / tileL).toInt
-      if (tileOffsets.length != across * down) return null
-      // every tile decompresses to the FULL padded tile size (spec)
-      val needL = tileW * tileL * spp
-      if (needL <= 0 || needL > (1L << 28)) return null
-      val need = needL.toInt
-      var ty = 0
-      while (ty < down) {
-        val validRows = math.min(tileL, h - ty.toLong * tileL).toInt
-        var tx = 0
-        while (tx < across) {
-          val idx = ty * across + tx
-          val data = decodeRegion(tileOffsets(idx), tileCounts(idx), need)
-          if (data == null) return null
-          undoPredictor(data, tileL.toInt, (tileW * spp).toInt)
-          val validW = math.min(tileW, w - tx.toLong * tileW).toInt
-          accumRows(data, validRows, tileW.toInt, validW)
-          tx += 1
+      val perPlane = across * down
+      if (planarSep) {
+        // one tile grid PER CHANNEL, plane-major tile order (spec)
+        if (tileOffsets.length != 3 * perPlane) return null
+        val needL = tileW * tileL
+        if (needL <= 0 || needL > (1L << 28)) return null
+        val need = needL.toInt
+        var ty = 0
+        while (ty < down) {
+          val validRows = math.min(tileL, h - ty.toLong * tileL).toInt
+          var tx = 0
+          while (tx < across) {
+            val idx = ty * across + tx
+            val cr = decodeRegion(tileOffsets(idx), tileCounts(idx), need)
+            val cg = decodeRegion(tileOffsets(perPlane + idx),
+              tileCounts(perPlane + idx), need)
+            val cb = decodeRegion(tileOffsets(2 * perPlane + idx),
+              tileCounts(2 * perPlane + idx), need)
+            if (cr == null || cg == null || cb == null) return null
+            undoPredictorStride(cr, tileL.toInt, tileW.toInt, 1)
+            undoPredictorStride(cg, tileL.toInt, tileW.toInt, 1)
+            undoPredictorStride(cb, tileL.toInt, tileW.toInt, 1)
+            val validW = math.min(tileW, w - tx.toLong * tileW).toInt
+            accumRowsPlanar(cr, cg, cb, validRows, tileW.toInt, validW)
+            tx += 1
+          }
+          ty += 1
         }
-        ty += 1
+      } else {
+        if (tileOffsets.length != perPlane) return null
+        // every tile decompresses to the FULL padded tile size (spec)
+        val needL = tileW * tileL * spp
+        if (needL <= 0 || needL > (1L << 28)) return null
+        val need = needL.toInt
+        var ty = 0
+        while (ty < down) {
+          val validRows = math.min(tileL, h - ty.toLong * tileL).toInt
+          var tx = 0
+          while (tx < across) {
+            val idx = ty * across + tx
+            val data = decodeRegion(tileOffsets(idx), tileCounts(idx), need)
+            if (data == null) return null
+            undoPredictor(data, tileL.toInt, (tileW * spp).toInt)
+            val validW = math.min(tileW, w - tx.toLong * tileW).toInt
+            accumRows(data, validRows, tileW.toInt, validW)
+            tx += 1
+          }
+          ty += 1
+        }
+      }
+    } else if (planarSep) {
+      // strips plane-major: strips 0..n-1 = R's row bands, then G, then B
+      val nStrips = ((h + rps - 1) / rps).toInt
+      if (offsets.length != 3 * nStrips) return null
+      var strip = 0
+      var row = 0L
+      while (strip < nStrips) {
+        val rowsHere = math.min(rps, h - row)
+        val needL = w * rowsHere // one channel's bytes for the band
+        if (needL < 0 || needL > (1L << 28)) return null
+        val cr = decodeRegion(offsets(strip), counts(strip), needL.toInt)
+        val cg = decodeRegion(offsets(nStrips + strip),
+          counts(nStrips + strip), needL.toInt)
+        val cb = decodeRegion(offsets(2 * nStrips + strip),
+          counts(2 * nStrips + strip), needL.toInt)
+        if (cr == null || cg == null || cb == null) return null
+        undoPredictorStride(cr, rowsHere.toInt, w.toInt, 1)
+        undoPredictorStride(cg, rowsHere.toInt, w.toInt, 1)
+        undoPredictorStride(cb, rowsHere.toInt, w.toInt, 1)
+        accumRowsPlanar(cr, cg, cb, rowsHere.toInt, w.toInt, w.toInt)
+        row += rowsHere
+        strip += 1
       }
     } else {
       val rowBytes = w * spp

@@ -118,6 +118,124 @@ class TiffRasterSpec extends AnyFunSuite {
     bos.toByteArray
   }
 
+  // planar-configuration-2 RGB fixture (little-endian): per-channel
+  // strips plane-major, optional per-plane predictor-2 differencing;
+  // `planes` < 3 under-supplies the region arrays (boundary test)
+  private def planarStripTiff(w: Int, h: Int, px: (Int, Int, Int) => Int,
+      rps: Int, usePredictor: Boolean = false, planes: Int = 3): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    def w16(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff) }
+    def w32(v: Int): Unit = { w16(v & 0xffff); w16((v >>> 16) & 0xffff) }
+    val nBands = (h + rps - 1) / rps
+    val n = if (usePredictor) 11 else 10
+    val ifdEnd = 8 + 2 + n * 12 + 4
+    val bitsAt = ifdEnd
+    val offsAt = bitsAt + 6
+    val cntsAt = offsAt + planes * nBands * 4
+    val dataAt = cntsAt + planes * nBands * 4
+    bos.write('I'); bos.write('I'); w16(42); w32(8)
+    w16(n)
+    def entry(tag: Int, typ: Int, cnt: Int, v: Int): Unit = {
+      w16(tag); w16(typ); w32(cnt)
+      if (typ == 3 && cnt == 1) { w16(v); w16(0) } else w32(v)
+    }
+    entry(256, 3, 1, w); entry(257, 3, 1, h)
+    entry(258, 3, 3, bitsAt); entry(259, 3, 1, 1)
+    entry(262, 3, 1, 2); entry(273, 4, planes * nBands, offsAt)
+    entry(277, 3, 1, 3); entry(278, 3, 1, rps)
+    entry(279, 4, planes * nBands, cntsAt); entry(284, 3, 1, 2)
+    if (usePredictor) entry(317, 3, 1, 2)
+    w32(0)
+    w16(8); w16(8); w16(8)
+    val bandRows = (0 until nBands).map(s => math.min(rps, h - s * rps))
+    var off = dataAt
+    for (_ <- 0 until planes; s <- 0 until nBands) {
+      w32(off); off += w * bandRows(s)
+    }
+    for (_ <- 0 until planes; s <- 0 until nBands) w32(w * bandRows(s))
+    for (c <- 0 until planes; s <- 0 until nBands) {
+      val y0 = s * rps
+      for (dy <- 0 until bandRows(s)) {
+        val y = y0 + dy
+        var prev = 0
+        for (x <- 0 until w) {
+          val v = px(c, x, y)
+          if (usePredictor) { bos.write((v - prev) & 0xff); prev = v }
+          else bos.write(v)
+        }
+      }
+    }
+    bos.toByteArray
+  }
+
+  // planar tiled fixture: one 16×16 tile per channel, plane-major
+  private def planarTiledTiff(w: Int, h: Int,
+      px: (Int, Int, Int) => Int): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    def w16(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff) }
+    def w32(v: Int): Unit = { w16(v & 0xffff); w16((v >>> 16) & 0xffff) }
+    val n = 11
+    val ifdEnd = 8 + 2 + n * 12 + 4
+    val bitsAt = ifdEnd; val offsAt = bitsAt + 6
+    val cntsAt = offsAt + 12; val dataAt = cntsAt + 12
+    bos.write('I'); bos.write('I'); w16(42); w32(8)
+    w16(n)
+    def entry(tag: Int, typ: Int, cnt: Int, v: Int): Unit = {
+      w16(tag); w16(typ); w32(cnt)
+      if (typ == 3 && cnt == 1) { w16(v); w16(0) } else w32(v)
+    }
+    entry(256, 3, 1, w); entry(257, 3, 1, h)
+    entry(258, 3, 3, bitsAt); entry(259, 3, 1, 1)
+    entry(262, 3, 1, 2); entry(277, 3, 1, 3)
+    entry(284, 3, 1, 2)
+    entry(322, 3, 1, 16); entry(323, 3, 1, 16)
+    entry(324, 4, 3, offsAt); entry(325, 4, 3, cntsAt)
+    w32(0)
+    w16(8); w16(8); w16(8)
+    (0 until 3).foreach(c => w32(dataAt + c * 256))
+    (0 until 3).foreach(_ => w32(256))
+    for (c <- 0 until 3; y <- 0 until 16; x <- 0 until 16)
+      bos.write(if (x < w && y < h) px(c, x, y) else 0)
+    bos.toByteArray
+  }
+
+  test("planar-config-2 strips decode identically to the chunky JDK encoding (r10b)") {
+    val w = 7; val h = 5
+    def ch(c: Int, x: Int, y: Int): Int = (x * 29 + y * 61 + c * 97) % 256
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, (ch(0, x, y) << 16) | (ch(1, x, y) << 8) | ch(2, x, y))
+    val chunky = TiffRaster.parse(jdkTiff(img))
+    assert(chunky != null)
+    // multi-band planar strips (rps=2 -> 3 bands x 3 planes = 9 strips)
+    val planar = TiffRaster.parse(planarStripTiff(w, h, ch, rps = 2))
+    assert(planar != null, "planar-config-2 must be in the subset now")
+    assert(planar.toSeq(TiffRaster.schema) == chunky.toSeq(TiffRaster.schema),
+      "separate planes must re-interleave to the chunky statistics")
+    // predictor 2 differences PER PLANE (stride 1) and agrees
+    val pred = TiffRaster.parse(
+      planarStripTiff(w, h, ch, rps = 2, usePredictor = true))
+    assert(pred != null &&
+      pred.toSeq(TiffRaster.schema) == chunky.toSeq(TiffRaster.schema))
+    // an under-supplied region array (1 plane's strips under tag 284=2)
+    // rejects rather than misreads
+    assert(TiffRaster.parse(
+      planarStripTiff(w, h, ch, rps = 2, planes = 1)) == null)
+  }
+
+  test("planar-config-2 tiles decode identically to the chunky JDK encoding (r10b)") {
+    val w = 6; val h = 4
+    def ch(c: Int, x: Int, y: Int): Int = (x * 41 + y * 23 + c * 113) % 256
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, (ch(0, x, y) << 16) | (ch(1, x, y) << 8) | ch(2, x, y))
+    val chunky = TiffRaster.parse(jdkTiff(img))
+    val planar = TiffRaster.parse(planarTiledTiff(w, h, ch))
+    assert(planar != null)
+    assert(planar.toSeq(TiffRaster.schema) == chunky.toSeq(TiffRaster.schema),
+      "per-plane tiles (with padding) must re-interleave to chunky stats")
+  }
+
   test("big-endian and little-endian fixtures agree") {
     val px = (p: Int) => (p * 41 + 3) % 256
     val a = TiffRaster.parse(handTiff(5, 4, px, bigEndian = false, 4))

@@ -54,7 +54,11 @@ object Bench {
     "stream_kafka_bus", "mm_tiff_packbits_stats", "dedup_fuzzy_edit",
     // round-10 surface: compressed TFRecord shards, the Kafka produce
     // leg, tiled TIFF decode
-    "tfrecord_gzip_roundtrip", "stream_kafka_produce", "mm_tiff_tiled_stats")
+    "tfrecord_gzip_roundtrip", "stream_kafka_produce", "mm_tiff_tiled_stats",
+    // round-10b surface: time seeks on the Kafka wire, Iceberg append
+    // commits, Avro reader-schema resolution, planar TIFF decode
+    "stream_kafka_seek_ts", "iceberg_append_roundtrip",
+    "avro_evolution_roundtrip", "mm_tiff_planar_stats")
 
   /** Dedup/ER-heavy tier (r9 split, the graph_heavy rationale): the
     * multi-second blocking/verification dedup gates whose constants were

@@ -473,7 +473,7 @@ object QueriesR16 {
       (s.sparkContext.applicationId, dir, "delta"),
       _ => buildDeltaFresh(s, dir))
 
-  private def buildDeltaFresh(s: SparkSession, dir: String): String = {
+  private[graft] def buildDeltaFresh(s: SparkSession, dir: String): String = {
         val t0 = java.nio.file.Files.createTempDirectory("delta_rt")
         val sup = t(s, dir, "supplier").select(col("s_suppkey"),
           centsBal.as("bal_cents"),

@@ -411,6 +411,113 @@ object DeltaLog {
     st.version
   }
 
+  /** OPTIMIZE — bin-packing compaction (r10b): rewrite every partition
+    * group holding more than one live file OR any deletion vector into
+    * fresh compacted file(s); DVs FOLD INTO the rewrite (dead rows
+    * materialize away, the descriptor disappears), and the whole table
+    * compacts in ONE atomic commit of paired remove+add actions with
+    * `dataChange: false` — the OPTIMIZE contract (downstream CDC/
+    * streaming consumers know no data changed). New files carry
+    * numRecords + long-column min/max in `add.stats`, so
+    * [[filesInRange]] skipping keeps working after the rewrite;
+    * `maxRecordsPerFile > 0` bin-packs a large group into several
+    * files. Untouched groups stay byte-identical, and time travel to
+    * the pre-compaction version still sees the old layout. Returns the
+    * new version.
+    *
+    * Scale shape: one distributed read+write per partition group (the
+    * group's files scan in parallel, DV anti-joins run in executors);
+    * the commit itself is file METADATA, driver-side like every log
+    * operation.
+    */
+  def compact(spark: SparkSession, table: String,
+              maxRecordsPerFile: Long = 0L): Long = {
+    import org.apache.spark.sql.types.{LongType, StructType => SType}
+    import spark.implicits._
+    val st = state(spark, table)
+    val dataSchema = SType(
+      st.schema.fields.filterNot(f => st.partitionColumns.contains(f.name)))
+    val groups = st.files.groupBy(_.partitionValues).toSeq
+      .sortBy(_._1.toSeq.sorted.mkString(","))
+      .filter { case (_, fs) =>
+        fs.size > 1 || fs.exists(_.deletionVector.isDefined)
+      }
+    require(groups.nonEmpty,
+      "nothing to compact: every partition group is a single DV-free file")
+    val next = st.version + 1
+    val anchor = Paths.get(table).toAbsolutePath.getFileName.toString
+    val removes = Seq.newBuilder[String]
+    val newRels = Seq.newBuilder[(String, String)] // (relPath, pvJson)
+    groups.zipWithIndex.foreach { case ((pvals, files), gi) =>
+      val base0 = spark.read.schema(dataSchema)
+        .parquet(files.map(f => Paths.get(table, f.path).toString): _*)
+      val hasDv = files.exists(_.deletionVector.isDefined)
+      val df =
+        if (!hasDv) base0
+        else {
+          val tagged = base0.select(base0.columns.map(col).toSeq :+
+            col("_metadata.file_path").as("__fp") :+
+            col("_metadata.row_index").as("__pos"): _*)
+          val descriptors = files.flatMap(f =>
+            f.deletionVector.map(dv => (f.path, dv)))
+          val positions = spark.createDataset(descriptors)
+            .flatMap { case (rel, dvJson) =>
+              decodeDvPositions(table, dvJson).map(p => (rel, p))
+            }.toDF("__dvp", "__dvpos")
+          tagged.join(positions,
+            substring_index(col("__fp"), "/" + anchor + "/", -1) === col("__dvp") &&
+              col("__pos") === col("__dvpos"), "left_anti")
+            .select(dataSchema.fieldNames.map(col).toSeq: _*)
+        }
+      val tmp = Files.createTempDirectory("delta_opt")
+      val writer = df.coalesce(1).write.mode("overwrite")
+      (if (maxRecordsPerFile > 0)
+        writer.option("maxRecordsPerFile", maxRecordsPerFile)
+      else writer).parquet(tmp.toString)
+      val parts = Files.list(tmp).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .toSeq.sortBy(_.toString)
+      val pvJson = pvals.toSeq.sortBy(_._1)
+        .map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}")
+      parts.zipWithIndex.foreach { case (p, k) =>
+        val rel = s"compact-$next-$gi-$k.parquet"
+        Files.move(p, Paths.get(table, rel))
+        newRels += ((rel, pvJson))
+      }
+      files.foreach(f =>
+        removes += s"""{"remove":{"path":"${f.path}","dataChange":false}}""")
+    }
+    // per-new-file stats (numRecords + long min/max) in ONE grouped scan
+    val rels = newRels.result()
+    val longCols = dataSchema.fields
+      .filter(_.dataType == LongType).map(_.name).toSeq
+    val statsByName: Map[String, String] = {
+      val df = spark.read.schema(dataSchema)
+        .parquet(rels.map(r => Paths.get(table, r._1).toString): _*)
+      val aggs = count(lit(1)).as("__n") +: longCols.flatMap(c =>
+        Seq(min(col(c)).as(s"__lo_$c"), max(col(c)).as(s"__hi_$c")))
+      df.groupBy(col("_metadata.file_path").as("__fp"))
+        .agg(aggs.head, aggs.tail: _*)
+        .collect().map { r =>
+          val name = r.getString(0).split("/").last
+          def kv(pre: String): String = longCols.flatMap { c =>
+            Option(r.getAs[Any](s"__${pre}_$c")).map(v => s""""$c":$v""")
+          }.mkString(",")
+          name -> (s"""{"numRecords":${r.getAs[Long]("__n")},""" +
+            s""""minValues":{${kv("lo")}},"maxValues":{${kv("hi")}}}""")
+        }.toMap
+    }
+    val adds = rels.map { case (rel, pvJson) =>
+      val stats = statsByName.getOrElse(rel, """{"numRecords":0}""")
+      s"""{"add":{"path":"$rel","partitionValues":$pvJson,""" +
+        s""""dataChange":false,"stats":"${stats.replace("\"", "\\\"")}"}}"""
+    }
+    Files.writeString(
+      Paths.get(table, "_delta_log", f"$next%020d.json"),
+      (removes.result() ++ adds).mkString("\n"))
+    next
+  }
+
   /** DELETE rows from one live data file via a DELETION VECTOR (r10 —
     * the modern Delta delete: emit a Roaring DV instead of rewriting
     * the file). Reads `relPath` with parquet row indexes, evaluates

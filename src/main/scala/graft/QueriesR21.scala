@@ -1,0 +1,195 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Round-11 surface growth: the real-lake tier the r10 verdict ranked —
+  * Delta column mapping under the protocol guard (F14f: physical-name
+  * parquet columns mapped back to logical, the one silent-misread hole
+  * closed), deletion-vector MERGE on a re-deleted file (F14g), and
+  * Iceberg non-identity partition transforms (F15f). House contract as
+  * everywhere: deterministic fixtures, every gate a bit-exact hash
+  * compare against DuckDB on the same tables.
+  */
+object QueriesR21 {
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  private val tableBuildMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, String, String), String]()
+
+  private def writeSingleParquet(df: DataFrame,
+                                 target: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    val tmp = java.nio.file.Files.createTempDirectory("rt_part")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = java.nio.file.Files.list(tmp).iterator().asScala
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    java.nio.file.Files.createDirectories(target.getParent)
+    java.nio.file.Files.move(part, target)
+    graft.sources.DeltaLog.deleteTmp(tmp)
+  }
+
+  private def esc(s: String): String =
+    s.replace("\\", "\\\\").replace("\"", "\\\"")
+
+  // ---------------------------------------------------------------
+  // F14f: Delta columnMapping=name — a table whose parquet data files
+  // carry PHYSICAL column names (the uuid-style names a renamed table
+  // keeps forever) while the log's schemaString maps them to logical
+  // names via field metadata; partitionValues keys are physical per
+  // the protocol. Before r11 this reader ignored the protocol action
+  // entirely and would have joined on the wrong columns; now the guard
+  // rejects unknown reader requirements and the read maps names back.
+  // ---------------------------------------------------------------
+
+  /** Physical names, fixed (what a real writer mints once at
+    * upgrade/rename time and never changes).
+    */
+  private val phys = Map(
+    "s_suppkey" -> "col-9f1a", "s_name" -> "col-22bd",
+    "cents" -> "col-77c0", "meta" -> "col-m31e",
+    "nm" -> "col-n1", "ln" -> "col-l2", "bucket" -> "col-b4k7")
+
+  private def buildDeltaColmapTable(s: SparkSession, dir: String): String =
+    tableBuildMemo.computeIfAbsent(
+      (s.sparkContext.applicationId, dir, "delta_colmap"), _ => {
+        import org.apache.spark.sql.types._
+        val t0 = java.nio.file.Files.createTempDirectory("delta_cm")
+        def fld(name: String, dt: DataType, id: Int): StructField =
+          StructField(name, dt, nullable = true,
+            new MetadataBuilder()
+              .putLong("delta.columnMapping.id", id)
+              .putString("delta.columnMapping.physicalName", phys(name))
+              .build())
+        val metaT = StructType(Seq(
+          fld("nm", StringType, 5), fld("ln", LongType, 6)))
+        val schema = StructType(Seq(
+          fld("s_suppkey", LongType, 1), fld("s_name", StringType, 2),
+          fld("cents", LongType, 3), fld("meta", metaT, 4),
+          fld("bucket", StringType, 7)))
+        val sup = t(s, dir, "supplier").select(
+          col("s_suppkey").cast("long").as("s_suppkey"), col("s_name"),
+          (col("s_acctbal").cast("decimal(12,2)") * 100)
+            .cast("long").as("cents"),
+          pmod(col("s_suppkey"), lit(3)).cast("string").as("bucket"))
+        // data files under PHYSICAL names at every nesting level
+        val adds = (0 until 3).map { b =>
+          val rel = s"data/b$b.parquet"
+          writeSingleParquet(
+            sup.filter(col("bucket") === b.toString).select(
+              col("s_suppkey").as(phys("s_suppkey")),
+              col("s_name").as(phys("s_name")),
+              col("cents").as(phys("cents")),
+              struct(col("s_name").as(phys("nm")),
+                length(col("s_name")).cast("long").as(phys("ln")))
+                .as(phys("meta"))),
+            t0.resolve(rel))
+          s"""{"add":{"path":"$rel","partitionValues":{"${phys("bucket")}":"$b"},"dataChange":true}}"""
+        }
+        val metaLine =
+          s"""{"metaData":{"id":"cm","schemaString":"${esc(schema.json)}",""" +
+            s""""partitionColumns":["bucket"],""" +
+            s""""configuration":{"delta.columnMapping.mode":"name","delta.columnMapping.maxColumnId":"7"}}}"""
+        val protoLine =
+          """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}"""
+        val logDir = t0.resolve("_delta_log")
+        java.nio.file.Files.createDirectories(logDir)
+        java.nio.file.Files.writeString(logDir.resolve(f"${0L}%020d.json"),
+          (Seq(protoLine, metaLine) ++ adds).mkString("\n"))
+        t0.toString
+      })
+
+  /** F14f (r11): Delta columnMapping=name read — the parquet files
+    * hold only physical uuid-style names (`col-…`, nested struct
+    * fields included) and physical partitionValues keys; the reader
+    * maps them back to the logical schema from the metaData field
+    * metadata, under a protocol guard that rejects any reader
+    * requirement this subset does not implement. Oracle = the same
+    * projection in plain SQL — the mapping must be invisible.
+    */
+  def deltaColmapRoundtrip(s: SparkSession, dir: String): DataFrame =
+    graft.sources.DeltaLog.read(s, buildDeltaColmapTable(s, dir))
+      .select(col("s_suppkey"), col("s_name"), col("cents"),
+        col("meta.nm").as("meta_nm"), col("meta.ln").as("meta_ln"),
+        col("bucket"))
+      .orderBy(col("s_suppkey"))
+
+  // ---------------------------------------------------------------
+  // F14g: deletion-vector MERGE — two engine DV commits against the
+  // SAME data file; the second decodes the first's bitmap and unions
+  // it with the new positions (what real engines do on a hot file)
+  // instead of rejecting or silently dropping the earlier deletes.
+  // ---------------------------------------------------------------
+
+  private def buildDeltaDvMergeTable(s: SparkSession, dir: String): String =
+    tableBuildMemo.computeIfAbsent(
+      (s.sparkContext.applicationId, dir, "delta_dvmerge"), _ => {
+        val t0 = java.nio.file.Files.createTempDirectory("delta_dvm")
+        val sup = t(s, dir, "supplier").select(
+          col("s_suppkey").cast("long").as("s_suppkey"),
+          (col("s_acctbal").cast("decimal(12,2)") * 100)
+            .cast("long").as("cents"),
+          pmod(col("s_suppkey"), lit(2)).cast("string").as("bucket"))
+        val schema = org.apache.spark.sql.types.StructType.fromDDL(
+          "s_suppkey BIGINT, cents BIGINT, bucket STRING")
+        val adds = (0 until 2).map { b =>
+          val rel = s"data/bucket=$b/f0.parquet"
+          writeSingleParquet(
+            sup.filter(col("bucket") === b.toString).drop("bucket")
+              .orderBy(col("s_suppkey")),
+            t0.resolve(rel))
+          s"""{"add":{"path":"$rel","partitionValues":{"bucket":"$b"},"dataChange":true}}"""
+        }
+        val meta =
+          s"""{"metaData":{"id":"dvm","schemaString":"${esc(schema.json)}","partitionColumns":["bucket"]}}"""
+        val logDir = t0.resolve("_delta_log")
+        java.nio.file.Files.createDirectories(logDir)
+        java.nio.file.Files.writeString(logDir.resolve(f"${0L}%020d.json"),
+          (meta +: adds).mkString("\n"))
+        // two DV commits on bucket 0's file (even s_suppkeys): %4 rows
+        // first, then %6 rows — overlapping at multiples of 12, so the
+        // second commit MUST union, not replace
+        val v1 = graft.sources.DeltaLog.deleteWithDv(s, t0.toString,
+          "data/bucket=0/f0.parquet", col("s_suppkey") % 4 === 0,
+          uuid = new java.util.UUID(0x6772616674L, 0x64766d31L)) // fixed
+        require(v1 == 1L, s"first DV commit landed at version $v1, want 1")
+        val v2 = graft.sources.DeltaLog.deleteWithDv(s, t0.toString,
+          "data/bucket=0/f0.parquet", col("s_suppkey") % 6 === 0,
+          uuid = new java.util.UUID(0x6772616674L, 0x64766d32L)) // fixed
+        require(v2 == 2L, s"second DV commit landed at version $v2, want 2")
+        t0.toString
+      })
+
+  /** F14g (r11): deletion-vector merge on re-delete — the engine
+    * deletes `%4` rows, then `%6` rows of the SAME file in a second
+    * DV commit; its reader sees the union (rows divisible by 4 OR 6
+    * gone, the overlap at 12 deleted exactly once). Oracle = the
+    * survivors in plain SQL.
+    */
+  def deltaDvMergeRoundtrip(s: SparkSession, dir: String): DataFrame =
+    graft.sources.DeltaLog.read(s, buildDeltaDvMergeTable(s, dir))
+      .orderBy(col("s_suppkey"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "delta_colmap_roundtrip" -> (deltaColmapRoundtrip _),
+    "delta_dv_merge_roundtrip" -> (deltaDvMergeRoundtrip _))
+
+  val sql: Map[String, String] = Map(
+    "delta_colmap_roundtrip" ->
+      """SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name,
+        |  CAST(CAST(s_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+        |  s_name AS meta_nm, CAST(length(s_name) AS BIGINT) AS meta_ln,
+        |  CAST(s_suppkey % 3 AS VARCHAR) AS bucket
+        |FROM supplier ORDER BY s_suppkey""".stripMargin,
+    "delta_dv_merge_roundtrip" ->
+      """SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey,
+        |  CAST(CAST(s_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+        |  CAST(s_suppkey % 2 AS VARCHAR) AS bucket
+        |FROM supplier
+        |WHERE NOT (s_suppkey % 2 = 0
+        |           AND (s_suppkey % 4 = 0 OR s_suppkey % 6 = 0))
+        |ORDER BY s_suppkey""".stripMargin)
+}

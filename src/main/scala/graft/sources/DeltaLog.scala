@@ -41,6 +41,49 @@ import org.apache.spark.sql.types.{DataType, StructType}
   */
 object DeltaLog {
 
+  /** JSON string-body escape for hand-built commit lines: backslash and
+    * double-quote (the two structural escapes), plus control chars as
+    * `\u00XX` — a partition VALUE holding a quote must not corrupt the
+    * `_delta_log` line it rides in.
+    */
+  private[sources] def jsonEscape(s: String): String = {
+    val sb = new StringBuilder(s.length + 8)
+    s.foreach {
+      case '\\' => sb.append("\\\\")
+      case '"' => sb.append("\\\"")
+      case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
+      case c => sb.append(c)
+    }
+    sb.toString
+  }
+
+  /** List a staging dir's parquet part files with the directory stream
+    * CLOSED (an unclosed `Files.list`/`Files.walk` leaks a handle per
+    * commit), recursing into partition subdirectories.
+    */
+  private[sources] def listParquet(dir: java.nio.file.Path): Seq[java.nio.file.Path] = {
+    val st = Files.walk(dir)
+    try st.iterator().asScala
+      .filter(p => Files.isRegularFile(p) &&
+        p.getFileName.toString.endsWith(".parquet"))
+      .toSeq.sortBy(_.toString)
+    finally st.close()
+  }
+
+  /** Remove a commit's staging directory once its parts have moved —
+    * temp dirs must not accumulate across commits.
+    */
+  private[graft] def deleteTmp(dir: java.nio.file.Path): Unit = {
+    val st = Files.walk(dir)
+    val all = try st.iterator().asScala.toSeq finally st.close()
+    all.sortBy(-_.getNameCount).foreach(Files.deleteIfExists(_))
+  }
+
+  private[sources] def pvJsonOf(pvals: Map[String, String]): String =
+    pvals.toSeq.sortBy(_._1).map { case (k, v) =>
+      s""""${jsonEscape(k)}":${if (v == null) "null" else "\"" + jsonEscape(v) + "\""}"""
+    }.mkString("{", ",", "}")
+
   /** One live data file after log replay. `stats` is the raw `add.stats`
     * JSON (numRecords/minValues/maxValues) when the writer recorded it —
     * decoded lazily by [[filesInRange]] for min/max file skipping.
@@ -49,9 +92,29 @@ object DeltaLog {
                             stats: Option[String] = None,
                             deletionVector: Option[String] = None)
 
-  /** Replayed table state at a version. */
+  /** Replayed table state at a version. `configuration` is the last
+    * metaData action's table configuration (columnMapping mode lives
+    * there); `minReaderVersion`/`readerFeatures` are the last protocol
+    * action's reader requirements (validated in [[state]] — a reader
+    * MUST refuse a table whose protocol it does not fully understand
+    * rather than silently misread it).
+    */
   final case class State(version: Long, schema: StructType,
-                         partitionColumns: Seq[String], files: Seq[LiveFile])
+                         partitionColumns: Seq[String], files: Seq[LiveFile],
+                         configuration: Map[String, String] = Map.empty,
+                         minReaderVersion: Int = 1,
+                         readerFeatures: Seq[String] = Seq.empty) {
+    def columnMappingMode: String =
+      configuration.getOrElse("delta.columnMapping.mode", "none")
+  }
+
+  /** Reader features this subset actually implements — the allowlist the
+    * protocol guard checks `readerFeatures` against. `v2Checkpoint` is
+    * absent on purpose (this reader replays classic checkpoints only);
+    * an unknown feature rejects LOUDLY instead of misreading.
+    */
+  private val SupportedReaderFeatures =
+    Set("columnMapping", "deletionVectors", "timestampNtz")
 
   /** Fold one batch of action rows (a JSON commit or a checkpoint) into
     * the live-file map + metadata slot. JSON infers `partitionValues`
@@ -60,13 +123,20 @@ object DeltaLog {
     */
   private def fold(df: DataFrame,
                    live: collection.mutable.LinkedHashMap[String, (Map[String, String], Option[String], Option[String])],
-                   meta: Array[Option[(StructType, Seq[String])]]): Unit = {
+                   meta: Array[Option[(StructType, Seq[String], Map[String, String])]],
+                   proto: Array[Option[(Int, Seq[String])]]): Unit = {
     val roots = df.columns.toSet
     def sub(root: String, path: String) =
       if (roots.contains(root)) expr(path) else lit(null).cast("string")
     val addFields =
       if (roots.contains("add"))
         df.select("add.*").columns.toSet else Set.empty[String]
+    val metaFields =
+      if (roots.contains("metaData"))
+        df.select("metaData.*").columns.toSet else Set.empty[String]
+    val protoFields =
+      if (roots.contains("protocol"))
+        df.select("protocol.*").columns.toSet else Set.empty[String]
     // an unpartitioned table writes `"partitionValues":{}` — Spark's
     // JSON inference prunes the empty struct, so guard on the field
     val pv =
@@ -84,13 +154,32 @@ object DeltaLog {
       if (addFields.contains("deletionVector"))
         expr("to_json(add.deletionVector)")
       else lit(null).cast("string")
+    val conf =
+      if (metaFields.contains("configuration"))
+        expr("from_json(to_json(metaData.configuration), 'map<string,string>')")
+      else lit(null).cast("map<string,string>")
+    val mrv =
+      if (protoFields.contains("minReaderVersion"))
+        expr("protocol.minReaderVersion").cast("int")
+      else lit(null).cast("int")
+    val rfeat =
+      if (protoFields.contains("readerFeatures"))
+        expr("protocol.readerFeatures").cast("array<string>")
+      else lit(null).cast("array<string>")
     df.select(sub("add", "add.path"), pv, sub("remove", "remove.path"),
-        sub("metaData", "metaData.schemaString"), pc, stats, dv)
+        sub("metaData", "metaData.schemaString"), pc, stats, dv,
+        conf, mrv, rfeat)
       .collect().foreach { r =>
         if (!r.isNullAt(3)) {
           val sch = DataType.fromJson(r.getString(3)).asInstanceOf[StructType]
           val cols = if (r.isNullAt(4)) Seq.empty[String] else r.getSeq[String](4)
-          meta(0) = Some((sch, cols))
+          val cfg = if (r.isNullAt(7)) Map.empty[String, String]
+                    else r.getMap[String, String](7).toMap
+          meta(0) = Some((sch, cols, cfg))
+        }
+        if (!r.isNullAt(8)) {
+          val feats = if (r.isNullAt(9)) Seq.empty[String] else r.getSeq[String](9)
+          proto(0) = Some((r.getInt(8), feats))
         }
         if (!r.isNullAt(2)) live.remove(r.getString(2))
         if (!r.isNullAt(0)) {
@@ -156,11 +245,12 @@ object DeltaLog {
       (commits.map(_._1) ++ checkpoints.map(_._1)).maxOption.getOrElse(
         throw new IllegalArgumentException(s"empty delta log: $table")))
     val live = collection.mutable.LinkedHashMap[String, (Map[String, String], Option[String], Option[String])]()
-    val meta = Array[Option[(StructType, Seq[String])]](None)
+    val meta = Array[Option[(StructType, Seq[String], Map[String, String])]](None)
+    val proto = Array[Option[(Int, Seq[String])]](None)
     val ckpt = checkpoints.filter(_._1 <= upTo).maxByOption(_._1)
     ckpt.foreach { case (_, parts) =>
       fold(spark.read.parquet(parts.map(n => dir.resolve(n).toString): _*),
-        live, meta)
+        live, meta, proto)
     }
     val fromV = ckpt.map(_._1 + 1).getOrElse(0L)
     val haveV = commits.map(_._1).toSet
@@ -175,12 +265,53 @@ object DeltaLog {
       .foreach { case (_, name) =>
         val lines = Files.readAllLines(dir.resolve(name)).asScala.toSeq
           .filter(_.nonEmpty)
-        if (lines.nonEmpty) fold(spark.read.json(lines.toDS), live, meta)
+        if (lines.nonEmpty) fold(spark.read.json(lines.toDS), live, meta, proto)
       }
-    val (schema, partCols) = meta(0).getOrElse(
+    val (schema, partCols, config) = meta(0).getOrElse(
       throw new IllegalArgumentException(s"no metaData action in log: $table"))
+    // PROTOCOL GUARD: refuse a table whose reader requirements this
+    // subset does not fully implement — silently misreading a
+    // column-mapped or feature-gated table is the one failure mode the
+    // protocol action exists to prevent.
+    val (mrv, feats) = proto(0).getOrElse((1, Seq.empty[String]))
+    require(mrv <= 3,
+      s"delta protocol minReaderVersion=$mrv exceeds 3 (the newest this " +
+        s"reader implements): $table")
+    val unknown = feats.filterNot(SupportedReaderFeatures.contains)
+    require(unknown.isEmpty,
+      s"delta readerFeatures ${unknown.mkString(",")} not implemented by " +
+        s"this reader (supported: ${SupportedReaderFeatures.toSeq.sorted.mkString(",")}): $table")
+    val cmMode = config.getOrElse("delta.columnMapping.mode", "none")
+    require(cmMode == "none" || cmMode == "name",
+      s"delta.columnMapping.mode=$cmMode not supported (this reader " +
+        s"implements none|name; id-mode needs parquet field-id matching): $table")
     State(upTo, schema, partCols,
-      live.toSeq.map { case (p, (m, st, dv)) => LiveFile(p, m, st, dv) })
+      live.toSeq.map { case (p, (m, st, dv)) => LiveFile(p, m, st, dv) },
+      config, mrv, feats)
+  }
+
+  /** PHYSICAL name of a schema field under columnMapping=name: the
+    * `delta.columnMapping.physicalName` metadata key stamped at
+    * rename-guarding time by the writer; a field without one keeps its
+    * logical name (the pre-mapping columns of an upgraded table).
+    */
+  private def physicalName(f: org.apache.spark.sql.types.StructField): String =
+    if (f.metadata.contains("delta.columnMapping.physicalName"))
+      f.metadata.getString("delta.columnMapping.physicalName")
+    else f.name
+
+  /** The schema as WRITTEN in the parquet data files under
+    * columnMapping=name: every field (at every nesting level) renamed
+    * to its physical name; types unchanged.
+    */
+  private def physicalType(dt: DataType): DataType = dt match {
+    case st: StructType => StructType(st.fields.map(f =>
+      f.copy(name = physicalName(f), dataType = physicalType(f.dataType))))
+    case org.apache.spark.sql.types.ArrayType(et, n) =>
+      org.apache.spark.sql.types.ArrayType(physicalType(et), n)
+    case org.apache.spark.sql.types.MapType(k, v, n) =>
+      org.apache.spark.sql.types.MapType(physicalType(k), physicalType(v), n)
+    case other => other
   }
 
   /** The live files surviving min/max range pruning on `add.stats` —
@@ -226,8 +357,17 @@ object DeltaLog {
            ranges: Map[String, (Long, Long)] = Map.empty)
       : DataFrame = {
     val st = state(spark, table, versionAsOf)
-    val dataSchema = StructType(
-      st.schema.fields.filterNot(f => st.partitionColumns.contains(f.name)))
+    // columnMapping=name: data files store PHYSICAL names (from field
+    // metadata), and add.partitionValues keys are physical too — scan
+    // under the physical schema, then cast each column back to its
+    // logical field (struct casts rename nested fields positionally).
+    val mapped = st.columnMappingMode == "name"
+    val dataFields = st.schema.fields
+      .filterNot(f => st.partitionColumns.contains(f.name)).toSeq
+    val dataSchema =
+      if (mapped) StructType(dataFields.map(f =>
+        f.copy(name = physicalName(f), dataType = physicalType(f.dataType))))
+      else StructType(dataFields)
     val liveFiles = filesInRange(
       st.files.filter(f => partitionFilter(f.partitionValues)), ranges)
     val groups = liveFiles
@@ -248,11 +388,16 @@ object DeltaLog {
     val parts = groups.map { case (pvals, files) =>
       val base0 = spark.read.schema(dataSchema)
         .parquet(files.map(f => Paths.get(table, f.path).toString): _*)
-      val base = base0.select(base0.columns.map(col).toSeq ++ metaCols: _*)
+      val dataCols: Seq[org.apache.spark.sql.Column] =
+        if (mapped) dataFields.map(f =>
+          col(physicalName(f)).cast(f.dataType).as(f.name))
+        else base0.columns.map(col).toSeq
+      val base = base0.select(dataCols ++ metaCols: _*)
       st.partitionColumns.foldLeft(base) { (df, c0) =>
         val f = st.schema.fields.find(_.name == c0).getOrElse(
           throw new IllegalArgumentException(s"partition column $c0 not in schema"))
-        df.withColumn(c0, lit(pvals.getOrElse(c0, null)).cast(f.dataType))
+        val pvKey = if (mapped) physicalName(f) else c0
+        df.withColumn(c0, lit(pvals.getOrElse(pvKey, null)).cast(f.dataType))
       }.select((st.schema.fieldNames.toSeq ++
         (if (hasDv) Seq("__fp", "__pos") else Nil)).map(col): _*)
     }
@@ -363,9 +508,14 @@ object DeltaLog {
     val metaType = StructType(Seq(
       StructField("id", StringType),
       StructField("schemaString", StringType),
-      StructField("partitionColumns", ArrayType(StringType))))
+      StructField("partitionColumns", ArrayType(StringType)),
+      StructField("configuration", MapType(StringType, StringType))))
+    val protoType = StructType(Seq(
+      StructField("minReaderVersion", IntegerType),
+      StructField("readerFeatures", ArrayType(StringType))))
     val ckSchema = StructType(Seq(
       StructField("metaData", metaType, nullable = true),
+      StructField("protocol", protoType, nullable = true),
       StructField("add", addType, nullable = true)))
     def dvStruct(json: Option[String]): Row = json match {
       case None => null
@@ -378,9 +528,15 @@ object DeltaLog {
         Row(f("storageType"), f("pathOrInlineDv"),
           num("offset"), num("sizeInBytes"), num("cardinality"))
     }
+    val protoRow: Option[Row] =
+      if (st.minReaderVersion > 1 || st.readerFeatures.nonEmpty)
+        Some(Row(null, Row(st.minReaderVersion,
+          if (st.readerFeatures.isEmpty) null else st.readerFeatures), null))
+      else None
     val rows =
-      Row(Row("graft-ck", st.schema.json, st.partitionColumns), null) +:
-        st.files.map(f => Row(null,
+      (Row(Row("graft-ck", st.schema.json, st.partitionColumns,
+        st.configuration), null, null) +: protoRow.toSeq) ++
+        st.files.map(f => Row(null, null,
           Row(f.path, f.partitionValues, true, f.stats.orNull,
             dvStruct(f.deletionVector))))
     import scala.jdk.CollectionConverters._
@@ -389,10 +545,10 @@ object DeltaLog {
         spark.sparkContext.parallelize(slice, 1), ckSchema)
       val tmp = Files.createTempDirectory("delta_ck")
       df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = Files.list(tmp).iterator().asScala
-        .find(_.getFileName.toString.endsWith(".parquet")).get
+      val part = listParquet(tmp).headOption.get
       Files.move(part, target,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      deleteTmp(tmp)
     }
     val logDir = Paths.get(table, "_delta_log")
     if (parts == 1)
@@ -435,6 +591,9 @@ object DeltaLog {
     import org.apache.spark.sql.types.{LongType, StructType => SType}
     import spark.implicits._
     val st = state(spark, table)
+    require(st.columnMappingMode == "none",
+      s"OPTIMIZE on a column-mapped table is not in the stated subset " +
+        s"(mode=${st.columnMappingMode}): $table")
     val dataSchema = SType(
       st.schema.fields.filterNot(f => st.partitionColumns.contains(f.name)))
     val groups = st.files.groupBy(_.partitionValues).toSeq
@@ -474,16 +633,14 @@ object DeltaLog {
       (if (maxRecordsPerFile > 0)
         writer.option("maxRecordsPerFile", maxRecordsPerFile)
       else writer).parquet(tmp.toString)
-      val parts = Files.list(tmp).iterator().asScala
-        .filter(_.getFileName.toString.endsWith(".parquet"))
-        .toSeq.sortBy(_.toString)
-      val pvJson = pvals.toSeq.sortBy(_._1)
-        .map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}")
+      val parts = listParquet(tmp)
+      val pvJson = pvJsonOf(pvals)
       parts.zipWithIndex.foreach { case (p, k) =>
         val rel = s"compact-$next-$gi-$k.parquet"
         Files.move(p, Paths.get(table, rel))
         newRels += ((rel, pvJson))
       }
+      deleteTmp(tmp)
       files.foreach(f =>
         removes += s"""{"remove":{"path":"${f.path}","dataChange":false}}""")
     }
@@ -510,7 +667,7 @@ object DeltaLog {
     val adds = rels.map { case (rel, pvJson) =>
       val stats = statsByName.getOrElse(rel, """{"numRecords":0}""")
       s"""{"add":{"path":"$rel","partitionValues":$pvJson,""" +
-        s""""dataChange":false,"stats":"${stats.replace("\"", "\\\"")}"}}"""
+        s""""dataChange":false,"stats":"${jsonEscape(stats)}"}}"""
     }
     Files.writeString(
       Paths.get(table, "_delta_log", f"$next%020d.json"),
@@ -528,9 +685,11 @@ object DeltaLog {
     * root, and appends a commit re-adding the file with `dataChange:
     * false` and the `u`-storage descriptor. Returns the new version.
     *
-    * Stated subset: the target file must not already carry a DV
-    * (merging two DVs is a union this engine does not need yet —
-    * reject loudly, never silently drop the earlier deletes).
+    * Re-delete on a file that ALREADY carries a DV (r11): the existing
+    * bitmap decodes and UNIONS with the new positions — what real
+    * engines do on a hot file — so the re-added descriptor covers both
+    * generations of deletes; the earlier DV file stays on disk for
+    * time travel.
     *
     * Scale shape: the position set is per-FILE (Delta's own DV writer
     * materializes one bitmap per file too) — bounded by one file's
@@ -540,18 +699,21 @@ object DeltaLog {
                    predicate: org.apache.spark.sql.Column,
                    uuid: java.util.UUID = java.util.UUID.randomUUID()): Long = {
     val st = state(spark, table)
+    require(st.columnMappingMode == "none",
+      s"deleteWithDv on a column-mapped table is not in the stated " +
+        s"subset (mode=${st.columnMappingMode}): $table")
     val target = st.files.find(_.path == relPath).getOrElse(
       throw new IllegalArgumentException(s"$relPath is not a live file of $table"))
-    require(target.deletionVector.isEmpty,
-      s"$relPath already carries a deletion vector (DV merge not in subset)")
-    val positions = spark.read
+    val fresh = spark.read
       .parquet(Paths.get(table, relPath).toString)
       .select(col("_metadata.row_index").as("__pos"),
         col("*"))
       .filter(predicate)
       .select("__pos").as[Long](org.apache.spark.sql.Encoders.scalaLong)
-      .collect().sorted
-    require(positions.nonEmpty, "predicate deleted no rows: refuse a no-op DV")
+      .collect()
+    require(fresh.nonEmpty, "predicate deleted no rows: refuse a no-op DV")
+    val positions = (fresh.toSet ++ target.deletionVector.toSeq
+      .flatMap(dvJson => decodeDvPositions(table, dvJson))).toArray.sorted
     val bitmap = DeletionVectors.encodePortable64(positions)
     val (dvFile, dvOff, dvSize) = DeletionVectors.dvFileBytes(bitmap)
     Files.write(Paths.get(table, s"deletion_vector_$uuid.bin"), dvFile)
@@ -559,8 +721,7 @@ object DeltaLog {
     ub.putLong(uuid.getMostSignificantBits)
     ub.putLong(uuid.getLeastSignificantBits)
     val z85 = DeletionVectors.z85Encode(ub.array())
-    val pvJson = target.partitionValues.toSeq.sortBy(_._1)
-      .map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}")
+    val pvJson = pvJsonOf(target.partitionValues)
     val commit =
       s"""{"add":{"path":"$relPath","partitionValues":$pvJson,""" +
         s""""dataChange":false,"deletionVector":{"storageType":"u",""" +

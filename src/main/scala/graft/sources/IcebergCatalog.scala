@@ -553,10 +553,10 @@ object IcebergCatalog {
     positions.toSeq.map(p => (target.path, p))
       .toDF("file_path", "pos")
       .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-    val part = Files.list(tmp).iterator().asScala
-      .find(_.getFileName.toString.endsWith(".parquet")).get
+    val part = DeltaLog.listParquet(tmp).headOption.get
     Files.createDirectories(pdAbs.getParent)
     Files.move(part, pdAbs)
+    DeltaLog.deleteTmp(tmp)
     appendDeleteSnapshot(table, st,
       ManifestEntry(1, pdAbs.toString, 1, Map.empty), snapshotId)
   }
@@ -584,10 +584,10 @@ object IcebergCatalog {
       .resolve(s"data/eq-delete-$snapshotId.parquet")
     val tmp = Files.createTempDirectory("ice_ed")
     doomed.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-    val part = Files.list(tmp).iterator().asScala
-      .find(_.getFileName.toString.endsWith(".parquet")).get
+    val part = DeltaLog.listParquet(tmp).headOption.get
     Files.createDirectories(edAbs.getParent)
     Files.move(part, edAbs)
+    DeltaLog.deleteTmp(tmp)
     appendDeleteSnapshot(table, st,
       ManifestEntry(1, edAbs.toString, 2, Map.empty, equalityIds = ids),
       snapshotId)
@@ -611,18 +611,30 @@ object IcebergCatalog {
     * null sentinel — null identity-partition values are outside the
     * stated subset.
     */
-  private def unescapePartitionValue(s: String): String = {
+  private[sources] def unescapePartitionValue(s: String): String = {
     require(s != "__HIVE_DEFAULT_PARTITION__",
       "null identity-partition values are not in the stated subset")
+    def hexAt(i: Int): Boolean = i < s.length &&
+      java.lang.Character.digit(s.charAt(i), 16) >= 0
     val sb = new StringBuilder
+    val pending = new java.io.ByteArrayOutputStream // consecutive %XX bytes
+    def flush(): Unit = if (pending.size() > 0) {
+      // a multi-byte UTF-8 character escapes as CONSECUTIVE %XX triples —
+      // decode the whole run as one UTF-8 byte sequence, never per byte
+      sb.append(new String(pending.toByteArray, StandardCharsets.UTF_8))
+      pending.reset()
+    }
     var i = 0
     while (i < s.length) {
       val c = s.charAt(i)
-      if (c == '%' && i + 3 <= s.length) {
-        sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+      if (c == '%') {
+        require(hexAt(i + 1) && hexAt(i + 2),
+          s"malformed %XX escape at index $i of partition value '$s'")
+        pending.write(Integer.parseInt(s.substring(i + 1, i + 3), 16))
         i += 3
-      } else { sb.append(c); i += 1 }
+      } else { flush(); sb.append(c); i += 1 }
     }
+    flush()
     sb.toString
   }
 
@@ -657,10 +669,7 @@ object IcebergCatalog {
       ordered.write.partitionBy(st.partitionFields: _*)
         .mode("overwrite").parquet(tmp.toString)
     // collect the written part files + their partition-dir values
-    val written = Files.walk(tmp).iterator().asScala
-      .filter(p => Files.isRegularFile(p) &&
-        p.getFileName.toString.endsWith(".parquet"))
-      .toSeq.sortBy(_.toString)
+    val written = DeltaLog.listParquet(tmp)
     require(written.nonEmpty, "empty append: refuse a no-op commit")
     val dataDir = Paths.get(table).toAbsolutePath.resolve("data")
     Files.createDirectories(dataDir)
@@ -672,6 +681,7 @@ object IcebergCatalog {
       Files.move(p, dst)
       (dst, pv)
     }
+    DeltaLog.deleteTmp(tmp)
     // per-file min/max bounds for long-typed data columns: one grouped
     // aggregate over the appended files only (file-scoped statistics,
     // never a table scan)

@@ -215,6 +215,8 @@ object KafkaWire {
   def encodeTimestampedBatch(baseOffset: Long,
                              records: Seq[(Long, Array[Byte], Array[Byte])],
                              codec: Int = CodecNone): Array[Byte] = {
+    require(records.nonEmpty, "encode of zero records: a RecordBatch " +
+      "needs a first record for baseTimestamp")
     val baseTs = records.head._1
     var maxTs = Long.MinValue
     val recs = new Writer

@@ -183,13 +183,16 @@ class DeletionVectorsSpec extends AnyFunSuite {
 
   test("deleteWithDv: the engine writes a DV commit its reader applies (r10)") {
     val table = dvTable(Seq(9L), inline = false) // v1 already has a DV add
-    // delete even keys from the SAME table via the engine path... but
-    // the file already carries a DV -> must reject loudly (stated)
-    val dataFile = "f0.parquet"
-    intercept[IllegalArgumentException] {
-      DeltaLog.deleteWithDv(spark, table, dataFile,
-        org.apache.spark.sql.functions.col("k") % 2 === 0)
-    }
+    // delete even keys from the SAME table via the engine path — the
+    // file already carries a DV, so the new commit must UNION the
+    // existing bitmap with the fresh positions (r11), never drop the
+    // earlier deletes
+    DeltaLog.deleteWithDv(spark, table, "data/f0.parquet",
+      org.apache.spark.sql.functions.col("k") % 2 === 0)
+    val merged = DeltaLog.read(spark, table)
+      .select("k").as[Long].collect().toSet
+    assert(merged == (0L until 20L).filter(k => k % 2 == 1 && k != 9L).toSet,
+      "re-delete must union with the pre-existing DV")
     // fresh table (time-travel target v0 has no DV): build one without
     val t2 = {
       val t0 = Files.createTempDirectory("dvw_spec")
@@ -231,10 +234,30 @@ class DeletionVectorsSpec extends AnyFunSuite {
     rb.deserializePortable(new java.io.DataInputStream(
       new java.io.ByteArrayInputStream(bitmap)))
     assert(rb.getLongCardinality == (0L until 30L).count(_ % 3 == 1))
-    // a second engine delete on the same file must reject (DV present)
-    intercept[IllegalArgumentException] {
-      DeltaLog.deleteWithDv(spark, t2, "f0.parquet",
-        org.apache.spark.sql.functions.col("k") === 0)
-    }
+    // a second engine delete on the same file UNIONS (r11) — and the
+    // merged bitmap still parses in the canonical library with the
+    // union's cardinality
+    val v2 = DeltaLog.deleteWithDv(spark, t2, "f0.parquet",
+      org.apache.spark.sql.functions.col("k") % 3 === 0)
+    assert(v2 == 2L)
+    val after = DeltaLog.read(spark, t2)
+      .select("k").as[Long].collect().toSet
+    assert(after == (0L until 30L).filter(_ % 3 == 2).toSet,
+      "second DV commit must union with the first")
+    val st2 = DeltaLog.state(spark, t2)
+    val dvJson = st2.files.head.deletionVector.get
+    val sizeField = "\"sizeInBytes\"\\s*:\\s*(\\d+)".r
+      .findFirstMatchIn(dvJson).get.group(1).toInt
+    val uuidZ85 = "\"pathOrInlineDv\"\\s*:\\s*\"([^\"]*)\"".r
+      .findFirstMatchIn(dvJson).get.group(1)
+    val mergedRaw = Files.readAllBytes(java.nio.file.Paths.get(t2,
+      s"deletion_vector_${DeletionVectors.z85Uuid(uuidZ85)}.bin"))
+    val mergedBm = java.util.Arrays.copyOfRange(
+      mergedRaw, 1 + 4 + 4, 1 + 4 + sizeField)
+    val rb2 = new org.roaringbitmap.longlong.Roaring64NavigableMap()
+    rb2.deserializePortable(new java.io.DataInputStream(
+      new java.io.ByteArrayInputStream(mergedBm)))
+    assert(rb2.getLongCardinality ==
+      (0L until 30L).count(k => k % 3 == 0 || k % 3 == 1))
   }
 }

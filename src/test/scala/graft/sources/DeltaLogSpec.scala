@@ -283,4 +283,95 @@ class DeltaLogSpec extends AnyFunSuite {
     assert(got == (0L until 12L).filterNot(_ % 4 == 2).toSet,
       "DV descriptor lost through the checkpoint")
   }
+
+  // ---- r11: protocol guard + columnMapping=name ----
+
+  private def protoTable(protoLine: String,
+                         configJson: String = ""): Path = {
+    val t = Files.createTempDirectory("deltaproto")
+    writeDataFile(Seq((1L, "x")).toDF("id", "v"), t, "f0.parquet")
+    val cfg = if (configJson.isEmpty) "" else s""","configuration":$configJson"""
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType)))
+    writeCommit(t, 0L, Seq(protoLine,
+      s"""{"metaData":{"id":"p","schemaString":"${esc(schema.json)}","partitionColumns":[]$cfg}}""",
+      """{"add":{"path":"f0.parquet","partitionValues":{},"dataChange":true}}"""))
+    t
+  }
+
+  test("protocol guard: unknown readerFeatures reject loudly (r11)") {
+    val t = protoTable(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors","v2Checkpoint"]}}""")
+    val e = intercept[IllegalArgumentException] {
+      DeltaLog.read(spark, t.toString)
+    }
+    assert(e.getMessage.contains("v2Checkpoint"))
+    // the KNOWN feature set passes
+    val ok = protoTable(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors","timestampNtz"]}}""")
+    assert(DeltaLog.read(spark, ok.toString).count() == 1L)
+  }
+
+  test("protocol guard: minReaderVersion above 3 rejects loudly (r11)") {
+    val t = protoTable(
+      """{"protocol":{"minReaderVersion":4,"minWriterVersion":8}}""")
+    val e = intercept[IllegalArgumentException] {
+      DeltaLog.read(spark, t.toString)
+    }
+    assert(e.getMessage.contains("minReaderVersion=4"))
+  }
+
+  test("columnMapping mode=id rejects loudly; write paths reject mapped tables (r11)") {
+    val t = protoTable(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      """{"delta.columnMapping.mode":"id"}""")
+    val e = intercept[IllegalArgumentException] {
+      DeltaLog.read(spark, t.toString)
+    }
+    assert(e.getMessage.contains("columnMapping.mode=id"))
+  }
+
+  test("columnMapping=name: physical parquet names map back to logical (r11)") {
+    val t = Files.createTempDirectory("deltacm")
+    // data file under PHYSICAL names
+    writeDataFile(Seq((7L, "a"), (8L, "b")).toDF("col-aa11", "col-bb22"),
+      t, "part-p1/f0.parquet")
+    val mId = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("delta.columnMapping.id", 1)
+      .putString("delta.columnMapping.physicalName", "col-aa11").build()
+    val mV = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("delta.columnMapping.id", 2)
+      .putString("delta.columnMapping.physicalName", "col-bb22").build()
+    val mP = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("delta.columnMapping.id", 3)
+      .putString("delta.columnMapping.physicalName", "col-pp33").build()
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = true, mId),
+      StructField("v", StringType, nullable = true, mV),
+      StructField("part", StringType, nullable = true, mP)))
+    writeCommit(t, 0L, Seq(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      s"""{"metaData":{"id":"cm","schemaString":"${esc(schema.json)}","partitionColumns":["part"],"configuration":{"delta.columnMapping.mode":"name"}}}""",
+      """{"add":{"path":"part-p1/f0.parquet","partitionValues":{"col-pp33":"p1"},"dataChange":true}}"""))
+    val got = DeltaLog.read(spark, t.toString)
+    assert(got.schema.fieldNames.toSeq == Seq("id", "v", "part"))
+    assert(got.as[(Long, String, String)].collect().toSet ==
+      Set((7L, "a", "p1"), (8L, "b", "p1")))
+    // a checkpoint must CARRY the mapping (configuration + protocol):
+    // trim the JSON log and re-read through the checkpoint alone
+    assert(DeltaLog.writeCheckpoint(spark, t.toString) == 0L)
+    Files.delete(t.resolve("_delta_log").resolve(f"${0L}%020d.json"))
+    val viaCk = DeltaLog.read(spark, t.toString)
+    assert(viaCk.as[(Long, String, String)].collect().toSet ==
+      Set((7L, "a", "p1"), (8L, "b", "p1")),
+      "columnMapping configuration lost through the checkpoint")
+    // OPTIMIZE / DV-delete on a mapped table stay out of subset, loud
+    intercept[IllegalArgumentException] {
+      DeltaLog.compact(spark, t.toString)
+    }
+    intercept[IllegalArgumentException] {
+      DeltaLog.deleteWithDv(spark, t.toString, "part-p1/f0.parquet",
+        org.apache.spark.sql.functions.lit(true))
+    }
+  }
 }

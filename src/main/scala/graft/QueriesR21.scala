@@ -173,9 +173,69 @@ object QueriesR21 {
     graft.sources.DeltaLog.read(s, buildDeltaDvMergeTable(s, dir))
       .orderBy(col("s_suppkey"))
 
+  // ---------------------------------------------------------------
+  // F15f: Iceberg NON-IDENTITY partition transforms — a table born
+  // empty and appended by the engine under `year(o_orderdate)` +
+  // `bucket[4](o_orderkey)`; transform values ride the manifests and
+  // directory names for PRUNING only (the source columns stay in the
+  // data files), and the read prunes whole years through the
+  // partition filter before any scan is planned.
+  // ---------------------------------------------------------------
+
+  private def buildIcebergTransformTable(s: SparkSession, dir: String): String =
+    tableBuildMemo.computeIfAbsent(
+      (s.sparkContext.applicationId, dir, "iceberg_transforms"), _ => {
+        import graft.sources.IcebergCatalog._
+        val t0 = java.nio.file.Files.createTempDirectory("ice_tf_rt")
+        val mdir = t0.resolve("metadata")
+        java.nio.file.Files.createDirectories(mdir)
+        val ml1 = mdir.resolve("snap-10.avro")
+        writeManifestList(ml1, Seq.empty)
+        writeMetadataJsonSpec(mdir.resolve("v1.metadata.json"),
+          Seq(("o_orderkey", "long", true), ("cents", "long", false),
+            ("o_orderstatus", "string", false), ("o_orderdate", "date", false)),
+          Seq(("od_year", "year", "o_orderdate"),
+            ("ok_bucket", "bucket[4]", "o_orderkey")),
+          Seq(10L -> ml1))
+        val o = t(s, dir, "orders").select(
+          col("o_orderkey").cast("long").as("o_orderkey"),
+          (col("o_totalprice").cast("decimal(12,2)") * 100)
+            .cast("long").as("cents"),
+          col("o_orderstatus"),
+          col("o_orderdate").cast("date").as("o_orderdate"))
+        val snap = commitAppend(s, t0.toString, o, snapshotId = 20L)
+        require(snap == 20L)
+        // the spec values must actually PRUNE: years < 1998 (value 28 =
+        // 1998-1970) drop whole file groups before any scan is planned
+        val st = graft.sources.IcebergCatalog.state(s, t0.toString)
+        val kept = st.files.count(f =>
+          f.partition.get("od_year").exists(_.toString.toInt >= 28))
+        require(kept > 0 && kept < st.files.size,
+          s"transform pruning is not selective: $kept of ${st.files.size}")
+        t0.toString
+      })
+
+  /** F15f (r11): Iceberg partition-transform round-trip — the engine
+    * appends orders under `year(o_orderdate)` + `bucket[4](o_orderkey)`
+    * (bucket = Appendix-B murmur3 over the little-endian long, pinned
+    * against the spec's own test vectors in IcebergCatalogSpec), then
+    * reads back ONLY years ≥ 1998 via the manifest-borne transform
+    * values — the pruned files are never scanned. Oracle = the same
+    * filter in plain SQL; a wrong year evaluation or a bucket value
+    * that diverged between write and manifest hash-fails.
+    */
+  def icebergTransformsRoundtrip(s: SparkSession, dir: String): DataFrame =
+    graft.sources.IcebergCatalog.read(s, buildIcebergTransformTable(s, dir),
+        partitionFilter = pv =>
+          pv.get("od_year").exists(_.toString.toInt >= 28))
+      .select(col("o_orderkey"), col("cents"), col("o_orderstatus"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("od"))
+      .orderBy(col("o_orderkey"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "delta_colmap_roundtrip" -> (deltaColmapRoundtrip _),
-    "delta_dv_merge_roundtrip" -> (deltaDvMergeRoundtrip _))
+    "delta_dv_merge_roundtrip" -> (deltaDvMergeRoundtrip _),
+    "iceberg_transforms_roundtrip" -> (icebergTransformsRoundtrip _))
 
   val sql: Map[String, String] = Map(
     "delta_colmap_roundtrip" ->
@@ -191,5 +251,13 @@ object QueriesR21 {
         |FROM supplier
         |WHERE NOT (s_suppkey % 2 = 0
         |           AND (s_suppkey % 4 = 0 OR s_suppkey % 6 = 0))
-        |ORDER BY s_suppkey""".stripMargin)
+        |ORDER BY s_suppkey""".stripMargin,
+    "iceberg_transforms_roundtrip" ->
+      """SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+        |  CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+        |  o_orderstatus,
+        |  strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS od
+        |FROM orders
+        |WHERE EXTRACT(year FROM o_orderdate) >= 1998
+        |ORDER BY o_orderkey""".stripMargin)
 }

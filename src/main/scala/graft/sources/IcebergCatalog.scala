@@ -63,10 +63,19 @@ object IcebergCatalog {
 
   final case class IceFile(path: String, partition: Map[String, Any],
                            bounds: Map[String, (Any, Any)] = Map.empty)
+
+  /** `partitionFields` keeps the IDENTITY spec-field names (the ones
+    * whose values reconstruct as typed literal columns — the data
+    * files omit them); `specFields` is the FULL default spec incl.
+    * non-identity transforms (r11: year/month/day/hour, bucket[N],
+    * truncate[W]) whose values ride the manifests for PRUNING only —
+    * transform sources stay IN the data files, so nothing reconstructs.
+    */
   final case class IceState(snapshotId: Long, schema: StructType,
                             partitionFields: Seq[String], files: Seq[IceFile],
                             posDeletes: Seq[IceFile] = Seq.empty,
-                            eqDeletes: Seq[(IceFile, Seq[String])] = Seq.empty)
+                            eqDeletes: Seq[(IceFile, Seq[String])] = Seq.empty,
+                            specFields: Seq[IcebergTransforms.SpecField] = Seq.empty)
 
   private def icePrimitive(t: String): DataType = t match {
     case "long" => LongType
@@ -182,7 +191,7 @@ object IcebergCatalog {
     * NPE on a null parent, and `file://host/x` authorities parse via
     * URI instead of leaking `//host` into the filesystem path.
     */
-  private def resolve(table: String, loc: String): Path = {
+  private[sources] def resolve(table: String, loc: String): Path = {
     val raw =
       if (loc.startsWith("file:"))
         try Paths.get(new java.net.URI(loc)).toString
@@ -278,15 +287,30 @@ object IcebergCatalog {
         (spec \ "fields").children
       case _ => (md \ "partition-spec").children
     }
-    val partitionFields = specFields.map { f =>
+    val parsedSpec: Seq[IcebergTransforms.SpecField] = specFields.map { f =>
       val JString(n) = f \ "name"
-      (f \ "transform") match {
-        case JString("identity") | JNothing => n
-        case JString(t) => throw new IllegalArgumentException(
-          s"non-identity partition transform not supported: $t")
-        case _ => n
+      val transform = (f \ "transform") match {
+        case JString(t) => t
+        case JNothing => "identity"
+        case other => throw new IllegalArgumentException(
+          s"unparseable transform node for partition field $n: $other")
       }
+      IcebergTransforms.validate(transform)
+      val source = (f \ "source-id") match {
+        case JInt(id) if byId.contains(id.toInt) => byId(id.toInt)._1
+        // fixtures write source-id 0 for identity fields whose name IS
+        // the source column; a non-identity transform must resolve
+        case _ if transform == "identity" => n
+        case other => throw new IllegalArgumentException(
+          s"partition field $n ($transform) has unresolvable source-id $other")
+      }
+      IcebergTransforms.SpecField(n, transform, source)
     }
+    // identity fields reconstruct as literal columns under the SOURCE
+    // name (a renamed identity field still reads — the schema lookup in
+    // read() stays loud if the name resolves to nothing)
+    val partitionFields =
+      parsedSpec.filter(_.transform == "identity").map(_.name)
     val manifests = avroRows(resolve(table, mlist))
       .map(_.get("manifest_path").toString)
     var dataMaxSeq = 0L
@@ -354,7 +378,8 @@ object IcebergCatalog {
           "deletes are not supported")
     }
     IceState(current, schema, partitionFields, dataFiles.result(),
-      posDeletes.result(), eqs.map { case (f, names, _) => (f, names) })
+      posDeletes.result(), eqs.map { case (f, names, _) => (f, names) },
+      parsedSpec)
   }
 
   /** The files surviving min/max range pruning — the house
@@ -490,15 +515,30 @@ object IcebergCatalog {
     */
   def writeMetadataJson(path: Path, fields: Seq[(String, String, Boolean)],
                         partitionFields: Seq[String],
-                        snapshots: Seq[(Long, Path)]): Unit = {
+                        snapshots: Seq[(Long, Path)]): Unit =
+    writeMetadataJsonSpec(path, fields,
+      partitionFields.map(n => (n, "identity", n)), snapshots)
+
+  /** Transform-aware form (r11): `partitionSpec` = (fieldName,
+    * transform, sourceColumnName) — source-ids resolve against the
+    * field list by name.
+    */
+  def writeMetadataJsonSpec(path: Path, fields: Seq[(String, String, Boolean)],
+                            partitionSpec: Seq[(String, String, String)],
+                            snapshots: Seq[(Long, Path)]): Unit = {
     val fs = fields.zipWithIndex.map { case ((n, t, r), i) =>
       // a type starting with '{' is a raw nested type-JSON node
       // (struct/list — r9); anything else is a primitive name
       val tj = if (t.startsWith("{")) t else "\"" + t + "\""
       s"""{"id": ${i + 1}, "name": "$n", "required": $r, "type": $tj}"""
     }.mkString(",")
-    val ps = partitionFields.zipWithIndex.map { case (n, i) =>
-      s"""{"name": "$n", "transform": "identity", "source-id": 0, "field-id": ${1000 + i}}"""
+    val idByName = fields.map(_._1).zipWithIndex.map { case (n, i) => n -> (i + 1) }.toMap
+    val ps = partitionSpec.zipWithIndex.map { case ((n, tr, src), i) =>
+      val sid =
+        if (tr == "identity") idByName.getOrElse(src, 0)
+        else idByName.getOrElse(src, throw new IllegalArgumentException(
+          s"partition source column $src not in fields"))
+      s"""{"name": "$n", "transform": "$tr", "source-id": $sid, "field-id": ${1000 + i}}"""
     }.mkString(",")
     val ss = snapshots.map { case (id, ml) =>
       s"""{"snapshot-id": $id, "manifest-list": "$ml"}"""
@@ -663,10 +703,29 @@ object IcebergCatalog {
         "would retroactively cover the appended rows")
     val ordered = rows.select(st.schema.fieldNames.map(col).toSeq: _*)
     val tmp = Files.createTempDirectory("ice_append")
-    if (st.partitionFields.isEmpty)
+    // derive NON-IDENTITY partition values as extra columns (r11):
+    // partitionBy drops exactly the spec-field columns from the data
+    // files — identity sources leave (the reader reconstructs them),
+    // transform sources STAY (the reader never recomputes transforms)
+    val spec =
+      if (st.specFields.nonEmpty) st.specFields
+      else st.partitionFields.map(n =>
+        IcebergTransforms.SpecField(n, "identity", n))
+    val withParts = spec.filterNot(_.transform == "identity")
+      .foldLeft(ordered) { (df, sf) =>
+        require(!st.schema.fieldNames.contains(sf.name),
+          s"transform partition field ${sf.name} collides with a schema column")
+        val srcField = st.schema.fields.find(_.name == sf.sourceName)
+          .getOrElse(throw new IllegalArgumentException(
+            s"source column ${sf.sourceName} of partition field ${sf.name} " +
+              "not in schema"))
+        df.withColumn(sf.name, IcebergTransforms.columnTyped(
+          sf.transform, col(sf.sourceName), srcField.dataType))
+      }
+    if (spec.isEmpty)
       ordered.write.mode("overwrite").parquet(tmp.toString)
     else
-      ordered.write.partitionBy(st.partitionFields: _*)
+      withParts.write.partitionBy(spec.map(_.name): _*)
         .mode("overwrite").parquet(tmp.toString)
     // collect the written part files + their partition-dir values
     val written = DeltaLog.listParquet(tmp)
@@ -739,7 +798,10 @@ object IcebergCatalog {
       .map(r => resolve(table, r.get("manifest_path").toString))
     val mdir = mdPath.getParent
     val newManifest = mdir.resolve(s"m-$kind-$snapshotId.avro")
-    writeManifestEntries(newManifest, st.partitionFields, entries)
+    val partNames =
+      if (st.specFields.nonEmpty) st.specFields.map(_.name)
+      else st.partitionFields
+    writeManifestEntries(newManifest, partNames, entries)
     val newMl = mdir.resolve(s"snap-$snapshotId.avro")
     writeManifestList(newMl, oldManifests :+ newManifest)
     // new metadata version: snapshot appended, current advanced

@@ -1,0 +1,177 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** F15f: Iceberg PARTITION TRANSFORMS (iceberg.apache.org/spec §Partition
+  * Transforms + Appendix B) — the functions that turn a source column
+  * into a partition value. Real Iceberg tables overwhelmingly partition
+  * by `day(ts)`, `bucket(N, id)`, or `truncate(W, s)`, not identity;
+  * a reader that rejects them covers a minority of production tables
+  * (the r10 verdict's highest-frequency reader gap).
+  *
+  * Implemented: `identity`, `year`/`month`/`day` (date or timestamp
+  * source), `hour` (timestamp), `bucket[N]` (murmur3_x86_32 per
+  * Appendix B: ints/longs/dates hash as 8-byte little-endian longs,
+  * strings as UTF-8 bytes, seed 0), `truncate[W]` (floor-mod for
+  * integers — correct for negatives — and codepoint prefix for
+  * strings). `void` and the rest reject loudly.
+  *
+  * Two evaluation surfaces:
+  *  - JVM scalars ([[bucketLong]], [[truncateLong]], …) for partition
+  *    PRUNING decisions on the driver (file-count-bounded);
+  *  - Spark [[Column]]s ([[column]]) for the WRITE path
+  *    ([[IcebergCatalog.commitAppend]]) — the time/truncate transforms
+  *    compose from codegen'd builtins; bucket wraps the house murmur3
+  *    in a deterministic UDF (write-path only, one evaluation per
+  *    appended row; the read path never recomputes buckets).
+  */
+object IcebergTransforms {
+
+  /** One parsed partition-spec field: `name` is the partition field
+    * (manifest/directory) name, `sourceName` the schema column it
+    * derives from.
+    */
+  final case class SpecField(name: String, transform: String, sourceName: String)
+
+  private val BucketRe = "^bucket\\[(\\d+)\\]$".r
+  private val TruncRe = "^truncate\\[(\\d+)\\]$".r
+
+  /** Loud validation — an unknown transform must never silently read as
+    * identity (it would scan every file AND reconstruct wrong values).
+    */
+  def validate(transform: String): Unit = transform match {
+    case "identity" | "year" | "month" | "day" | "hour" => ()
+    case BucketRe(n) => require(n.toInt > 0, s"bucket[$n]: N must be positive")
+    case TruncRe(w) => require(w.toInt > 0, s"truncate[$w]: W must be positive")
+    case other => throw new IllegalArgumentException(
+      s"iceberg partition transform not supported: $other")
+  }
+
+  /** Standard murmur3_x86_32 (public-domain Austin Appleby algorithm),
+    * the hash Appendix B mandates for `bucket` — implemented locally so
+    * the bytes-level contract (little-endian 4-byte blocks, combined
+    * 3-byte tail) is pinned here, not inherited from a library with
+    * different tail handling.
+    */
+  def murmur3(data: Array[Byte], seed: Int = 0): Int = {
+    val c1 = 0xcc9e2d51; val c2 = 0x1b873593
+    var h1 = seed
+    val n4 = data.length / 4
+    var i = 0
+    while (i < n4) {
+      val i4 = i * 4
+      var k1 = (data(i4) & 0xff) | ((data(i4 + 1) & 0xff) << 8) |
+        ((data(i4 + 2) & 0xff) << 16) | ((data(i4 + 3) & 0xff) << 24)
+      k1 *= c1; k1 = Integer.rotateLeft(k1, 15); k1 *= c2
+      h1 ^= k1; h1 = Integer.rotateLeft(h1, 13); h1 = h1 * 5 + 0xe6546b64
+      i += 1
+    }
+    var k1 = 0
+    val tail = data.length & 3
+    if (tail >= 3) k1 ^= (data(n4 * 4 + 2) & 0xff) << 16
+    if (tail >= 2) k1 ^= (data(n4 * 4 + 1) & 0xff) << 8
+    if (tail >= 1) {
+      k1 ^= data(n4 * 4) & 0xff
+      k1 *= c1; k1 = Integer.rotateLeft(k1, 15); k1 *= c2; h1 ^= k1
+    }
+    h1 ^= data.length
+    h1 ^= h1 >>> 16; h1 *= 0x85ebca6b; h1 ^= h1 >>> 13
+    h1 *= 0xc2b2ae35; h1 ^= h1 >>> 16
+    h1
+  }
+
+  /** Appendix B: int, long, and date values hash as the 8-byte
+    * LITTLE-ENDIAN long (ints promote, dates hash their epoch-day).
+    */
+  def hashLong(v: Long): Int = {
+    val b = java.nio.ByteBuffer.allocate(8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putLong(v)
+    murmur3(b.array())
+  }
+
+  def hashString(s: String): Int =
+    murmur3(s.getBytes(StandardCharsets.UTF_8))
+
+  /** `bucket[n](v)` for integer-family sources. */
+  def bucketLong(v: Long, n: Int): Int = (hashLong(v) & Integer.MAX_VALUE) % n
+
+  /** `bucket[n](s)` for string sources. */
+  def bucketString(s: String, n: Int): Int =
+    (hashString(s) & Integer.MAX_VALUE) % n
+
+  /** `truncate[w](v)` = v - (v mod w) with a POSITIVE mod — the spec's
+    * floor truncation, correct for negative values.
+    */
+  def truncateLong(v: Long, w: Long): Long = v - java.lang.Math.floorMod(v, w)
+
+  /** `truncate[w](s)` = the first w CODEPOINTS (not chars — a surrogate
+    * pair must not split).
+    */
+  def truncateString(s: String, w: Int): String =
+    if (s.codePointCount(0, s.length) <= w) s
+    else s.substring(0, s.offsetByCodePoints(0, w))
+
+  /** The Spark-side evaluation of one transform over its source column
+    * — the WRITE path ([[IcebergCatalog.commitAppend]] derives
+    * partition directory values with these). Time transforms expect a
+    * date or timestamp source; `epoch` anchors are the spec's (1970).
+    */
+  def column(transform: String, source: Column): Column = transform match {
+    case "identity" => source
+    case "year" => (year(source) - 1970).cast("int")
+    case "month" =>
+      ((year(source) - 1970) * 12 + month(source) - 1).cast("int")
+    case "day" => datediff(source, to_date(lit("1970-01-01"))).cast("int")
+    case "hour" =>
+      floor(unix_micros(source.cast("timestamp")) / 3600000000L).cast("int")
+    case BucketRe(_) | TruncRe(_) => throw new IllegalArgumentException(
+      s"$transform needs the source type — use columnTyped")
+    case other => throw new IllegalArgumentException(
+      s"iceberg partition transform not supported: $other")
+  }
+
+  /** Type-aware variant used by the writer (the source's Spark type is
+    * known from the table schema).
+    */
+  def columnTyped(transform: String, source: Column,
+                  dt: org.apache.spark.sql.types.DataType): Column = {
+    import org.apache.spark.sql.types._
+    transform match {
+      case TruncRe(w) => dt match {
+        case StringType =>
+          val width = w.toInt
+          val f = udf((s: String) =>
+            if (s == null) null else truncateString(s, width))
+          f(source)
+        case IntegerType | LongType =>
+          val width = w.toLong
+          (source.cast("long") - pmod(source.cast("long"), lit(width)))
+            .cast("long")
+        case other => throw new IllegalArgumentException(
+          s"truncate over $other not supported")
+      }
+      case BucketRe(n) =>
+        val buckets = n.toInt
+        dt match {
+          case IntegerType | LongType =>
+            val f = udf((v: Long) => bucketLong(v, buckets))
+            f(source.cast("long")).cast("int")
+          case StringType =>
+            val f = udf((s: String) =>
+              if (s == null) null else Int.box(bucketString(s, buckets)))
+            f(source).cast("int")
+          case DateType =>
+            // Appendix B: dates hash their epoch-day as a long
+            val f = udf((d: Long) => bucketLong(d, buckets))
+            f(datediff(source, to_date(lit("1970-01-01"))).cast("long"))
+              .cast("int")
+          case other => throw new IllegalArgumentException(
+            s"bucket over $other not supported")
+        }
+      case other => column(other, source)
+    }
+  }
+}

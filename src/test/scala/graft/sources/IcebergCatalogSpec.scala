@@ -406,6 +406,108 @@ class IcebergCatalogSpec extends AnyFunSuite {
     }
   }
 
+  // ---- r11: partition transforms ----
+
+  test("transforms: Appendix-B bucket hash vectors pin the murmur3 (r11)") {
+    import IcebergTransforms._
+    // the spec's own published vectors (iceberg.apache.org/spec
+    // Appendix B): ints/longs hash as little-endian 8-byte longs,
+    // strings as UTF-8 bytes, seed 0
+    assert(hashLong(34L) == 2017239379)
+    assert(hashString("iceberg") == 1210000089)
+    assert(hashLong(17486L) == -653330422) // date 2017-11-16 (epoch days)
+    // generic murmur3_x86_32 sanity (public vectors)
+    assert(murmur3(Array.empty[Byte]) == 0)
+    assert(murmur3("hello".getBytes("UTF-8")) == 0x248bfa47)
+    assert(bucketLong(34L, 16) == (2017239379 & Int.MaxValue) % 16)
+  }
+
+  test("transforms: truncate is floor-mod for longs, codepoints for strings (r11)") {
+    import IcebergTransforms._
+    assert(truncateLong(17L, 10L) == 10L)
+    assert(truncateLong(-3L, 10L) == -10L) // floor, not toward zero
+    assert(truncateLong(0L, 10L) == 0L)
+    assert(truncateString("iceberg", 3) == "ice")
+    assert(truncateString("ab", 5) == "ab")
+    val twoCp = new String(Character.toChars(0x1F600)) + "x" // surrogate pair
+    assert(truncateString(twoCp, 1) == new String(Character.toChars(0x1F600)),
+      "truncate must not split a surrogate pair")
+    intercept[IllegalArgumentException] { validate("void") }
+    intercept[IllegalArgumentException] { validate("bucket[0]") }
+    intercept[IllegalArgumentException] { validate("zorder[2]") }
+  }
+
+  test("transforms: time transforms evaluate per the spec epochs (r11)") {
+    import org.apache.spark.sql.functions._
+    val df = Seq("1998-03-15 07:30:00").toDF("s")
+      .select(col("s").cast("timestamp").as("ts"),
+        col("s").cast("date").as("d"))
+    val got = df.select(
+      IcebergTransforms.column("year", col("d")).as("y"),
+      IcebergTransforms.column("month", col("d")).as("m"),
+      IcebergTransforms.column("day", col("d")).as("dd"),
+      IcebergTransforms.column("hour", col("ts")).as("h"),
+      IcebergTransforms.columnTyped("truncate[100]", lit(1234L),
+        org.apache.spark.sql.types.LongType).as("t"))
+      .head()
+    assert(got.getInt(0) == 28) // 1998 - 1970
+    assert(got.getInt(1) == 28 * 12 + 2) // months from epoch
+    assert(got.getInt(2) == java.time.LocalDate.parse("1998-03-15").toEpochDay)
+    assert(got.getInt(3) ==
+      java.time.LocalDate.parse("1998-03-15").toEpochDay * 24 + 7)
+    assert(got.getLong(4) == 1200L)
+  }
+
+  test("transforms: commitAppend derives spec values; read prunes on them (r11)") {
+    import IcebergCatalog._
+    import org.apache.spark.sql.functions._
+    val t0 = Files.createTempDirectory("ice_tf_spec")
+    val mdir = t0.resolve("metadata")
+    Files.createDirectories(mdir)
+    val ml1 = mdir.resolve("snap-10.avro")
+    IcebergCatalog.writeManifestList(ml1, Seq.empty)
+    writeMetadataJsonSpec(mdir.resolve("v1.metadata.json"),
+      Seq(("id", "long", true), ("v", "string", false),
+        ("d", "date", false)),
+      Seq(("d_day", "day", "d"), ("id_b", "bucket[2]", "id"),
+        ("v_t", "truncate[2]", "v")),
+      Seq(10L -> ml1))
+    val rows = Seq(
+      (1L, "aaa", "1998-03-15"), (2L, "aab", "1998-03-15"),
+      (3L, "bbb", "1998-03-16"))
+      .toDF("id", "v", "s")
+      .select(col("id"), col("v"), col("s").cast("date").as("d"))
+    assert(IcebergCatalog.commitAppend(spark, t0.toString, rows, 20L) == 20L)
+    val st = IcebergCatalog.state(spark, t0.toString)
+    // manifest-borne transform values match the scalar evaluations
+    val day0 = java.time.LocalDate.parse("1998-03-15").toEpochDay.toString
+    st.files.foreach { f =>
+      assert(Set(day0, (day0.toLong + 1).toString)
+        .contains(f.partition("d_day").toString))
+      val ids = spark.read.parquet(IcebergCatalog.resolve(t0.toString, f.path).toString)
+        .select("id").as[Long].collect()
+      ids.foreach { id =>
+        assert(f.partition("id_b").toString.toInt ==
+          IcebergTransforms.bucketLong(id, 2))
+      }
+    }
+    // data files RETAIN the transform sources (nothing reconstructs)
+    st.files.foreach { f =>
+      val cols = spark.read
+        .parquet(IcebergCatalog.resolve(t0.toString, f.path).toString).columns.toSeq
+      assert(cols == Seq("id", "v", "d"))
+    }
+    // pruning through the partition filter: only day0's files scan
+    val pruned = IcebergCatalog.read(spark, t0.toString,
+      partitionFilter = pv => pv("d_day").toString == day0)
+    assert(pruned.select("id").as[Long].collect().toSet == Set(1L, 2L))
+    val kept = st.files.filter(_.partition("d_day").toString == day0)
+    assert(kept.size < st.files.size, "day pruning must drop file groups")
+    // full read returns everything (transform partitioning invisible)
+    assert(IcebergCatalog.read(spark, t0.toString)
+      .select("id").as[Long].collect().toSet == Set(1L, 2L, 3L))
+  }
+
   test("commitEqualityDelete: engine-written value deletes apply everywhere (r10)") {
     val t = buildTable()
     assert(rows(IcebergCatalog.read(spark, t.toString)) ==

@@ -118,6 +118,67 @@ object Bpe {
     (ckptFresh(st2), mg)
   }
 
+  // ------------------------------------------------------------------
+  // Byte-level BPE (r11, T34b): the GPT-2 deployment shape — symbols
+  // start from the UTF-8 BYTES of each word, mapped through the
+  // public bytes→unicode table (Radford et al. 2019 bytes_to_unicode:
+  // printable latin-1 bytes keep themselves, the 68 control/space
+  // bytes borrow codepoints 256+i), so ANY string tokenizes with no
+  // unknown tokens. The training loop is the identical relational
+  // algebra over the byte alphabet — only st0 changes.
+  // ------------------------------------------------------------------
+
+  /** byte value (0–255) → its single-character symbol. */
+  val bytesToUnicode: IndexedSeq[String] = {
+    val keep = ((33 to 126) ++ (161 to 172) ++ (174 to 255)).toSet
+    var n = -1
+    (0 to 255).map { b =>
+      if (keep(b)) b.toChar.toString
+      else { n += 1; (256 + n).toChar.toString }
+    }
+  }
+
+  /** Byte-level initial state (w, p, s): p indexes the UTF-8 byte, s is
+    * its mapped symbol. Hex-pair extraction keeps the whole derivation
+    * in codegen'd builtins (hex/substring/conv) + one 256-entry map
+    * literal — no per-row UDF.
+    */
+  private def byteState(wf: DataFrame): DataFrame = {
+    val bmap = map_from_arrays(
+      array((0 to 255).map(b => lit(b)): _*),
+      array((0 to 255).map(b => lit(bytesToUnicode(b))): _*))
+    wf.select(col("w"), expr("hex(encode(w, 'UTF-8'))").as("h"))
+      .select(col("w"), col("h"),
+        explode(expr("sequence(1, CAST(length(h) / 2 AS INT))")).as("i"))
+      .select(col("w"), (col("i") - 1).cast("long").as("p"),
+        element_at(bmap,
+          expr("CAST(conv(substring(h, i * 2 - 1, 2), 16, 10) AS INT)"))
+          .as("s"))
+  }
+
+  /** Train `merges` BYTE-LEVEL merges — [[train]] with the byte-alphabet
+    * initial state; same return shape.
+    */
+  def trainByteLevel(docs: DataFrame, text: Column, merges: Int)
+      : (DataFrame, DataFrame) = {
+    require(merges >= 1, s"merges must be >= 1, got $merges")
+    val wf = wordFreq(docs, text).ckpt
+    trainFrom(byteState(wf).ckpt, wf, merges)
+  }
+
+  /** The shared training loop over any initial symbol state. */
+  private def trainFrom(st0: DataFrame, wf: DataFrame, merges: Int)
+      : (DataFrame, DataFrame) = {
+    var st = st0
+    var mg: DataFrame = null
+    for (r <- 1 to merges) {
+      val (st2, m) = round(st, wf, r)
+      st = st2
+      mg = if (mg == null) m else mg.unionByName(m)
+    }
+    (mg.ckpt, st)
+  }
+
   /** Space-pretokenized (word, freq) corpus vocabulary. */
   private def wordFreq(docs: DataFrame, text: Column): DataFrame =
     docs.select(explode(split(text, " ")).as("w"))
@@ -139,14 +200,7 @@ object Bpe {
       : (DataFrame, DataFrame) = {
     require(merges >= 1, s"merges must be >= 1, got $merges")
     val wf = wordFreq(docs, text).ckpt
-    var st = charState(wf).ckpt
-    var mg: DataFrame = null
-    for (r <- 1 to merges) {
-      val (st2, m) = round(st, wf, r)
-      st = st2
-      mg = if (mg == null) m else mg.unionByName(m)
-    }
-    (mg.ckpt, st)
+    trainFrom(charState(wf).ckpt, wf, merges)
   }
 
   /** The trained merges table alone, sorted by learning rank. */
@@ -196,7 +250,46 @@ object Bpe {
          |         substring(w, CAST(i AS INT), 1) AS s
          |  FROM (SELECT w, unnest(generate_series(1, length(w))) AS i FROM wf)
          |)""".stripMargin
-    val rounds = (1 to merges).map { i =>
+    (base +: roundCtes(merges)).mkString(",\n")
+  }
+
+  /** Byte-level WITH-clause body (r11): same `wf` and round pyramid,
+    * but st0 derives from the UTF-8 BYTES via hex pairs and the
+    * 256-row bytes→unicode VALUES table — DuckDB replays the exact
+    * alphabet the Spark trainer starts from.
+    */
+  def byteOracleCtes(table: String, textCol: String, merges: Int): String = {
+    val bmRows = (0 to 255).map { b =>
+      s"($b, '${bytesToUnicode(b).replace("'", "''")}')"
+    }.mkString(",")
+    val base =
+      s"""wf AS MATERIALIZED (
+         |  SELECT w, COUNT(*) AS freq FROM (
+         |    SELECT unnest(string_split($textCol, ' ')) AS w FROM $table
+         |  ) WHERE w <> '' GROUP BY w
+         |),
+         |bm AS MATERIALIZED (SELECT * FROM (VALUES $bmRows) AS t(bv, sym)),
+         |st0 AS MATERIALIZED (
+         |  SELECT q.w, CAST(q.i - 1 AS BIGINT) AS p, bm.sym AS s
+         |  FROM (
+         |    SELECT w, i,
+         |      (strpos('0123456789ABCDEF', substring(h, CAST(i*2-1 AS INT), 1)) - 1) * 16
+         |      + (strpos('0123456789ABCDEF', substring(h, CAST(i*2 AS INT), 1)) - 1) AS bv
+         |    FROM (
+         |      SELECT w, hex(encode(w)) AS h,
+         |             unnest(generate_series(1, octet_length(encode(w)))) AS i
+         |      FROM wf
+         |    )
+         |  ) q JOIN bm USING (bv)
+         |)""".stripMargin
+    (base +: roundCtes(merges)).mkString(",\n")
+  }
+
+  /** One (nx, pc, bs, cd, tk, st, mg) CTE block per round — shared by
+    * the char-level and byte-level oracles (the loop is alphabet-blind).
+    */
+  private def roundCtes(merges: Int): Seq[String] = {
+    (1 to merges).map { i =>
       s"""nx$i AS MATERIALIZED (
          |  SELECT w, p, s, lead(s) OVER (PARTITION BY w ORDER BY p) AS nxt
          |  FROM st${i - 1}
@@ -243,7 +336,6 @@ object Bpe {
          |  FROM bs$i WHERE l <> ''
          |)""".stripMargin
     }
-    (base +: rounds).mkString(",\n")
   }
 
   /** Full oracle for [[trainMerges]]. */

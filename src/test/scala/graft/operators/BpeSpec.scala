@@ -70,4 +70,34 @@ class BpeSpec extends AnyFunSuite {
       .orderBy(col("doc_id")).as[(Long, Long, Long)].collect().toList
     assert(viaSql == viaApi)
   }
+
+  // ---- r11: byte-level (GPT-2) alphabet ----
+
+  test("bytesToUnicode: printable bytes keep themselves, 68 borrow 256+ (r11)") {
+    val m = Bpe.bytesToUnicode
+    assert(m.size == 256)
+    assert(m('a'.toInt) == "a" && m('!'.toInt) == "!" && m(255) == "ÿ")
+    // the 68 non-printable bytes (0-32, 127-160, 173) map to 256+i in
+    // byte order — the public GPT-2 rule
+    assert(m(0) == "Ā" && m(1) == "ā" && m(32) == "Ġ")
+    assert(m(127) == "ġ" && m(173) == "Ń")
+    assert(m.distinct.size == 256, "the mapping must be a bijection")
+  }
+
+  test("byte-level: multi-byte UTF-8 round-trips with no unknown tokens (r11)") {
+    // 'é' is 0xC3 0xA9 → symbols "Ã","©"; the most frequent pair is
+    // (Ã, ©), so merge 1 fuses the two bytes back into one token
+    val d = docs(Seq((1L, "éé éa"), (2L, "éé")))
+    val (merges, endState) = Bpe.trainByteLevel(d, col("text"), 2)
+    val m = merges.orderBy("mrank")
+      .as[(Long, String, String, Long)].collect().toList
+    assert(m.head._2 == "Ã" && m.head._3 == "©",
+      s"first merge should fuse the é bytes, got $m")
+    // every word of the corpus segments — no unknown-token holes
+    val segs = endState.groupBy(col("w")).count()
+      .as[(String, Long)].collect().toMap
+    assert(segs.keySet == Set("éé", "éa"))
+    // "éé" after (Ã©)+(Ã©) merge 2 → 1 symbol; "éa" → [Ã©, a]
+    assert(segs("éé") == 1L && segs("éa") == 2L)
+  }
 }

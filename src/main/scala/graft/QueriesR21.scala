@@ -296,7 +296,54 @@ object QueriesR21 {
       .orderBy(col("doc_id"))
   }
 
+  // ---------------------------------------------------------------
+  // X57: consumer-group coordination on the Kafka wire — a consumer
+  // crashes mid-topic and a FRESH query (no checkpoint dir) resumes
+  // from the group's broker-committed offsets.
+  // ---------------------------------------------------------------
+
+  /** X57 (r11): group kill-and-resume — orders produce onto a
+    * 4-partition broker in key order; a `groupId` consumer processes
+    * ONE admission-controlled micro-batch (its end offsets commit via
+    * OffsetCommit), then crashes; a fresh query in the same group
+    * OffsetFetch-resumes and aggregates ONLY the suffix. The committed
+    * boundary is [[graft.streaming.BusSource.admit]]'s even budget
+    * split (total/8 per partition), so the oracle replays it as a
+    * window rank over the per-partition produce order.
+    */
+  def streamKafkaGroupResume(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").select(
+      pmod(col("o_orderkey"), lit(4)).cast("int").as("pt"),
+      col("o_orderkey").as("ok"),
+      to_json(struct(col("o_orderkey"), col("o_orderstatus"),
+        (col("o_totalprice").cast("decimal(12,2)") * 100)
+          .cast("long").as("cents"))).as("v"))
+    val server = graft.streaming.KafkaBusServer.serve(
+      null, emptyPartitions = 4)
+    try {
+      graft.streaming.KafkaWire.produceSink(
+        o.repartition(4, col("pt")).sortWithinPartitions(col("pt"), col("ok")),
+        "127.0.0.1", server.port, "bus", col("pt"), col("v"))
+      val total = o.count()
+      val budget = 4L * (total / 8L) // divisible by 4: per-partition K = total/8
+      require(budget > 0 && budget < total,
+        s"group-resume budget $budget degenerate for $total rows")
+      val tag = System.nanoTime()
+      graft.streaming.Streams.kafkaBusGroupResume(s, "127.0.0.1", server.port,
+          "bus", s"graft-g-$tag", budget, s"gate_kafkagroup_$tag") { stream =>
+        stream.select(from_json(col("value"),
+            org.apache.spark.sql.types.StructType.fromDDL(
+              "o_orderkey BIGINT, o_orderstatus STRING, cents BIGINT")).as("e"))
+          .groupBy(col("e.o_orderstatus").as("o_orderstatus"))
+          .agg(count(lit(1)).as("n"), sum(col("e.cents")).as("sum_cents"),
+            min(col("e.o_orderkey")).as("min_ok"),
+            max(col("e.o_orderkey")).as("max_ok"))
+      }.orderBy(col("o_orderstatus"))
+    } finally server.close()
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_kafka_group_resume" -> (streamKafkaGroupResume _),
     "delta_colmap_roundtrip" -> (deltaColmapRoundtrip _),
     "delta_dv_merge_roundtrip" -> (deltaDvMergeRoundtrip _),
     "iceberg_transforms_roundtrip" -> (icebergTransformsRoundtrip _),
@@ -304,6 +351,20 @@ object QueriesR21 {
     "text_bpe_bytelevel_tokenize" -> (textBpeBytelevelTokenize _))
 
   val sql: Map[String, String] = Map(
+    "stream_kafka_group_resume" ->
+      """WITH k AS (SELECT COUNT(*) // 8 AS kk FROM orders),
+        |r AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+        |    ROW_NUMBER() OVER (PARTITION BY o_orderkey % 4
+        |                       ORDER BY o_orderkey) - 1 AS rn
+        |  FROM orders)
+        |SELECT o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(cents) AS BIGINT) AS sum_cents,
+        |  CAST(MIN(o_orderkey) AS BIGINT) AS min_ok,
+        |  CAST(MAX(o_orderkey) AS BIGINT) AS max_ok
+        |FROM r, k WHERE r.rn >= k.kk
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "delta_colmap_roundtrip" ->
       """SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name,
         |  CAST(CAST(s_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,

@@ -69,6 +69,9 @@ object KafkaWire {
   val ApiFetch = 1
   val ApiListOffsets = 2
   val ApiMetadata = 3
+  val ApiOffsetCommit = 8
+  val ApiOffsetFetch = 9
+  val ApiFindCoordinator = 10
   val ApiVersions = 18
 
   // ───────────────────────── primitive codec ─────────────────────────
@@ -460,6 +463,76 @@ object KafkaWire {
       listOffsets(topic, parts, ts)
     }
 
+    // ─────────── consumer-group coordination (r11, X57) ───────────
+
+    /** FindCoordinator v0 (key 10): the group's coordinating broker as
+      * (host, port) — a single-broker cluster answers with itself, but
+      * the client always asks first (the protocol's discovery step, and
+      * the reason an external lag monitor can find the offsets).
+      */
+    def findCoordinator(group: String): (String, Int) = {
+      val b = new Writer
+      b.str(group)
+      val r = exchange(out, in, ApiFindCoordinator, 0, next(), b)
+      val err = r.i16()
+      require(err == 0, s"FindCoordinator error $err for group $group")
+      r.i32() // node id
+      val host = r.str(); val port = r.i32()
+      (host, port)
+    }
+
+    /** OffsetCommit v2 (key 8): durably record the group's position —
+      * the offsets a RESUMING consumer (or any external monitor) reads
+      * back; generation/member are the simple-consumer sentinels (-1,
+      * "") since this client manages its own partition assignment.
+      */
+    def offsetCommit(group: String, topic: String,
+                     offsets: Map[Int, Long]): Unit = {
+      val b = new Writer
+      b.str(group)
+      b.i32(-1) // generation_id: simple consumer
+      b.str("") // member_id
+      b.i64(-1L) // retention_time: broker default
+      b.i32(1); b.str(topic)
+      b.i32(offsets.size)
+      offsets.toSeq.sortBy(_._1).foreach { case (p, off) =>
+        b.i32(p); b.i64(off); b.nullableStr(null)
+      }
+      val r = exchange(out, in, ApiOffsetCommit, 2, next(), b)
+      (0 until r.i32()).foreach { _ =>
+        r.str()
+        (0 until r.i32()).foreach { _ =>
+          val pid = r.i32(); val err = r.i16()
+          require(err == 0, s"OffsetCommit error $err on partition $pid")
+        }
+      }
+    }
+
+    /** OffsetFetch v1 (key 9): the group's committed offset per
+      * partition; -1 = nothing committed (the new-group case).
+      */
+    def offsetFetch(group: String, topic: String,
+                    parts: Seq[Int]): Map[Int, Long] = {
+      val b = new Writer
+      b.str(group)
+      b.i32(1); b.str(topic)
+      b.i32(parts.size)
+      parts.foreach(b.i32)
+      val r = exchange(out, in, ApiOffsetFetch, 1, next(), b)
+      var result = Map.empty[Int, Long]
+      (0 until r.i32()).foreach { _ =>
+        r.str()
+        (0 until r.i32()).foreach { _ =>
+          val pid = r.i32(); val off = r.i64()
+          r.nullableStr() // metadata
+          val err = r.i16()
+          require(err == 0, s"OffsetFetch error $err on partition $pid")
+          result += pid -> off
+        }
+      }
+      result
+    }
+
     /** One Fetch v4 for a single partition range start; returns decoded
       * (offset, value) pairs (possibly empty at head).
       */
@@ -763,6 +836,19 @@ object KafkaBusServer {
       val idx = ref(pt).get().indexWhere(_._1 >= ts)
       if (idx < 0) -1L else staged(pt).size.toLong + idx
     }
+
+    // consumer-group offset store (r11, X57): the broker-side
+    // `__consumer_offsets` shape — per-handle like the append overlay,
+    // so repeated gate runs never see each other's groups
+    private val groupOffsets =
+      new java.util.concurrent.ConcurrentHashMap[(String, Int), Long]()
+
+    def commitOffset(group: String, pt: Int, off: Long): Unit =
+      groupOffsets.put((group, pt), off)
+
+    /** -1 = nothing committed (the OffsetFetch "unknown" sentinel). */
+    def fetchOffset(group: String, pt: Int): Long =
+      groupOffsets.getOrDefault((group, pt), -1L)
   }
 
   final class Handle(server: ServerSocket, val state: LogState)
@@ -847,6 +933,9 @@ object KafkaBusServer {
               KafkaWire.ApiFetch -> ((0, 4)),
               KafkaWire.ApiListOffsets -> ((0, 1)),
               KafkaWire.ApiMetadata -> ((0, 1)),
+              KafkaWire.ApiOffsetCommit -> ((2, 2)),
+              KafkaWire.ApiOffsetFetch -> ((1, 1)),
+              KafkaWire.ApiFindCoordinator -> ((0, 0)),
               KafkaWire.ApiVersions -> ((0, 0)))
             body.i32(apis.size)
             apis.foreach { case (k, (lo, hi)) =>
@@ -943,6 +1032,49 @@ object KafkaBusServer {
                   }, fetchCodec))
               }
             }
+          case KafkaWire.ApiFindCoordinator =>
+            require(apiVersion == 0, s"findcoordinator v$apiVersion unsupported")
+            r.str() // group id (a single-broker cluster coordinates all)
+            body.i16(0) // error
+            body.i32(0) // node id
+            body.str("127.0.0.1")
+            body.i32(sock.getLocalPort)
+          case KafkaWire.ApiOffsetCommit =>
+            require(apiVersion == 2, s"offsetcommit v$apiVersion unsupported")
+            val group = r.str()
+            r.i32(); r.str(); r.i64() // generation, member, retention
+            val nt = r.i32()
+            body.i32(nt)
+            (0 until nt).foreach { _ =>
+              val t = r.str()
+              val np = r.i32()
+              body.str(t)
+              body.i32(np)
+              (0 until np).foreach { _ =>
+                val pid = r.i32(); val off = r.i64()
+                r.nullableStr() // metadata
+                state.commitOffset(group, pid, off)
+                body.i32(pid); body.i16(0)
+              }
+            }
+          case KafkaWire.ApiOffsetFetch =>
+            require(apiVersion == 1, s"offsetfetch v$apiVersion unsupported")
+            val group = r.str()
+            val nt = r.i32()
+            body.i32(nt)
+            (0 until nt).foreach { _ =>
+              val t = r.str()
+              val np = r.i32()
+              body.str(t)
+              body.i32(np)
+              (0 until np).foreach { _ =>
+                val pid = r.i32()
+                body.i32(pid)
+                body.i64(state.fetchOffset(group, pid))
+                body.nullableStr(null) // metadata
+                body.i16(0)
+              }
+            }
           case other =>
             throw new IllegalArgumentException(s"api $other unsupported")
         }
@@ -979,13 +1111,14 @@ class KafkaWireProvider extends TableProvider {
       opts.getOrElse("topic", "bus"),
       opts.get("maxrowspertrigger").map(_.toLong),
       opts.get("starttimestamp").map(_.toLong),
-      opts.get("includetimestamp").exists(_.toBoolean))
+      opts.get("includetimestamp").exists(_.toBoolean),
+      opts.get("groupid"))
   }
 }
 
 class KafkaWireTable(host: String, port: Int, topic: String,
                      maxRows: Option[Long], startTs: Option[Long],
-                     withTs: Boolean)
+                     withTs: Boolean, groupId: Option[String] = None)
     extends Table with SupportsRead {
   private def tableSchema: StructType =
     if (withTs) KafkaWire.timestampedSchema else BusSource.schema
@@ -998,7 +1131,8 @@ class KafkaWireTable(host: String, port: Int, topic: String,
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = tableSchema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new KafkaWireMicroBatchStream(host, port, topic, maxRows, startTs, withTs)
+          new KafkaWireMicroBatchStream(host, port, topic, maxRows, startTs,
+            withTs, groupId)
       }
     }
 }
@@ -1006,7 +1140,8 @@ class KafkaWireTable(host: String, port: Int, topic: String,
 class KafkaWireMicroBatchStream(host: String, port: Int, topic: String,
                                 maxRows: Option[Long],
                                 startTs: Option[Long] = None,
-                                withTs: Boolean = false)
+                                withTs: Boolean = false,
+                                groupId: Option[String] = None)
     extends MicroBatchStream with SupportsAdmissionControl {
 
   private def heads(): Map[Int, Long] = {
@@ -1017,18 +1152,51 @@ class KafkaWireMicroBatchStream(host: String, port: Int, topic: String,
     } finally c.close()
   }
 
-  override def initialOffset(): Offset = startTs match {
-    case None => BusOffset(heads().map { case (p, _) => p -> 0L })
-    case Some(ts) => // seek by create-time (r10b)
-      val c = new KafkaWire.Client(host, port)
-      try {
-        val parts = c.partitions(topic)
-        val found = c.offsetsForTimes(topic, parts, ts)
-        val ends = c.listOffsets(topic, parts, -1L)
-        // no record at/after ts → start at head (the seekToEnd fallback)
-        BusOffset(parts.map(p =>
-          p -> (if (found(p) < 0) ends(p) else found(p))).toMap)
-      } finally c.close()
+  /** A connection to the group's COORDINATOR (FindCoordinator first —
+    * the discovery step; a single-broker cluster answers with itself).
+    */
+  private def withCoordinator[T](group: String)
+      (f: (KafkaWire.Client, String) => T): T = {
+    val boot = new KafkaWire.Client(host, port)
+    val (ch, cp) =
+      try boot.findCoordinator(group) finally boot.close()
+    val c = new KafkaWire.Client(ch, cp)
+    try f(c, group) finally c.close()
+  }
+
+  /** Fresh-start offsets (no checkpoint): COMMITTED group offsets win
+    * (r11 — the cross-client resume real consumers do); partitions the
+    * group never committed fall back to the startTimestamp seek or
+    * earliest. Spark restarts with a checkpoint never call this — the
+    * checkpoint wins there, exactly kafka's own source semantics.
+    */
+  override def initialOffset(): Offset = {
+    val base: Map[Int, Long] = startTs match {
+      case None => heads().map { case (p, _) => p -> 0L }
+      case Some(ts) => // seek by create-time (r10b)
+        val c = new KafkaWire.Client(host, port)
+        try {
+          val parts = c.partitions(topic)
+          val found = c.offsetsForTimes(topic, parts, ts)
+          val ends = c.listOffsets(topic, parts, -1L)
+          // no record at/after ts → start at head (the seekToEnd fallback)
+          parts.map(p =>
+            p -> (if (found(p) < 0) ends(p) else found(p))).toMap
+        } finally c.close()
+    }
+    val resolved = groupId match {
+      case None => base
+      case Some(g) => withCoordinator(g) { (c, group) =>
+        val committed = c.offsetFetch(group, topic, base.keys.toSeq.sorted)
+        base.map { case (p, b) =>
+          p -> (committed.getOrElse(p, -1L) match {
+            case off if off >= 0L => off
+            case _ => b
+          })
+        }
+      }
+    }
+    BusOffset(resolved)
   }
 
   override def deserializeOffset(json: String): Offset = BusOffset.parse(json)
@@ -1059,7 +1227,16 @@ class KafkaWireMicroBatchStream(host: String, port: Int, topic: String,
           partition.asInstanceOf[KafkaWireInputPartition])
     }
 
-  override def commit(end: Offset): Unit = ()
+  /** Batch-completion hook: with a group, each finished micro-batch's
+    * end offsets COMMIT to the coordinator (auto-commit-on-batch — what
+    * makes the position visible to lag monitors and resumable without
+    * the checkpoint directory).
+    */
+  override def commit(end: Offset): Unit = groupId.foreach { g =>
+    withCoordinator(g) { (c, group) =>
+      c.offsetCommit(group, topic, end.asInstanceOf[BusOffset].counts)
+    }
+  }
   override def stop(): Unit = ()
 }
 

@@ -2197,4 +2197,62 @@ object Streams {
       try { q.processAllAvailable() } finally { q.stop() }
       iso.table(queryName)
     }
+
+  /** X57 (r11): consumer-group kill-and-resume over the Kafka wire —
+    * NO checkpoint directory carries state between the two queries;
+    * the GROUP's broker-committed offsets do.
+    *
+    * Phase 1: a consumer in `groupId` with `maxRowsPerTrigger`
+    * admission processes exactly ONE micro-batch (its end offsets
+    * auto-commit to the coordinator on batch completion), then DIES
+    * mid-topic — the second batch throws inside foreachBatch, the
+    * simulated crash every group-offset design exists for. Phase 2: a
+    * FRESH query (new session, new implicit checkpoint) in the same
+    * group starts from OffsetFetch — the committed positions — and
+    * drains the remainder; `pipe` aggregates only the suffix.
+    *
+    * Determinism: batch 0's end offsets are [[BusSource.admit]]'s
+    * even budget split over the backlogged partitions (sorted ids) —
+    * pure arithmetic over the produced heads, replayed by the oracle.
+    */
+  def kafkaBusGroupResume(spark: SparkSession, host: String, port: Int,
+                          topic: String, groupId: String,
+                          maxRowsPerTrigger: Long, queryName: String)
+                         (pipe: DataFrame => DataFrame): DataFrame = {
+    withStateSession(spark, 8) { iso =>
+      val stream = iso.readStream
+        .format("graft.streaming.KafkaWireProvider")
+        .option("host", host)
+        .option("port", port.toString)
+        .option("topic", topic)
+        .option("groupId", groupId)
+        .option("maxRowsPerTrigger", maxRowsPerTrigger.toString)
+        .load()
+      val q = stream.writeStream
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          if (id == 0L) { df.count(); () }
+          else throw new IllegalStateException(
+            "simulated consumer crash after the first committed batch")
+        }
+        .start()
+      try q.awaitTermination()
+      catch {
+        case _: org.apache.spark.sql.streaming.StreamingQueryException => ()
+      }
+    }
+    withStateSession(spark, 8) { iso =>
+      val stream = iso.readStream
+        .format("graft.streaming.KafkaWireProvider")
+        .option("host", host)
+        .option("port", port.toString)
+        .option("topic", topic)
+        .option("groupId", groupId)
+        .option("maxRowsPerTrigger", maxRowsPerTrigger.toString)
+        .load()
+      val q = pipe(stream).writeStream.outputMode("complete")
+        .format("memory").queryName(queryName).start()
+      try { q.processAllAvailable() } finally { q.stop() }
+      iso.table(queryName)
+    }
+  }
 }

@@ -410,4 +410,53 @@ class KafkaWireSpec extends AnyFunSuite {
       assert(got.map(_._1) == Seq(0, 1, 2))
     } finally server.close()
   }
+
+  // ---- r11: consumer-group coordination (X57) ----
+
+  test("FindCoordinator + OffsetCommit/OffsetFetch round-trip on the wire (r11)") {
+    val server = KafkaBusServer.serve(null, topic = "g", emptyPartitions = 2)
+    try {
+      val c = new KafkaWire.Client("127.0.0.1", server.port)
+      try {
+        assert(c.apiVersions()(KafkaWire.ApiOffsetCommit) == ((2, 2)))
+        assert(c.apiVersions()(KafkaWire.ApiFindCoordinator) == ((0, 0)))
+        // discovery: the single broker coordinates every group
+        val (host, port) = c.findCoordinator("grp-a")
+        assert(host == "127.0.0.1" && port == server.port)
+        // a new group has nothing committed (-1 sentinel)
+        assert(c.offsetFetch("grp-a", "g", Seq(0, 1)) ==
+          Map(0 -> -1L, 1 -> -1L))
+        c.offsetCommit("grp-a", "g", Map(0 -> 7L, 1 -> 3L))
+        assert(c.offsetFetch("grp-a", "g", Seq(0, 1)) ==
+          Map(0 -> 7L, 1 -> 3L))
+        // re-commit overwrites; groups are isolated from each other
+        c.offsetCommit("grp-a", "g", Map(0 -> 9L))
+        assert(c.offsetFetch("grp-a", "g", Seq(0, 1)) ==
+          Map(0 -> 9L, 1 -> 3L))
+        assert(c.offsetFetch("grp-b", "g", Seq(0, 1)) ==
+          Map(0 -> -1L, 1 -> -1L))
+      } finally c.close()
+    } finally server.close()
+  }
+
+  test("a crashed group consumer resumes from COMMITTED offsets, no checkpoint (r11)") {
+    // 1 partition, 10 records; budget 4 → batch 0 commits offset 4,
+    // the crash kills batch 1, the fresh query reads exactly [4, 10)
+    val server = KafkaBusServer.serve(null, topic = "bus", emptyPartitions = 1)
+    try {
+      val c = new KafkaWire.Client("127.0.0.1", server.port)
+      try c.produce("bus", 0, (0 until 10).map(i => s"r$i".getBytes(UTF_8)))
+      finally c.close()
+      val out = Streams.kafkaBusGroupResume(spark, "127.0.0.1", server.port,
+        "bus", s"grp_spec_${System.nanoTime()}", maxRowsPerTrigger = 4,
+        s"kwg_spec_${System.nanoTime()}") { stream =>
+        stream.groupBy(col("partition"))
+          .agg(count(lit(1)).as("n"), min(col("offset")).as("lo"),
+            max(col("offset")).as("hi"))
+      }
+      val got = out.as[(Int, Long, Long, Long)].collect().toSeq
+      assert(got == Seq((0, 6L, 4L, 9L)),
+        s"resume must start at the committed offset 4, got $got")
+    } finally server.close()
+  }
 }

@@ -342,7 +342,32 @@ object QueriesR21 {
     } finally server.close()
   }
 
+  /** X5b (r11): purchases LEFT OUTER joined to same-user clicks from
+    * the trailing 30 minutes through the streaming engine — unmatched
+    * purchases emit with click_id -1 once the watermark expires their
+    * join window (the null-emit leg X5's inner join cannot express);
+    * second-truncated event time so the batch LEFT JOIN oracle
+    * compares exactly.
+    */
+  def streamJoinOuter(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        to_timestamp(unix_timestamp(col("ts").cast("timestamp"))).as("tsec"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("l_key"), col("event_id").as("l_id"),
+        col("tsec").as("l_ts"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("r_key"), col("event_id").as("r_id"),
+        col("tsec").as("r_ts"))
+    graft.streaming.Streams.intervalJoinLeftOuter(s, purchases, clicks,
+        gapSec = 1800, queryName = s"graft_ivjoinL_${System.nanoTime()}")
+      .select(col("l_id").as("purchase_id"), col("l_key").as("user_id"),
+        coalesce(col("r_id"), lit(-1L)).as("click_id"))
+      .orderBy(col("purchase_id"), col("click_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_join_outer" -> (streamJoinOuter _),
     "stream_kafka_group_resume" -> (streamKafkaGroupResume _),
     "delta_colmap_roundtrip" -> (deltaColmapRoundtrip _),
     "delta_dv_merge_roundtrip" -> (deltaDvMergeRoundtrip _),
@@ -351,6 +376,15 @@ object QueriesR21 {
     "text_bpe_bytelevel_tokenize" -> (textBpeBytelevelTokenize _))
 
   val sql: Map[String, String] = Map(
+    "stream_join_outer" ->
+      """SELECT p.event_id AS purchase_id, p.user_id AS user_id,
+        |  COALESCE(c.event_id, -1) AS click_id
+        |FROM events p LEFT JOIN events c ON c.user_id = p.user_id
+        |  AND c.event_type = 'click'
+        |  AND floor(epoch(c.ts)) >= floor(epoch(p.ts)) - 1800
+        |  AND floor(epoch(c.ts)) <= floor(epoch(p.ts))
+        |WHERE p.event_type = 'purchase'
+        |ORDER BY purchase_id, click_id""".stripMargin,
     "stream_kafka_group_resume" ->
       """WITH k AS (SELECT COUNT(*) // 8 AS kk FROM orders),
         |r AS (

@@ -355,6 +355,77 @@ object Streams {
     }
   }
 
+  /** X5b (r11): stream-stream LEFT OUTER interval join — the
+    * enrichment-miss shape: every left event emits, matched rows as
+    * they join, unmatched rows WITH NULL right columns once the
+    * watermark proves no match can still arrive (state expiry is the
+    * null-emit trigger — the engine cannot know "no match" earlier).
+    *
+    * Drain-completeness: outer results only surface when the GLOBAL
+    * watermark (the min across both sources) passes a left row's
+    * expiry, and state EVICTION runs with the watermark computed at
+    * the END of the PREVIOUS batch — so a single flush at the end of
+    * the data still leaves the final evictions to a no-data batch the
+    * drain call does not wait for. Two flush WAVES fix it
+    * deterministically: wave 1 (staged with the data, far-future
+    * timestamps under a key no real row uses) raises the watermark
+    * past every real expiry; wave 2 (appended to the staged dirs
+    * AFTER the first drain) is a DATA batch that runs under that
+    * raised watermark and therefore emits every remaining null row
+    * before the second drain returns. Sentinels filter from the
+    * output.
+    */
+  def intervalJoinLeftOuter(spark: SparkSession, left: DataFrame,
+                            right: DataFrame, gapSec: Long,
+                            queryName: String): DataFrame = {
+    import org.apache.spark.sql.functions.{expr => fexpr}
+    // driver scalars: the flush timestamp must clear every expiry
+    // (max event time + gap + watermark delay + margin)
+    val maxL = left.agg(max(col("l_ts"))).head().getTimestamp(0)
+    val maxR = right.agg(max(col("r_ts"))).head().getTimestamp(0)
+    val flushMs = math.max(maxL.getTime, maxR.getTime) +
+      (gapSec + 2 * 3600L + 60L) * 1000L
+    def sentinel(schema: org.apache.spark.sql.types.StructType,
+                 ms: Long): DataFrame =
+      left.sparkSession.createDataFrame(
+        java.util.List.of(org.apache.spark.sql.Row(
+          -1L, -1L, new java.sql.Timestamp(ms))), schema)
+    val lPath = stageToTemp(
+      left.unionByName(sentinel(left.schema, flushMs)), "ivjoinL_l")
+    val rPath = stageToTemp(
+      right.unionByName(sentinel(right.schema, flushMs)), "ivjoinL_r")
+    withStateSession(spark, 8) { iso =>
+      val l = iso.readStream.schema(left.schema).parquet(lPath)
+        .withWatermark("l_ts", "1 hour")
+      val r = iso.readStream.schema(right.schema).parquet(rPath)
+        .withWatermark("r_ts", "1 hour")
+      // NOTE: the sentinel filter must NOT live in the streaming plan —
+      // `l_key != -1` would constraint-propagate through the equi-join
+      // (inferring `r_key != -1`) and push below BOTH EventTimeWatermark
+      // nodes, so the flush rows would never raise the watermark. The
+      // sentinels flow through the join (each wave's pair matches
+      // itself, nothing else — no real key is -1) and filter from the
+      // BATCH read of the sink table instead.
+      val joined = l.join(r, fexpr(
+          s"l_key = r_key AND r_ts >= l_ts - INTERVAL $gapSec SECONDS AND r_ts <= l_ts"),
+          "leftOuter")
+      val q = joined.writeStream.outputMode("append")
+        .format("memory").queryName(queryName).start()
+      try {
+        q.processAllAvailable()
+        // wave 2: a data batch under the already-raised watermark —
+        // the batch whose eviction emits the last unmatched rows
+        val wave2 = flushMs + 3600L * 1000L
+        sentinel(left.schema, wave2).coalesce(1)
+          .write.mode("append").parquet(lPath)
+        sentinel(right.schema, wave2).coalesce(1)
+          .write.mode("append").parquet(rPath)
+        q.processAllAvailable()
+      } finally { q.stop() }
+      iso.table(queryName).filter(col("l_key") =!= -1L)
+    }
+  }
+
   /** X6: stream-static join — each micro-batch of the stream joins the
     * static side (broadcast when small) with no state at all: the static
     * side is re-resolvable per batch, so nothing needs watermarking. The

@@ -259,6 +259,19 @@ object Bench {
         }
     }
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"tiers":$tiers,"staging":${f"$stagingSec%.3f"},"noisy":$noisyList,"runs":$runsJson,"gc":$gcJson,"sf":"$sfDir"}""")
+    // Compact FINAL summary line (r11): every BENCH_r*.json to date has
+    // "parsed": null because the driver keeps only the LAST ~2000 chars
+    // of output — the full line above is several times that, so the
+    // window never holds a complete JSON line. This one is sized to fit
+    // (tier totals + the slowest gates; the full per-query data lives in
+    // the line above and in the committed BENCH_ALL artifacts).
+    val top = results.filter(_._2 >= 0).sortBy(-_._2).take(10)
+      .map { case (k, v, _, _, _) => "\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    val compact =
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","tiers":$tiers,"staging":${f"$stagingSec%.3f"},"n_queries":${results.size},"slowest":$top,"sf":"$sfDir"}"""
+    println(if (compact.length <= 1800) compact
+    else s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","tiers":$tiers,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

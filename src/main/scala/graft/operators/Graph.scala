@@ -1118,6 +1118,17 @@ object Graph {
       .agg(sort_array(collect_list(col("w"))).as("ns"))
       .ckpt
     val delta = canon(deltaEdges).ckpt
+    // merged-graph support of EVERY merged edge, computed ONCE (r11):
+    // the per-level pool prefilter below needs ms(a,b) = |N(a) ∩ N(b)|
+    // against the STATIC merged adjacency — recomputing the full
+    // intersect pass per level was one whole support sweep per level
+    // for a value that never changes
+    val mergedSupport = und
+      .join(adjAll.select(col("v").as("a"), col("ns").as("na")), Seq("a"))
+      .join(adjAll.select(col("v").as("b"), col("ns").as("nb")), Seq("b"))
+      .select(col("a"), col("b"),
+        size(array_intersect(col("na"), col("nb"))).as("ms"))
+      .ckpt
     var labels = und.select(col("a"), col("b"), lit(2L).as("lvl"))
     var prev = und // edge set of the new (k-1)-truss
     var k = 3
@@ -1151,12 +1162,10 @@ object Graph {
       // region before the closure/peel loops run (the big-delta case
       // otherwise closes over nearly the whole graph: 212 s → this +
       // supportByIntersect cut the gate to ~a third).
-      val pool = prev.join(oldTruss, Seq("a", "b"), "left_anti")
-        .join(adjAll.select(col("v").as("a"), col("ns").as("na")), Seq("a"))
-        .join(adjAll.select(col("v").as("b"), col("ns").as("nb")), Seq("b"))
-        .select(col("a"), col("b"),
-          size(array_intersect(col("na"), col("nb"))).as("ms"))
-        .filter(col("ms") >= k - 2).select(col("a"), col("b"))
+      val pool = mergedSupport.filter(col("ms") >= k - 2)
+        .select(col("a"), col("b"))
+        .join(prev, Seq("a", "b"), "left_semi")
+        .join(oldTruss, Seq("a", "b"), "left_anti")
         .ckpt
       // Adaptive cutover (r7): incremental maintenance only wins while
       // the candidate region is SMALL — with a bulk delta (the gate's
@@ -1169,54 +1178,110 @@ object Graph {
       // `prev` directly and skip the per-edge bookkeeping.
       val nPool = pool.count()
       val nPrev = prev.count()
+      val dbg = sys.env.contains("GRAFT_GRAPH_DEBUG")
+      val tLevel = System.nanoTime()
+      if (dbg) System.err.println(
+        s"[trussinc] k=$k pool=$nPool prev=$nPrev branch=" +
+          (if (nPool * 2 > nPrev) "direct" else "incremental"))
       val truss = (if (nPool * 2 > nPrev) {
         kTrussCanon(prev, k, rounds).select(col("a"), col("b"))
       } else {
         // closure of the delta edges through the pool, via shared
-        // triangles
-        var reached = delta.join(pool, Seq("a", "b"), "left_semi")
-          .ckpt
-        var frontier = reached
-        var r = 0
-        while (r < rounds && !frontier.isEmpty) {
-          frontier = triAdjacent(frontier)
-            .join(pool, Seq("a", "b"), "left_semi")
-            .join(reached, Seq("a", "b"), "left_anti")
-            .ckpt
-          // reached stays a UNION of already-checkpointed frontiers —
-          // plan depth is O(rounds) over leaf RDDs, and skipping the
-          // re-checkpoint saves one full-set materialization per round
-          reached = reached.unionAll(frontier)
-          r += 1
-        }
+        // triangles. The closure exists for SMALL deltas (peel only the
+        // touched region); it is not needed for correctness — peeling
+        // the WHOLE pool reaches the same fixpoint, because a surviving
+        // pool component with no delta edge would make oldTruss ∪
+        // component a k-truss of the BASE graph, contradicting the base
+        // labels' maximality, so the peel itself removes it. With a
+        // bulk delta the closure reaches ~the whole pool anyway and its
+        // BFS rounds are pure overhead (r11: 6-8 s of the gate's 35 s),
+        // so it only runs when the delta seeds are a small fraction of
+        // the pool.
+        val seeds = delta.join(pool, Seq("a", "b"), "left_semi").ckpt
+        val nSeeds = seeds.count()
+        val tClosure = System.nanoTime()
+        var reached =
+          if (nSeeds * 20 >= nPool) pool
+          else {
+            var acc = seeds
+            var frontier = acc
+            var r = 0
+            while (r < rounds && !frontier.isEmpty) {
+              frontier = triAdjacent(frontier)
+                .join(pool, Seq("a", "b"), "left_semi")
+                .join(acc, Seq("a", "b"), "left_anti")
+                .ckpt
+              // acc stays a UNION of already-checkpointed frontiers —
+              // plan depth is O(rounds) over leaf RDDs, and skipping the
+              // re-checkpoint saves one full-set materialization per round
+              acc = acc.unionAll(frontier)
+              r += 1
+            }
+            if (dbg) System.err.println(
+              f"[trussinc]   closure $r rounds ${(System.nanoTime() - tClosure) / 1e9}%.2f s")
+            acc
+          }
         // candidate-only peel: support = triangles whose other two
-        // edges are old-truss or surviving candidates
-        var alive = reached
-        var nAlive = alive.count()
-        var done = nAlive == 0
-        var it = 0
-        while (it < rounds && !done) {
-          // per-iteration adjacency of the keep set (it shrinks), then
-          // candidate support by list intersection — never a wedge
-          // shuffle
-          val keep = oldTruss.unionAll(alive)
-          val keepAdj = keep.select(col("a").as("v"), col("b").as("w"))
-            .unionAll(keep.select(col("b").as("v"), col("a").as("w")))
-            .groupBy(col("v"))
-            .agg(sort_array(collect_list(col("w"))).as("ns"))
-          val next = alive
-            .join(keepAdj.select(col("v").as("a"), col("ns").as("na")), Seq("a"))
-            .join(keepAdj.select(col("v").as("b"), col("ns").as("nb")), Seq("b"))
+        // edges are old-truss or surviving candidates. TARGETED form
+        // (r11): one full support pass seeds a per-edge support table;
+        // after that a removal can only change the support of edges
+        // sharing a triangle with it, so each round re-intersects ONLY
+        // the triangle-neighborhood of the edges that just fell — the
+        // tail rounds of this peel drop a handful of edges each, and
+        // the former full-keep re-aggregate + full intersect per round
+        // was the level's dominant constant. Unaffected supports are
+        // exact by monotonicity (keep only shrinks, and a shrink only
+        // touches triangle-adjacent edges), so the trajectory is
+        // IDENTICAL to the full per-round recompute.
+        def supportIn(es: DataFrame, keepEdges: DataFrame,
+                      nodes: Option[DataFrame]): DataFrame = {
+          val doubled = keepEdges.select(col("a").as("v"), col("b").as("w"))
+            .unionAll(keepEdges.select(col("b").as("v"), col("a").as("w")))
+          val scoped = nodes match {
+            case Some(ns) => doubled.join(broadcast(ns), Seq("v"), "left_semi")
+            case None => doubled
+          }
+          val adj = scoped.groupBy(col("v"))
+            .agg(collect_list(col("w")).as("ns"))
+          es.join(adj.select(col("v").as("a"), col("ns").as("na")), Seq("a"))
+            .join(adj.select(col("v").as("b"), col("ns").as("nb")), Seq("b"))
             .select(col("a"), col("b"),
               size(array_intersect(col("na"), col("nb"))).as("support"))
-            .filter(col("support") >= k - 2).select(col("a"), col("b"))
-            .ckpt
-          val n = next.count()
-          if (n == nAlive) done = true
-          else { alive = next; nAlive = n; it += 1 }
         }
-        if (nAlive == 0) oldTruss else oldTruss.unionAll(alive)
+        var aliveSup = supportIn(reached, oldTruss.unionAll(reached), None)
+          .ckpt
+        var it = 0
+        var done = reached.isEmpty
+        while (it < rounds && !done) {
+          val tRound = System.nanoTime()
+          val surviving = aliveSup.filter(col("support") >= k - 2)
+          val removed = aliveSup.filter(col("support") < k - 2)
+            .select(col("a"), col("b")).ckpt
+          if (dbg) System.err.println(
+            f"[trussinc]   peel round $it removed ${removed.count()} filter+ckpt ${(System.nanoTime() - tRound) / 1e9}%.2f s")
+          if (removed.isEmpty) done = true
+          else {
+            val keepEdges = oldTruss
+              .unionAll(surviving.select(col("a"), col("b")))
+            val affected = triAdjacent(removed)
+              .join(surviving.select(col("a"), col("b")), Seq("a", "b"),
+                "left_semi").ckpt
+            val nodes = affected.select(col("a").as("v"))
+              .unionAll(affected.select(col("b").as("v"))).distinct()
+            val refreshed = supportIn(affected, keepEdges, Some(nodes))
+            aliveSup = surviving.join(affected, Seq("a", "b"), "left_anti")
+              .unionAll(refreshed).ckpt
+            if (dbg) System.err.println(
+              f"[trussinc]   peel round $it total ${(System.nanoTime() - tRound) / 1e9}%.2f s")
+            it += 1
+          }
+        }
+        val alive = aliveSup.filter(col("support") >= k - 2)
+          .select(col("a"), col("b"))
+        if (alive.isEmpty) oldTruss else oldTruss.unionAll(alive)
       }).ckpt
+      if (dbg) System.err.println(
+        f"[trussinc] k=$k level took ${(System.nanoTime() - tLevel) / 1e9}%.2f s")
       empty = truss.isEmpty
       if (!empty)
         labels = labels.unionAll(

@@ -366,8 +366,57 @@ object QueriesR21 {
       .orderBy(col("purchase_id"), col("click_id"))
   }
 
+  /** X5c (r11): the FULL OUTER leg — unmatched purchases AND unmatched
+    * clicks both emit (the other side -1) on watermark expiry; the
+    * missed-enrichment and orphaned-event shapes in one result.
+    */
+  def streamJoinFullOuter(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        to_timestamp(unix_timestamp(col("ts").cast("timestamp"))).as("tsec"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("l_key"), col("event_id").as("l_id"),
+        col("tsec").as("l_ts"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("r_key"), col("event_id").as("r_id"),
+        col("tsec").as("r_ts"))
+    graft.streaming.Streams.intervalJoinFullOuter(s, purchases, clicks,
+        gapSec = 1800, queryName = s"graft_ivjoinF_${System.nanoTime()}")
+      .select(coalesce(col("l_id"), lit(-1L)).as("purchase_id"),
+        coalesce(col("l_key"), col("r_key")).as("user_id"),
+        coalesce(col("r_id"), lit(-1L)).as("click_id"))
+      .orderBy(col("purchase_id"), col("click_id"), col("user_id"))
+  }
+
+  /** T34f (r11): byte-level BPE encode-to-ids — T34d's model-input leg
+    * on the byte-level tokenizer: symbol ids by rank over the trained
+    * byte alphabet, each word's ordered id list, first 50 docs
+    * re-assembled to space-joined id sequences.
+    */
+  def textBpeBytelevelEncode(s: SparkSession, dir: String): DataFrame = {
+    val (_, endState) = byteBpeTrained(s, dir)
+    val vocab = endState.select(col("s")).distinct()
+      .withColumn("tid", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("s"))).cast("long"))
+    val wsub = endState.join(vocab, Seq("s"))
+      .select(col("w"), col("p"), col("tid"))
+    t(s, dir, "documents").filter(col("doc_id") < 50)
+      .select(col("doc_id"),
+        posexplode(split(mbText, " ")).as(Seq("wp", "w")))
+      .filter(col("w") =!= "")
+      .join(broadcast(wsub), Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(expr(
+        """array_join(transform(sort_array(collect_list(struct(wp, p, tid))),
+          |                     x -> cast(x.tid AS string)), ' ')""".stripMargin)
+        .as("token_ids"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_join_outer" -> (streamJoinOuter _),
+    "stream_join_full_outer" -> (streamJoinFullOuter _),
+    "text_bpe_bytelevel_encode" -> (textBpeBytelevelEncode _),
     "stream_kafka_group_resume" -> (streamKafkaGroupResume _),
     "delta_colmap_roundtrip" -> (deltaColmapRoundtrip _),
     "delta_dv_merge_roundtrip" -> (deltaDvMergeRoundtrip _),
@@ -376,6 +425,35 @@ object QueriesR21 {
     "text_bpe_bytelevel_tokenize" -> (textBpeBytelevelTokenize _))
 
   val sql: Map[String, String] = Map(
+    "stream_join_full_outer" ->
+      """SELECT COALESCE(p.event_id, -1) AS purchase_id,
+        |  COALESCE(p.user_id, c.user_id) AS user_id,
+        |  COALESCE(c.event_id, -1) AS click_id
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |FULL JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON c.user_id = p.user_id
+        |  AND floor(epoch(c.ts)) >= floor(epoch(p.ts)) - 1800
+        |  AND floor(epoch(c.ts)) <= floor(epoch(p.ts))
+        |ORDER BY purchase_id, click_id, user_id""".stripMargin,
+    "text_bpe_bytelevel_encode" ->
+      s"""WITH ${graft.operators.Bpe.byteOracleCtes(
+             "documents", mbTextSql, byteBpeMerges)},
+        |vocab AS MATERIALIZED (
+        |  SELECT s, CAST(ROW_NUMBER() OVER (ORDER BY s) AS BIGINT) AS tid
+        |  FROM (SELECT DISTINCT s FROM st$byteBpeMerges)
+        |), wsub AS MATERIALIZED (
+        |  SELECT w, p, tid FROM st$byteBpeMerges JOIN vocab USING (s)
+        |), dw AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS wp, w FROM (
+        |    SELECT doc_id, unnest(string_split($mbTextSql, ' ')) AS w,
+        |           generate_subscripts(string_split($mbTextSql, ' '), 1) AS i
+        |    FROM documents WHERE doc_id < 50
+        |  ) WHERE w <> ''
+        |)
+        |SELECT doc_id,
+        |  string_agg(CAST(tid AS VARCHAR), ' ' ORDER BY wp, p) AS token_ids
+        |FROM dw JOIN wsub USING (w)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "stream_join_outer" ->
       """SELECT p.event_id AS purchase_id, p.user_id AS user_id,
         |  COALESCE(c.event_id, -1) AS click_id

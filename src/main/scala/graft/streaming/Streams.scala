@@ -377,7 +377,22 @@ object Streams {
     */
   def intervalJoinLeftOuter(spark: SparkSession, left: DataFrame,
                             right: DataFrame, gapSec: Long,
-                            queryName: String): DataFrame = {
+                            queryName: String): DataFrame =
+    intervalJoinOuter(spark, left, right, gapSec, "leftOuter", queryName)
+
+  /** X5c (r11): FULL OUTER form — unmatched rows on EITHER side emit
+    * with the other side null on watermark expiry; same two-wave flush
+    * and outside-the-plan sentinel filtering as the left-outer leg.
+    */
+  def intervalJoinFullOuter(spark: SparkSession, left: DataFrame,
+                            right: DataFrame, gapSec: Long,
+                            queryName: String): DataFrame =
+    intervalJoinOuter(spark, left, right, gapSec, "fullOuter", queryName)
+
+  private def intervalJoinOuter(spark: SparkSession, left: DataFrame,
+                                right: DataFrame, gapSec: Long,
+                                joinType: String,
+                                queryName: String): DataFrame = {
     import org.apache.spark.sql.functions.{expr => fexpr}
     // driver scalars: the flush timestamp must clear every expiry
     // (max event time + gap + watermark delay + margin)
@@ -408,7 +423,7 @@ object Streams {
       // BATCH read of the sink table instead.
       val joined = l.join(r, fexpr(
           s"l_key = r_key AND r_ts >= l_ts - INTERVAL $gapSec SECONDS AND r_ts <= l_ts"),
-          "leftOuter")
+          joinType)
       val q = joined.writeStream.outputMode("append")
         .format("memory").queryName(queryName).start()
       try {
@@ -422,7 +437,11 @@ object Streams {
           .write.mode("append").parquet(rPath)
         q.processAllAvailable()
       } finally { q.stop() }
-      iso.table(queryName).filter(col("l_key") =!= -1L)
+      // null-safe: a full-outer row may carry null on either side, and
+      // each wave's sentinels match each OTHER, never real rows
+      iso.table(queryName)
+        .filter(coalesce(col("l_key"), lit(0L)) =!= -1L &&
+          coalesce(col("r_key"), lit(0L)) =!= -1L)
     }
   }
 

@@ -43,4 +43,19 @@ class OuterJoinProbeSpec extends AnyFunSuite {
       .toSet
     assert(rows == Set((11L, 91L), (22L, -1L)), s"got $rows")
   }
+
+  test("full outer: unmatched rows on BOTH sides emit (r11)") {
+    // key 1 matches; purchase 22 has no click; click 93 has no purchase
+    val left = Seq((1L, 11L, ts(base + 5000)), (2L, 22L, ts(base + 5000)))
+      .toDF("l_key", "l_id", "l_ts")
+    val right = Seq((1L, 91L, ts(base + 4400)), (3L, 93L, ts(base + 100)))
+      .toDF("r_key", "r_id", "r_ts")
+    val got = Streams.intervalJoinFullOuter(spark, left, right, gapSec = 1800,
+      queryName = s"ivjf_probe_${System.nanoTime()}")
+    val rows = got.select("l_id", "r_id").collect()
+      .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toSet
+    assert(rows == Set((11L, 91L), (22L, -1L), (-1L, 93L)), s"got $rows")
+  }
 }

@@ -578,6 +578,13 @@ object QueriesR16 {
       (s.sparkContext.applicationId, dir, "iceberg"),
       _ => buildIcebergFresh(s, dir))
 
+  /** Fresh (non-memoized) F15b fixture for gates that MUTATE the table
+    * after building (r11: snapshot expiration) — the memoized copies
+    * must never be touched.
+    */
+  private[graft] def buildIcebergFreshFor(s: SparkSession, dir: String): String =
+    buildIcebergFresh(s, dir)
+
   private def buildIcebergFresh(s: SparkSession, dir: String): String = {
         import graft.sources.IcebergCatalog._
         val t0 = java.nio.file.Files.createTempDirectory("ice_rt")

@@ -413,7 +413,51 @@ object QueriesR21 {
       .orderBy(col("doc_id"))
   }
 
+  // ---------------------------------------------------------------
+  // F15h: snapshot EXPIRATION — the maintenance pass; after it the
+  // state is reachable ONLY through the kept snapshot and every
+  // expired-only manifest/data file is physically gone.
+  // ---------------------------------------------------------------
+
+  private def buildIcebergExpireTable(s: SparkSession, dir: String): String =
+    tableBuildMemo.computeIfAbsent(
+      (s.sparkContext.applicationId, dir, "iceberg_expire"), _ => {
+        val t0 = QueriesR16.buildIcebergFreshFor(s, dir)
+        val snap = graft.sources.IcebergCatalog.commitPositionDelete(
+          s, t0, "rk=3/f0.parquet", col("n_nationkey") % 2 === 1,
+          snapshotId = 40L)
+        require(snap == 40L)
+        val (kept, deleted) =
+          graft.sources.IcebergCatalog.expireSnapshots(t0, keepLast = 1)
+        require(kept == 1 && deleted > 0,
+          s"expiration must delete expired-only files (kept=$kept, deleted=$deleted)")
+        // time travel to an expired snapshot is gone, loudly
+        val gone = try {
+          graft.sources.IcebergCatalog.read(s, t0, snapshotId = Some(10L))
+          false
+        } catch { case _: IllegalArgumentException => true }
+        require(gone, "expired snapshot must not be readable")
+        t0
+      })
+
+  /** F15h (r11): snapshot expiration round-trip — the F15c table
+    * (fixture snapshots 10/20/30 + an engine positional-delete commit
+    * at 40) EXPIRED down to the last snapshot: unreferenced manifest
+    * lists/manifests/data files physically deleted (reference-counted
+    * against live entries of the kept snapshot), expired time travel
+    * loud, and the CURRENT state byte-identical to the pre-expiration
+    * read — the same oracle as `iceberg_delete_roundtrip`.
+    */
+  def icebergExpireRoundtrip(s: SparkSession, dir: String): DataFrame =
+    graft.sources.IcebergCatalog.read(s, buildIcebergExpireTable(s, dir))
+      .select(col("n_nationkey"), col("n_name"),
+        col("meta.nm").as("meta_nm"), col("meta.ln").as("meta_ln"),
+        element_at(col("arr"), 1).as("arr0"),
+        element_at(col("arr"), 2).as("arr1"), col("rk"))
+      .orderBy(col("n_nationkey"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "iceberg_expire_roundtrip" -> (icebergExpireRoundtrip _),
     "stream_join_outer" -> (streamJoinOuter _),
     "stream_join_full_outer" -> (streamJoinFullOuter _),
     "text_bpe_bytelevel_encode" -> (textBpeBytelevelEncode _),
@@ -425,6 +469,21 @@ object QueriesR21 {
     "text_bpe_bytelevel_tokenize" -> (textBpeBytelevelTokenize _))
 
   val sql: Map[String, String] = Map(
+    "iceberg_expire_roundtrip" ->
+      """WITH fin AS (
+        |  SELECT CASE WHEN n_regionkey = 0 THEN n_nationkey + 1000
+        |         ELSE n_nationkey END AS n_nationkey,
+        |    n_name, CAST(n_regionkey AS VARCHAR) AS rk
+        |  FROM nation
+        |  WHERE NOT (n_regionkey = 1 AND n_nationkey =
+        |      (SELECT MIN(n_nationkey) FROM nation WHERE n_regionkey = 1))
+        |    AND n_name <> (SELECT n_name FROM nation WHERE n_nationkey = 14)
+        |    AND NOT (n_regionkey = 3 AND n_nationkey % 2 = 1)
+        |)
+        |SELECT n_nationkey, n_name,
+        |  n_name AS meta_nm, CAST(length(n_name) AS BIGINT) AS meta_ln,
+        |  n_nationkey AS arr0, n_nationkey * 2 + 1 AS arr1, rk
+        |FROM fin ORDER BY n_nationkey""".stripMargin,
     "stream_join_full_outer" ->
       """SELECT COALESCE(p.event_id, -1) AS purchase_id,
         |  COALESCE(p.user_id, c.user_id) AS user_id,

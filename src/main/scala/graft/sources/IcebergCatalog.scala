@@ -400,6 +400,33 @@ object IcebergCatalog {
       }
     }
 
+  /** The files surviving TRANSFORM-aware partition pruning (r11): a
+    * range on a SOURCE column drops partition groups whose transform
+    * value cannot hold it — identity intervals, monotone truncate
+    * endpoint bounds, bucket equality points
+    * ([[IcebergTransforms.rangeKeeps]]); files without the partition
+    * value always survive. Composes with [[filesInRange]]'s per-file
+    * bound boxes in [[read]] — the manifests are the partition index,
+    * so both prunes happen before any scan is planned.
+    */
+  def filesByTransformRange(files: Seq[IceFile],
+                            specFields: Seq[IcebergTransforms.SpecField],
+                            ranges: Map[String, (Long, Long)]): Seq[IceFile] =
+    if (ranges.isEmpty || specFields.isEmpty) files
+    else files.filter { f =>
+      specFields.forall { sf =>
+        ranges.get(sf.sourceName) match {
+          case None => true
+          case Some((lo, hi)) =>
+            f.partition.get(sf.name) match {
+              case Some(v) if v != null =>
+                IcebergTransforms.rangeKeeps(sf.transform, v.toString, lo, hi)
+              case _ => true
+            }
+        }
+      }
+    }
+
   // ------------------------------------------------------------------
   // Minimal writer — the fixture/export counterpart of the reader:
   // enough of the spec (Avro manifest list + manifests with STRING
@@ -819,6 +846,76 @@ object IcebergCatalog {
     snapshotId
   }
 
+  /** EXPIRE old snapshots (r11, F15h — the maintenance half of the
+    * write story; unexpired metadata grows forever and holds every
+    * superseded data file hostage): keep the LAST `keepLast` snapshots
+    * (commit order — the current snapshot must be among them, loud
+    * otherwise), write a new metadata version carrying only them, and
+    * DELETE every manifest list, manifest, and data/delete file
+    * referenced ONLY by expired snapshots — reference-counted against
+    * the kept set, so shared files (the normal case: a snapshot
+    * extends its parent's manifests) survive. Time travel to an
+    * expired snapshot then fails loudly, exactly like a real engine.
+    *
+    * Scale shape: pure metadata work — file COUNTS bound everything;
+    * no data scan.
+    *
+    * @return (kept snapshot count, deleted file count)
+    */
+  def expireSnapshots(table: String, keepLast: Int): (Int, Int) = {
+    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+    val (md, mdPath) = loadMetadata(table)
+    val snaps = (md \ "snapshots").children
+    if (snaps.size <= keepLast) return (snaps.size, 0)
+    val (expired, kept) = snaps.splitAt(snaps.size - keepLast)
+    val curId = (md \ "current-snapshot-id") match {
+      case JInt(v) => v.toLong
+      case _ => throw new IllegalArgumentException("no current-snapshot-id")
+    }
+    require(kept.exists(s => (s \ "snapshot-id") match {
+      case JInt(v) => v.toLong == curId; case _ => false
+    }), s"current snapshot $curId would be expired (keepLast=$keepLast)")
+    // the filesystem paths one snapshot reaches: its manifest list,
+    // that list's manifests, and data_file entry paths. For KEPT
+    // snapshots only LIVE entries (status != 2) pin a data file — a
+    // DELETED entry tells readers the file is gone, it does not read
+    // it; for EXPIRED snapshots every named path is a deletion
+    // candidate.
+    def reachable(snap: JValue, liveOnly: Boolean): Set[Path] = {
+      val JString(ml) = snap \ "manifest-list"
+      val mlPath = resolve(table, ml)
+      val manifests = avroRows(mlPath)
+        .map(r => resolve(table, r.get("manifest_path").toString))
+      val dataFiles = manifests.flatMap(mp => avroRows(mp).flatMap { e =>
+        val status = optField(e, "status").map(_.toString.toInt).getOrElse(1)
+        if (liveOnly && status == 2) None
+        else Some(resolve(table,
+          e.get("data_file").asInstanceOf[GenericRecord]
+            .get("file_path").toString))
+      })
+      (Seq(mlPath) ++ manifests ++ dataFiles).toSet
+    }
+    val keepPaths = kept.flatMap(reachable(_, liveOnly = true)).toSet
+    val doomed =
+      expired.flatMap(reachable(_, liveOnly = false)).toSet -- keepPaths
+    var deleted = 0
+    doomed.toSeq.sortBy(_.toString).foreach { p =>
+      if (Files.deleteIfExists(p)) deleted += 1
+    }
+    val newMd = JObject(md.asInstanceOf[JObject].obj.map {
+      case ("snapshots", _) => ("snapshots", JArray(kept.toList))
+      case other => other
+    })
+    val ver = metaVersion(mdPath.getFileName.toString)
+    require(ver >= 0, s"unversioned metadata file ${mdPath.getFileName}")
+    val mdir = mdPath.getParent
+    Files.writeString(mdir.resolve(s"v${ver + 1}.metadata.json"),
+      JsonMethods.compact(JsonMethods.render(newMd)))
+    val hint = mdir.resolve("version-hint.text")
+    if (Files.exists(hint)) Files.writeString(hint, (ver + 1).toString)
+    (kept.size, deleted)
+  }
+
   /** Both sides of a delete↔data path comparison normalize to the tail
     * after the table directory's name — the same anchoring rule
     * [[resolve]] uses for relocated tables (a delete file written on
@@ -844,7 +941,9 @@ object IcebergCatalog {
     val dataSchema = StructType(
       st.schema.fields.filterNot(f => st.partitionFields.contains(f.name)))
     val hasDeletes = st.posDeletes.nonEmpty || st.eqDeletes.nonEmpty
-    val groups = filesInRange(st.files.filter(f => partitionFilter(f.partition)), ranges)
+    val groups = filesInRange(
+        filesByTransformRange(st.files.filter(f => partitionFilter(f.partition)),
+          st.specFields, ranges), ranges)
       .groupBy(_.partition).toSeq
       .sortBy(_._1.toSeq.map(kv => kv._1 + "=" + String.valueOf(kv._2)).sorted.mkString(","))
     if (groups.isEmpty)

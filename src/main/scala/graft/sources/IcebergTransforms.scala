@@ -114,6 +114,31 @@ object IcebergTransforms {
     if (s.codePointCount(0, s.length) <= w) s
     else s.substring(0, s.offsetByCodePoints(0, w))
 
+  /** Can a partition with transform value `raw` hold rows with source
+    * values in [lo, hi]? The range-pruning rule per transform (r11):
+    * identity is the interval itself; truncate is MONOTONE, so the
+    * truncated endpoints bound the reachable partition values; bucket
+    * is not monotone — only an equality point (lo == hi) prunes, to
+    * exactly one bucket. Time transforms take date/timestamp sources,
+    * outside the long-range contract — never pruned here (callers use
+    * the partition filter, the F15f gate's shape). Undecodable values
+    * always survive: no false negatives.
+    */
+  def rangeKeeps(transform: String, raw: String, lo: Long, hi: Long): Boolean = {
+    def asLong: Option[Long] =
+      try Some(raw.trim.toLong) catch { case _: NumberFormatException => None }
+    transform match {
+      case "identity" => asLong.forall(v => v >= lo && v <= hi)
+      case TruncRe(w) =>
+        val width = w.toLong
+        asLong.forall(v =>
+          v >= truncateLong(lo, width) && v <= truncateLong(hi, width))
+      case BucketRe(n) =>
+        lo != hi || asLong.forall(_ == bucketLong(lo, n.toInt))
+      case _ => true
+    }
+  }
+
   /** The Spark-side evaluation of one transform over its source column
     * — the WRITE path ([[IcebergCatalog.commitAppend]] derives
     * partition directory values with these). Time transforms expect a

@@ -508,6 +508,66 @@ class IcebergCatalogSpec extends AnyFunSuite {
       .select("id").as[Long].collect().toSet == Set(1L, 2L, 3L))
   }
 
+  test("transforms: ranges on SOURCE columns prune partitions (r11)") {
+    import IcebergCatalog._
+    import org.apache.spark.sql.functions._
+    val t0 = Files.createTempDirectory("ice_tfr_spec")
+    val mdir = t0.resolve("metadata")
+    Files.createDirectories(mdir)
+    val ml1 = mdir.resolve("snap-10.avro")
+    IcebergCatalog.writeManifestList(ml1, Seq.empty)
+    writeMetadataJsonSpec(mdir.resolve("v1.metadata.json"),
+      Seq(("id", "long", true), ("v", "string", false)),
+      Seq(("id_t", "truncate[100]", "id"), ("id_b", "bucket[3]", "id")),
+      Seq(10L -> ml1))
+    val rows = (0L until 50L).map(i => (i * 10L, s"v$i"))
+      .toDF("id", "v")
+    assert(IcebergCatalog.commitAppend(spark, t0.toString, rows, 20L) == 20L)
+    val st = IcebergCatalog.state(spark, t0.toString)
+    // truncate range prune: ids in [120, 260] can only live in the
+    // 100/200 truncation groups
+    val kept = IcebergCatalog.filesByTransformRange(
+      st.files, st.specFields, Map("id" -> ((120L, 260L))))
+    assert(kept.nonEmpty && kept.size < st.files.size,
+      s"truncate pruning not selective: ${kept.size} of ${st.files.size}")
+    assert(kept.forall(f =>
+      Set("100", "200").contains(f.partition("id_t").toString)))
+    // bucket prunes only on an equality point — and to ONE bucket
+    val eq = IcebergCatalog.filesByTransformRange(
+      st.files, st.specFields, Map("id" -> ((130L, 130L))))
+    assert(eq.forall(f => f.partition("id_b").toString.toInt ==
+      IcebergTransforms.bucketLong(130L, 3)))
+    // end to end: read with ranges returns exactly the residual rows
+    val got = IcebergCatalog.read(spark, t0.toString,
+        ranges = Map("id" -> ((120L, 260L))))
+      .select("id").as[Long].collect().toSet
+    assert(got == (0L until 50L).map(_ * 10L)
+      .filter(v => v >= 120 && v <= 260).toSet)
+  }
+
+  test("expireSnapshots: expired-only files delete, current state intact (r11)") {
+    val t = buildTable() // snapshots 10 (f1,f2) and 20 (f2, f1 DELETED, f3)
+    val before = rows(IcebergCatalog.read(spark, t.toString))
+    val f1 = t.resolve("data/part=a/f1.parquet")
+    assert(Files.exists(f1))
+    val (keptN, deleted) = IcebergCatalog.expireSnapshots(t.toString, 1)
+    assert(keptN == 1)
+    // f1 is reachable only through snapshot 10's manifest (m1): gone,
+    // along with m1 and snap-10's manifest list — f2/f3 survive (shared
+    // with snapshot 20)
+    assert(!Files.exists(f1), "expired-only data file must delete")
+    assert(deleted >= 3, s"expected ml+manifest+f1 deletions, got $deleted")
+    assert(Files.exists(t.resolve("data/part=b/f2.parquet")))
+    assert(rows(IcebergCatalog.read(spark, t.toString)) == before,
+      "current state must survive expiration")
+    // time travel to the expired snapshot now fails loudly
+    intercept[IllegalArgumentException] {
+      IcebergCatalog.read(spark, t.toString, snapshotId = Some(10L))
+    }
+    // keeping everything is a no-op (nothing left to expire)
+    assert(IcebergCatalog.expireSnapshots(t.toString, 1) == ((1, 0)))
+  }
+
   test("commitEqualityDelete: engine-written value deletes apply everywhere (r10)") {
     val t = buildTable()
     assert(rows(IcebergCatalog.read(spark, t.toString)) ==

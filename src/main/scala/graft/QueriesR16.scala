@@ -468,6 +468,10 @@ object QueriesR16 {
   private def centsBal = (col("s_acctbal").cast("decimal(12,2)") * 100)
     .cast("long")
 
+  /** The memoized (read-only) F14b table path for cross-round gates. */
+  private[graft] def deltaTablePath(s: SparkSession, dir: String): String =
+    buildDeltaTable(s, dir)
+
   private def buildDeltaTable(s: SparkSession, dir: String): String =
     tableBuildMemo.computeIfAbsent(
       (s.sparkContext.applicationId, dir, "delta"),

@@ -456,7 +456,58 @@ object QueriesR21 {
         element_at(col("arr"), 2).as("arr1"), col("rk"))
       .orderBy(col("n_nationkey"))
 
+  // ---------------------------------------------------------------
+  // F14h/F14i: Delta maintenance + change feed — VACUUM deletes the
+  // files only expired versions could read; tableChanges is the
+  // version-diff CDF every downstream CDC consumer wants.
+  // ---------------------------------------------------------------
+
+  private def buildDeltaVacuumTable(s: SparkSession, dir: String): String =
+    tableBuildMemo.computeIfAbsent(
+      (s.sparkContext.applicationId, dir, "delta_vacuum"), _ => {
+        val t0 = QueriesR16.buildDeltaFresh(s, dir)
+        // OPTIMIZE folds the DVs away and rewrites buckets 1/2; VACUUM
+        // with retainLast=1 then deletes every file only pre-compaction
+        // versions could read (incl. bucket 0's replaced original and
+        // both DV bins)
+        val v4 = graft.sources.DeltaLog.compact(s, t0)
+        require(v4 == 4L, s"compaction landed at version $v4, want 4")
+        val removed = java.nio.file.Paths.get(t0, "data/bucket=0/f0.parquet")
+        require(java.nio.file.Files.exists(removed),
+          "pre-vacuum: the replaced original must still be on disk")
+        val (floor, deleted) =
+          graft.sources.DeltaLog.vacuum(s, t0, retainLast = 1)
+        require(floor == 4L && deleted >= 4,
+          s"vacuum should delete the superseded files (floor=$floor, n=$deleted)")
+        require(!java.nio.file.Files.exists(removed),
+          "vacuum must delete the replaced original")
+        t0
+      })
+
+  /** F14h (r11): VACUUM round-trip — the F14b table OPTIMIZED (DVs
+    * folded away) then vacuumed down to the current version: every
+    * superseded data file and DV bin physically gone, and the current
+    * read still byte-identical to the F14b oracle — maintenance must
+    * be invisible to the live state.
+    */
+  def deltaVacuumRoundtrip(s: SparkSession, dir: String): DataFrame =
+    graft.sources.DeltaLog.read(s, buildDeltaVacuumTable(s, dir))
+      .orderBy(col("s_suppkey"))
+
+  /** F14i (r11): version-diff CHANGE FEED — the row-level changes
+    * between v0 and v3 of the F14b table: bucket 0's replacement
+    * surfaces as delete+insert pairs (the update shape), the two DV
+    * commits as deletes; full-row multiset semantics via exceptAll.
+    * Oracle = the same change set derived in plain SQL.
+    */
+  def deltaTableChanges(s: SparkSession, dir: String): DataFrame =
+    graft.sources.DeltaLog.tableChanges(s,
+        QueriesR16.deltaTablePath(s, dir), 0L, 3L)
+      .orderBy(col("_change_type"), col("s_suppkey"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "delta_vacuum_roundtrip" -> (deltaVacuumRoundtrip _),
+    "delta_table_changes" -> (deltaTableChanges _),
     "iceberg_expire_roundtrip" -> (icebergExpireRoundtrip _),
     "stream_join_outer" -> (streamJoinOuter _),
     "stream_join_full_outer" -> (streamJoinFullOuter _),
@@ -469,6 +520,46 @@ object QueriesR21 {
     "text_bpe_bytelevel_tokenize" -> (textBpeBytelevelTokenize _))
 
   val sql: Map[String, String] = Map(
+    "delta_vacuum_roundtrip" ->
+      """WITH base AS (
+        |  SELECT s_suppkey,
+        |    CAST(CAST(s_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |      + CASE WHEN s_nationkey % 5 = 0 THEN 10000 ELSE 0 END
+        |      AS bal_cents,
+        |    CAST(s_nationkey % 5 AS VARCHAR) AS bucket
+        |  FROM supplier
+        |), pos AS (
+        |  SELECT s_suppkey, bal_cents, bucket,
+        |    ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY s_suppkey) - 1 AS p
+        |  FROM base
+        |)
+        |SELECT s_suppkey, bal_cents, bucket FROM pos
+        |WHERE (bucket <> '1' OR p % 3 <> 0)
+        |  AND NOT (bucket = '2' AND s_suppkey % 7 = 0)
+        |ORDER BY s_suppkey""".stripMargin,
+    "delta_table_changes" ->
+      """WITH base AS (
+        |  SELECT s_suppkey,
+        |    CAST(CAST(s_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS bal0,
+        |    CAST(s_nationkey % 5 AS VARCHAR) AS bucket
+        |  FROM supplier
+        |), pos AS (
+        |  SELECT s_suppkey, bal0, bucket,
+        |    ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY s_suppkey) - 1 AS p
+        |  FROM base
+        |)
+        |SELECT s_suppkey, bal0 + 10000 AS bal_cents, bucket,
+        |  'insert' AS _change_type
+        |FROM pos WHERE bucket = '0'
+        |UNION ALL
+        |SELECT s_suppkey, bal0, bucket, 'delete' FROM pos WHERE bucket = '0'
+        |UNION ALL
+        |SELECT s_suppkey, bal0, bucket, 'delete'
+        |FROM pos WHERE bucket = '1' AND p % 3 = 0
+        |UNION ALL
+        |SELECT s_suppkey, bal0, bucket, 'delete'
+        |FROM pos WHERE bucket = '2' AND s_suppkey % 7 = 0
+        |ORDER BY _change_type, s_suppkey""".stripMargin,
     "iceberg_expire_roundtrip" ->
       """WITH fin AS (
         |  SELECT CASE WHEN n_regionkey = 0 THEN n_nationkey + 1000

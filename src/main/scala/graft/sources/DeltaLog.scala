@@ -675,6 +675,85 @@ object DeltaLog {
     next
   }
 
+  /** VACUUM (r11, F14h — the maintenance half of the Delta write
+    * story, the sibling of Iceberg's expireSnapshots): physically
+    * delete data files and DV files referenced by NO version in the
+    * retained window [current − retainLast + 1, current] — the
+    * superseded pre-OPTIMIZE / pre-replace files time travel was
+    * holding hostage. Reference counting replays each retained
+    * version's state (metadata-sized by contract); a file any retained
+    * version can read survives, as does every referenced
+    * `deletion_vector_*.bin`. Time travel below the window becomes
+    * unreadable — exactly the real VACUUM contract. Returns
+    * (retained version floor, deleted file count).
+    */
+  def vacuum(spark: SparkSession, table: String,
+             retainLast: Int): (Long, Int) = {
+    require(retainLast >= 1, s"retainLast must be >= 1, got $retainLast")
+    val cur = state(spark, table).version
+    val fromV = math.max(0L, cur - retainLast + 1)
+    val referenced = (fromV to cur).flatMap { v =>
+      val st = state(spark, table, Some(v))
+      st.files.flatMap { f =>
+        val dvFiles = f.deletionVector.toSeq.flatMap { dvJson =>
+          def fld(n: String) = ("\"" + n + "\"\\s*:\\s*\"([^\"]*)\"").r
+            .findFirstMatchIn(dvJson).map(_.group(1))
+          fld("storageType") match {
+            case Some("u") => fld("pathOrInlineDv").map { payload =>
+              val (prefix, uuidPart) = payload.splitAt(payload.length - 20)
+              val uuid = DeletionVectors.z85Uuid(uuidPart)
+              (if (prefix.nonEmpty) prefix.stripSuffix("/") + "/" else "") +
+                s"deletion_vector_$uuid.bin"
+            }.toSeq
+            case _ => Seq.empty // inline or absolute: nothing table-relative
+          }
+        }
+        f.path +: dvFiles
+      }
+    }.map(rel => Paths.get(table, rel).toAbsolutePath.normalize).toSet
+    val root = Paths.get(table).toAbsolutePath.normalize
+    val walk = Files.walk(root)
+    val all = try walk.iterator().asScala
+      .filter(p => Files.isRegularFile(p) &&
+        !p.startsWith(root.resolve("_delta_log")) &&
+        (p.getFileName.toString.endsWith(".parquet") ||
+          p.getFileName.toString.startsWith("deletion_vector_")))
+      .toSeq
+    finally walk.close()
+    var deleted = 0
+    all.filterNot(p => referenced.contains(p.normalize))
+      .sortBy(_.toString).foreach { p =>
+        if (Files.deleteIfExists(p)) deleted += 1
+      }
+    (fromV, deleted)
+  }
+
+  /** Row-level CHANGES between two versions (r11, F14i — the change
+    * feed every downstream CDC consumer wants from a lake table):
+    * `_change_type = insert` rows are in `toV` but not `fromV`,
+    * `delete` rows the reverse — multiset semantics via exceptAll, so
+    * duplicate rows count correctly; an UPDATE surfaces as its
+    * delete + insert pair (full-row CDF; the reference's key-based
+    * merge consumes exactly this shape). Distributed set difference —
+    * two snapshot scans and two anti-semijoins, never a driver diff.
+    * Schema drift between the versions rejects loudly (full-row diff
+    * needs one row shape).
+    */
+  def tableChanges(spark: SparkSession, table: String,
+                   fromV: Long, toV: Long): DataFrame = {
+    require(fromV < toV, s"tableChanges wants fromV < toV, got $fromV..$toV")
+    val before = read(spark, table, Some(fromV))
+    val after = read(spark, table, Some(toV))
+    require(before.schema.fieldNames.sameElements(after.schema.fieldNames),
+      s"schema changed between v$fromV and v$toV " +
+        s"(${before.schema.fieldNames.mkString(",")} vs " +
+        s"${after.schema.fieldNames.mkString(",")}): full-row diff needs " +
+        "one row shape")
+    after.exceptAll(before).withColumn("_change_type", lit("insert"))
+      .unionByName(
+        before.exceptAll(after).withColumn("_change_type", lit("delete")))
+  }
+
   /** DELETE rows from one live data file via a DELETION VECTOR (r10 —
     * the modern Delta delete: emit a Roaring DV instead of rewriting
     * the file). Reads `relPath` with parquet row indexes, evaluates

@@ -284,6 +284,44 @@ class DeltaLogSpec extends AnyFunSuite {
       "DV descriptor lost through the checkpoint")
   }
 
+  // ---- r11: vacuum + change feed ----
+
+  test("vacuum deletes files only expired versions read; retained travel intact (r11)") {
+    val t = buildTable() // v0..v3; part=a/f1 removed at v2
+    assert(Files.exists(t.resolve("part=a/f1.parquet")))
+    // retain the last two versions (v2, v3): f1 is read by v0/v1 only
+    val (floor, deleted) = DeltaLog.vacuum(spark, t.toString, retainLast = 2)
+    assert(floor == 2L && deleted == 1, s"got ($floor, $deleted)")
+    assert(!Files.exists(t.resolve("part=a/f1.parquet")))
+    // current read and RETAINED time travel still work
+    assert(rows(DeltaLog.read(spark, t.toString)).map(_._1) ==
+      Set(3L, 4L, 5L, 6L))
+    assert(DeltaLog.read(spark, t.toString, versionAsOf = Some(2L))
+      .count() == 3L)
+    // a second vacuum is a no-op
+    assert(DeltaLog.vacuum(spark, t.toString, retainLast = 2) == ((2L, 0)))
+  }
+
+  test("tableChanges: updates surface as delete+insert pairs (r11)") {
+    val t = buildTable()
+    // v1→v2 replaced a/f1 (ids 1,2) with a/f4 (id 5): 2 deletes + 1 insert
+    val ch12 = DeltaLog.tableChanges(spark, t.toString, 1L, 2L)
+      .select("id", "_change_type").as[(Long, String)].collect().toSet
+    assert(ch12 == Set((1L, "delete"), (2L, "delete"), (5L, "insert")))
+    // v0→v1 added a/f3 only
+    val ch01 = DeltaLog.tableChanges(spark, t.toString, 0L, 1L)
+      .select("id", "_change_type").as[(Long, String)].collect().toSet
+    assert(ch01 == Set((4L, "insert")))
+    // schema drift between versions rejects loudly (v3 adds column w)
+    val e = intercept[IllegalArgumentException] {
+      DeltaLog.tableChanges(spark, t.toString, 2L, 3L)
+    }
+    assert(e.getMessage.contains("schema changed"))
+    intercept[IllegalArgumentException] {
+      DeltaLog.tableChanges(spark, t.toString, 2L, 2L)
+    }
+  }
+
   // ---- r11: protocol guard + columnMapping=name ----
 
   private def protoTable(protoLine: String,

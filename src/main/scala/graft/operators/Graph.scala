@@ -646,27 +646,83 @@ object Graph {
     */
   private def kTrussCanon(canonical: DataFrame, k: Int,
                           rounds: Int): DataFrame = {
-    var und = canonical
-    // intersection support reports 0-support edges too (the wedge-join
-    // form omitted them); the >= k-2 filter and the coalesce below make
-    // the two shapes result-identical
-    def support(e: DataFrame): DataFrame = supportByIntersect(e)
-    var it = 0
-    var converged = false
-    var nEdges = und.count()
-    while (it < rounds && !converged && nEdges > 0) {
-      val next = und
-        .join(support(und).filter(col("support") >= k - 2)
-          .select(col("a"), col("b")), Seq("a", "b"), "left_semi")
-        .ckpt
-      val n = next.count()
-      if (n == nEdges) converged = true
-      else { und = next; nEdges = n; it += 1 }
-    }
-    if (nEdges == 0) und.select(col("a"), col("b"), lit(0L).as("support"))
-    else und.join(support(und), Seq("a", "b"), "left")
+    // TARGETED peel (r11, the trussnessIncremental posture applied to
+    // the direct peel): ONE full support pass seeds a per-edge support
+    // table; after that a removal can only change the support of edges
+    // sharing a triangle with it, so each round re-intersects only the
+    // triangle neighborhood of the edges that just fell (found via the
+    // STATIC input adjacency — a superset of current triangles, so no
+    // affected edge is missed) against the CURRENT survivor set
+    // (node-scoped adjacency — only the affected endpoints' lists
+    // rebuild). Trajectory and the final per-edge supports are
+    // IDENTICAL to the full per-round recompute: unaffected supports
+    // are exact by monotonicity (the edge set only shrinks, and a
+    // shrink only touches triangle-adjacent edges).
+    if (canonical.isEmpty)
+      return canonical.select(col("a"), col("b"), lit(0L).as("support"))
+    val adjStatic = canonical.select(col("a").as("v"), col("b").as("w"))
+      .unionAll(canonical.select(col("b").as("v"), col("a").as("w")))
+      .groupBy(col("v"))
+      .agg(sort_array(collect_list(col("w"))).as("ns"))
+      .ckpt
+    var sup = canonical
+      .join(adjStatic.select(col("v").as("a"), col("ns").as("na")), Seq("a"))
+      .join(adjStatic.select(col("v").as("b"), col("ns").as("nb")), Seq("b"))
       .select(col("a"), col("b"),
-        coalesce(col("support"), lit(0L)).as("support"))
+        size(array_intersect(col("na"), col("nb"))).cast("long").as("support"))
+      .ckpt
+    var it = 0
+    var done = false
+    while (it < rounds && !done) {
+      val surviving = sup.filter(col("support") >= k - 2)
+      val removed = sup.filter(col("support") < k - 2)
+        .select(col("a"), col("b")).ckpt
+      if (removed.isEmpty) done = true
+      else {
+        val affected = triAdjacentVia(adjStatic, removed)
+          .join(surviving.select(col("a"), col("b")), Seq("a", "b"),
+            "left_semi").ckpt
+        val nodes = affected.select(col("a").as("v"))
+          .unionAll(affected.select(col("b").as("v"))).distinct()
+        val keep = surviving.select(col("a"), col("b"))
+        val scopedAdj = keep.select(col("a").as("v"), col("b").as("w"))
+          .unionAll(keep.select(col("b").as("v"), col("a").as("w")))
+          .join(broadcast(nodes), Seq("v"), "left_semi")
+          .groupBy(col("v"))
+          .agg(collect_list(col("w")).as("ns"))
+        val refreshed = affected
+          .join(scopedAdj.select(col("v").as("a"), col("ns").as("na")), Seq("a"))
+          .join(scopedAdj.select(col("v").as("b"), col("ns").as("nb")), Seq("b"))
+          .select(col("a"), col("b"),
+            size(array_intersect(col("na"), col("nb"))).cast("long")
+              .as("support"))
+        sup = surviving.join(affected, Seq("a", "b"), "left_anti")
+          .unionAll(refreshed).ckpt
+        it += 1
+      }
+    }
+    // sup values already equal the support ON THE FINAL RESIDUE (the
+    // invariant maintained every round) — the original's final
+    // recompute pass is free here
+    sup.filter(col("support") >= k - 2)
+  }
+
+  /** Edges sharing a triangle with `edges` under the given node-keyed
+    * adjacency: common neighbors w of (a, b) exploded to (a,w), (b,w).
+    */
+  private def triAdjacentVia(adj: DataFrame, edges: DataFrame): DataFrame = {
+    val cs = edges
+      .join(adj.select(col("v").as("a"), col("ns").as("na")), Seq("a"))
+      .join(adj.select(col("v").as("b"), col("ns").as("nb")), Seq("b"))
+      .select(col("a"), col("b"),
+        array_intersect(col("na"), col("nb")).as("cs"))
+      .filter(size(col("cs")) > 0)
+      .select(col("a"), col("b"), explode(col("cs")).as("w"))
+    cs.select(least(col("a"), col("w")).as("a"),
+        greatest(col("a"), col("w")).as("b"))
+      .unionAll(cs.select(least(col("b"), col("w")).as("a"),
+        greatest(col("b"), col("w")).as("b")))
+      .distinct()
   }
 
   def bfsHops(edges: DataFrame, seeds: DataFrame, rounds: Int): DataFrame = {

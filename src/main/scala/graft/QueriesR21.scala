@@ -505,9 +505,20 @@ object QueriesR21 {
         QueriesR16.deltaTablePath(s, dir), 0L, 3L)
       .orderBy(col("_change_type"), col("s_suppkey"))
 
+  /** F14i (r11): the change feed with per-VERSION attribution — each
+    * commit step's delete/insert rows stamped `_commit_version`: the
+    * replacement lands at 1, the fixture DV's deletes at 2, the engine
+    * DV's deletes at 3.
+    */
+  def deltaChangesByVersion(s: SparkSession, dir: String): DataFrame =
+    graft.sources.DeltaLog.tableChangesByVersion(s,
+        QueriesR16.deltaTablePath(s, dir), 0L, 3L)
+      .orderBy(col("_commit_version"), col("_change_type"), col("s_suppkey"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "delta_vacuum_roundtrip" -> (deltaVacuumRoundtrip _),
     "delta_table_changes" -> (deltaTableChanges _),
+    "delta_changes_by_version" -> (deltaChangesByVersion _),
     "iceberg_expire_roundtrip" -> (icebergExpireRoundtrip _),
     "stream_join_outer" -> (streamJoinOuter _),
     "stream_join_full_outer" -> (streamJoinFullOuter _),
@@ -560,6 +571,30 @@ object QueriesR21 {
         |SELECT s_suppkey, bal0, bucket, 'delete'
         |FROM pos WHERE bucket = '2' AND s_suppkey % 7 = 0
         |ORDER BY _change_type, s_suppkey""".stripMargin,
+    "delta_changes_by_version" ->
+      """WITH base AS (
+        |  SELECT s_suppkey,
+        |    CAST(CAST(s_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS bal0,
+        |    CAST(s_nationkey % 5 AS VARCHAR) AS bucket
+        |  FROM supplier
+        |), pos AS (
+        |  SELECT s_suppkey, bal0, bucket,
+        |    ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY s_suppkey) - 1 AS p
+        |  FROM base
+        |)
+        |SELECT s_suppkey, bal0 + 10000 AS bal_cents, bucket,
+        |  'insert' AS _change_type, 1 AS _commit_version
+        |FROM pos WHERE bucket = '0'
+        |UNION ALL
+        |SELECT s_suppkey, bal0, bucket, 'delete', 1
+        |FROM pos WHERE bucket = '0'
+        |UNION ALL
+        |SELECT s_suppkey, bal0, bucket, 'delete', 2
+        |FROM pos WHERE bucket = '1' AND p % 3 = 0
+        |UNION ALL
+        |SELECT s_suppkey, bal0, bucket, 'delete', 3
+        |FROM pos WHERE bucket = '2' AND s_suppkey % 7 = 0
+        |ORDER BY _commit_version, _change_type, s_suppkey""".stripMargin,
     "iceberg_expire_roundtrip" ->
       """WITH fin AS (
         |  SELECT CASE WHEN n_regionkey = 0 THEN n_nationkey + 1000

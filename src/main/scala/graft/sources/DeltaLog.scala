@@ -754,6 +754,23 @@ object DeltaLog {
         before.exceptAll(after).withColumn("_change_type", lit("delete")))
   }
 
+  /** [[tableChanges]] with per-VERSION attribution (r11): one
+    * delete/insert diff per commit step in (fromV, toV], each row
+    * stamped with the `_commit_version` that produced it — the full
+    * CDF shape (a consumer replaying history needs to know WHICH
+    * commit changed a row, not just the endpoint diff). Version count
+    * bounds the scan count; each step is the same distributed
+    * exceptAll pair.
+    */
+  def tableChangesByVersion(spark: SparkSession, table: String,
+                            fromV: Long, toV: Long): DataFrame = {
+    require(fromV < toV, s"tableChangesByVersion wants fromV < toV, got $fromV..$toV")
+    (fromV until toV).map { v =>
+      tableChanges(spark, table, v, v + 1)
+        .withColumn("_commit_version", lit(v + 1))
+    }.reduce(_ unionByName _)
+  }
+
   /** DELETE rows from one live data file via a DELETION VECTOR (r10 —
     * the modern Delta delete: emit a Roaring DV instead of rewriting
     * the file). Reads `relPath` with parquet row indexes, evaluates

@@ -132,6 +132,7 @@ object Bench {
       QueriesR16.stageShared(spark, sfDir)
       QueriesR17.stageShared(spark, sfDir)
       QueriesR18.stageShared(spark, sfDir)
+      QueriesR21.stageShared(spark, sfDir)
     } catch { case e: Throwable =>
       System.err.println(s"[bench] staging failed (timings include builds): $e")
     }

@@ -691,7 +691,29 @@ object DeltaLog {
              retainLast: Int): (Long, Int) = {
     require(retainLast >= 1, s"retainLast must be >= 1, got $retainLast")
     val cur = state(spark, table).version
-    val fromV = math.max(0L, cur - retainLast + 1)
+    // a checkpoint-trimmed log cannot replay versions below its newest
+    // checkpoint — those versions are already unreadable, so the
+    // retention window floors at the oldest REPLAYABLE version
+    val replayFloor = {
+      val dir = Paths.get(table, "_delta_log")
+      val entries = Files.list(dir).iterator().asScala
+        .map(_.getFileName.toString).toSeq
+      val commitVs = entries.filter(_.matches("\\d{20}\\.json"))
+        .map(_.take(20).toLong).toSet
+      val ckptVs = entries
+        .filter(n => n.matches("\\d{20}\\.checkpoint\\.parquet") ||
+          n.matches("\\d{20}\\.checkpoint\\.\\d{10}\\.\\d{10}\\.parquet"))
+        .map(_.take(20).toLong)
+      // v replays iff a checkpoint ≤ v exists with contiguous commits
+      // after it (or commits are contiguous from 0) — state()'s rule
+      def replayable(v: Long): Boolean =
+        ckptVs.filter(_ <= v).maxOption match {
+          case Some(c) => ((c + 1) to v).forall(commitVs.contains)
+          case None => (0L to v).forall(commitVs.contains)
+        }
+      (0L to cur).find(replayable).getOrElse(cur)
+    }
+    val fromV = math.max(replayFloor, cur - retainLast + 1)
     val referenced = (fromV to cur).flatMap { v =>
       val st = state(spark, table, Some(v))
       st.files.flatMap { f =>

@@ -302,6 +302,21 @@ class DeltaLogSpec extends AnyFunSuite {
     assert(DeltaLog.vacuum(spark, t.toString, retainLast = 2) == ((2L, 0)))
   }
 
+  test("vacuum on a checkpoint-trimmed log floors at the replayable window (r11)") {
+    val t = buildTable()
+    // checkpoint at v3, trim commits 0..2: only v3 replays now
+    assert(DeltaLog.writeCheckpoint(spark, t.toString) == 3L)
+    (0L to 2L).foreach(i =>
+      Files.delete(t.resolve("_delta_log").resolve(f"$i%020d.json")))
+    // retainLast=4 would want v0..v3, but the floor is the trimmed log's
+    // oldest replayable version (3) — f1 (read only by v0/v1) deletes
+    val (floor, deleted) = DeltaLog.vacuum(spark, t.toString, retainLast = 4)
+    assert(floor == 3L && deleted == 1, s"got ($floor, $deleted)")
+    assert(!Files.exists(t.resolve("part=a/f1.parquet")))
+    assert(rows(DeltaLog.read(spark, t.toString)).map(_._1) ==
+      Set(3L, 4L, 5L, 6L))
+  }
+
   test("tableChanges: updates surface as delete+insert pairs (r11)") {
     val t = buildTable()
     // v1→v2 replaced a/f1 (ids 1,2) with a/f4 (id 5): 2 deletes + 1 insert

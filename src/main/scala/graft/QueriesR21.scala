@@ -515,7 +515,59 @@ object QueriesR21 {
         QueriesR16.deltaTablePath(s, dir), 0L, 3L)
       .orderBy(col("_commit_version"), col("_change_type"), col("s_suppkey"))
 
+  // ---------------------------------------------------------------
+  // F14j/F15i: the undo buttons — Delta RESTORE re-instates an old
+  // version's files in a new commit; Iceberg rollback re-points
+  // current-snapshot-id. History stays time-travelable in both.
+  // ---------------------------------------------------------------
+
+  private def buildDeltaRestoreTable(s: SparkSession, dir: String): String =
+    tableBuildMemo.computeIfAbsent(
+      (s.sparkContext.applicationId, dir, "delta_restore"), _ => {
+        val t0 = QueriesR16.buildDeltaFresh(s, dir) // v0..v3
+        val v4 = graft.sources.DeltaLog.restore(s, t0, toVersion = 0L)
+        require(v4 == 4L, s"restore landed at version $v4, want 4")
+        // the bad interval is still time-travelable
+        require(graft.sources.DeltaLog.state(s, t0, Some(3L))
+          .files.exists(_.deletionVector.isDefined),
+          "pre-restore history must stay reachable")
+        t0
+      })
+
+  /** F14j (r11): Delta RESTORE round-trip — the F14b table (replace +
+    * two DV commits) restored to v0 in ONE new commit: the head state
+    * is the pristine supplier projection again while v3 stays
+    * time-travelable; oracle = the untouched projection in plain SQL.
+    */
+  def deltaRestoreRoundtrip(s: SparkSession, dir: String): DataFrame =
+    graft.sources.DeltaLog.read(s, buildDeltaRestoreTable(s, dir))
+      .orderBy(col("s_suppkey"))
+
+  private def buildIcebergRollbackTable(s: SparkSession, dir: String): String =
+    tableBuildMemo.computeIfAbsent(
+      (s.sparkContext.applicationId, dir, "iceberg_rollback"), _ => {
+        val t0 = QueriesR16.buildIcebergFreshFor(s, dir) // snaps 10/20/30
+        val ver = graft.sources.IcebergCatalog.rollbackTo(t0, 10L)
+        require(ver == 2L, s"rollback wrote metadata v$ver, want 2")
+        t0
+      })
+
+  /** F15i (r11): Iceberg ROLLBACK round-trip — the F15b table rolled
+    * back to snapshot 10 (before the region-0 renumber and both v2
+    * deletes): the head read is the pristine nation projection; the
+    * rolled-back snapshots stay in history for time travel.
+    */
+  def icebergRollbackRoundtrip(s: SparkSession, dir: String): DataFrame =
+    graft.sources.IcebergCatalog.read(s, buildIcebergRollbackTable(s, dir))
+      .select(col("n_nationkey"), col("n_name"),
+        col("meta.nm").as("meta_nm"), col("meta.ln").as("meta_ln"),
+        element_at(col("arr"), 1).as("arr0"),
+        element_at(col("arr"), 2).as("arr1"), col("rk"))
+      .orderBy(col("n_nationkey"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "delta_restore_roundtrip" -> (deltaRestoreRoundtrip _),
+    "iceberg_rollback_roundtrip" -> (icebergRollbackRoundtrip _),
     "delta_vacuum_roundtrip" -> (deltaVacuumRoundtrip _),
     "delta_table_changes" -> (deltaTableChanges _),
     "delta_changes_by_version" -> (deltaChangesByVersion _),
@@ -571,6 +623,17 @@ object QueriesR21 {
         |SELECT s_suppkey, bal0, bucket, 'delete'
         |FROM pos WHERE bucket = '2' AND s_suppkey % 7 = 0
         |ORDER BY _change_type, s_suppkey""".stripMargin,
+    "delta_restore_roundtrip" ->
+      """SELECT s_suppkey,
+        |  CAST(CAST(s_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS bal_cents,
+        |  CAST(s_nationkey % 5 AS VARCHAR) AS bucket
+        |FROM supplier ORDER BY s_suppkey""".stripMargin,
+    "iceberg_rollback_roundtrip" ->
+      """SELECT n_nationkey, n_name,
+        |  n_name AS meta_nm, CAST(length(n_name) AS BIGINT) AS meta_ln,
+        |  n_nationkey AS arr0, n_nationkey * 2 + 1 AS arr1,
+        |  CAST(n_regionkey AS VARCHAR) AS rk
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
     "delta_changes_by_version" ->
       """WITH base AS (
         |  SELECT s_suppkey,

@@ -776,6 +776,49 @@ object DeltaLog {
         before.exceptAll(after).withColumn("_change_type", lit("delete")))
   }
 
+  /** RESTORE the table to an old version (r11, F14j — the undo button:
+    * a bad write rolls back WITHOUT rewriting history): one new commit
+    * whose removes drop every live file the target version does not
+    * hold and whose adds re-instate the target's files (partition
+    * values, stats, and DV descriptors carried through verbatim), so
+    * time travel still sees the bad interval while the head state is
+    * the old one — exactly Delta's own RESTORE semantics. Requires
+    * every re-added file to still exist (a vacuumed target rejects
+    * loudly). Returns the new version.
+    */
+  def restore(spark: SparkSession, table: String, toVersion: Long): Long = {
+    val cur = state(spark, table)
+    require(toVersion < cur.version,
+      s"restore target v$toVersion is not below current v${cur.version}")
+    val tgt = state(spark, table, Some(toVersion))
+    require(tgt.schema == cur.schema,
+      s"schema changed since v$toVersion: restore across schema " +
+        "evolution is not in the stated subset")
+    val curByPath = cur.files.map(f => f.path -> f).toMap
+    val tgtByPath = tgt.files.map(f => f.path -> f).toMap
+    val removes = cur.files.filterNot(f => tgtByPath.get(f.path).contains(f))
+    val adds = tgt.files.filterNot(f => curByPath.get(f.path).contains(f))
+    require(removes.nonEmpty || adds.nonEmpty,
+      s"restore to v$toVersion is a no-op: states identical")
+    adds.foreach(f => require(Files.exists(Paths.get(table, f.path)),
+      s"cannot restore v$toVersion: ${f.path} no longer exists (vacuumed?)"))
+    val lines =
+      removes.map(f =>
+        s"""{"remove":{"path":"${jsonEscape(f.path)}","dataChange":true}}""") ++
+      adds.map { f =>
+        val stats = f.stats.map(s =>
+          s""","stats":"${jsonEscape(s)}"""").getOrElse("")
+        val dv = f.deletionVector.map(d =>
+          s""","deletionVector":$d""").getOrElse("")
+        s"""{"add":{"path":"${jsonEscape(f.path)}","partitionValues":${pvJsonOf(f.partitionValues)},"dataChange":true$stats$dv}}"""
+      }
+    val next = cur.version + 1
+    Files.writeString(
+      Paths.get(table, "_delta_log", f"$next%020d.json"),
+      lines.mkString("\n"))
+    next
+  }
+
   /** [[tableChanges]] with per-VERSION attribution (r11): one
     * delete/insert diff per commit step in (fromV, toV], each row
     * stamped with the `_commit_version` that produced it — the full

@@ -846,6 +846,37 @@ object IcebergCatalog {
     snapshotId
   }
 
+  /** ROLLBACK to an earlier snapshot (r11, F15i — the Iceberg undo:
+    * `current-snapshot-id` re-points at the old snapshot in a NEW
+    * metadata version; nothing is deleted, so the rolled-back interval
+    * stays time-travelable until [[expireSnapshots]] collects it —
+    * exactly Iceberg's own rollback semantics). The target must be an
+    * existing, non-current snapshot. Returns the new metadata version.
+    */
+  def rollbackTo(table: String, snapshotId: Long): Long = {
+    val (md, mdPath) = loadMetadata(table)
+    val cur = (md \ "current-snapshot-id") match {
+      case JInt(v) => v.toLong
+      case _ => throw new IllegalArgumentException("no current-snapshot-id")
+    }
+    require(snapshotId != cur,
+      s"rollback to the current snapshot $cur is a no-op")
+    require((md \ "snapshots").children.exists(s =>
+      (s \ "snapshot-id") match {
+        case JInt(v) => v.toLong == snapshotId; case _ => false
+      }), s"snapshot $snapshotId not in the table's history")
+    val newMd = md merge JObject(
+      "current-snapshot-id" -> JInt(snapshotId))
+    val ver = metaVersion(mdPath.getFileName.toString)
+    require(ver >= 0, s"unversioned metadata file ${mdPath.getFileName}")
+    val mdir = mdPath.getParent
+    Files.writeString(mdir.resolve(s"v${ver + 1}.metadata.json"),
+      JsonMethods.compact(JsonMethods.render(newMd)))
+    val hint = mdir.resolve("version-hint.text")
+    if (Files.exists(hint)) Files.writeString(hint, (ver + 1).toString)
+    ver + 1
+  }
+
   /** EXPIRE old snapshots (r11, F15h — the maintenance half of the
     * write story; unexpired metadata grows forever and holds every
     * superseded data file hostage): keep the LAST `keepLast` snapshots

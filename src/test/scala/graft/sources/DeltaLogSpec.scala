@@ -317,6 +317,43 @@ class DeltaLogSpec extends AnyFunSuite {
       Set(3L, 4L, 5L, 6L))
   }
 
+  test("restore re-instates an old version without rewriting history (r11)") {
+    val t = buildTable() // v0..v3 (v3 evolves schema — restore below it)
+    // restore to v1 (before the a/f1 → a/f4 replacement) must reject:
+    // schema evolved at v3. Roll to v2 first via a fresh fixture.
+    intercept[IllegalArgumentException] {
+      DeltaLog.restore(spark, t.toString, 1L)
+    }
+    val t2 = Files.createTempDirectory("deltarst")
+    writeDataFile(Seq((1L, "x"), (2L, "y")).toDF("id", "v"), t2, "part=a/f1.parquet")
+    writeDataFile(Seq((3L, "z")).toDF("id", "v"), t2, "part=a/f3.parquet")
+    writeCommit(t2, 0L, Seq(metaLine(schemaV0), addLine("part=a/f1.parquet", "a")))
+    writeCommit(t2, 1L, Seq(removeLine("part=a/f1.parquet"),
+      addLine("part=a/f3.parquet", "a")))
+    assert(DeltaLog.restore(spark, t2.toString, 0L) == 2L)
+    assert(DeltaLog.read(spark, t2.toString)
+      .select("id").as[Long].collect().toSet == Set(1L, 2L))
+    // the replaced interval is still time-travelable
+    assert(DeltaLog.read(spark, t2.toString, versionAsOf = Some(1L))
+      .select("id").as[Long].collect().toSet == Set(3L))
+    // restoring to the identical state is a loud no-op
+    intercept[IllegalArgumentException] {
+      DeltaLog.restore(spark, t2.toString, 0L) // v2 == v0 already
+    }
+    // a vacuumed target rejects loudly
+    val t3 = Files.createTempDirectory("deltarst2")
+    writeDataFile(Seq((1L, "x")).toDF("id", "v"), t3, "part=a/f1.parquet")
+    writeDataFile(Seq((2L, "y")).toDF("id", "v"), t3, "part=a/f2.parquet")
+    writeCommit(t3, 0L, Seq(metaLine(schemaV0), addLine("part=a/f1.parquet", "a")))
+    writeCommit(t3, 1L, Seq(removeLine("part=a/f1.parquet"),
+      addLine("part=a/f2.parquet", "a")))
+    DeltaLog.vacuum(spark, t3.toString, retainLast = 1)
+    val e = intercept[IllegalArgumentException] {
+      DeltaLog.restore(spark, t3.toString, 0L)
+    }
+    assert(e.getMessage.contains("no longer exists"))
+  }
+
   test("tableChanges: updates surface as delete+insert pairs (r11)") {
     val t = buildTable()
     // v1→v2 replaced a/f1 (ids 1,2) with a/f4 (id 5): 2 deletes + 1 insert

@@ -545,6 +545,23 @@ class IcebergCatalogSpec extends AnyFunSuite {
       .filter(v => v >= 120 && v <= 260).toSet)
   }
 
+  test("rollbackTo re-points current; history stays travelable (r11)") {
+    val t = buildTable() // snaps 10 (f1,f2) and 20 (f2, f1 del, f3)
+    assert(IcebergCatalog.rollbackTo(t.toString, 10L) == 2L)
+    assert(rows(IcebergCatalog.read(spark, t.toString)) ==
+      Set((1L, "x", "a"), (2L, "y", "a"), (3L, "z", "b")))
+    // the rolled-back snapshot is still in history
+    assert(rows(IcebergCatalog.read(spark, t.toString,
+      snapshotId = Some(20L))) == Set((3L, "z", "b"), (4L, "q", "a")))
+    // unknown target / current target reject loudly
+    intercept[IllegalArgumentException] {
+      IcebergCatalog.rollbackTo(t.toString, 99L)
+    }
+    intercept[IllegalArgumentException] {
+      IcebergCatalog.rollbackTo(t.toString, 10L)
+    }
+  }
+
   test("expireSnapshots: expired-only files delete, current state intact (r11)") {
     val t = buildTable() // snapshots 10 (f1,f2) and 20 (f2, f1 DELETED, f3)
     val before = rows(IcebergCatalog.read(spark, t.toString))

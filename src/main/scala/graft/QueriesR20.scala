@@ -146,12 +146,14 @@ object QueriesR20 {
         // both generations land in ONE directory, per-generation names
         import scala.jdk.CollectionConverters._
         Seq(("g1", g1), ("g2", g2)).foreach { case (tag, src) =>
-          java.nio.file.Files.list(src).iterator().asScala
-            .filter(_.getFileName.toString.endsWith(".avro"))
-            .foreach { f =>
-              java.nio.file.Files.move(f,
-                out.resolve(s"$tag-${f.getFileName}"))
-            }
+          val st = java.nio.file.Files.list(src)
+          val avros = try st.iterator().asScala
+            .filter(_.getFileName.toString.endsWith(".avro")).toSeq
+          finally st.close()
+          avros.foreach { f =>
+            java.nio.file.Files.move(f,
+              out.resolve(s"$tag-${f.getFileName}"))
+          }
         }
         out.toString
       })

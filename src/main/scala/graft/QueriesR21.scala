@@ -25,8 +25,10 @@ object QueriesR21 {
     import scala.jdk.CollectionConverters._
     val tmp = java.nio.file.Files.createTempDirectory("rt_part")
     df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-    val part = java.nio.file.Files.list(tmp).iterator().asScala
+    val st = java.nio.file.Files.list(tmp)
+    val part = try st.iterator().asScala
       .find(_.getFileName.toString.endsWith(".parquet")).get
+    finally st.close()
     java.nio.file.Files.createDirectories(target.getParent)
     java.nio.file.Files.move(part, target)
     graft.sources.DeltaLog.deleteTmp(tmp)

@@ -703,8 +703,13 @@ object Graph {
     }
     // sup values already equal the support ON THE FINAL RESIDUE (the
     // invariant maintained every round) — the original's final
-    // recompute pass is free here
-    sup.filter(col("support") >= k - 2)
+    // recompute pass is free here. Return UNFILTERED: under the
+    // bounded-rounds contract (and the fixed-round DuckDB oracles) the
+    // post-round edge set keeps its recomputed — possibly
+    // sub-threshold — supports when `rounds` runs out before the peel
+    // converges; on convergence `removed` was empty, so every support
+    // is already >= k-2 and the filter would be a no-op anyway.
+    sup
   }
 
   /** Edges sharing a triangle with `edges` under the given node-keyed

@@ -210,8 +210,11 @@ object DeltaLog {
     import spark.implicits._
     val dir = Paths.get(table, "_delta_log")
     require(Files.isDirectory(dir), s"not a delta table: $table")
-    val entries = Files.list(dir).iterator().asScala
-      .map(_.getFileName.toString).toSeq.sorted
+    val entries = {
+      val st = Files.list(dir)
+      try st.iterator().asScala.map(_.getFileName.toString).toSeq.sorted
+      finally st.close()
+    }
     val commits = entries.filter(_.matches("\\d{20}\\.json"))
       .map(n => n.take(20).toLong -> n)
     val singleCkpts = entries.filter(_.matches("\\d{20}\\.checkpoint\\.parquet"))
@@ -696,8 +699,11 @@ object DeltaLog {
     // retention window floors at the oldest REPLAYABLE version
     val replayFloor = {
       val dir = Paths.get(table, "_delta_log")
-      val entries = Files.list(dir).iterator().asScala
-        .map(_.getFileName.toString).toSeq
+      val entries = {
+        val st = Files.list(dir)
+        try st.iterator().asScala.map(_.getFileName.toString).toSeq
+        finally st.close()
+      }
       val commitVs = entries.filter(_.matches("\\d{20}\\.json"))
         .map(_.take(20).toLong).toSet
       val ckptVs = entries
@@ -717,22 +723,13 @@ object DeltaLog {
     val referenced = (fromV to cur).flatMap { v =>
       val st = state(spark, table, Some(v))
       st.files.flatMap { f =>
-        val dvFiles = f.deletionVector.toSeq.flatMap { dvJson =>
-          def fld(n: String) = ("\"" + n + "\"\\s*:\\s*\"([^\"]*)\"").r
-            .findFirstMatchIn(dvJson).map(_.group(1))
-          fld("storageType") match {
-            case Some("u") => fld("pathOrInlineDv").map { payload =>
-              val (prefix, uuidPart) = payload.splitAt(payload.length - 20)
-              val uuid = DeletionVectors.z85Uuid(uuidPart)
-              (if (prefix.nonEmpty) prefix.stripSuffix("/") + "/" else "") +
-                s"deletion_vector_$uuid.bin"
-            }.toSeq
-            case _ => Seq.empty // inline or absolute: nothing table-relative
-          }
-        }
-        f.path +: dvFiles
+        // 'u'-storage resolves table-relative; 'p' (absolute) can still
+        // land under the table root — a retained version READS it
+        // (decodeDvPositions supports 'p'), so it must survive vacuum
+        val dvFiles = f.deletionVector.toSeq.flatMap(dvBinPath(table, _))
+        Paths.get(table, f.path).toAbsolutePath.normalize +: dvFiles
       }
-    }.map(rel => Paths.get(table, rel).toAbsolutePath.normalize).toSet
+    }.toSet
     val root = Paths.get(table).toAbsolutePath.normalize
     val walk = Files.walk(root)
     val all = try walk.iterator().asScala
@@ -786,6 +783,30 @@ object DeltaLog {
     * every re-added file to still exist (a vacuumed target rejects
     * loudly). Returns the new version.
     */
+  /** Resolve a DV descriptor's on-disk `.bin` path (absolute,
+    * normalized): 'u' storage is table-relative (optional prefix +
+    * z85 uuid), 'p' is an absolute path; inline ('i') has no file.
+    * Used by [[vacuum]]'s referenced set and [[restore]]'s
+    * exists-before-re-add check so both agree on resolution.
+    */
+  private[sources] def dvBinPath(table: String,
+                                 dvJson: String): Option[java.nio.file.Path] = {
+    def fld(n: String) = ("\"" + n + "\"\\s*:\\s*\"([^\"]*)\"").r
+      .findFirstMatchIn(dvJson).map(_.group(1))
+    fld("storageType") match {
+      case Some("u") => fld("pathOrInlineDv").map { payload =>
+        val (prefix, uuidPart) = payload.splitAt(payload.length - 20)
+        val uuid = DeletionVectors.z85Uuid(uuidPart)
+        val rel = (if (prefix.nonEmpty) prefix.stripSuffix("/") + "/" else "") +
+          s"deletion_vector_$uuid.bin"
+        Paths.get(table, rel).toAbsolutePath.normalize
+      }
+      case Some("p") =>
+        fld("pathOrInlineDv").map(Paths.get(_).toAbsolutePath.normalize)
+      case _ => None // inline: nothing on disk
+    }
+  }
+
   def restore(spark: SparkSession, table: String, toVersion: Long): Long = {
     val cur = state(spark, table)
     require(toVersion < cur.version,
@@ -800,8 +821,15 @@ object DeltaLog {
     val adds = tgt.files.filterNot(f => curByPath.get(f.path).contains(f))
     require(removes.nonEmpty || adds.nonEmpty,
       s"restore to v$toVersion is a no-op: states identical")
-    adds.foreach(f => require(Files.exists(Paths.get(table, f.path)),
-      s"cannot restore v$toVersion: ${f.path} no longer exists (vacuumed?)"))
+    adds.foreach { f =>
+      require(Files.exists(Paths.get(table, f.path)),
+        s"cannot restore v$toVersion: ${f.path} no longer exists (vacuumed?)")
+      // a re-added descriptor may carry a DV — the .bin must also have
+      // survived vacuum, else the restore succeeds and the READ fails
+      f.deletionVector.flatMap(dvBinPath(table, _)).foreach(dv =>
+        require(Files.exists(dv),
+          s"cannot restore v$toVersion: DV $dv no longer exists (vacuumed?)"))
+    }
     val lines =
       removes.map(f =>
         s"""{"remove":{"path":"${jsonEscape(f.path)}","dataChange":true}}""") ++

@@ -164,9 +164,13 @@ object IcebergCatalog {
           s"version-hint.text says $v but $hinted is missing")
         hinted
       } else {
-        val metas = Files.list(mdir).iterator().asScala
-          .filter(_.getFileName.toString.endsWith(".metadata.json"))
-          .toSeq
+        val metas = {
+          val st = Files.list(mdir)
+          try st.iterator().asScala
+            .filter(_.getFileName.toString.endsWith(".metadata.json"))
+            .toSeq
+          finally st.close()
+        }
         require(metas.nonEmpty, s"no metadata.json under $mdir")
         metas.maxBy(m =>
           (metaVersion(m.getFileName.toString), m.getFileName.toString))

@@ -67,18 +67,23 @@ object BusSource {
   def partitionDirs(root: String): Seq[(Int, Path)] = {
     val p = Paths.get(root)
     require(Files.isDirectory(p), s"bus root missing: $root")
-    Files.list(p).iterator().asScala
+    val st = Files.list(p)
+    try st.iterator().asScala
       .filter(d => Files.isDirectory(d) && d.getFileName.toString.startsWith("pt="))
       .map(d => d.getFileName.toString.drop(3).toInt -> d)
       .toSeq.sortBy(_._1)
+    finally st.close()
   }
 
   /** Ordered data files of one partition (file name asc). */
-  def partFiles(dir: Path): Seq[Path] =
-    Files.list(dir).iterator().asScala
+  def partFiles(dir: Path): Seq[Path] = {
+    val st = Files.list(dir)
+    try st.iterator().asScala
       .filter(f => Files.isRegularFile(f) && !f.getFileName.toString.startsWith("_")
         && !f.getFileName.toString.startsWith("."))
       .toSeq.sortBy(_.getFileName.toString)
+    finally st.close()
+  }
 
   /** Per-partition record counts (the bus head). */
   def headOffsets(root: String): Map[Int, Long] =

@@ -72,7 +72,97 @@ object KafkaWire {
   val ApiOffsetCommit = 8
   val ApiOffsetFetch = 9
   val ApiFindCoordinator = 10
+  val ApiJoinGroup = 11
+  val ApiHeartbeat = 12
+  val ApiLeaveGroup = 13
+  val ApiSyncGroup = 14
   val ApiVersions = 18
+
+  // group-protocol error codes (the public protocol guide's table)
+  val ErrIllegalGeneration = 22
+  val ErrUnknownMemberId = 25
+  val ErrRebalanceInProgress = 27
+
+  /** JoinGroup response: `members` (id → subscribed topics) is
+    * non-empty only for the LEADER — the one member that computes the
+    * assignment.
+    */
+  final case class JoinResult(error: Int, generation: Int,
+                              protocolName: String, leaderId: String,
+                              memberId: String,
+                              members: Seq[(String, Seq[String])]) {
+    def isLeader: Boolean = memberId == leaderId
+  }
+
+  // ConsumerProtocol v0 (the public embedded consumer protocol): the
+  // opaque bytes JoinGroup metadata / SyncGroup assignment carry.
+  // Subscription = version + topic list (+ null user data);
+  // Assignment = version + (topic, partitions) list (+ null user data).
+
+  def encodeSubscription(topics: Seq[String]): Array[Byte] = {
+    val b = new Writer
+    b.i16(0) // version
+    b.i32(topics.size)
+    topics.foreach(b.str)
+    b.i32(-1) // user_data: null
+    b.toBytes
+  }
+
+  def decodeSubscription(meta: Array[Byte]): Seq[String] = {
+    if (meta == null || meta.isEmpty) return Seq.empty
+    val r = new Reader(ByteBuffer.wrap(meta))
+    r.i16() // version
+    (0 until r.i32()).map(_ => r.str())
+  }
+
+  def encodeAssignment(asg: Seq[(String, Seq[Int])]): Array[Byte] = {
+    val b = new Writer
+    b.i16(0) // version
+    b.i32(asg.size)
+    asg.foreach { case (t, ps) =>
+      b.str(t); b.i32(ps.size); ps.foreach(b.i32)
+    }
+    b.i32(-1) // user_data: null
+    b.toBytes
+  }
+
+  def decodeAssignment(asg: Array[Byte]): Seq[(String, Seq[Int])] = {
+    if (asg == null || asg.isEmpty) return Seq.empty
+    val r = new Reader(ByteBuffer.wrap(asg))
+    r.i16() // version
+    (0 until r.i32()).map { _ =>
+      val t = r.str()
+      t -> (0 until r.i32()).map(_ => r.i32())
+    }
+  }
+
+  /** The RANGE assignor (the classic client-side default): per topic,
+    * subscribed members sorted by member id, partitions sorted, split
+    * into ⌈/⌉-then-⌊/⌋ contiguous chunks (the first `count mod n`
+    * members take one extra). Deterministic in (members, partitions) —
+    * the leader and any auditor compute identical assignments.
+    */
+  def rangeAssign(members: Seq[(String, Seq[String])],
+                  partitionsByTopic: Map[String, Seq[Int]])
+      : Map[String, Seq[(String, Seq[Int])]] = {
+    val perMember = scala.collection.mutable.Map.empty[String, Vector[(String, Seq[Int])]]
+      .withDefaultValue(Vector.empty)
+    partitionsByTopic.toSeq.sortBy(_._1).foreach { case (topic, parts0) =>
+      val subs = members.filter(_._2.contains(topic)).map(_._1).sorted
+      if (subs.nonEmpty) {
+        val parts = parts0.sorted
+        val quota = parts.size / subs.size
+        val extra = parts.size % subs.size
+        var at = 0
+        subs.zipWithIndex.foreach { case (m, i) =>
+          val n = quota + (if (i < extra) 1 else 0)
+          if (n > 0) perMember(m) = perMember(m) :+ (topic -> parts.slice(at, at + n))
+          at += n
+        }
+      }
+    }
+    members.map { case (m, _) => m -> perMember(m).toSeq }.toMap
+  }
 
   // ───────────────────────── primitive codec ─────────────────────────
 
@@ -483,15 +573,33 @@ object KafkaWire {
 
     /** OffsetCommit v2 (key 8): durably record the group's position —
       * the offsets a RESUMING consumer (or any external monitor) reads
-      * back; generation/member are the simple-consumer sentinels (-1,
-      * "") since this client manages its own partition assignment.
+      * back; generation/member default to the simple-consumer
+      * sentinels (-1, "") for a client managing its own partition
+      * assignment, and carry the JoinGroup-issued identity for a
+      * group-managed consumer (the coordinator FENCES a commit whose
+      * generation or member id is stale — the zombie-write guard).
       */
     def offsetCommit(group: String, topic: String,
-                     offsets: Map[Int, Long]): Unit = {
+                     offsets: Map[Int, Long],
+                     generation: Int = -1, memberId: String = ""): Unit =
+      offsetCommitChecked(group, topic, offsets, generation, memberId)
+        .foreach { case (pid, err) =>
+          require(err == 0, s"OffsetCommit error $err on partition $pid")
+        }
+
+    /** [[offsetCommit]] returning the per-partition error codes instead
+      * of throwing — the shape a caller probing generation fencing
+      * needs (22 = ILLEGAL_GENERATION, 25 = UNKNOWN_MEMBER_ID,
+      * 27 = REBALANCE_IN_PROGRESS).
+      */
+    def offsetCommitChecked(group: String, topic: String,
+                            offsets: Map[Int, Long],
+                            generation: Int = -1,
+                            memberId: String = ""): Map[Int, Int] = {
       val b = new Writer
       b.str(group)
-      b.i32(-1) // generation_id: simple consumer
-      b.str("") // member_id
+      b.i32(generation)
+      b.str(memberId)
       b.i64(-1L) // retention_time: broker default
       b.i32(1); b.str(topic)
       b.i32(offsets.size)
@@ -499,13 +607,95 @@ object KafkaWire {
         b.i32(p); b.i64(off); b.nullableStr(null)
       }
       val r = exchange(out, in, ApiOffsetCommit, 2, next(), b)
+      var result = Map.empty[Int, Int]
       (0 until r.i32()).foreach { _ =>
         r.str()
         (0 until r.i32()).foreach { _ =>
           val pid = r.i32(); val err = r.i16()
-          require(err == 0, s"OffsetCommit error $err on partition $pid")
+          result += pid -> err
         }
       }
+      result
+    }
+
+    // ───────── consumer-group REBALANCE (r12, X58): the classic
+    // JoinGroup/SyncGroup/Heartbeat/LeaveGroup dance — partition
+    // SPLITTING across members and zombie fencing are what makes a
+    // "consumer group" more than a durable offset store ─────────
+
+    /** JoinGroup v0 (key 11). First call sends `memberId = ""` and the
+      * coordinator issues the identity; the response names the round's
+      * GENERATION, the elected LEADER, and (to the leader only) every
+      * member's subscription metadata — the leader computes the
+      * assignment CLIENT-side (the protocol's design: brokers stay
+      * assignment-agnostic) and distributes it via [[syncGroup]].
+      * Blocks until the coordinator completes the join round.
+      */
+    def joinGroup(group: String, memberId: String,
+                  topics: Seq[String],
+                  sessionTimeoutMs: Int = 10000): JoinResult = {
+      val b = new Writer
+      b.str(group)
+      b.i32(sessionTimeoutMs)
+      b.str(memberId)
+      b.str("consumer") // protocol_type
+      b.i32(1) // one supported assignor
+      b.str("range")
+      b.bytes(encodeSubscription(topics))
+      val r = exchange(out, in, ApiJoinGroup, 0, next(), b)
+      val err = r.i16()
+      val gen = r.i32()
+      val proto = r.str()
+      val leader = r.str()
+      val me = r.str()
+      val members = (0 until r.i32()).map { _ =>
+        val id = r.str(); val meta = r.bytes()
+        id -> decodeSubscription(meta)
+      }
+      JoinResult(err, gen, proto, leader, me, members)
+    }
+
+    /** SyncGroup v0 (key 14): the leader ships the computed
+      * per-member assignment; followers send an empty map and BLOCK
+      * until the leader's arrives. Returns (error, own partitions).
+      */
+    def syncGroup(group: String, generation: Int, memberId: String,
+                  assignments: Map[String, Seq[(String, Seq[Int])]] = Map.empty)
+        : (Int, Seq[(String, Seq[Int])]) = {
+      val b = new Writer
+      b.str(group)
+      b.i32(generation)
+      b.str(memberId)
+      b.i32(assignments.size)
+      assignments.toSeq.sortBy(_._1).foreach { case (m, asg) =>
+        b.str(m); b.bytes(encodeAssignment(asg))
+      }
+      val r = exchange(out, in, ApiSyncGroup, 0, next(), b)
+      val err = r.i16()
+      val asg = r.bytes()
+      (err, if (err != 0 || asg == null || asg.isEmpty) Seq.empty
+            else decodeAssignment(asg))
+    }
+
+    /** Heartbeat v0 (key 12): liveness + the channel the coordinator
+      * uses to tell a member a REBALANCE is in progress (error 27 →
+      * rejoin). Returns the error code.
+      */
+    def heartbeat(group: String, generation: Int, memberId: String): Int = {
+      val b = new Writer
+      b.str(group); b.i32(generation); b.str(memberId)
+      val r = exchange(out, in, ApiHeartbeat, 0, next(), b)
+      r.i16()
+    }
+
+    /** LeaveGroup v0 (key 13): clean departure — triggers an immediate
+      * rebalance instead of waiting out the session timeout.
+      */
+    def leaveGroup(group: String, memberId: String): Int = {
+      val b = new Writer
+      b.str(group); b.str(memberId)
+      val r = exchange(out, in, ApiLeaveGroup, 0, next(), b)
+      r.i16()
     }
 
     /** OffsetFetch v1 (key 9): the group's committed offset per
@@ -632,6 +822,93 @@ object KafkaWire {
     }
 
     override def close(): Unit = sock.close()
+  }
+
+  /** Group-managed consumer (r12, X58): owns one [[Client]] connection
+    * (= its session) and drives the full classic dance — join, leader
+    * computes the range assignment from every member's subscription,
+    * sync distributes it, fetch/commit under the issued (generation,
+    * member id), REJOIN on 22/25/27. `kill()` closes the socket
+    * without LeaveGroup — the crashed-consumer shape the rebalance
+    * gate needs.
+    */
+  final class GroupConsumer(host: String, port: Int, val group: String,
+                            val topic: String) extends AutoCloseable {
+    private val client = new Client(host, port)
+    var memberId: String = ""
+    var generation: Int = -1
+    var assigned: Seq[Int] = Seq.empty
+
+    /** Join (or rejoin) until the group is stable and this member
+      * holds an assignment. Returns the assigned partitions.
+      */
+    def rebalance(): Seq[Int] = {
+      var stable = false
+      var guard = 0
+      while (!stable) {
+        guard += 1
+        require(guard <= 16, s"rebalance loop did not stabilize for $group")
+        val j = client.joinGroup(group, memberId, Seq(topic))
+        if (j.error == ErrUnknownMemberId) memberId = "" // evicted: fresh id
+        else {
+          require(j.error == 0, s"JoinGroup error ${j.error} for $group")
+          memberId = j.memberId
+          generation = j.generation
+          val plan =
+            if (j.isLeader)
+              rangeAssign(j.members, Map(topic -> client.partitions(topic)))
+            else Map.empty[String, Seq[(String, Seq[Int])]]
+          val (serr, mine) = client.syncGroup(group, generation, memberId, plan)
+          if (serr == 0) {
+            assigned = mine.filter(_._1 == topic).flatMap(_._2)
+            stable = true
+          } else require(
+            serr == ErrRebalanceInProgress || serr == ErrIllegalGeneration,
+            s"SyncGroup error $serr for $group")
+        }
+      }
+      assigned
+    }
+
+    /** Drain every assigned partition from its committed offset (or 0)
+      * to at most `cap` NEW records per partition (Long.MaxValue = to
+      * head), committing after each partition under the group identity.
+      * Returns (partition, offset, value) for what THIS call consumed.
+      */
+    def consume(cap: Long = Long.MaxValue): Seq[(Int, Long, String)] = {
+      val out = Seq.newBuilder[(Int, Long, String)]
+      assigned.foreach { p =>
+        val committed = client.offsetFetch(group, topic, Seq(p))(p)
+        var off = math.max(committed, 0L)
+        var taken = 0L
+        var atHead = false
+        while (taken < cap && !atHead) {
+          val recs = client.fetch(topic, p, off)
+          if (recs.isEmpty) atHead = true
+          else recs.iterator.takeWhile(_ => taken < cap).foreach {
+            case (o, v) =>
+              out += ((p, o, new String(v, java.nio.charset.StandardCharsets.UTF_8)))
+              off = o + 1
+              taken += 1
+          }
+        }
+        client.offsetCommit(group, topic, Map(p -> off), generation, memberId)
+      }
+      out.result()
+    }
+
+    def heartbeat(): Int = client.heartbeat(group, generation, memberId)
+
+    /** Clean departure (LeaveGroup then close). */
+    override def close(): Unit = {
+      if (memberId.nonEmpty) client.leaveGroup(group, memberId)
+      client.close()
+    }
+
+    /** Crash: socket death WITHOUT LeaveGroup — the coordinator evicts
+      * via session(-as-connection) expiry.
+      */
+    def kill(): Unit = client.close()
   }
 
   /** Executor-side produce sink: each task opens its own connection and
@@ -849,6 +1126,214 @@ object KafkaBusServer {
     /** -1 = nothing committed (the OffsetFetch "unknown" sentinel). */
     def fetchOffset(group: String, pt: Int): Long =
       groupOffsets.getOrDefault((group, pt), -1L)
+
+    /** Group membership coordinator (r12, X58) — per-handle like the
+      * offset store.
+      */
+    private[streaming] val coord = new GroupCoordinator
+  }
+
+  /** Classic group-membership coordinator (r12, X58): the broker side
+    * of JoinGroup/SyncGroup/Heartbeat/LeaveGroup — the state machine
+    * Empty → PreparingRebalance → AwaitingSync → Stable per the public
+    * protocol guide. Brokers stay ASSIGNMENT-agnostic: the join round
+    * elects a leader (first member in join order), hands it every
+    * member's subscription metadata, and the leader ships the computed
+    * assignment back through SyncGroup; followers block until it
+    * lands. Generation fencing: OffsetCommit carrying a stale
+    * generation or unknown member id is REJECTED (22/25) — the zombie
+    * guard that makes a commit after losing a partition harmless.
+    *
+    * Liveness (stated harness simplification): a member's session is
+    * its CONNECTION — socket death evicts immediately (a production
+    * broker sweeps session timeouts; the observable protocol — evicted
+    * member triggers rebalance, survivors see 27 and rejoin — is the
+    * same, just prompt). `initialDelayMs` mirrors
+    * `group.initial.rebalance.delay.ms`: an EMPTY group's first round
+    * stays open briefly so concurrently-starting members land in one
+    * generation (correct either way — a latecomer just triggers the
+    * next rebalance).
+    */
+  final class GroupCoordinator(initialDelayMs: Long = 400L,
+                               rebalanceTimeoutMs: Long = 15000L) {
+    import scala.collection.mutable
+    import KafkaWire.{ErrIllegalGeneration, ErrRebalanceInProgress, ErrUnknownMemberId}
+
+    final class Member(val id: String, @volatile var conn: AnyRef,
+                       @volatile var meta: Array[Byte])
+
+    final class Group {
+      var generation = 0
+      var state = 0 // 0 Empty, 1 Preparing, 2 AwaitingSync, 3 Stable
+      val members = mutable.LinkedHashMap.empty[String, Member]
+      val awaiting = mutable.Set.empty[String] // blocked in JoinGroup now
+      val joined = mutable.Set.empty[String] // counted into current round
+      var assignments: Map[String, Array[Byte]] = null
+      var memberSeq = 0
+      var roundStart = 0L
+    }
+
+    private val groups =
+      new java.util.concurrent.ConcurrentHashMap[String, Group]()
+
+    private def group(id: String): Group =
+      groups.computeIfAbsent(id, _ => new Group)
+
+    private def groupIfExists(id: String): Group = groups.get(id)
+
+    // callers hold g's monitor for everything below
+    private def startRound(g: Group): Unit = {
+      g.state = 1
+      g.roundStart = System.currentTimeMillis()
+      g.joined.clear()
+      g.joined ++= g.awaiting // blocked joiners carry into the new round
+      g.assignments = null
+      g.notifyAll()
+    }
+
+    private def roundComplete(g: Group): Boolean =
+      g.members.keysIterator.forall(g.joined.contains) &&
+        (g.generation > 0 ||
+          System.currentTimeMillis() - g.roundStart >= initialDelayMs)
+
+    private def completeRound(g: Group): Unit = {
+      g.generation += 1
+      g.state = 2 // AwaitingSync
+      g.assignments = null
+      g.notifyAll()
+    }
+
+    final case class JoinResp(error: Int, generation: Int, leaderId: String,
+                              memberId: String,
+                              members: Seq[(String, Array[Byte])])
+
+    /** Blocking join — returns when the round completes (all current
+      * members rejoined, evictions included) or the rebalance timeout
+      * force-completes without the stragglers.
+      */
+    def joinGroup(groupId: String, memberIdIn: String, meta: Array[Byte],
+                  conn: AnyRef): JoinResp = {
+      val g = group(groupId)
+      g.synchronized {
+        if (memberIdIn.nonEmpty && !g.members.contains(memberIdIn))
+          return JoinResp(ErrUnknownMemberId, -1, "", memberIdIn, Seq.empty)
+        val id =
+          if (memberIdIn.isEmpty) { g.memberSeq += 1; s"member-${g.memberSeq}" }
+          else memberIdIn
+        g.members.get(id) match {
+          case Some(m) => m.conn = conn; m.meta = meta
+          case None => g.members(id) = new Member(id, conn, meta)
+        }
+        if (g.state != 1) startRound(g)
+        g.awaiting += id
+        g.joined += id
+        g.notifyAll()
+        try {
+          val deadline = System.currentTimeMillis() + rebalanceTimeoutMs
+          while (g.state == 1 && !roundComplete(g)) {
+            if (System.currentTimeMillis() >= deadline) {
+              (g.members.keySet -- g.joined).toSeq.foreach(g.members.remove)
+              completeRound(g)
+            } else g.wait(25)
+          }
+          if (g.state == 1) completeRound(g)
+          if (!g.members.contains(id)) // evicted while waiting
+            return JoinResp(ErrUnknownMemberId, -1, "", id, Seq.empty)
+          val leader = g.members.head._1
+          JoinResp(0, g.generation, leader, id,
+            if (id == leader) g.members.valuesIterator
+              .map(m => m.id -> m.meta).toSeq
+            else Seq.empty)
+        } finally g.awaiting -= id
+      }
+    }
+
+    /** (error, assignment bytes | null). The leader's call publishes
+      * the round's assignments and moves the group Stable; followers
+      * block until it does.
+      */
+    def syncGroup(groupId: String, gen: Int, id: String,
+                  asgIn: Map[String, Array[Byte]]): (Int, Array[Byte]) = {
+      val g = groupIfExists(groupId)
+      if (g == null) return (ErrUnknownMemberId, null)
+      g.synchronized {
+        if (!g.members.contains(id)) return (ErrUnknownMemberId, null)
+        if (gen != g.generation) return (ErrIllegalGeneration, null)
+        if (g.state == 1) return (ErrRebalanceInProgress, null)
+        if (g.state == 2 && id == g.members.head._1) {
+          g.assignments = asgIn
+          g.state = 3 // Stable
+          g.notifyAll()
+        }
+        val deadline = System.currentTimeMillis() + rebalanceTimeoutMs
+        while (g.generation == gen && g.state == 2 &&
+            System.currentTimeMillis() < deadline) g.wait(25)
+        if (g.generation != gen) (ErrIllegalGeneration, null)
+        else if (g.state != 3 || g.assignments == null)
+          (ErrRebalanceInProgress, null)
+        else (0, g.assignments.getOrElse(id, Array.empty[Byte]))
+      }
+    }
+
+    def heartbeat(groupId: String, gen: Int, id: String): Int = {
+      val g = groupIfExists(groupId)
+      if (g == null) return ErrUnknownMemberId
+      g.synchronized {
+        if (!g.members.contains(id)) ErrUnknownMemberId
+        else if (g.state == 1) ErrRebalanceInProgress
+        else if (gen != g.generation) ErrIllegalGeneration
+        else 0
+      }
+    }
+
+    def leaveGroup(groupId: String, id: String): Int = {
+      val g = groupIfExists(groupId)
+      if (g == null) return ErrUnknownMemberId
+      g.synchronized {
+        if (!g.members.contains(id)) ErrUnknownMemberId
+        else { removeLocked(g, id); 0 }
+      }
+    }
+
+    // monitor held
+    private def removeLocked(g: Group, id: String): Unit = {
+      g.members.remove(id)
+      g.joined -= id
+      g.awaiting -= id
+      if (g.members.isEmpty) g.state = 0 // Empty (generation survives)
+      else if (g.state == 2 || g.state == 3) startRound(g)
+      g.notifyAll() // a Preparing round may now be complete
+    }
+
+    /** Connection death = session expiry (the stated simplification):
+      * evict every member registered over `conn`, in every group.
+      */
+    def evictConn(conn: AnyRef): Unit =
+      groups.values().asScala.foreach { g =>
+        g.synchronized {
+          g.members.valuesIterator.filter(_.conn eq conn)
+            .map(_.id).toSeq.foreach(removeLocked(g, _))
+        }
+      }
+
+    /** OffsetCommit fencing verdict: 0 = accept. A group the
+      * coordinator never formed (or that emptied out) accepts only the
+      * simple-consumer sentinels (-1, "") — the pre-r12 path; a FORMED
+      * group rejects sentinels and fences stale generations / unknown
+      * members / commits mid-rebalance.
+      */
+    def commitFence(groupId: String, gen: Int, id: String): Int = {
+      val g = groupIfExists(groupId)
+      if (g == null || g.synchronized(g.members.isEmpty)) {
+        if (gen < 0 && id.isEmpty) 0 else ErrIllegalGeneration
+      } else g.synchronized {
+        if (gen < 0 && id.isEmpty) ErrIllegalGeneration
+        else if (!g.members.contains(id)) ErrUnknownMemberId
+        else if (g.state == 1) ErrRebalanceInProgress
+        else if (gen != g.generation) ErrIllegalGeneration
+        else 0
+      }
+    }
   }
 
   final class Handle(server: ServerSocket, val state: LogState)
@@ -936,6 +1421,10 @@ object KafkaBusServer {
               KafkaWire.ApiOffsetCommit -> ((2, 2)),
               KafkaWire.ApiOffsetFetch -> ((1, 1)),
               KafkaWire.ApiFindCoordinator -> ((0, 0)),
+              KafkaWire.ApiJoinGroup -> ((0, 0)),
+              KafkaWire.ApiHeartbeat -> ((0, 0)),
+              KafkaWire.ApiLeaveGroup -> ((0, 0)),
+              KafkaWire.ApiSyncGroup -> ((0, 0)),
               KafkaWire.ApiVersions -> ((0, 0)))
             body.i32(apis.size)
             apis.foreach { case (k, (lo, hi)) =>
@@ -1042,7 +1531,10 @@ object KafkaBusServer {
           case KafkaWire.ApiOffsetCommit =>
             require(apiVersion == 2, s"offsetcommit v$apiVersion unsupported")
             val group = r.str()
-            r.i32(); r.str(); r.i64() // generation, member, retention
+            val gen = r.i32(); val member = r.str(); r.i64() // retention
+            // generation fencing (r12): a stale/zombie member's commit
+            // must NOT clobber the new owner's position
+            val fence = state.coord.commitFence(group, gen, member)
             val nt = r.i32()
             body.i32(nt)
             (0 until nt).foreach { _ =>
@@ -1053,10 +1545,46 @@ object KafkaBusServer {
               (0 until np).foreach { _ =>
                 val pid = r.i32(); val off = r.i64()
                 r.nullableStr() // metadata
-                state.commitOffset(group, pid, off)
-                body.i32(pid); body.i16(0)
+                if (fence == 0) state.commitOffset(group, pid, off)
+                body.i32(pid); body.i16(fence)
               }
             }
+          case KafkaWire.ApiJoinGroup =>
+            require(apiVersion == 0, s"joingroup v$apiVersion unsupported")
+            val group = r.str()
+            r.i32() // session_timeout (liveness = connection, stated)
+            val memberIn = r.str()
+            val ptype = r.str()
+            require(ptype == "consumer", s"protocol_type '$ptype' unsupported")
+            val protos = (0 until r.i32()).map(_ => (r.str(), r.bytes()))
+            val meta = protos.headOption.map(_._2).getOrElse(Array.empty[Byte])
+            val resp = state.coord.joinGroup(group, memberIn, meta, sock)
+            body.i16(resp.error)
+            body.i32(resp.generation)
+            body.str(protos.headOption.map(_._1).getOrElse("range"))
+            body.str(resp.leaderId)
+            body.str(resp.memberId)
+            body.i32(resp.members.size)
+            resp.members.foreach { case (id, m) =>
+              body.str(id); body.bytes(m)
+            }
+          case KafkaWire.ApiSyncGroup =>
+            require(apiVersion == 0, s"syncgroup v$apiVersion unsupported")
+            val group = r.str()
+            val gen = r.i32()
+            val member = r.str()
+            val asg = (0 until r.i32()).map(_ => (r.str(), r.bytes())).toMap
+            val (err, mine) = state.coord.syncGroup(group, gen, member, asg)
+            body.i16(err)
+            body.bytes(if (mine == null) Array.empty[Byte] else mine)
+          case KafkaWire.ApiHeartbeat =>
+            require(apiVersion == 0, s"heartbeat v$apiVersion unsupported")
+            val group = r.str(); val gen = r.i32(); val member = r.str()
+            body.i16(state.coord.heartbeat(group, gen, member))
+          case KafkaWire.ApiLeaveGroup =>
+            require(apiVersion == 0, s"leavegroup v$apiVersion unsupported")
+            val group = r.str(); val member = r.str()
+            body.i16(state.coord.leaveGroup(group, member))
           case KafkaWire.ApiOffsetFetch =>
             require(apiVersion == 1, s"offsetfetch v$apiVersion unsupported")
             val group = r.str()
@@ -1085,7 +1613,12 @@ object KafkaBusServer {
       }
     } catch {
       case _: Throwable => () // connection-scoped; the broker survives
-    } finally sock.close()
+    } finally {
+      // session = connection (r12): a dead consumer's membership is
+      // evicted here, which is what lets the survivors rebalance
+      state.coord.evictConn(sock)
+      sock.close()
+    }
 }
 
 /** `spark.readStream.format("graft.streaming.KafkaWireProvider")

@@ -395,9 +395,15 @@ object Streams {
                                 queryName: String): DataFrame = {
     import org.apache.spark.sql.functions.{expr => fexpr}
     // driver scalars: the flush timestamp must clear every expiry
-    // (max event time + gap + watermark delay + margin)
+    // (max event time + gap + watermark delay + margin). An empty side
+    // yields a NULL max — reject loudly instead of NPEing below (the
+    // sentinel builder also assumes the staged 3-column row shape).
     val maxL = left.agg(max(col("l_ts"))).head().getTimestamp(0)
     val maxR = right.agg(max(col("r_ts"))).head().getTimestamp(0)
+    require(maxL != null && maxR != null,
+      s"intervalJoinOuter($joinType) requires non-empty inputs: " +
+        s"left ${if (maxL == null) "EMPTY" else "ok"}, " +
+        s"right ${if (maxR == null) "EMPTY" else "ok"}")
     val flushMs = math.max(maxL.getTime, maxR.getTime) +
       (gapSec + 2 * 3600L + 60L) * 1000L
     def sentinel(schema: org.apache.spark.sql.types.StructType,

@@ -1,0 +1,163 @@
+package graft.streaming
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** X58 (r12): the classic consumer-group REBALANCE protocol —
+  * JoinGroup/SyncGroup/Heartbeat/LeaveGroup against the harness
+  * broker's coordinator, range assignment, and the generation fencing
+  * on OffsetCommit the r11 verdict asked for ("a zombie's commit is
+  * not fenced").
+  */
+class KafkaRebalanceSpec extends AnyFunSuite {
+  import KafkaWire._
+
+  private def inParallel(f: => Unit, g: => Unit): Unit = {
+    @volatile var err: Throwable = null
+    def guard(body: => Unit): Runnable = () =>
+      try body catch { case e: Throwable => if (err == null) err = e }
+    val t1 = new Thread(guard(f)); val t2 = new Thread(guard(g))
+    t1.start(); t2.start(); t1.join(60000); t2.join(60000)
+    if (err != null) throw err
+    assert(!t1.isAlive && !t2.isAlive, "parallel group action hung")
+  }
+
+  private def withBroker(parts: Int)(body: (KafkaBusServer.Handle, Int) => Unit): Unit = {
+    val h = KafkaBusServer.serve(null, emptyPartitions = parts)
+    try body(h, h.port) finally h.close()
+  }
+
+  private def formPair(port: Int, group: String)
+      : (GroupConsumer, GroupConsumer) = {
+    val a = new GroupConsumer("127.0.0.1", port, group, "bus")
+    val b = new GroupConsumer("127.0.0.1", port, group, "bus")
+    var attempts = 0
+    var formed = false
+    while (!formed) {
+      attempts += 1
+      assert(attempts <= 8, "joint formation did not converge")
+      inParallel(a.rebalance(), b.rebalance())
+      formed = a.generation == b.generation &&
+        a.assigned.intersect(b.assigned).isEmpty &&
+        (a.assigned ++ b.assigned).nonEmpty
+    }
+    (a, b)
+  }
+
+  test("ConsumerProtocol subscription/assignment codecs round-trip") {
+    val topics = Seq("bus", "other")
+    assert(decodeSubscription(encodeSubscription(topics)) == topics)
+    val asg = Seq("bus" -> Seq(0, 2), "other" -> Seq(1))
+    assert(decodeAssignment(encodeAssignment(asg)) == asg)
+    assert(decodeAssignment(Array.empty[Byte]) == Seq.empty)
+  }
+
+  test("range assignor splits contiguously, extras to the first members") {
+    val members = Seq("m2" -> Seq("bus"), "m1" -> Seq("bus"), "m3" -> Seq("x"))
+    val plan = rangeAssign(members, Map("bus" -> Seq(0, 1, 2, 3, 4)))
+    // sorted member order: m1 takes ceil(5/2)=3, m2 takes 2; m3 (not
+    // subscribed to bus) gets nothing
+    assert(plan("m1") == Seq("bus" -> Seq(0, 1, 2)))
+    assert(plan("m2") == Seq("bus" -> Seq(3, 4)))
+    assert(plan("m3") == Seq.empty)
+  }
+
+  test("two members split the topic; crash evicts; survivor inherits") {
+    withBroker(4) { (h, port) =>
+      // stage 8 records, 2 per partition
+      val prod = new Client("127.0.0.1", port)
+      (0 until 4).foreach { p =>
+        prod.produce("bus", p, Seq(s"$p-0", s"$p-1").map(_.getBytes))
+      }
+      val (a, b) = formPair(port, "g-split")
+      assert((a.assigned ++ b.assigned).sorted == Seq(0, 1, 2, 3))
+      assert(a.assigned.size == 2 && b.assigned.size == 2)
+      assert(a.generation == b.generation)
+      // both stable: heartbeats clean
+      assert(a.heartbeat() == 0 && b.heartbeat() == 0)
+      // B consumes one record per partition and commits, then crashes
+      val gotB = b.consume(1)
+      assert(gotB.size == 2)
+      val genBefore = a.generation
+      b.kill()
+      val inherited = a.rebalance()
+      assert(inherited.sorted == Seq(0, 1, 2, 3), s"inherited $inherited")
+      assert(a.generation > genBefore)
+      // survivor resumes B's partitions from B's commits: drains the
+      // 8 staged records exactly once across the three consume calls
+      val gotA = a.consume()
+      val all = (gotB ++ gotA).map { case (p, o, v) => (p, o, v) }
+      assert(all.size == 8, s"exactly-once drain, got ${all.size}")
+      assert(all.distinct.size == 8)
+      a.close()
+      prod.close()
+    }
+  }
+
+  test("generation fencing: stale/zombie/sentinel commits rejected") {
+    withBroker(2) { (h, port) =>
+      val (a, b) = formPair(port, "g-fence")
+      val c = new Client("127.0.0.1", port)
+      // stale generation → ILLEGAL_GENERATION (22)
+      val stale = c.offsetCommitChecked("g-fence", "bus", Map(0 -> 1L),
+        a.generation - 1, a.memberId)
+      assert(stale.values.toSet == Set(ErrIllegalGeneration))
+      // unknown member → UNKNOWN_MEMBER_ID (25)
+      val unknown = c.offsetCommitChecked("g-fence", "bus", Map(0 -> 1L),
+        a.generation, "member-999")
+      assert(unknown.values.toSet == Set(ErrUnknownMemberId))
+      // simple-consumer sentinels into a FORMED group → 22
+      val sentinel = c.offsetCommitChecked("g-fence", "bus", Map(0 -> 1L))
+      assert(sentinel.values.toSet == Set(ErrIllegalGeneration))
+      // the real owner's commit lands
+      val ok = c.offsetCommitChecked("g-fence", "bus",
+        Map(a.assigned.head -> 1L), a.generation, a.memberId)
+      assert(ok.values.toSet == Set(0))
+      // ZOMBIE: B's identity after B is evicted and the group moved on
+      val bGen = b.generation; val bId = b.memberId
+      b.kill()
+      a.rebalance()
+      val zombie = c.offsetCommitChecked("g-fence", "bus", Map(0 -> 99L),
+        bGen, bId)
+      assert(zombie.values.forall(e =>
+        e == ErrUnknownMemberId || e == ErrIllegalGeneration),
+        s"zombie commit must be fenced, got $zombie")
+      // and the committed offset was NOT clobbered
+      assert(c.offsetFetch("g-fence", "bus", Seq(a.assigned.head))(
+        a.assigned.head) == 1L)
+      a.close(); c.close()
+    }
+  }
+
+  test("sentinel commits still work for a never-formed group") {
+    withBroker(1) { (h, port) =>
+      val c = new Client("127.0.0.1", port)
+      c.offsetCommit("g-simple", "bus", Map(0 -> 7L)) // no throw
+      assert(c.offsetFetch("g-simple", "bus", Seq(0))(0) == 7L)
+      c.close()
+    }
+  }
+
+  test("heartbeat reports REBALANCE_IN_PROGRESS; leave triggers rebalance") {
+    withBroker(2) { (h, port) =>
+      val (a, b) = formPair(port, "g-hb")
+      assert(a.heartbeat() == 0)
+      // clean leave from B flips the group into Preparing
+      b.close()
+      val hb = a.heartbeat()
+      assert(hb == ErrRebalanceInProgress || hb == ErrIllegalGeneration,
+        s"survivor must be told to rejoin, got $hb")
+      assert(a.rebalance().sorted == Seq(0, 1))
+      assert(a.heartbeat() == 0)
+      a.close()
+    }
+  }
+
+  test("unknown member join with an explicit id is rejected") {
+    withBroker(1) { (h, port) =>
+      val c = new Client("127.0.0.1", port)
+      val j = c.joinGroup("g-x", "member-404", Seq("bus"))
+      assert(j.error == ErrUnknownMemberId)
+      c.close()
+    }
+  }
+}

@@ -77,30 +77,48 @@ object QueriesR21 {
           (col("s_acctbal").cast("decimal(12,2)") * 100)
             .cast("long").as("cents"),
           pmod(col("s_suppkey"), lit(3)).cast("string").as("bucket"))
-        // data files under PHYSICAL names at every nesting level
-        val adds = (0 until 3).map { b =>
-          val rel = s"data/b$b.parquet"
-          writeSingleParquet(
-            sup.filter(col("bucket") === b.toString).select(
-              col("s_suppkey").as(phys("s_suppkey")),
-              col("s_name").as(phys("s_name")),
-              col("cents").as(phys("cents")),
-              struct(col("s_name").as(phys("nm")),
-                length(col("s_name")).cast("long").as(phys("ln")))
-                .as(phys("meta"))),
-            t0.resolve(rel))
-          s"""{"add":{"path":"$rel","partitionValues":{"${phys("bucket")}":"$b"},"dataChange":true}}"""
+        // data files under PHYSICAL names at every nesting level — TWO
+        // per bucket (split by suppkey parity) so the engine-side
+        // compact below has real work in every partition group
+        val adds = (0 until 3).flatMap { b =>
+          (0 until 2).map { half =>
+            val rel = s"data/b$b-$half.parquet"
+            writeSingleParquet(
+              sup.filter(col("bucket") === b.toString &&
+                  pmod(col("s_suppkey"), lit(2)) === half).select(
+                col("s_suppkey").as(phys("s_suppkey")),
+                col("s_name").as(phys("s_name")),
+                col("cents").as(phys("cents")),
+                struct(col("s_name").as(phys("nm")),
+                  length(col("s_name")).cast("long").as(phys("ln")))
+                  .as(phys("meta"))),
+              t0.resolve(rel))
+            s"""{"add":{"path":"$rel","partitionValues":{"${phys("bucket")}":"$b"},"dataChange":true}}"""
+          }
         }
         val metaLine =
           s"""{"metaData":{"id":"cm","schemaString":"${esc(schema.json)}",""" +
             s""""partitionColumns":["bucket"],""" +
             s""""configuration":{"delta.columnMapping.mode":"name","delta.columnMapping.maxColumnId":"7"}}}"""
+        // feature-gated protocol: the writerFeatures allowlist must PASS
+        // columnMapping for the engine's own compact to be allowed
         val protoLine =
-          """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}"""
+          """{"protocol":{"minReaderVersion":2,"minWriterVersion":7,""" +
+            """"writerFeatures":["columnMapping"]}}"""
         val logDir = t0.resolve("_delta_log")
         java.nio.file.Files.createDirectories(logDir)
         java.nio.file.Files.writeString(logDir.resolve(f"${0L}%020d.json"),
           (Seq(protoLine, metaLine) ++ adds).mkString("\n"))
+        // engine-side WRITE on the mapped table (r12): compact merges
+        // each bucket's two files into one, emitting PHYSICAL-name
+        // parquet and physical-key partitionValues/stats — the re-read
+        // below hash-fails if any logical name leaked into the files
+        val v = graft.sources.DeltaLog.compact(s, t0.toString)
+        require(v == 1L, s"colmap compact landed at version $v, want 1")
+        val st = graft.sources.DeltaLog.state(s, t0.toString)
+        require(st.files.size == 3 &&
+            st.files.forall(_.path.startsWith("compact-1-")),
+          s"colmap compact did not replace the six files: ${st.files.map(_.path)}")
         t0.toString
       })
 

@@ -112,8 +112,85 @@ object QueriesR22 {
     } finally server.close()
   }
 
+  // ---------------------------------------------------------------
+  // F14k/F14l: Delta timestampAsOf + the change feed as a STREAMING
+  // source — one fresh F14b-shape table (v0 adds, v1 bucket-0 replace,
+  // v2/v3 DV deletes) with commit mtimes PINNED a minute apart so the
+  // timestamp resolution is deterministic.
+  // ---------------------------------------------------------------
+
+  private val tableBuildMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, String, String), String]()
+
+  /** Epoch base for the pinned commit clock (any fixed instant works —
+    * the gate only relies on v's mtime = base + v minutes).
+    */
+  private val deltaTsBase = 1700000000000L
+
+  private def buildDeltaTsTable(s: SparkSession, dir: String): String =
+    tableBuildMemo.computeIfAbsent(
+      (s.sparkContext.applicationId, dir, "delta_ts"), _ => {
+        val t0 = QueriesR16.buildDeltaFresh(s, dir) // v0..v3
+        val log = java.nio.file.Paths.get(t0, "_delta_log")
+        (0L to 3L).foreach { v =>
+          java.nio.file.Files.setLastModifiedTime(
+            log.resolve(f"$v%020d.json"),
+            java.nio.file.attribute.FileTime.fromMillis(
+              deltaTsBase + v * 60000L))
+        }
+        t0
+      })
+
+  /** F14l (r12): time travel by TIMESTAMP — the table read "as of
+    * 30 seconds after the first commit": the resolution must land on
+    * v0 (the last commit at or before the instant), i.e. the pristine
+    * projection, not any of the three later states. A resolution that
+    * rounds the wrong way, compares off-by-one, or ignores the
+    * monotonic adjustment lands on v1+ and hash-fails.
+    */
+  def deltaTimestampAsof(s: SparkSession, dir: String): DataFrame = {
+    val t0 = buildDeltaTsTable(s, dir)
+    // sanity-pin the whole resolution surface while we're here
+    require(graft.sources.DeltaLog.versionAtTimestamp(t0,
+      deltaTsBase + 3 * 60000L + 1) == 3L, "head instant must resolve to v3")
+    require(graft.sources.DeltaLog.versionAtTimestamp(t0,
+      deltaTsBase + 60000L) == 1L, "exact commit instant resolves to it")
+    graft.sources.DeltaLog.readAsOfTimestamp(s, t0, deltaTsBase + 30000L)
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** F14k (r12): the change feed consumed as a STREAM — readStream
+    * over the delta log with `maxVersionsPerTrigger=1`, so the three
+    * commits drain as (at least) three per-commit micro-batches; the
+    * union must be bit-for-bit the BATCH `tableChangesByVersion(0,3)`
+    * (same oracle as `delta_changes_by_version`). A source that skips
+    * a version, doubles a boundary, or mis-attributes `_commit_version`
+    * hash-fails.
+    */
+  def deltaCdfStream(s: SparkSession, dir: String): DataFrame = {
+    val t0 = buildDeltaTsTable(s, dir)
+    val name = s"gate_deltacdf_${System.nanoTime()}"
+    val stream = s.readStream.format("graft.sources.DeltaCdfProvider")
+      .option("table", t0)
+      .option("startingVersion", "0")
+      .option("maxVersionsPerTrigger", "1")
+      .load()
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName(name).start()
+    try {
+      q.processAllAvailable()
+      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      require(dataBatches >= 3,
+        s"per-commit admission: want >= 3 data micro-batches, got $dataBatches")
+    } finally q.stop()
+    s.table(name)
+      .orderBy(col("_commit_version"), col("_change_type"), col("s_suppkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "stream_kafka_rebalance" -> (streamKafkaRebalance _))
+    "stream_kafka_rebalance" -> (streamKafkaRebalance _),
+    "delta_timestamp_asof" -> (deltaTimestampAsof _),
+    "delta_cdf_stream" -> (deltaCdfStream _))
 
   val sql: Map[String, String] = Map(
     "stream_kafka_rebalance" ->
@@ -122,5 +199,38 @@ object QueriesR22 {
         |    AS BIGINT) AS sum_cents,
         |  CAST(MIN(o_orderkey) AS BIGINT) AS min_ok,
         |  CAST(MAX(o_orderkey) AS BIGINT) AS max_ok
-        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    // v0 of the F14b table = the pristine supplier projection (the
+    // delta_restore_roundtrip oracle — restore-to-v0 and as-of-v0 see
+    // the same state by definition)
+    "delta_timestamp_asof" ->
+      """SELECT s_suppkey,
+        |  CAST(CAST(s_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS bal_cents,
+        |  CAST(s_nationkey % 5 AS VARCHAR) AS bucket
+        |FROM supplier ORDER BY s_suppkey""".stripMargin,
+    // bit-for-bit the batch feed: the delta_changes_by_version oracle
+    "delta_cdf_stream" ->
+      """WITH base AS (
+        |  SELECT s_suppkey,
+        |    CAST(CAST(s_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS bal0,
+        |    CAST(s_nationkey % 5 AS VARCHAR) AS bucket
+        |  FROM supplier
+        |), pos AS (
+        |  SELECT s_suppkey, bal0, bucket,
+        |    ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY s_suppkey) - 1 AS p
+        |  FROM base
+        |)
+        |SELECT s_suppkey, bal0 + 10000 AS bal_cents, bucket,
+        |  'insert' AS _change_type, 1 AS _commit_version
+        |FROM pos WHERE bucket = '0'
+        |UNION ALL
+        |SELECT s_suppkey, bal0, bucket, 'delete', 1
+        |FROM pos WHERE bucket = '0'
+        |UNION ALL
+        |SELECT s_suppkey, bal0, bucket, 'delete', 2
+        |FROM pos WHERE bucket = '1' AND p % 3 = 0
+        |UNION ALL
+        |SELECT s_suppkey, bal0, bucket, 'delete', 3
+        |FROM pos WHERE bucket = '2' AND s_suppkey % 7 = 0
+        |ORDER BY _commit_version, _change_type, s_suppkey""".stripMargin)
 }

@@ -20,4 +20,17 @@ object ColumnBridge {
       : org.apache.spark.sql.DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** Re-tag a BATCH DataFrame as a STREAMING one (isStreaming = true) —
+    * what a V1 `Source.getBatch` must return; the micro-batch executor
+    * asserts the flag. The plan executes per trigger via `toRdd`
+    * (`internalCreateDataFrame` is private[sql], hence this bridge).
+    */
+  def asStreaming(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val c = df.asInstanceOf[
+      org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+    c.sparkSession.internalCreateDataFrame(
+      c.queryExecution.toRdd, c.schema, isStreaming = true)
+  }
 }

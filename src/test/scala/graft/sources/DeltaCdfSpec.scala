@@ -1,0 +1,144 @@
+package graft.sources
+
+import java.nio.file.{Files, Path}
+import java.nio.file.attribute.FileTime
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** F14k/F14l (r12): the Delta change feed as a streaming source —
+  * follow-the-log (a commit landing AFTER the first drain surfaces in
+  * the next), per-commit admission, and timestampAsOf resolution.
+  */
+class DeltaCdfSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+  import scala.jdk.CollectionConverters._
+
+  private def esc(s: String): String =
+    s.replace("\\", "\\\\").replace("\"", "\\\"")
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType), StructField("v", StringType)))
+
+  private def writeFile(t: Path, rel: String, rows: Seq[(Long, String)]): Unit = {
+    val tmp = Files.createTempDirectory("cdf_part")
+    rows.toDF("id", "v").coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val st = Files.list(tmp)
+    val part = try st.iterator().asScala
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    finally st.close()
+    Files.createDirectories(t.resolve(rel).getParent)
+    Files.move(part, t.resolve(rel))
+    DeltaLog.deleteTmp(tmp)
+  }
+
+  private def commit(t: Path, v: Long, lines: Seq[String]): Unit =
+    Files.writeString(t.resolve("_delta_log").resolve(f"$v%020d.json"),
+      lines.mkString("\n"))
+
+  private def mkTable(): Path = {
+    val t = Files.createTempDirectory("deltacdf")
+    Files.createDirectories(t.resolve("_delta_log"))
+    writeFile(t, "f0.parquet", Seq((1L, "a"), (2L, "b")))
+    commit(t, 0L, Seq(
+      s"""{"metaData":{"id":"cdf","schemaString":"${esc(schema.json)}","partitionColumns":[]}}""",
+      """{"add":{"path":"f0.parquet","partitionValues":{},"dataChange":true}}"""))
+    writeFile(t, "f1.parquet", Seq((3L, "c")))
+    commit(t, 1L, Seq(
+      """{"add":{"path":"f1.parquet","partitionValues":{},"dataChange":true}}"""))
+    t
+  }
+
+  test("streamed feed follows the log: a commit after the first drain arrives") {
+    val t = mkTable()
+    val name = s"cdfspec_${System.nanoTime()}"
+    val q = spark.readStream.format("graft.sources.DeltaCdfProvider")
+      .option("table", t.toString)
+      .option("maxVersionsPerTrigger", "1")
+      .load()
+      .writeStream.outputMode("append").format("memory").queryName(name)
+      .start()
+    try {
+      q.processAllAvailable()
+      // startingVersion is EXCLUSIVE (v0 = the base snapshot, exactly
+      // the batch feed's contract): only v1's insert so far
+      val afterFirst = spark.table(name).collect()
+      assert(afterFirst.length == 1, s"v1 changes: ${afterFirst.length}")
+      // a NEW commit lands while the stream is running
+      writeFile(t, "f2.parquet", Seq((4L, "d")))
+      commit(t, 2L, Seq(
+        """{"add":{"path":"f2.parquet","partitionValues":{},"dataChange":true}}"""))
+      q.processAllAvailable()
+      val rows = spark.table(name)
+        .select(col("id"), col("_change_type"), col("_commit_version"))
+        .as[(Long, String, Long)].collect().toSet
+      assert(rows == Set((3L, "insert", 1L), (4L, "insert", 2L)),
+        rows.toString)
+    } finally q.stop()
+  }
+
+  test("streamed feed equals the batch feed bit-for-bit (deletes included)") {
+    val t = mkTable()
+    // v2 deletes id=2 by rewriting f0
+    writeFile(t, "f0b.parquet", Seq((1L, "a")))
+    commit(t, 2L, Seq(
+      """{"remove":{"path":"f0.parquet","dataChange":true}}""",
+      """{"add":{"path":"f0b.parquet","partitionValues":{},"dataChange":true}}"""))
+    val name = s"cdfspec_${System.nanoTime()}"
+    val q = spark.readStream.format("graft.sources.DeltaCdfProvider")
+      .option("table", t.toString).option("maxVersionsPerTrigger", "1")
+      .load()
+      .writeStream.outputMode("append").format("memory").queryName(name)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table(name)
+      .select(col("id"), col("v"), col("_change_type"), col("_commit_version"))
+      .as[(Long, String, String, Long)].collect().sorted.toSeq
+    val batch = DeltaLog.tableChangesByVersion(spark, t.toString, 0L, 2L)
+      .select(col("id"), col("v"), col("_change_type"), col("_commit_version"))
+      .as[(Long, String, String, Long)].collect().sorted.toSeq
+    assert(streamed == batch)
+    assert(streamed.contains((2L, "b", "delete", 2L)))
+  }
+
+  test("startingVersion skips the prefix") {
+    val t = mkTable()
+    val name = s"cdfspec_${System.nanoTime()}"
+    val q = spark.readStream.format("graft.sources.DeltaCdfProvider")
+      .option("table", t.toString).option("startingVersion", "0")
+      .load()
+      .writeStream.outputMode("append").format("memory").queryName(name)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    // startingVersion=0 means changes AFTER v0: only v1's insert
+    val ids = spark.table(name).select("id").as[Long].collect().toSet
+    assert(ids == Set(3L))
+  }
+
+  test("versionAtTimestamp: monotonic adjustment and boundary semantics") {
+    val t = mkTable()
+    val log = t.resolve("_delta_log")
+    val base = 1700000000000L
+    Files.setLastModifiedTime(log.resolve(f"${0L}%020d.json"),
+      FileTime.fromMillis(base))
+    // clock skew: v1 stamped BEFORE v0 — adjustment carries v0's time
+    Files.setLastModifiedTime(log.resolve(f"${1L}%020d.json"),
+      FileTime.fromMillis(base - 5000L))
+    assert(DeltaLog.versionAtTimestamp(t.toString, base) == 1L,
+      "skewed v1 inherits v0's adjusted time, so base resolves past it")
+    intercept[IllegalArgumentException] {
+      DeltaLog.versionAtTimestamp(t.toString, base - 1L)
+    }
+    // normal clocks
+    Files.setLastModifiedTime(log.resolve(f"${1L}%020d.json"),
+      FileTime.fromMillis(base + 60000L))
+    assert(DeltaLog.versionAtTimestamp(t.toString, base) == 0L)
+    assert(DeltaLog.versionAtTimestamp(t.toString, base + 59999L) == 0L)
+    assert(DeltaLog.versionAtTimestamp(t.toString, base + 60000L) == 1L)
+    assert(DeltaLog.readAsOfTimestamp(spark, t.toString, base)
+      .count() == 2L)
+  }
+}

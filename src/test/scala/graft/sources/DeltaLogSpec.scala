@@ -455,13 +455,63 @@ class DeltaLogSpec extends AnyFunSuite {
     assert(viaCk.as[(Long, String, String)].collect().toSet ==
       Set((7L, "a", "p1"), (8L, "b", "p1")),
       "columnMapping configuration lost through the checkpoint")
-    // OPTIMIZE / DV-delete on a mapped table stay out of subset, loud
-    intercept[IllegalArgumentException] {
-      DeltaLog.compact(spark, t.toString)
+    // WRITE path on the mapped table (r12): the caller's predicate
+    // speaks LOGICAL names; the DV positions land against the
+    // physical-name file, and compact rewrites under physical names
+    DeltaLog.deleteWithDv(spark, t.toString, "part-p1/f0.parquet",
+      org.apache.spark.sql.functions.col("id") === 7L)
+    assert(DeltaLog.read(spark, t.toString)
+      .as[(Long, String, String)].collect().toSet == Set((8L, "b", "p1")))
+    DeltaLog.compact(spark, t.toString) // single file + DV = real work
+    val st = DeltaLog.state(spark, t.toString)
+    assert(st.files.forall(f =>
+      f.path.startsWith("compact-") && f.deletionVector.isEmpty))
+    assert(DeltaLog.read(spark, t.toString)
+      .as[(Long, String, String)].collect().toSet == Set((8L, "b", "p1")),
+      "mapped compact must fold the DV and keep physical names readable")
+  }
+
+  test("writer guard: unknown writerFeatures reject writes, reads pass (r12)") {
+    val t = protoTable(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["rowTracking"]}}""")
+    // READ is unaffected — the reader contract is satisfied
+    assert(DeltaLog.read(spark, t.toString).count() == 1L)
+    // every write-side entry point refuses loudly
+    def rejects(op: => Any): Unit = {
+      val e = intercept[IllegalArgumentException](op)
+      assert(e.getMessage.contains("rowTracking"), e.getMessage)
     }
-    intercept[IllegalArgumentException] {
-      DeltaLog.deleteWithDv(spark, t.toString, "part-p1/f0.parquet",
-        org.apache.spark.sql.functions.lit(true))
+    rejects(DeltaLog.compact(spark, t.toString))
+    rejects(DeltaLog.deleteWithDv(spark, t.toString, "f0.parquet",
+      org.apache.spark.sql.functions.lit(true)))
+    rejects(DeltaLog.vacuum(spark, t.toString, 1))
+    rejects(DeltaLog.writeCheckpoint(spark, t.toString))
+    // a SUPPORTED writer feature set passes the guard (deletionVectors)
+    val ok = protoTable(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["deletionVectors"]}}""")
+    DeltaLog.deleteWithDv(spark, ok.toString, "f0.parquet",
+      org.apache.spark.sql.functions.col("id") === 1L)
+    assert(DeltaLog.read(spark, ok.toString).count() == 0L)
+  }
+
+  test("writer guard: minWriterVersion above 7 rejects writes (r12)") {
+    val t = protoTable(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":8}}""")
+    assert(DeltaLog.read(spark, t.toString).count() == 1L)
+    val e = intercept[IllegalArgumentException] {
+      DeltaLog.writeCheckpoint(spark, t.toString)
     }
+    assert(e.getMessage.contains("minWriterVersion=8"))
+  }
+
+  test("checkpoint persists the writer half of the protocol (r12)") {
+    val t = protoTable(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["deletionVectors"]}}""")
+    assert(DeltaLog.writeCheckpoint(spark, t.toString) == 0L)
+    Files.delete(t.resolve("_delta_log").resolve(f"${0L}%020d.json"))
+    val st = DeltaLog.state(spark, t.toString)
+    assert(st.minWriterVersion == 7 &&
+      st.writerFeatures == Seq("deletionVectors"),
+      s"writer protocol lost through the checkpoint: $st")
   }
 }

@@ -213,16 +213,20 @@ object QueriesR21 {
         writeManifestList(ml1, Seq.empty)
         writeMetadataJsonSpec(mdir.resolve("v1.metadata.json"),
           Seq(("o_orderkey", "long", true), ("cents", "long", false),
-            ("o_orderstatus", "string", false), ("o_orderdate", "date", false)),
+            ("o_orderstatus", "string", false), ("o_orderdate", "date", false),
+            ("o_ts", "timestamp", false)),
           Seq(("od_year", "year", "o_orderdate"),
-            ("ok_bucket", "bucket[4]", "o_orderkey")),
+            ("ok_bucket", "bucket[4]", "o_orderkey"),
+            ("ts_bucket", "bucket[8]", "o_ts")),
           Seq(10L -> ml1))
         val o = t(s, dir, "orders").select(
           col("o_orderkey").cast("long").as("o_orderkey"),
           (col("o_totalprice").cast("decimal(12,2)") * 100)
             .cast("long").as("cents"),
           col("o_orderstatus"),
-          col("o_orderdate").cast("date").as("o_orderdate"))
+          col("o_orderdate").cast("date").as("o_orderdate"),
+          // timestamp source for the r12 bucket[8] leg (UTC session)
+          col("o_orderdate").cast("timestamp").as("o_ts"))
         val snap = commitAppend(s, t0.toString, o, snapshotId = 20L)
         require(snap == 20L)
         // the spec values must actually PRUNE: years < 1998 (value 28 =
@@ -232,6 +236,21 @@ object QueriesR21 {
           f.partition.get("od_year").exists(_.toString.toInt >= 28))
         require(kept > 0 && kept < st.files.size,
           s"transform pruning is not selective: $kept of ${st.files.size}")
+        // write→manifest consistency for the TIMESTAMP bucket (r12):
+        // every file's manifest-borne ts_bucket must equal the
+        // Appendix-B hash of the epoch-micros the file actually holds
+        st.files.foreach { f =>
+          val claimed = f.partition("ts_bucket").toString.toInt
+          val distinct = s.read.parquet(
+              graft.sources.IcebergCatalog.resolve(t0.toString, f.path).toString)
+            .select(org.apache.spark.sql.graftbridge.ColumnBridge.column(
+              graft.sources.IcebergBucketExpr(
+                org.apache.spark.sql.graftbridge.ColumnBridge.expression(
+                  col("o_ts")), 8)).as("b"))
+            .distinct().collect().map(_.getInt(0)).toSeq
+          require(distinct == Seq(claimed),
+            s"ts_bucket mismatch in ${f.path}: manifest=$claimed data=$distinct")
+        }
         t0.toString
       })
 

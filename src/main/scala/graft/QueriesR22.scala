@@ -187,10 +187,59 @@ object QueriesR22 {
       .orderBy(col("_commit_version"), col("_change_type"), col("s_suppkey"))
   }
 
+  // ---------------------------------------------------------------
+  // F15j: Iceberg NAMED REFS — a tag pins "the audited snapshot" by
+  // name; reads resolve through the refs map, expiration must NOT
+  // collect a pinned snapshot, unknown names reject loudly.
+  // ---------------------------------------------------------------
+
+  private def buildIcebergRefTable(s: SparkSession, dir: String): String =
+    tableBuildMemo.computeIfAbsent(
+      (s.sparkContext.applicationId, dir, "iceberg_refs"), _ => {
+        import graft.sources.IcebergCatalog
+        val t0 = QueriesR16.buildIcebergFreshFor(s, dir) // snaps 10/20/30
+        IcebergCatalog.createRef(t0, "audited", 10L, "tag")
+        IcebergCatalog.createRef(t0, "main", 30L, "branch")
+        require(IcebergCatalog.refs(t0) ==
+          Map("audited" -> ((10L, "tag")), "main" -> ((30L, "branch"))),
+          s"refs round-trip: ${IcebergCatalog.refs(t0)}")
+        // unknown names reject loudly — never fall back to current
+        val loud =
+          try { IcebergCatalog.snapshotForRef(t0, "nope"); false }
+          catch { case e: IllegalArgumentException =>
+            e.getMessage.contains("unknown ref 'nope'") }
+        require(loud, "unknown ref must reject loudly")
+        // a tag PINS its snapshot through expiration: keepLast=1 would
+        // collect snaps 10 and 20, but 'audited' rescues 10
+        val (keptN, _) = IcebergCatalog.expireSnapshots(t0, keepLast = 1)
+        require(keptN == 2, s"tag must pin snap 10 through expire: kept $keptN")
+        // time travel to the unpinned middle snapshot is gone
+        val expiredLoud =
+          try { IcebergCatalog.state(s, t0, Some(20L)); false }
+          catch { case _: IllegalArgumentException => true }
+        require(expiredLoud, "snap 20 must be expired")
+        t0
+      })
+
+  /** F15j (r12): read a TAGGED snapshot by name — `audited` pins snap
+    * 10 (the pristine nation projection) while the table head is snap
+    * 30 and snapshot 20 has been expired AROUND the pin. Same oracle
+    * as the rollback gate: both see the snap-10 state by definition.
+    */
+  def icebergRefRead(s: SparkSession, dir: String): DataFrame =
+    graft.sources.IcebergCatalog.readRef(s, buildIcebergRefTable(s, dir),
+        "audited")
+      .select(col("n_nationkey"), col("n_name"),
+        col("meta.nm").as("meta_nm"), col("meta.ln").as("meta_ln"),
+        element_at(col("arr"), 1).as("arr0"),
+        element_at(col("arr"), 2).as("arr1"), col("rk"))
+      .orderBy(col("n_nationkey"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_kafka_rebalance" -> (streamKafkaRebalance _),
     "delta_timestamp_asof" -> (deltaTimestampAsof _),
-    "delta_cdf_stream" -> (deltaCdfStream _))
+    "delta_cdf_stream" -> (deltaCdfStream _),
+    "iceberg_ref_read" -> (icebergRefRead _))
 
   val sql: Map[String, String] = Map(
     "stream_kafka_rebalance" ->
@@ -232,5 +281,14 @@ object QueriesR22 {
         |UNION ALL
         |SELECT s_suppkey, bal0, bucket, 'delete', 3
         |FROM pos WHERE bucket = '2' AND s_suppkey % 7 = 0
-        |ORDER BY _commit_version, _change_type, s_suppkey""".stripMargin)
+        |ORDER BY _commit_version, _change_type, s_suppkey""".stripMargin,
+    // the snap-10 state = the pristine nation projection (the
+    // iceberg_rollback_roundtrip oracle — a tag at 10 and a rollback
+    // to 10 read the same snapshot by definition)
+    "iceberg_ref_read" ->
+      """SELECT n_nationkey, n_name,
+        |  n_name AS meta_nm, CAST(length(n_name) AS BIGINT) AS meta_ln,
+        |  n_nationkey AS arr0, n_nationkey * 2 + 1 AS arr1,
+        |  CAST(n_regionkey AS VARCHAR) AS rk
+        |FROM nation ORDER BY n_nationkey""".stripMargin)
 }

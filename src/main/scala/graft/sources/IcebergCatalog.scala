@@ -195,7 +195,7 @@ object IcebergCatalog {
     * NPE on a null parent, and `file://host/x` authorities parse via
     * URI instead of leaking `//host` into the filesystem path.
     */
-  private[sources] def resolve(table: String, loc: String): Path = {
+  private[graft] def resolve(table: String, loc: String): Path = {
     val raw =
       if (loc.startsWith("file:"))
         try Paths.get(new java.net.URI(loc)).toString
@@ -869,8 +869,95 @@ object IcebergCatalog {
       (s \ "snapshot-id") match {
         case JInt(v) => v.toLong == snapshotId; case _ => false
       }), s"snapshot $snapshotId not in the table's history")
-    val newMd = md merge JObject(
+    // the `main` BRANCH tracks the current snapshot by definition —
+    // re-point it too when the table carries refs (r12)
+    val withMain = (md \ "refs") match {
+      case JObject(fields) if fields.exists(_._1 == "main") =>
+        md merge JObject("refs" -> JObject("main" -> JObject(
+          "snapshot-id" -> JInt(snapshotId), "type" -> JString("branch"))))
+      case _ => md
+    }
+    val newMd = withMain merge JObject(
       "current-snapshot-id" -> JInt(snapshotId))
+    val ver = metaVersion(mdPath.getFileName.toString)
+    require(ver >= 0, s"unversioned metadata file ${mdPath.getFileName}")
+    val mdir = mdPath.getParent
+    Files.writeString(mdir.resolve(s"v${ver + 1}.metadata.json"),
+      JsonMethods.compact(JsonMethods.render(newMd)))
+    val hint = mdir.resolve("version-hint.text")
+    if (Files.exists(hint)) Files.writeString(hint, (ver + 1).toString)
+    ver + 1
+  }
+
+  /** Roll back to the snapshot a NAMED REF pins — how humans actually
+    * say it ("back to the audited tag"), r12.
+    */
+  def rollbackTo(table: String, ref: String): Long =
+    rollbackTo(table, snapshotForRef(table, ref))
+
+  // ───────── named refs: branches and tags (r12, F15j — the spec's
+  // `refs` map; a tag pins "the audited snapshot" by NAME) ─────────
+
+  /** The table's named refs: name → (snapshot id, "branch"|"tag").
+    * Absent map = no refs (pre-refs metadata), not an error.
+    */
+  def refs(table: String): Map[String, (Long, String)] = {
+    val (md, _) = loadMetadata(table)
+    (md \ "refs") match {
+      case JObject(fields) => fields.map { case (name, v) =>
+        val id = (v \ "snapshot-id") match {
+          case JInt(i) => i.toLong
+          case _ => throw new IllegalArgumentException(
+            s"ref '$name' has no snapshot-id: $table")
+        }
+        val tpe = (v \ "type") match {
+          case JString(t) => t
+          case _ => throw new IllegalArgumentException(
+            s"ref '$name' has no type: $table")
+        }
+        require(tpe == "branch" || tpe == "tag",
+          s"ref '$name' has unknown type '$tpe': $table")
+        name -> (id, tpe)
+      }.toMap
+      case JNothing => Map.empty
+      case other => throw new IllegalArgumentException(
+        s"unparseable refs node: $other")
+    }
+  }
+
+  /** Resolve a ref name to its snapshot — unknown names reject LOUDLY
+    * (a silent fallback to current would read the wrong data).
+    */
+  def snapshotForRef(table: String, ref: String): Long = {
+    val all = refs(table)
+    all.getOrElse(ref, throw new IllegalArgumentException(
+      s"unknown ref '$ref' (known: " +
+        s"${if (all.isEmpty) "none" else all.keys.toSeq.sorted.mkString(",")}): " +
+        table))._1
+  }
+
+  /** Read the snapshot a named branch/tag pins. */
+  def readRef(spark: SparkSession, table: String, ref: String,
+              partitionFilter: Map[String, Any] => Boolean = _ => true,
+              ranges: Map[String, (Long, Long)] = Map.empty): DataFrame =
+    read(spark, table, Some(snapshotForRef(table, ref)),
+      partitionFilter, ranges)
+
+  /** Create (or re-point) a named ref at an existing snapshot in a new
+    * metadata version — `ALTER TABLE … CREATE TAG/BRANCH`'s shape.
+    */
+  def createRef(table: String, name: String, snapshotId: Long,
+                refType: String = "tag"): Long = {
+    require(refType == "branch" || refType == "tag",
+      s"ref type must be branch|tag, got $refType")
+    require(name.nonEmpty, "ref name must be non-empty")
+    val (md, mdPath) = loadMetadata(table)
+    require((md \ "snapshots").children.exists(s =>
+      (s \ "snapshot-id") match {
+        case JInt(v) => v.toLong == snapshotId; case _ => false
+      }), s"snapshot $snapshotId not in the table's history")
+    val newMd = md merge JObject("refs" -> JObject(name -> JObject(
+      "snapshot-id" -> JInt(snapshotId), "type" -> JString(refType))))
     val ver = metaVersion(mdPath.getFileName.toString)
     require(ver >= 0, s"unversioned metadata file ${mdPath.getFileName}")
     val mdir = mdPath.getParent
@@ -902,7 +989,20 @@ object IcebergCatalog {
     val (md, mdPath) = loadMetadata(table)
     val snaps = (md \ "snapshots").children
     if (snaps.size <= keepLast) return (snaps.size, 0)
-    val (expired, kept) = snaps.splitAt(snaps.size - keepLast)
+    // named refs PIN their snapshots (r12): a tagged snapshot survives
+    // expiration no matter how old — dangling a ref would turn every
+    // later readRef into a corruption
+    val pinned: Set[Long] = refs(table).values.map(_._1).toSet
+    def idOf(s: JValue): Long = (s \ "snapshot-id") match {
+      case JInt(v) => v.toLong
+      case _ => throw new IllegalArgumentException("snapshot without id")
+    }
+    val (expired, kept) = {
+      val (e0, k0) = snaps.splitAt(snaps.size - keepLast)
+      val (rescued, stillExpired) = e0.partition(s => pinned.contains(idOf(s)))
+      (stillExpired, rescued ++ k0)
+    }
+    if (expired.isEmpty) return (kept.size, 0)
     val curId = (md \ "current-snapshot-id") match {
       case JInt(v) => v.toLong
       case _ => throw new IllegalArgumentException("no current-snapshot-id")

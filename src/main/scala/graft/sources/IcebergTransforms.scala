@@ -3,7 +3,12 @@ package graft.sources
 import java.nio.charset.StandardCharsets
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{Decimal, DecimalType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** F15f: Iceberg PARTITION TRANSFORMS (iceberg.apache.org/spec §Partition
   * Transforms + Appendix B) — the functions that turn a source column
@@ -95,12 +100,51 @@ object IcebergTransforms {
   def hashString(s: String): Int =
     murmur3(s.getBytes(StandardCharsets.UTF_8))
 
-  /** `bucket[n](v)` for integer-family sources. */
+  /** `bucket[n](v)` for integer-family sources (ints/longs/dates as
+    * epoch-day, timestamps as epoch-micros — Appendix B's long layout).
+    */
   def bucketLong(v: Long, n: Int): Int = (hashLong(v) & Integer.MAX_VALUE) % n
 
   /** `bucket[n](s)` for string sources. */
   def bucketString(s: String, n: Int): Int =
     (hashString(s) & Integer.MAX_VALUE) % n
+
+  // codegen-callable forms over Spark's internal types (r12 — the four
+  // write-path ScalaUDFs replaced by native expressions; these statics
+  // are what the generated Java calls)
+
+  /** UTF8String is ALREADY the UTF-8 bytes Appendix B hashes. */
+  def bucketUtf8(s: UTF8String, n: Int): Int =
+    (murmur3(s.getBytes) & Integer.MAX_VALUE) % n
+
+  /** Appendix B fixed/binary: hash the raw bytes. */
+  def bucketBytes(b: Array[Byte], n: Int): Int =
+    (murmur3(b) & Integer.MAX_VALUE) % n
+
+  /** Appendix B decimal: hash the MINIMAL two's-complement big-endian
+    * bytes of the unscaled value (BigInteger.toByteArray is exactly
+    * that encoding).
+    */
+  def bucketDecimal(d: Decimal, n: Int): Int =
+    (murmur3(d.toJavaBigDecimal.unscaledValue.toByteArray) &
+      Integer.MAX_VALUE) % n
+
+  /** Codepoint-prefix truncate over the internal string type —
+    * UTF8String counts code points, so a 4-byte supplementary
+    * character never splits.
+    */
+  def truncateUtf8(s: UTF8String, w: Int): UTF8String =
+    if (s.numChars <= w) s else s.substring(0, w)
+
+  /** Spec decimal truncate: v − (v mod W) on the UNSCALED value with a
+    * non-negative mod (BigInteger.mod), scale preserved.
+    */
+  def truncateDecimal(d: Decimal, w: Long): Decimal = {
+    val jd = d.toJavaBigDecimal
+    val unscaled = jd.unscaledValue
+    val trunc = unscaled.subtract(unscaled.mod(java.math.BigInteger.valueOf(w)))
+    Decimal(new java.math.BigDecimal(trunc, jd.scale), d.precision, d.scale)
+  }
 
   /** `truncate[w](v)` = v - (v mod w) with a POSITIVE mod — the spec's
     * floor truncation, correct for negative values.
@@ -159,44 +203,142 @@ object IcebergTransforms {
   }
 
   /** Type-aware variant used by the writer (the source's Spark type is
-    * known from the table schema).
+    * known from the table schema). bucket/truncate are NATIVE codegen
+    * expressions (r12 — Spark's builtin `hash` can't match Appendix B's
+    * byte layout, but a ScalaUDF on the partition-derivation path
+    * blocked whole-stage codegen fusion; [[IcebergBucketExpr]]/
+    * [[IcebergTruncateExpr]] restore it). Supported sources per the
+    * spec: bucket over int/long/string/date/timestamp/decimal/binary,
+    * truncate over int/long/string/decimal.
     */
   def columnTyped(transform: String, source: Column,
                   dt: org.apache.spark.sql.types.DataType): Column = {
     import org.apache.spark.sql.types._
     transform match {
       case TruncRe(w) => dt match {
-        case StringType =>
-          val width = w.toInt
-          val f = udf((s: String) =>
-            if (s == null) null else truncateString(s, width))
-          f(source)
-        case IntegerType | LongType =>
-          val width = w.toLong
-          (source.cast("long") - pmod(source.cast("long"), lit(width)))
-            .cast("long")
+        case StringType | IntegerType | LongType | _: DecimalType =>
+          ColumnBridge.column(
+            IcebergTruncateExpr(ColumnBridge.expression(source), w.toInt))
         case other => throw new IllegalArgumentException(
           s"truncate over $other not supported")
       }
-      case BucketRe(n) =>
-        val buckets = n.toInt
-        dt match {
-          case IntegerType | LongType =>
-            val f = udf((v: Long) => bucketLong(v, buckets))
-            f(source.cast("long")).cast("int")
-          case StringType =>
-            val f = udf((s: String) =>
-              if (s == null) null else Int.box(bucketString(s, buckets)))
-            f(source).cast("int")
-          case DateType =>
-            // Appendix B: dates hash their epoch-day as a long
-            val f = udf((d: Long) => bucketLong(d, buckets))
-            f(datediff(source, to_date(lit("1970-01-01"))).cast("long"))
-              .cast("int")
-          case other => throw new IllegalArgumentException(
-            s"bucket over $other not supported")
-        }
+      case BucketRe(n) => dt match {
+        case IntegerType | LongType | StringType | DateType |
+             TimestampType | BinaryType | _: DecimalType =>
+          ColumnBridge.column(
+            IcebergBucketExpr(ColumnBridge.expression(source), n.toInt))
+        case other => throw new IllegalArgumentException(
+          s"bucket over $other not supported")
+      }
       case other => column(other, source)
     }
   }
+}
+
+/** Appendix-B `bucket[n]` as a native codegen expression: murmur3 over
+  * the type's mandated byte layout (ints/longs/dates/timestamps as
+  * 8-byte little-endian longs — internal dates ARE epoch-days,
+  * timestamps ARE epoch-micros; strings as UTF-8; decimals as minimal
+  * big-endian two's-complement unscaled bytes; binary raw), masked
+  * non-negative, mod n.
+  */
+case class IcebergBucketExpr(child: Expression, n: Int)
+    extends UnaryExpression {
+  import org.apache.spark.sql.types._
+
+  require(n > 0, s"bucket[$n]: N must be positive")
+
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes() = {
+    require(child.dataType match {
+      case IntegerType | LongType | StringType | DateType |
+           TimestampType | BinaryType | _: DecimalType => true
+      case _ => false
+    }, s"bucket over ${child.dataType} not supported")
+    super.checkInputDataTypes()
+  }
+
+  override def nullSafeEval(v: Any): Any = child.dataType match {
+    case LongType | TimestampType =>
+      IcebergTransforms.bucketLong(v.asInstanceOf[Long], n)
+    case IntegerType | DateType =>
+      IcebergTransforms.bucketLong(v.asInstanceOf[Int].toLong, n)
+    case StringType =>
+      IcebergTransforms.bucketUtf8(v.asInstanceOf[UTF8String], n)
+    case BinaryType =>
+      IcebergTransforms.bucketBytes(v.asInstanceOf[Array[Byte]], n)
+    case _: DecimalType =>
+      IcebergTransforms.bucketDecimal(v.asInstanceOf[Decimal], n)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val call = child.dataType match {
+        case LongType | TimestampType =>
+          s"graft.sources.IcebergTransforms.bucketLong($c, $n)"
+        case IntegerType | DateType =>
+          s"graft.sources.IcebergTransforms.bucketLong((long) $c, $n)"
+        case StringType =>
+          s"graft.sources.IcebergTransforms.bucketUtf8($c, $n)"
+        case BinaryType =>
+          s"graft.sources.IcebergTransforms.bucketBytes($c, $n)"
+        case _: DecimalType =>
+          s"graft.sources.IcebergTransforms.bucketDecimal($c, $n)"
+      }
+      s"${ev.value} = $call;"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): IcebergBucketExpr =
+    copy(child = newChild)
+}
+
+/** Spec `truncate[w]` as a native codegen expression: floor truncation
+  * for integers (correct for negatives), codepoint prefix for strings,
+  * unscaled floor-mod for decimals. Result type = source type.
+  */
+case class IcebergTruncateExpr(child: Expression, w: Int)
+    extends UnaryExpression {
+  import org.apache.spark.sql.types._
+
+  require(w > 0, s"truncate[$w]: W must be positive")
+
+  override def dataType: DataType = child.dataType
+
+  override def checkInputDataTypes() = {
+    require(child.dataType match {
+      case IntegerType | LongType | StringType | _: DecimalType => true
+      case _ => false
+    }, s"truncate over ${child.dataType} not supported")
+    super.checkInputDataTypes()
+  }
+
+  override def nullSafeEval(v: Any): Any = child.dataType match {
+    case LongType =>
+      IcebergTransforms.truncateLong(v.asInstanceOf[Long], w.toLong)
+    case IntegerType =>
+      IcebergTransforms.truncateLong(v.asInstanceOf[Int].toLong, w.toLong).toInt
+    case StringType =>
+      IcebergTransforms.truncateUtf8(v.asInstanceOf[UTF8String], w)
+    case _: DecimalType =>
+      IcebergTransforms.truncateDecimal(v.asInstanceOf[Decimal], w.toLong)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val call = child.dataType match {
+        case LongType =>
+          s"graft.sources.IcebergTransforms.truncateLong($c, ${w}L)"
+        case IntegerType =>
+          s"(int) graft.sources.IcebergTransforms.truncateLong((long) $c, ${w}L)"
+        case StringType =>
+          s"graft.sources.IcebergTransforms.truncateUtf8($c, $w)"
+        case _: DecimalType =>
+          s"graft.sources.IcebergTransforms.truncateDecimal($c, ${w}L)"
+      }
+      s"${ev.value} = $call;"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): IcebergTruncateExpr =
+    copy(child = newChild)
 }

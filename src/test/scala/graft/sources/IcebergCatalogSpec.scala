@@ -420,6 +420,70 @@ class IcebergCatalogSpec extends AnyFunSuite {
     assert(murmur3(Array.empty[Byte]) == 0)
     assert(murmur3("hello".getBytes("UTF-8")) == 0x248bfa47)
     assert(bucketLong(34L, 16) == (2017239379 & Int.MaxValue) % 16)
+    // r12 source types: timestamp hashes its epoch-MICROS long
+    // (2017-11-16T22:31:08 UTC), decimal its minimal big-endian
+    // two's-complement unscaled bytes (14.20 → unscaled 1420) — both
+    // published Appendix-B vectors
+    assert(hashLong(1510871468000000L) == -2047944441)
+    assert(IcebergTransforms.bucketDecimal(
+      org.apache.spark.sql.types.Decimal(new java.math.BigDecimal("14.20")),
+      Int.MaxValue) == (-500754589 & Int.MaxValue) % Int.MaxValue)
+    assert(IcebergTransforms.bucketBytes(Array.empty[Byte], 7) == 0)
+  }
+
+  test("transforms: native bucket/truncate expressions, no ScalaUDF (r12)") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    // plan hygiene: the write-path derivation must stay codegen-native
+    for ((t, dt) <- Seq(("bucket[4]", LongType), ("bucket[4]", StringType),
+        ("bucket[4]", TimestampType), ("bucket[4]", DecimalType(10, 2)),
+        ("truncate[3]", StringType), ("truncate[10]", LongType),
+        ("truncate[50]", DecimalType(10, 2)))) {
+      val e = org.apache.spark.sql.graftbridge.ColumnBridge.expression(
+        IcebergTransforms.columnTyped(t, lit(null).cast(dt), dt))
+      assert(!e.exists(_.isInstanceOf[
+        org.apache.spark.sql.catalyst.expressions.ScalaUDF]),
+        s"$t over $dt must not plan a ScalaUDF")
+    }
+    // evaluation: interpreted and codegen agree with the JVM scalars,
+    // timestamp buckets over epoch-micros, decimal truncate floor-mods
+    // the unscaled value
+    val df = Seq(("2017-11-16 22:31:08", "iceberg", 34L, "14.20", "-1.01"))
+      .toDF("ts", "s", "v", "d1", "d2")
+      .select(col("ts").cast("timestamp").as("ts"), col("s"), col("v"),
+        col("d1").cast("decimal(10,2)").as("d1"),
+        col("d2").cast("decimal(10,2)").as("d2"))
+    val got = df.select(
+      IcebergTransforms.columnTyped("bucket[16]", col("ts"),
+        TimestampType).as("bts"),
+      IcebergTransforms.columnTyped("bucket[16]", col("s"),
+        StringType).as("bs"),
+      IcebergTransforms.columnTyped("bucket[16]", col("v"),
+        LongType).as("bv"),
+      IcebergTransforms.columnTyped("bucket[16]", col("d1"),
+        DecimalType(10, 2)).as("bd"),
+      IcebergTransforms.columnTyped("truncate[50]", col("d1"),
+        DecimalType(10, 2)).as("td1"),
+      IcebergTransforms.columnTyped("truncate[50]", col("d2"),
+        DecimalType(10, 2)).as("td2"),
+      IcebergTransforms.columnTyped("truncate[3]", col("s"),
+        StringType).as("tst")).head()
+    assert(got.getInt(0) == (-2047944441 & Int.MaxValue) % 16)
+    assert(got.getInt(1) == (1210000089 & Int.MaxValue) % 16)
+    assert(got.getInt(2) == (2017239379 & Int.MaxValue) % 16)
+    assert(got.getInt(3) == (-500754589 & Int.MaxValue) % 16)
+    // Appendix B's own decimal truncate example: 14.20 → 14.00 (W=50
+    // on unscaled 1420 → 1400); floor for negatives: -1.01 → -1.50
+    assert(got.getDecimal(4).compareTo(new java.math.BigDecimal("14.00")) == 0)
+    assert(got.getDecimal(5).compareTo(new java.math.BigDecimal("-1.50")) == 0)
+    assert(got.getString(6) == "ice")
+    // unsupported sources stay loud
+    intercept[IllegalArgumentException] {
+      IcebergTransforms.columnTyped("bucket[4]", lit(1.0), DoubleType)
+    }
+    intercept[IllegalArgumentException] {
+      IcebergTransforms.columnTyped("truncate[4]", col("ts"), TimestampType)
+    }
   }
 
   test("transforms: truncate is floor-mod for longs, codepoints for strings (r11)") {

@@ -639,49 +639,108 @@ object Graph {
       .ckpt, k, rounds)
   }
 
+  /** Supports of `edges` measured WITHIN the canonical survivor set
+    * `surv` — ROW-form, expanded from each edge's lower-static-degree
+    * endpoint: candidate rows (edge, neighbor) close against `surv`
+    * with a semi-join. No per-node neighbor ARRAYS anywhere — the
+    * hub-safe slow path of the hybrid support plan; only edges with a
+    * hub endpoint take it.
+    */
+  private def supportRows(edges: DataFrame, surv: DataFrame,
+                          survDir: DataFrame, sideDeg: DataFrame): DataFrame = {
+    val aLower = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val sided = edges
+      .join(sideDeg.select(col("u").as("a"), col("d").as("da")), Seq("a"), "left")
+      .join(sideDeg.select(col("u").as("b"), col("d").as("db")), Seq("b"), "left")
+      .select(col("a"), col("b"),
+        when(aLower, col("a")).otherwise(col("b")).as("lo"),
+        when(aLower, col("b")).otherwise(col("a")).as("hi"))
+    val cand = sided.join(survDir.withColumnRenamed("u", "lo"), Seq("lo"))
+      .filter(col("w") =!= col("hi"))
+      .select(col("a"), col("b"),
+        least(col("hi"), col("w")).as("ca"), greatest(col("hi"), col("w")).as("cb"))
+    val counts = cand
+      .join(surv.select(col("a").as("ca"), col("b").as("cb")), Seq("ca", "cb"),
+        "left_semi")
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("support"))
+    edges.join(counts, Seq("a", "b"), "left")
+      .select(col("a"), col("b"),
+        coalesce(col("support"), lit(0L)).as("support"))
+  }
+
   /** [[kTruss]] over an ALREADY canonical (a < b, distinct,
     * checkpointed) edge set — the per-level entry point of [[trussness]]
     * (each level's residue is canonical by construction; the defensive
     * re-canonicalization is one wasted distinct shuffle per level).
+    *
+    * TARGETED peel (r11): ONE full support pass seeds a per-edge
+    * support table; after that a removal can only change the support
+    * of edges sharing a triangle with it, so each round refreshes only
+    * the triangle neighborhood of the edges that just fell (discovered
+    * against the STATIC input graph — a superset of current triangles,
+    * so no affected edge is missed) within the CURRENT survivor set.
+    * Trajectory and final supports IDENTICAL to the full per-round
+    * recompute (monotonicity: the edge set only shrinks, and a shrink
+    * only touches triangle-adjacent edges).
+    *
+    * HUB-SAFE HYBRID (r12, the verdict's remaining scale hazard):
+    * neighbor-list arrays are built ONLY for nodes whose static degree
+    * is ≤ `spark.graft.graph.hubDegree` (default 65536) — bounded row
+    * size by construction; edges touching a hub take an exact ROW-form
+    * path ([[supportRows]] / the row discovery) instead. On a hub-free
+    * graph the hub set is empty and every plan is EXACTLY the r11
+    * array-intersect plan plus empty side-branches. `seedSupport` lets
+    * [[trussness]]'s level k+1 reuse level k's final supports instead
+    * of re-running the full pass per level.
     */
-  private def kTrussCanon(canonical: DataFrame, k: Int,
-                          rounds: Int): DataFrame = {
-    // TARGETED peel (r11, the trussnessIncremental posture applied to
-    // the direct peel): ONE full support pass seeds a per-edge support
-    // table; after that a removal can only change the support of edges
-    // sharing a triangle with it, so each round re-intersects only the
-    // triangle neighborhood of the edges that just fell (found via the
-    // STATIC input adjacency — a superset of current triangles, so no
-    // affected edge is missed) against the CURRENT survivor set
-    // (node-scoped adjacency — only the affected endpoints' lists
-    // rebuild). Trajectory and the final per-edge supports are
-    // IDENTICAL to the full per-round recompute: unaffected supports
-    // are exact by monotonicity (the edge set only shrinks, and a
-    // shrink only touches triangle-adjacent edges).
+  private def kTrussCanon(canonical: DataFrame, k: Int, rounds: Int,
+                          seedSupport: Option[DataFrame] = None,
+                          hubFree: Option[Boolean] = None): DataFrame = {
     if (canonical.isEmpty)
       return canonical.select(col("a"), col("b"), lit(0L).as("support"))
+    // the hub DECISION is one cheap row aggregate (no arrays built);
+    // callers that peel nested levels compute it once — degrees only
+    // shrink, so a hub-free graph stays hub-free all the way down
+    val isHubFree = hubFree.getOrElse(hubFreeOf(canonical))
+    if (isHubFree) kTrussCanonFast(canonical, k, rounds, seedSupport)
+    else kTrussCanonHubSafe(canonical, k, rounds, seedSupport)
+  }
+
+  /** The hub-free strategy: full per-node neighbor arrays (bounded by
+    * the hub threshold BY THE DISPATCH CHECK) + per-edge
+    * array_intersect — the fastest plan on ordinary graphs.
+    */
+  private def kTrussCanonFast(canonical: DataFrame, k: Int, rounds: Int,
+                              seedSupport: Option[DataFrame]): DataFrame = {
     val adjStatic = canonical.select(col("a").as("v"), col("b").as("w"))
       .unionAll(canonical.select(col("b").as("v"), col("a").as("w")))
       .groupBy(col("v"))
       .agg(sort_array(collect_list(col("w"))).as("ns"))
       .ckpt
-    var sup = canonical
+    var sup = seedSupport.getOrElse(canonical
       .join(adjStatic.select(col("v").as("a"), col("ns").as("na")), Seq("a"))
       .join(adjStatic.select(col("v").as("b"), col("ns").as("nb")), Seq("b"))
       .select(col("a"), col("b"),
         size(array_intersect(col("na"), col("nb"))).cast("long").as("support"))
-      .ckpt
+      .ckpt)
     var it = 0
     var done = false
     while (it < rounds && !done) {
       val surviving = sup.filter(col("support") >= k - 2)
       val removed = sup.filter(col("support") < k - 2)
         .select(col("a"), col("b")).ckpt
-      if (removed.isEmpty) done = true
+      val nRemoved = removed.count()
+      if (nRemoved == 0) done = true
       else {
-        val affected = triAdjacentVia(adjStatic, removed)
+        // COUNT-GATED broadcasts (r12): tail rounds remove a handful of
+        // edges, and without a hint each of their joins re-shuffled the
+        // full (ckpt'd, stats-less) adjacency/survivor tables; the gate
+        // keeps round-0's mass-removal wave on the shuffle path
+        val affected = triAdjacentVia(adjStatic, bcIfSmall(removed, nRemoved))
           .join(surviving.select(col("a"), col("b")), Seq("a", "b"),
             "left_semi").ckpt
+        val affectedB = bcIfSmall(affected, affected.count())
         val nodes = affected.select(col("a").as("v"))
           .unionAll(affected.select(col("b").as("v"))).distinct()
         val keep = surviving.select(col("a"), col("b"))
@@ -690,27 +749,26 @@ object Graph {
           .join(broadcast(nodes), Seq("v"), "left_semi")
           .groupBy(col("v"))
           .agg(collect_list(col("w")).as("ns"))
-        val refreshed = affected
+        val refreshed = affectedB
           .join(scopedAdj.select(col("v").as("a"), col("ns").as("na")), Seq("a"))
           .join(scopedAdj.select(col("v").as("b"), col("ns").as("nb")), Seq("b"))
           .select(col("a"), col("b"),
             size(array_intersect(col("na"), col("nb"))).cast("long")
               .as("support"))
-        sup = surviving.join(affected, Seq("a", "b"), "left_anti")
+        sup = surviving.join(affectedB, Seq("a", "b"), "left_anti")
           .unionAll(refreshed).ckpt
         it += 1
       }
     }
-    // sup values already equal the support ON THE FINAL RESIDUE (the
-    // invariant maintained every round) — the original's final
-    // recompute pass is free here. Return UNFILTERED: under the
-    // bounded-rounds contract (and the fixed-round DuckDB oracles) the
-    // post-round edge set keeps its recomputed — possibly
-    // sub-threshold — supports when `rounds` runs out before the peel
-    // converges; on convergence `removed` was empty, so every support
-    // is already >= k-2 and the filter would be a no-op anyway.
     sup
   }
+
+  /** Broadcast a FRONTIER-sized frame only when its known row count
+    * says the driver collect is trivial — mass-removal waves stay on
+    * the shuffle path.
+    */
+  private def bcIfSmall(df: DataFrame, rows: Long): DataFrame =
+    if (rows <= 1000000L) broadcast(df) else df
 
   /** Edges sharing a triangle with `edges` under the given node-keyed
     * adjacency: common neighbors w of (a, b) exploded to (a,w), (b,w).
@@ -728,6 +786,119 @@ object Graph {
       .unionAll(cs.select(least(col("b"), col("w")).as("a"),
         greatest(col("b"), col("w")).as("b")))
       .distinct()
+  }
+
+  /** The hub-PRESENT strategy: neighbor arrays only for nodes under
+    * the hub threshold; edges touching a hub take exact ROW-form
+    * paths ([[supportRows]] and the row discovery) — no unbounded
+    * array row anywhere.
+    */
+  private def kTrussCanonHubSafe(canonical: DataFrame, k: Int, rounds: Int,
+                                 seedSupport: Option[DataFrame]): DataFrame = {
+    val hubC = canonical.sparkSession.conf
+      .get("spark.graft.graph.hubDegree", "65536").toLong
+    val statDir = canonical.select(col("a").as("u"), col("b").as("w"))
+      .unionAll(canonical.select(col("b").as("u"), col("a").as("w")))
+      .ckpt
+    val statDeg = statDir.groupBy(col("u"))
+      .agg(count(lit(1)).as("d")).ckpt
+    // hub nodes: ≤ 2m/hubC of them — broadcast-small by construction
+    val statHubs = statDeg.filter(col("d") > hubC).select(col("u")).ckpt
+    // full static neighbor lists of NON-hub nodes only (≤ hubC each)
+    val statAdjNH = statDir
+      .join(broadcast(statHubs), Seq("u"), "left_anti")
+      .groupBy(col("u")).agg(collect_list(col("w")).as("ns"))
+      .ckpt
+    // split an edge set on hub involvement: (both-non-hub, any-hub)
+    def hubSplit(edges: DataFrame): (DataFrame, DataFrame) = {
+      val nh = edges
+        .join(broadcast(statHubs.select(col("u").as("a"))), Seq("a"), "left_anti")
+        .join(broadcast(statHubs.select(col("u").as("b"))), Seq("b"), "left_anti")
+      val hub = edges
+        .join(broadcast(statHubs.select(col("u").as("a"))), Seq("a"), "left_semi")
+        .unionAll(edges
+          .join(broadcast(statHubs.select(col("u").as("b"))), Seq("b"), "left_semi"))
+        .distinct()
+      (nh, hub)
+    }
+    // supports of `edges` within survivors `surv`: array-intersect for
+    // both-non-hub edges over `adj` (node-scoped lists), rows otherwise
+    def supportHybrid(edges: DataFrame, surv: DataFrame, survDir: DataFrame,
+                      adj: DataFrame): DataFrame = {
+      val (nh, hub) = hubSplit(edges)
+      val fast = nh
+        .join(adj.select(col("u").as("a"), col("ns").as("na")), Seq("a"))
+        .join(adj.select(col("u").as("b"), col("ns").as("nb")), Seq("b"))
+        .select(col("a"), col("b"),
+          size(array_intersect(col("na"), col("nb"))).cast("long").as("support"))
+      fast.unionAll(supportRows(hub, surv, survDir, statDeg))
+    }
+    var sup = seedSupport.getOrElse(
+      supportHybrid(canonical, canonical, statDir, statAdjNH).ckpt)
+    var it = 0
+    var done = false
+    while (it < rounds && !done) {
+      val surviving = sup.filter(col("support") >= k - 2)
+      val removed = sup.filter(col("support") < k - 2)
+        .select(col("a"), col("b")).ckpt
+      if (removed.isEmpty) done = true
+      else {
+        val surv = surviving.select(col("a"), col("b")).ckpt
+        // affected discovery: common STATIC neighbors of each removed
+        // edge — intersect for both-non-hub removals, rows otherwise
+        val (nhR, hubR) = hubSplit(removed)
+        val csFast = nhR
+          .join(statAdjNH.select(col("u").as("a"), col("ns").as("na")), Seq("a"))
+          .join(statAdjNH.select(col("u").as("b"), col("ns").as("nb")), Seq("b"))
+          .select(col("a"), col("b"),
+            array_intersect(col("na"), col("nb")).as("cs"))
+          .filter(size(col("cs")) > 0)
+          .select(col("a"), col("b"), explode(col("cs")).as("w"))
+        val aLower = col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b"))
+        val csRows = hubR
+          .join(statDeg.select(col("u").as("a"), col("d").as("da")), Seq("a"))
+          .join(statDeg.select(col("u").as("b"), col("d").as("db")), Seq("b"))
+          .select(when(aLower, col("a")).otherwise(col("b")).as("lo"),
+            when(aLower, col("b")).otherwise(col("a")).as("hi"))
+          .join(statDir.withColumnRenamed("u", "lo"), Seq("lo"))
+          .filter(col("w") =!= col("hi"))
+          .select(col("lo").as("a"), col("hi").as("b"), col("w"),
+            least(col("hi"), col("w")).as("ca"),
+            greatest(col("hi"), col("w")).as("cb"))
+          .join(canonical.select(col("a").as("ca"), col("b").as("cb")),
+            Seq("ca", "cb"), "left_semi")
+          .select(col("a"), col("b"), col("w"))
+        val cs = csFast.unionAll(csRows)
+        val affected = cs
+          .select(least(col("a"), col("w")).as("a"),
+            greatest(col("a"), col("w")).as("b"))
+          .unionAll(cs.select(least(col("b"), col("w")).as("a"),
+            greatest(col("b"), col("w")).as("b")))
+          .distinct()
+          .join(surv, Seq("a", "b"), "left_semi").ckpt
+        val survDir = surv.select(col("a").as("u"), col("b").as("w"))
+          .unionAll(surv.select(col("b").as("u"), col("a").as("w")))
+        val nodes = affected.select(col("a").as("u"))
+          .unionAll(affected.select(col("b").as("u"))).distinct()
+        val scopedAdj = survDir
+          .join(broadcast(nodes), Seq("u"), "left_semi")
+          .join(broadcast(statHubs), Seq("u"), "left_anti")
+          .groupBy(col("u")).agg(collect_list(col("w")).as("ns"))
+        val refreshed = supportHybrid(affected, surv, survDir, scopedAdj)
+        sup = surviving.join(affected, Seq("a", "b"), "left_anti")
+          .unionAll(refreshed).ckpt
+        it += 1
+      }
+    }
+    // sup values already equal the support ON THE FINAL RESIDUE (the
+    // invariant maintained every round). Return UNFILTERED: under the
+    // bounded-rounds contract (and the fixed-round DuckDB oracles) the
+    // post-round edge set keeps its recomputed — possibly
+    // sub-threshold — supports when `rounds` runs out before the peel
+    // converges; on convergence `removed` was empty, so every support
+    // is already >= k-2 and the filter would be a no-op anyway.
+    sup
   }
 
   def bfsHops(edges: DataFrame, seeds: DataFrame, rounds: Int): DataFrame = {
@@ -859,11 +1030,20 @@ object Graph {
       .ckpt
     var labels = und.select(col("a"), col("b"), lit(2L).as("lvl"))
     var residue = und
+    // cross-level support seeding (r12): level k's peel ends with the
+    // EXACT supports of its final residue — precisely the table level
+    // k+1's peel starts from, so the full support pass runs once for
+    // the whole sweep instead of once per level (the r11 bench's
+    // dominant per-level constant). The hub decision is likewise one
+    // check for the whole sweep: degrees only shrink level over level.
+    var levelSup: Option[DataFrame] = None
+    val hubFree = Some(hubFreeOf(und))
     var k = 3
     var empty = false
     while (k <= maxK && !empty) {
-      residue = kTrussCanon(residue, k, roundsPerLevel)
-        .select(col("a"), col("b")).ckpt
+      val supK = kTrussCanon(residue, k, roundsPerLevel, levelSup, hubFree).ckpt
+      residue = supK.select(col("a"), col("b"))
+      levelSup = Some(supK)
       empty = residue.isEmpty
       if (!empty)
         labels = labels.unionAll(
@@ -871,6 +1051,18 @@ object Graph {
       k += 1
     }
     labels.groupBy(col("a"), col("b")).agg(max(col("lvl")).as("trussness"))
+  }
+
+  /** True iff no node's degree exceeds the hub threshold — one cheap
+    * row aggregate over a canonical edge set.
+    */
+  private def hubFreeOf(canonical: DataFrame): Boolean = {
+    val hubC = canonical.sparkSession.conf
+      .get("spark.graft.graph.hubDegree", "65536").toLong
+    canonical.select(col("a").as("u"))
+      .unionAll(canonical.select(col("b").as("u")))
+      .groupBy(col("u")).agg(count(lit(1)).as("d"))
+      .filter(col("d") > hubC).isEmpty
   }
 
   /** R98: 3-clique percolation communities (Palla et al., CPM) — the
@@ -1167,8 +1359,17 @@ object Graph {
       df.select(least(col("src"), col("dst")).as("a"),
           greatest(col("src"), col("dst")).as("b"))
         .filter(col("a") =!= col("b")).distinct()
-    val und = canon(baseEdges).unionAll(canon(deltaEdges)).distinct()
+    val dbg0 = sys.env.contains("GRAFT_GRAPH_DEBUG")
+    val tPrep = System.nanoTime()
+    def lap(tag: String): Unit = if (dbg0) System.err.println(
+      f"[trussinc] prep $tag ${(System.nanoTime() - tPrep) / 1e9}%.2f s cum")
+    // canonicalize the delta ONCE (r12): it feeds both the merged set
+    // and the closure seeds — the second evaluation re-ran the caller's
+    // whole delta-edge construction (the gate's lineitem self-join)
+    val delta = canon(deltaEdges).ckpt
+    val und = canon(baseEdges).unionAll(delta).distinct()
       .ckpt
+    lap("und")
     // sorted adjacency lists of the MERGED graph (static across levels):
     // triangle closure runs as per-edge array_intersect against these —
     // the supportByIntersect posture; the doubled-edge wedge joins this
@@ -1178,7 +1379,7 @@ object Graph {
       .groupBy(col("v"))
       .agg(sort_array(collect_list(col("w"))).as("ns"))
       .ckpt
-    val delta = canon(deltaEdges).ckpt
+    lap("adjAll")
     // merged-graph support of EVERY merged edge, computed ONCE (r11):
     // the per-level pool prefilter below needs ms(a,b) = |N(a) ∩ N(b)|
     // against the STATIC merged adjacency — recomputing the full
@@ -1190,8 +1391,14 @@ object Graph {
       .select(col("a"), col("b"),
         size(array_intersect(col("na"), col("nb"))).as("ms"))
       .ckpt
+    lap("mergedSupport")
     var labels = und.select(col("a"), col("b"), lit(2L).as("lvl"))
     var prev = und // edge set of the new (k-1)-truss
+    // supports on `prev` when the last level ran the DIRECT peel (r12
+    // cross-level seeding; an incremental level resets to None because
+    // its oldTruss edges carry no full-graph supports)
+    var levelSup: Option[DataFrame] = None
+    val hubFree = Some(hubFreeOf(und))
     var k = 3
     var empty = false
     // edges sharing a triangle with `f` in the merged graph: common
@@ -1245,8 +1452,11 @@ object Graph {
         s"[trussinc] k=$k pool=$nPool prev=$nPrev branch=" +
           (if (nPool * 2 > nPrev) "direct" else "incremental"))
       val truss = (if (nPool * 2 > nPrev) {
-        kTrussCanon(prev, k, rounds).select(col("a"), col("b"))
+        val supK = kTrussCanon(prev, k, rounds, levelSup, hubFree).ckpt
+        levelSup = Some(supK)
+        supK.select(col("a"), col("b"))
       } else {
+        levelSup = None
         // closure of the delta edges through the pool, via shared
         // triangles. The closure exists for SMALL deltas (peel only the
         // touched region); it is not needed for correctness — peeling
@@ -1294,23 +1504,26 @@ object Graph {
         // exact by monotonicity (keep only shrinks, and a shrink only
         // touches triangle-adjacent edges), so the trajectory is
         // IDENTICAL to the full per-round recompute.
-        def supportIn(es: DataFrame, keepEdges: DataFrame,
-                      nodes: Option[DataFrame]): DataFrame = {
-          val doubled = keepEdges.select(col("a").as("v"), col("b").as("w"))
-            .unionAll(keepEdges.select(col("b").as("v"), col("a").as("w")))
-          val scoped = nodes match {
-            case Some(ns) => doubled.join(broadcast(ns), Seq("v"), "left_semi")
-            case None => doubled
-          }
-          val adj = scoped.groupBy(col("v"))
-            .agg(collect_list(col("w")).as("ns"))
-          es.join(adj.select(col("v").as("a"), col("ns").as("na")), Seq("a"))
-            .join(adj.select(col("v").as("b"), col("ns").as("nb")), Seq("b"))
-            .select(col("a"), col("b"),
-              size(array_intersect(col("na"), col("nb"))).as("support"))
+        // the level's KEEP universe at round 0 is oldTruss ∪ reached,
+        // and within the level edges only LEAVE it — so its adjacency
+        // builds ONCE (r12) and every round's survivor lists derive by
+        // array_except-ing the accumulated removals (frontier-sized
+        // broadcasts), replacing the full keep-set re-scan + re-group
+        // that was the per-round fixed cost of the r11 peel.
+        val adjKeep0 = {
+          val keep0 = oldTruss.unionAll(reached)
+          keep0.select(col("a").as("v"), col("b").as("w"))
+            .unionAll(keep0.select(col("b").as("v"), col("a").as("w")))
+            .groupBy(col("v")).agg(collect_list(col("w")).as("ns"))
+            .ckpt
         }
-        var aliveSup = supportIn(reached, oldTruss.unionAll(reached), None)
+        var aliveSup = reached
+          .join(adjKeep0.select(col("v").as("a"), col("ns").as("na")), Seq("a"))
+          .join(adjKeep0.select(col("v").as("b"), col("ns").as("nb")), Seq("b"))
+          .select(col("a"), col("b"),
+            size(array_intersect(col("na"), col("nb"))).as("support"))
           .ckpt
+        var removedAcc: Option[DataFrame] = None
         var it = 0
         var done = reached.isEmpty
         while (it < rounds && !done) {
@@ -1318,19 +1531,40 @@ object Graph {
           val surviving = aliveSup.filter(col("support") >= k - 2)
           val removed = aliveSup.filter(col("support") < k - 2)
             .select(col("a"), col("b")).ckpt
+          val nRemoved = removed.count()
           if (dbg) System.err.println(
-            f"[trussinc]   peel round $it removed ${removed.count()} filter+ckpt ${(System.nanoTime() - tRound) / 1e9}%.2f s")
-          if (removed.isEmpty) done = true
+            f"[trussinc]   peel round $it removed $nRemoved filter+ckpt ${(System.nanoTime() - tRound) / 1e9}%.2f s")
+          if (nRemoved == 0) done = true
           else {
-            val keepEdges = oldTruss
-              .unionAll(surviving.select(col("a"), col("b")))
-            val affected = triAdjacent(removed)
+            removedAcc = Some(removedAcc match {
+              case Some(acc) => acc.unionAll(removed).ckpt
+              case None => removed
+            })
+            // count-gated broadcasts (r12): tail rounds keep the full
+            // adjacency/survivor tables un-shuffled
+            val affected = triAdjacent(bcIfSmall(removed, nRemoved))
               .join(surviving.select(col("a"), col("b")), Seq("a", "b"),
                 "left_semi").ckpt
+            val affectedB = bcIfSmall(affected, affected.count())
             val nodes = affected.select(col("a").as("v"))
               .unionAll(affected.select(col("b").as("v"))).distinct()
-            val refreshed = supportIn(affected, keepEdges, Some(nodes))
-            aliveSup = surviving.join(affected, Seq("a", "b"), "left_anti")
+            val remAcc = removedAcc.get
+            val remNbrs = remAcc.select(col("a").as("v"), col("b").as("w"))
+              .unionAll(remAcc.select(col("b").as("v"), col("a").as("w")))
+              .join(broadcast(nodes), Seq("v"), "left_semi")
+              .groupBy(col("v")).agg(collect_list(col("w")).as("rem"))
+            val scopedAdj = adjKeep0
+              .join(broadcast(nodes), Seq("v"), "left_semi")
+              .join(remNbrs, Seq("v"), "left")
+              .select(col("v"), when(col("rem").isNull, col("ns"))
+                .otherwise(array_except(col("ns"), col("rem"))).as("ns"))
+            val refreshed = affectedB
+              .join(scopedAdj.select(col("v").as("a"), col("ns").as("na")), Seq("a"))
+              .join(scopedAdj.select(col("v").as("b"), col("ns").as("nb")), Seq("b"))
+              .select(col("a"), col("b"),
+                size(array_intersect(col("na"), col("nb"))).as("support"))
+            aliveSup = surviving
+              .join(affectedB, Seq("a", "b"), "left_anti")
               .unionAll(refreshed).ckpt
             if (dbg) System.err.println(
               f"[trussinc]   peel round $it total ${(System.nanoTime() - tRound) / 1e9}%.2f s")

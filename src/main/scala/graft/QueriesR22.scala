@@ -235,11 +235,41 @@ object QueriesR22 {
         element_at(col("arr"), 2).as("arr1"), col("rk"))
       .orderBy(col("n_nationkey"))
 
+  // ---------------------------------------------------------------
+  // T38: PII scrubbing — emails/IPv4s/phones to typed placeholders
+  // with a per-document removal report. The corpus gets DETERMINISTIC
+  // PII injected (both engines apply the identical concatenation), so
+  // a pattern that under- or over-matches hash-fails on every row.
+  // ---------------------------------------------------------------
+
+  /** T38 (r12): per-document PII redaction + removal report — doc_id,
+    * progressive per-class counts, and the md5 of the redacted text
+    * (the full text stays out of the compare payload; a single
+    * mis-redacted character flips the hash).
+    */
+  def textPiiRedact(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Pii
+    val withPii = t(s, dir, "documents").select(col("doc_id"),
+      concat(col("text"),
+        lit(" reach user"), col("doc_id"), lit("@ex-mail.org or 10."),
+        pmod(col("doc_id"), lit(200)), lit("."),
+        pmod(col("doc_id"), lit(250)), lit(".7 call 415-555-"),
+        lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"))
+        .as("txt"))
+    withPii.select(col("doc_id"),
+        Pii.countEmails(col("txt")).cast("long").as("n_email"),
+        Pii.countIps(col("txt")).cast("long").as("n_ip"),
+        Pii.countPhones(col("txt")).cast("long").as("n_phone"),
+        md5(Pii.redact(col("txt"))).as("red_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_kafka_rebalance" -> (streamKafkaRebalance _),
     "delta_timestamp_asof" -> (deltaTimestampAsof _),
     "delta_cdf_stream" -> (deltaCdfStream _),
-    "iceberg_ref_read" -> (icebergRefRead _))
+    "iceberg_ref_read" -> (icebergRefRead _),
+    "text_pii_redact" -> (textPiiRedact _))
 
   val sql: Map[String, String] = Map(
     "stream_kafka_rebalance" ->
@@ -290,5 +320,37 @@ object QueriesR22 {
         |  n_name AS meta_nm, CAST(length(n_name) AS BIGINT) AS meta_ln,
         |  n_nationkey AS arr0, n_nationkey * 2 + 1 AS arr1,
         |  CAST(n_regionkey AS VARCHAR) AS rk
-        |FROM nation ORDER BY n_nationkey""".stripMargin)
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+    // same injection, same patterns (the portable ASCII subset), same
+    // email→ip→phone progressive order; RE2 needs the 'g' flag
+    "text_pii_redact" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    text || ' reach user' || doc_id || '@ex-mail.org or 10.'
+        |      || (doc_id % 200) || '.' || (doc_id % 250)
+        |      || '.7 call 415-555-'
+        |      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS txt
+        |  FROM documents
+        |), s1 AS (
+        |  SELECT doc_id, txt,
+        |    regexp_replace(txt,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |      '<EMAIL>', 'g') AS t1
+        |  FROM w
+        |), s2 AS (
+        |  SELECT doc_id, txt, t1,
+        |    regexp_replace(t1, '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g') AS t2
+        |  FROM s1
+        |)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(txt,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+        |    AS n_email,
+        |  CAST(len(regexp_extract_all(t1,
+        |    '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS BIGINT) AS n_ip,
+        |  CAST(len(regexp_extract_all(t2,
+        |    '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS n_phone,
+        |  md5(regexp_replace(t2, '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g'))
+        |    AS red_md5
+        |FROM s2 ORDER BY doc_id""".stripMargin)
 }

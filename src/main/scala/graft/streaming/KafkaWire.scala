@@ -76,6 +76,8 @@ object KafkaWire {
   val ApiHeartbeat = 12
   val ApiLeaveGroup = 13
   val ApiSyncGroup = 14
+  val ApiDescribeGroups = 15
+  val ApiListGroups = 16
   val ApiVersions = 18
 
   // group-protocol error codes (the public protocol guide's table)
@@ -93,6 +95,16 @@ object KafkaWire {
                               members: Seq[(String, Seq[String])]) {
     def isLeader: Boolean = memberId == leaderId
   }
+
+  /** DescribeGroups member row: subscription topics + decoded
+    * assignment (empty while the group is mid-rebalance).
+    */
+  final case class GroupMember(memberId: String, topics: Seq[String],
+                               assignment: Seq[(String, Seq[Int])])
+
+  final case class GroupDescription(error: Int, state: String,
+                                    protocolType: String, protocol: String,
+                                    members: Seq[GroupMember])
 
   // ConsumerProtocol v0 (the public embedded consumer protocol): the
   // opaque bytes JoinGroup metadata / SyncGroup assignment carry.
@@ -696,6 +708,45 @@ object KafkaWire {
       b.str(group); b.str(memberId)
       val r = exchange(out, in, ApiLeaveGroup, 0, next(), b)
       r.i16()
+    }
+
+    /** ListGroups v0 (key 16): every group the coordinator knows —
+      * (group id, protocol type); what a lag monitor enumerates first.
+      */
+    def listGroups(): Seq[(String, String)] = {
+      val b = new Writer
+      val r = exchange(out, in, ApiListGroups, 0, next(), b)
+      val err = r.i16()
+      require(err == 0, s"ListGroups error $err")
+      (0 until r.i32()).map(_ => (r.str(), r.str()))
+    }
+
+    /** DescribeGroups v0 (key 15): per group — state name, protocol,
+      * and the member roster with each member's subscription topics
+      * and assigned (topic, partitions). The admin view of [[X58]]'s
+      * coordinator state.
+      */
+    def describeGroups(groups: Seq[String])
+        : Map[String, GroupDescription] = {
+      val b = new Writer
+      b.i32(groups.size)
+      groups.foreach(b.str)
+      val r = exchange(out, in, ApiDescribeGroups, 0, next(), b)
+      (0 until r.i32()).map { _ =>
+        val err = r.i16()
+        val gid = r.str()
+        val state = r.str()
+        val ptype = r.str()
+        val proto = r.str()
+        val members = (0 until r.i32()).map { _ =>
+          val mid = r.str()
+          r.str(); r.str() // client id / client host (harness: empty)
+          val meta = r.bytes()
+          val asg = r.bytes()
+          GroupMember(mid, decodeSubscription(meta), decodeAssignment(asg))
+        }
+        gid -> GroupDescription(err, state, ptype, proto, members)
+      }.toMap
     }
 
     /** OffsetFetch v1 (key 9): the group's committed offset per
@@ -1316,6 +1367,37 @@ object KafkaBusServer {
         }
       }
 
+    /** The admin view: every known group id with its state name (the
+      * DescribeGroups/ListGroups surface).
+      */
+    private def stateName(g: Group): String = g.state match {
+      case 0 => "Empty"
+      case 1 => "PreparingRebalance"
+      case 2 => "CompletingRebalance"
+      case _ => "Stable"
+    }
+
+    def listGroups(): Seq[(String, String)] =
+      groups.asScala.keys.toSeq.sorted.map(id => (id, "consumer"))
+
+    /** (state, protocol, member rows (id, metadata, assignment|null)) —
+      * assignments only while Stable, matching the real broker.
+      */
+    def describeGroup(groupId: String)
+        : Option[(String, String, Seq[(String, Array[Byte], Array[Byte])])] =
+      Option(groupIfExists(groupId)).map { g =>
+        g.synchronized {
+          val rows = g.members.valuesIterator.map { m =>
+            val asg =
+              if (g.state == 3 && g.assignments != null)
+                g.assignments.getOrElse(m.id, Array.empty[Byte])
+              else Array.empty[Byte]
+            (m.id, m.meta, asg)
+          }.toSeq
+          (stateName(g), "range", rows)
+        }
+      }
+
     /** OffsetCommit fencing verdict: 0 = accept. A group the
       * coordinator never formed (or that emptied out) accepts only the
       * simple-consumer sentinels (-1, "") — the pre-r12 path; a FORMED
@@ -1425,6 +1507,8 @@ object KafkaBusServer {
               KafkaWire.ApiHeartbeat -> ((0, 0)),
               KafkaWire.ApiLeaveGroup -> ((0, 0)),
               KafkaWire.ApiSyncGroup -> ((0, 0)),
+              KafkaWire.ApiDescribeGroups -> ((0, 0)),
+              KafkaWire.ApiListGroups -> ((0, 0)),
               KafkaWire.ApiVersions -> ((0, 0)))
             body.i32(apis.size)
             apis.foreach { case (k, (lo, hi)) =>
@@ -1585,6 +1669,32 @@ object KafkaBusServer {
             require(apiVersion == 0, s"leavegroup v$apiVersion unsupported")
             val group = r.str(); val member = r.str()
             body.i16(state.coord.leaveGroup(group, member))
+          case KafkaWire.ApiListGroups =>
+            require(apiVersion == 0, s"listgroups v$apiVersion unsupported")
+            val gs = state.coord.listGroups()
+            body.i16(0)
+            body.i32(gs.size)
+            gs.foreach { case (id, pt) => body.str(id); body.str(pt) }
+          case KafkaWire.ApiDescribeGroups =>
+            require(apiVersion == 0, s"describegroups v$apiVersion unsupported")
+            val names = (0 until r.i32()).map(_ => r.str())
+            body.i32(names.size)
+            names.foreach { gid =>
+              state.coord.describeGroup(gid) match {
+                case Some((st, proto, members)) =>
+                  body.i16(0); body.str(gid); body.str(st)
+                  body.str("consumer"); body.str(proto)
+                  body.i32(members.size)
+                  members.foreach { case (mid, meta, asg) =>
+                    body.str(mid); body.str(""); body.str("")
+                    body.bytes(meta); body.bytes(asg)
+                  }
+                case None => // GROUP_ID_NOT_FOUND (69), dead-group shape
+                  body.i16(69); body.str(gid); body.str("Dead")
+                  body.str(""); body.str("")
+                  body.i32(0)
+              }
+            }
           case KafkaWire.ApiOffsetFetch =>
             require(apiVersion == 1, s"offsetfetch v$apiVersion unsupported")
             val group = r.str()

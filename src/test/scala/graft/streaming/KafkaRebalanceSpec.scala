@@ -108,9 +108,11 @@ class KafkaRebalanceSpec extends AnyFunSuite {
       // simple-consumer sentinels into a FORMED group → 22
       val sentinel = c.offsetCommitChecked("g-fence", "bus", Map(0 -> 1L))
       assert(sentinel.values.toSet == Set(ErrIllegalGeneration))
-      // the real owner's commit lands
+      // the real owner's commit lands (capture the partition NOW —
+      // a.assigned changes when the survivor inherits after the kill)
+      val committedPt = a.assigned.head
       val ok = c.offsetCommitChecked("g-fence", "bus",
-        Map(a.assigned.head -> 1L), a.generation, a.memberId)
+        Map(committedPt -> 1L), a.generation, a.memberId)
       assert(ok.values.toSet == Set(0))
       // ZOMBIE: B's identity after B is evicted and the group moved on
       val bGen = b.generation; val bId = b.memberId
@@ -122,8 +124,8 @@ class KafkaRebalanceSpec extends AnyFunSuite {
         e == ErrUnknownMemberId || e == ErrIllegalGeneration),
         s"zombie commit must be fenced, got $zombie")
       // and the committed offset was NOT clobbered
-      assert(c.offsetFetch("g-fence", "bus", Seq(a.assigned.head))(
-        a.assigned.head) == 1L)
+      assert(c.offsetFetch("g-fence", "bus", Seq(committedPt))(
+        committedPt) == 1L)
       a.close(); c.close()
     }
   }
@@ -158,6 +160,33 @@ class KafkaRebalanceSpec extends AnyFunSuite {
       val j = c.joinGroup("g-x", "member-404", Seq("bus"))
       assert(j.error == ErrUnknownMemberId)
       c.close()
+    }
+  }
+
+  test("ListGroups/DescribeGroups: the admin view of the coordinator (r12)") {
+    withBroker(2) { (h, port) =>
+      val (a, b) = formPair(port, "g-admin")
+      val c = new Client("127.0.0.1", port)
+      assert(c.listGroups() == Seq(("g-admin", "consumer")))
+      val d = c.describeGroups(Seq("g-admin", "g-nope"))
+      val g = d("g-admin")
+      assert(g.error == 0 && g.state == "Stable" && g.protocol == "range")
+      assert(g.members.map(_.memberId).sorted ==
+        Seq(a.memberId, b.memberId).sorted)
+      // every member's described assignment matches what it holds
+      val byId = g.members.map(m => m.memberId -> m).toMap
+      assert(byId(a.memberId).assignment.flatMap(_._2).sorted == a.assigned.sorted)
+      assert(byId(b.memberId).assignment.flatMap(_._2).sorted == b.assigned.sorted)
+      assert(byId(a.memberId).topics == Seq("bus"))
+      // unknown group: dead shape with GROUP_ID_NOT_FOUND
+      assert(d("g-nope").error == 69 && d("g-nope").state == "Dead")
+      // after a crash + rebalance the roster shrinks to the survivor
+      b.kill()
+      a.rebalance()
+      val d2 = c.describeGroups(Seq("g-admin"))("g-admin")
+      assert(d2.state == "Stable" &&
+        d2.members.map(_.memberId) == Seq(a.memberId))
+      a.close(); c.close()
     }
   }
 }

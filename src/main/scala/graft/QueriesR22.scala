@@ -236,6 +236,105 @@ object QueriesR22 {
       .orderBy(col("n_nationkey"))
 
   // ---------------------------------------------------------------
+  // F14n: the RECORDED Delta change feed — `cdc` actions +
+  // `_change_data` files (where UPDATE pre/post images live), the
+  // spec's add-only/remove-only derivations, and the WRITER side:
+  // deleteWithDv on a CDF-enabled table records its deletes.
+  // ---------------------------------------------------------------
+
+  private def esc(s: String): String =
+    s.replace("\\", "\\\\").replace("\"", "\\\"")
+
+  private def writeSingleParquet(df: DataFrame,
+                                 target: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    val tmp = java.nio.file.Files.createTempDirectory("rt_part")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val st = java.nio.file.Files.list(tmp)
+    val part = try st.iterator().asScala
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    finally st.close()
+    java.nio.file.Files.createDirectories(target.getParent)
+    java.nio.file.Files.move(part, target)
+    graft.sources.DeltaLog.deleteTmp(tmp)
+  }
+
+  private def buildDeltaCdfActionsTable(s: SparkSession, dir: String): String =
+    tableBuildMemo.computeIfAbsent(
+      (s.sparkContext.applicationId, dir, "delta_cdf_actions"), _ => {
+        val t0 = java.nio.file.Files.createTempDirectory("delta_cdfact")
+        val sup = t(s, dir, "supplier").select(
+          col("s_suppkey").cast("long").as("s_suppkey"),
+          (col("s_acctbal").cast("decimal(12,2)") * 100)
+            .cast("long").as("cents"),
+          pmod(col("s_suppkey"), lit(2)).cast("string").as("bucket"))
+        val schema = org.apache.spark.sql.types.StructType.fromDDL(
+          "s_suppkey BIGINT, cents BIGINT, bucket STRING")
+        def data(b: Int) = sup.filter(col("bucket") === b.toString)
+          .drop("bucket").orderBy(col("s_suppkey"))
+        // v0: CDF-enabled table, two partition files (pure-add commit —
+        // the spec's DERIVED-insert shape, no cdc action on purpose)
+        val adds = (0 until 2).map { b =>
+          val rel = s"data/bucket=$b/f0.parquet"
+          writeSingleParquet(data(b), t0.resolve(rel))
+          s"""{"add":{"path":"$rel","partitionValues":{"bucket":"$b"},"dataChange":true}}"""
+        }
+        val meta =
+          s"""{"metaData":{"id":"cdfa","schemaString":"${esc(schema.json)}",""" +
+            s""""partitionColumns":["bucket"],""" +
+            s""""configuration":{"delta.enableChangeDataFeed":"true"}}}"""
+        val logDir = t0.resolve("_delta_log")
+        java.nio.file.Files.createDirectories(logDir)
+        java.nio.file.Files.writeString(logDir.resolve(f"${0L}%020d.json"),
+          (meta +: adds).mkString("\n"))
+        // v1: hand-written UPDATE on bucket 0 — rewrite with %5==0 rows
+        // bumped by 100 cents, cdc file carrying ONLY the changed rows
+        // as pre/post images (what a snapshot diff cannot reconstruct)
+        val b0 = data(0)
+        val updated = b0.withColumn("cents",
+          when(col("s_suppkey") % 5 === 0, col("cents") + 100)
+            .otherwise(col("cents")))
+        writeSingleParquet(updated, t0.resolve("data/bucket=0/f1.parquet"))
+        val pre = b0.filter(col("s_suppkey") % 5 === 0)
+          .withColumn("_change_type", lit("update_preimage"))
+        val post = updated.filter(col("s_suppkey") % 5 === 0)
+          .withColumn("_change_type", lit("update_postimage"))
+        writeSingleParquet(pre.unionAll(post).orderBy(
+            col("_change_type"), col("s_suppkey")),
+          t0.resolve("_change_data/cdc-v1.parquet"))
+        java.nio.file.Files.writeString(logDir.resolve(f"${1L}%020d.json"), Seq(
+          """{"remove":{"path":"data/bucket=0/f0.parquet","dataChange":true}}""",
+          """{"add":{"path":"data/bucket=0/f1.parquet","partitionValues":{"bucket":"0"},"dataChange":true}}""",
+          """{"cdc":{"path":"_change_data/cdc-v1.parquet","partitionValues":{"bucket":"0"},"dataChange":false}}""")
+          .mkString("\n"))
+        // v2: ENGINE delete on bucket 1 — the CDF-enabled writer must
+        // record the deleted rows itself
+        val v2 = graft.sources.DeltaLog.deleteWithDv(s, t0.toString,
+          "data/bucket=1/f0.parquet", col("s_suppkey") % 3 === 0,
+          uuid = new java.util.UUID(0x6772616674L, 0x63646631L))
+        require(v2 == 2L, s"engine CDF delete landed at v$v2, want 2")
+        val v2Lines = java.nio.file.Files.readString(
+          logDir.resolve(f"${2L}%020d.json"))
+        require(v2Lines.contains("\"cdc\""),
+          "CDF-enabled deleteWithDv must record a cdc action")
+        t0.toString
+      })
+
+  /** F14n (r12): the recorded change feed end-to-end — v0's inserts
+    * DERIVED from the pure-add commit, v1's update pre/post images
+    * read VERBATIM from its `_change_data` file, v2's deletes recorded
+    * by the ENGINE's own CDF-enabled deleteWithDv. Oracle replays all
+    * three shapes in plain SQL; a reader that diffs snapshots instead
+    * of reading the recorded feed cannot produce the pre/post rows and
+    * hash-fails.
+    */
+  def deltaCdfActions(s: SparkSession, dir: String): DataFrame =
+    graft.sources.DeltaLog.tableChangesCdf(s,
+        buildDeltaCdfActionsTable(s, dir), -1L, 2L)
+      .orderBy(col("_commit_version"), col("_change_type"),
+        col("s_suppkey"))
+
+  // ---------------------------------------------------------------
   // T38: PII scrubbing — emails/IPv4s/phones to typed placeholders
   // with a per-document removal report. The corpus gets DETERMINISTIC
   // PII injected (both engines apply the identical concatenation), so
@@ -269,7 +368,8 @@ object QueriesR22 {
     "delta_timestamp_asof" -> (deltaTimestampAsof _),
     "delta_cdf_stream" -> (deltaCdfStream _),
     "iceberg_ref_read" -> (icebergRefRead _),
-    "text_pii_redact" -> (textPiiRedact _))
+    "text_pii_redact" -> (textPiiRedact _),
+    "delta_cdf_actions" -> (deltaCdfActions _))
 
   val sql: Map[String, String] = Map(
     "stream_kafka_rebalance" ->
@@ -352,5 +452,26 @@ object QueriesR22 {
         |    '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS n_phone,
         |  md5(regexp_replace(t2, '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g'))
         |    AS red_md5
-        |FROM s2 ORDER BY doc_id""".stripMargin)
+        |FROM s2 ORDER BY doc_id""".stripMargin,
+    // v0 = every row as a derived insert; v1 = pre/post images of the
+    // bucket-0 %5 rows; v2 = engine-recorded deletes of bucket-1 %3
+    "delta_cdf_actions" ->
+      """WITH base AS (
+        |  SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey,
+        |    CAST(CAST(s_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+        |    CAST(s_suppkey % 2 AS VARCHAR) AS bucket
+        |  FROM supplier
+        |)
+        |SELECT s_suppkey, cents, bucket,
+        |  'insert' AS _change_type, 0 AS _commit_version FROM base
+        |UNION ALL
+        |SELECT s_suppkey, cents, bucket, 'update_preimage', 1
+        |FROM base WHERE bucket = '0' AND s_suppkey % 5 = 0
+        |UNION ALL
+        |SELECT s_suppkey, cents + 100, bucket, 'update_postimage', 1
+        |FROM base WHERE bucket = '0' AND s_suppkey % 5 = 0
+        |UNION ALL
+        |SELECT s_suppkey, cents, bucket, 'delete', 2
+        |FROM base WHERE bucket = '1' AND s_suppkey % 3 = 0
+        |ORDER BY _commit_version, _change_type, s_suppkey""".stripMargin)
 }

@@ -787,7 +787,18 @@ object DeltaLog {
         val dvFiles = f.deletionVector.toSeq.flatMap(dvBinPath(table, _))
         Paths.get(table, f.path).toAbsolutePath.normalize +: dvFiles
       }
-    }.toSet
+    } .toSet ++
+      // `_change_data` files of RETAINED commits stay (F14n): a CDF read
+      // over the retained window replays them; below-window commits are
+      // unreadable anyway, so their cdc files are fair game. A retained
+      // version whose json was checkpoint-trimmed has no cdc to keep.
+      (fromV to cur)
+        .filter(v => Files.exists(
+          Paths.get(table, "_delta_log", f"$v%020d.json")))
+        .flatMap { v =>
+          commitActions(table, v).filter(_.kind == "cdc")
+            .map(a => Paths.get(table, a.path).toAbsolutePath.normalize)
+        }
     val root = Paths.get(table).toAbsolutePath.normalize
     val walk = Files.walk(root)
     val all = try walk.iterator().asScala
@@ -963,6 +974,136 @@ object DeltaLog {
     }.reduce(_ unionByName _)
   }
 
+  /** One parsed file action of a single commit (F14n). */
+  private final case class CommitAction(kind: String, path: String,
+                                        pv: Map[String, String],
+                                        dataChange: Boolean,
+                                        dv: Option[String])
+
+  /** The file actions of commit `v` — driver-side parse of ONE json
+    * commit (metadata-sized by contract).
+    */
+  private def commitActions(table: String, v: Long): Seq[CommitAction] = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val p = Paths.get(table, "_delta_log", f"$v%020d.json")
+    require(Files.exists(p), s"commit v$v missing: $table")
+    Files.readAllLines(p).asScala.filter(_.nonEmpty).toSeq.flatMap { line =>
+      val j = JsonMethods.parse(line)
+      Seq("cdc", "add", "remove").flatMap { k =>
+        (j \ k) match {
+          case JNothing => None
+          case a =>
+            val path = (a \ "path") match {
+              case JString(s) => s
+              case _ => throw new IllegalArgumentException(
+                s"$k action without path in v$v: $table")
+            }
+            val pv = (a \ "partitionValues") match {
+              case JObject(fs) =>
+                fs.collect { case (n, JString(s)) => n -> s }.toMap
+              case _ => Map.empty[String, String]
+            }
+            val dc = (a \ "dataChange") match {
+              case JBool(b) => b
+              case _ => true
+            }
+            val dvj = (a \ "deletionVector") match {
+              case JNothing => None
+              case d => Some(JsonMethods.compact(JsonMethods.render(d)))
+            }
+            Some(CommitAction(k, path, pv, dc, dvj))
+        }
+      }
+    }
+  }
+
+  /** F14n (r12): the RECORDED change feed — per-commit changes exactly
+    * as the Delta CDF contract defines them. A commit with `cdc`
+    * actions reads its `_change_data` files verbatim (this is where
+    * UPDATE pre/post images live — `update_preimage`/
+    * `update_postimage`, which no snapshot diff can reconstruct); a
+    * commit WITHOUT cdc actions derives per the spec's allowed
+    * omissions: add-only commits are pure inserts of the added files,
+    * remove-only commits pure deletes of the removed files' LIVE rows
+    * (the prior version's deletion vector applied — already-deleted
+    * rows are not deleted again); a mixed commit without cdc cannot be
+    * derived exactly and rejects loudly. `fromV = -1` starts at the
+    * first commit (version 0's inserts included); the range is
+    * otherwise (fromV, toV] like [[tableChangesByVersion]], with
+    * `_commit_version` stamped per row.
+    */
+  def tableChangesCdf(spark: SparkSession, table: String,
+                      fromV: Long, toV: Long): DataFrame = {
+    import org.apache.spark.sql.types.{StringType, StructField, StructType => SType}
+    require(fromV >= -1 && fromV < toV,
+      s"tableChangesCdf wants -1 <= fromV < toV, got $fromV..$toV")
+    val st = state(spark, table, Some(toV))
+    require(st.columnMappingMode == "none",
+      s"CDF read on a column-mapped table is not in the stated subset: $table")
+    val dataSchema = SType(
+      st.schema.fields.filterNot(f => st.partitionColumns.contains(f.name)))
+    val cdcSchema = SType(dataSchema.fields :+
+      StructField("_change_type", StringType, nullable = false))
+    def attachPv(df: DataFrame, pv: Map[String, String]): DataFrame =
+      st.partitionColumns.foldLeft(df) { (d, c) =>
+        val f = st.schema.fields.find(_.name == c).getOrElse(
+          throw new IllegalArgumentException(s"partition column $c not in schema"))
+        d.withColumn(c, lit(pv.get(c).orNull).cast(f.dataType))
+      }
+    def ordered(df: DataFrame): DataFrame =
+      df.select((st.schema.fieldNames.toSeq :+ "_change_type").map(col): _*)
+    def minusDv(df: DataFrame, dvJson: Option[String]): DataFrame = dvJson match {
+      case None => df.drop("__pos")
+      case Some(d) =>
+        import spark.implicits._
+        val pos = spark.createDataset(decodeDvPositions(table, d).toSeq)
+          .toDF("__pos")
+        df.join(pos, Seq("__pos"), "left_anti").drop("__pos")
+    }
+    val perVersion = (math.max(fromV + 1, 0L) to toV).flatMap { v =>
+      val acts = commitActions(table, v)
+      val cdc = acts.filter(_.kind == "cdc")
+      val adds = acts.filter(a => a.kind == "add" && a.dataChange)
+      val removes = acts.filter(a => a.kind == "remove" && a.dataChange)
+      val changes: Option[DataFrame] =
+        if (cdc.nonEmpty) Some(cdc.map { a =>
+          val df = spark.read.schema(cdcSchema)
+            .parquet(Paths.get(table, a.path).toString)
+          ordered(attachPv(df, a.pv))
+        }.reduce(_ unionAll _))
+        else if (adds.nonEmpty && removes.isEmpty) {
+          require(adds.forall(_.dv.isEmpty),
+            s"add-only commit v$v carries a deletion vector: the CDF " +
+              s"derivation for that shape is not in the stated subset: $table")
+          Some(adds.map { a =>
+            val df = spark.read.schema(dataSchema)
+              .parquet(Paths.get(table, a.path).toString)
+            ordered(attachPv(df, a.pv)
+              .withColumn("_change_type", lit("insert")))
+          }.reduce(_ unionAll _))
+        } else if (removes.nonEmpty && adds.isEmpty) {
+          val prior = state(spark, table, Some(v - 1))
+          Some(removes.map { a =>
+            val priorDv = prior.files.find(_.path == a.path)
+              .flatMap(_.deletionVector)
+            val df = spark.read.schema(dataSchema)
+              .parquet(Paths.get(table, a.path).toString)
+              .select(col("_metadata.row_index").as("__pos"), col("*"))
+            ordered(attachPv(minusDv(df, priorDv), a.pv)
+              .withColumn("_change_type", lit("delete")))
+          }.reduce(_ unionAll _))
+        } else if (adds.isEmpty && removes.isEmpty) None
+        else throw new IllegalArgumentException(
+          s"commit v$v mixes adds and removes without recorded cdc " +
+            s"actions — the change feed cannot be derived exactly: $table")
+      changes.map(_.withColumn("_commit_version", lit(v)))
+    }
+    require(perVersion.nonEmpty,
+      s"no data-changing commits in ($fromV, $toV]: $table")
+    perVersion.reduce(_ unionByName _)
+  }
+
   /** DELETE rows from one live data file via a DELETION VECTOR (r10 —
     * the modern Delta delete: emit a Roaring DV instead of rewriting
     * the file). Reads `relPath` with parquet row indexes, evaluates
@@ -1007,8 +1148,23 @@ object DeltaLog {
       .select("__pos").as[Long](org.apache.spark.sql.Encoders.scalaLong)
       .collect()
     require(fresh.nonEmpty, "predicate deleted no rows: refuse a no-op DV")
-    val positions = (fresh.toSet ++ target.deletionVector.toSeq
-      .flatMap(dvJson => decodeDvPositions(table, dvJson))).toArray.sorted
+    // F14n (r12): a CDF-enabled table RECORDS its deletes — the newly
+    // deleted rows (this commit's positions only, never re-deletes)
+    // land as a `_change_data` file + cdc action in the same commit,
+    // which is what makes update/delete commits exactly replayable
+    // downstream (the spec's contract; snapshot diffs cannot tell an
+    // update apart). Column-mapped + CDF stays out of subset, loud.
+    val cdfEnabled =
+      st.configuration.getOrElse("delta.enableChangeDataFeed", "false") == "true"
+    require(!cdfEnabled || st.columnMappingMode == "none",
+      s"deleteWithDv with changeDataFeed on a column-mapped table is " +
+        s"not in the stated subset: $table")
+    val existing = target.deletionVector.toSeq
+      .flatMap(dvJson => decodeDvPositions(table, dvJson)).toSet
+    // the CDF records NEWLY deleted rows only — a predicate re-matching
+    // an already-deleted row deletes nothing (exactly-once feed)
+    val newly = fresh.toSet -- existing
+    val positions = (fresh.toSet ++ existing).toArray.sorted
     val bitmap = DeletionVectors.encodePortable64(positions)
     val (dvFile, dvOff, dvSize) = DeletionVectors.dvFileBytes(bitmap)
     Files.write(Paths.get(table, s"deletion_vector_$uuid.bin"), dvFile)
@@ -1017,6 +1173,26 @@ object DeltaLog {
     ub.putLong(uuid.getLeastSignificantBits)
     val z85 = DeletionVectors.z85Encode(ub.array())
     val pvJson = pvJsonOf(target.partitionValues)
+    val cdcLine: Option[String] =
+      if (!cdfEnabled || newly.isEmpty) None
+      else {
+        import spark.implicits._
+        val posDf = spark.createDataset(newly.toSeq).toDF("__pos")
+        val deletedRows = raw.join(posDf, Seq("__pos"), "left_semi")
+          .drop("__pos")
+          .withColumn("_change_type", lit("delete"))
+        val rel = s"_change_data/cdc-$uuid.parquet"
+        val tmp = Files.createTempDirectory("delta_cdc")
+        deletedRows.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = listParquet(tmp).headOption.getOrElse(
+          throw new IllegalStateException("cdc write produced no parquet"))
+        Files.createDirectories(Paths.get(table, "_change_data"))
+        Files.move(part, Paths.get(table, rel))
+        deleteTmp(tmp)
+        val size = Files.size(Paths.get(table, rel))
+        Some(s"""{"cdc":{"path":"$rel","partitionValues":$pvJson,""" +
+          s""""size":$size,"dataChange":false}}""")
+      }
     val commit =
       s"""{"add":{"path":"$relPath","partitionValues":$pvJson,""" +
         s""""dataChange":false,"deletionVector":{"storageType":"u",""" +
@@ -1024,7 +1200,8 @@ object DeltaLog {
         s""""cardinality":${positions.length}}}}"""
     val next = st.version + 1
     Files.writeString(
-      Paths.get(table, "_delta_log", f"$next%020d.json"), commit)
+      Paths.get(table, "_delta_log", f"$next%020d.json"),
+      (commit +: cdcLine.toSeq).mkString("\n"))
     next
   }
 }

@@ -118,6 +118,54 @@ class DeltaCdfSpec extends AnyFunSuite {
     assert(ids == Set(3L))
   }
 
+  test("tableChangesCdf: derived inserts, derived deletes, loud mixed commit") {
+    val t = mkTable() // v0 adds f0 (2 rows), v1 adds f1 (1 row) — no cdc
+    val all = DeltaLog.tableChangesCdf(spark, t.toString, -1L, 1L)
+      .select(col("id"), col("_change_type"), col("_commit_version"))
+      .as[(Long, String, Long)].collect().toSet
+    assert(all == Set((1L, "insert", 0L), (2L, "insert", 0L),
+      (3L, "insert", 1L)), all.toString)
+    // v2: remove-only commit → deletes derived from the removed file
+    commit(t, 2L, Seq(
+      """{"remove":{"path":"f1.parquet","dataChange":true}}"""))
+    val dels = DeltaLog.tableChangesCdf(spark, t.toString, 1L, 2L)
+      .select(col("id"), col("_change_type")).as[(Long, String)]
+      .collect().toSet
+    assert(dels == Set((3L, "delete")))
+    // v3: mixed add+remove WITHOUT cdc → cannot be derived, loud
+    writeFile(t, "f2.parquet", Seq((9L, "z")))
+    commit(t, 3L, Seq(
+      """{"remove":{"path":"f0.parquet","dataChange":true}}""",
+      """{"add":{"path":"f2.parquet","partitionValues":{},"dataChange":true}}"""))
+    val e = intercept[IllegalArgumentException] {
+      DeltaLog.tableChangesCdf(spark, t.toString, 2L, 3L).collect()
+    }
+    assert(e.getMessage.contains("cannot be derived exactly"))
+  }
+
+  test("CDF-enabled deleteWithDv records only the NEWLY deleted rows") {
+    val t = Files.createTempDirectory("deltacdfw")
+    Files.createDirectories(t.resolve("_delta_log"))
+    writeFile(t, "f0.parquet", (1L to 6L).map(i => (i, s"r$i")))
+    commit(t, 0L, Seq(
+      s"""{"metaData":{"id":"w","schemaString":"${esc(schema.json)}","partitionColumns":[],"configuration":{"delta.enableChangeDataFeed":"true"}}}""",
+      """{"add":{"path":"f0.parquet","partitionValues":{},"dataChange":true}}"""))
+    DeltaLog.deleteWithDv(spark, t.toString, "f0.parquet",
+      col("id") % 2 === 0)
+    // second delete overlaps nothing new for evens; %3 adds id=3 only
+    // NEW (6 is already gone) — the cdc file must carry 3 alone
+    DeltaLog.deleteWithDv(spark, t.toString, "f0.parquet",
+      col("id") % 3 === 0)
+    val feed = DeltaLog.tableChangesCdf(spark, t.toString, 0L, 2L)
+      .select(col("id"), col("_change_type"), col("_commit_version"))
+      .as[(Long, String, Long)].collect().toSet
+    assert(feed == Set((2L, "delete", 1L), (4L, "delete", 1L),
+      (6L, "delete", 1L), (3L, "delete", 2L)), feed.toString)
+    // and the live read agrees with the feed's arithmetic
+    assert(DeltaLog.read(spark, t.toString).select("id").as[Long]
+      .collect().toSet == Set(1L, 5L))
+  }
+
   test("versionAtTimestamp: monotonic adjustment and boundary semantics") {
     val t = mkTable()
     val log = t.resolve("_delta_log")

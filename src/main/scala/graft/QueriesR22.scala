@@ -363,7 +363,62 @@ object QueriesR22 {
       .orderBy(col("doc_id"))
   }
 
+  // ---------------------------------------------------------------
+  // F15k: Iceberg time travel by TIMESTAMP — snapshots stamped
+  // `timestamp-ms` by the engine's own commits, resolved like the
+  // Delta leg (last stamped snapshot ≤ t, monotonic-adjusted).
+  // ---------------------------------------------------------------
+
+  private val iceTsBase = 1700000000000L
+
+  private def buildIcebergTsTable(s: SparkSession, dir: String): String =
+    tableBuildMemo.computeIfAbsent(
+      (s.sparkContext.applicationId, dir, "iceberg_ts"), _ => {
+        import graft.sources.IcebergCatalog._
+        val t0 = java.nio.file.Files.createTempDirectory("ice_ts")
+        val mdir = t0.resolve("metadata")
+        java.nio.file.Files.createDirectories(mdir)
+        val ml1 = mdir.resolve("snap-10.avro")
+        writeManifestList(ml1, Seq.empty)
+        writeMetadataJsonSpec(mdir.resolve("v1.metadata.json"),
+          Seq(("n_nationkey", "long", true), ("cents", "long", false)),
+          Seq.empty, Seq(10L -> ml1)) // snap 10: empty, UNSTAMPED
+        val nat = t(s, dir, "nation").select(
+          col("n_nationkey").cast("long").as("n_nationkey"),
+          (col("n_regionkey").cast("long") * 100 +
+            length(col("n_name")).cast("long")).as("cents"))
+        val s20 = commitAppend(s, t0.toString, nat, snapshotId = 20L,
+          timestampMs = iceTsBase)
+        require(s20 == 20L)
+        val s30 = commitAppend(s, t0.toString,
+          nat.select((col("n_nationkey") + 1000L).as("n_nationkey"),
+            col("cents")),
+          snapshotId = 30L, timestampMs = iceTsBase + 60000L)
+        require(s30 == 30L)
+        // pin the whole resolution surface
+        require(graft.sources.IcebergCatalog
+          .snapshotAtTimestamp(t0.toString, iceTsBase + 60000L) == 30L)
+        require(graft.sources.IcebergCatalog
+          .snapshotAtTimestamp(t0.toString, iceTsBase + 59999L) == 20L)
+        val loud =
+          try { graft.sources.IcebergCatalog
+            .snapshotAtTimestamp(t0.toString, iceTsBase - 1L); false }
+          catch { case _: IllegalArgumentException => true }
+        require(loud, "pre-first-stamp instant must reject loudly")
+        t0.toString
+      })
+
+  /** F15k (r12): read "as of 30 seconds after the first stamped
+    * commit" — resolves to snapshot 20 (the nation projection), not
+    * the later append; the unstamped empty snapshot never anchors.
+    */
+  def icebergTimestampAsof(s: SparkSession, dir: String): DataFrame =
+    graft.sources.IcebergCatalog.readAsOfTimestamp(s,
+        buildIcebergTsTable(s, dir), iceTsBase + 30000L)
+      .orderBy(col("n_nationkey"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "iceberg_timestamp_asof" -> (icebergTimestampAsof _),
     "stream_kafka_rebalance" -> (streamKafkaRebalance _),
     "delta_timestamp_asof" -> (deltaTimestampAsof _),
     "delta_cdf_stream" -> (deltaCdfStream _),
@@ -473,5 +528,11 @@ object QueriesR22 {
         |UNION ALL
         |SELECT s_suppkey, cents, bucket, 'delete', 2
         |FROM base WHERE bucket = '1' AND s_suppkey % 3 = 0
-        |ORDER BY _commit_version, _change_type, s_suppkey""".stripMargin)
+        |ORDER BY _commit_version, _change_type, s_suppkey""".stripMargin,
+    // snapshot 20 = the nation projection alone (the later append is
+    // after the pinned instant)
+    "iceberg_timestamp_asof" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+        |  CAST(n_regionkey * 100 + length(n_name) AS BIGINT) AS cents
+        |FROM nation ORDER BY n_nationkey""".stripMargin)
 }

@@ -603,7 +603,8 @@ object IcebergCatalog {
   def commitPositionDelete(spark: SparkSession, table: String,
                            dataFileTail: String,
                            predicate: org.apache.spark.sql.Column,
-                           snapshotId: Long): Long = {
+                           snapshotId: Long,
+                           timestampMs: Long = -1L): Long = {
     val st = state(spark, table)
     val target = st.files.find(_.path.endsWith(dataFileTail)).getOrElse(
       throw new IllegalArgumentException(
@@ -643,7 +644,8 @@ object IcebergCatalog {
   def commitEqualityDelete(spark: SparkSession, table: String,
                            equalityCols: Seq[String],
                            rows: org.apache.spark.sql.DataFrame,
-                           snapshotId: Long): Long = {
+                           snapshotId: Long,
+                           timestampMs: Long = -1L): Long = {
     require(equalityCols.nonEmpty, "equality delete with no columns")
     val st = state(spark, table)
     val idByName = schemaFieldIdsByName(table)
@@ -726,7 +728,8 @@ object IcebergCatalog {
     */
   def commitAppend(spark: SparkSession, table: String,
                    rows: org.apache.spark.sql.DataFrame,
-                   snapshotId: Long): Long = {
+                   snapshotId: Long,
+                   timestampMs: Long = -1L): Long = {
     val st = state(spark, table)
     require(st.eqDeletes.isEmpty,
       "append to a table with equality deletes: under the " +
@@ -803,7 +806,7 @@ object IcebergCatalog {
       ManifestEntry(1, dst.toString, 0, pv,
         boundsLong = boundsByFile.getOrElse(dst.getFileName.toString, Map.empty))
     }
-    appendSnapshot(table, st, entries, snapshotId, "add")
+    appendSnapshot(table, st, entries, snapshotId, "add", timestampMs)
   }
 
   /** Shared commit tail: a new manifest with `entry`, a manifest list
@@ -813,12 +816,14 @@ object IcebergCatalog {
     */
   private def appendDeleteSnapshot(table: String, st: IceState,
                                    entry: ManifestEntry,
-                                   snapshotId: Long): Long =
-    appendSnapshot(table, st, Seq(entry), snapshotId, "del")
+                                   snapshotId: Long,
+                                   timestampMs: Long = -1L): Long =
+    appendSnapshot(table, st, Seq(entry), snapshotId, "del", timestampMs)
 
   private def appendSnapshot(table: String, st: IceState,
                              entries: Seq[ManifestEntry],
-                             snapshotId: Long, kind: String): Long = {
+                             snapshotId: Long, kind: String,
+                             timestampMs: Long = -1L): Long = {
     val (md, mdPath) = loadMetadata(table)
     val snap = (md \ "snapshots").children.find(s =>
       (s \ "snapshot-id") match {
@@ -836,11 +841,17 @@ object IcebergCatalog {
     val newMl = mdir.resolve(s"snap-$snapshotId.avro")
     writeManifestList(newMl, oldManifests :+ newManifest)
     // new metadata version: snapshot appended, current advanced
+    // timestamp-ms (F15k, r12): the spec's commit instant — what
+    // time travel by wall clock resolves against; -1 = unstamped (the
+    // pre-r12 fixture shape stays byte-identical)
+    val snapFields =
+      List("snapshot-id" -> JInt(snapshotId),
+        "manifest-list" -> JString(newMl.toString)) ++
+        (if (timestampMs >= 0) List("timestamp-ms" -> JInt(timestampMs))
+         else Nil)
     val newMd = md merge JObject(
       "current-snapshot-id" -> JInt(snapshotId),
-      "snapshots" -> JArray(List(JObject(
-        "snapshot-id" -> JInt(snapshotId),
-        "manifest-list" -> JString(newMl.toString)))))
+      "snapshots" -> JArray(List(JObject(snapFields: _*))))
     val ver = metaVersion(mdPath.getFileName.toString)
     require(ver >= 0, s"unversioned metadata file ${mdPath.getFileName}")
     Files.writeString(mdir.resolve(s"v${ver + 1}.metadata.json"),
@@ -935,6 +946,44 @@ object IcebergCatalog {
         s"${if (all.isEmpty) "none" else all.keys.toSeq.sorted.mkString(",")}): " +
         table))._1
   }
+
+  /** F15k (r12): time travel by TIMESTAMP — the LAST snapshot whose
+    * `timestamp-ms` is at or before the instant, commit-order
+    * monotonic-adjusted like the Delta resolution (a clock-skewed
+    * later snapshot inherits its predecessor's time). Snapshots
+    * WITHOUT `timestamp-ms` (pre-r12 fixtures) cannot anchor a
+    * resolution and are skipped; an instant before the first STAMPED
+    * snapshot rejects loudly.
+    */
+  def snapshotAtTimestamp(table: String, tsMillis: Long): Long = {
+    val (md, _) = loadMetadata(table)
+    val snaps = (md \ "snapshots").children.map { sn =>
+      val id = (sn \ "snapshot-id") match {
+        case JInt(v) => v.toLong
+        case _ => throw new IllegalArgumentException("snapshot without id")
+      }
+      val ts = (sn \ "timestamp-ms") match {
+        case JInt(v) => Some(v.toLong)
+        case _ => None
+      }
+      (id, ts)
+    }
+    var runningMax = Long.MinValue
+    val stamped = snaps.flatMap { case (id, ts) =>
+      ts.map { t => runningMax = math.max(runningMax, t); (id, runningMax) }
+    }
+    require(stamped.nonEmpty,
+      s"no snapshot carries timestamp-ms; timestampAsOf cannot resolve: $table")
+    require(stamped.head._2 <= tsMillis,
+      s"timestampAsOf $tsMillis is before the first stamped snapshot " +
+        s"(${stamped.head._2}): $table")
+    stamped.takeWhile(_._2 <= tsMillis).last._1
+  }
+
+  /** [[read]] pinned to the snapshot a wall-clock instant saw. */
+  def readAsOfTimestamp(spark: SparkSession, table: String,
+                        tsMillis: Long): DataFrame =
+    read(spark, table, Some(snapshotAtTimestamp(table, tsMillis)))
 
   /** Read the snapshot a named branch/tag pins. */
   def readRef(spark: SparkSession, table: String, ref: String,

@@ -45,11 +45,16 @@ final class DeltaCdfProvider extends StreamSourceProvider {
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
                             schema: Option[StructType], providerName: String,
-                            parameters: Map[String, String]): Source =
+                            parameters: Map[String, String]): Source = {
+    val feed = parameters.getOrElse("feed", "diff")
+    require(feed == "diff" || feed == "recorded",
+      s"option feed must be diff|recorded, got $feed")
     new DeltaCdfSource(sqlContext.sparkSession, tableOf(parameters),
       parameters.getOrElse("startingVersion", "0").toLong,
       parameters.getOrElse("maxVersionsPerTrigger",
-        Int.MaxValue.toString).toInt)
+        Int.MaxValue.toString).toInt,
+      recorded = feed == "recorded")
+  }
 }
 
 object DeltaCdfProvider {
@@ -66,9 +71,15 @@ object DeltaCdfProvider {
   }
 }
 
+/** `recorded = true` streams [[DeltaLog.tableChangesCdf]] (the cdc
+  * actions + `_change_data` files — update pre/post images included,
+  * F14n) instead of the snapshot diff; `startingVersion = -1` then
+  * includes version 0's inserts.
+  */
 private final class DeltaCdfSource(spark: SparkSession, table: String,
                                    startingVersion: Long,
-                                   maxVersionsPerTrigger: Int)
+                                   maxVersionsPerTrigger: Int,
+                                   recorded: Boolean = false)
     extends Source {
 
   require(maxVersionsPerTrigger >= 1,
@@ -100,8 +111,10 @@ private final class DeltaCdfSource(spark: SparkSession, table: String,
     val fromV = start.map(versionOf).getOrElse(startingVersion)
     val toV = versionOf(end)
     planned = math.max(planned, toV)
-    val df = DeltaLog.tableChangesByVersion(spark, table, fromV, toV)
-      .select(schema.fieldNames.map(col).toSeq: _*)
+    val changes =
+      if (recorded) DeltaLog.tableChangesCdf(spark, table, fromV, toV)
+      else DeltaLog.tableChangesByVersion(spark, table, fromV, toV)
+    val df = changes.select(schema.fieldNames.map(col).toSeq: _*)
     org.apache.spark.sql.graftbridge.ColumnBridge.asStreaming(df)
   }
 

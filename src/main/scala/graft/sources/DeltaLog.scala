@@ -1099,9 +1099,17 @@ object DeltaLog {
             s"actions — the change feed cannot be derived exactly: $table")
       changes.map(_.withColumn("_commit_version", lit(v)))
     }
-    require(perVersion.nonEmpty,
-      s"no data-changing commits in ($fromV, $toV]: $table")
-    perVersion.reduce(_ unionByName _)
+    if (perVersion.isEmpty) {
+      // a range of no-op commits (e.g. a DV re-add with nothing newly
+      // deleted) is an EMPTY feed, not an error — the streaming source
+      // hits this shape on any metadata-only version bump
+      val outSchema = SType(st.schema.fields.toSeq ++ Seq(
+        StructField("_change_type", StringType, nullable = false),
+        StructField("_commit_version",
+          org.apache.spark.sql.types.LongType, nullable = false)))
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
+    } else perVersion.reduce(_ unionByName _)
   }
 
   /** DELETE rows from one live data file via a DELETION VECTOR (r10 —

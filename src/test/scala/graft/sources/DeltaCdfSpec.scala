@@ -166,6 +166,52 @@ class DeltaCdfSpec extends AnyFunSuite {
       .collect().toSet == Set(1L, 5L))
   }
 
+  test("feed=recorded streams the cdc actions (update images included)") {
+    val t = Files.createTempDirectory("deltacdfr")
+    Files.createDirectories(t.resolve("_delta_log"))
+    writeFile(t, "f0.parquet", Seq((1L, "a"), (2L, "b")))
+    commit(t, 0L, Seq(
+      s"""{"metaData":{"id":"r","schemaString":"${esc(schema.json)}","partitionColumns":[],"configuration":{"delta.enableChangeDataFeed":"true"}}}""",
+      """{"add":{"path":"f0.parquet","partitionValues":{},"dataChange":true}}"""))
+    // v1: recorded update of id=2 (pre/post images in _change_data)
+    writeFile(t, "f1.parquet", Seq((1L, "a"), (2L, "B")))
+    val cdcSchema = org.apache.spark.sql.types.StructType(schema.fields :+
+      org.apache.spark.sql.types.StructField("_change_type",
+        org.apache.spark.sql.types.StringType))
+    val images = Seq((2L, "b", "update_preimage"), (2L, "B", "update_postimage"))
+      .toDF("id", "v", "_change_type")
+    val tmp = Files.createTempDirectory("cdfr_cdc")
+    images.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val st0 = Files.list(tmp)
+    val part = try st0.iterator().asScala
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    finally st0.close()
+    Files.createDirectories(t.resolve("_change_data"))
+    Files.move(part, t.resolve("_change_data/cdc-r1.parquet"))
+    DeltaLog.deleteTmp(tmp)
+    commit(t, 1L, Seq(
+      """{"remove":{"path":"f0.parquet","dataChange":true}}""",
+      """{"add":{"path":"f1.parquet","partitionValues":{},"dataChange":true}}""",
+      """{"cdc":{"path":"_change_data/cdc-r1.parquet","partitionValues":{},"dataChange":false}}"""))
+    val name = s"cdfrec_${System.nanoTime()}"
+    val q = spark.readStream.format("graft.sources.DeltaCdfProvider")
+      .option("table", t.toString)
+      .option("feed", "recorded")
+      .option("startingVersion", "-1") // include v0's inserts
+      .option("maxVersionsPerTrigger", "1")
+      .load()
+      .writeStream.outputMode("append").format("memory").queryName(name)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val rows = spark.table(name)
+      .select(col("id"), col("v"), col("_change_type"), col("_commit_version"))
+      .as[(Long, String, String, Long)].collect().toSet
+    assert(rows == Set(
+      (1L, "a", "insert", 0L), (2L, "b", "insert", 0L),
+      (2L, "b", "update_preimage", 1L), (2L, "B", "update_postimage", 1L)),
+      rows.toString)
+  }
+
   test("versionAtTimestamp: monotonic adjustment and boundary semantics") {
     val t = mkTable()
     val log = t.resolve("_delta_log")

@@ -123,26 +123,118 @@ object DeltaLog {
     * (r12, closing the r11 gap: the READ side was guarded but the
     * engine could still corrupt a table whose writer contract it
     * ignores — e.g. `invariants` it wouldn't enforce or `rowTracking`
-    * rows it wouldn't stamp).
+    * rows it wouldn't stamp). `changeDataFeed` is honored for real:
+    * data-changing commits record their cdc actions ([[deleteWithDv]],
+    * [[DeltaWrite.merge]]); `inCommitTimestamp` writes are stamped by
+    * [[writeCommit]] (r13).
     */
   private val SupportedWriterFeatures =
-    Set("columnMapping", "deletionVectors", "timestampNtz")
+    Set("columnMapping", "deletionVectors", "timestampNtz",
+      "changeDataFeed", "inCommitTimestamp")
+
+  /** The writer features a LEGACY protocol version (2..6) IMPLIES
+    * without listing them — `writerFeatures` only exists at v7, but
+    * the contract the versions carry is the same (PROTOCOL.md's
+    * version-to-feature table). r13, closing the r12 advice gap: a
+    * minWriterVersion=2 (append-only/invariants) table used to pass
+    * the guard unexamined.
+    */
+  private val LegacyWriterFeatures: Seq[(Int, String)] = Seq(
+    2 -> "appendOnly", 2 -> "invariants",
+    3 -> "checkConstraints",
+    4 -> "changeDataFeed", 4 -> "generatedColumns",
+    5 -> "columnMapping",
+    6 -> "identityColumns")
+
+  /** Top-level keys of a Spark field-metadata blob (the Metadata class
+    * exposes only point lookups; the feature-activation checks need a
+    * prefix scan for `delta.identity.*`).
+    */
+  private def metadataKeys(m: org.apache.spark.sql.types.Metadata): Set[String] = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    JsonMethods.parse(m.json) match {
+      case JObject(fs) => fs.map(_._1).toSet
+      case _ => Set.empty
+    }
+  }
+
+  /** Does any field (at any nesting level) carry a metadata key
+    * matching `pred`? Invariants / generated / identity columns all
+    * announce themselves this way in the schemaString.
+    */
+  private def schemaHasMetaKey(dt: DataType, pred: String => Boolean): Boolean =
+    dt match {
+      case st: StructType => st.fields.exists(f =>
+        metadataKeys(f.metadata).exists(pred) ||
+          schemaHasMetaKey(f.dataType, pred))
+      case org.apache.spark.sql.types.ArrayType(et, _) =>
+        schemaHasMetaKey(et, pred)
+      case org.apache.spark.sql.types.MapType(k, v, _) =>
+        schemaHasMetaKey(k, pred) || schemaHasMetaKey(v, pred)
+      case _ => false
+    }
+
+  /** Is a writer feature outside the allowlist actually ACTIVE on this
+    * table — i.e. would a writer that ignores it corrupt something?
+    * A v3 table with no CHECK constraints defined carries the
+    * `checkConstraints` contract vacuously; refusing it would lock
+    * this writer out of every legacy table for no protection.
+    * `opDeletesData` feeds the appendOnly check: OPTIMIZE/checkpoint/
+    * vacuum never delete rows, so appendOnly permits them.
+    */
+  private def featureActive(st: State, feature: String,
+                            opDeletesData: Boolean): Boolean = feature match {
+    case "appendOnly" =>
+      opDeletesData &&
+        st.configuration.getOrElse("delta.appendOnly", "false") == "true"
+    case "invariants" =>
+      schemaHasMetaKey(st.schema, _ == "delta.invariants")
+    case "checkConstraints" =>
+      st.configuration.keys.exists(_.startsWith("delta.constraints."))
+    case "generatedColumns" =>
+      schemaHasMetaKey(st.schema, _ == "delta.generationExpression")
+    case "identityColumns" =>
+      schemaHasMetaKey(st.schema, _.startsWith("delta.identity."))
+    case _ => true // an unknown listed feature is always binding
+  }
+
+  /** The ops whose commits DELETE data rows — what `delta.appendOnly`
+    * forbids (OPTIMIZE's dataChange=false rewrites and checkpoints are
+    * allowed on append-only tables; row deletion is not).
+    */
+  private val DataDeletingOps = Set("deleteWithDv", "restore", "merge")
 
   /** Refuse to WRITE (commit/compact/DV-delete/restore/vacuum/
-    * checkpoint) a table whose writer requirements this subset does
-    * not fully implement — the write-side twin of the reader's
-    * protocol guard.
+    * checkpoint/merge) a table whose writer requirements this subset
+    * does not fully implement — the write-side twin of the reader's
+    * protocol guard. Legacy versions 2..6 check their IMPLIED feature
+    * sets through the same allowlist (r13); an implied-but-inactive
+    * feature (no invariants defined, appendOnly unset) does not block,
+    * because ignoring it cannot corrupt anything.
     */
-  private def writerGuard(st: State, table: String, op: String): Unit = {
+  private[sources] def writerGuard(st: State, table: String, op: String): Unit = {
     require(st.minWriterVersion <= 7,
       s"delta protocol minWriterVersion=${st.minWriterVersion} exceeds 7 " +
         s"(the newest this writer implements); refusing to $op: $table")
-    val unknown = st.writerFeatures.filterNot(SupportedWriterFeatures.contains)
-    require(unknown.isEmpty,
-      s"delta writerFeatures ${unknown.mkString(",")} not implemented by " +
-        s"this writer (supported: " +
-        s"${SupportedWriterFeatures.toSeq.sorted.mkString(",")}); a $op " +
-        s"ignoring them could corrupt the table: $table")
+    val declared =
+      if (st.minWriterVersion >= 7) st.writerFeatures
+      else LegacyWriterFeatures.collect {
+        case (v, f) if st.minWriterVersion >= v => f
+      }
+    val deletes = DataDeletingOps.contains(op)
+    val blocking = declared.filterNot(SupportedWriterFeatures.contains)
+      .filter(featureActive(st, _, deletes))
+    require(blocking.isEmpty,
+      s"delta writer features ${blocking.mkString(",")} (minWriterVersion=" +
+        s"${st.minWriterVersion}) not implemented by this writer " +
+        s"(supported: ${SupportedWriterFeatures.toSeq.sorted.mkString(",")});" +
+        s" a $op ignoring them could corrupt the table: $table")
+    // the appendOnly CONFIG can be set on any protocol version (even
+    // v1, where no feature carries it) — honoring it is free
+    if (deletes)
+      require(st.configuration.getOrElse("delta.appendOnly", "false") != "true",
+        s"delta.appendOnly=true forbids $op (it deletes data rows): $table")
   }
 
   /** Fold one batch of action rows (a JSON commit or a checkpoint) into
@@ -728,9 +820,7 @@ object DeltaLog {
       s"""{"add":{"path":"$rel","partitionValues":$pvJson,""" +
         s""""dataChange":false,"stats":"${jsonEscape(stats)}"}}"""
     }
-    Files.writeString(
-      Paths.get(table, "_delta_log", f"$next%020d.json"),
-      (removes.result() ++ adds).mkString("\n"))
+    writeCommit(table, st, next, removes.result() ++ adds)
     next
   }
 
@@ -852,15 +942,64 @@ object DeltaLog {
     * every re-added file to still exist (a vacuumed target rejects
     * loudly). Returns the new version.
     */
+  /** Is the inCommitTimestamp feature ON for this state (the config
+    * key the protocol gates behind the v7 `inCommitTimestamp` writer
+    * feature)?
+    */
+  private[sources] def ictEnabled(st: State): Boolean =
+    st.configuration.getOrElse(
+      "delta.enableInCommitTimestamps", "false") == "true"
+
+  /** The `commitInfo.inCommitTimestamp` of commit `v`, if the commit
+    * recorded one — driver-side regex over one json commit
+    * (metadata-sized); None for legacy commits and trimmed logs.
+    */
+  private[sources] def ictOf(table: String, v: Long): Option[Long] = {
+    val p = Paths.get(table, "_delta_log", f"$v%020d.json")
+    if (!Files.exists(p)) None
+    else {
+      val txt = Files.readString(p)
+      if (!txt.contains("\"commitInfo\"")) None
+      else "\"inCommitTimestamp\"\\s*:\\s*(\\d+)".r
+        .findFirstMatchIn(txt).map(_.group(1).toLong)
+    }
+  }
+
+  /** Write commit `next`'s json, stamping a `commitInfo` action with
+    * `inCommitTimestamp` when the feature is enabled (r13, task 4:
+    * mtimes don't survive log copy/restore; the in-commit form is the
+    * durable one). The stamp is forced monotonic past the previous
+    * commit's — the protocol's own clock-skew rule. `nowMs < 0` uses
+    * the wall clock (the normal path); fixtures pass a pinned instant.
+    */
+  private[sources] def writeCommit(table: String, st: State, next: Long,
+                                   lines: Seq[String],
+                                   nowMs: Long = -1L): Unit = {
+    val all =
+      if (!ictEnabled(st)) lines
+      else {
+        val prev = if (next == 0L) None else ictOf(table, next - 1)
+        val base = if (nowMs >= 0) nowMs else System.currentTimeMillis()
+        val ts = math.max(base, prev.map(_ + 1).getOrElse(Long.MinValue))
+        s"""{"commitInfo":{"inCommitTimestamp":$ts}}""" +: lines
+      }
+    Files.writeString(
+      Paths.get(table, "_delta_log", f"$next%020d.json"),
+      all.mkString("\n"))
+  }
+
   /** TIME TRAVEL BY TIMESTAMP (r12, the r11 verdict's #3 gap: "users
     * ask for 'the table as of yesterday', not 'version 47'"): resolve
     * a wall-clock instant to the LAST commit at or before it. Commit
-    * time = the log file's modification time (the classic Delta
-    * resolution absent inCommitTimestamp), adjusted to be monotonic in
-    * version order exactly as the reference implementation does (a
-    * clock-skewed later commit inherits its predecessor's time).
-    * Rejects an instant before the first commit — there is no table to
-    * read there.
+    * time = the commit's `commitInfo.inCommitTimestamp` when recorded
+    * (r13 — the durable form: it survives log copy/restore, which
+    * mtimes do not), else the log file's modification time (the
+    * classic resolution for legacy commits — a MIXED log resolves
+    * per-commit); both adjusted to be monotonic in version order
+    * exactly as the reference implementation does (a clock-skewed
+    * later commit inherits its predecessor's time). Rejects an
+    * instant before the first commit — there is no table to read
+    * there.
     */
   def versionAtTimestamp(table: String, tsMillis: Long): Long = {
     val dir = Paths.get(table, "_delta_log")
@@ -869,8 +1008,11 @@ object DeltaLog {
       val st = Files.list(dir)
       try st.iterator().asScala
         .filter(_.getFileName.toString.matches("\\d{20}\\.json"))
-        .map(p => (p.getFileName.toString.take(20).toLong,
-          Files.getLastModifiedTime(p).toMillis))
+        .map { p =>
+          val v = p.getFileName.toString.take(20).toLong
+          (v, ictOf(table, v).getOrElse(
+            Files.getLastModifiedTime(p).toMillis))
+        }
         .toSeq.sortBy(_._1)
       finally st.close()
     }
@@ -951,9 +1093,7 @@ object DeltaLog {
         s"""{"add":{"path":"${jsonEscape(f.path)}","partitionValues":${pvJsonOf(f.partitionValues)},"dataChange":true$stats$dv}}"""
       }
     val next = cur.version + 1
-    Files.writeString(
-      Paths.get(table, "_delta_log", f"$next%020d.json"),
-      lines.mkString("\n"))
+    writeCommit(table, cur, next, lines)
     next
   }
 
@@ -1041,6 +1181,15 @@ object DeltaLog {
     val st = state(spark, table, Some(toV))
     require(st.columnMappingMode == "none",
       s"CDF read on a column-mapped table is not in the stated subset: $table")
+    // the recorded feed is only complete when the WRITERS were
+    // recording — real Delta errors on a CDF read over a range where
+    // delta.enableChangeDataFeed was off, and so does this (r13; the
+    // check is against the range-end state, the stated subset)
+    require(st.configuration.getOrElse(
+        "delta.enableChangeDataFeed", "false") == "true",
+      s"delta.enableChangeDataFeed is not set on $table: the recorded " +
+        "change feed would be silently incomplete (use tableChanges/" +
+        "tableChangesByVersion for the snapshot diff)")
     val dataSchema = SType(
       st.schema.fields.filterNot(f => st.partitionColumns.contains(f.name)))
     val cdcSchema = SType(dataSchema.fields :+
@@ -1085,15 +1234,54 @@ object DeltaLog {
         } else if (removes.nonEmpty && adds.isEmpty) {
           val prior = state(spark, table, Some(v - 1))
           Some(removes.map { a =>
-            val priorDv = prior.files.find(_.path == a.path)
-              .flatMap(_.deletionVector)
+            val priorFile = prior.files.find(_.path == a.path)
+            val priorDv = priorFile.flatMap(_.deletionVector)
+            // remove actions routinely OMIT partitionValues (this
+            // repo's own compact/restore removes do) — the prior
+            // version's live entry is the authoritative source (r13;
+            // a.pv is the fallback for foreign logs that carry it)
+            val pv = priorFile.map(_.partitionValues).getOrElse(a.pv)
             val df = spark.read.schema(dataSchema)
               .parquet(Paths.get(table, a.path).toString)
               .select(col("_metadata.row_index").as("__pos"), col("*"))
-            ordered(attachPv(minusDv(df, priorDv), a.pv)
+            ordered(attachPv(minusDv(df, priorDv), pv)
               .withColumn("_change_type", lit("delete")))
           }.reduce(_ unionAll _))
-        } else if (adds.isEmpty && removes.isEmpty) None
+        } else if (adds.isEmpty && removes.isEmpty) {
+          // a commit whose only action is a dataChange=false re-add
+          // with a GROWN deletion vector (a foreign writer's DV delete
+          // that did not record cdc) still deletes rows — derive them
+          // exactly from the DV position delta instead of yielding a
+          // silently empty feed (r13). No growth (metadata-only bump,
+          // pure re-delete) = genuinely empty, not an error.
+          val dvAdds = acts.filter(a =>
+            a.kind == "add" && !a.dataChange && a.dv.isDefined)
+          lazy val prior = state(spark, table, Some(v - 1))
+          val grown = dvAdds.flatMap { a =>
+            val priorFile = prior.files.find(_.path == a.path)
+            val newPos = decodeDvPositions(table, a.dv.get).toSet
+            val oldPos = priorFile.flatMap(_.deletionVector)
+              .map(d => decodeDvPositions(table, d).toSet)
+              .getOrElse(Set.empty[Long])
+            val delta = newPos -- oldPos
+            if (delta.isEmpty) None
+            else Some((a, priorFile.map(_.partitionValues).getOrElse(a.pv),
+              delta))
+          }
+          if (grown.isEmpty) None
+          else {
+            import spark.implicits._
+            Some(grown.map { case (a, pv, delta) =>
+              val pos = spark.createDataset(delta.toSeq).toDF("__pos")
+              val df = spark.read.schema(dataSchema)
+                .parquet(Paths.get(table, a.path).toString)
+                .select(col("_metadata.row_index").as("__pos"), col("*"))
+                .join(pos, Seq("__pos"), "left_semi").drop("__pos")
+              ordered(attachPv(df, pv)
+                .withColumn("_change_type", lit("delete")))
+            }.reduce(_ unionAll _))
+          }
+        }
         else throw new IllegalArgumentException(
           s"commit v$v mixes adds and removes without recorded cdc " +
             s"actions — the change feed cannot be derived exactly: $table")
@@ -1207,9 +1395,7 @@ object DeltaLog {
         s""""pathOrInlineDv":"$z85","offset":$dvOff,"sizeInBytes":$dvSize,""" +
         s""""cardinality":${positions.length}}}}"""
     val next = st.version + 1
-    Files.writeString(
-      Paths.get(table, "_delta_log", f"$next%020d.json"),
-      (commit +: cdcLine.toSeq).mkString("\n"))
+    writeCommit(table, st, next, commit +: cdcLine.toSeq)
     next
   }
 }

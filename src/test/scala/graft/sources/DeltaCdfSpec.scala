@@ -44,7 +44,7 @@ class DeltaCdfSpec extends AnyFunSuite {
     Files.createDirectories(t.resolve("_delta_log"))
     writeFile(t, "f0.parquet", Seq((1L, "a"), (2L, "b")))
     commit(t, 0L, Seq(
-      s"""{"metaData":{"id":"cdf","schemaString":"${esc(schema.json)}","partitionColumns":[]}}""",
+      s"""{"metaData":{"id":"cdf","schemaString":"${esc(schema.json)}","partitionColumns":[],"configuration":{"delta.enableChangeDataFeed":"true"}}}""",
       """{"add":{"path":"f0.parquet","partitionValues":{},"dataChange":true}}"""))
     writeFile(t, "f1.parquet", Seq((3L, "c")))
     commit(t, 1L, Seq(
@@ -210,6 +210,77 @@ class DeltaCdfSpec extends AnyFunSuite {
       (1L, "a", "insert", 0L), (2L, "b", "insert", 0L),
       (2L, "b", "update_preimage", 1L), (2L, "B", "update_postimage", 1L)),
       rows.toString)
+  }
+
+  test("recorded feed requires delta.enableChangeDataFeed (r13)") {
+    val t = Files.createTempDirectory("deltacdfoff")
+    Files.createDirectories(t.resolve("_delta_log"))
+    writeFile(t, "f0.parquet", Seq((1L, "a")))
+    commit(t, 0L, Seq(
+      s"""{"metaData":{"id":"off","schemaString":"${esc(schema.json)}","partitionColumns":[]}}""",
+      """{"add":{"path":"f0.parquet","partitionValues":{},"dataChange":true}}"""))
+    writeFile(t, "f1.parquet", Seq((2L, "b")))
+    commit(t, 1L, Seq(
+      """{"add":{"path":"f1.parquet","partitionValues":{},"dataChange":true}}"""))
+    val e = intercept[IllegalArgumentException] {
+      DeltaLog.tableChangesCdf(spark, t.toString, 0L, 1L)
+    }
+    assert(e.getMessage.contains("enableChangeDataFeed"), e.getMessage)
+    // the snapshot diff stays available for non-CDF tables
+    assert(DeltaLog.tableChangesByVersion(spark, t.toString, 0L, 1L)
+      .count() == 1L)
+  }
+
+  test("remove-only commit on a partitioned table takes pv from the prior version (r13)") {
+    val pSchema = StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType),
+      StructField("p", StringType)))
+    val t = Files.createTempDirectory("deltacdfpv")
+    Files.createDirectories(t.resolve("_delta_log"))
+    writeFile(t, "p=a/f0.parquet", Seq((1L, "x"), (2L, "y")))
+    commit(t, 0L, Seq(
+      s"""{"metaData":{"id":"pv","schemaString":"${esc(pSchema.json)}","partitionColumns":["p"],"configuration":{"delta.enableChangeDataFeed":"true"}}}""",
+      """{"add":{"path":"p=a/f0.parquet","partitionValues":{"p":"a"},"dataChange":true}}"""))
+    // the remove OMITS partitionValues — exactly what this repo's own
+    // compact/restore removes look like
+    commit(t, 1L, Seq(
+      """{"remove":{"path":"p=a/f0.parquet","dataChange":true}}"""))
+    val feed = DeltaLog.tableChangesCdf(spark, t.toString, 0L, 1L)
+      .select(col("id"), col("p"), col("_change_type"))
+      .as[(Long, String, String)].collect().toSet
+    assert(feed == Set((1L, "a", "delete"), (2L, "a", "delete")),
+      s"partition values must come from the prior live entry: $feed")
+  }
+
+  test("DV-growth commit without recorded cdc derives deletes from the position delta (r13)") {
+    val t = Files.createTempDirectory("deltacdfdv")
+    Files.createDirectories(t.resolve("_delta_log"))
+    writeFile(t, "f0.parquet", (1L to 6L).map(i => (i, s"r$i")))
+    commit(t, 0L, Seq(
+      s"""{"metaData":{"id":"g","schemaString":"${esc(schema.json)}","partitionColumns":[],"configuration":{"delta.enableChangeDataFeed":"true"}}}""",
+      """{"add":{"path":"f0.parquet","partitionValues":{},"dataChange":true}}"""))
+    // engine delete records cdc; STRIP it to simulate a foreign writer
+    DeltaLog.deleteWithDv(spark, t.toString, "f0.parquet",
+      col("id") % 2 === 0)
+    val c1 = t.resolve("_delta_log").resolve(f"${1L}%020d.json")
+    val kept = Files.readAllLines(c1).asScala.filterNot(_.contains("\"cdc\""))
+    Files.writeString(c1, kept.mkString("\n"))
+    val feed = DeltaLog.tableChangesCdf(spark, t.toString, 0L, 1L)
+      .select(col("id"), col("_change_type")).as[(Long, String)]
+      .collect().toSet
+    assert(feed == Set((2L, "delete"), (4L, "delete"), (6L, "delete")),
+      s"DV-growth deletes must not vanish: $feed")
+    // a second, overlapping foreign DV delete: only the NEW position
+    // surfaces (6 was already dead)
+    DeltaLog.deleteWithDv(spark, t.toString, "f0.parquet",
+      col("id") % 3 === 0)
+    val c2 = t.resolve("_delta_log").resolve(f"${2L}%020d.json")
+    val kept2 = Files.readAllLines(c2).asScala.filterNot(_.contains("\"cdc\""))
+    Files.writeString(c2, kept2.mkString("\n"))
+    val feed2 = DeltaLog.tableChangesCdf(spark, t.toString, 1L, 2L)
+      .select(col("id"), col("_change_type")).as[(Long, String)]
+      .collect().toSet
+    assert(feed2 == Set((3L, "delete")), s"only the delta: $feed2")
   }
 
   test("versionAtTimestamp: monotonic adjustment and boundary semantics") {

@@ -504,6 +504,101 @@ class DeltaLogSpec extends AnyFunSuite {
     assert(e.getMessage.contains("minWriterVersion=8"))
   }
 
+  test("writer guard: legacy versions 2-6 imply features; inactive ones don't block (r13)") {
+    // mwv=2 implies appendOnly+invariants — with the config unset and
+    // no invariants in the schema, neither is ACTIVE, so writes pass
+    val plain = protoTable(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""")
+    DeltaLog.deleteWithDv(spark, plain.toString, "f0.parquet",
+      org.apache.spark.sql.functions.col("id") === 1L)
+    assert(DeltaLog.read(spark, plain.toString).count() == 0L)
+    // delta.appendOnly=true forbids data-deleting ops but NOT the
+    // non-deleting maintenance ones
+    val ao = protoTable(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      """{"delta.appendOnly":"true"}""")
+    val e1 = intercept[IllegalArgumentException] {
+      DeltaLog.deleteWithDv(spark, ao.toString, "f0.parquet",
+        org.apache.spark.sql.functions.lit(true))
+    }
+    assert(e1.getMessage.contains("appendOnly"), e1.getMessage)
+    assert(DeltaLog.writeCheckpoint(spark, ao.toString) == 0L)
+    // mwv=3 + a CHECK constraint defined: this writer can't enforce it
+    val cc = protoTable(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":3}}""",
+      """{"delta.constraints.pos":"id > 0"}""")
+    val e2 = intercept[IllegalArgumentException] {
+      DeltaLog.writeCheckpoint(spark, cc.toString)
+    }
+    assert(e2.getMessage.contains("checkConstraints"), e2.getMessage)
+    // an invariant in the schema metadata blocks even at mwv=2
+    val invMeta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putString("delta.invariants", """{"expression":{"expression":"id > 0"}}""")
+      .build()
+    val invSchema = StructType(Seq(
+      StructField("id", LongType, nullable = true, invMeta),
+      StructField("v", StringType)))
+    val inv = Files.createTempDirectory("deltainv")
+    writeDataFile(Seq((1L, "x")).toDF("id", "v"), inv, "f0.parquet")
+    writeCommit(inv, 0L, Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      s"""{"metaData":{"id":"i","schemaString":"${esc(invSchema.json)}","partitionColumns":[]}}""",
+      """{"add":{"path":"f0.parquet","partitionValues":{},"dataChange":true}}"""))
+    val e3 = intercept[IllegalArgumentException] {
+      DeltaLog.writeCheckpoint(spark, inv.toString)
+    }
+    assert(e3.getMessage.contains("invariants"), e3.getMessage)
+  }
+
+  test("inCommitTimestamp: engine commits stamp it, resolution survives mtime scramble (r13)") {
+    import java.nio.file.attribute.FileTime
+    val t = protoTable(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["inCommitTimestamp","deletionVectors"]}}""",
+      """{"delta.enableInCommitTimestamps":"true"}""")
+    val v1 = DeltaLog.deleteWithDv(spark, t.toString, "f0.parquet",
+      org.apache.spark.sql.functions.col("id") === 1L)
+    assert(v1 == 1L)
+    val ict1 = DeltaLog.ictOf(t.toString, 1L)
+    assert(ict1.isDefined && ict1.get > 0L, s"v1 must carry an ICT: $ict1")
+    // pin deterministic stamps by hand for the resolution check, then
+    // SCRAMBLE mtimes — ICT resolution must not notice
+    val base = 1700000000000L
+    val log = t.resolve("_delta_log")
+    def restamp(v: Long, ts: Long): Unit = {
+      val p = log.resolve(f"$v%020d.json")
+      val lines = Files.readAllLines(p).asScala.toSeq
+        .filterNot(_.contains("commitInfo"))
+      Files.writeString(p,
+        (s"""{"commitInfo":{"inCommitTimestamp":$ts}}""" +: lines)
+          .mkString("\n"))
+    }
+    restamp(0L, base)
+    restamp(1L, base + 60000L)
+    Files.setLastModifiedTime(log.resolve(f"${0L}%020d.json"),
+      FileTime.fromMillis(base + 999999999L)) // lies
+    Files.setLastModifiedTime(log.resolve(f"${1L}%020d.json"),
+      FileTime.fromMillis(base - 999999999L)) // lies the other way
+    assert(DeltaLog.versionAtTimestamp(t.toString, base + 30000L) == 0L)
+    assert(DeltaLog.versionAtTimestamp(t.toString, base + 60000L) == 1L)
+    intercept[IllegalArgumentException] {
+      DeltaLog.versionAtTimestamp(t.toString, base - 1L)
+    }
+    // MIXED log: a legacy v0 (mtime) followed by an ICT v1 resolves
+    // per-commit with the monotonic adjustment bridging the two
+    val m = protoTable(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":1}}""")
+    val mlog = m.resolve("_delta_log")
+    Files.setLastModifiedTime(mlog.resolve(f"${0L}%020d.json"),
+      FileTime.fromMillis(base))
+    writeDataFile(Seq((2L, "y")).toDF("id", "v"), m, "f1.parquet")
+    Files.writeString(mlog.resolve(f"${1L}%020d.json"), Seq(
+      s"""{"commitInfo":{"inCommitTimestamp":${base + 60000L}}}""",
+      """{"add":{"path":"f1.parquet","partitionValues":{},"dataChange":true}}""")
+      .mkString("\n"))
+    assert(DeltaLog.versionAtTimestamp(m.toString, base + 30000L) == 0L)
+    assert(DeltaLog.versionAtTimestamp(m.toString, base + 60001L) == 1L)
+  }
+
   test("checkpoint persists the writer half of the protocol (r12)") {
     val t = protoTable(
       """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["deletionVectors"]}}""")

@@ -155,9 +155,53 @@ object QueriesR22 {
       deltaTsBase + 3 * 60000L + 1) == 3L, "head instant must resolve to v3")
     require(graft.sources.DeltaLog.versionAtTimestamp(t0,
       deltaTsBase + 60000L) == 1L, "exact commit instant resolves to it")
+    // r13 extension: inCommitTimestamp — an ICT-enabled table whose
+    // log mtimes are deliberately SCRAMBLED still resolves correctly,
+    // because the engine's own commits carry the durable in-commit
+    // stamps (mtime resolution would land on the wrong version)
+    buildDeltaIctDrill(s, dir)
     graft.sources.DeltaLog.readAsOfTimestamp(s, t0, deltaTsBase + 30000L)
       .orderBy(col("s_suppkey"))
   }
+
+  /** The ICT drill table: created + appended by the ENGINE with pinned
+    * in-commit timestamps (one minute apart), then every log mtime set
+    * to lie. Resolution must follow the stamps. Memoized so the gate
+    * pays the build once per session.
+    */
+  private def buildDeltaIctDrill(s: SparkSession, dir: String): String =
+    tableBuildMemo.computeIfAbsent(
+      (s.sparkContext.applicationId, dir, "delta_ict"), _ => {
+        import graft.sources.{DeltaLog, DeltaWrite}
+        import s.implicits._
+        val t0 = java.nio.file.Files.createTempDirectory("delta_ict").toString
+        DeltaWrite.create(s, t0,
+          Seq((1L, "a"), (2L, "b")).toDF("id", "v"),
+          configuration = Map("delta.enableInCommitTimestamps" -> "true"),
+          nowMs = deltaTsBase)
+        DeltaWrite.append(s, t0, Seq((3L, "c")).toDF("id", "v"),
+          nowMs = deltaTsBase + 60000L)
+        require(DeltaLog.ictOf(t0, 0L).contains(deltaTsBase) &&
+          DeltaLog.ictOf(t0, 1L).contains(deltaTsBase + 60000L),
+          "engine commits must carry the pinned in-commit timestamps")
+        val log = java.nio.file.Paths.get(t0, "_delta_log")
+        // mtimes lie in BOTH directions — only the stamps survive
+        java.nio.file.Files.setLastModifiedTime(
+          log.resolve(f"${0L}%020d.json"),
+          java.nio.file.attribute.FileTime.fromMillis(
+            deltaTsBase + 86400000L))
+        java.nio.file.Files.setLastModifiedTime(
+          log.resolve(f"${1L}%020d.json"),
+          java.nio.file.attribute.FileTime.fromMillis(
+            deltaTsBase - 86400000L))
+        require(DeltaLog.versionAtTimestamp(t0, deltaTsBase + 30000L) == 0L,
+          "scrambled mtimes must not move the ICT resolution (v0)")
+        require(DeltaLog.versionAtTimestamp(t0, deltaTsBase + 60000L) == 1L,
+          "scrambled mtimes must not move the ICT resolution (v1)")
+        require(DeltaLog.readAsOfTimestamp(s, t0, deltaTsBase + 30000L)
+          .count() == 2L, "as-of read must see only v0's rows")
+        t0
+      })
 
   /** F14k (r12): the change feed consumed as a STREAM — readStream
     * over the delta log with `maxVersionsPerTrigger=1`, so the three

@@ -240,6 +240,70 @@ object Pipeline {
     (RunReport(results), newWatermarks)
   }
 
+  /** Replication into DELTA-format lake tables (r13 — the reference's
+    * exact loop, scripts/03_cdc_etl.py:203-379, pointed at the table
+    * format the engine already reads, compacts, restores, and
+    * vacuums): per table, the watermark delta stages to
+    * latest-per-key and MERGES into `targetDir/<table>` via
+    * [[graft.sources.DeltaWrite.merge]] — matched keys update in
+    * place (soft deletes flip `is_deleted`, recorded as update
+    * pre/post images in the change feed), new live keys insert,
+    * tombstones for absent keys are dropped by the insert guard. A
+    * missing table bootstraps with [[graft.sources.DeltaWrite.create]]
+    * (live rows only — the initial full load), CDF enabled so every
+    * later merge records its images.
+    *
+    * Unlike [[replicate]]'s read-modify-write parquet target, the
+    * merge rewrites ONLY the files holding matched keys — steady-state
+    * incremental runs cost O(changed data), and downstream consumers
+    * get the recorded change feed for free.
+    */
+  def replicateDelta(
+      spark: SparkSession,
+      tables: Seq[TableSpec],
+      fkEdges: Seq[(String, String)],
+      readSource: String => DataFrame,
+      targetDir: String,
+      watermarks: Map[String, Timestamp]): (RunReport, Map[String, Timestamp]) = {
+    import graft.sources.DeltaWrite
+    val byName = tables.map(t => t.name -> t).toMap
+    val order = TopoSort.order(tables.map(_.name), fkEdges)
+    val results = order.flatMap(byName.get).map { spec =>
+      try {
+        val src = readSource(spec.name)
+        val chg = Cdc.changeTs(col(spec.createdAt), col(spec.updatedAt))
+        val delta = Cdc.deltaSince(src, chg,
+          watermarks.get(spec.name).map(ts => lit(ts)))
+          .withColumn("__change_ts", chg)
+        val head = delta.agg(count(lit(1)).as("n"),
+          max(col("__change_ts")).as("m")).head()
+        val deltaCount = head.getAs[Long]("n")
+        if (deltaCount == 0) {
+          TableResult(spec.name, "no_changes", 0, watermarks.get(spec.name))
+        } else {
+          val staged = Cdc.latestPerKey(delta, spec.pk, Seq(col("__change_ts")))
+            .drop("__change_ts")
+          val path = s"$targetDir/${spec.name}"
+          if (!java.nio.file.Files.isDirectory(
+              java.nio.file.Paths.get(path, "_delta_log")))
+            DeltaWrite.create(spark, path,
+              staged.filter(col(Cdc.IsDeleted) === "N"),
+              configuration = Map("delta.enableChangeDataFeed" -> "true"))
+          else
+            DeltaWrite.merge(spark, path, staged, spec.pk,
+              insertFilter = Some(col(Cdc.IsDeleted) === "N"))
+          TableResult(spec.name, "processed", deltaCount,
+            Option(head.getAs[Timestamp]("m")))
+        }
+      } catch {
+        case e: Exception =>
+          TableResult(spec.name, "failed", 0, watermarks.get(spec.name),
+            error = Some(e.getMessage))
+      }
+    }
+    (RunReport(results), advanceMap(watermarks, results))
+  }
+
   /** Zero-config replication — the reference's ENTIRE main() needing only
     * two connections: discover tables, primary keys, and FK edges from the
     * source's JDBC metadata (utils/database.py), then run the incremental

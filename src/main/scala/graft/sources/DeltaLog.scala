@@ -430,7 +430,7 @@ object DeltaLog {
     * rename-guarding time by the writer; a field without one keeps its
     * logical name (the pre-mapping columns of an upgraded table).
     */
-  private def physicalName(f: org.apache.spark.sql.types.StructField): String =
+  private[sources] def physicalName(f: org.apache.spark.sql.types.StructField): String =
     if (f.metadata.contains("delta.columnMapping.physicalName"))
       f.metadata.getString("delta.columnMapping.physicalName")
     else f.name
@@ -439,7 +439,7 @@ object DeltaLog {
     * columnMapping=name: every field (at every nesting level) renamed
     * to its physical name; types unchanged.
     */
-  private def physicalType(dt: DataType): DataType = dt match {
+  private[sources] def physicalType(dt: DataType): DataType = dt match {
     case st: StructType => StructType(st.fields.map(f =>
       f.copy(name = physicalName(f), dataType = physicalType(f.dataType))))
     case org.apache.spark.sql.types.ArrayType(et, n) =>
@@ -490,8 +490,23 @@ object DeltaLog {
            versionAsOf: Option[Long] = None,
            partitionFilter: Map[String, String] => Boolean = _ => true,
            ranges: Map[String, (Long, Long)] = Map.empty)
-      : DataFrame = {
-    val st = state(spark, table, versionAsOf)
+      : DataFrame =
+    readInternal(spark, table, state(spark, table, versionAsOf),
+      partitionFilter, ranges, tagRel = false)
+
+  /** [[read]] over an already-replayed state; `tagRel = true` keeps a
+    * `__graft_rel` column holding each row's table-relative data-file
+    * path (the `add.path` it came from) — what [[DeltaWrite.merge]]
+    * needs to know WHICH files a key match touches. The tag is an
+    * expression over `_metadata.file_path` (the DV join's own
+    * anchoring rule), not a per-file scan — one plan per partition
+    * group regardless of file count.
+    */
+  private[sources] def readInternal(spark: SparkSession, table: String,
+                                    st: State,
+                                    partitionFilter: Map[String, String] => Boolean,
+                                    ranges: Map[String, (Long, Long)],
+                                    tagRel: Boolean): DataFrame = {
     // columnMapping=name: data files store PHYSICAL names (from field
     // metadata), and add.partitionValues keys are physical too — scan
     // under the physical schema, then cast each column back to its
@@ -508,18 +523,26 @@ object DeltaLog {
     val groups = liveFiles
       .groupBy(_.partitionValues).toSeq
       .sortBy(_._1.toSeq.sorted.mkString(","))
+    val outSchema =
+      if (!tagRel) st.schema
+      else StructType(st.schema.fields :+
+        org.apache.spark.sql.types.StructField("__graft_rel",
+          org.apache.spark.sql.types.StringType))
     if (groups.isEmpty)
       return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], st.schema)
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
     // deletion vectors (F14c): when any live file carries one, tag rows
     // with their file + row index and anti-join the decoded positions —
     // the Iceberg positional-delete shape. DVs decode in EXECUTORS (one
     // task per DV-bearing file); the driver holds only descriptors.
     val hasDv = liveFiles.exists(_.deletionVector.isDefined)
+    val needMeta = hasDv || tagRel
     val metaCols =
-      if (hasDv) Seq(col("_metadata.file_path").as("__fp"),
+      if (needMeta) Seq(col("_metadata.file_path").as("__fp"),
         col("_metadata.row_index").as("__pos"))
       else Seq.empty
+    val keep = st.schema.fieldNames.toSeq ++
+      (if (needMeta) Seq("__fp", "__pos") else Nil)
     val parts = groups.map { case (pvals, files) =>
       val base0 = spark.read.schema(dataSchema)
         .parquet(files.map(f => Paths.get(table, f.path).toString): _*)
@@ -533,10 +556,12 @@ object DeltaLog {
           throw new IllegalArgumentException(s"partition column $c0 not in schema"))
         val pvKey = if (mapped) physicalName(f) else c0
         df.withColumn(c0, lit(pvals.getOrElse(pvKey, null)).cast(f.dataType))
-      }.select((st.schema.fieldNames.toSeq ++
-        (if (hasDv) Seq("__fp", "__pos") else Nil)).map(col): _*)
+      }.select(keep.map(col): _*)
     }
     var df = parts.reduce(_ unionByName _)
+    // the path tail under the table dir (the Iceberg relocation-safe
+    // anchoring rule) — shared by the DV join and the __graft_rel tag
+    val anchor = Paths.get(table).toAbsolutePath.getFileName.toString
     if (hasDv) {
       import spark.implicits._
       val descriptors = liveFiles.flatMap(f =>
@@ -546,14 +571,15 @@ object DeltaLog {
         .flatMap { case (relPath, dvJson) =>
           decodeDvPositions(table, dvJson).map(pos => (relPath, pos))
         }.toDF("__dvp", "__dvpos")
-      // compare by the path tail under the table dir (the Iceberg
-      // relocation-safe anchoring rule)
-      val anchor = Paths.get(table).toAbsolutePath.getFileName.toString
       df = df.join(positions,
         substring_index(col("__fp"), "/" + anchor + "/", -1) === col("__dvp") &&
           col("__pos") === col("__dvpos"), "left_anti")
-        .select(st.schema.fieldNames.map(col).toSeq: _*)
+        .select(keep.map(col): _*)
     }
+    if (tagRel)
+      df = df.withColumn("__graft_rel",
+        substring_index(col("__fp"), "/" + anchor + "/", -1))
+    df = df.select(outSchema.fieldNames.map(col).toSeq: _*)
     val residual = ranges.map { case (c, (lo, hi)) =>
       col(c) >= lo && col(c) <= hi
     }.reduceOption(_ && _).getOrElse(lit(true))
@@ -954,7 +980,7 @@ object DeltaLog {
     * recorded one — driver-side regex over one json commit
     * (metadata-sized); None for legacy commits and trimmed logs.
     */
-  private[sources] def ictOf(table: String, v: Long): Option[Long] = {
+  private[graft] def ictOf(table: String, v: Long): Option[Long] = {
     val p = Paths.get(table, "_delta_log", f"$v%020d.json")
     if (!Files.exists(p)) None
     else {

@@ -104,8 +104,174 @@ object QueriesR23 {
         col("o_orderkey"))
   }
 
+  // ---------------------------------------------------------------
+  // F15l (r13): Iceberg PARTITION-SPEC EVOLUTION on read — a table
+  // that appended under identity(rk), evolved to bucket[4] on the
+  // key, and appended again; each file reads (and prunes) under the
+  // spec it was WRITTEN with. The r12 reader loud-rejected any table
+  // whose spec-id moved — the most common long-lived-table gap.
+  // ---------------------------------------------------------------
+
+  private def buildIcebergSpecEvo(s: SparkSession, dir: String): String =
+    tableBuildMemo.computeIfAbsent(
+      (s.sparkContext.applicationId, dir, "iceberg_spec_evo"), _ => {
+        import graft.sources.IcebergCatalog._
+        val t0 = java.nio.file.Files.createTempDirectory("ice_evo")
+        val mdir = t0.resolve("metadata")
+        java.nio.file.Files.createDirectories(mdir)
+        val ml1 = mdir.resolve("snap-10.avro")
+        writeManifestList(ml1, Seq.empty)
+        writeMetadataJsonSpec(mdir.resolve("v1.metadata.json"),
+          Seq(("n_nationkey", "long", true), ("rk", "string", false),
+            ("cents", "long", false)),
+          Seq(("rk", "identity", "rk")), Seq(10L -> ml1))
+        val nat = t(s, dir, "nation").select(
+          col("n_nationkey").cast("long").as("n_nationkey"),
+          col("n_regionkey").cast("string").as("rk"),
+          (col("n_regionkey").cast("long") * 100 +
+            length(col("n_name")).cast("long")).as("cents"))
+        // snapshot 20 under spec 0: rk is an IDENTITY partition —
+        // data files omit it, manifests carry it
+        require(commitAppend(s, t0.toString, nat, snapshotId = 20L) == 20L)
+        // evolve: bucket[4] on the key becomes the default spec —
+        // nothing rewrites, spec-0 files keep meaning identity(rk)
+        val newId = graft.sources.IcebergCatalog.evolveSpec(t0.toString,
+          Seq(("nk_bucket", "bucket[4]", "n_nationkey")))
+        require(newId == 1, s"evolved spec-id: $newId")
+        // snapshot 30 under spec 1: rk rides IN the data files now
+        require(commitAppend(s, t0.toString,
+          nat.select((col("n_nationkey") + 1000L).as("n_nationkey"),
+            col("rk"), col("cents")),
+          snapshotId = 30L) == 30L)
+        val st = graft.sources.IcebergCatalog.state(s, t0.toString)
+        require(st.files.exists(_.specId == 0) &&
+          st.files.exists(_.specId == 1),
+          s"both specs must hold live files: ${st.files.map(_.specId)}")
+        // new files prune by the NEW spec: a point range on the key
+        // keeps only the matching bucket's spec-1 files
+        val spec1 = st.files.filter(_.specId == 1)
+        val keptB = graft.sources.IcebergCatalog.filesByTransformRange(
+          spec1, st.specsById(1), Map("n_nationkey" -> ((1005L, 1005L))))
+        require(keptB.nonEmpty && keptB.size < spec1.size,
+          s"bucket prune on spec-1 files: ${keptB.size} of ${spec1.size}")
+        // and the pruned read still answers exactly
+        val one = graft.sources.IcebergCatalog.read(s, t0.toString,
+          ranges = Map("n_nationkey" -> ((1005L, 1005L))))
+        require(one.count() ==
+          nat.filter(col("n_nationkey") === 5L).count(),
+          "point read across the evolution must hit exactly the row")
+        // an unknown transform in a HISTORICAL spec is still loud
+        val bad = java.nio.file.Files.createTempDirectory("ice_evo_bad")
+        val bdir = bad.resolve("metadata")
+        java.nio.file.Files.createDirectories(bdir)
+        val bml = bdir.resolve("snap-10.avro")
+        writeManifestList(bml, Seq.empty)
+        java.nio.file.Files.writeString(bdir.resolve("v1.metadata.json"),
+          s"""{
+             |  "format-version": 2, "current-snapshot-id": 10,
+             |  "current-schema-id": 0, "default-spec-id": 1,
+             |  "schemas": [{"schema-id": 0, "type": "struct", "fields": [
+             |    {"id": 1, "name": "k", "required": true, "type": "long"}]}],
+             |  "partition-specs": [
+             |    {"spec-id": 0, "fields": [{"name": "p", "transform": "weird[9]", "source-id": 1, "field-id": 1000}]},
+             |    {"spec-id": 1, "fields": []}],
+             |  "snapshots": [{"snapshot-id": 10, "manifest-list": "$bml"}]
+             |}""".stripMargin)
+        val loud =
+          try { graft.sources.IcebergCatalog.state(s, bad.toString); false }
+          catch { case _: IllegalArgumentException => true }
+        require(loud, "unknown transform in a historical spec must reject")
+        t0.toString
+      })
+
+  /** F15l (r13): the spec-evolved table read with a partition filter
+    * the OLD spec understands — spec-0 files prune to rk=3 by their
+    * identity values (reconstructed into the rows), spec-1 files have
+    * no rk partition key and ALL survive (rk comes from their data
+    * files). A reader that applies the default spec to old files, or
+    * the old spec to new ones, loses or invents rows and hash-fails.
+    */
+  def icebergSpecEvolution(s: SparkSession, dir: String): DataFrame =
+    graft.sources.IcebergCatalog.read(s, buildIcebergSpecEvo(s, dir),
+        partitionFilter = m => m.get("rk").forall(v =>
+          String.valueOf(v) == "3"))
+      .orderBy(col("n_nationkey"), col("rk"))
+
+  // ---------------------------------------------------------------
+  // F15m (r13): Iceberg WRITE-TO-BRANCH + fast-forward — stage an
+  // append on branch `audit` (main reads pinned), audit it, then
+  // fast-forward main; tags refuse appends, expiration rescues the
+  // branch head.
+  // ---------------------------------------------------------------
+
+  private def buildIcebergBranch(s: SparkSession, dir: String): String =
+    tableBuildMemo.computeIfAbsent(
+      (s.sparkContext.applicationId, dir, "iceberg_branch"), _ => {
+        import graft.sources.IcebergCatalog
+        import graft.sources.IcebergCatalog._
+        val t0 = java.nio.file.Files.createTempDirectory("ice_branch")
+        val mdir = t0.resolve("metadata")
+        java.nio.file.Files.createDirectories(mdir)
+        val ml1 = mdir.resolve("snap-10.avro")
+        writeManifestList(ml1, Seq.empty)
+        writeMetadataJsonSpec(mdir.resolve("v1.metadata.json"),
+          Seq(("n_nationkey", "long", true), ("cents", "long", false)),
+          Seq.empty, Seq(10L -> ml1))
+        val nat = t(s, dir, "nation").select(
+          col("n_nationkey").cast("long").as("n_nationkey"),
+          (col("n_regionkey").cast("long") * 100 +
+            length(col("n_name")).cast("long")).as("cents"))
+        val baseN = nat.count()
+        require(commitAppend(s, t0.toString, nat, snapshotId = 20L) == 20L)
+        IcebergCatalog.createRef(t0.toString, "main", 20L, "branch")
+        IcebergCatalog.createRef(t0.toString, "audit", 20L, "branch")
+        // staged on the branch: main must NOT move
+        require(commitAppend(s, t0.toString,
+          nat.select((col("n_nationkey") + 1000L).as("n_nationkey"),
+            col("cents")),
+          snapshotId = 30L, branch = "audit") == 30L)
+        require(IcebergCatalog.read(s, t0.toString).count() == baseN,
+          "main must stay pinned while the branch advances")
+        require(IcebergCatalog.readRef(s, t0.toString, "audit")
+          .count() == baseN * 2, "the branch must see its own append")
+        require(IcebergCatalog.refs(t0.toString)("main")._1 == 20L,
+          "the main ref must not move on a branch commit")
+        // a TAG refuses appends
+        IcebergCatalog.createRef(t0.toString, "pin", 20L, "tag")
+        val tagLoud =
+          try {
+            commitAppend(s, t0.toString, nat, snapshotId = 40L,
+              branch = "pin"); false
+          } catch { case e: IllegalArgumentException =>
+            e.getMessage.contains("tag") }
+        require(tagLoud, "appending to a tag must reject loudly")
+        // expiration rescues the branch head (and the pinned main)
+        val (kept, _) = IcebergCatalog.expireSnapshots(t0.toString,
+          keepLast = 1)
+        require(kept == 2, s"branch head + pinned main survive: $kept")
+        // fast-forward main to the audited branch
+        IcebergCatalog.fastForward(t0.toString, "audit")
+        require(IcebergCatalog.read(s, t0.toString).count() == baseN * 2,
+          "fast-forwarded main must equal the branch")
+        require(IcebergCatalog.refs(t0.toString)("main")._1 == 30L,
+          "fast-forward must move the main ref")
+        t0.toString
+      })
+
+  /** F15m (r13): main AFTER the audit-then-fast-forward workflow —
+    * the base projection plus the branch-staged append. The fixture
+    * asserts branch isolation (main pinned while `audit` advanced),
+    * tag immutability, and expiration rescuing the branch head; the
+    * hash pins the fast-forwarded state.
+    */
+  def icebergBranchWrite(s: SparkSession, dir: String): DataFrame =
+    graft.sources.IcebergCatalog.read(s, buildIcebergBranch(s, dir))
+      .orderBy(col("n_nationkey"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "cdc_delta_apply" -> (cdcDeltaApply _))
+    "cdc_delta_apply" -> (cdcDeltaApply _),
+    "iceberg_spec_evolution" -> (icebergSpecEvolution _),
+    "iceberg_branch_write" -> (icebergBranchWrite _))
 
   val sql: Map[String, String] = Map(
     // t1 = bootstrap population; upd = the staged update script;
@@ -143,5 +309,28 @@ object QueriesR23 {
         |FROM t1 t LEFT JOIN upd u ON u.k = t.k
         |UNION ALL
         |SELECT k, st, cents, 'N', 'final', 9 FROM ins
-        |ORDER BY _commit_version, _change_type, o_orderkey""".stripMargin)
+        |ORDER BY _commit_version, _change_type, o_orderkey""".stripMargin,
+    // spec-0 files filtered to rk=3 by their identity partition; the
+    // spec-1 (+1000) append has no rk partition key and fully survives
+    "iceberg_spec_evolution" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+        |  CAST(n_regionkey AS VARCHAR) AS rk,
+        |  CAST(n_regionkey * 100 + length(n_name) AS BIGINT) AS cents
+        |FROM nation WHERE n_regionkey = 3
+        |UNION ALL
+        |SELECT CAST(n_nationkey + 1000 AS BIGINT),
+        |  CAST(n_regionkey AS VARCHAR),
+        |  CAST(n_regionkey * 100 + length(n_name) AS BIGINT)
+        |FROM nation
+        |ORDER BY n_nationkey, rk""".stripMargin,
+    // main after fast-forward = base projection + branch-staged append
+    "iceberg_branch_write" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+        |  CAST(n_regionkey * 100 + length(n_name) AS BIGINT) AS cents
+        |FROM nation
+        |UNION ALL
+        |SELECT CAST(n_nationkey + 1000 AS BIGINT),
+        |  CAST(n_regionkey * 100 + length(n_name) AS BIGINT)
+        |FROM nation
+        |ORDER BY n_nationkey""".stripMargin)
 }

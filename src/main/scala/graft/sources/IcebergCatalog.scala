@@ -61,21 +61,36 @@ import org.json4s.jackson.JsonMethods
   */
 object IcebergCatalog {
 
+  /** `specId` is the partition spec the file was WRITTEN under (r13 —
+    * carried by its manifest's `partition_spec_id` manifest-list
+    * entry): a long-lived table that re-partitioned holds files under
+    * several specs at once, and each file's partition tuple only means
+    * anything under its OWN spec.
+    */
   final case class IceFile(path: String, partition: Map[String, Any],
-                           bounds: Map[String, (Any, Any)] = Map.empty)
+                           bounds: Map[String, (Any, Any)] = Map.empty,
+                           specId: Int = 0)
 
-  /** `partitionFields` keeps the IDENTITY spec-field names (the ones
-    * whose values reconstruct as typed literal columns — the data
-    * files omit them); `specFields` is the FULL default spec incl.
-    * non-identity transforms (r11: year/month/day/hour, bucket[N],
-    * truncate[W]) whose values ride the manifests for PRUNING only —
-    * transform sources stay IN the data files, so nothing reconstructs.
+  /** `partitionFields` keeps the IDENTITY spec-field names of the
+    * DEFAULT spec (the ones whose values reconstruct as typed literal
+    * columns — the data files omit them); `specFields` is the FULL
+    * default spec incl. non-identity transforms (r11: year/month/day/
+    * hour, bucket[N], truncate[W]) whose values ride the manifests for
+    * PRUNING only — transform sources stay IN the data files, so
+    * nothing reconstructs. `specsById` (r13) holds EVERY spec the
+    * table ever partitioned under, historical ones included, keyed by
+    * spec-id — what [[read]] resolves each file's spec through.
     */
   final case class IceState(snapshotId: Long, schema: StructType,
                             partitionFields: Seq[String], files: Seq[IceFile],
                             posDeletes: Seq[IceFile] = Seq.empty,
                             eqDeletes: Seq[(IceFile, Seq[String])] = Seq.empty,
-                            specFields: Seq[IcebergTransforms.SpecField] = Seq.empty)
+                            specFields: Seq[IcebergTransforms.SpecField] = Seq.empty,
+                            specsById: Map[Int, Seq[IcebergTransforms.SpecField]] = Map.empty,
+                            defaultSpecId: Int = 0) {
+    def specOf(f: IceFile): Seq[IcebergTransforms.SpecField] =
+      specsById.getOrElse(f.specId, specFields)
+  }
 
   private def icePrimitive(t: String): DataType = t match {
     case "long" => LongType
@@ -277,51 +292,71 @@ object IcebergCatalog {
     }
     val schema = schemaOf(schemaJson \ "fields")
     val byId = fieldIds(schemaJson \ "fields")
-    // identity partition fields from the DEFAULT spec: a table whose
-    // spec evolved must not be silently read with its original spec
-    val specFields = (md \ "partition-specs") match {
+    // ALL partition specs, historical included (r13, spec evolution on
+    // read): every spec validates — an unknown transform in a spec no
+    // file uses anymore is STILL a loud reject, because a later
+    // manifest may reference it; each file reads under its own spec.
+    def parseSpecFields(fields: List[JValue]): Seq[IcebergTransforms.SpecField] =
+      fields.map { f =>
+        val JString(n) = f \ "name"
+        val transform = (f \ "transform") match {
+          case JString(t) => t
+          case JNothing => "identity"
+          case other => throw new IllegalArgumentException(
+            s"unparseable transform node for partition field $n: $other")
+        }
+        IcebergTransforms.validate(transform)
+        val source = (f \ "source-id") match {
+          case JInt(id) if byId.contains(id.toInt) => byId(id.toInt)._1
+          // fixtures write source-id 0 for identity fields whose name IS
+          // the source column; a non-identity transform must resolve
+          case _ if transform == "identity" => n
+          case other => throw new IllegalArgumentException(
+            s"partition field $n ($transform) has unresolvable source-id $other")
+        }
+        IcebergTransforms.SpecField(n, transform, source)
+      }
+    val (specsById, defId) = (md \ "partition-specs") match {
       case JArray(specs) if specs.nonEmpty =>
-        val defId = (md \ "default-spec-id") match {
+        val defId0 = (md \ "default-spec-id") match {
           case JInt(v) => v.toInt; case _ => 0
         }
-        val spec = specs.find(s => (s \ "spec-id") match {
-          case JInt(v) => v.toInt == defId; case _ => false
-        }).getOrElse(throw new IllegalArgumentException(
-          s"default-spec-id $defId not present in partition-specs"))
-        (spec \ "fields").children
-      case _ => (md \ "partition-spec").children
+        val m = specs.map { s =>
+          val id = (s \ "spec-id") match {
+            case JInt(v) => v.toInt
+            case _ => throw new IllegalArgumentException(
+              "partition spec without spec-id")
+          }
+          id -> parseSpecFields((s \ "fields").children)
+        }.toMap
+        require(m.contains(defId0),
+          s"default-spec-id $defId0 not present in partition-specs")
+        (m, defId0)
+      case _ => (Map(0 -> parseSpecFields((md \ "partition-spec").children)), 0)
     }
-    val parsedSpec: Seq[IcebergTransforms.SpecField] = specFields.map { f =>
-      val JString(n) = f \ "name"
-      val transform = (f \ "transform") match {
-        case JString(t) => t
-        case JNothing => "identity"
-        case other => throw new IllegalArgumentException(
-          s"unparseable transform node for partition field $n: $other")
-      }
-      IcebergTransforms.validate(transform)
-      val source = (f \ "source-id") match {
-        case JInt(id) if byId.contains(id.toInt) => byId(id.toInt)._1
-        // fixtures write source-id 0 for identity fields whose name IS
-        // the source column; a non-identity transform must resolve
-        case _ if transform == "identity" => n
-        case other => throw new IllegalArgumentException(
-          s"partition field $n ($transform) has unresolvable source-id $other")
-      }
-      IcebergTransforms.SpecField(n, transform, source)
-    }
+    val parsedSpec: Seq[IcebergTransforms.SpecField] = specsById(defId)
     // identity fields reconstruct as literal columns under the SOURCE
     // name (a renamed identity field still reads — the schema lookup in
     // read() stays loud if the name resolves to nothing)
     val partitionFields =
       parsedSpec.filter(_.transform == "identity").map(_.name)
+    // (manifest path, spec-id it was written under): the manifest-list
+    // entry's partition_spec_id, defaulting to the table default for
+    // legacy single-spec lists that never carried the field
     val manifests = avroRows(resolve(table, mlist))
-      .map(_.get("manifest_path").toString)
+      .map(r => (r.get("manifest_path").toString,
+        optField(r, "partition_spec_id").map(_.toString.toInt)
+          .getOrElse(defId)))
+    manifests.foreach { case (mp, sid) =>
+      require(specsById.contains(sid),
+        s"manifest $mp written under unknown spec-id $sid " +
+          s"(known: ${specsById.keys.toSeq.sorted.mkString(",")}): $table")
+    }
     var dataMaxSeq = 0L
     val dataFiles = Seq.newBuilder[IceFile]
     val posDeletes = Seq.newBuilder[IceFile]
     val eqDeletes = Seq.newBuilder[(IceFile, Seq[String], Long)]
-    manifests.foreach { mp =>
+    manifests.foreach { case (mp, mSpecId) =>
       avroRows(resolve(table, mp)).foreach { entry =>
         val status = optField(entry, "status").map(_.toString.toInt).getOrElse(1)
         if (status != 2) { // skip DELETED entries
@@ -347,7 +382,8 @@ object IcebergCatalog {
               }
             }.toMap
           }
-          val f = IceFile(df.get("file_path").toString, part, bounds)
+          val f = IceFile(df.get("file_path").toString, part, bounds,
+            specId = mSpecId)
           content match {
             case 0 =>
               dataMaxSeq = math.max(dataMaxSeq, seq)
@@ -383,7 +419,7 @@ object IcebergCatalog {
     }
     IceState(current, schema, partitionFields, dataFiles.result(),
       posDeletes.result(), eqs.map { case (f, names, _) => (f, names) },
-      parsedSpec)
+      parsedSpec, specsById, defId)
   }
 
   /** The files surviving min/max range pruning — the house
@@ -417,17 +453,25 @@ object IcebergCatalog {
                             specFields: Seq[IcebergTransforms.SpecField],
                             ranges: Map[String, (Long, Long)]): Seq[IceFile] =
     if (ranges.isEmpty || specFields.isEmpty) files
-    else files.filter { f =>
-      specFields.forall { sf =>
-        ranges.get(sf.sourceName) match {
-          case None => true
-          case Some((lo, hi)) =>
-            f.partition.get(sf.name) match {
-              case Some(v) if v != null =>
-                IcebergTransforms.rangeKeeps(sf.transform, v.toString, lo, hi)
-              case _ => true
-            }
-        }
+    else files.filter(transformKeepsFile(_, specFields, ranges))
+
+  /** One file's transform-prune verdict under ONE spec — the per-file
+    * form [[read]] evaluates with each file's OWN spec (r13, spec
+    * evolution: a range on a source column prunes spec-0 files by the
+    * spec-0 transform and spec-1 files by the spec-1 transform).
+    */
+  private def transformKeepsFile(f: IceFile,
+                                 specFields: Seq[IcebergTransforms.SpecField],
+                                 ranges: Map[String, (Long, Long)]): Boolean =
+    specFields.forall { sf =>
+      ranges.get(sf.sourceName) match {
+        case None => true
+        case Some((lo, hi)) =>
+          f.partition.get(sf.name) match {
+            case Some(v) if v != null =>
+              IcebergTransforms.rangeKeeps(sf.transform, v.toString, lo, hi)
+            case _ => true
+          }
       }
     }
 
@@ -441,7 +485,8 @@ object IcebergCatalog {
 
   private def manifestListSchema = new org.apache.avro.Schema.Parser().parse(
     """{"type":"record","name":"manifest_file","fields":[
-      |  {"name":"manifest_path","type":"string"}]}""".stripMargin)
+      |  {"name":"manifest_path","type":"string"},
+      |  {"name":"partition_spec_id","type":"int","default":0}]}""".stripMargin)
 
   private def manifestSchema(partFields: Seq[String]) = {
     // nullable so DELETE-file entries (whose partition is unused here)
@@ -466,14 +511,24 @@ object IcebergCatalog {
          |  ]}}]}""".stripMargin)
   }
 
-  def writeManifestList(path: Path, manifests: Seq[Path]): Unit = {
+  def writeManifestList(path: Path, manifests: Seq[Path]): Unit =
+    writeManifestListSpec(path, manifests.map(m => (m, 0)))
+
+  /** Spec-id-stamped form (r13): each manifest-list entry records the
+    * `partition_spec_id` its manifest's files were written under — the
+    * spec's own evolution mechanism. Legacy lists without the field
+    * read as the table's default spec.
+    */
+  def writeManifestListSpec(path: Path, manifests: Seq[(Path, Int)]): Unit = {
     val s = manifestListSchema
     val w = new org.apache.avro.file.DataFileWriter[GenericRecord](
       new org.apache.avro.generic.GenericDatumWriter[GenericRecord](s))
     w.create(s, path.toFile)
-    manifests.foreach { m =>
+    manifests.foreach { case (m, sid) =>
       val r = new org.apache.avro.generic.GenericData.Record(s)
-      r.put("manifest_path", m.toString); w.append(r)
+      r.put("manifest_path", m.toString)
+      r.put("partition_spec_id", sid)
+      w.append(r)
     }
     w.close()
   }
@@ -729,8 +784,23 @@ object IcebergCatalog {
   def commitAppend(spark: SparkSession, table: String,
                    rows: org.apache.spark.sql.DataFrame,
                    snapshotId: Long,
-                   timestampMs: Long = -1L): Long = {
-    val st = state(spark, table)
+                   timestampMs: Long = -1L,
+                   branch: String = "main"): Long = {
+    // a BRANCH append (r13) composes with the BRANCH head's live set,
+    // not main's, and only re-points the branch ref — main reads stay
+    // pinned until [[fastForward]]
+    val st =
+      if (branch == "main") state(spark, table)
+      else {
+        val all = refs(table)
+        val (sid, tpe) = all.getOrElse(branch,
+          throw new IllegalArgumentException(
+            s"unknown branch '$branch' (createRef it first): $table"))
+        require(tpe == "branch",
+          s"ref '$branch' is a $tpe — appending to a tag would move " +
+            s"what a tag exists to pin: $table")
+        state(spark, table, Some(sid))
+      }
     require(st.eqDeletes.isEmpty,
       "append to a table with equality deletes: under the " +
         "no-sequence-number subset they scope the WHOLE live set and " +
@@ -806,7 +876,102 @@ object IcebergCatalog {
       ManifestEntry(1, dst.toString, 0, pv,
         boundsLong = boundsByFile.getOrElse(dst.getFileName.toString, Map.empty))
     }
-    appendSnapshot(table, st, entries, snapshotId, "add", timestampMs)
+    appendSnapshot(table, st, entries, snapshotId, "add", timestampMs, branch)
+  }
+
+  /** EVOLVE the partition spec (r13): append a NEW spec (fields =
+    * (name, transform, sourceColumn)) and make it the default in a new
+    * metadata version. Nothing is rewritten — files already written
+    * keep their old spec-id and [[read]] interprets each file under
+    * its own spec; only FUTURE appends partition the new way. Exactly
+    * `ALTER TABLE … REPLACE PARTITION FIELD`'s shape. Returns the new
+    * spec-id.
+    */
+  def evolveSpec(table: String,
+                 fields: Seq[(String, String, String)]): Int = {
+    val (md, mdPath) = loadMetadata(table)
+    val idByName = schemaFieldIdsByName(table)
+    fields.foreach { case (n, tr, src) =>
+      IcebergTransforms.validate(tr)
+      require(idByName.contains(src),
+        s"partition source column $src of new spec field $n not in schema")
+    }
+    val existing = (md \ "partition-specs") match {
+      case JArray(specs) => specs
+      case _ => List(JObject(
+        "spec-id" -> JInt(0),
+        "fields" -> (md \ "partition-spec")))
+    }
+    val newId = existing.map(s => (s \ "spec-id") match {
+      case JInt(v) => v.toInt; case _ => 0
+    }).max + 1
+    val newSpec = JObject(
+      "spec-id" -> JInt(newId),
+      "fields" -> JArray(fields.zipWithIndex.map { case ((n, tr, src), i) =>
+        JObject("name" -> JString(n), "transform" -> JString(tr),
+          "source-id" -> JInt(idByName(src)),
+          "field-id" -> JInt(1000 + newId * 100 + i))
+      }.toList))
+    val newMd = JObject(md.asInstanceOf[JObject].obj
+      .filterNot(f => f._1 == "partition-specs" || f._1 == "default-spec-id" ||
+        f._1 == "partition-spec") ++
+      List("partition-specs" -> JArray(existing :+ newSpec),
+        "default-spec-id" -> JInt(newId)))
+    val ver = metaVersion(mdPath.getFileName.toString)
+    require(ver >= 0, s"unversioned metadata file ${mdPath.getFileName}")
+    val mdir = mdPath.getParent
+    Files.writeString(mdir.resolve(s"v${ver + 1}.metadata.json"),
+      JsonMethods.compact(JsonMethods.render(newMd)))
+    val hint = mdir.resolve("version-hint.text")
+    if (Files.exists(hint)) Files.writeString(hint, (ver + 1).toString)
+    newId
+  }
+
+  /** FAST-FORWARD main to a branch head (r13): `current-snapshot-id`
+    * (and the `main` ref when present) re-point at the branch's
+    * snapshot in a new metadata version — the audit-then-publish
+    * workflow branch refs exist for. The current head must be an
+    * ancestor of the branch head (commit order is this subset's
+    * ancestry), else the move would LOSE main-only commits. Returns
+    * the new metadata version.
+    */
+  def fastForward(table: String, branch: String): Long = {
+    val (md, mdPath) = loadMetadata(table)
+    val all = refs(table)
+    val (target, tpe) = all.getOrElse(branch,
+      throw new IllegalArgumentException(
+        s"unknown branch '$branch' (known: " +
+          s"${all.keys.toSeq.sorted.mkString(",")}): $table"))
+    require(tpe == "branch",
+      s"ref '$branch' is a $tpe, not a branch: $table")
+    val cur = (md \ "current-snapshot-id") match {
+      case JInt(v) => v.toLong
+      case _ => throw new IllegalArgumentException("no current-snapshot-id")
+    }
+    require(target != cur,
+      s"fast-forward to the current snapshot $cur is a no-op")
+    val order = (md \ "snapshots").children.map(s => (s \ "snapshot-id") match {
+      case JInt(v) => v.toLong
+      case _ => throw new IllegalArgumentException("snapshot without id")
+    })
+    require(order.indexOf(cur) < order.indexOf(target),
+      s"branch '$branch' head $target is not ahead of main's $cur: " +
+        s"a fast-forward would lose main-only commits")
+    val withMain = (md \ "refs") match {
+      case JObject(fs) if fs.exists(_._1 == "main") =>
+        md merge JObject("refs" -> JObject("main" -> JObject(
+          "snapshot-id" -> JInt(target), "type" -> JString("branch"))))
+      case _ => md
+    }
+    val newMd = withMain merge JObject("current-snapshot-id" -> JInt(target))
+    val ver = metaVersion(mdPath.getFileName.toString)
+    require(ver >= 0, s"unversioned metadata file ${mdPath.getFileName}")
+    val mdir = mdPath.getParent
+    Files.writeString(mdir.resolve(s"v${ver + 1}.metadata.json"),
+      JsonMethods.compact(JsonMethods.render(newMd)))
+    val hint = mdir.resolve("version-hint.text")
+    if (Files.exists(hint)) Files.writeString(hint, (ver + 1).toString)
+    ver + 1
   }
 
   /** Shared commit tail: a new manifest with `entry`, a manifest list
@@ -823,15 +988,20 @@ object IcebergCatalog {
   private def appendSnapshot(table: String, st: IceState,
                              entries: Seq[ManifestEntry],
                              snapshotId: Long, kind: String,
-                             timestampMs: Long = -1L): Long = {
+                             timestampMs: Long = -1L,
+                             branch: String = "main"): Long = {
     val (md, mdPath) = loadMetadata(table)
     val snap = (md \ "snapshots").children.find(s =>
       (s \ "snapshot-id") match {
         case JInt(v) => v.toLong == st.snapshotId; case _ => false
       }).get
     val JString(oldMl) = snap \ "manifest-list"
+    // preserve each inherited manifest's spec-id (r13): a spec-evolved
+    // table's old manifests keep meaning their own partitioning
     val oldManifests = avroRows(resolve(table, oldMl))
-      .map(r => resolve(table, r.get("manifest_path").toString))
+      .map(r => (resolve(table, r.get("manifest_path").toString),
+        optField(r, "partition_spec_id").map(_.toString.toInt)
+          .getOrElse(st.defaultSpecId)))
     val mdir = mdPath.getParent
     val newManifest = mdir.resolve(s"m-$kind-$snapshotId.avro")
     val partNames =
@@ -839,8 +1009,11 @@ object IcebergCatalog {
       else st.partitionFields
     writeManifestEntries(newManifest, partNames, entries)
     val newMl = mdir.resolve(s"snap-$snapshotId.avro")
-    writeManifestList(newMl, oldManifests :+ newManifest)
-    // new metadata version: snapshot appended, current advanced
+    writeManifestListSpec(newMl,
+      oldManifests :+ ((newManifest, st.defaultSpecId)))
+    // new metadata version: snapshot appended; `current-snapshot-id`
+    // advances for main, a BRANCH commit re-points only its ref (r13 —
+    // stage work on `audit`, main reads stay pinned until fastForward)
     // timestamp-ms (F15k, r12): the spec's commit instant — what
     // time travel by wall clock resolves against; -1 = unstamped (the
     // pre-r12 fixture shape stays byte-identical)
@@ -849,8 +1022,11 @@ object IcebergCatalog {
         "manifest-list" -> JString(newMl.toString)) ++
         (if (timestampMs >= 0) List("timestamp-ms" -> JInt(timestampMs))
          else Nil)
-    val newMd = md merge JObject(
-      "current-snapshot-id" -> JInt(snapshotId),
+    val head =
+      if (branch == "main") JObject("current-snapshot-id" -> JInt(snapshotId))
+      else JObject("refs" -> JObject(branch -> JObject(
+        "snapshot-id" -> JInt(snapshotId), "type" -> JString("branch"))))
+    val newMd = md merge head merge JObject(
       "snapshots" -> JArray(List(JObject(snapFields: _*))))
     val ver = metaVersion(mdPath.getFileName.toString)
     require(ver >= 0, s"unversioned metadata file ${mdPath.getFileName}")
@@ -1122,14 +1298,19 @@ object IcebergCatalog {
            ranges: Map[String, (Long, Long)] = Map.empty)
       : DataFrame = {
     val st = state(spark, table, snapshotId)
-    val dataSchema = StructType(
-      st.schema.fields.filterNot(f => st.partitionFields.contains(f.name)))
     val hasDeletes = st.posDeletes.nonEmpty || st.eqDeletes.nonEmpty
+    // per-file pruning under each file's OWN spec (r13): transform
+    // prunes resolve through specOf, the bound-box prune is
+    // spec-independent
     val groups = filesInRange(
-        filesByTransformRange(st.files.filter(f => partitionFilter(f.partition)),
-          st.specFields, ranges), ranges)
-      .groupBy(_.partition).toSeq
-      .sortBy(_._1.toSeq.map(kv => kv._1 + "=" + String.valueOf(kv._2)).sorted.mkString(","))
+        st.files.filter(f => partitionFilter(f.partition))
+          .filter(f => ranges.isEmpty ||
+            transformKeepsFile(f, st.specOf(f), ranges)), ranges)
+      .groupBy(f => (f.specId, f.partition)).toSeq
+      .sortBy { case ((sid, pv), _) =>
+        (sid, pv.toSeq.map(kv => kv._1 + "=" + String.valueOf(kv._2))
+          .sorted.mkString(","))
+      }
     if (groups.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], st.schema)
@@ -1139,11 +1320,18 @@ object IcebergCatalog {
       else Seq.empty
     val keep = st.schema.fieldNames.toSeq ++
       (if (hasDeletes) Seq("__fp", "__pos") else Nil)
-    val parts = groups.map { case (pvals, files) =>
+    val parts = groups.map { case ((sid, pvals), files) =>
+      // the spec a file was written under decides which columns its
+      // data file OMITS (identity sources reconstruct from partition
+      // values) — a spec-evolved table mixes shapes in one read
+      val identityFields = st.specsById.getOrElse(sid, st.specFields)
+        .filter(_.transform == "identity").map(_.name)
+      val dataSchema = StructType(
+        st.schema.fields.filterNot(f => identityFields.contains(f.name)))
       val base0 = spark.read.schema(dataSchema)
         .parquet(files.map(f => resolve(table, f.path).toString): _*)
       val base = base0.select(base0.columns.map(col).toSeq ++ metaCols: _*)
-      st.partitionFields.foldLeft(base) { (df, c0) =>
+      identityFields.foldLeft(base) { (df, c0) =>
         val fld = st.schema.fields.find(_.name == c0).getOrElse(
           throw new IllegalArgumentException(s"partition field $c0 not in schema"))
         val raw = pvals.get(c0).orNull

@@ -680,4 +680,99 @@ class IcebergCatalogSpec extends AnyFunSuite {
     assert(rows(IcebergCatalog.read(spark, t.toString,
       snapshotId = Some(20L))) == Set((3L, "z", "b"), (4L, "q", "a")))
   }
+
+  test("partition-spec evolution: each file reads under its own spec (r13)") {
+    import IcebergCatalog._
+    import org.apache.spark.sql.functions._
+    val t0 = Files.createTempDirectory("ice_evo_spec")
+    val mdir = t0.resolve("metadata")
+    Files.createDirectories(mdir)
+    val ml1 = mdir.resolve("snap-10.avro")
+    IcebergCatalog.writeManifestList(ml1, Seq.empty)
+    writeMetadataJsonSpec(mdir.resolve("v1.metadata.json"),
+      Seq(("id", "long", true), ("p", "string", false)),
+      Seq(("p", "identity", "p")), Seq(10L -> ml1))
+    val rows0 = Seq((1L, "a"), (2L, "b")).toDF("id", "p")
+    assert(IcebergCatalog.commitAppend(spark, t0.toString, rows0, 20L) == 20L)
+    // spec-0 data files OMIT p (identity)
+    val st0 = IcebergCatalog.state(spark, t0.toString)
+    st0.files.foreach { f =>
+      assert(!spark.read.parquet(
+        IcebergCatalog.resolve(t0.toString, f.path).toString)
+        .columns.contains("p"))
+    }
+    assert(IcebergCatalog.evolveSpec(t0.toString,
+      Seq(("id_b", "bucket[4]", "id"))) == 1)
+    assert(IcebergCatalog.commitAppend(spark, t0.toString,
+      Seq((11L, "a"), (12L, "c")).toDF("id", "p"), 30L) == 30L)
+    val st = IcebergCatalog.state(spark, t0.toString)
+    assert(st.files.map(_.specId).toSet == Set(0, 1))
+    // spec-1 files CARRY p in the data (identity no longer applies)
+    st.files.filter(_.specId == 1).foreach { f =>
+      assert(spark.read.parquet(
+        IcebergCatalog.resolve(t0.toString, f.path).toString)
+        .columns.contains("p"))
+      assert(f.partition.contains("id_b"))
+    }
+    // the union read re-assembles both shapes
+    assert(IcebergCatalog.read(spark, t0.toString)
+      .select("id", "p").as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b"), (11L, "a"), (12L, "c")))
+    // identity filter: spec-0 groups prune by pv, spec-1 files (no
+    // 'p' partition key) all survive and filter in the residual read
+    assert(IcebergCatalog.read(spark, t0.toString,
+        partitionFilter = m => m.get("p").forall(_.toString == "a"))
+      .select("id").as[Long].collect().toSet == Set(1L, 11L, 12L))
+  }
+
+  test("branch write: isolation, tag refusal, expire-rescue, fast-forward (r13)") {
+    import IcebergCatalog._
+    import org.apache.spark.sql.functions._
+    val t0 = Files.createTempDirectory("ice_branch_spec")
+    val mdir = t0.resolve("metadata")
+    Files.createDirectories(mdir)
+    val ml1 = mdir.resolve("snap-10.avro")
+    IcebergCatalog.writeManifestList(ml1, Seq.empty)
+    writeMetadataJsonSpec(mdir.resolve("v1.metadata.json"),
+      Seq(("id", "long", true)), Seq.empty, Seq(10L -> ml1))
+    assert(IcebergCatalog.commitAppend(spark, t0.toString,
+      Seq(1L, 2L).toDF("id"), 20L) == 20L)
+    IcebergCatalog.createRef(t0.toString, "main", 20L, "branch")
+    IcebergCatalog.createRef(t0.toString, "audit", 20L, "branch")
+    // branch append: main pinned, branch advances
+    assert(IcebergCatalog.commitAppend(spark, t0.toString,
+      Seq(3L).toDF("id"), 30L, branch = "audit") == 30L)
+    assert(IcebergCatalog.read(spark, t0.toString)
+      .select("id").as[Long].collect().toSet == Set(1L, 2L))
+    assert(IcebergCatalog.readRef(spark, t0.toString, "audit")
+      .select("id").as[Long].collect().toSet == Set(1L, 2L, 3L))
+    // an unknown branch and a tag both refuse
+    intercept[IllegalArgumentException] {
+      IcebergCatalog.commitAppend(spark, t0.toString,
+        Seq(9L).toDF("id"), 40L, branch = "nope")
+    }
+    IcebergCatalog.createRef(t0.toString, "pin", 20L, "tag")
+    intercept[IllegalArgumentException] {
+      IcebergCatalog.commitAppend(spark, t0.toString,
+        Seq(9L).toDF("id"), 40L, branch = "pin")
+    }
+    // expiration rescues the branch head (30) AND the pinned 20
+    val (kept, _) = IcebergCatalog.expireSnapshots(t0.toString, keepLast = 1)
+    assert(kept == 2, s"kept=$kept")
+    assert(IcebergCatalog.readRef(spark, t0.toString, "audit")
+      .select("id").as[Long].collect().toSet == Set(1L, 2L, 3L))
+    // fast-forward publishes the branch; a second call is a no-op err
+    IcebergCatalog.fastForward(t0.toString, "audit")
+    assert(IcebergCatalog.read(spark, t0.toString)
+      .select("id").as[Long].collect().toSet == Set(1L, 2L, 3L))
+    assert(IcebergCatalog.refs(t0.toString)("main") == ((30L, "branch")))
+    intercept[IllegalArgumentException] {
+      IcebergCatalog.fastForward(t0.toString, "audit")
+    }
+    // a stale branch (now behind main) cannot fast-forward
+    IcebergCatalog.createRef(t0.toString, "old", 20L, "branch")
+    intercept[IllegalArgumentException] {
+      IcebergCatalog.fastForward(t0.toString, "old")
+    }
+  }
 }

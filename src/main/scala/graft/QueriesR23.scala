@@ -268,10 +268,115 @@ object QueriesR23 {
     graft.sources.IcebergCatalog.read(s, buildIcebergBranch(s, dir))
       .orderBy(col("n_nationkey"))
 
+  // ---------------------------------------------------------------
+  // X62 (r13): STREAMING LSH index maintenance — D13's band-ownership
+  // index kept current from the stream (foreachBatch delta-merge,
+  // min-ownership's associative law), candidates then SERVED from the
+  // maintained index; must equal the batch-rebuilt index hash-exact
+  // after ≥3 micro-batches.
+  // ---------------------------------------------------------------
+
+  private def writeSingleParquet(df: DataFrame,
+                                 target: java.nio.file.Path): Unit = {
+    val tmp = java.nio.file.Files.createTempDirectory("r23_part")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = graft.sources.DeltaLog.listParquet(tmp).headOption.getOrElse(
+      throw new IllegalStateException("no parquet part written"))
+    java.nio.file.Files.createDirectories(target.getParent)
+    java.nio.file.Files.move(part, target)
+    graft.sources.DeltaLog.deleteTmp(tmp)
+  }
+
+  private def buildLshIndexStore(s: SparkSession, dir: String): String =
+    tableBuildMemo.computeIfAbsent(
+      (s.sparkContext.applicationId, dir, "stream_lsh_maintain"), _ => {
+        import graft.dedup.Dedup
+        val d = t(s, dir, "documents")
+          .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+        val store = java.nio.file.Files
+          .createTempDirectory("lsh_maintain")
+        val staged = store.resolve("in")
+        val mx = d.agg(max(col("doc_id"))).head().getLong(0)
+        // three id-sliced replay files with increasing mtimes → three
+        // in-order micro-batches under maxFilesPerTrigger=1
+        (0 until 3).foreach { i =>
+          val lo = mx * i / 3; val hi = mx * (i + 1) / 3
+          writeSingleParquet(
+            d.filter(col("doc_id") > lo && col("doc_id") <= hi ||
+              lit(i == 0) && col("doc_id") === 0L),
+            staged.resolve(f"b$i%d.parquet"))
+          java.nio.file.Files.setLastModifiedTime(
+            staged.resolve(f"b$i%d.parquet"),
+            java.nio.file.attribute.FileTime.fromMillis(
+              1700000000000L + i * 60000L))
+        }
+        val owners = store.resolve("owners").toString
+        val stream = s.readStream.schema(d.schema)
+          .option("maxFilesPerTrigger", "1").parquet(staged.toString)
+        val q = stream.writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val delta = Dedup.bandOwners(Dedup.minhashBandRows(batch,
+              col("doc_id"), col("text"),
+              shingleWords = 3, k = 12, bands = 4))
+            val merged =
+              if (!java.nio.file.Files.exists(java.nio.file.Paths.get(owners)))
+                delta
+              else Dedup.mergeBandOwners(s.read.parquet(owners), delta)
+            // read-modify-write on the index path: materialize to a
+            // sibling then swap (the ParquetTarget discipline)
+            val next = s"$owners.next"
+            merged.write.mode("overwrite").parquet(next)
+            val old = new java.io.File(owners)
+            def rm(f: java.io.File): Unit = {
+              if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+            }
+            if (old.exists()) rm(old)
+            require(new java.io.File(next).renameTo(old),
+              s"index swap failed: $next -> $owners")
+            ()
+          }
+          .start()
+        try {
+          q.processAllAvailable()
+          val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+          require(dataBatches >= 3,
+            s"per-file admission: want >= 3 data micro-batches, got $dataBatches")
+        } finally q.stop()
+        // THE maintenance law, checked hash-exact: the maintained index
+        // equals a from-scratch rebuild over the whole corpus
+        val idx = s.read.parquet(owners)
+        val rebuilt = Dedup.bandOwners(Dedup.minhashBandRows(d,
+          col("doc_id"), col("text"), shingleWords = 3, k = 12, bands = 4))
+        require(idx.exceptAll(rebuilt).isEmpty &&
+          rebuilt.exceptAll(idx).isEmpty,
+          "maintained index diverged from the batch rebuild")
+        owners
+      })
+
+  /** X62 (r13): near-dup candidates served from the STREAM-MAINTAINED
+    * band index — the keep set under the index that foreachBatch
+    * delta-merges built across ≥3 micro-batches. The fixture proves
+    * maintained ≡ rebuilt hash-exact; the gate's oracle is the batch
+    * owns-all-bands rule (`stream_near_dup`'s), so a drifted index,
+    * a lost band, or a wrong merge direction all hash-fail.
+    */
+  def streamLshMaintain(s: SparkSession, dir: String): DataFrame = {
+    import graft.dedup.Dedup
+    val owners = buildLshIndexStore(s, dir)
+    val d = t(s, dir, "documents")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val bands = Dedup.minhashBandRows(d, col("doc_id"), col("text"),
+      shingleWords = 3, k = 12, bands = 4)
+    Dedup.nearDupKeepSet(d.select(col("doc_id")), bands,
+        s.read.parquet(owners))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cdc_delta_apply" -> (cdcDeltaApply _),
     "iceberg_spec_evolution" -> (icebergSpecEvolution _),
-    "iceberg_branch_write" -> (icebergBranchWrite _))
+    "iceberg_branch_write" -> (icebergBranchWrite _),
+    "stream_lsh_maintain" -> (streamLshMaintain _))
 
   val sql: Map[String, String] = Map(
     // t1 = bootstrap population; upd = the staged update script;
@@ -332,5 +437,8 @@ object QueriesR23 {
         |SELECT CAST(n_nationkey + 1000 AS BIGINT),
         |  CAST(n_regionkey * 100 + length(n_name) AS BIGINT)
         |FROM nation
-        |ORDER BY n_nationkey""".stripMargin)
+        |ORDER BY n_nationkey""".stripMargin,
+    // the maintained-index keep set reproduces the batch owns-all-bands
+    // rule exactly (the maintenance law the fixture pins hash-exact)
+    "stream_lsh_maintain" -> QueriesData.sql("stream_near_dup"))
 }

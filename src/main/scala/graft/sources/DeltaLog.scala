@@ -61,7 +61,7 @@ object DeltaLog {
     * CLOSED (an unclosed `Files.list`/`Files.walk` leaks a handle per
     * commit), recursing into partition subdirectories.
     */
-  private[sources] def listParquet(dir: java.nio.file.Path): Seq[java.nio.file.Path] = {
+  private[graft] def listParquet(dir: java.nio.file.Path): Seq[java.nio.file.Path] = {
     val st = Files.walk(dir)
     try st.iterator().asScala
       .filter(p => Files.isRegularFile(p) &&

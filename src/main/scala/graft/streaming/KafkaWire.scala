@@ -87,12 +87,16 @@ object KafkaWire {
 
   /** JoinGroup response: `members` (id → subscribed topics) is
     * non-empty only for the LEADER — the one member that computes the
-    * assignment.
+    * assignment. `owned` (r13, the sticky assignor's input) carries
+    * each member's previously-owned partitions as declared in its
+    * subscription user data; empty for range-protocol members.
     */
   final case class JoinResult(error: Int, generation: Int,
                               protocolName: String, leaderId: String,
                               memberId: String,
-                              members: Seq[(String, Seq[String])]) {
+                              members: Seq[(String, Seq[String])],
+                              owned: Map[String, Seq[(String, Seq[Int])]] =
+                                Map.empty) {
     def isLeader: Boolean = memberId == leaderId
   }
 
@@ -111,20 +115,44 @@ object KafkaWire {
   // Subscription = version + topic list (+ null user data);
   // Assignment = version + (topic, partitions) list (+ null user data).
 
-  def encodeSubscription(topics: Seq[String]): Array[Byte] = {
+  def encodeSubscription(topics: Seq[String]): Array[Byte] =
+    encodeSubscription(topics, Seq.empty)
+
+  /** With `owned` non-empty the previously-owned partitions ride the
+    * subscription's user_data (encoded in the assignment layout) — how
+    * the real sticky assignor tells the leader what each member held
+    * before the rebalance (r13). Empty owned = null user_data, the
+    * byte-identical range-protocol form.
+    */
+  def encodeSubscription(topics: Seq[String],
+                         owned: Seq[(String, Seq[Int])]): Array[Byte] = {
     val b = new Writer
     b.i16(0) // version
     b.i32(topics.size)
     topics.foreach(b.str)
-    b.i32(-1) // user_data: null
+    if (owned.isEmpty) b.i32(-1) // user_data: null
+    else b.bytes(encodeAssignment(owned))
     b.toBytes
   }
 
-  def decodeSubscription(meta: Array[Byte]): Seq[String] = {
-    if (meta == null || meta.isEmpty) return Seq.empty
+  def decodeSubscription(meta: Array[Byte]): Seq[String] =
+    decodeSubscriptionOwned(meta)._1
+
+  /** (topics, previously-owned partitions from user_data). */
+  def decodeSubscriptionOwned(meta: Array[Byte])
+      : (Seq[String], Seq[(String, Seq[Int])]) = {
+    if (meta == null || meta.isEmpty) return (Seq.empty, Seq.empty)
     val r = new Reader(ByteBuffer.wrap(meta))
     r.i16() // version
-    (0 until r.i32()).map(_ => r.str())
+    val topics = (0 until r.i32()).map(_ => r.str())
+    val owned =
+      if (!r.hasRemaining) Seq.empty[(String, Seq[Int])]
+      else {
+        val ud = r.bytes()
+        if (ud == null || ud.isEmpty) Seq.empty[(String, Seq[Int])]
+        else decodeAssignment(ud)
+      }
+    (topics, owned)
   }
 
   def encodeAssignment(asg: Seq[(String, Seq[Int])]): Array[Byte] = {
@@ -170,6 +198,65 @@ object KafkaWire {
           val n = quota + (if (i < extra) 1 else 0)
           if (n > 0) perMember(m) = perMember(m) :+ (topic -> parts.slice(at, at + n))
           at += n
+        }
+      }
+    }
+    members.map { case (m, _) => m -> perMember(m).toSeq }.toMap
+  }
+
+  /** The STICKY assignor (r13, X58's follow-up: minimize partition
+    * movement on rebalance). Each member declares its previously-owned
+    * partitions ([[encodeSubscription]] user_data); the leader then
+    * (1) lets every surviving owner KEEP its partitions up to its
+    * balanced cap (smallest-id partitions first, deterministically),
+    * (2) deals the orphans — a dead member's partitions and any
+    * overflow — to the least-loaded members. Balanced (sizes differ by
+    * ≤1, extras to the members that already held more) and minimal-
+    * movement under that balance: a 3-member group losing one moves
+    * ONLY the dead member's partitions. Deterministic in (members,
+    * owned, partitions) — leader and auditor agree.
+    */
+  def stickyAssign(members: Seq[(String, Seq[String])],
+                   owned: Map[String, Seq[(String, Seq[Int])]],
+                   partitionsByTopic: Map[String, Seq[Int]])
+      : Map[String, Seq[(String, Seq[Int])]] = {
+    val perMember = scala.collection.mutable.Map.empty[String, Vector[(String, Seq[Int])]]
+      .withDefaultValue(Vector.empty)
+    partitionsByTopic.toSeq.sortBy(_._1).foreach { case (topic, parts0) =>
+      val subs = members.filter(_._2.contains(topic)).map(_._1).sorted
+      if (subs.nonEmpty) {
+        val parts = parts0.sorted
+        val live = parts.toSet
+        // prior ownership, deduped: if two members claim one partition
+        // (a formation race), the smaller member id wins
+        val claimed = scala.collection.mutable.Set.empty[Int]
+        val prior: Map[String, Seq[Int]] = subs.map { m =>
+          val mine = owned.getOrElse(m, Seq.empty)
+            .filter(_._1 == topic).flatMap(_._2)
+            .filter(p => live.contains(p) && !claimed.contains(p))
+            .sorted
+          claimed ++= mine
+          m -> mine
+        }.toMap
+        val quota = parts.size / subs.size
+        val extra = parts.size % subs.size
+        // extras go to the members that already hold the most — that
+        // choice is what minimizes movement
+        val capOrder = subs.sortBy(m => (-prior(m).size, m))
+        val cap = capOrder.zipWithIndex.map { case (m, i) =>
+          m -> (quota + (if (i < extra) 1 else 0))
+        }.toMap
+        val keep = scala.collection.mutable.Map.empty[String, Vector[Int]]
+        subs.foreach(m => keep(m) = prior(m).take(cap(m)).toVector)
+        val unassigned = parts.filterNot(keep.valuesIterator.flatten.toSet)
+        unassigned.foreach { p =>
+          val m = subs.filter(m => keep(m).size < cap(m))
+            .minBy(m => (keep(m).size, m))
+          keep(m) = keep(m) :+ p
+        }
+        subs.foreach { m =>
+          if (keep(m).nonEmpty)
+            perMember(m) = perMember(m) :+ (topic -> keep(m).toSeq)
         }
       }
     }
@@ -645,26 +732,31 @@ object KafkaWire {
       */
     def joinGroup(group: String, memberId: String,
                   topics: Seq[String],
-                  sessionTimeoutMs: Int = 10000): JoinResult = {
+                  sessionTimeoutMs: Int = 10000,
+                  owned: Seq[(String, Seq[Int])] = Seq.empty,
+                  assignor: String = "range"): JoinResult = {
       val b = new Writer
       b.str(group)
       b.i32(sessionTimeoutMs)
       b.str(memberId)
       b.str("consumer") // protocol_type
       b.i32(1) // one supported assignor
-      b.str("range")
-      b.bytes(encodeSubscription(topics))
+      b.str(assignor)
+      b.bytes(encodeSubscription(topics, owned))
       val r = exchange(out, in, ApiJoinGroup, 0, next(), b)
       val err = r.i16()
       val gen = r.i32()
       val proto = r.str()
       val leader = r.str()
       val me = r.str()
-      val members = (0 until r.i32()).map { _ =>
+      val decoded = (0 until r.i32()).map { _ =>
         val id = r.str(); val meta = r.bytes()
-        id -> decodeSubscription(meta)
+        id -> decodeSubscriptionOwned(meta)
       }
-      JoinResult(err, gen, proto, leader, me, members)
+      JoinResult(err, gen, proto, leader, me,
+        decoded.map { case (id, (ts, _)) => id -> ts },
+        decoded.collect { case (id, (_, ow)) if ow.nonEmpty => id -> ow }
+          .toMap)
     }
 
     /** SyncGroup v0 (key 14): the leader ships the computed
@@ -884,14 +976,22 @@ object KafkaWire {
     * gate needs.
     */
   final class GroupConsumer(host: String, port: Int, val group: String,
-                            val topic: String) extends AutoCloseable {
+                            val topic: String,
+                            val assignor: String = "range")
+      extends AutoCloseable {
+    require(assignor == "range" || assignor == "sticky",
+      s"assignor must be range|sticky, got $assignor")
     private val client = new Client(host, port)
     var memberId: String = ""
     var generation: Int = -1
     var assigned: Seq[Int] = Seq.empty
 
     /** Join (or rejoin) until the group is stable and this member
-      * holds an assignment. Returns the assigned partitions.
+      * holds an assignment. Returns the assigned partitions. Under
+      * the sticky assignor (r13) the member declares its current
+      * partitions in the join metadata, and a leader computing the
+      * plan keeps every surviving owner's partitions — a rebalance
+      * after a crash moves only the dead member's partitions.
       */
     def rebalance(): Seq[Int] = {
       var stable = false
@@ -899,16 +999,24 @@ object KafkaWire {
       while (!stable) {
         guard += 1
         require(guard <= 16, s"rebalance loop did not stabilize for $group")
-        val j = client.joinGroup(group, memberId, Seq(topic))
+        val ownedNow =
+          if (assignor == "sticky" && assigned.nonEmpty)
+            Seq(topic -> assigned)
+          else Seq.empty[(String, Seq[Int])]
+        val j = client.joinGroup(group, memberId, Seq(topic),
+          owned = ownedNow, assignor = assignor)
         if (j.error == ErrUnknownMemberId) memberId = "" // evicted: fresh id
         else {
           require(j.error == 0, s"JoinGroup error ${j.error} for $group")
           memberId = j.memberId
           generation = j.generation
           val plan =
-            if (j.isLeader)
+            if (!j.isLeader) Map.empty[String, Seq[(String, Seq[Int])]]
+            else if (assignor == "sticky")
+              stickyAssign(j.members, j.owned,
+                Map(topic -> client.partitions(topic)))
+            else
               rangeAssign(j.members, Map(topic -> client.partitions(topic)))
-            else Map.empty[String, Seq[(String, Seq[Int])]]
           val (serr, mine) = client.syncGroup(group, generation, memberId, plan)
           if (serr == 0) {
             assigned = mine.filter(_._1 == topic).flatMap(_._2)

@@ -61,6 +61,97 @@ class KafkaRebalanceSpec extends AnyFunSuite {
     assert(plan("m3") == Seq.empty)
   }
 
+  test("sticky codec: owned partitions ride the subscription user data (r13)") {
+    val owned = Seq("bus" -> Seq(0, 3))
+    val meta = encodeSubscription(Seq("bus"), owned)
+    assert(decodeSubscriptionOwned(meta) == ((Seq("bus"), owned)))
+    // rangeform metadata (null user data) decodes to empty owned
+    assert(decodeSubscriptionOwned(encodeSubscription(Seq("bus"))) ==
+      ((Seq("bus"), Seq.empty)))
+  }
+
+  test("sticky assignor: keeps owners, deals only orphans, stays balanced (r13)") {
+    val subs = Seq("m1" -> Seq("bus"), "m2" -> Seq("bus"), "m3" -> Seq("bus"))
+    val parts = Map("bus" -> Seq(0, 1, 2, 3))
+    // steady state: everyone keeps exactly what they own
+    val steady = stickyAssign(subs,
+      Map("m1" -> Seq("bus" -> Seq(0, 1)), "m2" -> Seq("bus" -> Seq(2)),
+        "m3" -> Seq("bus" -> Seq(3))), parts)
+    assert(steady("m1").flatMap(_._2).toSet == Set(0, 1))
+    assert(steady("m2").flatMap(_._2).toSet == Set(2))
+    assert(steady("m3").flatMap(_._2).toSet == Set(3))
+    // m2 dies: ONLY its partition moves
+    val afterDeath = stickyAssign(
+      Seq("m1" -> Seq("bus"), "m3" -> Seq("bus")),
+      Map("m1" -> Seq("bus" -> Seq(0, 1)), "m3" -> Seq("bus" -> Seq(3))),
+      parts)
+    assert(afterDeath("m1").flatMap(_._2).toSet == Set(0, 1))
+    assert(afterDeath("m3").flatMap(_._2).toSet == Set(2, 3))
+    // a new member joins a loaded group: the minimum moves to balance
+    val afterJoin = stickyAssign(subs.take(2),
+      Map("m1" -> Seq("bus" -> Seq(0, 1, 2, 3))), parts)
+    assert(afterJoin("m1").flatMap(_._2).toSet == Set(0, 1))
+    assert(afterJoin("m2").flatMap(_._2).toSet == Set(2, 3))
+    // double-claim (formation race): the smaller member id wins
+    val raced = stickyAssign(subs.take(2),
+      Map("m1" -> Seq("bus" -> Seq(0, 1)), "m2" -> Seq("bus" -> Seq(1, 2))),
+      parts)
+    assert(raced("m1").flatMap(_._2).contains(1))
+    assert(!raced("m2").flatMap(_._2).contains(1))
+    assert(raced.values.flatMap(_.flatMap(_._2)).toSeq.sorted == Seq(0, 1, 2, 3))
+  }
+
+  test("sticky end-to-end: crash moves only the dead member's partitions (r13)") {
+    withBroker(6) { (h, port) =>
+      val group = "g-sticky"
+      val a = new GroupConsumer("127.0.0.1", port, group, "bus", "sticky")
+      val b = new GroupConsumer("127.0.0.1", port, group, "bus", "sticky")
+      val c = new GroupConsumer("127.0.0.1", port, group, "bus", "sticky")
+      def par3(f: => Unit, g: => Unit, e: => Unit): Unit = {
+        @volatile var err: Throwable = null
+        def guard(body: => Unit): Runnable = () =>
+          try body catch { case x: Throwable => if (err == null) err = x }
+        val ts = Seq(new Thread(guard(f)), new Thread(guard(g)),
+          new Thread(guard(e)))
+        ts.foreach(_.start()); ts.foreach(_.join(60000))
+        if (err != null) throw err
+        assert(ts.forall(!_.isAlive), "parallel group action hung")
+      }
+      var attempts = 0
+      var formed = false
+      while (!formed) {
+        attempts += 1
+        assert(attempts <= 8, "3-way formation did not converge")
+        par3(a.rebalance(), b.rebalance(), c.rebalance())
+        formed = a.generation == b.generation &&
+          b.generation == c.generation &&
+          (a.assigned ++ b.assigned ++ c.assigned).sorted == (0 until 6) &&
+          Seq(a, b, c).forall(_.assigned.size == 2)
+      }
+      val aBefore = a.assigned.toSet
+      val cBefore = c.assigned.toSet
+      b.kill()
+      // both survivors rejoin (a heartbeat error tells real clients;
+      // here the test drives the rejoin directly)
+      var converged = false
+      attempts = 0
+      while (!converged) {
+        attempts += 1
+        assert(attempts <= 8, "post-crash sticky rebalance did not converge")
+        inParallel(a.rebalance(), c.rebalance())
+        converged = a.generation == c.generation &&
+          (a.assigned ++ c.assigned).sorted == (0 until 6)
+      }
+      // THE sticky claim: survivors kept everything they had — only
+      // the dead member's partitions moved
+      assert(aBefore.subsetOf(a.assigned.toSet),
+        s"A lost ${aBefore -- a.assigned.toSet}")
+      assert(cBefore.subsetOf(c.assigned.toSet),
+        s"C lost ${cBefore -- c.assigned.toSet}")
+      a.close(); c.close()
+    }
+  }
+
   test("two members split the topic; crash evicts; survivor inherits") {
     withBroker(4) { (h, port) =>
       // stage 8 records, 2 per partition

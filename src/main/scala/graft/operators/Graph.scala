@@ -699,12 +699,224 @@ object Graph {
                           hubFree: Option[Boolean] = None): DataFrame = {
     if (canonical.isEmpty)
       return canonical.select(col("a"), col("b"), lit(0L).as("support"))
-    // the hub DECISION is one cheap row aggregate (no arrays built);
-    // callers that peel nested levels compute it once — degrees only
-    // shrink, so a hub-free graph stays hub-free all the way down
-    val isHubFree = hubFree.getOrElse(hubFreeOf(canonical))
-    if (isHubFree) kTrussCanonFast(canonical, k, rounds, seedSupport)
-    else kTrussCanonHubSafe(canonical, k, rounds, seedSupport)
+    // WAVE path first (r13, the barrier diet): a driver-small level
+    // peels locally after ONE adjacency collect — zero per-round jobs
+    kTrussCanonWave(canonical, k, rounds) match {
+      case Some(sup) => sup
+      case None =>
+        // the hub DECISION is one cheap row aggregate (no arrays built);
+        // callers that peel nested levels compute it once — degrees only
+        // shrink, so a hub-free graph stays hub-free all the way down
+        val isHubFree = hubFree.getOrElse(hubFreeOf(canonical))
+        if (isHubFree) kTrussCanonFast(canonical, k, rounds, seedSupport)
+        else kTrussCanonHubSafe(canonical, k, rounds, seedSupport)
+    }
+  }
+
+  /** WAVE-MODE single-level peel (r13, the trussness barrier diet —
+    * the direct-peel sibling of [[peelCandidates]]): when the level's
+    * edge set is driver-small (`spark.graft.graph.waveRows`, default
+    * 2*10^6 — adjacency entries are exactly 2|E|, so one row count
+    * gates both structures) and node ids are non-negative ints under
+    * 2^31 (edge keys pack into one long), collect the edge list ONCE
+    * and run every peel round as driver arithmetic via
+    * [[LocalTrussPeel]] — the r12 distributed rounds paid ~6
+    * fixed-cost jobs per round, ~1.1 s each, on waves of a few
+    * hundred edges. Supports after the final round are the
+    * survivor-set supports the distributed peel ends with (static
+    * adjacency minus accumulated removals ≡ rebuilt survivor
+    * adjacency), so cross-level seeding semantics are preserved by
+    * construction. Returns None — and the caller's unchanged
+    * distributed strategies run — for over-cap levels or out-of-range
+    * ids; the DATA PATH at scale is untouched.
+    */
+  private def kTrussCanonWave(canonical: DataFrame, k: Int,
+                              rounds: Int): Option[DataFrame] = {
+    collectEdgesIfSmall(canonical).map { edges =>
+      val lp = new LocalTrussPeel(edges,
+        sys.env.contains("GRAFT_GRAPH_DEBUG"), "ktruss")
+      lp.peelLevel(k, rounds)
+      localSupDf(canonical, lp)
+    }
+  }
+
+  /** The wave gates: integral node types, edge count within
+    * `spark.graft.graph.waveRows`, ids in [0, 2^31). Returns the
+    * collected canonical edge list when ALL hold.
+    */
+  private def collectEdgesIfSmall(canonical: DataFrame)
+      : Option[Array[(Long, Long)]] = {
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    val aT = canonical.schema("a").dataType
+    val bT = canonical.schema("b").dataType
+    if (!Seq(aT, bT).forall(t => t == LongType || t == IntegerType))
+      return None
+    val waveCap = canonical.sparkSession.conf
+      .get("spark.graft.graph.waveRows", "2000000").toLong
+    if (canonical.count() > waveCap) return None
+    def num(v: Any): Long = v match {
+      case l: Long => l
+      case i: Int => i.toLong
+      case other => throw new IllegalStateException(s"non-integral id $other")
+    }
+    val edges = canonical.select(col("a"), col("b")).collect()
+      .map(r => (num(r.get(0)), num(r.get(1))))
+    if (edges.exists { case (a, b) =>
+        a < 0 || b < 0 || a >= (1L << 31) || b >= (1L << 31) }) None
+    else Some(edges)
+  }
+
+  /** The alive support table of a finished local peel, re-typed to the
+    * canonical frame's node types.
+    */
+  private def localSupDf(canonical: DataFrame,
+                         lp: LocalTrussPeel): DataFrame = {
+    val ss = canonical.sparkSession
+    import ss.implicits._
+    val aT = canonical.schema("a").dataType
+    val bT = canonical.schema("b").dataType
+    ss.createDataset(lp.aliveEntries.toSeq).toDF("a", "b", "support")
+      .select(col("a").cast(aT).as("a"), col("b").cast(bT).as("b"),
+        col("support"))
+  }
+
+  /** Driver-local k-truss peel state over a packed edge list: sorted
+    * neighbor arrays, accumulated removed-neighbor sets, and the alive
+    * (edge → support) map. The two compute-heavy phases — initial
+    * supports and affected-edge refreshes — run data-parallel across
+    * driver cores (adj/removed are READ-ONLY during each phase,
+    * results land in preallocated slots); all map mutation stays
+    * sequential between phases. Support math is the distributed
+    * plan's own: |N(a) ∩ N(b)| over static adjacency minus removed
+    * neighbors, so round trajectories are IDENTICAL. Levels COMPOSE:
+    * [[peelLevel]] at k+1 continues from level k's survivors exactly
+    * like the distributed cross-level seeding.
+    */
+  private final class LocalTrussPeel(edges: Array[(Long, Long)],
+                                     dbg: Boolean, tag: String,
+                                     candidates: Option[Array[Long]] = None) {
+    private def pack(a: Long, b: Long): Long = (a << 31) | b
+    /** Common neighbors under the STATIC adjacency (removals ignored)
+      * — the merged-graph closure queries of the local incremental
+      * sweep.
+      */
+    def forCommonStatic(a: Long, b: Long)(f: Long => Unit): Unit =
+      common(a, b)(f)
+    private val adj = {
+      val t0 = System.nanoTime()
+      val b = scala.collection.mutable.LongMap
+        .empty[scala.collection.mutable.ArrayBuffer[Long]]
+      edges.foreach { case (x, y) =>
+        b.getOrElseUpdate(x, scala.collection.mutable.ArrayBuffer.empty) += y
+        b.getOrElseUpdate(y, scala.collection.mutable.ArrayBuffer.empty) += x
+      }
+      val m = scala.collection.mutable.LongMap.empty[Array[Long]]
+      b.foreach { case (v, ws) => m(v) = ws.toArray.sorted }
+      if (dbg) System.err.println(
+        f"[$tag]   wave adj ${edges.length} edges ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      m
+    }
+    private val removed = scala.collection.mutable.LongMap
+      .empty[scala.collection.mutable.HashSet[Long]]
+    private def common(a: Long, b: Long)(f: Long => Unit): Unit = {
+      val na = adj.getOrElse(a, Array.emptyLongArray)
+      val nb = adj.getOrElse(b, Array.emptyLongArray)
+      var i = 0; var j = 0
+      while (i < na.length && j < nb.length) {
+        if (na(i) < nb(j)) i += 1
+        else if (na(i) > nb(j)) j += 1
+        else { f(na(i)); i += 1; j += 1 }
+      }
+    }
+    private def supportNow(x: Long, y: Long): Long = {
+      val rx = removed.getOrElse(x, null)
+      val ry = removed.getOrElse(y, null)
+      var s = 0L
+      common(x, y) { w =>
+        if ((rx == null || !rx.contains(w)) &&
+            (ry == null || !ry.contains(w))) s += 1
+      }
+      s
+    }
+    private def parSupports(keys: Array[Long]): Array[Long] = {
+      val out = new Array[Long](keys.length)
+      java.util.stream.IntStream.range(0, keys.length).parallel().forEach(
+        new java.util.function.IntConsumer {
+          override def accept(i: Int): Unit = {
+            val key = keys(i)
+            out(i) = supportNow(key >>> 31, key & ((1L << 31) - 1))
+          }
+        })
+      out
+    }
+    // alive = the peelable edge set: every input edge by default, or
+    // an explicit candidate subset (the incremental sweep peels only
+    // the pool region; the rest of the adjacency — the old truss — is
+    // kept by fiat and only DONATES triangles)
+    private val alive = scala.collection.mutable.LongMap.empty[Long]
+    locally {
+      val keys = candidates.getOrElse(edges.map { case (a, b) => pack(a, b) })
+      val sup0 = parSupports(keys)
+      var i = 0
+      while (i < keys.length) { alive(keys(i)) = sup0(i); i += 1 }
+    }
+    def isEmpty: Boolean = alive.isEmpty
+    def aliveKeys: Array[Long] = alive.keysIterator.toArray
+    def aliveEntries: Iterator[(Long, Long, Long)] =
+      alive.iterator.map { case (key, s) =>
+        (key >>> 31, key & ((1L << 31) - 1), s)
+      }
+    /** Peel at threshold k−2 for at most `rounds` rounds — identical
+      * round trajectory to the distributed loop: remove the wave,
+      * refresh the tri-neighborhood (discovered against static
+      * adjacency, a superset — no affected edge missed), repeat until
+      * no removals or the budget ends.
+      */
+    def peelLevel(k: Int, rounds: Int): Unit = {
+      var it = 0
+      var done = alive.isEmpty
+      while (it < rounds && !done) {
+        val tRound = System.nanoTime()
+        val wave = alive.iterator.filter(_._2 < k - 2).map(_._1).toArray
+        if (wave.isEmpty) done = true
+        else {
+          wave.foreach { key =>
+            val a = key >>> 31; val b = key & ((1L << 31) - 1)
+            alive.remove(key)
+            removed.getOrElseUpdate(a,
+              scala.collection.mutable.HashSet.empty) += b
+            removed.getOrElseUpdate(b,
+              scala.collection.mutable.HashSet.empty) += a
+          }
+          val found = new Array[Array[Long]](wave.length)
+          java.util.stream.IntStream.range(0, wave.length).parallel().forEach(
+            new java.util.function.IntConsumer {
+              override def accept(i: Int): Unit = {
+                val key = wave(i)
+                val a = key >>> 31; val b = key & ((1L << 31) - 1)
+                val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+                common(a, b) { w =>
+                  val e1 = pack(math.min(a, w), math.max(a, w))
+                  val e2 = pack(math.min(b, w), math.max(b, w))
+                  if (alive.contains(e1)) buf += e1
+                  if (alive.contains(e2)) buf += e2
+                }
+                found(i) = buf.toArray
+              }
+            })
+          val affected = scala.collection.mutable.LongMap.empty[Unit]
+          found.foreach(_.foreach(e => affected(e) = ()))
+          val affKeys = affected.keysIterator.toArray
+          val affSup = parSupports(affKeys)
+          var j = 0
+          while (j < affKeys.length) { alive(affKeys(j)) = affSup(j); j += 1 }
+          if (dbg) System.err.println(
+            f"[$tag]   wave round $it removed ${wave.length} " +
+              f"affected ${affKeys.length} ${(System.nanoTime() - tRound) / 1e9}%.2f s")
+          it += 1
+        }
+      }
+    }
   }
 
   /** The hub-free strategy: full per-node neighbor arrays (bounded by
@@ -1028,6 +1240,33 @@ object Graph {
         greatest(col("src"), col("dst")).as("b"))
       .filter(col("a") =!= col("b")).distinct()
       .ckpt
+    // WAVE sweep (r13): one edge-list collect, every level's peel
+    // rounds local, one result materialization — levels compose in
+    // [[LocalTrussPeel]] exactly like the distributed cross-level
+    // seeding (level k+1 continues from level k's survivor supports)
+    collectEdgesIfSmall(und) match {
+      case Some(edges) =>
+        val ss = und.sparkSession
+        import ss.implicits._
+        val lp = new LocalTrussPeel(edges,
+          sys.env.contains("GRAFT_GRAPH_DEBUG"), "trussness")
+        val lvl = scala.collection.mutable.LongMap.empty[Long]
+        edges.foreach { case (a, b) => lvl((a << 31) | b) = 2L }
+        var k = 3
+        while (k <= maxK && !lp.isEmpty) {
+          lp.peelLevel(k, roundsPerLevel)
+          lp.aliveKeys.foreach(key => lvl(key) = k.toLong)
+          k += 1
+        }
+        val aT = und.schema("a").dataType
+        val bT = und.schema("b").dataType
+        return ss.createDataset(lvl.iterator.map { case (key, l) =>
+            (key >>> 31, key & ((1L << 31) - 1), l)
+          }.toSeq).toDF("a", "b", "trussness")
+          .select(col("a").cast(aT).as("a"), col("b").cast(bT).as("b"),
+            col("trussness"))
+      case None =>
+    }
     var labels = und.select(col("a"), col("b"), lit(2L).as("lvl"))
     var residue = und
     // cross-level support seeding (r12): level k's peel ends with the
@@ -1350,6 +1589,309 @@ object Graph {
     *         convergence (TrussnessIncSpec pins a whole-ring promotion
     *         cascade)
     */
+  /** WAVE-MODE candidate peel (r13, the trussness barrier diet): run
+    * the per-round peel bookkeeping on the DRIVER when the candidate
+    * support table is driver-small, instead of paying ~6 fixed-cost
+    * Spark jobs (two checkpoints, two counts, a growing union chain)
+    * per round on waves of a few hundred edges. Entry gates, all
+    * honest measured bounds:
+    *  - the support table is POOL-bounded by construction (`nPool`
+    *    rows, already counted by the caller) vs
+    *    `spark.graft.graph.waveRows` (default 2*10^6);
+    *  - the peel's adjacency queries are keyed ONLY by pool-edge
+    *    endpoints (removals and refreshes touch candidate edges
+    *    alone), so the keep0 adjacency restricted to pool nodes is
+    *    what gets collected - its total entry count is measured by
+    *    one aggregate vs `spark.graft.graph.waveAdjEntries` (default
+    *    3*10^7 neighbor entries, ~250 MB) BEFORE any collect.
+    * Inside the gates a level costs THREE distributed jobs total (the
+    * initial support pass, the entry-count probe, the scoped-adjacency
+    * collect) and every peel round is pure driver arithmetic - the
+    * r12 shape paid ~6 jobs at ~1.1 s fixed overhead PER ROUND. The
+    * refresh formula is the distributed round's own (static adjacency
+    * minus accumulated removed neighbors), so the trajectory is
+    * IDENTICAL round for round. Over-cap pools, over-cap adjacency,
+    * and non-integral node ids take `fallback` - the unchanged
+    * distributed loop.
+    */
+  private def peelCandidates(und: DataFrame, adjKeep0: DataFrame,
+                             supPlan: DataFrame, nPool: Long, k: Int,
+                             rounds: Int, dbg: Boolean, tag: String,
+                             fallback: (DataFrame, Option[DataFrame], Int) => DataFrame)
+      : DataFrame = {
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    val ss = und.sparkSession
+    import ss.implicits._
+    val aT = und.schema("a").dataType
+    val bT = und.schema("b").dataType
+    val integral = Seq(aT, bT).forall(t => t == LongType || t == IntegerType)
+    val waveCap = ss.conf.get("spark.graft.graph.waveRows", "2000000").toLong
+    if (!integral || nPool > waveCap)
+      return fallback(supPlan.ckpt, None, 0)
+    def num(v: Any): Long = v match {
+      case l: Long => l
+      case i: Int => i.toLong
+      case other => throw new IllegalStateException(s"non-integral id $other")
+    }
+    def toEdges(pairs: Seq[(Long, Long)]): DataFrame =
+      ss.createDataset(pairs).toDF("a", "b")
+        .select(col("a").cast(aT).as("a"), col("b").cast(bT).as("b"))
+    val t0 = System.nanoTime()
+    val aliveM = scala.collection.mutable.HashMap.empty[(Long, Long), Long]
+    supPlan.collect().foreach { r =>
+      aliveM((num(r.get(0)), num(r.get(1)))) = num(r.get(2))
+    }
+    if (aliveM.isEmpty) return toEdges(Seq.empty)
+    // the adjacency slice the whole peel can ever query: keep0
+    // neighbor lists of pool-edge endpoints, size-PROBED before any
+    // collect (one aggregate), then collected once
+    val poolNodes = aliveM.keysIterator
+      .flatMap(e => Iterator(e._1, e._2)).toSet
+    val nodesDf = broadcast(ss.createDataset(poolNodes.toSeq).toDF("v")
+      .select(col("v").cast(aT).as("v")))
+    val scopedPlan = adjKeep0.join(nodesDf, Seq("v"), "left_semi")
+    val entryCap = ss.conf
+      .get("spark.graft.graph.waveAdjEntries", "30000000").toLong
+    val entries = scopedPlan
+      .agg(coalesce(sum(size(col("ns"))), lit(0L))).head().getLong(0)
+    if (entries > entryCap)
+      return fallback(supPlan.ckpt, None, 0)
+    val adjLoc = scala.collection.mutable.HashMap.empty[Long, Array[Long]]
+    scopedPlan.collect().foreach { r =>
+      adjLoc(num(r.get(0))) =
+        r.getSeq[Any](1).iterator.map(num).toArray.sorted
+    }
+    if (dbg) System.err.println(
+      f"[$tag]   wave setup pool=${aliveM.size} nodes=${poolNodes.size} " +
+        f"adjEntries=$entries ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    // driver-local peel: identical trajectory to the distributed
+    // rounds (removals accumulate per node; supports recompute as
+    // |adj0(x) intersect adj0(y)| minus removed-neighbor hits)
+    val removedNbrs = scala.collection.mutable.HashMap
+      .empty[Long, scala.collection.mutable.HashSet[Long]]
+    def remSet(v: Long) = removedNbrs.get(v)
+    def commonNeighbors(a: Long, b: Long): Iterator[Long] = {
+      val na = adjLoc.getOrElse(a, Array.emptyLongArray)
+      val nb = adjLoc.getOrElse(b, Array.emptyLongArray)
+      new Iterator[Long] {
+        private var i = 0; private var j = 0
+        private var nextV = 0L; private var ready = false
+        private def advance(): Unit = {
+          while (!ready && i < na.length && j < nb.length) {
+            if (na(i) < nb(j)) i += 1
+            else if (na(i) > nb(j)) j += 1
+            else { nextV = na(i); i += 1; j += 1; ready = true }
+          }
+        }
+        def hasNext: Boolean = { advance(); ready }
+        def next(): Long = { advance(); ready = false; nextV }
+      }
+    }
+    def supportNow(x: Long, y: Long): Long = {
+      val rx = remSet(x); val ry = remSet(y)
+      var s = 0L
+      val it0 = commonNeighbors(x, y)
+      while (it0.hasNext) {
+        val w = it0.next()
+        if (!rx.exists(_.contains(w)) && !ry.exists(_.contains(w))) s += 1
+      }
+      s
+    }
+    var it = 0
+    var done = false
+    while (it < rounds && !done) {
+      val tRound = System.nanoTime()
+      val wave = aliveM.iterator.filter(_._2 < k - 2).map(_._1).toArray
+      if (wave.isEmpty) done = true
+      else {
+        wave.foreach { case (a, b) =>
+          aliveM.remove((a, b))
+          removedNbrs.getOrElseUpdate(a,
+            scala.collection.mutable.HashSet.empty) += b
+          removedNbrs.getOrElseUpdate(b,
+            scala.collection.mutable.HashSet.empty) += a
+        }
+        // tri-neighborhood discovery against the STATIC adjacency (a
+        // superset of current triangles - no affected edge missed),
+        // refreshed only for still-alive candidate edges
+        val affected = scala.collection.mutable.HashSet.empty[(Long, Long)]
+        wave.foreach { case (a, b) =>
+          val cn = commonNeighbors(a, b)
+          while (cn.hasNext) {
+            val w = cn.next()
+            val e1 = (math.min(a, w), math.max(a, w))
+            val e2 = (math.min(b, w), math.max(b, w))
+            if (aliveM.contains(e1)) affected += e1
+            if (aliveM.contains(e2)) affected += e2
+          }
+        }
+        affected.foreach { case (x, y) => aliveM((x, y)) = supportNow(x, y) }
+        if (dbg) System.err.println(
+          f"[$tag]   wave round $it removed ${wave.length} " +
+            f"affected ${affected.size} ${(System.nanoTime() - tRound) / 1e9}%.2f s")
+        it += 1
+      }
+    }
+    toEdges(aliveM.iterator.filter(_._2 >= k - 2).map(_._1).toSeq)
+  }
+
+  /** Fully-local incremental sweep (r13, the barrier diet's last leg):
+    * when the MERGED graph passes the wave gates
+    * ([[collectEdgesIfSmall]] — count-gated, integral ids), the whole
+    * per-level machinery (old-truss monotonicity, merged-support
+    * prefilter, adaptive direct/incremental cutover, delta closure,
+    * candidate peel) runs as driver arithmetic over packed edge sets:
+    * THREE collects total (merged edges, delta, base labels) and one
+    * result materialization replace the r12 shape's two prep passes
+    * plus ~10 jobs per level plus ~6 jobs per peel round. Every
+    * decision mirrors the distributed branch value-for-value — same
+    * pool filter, same nPool·2 &gt; nPrev cutover, same nSeeds·20 ≥
+    * nPool closure skip, same bounded closure/peel rounds — so the
+    * trajectory (and the oracle result) is identical by construction.
+    * Returns None above the caps; the distributed path then runs
+    * unchanged.
+    */
+  private def trussnessIncLocal(baseLabels: DataFrame, und: DataFrame,
+                                delta: DataFrame, maxK: Int, rounds: Int,
+                                dbg: Boolean): Option[DataFrame] = {
+    val edgesU = collectEdgesIfSmall(und) match {
+      case Some(e) => e
+      case None => return None
+    }
+    val ss = und.sparkSession
+    import ss.implicits._
+    def num(v: Any): Long = v match {
+      case l: Long => l
+      case i: Int => i.toLong
+      case other => throw new IllegalStateException(s"non-integral id $other")
+    }
+    def pack(a: Long, b: Long): Long = (a << 31) | b
+    val t0 = System.nanoTime()
+    // delta edges and base labels are subsets of the merged graph's
+    // edge/id space — bounded by the same cap that admitted edgesU;
+    // non-integral label frames bail out before any local work
+    val lTypes = Seq(baseLabels.schema("a").dataType,
+      baseLabels.schema("b").dataType)
+    if (!lTypes.forall(t => t == org.apache.spark.sql.types.LongType ||
+        t == org.apache.spark.sql.types.IntegerType)) return None
+    val deltaSet = scala.collection.mutable.LongMap.empty[Unit]
+    delta.select(col("a"), col("b")).collect().foreach { r =>
+      deltaSet(pack(num(r.get(0)), num(r.get(1)))) = ()
+    }
+    val labelsBase = scala.collection.mutable.LongMap.empty[Long]
+    baseLabels.select(col("a"), col("b"), col("trussness")).collect()
+      .foreach { r =>
+        labelsBase(pack(num(r.get(0)), num(r.get(1)))) = num(r.get(2))
+      }
+    // merged-graph structure + per-edge merged support, all local:
+    // LocalTrussPeel's initial supports ARE ms(a,b) = |N(a) ∩ N(b)|
+    val merged = new LocalTrussPeel(edgesU, dbg, "trussinc")
+    val ms = scala.collection.mutable.LongMap.empty[Long]
+    merged.aliveEntries.foreach { case (a, b, s) => ms(pack(a, b)) = s }
+    if (dbg) System.err.println(
+      f"[trussinc] local prep ${edgesU.length} edges " +
+        f"${(System.nanoTime() - t0) / 1e9}%.2f s")
+    def unpackEdges(keys: Iterable[Long]): Array[(Long, Long)] =
+      keys.iterator.map(k => (k >>> 31, k & ((1L << 31) - 1))).toArray
+    val labels = scala.collection.mutable.LongMap.empty[Long]
+    edgesU.foreach { case (a, b) => labels(pack(a, b)) = 2L }
+    var prevSet: scala.collection.mutable.LongMap[Unit] = {
+      val m = scala.collection.mutable.LongMap.empty[Unit]
+      edgesU.foreach { case (a, b) => m(pack(a, b)) = () }
+      m
+    }
+    var k = 3
+    var empty = false
+    while (k <= maxK && !empty) {
+      val tLevel = System.nanoTime()
+      // monotonicity: the old k-truss survives any edge addition
+      val oldTruss = scala.collection.mutable.LongMap.empty[Unit]
+      labelsBase.foreach { case (key, t) => if (t >= k) oldTruss(key) = () }
+      // merged-support prefilter ∩ prev ∖ oldTruss — the pool
+      val pool = scala.collection.mutable.LongMap.empty[Unit]
+      prevSet.foreachKey { key =>
+        if (ms.getOrElse(key, 0L) >= k - 2 && !oldTruss.contains(key))
+          pool(key) = ()
+      }
+      val nPool = pool.size.toLong
+      val nPrev = prevSet.size.toLong
+      if (dbg) System.err.println(
+        s"[trussinc] k=$k pool=$nPool prev=$nPrev branch=" +
+          (if (nPool * 2 > nPrev) "direct" else "incremental") + " (local)")
+      val truss: scala.collection.mutable.LongMap[Unit] =
+        if (nPool * 2 > nPrev) {
+          // direct peel of the whole level — fresh supports within
+          // prev (≡ the distributed branch's seeded kTrussCanon)
+          val lp = new LocalTrussPeel(unpackEdges(prevSet.keysIterator
+            .to(Iterable)), dbg, "trussinc")
+          lp.peelLevel(k, rounds)
+          val out = scala.collection.mutable.LongMap.empty[Unit]
+          lp.aliveKeys.foreach(out(_) = ())
+          out
+        } else {
+          val seeds = scala.collection.mutable.LongMap.empty[Unit]
+          pool.foreachKey(key => if (deltaSet.contains(key)) seeds(key) = ())
+          val nSeeds = seeds.size.toLong
+          // closure of the delta through the pool via shared
+          // triangles, skipped for bulk deltas (r11 semantics)
+          val reached: scala.collection.mutable.LongMap[Unit] =
+            if (nSeeds * 20 >= nPool) pool
+            else {
+              val acc = scala.collection.mutable.LongMap.empty[Unit]
+              seeds.foreachKey(acc(_) = ())
+              var frontier = seeds.keysIterator.toArray
+              var r = 0
+              while (r < rounds && frontier.nonEmpty) {
+                val next = scala.collection.mutable.LongMap.empty[Unit]
+                frontier.foreach { key =>
+                  val a = key >>> 31; val b = key & ((1L << 31) - 1)
+                  merged.forCommonStatic(a, b) { w =>
+                    val e1 = pack(math.min(a, w), math.max(a, w))
+                    val e2 = pack(math.min(b, w), math.max(b, w))
+                    if (pool.contains(e1) && !acc.contains(e1)) next(e1) = ()
+                    if (pool.contains(e2) && !acc.contains(e2)) next(e2) = ()
+                  }
+                }
+                next.foreachKey(acc(_) = ())
+                frontier = next.keysIterator.toArray
+                r += 1
+              }
+              if (dbg) System.err.println(
+                s"[trussinc]   closure $r rounds (local)")
+              acc
+            }
+          // candidate peel within keep0 = oldTruss ∪ reached: the old
+          // truss donates triangles, only candidates peel
+          val keep0 = scala.collection.mutable.LongMap.empty[Unit]
+          oldTruss.foreachKey(keep0(_) = ())
+          reached.foreachKey(keep0(_) = ())
+          val lp = new LocalTrussPeel(
+            unpackEdges(keep0.keysIterator.to(Iterable)), dbg, "trussinc",
+            candidates = Some(reached.keysIterator.toArray))
+          lp.peelLevel(k, rounds)
+          val out = scala.collection.mutable.LongMap.empty[Unit]
+          oldTruss.foreachKey(out(_) = ())
+          lp.aliveEntries.foreach { case (a, b, s) =>
+            if (s >= k - 2) out(pack(a, b)) = ()
+          }
+          out
+        }
+      if (dbg) System.err.println(
+        f"[trussinc] k=$k level took ${(System.nanoTime() - tLevel) / 1e9}%.2f s (local)")
+      empty = truss.isEmpty
+      if (!empty) truss.foreachKey(key => labels(key) = k.toLong)
+      prevSet = truss
+      k += 1
+    }
+    val aT = und.schema("a").dataType
+    val bT = und.schema("b").dataType
+    Some(ss.createDataset(labels.iterator.map { case (key, l) =>
+        (key >>> 31, key & ((1L << 31) - 1), l)
+      }.toSeq).toDF("a", "b", "trussness")
+      .select(col("a").cast(aT).as("a"), col("b").cast(bT).as("b"),
+        col("trussness")))
+  }
+
   def trussnessIncremental(baseLabels: DataFrame, baseEdges: DataFrame,
                            deltaEdges: DataFrame, maxK: Int,
                            rounds: Int): DataFrame = {
@@ -1370,6 +1912,12 @@ object Graph {
     val und = canon(baseEdges).unionAll(delta).distinct()
       .ckpt
     lap("und")
+    // wave sweep first (r13): a driver-small merged graph runs the
+    // whole level machinery locally — see [[trussnessIncLocal]]
+    trussnessIncLocal(baseLabels, und, delta, maxK, rounds, dbg0) match {
+      case Some(result) => return result
+      case None =>
+    }
     // sorted adjacency lists of the MERGED graph (static across levels):
     // triangle closure runs as per-edge array_intersect against these —
     // the supportByIntersect posture; the doubled-edge wedge joins this
@@ -1517,62 +2065,70 @@ object Graph {
             .groupBy(col("v")).agg(collect_list(col("w")).as("ns"))
             .ckpt
         }
-        var aliveSup = reached
+        val supPlan = reached
           .join(adjKeep0.select(col("v").as("a"), col("ns").as("na")), Seq("a"))
           .join(adjKeep0.select(col("v").as("b"), col("ns").as("nb")), Seq("b"))
           .select(col("a"), col("b"),
             size(array_intersect(col("na"), col("nb"))).as("support"))
-          .ckpt
-        var removedAcc: Option[DataFrame] = None
-        var it = 0
-        var done = reached.isEmpty
-        while (it < rounds && !done) {
-          val tRound = System.nanoTime()
-          val surviving = aliveSup.filter(col("support") >= k - 2)
-          val removed = aliveSup.filter(col("support") < k - 2)
-            .select(col("a"), col("b")).ckpt
-          val nRemoved = removed.count()
-          if (dbg) System.err.println(
-            f"[trussinc]   peel round $it removed $nRemoved filter+ckpt ${(System.nanoTime() - tRound) / 1e9}%.2f s")
-          if (nRemoved == 0) done = true
-          else {
-            removedAcc = Some(removedAcc match {
-              case Some(acc) => acc.unionAll(removed).ckpt
-              case None => removed
-            })
-            // count-gated broadcasts (r12): tail rounds keep the full
-            // adjacency/survivor tables un-shuffled
-            val affected = triAdjacent(bcIfSmall(removed, nRemoved))
-              .join(surviving.select(col("a"), col("b")), Seq("a", "b"),
-                "left_semi").ckpt
-            val affectedB = bcIfSmall(affected, affected.count())
-            val nodes = affected.select(col("a").as("v"))
-              .unionAll(affected.select(col("b").as("v"))).distinct()
-            val remAcc = removedAcc.get
-            val remNbrs = remAcc.select(col("a").as("v"), col("b").as("w"))
-              .unionAll(remAcc.select(col("b").as("v"), col("a").as("w")))
-              .join(broadcast(nodes), Seq("v"), "left_semi")
-              .groupBy(col("v")).agg(collect_list(col("w")).as("rem"))
-            val scopedAdj = adjKeep0
-              .join(broadcast(nodes), Seq("v"), "left_semi")
-              .join(remNbrs, Seq("v"), "left")
-              .select(col("v"), when(col("rem").isNull, col("ns"))
-                .otherwise(array_except(col("ns"), col("rem"))).as("ns"))
-            val refreshed = affectedB
-              .join(scopedAdj.select(col("v").as("a"), col("ns").as("na")), Seq("a"))
-              .join(scopedAdj.select(col("v").as("b"), col("ns").as("nb")), Seq("b"))
-              .select(col("a"), col("b"),
-                size(array_intersect(col("na"), col("nb"))).as("support"))
-            aliveSup = surviving
-              .join(affectedB, Seq("a", "b"), "left_anti")
-              .unionAll(refreshed).ckpt
+        // the DISTRIBUTED peel loop — the over-cap path, and the wave
+        // peel's fallback (resumable from any round's exact state)
+        def peelDistributed(aliveSup0: DataFrame,
+                            removedAcc0: Option[DataFrame],
+                            it0: Int): DataFrame = {
+          var aliveSup = aliveSup0
+          var removedAcc = removedAcc0
+          var it = it0
+          var done = false
+          while (it < rounds && !done) {
+            val tRound = System.nanoTime()
+            val surviving = aliveSup.filter(col("support") >= k - 2)
+            val removed = aliveSup.filter(col("support") < k - 2)
+              .select(col("a"), col("b")).ckpt
+            val nRemoved = removed.count()
             if (dbg) System.err.println(
-              f"[trussinc]   peel round $it total ${(System.nanoTime() - tRound) / 1e9}%.2f s")
-            it += 1
+              f"[trussinc]   peel round $it removed $nRemoved filter+ckpt ${(System.nanoTime() - tRound) / 1e9}%.2f s")
+            if (nRemoved == 0) done = true
+            else {
+              removedAcc = Some(removedAcc match {
+                case Some(acc) => acc.unionAll(removed).ckpt
+                case None => removed
+              })
+              // count-gated broadcasts (r12): tail rounds keep the full
+              // adjacency/survivor tables un-shuffled
+              val affected = triAdjacent(bcIfSmall(removed, nRemoved))
+                .join(surviving.select(col("a"), col("b")), Seq("a", "b"),
+                  "left_semi").ckpt
+              val affectedB = bcIfSmall(affected, affected.count())
+              val nodes = affected.select(col("a").as("v"))
+                .unionAll(affected.select(col("b").as("v"))).distinct()
+              val remAcc = removedAcc.get
+              val remNbrs = remAcc.select(col("a").as("v"), col("b").as("w"))
+                .unionAll(remAcc.select(col("b").as("v"), col("a").as("w")))
+                .join(broadcast(nodes), Seq("v"), "left_semi")
+                .groupBy(col("v")).agg(collect_list(col("w")).as("rem"))
+              val scopedAdj = adjKeep0
+                .join(broadcast(nodes), Seq("v"), "left_semi")
+                .join(remNbrs, Seq("v"), "left")
+                .select(col("v"), when(col("rem").isNull, col("ns"))
+                  .otherwise(array_except(col("ns"), col("rem"))).as("ns"))
+              val refreshed = affectedB
+                .join(scopedAdj.select(col("v").as("a"), col("ns").as("na")), Seq("a"))
+                .join(scopedAdj.select(col("v").as("b"), col("ns").as("nb")), Seq("b"))
+                .select(col("a"), col("b"),
+                  size(array_intersect(col("na"), col("nb"))).as("support"))
+              aliveSup = surviving
+                .join(affectedB, Seq("a", "b"), "left_anti")
+                .unionAll(refreshed).ckpt
+              if (dbg) System.err.println(
+                f"[trussinc]   peel round $it total ${(System.nanoTime() - tRound) / 1e9}%.2f s")
+              it += 1
+            }
           }
+          aliveSup.filter(col("support") >= k - 2)
+            .select(col("a"), col("b"))
         }
-        val alive = aliveSup.filter(col("support") >= k - 2)
-          .select(col("a"), col("b"))
+        val alive = peelCandidates(und, adjKeep0, supPlan, nPool, k, rounds,
+          dbg, "trussinc", peelDistributed)
         if (alive.isEmpty) oldTruss else oldTruss.unionAll(alive)
       }).ckpt
       if (dbg) System.err.println(

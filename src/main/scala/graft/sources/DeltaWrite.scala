@@ -115,12 +115,46 @@ object DeltaWrite {
   def merge(spark: SparkSession, table: String, staged: DataFrame,
             pk: Seq[String], insertFilter: Option[Column] = None,
             nowMs: Long = -1L): Long = {
-    val st = DeltaLog.state(spark, table)
-    DeltaLog.writerGuard(st, table, "merge")
+    val st0 = DeltaLog.state(spark, table)
+    DeltaLog.writerGuard(st0, table, "merge")
+    // SCHEMA EVOLUTION on merge (r13): a column the source ADDED joins
+    // the table schema in this commit's metaData action — existing
+    // data files simply lack it, and the schema-pinned scans read the
+    // missing column as NULL for pre-evolution rows (parquet's own
+    // rule); a column the source DROPPED is retained (replicas never
+    // lose data silently) and staged rows carry NULL for it — exactly
+    // [[graft.cdc.Pipeline.alignSchemas]]'s contract, applied at the
+    // transaction log. Out of the stated subset: evolving a PARTITION
+    // or PK column, and type changes (same name, new type) — loud.
+    val newFields = staged.schema.fields
+      .filterNot(f => st0.schema.fieldNames.contains(f.name))
+    staged.schema.fields.foreach { f =>
+      st0.schema.fields.find(_.name == f.name).foreach { tf =>
+        require(tf.dataType == f.dataType,
+          s"merge column ${f.name} changes type ${tf.dataType.simpleString}" +
+            s" -> ${f.dataType.simpleString}: type evolution is not in " +
+            s"the stated subset: $table")
+      }
+    }
+    require(newFields.isEmpty || st0.columnMappingMode == "none",
+      s"schema evolution on a column-mapped table needs fresh physical " +
+        s"names and is not in the stated subset: $table")
+    val st =
+      if (newFields.isEmpty) st0
+      else st0.copy(schema = StructType(st0.schema.fields ++ newFields))
     val cols = st.schema.fieldNames.toSeq
     require(pk.nonEmpty && pk.forall(cols.contains),
       s"merge pk ${pk.mkString(",")} not in table columns")
-    require(staged.columns.toSet == cols.toSet,
+    require(pk.forall(k => newFields.forall(_.name != k)),
+      s"merge pk ${pk.mkString(",")} cannot be a newly added column")
+    // staged rows align to the (possibly evolved) table schema:
+    // retained-but-dropped columns fill NULL
+    val stagedAligned = st.schema.fields
+      .filterNot(f => staged.columns.contains(f.name))
+      .foldLeft(staged) { (d, f) =>
+        d.withColumn(f.name, lit(null).cast(f.dataType))
+      }
+    require(stagedAligned.columns.toSet == cols.toSet,
       s"merge schema mismatch: table=${cols.mkString(",")} " +
         s"staged=${staged.columns.mkString(",")}")
     val cdfEnabled = st.configuration.getOrElse(
@@ -128,7 +162,7 @@ object DeltaWrite {
     require(!cdfEnabled || st.columnMappingMode == "none",
       s"merge with changeDataFeed on a column-mapped table is not in " +
         s"the stated subset: $table")
-    val src = staged.select(cols.map(col): _*)
+    val src = stagedAligned.select(cols.map(col): _*)
     val srcKeys = src.select(pk.map(col): _*).distinct()
     val snap = DeltaLog.readInternal(spark, table, st,
       _ => true, Map.empty, tagRel = true) // cols + __graft_rel
@@ -154,6 +188,21 @@ object DeltaWrite {
       survivors.unionByName(postimages).unionByName(inserts)
         .select(cols.map(col): _*),
       s"merge-$next")
+    // the evolved schema rides the same commit as its first data —
+    // readers at this version and later see the new column (NULL for
+    // pre-evolution rows), time travel below it sees the old shape
+    val metaLines: Seq[String] =
+      if (newFields.isEmpty) Seq.empty
+      else {
+        val confJson = st.configuration.toSeq.sortBy(_._1).map { case (c, v) =>
+          s""""${DeltaLog.jsonEscape(c)}":"${DeltaLog.jsonEscape(v)}""""
+        }.mkString("{", ",", "}")
+        Seq(s"""{"metaData":{"id":"graft-${table.split('/').last}",""" +
+          s""""schemaString":"${DeltaLog.jsonEscape(st.schema.json)}",""" +
+          s""""partitionColumns":[${st.partitionColumns.map(c =>
+            "\"" + DeltaLog.jsonEscape(c) + "\"").mkString(",")}],""" +
+          s""""configuration":$confJson}}""")
+      }
     val removes = affected.toSeq.sorted.map { rel =>
       s"""{"remove":{"path":"${DeltaLog.jsonEscape(rel)}","dataChange":true}}"""
     }
@@ -181,7 +230,8 @@ object DeltaWrite {
             s""""dataChange":false}}"""
         }
       }
-    DeltaLog.writeCommit(table, st, next, removes ++ adds ++ cdcLines, nowMs)
+    DeltaLog.writeCommit(table, st, next,
+      metaLines ++ removes ++ adds ++ cdcLines, nowMs)
     next
   }
 

@@ -166,6 +166,50 @@ class DeltaWriteSpec extends AnyFunSuite {
     assert(e.getMessage.contains("appendOnly"), e.getMessage)
   }
 
+  test("merge schema evolution: added column joins the log, dropped column retained (r13)") {
+    val t = mkTable()
+    // staged ADDS `note` and DROPS `cents` — alignSchemas' contract at
+    // the transaction log
+    val staged = Seq((1L, "a", "hot", "N"), (5L, "a", "new", "N"))
+      .toDF("id", "part", "note", "is_deleted")
+    val v = DeltaWrite.merge(spark, t, staged, Seq("id"),
+      insertFilter = Some(col("is_deleted") === "N"))
+    assert(v == 1L)
+    val got = DeltaLog.read(spark, t)
+      .select("id", "cents", "note")
+      .as[(Long, Option[Long], Option[String])].collect().toSet
+    assert(got == Set(
+      (1L, None, Some("hot")),      // matched: staged values, dropped col NULL
+      (2L, Some(200L), None),       // untouched same-file survivor: note NULL
+      (3L, Some(300L), None),       // untouched file
+      (4L, Some(400L), None),
+      (5L, None, Some("new"))),     // insert under the evolved schema
+      got.toString)
+    // time travel below the evolution sees the OLD shape
+    assert(!DeltaLog.read(spark, t, Some(0L)).columns.contains("note"))
+    // the recorded feed carries the evolved shape; v0's derived
+    // inserts read NULL for the post-evolution column
+    val feed = DeltaLog.tableChangesCdf(spark, t, -1L, 1L)
+      .select("id", "note", "_change_type", "_commit_version")
+      .as[(Long, Option[String], String, Long)].collect().toSet
+    assert(feed.contains((1L, None, "insert", 0L)))
+    assert(feed.contains((1L, Some("hot"), "update_postimage", 1L)))
+    assert(feed.contains((5L, Some("new"), "insert", 1L)))
+    // type evolution and new-column PKs reject loudly
+    val e1 = intercept[IllegalArgumentException] {
+      DeltaWrite.merge(spark, t,
+        Seq(("1", "a", 0L, "N")).toDF("id", "part", "cents", "is_deleted"),
+        Seq("id"))
+    }
+    assert(e1.getMessage.contains("type evolution"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      DeltaWrite.merge(spark, t,
+        Seq((1L, "a", 7L, "N")).toDF("id", "part", "extra_pk", "is_deleted"),
+        Seq("extra_pk"))
+    }
+    assert(e2.getMessage.contains("newly added"), e2.getMessage)
+  }
+
   test("replicateDelta: bootstrap + incremental merge, watermarks advance") {
     import graft.cdc.{Cdc, Pipeline}
     import java.sql.Timestamp
